@@ -1,0 +1,117 @@
+"""KiaraContext: the engine's session object.
+
+One SparkSession + four registries (types, modules/operations, data, jobs) +
+a driver-side runner: bind inputs -> cache probe -> compose lazy DataFrames ->
+record pedigree.  Mirrors the reference's API surface (``run_job``,
+``queue_job``, operations, aliases — ``src/kiara/interfaces/python_api/
+kiara_api.py:105-147``) while Spark does all data-parallel execution.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .datatypes import TypeRegistry
+from .modules import KiaraModule, ModuleRegistry
+from .operations import OperationRegistry
+from .registries.data import DataRegistry
+from .registries.jobs import JobRegistry
+from .values import Value, ValueMap
+from .session import build_spark, configure_existing
+
+
+class KiaraContext:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        base_path: str | None = None,
+        cache_strategy: str = "value_id",
+    ):
+        self.spark = configure_existing(spark) if spark else build_spark()
+        self.base_path = base_path or tempfile.mkdtemp(prefix="kiara_spark_")
+        os.makedirs(self.base_path, exist_ok=True)
+
+        self.type_registry = TypeRegistry()
+        self.module_registry = ModuleRegistry()
+        self.operation_registry = OperationRegistry(self.module_registry)
+        self.data_registry = DataRegistry(self)
+        self.job_registry = JobRegistry(self, strategy=cache_strategy)
+
+        from . import operators  # registers all built-in modules/operations
+
+        operators.register_all(self)
+
+    # -- input binding (reference analyze/bind phase, base_api queue_manifest) --
+    def _bind_inputs(self, module: KiaraModule, inputs: Mapping[str, Any]) -> ValueMap:
+        bound: dict[str, Value] = {}
+        for field_name, schema in module.inputs_schema.items():
+            if field_name in inputs:
+                raw = inputs[field_name]
+            elif schema.default is not None:
+                raw = schema.default
+            else:
+                continue  # missing-required check happens in module.run
+            if isinstance(raw, Value):
+                bound[field_name] = raw
+            else:
+                bound[field_name] = self.data_registry.register_data(
+                    raw, data_type=schema.type, schema=schema
+                )
+        return ValueMap(bound)
+
+    # -- public API -------------------------------------------------------
+    def create_module(self, module_type: str, module_config: dict | None = None) -> KiaraModule:
+        return self.module_registry.create_module(module_type, module_config)
+
+    def run_job(
+        self,
+        operation: str,
+        inputs: Mapping[str, Any] | None = None,
+        operation_config: dict | None = None,
+    ) -> ValueMap:
+        """Resolve operation/module name, bind, cache-probe, execute."""
+        op = self.operation_registry.resolve(operation)
+        config = dict(op.module_config)
+        if operation_config:
+            config.update(operation_config)
+        module = self.create_module(op.module_type, config)
+        bound = self._bind_inputs(module, inputs or {})
+        record = self.job_registry.execute_job(module, bound)
+        return record.outputs
+
+    def queue_job(self, operation: str, inputs: Mapping[str, Any] | None = None, **kw):
+        """Alias for run_job — execution is lazy DataFrame composition, so
+        'queueing' and 'running' coincide on the driver; Spark defers real work."""
+        return self.run_job(operation, inputs, **kw)
+
+    # -- convenience ------------------------------------------------------
+    def register_table(self, df: DataFrame, alias: str | None = None) -> Value:
+        v = self.data_registry.register_data(df, data_type="table")
+        if alias:
+            self.data_registry.register_alias(alias, v)
+        return v
+
+    def load_tables(self, sf_dir: str, tables: list[str] | None = None) -> dict[str, Value]:
+        """Register the standard testdata tables as aliased values."""
+        from .io import load_tables as _load
+
+        out = {}
+        for t, df in _load(self.spark, sf_dir, tables).items():
+            out[t] = self.register_table(df, alias=t)
+            df.createOrReplaceTempView(t)
+        return out
+
+    def get_value(self, ref) -> Value:
+        return self.data_registry.get_value(ref)
+
+    @property
+    def operations(self) -> list[str]:
+        return self.operation_registry.operation_ids
+
+    @property
+    def modules(self) -> list[str]:
+        return self.module_registry.module_type_names

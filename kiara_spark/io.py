@@ -1,0 +1,38 @@
+"""Table loading helpers for the driver testdata layout.
+
+Handles the one format wrinkle in the fixtures: ``events.parquet`` stores
+``ts`` as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects.
+We flip ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and
+rebuild a microsecond timestamp with integer division — the same ns->us
+truncation DuckDB applies, so both engines see identical instants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or ALL_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out

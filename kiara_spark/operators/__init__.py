@@ -1,0 +1,14 @@
+"""Built-in operator modules; ``register_all(context)`` wires every family
+into a KiaraContext's module/operation registries."""
+
+from __future__ import annotations
+
+
+def register_all(context) -> None:
+    from . import dedup, filesystem, misc, similarity, tables, text
+    from ..streaming import windows
+
+    for family in (tables, filesystem, text, dedup, similarity, misc, windows):
+        for cls in getattr(family, "MODULES", []):
+            context.module_registry.register(cls)
+        context.operation_registry.register_all(getattr(family, "OPERATIONS", []))

@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these at 100 TB):
+- *exact*: one hash-aggregate over md5(normalized text) — shuffle on a short
+  hash key, map-side combine; no text comparison ever crosses the wire.
+- *minhash LSH*: per-doc signature (map-only), explode to (band_id, band_key)
+  buckets, self-join *within buckets only* — the classic sub-quadratic
+  candidate generation; the full N² pair space is never materialized.
+- *n-gram Jaccard*: only run on LSH candidates (or within small blocking
+  buckets) — it's the verifier, not the scanner.
+- *simhash*: map-only 64-bit sketch; near-dup = small Hamming distance within
+  LSH-style bucketed bands of the sketch.
+
+Everything is built-in-function only (JVM/codegen); hashes are md5 hex
+strings so the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+from .text import shingles_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace runs."""
+    return F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates: (content_key, n_dups, keep_id, dup_ids...)."""
+    keyed = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_key")
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc (min id) per distinct normalized text."""
+    w_key = df.withColumn("content_key", F.md5(normalized_text(F.col(text_col))))
+    keep = w_key.groupBy("content_key").agg(F.min(id_col).alias(id_col))
+    return w_key.join(keep, on=["content_key", id_col], how="inner").drop("content_key")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 5) -> Column:
+    """MinHash signature as an array of md5-hex minima.
+
+    h_i(doc) = min over shingles s of md5(i || ':' || s).  md5-hex strings
+    order identically in every engine, so min() is a portable uniform hash —
+    no custom bigint hash needed.  Map-only; cost O(shingles * num_hashes).
+    """
+    sh = shingles_col(text, shingle_k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band of
+    ``num_hashes/bands`` consecutive signature values collide.
+
+    Plan shape: map (signature) -> explode to ``bands`` rows -> shuffle on
+    (band_id, band_key) -> within-bucket self-join -> distinct pairs.  The
+    join key is a 32-char hash: buckets are tiny, the join never sees the
+    full cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("sig")).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_key")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_similarity(text_a: Column, text_b: Column, k: int = 5) -> Column:
+    """Shingle-set Jaccard = |A ∩ B| / |A ∪ B| via array ops (portable)."""
+    a, b = shingles_col(text_a, k), shingles_col(text_b, k)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold.  ``block_col`` restricts
+    the self-join to blocking buckets (at scale you ALWAYS block — use
+    minhash_lsh_pairs for candidates instead of a raw cross join)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
+                  *([F.col(block_col).alias("_blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
+                  *([F.col(block_col).alias("_blk")] if block_col else []))
+    on = [F.col("id_a") < F.col("id_b")]
+    joined = a.join(b, on=(["_blk"] if block_col else []) or None, how="inner").filter(on[0]) \
+        if block_col else a.crossJoin(b).filter(on[0])
+    sim = jaccard_similarity(F.col("text_a"), F.col("text_b"), k)
+    return (
+        joined.withColumn("jaccard", sim)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The production near-dedup pipeline: LSH candidates -> exact Jaccard
+    verify -> verified near-dup pairs.  Join back to texts is by id (hash
+    join on a bigint key), so text payloads move at most once."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cand.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+    )
+    sim = jaccard_similarity(F.col("text_a"), F.col("text_b"), shingle_k)
+    return (
+        joined.withColumn("jaccard", sim)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_k: int = 5) -> Column:
+    """64-bit SimHash over shingle md5s, emitted as a 16-hex-digit string.
+
+    For hex digit position p (0..15) and bit q (0..3) within it: the bit votes
+    +1 if set else -1 across all shingle hashes; sketch bit = 1 iff vote sum
+    > 0.  Hex-string representation avoids 64-bit sign/overflow differences
+    between engines; the digit decode (strpos over '0123456789abcdef') and
+    md5 are portable built-ins, so the SQL oracle reproduces it exactly.
+    """
+    sh = shingles_col(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    hexdigits = "0123456789abcdef"
+    digit_chars = []
+    for p in range(16):
+        digit_of = lambda h, p=p: F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+        digit_val = F.lit(0)
+        for q in range(4):
+            mask = 1 << q
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h, p=p, mask=mask: acc
+                + F.when(F.bitwise_and(digit_of(h, p), F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            digit_val = digit_val + F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0))
+        digit_chars.append(F.substring(F.lit(hexdigits), digit_val + 1, 1))
+    return F.concat(*digit_chars)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+    return df.withColumn("simhash", simhash64(F.col(text_col), shingle_k))
+
+
+# -- modules ---------------------------------------------------------------
+
+
+class DedupExact(KiaraModule):
+    _module_type_name = "table.dedup.exact"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": exact_dedup(inputs["table"].data,
+                                     self.config.get("id_column", "doc_id"),
+                                     self.config.get("text_column", "text"))}
+
+
+class DedupMinhash(KiaraModule):
+    _module_type_name = "table.dedup.minhash"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"pairs": minhash_dedup_verified(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("threshold", 0.7),
+            self.config.get("num_hashes", 16),
+            self.config.get("bands", 4),
+            self.config.get("shingle_k", 5),
+        )}
+
+
+class DedupSimhash(KiaraModule):
+    _module_type_name = "table.dedup.simhash"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": with_simhash(inputs["table"].data,
+                                      self.config.get("text_column", "text"),
+                                      self.config.get("shingle_k", 5))}
+
+
+class DedupNgramJaccard(KiaraModule):
+    _module_type_name = "table.dedup.ngram_jaccard"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"pairs": ngram_jaccard_pairs(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("threshold", 0.5),
+            self.config.get("shingle_k", 5),
+            self.config.get("block_column"),
+        )}
+
+
+MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard]
+OPERATIONS = [
+    Operation("table.dedup.exact", "table.dedup.exact"),
+    Operation("table.dedup.minhash", "table.dedup.minhash"),
+    Operation("table.dedup.simhash", "table.dedup.simhash"),
+    Operation("table.dedup.ngram_jaccard", "table.dedup.ngram_jaccard"),
+]

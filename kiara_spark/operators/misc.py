@@ -1,0 +1,249 @@
+"""Misc core modules: logic gates, mock, pretty-print, metadata extraction,
+multimodal column plumbing.
+
+- logic.* mirror the reference's test modules (the logic pipelines in
+  ``tests/resources/pipelines/logic/``) — they exercise scalar values,
+  required-input validation and pipeline wiring.
+- ``mock`` mirrors ``included_core_modules/mock.py:75-130`` (canned outputs).
+- ``pretty_print`` / ``value.extract_metadata`` mirror the render/profiling
+  seams (``pretty_print.py:35-191``, ``metadata.py:26-88``) — profiling runs
+  as a real Spark job (count/min/max/nulls), never a collect of data rows.
+- multimodal.* : image/audio/video as opaque binary columns + typed metadata;
+  decode is stubbed (no codec libs in this container) but the Spark plumbing
+  (schema, mapInPandas batch shape, partitioning) is real — see
+  ``decode_image_stub``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule, ModuleCharacteristics
+from ..operations import Operation
+from ..values import ValueMap
+
+
+class LogicAnd(KiaraModule):
+    _module_type_name = "logic.and"
+
+    def create_inputs_schema(self):
+        return {"a": {"type": "boolean"}, "b": {"type": "boolean"}}
+
+    def create_outputs_schema(self):
+        return {"y": {"type": "boolean"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"y": bool(inputs["a"].data and inputs["b"].data)}
+
+
+class LogicOr(LogicAnd):
+    _module_type_name = "logic.or"
+
+    def process(self, inputs: ValueMap, context):
+        return {"y": bool(inputs["a"].data or inputs["b"].data)}
+
+
+class LogicXor(LogicAnd):
+    _module_type_name = "logic.xor"
+
+    def process(self, inputs: ValueMap, context):
+        return {"y": bool(inputs["a"].data) != bool(inputs["b"].data)}
+
+
+class LogicNot(KiaraModule):
+    _module_type_name = "logic.not"
+
+    def create_inputs_schema(self):
+        return {"a": {"type": "boolean"}}
+
+    def create_outputs_schema(self):
+        return {"y": {"type": "boolean"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"y": not inputs["a"].data}
+
+
+class MockModule(KiaraModule):
+    """Canned outputs from config (reference mock.py:75-130)."""
+
+    _module_type_name = "mock"
+
+    def create_inputs_schema(self):
+        return {
+            k: {"type": v} for k, v in self.config.get("inputs", {}).items()
+        }
+
+    def create_outputs_schema(self):
+        return {
+            k: {"type": spec.get("type", "string")}
+            for k, spec in self.config.get("outputs", {}).items()
+        }
+
+    def process(self, inputs: ValueMap, context):
+        return {k: spec.get("value") for k, spec in self.config.get("outputs", {}).items()}
+
+
+class PrettyPrintValue(KiaraModule):
+    """Reference pretty_print.py:35-191; for tables: capture df.show()."""
+
+    _module_type_name = "pretty_print.value"
+    _characteristics = ModuleCharacteristics(is_internal=True)
+
+    def create_inputs_schema(self):
+        return {"value": {"type": "any"}}
+
+    def create_outputs_schema(self):
+        return {"rendered_value": {"type": "string"}}
+
+    def process(self, inputs: ValueMap, context):
+        data = inputs["value"].data
+        if isinstance(data, DataFrame):
+            n = self.config.get("max_rows", 20)
+            return {"rendered_value": data._show_string(n, 40, False)}
+        return {"rendered_value": repr(data)}
+
+
+class ExtractMetadata(KiaraModule):
+    """Reference metadata.py:26-88 — profiling as a distributed job.
+
+    One pass: count + per-column null counts + min/max for atomic columns
+    (single aggregate, map-side combined; no row data reaches the driver).
+    """
+
+    _module_type_name = "value.extract_metadata"
+    _characteristics = ModuleCharacteristics(is_internal=True)
+
+    def create_inputs_schema(self):
+        return {"value": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"value_metadata": {"type": "dict"}}
+
+    def process(self, inputs: ValueMap, context):
+        df: DataFrame = inputs["value"].data
+        atomic = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() in
+            ("integer", "long", "double", "float", "string", "timestamp", "date", "boolean")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in atomic:
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        meta = {
+            "rows": row["__n"],
+            "columns": {
+                f.name: {"type": f.dataType.simpleString()} for f in df.schema.fields
+            },
+        }
+        for c in atomic:
+            meta["columns"][c].update(
+                nulls=row[f"{c}__nulls"], min=str(row[f"{c}__min"]), max=str(row[f"{c}__max"])
+            )
+        return {"value_metadata": meta}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "id long, media binary, media_type string, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame:
+    """Typed metadata columns for an opaque binary media column.  Cheap,
+    deterministic, JVM-side (magic-byte sniffing via substring on binary)."""
+    b = F.col(binary_col)
+    head = F.substring(b.cast("string"), 1, 8)
+    return df.withColumns(
+        {
+            "media_size": F.octet_length(b),
+            "media_sha": F.sha2(b, 256),
+            "media_kind": F.when(head.startswith("\x89PNG"), F.lit("image/png"))
+            .when(head.startswith("\xff\xd8"), F.lit("image/jpeg"))
+            .when(head.startswith("RIFF"), F.lit("audio/wav"))
+            .otherwise(F.lit("application/octet-stream")),
+        }
+    )
+
+
+def decode_image_stub(df: DataFrame, binary_col: str = "media"):
+    """Image decode -> features, as ``mapInPandas``.
+
+    The real decode needs PIL/ffmpeg (not in this container) — the Python
+    boundary, Arrow batching, schema and partition behavior ARE the real
+    production plumbing; only the pixel decode is faked deterministically
+    (features derived from byte length + sha prefix).  Swap ``_fake_decode``
+    for a real decoder on a cluster with codecs installed.
+    """
+    import pandas as pd
+
+    def _fake_decode(batches):
+        for pdf in batches:
+            blobs = pdf[binary_col]
+            yield pd.DataFrame(
+                {
+                    "row_idx": pdf.index,
+                    "byte_len": blobs.map(lambda x: len(x) if x is not None else 0),
+                    # deterministic fake "decoded" dims; replace with PIL.Image.open
+                    "width": blobs.map(lambda x: (len(x) % 64) + 1 if x else 0),
+                    "height": blobs.map(lambda x: (len(x) % 48) + 1 if x else 0),
+                }
+            )
+
+    real_decode_available = False
+    if real_decode_available:  # pragma: no cover
+        raise NotImplementedError("install PIL/ffmpeg and replace _fake_decode")
+    return df.mapInPandas(
+        _fake_decode, schema="row_idx long, byte_len long, width int, height int"
+    )
+
+
+class MediaAttachMetadata(KiaraModule):
+    _module_type_name = "media.attach_metadata"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": attach_media_metadata(
+            inputs["table"].data, self.config.get("binary_column", "media"))}
+
+
+class MediaDecodeImage(KiaraModule):
+    _module_type_name = "media.decode_image"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": decode_image_stub(
+            inputs["table"].data, self.config.get("binary_column", "media"))}
+
+
+MODULES = [
+    LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
+    ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
+]
+OPERATIONS = [
+    Operation("pretty_print.table.as.string", "pretty_print.value",
+              operation_type="pretty_print"),
+    Operation("extract.table.metadata", "value.extract_metadata",
+              operation_type="extract_metadata"),
+    Operation("media.attach_metadata", "media.attach_metadata"),
+    Operation("media.decode_image", "media.decode_image"),
+]

@@ -1,0 +1,430 @@
+"""Relational table operator family (SURVEY §2.3).
+
+The reference has no relational operators in core — they arrive through the
+tabular-plugin seam (evidence: ``create.table.from.file`` / ``table.load`` in
+``tests/resources/pipelines/table_import.json``; Arrow-columnar mandate in
+``docs/design_docs/architecture/data/requirements.ipynb:94-117``).  Here the
+family is first-class and each op is a *thin declarative wrapper over
+DataFrame ops* so Catalyst keeps full optimization freedom: predicate
+pushdown, column pruning, join strategy selection, AQE.
+
+Scale notes (100 TB posture):
+- ``join``: optional explicit broadcast of the small side; otherwise leave the
+  choice to Catalyst/AQE (which will also split skewed partitions).
+- ``group_by``: expressed as ``groupBy().agg()`` — Spark always does map-side
+  partial aggregation; no driver-side collection anywhere.
+- ``sql``: views + ``spark.sql`` — the single highest-leverage operator
+  (mirrors the plugin's ``query.table`` duckdb-SQL op).
+- No operator calls an action; everything stays a lazy plan.
+
+Pure functions first (used directly by queries/bench), module classes below
+(the orchestration surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule, ModuleCharacteristics
+from ..operations import Operation
+from ..values import ValueMap
+
+# ---------------------------------------------------------------------------
+# pure functions
+# ---------------------------------------------------------------------------
+
+
+def create_table_from_file(
+    spark: SparkSession,
+    path: str,
+    file_format: str | None = None,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Source op. Format inferred from extension when not given."""
+    fmt = (file_format or path.rsplit(".", 1)[-1]).lower()
+    if fmt in ("csv", "tsv"):
+        opts = {"header": "true", "inferSchema": "false" if schema else "true"}
+        if fmt == "tsv":
+            opts["sep"] = "\t"
+        opts.update(options)
+        reader = spark.read.options(**opts)
+        return reader.csv(path, schema=schema) if schema else reader.csv(path)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return spark.read.options(**options).json(path, schema=schema)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
+    raise ValueError(f"unsupported table file format: {fmt!r}")
+
+
+def filter_rows(df: DataFrame, where: str | Column) -> DataFrame:
+    return df.filter(where)
+
+
+def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.select(*columns)
+
+
+def with_columns(df: DataFrame, exprs: dict[str, str]) -> DataFrame:
+    """Add/replace computed columns from SQL expression strings."""
+    return df.withColumns({k: F.expr(v) for k, v in exprs.items()})
+
+
+def drop_duplicates(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def sort_table(df: DataFrame, by: list[str], ascending: list[bool] | bool = True) -> DataFrame:
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(by)
+    cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, ascending)]
+    return df.orderBy(*cols)
+
+
+def limit_table(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, by: list[str], k: int, ascending: list[bool] | bool = False) -> DataFrame:
+    """orderBy + limit — Spark plans this as TakeOrderedAndProject: a per-
+    partition top-k + single small merge, no global sort shuffle. The right
+    plan at any scale."""
+    return sort_table(df, by, ascending).limit(k)
+
+
+def sample_table(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def deterministic_sample(df: DataFrame, key: str, modulus: int, remainder: int = 0) -> DataFrame:
+    """Engine-portable deterministic sample: keep rows where key % modulus ==
+    remainder.  Unlike ``sample()`` this is reproducible across engines, which
+    is what a data pipeline wants for stable held-out splits."""
+    return df.filter((F.col(key) % modulus) == remainder)
+
+
+def join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All join types incl. semi/anti.  ``broadcast_right`` pins a broadcast
+    hash join for known-small dimension tables (region/nation/etc.) — at
+    100 TB fact scale this avoids shuffling the fact table entirely."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "first": F.first,
+    "last": F.last,
+    "median": F.median,
+}
+
+
+def _agg_cols(aggregations: list[dict]) -> list[Column]:
+    out = []
+    for spec in aggregations:
+        fn = _AGG_FNS[spec["fn"]]
+        col = spec.get("column", "*")
+        c = fn(F.lit(1)) if (spec["fn"] == "count" and col == "*") else fn(col)
+        out.append(c.alias(spec.get("alias", f"{spec['fn']}_{col}")))
+    return out
+
+
+def group_by_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggregations: list[dict],
+    grouping: str = "groupby",
+) -> DataFrame:
+    """``aggregations``: [{"fn": "sum", "column": "x", "alias": "sum_x"}, ...].
+
+    ``grouping``: groupby | rollup | cube.  Partial (map-side) aggregation is
+    automatic; for high-cardinality keys AQE coalesces the shuffle."""
+    cols = _agg_cols(aggregations)
+    if grouping == "rollup":
+        g = df.rollup(*keys)
+    elif grouping == "cube":
+        g = df.cube(*keys)
+    else:
+        g = df.groupBy(*keys)
+    return g.agg(*cols)
+
+
+def window_function(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    functions: list[dict],
+    descending: bool = False,
+) -> DataFrame:
+    """Add analytic window columns.  ``functions``: [{"fn": "row_number",
+    "alias": "rn"}, {"fn": "lag", "column": "x", "offset": 1, "alias": ...},
+    {"fn": "sum", "column": "x", "frame": "unbounded_preceding", ...}]."""
+    from pyspark.sql.window import Window
+
+    order_cols = [F.col(c).desc() for c in order_by] if descending else [F.col(c) for c in order_by]
+    base = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    out = df
+    for spec in functions:
+        fn = spec["fn"]
+        w = base
+        if spec.get("frame") == "unbounded_preceding":
+            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
+            col = getattr(F, fn)().over(w)
+        elif fn in ("lag", "lead"):
+            col = getattr(F, fn)(spec["column"], spec.get("offset", 1)).over(w)
+        elif fn == "ntile":
+            col = F.ntile(spec["n"]).over(w)
+        else:
+            col = _AGG_FNS[fn](spec["column"]).over(w)
+        out = out.withColumn(spec.get("alias", fn), col)
+    return out
+
+
+def union_tables(a: DataFrame, b: DataFrame, by_name: bool = True, distinct: bool = False) -> DataFrame:
+    out = a.unionByName(b, allowMissingColumns=False) if by_name else a.union(b)
+    return out.distinct() if distinct else out
+
+
+def intersect_tables(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.intersectAll(b) if keep_duplicates else a.intersect(b)
+
+
+def except_tables(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def sql_query(spark: SparkSession, query: str, tables: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Register views, run SQL.  Mirrors the tabular plugin's ``query.table``
+    (duckdb-SQL-on-Arrow) with Spark SQL + Catalyst instead."""
+    for name, tdf in (tables or {}).items():
+        tdf.createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
+def export_table(df: DataFrame, path: str, file_format: str = "parquet",
+                 mode: str = "overwrite", partition_by: list[str] | None = None,
+                 **options) -> dict:
+    """Sink op. ``partition_by`` enables partition pruning for downstream
+    readers — the main lever for selective scans over 100 TB warehouses."""
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, file_format)(path)
+    return {"path": path, "format": file_format, "partition_by": partition_by or []}
+
+
+# ---------------------------------------------------------------------------
+# module classes (orchestration surface)
+# ---------------------------------------------------------------------------
+
+TABLE = {"type": "table"}
+STRING = {"type": "string"}
+DICT = {"type": "dict"}
+
+
+def _simple_module(module_type: str, inputs: dict, outputs: dict, fn, doc: str = "",
+                   characteristics: ModuleCharacteristics | None = None):
+    """Factory: declaratively minted operator module (mirrors the reference's
+    dynamically-discovered method families, ``filter.py:22-47`` etc.)."""
+
+    class _Mod(KiaraModule):
+        _module_type_name = module_type
+        __doc__ = doc
+
+        def create_inputs_schema(self):
+            return inputs
+
+        def create_outputs_schema(self):
+            return outputs
+
+        def process(self, im: ValueMap, context):
+            return fn(self, im, context)
+
+    if characteristics:
+        _Mod._characteristics = characteristics
+    _Mod.__name__ = "Mod_" + module_type.replace(".", "_")
+    return _Mod
+
+
+def _cfg(self, im: ValueMap, *names):
+    """Resolve params from module config first, then inputs."""
+    out = []
+    for n in names:
+        if n in self.config:
+            out.append(self.config[n])
+        elif n in im:
+            out.append(im[n].data)
+        else:
+            out.append(None)
+    return out
+
+
+CreateTableFromFile = _simple_module(
+    "create.table.from.file",
+    {"path": STRING, "file_format": {**STRING, "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {
+        "table": create_table_from_file(
+            ctx.spark, im["path"].data,
+            file_format=_cfg(self, im, "file_format")[0],
+            **self.config.get("options", {}),
+        )
+    },
+    doc="Source: file -> DataFrame (csv/json/parquet/orc).",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
+)
+
+TableFilterRows = _simple_module(
+    "table.filter.rows", {"table": TABLE, "where": STRING}, {"table": TABLE},
+    lambda self, im, ctx: {"table": filter_rows(im["table"].data, _cfg(self, im, "where")[0])},
+    doc="df.filter(sql predicate) — pushed to the scan by Catalyst.",
+)
+
+TableSelectColumns = _simple_module(
+    "table.filter.select_columns", {"table": TABLE, "columns": {"type": "any"}}, {"table": TABLE},
+    lambda self, im, ctx: {"table": select_columns(im["table"].data, _cfg(self, im, "columns")[0])},
+    doc="Column projection (pruned at the parquet scan).",
+)
+
+TableWithColumns = _simple_module(
+    "table.with_columns", {"table": TABLE, "exprs": DICT}, {"table": TABLE},
+    lambda self, im, ctx: {"table": with_columns(im["table"].data, _cfg(self, im, "exprs")[0])},
+    doc="Computed columns from SQL expressions (scalar fn battery).",
+)
+
+TableDropDuplicates = _simple_module(
+    "table.filter.drop_duplicates", {"table": TABLE, "subset": {"type": "any", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": drop_duplicates(im["table"].data, _cfg(self, im, "subset")[0])},
+    doc="Exact dedup on key subset (hash aggregate).",
+)
+
+TableSort = _simple_module(
+    "table.sort", {"table": TABLE, "by": {"type": "any"}, "ascending": {"type": "any", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": sort_table(im["table"].data, _cfg(self, im, "by")[0],
+                                               _cfg(self, im, "ascending")[0] if _cfg(self, im, "ascending")[0] is not None else True)},
+    doc="Global sort (range-partitioned exchange).",
+)
+
+TableLimit = _simple_module(
+    "table.limit", {"table": TABLE, "n": {"type": "integer"}}, {"table": TABLE},
+    lambda self, im, ctx: {"table": limit_table(im["table"].data, _cfg(self, im, "n")[0])},
+)
+
+TableSample = _simple_module(
+    "table.sample", {"table": TABLE, "fraction": {"type": "float"}, "seed": {"type": "integer", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": sample_table(im["table"].data, _cfg(self, im, "fraction")[0],
+                                                 _cfg(self, im, "seed")[0] or 42)},
+)
+
+TableJoin = _simple_module(
+    "table.join",
+    {"left": TABLE, "right": TABLE, "on": {"type": "any"}, "how": {**STRING, "optional": True},
+     "broadcast_right": {"type": "boolean", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": join_tables(
+        im["left"].data, im["right"].data, _cfg(self, im, "on")[0],
+        _cfg(self, im, "how")[0] or "inner", bool(_cfg(self, im, "broadcast_right")[0]))},
+    doc="inner/left/right/full/semi/anti (+ explicit broadcast hint).",
+)
+
+TableGroupBy = _simple_module(
+    "table.group_by.aggregate",
+    {"table": TABLE, "keys": {"type": "any"}, "aggregations": {"type": "any"},
+     "grouping": {**STRING, "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": group_by_aggregate(
+        im["table"].data, _cfg(self, im, "keys")[0], _cfg(self, im, "aggregations")[0],
+        _cfg(self, im, "grouping")[0] or "groupby")},
+    doc="Hash aggregate with map-side combine; rollup/cube variants.",
+)
+
+TableWindow = _simple_module(
+    "table.window",
+    {"table": TABLE, "partition_by": {"type": "any"}, "order_by": {"type": "any"},
+     "functions": {"type": "any"}, "descending": {"type": "boolean", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": window_function(
+        im["table"].data, _cfg(self, im, "partition_by")[0], _cfg(self, im, "order_by")[0],
+        _cfg(self, im, "functions")[0], bool(_cfg(self, im, "descending")[0]))},
+    doc="Analytic window functions (single sort within partitions).",
+)
+
+TableUnion = _simple_module(
+    "table.union", {"left": TABLE, "right": TABLE, "distinct": {"type": "boolean", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": union_tables(im["left"].data, im["right"].data,
+                                                 distinct=bool(_cfg(self, im, "distinct")[0]))},
+)
+
+TableIntersect = _simple_module(
+    "table.intersect", {"left": TABLE, "right": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": intersect_tables(im["left"].data, im["right"].data)},
+)
+
+TableExcept = _simple_module(
+    "table.except", {"left": TABLE, "right": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": except_tables(im["left"].data, im["right"].data)},
+)
+
+TableQuerySql = _simple_module(
+    "table.query.sql", {"query": STRING, "table": {**TABLE, "optional": True}}, {"table": TABLE},
+    lambda self, im, ctx: {"table": sql_query(
+        ctx.spark, _cfg(self, im, "query")[0],
+        {"data": im["table"].data} if "table" in im else None)},
+    doc="SQL over registered views; input table (if given) is view `data`.",
+)
+
+ExportTable = _simple_module(
+    "export.table.as.file",
+    {"table": TABLE, "path": STRING, "file_format": {**STRING, "optional": True}},
+    {"export_details": DICT},
+    lambda self, im, ctx: {"export_details": export_table(
+        im["table"].data, im["path"].data, _cfg(self, im, "file_format")[0] or "parquet",
+        **self.config.get("options", {}))},
+    doc="Sink: DataFrameWriter (parquet/csv/json/orc), optional partitionBy.",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
+)
+
+MODULES = [
+    CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
+    TableDropDuplicates, TableSort, TableLimit, TableSample, TableJoin,
+    TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
+    TableQuerySql, ExportTable,
+]
+
+OPERATIONS = [
+    Operation("create.table.from.file", "create.table.from.file", operation_type="create_from",
+              doc="csv/json/parquet/orc file -> table"),
+    Operation("table_filter.rows", "table.filter.rows", operation_type="filter"),
+    Operation("table_filter.select_columns", "table.filter.select_columns", operation_type="filter"),
+    Operation("table_filter.drop_duplicates", "table.filter.drop_duplicates", operation_type="filter"),
+    Operation("query.table", "table.query.sql", doc="SQL over table views"),
+    Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
+              operation_type="export_as"),
+    Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},
+              operation_type="export_as"),
+]

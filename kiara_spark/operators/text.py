@@ -1,0 +1,189 @@
+"""Text-analysis operators over document tables (SURVEY §2.3 LLM-data ops).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs.  Every function here is deliberately
+expressible in portable SQL so the DuckDB oracle can verify it exactly:
+hashes are md5 hex strings (identical in every engine), tokenization is a
+single shared regex.
+
+At 100 TB these are embarrassingly parallel map-only transforms: no shuffle,
+no driver data, scale is limited only by scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# small built-in stopword sets for the language-ID heuristic; ASCII-only so
+# regex/string semantics match across engines.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "zhe", "men"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "it", "for", "on", "as", "are", "be"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens; '' artifacts from leading/trailing separators
+    removed.  DuckDB twin: list_filter(string_split_regex(lower(x),
+    '[^a-z0-9]+'), t -> t <> '')."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, distinct tokens, avg token length, type-token ratio."""
+    toks = tokens_col(F.col(text_col))
+    return df.withColumns(
+        {
+            "num_tokens": F.size(toks),
+            "num_distinct_tokens": F.size(F.array_distinct(toks)),
+            "avg_token_len": F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)).cast("double"),
+            "type_token_ratio": F.when(
+                F.size(toks) > 0,
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, alpha ratio, stopword ratio,
+    mean-word-length sanity — the standard pretraining-filter features
+    (C4/Gopher-style rules, public literature)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    out = df.withColumns(
+        {
+            "num_tokens": n_tok,
+            "alpha_ratio": F.when(
+                F.length(text) > 0, alpha_chars.cast("double") / F.length(text)
+            ).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(
+                n_tok > 0, stop_hits.cast("double") / n_tok
+            ).otherwise(F.lit(0.0)),
+            "mean_word_len": F.when(
+                n_tok > 0,
+                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+    quality = (
+        F.when((F.col("num_tokens") >= 5) & (F.col("num_tokens") <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("alpha_ratio") >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return out.withColumn("quality_score", quality.cast("double"))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-membership language ID: score = count of tokens in each
+    language's marker set; argmax wins (ties broken by language code order —
+    deterministic)."""
+    toks = tokens_col(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    out = df.select("*", *scores)
+    langs = list(LANG_MARKERS)
+    # argmax via greatest + chained when, first-match-wins in sorted lang order
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(sorted(langs)):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def shingles_col(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the lowercased text.
+    DuckDB twin: list_distinct(list_transform(range(1, greatest(length(x)-k+2,
+    1), substring(...)))."""
+    low = F.lower(text)
+    n = F.greatest(F.length(low) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(low, i, k))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, top: int = 8) -> DataFrame:
+    """Document fingerprint: md5 of the ``top`` lexicographically-smallest
+    md5(shingle) values (a winnowing/min-k sketch; robust to small edits,
+    engine-portable because md5-hex strings sort identically everywhere)."""
+    sh = shingles_col(F.col(text_col), k)
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return df.withColumn(
+        "fingerprint", F.md5(F.concat_ws("", F.slice(hashed, 1, top)))
+    )
+
+
+def token_count_bpeish(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate
+    (ceil(chars/4) — the public rule-of-thumb for subword tokenizers)."""
+    text = F.col(text_col)
+    ws = F.size(tokens_col(text))
+    return df.withColumns(
+        {
+            "ws_tokens": ws,
+            "bpe_tokens_est": F.ceil(F.length(text) / F.lit(4.0)).cast("bigint"),
+        }
+    )
+
+
+# -- modules ---------------------------------------------------------------
+
+def _mk(name, fn, doc=""):
+    class _Mod(KiaraModule):
+        _module_type_name = name
+        __doc__ = doc
+
+        def create_inputs_schema(self):
+            return {"table": {"type": "table"},
+                    "text_column": {"type": "string", "optional": True, "default": "text"}}
+
+        def create_outputs_schema(self):
+            return {"table": {"type": "table"}}
+
+        def process(self, inputs: ValueMap, context):
+            col = self.config.get("text_column") or (
+                inputs["text_column"].data if "text_column" in inputs else "text")
+            return {"table": fn(inputs["table"].data, col)}
+
+    _Mod.__name__ = "Mod_" + name.replace(".", "_")
+    return _Mod
+
+
+TextTokenStats = _mk("text.token_stats", with_token_stats, "token count/distinct/len stats")
+TextQualityScore = _mk("text.quality_score", with_quality_score, "pretraining quality filters")
+TextLanguageId = _mk("text.language_id", with_language_id, "stopword-membership langid")
+TextFingerprint = _mk("text.fingerprint", with_fingerprint, "min-k md5 shingle fingerprint")
+TextTokenCount = _mk("text.token_count", token_count_bpeish, "ws + BPE-ish token counts")
+
+MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint, TextTokenCount]
+OPERATIONS = [
+    Operation("text.token_stats", "text.token_stats"),
+    Operation("text.quality_score", "text.quality_score"),
+    Operation("text.language_id", "text.language_id"),
+    Operation("text.fingerprint", "text.fingerprint"),
+    Operation("text.token_count", "text.token_count"),
+]

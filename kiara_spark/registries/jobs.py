@@ -1,0 +1,115 @@
+"""Job registry: execution + content-addressed memoization.
+
+Re-expresses the reference's job cache (``src/kiara/registries/jobs/__init__.py``
+matchers :65-152, lookup :442-488, execute :517-630).  Strategies:
+
+- ``no_cache``  — always execute
+- ``value_id``  — cache key = hash(manifest, input value ids)  [default]
+- ``data_hash`` — cache key = hash(manifest, input *content* hashes); hits
+  across differently-imported but identical data.  Costs a hashing scan per
+  DataFrame input, so it's opt-in (exactly why the reference ships value_id
+  as default, ``src/kiara/context/runtime_config.py:25-28``).
+
+Non-idempotent modules bypass the cache (reference ``jobs/__init__.py:466-472``).
+Because module outputs are *lazy* DataFrames, a cache hit returns the prior
+ValueMap without touching Spark executors at all.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+from ..hashing import job_hash as _job_hash
+from ..values import ValueMap
+
+if TYPE_CHECKING:
+    from ..context import KiaraContext
+    from ..modules import KiaraModule
+
+
+@dataclass
+class JobRecord:
+    """Reference ``src/kiara/models/module/jobs.py:216+``."""
+
+    job_id: str
+    job_hash: str
+    module_type: str
+    module_config: dict
+    input_ids: dict
+    outputs: ValueMap
+    runtime_sec: float
+    environment: dict = field(default_factory=dict)
+    cache_hit: bool = False
+
+
+class JobRegistry:
+    def __init__(self, context: "KiaraContext", strategy: str = "value_id"):
+        assert strategy in ("no_cache", "value_id", "data_hash")
+        self._context = context
+        self.strategy = strategy
+        self._records: dict[str, JobRecord] = {}  # job_hash -> record
+        self._history: list[JobRecord] = []
+
+    def _environment(self) -> dict:
+        """Runtime fingerprint recorded in job records (reference captures
+        env hashes in pedigrees, ``processing/__init__.py:105-116``)."""
+        import sys
+
+        import pyspark
+
+        return {
+            "python": sys.version.split()[0],
+            "pyspark": pyspark.__version__,
+        }
+
+    def _cache_key(self, module: "KiaraModule", inputs: ValueMap) -> str | None:
+        if self.strategy == "no_cache" or not module.characteristics.is_idempotent:
+            return None
+        if self.strategy == "value_id":
+            ids = {k: v.value_id for k, v in inputs.items()}
+        else:  # data_hash: deep, content-addressed
+            ids = {k: v.content_hash() for k, v in inputs.items()}
+        return _job_hash(module.module_type, module.config, ids)
+
+    def execute_job(self, module: "KiaraModule", inputs: ValueMap) -> JobRecord:
+        key = self._cache_key(module, inputs)
+        if key is not None and key in self._records:
+            prior = self._records[key]
+            hit = JobRecord(
+                job_id=f"{prior.job_id}+hit",
+                job_hash=key,
+                module_type=prior.module_type,
+                module_config=prior.module_config,
+                input_ids=prior.input_ids,
+                outputs=prior.outputs,
+                runtime_sec=0.0,
+                environment=prior.environment,
+                cache_hit=True,
+            )
+            self._history.append(hit)
+            return hit
+
+        start = time.monotonic()
+        outputs = module.run(inputs, self._context)
+        record = JobRecord(
+            job_id=f"job-{len(self._history)}",
+            job_hash=key or "",
+            module_type=module.module_type,
+            module_config=module.config,
+            input_ids={k: v.value_id for k, v in inputs.items()},
+            outputs=outputs,
+            runtime_sec=time.monotonic() - start,
+            environment=self._environment(),
+        )
+        for v in outputs.values():
+            self._context.data_registry.register_value(v)
+        if key is not None:
+            self._records[key] = record
+        self._history.append(record)
+        return record
+
+    @property
+    def history(self) -> list[JobRecord]:
+        return list(self._history)

@@ -1,0 +1,169 @@
+"""Event-time window operators: tumbling / sliding / session.
+
+The reference has no streaming surface (additive per BASELINE.json).  Spark's
+``window()`` / ``session_window()`` work identically in batch and Structured
+Streaming, so each operator is implemented ONCE and exposed both ways:
+
+- batch: ``df.groupBy(window(ts, ...)).agg(...)`` over a static table
+- streaming: the same expression over ``readStream`` + ``withWatermark`` —
+  late data beyond the watermark is dropped, state is bounded.
+
+Output contract: ``window_start``/``window_end`` as epoch **seconds**
+(bigint) — unambiguous across engines/timezones, and exactly what the DuckDB
+oracle computes with floor(epoch(ts)/slide) arithmetic.
+
+Scale: windowed aggregation shuffles on (window, keys); watermarking bounds
+streaming state; in batch, AQE handles skewed hot windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+from ..operators.tables import _agg_cols
+
+
+def _epoch_seconds(c: Column) -> Column:
+    # timestamp -> epoch seconds; UTC session tz makes this absolute
+    return F.unix_timestamp(c)
+
+
+def _win_bounds(win: Column) -> list[Column]:
+    return [
+        _epoch_seconds(win.start).alias("window_start"),
+        _epoch_seconds(win.end).alias("window_end"),
+    ]
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str] | None = None,
+    aggregations: list[dict] | None = None,
+) -> DataFrame:
+    """Fixed, non-overlapping event-time windows."""
+    win = F.window(F.col(ts_col), duration)
+    g = df.groupBy(win, *(keys or []))
+    out = g.agg(*_agg_cols(aggregations or [{"fn": "count", "column": "*", "alias": "n"}]))
+    return out.select(*_win_bounds(F.col("window")), *(keys or []),
+                      *[c for c in out.columns if c != "window" and c not in (keys or [])])
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str] | None = None,
+    aggregations: list[dict] | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    win = F.window(F.col(ts_col), duration, slide)
+    g = df.groupBy(win, *(keys or []))
+    out = g.agg(*_agg_cols(aggregations or [{"fn": "count", "column": "*", "alias": "n"}]))
+    return out.select(*_win_bounds(F.col("window")), *(keys or []),
+                      *[c for c in out.columns if c != "window" and c not in (keys or [])])
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str] | None = None,
+    aggregations: list[dict] | None = None,
+) -> DataFrame:
+    """Sessions: windows close after ``gap`` of inactivity per key.
+    Spark semantics: session end = last event + gap."""
+    win = F.session_window(F.col(ts_col), gap)
+    g = df.groupBy(win, *(keys or []))
+    out = g.agg(*_agg_cols(aggregations or [{"fn": "count", "column": "*", "alias": "n"}]))
+    return out.select(*_win_bounds(F.col("session_window")), *(keys or []),
+                      *[c for c in out.columns if c != "session_window" and c not in (keys or [])])
+
+
+# ---------------------------------------------------------------------------
+# streaming variants
+# ---------------------------------------------------------------------------
+
+
+def read_parquet_stream(spark, path: str, schema=None):
+    """Structured Streaming source over a parquet directory (file stream).
+    ``schema`` required by Spark for file streams; pass a batch-read schema."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_tumbling_agg(
+    stream_df: DataFrame,
+    ts_col: str,
+    duration: str,
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+    aggregations: list[dict] | None = None,
+) -> DataFrame:
+    """Same logical op as tumbling_window_agg, with a watermark so streaming
+    state is bounded and late events beyond it are dropped."""
+    wm = stream_df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), duration)
+    out = wm.groupBy(win, *(keys or [])).agg(
+        *_agg_cols(aggregations or [{"fn": "count", "column": "*", "alias": "n"}])
+    )
+    return out.select(*_win_bounds(F.col("window")), *(keys or []),
+                      *[c for c in out.columns if c != "window" and c not in (keys or [])])
+
+
+def run_stream_to_memory(result: DataFrame, query_name: str, mode: str = "append"):
+    """Drive a streaming plan into an in-memory sink (tests/demo); returns the
+    StreamingQuery — caller awaits termination/processes batches."""
+    return (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# -- modules ---------------------------------------------------------------
+
+
+def _win_module(name, fn, extra_fields):
+    class _Mod(KiaraModule):
+        _module_type_name = name
+
+        def create_inputs_schema(self):
+            return {"table": {"type": "table"}}
+
+        def create_outputs_schema(self):
+            return {"table": {"type": "table"}}
+
+        def process(self, inputs: ValueMap, context):
+            kwargs = {k: self.config[k] for k in extra_fields if k in self.config}
+            return {"table": fn(
+                inputs["table"].data,
+                self.config.get("ts_column", "ts"),
+                **kwargs,
+                keys=self.config.get("keys"),
+                aggregations=self.config.get("aggregations"),
+            )}
+
+    _Mod.__name__ = "Mod_" + name.replace(".", "_")
+    return _Mod
+
+
+EventsTumbling = _win_module("events.window.tumbling", tumbling_window_agg, ["duration"])
+EventsSliding = _win_module("events.window.sliding", sliding_window_agg, ["duration", "slide"])
+EventsSession = _win_module("events.window.session", session_window_agg, ["gap"])
+
+MODULES = [EventsTumbling, EventsSliding, EventsSession]
+OPERATIONS = [
+    Operation("events.window.tumbling", "events.window.tumbling"),
+    Operation("events.window.sliding", "events.window.sliding"),
+    Operation("events.window.session", "events.window.session"),
+]
