@@ -1,0 +1,83 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-ish action (``write.format('noop')``)
+so the full plan executes without driver-side row transfer dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "join_semi_active_customers",
+    "join_left_order_counts",
+    "window_latest_order_per_customer",
+    "window_running_total",
+    "rollup_nation_priority",
+    "cube_status_priority",
+    "sort_topk_orders",
+    "agg_distinct_customers",
+    "scalar_string_battery",
+    "scalar_math_battery",
+    "json_events_battery",
+    "events_tumbling_hourly",
+    "events_sliding_1h_15m",
+    "events_session_30m",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from kiara_spark.queries import QUERIES
+    from kiara_spark.session import build_spark
+
+    spark = build_spark(app_name="kiara-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/session with a trivial action so q1 doesn't pay startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,12 +65,16 @@ def dataframe_content_hash(df: DataFrame) -> str:
     row_hash = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
     # first 15 hex chars -> fits signed 64-bit; conv() parses hex
     prefix = F.conv(F.substring(row_hash, 1, 15), 16, 10).cast("long")
-    agg = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(prefix).alias("s"),
-        F.expr("bit_xor({})".format("conv(substring(sha2(to_json(struct({})),256),1,15),16,10)".format(
-            ",".join(f"`{c}`" for c in cols)))).alias("x"),
-    ).collect()[0]
+    agg = (
+        df.select(prefix.alias("_rh"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: long sum would overflow under ANSI mode
+            F.sum(F.col("_rh").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(_rh)").alias("x"),
+        )
+        .collect()[0]
+    )
     basis = {
         "n": agg["n"],
         "s": int(agg["s"] or 0) % (2**64),

@@ -137,6 +137,12 @@ def jaccard_similarity(text_a: Column, text_b: Column, k: int = 5) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _jaccard_arrays(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -147,17 +153,24 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold.  ``block_col`` restricts
     the self-join to blocking buckets (at scale you ALWAYS block — use
-    minhash_lsh_pairs for candidates instead of a raw cross join)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
-                  *([F.col(block_col).alias("_blk")] if block_col else []))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
-                  *([F.col(block_col).alias("_blk")] if block_col else []))
-    on = [F.col("id_a") < F.col("id_b")]
-    joined = a.join(b, on=(["_blk"] if block_col else []) or None, how="inner").filter(on[0]) \
-        if block_col else a.crossJoin(b).filter(on[0])
-    sim = jaccard_similarity(F.col("text_a"), F.col("text_b"), k)
+    minhash_lsh_pairs for candidates instead of a raw cross join).
+
+    Shingle arrays are computed ONCE per doc before the join (O(N) extraction
+    + O(pairs) set ops), not per pair — per-pair re-extraction is quadratic in
+    practice and dominated the runtime."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles_col(F.col(text_col), k).alias("_sh"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+                  *([F.col("_blk")] if block_col else []))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+                  *([F.col("_blk")] if block_col else []))
+    joined = (a.join(b, on="_blk") if block_col else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("jaccard", sim)
+        joined.withColumn("jaccard", _jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -176,14 +189,13 @@ def minhash_dedup_verified(
     verify -> verified near-dup pairs.  Join back to texts is by id (hash
     join on a bigint key), so text payloads move at most once."""
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
-    texts = df.select(F.col(id_col), F.col(text_col))
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
     joined = (
-        cand.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "text_a"}), "id_a")
-        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "text_b"}), "id_b")
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "sh_b"}), "id_b")
     )
-    sim = jaccard_similarity(F.col("text_a"), F.col("text_b"), shingle_k)
     return (
-        joined.withColumn("jaccard", sim)
+        joined.withColumn("jaccard", _jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -207,17 +219,19 @@ def simhash64(text: Column, shingle_k: int = 5) -> Column:
     hashes = F.transform(sh, lambda s: F.md5(s))
     hexdigits = "0123456789abcdef"
     digit_chars = []
+    def _bit_vote(p: int, mask: int):
+        # factory keeps the lambda arity at exactly 2 (Spark inspects it)
+        def fold(acc, h):
+            digit = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+            return acc + F.when(digit.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return fold
+
     for p in range(16):
-        digit_of = lambda h, p=p: F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
         digit_val = F.lit(0)
         for q in range(4):
             mask = 1 << q
-            vote = F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h, p=p, mask=mask: acc
-                + F.when(F.bitwise_and(digit_of(h, p), F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
-            )
+            vote = F.aggregate(hashes, F.lit(0), _bit_vote(p, mask))
             digit_val = digit_val + F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0))
         digit_chars.append(F.substring(F.lit(hexdigits), digit_val + 1, 1))
     return F.concat(*digit_chars)

@@ -121,9 +121,9 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     1), substring(...)))."""
     low = F.lower(text)
     n = F.greatest(F.length(low) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(low, i, k))
-    )
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.expr("array()"))
+    return F.array_distinct(F.transform(seq, lambda i: F.substring(low, i, k)))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, top: int = 8) -> DataFrame:

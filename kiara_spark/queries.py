@@ -1,0 +1,996 @@
+"""The engine's headline query battery.
+
+Every entry is registered twice:
+- ``QUERIES[name]``: (spark, sf_dir) -> DataFrame, built on the engine's
+  operator functions (kiara_spark.operators.*) — the Spark-first plans.
+- ``ORACLE[name]``: an equivalent ANSI-SQL string for DuckDB over the same
+  parquet tables — the correctness gate (SURVEY §5: duckdb-as-oracle).
+
+Cross-engine determinism rules used throughout (documented once here):
+- double SUM/AVG: per-row doubles are cast to DECIMAL(38,10) before SUM (cast
+  is deterministic, decimal addition is exact ⇒ bit-identical across engines
+  and partition orderings), then cast back to double.
+- computed integers are cast to BIGINT on both sides (Spark int vs DuckDB
+  BIGINT would otherwise mismatch schemas).
+- timestamps in outputs appear as epoch seconds (bigint) or strings.
+- hashes are md5 hex strings (identical everywhere); ordering tie-breaks
+  always include a unique key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .io import load_table
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import tables as T
+from .operators import text as X
+from .streaming import windows as W
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(col):
+    """Deterministic double sum: decimal-exact accumulation, rounded to 4 dp
+    *while still decimal* (exact in both engines), then cast to double.  The
+    pre-cast round matters: DuckDB's decimal->double cast goes through int128
+    arithmetic that can drift 1 ulp at >2^53 scaled magnitudes; a 4-dp decimal
+    fits exactly."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# 1. TPC-H-style relational core
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = T.filter_rows(li, "l_shipdate <= timestamp'1998-09-02'")
+    n = F.count(F.lit(1))
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q3_top_unshipped",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    cust = T.filter_rows(_t(spark, sf_dir, "customer"), "c_mktsegment = 'BUILDING'")
+    orders = T.filter_rows(_t(spark, sf_dir, "orders"), "o_orderdate < timestamp'1998-03-15'")
+    li = T.filter_rows(_t(spark, sf_dir, "lineitem"), "l_shipdate > timestamp'1995-03-15'")
+    joined = T.join_tables(
+        T.join_tables(orders, cust, on=F.col("c_custkey") == F.col("o_custkey"),
+                      broadcast_right=True),
+        li, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    return T.top_k(agg, ["revenue", "l_orderkey"], 10, ascending=[False, True]).select(
+        "l_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority")
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """5-way star join: dims broadcast, fact shuffles at most once."""
+    region = T.filter_rows(_t(spark, sf_dir, "region"), "r_name = 'ASIA'")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = T.filter_rows(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate >= timestamp'1996-01-01' and o_orderdate < timestamp'1998-01-01'")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = fact.join(
+        dims,
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "join_semi_active_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    active = T.join_tables(cust, orders, on=F.col("c_custkey") == F.col("o_custkey"),
+                           how="left_semi")
+    return active.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "join_anti_inactive_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    inactive = T.join_tables(cust, orders, on=F.col("c_custkey") == F.col("o_custkey"),
+                             how="left_anti")
+    return T.select_columns(inactive, ["c_custkey", "c_name", "c_acctbal"])
+
+
+@query(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 0), 4) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    joined = T.join_tables(cust, orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left")
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(38,10)")), F.lit(0)), 4)
+        .cast("double").alias("total_spent"),
+    )
+
+
+@query(
+    "window_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_latest(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_totalprice")
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_total,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(wr), 4)
+        .cast("double").alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@query(
+    "window_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(COALESCE(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate), -1) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_gaps(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.coalesce(F.datediff(F.col("o_orderdate"), prev), F.lit(-1)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "rollup_nation_priority",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS n_name,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def rollup_nation(spark, sf_dir):
+    orders, cust, nation = (_t(spark, sf_dir, t) for t in ("orders", "customer", "nation"))
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = joined.rollup("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    return agg.select(
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        "n_orders", "total_price")
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    return agg.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        "n_orders", "total_price")
+
+
+@query(
+    "setop_union_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_union(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = T.select_columns(T.filter_rows(cust, "c_mktsegment = 'BUILDING'"), ["c_custkey"])
+    b = T.select_columns(T.filter_rows(cust, "c_acctbal > 5000"), ["c_custkey"])
+    return T.union_tables(a, b, distinct=True)
+
+
+@query(
+    "setop_except_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def setop_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = T.select_columns(T.filter_rows(cust, "c_acctbal > 5000"), ["c_custkey"])
+    b = T.select_columns(T.filter_rows(cust, "c_mktsegment = 'BUILDING'"), ["c_custkey"])
+    return T.except_tables(a, b)
+
+
+@query(
+    "setop_intersect_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = T.select_columns(T.filter_rows(cust, "c_acctbal > 5000"), ["c_custkey"])
+    b = T.select_columns(T.filter_rows(cust, "c_mktsegment = 'MACHINERY'"), ["c_custkey"])
+    return T.intersect_tables(a, b)
+
+
+@query(
+    "sort_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def sort_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return T.select_columns(
+        T.top_k(orders, ["o_totalprice", "o_orderkey"], 15, ascending=[False, True]),
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+@query(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "having_frequent_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def having_frequent(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    agg = T.group_by_aggregate(orders, ["o_custkey"],
+                               [{"fn": "count", "column": "*", "alias": "n_orders"}])
+    return T.filter_rows(agg, "n_orders >= 12")
+
+
+@query(
+    "correlated_above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+      SELECT *, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (PARTITION BY o_custkey), 4) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    ) WHERE o_totalprice > cust_avg
+    """,
+)
+def correlated_above_avg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w), 4).cast("double")
+                / F.count(F.lit(1)).over(w))
+    return (orders.withColumn("cust_avg", cust_avg)
+            .filter(F.col("o_totalprice") > F.col("cust_avg"))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@query(
+    "case_when_price_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_buckets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 50000, "low")
+              .when(F.col("o_totalprice") < 150000, "mid").otherwise("high"))
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# 2. scalar function batteries
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string_battery",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(p_name LIKE '%a%' AS BOOLEAN) AS has_a
+    FROM part
+    """,
+)
+def scalar_strings(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return T.with_columns(part, {
+        "name_upper": "upper(p_name)",
+        "brand_lower": "lower(p_brand)",
+        "name_len": "cast(length(p_name) as bigint)",
+        "type_prefix": "substring(p_type, 1, 5)",
+        "name_snake": "replace(p_name, ' ', '_')",
+        "name_trim": "trim(concat('  ', p_name, '  '))",
+        "size_padded": "lpad(cast(p_size as string), 4, '0')",
+        "has_a": "p_name like '%a%'",
+    }).select("p_partkey", "name_upper", "brand_lower", "name_len", "type_prefix",
+              "name_snake", "name_trim", "size_padded", "has_a")
+
+
+@query(
+    "scalar_date_battery",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start
+    FROM orders
+    """,
+)
+def scalar_dates(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).cast("bigint").alias("days_since_epoch_start"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month_start"),
+    )
+
+
+@query(
+    "scalar_math_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amount,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        # 4 dp: price(2dp)*discount(2dp) is exactly 4 decimal digits, so no
+        # rounding ties exist; 3 dp would hit .5 ties where Spark (decimal-
+        # string HALF_UP) and DuckDB (binary round) disagree
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amount"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+@query(
+    "json_events_battery",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.cast("decimal(38,10)")).cast("double").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "deterministic_sample_split",
+    """
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS fold, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS fold_value
+    FROM orders GROUP BY 1
+    """,
+)
+def det_sample(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy((F.col("o_orderkey") % 10).cast("bigint").alias("fold")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("fold_value"))
+
+
+# ---------------------------------------------------------------------------
+# 3. event-time windows (batch semantics == streaming semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS window_start,
+           CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return ev.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"),
+    ).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("window.end")).alias("window_end"),
+        "event_type", "n_events", "sum_value")
+
+
+@query(
+    "events_sliding_1h_15m",
+    """
+    SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 AS window_start,
+           (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 + 3600 AS window_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+    FROM events, range(0, 4) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return ev.groupBy(win).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"),
+    ).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("window.end")).alias("window_end"),
+        "n_events", "sum_value")
+
+
+@query(
+    "events_session_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS window_start,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1800 AS window_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return ev.groupBy(win, "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"),
+    ).select(
+        F.unix_timestamp(F.col("session_window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("window_end"),
+        "user_id", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# 4. text analysis / LLM-data ops
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS num_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS num_distinct_tokens,
+           ROUND(CASE WHEN len({_TOKS}) > 0
+                 THEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS})
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN len({_TOKS}) > 0
+                 THEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})
+                 ELSE 0.0 END, 6) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = X.with_token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("num_tokens").cast("bigint").alias("num_tokens"),
+        F.col("num_distinct_tokens").cast("bigint").alias("num_distinct_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+    )
+
+
+_STOPWORDS_SQL = "[" + ",".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS num_tokens,
+             CASE WHEN length(text) > 0 THEN CAST(alpha_chars AS DOUBLE)/length(text) ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)/len(toks)
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)/len(toks)
+                  ELSE 0.0 END AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, num_tokens, ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           CAST(CASE WHEN num_tokens >= 5 AND num_tokens <= 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 0.25 ELSE 0.0 END
+           AS DOUBLE) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = X.with_quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("num_tokens").cast("bigint").alias("num_tokens"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "quality_score",
+    )
+
+
+_LANGS = sorted(X.LANG_MARKERS)
+_SCORE_SQL = ",\n".join(
+    "CAST(len(list_filter({toks}, t -> list_contains([{words}], t))) AS BIGINT) AS score_{lang}".format(
+        toks=_TOKS, words=",".join(f"'{w}'" for w in X.LANG_MARKERS[lang]), lang=lang)
+    for lang in _LANGS
+)
+_BEST_SQL = "GREATEST(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_PRED_SQL = "CASE " + " ".join(
+    f"WHEN {_BEST_SQL} > 0 AND score_{lang} = {_BEST_SQL} THEN '{lang}'" for lang in _LANGS
+) + " ELSE 'und' END"
+
+@query(
+    "text_language_id",
+    f"""
+    WITH scored AS (SELECT doc_id, lang, {_SCORE_SQL} FROM documents)
+    SELECT doc_id, lang AS actual_lang, {_PRED_SQL} AS predicted_lang,
+           {", ".join(f"score_{lang}" for lang in _LANGS)}
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = X.with_language_id(docs)
+    return out.select(
+        "doc_id", F.col("lang").alias("actual_lang"), "predicted_lang",
+        *[F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in _LANGS])
+
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(lower(text)) - 4, 0) + 1),"
+    " i -> substring(lower(text), CAST(i AS INT), 5)))"
+)
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_transform({_SHINGLES}, s -> md5(s)))[1:8], '')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(CEIL(length(text)/4.0) AS BIGINT) AS bpe_tokens_est
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_count_bpeish(docs).select(
+        "doc_id", F.col("ws_tokens").cast("bigint").alias("ws_tokens"), "bpe_tokens_est")
+
+
+# ---------------------------------------------------------------------------
+# 5. deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key,
+           COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_K = 16, 4, 4, 5
+
+_SIG_SQL = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+    for i in range(NUM_HASHES)
+)
+_BAND_ROWS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+)
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH sh_t AS (SELECT doc_id, text, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM sh_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+              JOIN sh_t sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7
+    """,
+)
+def dedup_minhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_verified(docs, threshold=0.7, num_hashes=NUM_HASHES,
+                                    bands=BANDS, shingle_k=SHINGLE_K)
+
+
+@query(
+    "dedup_ngram_jaccard_blocked",
+    f"""
+    WITH sh_t AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_jaccard_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K, block_col="lang")
+
+
+def _simhash_digit_sql(p: int) -> str:
+    parts = []
+    for q in range(4):
+        mask = 1 << q
+        vote = (
+            f"list_sum(list_transform(hs, h -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substring(h, {p + 1}, 1)) - 1) & {mask}) > 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"CASE WHEN {vote} > 0 THEN {mask} ELSE 0 END")
+    return "substring('0123456789abcdef', (" + " + ".join(parts) + ") + 1, 1)"
+
+
+_SIMHASH_SQL = " || ".join(_simhash_digit_sql(p) for p in range(16))
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH h AS (SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents)
+    SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM h
+    """,
+)
+def dedup_simhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.with_simhash(docs, shingle_k=SHINGLE_K).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# 6. similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = ("list_reduce(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)")
+_QNORM = ("sqrt(list_reduce(list_transform(range(1, 65), "
+          "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))")
+_CNORM = ("sqrt(list_reduce(list_transform(range(1, 65), "
+          "i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))")
+
+@query(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {_QNORM} * {_CNORM} > 0
+                   THEN {_DOT} / ({_QNORM} * {_CNORM}) ELSE 0.0 END, 8) AS cosine_sim
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    out = S.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "sim_topk_ivf",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {_QNORM} * {_CNORM} > 0
+                   THEN {_DOT} / ({_QNORM} * {_CNORM}) ELSE 0.0 END, 8) AS cosine_sim
+      FROM c JOIN q ON c.label = q.label WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    out = S.cosine_topk_ivf(emb, queries, k=5, bucket_col="label")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) entries: no ORACLE registration
+# ---------------------------------------------------------------------------
+
+@query("multimodal_media_features")
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: fake media from text bytes -> metadata +
+    mapInPandas decode stub.  Arrow-batched Python boundary; rows-only check."""
+    from .operators import misc as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    meta = M.attach_media_metadata(docs, "media")
+    return M.decode_image_stub(meta, "media")
+
+
+@query("streaming_tumbling_demo")
+def streaming_demo(spark, sf_dir):
+    """Structured Streaming path: file stream -> watermark -> tumbling agg ->
+    memory sink, availableNow trigger (batch-equivalent results)."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory, streaming_tumbling_agg
+
+    ev_batch = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_")
+    ev_batch.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    result = streaming_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours",
+                                    keys=["event_type"])
+    qname = f"demo_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)

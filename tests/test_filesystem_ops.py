@@ -1,0 +1,60 @@
+"""Filesystem source/sink operators (reference filesystem.py family)."""
+
+import os
+
+
+def _mk_corpus(tmp_path):
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("hello world")
+    (d / "b.txt").write_text("goodbye")
+    (d / "sub" / "c.txt").write_text("nested file")
+    (d / "skip.bin").write_bytes(b"\x00\x01")
+    return str(d)
+
+
+def test_import_file(ctx, tmp_path):
+    p = tmp_path / "one.txt"
+    p.write_text("content here")
+    out = ctx.run_job("import.file", {"path": str(p)})
+    kf = out["file"].data
+    assert kf.file_name == "one.txt" and kf.read_text() == "content here"
+
+
+def test_import_bundle_with_filters(ctx, tmp_path):
+    base = _mk_corpus(tmp_path)
+    out = ctx.run_job("import.file_bundle", {"path": base},
+                      operation_config={"include_file_types": [".txt"]})
+    df = out["file_bundle"].data
+    paths = sorted(r["rel_path"] for r in df.collect())
+    assert paths == ["a.txt", "b.txt", "sub/c.txt"]
+
+
+def test_pick_file_and_subfolder(ctx, tmp_path):
+    base = _mk_corpus(tmp_path)
+    bundle = ctx.run_job("import.file_bundle", {"path": base},
+                         operation_config={"include_file_types": [".txt"]})["file_bundle"]
+    one = ctx.run_job("file_bundle.pick.file", {"file_bundle": bundle, "path": "a.txt"})
+    assert one["file"].data.count() == 1
+    sub = ctx.run_job("file_bundle.pick.sub_folder",
+                      {"file_bundle": bundle, "sub_path": "sub"})
+    assert [r["rel_path"] for r in sub["file_bundle"].data.collect()] == ["sub/c.txt"]
+
+
+def test_bundle_to_text_table(ctx, tmp_path):
+    base = _mk_corpus(tmp_path)
+    bundle = ctx.run_job("import.file_bundle", {"path": base},
+                         operation_config={"include_file_types": [".txt"]})["file_bundle"]
+    table = ctx.run_job("create.table.from.file_bundle", {"file_bundle": bundle})["table"]
+    rows = {r["rel_path"]: r["text"] for r in table.data.collect()}
+    assert rows["a.txt"] == "hello world"
+
+
+def test_create_file_from_bytes_and_export(ctx, tmp_path):
+    f = ctx.run_job("create.file.from.bytes",
+                    {"bytes": b"payload", "file_name": "x.bin"})["file"]
+    out = ctx.run_job("export.file.as.copy",
+                      {"file": f, "base_path": str(tmp_path / "exp"), "name": "y.bin"})
+    detail = out["export_details"].data
+    assert os.path.exists(detail["path"])
+    assert open(detail["path"], "rb").read() == b"payload"

@@ -1,0 +1,61 @@
+"""Window operators: batch semantics + batch/streaming equivalence."""
+
+import datetime as dt
+
+from kiara_spark.streaming import windows as W
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "u1", 1.0),
+        (2, base + dt.timedelta(minutes=10), "u1", 2.0),
+        (3, base + dt.timedelta(minutes=70), "u1", 3.0),   # new hour, same session? gap 60m > 30m -> new session
+        (4, base + dt.timedelta(minutes=80), "u2", 4.0),
+    ]
+    return spark.createDataFrame(rows, "event_id int, ts timestamp, user string, value double")
+
+
+def test_tumbling_window(spark):
+    out = W.tumbling_window_agg(_events(spark), "ts", "1 hour", keys=["user"],
+                                aggregations=[{"fn": "count", "column": "*", "alias": "n"}])
+    rows = {(r["window_start"], r["user"]): r["n"] for r in out.collect()}
+    epoch = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert rows[(epoch, "u1")] == 2
+    assert rows[(epoch + 3600, "u1")] == 1
+    assert rows[(epoch + 3600, "u2")] == 1
+
+
+def test_sliding_window_multiplicity(spark):
+    out = W.sliding_window_agg(_events(spark), "ts", "1 hour", "15 minutes")
+    # each event appears in exactly 4 sliding windows
+    total = sum(r["n"] for r in out.collect())
+    assert total == 4 * 4
+
+
+def test_session_window_gap(spark):
+    out = W.session_window_agg(_events(spark), "ts", "30 minutes", keys=["user"])
+    u1 = sorted([r for r in out.collect() if r["user"] == "u1"],
+                key=lambda r: r["window_start"])
+    assert len(u1) == 2           # 60-min gap splits u1 into two sessions
+    assert u1[0]["n"] == 2
+    # session end = last event + gap
+    assert u1[0]["window_end"] - (u1[0]["window_start"] + 600) == 1800
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(path)
+    stream = W.read_parquet_stream(spark, path)
+    result = W.streaming_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours",
+                                      keys=["user"])
+    # complete mode: append would hold back windows the watermark hasn't
+    # closed, and a finite file stream ends before that happens
+    q = W.run_stream_to_memory(result, "t_stream_eq", mode="complete")
+    q.awaitTermination(60)
+    got = {(r["window_start"], r["user"]): r["n"]
+           for r in spark.table("t_stream_eq").collect()}
+    batch = W.tumbling_window_agg(ev, "ts", "1 hour", keys=["user"])
+    want = {(r["window_start"], r["user"]): r["n"] for r in batch.collect()}
+    assert got == want

@@ -1,0 +1,109 @@
+"""Relational operator family units (SURVEY §2.3)."""
+
+from pyspark.sql import functions as F
+
+from kiara_spark.operators import tables as T
+
+
+def test_filter_and_select(ctx, tables):
+    out = ctx.run_job("table_filter.rows",
+                      {"table": ctx.get_value("customer"), "where": "c_acctbal > 0"})
+    df = out["table"].data
+    assert df.filter("c_acctbal <= 0").count() == 0
+    out2 = ctx.run_job("table_filter.select_columns",
+                       {"table": out["table"], "columns": ["c_custkey", "c_name"]})
+    assert out2["table"].data.columns == ["c_custkey", "c_name"]
+
+
+def test_join_types(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(2, "x"), (3, "y"), (4, "z")], "k int, w string")
+    assert T.join_tables(left, right, on="k").count() == 2
+    assert T.join_tables(left, right, on="k", how="left").count() == 3
+    assert T.join_tables(left, right, on="k", how="full").count() == 4
+    assert T.join_tables(left, right, on="k", how="left_semi").count() == 2
+    anti = T.join_tables(left, right, on="k", how="left_anti")
+    assert [r["k"] for r in anti.collect()] == [1]
+
+
+def test_broadcast_join_plan(spark, tables, ctx):
+    li = ctx.get_value("lineitem").data
+    supp = ctx.get_value("supplier").data
+    plan = T.join_tables(li, supp, on=F.col("l_suppkey") == F.col("s_suppkey"),
+                         broadcast_right=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_group_by_aggregate_spec(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, x double")
+    out = T.group_by_aggregate(df, ["g"], [
+        {"fn": "sum", "column": "x", "alias": "sx"},
+        {"fn": "count", "column": "*", "alias": "n"},
+        {"fn": "max", "column": "x", "alias": "mx"},
+    ])
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["sx"] == 3.0 and rows["a"]["n"] == 2 and rows["b"]["mx"] == 3.0
+
+
+def test_rollup_and_cube_row_counts(spark):
+    df = spark.createDataFrame([("a", "x", 1), ("a", "y", 1), ("b", "x", 1)],
+                               "g1 string, g2 string, x int")
+    rollup = T.group_by_aggregate(df, ["g1", "g2"],
+                                  [{"fn": "count", "column": "*", "alias": "n"}],
+                                  grouping="rollup")
+    cube = T.group_by_aggregate(df, ["g1", "g2"],
+                                [{"fn": "count", "column": "*", "alias": "n"}],
+                                grouping="cube")
+    assert rollup.count() == 3 + 2 + 1  # leaves + per-g1 + grand total
+    assert cube.count() == 3 + 2 + 2 + 1
+
+
+def test_window_functions_spec(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)], "g string, seq int, x double")
+    out = T.window_function(df, ["g"], ["seq"], [
+        {"fn": "row_number", "alias": "rn"},
+        {"fn": "lag", "column": "x", "alias": "prev_x"},
+        {"fn": "sum", "column": "x", "frame": "unbounded_preceding", "alias": "run"},
+    ])
+    rows = {(r["g"], r["seq"]): r for r in out.collect()}
+    assert rows[("a", 2)]["rn"] == 2
+    assert rows[("a", 2)]["prev_x"] == 10.0
+    assert rows[("a", 2)]["run"] == 30.0
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert T.union_tables(a, b).count() == 7
+    assert T.union_tables(a, b, distinct=True).count() == 4
+    assert sorted(r["k"] for r in T.intersect_tables(a, b).collect()) == [2, 3]
+    assert sorted(r["k"] for r in T.except_tables(a, b).collect()) == [1]
+
+
+def test_sql_operator_with_input_view(ctx, tables):
+    out = ctx.run_job("query.table", {
+        "table": ctx.get_value("nation"),
+        "query": "select count(*) as n from data",
+    })
+    assert out["table"].data.collect()[0]["n"] == 25
+
+
+def test_top_k_uses_take_ordered(spark, ctx, tables):
+    orders = ctx.get_value("orders").data
+    plan = T.top_k(orders, ["o_totalprice"], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_deterministic_sample(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = T.deterministic_sample(df, "k", 10, 3)
+    assert sorted(r["k"] for r in out.collect()) == list(range(3, 100, 10))
+
+
+def test_export_and_reimport(ctx, tables, tmp_path):
+    path = str(tmp_path / "nation_out")
+    ctx.run_job("export.table.as.parquet",
+                {"table": ctx.get_value("nation"), "path": path})
+    back = ctx.run_job("create.table.from.file", {"path": path, "file_format": "parquet"})
+    assert back["table"].data.count() == 25

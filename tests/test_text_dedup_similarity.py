@@ -1,0 +1,87 @@
+"""Text / dedup / similarity operator units."""
+
+from pyspark.sql import functions as F
+
+from kiara_spark.operators import dedup as D
+from kiara_spark.operators import similarity as S
+from kiara_spark.operators import text as X
+
+
+def test_token_stats_basic(spark):
+    df = spark.createDataFrame([(1, "Hello hello world"), (2, ""), (3, "  a  b ")],
+                               "doc_id int, text string")
+    out = {r["doc_id"]: r for r in X.with_token_stats(df).collect()}
+    assert out[1]["num_tokens"] == 3 and out[1]["num_distinct_tokens"] == 2
+    assert out[2]["num_tokens"] == 0 and out[2]["avg_token_len"] == 0.0
+    assert out[3]["num_tokens"] == 2
+
+
+def test_shingles_short_text_safe(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    row = df.select(X.shingles_col(F.col("text"), 5).alias("sh")).collect()[0]
+    assert row["sh"] == []  # shorter than k: empty, not garbage
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat of the house and the dog"), (2, "el la de que los"),
+         (3, "zzz qqq")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["predicted_lang"] for r in X.with_language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same Text"), (2, "same   text"), (3, "other")],
+        "doc_id int, text string")
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3]  # normalized whitespace+case dedup, min id wins
+    groups = D.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 1 and groups[0]["n_dups"] == 2
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, "completely different content here entirely")],
+        "doc_id int, text string")
+    pairs = D.minhash_dedup_verified(df, threshold=0.5, num_hashes=16, bands=8)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd ffff"),
+         (3, "zzzz yyyy xxxx wwww vvvv")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["simhash"] for r in D.with_simhash(df).collect()}
+    def ham(a, b):
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert len(out[1]) == 16
+
+
+def test_brute_and_pandas_knn_agree(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id % 10 = 0")
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.cosine_topk_bruteforce(df, q, k=3).collect()}
+    pand = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in S.knn_join_pandas(df, q, k=3).collect()}
+    assert brute == pand
+
+
+def test_ivf_subset_of_bucket(spark):
+    rows = [(i, [float(i % 5), 1.0], i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id = 0")
+    out = S.cosine_topk_ivf(df, q, k=5, bucket_col="label")
+    # all neighbors must share the query's bucket (label 0 = even ids)
+    assert all(r["neighbor_id"] % 2 == 0 for r in out.collect())

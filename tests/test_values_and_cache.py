@@ -1,0 +1,98 @@
+"""Value model, content hashing, job memoization — reference semantics
+(SURVEY §1.1, §4): dedup-by-hash, value_id/data_hash cache strategies,
+non-idempotent bypass."""
+
+import pytest
+
+from kiara_spark.hashing import dataframe_content_hash, job_hash, manifest_hash
+from kiara_spark.modules import InvalidInputsError
+
+
+def test_manifest_hash_is_order_insensitive():
+    a = manifest_hash("table.join", {"how": "inner", "on": ["k"]})
+    b = manifest_hash("table.join", {"on": ["k"], "how": "inner"})
+    assert a == b
+    assert a != manifest_hash("table.join", {"how": "left", "on": ["k"]})
+
+
+def test_job_hash_depends_on_inputs():
+    h1 = job_hash("m", {}, {"x": "v1"})
+    h2 = job_hash("m", {}, {"x": "v2"})
+    assert h1 != h2
+
+
+def test_dataframe_content_hash_partition_invariant(spark):
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 as dbl", "cast(id as string) as s")
+    h1 = dataframe_content_hash(df)
+    h2 = dataframe_content_hash(df.repartition(7))
+    h3 = dataframe_content_hash(df.orderBy("dbl"))
+    assert h1 == h2 == h3
+    h4 = dataframe_content_hash(df.filter("id < 999"))
+    assert h4 != h1
+
+
+def test_value_registration_and_alias(ctx, tables):
+    v = ctx.get_value("alias:lineitem")
+    assert v.data_type == "table"
+    assert ctx.get_value("lineitem").value_id == v.value_id
+    assert ctx.get_value(f"value:{v.value_id}").value_id == v.value_id
+
+
+def test_cache_hit_on_same_inputs(ctx, tables):
+    li = ctx.get_value("lineitem")
+    m1 = ctx.create_module("table.limit")
+    bound = ctx._bind_inputs(m1, {"table": li, "n": 7})
+    r1 = ctx.job_registry.execute_job(m1, bound)
+    r2 = ctx.job_registry.execute_job(ctx.create_module("table.limit"), bound)
+    assert not r1.cache_hit and r2.cache_hit
+    assert r2.outputs["table"].value_id == r1.outputs["table"].value_id
+
+
+def test_non_idempotent_bypasses_cache(ctx):
+    m = ctx.create_module("import.local.file")
+    bound = ctx._bind_inputs(m, {"path": "/root/testdata/sf0.001/region.parquet"})
+    r1 = ctx.job_registry.execute_job(m, bound)
+    r2 = ctx.job_registry.execute_job(ctx.create_module("import.local.file"), bound)
+    assert not r1.cache_hit and not r2.cache_hit
+
+
+def test_invalid_inputs_names_fields(ctx):
+    m = ctx.create_module("logic.and")
+    with pytest.raises(InvalidInputsError) as exc:
+        m.run(ctx._bind_inputs(m, {"a": True}), ctx)
+    assert "b" in exc.value.invalid
+
+
+def test_boolean_parsing_like_reference(ctx):
+    out = ctx.run_job("logic.and", {"a": "true", "b": 1})
+    assert out["y"].data is True
+    out = ctx.run_job("logic.and", {"a": "false", "b": True})
+    assert out["y"].data is False
+
+
+def test_pedigree_and_lineage(ctx, tables):
+    out = ctx.run_job("table.filter.rows",
+                      {"table": ctx.get_value("orders"), "where": "o_totalprice > 100"})
+    v = out["table"]
+    assert v.pedigree.module_type == "table.filter.rows"
+    tree = ctx.data_registry.lineage(v)
+    assert tree["module"] == "table.filter.rows"
+    assert "table" in tree["inputs"]
+
+
+def test_store_value_roundtrip_and_dedup(ctx, spark, tmp_path):
+    df = spark.range(0, 50).selectExpr("id", "id % 5 as g")
+    v1 = ctx.register_table(df)
+    p1 = ctx.data_registry.store_value(v1, alias="stored_one")
+    v2 = ctx.register_table(spark.range(0, 50).selectExpr("id", "id % 5 as g"))
+    p2 = ctx.data_registry.store_value(v2)
+    assert p1 == p2  # deduped by content hash
+    loaded = ctx.data_registry.load_value(p1)
+    assert loaded.data.count() == 50
+
+
+def test_extract_metadata_profile(ctx, tables):
+    out = ctx.run_job("value.extract_metadata", {"value": ctx.get_value("region")})
+    meta = out["value_metadata"].data
+    assert meta["rows"] == 5
+    assert meta["columns"]["r_regionkey"]["nulls"] == 0
