@@ -1,0 +1,100 @@
+"""Minimal CLI mirroring the reference's command surface
+(``src/kiara/interfaces/cli/``): run, operation list, module list, data list,
+pipeline explain.
+
+Usage:
+    python -m kiara_spark.cli run <operation> [key=value ...]
+    python -m kiara_spark.cli operation list
+    python -m kiara_spark.cli module list
+    python -m kiara_spark.cli data list
+    python -m kiara_spark.cli pipeline explain <file.json>
+
+Inputs parse as JSON when possible, else strings (mirrors kiara's CLI arg
+parsing in ``src/kiara/utils/cli/run.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _parse_inputs(args: list[str]) -> dict:
+    out = {}
+    for a in args:
+        if "=" not in a:
+            raise SystemExit(f"input {a!r} must be key=value")
+        k, _, v = a.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd = argv.pop(0)
+
+    from .context import KiaraContext
+
+    if cmd == "run":
+        if not argv:
+            raise SystemExit("run: missing operation name (or pipeline file)")
+        op = argv.pop(0)
+        inputs = _parse_inputs(argv)
+        ctx = KiaraContext()
+        if op.endswith((".json", ".yaml", ".yml")):
+            outputs = ctx.run_pipeline(op, inputs)
+        else:
+            outputs = ctx.run_job(op, inputs)
+        for name, value in outputs.items():
+            print(f"-- {name} ({value.schema.type})")
+            data = value.data
+            if hasattr(data, "_show_string"):
+                print(data._show_string(20, 40, False))
+            else:
+                print(repr(data))
+        return 0
+
+    if cmd == "operation" and argv[:1] == ["list"]:
+        ctx = KiaraContext()
+        for op_id in ctx.operations:
+            op = ctx.operation_registry.resolve(op_id)
+            print(f"{op_id:45s} -> {op.module_type} {op.module_config or ''}")
+        return 0
+
+    if cmd == "module" and argv[:1] == ["list"]:
+        ctx = KiaraContext()
+        for name in ctx.modules:
+            print(name)
+        return 0
+
+    if cmd == "data" and argv[:1] == ["list"]:
+        ctx = KiaraContext()
+        for alias, vid in sorted(ctx.data_registry.aliases.items()):
+            print(f"{alias:30s} {vid}")
+        return 0
+
+    if cmd == "pipeline" and argv[:1] == ["explain"]:
+        from .pipeline import PipelineConfig, PipelineStructure
+
+        ctx = KiaraContext()
+        cfg = PipelineConfig.from_file(argv[1])
+        st = PipelineStructure(cfg, ctx.module_registry)
+        print(f"pipeline: {cfg.pipeline_name}")
+        for i, stage in enumerate(st.stages):
+            print(f"  stage {i}: {', '.join(stage)}")
+        print("  inputs: ", ", ".join(pi.alias for pi in st.pipeline_inputs))
+        print("  outputs:", ", ".join(po.alias for po in st.pipeline_outputs))
+        return 0
+
+    print(__doc__)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

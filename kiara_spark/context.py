@@ -83,6 +83,12 @@ class KiaraContext:
         record = self.job_registry.execute_job(module, bound)
         return record.outputs
 
+    def run_pipeline(self, config, inputs: Mapping[str, Any] | None = None) -> ValueMap:
+        """Execute a pipeline config/dict/file with per-step cache probes."""
+        from .pipeline.runner import run_pipeline as _run
+
+        return _run(self, config, inputs or {})
+
     def queue_job(self, operation: str, inputs: Mapping[str, Any] | None = None, **kw):
         """Alias for run_job — execution is lazy DataFrame composition, so
         'queueing' and 'running' coincide on the driver; Spark defers real work."""

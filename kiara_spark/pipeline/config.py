@@ -1,0 +1,108 @@
+"""Pipeline configuration: kiara's JSON/YAML pipeline format.
+
+Re-expresses ``PipelineConfig`` / ``PipelineStep``
+(``src/kiara/models/module/pipeline/__init__.py:474-806``): a pipeline is a
+list of steps (module_type + module_config + input_links) plus optional
+input/output aliases.  Formats accepted, mirroring the reference's examples
+(``tests/resources/pipelines/logic/logic_2.json``):
+
+{
+  "pipeline_name": "logic_2",
+  "steps": [
+    {"module_type": "logic.and", "step_id": "and_1"},
+    {"module_type": "logic.and", "step_id": "and_2",
+     "input_links": {"a": "and_1.y"}}
+  ],
+  "input_aliases":  {"and_1.a": "a", "and_1.b": "b", "and_2.b": "c"},
+  "output_aliases": {"and_2.y": "y"}
+}
+
+Input link values may be ``"step.field"`` strings or lists of them.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Mapping
+
+
+@dataclass(frozen=True)
+class StepValueRef:
+    """A ``step_id.output_field`` reference (reference value_refs.py)."""
+
+    step_id: str
+    value_name: str
+
+    @classmethod
+    def parse(cls, ref: str) -> "StepValueRef":
+        step_id, _, value_name = ref.partition(".")
+        if not value_name:
+            raise ValueError(f"invalid step ref {ref!r}, want 'step_id.field'")
+        return cls(step_id, value_name)
+
+
+@dataclass
+class PipelineStep:
+    step_id: str
+    module_type: str
+    module_config: dict = field(default_factory=dict)
+    input_links: dict[str, StepValueRef] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, data: Mapping) -> "PipelineStep":
+        raw_links = data.get("input_links", {}) or {}
+        links = {}
+        for field_name, ref in raw_links.items():
+            if isinstance(ref, list):
+                if len(ref) != 1:
+                    raise ValueError("multi-input links not supported yet")
+                ref = ref[0]
+            links[field_name] = StepValueRef.parse(ref)
+        step_id = data.get("step_id") or data["module_type"].replace(".", "_")
+        return cls(
+            step_id=step_id,
+            module_type=data["module_type"],
+            module_config=dict(data.get("module_config", {}) or {}),
+            input_links=links,
+        )
+
+
+@dataclass
+class PipelineConfig:
+    pipeline_name: str
+    steps: list[PipelineStep]
+    input_aliases: dict[str, str] = field(default_factory=dict)   # "step.field" -> alias
+    output_aliases: dict[str, str] = field(default_factory=dict)  # "step.field" -> alias
+    doc: str = ""
+
+    @classmethod
+    def from_config(cls, data: Mapping) -> "PipelineConfig":
+        steps = [PipelineStep.from_dict(s) for s in data["steps"]]
+        ids = [s.step_id for s in steps]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate step ids: {ids}")
+        return cls(
+            pipeline_name=data.get("pipeline_name", "pipeline"),
+            steps=steps,
+            input_aliases=dict(data.get("input_aliases", {}) or {}),
+            output_aliases=dict(data.get("output_aliases", {}) or {}),
+            doc=str(data.get("documentation", data.get("doc", ""))),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                try:
+                    import yaml  # optional dependency
+
+                    data = yaml.safe_load(f)
+                except ImportError as e:  # pragma: no cover
+                    raise RuntimeError("pyyaml not available; use JSON pipelines") from e
+            else:
+                data = json.load(f)
+        cfg = cls.from_config(data)
+        if cfg.pipeline_name == "pipeline":
+            cfg.pipeline_name = path.rsplit("/", 1)[-1].split(".")[0]
+        return cfg

@@ -1,0 +1,133 @@
+"""Pipeline execution.
+
+Re-expresses the reference's batch controller
+(``src/kiara/models/module/pipeline/controller.py:155-255``): per stage, per
+step — build the step's input ValueMap from pipeline inputs + upstream step
+outputs, submit through the JobRegistry (so EVERY step gets the same
+content-addressed cache probe as a top-level job, reference
+``jobs/__init__.py:442-488``), write outputs back into pipeline state.
+
+Spark twist: "execution" of a tabular step only composes a lazy DataFrame.
+The whole pipeline therefore builds ONE Catalyst plan per pipeline output;
+nothing materializes until the caller acts on a result (or stores it).
+``PipelineModule`` exposes a pipeline as a module (reference
+``included_core_modules/pipeline.py:25-108``), closing the composition loop —
+pipelines can be steps of pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..modules import InvalidInputsError, KiaraModule
+from ..values import Value, ValueMap
+from .config import PipelineConfig
+from .structure import PipelineStructure
+
+
+def run_pipeline(
+    context,
+    config: PipelineConfig | Mapping | str,
+    inputs: Mapping[str, Any],
+) -> ValueMap:
+    """Execute a pipeline config against a context; returns aliased outputs."""
+    if isinstance(config, str):
+        config = PipelineConfig.from_file(config)
+    elif not isinstance(config, PipelineConfig):
+        config = PipelineConfig.from_config(config)
+    structure = PipelineStructure(config, context.module_registry)
+
+    # bind pipeline-level inputs
+    provided = dict(inputs)
+    missing = [
+        pi.alias for pi in structure.pipeline_inputs
+        if pi.alias not in provided
+        and not structure.module_for(pi.step_id).inputs_schema[pi.field_name].optional
+        and structure.module_for(pi.step_id).inputs_schema[pi.field_name].default is None
+    ]
+    if missing:
+        raise InvalidInputsError({m: "missing pipeline input" for m in missing})
+
+    # step_id -> output ValueMap
+    state: dict[str, ValueMap] = {}
+
+    for stage in structure.stages:
+        for step_id in stage:
+            step = structure.step(step_id)
+            module = structure.module_for(step_id)
+            step_inputs: dict[str, Value] = {}
+            for field_name in module.inputs_schema:
+                if field_name in step.input_links:
+                    ref = step.input_links[field_name]
+                    step_inputs[field_name] = state[ref.step_id][ref.value_name]
+                else:
+                    alias = next(
+                        (pi.alias for pi in structure.pipeline_inputs
+                         if pi.step_id == step_id and pi.field_name == field_name),
+                        None,
+                    )
+                    if alias is not None and alias in provided:
+                        raw = provided[alias]
+                        if isinstance(raw, Value):
+                            step_inputs[field_name] = raw
+                        else:
+                            step_inputs[field_name] = context.data_registry.register_data(
+                                raw,
+                                data_type=module.inputs_schema[field_name].type,
+                                schema=module.inputs_schema[field_name],
+                            )
+            record = context.job_registry.execute_job(module, ValueMap(step_inputs))
+            state[step_id] = record.outputs
+
+    return ValueMap({
+        po.alias: state[po.step_id][po.field_name]
+        for po in structure.pipeline_outputs
+    })
+
+
+class PipelineModule(KiaraModule):
+    """A pipeline as a module (reference module #1).  Config:
+    ``{"pipeline": <config dict>}`` or ``{"path": <file>}``."""
+
+    _module_type_name = "pipeline"
+
+    def _structure(self, context) -> tuple[PipelineConfig, PipelineStructure]:
+        if "path" in self.config:
+            cfg = PipelineConfig.from_file(self.config["path"])
+        else:
+            cfg = PipelineConfig.from_config(self.config["pipeline"])
+        return cfg, PipelineStructure(cfg, context.module_registry)
+
+    # schemas need a registry; resolved lazily against the *global* context
+    # at bind time (the runner passes context into process anyway).
+    def create_inputs_schema(self):
+        from ..context import KiaraContext  # noqa: F401
+
+        cfg = (PipelineConfig.from_file(self.config["path"])
+               if "path" in self.config
+               else PipelineConfig.from_config(self.config["pipeline"]))
+        # field types resolved during run; expose as 'any' for binding
+        names: set[str] = set()
+        for s in cfg.steps:
+            for key, alias in cfg.input_aliases.items():
+                if key.startswith(s.step_id + "."):
+                    names.add(alias)
+        if not names:
+            # fall back: accept anything; precise schema requires a registry
+            return {}
+        return {n: {"type": "any"} for n in sorted(names)}
+
+    def create_outputs_schema(self):
+        cfg = (PipelineConfig.from_file(self.config["path"])
+               if "path" in self.config
+               else PipelineConfig.from_config(self.config["pipeline"]))
+        return {alias: {"type": "any"} for alias in cfg.output_aliases.values()} or {}
+
+    def process(self, inputs: ValueMap, context):
+        cfg, _ = self._structure(context)
+        result = run_pipeline(context, cfg, dict(inputs))
+        return {k: v.data for k, v in result.items()}
+
+
+MODULES = [PipelineModule]
+OPERATIONS: list = []

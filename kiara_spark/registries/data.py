@@ -33,6 +33,7 @@ class DataRegistry:
         self._values: dict[str, Value] = {}
         self._aliases: dict[str, str] = {}  # alias -> value_id
         self._hash_index: dict[str, str] = {}  # content_hash -> store path
+        self._scalar_index: dict[str, str] = {}  # scalar content_hash -> value_id
         self.warehouse_path = warehouse_path or os.path.join(
             context.base_path, "warehouse"
         )
@@ -46,6 +47,20 @@ class DataRegistry:
         schema = schema or ValueSchema(type=data_type)
         dtype = self._context.type_registry.get(schema.type, **schema.type_config)
         value = Value(data=dtype.validate(data), schema=schema, pedigree=pedigree)
+        # scalar dedup-by-content on registration (reference
+        # data/__init__.py:848-948): identical scalar inputs resolve to the
+        # SAME value id, which is what makes the value_id job-cache strategy
+        # hit across repeated binds.  DataFrames are exempt here (hashing
+        # them costs a scan — that's the opt-in data_hash strategy).
+        if not isinstance(value.data, DataFrame):
+            try:
+                key = value.content_hash()
+            except Exception:
+                key = None
+            if key is not None:
+                if key in self._scalar_index:
+                    return self._values[self._scalar_index[key]]
+                self._scalar_index[key] = value.value_id
         self._values[value.value_id] = value
         return value
 

@@ -1,0 +1,110 @@
+"""Pipeline engine tests, modeled on the reference's logic pipelines
+(``tests/resources/pipelines/logic/logic_2.json``) and table_import pipeline."""
+
+import pytest
+
+from kiara_spark.modules import InvalidInputsError
+from kiara_spark.pipeline import PipelineConfig, PipelineStructure
+
+LOGIC_2 = {
+    "pipeline_name": "logic_2",
+    "steps": [
+        {"module_type": "logic.and", "step_id": "and_1"},
+        {"module_type": "logic.and", "step_id": "and_2",
+         "input_links": {"a": "and_1.y"}},
+    ],
+    "input_aliases": {"and_1.a": "a", "and_1.b": "b", "and_2.b": "c"},
+    "output_aliases": {"and_2.y": "y"},
+}
+
+
+def test_structure_stages_and_io(ctx):
+    cfg = PipelineConfig.from_config(LOGIC_2)
+    st = PipelineStructure(cfg, ctx.module_registry)
+    assert st.stages == [["and_1"], ["and_2"]]
+    assert sorted(pi.alias for pi in st.pipeline_inputs) == ["a", "b", "c"]
+    assert [po.alias for po in st.pipeline_outputs] == ["y"]
+    assert st.execution_graph["and_1"] == ["and_2"]
+
+
+def test_logic_pipeline_truth_table(ctx):
+    for a, b, c, want in [(True, True, True, True), (True, True, False, False),
+                          (True, False, True, False)]:
+        out = ctx.run_pipeline(LOGIC_2, {"a": a, "b": b, "c": c})
+        assert out["y"].data is want
+
+
+def test_missing_pipeline_input_raises(ctx):
+    with pytest.raises(InvalidInputsError) as exc:
+        ctx.run_pipeline(LOGIC_2, {"a": True, "b": True})
+    assert "c" in exc.value.invalid
+
+
+def test_cycle_detection(ctx):
+    bad = {
+        "steps": [
+            {"module_type": "logic.not", "step_id": "s1", "input_links": {"a": "s2.y"}},
+            {"module_type": "logic.not", "step_id": "s2", "input_links": {"a": "s1.y"}},
+        ]
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        ctx.run_pipeline(bad, {})
+
+
+def test_invalid_link_target(ctx):
+    bad = {
+        "steps": [
+            {"module_type": "logic.not", "step_id": "s1",
+             "input_links": {"a": "nope.y"}},
+        ]
+    }
+    with pytest.raises(ValueError, match="unknown step"):
+        ctx.run_pipeline(bad, {})
+
+
+def test_table_pipeline_lazy_composition(ctx, tables):
+    """table_import-style pipeline: load -> filter -> aggregate via SQL.
+    Steps compose lazily; only the final output runs a Spark job."""
+    pipeline = {
+        "pipeline_name": "table_import",
+        "steps": [
+            {"module_type": "create.table.from.file", "step_id": "load"},
+            {"module_type": "table.filter.rows", "step_id": "filt",
+             "input_links": {"table": "load.table"}},
+            {"module_type": "table.query.sql", "step_id": "agg",
+             "input_links": {"table": "filt.table"}},
+        ],
+        "input_aliases": {"load.path": "path", "filt.where": "where",
+                          "agg.query": "query"},
+        "output_aliases": {"agg.table": "result"},
+    }
+    out = ctx.run_pipeline(pipeline, {
+        "path": "/root/testdata/sf0.001/orders.parquet",
+        "where": "o_totalprice > 100000",
+        "query": "select o_orderpriority, count(*) as n from data group by 1",
+    })
+    df = out["result"].data
+    assert df.count() == 5
+    # lineage walks back through all three steps
+    tree = ctx.data_registry.lineage(out["result"])
+    assert tree["module"] == "table.query.sql"
+    assert tree["inputs"]["table"]["module"] == "table.filter.rows"
+    assert tree["inputs"]["table"]["inputs"]["table"]["module"] == "create.table.from.file"
+
+
+def test_step_level_cache_hits(ctx):
+    """Second run of the same pipeline: idempotent steps hit the job cache."""
+    before = len(ctx.job_registry.history)
+    ctx.run_pipeline(LOGIC_2, {"a": True, "b": False, "c": True})
+    mid = ctx.job_registry.history
+    ctx.run_pipeline(LOGIC_2, {"a": True, "b": False, "c": True})
+    after = ctx.job_registry.history
+    new = after[len(mid):]
+    assert all(r.cache_hit for r in new), [r.module_type for r in new]
+
+
+def test_pipeline_as_module(ctx):
+    """PipelineModule: a pipeline runs as a module (composability)."""
+    out = ctx.run_job("pipeline", {"a": True, "b": True, "c": True},
+                      operation_config={"pipeline": LOGIC_2})
+    assert out["y"].data is True
