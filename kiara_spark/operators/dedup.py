@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..modules import KiaraModule
 from ..operations import Operation
 from ..values import ValueMap
-from .text import shingles_col
+from .text import base_hash32, shingles_col
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -61,22 +61,38 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
+# Affine hash family h_i(x) = (a_i*x + b_i) mod P over a 32-bit base hash.
+# One md5 per shingle total (vs one md5 per shingle PER hash function — 16x
+# fewer digests; at sf0.1 this turned a 15s stage into ~2s, and at 100 TB the
+# digest work is the dominant map-side cost).  P = 2^31-1 (Mersenne);
+# a_i < 2^30 keeps a_i*x < 2^62: no 64-bit overflow in any engine.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [686579305, 119540833, 26855093, 796233791, 295310487, 262950629,
+             239670713, 149827707, 790779947, 110053355, 726600541, 795285933,
+             957970517, 585582863, 93349857, 634036507]
+MINHASH_B = [906070220, 68252793, 63989047, 201209005, 469521477, 499635468,
+             56985561, 427000596, 900911954, 473392624, 964669077, 597409992,
+             13955983, 342865762, 907557512, 730682427]
+
 
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 5) -> Column:
-    """MinHash signature as an array of md5-hex minima (expression form).
-
-    h_i(doc) = min over shingles s of md5(i || ':' || s).  md5-hex strings
-    order identically in every engine, so min() is a portable uniform hash —
-    no custom bigint hash needed.
+    """MinHash signature as an array of bigint minima (expression form).
 
     NOTE: prefer ``minhash_signatures_df`` in plans — this inline form embeds
-    the shingle extraction ``num_hashes`` times and Catalyst's project
-    collapsing will happily duplicate it further.
+    the shingle extraction once per hash and Catalyst's project collapsing
+    will happily duplicate it further.
     """
     sh = shingles_col(text, shingle_k)
+    hashed = F.transform(sh, base_hash32)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h, i=i: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_P),
+                )
+            )
             for i in range(num_hashes)
         ]
     )
@@ -101,14 +117,19 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """(_id, h0..h{n-1}) signature table via explode + 16 min-aggregates.
 
-    One shingle extraction per doc, one hash aggregate — at 100 TB this is a
-    single shuffle on doc id with partial aggregation, instead of a
-    quadratically-duplicated expression tree (the naive array-fold form was
-    ~30x slower even at sf0.1).
+    One shingle extraction per doc, ONE md5 per shingle (the affine family
+    derives all 16 hashes from the 32-bit base), one hash aggregate — at
+    100 TB this is a single shuffle on doc id with map-side partial min,
+    instead of a quadratically-duplicated expression tree (the naive
+    array-fold form was ~30x slower even at sf0.1; per-hash md5 ~7x).
     """
-    ex = exploded_shingles(df, id_col, text_col, shingle_k)
+    ex = exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
+        "_h0", base_hash32(F.col("_shingle"))
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_shingle")))).alias(f"h{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("_h0") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy("_id").agg(*aggs)
@@ -127,8 +148,8 @@ def minhash_lsh_pairs(
 
     Plan shape: map (signature) -> explode to ``bands`` rows -> shuffle on
     (band_id, band_key) -> within-bucket self-join -> distinct pairs.  The
-    join key is a 32-char hash: buckets are tiny, the join never sees the
-    full cross product.
+    join key is a short pipe-joined string of the band's hash minima: buckets
+    are tiny, the join never sees the full cross product.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
@@ -139,12 +160,10 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws("|", *[
-                                F.col(f"h{b * rows_per_band + j}")
-                                for j in range(rows_per_band)
-                            ])
-                        ).alias("band_key"),
+                        F.concat_ws("|", *[
+                            F.col(f"h{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ]).alias("band_key"),
                     )
                     for b in range(bands)
                 ]

@@ -126,14 +126,24 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(seq, lambda i: F.substring(low, i, k)))
 
 
+def base_hash32(col: Column) -> Column:
+    """Portable 32-bit uniform hash: first 8 hex digits of md5 as a bigint.
+    One digest per input; derived hash families multiply/mod on top of this.
+    DuckDB twin: strpos-based hex-digit arithmetic (no conv() there)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, top: int = 8) -> DataFrame:
-    """Document fingerprint: md5 of the ``top`` lexicographically-smallest
-    md5(shingle) values (a winnowing/min-k sketch; robust to small edits,
-    engine-portable because md5-hex strings sort identically everywhere)."""
+    """Document fingerprint: md5 over the ``top`` smallest 32-bit shingle
+    hashes (a winnowing/min-k sketch; robust to small edits).  Sorting bigint
+    hashes instead of 32-char digest strings keeps the per-doc sort cheap —
+    at 100 TB this is a map-only transform bounded by scan throughput."""
     sh = shingles_col(F.col(text_col), k)
-    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    hashed = F.array_sort(F.transform(sh, base_hash32))
     return df.withColumn(
-        "fingerprint", F.md5(F.concat_ws("", F.slice(hashed, 1, top)))
+        "fingerprint",
+        F.md5(F.concat_ws("|", F.transform(F.slice(hashed, 1, top),
+                                           lambda h: h.cast("string")))),
     )
 
 

@@ -766,11 +766,20 @@ _SHINGLES = (
     " i -> substring(lower(text), CAST(i AS INT), 5)))"
 )
 
+# 32-bit base hash in portable SQL: hex-digit arithmetic over md5 (DuckDB has
+# no conv()); mirrors kiara_spark.operators.text.base_hash32 exactly.
+_H0 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5({{s}}), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+) + ")"
+
 @query(
     "text_fingerprint",
     f"""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_transform({_SHINGLES}, s -> md5(s)))[1:8], '')) AS fingerprint
+           md5(array_to_string(list_transform(
+               list_sort(list_transform({_SHINGLES}, s -> {_H0.format(s='s')}))[1:8],
+               h -> CAST(h AS VARCHAR)), '|')) AS fingerprint
     FROM documents
     """,
 )
@@ -815,13 +824,14 @@ def dedup_exact_q(spark, sf_dir):
 NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_K = 16, 4, 4, 5
 
 _SIG_SQL = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS h{i}"
+    f"list_aggregate(list_transform(h0s, h -> ({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P}), 'min') AS h{i}"
     for i in range(NUM_HASHES)
 )
 _BAND_ROWS = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig".format(
+    "SELECT doc_id, {b} AS band_id, concat_ws('|', {key}) AS band_key FROM sig".format(
         b=b,
-        key=" || '|' || ".join(f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)),
+        key=", ".join(f"CAST(h{b * ROWS_PER_BAND + j} AS VARCHAR)"
+                      for j in range(ROWS_PER_BAND)),
     )
     for b in range(BANDS)
 )
@@ -830,7 +840,8 @@ _BAND_ROWS = "\nUNION ALL\n".join(
     "dedup_minhash_pairs",
     f"""
     WITH sh_t AS (SELECT doc_id, text, {_SHINGLES} AS sh FROM documents),
-    sig AS (SELECT doc_id, {_SIG_SQL} FROM sh_t),
+    h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
     bands AS ({_BAND_ROWS}),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
