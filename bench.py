@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "asof_join_click_purchase",
+    "range_join_error_before_purchase",
+    "dedup_embedding_cosine",
+    "agg_stats_battery",
+    "q4_order_priority",
+    "q10_returned_items",
 ]
 
 

@@ -1,0 +1,191 @@
+"""Temporal joins Spark lacks as primitives: as-of join and interval/range
+join, composed from shuffle-efficient DataFrame ops.
+
+The reference has no temporal joins at all (its tabular surface lives in
+plugins — SURVEY §2.3); these are the additive scale operators a time-series /
+event pipeline needs.
+
+Scale design:
+
+- ``asof_join``: the classic union + partitioned-window formulation.  Both
+  sides shuffle ONCE on the key, a single sort per partition orders
+  (ts, side), and ``last(..., ignoreNulls)`` carries the most recent right
+  row forward onto each left row.  No per-row Python, no point lookups:
+  at 100 TB it is exactly one wide shuffle + sort-based window — the same
+  cost profile as a sort-merge join, and AQE handles skewed keys.
+
+- ``range_join``: banded interval join.  Each left row explodes to the
+  ~(span/width + 1) time buckets its window overlaps, the right side maps to
+  one bucket, and the equi-join on (key, bucket) + exact-predicate filter
+  replaces the O(N×M) cross product.  Bucket width defaults to the window
+  span, so each left row lands in ≤ 2 buckets — candidate blowup is bounded
+  and Catalyst runs it as a plain hash/sort-merge equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For every left row, attach the single right row (same ``by`` key) with
+    the greatest ``right_ts`` <= ``left_ts`` (direction='backward') or the
+    least ``right_ts`` >= ``left_ts`` ('forward').  Ties on the timestamp
+    match (inclusive), like DuckDB/kdb ASOF JOIN.
+
+    Output: all left columns + ``<right_ts><suffix>`` + each value col as
+    ``<col><suffix>`` (NULL when no right row qualifies).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [by] if isinstance(by, str) else list(by)
+    right_ts = right_ts or left_ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    carried = [right_ts, *value_cols]
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+    )
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_side.schema["_l"].dataType.simpleString()
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    both = l_side.unionByName(r_side)
+    order = [F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc(),
+             F.col("_side").asc()]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = both.select(
+        "_side",
+        "_l",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in carried],
+    ).filter(F.col("_side") == 1)
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carried],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    lower: float = 0.0,
+    upper: float = 0.0,
+    bucket_width: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``by`` key where
+    ``right_ts`` ∈ [left_ts + lower, left_ts + upper] (seconds, inclusive).
+
+    Output: all left columns + right's non-key columns suffixed.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    right_ts = right_ts or left_ts
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    width = float(bucket_width or max(upper - lower, 1e-9))
+
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+    l_bucketed = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((l_epoch + F.lit(lower)) / F.lit(width)),
+                F.floor((l_epoch + F.lit(upper)) / F.lit(width)),
+            )
+        ),
+    )
+    r_cols = [c for c in right.columns if c not in keys]
+    r_bucketed = right.select(
+        *[F.col(k) for k in keys],
+        F.floor(r_epoch / F.lit(width)).alias("_bucket"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_cols],
+    )
+    r_ts_sfx = F.col(f"{right_ts}{suffix}").cast("double")
+    joined = l_bucketed.join(r_bucketed, on=[*keys, "_bucket"]).filter(
+        (r_ts_sfx >= l_epoch + F.lit(lower)) & (r_ts_sfx <= l_epoch + F.lit(upper))
+    )
+    return joined.drop("_bucket")
+
+
+class AsofJoin(KiaraModule):
+    """As-of join module (op ``table.join.asof``); no reference analog —
+    additive temporal operator (SURVEY §2.3 declares the family)."""
+
+    _module_type_name = "table.join.asof"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": asof_join(
+            inputs["left"].data,
+            inputs["right"].data,
+            by=self.config.get("by", "user_id"),
+            left_ts=self.config.get("left_ts", "ts"),
+            right_ts=self.config.get("right_ts"),
+            value_cols=self.config.get("value_columns"),
+            direction=self.config.get("direction", "backward"),
+        )}
+
+
+class RangeJoin(KiaraModule):
+    _module_type_name = "table.join.range"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": range_join(
+            inputs["left"].data,
+            inputs["right"].data,
+            by=self.config.get("by", "user_id"),
+            left_ts=self.config.get("left_ts", "ts"),
+            right_ts=self.config.get("right_ts"),
+            lower=self.config.get("lower", 0.0),
+            upper=self.config.get("upper", 0.0),
+        )}
+
+
+MODULES = [AsofJoin, RangeJoin]
+OPERATIONS = [
+    Operation("table.join.asof", "table.join.asof"),
+    Operation("table.join.range", "table.join.range"),
+]

@@ -183,6 +183,44 @@ def knn_join_pandas(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    With ``bucket_col`` the self-join runs within coarse buckets only (the
+    IVF-style scale path — same pruning as ``cosine_topk_ivf``); without it,
+    a full O(N²/2) cross join (small corpora / verification only).  Output:
+    (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    sel = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(bucket_col).alias("_bucket")] if bucket_col else []
+    )
+    base = df.select(*sel)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        *([F.col("_bucket")] if bucket_col else []),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        *([F.col("_bucket")] if bucket_col else []),
+    )
+    joined = (a.join(b, on="_bucket") if bucket_col else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        joined.withColumn(
+            "cosine_sim", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 8)
+        )
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 class SimilarityTopK(KiaraModule):
     _module_type_name = "embedding.similarity.topk"
 
@@ -202,8 +240,28 @@ class SimilarityTopK(KiaraModule):
         return {"neighbors": fn(inputs["corpus"].data, inputs["queries"].data, **kwargs)}
 
 
-MODULES = [SimilarityTopK]
+class EmbeddingNearDup(KiaraModule):
+    _module_type_name = "table.dedup.embedding_cosine"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"pairs": embedding_neardup_pairs(
+            inputs["table"].data,
+            threshold=self.config.get("threshold", 0.9),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"),
+            bucket_col=self.config.get("bucket_column", "label"),
+        )}
+
+
+MODULES = [SimilarityTopK, EmbeddingNearDup]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.similarity.topk.ivf", "embedding.similarity.topk", {"method": "ivf"}),
+    Operation("table.dedup.embedding_cosine", "table.dedup.embedding_cosine"),
 ]

@@ -986,6 +986,222 @@ def multimodal_features(spark, sf_dir):
     return M.decode_image_stub(meta, "media")
 
 
+# ---------------------------------------------------------------------------
+# 7. temporal joins (as-of, range) + stats + extra TPC-H coverage
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_click_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_click_purchase(spark, sf_dir):
+    """For each click, the user's most recent purchase at that instant —
+    kiara has no temporal joins (SURVEY §2.3); oracle is DuckDB ASOF JOIN."""
+    from .operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = J.asof_join(clicks, purchases, by="user_id", left_ts="ts",
+                      value_cols=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_matched").alias("purchase_ts_us"),
+        F.col("event_id_matched").alias("purchase_event_id"),
+        F.col("value_matched").alias("purchase_value"),
+    )
+
+
+@query(
+    "range_join_error_before_purchase",
+    """
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           r.event_id AS error_event_id, epoch_us(r.ts) AS error_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id
+     AND epoch(r.ts) >= epoch(l.ts) - 600
+     AND epoch(r.ts) <= epoch(l.ts)
+    """,
+)
+def range_join_errors(spark, sf_dir):
+    """Errors within 10 minutes before each purchase (same user) — banded
+    interval join: explode to time buckets, equi-join, exact filter."""
+    from .operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    out = J.range_join(purchases, errors, by="user_id", left_ts="ts",
+                       lower=-600.0, upper=0.0)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_right").alias("error_event_id"),
+        F.unix_micros("ts_right").alias("error_ts_us"),
+    )
+
+
+_PAIR_DOT = ("list_reduce(list_transform(range(1, 65), "
+             "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)")
+_PAIR_ANORM = ("sqrt(list_reduce(list_transform(range(1, 65), "
+               "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))")
+_PAIR_BNORM = ("sqrt(list_reduce(list_transform(range(1, 65), "
+               "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))")
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(CASE WHEN {_PAIR_ANORM} * {_PAIR_BNORM} > 0
+                 THEN {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) ELSE 0.0 END, 8) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(CASE WHEN {_PAIR_ANORM} * {_PAIR_BNORM} > 0
+                THEN {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) ELSE 0.0 END, 8) >= 0.3
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, bucketed by the coarse label (the
+    IVF-style pruning path; synthetic fixture vectors are near-orthogonal so
+    the demo threshold is low)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.3, bucket_col="label")
+
+
+_STAT_COMPONENTS = """
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+      CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+"""
+
+@query(
+    "agg_stats_battery",
+    f"""
+    WITH comp AS (
+      SELECT l_returnflag, {_STAT_COMPONENTS}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_qty,
+           ROUND(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr_qty_price,
+           ROUND((sxy - sx*sy/n) / (n - 1), 4) AS covar_qty_price
+    FROM comp ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (variance/stddev/corr/covar) computed from
+    decimal-exact component sums so both engines derive identical doubles —
+    the built-in streaming moments (stddev_samp/corr) are order-sensitive in
+    the last ulp and can't hash-match across engines.  Map-side partial
+    decimal sums; same single-shuffle profile as any groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    dec = lambda c: F.sum(c.cast("decimal(38,10)")).cast("double")  # noqa: E731
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        dec(x).alias("sx"), dec(x * x).alias("sxx"),
+        dec(y).alias("sy"), dec(y * y).alias("syy"),
+        dec(x * y).alias("sxy"),
+    )
+    n = F.col("n_raw").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vary = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return comp.select(
+        "l_returnflag",
+        F.col("n_raw").cast("bigint").alias("n"),
+        F.round(var, 4).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(cov / F.sqrt(var * vary), 6).alias("corr_qty_price"),
+        F.round(cov, 4).alias("covar_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4(spark, sf_dir):
+    """TPC-H Q4 shape (fixture lineitem has no commit/receipt dates, so the
+    'late' predicate is ship > order + 60 days): correlated EXISTS
+    decorrelates to a left-semi join on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cond = (orders.o_orderkey == late.l_orderkey) & (
+        late.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))), 4)::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    """TPC-H Q10: 4-way join; nation is broadcast (tiny dim), customer/orders/
+    lineitem shuffle on their keys; top-20 by revenue with key tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 @query("streaming_tumbling_demo")
 def streaming_demo(spark, sf_dir):
     """Structured Streaming path: file stream -> watermark -> tumbling agg ->

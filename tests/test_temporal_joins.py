@@ -1,0 +1,83 @@
+"""As-of and range join semantics (kiara_spark.operators.joins) on tiny
+hand-built frames where the expected matches are enumerable by hand."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiara_spark.operators.joins import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10.0, 100), ("A", 20.0, 101), ("B", 15.0, 102), ("C", 5.0, 103)],
+        "sym string, t double, trade_id int",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    quotes = spark.createDataFrame(
+        [("A", 9.0, 1.0), ("A", 15.0, 1.5), ("A", 20.0, 2.0), ("B", 16.0, 3.0)],
+        "sym string, t double, px double",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    return trades, quotes
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, by="sym", left_ts="t", value_cols=["px"])
+    got = {(r["trade_id"], r["px_matched"]) for r in out.collect()}
+    # A@10 -> quote@9 (px 1.0); A@20 -> quote@20 inclusive tie (px 2.0);
+    # B@15 -> no quote <= 15 -> NULL; C -> no quotes at all -> NULL
+    assert got == {(100, 1.0), (101, 2.0), (102, None), (103, None)}
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, by="sym", left_ts="t", value_cols=["px"],
+                    direction="forward")
+    got = {(r["trade_id"], r["px_matched"]) for r in out.collect()}
+    # A@10 -> next quote@15 (1.5); A@20 -> @20 tie (2.0); B@15 -> @16 (3.0)
+    assert got == {(100, 1.5), (101, 2.0), (102, 3.0), (103, None)}
+
+
+def test_asof_preserves_left_rowcount(trades_quotes):
+    trades, quotes = trades_quotes
+    assert asof_join(trades, quotes, by="sym", left_ts="t").count() == trades.count()
+
+
+def test_range_join_window(trades_quotes):
+    trades, quotes = trades_quotes
+    out = range_join(trades, quotes, by="sym", left_ts="t", right_ts="t",
+                     lower=-5.0, upper=0.0)
+    got = {(r["trade_id"], r["px_right"]) for r in out.collect()}
+    # window [t-5, t]: A@10 -> {9}:1.0 ; A@20 -> {15? no (20-5=15, inclusive -> yes), 20}
+    assert got == {(100, 1.0), (101, 1.5), (101, 2.0)}
+
+
+def test_range_join_bucket_boundaries(spark):
+    # right ts exactly at lower and upper bounds must both match (inclusive),
+    # and bucket math must not drop matches that straddle a bucket edge.
+    left = spark.createDataFrame([(1, 1000.0)], "k int, t double").withColumn(
+        "t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 990.0, "lo"), (1, 1000.0, "hi"), (1, 989.9, "out_lo"), (1, 1000.1, "out_hi")],
+        "k int, t double, tag string").withColumn("t", F.timestamp_seconds("t"))
+    out = range_join(left, right, by="k", left_ts="t", lower=-10.0, upper=0.0)
+    assert {r["tag_right"] for r in out.collect()} == {"lo", "hi"}
+
+
+def test_range_join_validates_bounds(trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="upper"):
+        range_join(trades, quotes, by="sym", lower=5.0, upper=-5.0)
+
+
+def test_asof_module_via_context(ctx, spark):
+    trades = spark.createDataFrame([("A", 10.0)], "sym string, t double")
+    quotes = spark.createDataFrame([("A", 8.0, 42.0)], "sym string, t double, px double")
+    out = ctx.run_job("table.join.asof", {"left": trades, "right": quotes},
+                      operation_config={"by": "sym", "left_ts": "t"})
+    rows = out["table"].data.collect()
+    assert rows[0]["px_matched"] == 42.0
