@@ -79,6 +79,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{alias:30s} {vid}")
         return 0
 
+    if cmd == "archive" and argv[:1] == ["export"]:
+        _, ref, path = argv[:3]
+        ctx = KiaraContext()
+        manifest = ctx.export_archive([ref], path)
+        print(f"exported {len(manifest['values'])} value(s), "
+              f"aliases: {', '.join(manifest['aliases'])} -> {path}")
+        return 0
+
+    if cmd == "archive" and argv[:1] == ["import"]:
+        ctx = KiaraContext()
+        loaded = ctx.import_archive(argv[1])
+        for alias, v in loaded.items():
+            print(f"{alias:30s} {v.value_id} ({v.schema.type})")
+        return 0
+
     if cmd == "pipeline" and argv[:1] == ["explain"]:
         from .pipeline import PipelineConfig, PipelineStructure
 

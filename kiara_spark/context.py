@@ -57,6 +57,13 @@ class KiaraContext:
                 continue  # missing-required check happens in module.run
             if isinstance(raw, Value):
                 bound[field_name] = raw
+            elif isinstance(raw, str) and (
+                raw.startswith(("alias:", "value:"))
+                or raw in self.data_registry.aliases
+            ):
+                # value-ref resolution at bind time (reference
+                # ``registries/data/__init__.py:123-207``)
+                bound[field_name] = self.data_registry.get_value(raw)
             else:
                 bound[field_name] = self.data_registry.register_data(
                     raw, data_type=schema.type, schema=schema
@@ -113,6 +120,23 @@ class KiaraContext:
 
     def get_value(self, ref) -> Value:
         return self.data_registry.get_value(ref)
+
+    def store_value(self, ref, alias: str | None = None) -> str:
+        """Persist a value to the warehouse (dedup by content hash);
+        optionally under a restart-surviving alias."""
+        return self.data_registry.store_value(self.get_value(ref), alias=alias)
+
+    def export_archive(self, refs, archive_path: str, **kw) -> dict:
+        """Export values + lineage into a portable archive directory
+        (reference ``.kiarchive``; ``tests/test_archives``)."""
+        from .archive import export_archive as _export
+
+        return _export(self, refs, archive_path, **kw)
+
+    def import_archive(self, archive_path: str, alias_prefix: str = "") -> dict:
+        from .archive import import_archive as _import
+
+        return _import(self, archive_path, alias_prefix=alias_prefix)
 
     @property
     def operations(self) -> list[str]:

@@ -1202,6 +1202,62 @@ def q10(spark, sf_dir):
     )
 
 
+@query(
+    "sessionize_stateful_users",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize_users_q(spark, sf_dir):
+    """Custom stateful operator over the Arrow boundary: per-user
+    sessionization (30-min gap) via grouped-map pandas — the batch twin of
+    the applyInPandasWithState streaming op; oracle = SQL lag/cumsum
+    sessionization."""
+    from .streaming.stateful import sessionize_pandas
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_pandas(ev, key="user_id", ts_col="ts", gap_seconds=1800.0)
+
+
+@query("streaming_sessionize_demo")
+def streaming_sessionize_demo(spark, sf_dir):
+    """applyInPandasWithState path: keyed session state over a file stream,
+    availableNow trigger; emits all sessions provably closed by a later
+    event (the final open session per user stays in state — rows-only)."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import sessionize_stateful_stream
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev_batch = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_state_")
+    ev_batch.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    result = sessionize_stateful_stream(stream, key="user_id", ts_col="ts",
+                                        gap_seconds=1800.0)
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
 @query("streaming_tumbling_demo")
 def streaming_demo(spark, sf_dir):
     """Structured Streaming path: file stream -> watermark -> tumbling agg ->

@@ -39,6 +39,10 @@ class DataRegistry:
         )
         os.makedirs(self.warehouse_path, exist_ok=True)
         self._load_hash_index()
+        # alias -> dataset path for persisted values (survives restarts;
+        # reference alias archives, ``registries/aliases/__init__.py:98+``).
+        self._stored_aliases: dict[str, str] = {}
+        self._load_stored_aliases()
 
     # -- registration -----------------------------------------------------
     def register_data(
@@ -70,18 +74,29 @@ class DataRegistry:
 
     # -- resolution (reference data/__init__.py:123-207) ------------------
     def get_value(self, ref: str | Value) -> Value:
-        """Resolve ``Value`` | ``value:<uuid>`` | ``alias:<name>`` | bare alias/uuid."""
+        """Resolve ``Value`` | ``value:<uuid>`` | ``alias:<name>`` | bare
+        alias/uuid.  Aliases persisted in a previous context load lazily from
+        the warehouse on first reference."""
         if isinstance(ref, Value):
             return ref
         if ref.startswith("value:"):
             ref = ref[len("value:"):]
         elif ref.startswith("alias:"):
-            ref = self._aliases[ref[len("alias:"):]]
-        elif ref in self._aliases:
-            ref = self._aliases[ref]
+            ref = self._resolve_alias(ref[len("alias:"):])
+        elif ref in self._aliases or ref in self._stored_aliases:
+            ref = self._resolve_alias(ref)
         if ref not in self._values:
             raise KeyError(f"no value for ref {ref!r}")
         return self._values[ref]
+
+    def _resolve_alias(self, alias: str) -> str:
+        if alias in self._aliases:
+            return self._aliases[alias]
+        if alias in self._stored_aliases:
+            value = self.load_value(self._stored_aliases[alias])
+            self._aliases[alias] = value.value_id
+            return value.value_id
+        raise KeyError(f"no alias {alias!r}")
 
     # -- aliases ----------------------------------------------------------
     def register_alias(self, alias: str, value: Value | str) -> None:
@@ -90,7 +105,22 @@ class DataRegistry:
 
     @property
     def aliases(self) -> dict[str, str]:
-        return dict(self._aliases)
+        out = {a: f"stored:{p}" for a, p in self._stored_aliases.items()}
+        out.update(self._aliases)
+        return out
+
+    def _aliases_file(self) -> str:
+        return os.path.join(self.warehouse_path, "_aliases.json")
+
+    def _load_stored_aliases(self) -> None:
+        if os.path.isfile(self._aliases_file()):
+            with open(self._aliases_file()) as f:
+                self._stored_aliases = json.load(f)
+
+    def _persist_alias(self, alias: str, path: str) -> None:
+        self._stored_aliases[alias] = path
+        with open(self._aliases_file(), "w") as f:
+            json.dump(self._stored_aliases, f, indent=1, sort_keys=True)
 
     # -- persistence ------------------------------------------------------
     def _sidecar(self, path: str) -> str:
@@ -140,20 +170,33 @@ class DataRegistry:
                 self._hash_index[content_hash] = path
         if alias:
             self.register_alias(alias, value)
+            self._persist_alias(alias, path)
         return path
 
     def load_value(self, path: str) -> Value:
-        """Rehydrate a stored table value (lazy — just a parquet scan plan)."""
+        """Rehydrate a stored table value (lazy — just a parquet scan plan).
+        Pedigree from the sidecar is restored so lineage survives restarts."""
+        from ..values import ValuePedigree
+
         df = self._context.spark.read.parquet(path)
         meta_path = self._sidecar(path)
         info = {}
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
                 info = json.load(f)
+        ped = ORPHAN
+        if p := info.get("pedigree"):
+            if p.get("module_type") and p["module_type"] != ORPHAN.module_type:
+                ped = ValuePedigree(
+                    module_type=p["module_type"],
+                    module_config=p.get("module_config") or {},
+                    inputs=p.get("inputs") or {},
+                )
         value = Value(
             data=df,
             schema=ValueSchema(type=info.get("type", "table")),
             value_id=info.get("value_id"),
+            pedigree=ped,
         )
         self._values[value.value_id] = value
         return value

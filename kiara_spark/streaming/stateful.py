@@ -1,0 +1,145 @@
+"""Custom stateful operators over the Arrow/pandas boundary.
+
+The reference's module contract allows arbitrary stateful Python over whole
+values (``src/kiara/modules/__init__.py:523-559``); Spark's equivalents for
+*distributed, per-key* state are ``applyInPandas`` (batch grouped-map) and
+``applyInPandasWithState`` (streaming keyed state).  Sessionization with an
+inactivity gap is the canonical case Spark's built-in ``session_window``
+covers only partially (it can't carry custom per-session accumulators), so it
+doubles as the template for arbitrary stateful ops.
+
+Scale design: both paths shuffle once on the key and then stream Arrow
+batches through vectorized pandas; per-key state is O(1) (current open
+session), so executor memory is bounded regardless of history length —
+exactly the profile needed for billions of keys at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+
+SESSION_SCHEMA = ("user_id long, session_start_us long, session_end_us long, "
+                  "n_events long")
+
+
+def sessionize_pandas(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Batch sessionization via grouped-map pandas UDF: per key, sort by
+    time, split where the inactivity gap exceeds ``gap_seconds``.
+
+    Deterministic (ties at identical timestamps land in the same session), so
+    a SQL oracle (lag + running sum of breaks) reproduces it exactly.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(pdf):
+        import pandas as pd
+
+        us = (pdf[ts_col].astype("int64") // 1000).sort_values().to_numpy()
+        key_val = pdf[key].iloc[0]
+        rows = []
+        start = end = None
+        n = 0
+        for t in us:
+            t = int(t)
+            if start is None:
+                start = end = t
+                n = 1
+            elif t - end > gap_us:
+                rows.append((key_val, start, end, n))
+                start = end = t
+                n = 1
+            else:
+                end = t
+                n += 1
+        if start is not None:
+            rows.append((key_val, start, end, n))
+        return pd.DataFrame(
+            rows, columns=[key, "session_start_us", "session_end_us", "n_events"])
+
+    return df.select(key, ts_col).groupBy(key).applyInPandas(fn, SESSION_SCHEMA)
+
+
+def sessionize_stateful_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Streaming sessionization with explicit keyed state
+    (``applyInPandasWithState``): state = the open session per key; closed
+    sessions emit as soon as a later event proves the gap elapsed.  The final
+    open session per key remains in state (a real stream never ends; with
+    ``availableNow`` demos it simply isn't emitted).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds * 1_000_000)
+    state_schema = "start_us long, end_us long, n long"
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        chunks = [pdf[ts_col].astype("int64") // 1000 for pdf in pdf_iter]
+        rows = []
+        if chunks:
+            for t in pd.concat(chunks).sort_values().to_numpy():
+                t = int(t)
+                if start is None:
+                    start = end = t
+                    n = 1
+                elif t - end > gap_us:
+                    rows.append((key_tuple[0], start, end, n))
+                    start = end = t
+                    n = 1
+                else:
+                    end = t
+                    n += 1
+        if start is not None:
+            state.update((start, end, n))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key, "session_start_us", "session_end_us", "n_events"])
+
+    return stream.select(key, ts_col).groupBy(key).applyInPandasWithState(
+        fn, SESSION_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+class SessionizeUsers(KiaraModule):
+    """Custom stateful sessionization (op ``events.sessionize``); batch
+    grouped-map now, same logic as the streaming stateful variant."""
+
+    _module_type_name = "events.sessionize"
+
+    def create_inputs_schema(self):
+        return {"events": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"sessions": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"sessions": sessionize_pandas(
+            inputs["events"].data,
+            key=self.config.get("key", "user_id"),
+            ts_col=self.config.get("ts_column", "ts"),
+            gap_seconds=self.config.get("gap_seconds", 1800.0),
+        )}
+
+
+MODULES = [SessionizeUsers]
+OPERATIONS = [Operation("events.sessionize", "events.sessionize")]
