@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
         if not argv:
             raise SystemExit("run: missing operation name (or pipeline file)")
         op = argv.pop(0)
+        save = None
+        if "--save" in argv:
+            i = argv.index("--save")
+            try:
+                save = argv[i + 1]
+            except IndexError:
+                raise SystemExit("--save requires an alias name") from None
+            del argv[i:i + 2]
         inputs = _parse_inputs(argv)
         ctx = KiaraContext()
         if op.endswith((".json", ".yaml", ".yml")):
@@ -58,6 +66,17 @@ def main(argv: list[str] | None = None) -> int:
                 print(data._show_string(20, 40, False))
             else:
                 print(repr(data))
+        if save:
+            from pyspark.sql import DataFrame
+
+            fields = [n for n, v in outputs.items()
+                      if isinstance(v.data, DataFrame)]
+            for n in fields:
+                alias = save if len(fields) == 1 else f"{save}.{n}"
+                path = ctx.store_value(outputs[n], alias=alias)
+                print(f"saved {alias} -> {path}")
+            if not fields:
+                print("--save: no table outputs to store", file=sys.stderr)
         return 0
 
     if cmd == "operation" and argv[:1] == ["list"]:

@@ -32,7 +32,10 @@ class KiaraContext:
         cache_strategy: str = "value_id",
     ):
         self.spark = configure_existing(spark) if spark else build_spark()
-        self.base_path = base_path or tempfile.mkdtemp(prefix="kiara_spark_")
+        # KIARA_SPARK_HOME makes contexts durable across processes (the
+        # reference's context directory); default is an ephemeral tempdir.
+        self.base_path = (base_path or os.environ.get("KIARA_SPARK_HOME")
+                          or tempfile.mkdtemp(prefix="kiara_spark_"))
         os.makedirs(self.base_path, exist_ok=True)
 
         self.type_registry = TypeRegistry()

@@ -104,6 +104,51 @@ class PrettyPrintValue(KiaraModule):
         return {"rendered_value": repr(data)}
 
 
+class RenderValue(KiaraModule):
+    """Reference ``included_core_modules/render_value.py`` (render.value):
+    paginated render with scene navigation for front-ends.  For tables the
+    page is ``offset/limit`` pushed into the plan (Spark ``offset`` + limit —
+    no full materialization; only the page crosses to the driver)."""
+
+    _module_type_name = "render.value"
+    _characteristics = ModuleCharacteristics(is_internal=True)
+
+    def create_inputs_schema(self):
+        return {"value": {"type": "any"},
+                "render_config": {"type": "dict", "optional": True}}
+
+    def create_outputs_schema(self):
+        return {"render_value_result": {"type": "dict"}}
+
+    def process(self, inputs: ValueMap, context):
+        cfg = dict(self.config)
+        if "render_config" in inputs:
+            cfg.update(inputs["render_config"].data or {})
+        offset = int(cfg.get("offset", 0))
+        limit = int(cfg.get("limit", 20))
+        data = inputs["value"].data
+        if isinstance(data, DataFrame):
+            page = data.offset(offset).limit(limit).collect()
+            rows = [r.asDict(recursive=True) for r in page]
+            result = {
+                "kind": "table_page",
+                "columns": data.columns,
+                "rows": [{k: (str(v) if v is not None else None) for k, v in r.items()}
+                         for r in rows],
+                "offset": offset,
+                "limit": limit,
+                "related_scenes": {
+                    "first": {"offset": 0, "limit": limit},
+                    "next": {"offset": offset + limit, "limit": limit},
+                    "previous": {"offset": max(0, offset - limit), "limit": limit},
+                },
+            }
+        else:
+            result = {"kind": "string", "rendered": repr(data),
+                      "offset": 0, "limit": limit, "related_scenes": {}}
+        return {"render_value_result": result}
+
+
 class ExtractMetadata(KiaraModule):
     """Reference metadata.py:26-88 — profiling as a distributed job.
 
@@ -237,11 +282,13 @@ class MediaDecodeImage(KiaraModule):
 
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
-    ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
+    RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
               operation_type="pretty_print"),
+    Operation("render.table.as.table_page", "render.value",
+              operation_type="render_value"),
     Operation("extract.table.metadata", "value.extract_metadata",
               operation_type="extract_metadata"),
     Operation("media.attach_metadata", "media.attach_metadata"),

@@ -58,3 +58,44 @@ def test_create_file_from_bytes_and_export(ctx, tmp_path):
     detail = out["export_details"].data
     assert os.path.exists(detail["path"])
     assert open(detail["path"], "rb").read() == b"payload"
+
+
+def test_serialization_family(ctx):
+    import pickle
+
+    out = ctx.run_job("unpickle.value", {"value": pickle.dumps({"a": [1, 2]})})
+    assert out["python_object"].data == {"a": [1, 2]}
+
+    out = ctx.run_job("load.string", {"value": "héllo".encode()})
+    assert out["python_object"].data == "héllo"
+
+    out = ctx.run_job("load.bytes", {"value": b"\x00\x01"})
+    assert out["python_object"].data == b"\x00\x01"
+
+    out = ctx.run_job("deserialize.from_json",
+                      {"value": '{"a": {"b": 42}}'},
+                      operation_config={"result_path": "a.b"})
+    assert out["python_object"].data == 42
+
+
+def test_deserialize_unknown_profile(ctx):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown deserialization profile"):
+        ctx.run_job("unpickle.value", {"value": b"x"},
+                    operation_config={"profile": "nope"})
+
+
+def test_render_value_pagination(ctx, tables):
+    out = ctx.run_job("render.value", {"value": "alias:nation"},
+                      operation_config={"offset": 5, "limit": 3})
+    res = out["render_value_result"].data
+    assert res["kind"] == "table_page"
+    assert len(res["rows"]) == 3
+    assert res["related_scenes"]["next"]["offset"] == 8
+    assert res["related_scenes"]["previous"]["offset"] == 2
+    # page 2 starts where page 1 ended
+    first = ctx.run_job("render.value", {"value": "alias:nation"},
+                        operation_config={"offset": 0, "limit": 5})
+    ids = [r["n_nationkey"] for r in first["render_value_result"].data["rows"]]
+    assert res["rows"][0]["n_nationkey"] not in ids
