@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "agg_stats_battery",
     "q4_order_priority",
     "q10_returned_items",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "sessionize_stateful_users",
 ]
 
 

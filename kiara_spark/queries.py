@@ -1203,6 +1203,129 @@ def q10(spark, sf_dir):
 
 
 @query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4)::DOUBLE AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark, sf_dir):
+    """TPC-H Q7 shape: two nation-filtered branches through a 5-way join;
+    both nation dims broadcast, the OR-pair predicate evaluated post-join."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.00 * promo / total, 6) AS promo_revenue_pct
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p_type IN ('ECONOMY', 'PROMO')
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+                      ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    )
+    """,
+)
+def q14(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast fact-dim
+    join (part is the small side -> broadcast hash join, single shuffle-free
+    agg after the map-side join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    comp = joined.agg(
+        F.sum(F.when(F.col("p_type").isin("ECONOMY", "PROMO"), rev)
+              .otherwise(F.lit(0).cast("decimal(38,10)"))).cast("double").alias("promo"),
+        F.sum(rev).cast("double").alias("total"),
+    )
+    return comp.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6).alias("promo_revenue_pct"))
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4)::DOUBLE AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the equi-join on
+    partkey still drives the join strategy (broadcast); the disjunction is a
+    post-join filter Catalyst can't split, evaluated in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 30))
+        | ((b == "Brand#2") & sz.between(10, 30) & q.between(10, 40))
+        | ((b == "Brand#9") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return joined.filter(pred).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
     "sessionize_stateful_users",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

