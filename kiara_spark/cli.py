@@ -57,8 +57,20 @@ def main(argv: list[str] | None = None) -> int:
         ctx = KiaraContext()
         if op.endswith((".json", ".yaml", ".yml")):
             outputs = ctx.run_pipeline(op, inputs)
+            if save:
+                for n, v in outputs.items():
+                    if hasattr(v.data, "write"):
+                        alias = save if len(outputs) == 1 else f"{save}.{n}"
+                        print(f"saved {alias} -> {ctx.store_value(v, alias=alias)}")
         else:
-            outputs = ctx.run_job(op, inputs)
+            outputs = ctx.run_job(op, inputs, save=save)
+            hist = ctx.job_registry.history
+            if hist and hist[-1].cache_hit:
+                print("(cache hit — loaded stored outputs, no execution)")
+            if save:
+                for alias, target in sorted(ctx.data_registry.aliases.items()):
+                    if alias == save or alias.startswith(f"{save}."):
+                        print(f"saved {alias}")
         for name, value in outputs.items():
             print(f"-- {name} ({value.schema.type})")
             data = value.data
@@ -66,17 +78,6 @@ def main(argv: list[str] | None = None) -> int:
                 print(data._show_string(20, 40, False))
             else:
                 print(repr(data))
-        if save:
-            from pyspark.sql import DataFrame
-
-            fields = [n for n, v in outputs.items()
-                      if isinstance(v.data, DataFrame)]
-            for n in fields:
-                alias = save if len(fields) == 1 else f"{save}.{n}"
-                path = ctx.store_value(outputs[n], alias=alias)
-                print(f"saved {alias} -> {path}")
-            if not fields:
-                print("--save: no table outputs to store", file=sys.stderr)
         return 0
 
     if cmd == "operation" and argv[:1] == ["list"]:

@@ -29,8 +29,10 @@ class KiaraContext:
         self,
         spark: SparkSession | None = None,
         base_path: str | None = None,
-        cache_strategy: str = "value_id",
+        cache_strategy: str | None = None,
     ):
+        cache_strategy = (cache_strategy
+                          or os.environ.get("KIARA_SPARK_CACHE", "value_id"))
         self.spark = configure_existing(spark) if spark else build_spark()
         # KIARA_SPARK_HOME makes contexts durable across processes (the
         # reference's context directory); default is an ephemeral tempdir.
@@ -82,8 +84,14 @@ class KiaraContext:
         operation: str,
         inputs: Mapping[str, Any] | None = None,
         operation_config: dict | None = None,
+        save: str | None = None,
     ) -> ValueMap:
-        """Resolve operation/module name, bind, cache-probe, execute."""
+        """Resolve operation/module name, bind, cache-probe, execute.
+
+        ``save``: persist table outputs to the warehouse under this alias
+        (``<save>.<field>`` when several) AND archive the job record, so an
+        identical job in a future context is a cache hit without executing
+        (reference ``kiara run --save`` + job archives)."""
         op = self.operation_registry.resolve(operation)
         config = dict(op.module_config)
         if operation_config:
@@ -91,6 +99,13 @@ class KiaraContext:
         module = self.create_module(op.module_type, config)
         bound = self._bind_inputs(module, inputs or {})
         record = self.job_registry.execute_job(module, bound)
+        if save:
+            self.job_registry.persist_record(record)
+            fields = [n for n, v in record.outputs.items()
+                      if isinstance(v.data, DataFrame)]
+            for n in fields:
+                alias = save if len(fields) == 1 else f"{save}.{n}"
+                self.data_registry.store_value(record.outputs[n], alias=alias)
         return record.outputs
 
     def run_pipeline(self, config, inputs: Mapping[str, Any] | None = None) -> ValueMap:

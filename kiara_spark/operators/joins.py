@@ -139,6 +139,36 @@ def range_join(
     return joined.drop("_bucket")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-busting equi-join: the (large, possibly skewed) left side gets a
+    deterministic row-content salt; the (smaller) right side replicates
+    across all ``salt`` values; the join runs on (keys + salt), spreading a
+    hot key over ``salt`` tasks.
+
+    AQE's skew-join split handles most cases adaptively — use this when the
+    skew is known and extreme (a single key holding >> one task's memory) or
+    AQE is unavailable.  Supports inner/left joins (each right row matches
+    exactly one salt per left row, so multiplicities are preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, on=[*keys, "_salt"], how=how).drop("_salt")
+
+
 class AsofJoin(KiaraModule):
     """As-of join module (op ``table.join.asof``); no reference analog —
     additive temporal operator (SURVEY §2.3 declares the family)."""

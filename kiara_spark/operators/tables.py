@@ -23,6 +23,9 @@ Pure functions first (used directly by queries/bench), module classes below
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,6 +223,36 @@ def sql_query(spark: SparkSession, query: str, tables: dict[str, DataFrame] | No
     for name, tdf in (tables or {}).items():
         tdf.createOrReplaceTempView(name)
     return spark.sql(query)
+
+
+def store_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Joins/aggregations between tables bucketed the same way on the join keys
+    need NO shuffle exchange — the co-location is free at read time.  This is
+    THE technique for repeated large-×-large joins at 100 TB: pay the shuffle
+    once at write, never again.  (Catalog entries live in the session's
+    catalog here; production would back this with a shared metastore.)
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previous session may have left the managed location without a
+    # catalog entry (in-memory catalog) — clear it or saveAsTable refuses
+    loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+                       name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(name)
+    return spark.table(name)
 
 
 def export_table(df: DataFrame, path: str, file_format: str = "parquet",

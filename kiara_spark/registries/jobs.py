@@ -51,6 +51,22 @@ class JobRegistry:
         self.strategy = strategy
         self._records: dict[str, JobRecord] = {}  # job_hash -> record
         self._history: list[JobRecord] = []
+        # persistent job store (reference job archives,
+        # ``src/kiara/registries/jobs/job_store/``): job_hash -> stored
+        # output dataset paths; enables cache hits ACROSS restarts when the
+        # outputs were persisted to the warehouse.
+        self._store_file = None
+        self._stored: dict[str, dict] = {}
+        try:
+            import json
+            import os
+
+            self._store_file = os.path.join(context.base_path, "job_records.json")
+            if os.path.isfile(self._store_file):
+                with open(self._store_file) as f:
+                    self._stored = json.load(f)
+        except OSError:
+            pass
 
     def _environment(self) -> dict:
         """Runtime fingerprint recorded in job records (reference captures
@@ -73,8 +89,55 @@ class JobRegistry:
             ids = {k: v.content_hash() for k, v in inputs.items()}
         return _job_hash(module.module_type, module.config, ids)
 
+    def persist_record(self, record: JobRecord) -> None:
+        """Persist a job's outputs + record so the next context gets a cache
+        hit without executing (reference job archives)."""
+        import json
+
+        if not record.job_hash or self._store_file is None:
+            return
+        paths = {}
+        for field, value in record.outputs.items():
+            try:
+                paths[field] = self._context.data_registry.store_value(value)
+            except TypeError:
+                return  # non-table outputs aren't persistable yet
+        self._stored[record.job_hash] = {
+            "module_type": record.module_type,
+            "module_config": record.module_config,
+            "outputs": paths,
+        }
+        with open(self._store_file, "w") as f:
+            json.dump(self._stored, f, indent=1, sort_keys=True)
+
+    def _probe_stored(self, key: str) -> ValueMap | None:
+        info = self._stored.get(key)
+        if not info:
+            return None
+        try:
+            outputs = {
+                field: self._context.data_registry.load_value(path)
+                for field, path in info["outputs"].items()
+            }
+        except Exception:  # dataset vanished; treat as miss, drop the entry
+            self._stored.pop(key, None)
+            return None
+        return ValueMap(outputs)
+
     def execute_job(self, module: "KiaraModule", inputs: ValueMap) -> JobRecord:
         key = self._cache_key(module, inputs)
+        if key is not None and key not in self._records:
+            # cross-restart probe: outputs persisted by a previous context
+            if (stored := self._probe_stored(key)) is not None:
+                self._records[key] = JobRecord(
+                    job_id=f"stored-{key[:8]}",
+                    job_hash=key,
+                    module_type=module.module_type,
+                    module_config=module.config,
+                    input_ids={k: v.value_id for k, v in inputs.items()},
+                    outputs=stored,
+                    runtime_sec=0.0,
+                )
         if key is not None and key in self._records:
             prior = self._records[key]
             hit = JobRecord(

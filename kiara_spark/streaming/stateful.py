@@ -41,32 +41,36 @@ def sessionize_pandas(
     """
     gap_us = int(gap_seconds * 1_000_000)
 
-    def fn(pdf):
+    def fn(batches):
         import pandas as pd
 
-        us = (pdf[ts_col].astype("int64") // 1000).sort_values().to_numpy()
-        key_val = pdf[key].iloc[0]
-        rows = []
-        start = end = None
-        n = 0
-        for t in us:
-            t = int(t)
-            if start is None:
-                start = end = t
-                n = 1
-            elif t - end > gap_us:
-                rows.append((key_val, start, end, n))
-                start = end = t
-                n = 1
-            else:
-                end = t
-                n += 1
-        if start is not None:
-            rows.append((key_val, start, end, n))
-        return pd.DataFrame(
-            rows, columns=[key, "session_start_us", "session_end_us", "n_events"])
+        # One vectorized pass per PARTITION, not per key: with millions of
+        # small keys, per-group UDF invocation overhead dominates; here all
+        # keys in a hash partition process in one pandas call (break = key
+        # change OR gap exceeded; running sum of breaks = session id).
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf["_us"] = pdf[ts_col].astype("int64") // 1000
+        pdf = pdf.sort_values([key, "_us"], ignore_index=True)
+        brk = (pdf[key] != pdf[key].shift()) | (pdf["_us"].diff() > gap_us)
+        g = pdf.groupby(brk.cumsum())
+        yield pd.DataFrame({
+            key: g[key].first(),
+            "session_start_us": g["_us"].min(),
+            "session_end_us": g["_us"].max(),
+            "n_events": g.size().astype("int64"),
+        }).reset_index(drop=True)
 
-    return df.select(key, ts_col).groupBy(key).applyInPandas(fn, SESSION_SCHEMA)
+    # hash-partition on the key so each key's events land in one partition;
+    # the pandas fn sorts within the partition (concat bounds memory at the
+    # shuffle-partition size — tune spark.sql.shuffle.partitions at scale)
+    return (
+        df.select(key, ts_col)
+        .repartition(F.col(key))
+        .mapInPandas(fn, SESSION_SCHEMA)
+    )
 
 
 def sessionize_stateful_stream(
