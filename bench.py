@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "agg_stats_battery",
     "q3_top_unshipped",
     "q5_region_revenue",
     "join_semi_active_customers",
@@ -46,13 +47,15 @@ BENCH_QUERIES = [
     "asof_join_click_purchase",
     "range_join_error_before_purchase",
     "dedup_embedding_cosine",
-    "agg_stats_battery",
     "q4_order_priority",
     "q10_returned_items",
     "q7_nation_volume",
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "sessionize_stateful_users",
+    "graph_degrees",
+    "graph_2hop_neighbors",
+    "graph_connected_components",
 ]
 
 

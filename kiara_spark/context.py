@@ -64,7 +64,14 @@ class KiaraContext:
                 bound[field_name] = raw
             elif isinstance(raw, str) and (
                 raw.startswith(("alias:", "value:"))
-                or raw in self.data_registry.aliases
+                or (
+                    # bare-name alias resolution only where the schema wants
+                    # a non-scalar: a literal string input that happens to
+                    # collide with an alias must stay a string
+                    schema.type not in ("string", "bytes", "integer",
+                                        "float", "boolean", "dict", "none")
+                    and raw in self.data_registry.aliases
+                )
             ):
                 # value-ref resolution at bind time (reference
                 # ``registries/data/__init__.py:123-207``)

@@ -174,12 +174,49 @@ class FileBundleType(DataType):
         return data
 
 
+class DatabaseType(DataType):
+    """kiara 'database' (plugin type, SURVEY §1.2) -> a namespace of
+    DataFrames: dict table-name -> DataFrame, queried through the Spark SQL
+    catalog."""
+
+    name = "database"
+
+    def validate(self, data):
+        if not isinstance(data, dict) or not all(
+            isinstance(v, DataFrame) for v in data.values()
+        ):
+            raise DataTypeError("expected dict[str, DataFrame]")
+        return data
+
+
+class NetworkGraphType(DataType):
+    """kiara 'network_graph' (plugin type, SURVEY §1.2) -> node + edge
+    DataFrames (the GraphFrames shape): {'nodes': df(id,...),
+    'edges': df(src, dst, ...)}."""
+
+    name = "network_graph"
+
+    def validate(self, data):
+        if (
+            not isinstance(data, dict)
+            or "edges" not in data
+            or not isinstance(data["edges"], DataFrame)
+            or not {"src", "dst"}.issubset(data["edges"].columns)
+        ):
+            raise DataTypeError(
+                "expected {'edges': df(src, dst, ...), 'nodes': df(id, ...)?}")
+        if "nodes" in data and not isinstance(data["nodes"], DataFrame):
+            raise DataTypeError("nodes must be a DataFrame")
+        return data
+
+
 class TypeRegistry:
     def __init__(self):
         self._types: dict[str, Callable[..., DataType]] = {}
         for cls in (
             NoneType, AnyType, StringType, BooleanType, IntegerType, FloatType,
             BytesType, DictType, TableType, ArrayType, FileType, FileBundleType,
+            DatabaseType, NetworkGraphType,
         ):
             self.register(cls)
 

@@ -1,0 +1,274 @@
+"""Network-graph operators over node/edge DataFrames.
+
+The reference's ``network_graph`` type lives in the out-of-repo
+``kiara_plugin.network_analysis`` (referenced from core, SURVEY §1.2); here
+the graph is plain DataFrames — ``edges(src, dst, ...)`` + optional
+``nodes(id, ...)`` — so every graph op is a relational plan Catalyst
+optimizes like any other.
+
+Scale design:
+- degree/neighbor ops: single hash aggregates / self-joins on (src|dst) —
+  one shuffle each, AQE-skewable (hub nodes are exactly the skew case).
+- ``connected_components``: iterative hash-min label propagation — per
+  round one join + one min-aggregate, lineage truncated via
+  ``localCheckpoint`` so plans don't grow unboundedly.  Converges in
+  O(graph diameter) rounds; the production upgrade for 100 TB graphs is the
+  large-star/small-star contraction (Kiveris et al., "Connected Components
+  in MapReduce and Beyond"), which this API accommodates unchanged.
+- ``database`` ops: a namespace of DataFrames registered as temp views —
+  cross-table SQL goes through one Catalyst plan, so joins across database
+  members optimize globally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..modules import KiaraModule
+from ..operations import Operation
+from ..values import ValueMap
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge list: both directions, self-loops dropped,
+    deduped."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """(id, degree) — or (id, in_degree, out_degree) when directed."""
+    if directed:
+        out_d = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree"))
+        in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree"))
+        return (
+            out_d.join(in_d, on="id", how="full")
+            .fillna(0, subset=["in_degree", "out_degree"])
+            .select("id", "in_degree", "out_degree")
+        )
+    und = undirected_edges(edges)
+    return und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree"))
+
+
+def neighbors_within_2_hops(edges: DataFrame) -> DataFrame:
+    """(id, n_neighbors_2hop): distinct nodes reachable in <= 2 undirected
+    hops (excluding self).  Two self-joins + one distinct aggregate."""
+    und = undirected_edges(edges)
+    one = und.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+    two = (
+        one.alias("a")
+        .join(und.alias("e"), F.col("a.nb") == F.col("e.src"))
+        .select(F.col("a.id").alias("id"), F.col("e.dst").alias("nb"))
+    )
+    both = one.unionByName(two).filter(F.col("id") != F.col("nb")).distinct()
+    return both.groupBy("id").agg(F.count(F.lit(1)).alias("n_neighbors_2hop"))
+
+
+def triangle_count_total(edges: DataFrame) -> DataFrame:
+    """Total triangle count: orient edges low->high id, join twice (the
+    standard shuffle-efficient formulation: each triangle counted once)."""
+    und = undirected_edges(edges).filter(F.col("src") < F.col("dst"))
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, on="b").join(ac, on=["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, component) where component = min node id reachable (undirected).
+
+    Hash-min label propagation: each round every node takes the min of its
+    own and its neighbors' labels; stop when no label changes.  One
+    join + one aggregate per round, lineage cut by localCheckpoint.
+    """
+    und = undirected_edges(edges)
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id"))
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy(und.src.alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# -- database namespace ops -------------------------------------------------
+
+
+def database_from_folder(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Every *.parquet (or *.csv/json) in a folder becomes a member table."""
+    from ..io import load_table
+
+    out: dict[str, DataFrame] = {}
+    for fname in sorted(os.listdir(path)):
+        full = os.path.join(path, fname)
+        stem, ext = os.path.splitext(fname)
+        if ext == ".parquet":
+            # load_table handles format wrinkles (nanos timestamps) and the
+            # small-scan parallelism guard
+            out[stem] = load_table(spark, path, stem)
+        elif ext == ".csv":
+            out[stem] = spark.read.csv(full, header=True, inferSchema=True)
+        elif ext in (".json", ".jsonl"):
+            out[stem] = spark.read.json(full)
+    if not out:
+        raise ValueError(f"no readable tables in {path!r}")
+    return out
+
+
+def database_query(db: dict[str, DataFrame], query: str) -> DataFrame:
+    """SQL across all member tables (each registered as a temp view)."""
+    spark = next(iter(db.values())).sparkSession
+    for name, df in db.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
+# -- modules ----------------------------------------------------------------
+
+
+class CreateDatabaseFromFolder(KiaraModule):
+    _module_type_name = "create.database.from.folder"
+
+    def create_inputs_schema(self):
+        return {"path": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"database": {"type": "database"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"database": database_from_folder(context.spark, inputs["path"].data)}
+
+
+class DatabaseQuery(KiaraModule):
+    _module_type_name = "database.query.sql"
+
+    def create_inputs_schema(self):
+        return {"database": {"type": "database"}, "query": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": database_query(inputs["database"].data,
+                                        inputs["query"].data)}
+
+
+class DatabasePickTable(KiaraModule):
+    _module_type_name = "database.pick.table"
+
+    def create_inputs_schema(self):
+        return {"database": {"type": "database"}, "table_name": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        db = inputs["database"].data
+        name = inputs["table_name"].data
+        if name not in db:
+            raise KeyError(f"no table {name!r} in database; has {sorted(db)}")
+        return {"table": db[name]}
+
+
+class CreateGraphFromTables(KiaraModule):
+    _module_type_name = "create.network_graph.from.tables"
+
+    def create_inputs_schema(self):
+        return {"edges": {"type": "table"},
+                "nodes": {"type": "table", "optional": True}}
+
+    def create_outputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def process(self, inputs: ValueMap, context):
+        src = self.config.get("source_column", "src")
+        dst = self.config.get("target_column", "dst")
+        edges = inputs["edges"].data.withColumnsRenamed({src: "src", dst: "dst"})
+        graph = {"edges": edges}
+        if "nodes" in inputs:
+            graph["nodes"] = inputs["nodes"].data
+        return {"graph": graph}
+
+
+class GraphDegrees(KiaraModule):
+    _module_type_name = "network_graph.degrees"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": degrees(inputs["graph"].data["edges"],
+                                 directed=self.config.get("directed", False))}
+
+
+class GraphComponents(KiaraModule):
+    _module_type_name = "network_graph.connected_components"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": connected_components(
+            inputs["graph"].data["edges"],
+            max_iterations=self.config.get("max_iterations", 20))}
+
+
+MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
+           CreateGraphFromTables, GraphDegrees, GraphComponents]
+OPERATIONS = [
+    Operation("create.database.from.folder", "create.database.from.folder",
+              operation_type="create_from"),
+    Operation("database.query.sql", "database.query.sql"),
+    Operation("database.pick.table", "database.pick.table"),
+    Operation("create.network_graph.from.tables", "create.network_graph.from.tables",
+              operation_type="create_from"),
+    Operation("network_graph.degrees", "network_graph.degrees"),
+    Operation("network_graph.connected_components",
+              "network_graph.connected_components"),
+]

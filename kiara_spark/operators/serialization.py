@@ -103,11 +103,52 @@ class DeserializeFromJson(DeserializeValueModule):
         return obj
 
 
-MODULES = [UnpickleValue, LoadBytes, LoadString, DeserializeFromJson]
+class LoadInternalModel(DeserializeValueModule):
+    """Reference ``serialization.py:191-220`` — rehydrate a registered model
+    by id.  Our 'models' are plain dataclass-ish dicts: the payload carries
+    ``{"model_id": ..., "data": {...}}`` and the registered constructor
+    rebuilds the object."""
+
+    _module_type_name = "load.internal_model"
+
+    MODEL_REGISTRY: dict = {}  # model_id -> constructor
+
+    def to__model(self, data):
+        if isinstance(data, (bytes, bytearray)):
+            data = data.decode("utf-8")
+        if isinstance(data, str):
+            data = json.loads(data)
+        model_id = data["model_id"]
+        ctor = self.MODEL_REGISTRY.get(model_id, dict)
+        return ctor(**data.get("data", {}))
+
+
+class DeserializeFile(KiaraModule):
+    """Reference ``filesystem.py:87-133`` (deserialize.file): rehydrate a
+    stored file/dataset value from a warehouse path."""
+
+    _module_type_name = "deserialize.file"
+
+    def create_inputs_schema(self):
+        return {"path": STRING}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": context.spark.read.parquet(inputs["path"].data)}
+
+
+MODULES = [UnpickleValue, LoadBytes, LoadString, DeserializeFromJson,
+           LoadInternalModel, DeserializeFile]
 OPERATIONS = [
     Operation("unpickle.value", "unpickle.value", operation_type="deserialize"),
     Operation("load.bytes", "load.bytes", operation_type="deserialize"),
     Operation("load.string", "load.string", operation_type="deserialize"),
     Operation("deserialize.from_json", "deserialize.from_json",
+              operation_type="deserialize"),
+    Operation("load.internal_model", "load.internal_model",
+              operation_type="deserialize"),
+    Operation("deserialize.file", "deserialize.file",
               operation_type="deserialize"),
 ]

@@ -225,6 +225,23 @@ def sql_query(spark: SparkSession, query: str, tables: dict[str, DataFrame] | No
     return spark.sql(query)
 
 
+def map_pandas(df: DataFrame, fn, schema: str) -> DataFrame:
+    """Generic vectorized transform: ``fn(pandas.DataFrame) ->
+    pandas.DataFrame`` applied per Arrow batch (``mapInPandas``).  The
+    engine's UDTF surface (reference: arbitrary ``KiaraModule.process`` over
+    whole values, ``src/kiara/modules/__init__.py:523-559``; here the
+    row-level specialization) — use built-in functions first, this second,
+    row-at-a-time UDFs never."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def store_bucketed(
     df: DataFrame,
     name: str,
@@ -431,6 +448,30 @@ TableQuerySql = _simple_module(
     doc="SQL over registered views; input table (if given) is view `data`.",
 )
 
+def _map_pandas_process(self, im, ctx):
+    """Module form: ``expr`` is a Python expression over ``pdf`` (pandas
+    DataFrame; ``pd``/``np`` in scope) returning the transformed frame —
+    arbitrary-compute escape hatch, mirroring the reference's free-form
+    ``process()`` contract."""
+    import numpy as np
+    import pandas as pd
+
+    expr = self.config["expr"]
+    schema = self.config["schema"]
+    code = compile(expr, "<table.map.pandas>", "eval")
+
+    def fn(pdf):
+        return eval(code, {"pd": pd, "np": np}, {"pdf": pdf})  # noqa: S307
+
+    return {"table": map_pandas(im["table"].data, fn, schema)}
+
+
+TableMapPandas = _simple_module(
+    "table.map.pandas", {"table": TABLE}, {"table": TABLE},
+    _map_pandas_process,
+    doc="Arrow-batched pandas transform (config: expr over `pdf`, schema).",
+)
+
 ExportTable = _simple_module(
     "export.table.as.file",
     {"table": TABLE, "path": STRING, "file_format": {**STRING, "optional": True}},
@@ -446,7 +487,7 @@ MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
     TableDropDuplicates, TableSort, TableLimit, TableSample, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
-    TableQuerySql, ExportTable,
+    TableQuerySql, TableMapPandas, ExportTable,
 ]
 
 OPERATIONS = [

@@ -1325,6 +1325,97 @@ def q19(spark, sf_dir):
     )
 
 
+# Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
+# restricted to high-value lineitems (supplier hubs in the unfiltered
+# bipartite graph connect to ~every customer, which makes 2-hop
+# neighborhoods quadratic in |nodes| — a data property, not a plan issue).
+# Supplier ids offset by 1_000_000 so the two key spaces stay disjoint.
+_EDGES_SQL = """
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_extendedprice > 95000
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 95000)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_degrees",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    )
+    SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src
+    """,
+)
+def graph_degrees_q(spark, sf_dir):
+    """Degree distribution of the customer-supplier co-purchase graph —
+    graph ops are plain relational plans (one hash aggregate)."""
+    from .operators import graph as G
+
+    return G.degrees(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "graph_2hop_neighbors",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    one AS (SELECT src AS id, dst AS nb FROM und),
+    two AS (SELECT a.id, e2.dst AS nb FROM one a JOIN und e2 ON a.nb = e2.src),
+    hops AS (SELECT id, nb FROM one UNION SELECT id, nb FROM two)
+    SELECT id, COUNT(*) AS n_neighbors_2hop
+    FROM hops WHERE id <> nb GROUP BY id
+    """,
+)
+def graph_2hop_q(spark, sf_dir):
+    """Nodes reachable within two undirected hops: two self-joins + distinct
+    aggregate; hub skew handled by AQE."""
+    from .operators import graph as G
+
+    return G.neighbors_within_2_hops(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+      WHERE r.comp < u.dst
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def graph_components_q(spark, sf_dir):
+    """Connected components via iterative hash-min label propagation
+    (driver loop over lazy plans, localCheckpoint per round); oracle is a
+    DuckDB recursive CTE computing min-reachable-id."""
+    from .operators import graph as G
+
+    return G.connected_components(_copurchase_edges(spark, sf_dir))
+
+
 @query(
     "sessionize_stateful_users",
     """

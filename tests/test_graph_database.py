@@ -1,0 +1,101 @@
+"""Graph + database operator families on hand-built inputs."""
+
+import pytest
+
+from kiara_spark.operators.graph import (
+    connected_components,
+    degrees,
+    neighbors_within_2_hops,
+    triangle_count_total,
+    undirected_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_graph(spark):
+    # two components: {1,2,3,4} (with triangle 1-2-3) and {10,11}
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (2, 1)],  # dup direction
+        "src long, dst long",
+    )
+
+
+def test_undirected_dedup_and_no_self_loops(spark):
+    e = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "src long, dst long")
+    rows = {tuple(r) for r in undirected_edges(e).collect()}
+    assert rows == {(1, 2), (2, 1)}
+
+
+def test_degrees(toy_graph):
+    d = {r["id"]: r["degree"] for r in degrees(toy_graph).collect()}
+    assert d == {1: 2, 2: 2, 3: 3, 4: 1, 10: 1, 11: 1}
+
+
+def test_directed_degrees(spark):
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    rows = {r["id"]: (r["in_degree"], r["out_degree"])
+            for r in degrees(e, directed=True).collect()}
+    assert rows == {1: (0, 2), 2: (1, 1), 3: (2, 0)}
+
+
+def test_2hop(toy_graph):
+    n = {r["id"]: r["n_neighbors_2hop"]
+         for r in neighbors_within_2_hops(toy_graph).collect()}
+    # node 4: 1 hop -> {3}; 2 hops -> {1,2} => 3 total
+    assert n[4] == 3 and n[10] == 1 and n[1] == 3
+
+
+def test_triangles(toy_graph):
+    assert triangle_count_total(toy_graph).collect()[0]["n_triangles"] == 1
+
+
+def test_connected_components_two_clusters(toy_graph):
+    comp = {r["id"]: r["component"]
+            for r in connected_components(toy_graph).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # a path graph stresses iteration count (diameter = n-1)
+    n = 12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(chain, max_iterations=30).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_graph_module_roundtrip(ctx, spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    g = ctx.run_job("create.network_graph.from.tables", {"edges": edges},
+                    operation_config={"source_column": "a", "target_column": "b"})
+    out = ctx.run_job("network_graph.degrees", {"graph": g["graph"]})
+    assert {r["id"]: r["degree"] for r in out["table"].data.collect()} == \
+           {1: 1, 2: 2, 3: 1}
+
+
+def test_database_ops(ctx):
+    db = ctx.run_job("create.database.from.folder",
+                     {"path": "/root/testdata/sf0.001"})
+    assert "lineitem" in db["database"].data
+    out = ctx.run_job("database.query.sql", {
+        "database": db["database"],
+        "query": """select r_name, count(*) n from nation
+                    join region on n_regionkey = r_regionkey group by 1""",
+    })
+    assert out["table"].data.count() == 5
+    picked = ctx.run_job("database.pick.table",
+                         {"database": db["database"], "table_name": "region"})
+    assert picked["table"].data.count() == 5
+    with pytest.raises(KeyError, match="no table"):
+        ctx.run_job("database.pick.table",
+                    {"database": db["database"], "table_name": "nope"})
+
+
+def test_map_pandas_module(ctx, spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    out = ctx.run_job("table.map.pandas", {"table": df}, operation_config={
+        "expr": "pdf.assign(x2=pdf.x * 2)",
+        "schema": "x double, x2 double",
+    })
+    assert sorted(r["x2"] for r in out["table"].data.collect()) == [2.0, 4.0]
