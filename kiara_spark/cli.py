@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("run: missing operation name (or pipeline file)")
         op = argv.pop(0)
         save = None
+        explain = False
+        if "--explain" in argv:
+            explain = True
+            argv.remove("--explain")
         if "--save" in argv:
             i = argv.index("--save")
             try:
@@ -74,10 +78,25 @@ def main(argv: list[str] | None = None) -> int:
         for name, value in outputs.items():
             print(f"-- {name} ({value.schema.type})")
             data = value.data
+            if explain and hasattr(data, "explain"):
+                data.explain("formatted")
             if hasattr(data, "_show_string"):
                 print(data._show_string(20, 40, False))
             else:
                 print(repr(data))
+        return 0
+
+    if cmd == "data" and argv[:1] == ["explain"]:
+        import json as _json
+
+        ctx = KiaraContext()
+        v = ctx.get_value(argv[1])
+        print(f"value_id: {v.value_id}")
+        print(f"type:     {v.schema.type}")
+        if hasattr(v.data, "schema"):
+            print(f"schema:   {v.data.schema.simpleString()}")
+        print("lineage:")
+        print(_json.dumps(ctx.data_registry.lineage(v), indent=2))
         return 0
 
     if cmd == "operation" and argv[:1] == ["list"]:

@@ -76,6 +76,25 @@ class PipelineConfig:
     output_aliases: dict[str, str] = field(default_factory=dict)  # "step.field" -> alias
     doc: str = ""
 
+    @staticmethod
+    def _normalize_alias_keys(aliases: Mapping, step_ids: list[str]) -> dict[str, str]:
+        """Accept both this engine's ``step.field`` alias keys and the
+        reference's ``step__field`` form (``pipeline/__init__.py:446-471``).
+        Step ids may themselves contain underscores, so ``__`` keys resolve
+        by longest-step-id match."""
+        out: dict[str, str] = {}
+        by_len = sorted(step_ids, key=len, reverse=True)
+        for key, alias in (aliases or {}).items():
+            if "." not in key and "__" in key:
+                for sid in by_len:
+                    if key.startswith(f"{sid}__"):
+                        key = f"{sid}.{key[len(sid) + 2:]}"
+                        break
+                else:
+                    raise ValueError(f"alias key {key!r} matches no step id")
+            out[key] = alias
+        return out
+
     @classmethod
     def from_config(cls, data: Mapping) -> "PipelineConfig":
         steps = [PipelineStep.from_dict(s) for s in data["steps"]]
@@ -85,8 +104,10 @@ class PipelineConfig:
         return cls(
             pipeline_name=data.get("pipeline_name", "pipeline"),
             steps=steps,
-            input_aliases=dict(data.get("input_aliases", {}) or {}),
-            output_aliases=dict(data.get("output_aliases", {}) or {}),
+            input_aliases=cls._normalize_alias_keys(
+                data.get("input_aliases", {}), ids),
+            output_aliases=cls._normalize_alias_keys(
+                data.get("output_aliases", {}), ids),
             doc=str(data.get("documentation", data.get("doc", ""))),
         )
 

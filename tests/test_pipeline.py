@@ -108,3 +108,26 @@ def test_pipeline_as_module(ctx):
     out = ctx.run_job("pipeline", {"a": True, "b": True, "c": True},
                       operation_config={"pipeline": LOGIC_2})
     assert out["y"].data is True
+
+
+REFERENCE_PIPELINES = "/root/reference/tests/resources/pipelines"
+
+
+def test_reference_logic_2_file_runs(ctx):
+    """Compatibility: the reference's own pipeline file (step__field alias
+    keys) parses and executes unchanged."""
+    out = ctx.run_pipeline(f"{REFERENCE_PIPELINES}/logic/logic_2.json",
+                           {"a": True, "b": True, "c": True})
+    assert out["y"].data is True
+    out = ctx.run_pipeline(f"{REFERENCE_PIPELINES}/logic/logic_2.json",
+                           {"a": True, "b": True, "c": False})
+    assert out["y"].data is False
+
+
+def test_reference_logic_3_default_aliases(ctx):
+    """No aliases in the file -> reference-style step__field defaults."""
+    out = ctx.run_pipeline(f"{REFERENCE_PIPELINES}/logic/logic_3.json", {
+        "and_1_1__a": True, "and_1_1__b": True,
+        "and_1_2__a": True, "and_1_2__b": True,
+    })
+    assert out["and_2__y"].data is True
