@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5 notes it has no randomized testing).
+
+Spark sessions are expensive, so strategies generate small plain-Python
+inputs and each property creates DataFrames from them; deadlines disabled
+(JVM warmup noise).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(max_examples=15, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 5),              # key
+              st.integers(0, 10_000),         # ts seconds
+              st.floats(-1e6, 1e6, allow_nan=False)),
+    min_size=1, max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@SET
+def test_content_hash_invariant_under_partitioning_and_order(spark, rows):
+    """content hash is a function of CONTENT only: any repartitioning or
+    row order produces the same digest."""
+    from kiara_spark.hashing import dataframe_content_hash
+
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    h1 = dataframe_content_hash(df.coalesce(1))
+    h2 = dataframe_content_hash(df.repartition(7, "k"))
+    h3 = dataframe_content_hash(df.orderBy(F.col("v").desc()))
+    assert h1 == h2 == h3
+
+
+@given(rows=rows_strategy, extra=st.floats(-1e6, 1e6, allow_nan=False))
+@SET
+def test_content_hash_detects_any_extra_row(spark, rows, extra):
+    from kiara_spark.hashing import dataframe_content_hash
+
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    df2 = df.unionAll(spark.createDataFrame([(99, 99999, extra)],
+                                            "k int, t long, v double"))
+    assert dataframe_content_hash(df) != dataframe_content_hash(df2)
+
+
+@given(rows=rows_strategy, gap=st.integers(1, 5000))
+@SET
+def test_sessionize_partition_of_events(spark, rows, gap):
+    """Sessions partition the events: per-key n_events sums to the key's
+    event count, sessions don't overlap, and inter-session gaps exceed the
+    threshold."""
+    from kiara_spark.streaming.stateful import sessionize_pandas
+
+    df = spark.createDataFrame(rows, "user_id long, t long, v double") \
+        .withColumn("ts", F.timestamp_seconds("t"))
+    out = sessionize_pandas(df, key="user_id", ts_col="ts",
+                            gap_seconds=float(gap)).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    from collections import Counter
+
+    counts = Counter(k for k, _, _ in rows)
+    for key, sess in by_key.items():
+        sess.sort(key=lambda r: r["session_start_us"])
+        assert sum(s["n_events"] for s in sess) == counts[key]
+        for s in sess:
+            assert s["session_start_us"] <= s["session_end_us"]
+        for a, b in zip(sess, sess[1:]):
+            assert b["session_start_us"] - a["session_end_us"] > gap * 1_000_000
+    assert set(by_key) == set(counts)
+
+
+@given(rows=rows_strategy)
+@SET
+def test_asof_join_row_preservation_and_bound(spark, rows):
+    """As-of join never drops/duplicates left rows, and every matched ts is
+    <= the left ts (backward semantics)."""
+    from kiara_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(rows, "k long, t long, v double") \
+        .withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    right = left.select("k", "ts", (F.col("v") * 2).alias("w"))
+    out = asof_join(left, right, by="k", left_ts="ts", value_cols=["w"]).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        if r["ts_matched"] is not None:
+            assert r["ts_matched"] <= r["ts"]
+
+
+@given(rows=rows_strategy, salt=st.integers(2, 8))
+@SET
+def test_salted_join_multiplicity(spark, rows, salt):
+    """Salted inner join = plain inner join, row-for-row (multiplicities)."""
+    from kiara_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(rows, "k long, t long, v double")
+    right = spark.createDataFrame(
+        [(k, float(k) * 10) for k in {k for k, _, _ in rows} if k % 2 == 0],
+        "k long, w double")
+    plain = sorted(map(tuple, left.join(right, on="k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, on="k",
+                                           salt=salt).collect()))
+    assert plain == salted
+
+
+@given(texts=st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20))
+@SET
+def test_minhash_signature_stability_and_shape(spark, texts):
+    """Signatures: deterministic across partitionings; docs with identical
+    text get identical signatures."""
+    from kiara_spark.operators.dedup import minhash_signatures_df
+
+    rows = [(i, t) for i, t in enumerate(texts)] + \
+           [(1000 + i, t) for i, t in enumerate(texts)]  # duplicate corpus
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures_df(df).collect()
+    by_id = {r["_id"]: tuple(r)[1:] for r in sig}
+    for i, t in enumerate(texts):
+        if len(t.lower()) >= 5 and i in by_id:  # docs w/ shingles only
+            assert by_id[i] == by_id[1000 + i]
