@@ -10,6 +10,7 @@ Public surface:
 from .context import KiaraContext
 from .session import build_spark
 from .values import Value, ValueMap, ValueSchema
+from .workflow import Workflow
 
-__all__ = ["KiaraContext", "build_spark", "Value", "ValueMap", "ValueSchema"]
+__all__ = ["KiaraContext", "Workflow", "build_spark", "Value", "ValueMap", "ValueSchema"]
 __version__ = "0.1.0"
