@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q14_promo_revenue",
     "q19_discounted_revenue",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "sessionize_stateful_users",
     "graph_degrees",
     "graph_2hop_neighbors",

@@ -1325,6 +1325,99 @@ def q19(spark, sf_dir):
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    """TPC-H Q6: pure scan+filter+agg — every predicate pushes to the
+    parquet scan, no shuffle at all (partial agg -> single final row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))), 4)::DOUBLE / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < t.lim
+    """,
+)
+def q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated avg-per-part subquery decorrelated into a
+    self-join on a pre-aggregated (partkey, threshold) table — the
+    aggregate side is small (one row per part) and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim"))
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(lim), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("lim"))
+    )
+    return joined.agg(
+        (dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate, o.o_totalprice,
+           ROUND(SUM(CAST(l.l_quantity AS DECIMAL(38,10))), 4)::DOUBLE AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18(spark, sf_dir):
+    """TPC-H Q18: IN-subquery with HAVING -> left-semi join against a
+    pre-aggregated large-order key set; top-100 by total price."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")) \
+        .filter(F.col("sq") > 250).select(F.col("l_orderkey").alias("big_key"))
+    joined = (
+        o.join(big, o.o_orderkey == F.col("big_key"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                       "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 # Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
 # restricted to high-value lineitems (supplier hubs in the unfiltered
 # bipartite graph connect to ~every customer, which makes 2-hop
