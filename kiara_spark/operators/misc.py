@@ -71,7 +71,8 @@ class MockModule(KiaraModule):
 
     def create_inputs_schema(self):
         return {
-            k: {"type": v} for k, v in self.config.get("inputs", {}).items()
+            k: ({"type": v} if isinstance(v, str) else dict(v))
+            for k, v in self.config.get("inputs", {}).items()
         }
 
     def create_outputs_schema(self):
@@ -81,7 +82,13 @@ class MockModule(KiaraModule):
         }
 
     def process(self, inputs: ValueMap, context):
-        return {k: spec.get("value") for k, spec in self.config.get("outputs", {}).items()}
+        out = {}
+        for k, spec in self.config.get("outputs", {}).items():
+            if "from_input" in spec:  # echo an input through (testing aid)
+                out[k] = inputs[spec["from_input"]].data
+            else:
+                out[k] = spec.get("value")
+        return out
 
 
 class PrettyPrintValue(KiaraModule):

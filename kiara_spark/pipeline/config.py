@@ -47,18 +47,19 @@ class PipelineStep:
     step_id: str
     module_type: str
     module_config: dict = field(default_factory=dict)
-    input_links: dict[str, StepValueRef] = field(default_factory=dict)
+    # field -> upstream refs; >1 ref means the inputs merge into a list
+    # (reference allows list-valued input_links, pipeline/__init__.py:474+)
+    input_links: dict[str, list[StepValueRef]] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, data: Mapping) -> "PipelineStep":
         raw_links = data.get("input_links", {}) or {}
         links = {}
         for field_name, ref in raw_links.items():
-            if isinstance(ref, list):
-                if len(ref) != 1:
-                    raise ValueError("multi-input links not supported yet")
-                ref = ref[0]
-            links[field_name] = StepValueRef.parse(ref)
+            refs = ref if isinstance(ref, list) else [ref]
+            if not refs:
+                raise ValueError(f"empty input_links list for {field_name!r}")
+            links[field_name] = [StepValueRef.parse(r) for r in refs]
         step_id = data.get("step_id") or data["module_type"].replace(".", "_")
         return cls(
             step_id=step_id,

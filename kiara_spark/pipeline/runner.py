@@ -58,8 +58,16 @@ def run_pipeline(
             step_inputs: dict[str, Value] = {}
             for field_name in module.inputs_schema:
                 if field_name in step.input_links:
-                    ref = step.input_links[field_name]
-                    step_inputs[field_name] = state[ref.step_id][ref.value_name]
+                    refs = step.input_links[field_name]
+                    if len(refs) == 1:
+                        ref = refs[0]
+                        step_inputs[field_name] = state[ref.step_id][ref.value_name]
+                    else:
+                        # multi-link: upstream outputs merge into a list input
+                        step_inputs[field_name] = context.data_registry.register_data(
+                            [state[r.step_id][r.value_name].data for r in refs],
+                            data_type="any",
+                        )
                 else:
                     alias = next(
                         (pi.alias for pi in structure.pipeline_inputs

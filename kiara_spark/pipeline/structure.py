@@ -55,15 +55,16 @@ class PipelineStructure:
     # -- validation -------------------------------------------------------
     def _validate_links(self) -> None:
         for s in self.config.steps:
-            for field_name, ref in s.input_links.items():
-                if ref.step_id not in self._steps:
-                    raise ValueError(
-                        f"step {s.step_id!r} links {field_name!r} to unknown step {ref.step_id!r}")
-                producer = self._modules[ref.step_id]
-                if ref.value_name not in producer.outputs_schema:
-                    raise ValueError(
-                        f"step {s.step_id!r} links to missing output "
-                        f"{ref.step_id}.{ref.value_name}")
+            for field_name, refs in s.input_links.items():
+                for ref in refs:
+                    if ref.step_id not in self._steps:
+                        raise ValueError(
+                            f"step {s.step_id!r} links {field_name!r} to unknown step {ref.step_id!r}")
+                    producer = self._modules[ref.step_id]
+                    if ref.value_name not in producer.outputs_schema:
+                        raise ValueError(
+                            f"step {s.step_id!r} links to missing output "
+                            f"{ref.step_id}.{ref.value_name}")
                 if field_name not in self._modules[s.step_id].inputs_schema:
                     raise ValueError(
                         f"step {s.step_id!r} has no input field {field_name!r}")
@@ -71,7 +72,7 @@ class PipelineStructure:
     # -- DAG layering ("early" strategy, reference stages.py:92-115) -------
     def _extract_stages(self) -> list[list[str]]:
         deps = {
-            s.step_id: {ref.step_id for ref in s.input_links.values()}
+            s.step_id: {ref.step_id for refs in s.input_links.values() for ref in refs}
             for s in self.config.steps
         }
         stages: list[list[str]] = []
@@ -110,7 +111,8 @@ class PipelineStructure:
         consumed = {
             (ref.step_id, ref.value_name)
             for s in self.config.steps
-            for ref in s.input_links.values()
+            for refs in s.input_links.values()
+            for ref in refs
         }
         out = []
         for s in self.config.steps:
@@ -124,6 +126,8 @@ class PipelineStructure:
         """step_id -> downstream step_ids (for explain/UI)."""
         g: dict[str, list[str]] = {s.step_id: [] for s in self.config.steps}
         for s in self.config.steps:
-            for ref in s.input_links.values():
-                g[ref.step_id].append(s.step_id)
+            for refs in s.input_links.values():
+                for ref in refs:
+                    if s.step_id not in g[ref.step_id]:
+                        g[ref.step_id].append(s.step_id)
         return g

@@ -131,3 +131,24 @@ def test_reference_logic_3_default_aliases(ctx):
         "and_1_2__a": True, "and_1_2__b": True,
     })
     assert out["and_2__y"].data is True
+
+
+def test_multi_input_links_merge_to_list(ctx):
+    """List-valued input_links (reference format): upstream outputs merge
+    into one list input."""
+    pipeline = {
+        "steps": [
+            {"module_type": "logic.not", "step_id": "n1"},
+            {"module_type": "logic.not", "step_id": "n2"},
+            {"module_type": "mock", "step_id": "collect",
+             "module_config": {
+                 "inputs": {"xs": "any"},
+                 "outputs": {"out": {"type": "any", "from_input": "xs"}},
+             },
+             "input_links": {"xs": ["n1.y", "n2.y"]}},
+        ],
+        "input_aliases": {"n1.a": "a", "n2.a": "b"},
+        "output_aliases": {"collect.out": "out"},
+    }
+    out = ctx.run_pipeline(pipeline, {"a": True, "b": False})
+    assert out["out"].data == [False, True]
