@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "agg_distinct_customers",
     "scalar_string_battery",
     "scalar_math_battery",
+    "scalar_pandas_udf_battery",
     "json_events_battery",
     "events_tumbling_hourly",
     "events_sliding_1h_15m",

@@ -106,6 +106,26 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{op_id:45s} -> {op.module_type} {op.module_config or ''}")
         return 0
 
+    if cmd == "operation" and argv[:1] == ["explain"]:
+        ctx = KiaraContext()
+        op = ctx.operation_registry.resolve(argv[1])
+        module = ctx.create_module(op.module_type, dict(op.module_config))
+        print(f"operation: {argv[1]}")
+        print(f"module:    {op.module_type}")
+        if op.module_config:
+            print(f"config:    {op.module_config}")
+        doc = (module.__doc__ or "").strip().splitlines()
+        if doc:
+            print(f"doc:       {doc[0]}")
+        print("inputs:")
+        for name, schema in module.inputs_schema.items():
+            opt = " (optional)" if schema.optional or schema.default is not None else ""
+            print(f"  {name:20s} {schema.type}{opt}")
+        print("outputs:")
+        for name, schema in module.outputs_schema.items():
+            print(f"  {name:20s} {schema.type}")
+        return 0
+
     if cmd == "module" and argv[:1] == ["list"]:
         ctx = KiaraContext()
         for name in ctx.modules:
@@ -150,5 +170,22 @@ def main(argv: list[str] | None = None) -> int:
     return 1
 
 
+def entrypoint() -> int:
+    """main() with expected failures rendered as one-line errors."""
+    from .modules import InvalidInputsError
+
+    try:
+        return main()
+    except InvalidInputsError as e:
+        print(f"error: {e}", file=sys.stderr)
+    except KeyError as e:
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
+    except FileNotFoundError as e:
+        print(f"error: not found: {e.filename or e}", file=sys.stderr)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+    return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(entrypoint())

@@ -100,6 +100,10 @@ def connected_components(
         "component", F.col("id"))
     if checkpoint:
         labels = labels.localCheckpoint(eager=True)
+    # labels decrease monotonically per node, so sum(component) strictly
+    # decreases every round until the fixpoint — convergence detection is
+    # ONE cheap aggregate on the (checkpointed) labels, no old-vs-new join.
+    prev_sum = None
     for _ in range(max_iterations):
         nbr_min = (
             und.join(labels, und.dst == labels.id)
@@ -118,16 +122,12 @@ def connected_components(
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -214,8 +214,54 @@ class RangeJoin(KiaraModule):
         )}
 
 
-MODULES = [AsofJoin, RangeJoin]
+class SaltedJoin(KiaraModule):
+    _module_type_name = "table.join.salted"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": salted_join(
+            inputs["left"].data, inputs["right"].data,
+            on=self.config.get("on", []),
+            how=self.config.get("how", "inner"),
+            salt=self.config.get("salt", 16),
+        )}
+
+
+class StoreBucketed(KiaraModule):
+    """Persist as a bucketed managed table for repeated shuffle-free joins
+    (non-idempotent: it writes)."""
+
+    _module_type_name = "table.store.bucketed"
+    from ..modules import ModuleCharacteristics as _MC
+
+    _characteristics = _MC(is_idempotent=False)
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}, "name": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        from .tables import store_bucketed
+
+        return {"table": store_bucketed(
+            inputs["table"].data, inputs["name"].data,
+            bucket_by=self.config.get("bucket_by", []),
+            num_buckets=self.config.get("num_buckets", 32),
+            sort_by=self.config.get("sort_by"),
+        )}
+
+
+MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed]
 OPERATIONS = [
     Operation("table.join.asof", "table.join.asof"),
     Operation("table.join.range", "table.join.range"),
+    Operation("table.join.salted", "table.join.salted"),
+    Operation("table.store.bucketed", "table.store.bucketed"),
 ]

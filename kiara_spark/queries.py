@@ -1326,6 +1326,41 @@ def q19(spark, sf_dir):
 
 
 @query(
+    "scalar_pandas_udf_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+           upper(l_returnflag) || '-' || l_linestatus AS flag_status
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def scalar_pandas_udf(spark, sf_dir):
+    """Arrow scalar-pandas_udf path (vectorized Python, NOT row-at-a-time):
+    IEEE double arithmetic and ASCII string ops are bit-identical to the
+    JVM/SQL engines, so even the Python boundary is oracle-checkable."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no pd.Series type hints — `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint parser rejects
+    def _charge(ep, disc, tax):
+        return (ep * (1 - disc) * (1 + tax)).round(6)
+
+    def _flag_status(rf, ls):
+        return rf.str.upper() + "-" + ls
+
+    charge = pandas_udf(_charge, "double")
+    flag_status = pandas_udf(_flag_status, "string")
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+        flag_status("l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+@query(
     "q6_forecast_revenue",
     """
     SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)::DOUBLE AS revenue
