@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
     "sessionize_stateful_users",
     "graph_degrees",
     "graph_2hop_neighbors",

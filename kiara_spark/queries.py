@@ -1453,6 +1453,339 @@ def q18(spark, sf_dir):
     )
 
 
+@query(
+    "q8_market_share",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CASE WHEN n2.n_name = 'CHINA'
+                 THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))
+                 ELSE 0 END), 4) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share), adapted to the fixture schema
+    (no partsupp; supplier nation via l_suppkey).  Plan: lineitem is the only
+    big input — every dimension (part filter, orders date band, customer →
+    nation → region, supplier → nation) broadcasts, so the fact table is
+    scanned once with zero fact-side shuffle before the final tiny group-by
+    on year.  Reference parity: kiara expresses this only as a generic
+    table.query.sql module (`src/kiara/modules/included_core_modules`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = T.filter_rows(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate >= timestamp'1995-01-01' AND o_orderdate < timestamp'1997-01-01'")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = T.filter_rows(_t(spark, sf_dir, "region"), "r_name = 'ASIA'")
+    s = _t(spark, sf_dir, "supplier")
+    p = T.filter_rows(_t(spark, sf_dir, "part"), "p_type = 'ECONOMY'")
+    cust_nat = (
+        c.join(F.broadcast(n.join(F.broadcast(r),
+                                  n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey"))
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key")).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_nat), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "CHINA", vol).otherwise(F.lit(0.0)))
+            .alias("_num"),
+            dsum(vol).alias("_den"))
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_nation_profit",
+    """
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity
+                               AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation/year), adapted: cost is
+    p_retailprice*l_quantity since the fixture has no partsupp.ps_supplycost.
+    part/supplier/nation broadcast; orders is the one non-broadcast join and
+    lands on the lineitem shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = T.filter_rows(_t(spark, sf_dir, "part"), "p_name LIKE '%red%'")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    supp_nat = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")) \
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q12_late_shipments",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts), adapted: the fixture
+    has no l_shipmode/l_commitdate/l_receiptdate, so "late" = shipped more
+    than 60 days after the order date, grouped by l_returnflag."""
+    o = T.filter_rows(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate >= timestamp'1996-01-01' AND o_orderdate < timestamp'1997-01-01'")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count histogram); the o_comment NOT LIKE
+    filter becomes an o_orderpriority exclusion.  First group-by rides the
+    join shuffle on custkey; the histogram re-shuffle is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = T.filter_rows(_t(spark, sf_dir, "orders"),
+                      "o_orderpriority <> '4-NOT SPECIFIED'")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier in a quarter).  The revenue view is one row
+    per supplier (tiny), so the max-subquery is a broadcast of a 1-row agg
+    and the supplier join broadcasts too."""
+    li = T.filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1996-04-01'")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    best = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count per part group), adapted: the
+    part-supplier relation is lineitem (no partsupp), and the
+    complaints-supplier exclusion is a negative-balance exclusion.  NOT IN
+    on a non-null key becomes a broadcast anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = T.filter_rows(
+        _t(spark, sf_dir, "part"),
+        "p_brand <> 'Brand#5' AND p_size IN (1, 9, 17, 25, 33, 41, 49)")
+    bad = T.filter_rows(_t(spark, sf_dir, "supplier"), "s_acctbal < 0") \
+        .select("s_suppkey")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who alone failed multi-supplier orders),
+    adapted: "failed" = l_returnflag 'R' (no receipt/commit dates in the
+    fixture).  The EXISTS / NOT EXISTS pair decorrelates into one
+    per-order aggregate — count of distinct suppliers and of distinct
+    R-flag suppliers — broadcast back onto the fact rows, instead of two
+    self-joins over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = T.filter_rows(_t(spark, sf_dir, "orders"), "o_orderstatus = 'F'")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        .alias("n_r_supp"))
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(F.broadcast(o.select("o_orderkey")),
+                F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(per_order, F.col("ok") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape (rich customers with no recent orders), adapted: the
+    country-code substring of c_phone becomes c_nationkey.  The scalar avg
+    subquery is a 1-row broadcast cross-join (deterministic decimal sum /
+    count, not double AVG); the NOT EXISTS is an anti-join against recent
+    orders."""
+    c = _t(spark, sf_dir, "customer")
+    recent = T.filter_rows(_t(spark, sf_dir, "orders"),
+                           "o_orderdate >= timestamp'1999-01-01'") \
+        .select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
 # Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
 # restricted to high-value lineitems (supplier hubs in the unfiltered
 # bipartite graph connect to ~every customer, which makes 2-hop
