@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "window_running_total",
     "rollup_nation_priority",
     "cube_status_priority",
+    "grouping_sets_nation_priority",
+    "window_rank_battery",
+    "agg_percentile_battery",
     "sort_topk_orders",
     "agg_distinct_customers",
     "scalar_string_battery",
@@ -64,6 +67,9 @@ BENCH_QUERIES = [
     "q16_supplier_part_counts",
     "q21_waiting_suppliers",
     "q22_dormant_rich_customers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
     "sessionize_stateful_users",
     "graph_degrees",
     "graph_2hop_neighbors",

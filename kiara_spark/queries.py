@@ -1457,7 +1457,7 @@ def q18(spark, sf_dir):
     "q8_market_share",
     """
     SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-           CAST(ROUND(SUM(CASE WHEN n2.n_name = 'CHINA'
+           CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
                  THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))
                  ELSE 0 END), 4) AS DOUBLE)
            / CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE)
@@ -1514,7 +1514,7 @@ def q8(spark, sf_dir):
     return (
         joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            dsum(F.when(F.col("supp_nation") == "CHINA", vol).otherwise(F.lit(0.0)))
+            dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
             .alias("_num"),
             dsum(vol).alias("_den"))
         .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
@@ -1784,6 +1784,292 @@ def q22(spark, sf_dir):
              dsum("c_acctbal").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2),
+    eu_supply AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM supply JOIN supplier ON s_suppkey = ps_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+                  JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM eu_supply JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 9
+      AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eu_supply e2
+                           WHERE e2.ps_partkey = eu_supply.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part in a region), adapted: the
+    supply relation is derived from lineitem (no partsupp) with unit cost
+    MIN(l_extendedprice/l_quantity).  The correlated MIN subquery
+    decorrelates into a per-part aggregate joined back on exact equality —
+    both engines compute the identical IEEE division and MIN, so the double
+    equality is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = T.filter_rows(_t(spark, sf_dir, "region"), "r_name = 'EUROPE'")
+    p = T.filter_rows(_t(spark, sf_dir, "part"), "p_size = 9")
+    eu_supp = (
+        s.join(F.broadcast(n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    # restrict the fact scan to EUROPE suppliers BEFORE aggregating (≈20% of
+    # rows survive), then one shuffle on partkey serves both the
+    # (part,supp) MIN and the per-part window MIN.
+    eu_supply = (
+        li.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                 F.col("l_suppkey").alias("ps_suppkey"),
+                 "s_acctbal", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu_supply
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p.select("p_partkey", "p_name")),
+              F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH flows AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE)
+               AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey, value FROM flows
+    WHERE value > (SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) * 0.0005
+                   FROM flows)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock by nation), adapted: part value =
+    revenue flowing through NATION_3 suppliers in lineitem (no partsupp).  The
+    scalar threshold is a 1-row aggregate broadcast via cross-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = T.filter_rows(_t(spark, sf_dir, "nation"), "n_name = 'NATION_3'")
+    cn_supp = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")) \
+        .select("s_suppkey")
+    flows = (
+        li.join(F.broadcast(cn_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = flows.agg((dsum("value") * 0.0005).alias("thr"))
+    return (
+        flows.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    per_part AS (
+      SELECT l_partkey AS pk,
+             CAST(ROUND(SUM(CAST(qty AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty
+      FROM shipped GROUP BY 1)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped JOIN per_part ON pk = l_partkey
+                        WHERE qty > 0.5 * total_qty)
+    ORDER BY s_name
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers holding excess supply), adapted: a
+    supplier dominates a red part if it shipped more than half of that
+    part's 1996 volume (no partsupp availqty).  Two-level deterministic
+    decimal sums; the dominant-key set is tiny and semi-joins supplier."""
+    li = T.filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1997-01-01'")
+    p = T.filter_rows(_t(spark, sf_dir, "part"), "p_name LIKE 'red%'")
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("qty").alias("total_qty"))
+    dominant = (
+        shipped.join(per_part, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "window_rank_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_orderkey,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_rank_battery(spark, sf_dir):
+    """Ranking-function battery (rank/dense_rank/ntile/lead/first_value/
+    percent_rank) over one shared window spec — one shuffle+sort serves all
+    six functions.  The ORDER BY includes o_orderkey so every rank is
+    deterministic."""
+    o = T.filter_rows(_t(spark, sf_dir, "orders"), "o_custkey % 10 = 0")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).cast("bigint").alias("next_orderkey"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_orderkey"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "grouping_sets_nation_priority",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
+    ORDER BY g_nation, g_priority, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_nation_priority(spark, sf_dir):
+    """GROUPING SETS with GROUPING() markers — four aggregation granularities
+    in a single shuffle (Spark expands sets map-side, partial-aggregates
+    each)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    joined.createOrReplaceTempView("_gs_joined")
+    return spark.sql("""
+        SELECT n_name, o_orderpriority,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_price
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority), ())
+        ORDER BY g_nation, g_priority, n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+@query(
+    "agg_percentile_battery",
+    """
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS p75,
+           QUANTILE_DISC(o_totalprice, 0.90) AS p90_disc
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_percentile_battery(spark, sf_dir):
+    """Exact percentiles (continuous + discrete) per group.  Spark's
+    `percentile` is exact linear interpolation — same definition as DuckDB's
+    QUANTILE_CONT, so even the interpolated doubles hash-match after a 6dp
+    round.  (approx_percentile exists for the 100TB path but is engine-
+    specific, hence not oracle-comparable.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice)")
+            .alias("p90_disc"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("streaming_dedup_demo")
+def streaming_dedup_demo(spark, sf_dir):
+    """Structured Streaming dedup-within-watermark: duplicate events (same
+    event_id) arriving inside the watermark horizon are dropped with BOUNDED
+    state — the 100TB-stream answer to exact dedup, where a plain
+    dropDuplicates would grow state forever.  Rows-only check (streaming
+    semantics aren't SQL-expressible)."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events").limit(20000)
+    # duplicate every event once to give the dedup real work
+    doubled = ev.unionByName(ev)
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_dedup_")
+    doubled.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    result = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname, mode="complete")
+    q.awaitTermination(120)
+    return spark.table(qname)
 
 
 # Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
