@@ -196,8 +196,12 @@ def jaccard_similarity(text_a: Column, text_b: Column, k: int = 5) -> Column:
 
 
 def _jaccard_arrays(sh_a: Column, sh_b: Column) -> Column:
+    """Jaccard for two DISTINCT-element arrays: |A∪B| = |A|+|B|-|A∩B|, so one
+    array_intersect replaces intersect+union — at 22k+ candidate pairs the
+    second full set op (and its materialized union array) was ~half the
+    verify-stage cost."""
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    union = F.size(sh_a).cast("double") + F.size(sh_b).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -220,13 +224,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         shingles_col(F.col(text_col), k).alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
-    )
+    ).withColumn("_n", F.size("_sh")).localCheckpoint(eager=True)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+                  F.col("_n").alias("n_a"),
                   *([F.col("_blk")] if block_col else []))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+                  F.col("_n").alias("n_b"),
                   *([F.col("_blk")] if block_col else []))
+    # size prune: |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+    # J <= min/max — an integer predicate that kills most of the quadratic
+    # blocked pairs before any per-pair set op runs.  Pure optimization:
+    # pruned pairs provably cannot reach the threshold.
     joined = (a.join(b, on="_blk") if block_col else a.crossJoin(b)).filter(
-        F.col("id_a") < F.col("id_b"))
+        (F.col("id_a") < F.col("id_b"))
+        & (F.least("n_a", "n_b").cast("double")
+           >= F.lit(threshold) * F.greatest("n_a", "n_b")))
     return (
         joined.withColumn("jaccard", _jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -247,7 +259,21 @@ def minhash_dedup_verified(
     verify -> verified near-dup pairs.  Join back to texts is by id (hash
     join on a bigint key), so text payloads move at most once."""
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
+    # the candidate pair set is tiny (ids only) and used twice below —
+    # checkpoint it so the signature+LSH pipeline runs exactly once.
+    cand = cand.localCheckpoint(eager=True)
+    # shingle arrays only for docs that appear in some candidate pair —
+    # candidates << corpus, so the expensive array extraction is O(candidates)
+    # instead of O(corpus) per join side (at 100 TB the corpus-wide variant
+    # re-extracts every document's shingles twice).
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
+        # materialize once: both join sides below reuse the same extracted
+        # arrays instead of re-running the O(text) shingle extraction per side
+        .localCheckpoint(eager=True)
+    )
     joined = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "sh_b"}), "id_b")

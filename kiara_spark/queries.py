@@ -810,15 +810,26 @@ def text_tokens(spark, sf_dir):
 @query(
     "dedup_exact_groups",
     """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
     SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key,
            COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-    FROM documents
+    FROM corpus
     GROUP BY 1 HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact_q(spark, sf_dir):
+    """Exact dedup via normalized-content hash group-by.  The fixture corpus
+    has no byte-identical duplicates at sf0.01, so the query unions in a
+    deterministic 10% re-keyed copy — the dup groups the operator must find
+    are known, and the check is non-vacuous at every SF."""
     docs = _t(spark, sf_dir, "documents")
-    return D.exact_dup_groups(docs)
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.select("doc_id", "text").unionByName(dup.select("doc_id", "text"))
+    return D.exact_dup_groups(corpus)
 
 
 NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_K = 16, 4, 4, 5
