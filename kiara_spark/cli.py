@@ -3,10 +3,13 @@
 pipeline explain.
 
 Usage:
-    python -m kiara_spark.cli run <operation> [key=value ...]
-    python -m kiara_spark.cli operation list
-    python -m kiara_spark.cli module list
-    python -m kiara_spark.cli data list
+    python -m kiara_spark.cli run <operation> [key=value ...] [--save alias] [--explain]
+    python -m kiara_spark.cli operation list | operation explain <op_id>
+    python -m kiara_spark.cli module list | type list
+    python -m kiara_spark.cli data list | data explain <ref>
+    python -m kiara_spark.cli render <ref> [offset=N limit=N]
+    python -m kiara_spark.cli context info
+    python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
     python -m kiara_spark.cli pipeline explain <file.json>
 
 Inputs parse as JSON when possible, else strings (mirrors kiara's CLI arg
@@ -151,6 +154,48 @@ def main(argv: list[str] | None = None) -> int:
         loaded = ctx.import_archive(argv[1])
         for alias, v in loaded.items():
             print(f"{alias:30s} {v.value_id} ({v.schema.type})")
+        return 0
+
+    if cmd == "type" and argv[:1] == ["list"]:
+        ctx = KiaraContext()
+        for name in ctx.type_registry.type_names:
+            cls = ctx.type_registry._types[name]
+            doc = (cls.__doc__ or "").strip().splitlines()
+            print(f"{name:16s} {doc[0] if doc else ''}")
+        return 0
+
+    if cmd == "render":
+        if not argv:
+            raise SystemExit("render: missing value ref (alias:x / value:uuid)")
+        ref = argv.pop(0)
+        cfg = _parse_inputs(argv)
+        ctx = KiaraContext()
+        v = ctx.get_value(ref)
+        out = ctx.run_job("render.value", {"value": v, "render_config": cfg})
+        result = out["render_value_result"].data
+        if result.get("kind") == "table_page":
+            cols = result["columns"]
+            print(" | ".join(cols))
+            for row in result["rows"]:
+                print(" | ".join(str(row.get(c)) for c in cols))
+            print(f"[offset={result['offset']} limit={result['limit']} "
+                  f"next={result['related_scenes']['next']['offset']}]")
+        else:
+            print(result.get("rendered", result))
+        return 0
+
+    if cmd == "context" and argv[:1] == ["info"]:
+        ctx = KiaraContext()
+        spark = ctx.spark
+        print(f"spark:      {spark.version} ({spark.sparkContext.master})")
+        print(f"warehouse:  {ctx.data_registry.warehouse_path}")
+        print(f"types:      {len(ctx.type_registry.type_names)}")
+        print(f"modules:    {len(list(ctx.modules))}")
+        print(f"operations: {len(list(ctx.operations))}")
+        print(f"aliases:    {len(ctx.data_registry.aliases)}")
+        print(f"shuffle.partitions: "
+              f"{spark.conf.get('spark.sql.shuffle.partitions')}")
+        print(f"adaptive:   {spark.conf.get('spark.sql.adaptive.enabled')}")
         return 0
 
     if cmd == "pipeline" and argv[:1] == ["explain"]:
