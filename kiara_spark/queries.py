@@ -2083,6 +2083,57 @@ def streaming_dedup_demo(spark, sf_dir):
     return spark.table(qname)
 
 
+@query("streaming_join_demo")
+def streaming_join_demo(spark, sf_dir):
+    """Stream-stream inner join with watermarks and a time-range condition:
+    click events join purchase events of the same user within 1 hour.  Both
+    sides carry watermarks so the join state is BOUNDED — Spark evicts a
+    buffered click once no purchase older than (click_ts + 1h - watermark)
+    can arrive.  This is the streaming twin of the batch as-of/range joins
+    (operators/joins.py).  Rows-only check."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase")).limit(8000)
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_join_")
+    ev.coalesce(4).write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours"))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"))
+        .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        "purchase_value")
+    qname = f"sjoin_{uuid.uuid4().hex[:8]}"
+    # state-store partition count is fixed from shuffle.partitions at stream
+    # start; 32 state tasks/microbatch is overhead-bound at demo scale (at
+    # real scale you'd size it to the cluster, not shrink it).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_stream_to_memory(joined, qname)
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
+
+
 # Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
 # restricted to high-value lineitems (supplier hubs in the unfiltered
 # bipartite graph connect to ~every customer, which makes 2-hop
