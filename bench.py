@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_scores",
     "text_fingerprint",
+    "text_chunking",
+    "embedding_centroids",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",

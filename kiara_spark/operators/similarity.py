@@ -221,6 +221,55 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid components in long form (group, pos, centroid).
+
+    posexplode -> groupBy(group, pos) is THE scalable shape for vector
+    aggregation: one shuffle keyed on (group, dim) with map-side partial
+    sums, no driver-side vectors, works for any dimensionality.  (The
+    array-of-avgs alternative ``F.array(*[avg(col[i]) ...])`` hard-codes the
+    dim into the plan and builds d aggregate expressions — fine at d=64,
+    pathological at d=4096.)  Long form also sidesteps float-array equality
+    in the oracle compare.  Decimal-exact sums (see queries.dsum rationale).
+    """
+    exploded = df.select(
+        F.col(group_col).alias("group_key"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    n = F.count(F.lit(1))
+    # float -> string -> decimal: Spark's float->decimal cast expands the
+    # exact binary double (0.1f -> 0.1000000015) while DuckDB/Postgres use
+    # the float's shortest decimal representation (0.1).  Casting through
+    # string makes Spark use the shortest repr too, so decimal sums agree
+    # bit-for-bit with the SQL oracle.
+    dec = F.col("val").cast("string").cast("decimal(38,10)")
+    return (
+        exploded.groupBy("group_key", "pos")
+        .agg((F.round(F.sum(dec), 4).cast("double") / n).alias("centroid"))
+    )
+
+
+class EmbeddingCentroids(KiaraModule):
+    _module_type_name = "embedding.centroids"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"centroids": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"centroids": embedding_centroids(
+            inputs["table"].data,
+            group_col=self.config.get("group_column", "label"),
+            vec_col=self.config.get("vector_column", "embedding"),
+        )}
+
+
 class SimilarityTopK(KiaraModule):
     _module_type_name = "embedding.similarity.topk"
 
@@ -259,9 +308,10 @@ class EmbeddingNearDup(KiaraModule):
         )}
 
 
-MODULES = [SimilarityTopK, EmbeddingNearDup]
+MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.similarity.topk.ivf", "embedding.similarity.topk", {"method": "ivf"}),
     Operation("table.dedup.embedding_cosine", "table.dedup.embedding_cosine"),
+    Operation("embedding.centroids", "embedding.centroids"),
 ]

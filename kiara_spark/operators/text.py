@@ -160,6 +160,42 @@ def token_count_bpeish(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap — the
+    standard pre-embedding step in training/RAG pipelines.  Map-only:
+    sequence of chunk starts -> posexplode -> substring, all JVM built-ins;
+    output row count ≈ input chars / (size - overlap), no shuffle at all.
+    A final short chunk is kept (it still starts within the text)."""
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("chunk size must exceed overlap")
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text), F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            text.alias("_text"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(F.col("_text"), F.col("_start"), size).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 def _mk(name, fn, doc=""):
@@ -189,8 +225,31 @@ TextLanguageId = _mk("text.language_id", with_language_id, "stopword-membership 
 TextFingerprint = _mk("text.fingerprint", with_fingerprint, "min-k md5 shingle fingerprint")
 TextTokenCount = _mk("text.token_count", token_count_bpeish, "ws + BPE-ish token counts")
 
-MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint, TextTokenCount]
+class TextChunk(KiaraModule):
+    """Fixed-size overlapping character chunks (pre-embedding splitter)."""
+
+    _module_type_name = "text.chunk"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": chunk_documents(
+            inputs["table"].data,
+            text_col=self.config.get("text_column", "text"),
+            id_col=self.config.get("id_column", "doc_id"),
+            size=self.config.get("size", 200),
+            overlap=self.config.get("overlap", 50),
+        )}
+
+
+MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
+           TextTokenCount, TextChunk]
 OPERATIONS = [
+    Operation("text.chunk", "text.chunk"),
     Operation("text.token_stats", "text.token_stats"),
     Operation("text.quality_score", "text.quality_score"),
     Operation("text.language_id", "text.language_id"),

@@ -2134,6 +2134,47 @@ def streaming_join_demo(spark, sf_dir):
     return spark.table(qname)
 
 
+@query(
+    "text_chunking",
+    """
+    WITH ex AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(CEIL(GREATEST(length(text), 1) / 150.0) AS BIGINT))) AS i
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text,
+           length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len
+    FROM ex
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Document chunking (size=200, overlap=50 ⇒ stride 150): map-only
+    sequence+posexplode+substring, no shuffle — output rows ≈ chars/150."""
+    docs = T.filter_rows(_t(spark, sf_dir, "documents"), "doc_id % 20 = 0")
+    return X.chunk_documents(docs, size=200, overlap=50)
+
+
+@query(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label, UNNEST(range(0, len(embedding))) AS pos, UNNEST(embedding) AS val
+      FROM embeddings)
+    SELECT label AS group_key, CAST(pos AS INT) AS pos,
+           CAST(ROUND(SUM(CAST(val AS DECIMAL(38,10))), 4) AS DOUBLE)
+             / COUNT(*) AS centroid
+    FROM ex
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids_q(spark, sf_dir):
+    """Per-label centroid components, long form — posexplode + one shuffle
+    keyed on (label, dim), map-side partial sums; scales to any dim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_centroids(emb, group_col="label", vec_col="embedding") \
+        .withColumn("pos", F.col("pos").cast("int"))
+
+
 # Co-purchase graph: customer -- supplier edges via orders⋈lineitem,
 # restricted to high-value lineitems (supplier hubs in the unfiltered
 # bipartite graph connect to ~every customer, which makes 2-hop

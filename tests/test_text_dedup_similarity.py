@@ -85,3 +85,33 @@ def test_ivf_subset_of_bucket(spark):
     out = S.cosine_topk_ivf(df, q, k=5, bucket_col="label")
     # all neighbors must share the query's bucket (label 0 = even ids)
     assert all(r["neighbor_id"] % 2 == 0 for r in out.collect())
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    text = "abcdefghij" * 30  # 300 chars
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    chunks = {r["chunk_id"]: r for r in
+              X.chunk_documents(df, size=100, overlap=20).collect()}
+    # stride 80: starts 0, 80, 160, 240 -> 4 chunks
+    assert sorted(chunks) == [0, 1, 2, 3]
+    assert all(chunks[i]["chunk_text"] == text[i * 80:i * 80 + 100]
+               for i in chunks)
+    # consecutive chunks share exactly the overlap
+    assert chunks[0]["chunk_text"][80:] == chunks[1]["chunk_text"][:20]
+    assert chunks[3]["chunk_len"] == 60  # tail chunk is short, kept
+
+
+def test_chunk_documents_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id int, text string")
+    rows = X.chunk_documents(df, size=10, overlap=2).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == ""
+
+
+def test_embedding_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0]), (3, 1, [5.0, 5.0])],
+        "vec_id int, label int, embedding array<float>")
+    out = {(r["group_key"], r["pos"]): r["centroid"]
+           for r in S.embedding_centroids(df).collect()}
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 4.0
+    assert out[(1, 0)] == 5.0 and out[(1, 1)] == 5.0
