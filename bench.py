@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_dominant_suppliers",
+    "pivot_priority_revenue",
+    "unpivot_returnflag_measures",
+    "unnest_word_topk",
+    "stratified_sample_orders",
+    "window_range_frame_30d",
     "sessionize_stateful_users",
     "graph_degrees",
     "graph_2hop_neighbors",

@@ -109,6 +109,81 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int, remainder: int =
     return df.filter((F.col(key) % modulus) == remainder)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    fractions: dict[str, float],
+    modulus: int = 10,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row when
+    ``key % modulus < round(fraction[stratum] * modulus)``.
+
+    The reproducible twin of ``df.stat.sampleBy`` (seeded Bernoulli per
+    stratum): same selectivity per group, but stable across engines, runs and
+    partitionings, so held-out splits don't drift between pipeline runs.
+    Map-only — the predicate evaluates inside the scan stage, no shuffle."""
+    thr = F.lit(int(round(default_fraction * modulus)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == value, int(round(frac * modulus))).otherwise(thr)
+    return df.filter((F.col(key) % modulus) < thr)
+
+
+def pivot_table(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    aggregations: list[dict],
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """Wide reshape: one output column per ``pivot_values`` entry.
+
+    Passing ``pivot_values`` explicitly matters at scale: without it Spark
+    runs an extra distinct-scan job over the pivot column before planning.
+    The pivoted aggregate is still a single hash aggregate with map-side
+    combine — same shuffle shape as a plain groupBy."""
+    agg_cols = _agg_cols(aggregations)
+    out = df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(*agg_cols)
+    if column_names:
+        for raw, alias in zip([str(v) for v in pivot_values], column_names):
+            out = out.withColumnRenamed(raw, alias)
+    return out
+
+
+def unpivot_table(
+    df: DataFrame,
+    ids: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Long reshape (melt): ``value_cols`` become (measure, value) rows.
+    Spark plans this as a generator Expand — map-only, no shuffle."""
+    return df.unpivot(ids, value_cols, var_name, value_name)
+
+
+def explode_column(
+    df: DataFrame,
+    column: str,
+    alias: str,
+    keep: list[str] | None = None,
+    with_position: bool = False,
+) -> DataFrame:
+    """Flatten an array column to one row per element (LATERAL VIEW /
+    unnest).  Generator runs inside whole-stage codegen — no shuffle; output
+    row count scales with total element count, so downstream aggregations
+    should come before any global sort."""
+    cols = keep if keep is not None else [c for c in df.columns if c != column]
+    gen = (
+        F.posexplode(F.col(column)).alias("pos", alias)
+        if with_position
+        else F.explode(F.col(column)).alias(alias)
+    )
+    return df.select(*cols, gen)
+
+
 def join_tables(
     left: DataFrame,
     right: DataFrame,
@@ -139,6 +214,11 @@ _AGG_FNS = {
     "first": F.first,
     "last": F.last,
     "median": F.median,
+    # deterministic double sum: decimal-exact accumulation -> 4dp round ->
+    # double (see queries.dsum; order-insensitive across partitionings)
+    "dsum": lambda c: F.round(
+        F.sum((F.col(c) if isinstance(c, str) else c).cast("decimal(38,10)")), 4
+    ).cast("double"),
 }
 
 
@@ -390,6 +470,52 @@ TableSample = _simple_module(
                                                  _cfg(self, im, "seed")[0] or 42)},
 )
 
+TableStratifiedSample = _simple_module(
+    "table.sample.stratified",
+    {"table": TABLE, "stratum_col": STRING, "key": STRING, "fractions": DICT,
+     "modulus": {"type": "integer", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": stratified_sample(
+        im["table"].data, _cfg(self, im, "stratum_col")[0], _cfg(self, im, "key")[0],
+        _cfg(self, im, "fractions")[0], _cfg(self, im, "modulus")[0] or 10)},
+    doc="Deterministic per-stratum sample (reproducible sampleBy twin).",
+)
+
+TablePivot = _simple_module(
+    "table.pivot",
+    {"table": TABLE, "keys": {"type": "any"}, "pivot_col": STRING,
+     "pivot_values": {"type": "any"}, "aggregations": {"type": "any"},
+     "column_names": {"type": "any", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": pivot_table(
+        im["table"].data, _cfg(self, im, "keys")[0], _cfg(self, im, "pivot_col")[0],
+        _cfg(self, im, "pivot_values")[0], _cfg(self, im, "aggregations")[0],
+        _cfg(self, im, "column_names")[0])},
+    doc="Wide reshape; explicit pivot values avoid the distinct-scan job.",
+)
+
+TableUnpivot = _simple_module(
+    "table.unpivot",
+    {"table": TABLE, "ids": {"type": "any"}, "value_cols": {"type": "any"},
+     "var_name": {**STRING, "optional": True}, "value_name": {**STRING, "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": unpivot_table(
+        im["table"].data, _cfg(self, im, "ids")[0], _cfg(self, im, "value_cols")[0],
+        _cfg(self, im, "var_name")[0] or "measure", _cfg(self, im, "value_name")[0] or "value")},
+    doc="Long reshape (melt) — map-only Expand, no shuffle.",
+)
+
+TableExplode = _simple_module(
+    "table.explode",
+    {"table": TABLE, "column": STRING, "alias": STRING,
+     "with_position": {"type": "boolean", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": explode_column(
+        im["table"].data, _cfg(self, im, "column")[0], _cfg(self, im, "alias")[0],
+        with_position=bool(_cfg(self, im, "with_position")[0]))},
+    doc="Array flatten (LATERAL VIEW / unnest) inside codegen.",
+)
+
 TableJoin = _simple_module(
     "table.join",
     {"left": TABLE, "right": TABLE, "on": {"type": "any"}, "how": {**STRING, "optional": True},
@@ -485,7 +611,8 @@ ExportTable = _simple_module(
 
 MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
-    TableDropDuplicates, TableSort, TableLimit, TableSample, TableJoin,
+    TableDropDuplicates, TableSort, TableLimit, TableSample,
+    TableStratifiedSample, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable,
 ]

@@ -2341,3 +2341,187 @@ def streaming_demo(spark, sf_dir):
     q = run_stream_to_memory(result, qname)
     q.awaitTermination(120)
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# 10. reshape: pivot / unpivot / unnest + stratified sampling + range frames
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@query(
+    "pivot_priority_revenue",
+    """
+    SELECT o_orderstatus,
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS p1_urgent,
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS p2_high,
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS p3_medium,
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS p4_not_specified,
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 4) AS DOUBLE) AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority(spark, sf_dir):
+    """table.pivot: revenue per order status, one column per priority.
+    Explicit pivot values ⇒ no extra distinct-scan job; the pivoted agg is a
+    single hash aggregate (same shuffle as plain groupBy) — DuckDB twin is
+    conditional aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return T.pivot_table(
+        orders, ["o_orderstatus"], "o_orderpriority", _PRIORITIES,
+        [{"fn": "dsum", "column": "o_totalprice", "alias": "v"}],
+        column_names=_PRIORITY_ALIASES)
+
+
+@query(
+    "unpivot_returnflag_measures",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(ROUND(SUM(CAST(l_quantity      AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_price,
+             CAST(ROUND(SUM(CAST(l_discount      AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """table.unpivot (melt): wide per-flag aggregate -> long (measure, value)
+    rows.  The unpivot itself is a map-only Expand over 5 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"))
+    return T.unpivot_table(wide, ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"])
+
+
+@query(
+    "unnest_word_topk",
+    """
+    SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50
+    """,
+)
+def unnest_words(spark, sf_dir):
+    """table.explode / LATERAL VIEW: split document text to words, flatten,
+    count occurrences + containing docs, top-50.  explode runs inside
+    whole-stage codegen (no shuffle); one exchange for the word groupBy; the
+    top-k is TakeOrderedAndProject (per-partition heap + small merge)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = T.explode_column(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("words")),
+        "words", "word").filter(F.col("word") != "")
+    return (words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), "word").limit(50))
+
+
+@query(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sampled_value
+    FROM orders
+    WHERE o_orderkey % 10 < CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 5 ELSE 8 END
+    GROUP BY o_orderstatus
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """table.sample.stratified: deterministic per-stratum sampling (20% of F,
+    50% of O, 80% of P) — the reproducible twin of df.stat.sampleBy.  The
+    CASE threshold predicate evaluates map-side in the scan stage."""
+    orders = _t(spark, sf_dir, "orders")
+    sampled = T.stratified_sample(
+        orders, "o_orderstatus", "o_orderkey",
+        {"F": 0.2, "O": 0.5}, modulus=10, default_fraction=0.8)
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"), dsum("o_totalprice").alias("sampled_value"))
+
+
+@query(
+    "window_range_frame_30d",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS trailing_30d_value
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE window frame: per customer, trailing-30-day order value (frame
+    bounds by *value distance* on the epoch ordering key, not row offsets).
+    One hash exchange on o_custkey + in-partition sort; decimal accumulation
+    keeps the frame sum bit-identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate").cast("bigint"))
+         .rangeBetween(-2592000, 0))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w), 4)
+         .cast("double").alias("trailing_30d_value"))
+
+
+@query(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE sh_t AS (SELECT doc_id, text, {_SHINGLES} AS sh FROM documents),
+    h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+                JOIN sh_t sb ON cand.id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION SELECT id_b, id_a FROM ver
+    ),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+      WHERE r.comp < u.dst
+    ),
+    comp AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_minhash_clusters_q(spark, sf_dir):
+    """Duplicate CLUSTERS, the step a real dedup pipeline needs after pair
+    generation: verified minhash pairs -> undirected graph -> connected
+    components (hash-min propagation) -> (doc_id, canonical_id, cluster_size).
+    Keeping rows where doc_id == canonical_id implements 'keep one canonical
+    doc per near-dup cluster'.  Oracle: same pair SQL + recursive CTE."""
+    from .operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(docs, threshold=0.7, num_hashes=NUM_HASHES,
+                                     bands=BANDS, shingle_k=SHINGLE_K)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = G.connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, on="component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size")

@@ -107,3 +107,51 @@ def test_export_and_reimport(ctx, tables, tmp_path):
                 {"table": ctx.get_value("nation"), "path": path})
     back = ctx.run_job("create.table.from.file", {"path": path, "file_format": "parquet"})
     assert back["table"].data.count() == 25
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "x", 4.0)],
+        "g string, p string, v double")
+    wide = T.pivot_table(df, ["g"], "p", ["x", "y"],
+                         [{"fn": "dsum", "column": "v", "alias": "sv"}],
+                         column_names=["px", "py"])
+    rows = {r["g"]: r for r in wide.collect()}
+    assert rows["a"]["px"] == 1.0 and rows["a"]["py"] == 2.0
+    assert rows["b"]["px"] == 7.0 and rows["b"]["py"] is None
+    long = T.unpivot_table(wide, ["g"], ["px", "py"], "p", "sv")
+    assert long.count() == 4
+    back = {(r["g"], r["p"]): r["sv"] for r in long.collect()}
+    assert back[("a", "px")] == 1.0 and back[("b", "py")] is None
+
+
+def test_pivot_module_op(ctx, tables):
+    out = ctx.run_job("table.pivot", {
+        "table": ctx.get_value("orders"), "keys": ["o_orderstatus"],
+        "pivot_col": "o_orderpriority", "pivot_values": ["1-URGENT", "5-LOW"],
+        "aggregations": [{"fn": "count", "column": "*", "alias": "n"}]})
+    df = out["table"].data
+    assert set(df.columns) == {"o_orderstatus", "1-URGENT", "5-LOW"}
+    assert df.count() == df.select("o_orderstatus").distinct().count()
+
+
+def test_explode_column_positions(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], "k int, xs array<string>")
+    flat = T.explode_column(df, "xs", "x", with_position=True)
+    assert {(r["k"], r["pos"], r["x"]) for r in flat.collect()} == {
+        (1, 0, "a"), (1, 1, "b"), (2, 0, "c")}
+    # generator stays map-only: no exchange in the plan
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.createDataFrame([(i, "F" if i % 2 else "O") for i in range(1000)],
+                               "k bigint, s string")
+    out = T.stratified_sample(df, "s", "k", {"F": 0.2, "O": 0.6}, modulus=10)
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["F"] == 100 and counts["O"] == 300  # exact: k%10 stratified
+    # deterministic: identical result on re-run
+    again = T.stratified_sample(df, "s", "k", {"F": 0.2, "O": 0.6}, modulus=10)
+    assert sorted(r["k"] for r in out.collect()) == sorted(r["k"] for r in again.collect())
