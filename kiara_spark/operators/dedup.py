@@ -84,17 +84,16 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 5) ->
     """
     sh = shingles_col(text, shingle_k)
     hashed = F.transform(sh, base_hash32)
+
+    def _affine(i):
+        # NB: single-arg lambda — a 2-arg lambda would be called by
+        # pyspark's transform() as (element, index) and shadow the capture
+        return lambda h: (
+            F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])
+        ) % F.lit(MINHASH_P)
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h, i=i: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]))
-                    % F.lit(MINHASH_P),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hashed, _affine(i))) for i in range(num_hashes)]
     )
 
 
@@ -262,6 +261,11 @@ def minhash_dedup_verified(
     # the candidate pair set is tiny (ids only) and used twice below —
     # checkpoint it so the signature+LSH pipeline runs exactly once.
     cand = cand.localCheckpoint(eager=True)
+    # AQE coalesces the tiny id-pair set to ~1 partition; the shingle side
+    # broadcasts, so without this the exact-Jaccard set ops (the dominant
+    # verify cost) serialize onto one core.  Spreading ids is a trivial
+    # shuffle; the per-pair array intersections then use every core.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # shingle arrays only for docs that appear in some candidate pair —
     # candidates << corpus, so the expensive array extraction is O(candidates)
     # instead of O(corpus) per join side (at 100 TB the corpus-wide variant

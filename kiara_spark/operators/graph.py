@@ -59,16 +59,23 @@ def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
 
 def neighbors_within_2_hops(edges: DataFrame) -> DataFrame:
     """(id, n_neighbors_2hop): distinct nodes reachable in <= 2 undirected
-    hops (excluding self).  Two self-joins + one distinct aggregate."""
-    und = undirected_edges(edges)
+    hops (excluding self).
+
+    One checkpointed edge materialization (used by both hops — otherwise the
+    upstream edge derivation runs twice), one self-join, then a single
+    grouped count_distinct: partial (map-side) dedup of (id, nb) feeds one
+    exchange, instead of a distinct shuffle followed by a count shuffle over
+    the full pair set — the pair set is the big intermediate here (sum of
+    squared degrees), so one fewer pass over it is the main win."""
+    und = undirected_edges(edges).localCheckpoint(eager=True)
     one = und.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
     two = (
         one.alias("a")
         .join(und.alias("e"), F.col("a.nb") == F.col("e.src"))
         .select(F.col("a.id").alias("id"), F.col("e.dst").alias("nb"))
     )
-    both = one.unionByName(two).filter(F.col("id") != F.col("nb")).distinct()
-    return both.groupBy("id").agg(F.count(F.lit(1)).alias("n_neighbors_2hop"))
+    both = one.unionByName(two).filter(F.col("id") != F.col("nb"))
+    return both.groupBy("id").agg(F.count_distinct("nb").alias("n_neighbors_2hop"))
 
 
 def triangle_count_total(edges: DataFrame) -> DataFrame:
@@ -103,23 +110,30 @@ def connected_components(
     # labels decrease monotonically per node, so sum(component) strictly
     # decreases every round until the fixpoint — convergence detection is
     # ONE cheap aggregate on the (checkpointed) labels, no old-vs-new join.
-    prev_sum = None
-    for _ in range(max_iterations):
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr_min = (
-            und.join(labels, und.dst == labels.id)
+            und.join(lbl, und.dst == lbl.id)
             .groupBy(und.src.alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+        return lbl.join(nbr_min, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
         )
+
+    prev_sum = None
+    for _ in range(max_iterations):
+        # TWO propagation steps per checkpoint/convergence round: labels
+        # travel 2 hops per driver round-trip, halving the number of eager
+        # materializations + collects — the per-round fixed cost dominates
+        # on small diameters, and each lazy double-step is still one job.
+        # Fixpoint detection stays valid: each step is per-node
+        # non-increasing, so an unchanged sum after a double step implies
+        # both steps changed nothing.
+        new_labels = _propagate(_propagate(labels))
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
         cur_sum = new_labels.agg(

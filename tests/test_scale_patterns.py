@@ -96,3 +96,43 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="inner\\|left"):
         salted_join(df, df, on="k", how="right")
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    """Hive-partitioned write -> filtered read scans ONLY matching partitions
+    (the primary selective-scan lever at warehouse scale)."""
+    from kiara_spark.operators import tables as T
+
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else ("O" if i % 3 == 1 else "P"), float(i))
+         for i in range(300)],
+        "k bigint, status string, v double")
+    path = str(tmp_path / "orders_part")
+    T.export_table(df, path, partition_by=["status"])
+
+    back = spark.read.parquet(path).filter("status = 'F'")
+    assert back.count() == 100
+    optimized = back._jdf.queryExecution().optimizedPlan().toString()
+    executed = back._jdf.queryExecution().executedPlan().toString()
+    # pruning happened at planning: the status predicate is a partition
+    # filter on the scan, not a post-scan Filter over all partitions
+    assert "PartitionFilters" in executed or "status" not in optimized.split("Filter")[0]
+    scan_line = [l for l in executed.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan_line, executed
+
+
+def test_approx_sketches_within_bounds(spark, tables, ctx):
+    """approx_count_distinct (HLL++) and approx_percentile stay within their
+    documented error vs exact — the constant-memory path for 100 TB cardinality
+    and quantile estimation (exact variants shuffle full key sets)."""
+    from pyspark.sql import functions as F
+
+    orders = ctx.get_value("orders").data
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_cd"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_cd"] - row["exact_cd"]) <= 0.05 * row["exact_cd"]
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * abs(row["exact_p50"])
