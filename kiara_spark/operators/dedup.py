@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..modules import KiaraModule
 from ..operations import Operation
 from ..values import ValueMap
-from .text import base_hash32, shingles_col
+from .text import base_hash32, shingles_col, word_shingles_col
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -97,13 +97,25 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 5) ->
     )
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _shingles(text: Column, k: int, unit: str) -> Column:
+    """Shingle set builder: ``unit='char'`` -> character k-grams,
+    ``unit='word'`` -> space-joined word k-grams (the LLM-dedup standard;
+    far fewer shingles per doc, so far less digest work downstream)."""
+    if unit == "word":
+        return word_shingles_col(text, k)
+    if unit == "char":
+        return shingles_col(text, k)
+    raise ValueError(f"unknown shingle unit: {unit!r}")
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int,
+                      unit: str = "char") -> DataFrame:
     """(id, shingle) rows — the scale-out shape for sketching: shingle
     extraction happens exactly once, downstream sketches are groupBy
     aggregations with map-side partial combine."""
     return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("_shingle"),
+        F.explode(_shingles(F.col(text_col), k, unit)).alias("_shingle"),
     )
 
 
@@ -113,6 +125,7 @@ def minhash_signatures_df(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """(_id, h0..h{n-1}) signature table via explode + 16 min-aggregates.
 
@@ -122,7 +135,7 @@ def minhash_signatures_df(
     instead of a quadratically-duplicated expression tree (the naive
     array-fold form was ~30x slower even at sf0.1; per-hash md5 ~7x).
     """
-    ex = exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
+    ex = exploded_shingles(df, id_col, text_col, shingle_k, shingle_unit).withColumn(
         "_h0", base_hash32(F.col("_shingle"))
     )
     aggs = [
@@ -141,6 +154,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band of
     ``num_hashes/bands`` consecutive signature values collide.
@@ -151,7 +165,8 @@ def minhash_lsh_pairs(
     are tiny, the join never sees the full cross product.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k,
+                                shingle_unit)
     banded = sig.select(
         "_id",
         F.explode(
@@ -253,11 +268,13 @@ def minhash_dedup_verified(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """The production near-dedup pipeline: LSH candidates -> exact Jaccard
     verify -> verified near-dup pairs.  Join back to texts is by id (hash
     join on a bigint key), so text payloads move at most once."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k,
+                             shingle_unit)
     # the candidate pair set is tiny (ids only) and used twice below —
     # checkpoint it so the signature+LSH pipeline runs exactly once.
     cand = cand.localCheckpoint(eager=True)
@@ -273,7 +290,8 @@ def minhash_dedup_verified(
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     sh = (
         df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("_sh"))
+        .select(F.col(id_col),
+                _shingles(F.col(text_col), shingle_k, shingle_unit).alias("_sh"))
         # materialize once: both join sides below reuse the same extracted
         # arrays instead of re-running the O(text) shingle extraction per side
         .localCheckpoint(eager=True)
@@ -299,6 +317,7 @@ def with_simhash(
     text_col: str = "text",
     shingle_k: int = 5,
     id_col: str = "doc_id",
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """64-bit SimHash over shingle md5s, emitted as a 16-hex-digit string.
 
@@ -315,7 +334,7 @@ def with_simhash(
     shuffle on the id.
     """
     hexdigits = "0123456789abcdef"
-    ex = exploded_shingles(df, id_col, text_col, shingle_k).withColumn(
+    ex = exploded_shingles(df, id_col, text_col, shingle_k, shingle_unit).withColumn(
         "_h", F.md5(F.col("_shingle"))
     )
     aggs = []

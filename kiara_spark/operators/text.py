@@ -126,6 +126,27 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(seq, lambda i: F.substring(low, i, k)))
 
 
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the lowercased text — the
+    standard shingling unit for LLM training-data dedup (C4/GPT-style
+    pipelines shingle on words, not characters): ~avg-word-length× fewer
+    shingles per document than char k-grams, so that much less digest work
+    in minhash sketching.  DuckDB twin: list_filter(string_split(...)) words,
+    then range + 1-based element concat."""
+    words = F.filter(F.split(F.lower(text), " "), lambda w: w != "")
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    seq = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(F.expr("array()"))
+    return F.array_distinct(
+        F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
+
+
 def base_hash32(col: Column) -> Column:
     """Portable 32-bit uniform hash: first 8 hex digits of md5 as a bigint.
     One digest per input; derived hash families multiply/mod on top of this.

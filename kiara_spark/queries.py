@@ -833,6 +833,19 @@ def dedup_exact_q(spark, sf_dir):
 
 
 NUM_HASHES, BANDS, ROWS_PER_BAND, SHINGLE_K = 16, 4, 4, 5
+# minhash shingles on WORD 3-grams (the LLM-pipeline standard: C4/GPT-style
+# dedup shingles words, and an avg word is ~6 chars, so ~6x fewer digests
+# than char 5-grams for the same corpus)
+SHINGLE_WORDS = 3
+
+_SH_T_WORD = (
+    "SELECT doc_id, text,"
+    " list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh"
+    " FROM (SELECT doc_id, text,"
+    " list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws"
+    " FROM documents)"
+)
 
 _SIG_SQL = ", ".join(
     f"list_aggregate(list_transform(h0s, h -> ({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P}), 'min') AS h{i}"
@@ -850,7 +863,7 @@ _BAND_ROWS = "\nUNION ALL\n".join(
 @query(
     "dedup_minhash_pairs",
     f"""
-    WITH sh_t AS (SELECT doc_id, text, {_SHINGLES} AS sh FROM documents),
+    WITH sh_t AS ({_SH_T_WORD}),
     h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
     sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
     bands AS ({_BAND_ROWS}),
@@ -872,7 +885,8 @@ _BAND_ROWS = "\nUNION ALL\n".join(
 def dedup_minhash_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_dedup_verified(docs, threshold=0.7, num_hashes=NUM_HASHES,
-                                    bands=BANDS, shingle_k=SHINGLE_K)
+                                    bands=BANDS, shingle_k=SHINGLE_WORDS,
+                                    shingle_unit="word")
 
 
 @query(
@@ -2474,7 +2488,7 @@ def window_range_frame(spark, sf_dir):
 @query(
     "dedup_minhash_clusters",
     f"""
-    WITH RECURSIVE sh_t AS (SELECT doc_id, text, {_SHINGLES} AS sh FROM documents),
+    WITH RECURSIVE sh_t AS ({_SH_T_WORD}),
     h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
     sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
     bands AS ({_BAND_ROWS}),
@@ -2517,7 +2531,8 @@ def dedup_minhash_clusters_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_verified(docs, threshold=0.7, num_hashes=NUM_HASHES,
-                                     bands=BANDS, shingle_k=SHINGLE_K)
+                                     bands=BANDS, shingle_k=SHINGLE_WORDS,
+                                     shingle_unit="word")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = G.connected_components(edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
