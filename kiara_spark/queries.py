@@ -56,8 +56,8 @@ def dsum(col):
     return F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")
 
 
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
+def _t(spark, sf_dir, name, parallelize=None):
+    return load_table(spark, sf_dir, name, parallelize=parallelize)
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +81,7 @@ def _t(spark, sf_dir, name):
     """,
 )
 def q1(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     filtered = T.filter_rows(li, "l_shipdate <= timestamp'1998-09-02'")
     n = F.count(F.lit(1))
     return filtered.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1134,7 +1134,7 @@ def agg_stats(spark, sf_dir):
     the built-in streaming moments (stddev_samp/corr) are order-sensitive in
     the last ulp and can't hash-match across engines.  Map-side partial
     decimal sums; same single-shuffle profile as any groupBy."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     dec = lambda c: F.sum(c.cast("decimal(38,10)")).cast("double")  # noqa: E731
