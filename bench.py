@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "events_tumbling_hourly",
     "events_sliding_1h_15m",
     "events_session_30m",
+    "events_retention_cohorts",
+    "events_gap_fill_hourly",
+    "histogram_totalprice",
     "text_token_stats",
     "text_quality_scores",
     "text_fingerprint",

@@ -2540,3 +2540,73 @@ def dedup_minhash_clusters_q(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("component").alias("canonical_id"),
         "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# 11. event analytics: retention cohorts, gap-fill/locf, histograms
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_q(spark, sf_dir):
+    """Cohort retention: users cohorted by first-seen day, distinct actives
+    per (cohort, day offset).  Two hash shuffles on user_id, no per-user
+    sort — see streaming.windows.retention_cohorts."""
+    ev = _t(spark, sf_dir, "events")
+    return W.retention_cohorts(ev)
+
+
+@query(
+    "events_gap_fill_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS hv
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT k, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY k),
+    grid AS (SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+    SELECT g.k AS event_type, CAST(epoch(g.h) AS BIGINT) AS hour_ts,
+           last_value(hv IGNORE NULLS) OVER (
+             PARTITION BY g.k ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(hv IS NULL AS BIGINT) AS was_gap
+    FROM grid g LEFT JOIN hourly ON g.k = hourly.k AND g.h = hourly.h
+    """,
+)
+def events_gap_fill_q(spark, sf_dir):
+    """Hypertable-style gap fill + locf: hourly per-type sums densified over
+    each type's [first, last] hour (sequence+explode, map-only grid), then
+    forward-filled with an ignore-nulls window.  Decimal hourly sums keep
+    the carried values bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return W.gap_fill_hourly(ev)
+
+
+@query(
+    "histogram_totalprice",
+    """
+    SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 30000.0), 0), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS bucket_value
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice_q(spark, sf_dir):
+    """Fixed-width histogram (width_bucket pattern spelled with portable
+    floor arithmetic): one hash aggregate on the bucket id — the
+    constant-memory distribution profile for any measure at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.greatest(F.floor(F.col("o_totalprice") / 30000.0), F.lit(0)),
+                     F.lit(19)).cast("bigint").alias("bucket")
+    return orders.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("bucket_value"))

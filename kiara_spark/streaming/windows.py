@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..modules import KiaraModule
 from ..operations import Operation
@@ -133,6 +134,66 @@ def run_stream_to_memory(result: DataFrame, query_name: str, mode: str = "append
 # -- modules ---------------------------------------------------------------
 
 
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Classic cohort retention: users are cohorted by the day of their first
+    event; each (cohort_day, day_offset) cell counts distinct users active
+    that many days after joining.
+
+    Plan shape: one groupBy(user) for first-seen (shuffle on user), one join
+    back on user (same key — no extra exchange needed on the events side
+    after AQE), one grouped count_distinct.  No window function, so no
+    per-user sort; scales as two hash shuffles on the user key."""
+    day = F.to_date(F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(F.min(day).alias("_cohort_day"))
+    joined = df.select(F.col(user_col), day.alias("_day")).join(firsts, user_col)
+    return (
+        joined.groupBy(
+            F.col("_cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("_day"), F.col("_cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def gap_fill_hourly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    agg_col: Column | None = None,
+    agg_alias: str = "hourly_value",
+) -> DataFrame:
+    """Time-series gap filling with forward fill (the hypertable
+    ``time_bucket_gapfill`` + ``locf`` pattern): hourly aggregate per key,
+    densified to EVERY hour between each key's first and last event via
+    sequence+explode (map-only generation — the grid never shuffles), then
+    last-non-null carried forward with an ignore-nulls window.
+
+    Output: (key, hour_ts epoch-seconds, filled_value, was_gap 0/1)."""
+    h = F.date_trunc("hour", F.col(ts_col))
+    agg = agg_col if agg_col is not None else F.round(
+        F.sum(F.col("value").cast("decimal(38,10)")), 4).cast("double")
+    hourly = df.groupBy(F.col(key_col).alias("_key"), h.alias("_h")).agg(
+        agg.alias(agg_alias))
+    bounds = hourly.groupBy("_key").agg(F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+    grid = bounds.select(
+        "_key",
+        F.explode(F.sequence("_h0", "_h1", F.expr("interval 1 hour"))).alias("_h"),
+    )
+    filled = grid.join(hourly, ["_key", "_h"], "left")
+    w = Window.partitionBy("_key").orderBy("_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return filled.select(
+        F.col("_key").alias(key_col),
+        F.unix_timestamp("_h").cast("bigint").alias("hour_ts"),
+        F.last(agg_alias, ignorenulls=True).over(w).alias("filled_value"),
+        F.col(agg_alias).isNull().cast("bigint").alias("was_gap"),
+    )
+
+
 def _win_module(name, fn, extra_fields):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -161,9 +222,48 @@ EventsTumbling = _win_module("events.window.tumbling", tumbling_window_agg, ["du
 EventsSliding = _win_module("events.window.sliding", sliding_window_agg, ["duration", "slide"])
 EventsSession = _win_module("events.window.session", session_window_agg, ["gap"])
 
-MODULES = [EventsTumbling, EventsSliding, EventsSession]
+class EventsRetention(KiaraModule):
+    """Cohort retention grid over an event table."""
+
+    _module_type_name = "events.retention.cohorts"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": retention_cohorts(
+            inputs["table"].data,
+            ts_col=self.config.get("ts_column", "ts"),
+            user_col=self.config.get("user_column", "user_id"))}
+
+
+class EventsGapFill(KiaraModule):
+    """Hourly gap-fill + forward fill (gapfill/locf) over an event table."""
+
+    _module_type_name = "events.gap_fill.hourly"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": gap_fill_hourly(
+            inputs["table"].data,
+            ts_col=self.config.get("ts_column", "ts"),
+            key_col=self.config.get("key_column", "event_type"))}
+
+
+MODULES = [EventsTumbling, EventsSliding, EventsSession, EventsRetention,
+           EventsGapFill]
 OPERATIONS = [
     Operation("events.window.tumbling", "events.window.tumbling"),
     Operation("events.window.sliding", "events.window.sliding"),
     Operation("events.window.session", "events.window.session"),
+    Operation("events.retention.cohorts", "events.retention.cohorts"),
+    Operation("events.gap_fill.hourly", "events.gap_fill.hourly"),
 ]

@@ -59,3 +59,30 @@ def test_streaming_matches_batch(spark, tmp_path):
     batch = W.tumbling_window_agg(ev, "ts", "1 hour", keys=["user"])
     want = {(r["window_start"], r["user"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_retention_cohorts_module(ctx, tables):
+    out = ctx.run_job("events.retention.cohorts", {"table": ctx.get_value("events")})
+    df = out["table"].data
+    assert set(df.columns) == {"cohort_day", "day_offset", "n_users"}
+    # offsets are non-negative and every cohort has a day-0 cell
+    assert df.filter("day_offset < 0").count() == 0
+    cohorts = df.select("cohort_day").distinct().count()
+    assert df.filter("day_offset = 0").count() == cohorts
+
+
+def test_gap_fill_hourly_dense_and_locf(spark):
+    from kiara_spark.streaming.windows import gap_fill_hourly
+
+    rows = [("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 03:20:00", 5.0),
+            ("b", "2024-01-01 01:00:00", 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) ts", "value")
+    out = gap_fill_hourly(df).orderBy("event_type", "hour_ts").collect()
+    a = [r for r in out if r["event_type"] == "a"]
+    # dense hourly grid across a's [00:00, 03:00] span: 4 rows, gaps filled
+    assert len(a) == 4
+    assert [r["was_gap"] for r in a] == [0, 1, 1, 0]
+    assert [r["filled_value"] for r in a] == [1.0, 1.0, 1.0, 5.0]
+    assert len([r for r in out if r["event_type"] == "b"]) == 1
