@@ -410,17 +410,32 @@ def _cfg(self, im: ValueMap, *names):
     return out
 
 
-CreateTableFromFile = _simple_module(
-    "create.table.from.file",
-    {"path": STRING, "file_format": {**STRING, "optional": True}},
-    {"table": TABLE},
-    lambda self, im, ctx: {
+def _table_from_file_process(self, im, ctx):
+    # accepts either a raw path string or a `file` value (the reference's
+    # table_import.json wires import.local.file -> create.table.from.file
+    # through the file field; see tests/resources/pipelines/table_import.json)
+    if "path" in im and im["path"].data is not None:
+        path = im["path"].data
+    elif "file" in im:
+        path = im["file"].data.path
+    else:
+        raise ValueError("create.table.from.file needs a 'path' or 'file' input")
+    return {
         "table": create_table_from_file(
-            ctx.spark, im["path"].data,
+            ctx.spark, path,
             file_format=_cfg(self, im, "file_format")[0],
             **self.config.get("options", {}),
         )
-    },
+    }
+
+
+CreateTableFromFile = _simple_module(
+    "create.table.from.file",
+    {"path": {**STRING, "optional": True},
+     "file": {"type": "file", "optional": True},
+     "file_format": {**STRING, "optional": True}},
+    {"table": TABLE},
+    _table_from_file_process,
     doc="Source: file -> DataFrame (csv/json/parquet/orc).",
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )

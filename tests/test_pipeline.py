@@ -152,3 +152,16 @@ def test_multi_input_links_merge_to_list(ctx):
     }
     out = ctx.run_pipeline(pipeline, {"a": True, "b": False})
     assert out["out"].data == [False, True]
+
+
+def test_reference_table_import_pipeline_verbatim(ctx, tables):
+    """Run the REFERENCE'S OWN table_import.json unchanged
+    (/root/reference/tests/resources/pipelines/table_import.json):
+    import.local.file -> create.table.from.file wired through the `file`
+    value, inputs addressed by step-qualified field names."""
+    path = "/root/reference/tests/resources/pipelines/table_import.json"
+    out = ctx.run_pipeline(path, {
+        "import_file__path": "/root/testdata/sf0.001/orders.parquet"})
+    dfs = [v.data for v in out.values() if hasattr(v.data, "columns")]
+    assert dfs and "o_orderkey" in dfs[0].columns
+    assert dfs[0].count() > 0
