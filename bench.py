@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_sliding_1h_15m",
     "events_session_30m",
     "events_retention_cohorts",
+    "events_funnel_signup_click_purchase",
     "events_gap_fill_hourly",
     "histogram_totalprice",
     "text_token_stats",

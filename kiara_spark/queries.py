@@ -2610,3 +2610,26 @@ def histogram_totalprice_q(spark, sf_dir):
                      F.lit(19)).cast("bigint").alias("bucket")
     return orders.groupBy(bucket).agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("bucket_value"))
+
+
+@query(
+    "events_funnel_signup_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 1, 'click', COUNT(*) FROM s2
+    UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s3
+    """,
+)
+def events_funnel_q(spark, sf_dir):
+    """Ordered conversion funnel (signup -> click -> purchase, strict event-
+    time order): per stage one filtered min-aggregate + one user-key join
+    against the previous stage's survivors — every shuffle on user_id, so a
+    bucketed event table runs the whole funnel co-located."""
+    ev = _t(spark, sf_dir, "events")
+    return W.funnel_stages(ev, ["signup", "click", "purchase"])

@@ -194,6 +194,51 @@ def gap_fill_hourly(
     )
 
 
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when their earliest
+    stage-k event strictly follows the timestamp at which they reached stage
+    k-1.  Output: (stage_idx, stage, n_users) — one row per stage.
+
+    Plan shape: per stage, one filtered groupBy(user) min + one equi-join on
+    the user key against the survivors of the previous stage; every shuffle
+    is on user_id, so on a pre-partitioned/bucketed event table the whole
+    funnel is co-located.  Surviving-user sets shrink monotonically, and the
+    per-stage aggregate input is filtered to one event type before the
+    shuffle."""
+    reached = None  # (user_col, _t) — time the user reached the previous stage
+    counts = []
+    for idx, stage in enumerate(stages):
+        ev = df.filter(F.col(type_col) == stage).select(
+            F.col(user_col), F.col(ts_col).alias("_ts"))
+        if reached is None:
+            cur = ev.groupBy(user_col).agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(reached, user_col)
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias("_t"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).cast("bigint").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def _win_module(name, fn, extra_fields):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -258,12 +303,33 @@ class EventsGapFill(KiaraModule):
             key_col=self.config.get("key_column", "event_type"))}
 
 
+class EventsFunnel(KiaraModule):
+    """Ordered conversion funnel over an event table (config: ``stages``)."""
+
+    _module_type_name = "events.funnel"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": funnel_stages(
+            inputs["table"].data,
+            stages=self.config["stages"],
+            ts_col=self.config.get("ts_column", "ts"),
+            user_col=self.config.get("user_column", "user_id"),
+            type_col=self.config.get("type_column", "event_type"))}
+
+
 MODULES = [EventsTumbling, EventsSliding, EventsSession, EventsRetention,
-           EventsGapFill]
+           EventsGapFill, EventsFunnel]
 OPERATIONS = [
     Operation("events.window.tumbling", "events.window.tumbling"),
     Operation("events.window.sliding", "events.window.sliding"),
     Operation("events.window.session", "events.window.session"),
     Operation("events.retention.cohorts", "events.retention.cohorts"),
     Operation("events.gap_fill.hourly", "events.gap_fill.hourly"),
+    Operation("events.funnel", "events.funnel"),
 ]

@@ -86,3 +86,23 @@ def test_gap_fill_hourly_dense_and_locf(spark):
     assert [r["was_gap"] for r in a] == [0, 1, 1, 0]
     assert [r["filled_value"] for r in a] == [1.0, 1.0, 1.0, 5.0]
     assert len([r for r in out if r["event_type"] == "b"]) == 1
+
+
+def test_funnel_strict_ordering(spark):
+    from kiara_spark.streaming.windows import funnel_stages
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, "signup", "2024-01-01 00:00:00"), (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # u2 clicked BEFORE signing up: click doesn't count, purchase unreachable
+        (2, "click", "2024-01-01 00:00:00"), (2, "signup", "2024-01-01 01:00:00"),
+        (2, "purchase", "2024-01-01 02:00:00"),
+        # u3 never signed up
+        (3, "click", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts string") \
+        .selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) ts")
+    out = {r["stage"]: r["n_users"]
+           for r in funnel_stages(df, ["signup", "click", "purchase"]).collect()}
+    assert out == {"signup": 2, "click": 1, "purchase": 1}
