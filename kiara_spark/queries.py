@@ -2633,3 +2633,58 @@ def events_funnel_q(spark, sf_dir):
     bucketed event table runs the whole funnel co-located."""
     ev = _t(spark, sf_dir, "events")
     return W.funnel_stages(ev, ["signup", "click", "purchase"])
+
+
+@query("streaming_foreachbatch_upsert_demo")
+def streaming_foreachbatch_demo(spark, sf_dir):
+    """foreachBatch incremental-sink pattern — THE production shape for
+    merging a stream into a warehouse table: each micro-batch is
+    deduplicated against what the sink already holds (left_anti on the key)
+    and appended, so replays/overlapping batches never double-write.  The
+    demo streams the events table through the sink and returns per-type
+    counts read back FROM THE SINK (rows-only: foreachBatch side effects
+    aren't SQL-expressible)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="kiara_febatch_src_")
+    sink = os.path.join(tempfile.mkdtemp(prefix="kiara_febatch_sink_"), "t")
+    # overlapping writes: full corpus + a 20% replay slice -> two source
+    # files, so at least one batch sees rows the sink already has
+    ev.write.mode("overwrite").parquet(src)
+    ev.filter(F.col("event_id") % 5 == 0).write.mode("append").parquet(src)
+
+    def upsert(batch_df, batch_id):
+        b = batch_df.dropDuplicates(["event_id"])
+        if os.path.isdir(sink) and any(
+            f.endswith(".parquet") for f in os.listdir(sink)
+        ):
+            existing = batch_df.sparkSession.read.parquet(sink).select("event_id")
+            b = b.join(existing, "event_id", "left_anti")
+        b.write.mode("append").parquet(sink)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        # several micro-batches (not one availableNow mega-batch), so the
+        # replay slice really arrives AFTER its originals are in the sink
+        # and the cross-batch anti-join path is exercised
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    q = (
+        stream.select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kiara_febatch_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(sink)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_id").alias("n_unique"))
