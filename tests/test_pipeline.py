@@ -165,3 +165,20 @@ def test_reference_table_import_pipeline_verbatim(ctx, tables):
     dfs = [v.data for v in out.values() if hasattr(v.data, "columns")]
     assert dfs and "o_orderkey" in dfs[0].columns
     assert dfs[0].count() > 0
+
+
+def test_llm_data_prep_example_pipeline(ctx, tables):
+    """examples/llm_data_prep.json: the LLM training-data prep DAG
+    (load -> quality -> filter -> exact dedup -> token stats -> SQL summary)
+    runs end-to-end through the orchestration surface."""
+    out = ctx.run_pipeline("examples/llm_data_prep.json", {
+        "path": "/root/testdata/sf0.001/documents.parquet",
+        "min_quality": "quality_score >= 0.3",
+        "summary_query": ("select lang, count(*) as n_docs, "
+                          "sum(num_tokens) as total_tokens from data group by lang"),
+    })
+    clean = out["clean_corpus"].data
+    summary = out["corpus_summary"].data
+    assert clean.count() > 0
+    assert {c for c in summary.columns} == {"lang", "n_docs", "total_tokens"}
+    assert summary.count() > 0
