@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "scalar_string_battery",
     "scalar_math_battery",
     "scalar_pandas_udf_battery",
+    "scalar_array_battery",
     "json_events_battery",
     "events_tumbling_hourly",
     "events_sliding_1h_15m",

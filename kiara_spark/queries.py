@@ -2688,3 +2688,38 @@ def streaming_foreachbatch_demo(spark, sf_dir):
     return final.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("event_id").alias("n_unique"))
+
+
+@query(
+    "scalar_array_battery",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_val,
+           embedding[len(embedding)] AS last_val,
+           list_min(embedding) AS min_val,
+           list_max(embedding) AS max_val,
+           list_sort(embedding)[1] AS sorted_first,
+           list_reverse_sort(embedding)[1] AS sorted_last,
+           CAST(list_contains(embedding, list_max(embedding)) AS BIGINT) AS has_max
+    FROM embeddings
+    """,
+)
+def scalar_array_q(spark, sf_dir):
+    """Scalar ARRAY function battery (size / element_at / array_min /
+    array_max / sort_array / array_contains) over the embedding column —
+    map-only, stays entirely inside codegen; no value arithmetic, so float
+    elements pass through bit-identical in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("bigint").alias("dim"),
+        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, F.size(e)).alias("last_val"),
+        F.array_min(e).alias("min_val"),
+        F.array_max(e).alias("max_val"),
+        F.element_at(F.sort_array(e), 1).alias("sorted_first"),
+        F.element_at(F.sort_array(e, asc=False), 1).alias("sorted_last"),
+        F.array_contains(e, F.array_max(e)).cast("bigint").alias("has_max"),
+    )
