@@ -352,6 +352,62 @@ def store_bucketed(
     return spark.table(name)
 
 
+def repartition_table(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    by: list[str] | None = None,
+    range_by: list[str] | None = None,
+) -> DataFrame:
+    """Explicit partitioning control — the lever for co-locating a join key
+    ahead of several same-key stages, or for re-spreading data after a
+    selective filter collapsed partition counts.
+
+    ``by`` -> hash partitioning on columns; ``range_by`` -> range
+    partitioning (globally ordered partition boundaries via sampling, what a
+    sort-heavy downstream wants); neither -> round-robin."""
+    if range_by:
+        cols = [F.col(c) for c in range_by]
+        return (df.repartitionByRange(num_partitions, *cols)
+                if num_partitions else df.repartitionByRange(*cols))
+    if by:
+        cols = [F.col(c) for c in by]
+        return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+    if num_partitions is None:
+        raise ValueError("repartition needs num_partitions and/or columns")
+    return df.repartition(num_partitions)
+
+
+def coalesce_table(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Shuffle-free partition reduction (narrow dependency) — the cheap way
+    to cut output file counts when data is already small enough."""
+    return df.coalesce(num_partitions)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+) -> dict:
+    """Small-file compaction, the standard warehouse maintenance job: a
+    directory that accumulated many small parquet files (streaming sinks,
+    per-batch appends) is rewritten as ``target_files`` right-sized files.
+    Reads the whole dir once, round-robin repartitions, atomically swaps via
+    a temp dir (the read must complete before the target is replaced)."""
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    tmp = tempfile.mkdtemp(prefix="kiara_compact_")
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".compact_bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"path": path, "files_before": n_before, "files_after": n_after}
+
+
 def export_table(df: DataFrame, path: str, file_format: str = "parquet",
                  mode: str = "overwrite", partition_by: list[str] | None = None,
                  **options) -> dict:
@@ -483,6 +539,36 @@ TableSample = _simple_module(
     {"table": TABLE},
     lambda self, im, ctx: {"table": sample_table(im["table"].data, _cfg(self, im, "fraction")[0],
                                                  _cfg(self, im, "seed")[0] or 42)},
+)
+
+TableRepartition = _simple_module(
+    "table.repartition",
+    {"table": TABLE, "num_partitions": {"type": "integer", "optional": True},
+     "by": {"type": "any", "optional": True}, "range_by": {"type": "any", "optional": True}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": repartition_table(
+        im["table"].data, _cfg(self, im, "num_partitions")[0],
+        _cfg(self, im, "by")[0], _cfg(self, im, "range_by")[0])},
+    doc="Hash / range / round-robin repartitioning (explicit co-location).",
+)
+
+TableCoalesce = _simple_module(
+    "table.coalesce",
+    {"table": TABLE, "num_partitions": {"type": "integer"}},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": coalesce_table(
+        im["table"].data, _cfg(self, im, "num_partitions")[0])},
+    doc="Shuffle-free partition reduction.",
+)
+
+TableCompact = _simple_module(
+    "table.compact",
+    {"path": STRING, "target_files": {"type": "integer"}},
+    {"details": DICT},
+    lambda self, im, ctx: {"details": compact_parquet_dir(
+        ctx.spark, im["path"].data, _cfg(self, im, "target_files")[0])},
+    doc="Small-file compaction of a parquet directory (warehouse maintenance).",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
 TableStratifiedSample = _simple_module(
@@ -627,6 +713,7 @@ ExportTable = _simple_module(
 MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
     TableDropDuplicates, TableSort, TableLimit, TableSample,
+    TableRepartition, TableCoalesce, TableCompact,
     TableStratifiedSample, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable,

@@ -136,3 +136,34 @@ def test_approx_sketches_within_bounds(spark, tables, ctx):
     ).collect()[0]
     assert abs(row["approx_cd"] - row["exact_cd"]) <= 0.05 * row["exact_cd"]
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * abs(row["exact_p50"])
+
+
+def test_repartition_modes_and_plan(spark):
+    from kiara_spark.operators import tables as T
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)], "k bigint, g bigint")
+    assert T.repartition_table(df, 8).rdd.getNumPartitions() == 8
+    by = T.repartition_table(df, 8, by=["g"])
+    assert by.rdd.getNumPartitions() == 8
+    # same key lands in same partition under hash partitioning
+    parts = by.selectExpr("g", "spark_partition_id() p").distinct() \
+        .groupBy("g").count().filter("count > 1").count()
+    assert parts == 0
+    rng = T.repartition_table(df, 4, range_by=["k"])
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert T.coalesce_table(T.repartition_table(df, 8), 2).rdd.getNumPartitions() == 2
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from kiara_spark.operators import tables as T
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
+    # simulate a streaming sink's fragmentation: many small appends
+    for s in range(5):
+        df.filter((F.col("k") % 5) == s).repartition(8).write.mode("append").parquet(path)
+    details = T.compact_parquet_dir(spark, path, target_files=4)
+    assert details["files_before"] >= 40 and details["files_after"] == 4
+    assert spark.read.parquet(path).count() == 5000
+    assert spark.read.parquet(path).agg(F.sum("k")).collect()[0][0] == 5000 * 4999 // 2
