@@ -541,6 +541,22 @@ TableSample = _simple_module(
                                                  _cfg(self, im, "seed")[0] or 42)},
 )
 
+def _table_load_process(self, im, ctx):
+    # the tabular plugin's `table.load` (referenced by the reference's
+    # tests/resources/module_configs/table_load.json): resolve a stored
+    # table by alias / value ref through the data registry
+    ref = self.config.get("alias") or im["alias"].data
+    return {"table": ctx.get_value(ref).data}
+
+
+TableLoad = _simple_module(
+    "table.load",
+    {"alias": {**STRING, "optional": True}},
+    {"table": TABLE},
+    _table_load_process,
+    doc="Load a stored table by alias/value ref (tabular plugin's table.load).",
+)
+
 TableRepartition = _simple_module(
     "table.repartition",
     {"table": TABLE, "num_partitions": {"type": "integer", "optional": True},
@@ -713,7 +729,7 @@ ExportTable = _simple_module(
 MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
     TableDropDuplicates, TableSort, TableLimit, TableSample,
-    TableRepartition, TableCoalesce, TableCompact,
+    TableLoad, TableRepartition, TableCoalesce, TableCompact,
     TableStratifiedSample, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable,

@@ -155,3 +155,16 @@ def test_stratified_sample_fractions(spark):
     # deterministic: identical result on re-run
     again = T.stratified_sample(df, "s", "k", {"F": 0.2, "O": 0.6}, modulus=10)
     assert sorted(r["k"] for r in out.collect()) == sorted(r["k"] for r in again.collect())
+
+
+def test_table_load_module_config(ctx, tables):
+    """The reference's module_configs/table_load.json surface: a configured
+    table.load module resolves a stored table by alias."""
+    v = ctx.get_value("orders")
+    ctx.store_value(v, alias="stored_orders")
+    out = ctx.run_job("table.load", {"alias": "stored_orders"})
+    assert out["table"].data.count() == v.data.count()
+    # config-form too (module_type + operation_config, like the reference
+    # module_configs/table_load.json surface)
+    out2 = ctx.run_job("table.load", {}, operation_config={"alias": "stored_orders"})
+    assert out2["table"].data.columns == out["table"].data.columns
