@@ -91,9 +91,13 @@ def triangle_count_total(edges: DataFrame) -> DataFrame:
 
 def connected_components(
     edges: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 60,
     checkpoint: bool = True,
 ) -> DataFrame:
+    # max_iterations is a runaway backstop, not a tuning knob: the loop
+    # breaks on the convergence check, so a high cap costs nothing on benign
+    # graphs while 60 double-rounds still cover a 120-hop label path
+    # (hash-min needs diameter hops for the min label to reach the far end)
     """(id, component) where component = min node id reachable (undirected).
 
     Hash-min label propagation: each round every node takes the min of its

@@ -99,3 +99,24 @@ def test_map_pandas_module(ctx, spark):
         "schema": "x double, x2 double",
     })
     assert sorted(r["x2"] for r in out["table"].data.collect()) == [2.0, 4.0]
+
+
+def test_connected_components_long_chain(spark):
+    """A 61-node path graph (diameter 60): hash-min needs ~diameter hops for
+    the min label to reach the far end — verifies the double-step rounds and
+    the iteration backstop cover long-thin components, not just the chunky
+    co-purchase graph."""
+    from kiara_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(100, 101), (101, 102)],
+        "src bigint, dst bigint")
+    comp = connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == 64
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["id"])
+    assert set(by_comp) == {0, 100}
+    assert by_comp[0] == set(range(61))
+    assert by_comp[100] == {100, 101, 102}
