@@ -124,3 +124,27 @@ def test_minhash_signature_stability_and_shape(spark, texts):
     for i, t in enumerate(texts):
         if len(t.lower()) >= 5 and i in by_id:  # docs w/ shingles only
             assert by_id[i] == by_id[1000 + i]
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["x", "y"]),
+              st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    min_size=1, max_size=25))
+@SET
+def test_pivot_unpivot_roundtrip_property(spark, rows):
+    """unpivot(pivot(df)) recovers every (group, pivot-value) cell that
+    exists in the input; absent combinations surface as NULL cells."""
+    from kiara_spark.operators.tables import pivot_table, unpivot_table
+
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    wide = pivot_table(df, ["g"], "p", ["x", "y"],
+                       [{"fn": "count", "column": "*", "alias": "n"}])
+    long = unpivot_table(wide, ["g"], ["x", "y"], "p", "n")
+    got = {(r["g"], r["p"]): r["n"] for r in long.collect()}
+    from collections import Counter
+    expect = Counter((g, p) for g, p, _ in rows)
+    for (g, p), n in expect.items():
+        assert got[(g, p)] == n
+    # cells for absent combinations are NULL, and nothing else appears
+    assert all(v is None for k, v in got.items() if k not in expect)
+    assert set(got) == {(g, p) for g, _, _ in rows for p in ("x", "y")}
