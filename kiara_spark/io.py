@@ -60,8 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         parallelize = name in CPU_HEAVY_TABLES
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # read tz-less parquet timestamps as TIMESTAMP (LTZ), not TIMESTAMP_NTZ:
+    # watermarks/unix_micros require TIMESTAMP, and with a UTC session the
+    # two types carry identical instants, so this is value-preserving.
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp_ntz":  # fallback if the conf was locked
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns ~1.7e18 exceeds double's 53-bit mantissa, so
         # float division would corrupt microseconds; `div` stays integral and

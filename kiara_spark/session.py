@@ -43,6 +43,9 @@ def build_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # tz-less parquet timestamps -> TIMESTAMP (LTZ): event-time ops
+        # (watermark, unix_micros) require it; UTC session makes it lossless
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -62,6 +65,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }.items():
         try:
             spark.conf.set(k, v)
