@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "graph_degrees",
     "graph_2hop_neighbors",
     "graph_connected_components",
+    "merge_upsert_orders",
+    "dq_audit_orders_lineitem",
+    "events_session_paths",
+    "timeseries_mom_growth",
+    "fuzzy_part_name_pairs",
 ]
 
 

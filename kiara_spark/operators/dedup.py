@@ -366,6 +366,38 @@ def with_simhash(
 # -- modules ---------------------------------------------------------------
 
 
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: Column | str | None = None,
+    max_distance: int = 10,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking.
+
+    The N^2 pair space is never formed: candidates are generated only WITHIN
+    blocking buckets (default: the first token of the text — similar strings
+    almost always share it), so the self-join shuffles on the block key and
+    each executor compares only its bucket.  ``levenshtein`` runs JVM-side
+    (codegen); output is (id_a, id_b, distance) with id_a < id_b."""
+    blk = (F.col(block_col) if isinstance(block_col, str) else block_col) \
+        if block_col is not None else F.split(F.col(text_col), " ")[0]
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"),
+        blk.alias("_blk"))
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"), "_blk")
+    b = keyed.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # cheap length pre-filter: |len(a)-len(b)| lower-bounds edit distance
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_distance)
+        .withColumn("distance", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 class DedupExact(KiaraModule):
     _module_type_name = "table.dedup.exact"
 
@@ -437,10 +469,31 @@ class DedupNgramJaccard(KiaraModule):
         )}
 
 
-MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard]
+class DedupFuzzyLevenshtein(KiaraModule):
+    _module_type_name = "table.dedup.fuzzy_levenshtein"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"pairs": fuzzy_levenshtein_pairs(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("block_column"),
+            self.config.get("max_distance", 10),
+        )}
+
+
+MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
+           DedupFuzzyLevenshtein]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
     Operation("table.dedup.simhash", "table.dedup.simhash"),
     Operation("table.dedup.ngram_jaccard", "table.dedup.ngram_jaccard"),
+    Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
 ]

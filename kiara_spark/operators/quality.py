@@ -1,0 +1,108 @@
+"""Table maintenance + data-quality operators.
+
+The reference's module surface stops at import/export/filter families
+(`/root/reference/src/kiara/modules/included_core_modules/` — no upsert or
+validation modules exist); these are the additive lakehouse/training-data
+operators a 100 TB pipeline needs (BASELINE.json north star):
+
+- ``table.merge.upsert`` — MERGE: source rows replace key-matching target
+  rows, unmatched source rows are inserted.  Plan shape: ONE shuffle on the
+  merge key (left_anti join) + a union; with a small source Spark broadcasts
+  the anti-join side automatically, so incremental upserts into a huge
+  target never shuffle the target.
+- ``table.quality.audit`` — constraint battery (null/range/set/uniqueness
+  checks) computed in a SINGLE conditional-aggregation pass over the table
+  (one scan, map-side partial aggs, 1-row result per check — no per-check
+  jobs), plus referential orphan counts via left_anti join.
+
+Scale notes: both operators are pure built-in-function DataFrame plans
+(whole-stage codegen, AQE-eligible); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operations import Operation
+from ..values import ValueMap
+from .tables import DICT, STRING, TABLE, _simple_module
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics (WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT): every source row wins over a key-matching target row; target
+    rows without a source match pass through unchanged.
+
+    Equivalent SQL: ``source UNION ALL (target ANTI JOIN source ON keys)``.
+    Columns are aligned by name; both sides must share a schema."""
+    survivors = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return source.unionByName(survivors)
+
+
+def quality_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Run boolean constraint checks in one scan.
+
+    ``checks`` maps check-name -> violation predicate (Column).  Returns the
+    long-form audit table (check_name: string, n_violations: bigint),
+    computed as one conditional aggregation (single job, single pass)."""
+    aggs = [
+        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(name)
+        for name, pred in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    # unpivot to long form: map-only Expand over the 1-row aggregate
+    names = list(checks)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (check_name, n_violations)")
+
+
+def referential_orphans(child: DataFrame, parent: DataFrame,
+                        child_key: str, parent_key: str) -> DataFrame:
+    """Rows of ``child`` whose key has no match in ``parent`` (FK violation
+    scan): one left_anti join shuffled on the key, count only."""
+    orphans = child.select(F.col(child_key).alias("_k")).join(
+        parent.select(F.col(parent_key).alias("_k")).distinct(), "_k", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+
+
+# -- modules ---------------------------------------------------------------
+
+
+def _merge_process(self, im: ValueMap, ctx):
+    return {"table": merge_upsert(
+        im["target"].data, im["source"].data, self.config["keys"])}
+
+
+TableMergeUpsert = _simple_module(
+    "table.merge.upsert",
+    {"target": TABLE, "source": TABLE},
+    {"table": TABLE},
+    _merge_process,
+    doc="MERGE/upsert: source rows replace key-matched target rows "
+        "(config: keys=[...]); one anti-join shuffle + union.",
+)
+
+
+def _audit_process(self, im: ValueMap, ctx):
+    checks = {name: F.expr(pred) for name, pred in self.config["checks"].items()}
+    return {"table": quality_audit(im["table"].data, checks)}
+
+
+TableQualityAudit = _simple_module(
+    "table.quality.audit",
+    {"table": TABLE},
+    {"table": TABLE},
+    _audit_process,
+    doc="Constraint battery in one scan (config: checks={name: violation "
+        "SQL predicate}); returns (check, n_violations).",
+)
+
+MODULES = [TableMergeUpsert, TableQualityAudit]
+OPERATIONS = [
+    Operation("table.merge.upsert", "table.merge.upsert",
+              doc="upsert source into target by key"),
+    Operation("table.quality.audit", "table.quality.audit",
+              doc="single-pass data-quality constraint audit"),
+]

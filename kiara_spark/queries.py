@@ -2723,3 +2723,197 @@ def scalar_array_q(spark, sf_dir):
         F.element_at(F.sort_array(e, asc=False), 1).alias("sorted_last"),
         F.array_contains(e, F.array_max(e)).cast("bigint").alias("has_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. table maintenance, data quality, paths, fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'X-UPDATED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), target AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice
+    FROM source
+    UNION ALL
+    SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_orderpriority,
+           CAST(t.o_orderdate AS VARCHAR) AS o_orderdate, t.o_totalprice
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """Lakehouse MERGE/upsert (`table.merge.upsert`): a staged source batch
+    (priority rewritten) is merged into a target by o_orderkey — matched
+    target rows are replaced, unmatched source rows inserted.  One anti-join
+    shuffle on the key + union; at scale the small batch side broadcasts, so
+    the big target is never reshuffled."""
+    from .operators.quality import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderpriority", F.lit("X-UPDATED"))
+    merged = merge_upsert(target, source, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"), "o_totalprice")
+
+
+@query(
+    "dq_audit_orders_lineitem",
+    """
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_audit_q(spark, sf_dir):
+    """Data-quality audit (`table.quality.audit`): per-table constraint
+    batteries run as ONE conditional-aggregation scan each (null / range /
+    value-set checks never launch separate jobs), plus a uniqueness check
+    and a referential orphan scan (left_anti on the FK).  Long-form output
+    (check_name, n_violations)."""
+    from .operators.quality import quality_audit, referential_orphans
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o_audit = quality_audit(orders, {
+        "orders_null_custkey": F.col("o_custkey").isNull(),
+        "orders_nonpositive_totalprice": F.col("o_totalprice") <= 0,
+        "orders_bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+    })
+    l_audit = quality_audit(li, {
+        "lineitem_qty_out_of_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        "lineitem_nonpositive_price": F.col("l_extendedprice") <= 0,
+        "lineitem_discount_out_of_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+    })
+    dup = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations")
+    ).select(F.lit("orders_dup_orderkey").alias("check_name"), "n_violations")
+    orphans = referential_orphans(li, orders, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem_orphan_orderkey").alias("check_name"), "n_violations")
+    return o_audit.unionByName(l_audit).unionByName(dup).unionByName(orphans)
+
+
+@query(
+    "events_session_paths",
+    """
+    WITH stepped AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), per_user AS (
+      SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path
+      FROM stepped WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY path
+    """,
+)
+def events_session_paths_q(spark, sf_dir):
+    """Behavioral path analysis (`events.session_paths`): each user's first
+    8 events in event-time order joined into an `a->b->c` path, counted per
+    distinct path.  The rn<=8 filter caps per-user payload BEFORE the path
+    agg, so no unbounded collect_list ever builds."""
+    ev = _t(spark, sf_dir, "events")
+    return W.session_paths(ev, ts_col="ts", user_col="user_id",
+                           type_col="event_type", tiebreak_col="event_id",
+                           max_steps=8)
+
+
+@query(
+    "timeseries_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, revenue,
+           COALESCE(LAG(revenue) OVER (PARTITION BY priority ORDER BY month), 0.0) AS prev_revenue,
+           CAST(ROUND(CAST(revenue AS DECIMAL(38,10))
+                      - CAST(COALESCE(LAG(revenue) OVER (PARTITION BY priority ORDER BY month), 0.0)
+                             AS DECIMAL(38,10)), 4) AS DOUBLE) AS mom_diff
+    FROM monthly
+    """,
+)
+def timeseries_mom_growth_q(spark, sf_dir):
+    """Month-over-month revenue delta per priority: aggregate first (the
+    window runs over the TINY monthly grid, not raw orders — lag after
+    groupBy is the scale-safe order of operations), then lag within each
+    priority partition; deltas in exact decimal before the double cast."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.coalesce(F.lag("revenue").over(w), F.lit(0.0))
+    return monthly.select(
+        "priority", "month", "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue").cast("decimal(38,10)")
+                - prev.cast("decimal(38,10)"), 4).cast("double").alias("mom_diff"),
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    WITH k AS (
+      SELECT p_partkey AS id, p_name || ' ' || p_type AS txt,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS distance
+    FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+    WHERE abs(length(a.txt) - length(b.txt)) <= 2
+      AND levenshtein(a.txt, b.txt) <= 2
+    """,
+)
+def fuzzy_part_name_pairs_q(spark, sf_dir):
+    """Blocked fuzzy matching (`table.dedup.fuzzy_levenshtein`): edit-
+    distance near-dups over the part name+type string, candidates generated
+    only within blocks sharing the product noun (the N^2 pair space never
+    forms), with a length pre-filter that lower-bounds the distance before
+    levenshtein runs."""
+    part = _t(spark, sf_dir, "part")
+    prepared = part.select(
+        "p_partkey",
+        F.concat_ws(" ", "p_name", "p_type").alias("txt"),
+        F.split(F.col("p_name"), " ")[1].alias("blk"),
+    )
+    return D.fuzzy_levenshtein_pairs(prepared, id_col="p_partkey",
+                                     text_col="txt", block_col="blk",
+                                     max_distance=2)

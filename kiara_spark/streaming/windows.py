@@ -94,10 +94,20 @@ def session_window_agg(
 
 def read_parquet_stream(spark, path: str, schema=None):
     """Structured Streaming source over a parquet directory (file stream).
-    ``schema`` required by Spark for file streams; pass a batch-read schema."""
+    ``schema`` required by Spark for file streams; pass a batch-read schema.
+
+    Parquet timestamps written without a timezone come back as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects (event time must be
+    TIMESTAMP).  The session runs in UTC, so casting NTZ -> TIMESTAMP is
+    value-preserving; normalize here so every streaming operator can
+    watermark any parquet-sourced column."""
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    df = spark.readStream.schema(schema).parquet(path)
+    ntz = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for name in ntz:
+        df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def streaming_tumbling_agg(
@@ -239,6 +249,43 @@ def funnel_stages(
     return out
 
 
+def session_paths(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 8,
+) -> DataFrame:
+    """Behavioral path analysis: each user's first ``max_steps`` events (in
+    event-time order, unique-key tiebreak) joined into an ordered
+    ``a->b->c`` path string, then counted per distinct path.
+
+    Plan shape: one shuffle on the user key for the per-user ordering
+    (row_number window), the early ``rn <= max_steps`` filter caps the
+    per-user payload BEFORE the path aggregation, then one hash-agg on the
+    path string.  No collect_list of unbounded size ever builds up."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    stepped = (
+        df.select(F.col(user_col), F.col(ts_col), F.col(tiebreak_col), F.col(type_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_steps)
+    )
+    per_user = stepped.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("t"),
+                                                     F.col(tiebreak_col).alias("k"),
+                                                     F.col(type_col).alias("e")))),
+                lambda x: x["e"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return per_user.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
 def _win_module(name, fn, extra_fields):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -323,8 +370,29 @@ class EventsFunnel(KiaraModule):
             type_col=self.config.get("type_column", "event_type"))}
 
 
+class EventsSessionPaths(KiaraModule):
+    """Ordered behavioral paths (first-N event types per user) with counts."""
+
+    _module_type_name = "events.session_paths"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": session_paths(
+            inputs["table"].data,
+            ts_col=self.config.get("ts_column", "ts"),
+            user_col=self.config.get("user_column", "user_id"),
+            type_col=self.config.get("type_column", "event_type"),
+            tiebreak_col=self.config.get("tiebreak_column", "event_id"),
+            max_steps=self.config.get("max_steps", 8))}
+
+
 MODULES = [EventsTumbling, EventsSliding, EventsSession, EventsRetention,
-           EventsGapFill, EventsFunnel]
+           EventsGapFill, EventsFunnel, EventsSessionPaths]
 OPERATIONS = [
     Operation("events.window.tumbling", "events.window.tumbling"),
     Operation("events.window.sliding", "events.window.sliding"),
@@ -332,4 +400,5 @@ OPERATIONS = [
     Operation("events.retention.cohorts", "events.retention.cohorts"),
     Operation("events.gap_fill.hourly", "events.gap_fill.hourly"),
     Operation("events.funnel", "events.funnel"),
+    Operation("events.session_paths", "events.session_paths"),
 ]

@@ -1,0 +1,95 @@
+"""Merge/upsert, data-quality audit, session paths, fuzzy levenshtein.
+
+The reference has no maintenance/validation modules (its module surface ends
+at import/export/filter families); these are the additive lakehouse ops.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kiara_spark.operators.dedup import fuzzy_levenshtein_pairs
+from kiara_spark.operators.quality import (merge_upsert, quality_audit,
+                                           referential_orphans)
+from kiara_spark.streaming.windows import session_paths
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double")
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, v string, x double")
+    got = {r["k"]: (r["v"], r["x"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    # matched row replaced, unmatched target kept, new source row inserted
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_multi_key_and_dup_source_keys(spark):
+    target = spark.createDataFrame([(1, 1, "t")], "a int, b int, v string")
+    # two source rows on the same key: both land (MERGE insert semantics are
+    # caller's responsibility to pre-dedup); the target twin is still replaced
+    source = spark.createDataFrame([(1, 1, "s1"), (1, 1, "s2")], "a int, b int, v string")
+    rows = merge_upsert(target, source, ["a", "b"]).collect()
+    assert sorted(r["v"] for r in rows) == ["s1", "s2"]
+
+
+def test_quality_audit_single_pass_counts(spark):
+    df = spark.createDataFrame(
+        [(None, -5.0), (1, 2.0), (2, 0.0), (3, 7.0)], "k int, x double")
+    out = {r["check_name"]: r["n_violations"] for r in quality_audit(df, {
+        "null_k": F.col("k").isNull(),
+        "nonpositive_x": F.col("x") <= 0,
+    }).collect()}
+    assert out == {"null_k": 1, "nonpositive_x": 2}
+    # single conditional-agg pass: exactly one aggregate over the source scan
+    plan = quality_audit(df, {"null_k": F.col("k").isNull()})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # one scan (AQE may print it twice)
+
+
+def test_referential_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    assert referential_orphans(child, parent, "fk", "pk").collect()[0]["n_violations"] == 1
+
+
+def test_session_paths_ordering_and_cap(spark):
+    rows = [
+        # user 1: b at t1, a at t2 -> path "b->a" (event-time order, not input order)
+        (1, 2.0, 11, "a"), (1, 1.0, 10, "b"),
+        # user 2: 3 events, capped at max_steps=2 -> "x->y"
+        (2, 1.0, 20, "x"), (2, 2.0, 21, "y"), (2, 3.0, 22, "z"),
+        # user 3: tie on ts broken by event_id
+        (3, 5.0, 31, "late"), (3, 5.0, 30, "early"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, tsd double, event_id int, event_type string") \
+        .withColumn("ts", F.timestamp_seconds("tsd"))
+    out = {r["path"]: r["n_users"] for r in session_paths(
+        df, ts_col="ts", user_col="user_id", type_col="event_type",
+        tiebreak_col="event_id", max_steps=2).collect()}
+    assert out == {"b->a": 1, "x->y": 1, "early->late": 1}
+
+
+def test_fuzzy_levenshtein_blocked_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "rad bolt"), (3, "red belt"), (4, "blue gear")],
+        "doc_id int, text string")
+    # block on the noun: 1 and 2 share "bolt"; 3 ("belt") and 4 ("gear")
+    # are in other blocks and never compared — even though
+    # levenshtein("red bolt", "red belt") = 1 would match unblocked
+    prepared = df.withColumn("blk", F.split("text", " ")[1])
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in fuzzy_levenshtein_pairs(
+        df=prepared, id_col="doc_id", text_col="text", block_col="blk",
+        max_distance=2).collect()}
+    assert pairs == {(1, 2): 1}
+    # default block (first token): now 1 and 3 share "red" instead
+    pairs_default = {(r["id_a"], r["id_b"]): r["distance"]
+                     for r in fuzzy_levenshtein_pairs(
+                         df=df, id_col="doc_id", text_col="text",
+                         max_distance=2).collect()}
+    assert pairs_default == {(1, 3): 1}
+
+
+def test_fuzzy_levenshtein_ops_registered(ctx):
+    for op in ("table.merge.upsert", "table.quality.audit",
+               "table.dedup.fuzzy_levenshtein", "events.session_paths"):
+        assert op in ctx.operation_registry.operation_ids
