@@ -375,25 +375,40 @@ def fuzzy_levenshtein_pairs(
 ) -> DataFrame:
     """Edit-distance near-dup pairs with blocking.
 
-    The N^2 pair space is never formed: candidates are generated only WITHIN
-    blocking buckets (default: the first token of the text — similar strings
-    almost always share it), so the self-join shuffles on the block key and
-    each executor compares only its bucket.  ``levenshtein`` runs JVM-side
-    (codegen); output is (id_a, id_b, distance) with id_a < id_b."""
+    The N^2 pair space is never formed — two admissible prunes compose:
+    - *blocking*: candidates only WITHIN blocking buckets (default: the
+      first token of the text — similar strings almost always share it);
+    - *length banding*: |len(a)-len(b)| lower-bounds edit distance, so each
+      row joins only length-buckets of width (max_distance+1) within one
+      step of its own (the b-side emits its bucket +/-1, LSH-band style —
+      every qualifying pair meets exactly once, no dedup pass needed).
+    The self-join therefore shuffles on (block, length-band) — far smaller
+    buckets than blocking alone when blocks are hot.  ``levenshtein`` runs
+    JVM-side with the threshold argument (banded O(d*n) DP with early
+    exit, not the full O(n^2) matrix).  Output: (id_a, id_b, distance),
+    id_a < id_b."""
     blk = (F.col(block_col) if isinstance(block_col, str) else block_col) \
         if block_col is not None else F.split(F.col(text_col), " ")[0]
+    width = max_distance + 1
     keyed = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"),
-        blk.alias("_blk"))
-    a = keyed.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"), "_blk")
-    b = keyed.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"), "_blk")
+        blk.alias("_blk"),
+        (F.length(text_col).cast("bigint") / width).cast("bigint").alias("_lb"))
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_ta"),
+                     "_blk", F.col("_lb").alias("_key"))
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_txt").alias("_tb"), "_blk",
+        F.explode(F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1)
+                  ).alias("_key"))
+    dist = F.levenshtein("_ta", "_tb", max_distance).cast("bigint")
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # cheap length pre-filter: |len(a)-len(b)| lower-bounds edit distance
+        # exact length pre-filter (tighter than the banding)
         .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_distance)
-        .withColumn("distance", F.levenshtein("_ta", "_tb").cast("bigint"))
-        .filter(F.col("distance") <= max_distance)
+        .withColumn("distance", dist)
+        # thresholded levenshtein returns -1 when the distance exceeds it
+        .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )
 

