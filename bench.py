@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "events_session_paths",
     "timeseries_mom_growth",
     "fuzzy_part_name_pairs",
+    "events_anomaly_hourly",
 ]
 
 

@@ -420,6 +420,23 @@ def export_table(df: DataFrame, path: str, file_format: str = "parquet",
     return {"path": path, "format": file_format, "partition_by": partition_by or []}
 
 
+def observe_metrics(df: DataFrame, metrics: dict):
+    """Attach free pipeline metrics to a plan: the returned DataFrame is
+    unchanged, and after ANY action on it the named aggregates are
+    available from the returned Observation — computed inline during the
+    job (accumulator-style), with NO second scan over the data.  This is
+    how a 100 TB export also yields row counts / sums / null tallies
+    without paying a profiling pass.
+
+    Returns ``(df_observed, observation)``; read ``observation.get`` after
+    an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [c.alias(name) for name, c in metrics.items()]
+    return df.observe(obs, *named), obs
+
+
 # ---------------------------------------------------------------------------
 # module classes (orchestration surface)
 # ---------------------------------------------------------------------------

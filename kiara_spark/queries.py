@@ -2918,3 +2918,34 @@ def fuzzy_part_name_pairs_q(spark, sf_dir):
     return D.fuzzy_levenshtein_pairs(prepared, id_col="p_partkey",
                                      text_col="txt", block_col="blk",
                                      max_distance=2)
+
+
+@query(
+    "events_anomaly_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n*n) AS BIGINT) AS s2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, CAST(epoch(h.h) AS BIGINT) AS hour_ts, h.n,
+           CAST(CASE WHEN ABS(CAST(h.n AS DOUBLE) - CAST(s1 AS DOUBLE) / c)
+                          > 3.0 * sqrt(GREATEST(CAST(s2 AS DOUBLE) / c
+                                    - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c), 0.0))
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    """,
+)
+def events_anomaly_hourly_q(spark, sf_dir):
+    """Volume-anomaly flags (`events.anomaly.zscore`): hourly counts per
+    event type, flagged beyond 3 sigma of the type's own mean.  Mean and
+    variance derive from exact bigint sums with a fixed double-arithmetic
+    shape (no engine stddev built-in), so the flag is bit-stable across
+    engines; the per-key stats side is one row per key and broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    return W.anomaly_hourly_counts(ev, ts_col="ts", key_col="event_type",
+                                   k_sigma=3.0)

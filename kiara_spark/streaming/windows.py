@@ -249,6 +249,44 @@ def funnel_stages(
     return out
 
 
+def anomaly_hourly_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection over an event stream (batch form): hourly
+    event counts per key, flagged when they deviate more than ``k_sigma``
+    standard deviations from that key's mean hourly volume.
+
+    Determinism across engines: mean/variance are derived from EXACT bigint
+    sums (sum n, sum n^2, count) with a fixed double-arithmetic shape —
+    no engine-specific stddev built-in; the flag compares
+    ``|n - mean| > k * sqrt(var)`` (multiplication, never division, so a
+    zero-variance key flags any deviation instead of dividing by zero).
+
+    Plan shape: two hash-aggs (hour grid, per-key stats) + one join back on
+    the key — the stats side is tiny (one row per key) and broadcasts."""
+    hourly = df.groupBy(
+        F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("_h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = hourly.groupBy(key_col).agg(
+        F.sum("n").cast("bigint").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("_s2"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_c")
+    var = F.greatest(F.col("_s2").cast("double") / F.col("_c") - mean * mean,
+                     F.lit(0.0))
+    return hourly.join(F.broadcast(stats), key_col).select(
+        F.col(key_col),
+        F.unix_timestamp("_h").cast("bigint").alias("hour_ts"),
+        F.col("n"),
+        (F.abs(F.col("n").cast("double") - mean) > F.lit(k_sigma) * F.sqrt(var))
+        .cast("bigint").alias("is_anomaly"),
+    )
+
+
 def session_paths(
     df: DataFrame,
     ts_col: str = "ts",
@@ -391,8 +429,28 @@ class EventsSessionPaths(KiaraModule):
             max_steps=self.config.get("max_steps", 8))}
 
 
+class EventsAnomalyZscore(KiaraModule):
+    """Hourly volume anomalies per key (z-score vs the key's own history)."""
+
+    _module_type_name = "events.anomaly.zscore"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": anomaly_hourly_counts(
+            inputs["table"].data,
+            ts_col=self.config.get("ts_column", "ts"),
+            key_col=self.config.get("key_column", "event_type"),
+            k_sigma=self.config.get("k_sigma", 3.0))}
+
+
 MODULES = [EventsTumbling, EventsSliding, EventsSession, EventsRetention,
-           EventsGapFill, EventsFunnel, EventsSessionPaths]
+           EventsGapFill, EventsFunnel, EventsSessionPaths,
+           EventsAnomalyZscore]
 OPERATIONS = [
     Operation("events.window.tumbling", "events.window.tumbling"),
     Operation("events.window.sliding", "events.window.sliding"),
@@ -401,4 +459,5 @@ OPERATIONS = [
     Operation("events.gap_fill.hourly", "events.gap_fill.hourly"),
     Operation("events.funnel", "events.funnel"),
     Operation("events.session_paths", "events.session_paths"),
+    Operation("events.anomaly.zscore", "events.anomaly.zscore"),
 ]

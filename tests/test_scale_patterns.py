@@ -167,3 +167,43 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert details["files_before"] >= 40 and details["files_after"] == 4
     assert spark.read.parquet(path).count() == 5000
     assert spark.read.parquet(path).agg(F.sum("k")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Join-driven pruning: a partitioned fact joined to a FILTERED dim
+    scans only the fact partitions the dim filter selects — the runtime
+    twin of static partition pruning, and the key scan lever for star
+    joins over a partitioned 100 TB fact table."""
+    from pyspark.sql import functions as F
+    from kiara_spark.operators import tables as T
+
+    fact = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("pt"),
+        (F.col("id") * 2.0).alias("v"))
+    path = str(tmp_path / "fact_part")
+    T.export_table(fact, path, partition_by=["pt"])
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(10)], "pt long, tag string")
+
+    joined = (spark.read.parquet(path)
+              .join(dim.filter("tag = 'keep'"), "pt"))
+    assert joined.count() == 600
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan[:2000]
+
+
+def test_observe_metrics_no_second_scan(spark):
+    """df.observe: metrics computed DURING the action, no extra job."""
+    from pyspark.sql import functions as F
+    from kiara_spark.operators.tables import observe_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k int, v double")
+    observed, obs = observe_metrics(df, {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+        "sum_v": F.sum("v"),
+    })
+    assert observed.count() == 3  # the one and only action
+    got = obs.get
+    assert got["n_rows"] == 3 and got["n_null_v"] == 1 and got["sum_v"] == 40.0

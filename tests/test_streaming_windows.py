@@ -106,3 +106,28 @@ def test_funnel_strict_ordering(spark):
     out = {r["stage"]: r["n_users"]
            for r in funnel_stages(df, ["signup", "click", "purchase"]).collect()}
     assert out == {"signup": 2, "click": 1, "purchase": 1}
+
+
+def test_anomaly_hourly_zscore_flags_spike(spark):
+    """A key with a flat hourly baseline plus one big spike flags exactly
+    the spike hour; a constant-volume key flags nothing."""
+    import pyspark.sql.functions as F
+    from kiara_spark.streaming.windows import anomaly_hourly_counts
+
+    rows = []
+    # 'steady': 5 events every hour for 10 hours -> zero variance, no flags
+    for h in range(10):
+        rows += [("steady", h * 3600 + i) for i in range(5)]
+    # 'spiky': 2/hour for 29 hours, then 60 in hour 29.  (The long baseline
+    # matters: a single outlier among n points caps at z=(n-1)/sqrt(n)
+    # against the population std, so 10 points could never clear 3 sigma.)
+    for h in range(29):
+        rows += [("spiky", h * 3600 + i) for i in range(2)]
+    rows += [("spiky", 29 * 3600 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_type string, sec long") \
+        .select("event_type", F.timestamp_seconds("sec").alias("ts"))
+
+    out = anomaly_hourly_counts(df, ts_col="ts", key_col="event_type", k_sigma=3.0)
+    flagged = {(r["event_type"], r["hour_ts"]) for r in out.filter("is_anomaly = 1").collect()}
+    assert flagged == {("spiky", 29 * 3600)}
+    assert out.filter("event_type = 'steady' and is_anomaly = 1").count() == 0
