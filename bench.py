@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "timeseries_mom_growth",
     "fuzzy_part_name_pairs",
     "events_anomaly_hourly",
+    "weighted_sample_documents",
+    "pack_token_budget_bins",
 ]
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..modules import KiaraModule
 from ..operations import Operation
@@ -219,6 +220,49 @@ def chunk_documents(
 
 # -- modules ---------------------------------------------------------------
 
+def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic importance sampling: keep a row iff a uniform hash of
+    its id falls below its weight (in [0,1]) — the standard quality-weighted
+    training-mix sampler.  Fully map-side (no shuffle, no RNG state): the
+    decision is a pure function of the id, so re-runs, retries, and
+    different partitionings all pick the same rows, and the sample
+    composition tracks the weight column exactly in expectation."""
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
+    return df.filter(u < w)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int = 2048,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training pipelines: assign documents to
+    ~``budget``-token bins.  A single global greedy pack would serialize
+    100 TB behind one sorted window, so documents are first sharded by
+    ``id % shards`` (each shard's window runs in parallel, one shuffle),
+    then packed within the shard by exclusive running token count:
+    ``bin = shard*1e6 + floor(excl_cumsum / budget)``.
+
+    Output: (bin_id, n_docs, total_tokens) — one row per packed bin."""
+    ntok = F.size(tokens_col(F.col(text_col))).cast("bigint")
+    shard = (F.col(id_col) % shards).cast("bigint")
+    t = df.select(F.col(id_col).alias("_id"), shard.alias("_shard"),
+                  ntok.alias("_ntok"))
+    w = (Window.partitionBy("_shard").orderBy("_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    excl = F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+    binned = t.withColumn(
+        "bin_id",
+        (F.col("_shard") * 1000000
+         + F.floor(excl / F.lit(float(budget)))).cast("bigint"))
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ntok").cast("bigint").alias("total_tokens"))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -267,9 +311,49 @@ class TextChunk(KiaraModule):
         )}
 
 
+class TableWeightedSample(KiaraModule):
+    """Deterministic hash-vs-weight importance sampler (map-only)."""
+
+    _module_type_name = "table.sample.weighted"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": weighted_sample(
+            inputs["table"].data,
+            weight_col=self.config["weight_column"],
+            id_col=self.config.get("id_column", "doc_id"))}
+
+
+class TextPackTokenBudget(KiaraModule):
+    """Sharded greedy sequence packing into ~budget-token bins."""
+
+    _module_type_name = "text.pack_token_budget"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": pack_token_budget(
+            inputs["table"].data,
+            budget=self.config.get("budget", 2048),
+            shards=self.config.get("shards", 16),
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"))}
+
+
 MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
-           TextTokenCount, TextChunk]
+           TextTokenCount, TextChunk, TableWeightedSample, TextPackTokenBudget]
 OPERATIONS = [
+    Operation("table.sample.weighted", "table.sample.weighted"),
+    Operation("text.pack_token_budget", "text.pack_token_budget"),
     Operation("text.chunk", "text.chunk"),
     Operation("text.token_stats", "text.token_stats"),
     Operation("text.quality_score", "text.quality_score"),

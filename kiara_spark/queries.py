@@ -2949,3 +2949,57 @@ def events_anomaly_hourly_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return W.anomaly_hourly_counts(ev, ts_col="ts", key_col="event_type",
                                    k_sigma=3.0)
+
+
+_H0_DOCID = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+) + ")"
+
+
+@query(
+    "weighted_sample_documents",
+    f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE ({_H0_DOCID} % 1000000) / 1000000.0
+          < LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.8
+    """,
+)
+def weighted_sample_documents_q(spark, sf_dir):
+    """Deterministic importance sampling (`table.sample.weighted`): keep a
+    document iff a uniform hash of its id falls under its weight (here a
+    length-based quality proxy scaled to 80%).  Map-only — no shuffle, no
+    RNG state; identical picks under any partitioning or retry."""
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0)) * 0.8
+    return X.weighted_sample(docs, weight_col=weight, id_col="doc_id").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@query(
+    "pack_token_budget_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard, CAST(len({_TOKS}) AS BIGINT) AS ntok
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t
+    )
+    SELECT CAST(shard * 1000000 + FLOOR(excl / 2048.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def pack_token_budget_q(spark, sf_dir):
+    """Sequence packing (`text.pack_token_budget`): documents assigned to
+    ~2048-token bins by exclusive running token count WITHIN id-hash shards
+    — each shard's window sorts in parallel instead of serializing the
+    corpus behind one global order."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.pack_token_budget(docs, budget=2048, shards=16,
+                               id_col="doc_id", text_col="text")

@@ -115,3 +115,41 @@ def test_embedding_centroids_exact(spark):
            for r in S.embedding_centroids(df).collect()}
     assert out[(0, 0)] == 2.0 and out[(0, 1)] == 4.0
     assert out[(1, 0)] == 5.0 and out[(1, 1)] == 5.0
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    import pyspark.sql.functions as F
+    from kiara_spark.operators.text import weighted_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # weight 0 -> nothing; weight 1 -> everything; repartition must not
+    # change the picks (pure function of the id)
+    assert weighted_sample(df, F.lit(0.0)).count() == 0
+    assert weighted_sample(df, F.lit(1.0)).count() == 2000
+    half = weighted_sample(df, F.lit(0.5))
+    ids1 = {r["doc_id"] for r in half.collect()}
+    ids2 = {r["doc_id"] for r in weighted_sample(df.repartition(7), F.lit(0.5)).collect()}
+    assert ids1 == ids2
+    # uniform hash: a 0.5 weight keeps roughly half (binomial tolerance)
+    assert 850 <= len(ids1) <= 1150
+    # monotone: raising the weight only adds rows
+    ids75 = {r["doc_id"] for r in weighted_sample(df, F.lit(0.75)).collect()}
+    assert ids1 <= ids75
+
+
+def test_pack_token_budget_bins(spark):
+    import pyspark.sql.functions as F
+    from kiara_spark.operators.text import pack_token_budget
+
+    # 8 docs of ~100 tokens in one shard (ids all = 0 mod 1): budget 250
+    # packs them ~2.5 docs per bin by running count
+    docs = spark.createDataFrame(
+        [(i * 16, " ".join(f"w{j}" for j in range(100))) for i in range(8)],
+        "doc_id long, text string")
+    out = pack_token_budget(docs, budget=250, shards=16).collect()
+    assert sum(r["n_docs"] for r in out) == 8
+    assert sum(r["total_tokens"] for r in out) == 800
+    # all docs share shard 0 -> bins 0..: excl cumsum 0,100,...,700 -> bins
+    # floor(excl/250): 0,0,0,1,1,2,2,2
+    by_bin = {r["bin_id"]: r["n_docs"] for r in out}
+    assert by_bin == {0: 3, 1: 2, 2: 3}
