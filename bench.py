@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_anomaly_hourly",
     "weighted_sample_documents",
     "pack_token_budget_bins",
+    "graph_pagerank",
 ]
 
 

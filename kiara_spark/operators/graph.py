@@ -149,6 +149,52 @@ def connected_components(
     return labels
 
 
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (id, rank).
+
+    ``rank_{k+1}(v) = (1-d)/N + d * sum_{u->v} rank_k(u)/outdeg(u)``
+    (dangling mass dropped, the standard simple variant).
+
+    Cross-engine bit-stability (so a SQL oracle can verify it exactly):
+    every per-edge contribution is a double division (deterministic IEEE),
+    then SUMMED AS DECIMAL(38,18) — decimal addition is exact, so the
+    result never depends on partitioning or accumulation order — and cast
+    back to double only once per iteration.  N rides along as a column
+    (cross join with a 1-row count) so both engines divide the same values.
+
+    Plan shape per iteration: one join edges->ranks on src (ranks are one
+    row per node — broadcastable for modest graphs; at web scale both sides
+    hash-partition on the join key), one hash aggregate on dst.  The
+    iteration count is fixed, so the whole computation is ``iterations``
+    shuffle rounds — no convergence collect in the loop."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct()
+             .localCheckpoint(eager=True))
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    outdeg = e.groupBy(F.col("src").alias("_od_src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_outdeg"))
+    base = nodes.crossJoin(F.broadcast(nn))
+    ranks = base.select("id", "_n", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
+                   e.src == F.col("_r_id"))
+            .join(outdeg, e.src == F.col("_od_src"))
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("_outdeg"))
+                    .cast("decimal(38,18)").alias("_c"))
+        )
+        sums = contribs.groupBy("id").agg(F.sum("_c").alias("_s"))
+        ranks = base.join(sums, "id", "left").select(
+            "id", "_n",
+            (F.lit(1.0 - damping) / F.col("_n")
+             + F.lit(damping)
+             * F.coalesce(F.col("_s").cast("double"), F.lit(0.0))).alias("rank"),
+        )
+    return ranks.select("id", "rank")
+
+
 # -- database namespace ops -------------------------------------------------
 
 
@@ -277,8 +323,25 @@ class GraphComponents(KiaraModule):
             max_iterations=self.config.get("max_iterations", 20))}
 
 
+class GraphPagerank(KiaraModule):
+    _module_type_name = "network_graph.pagerank"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": pagerank(
+            inputs["graph"].data["edges"],
+            iterations=self.config.get("iterations", 3),
+            damping=self.config.get("damping", 0.85))}
+
+
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
-           CreateGraphFromTables, GraphDegrees, GraphComponents]
+           CreateGraphFromTables, GraphDegrees, GraphComponents,
+           GraphPagerank]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -289,4 +352,5 @@ OPERATIONS = [
     Operation("network_graph.degrees", "network_graph.degrees"),
     Operation("network_graph.connected_components",
               "network_graph.connected_components"),
+    Operation("network_graph.pagerank", "network_graph.pagerank"),
 ]

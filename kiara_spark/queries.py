@@ -3003,3 +3003,45 @@ def pack_token_budget_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return X.pack_token_budget(docs, budget=2048, shards=16,
                                id_col="doc_id", text_col="text")
+
+
+def _pr_iter_sql(prev: str) -> str:
+    """One unrolled PageRank iteration in portable SQL (mirrors
+    kiara_spark.operators.graph.pagerank's expression shape exactly:
+    double division per contribution, exact DECIMAL(38,18) summation,
+    single cast back to double)."""
+    return f"""
+      SELECT n2.id, nn.n,
+             0.15 / nn.n + 0.85 * CAST(COALESCE(c.s, 0) AS DOUBLE) AS rank
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(CAST(r.rank / od.outdeg AS DECIMAL(38,18))) AS s
+        FROM e JOIN {prev} r ON e.src = r.id JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) c ON c.id = n2.id
+    """
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT id, n, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    r1 AS ({_pr_iter_sql('r0')}),
+    r2 AS ({_pr_iter_sql('r1')}),
+    r3 AS ({_pr_iter_sql('r2')})
+    SELECT id, rank FROM r3
+    """,
+)
+def graph_pagerank_q(spark, sf_dir):
+    """Fixed-iteration PageRank (`network_graph.pagerank`) over the
+    co-purchase graph: 3 shuffle rounds (join on src + hash agg on dst per
+    round), contributions summed as exact decimals so ranks are bit-stable
+    under any partitioning — verified against a 3-deep unrolled SQL twin."""
+    from .operators import graph as G
+
+    return G.pagerank(_copurchase_edges(spark, sf_dir), iterations=3,
+                      damping=0.85)

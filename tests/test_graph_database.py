@@ -120,3 +120,21 @@ def test_connected_components_long_chain(spark):
     assert set(by_comp) == {0, 100}
     assert by_comp[0] == set(range(61))
     assert by_comp[100] == {100, 101, 102}
+
+
+def test_pagerank_ring_uniform_and_star_ordering(spark):
+    from kiara_spark.operators.graph import pagerank
+
+    # 3-ring: perfectly symmetric, ranks stay 1/3 at every iteration
+    ring = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    ranks = {r["id"]: r["rank"] for r in pagerank(ring, iterations=3).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in ranks.values())
+
+    # star 1->{2,3}: leaves split node 1's mass and tie; the source keeps
+    # only the teleport share
+    star = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    r = {row["id"]: row["rank"] for row in pagerank(star, iterations=3).collect()}
+    assert r[2] == r[3] > r[1]
+    # dangling leaves drop their mass, so totals shrink below 1 — but every
+    # rank keeps at least the teleport floor
+    assert all(v >= 0.15 / 3 - 1e-12 for v in r.values())

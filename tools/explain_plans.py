@@ -20,7 +20,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-INTENTIONAL_CROSS = {"sim_topk_bruteforce"}  # bounded broadcast cross join
+INTENTIONAL_CROSS = {
+    "sim_topk_bruteforce",        # bounded broadcast cross join (knn baseline)
+    "q22_dormant_rich_customers",  # scalar subquery: 1-row avg-balance build side
+    "q11_important_parts",         # scalar subquery: 1-row total-value build side
+}
 
 
 def main():
