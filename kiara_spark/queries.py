@@ -2067,13 +2067,22 @@ def agg_percentile_battery(spark, sf_dir):
     )
 
 
-@query("streaming_dedup_demo")
+@query(
+    "streaming_dedup_demo",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+)
 def streaming_dedup_demo(spark, sf_dir):
     """Structured Streaming dedup-within-watermark: duplicate events (same
     event_id) arriving inside the watermark horizon are dropped with BOUNDED
     state — the 100TB-stream answer to exact dedup, where a plain
-    dropDuplicates would grow state forever.  Rows-only check (streaming
-    semantics aren't SQL-expressible)."""
+    dropDuplicates would grow state forever.  Oracle-checkable because the
+    availableNow run ingests the (doubled) corpus in one batch, so the
+    complete-mode counts equal the batch distinct counts.  NOTE: the oracle
+    holds at sf<=0.01 where the whole table fits under the demo's
+    limit(20000); the driver's correctness gate runs at sf0.01."""
     import tempfile
     import uuid
 
@@ -2097,14 +2106,29 @@ def streaming_dedup_demo(spark, sf_dir):
     return spark.table(qname)
 
 
-@query("streaming_join_demo")
+@query(
+    "streaming_join_demo",
+    """
+    SELECT c.user_id,
+           CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def streaming_join_demo(spark, sf_dir):
     """Stream-stream inner join with watermarks and a time-range condition:
     click events join purchase events of the same user within 1 hour.  Both
     sides carry watermarks so the join state is BOUNDED — Spark evicts a
     buffered click once no purchase older than (click_ts + 1h - watermark)
     can arrive.  This is the streaming twin of the batch as-of/range joins
-    (operators/joins.py).  Rows-only check."""
+    (operators/joins.py).  Oracle-checkable: the availableNow run ingests
+    everything in one batch (4 files < maxFilesPerTrigger), so every match
+    is emitted before any state eviction; holds at sf<=0.01 where the
+    click+purchase subset fits under limit(8000)."""
     import tempfile
     import uuid
 
@@ -2336,10 +2360,26 @@ def streaming_sessionize_demo(spark, sf_dir):
     return spark.table(qname)
 
 
-@query("streaming_tumbling_demo")
+@query(
+    "streaming_tumbling_demo",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (
+      SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS ws, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, ws + 3600 AS window_end, event_type, n
+    FROM w CROSS JOIN mx
+    WHERE ws + 3600 <= FLOOR(epoch(m)) - 7200
+    """,
+)
 def streaming_demo(spark, sf_dir):
     """Structured Streaming path: file stream -> watermark -> tumbling agg ->
-    memory sink, availableNow trigger (batch-equivalent results)."""
+    memory sink, availableNow trigger.  Append mode emits exactly the
+    windows the FINAL watermark (max event time - 2h) passed — the oracle
+    reproduces that horizon, so this checks both the aggregation values AND
+    the watermark-eviction frontier against SQL."""
     import tempfile
     import uuid
 
@@ -2635,7 +2675,15 @@ def events_funnel_q(spark, sf_dir):
     return W.funnel_stages(ev, ["signup", "click", "purchase"])
 
 
-@query("streaming_foreachbatch_upsert_demo")
+@query(
+    "streaming_foreachbatch_upsert_demo",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
 def streaming_foreachbatch_demo(spark, sf_dir):
     """foreachBatch incremental-sink pattern — THE production shape for
     merging a stream into a warehouse table: each micro-batch is
