@@ -105,6 +105,10 @@ class KiaraModule:
             if field_name not in inputs:
                 if schema.optional or schema.default is not None:
                     continue
+                # config binds before inputs (same precedence as _cfg()):
+                # a field the module was configured with is already satisfied
+                if field_name in self.config:
+                    continue
                 invalid[field_name] = "missing required input"
         if invalid:
             raise InvalidInputsError(invalid)

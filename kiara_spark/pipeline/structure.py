@@ -96,6 +96,11 @@ class PipelineStructure:
             for field_name in module.inputs_schema:
                 if field_name in s.input_links:
                     continue
+                # a field satisfied by the step's module_config is not a
+                # pipeline input (kiara semantics: config binds before
+                # inputs — mirrors _cfg()'s config-first resolution)
+                if field_name in s.module_config:
+                    continue
                 key = f"{s.step_id}.{field_name}"
                 alias = self.config.input_aliases.get(key, key.replace(".", "__"))
                 out.append(PipelineInput(alias, s.step_id, field_name))

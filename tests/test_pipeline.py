@@ -182,3 +182,40 @@ def test_llm_data_prep_example_pipeline(ctx, tables):
     assert clean.count() > 0
     assert {c for c in summary.columns} == {"lang", "n_docs", "total_tokens"}
     assert summary.count() > 0
+
+
+def test_corpus_refresh_example_pipeline(ctx, tmp_path):
+    """examples/corpus_refresh.json end-to-end: audit + weighted-sample a
+    batch, MERGE it into a corpus, pack training bins — the new-op pipeline
+    composes through the same lazy-DataFrame DAG as every other pipeline."""
+    import pyspark.sql.functions as F
+
+    spark = ctx.spark
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    # corpus = even ids with stale text; batch = a slice with ids 0..99
+    docs.filter("doc_id % 2 = 0").withColumn(
+        "text", F.concat(F.lit("STALE "), F.col("text"))).write.parquet(corpus_path)
+    docs.filter("doc_id < 100").write.parquet(batch_path)
+
+    res = ctx.run_pipeline("examples/corpus_refresh.json", {
+        "corpus_path": corpus_path, "batch_path": batch_path})
+
+    audit = {r["check_name"]: r["n_violations"] for r in res["batch_audit"].data.collect()}
+    assert audit == {"null_text": 0, "empty_text": 0, "null_doc_id": 0}
+    merged = res["refreshed_corpus"].data
+    # sampled batch docs replaced their stale twins: any doc_id < 100 kept
+    # from the batch must carry non-STALE text
+    fresh = merged.filter("doc_id < 100 AND text LIKE 'STALE %'").count()
+    sampled_ids = {r["doc_id"] for r in merged.filter("doc_id < 100").collect()
+                   if not r["text"].startswith("STALE ")}
+    # every non-stale doc under 100 came from the sampled batch; stale
+    # leftovers under 100 are even ids the sampler skipped
+    assert merged.count() > 0
+    for r in merged.filter("doc_id < 100").collect():
+        if r["text"].startswith("STALE "):
+            assert r["doc_id"] % 2 == 0 and r["doc_id"] not in sampled_ids
+    assert fresh + len(sampled_ids) == merged.filter("doc_id < 100").count()
+    bins = res["training_bins"].data
+    assert bins.agg(F.sum("n_docs")).collect()[0][0] == merged.count()
