@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "pack_token_budget_bins",
     "graph_pagerank",
+    "scd2_user_event_intervals",
 ]
 
 

@@ -67,6 +67,42 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
     return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change/event log:
+    collapse consecutive duplicate values per key, then emit validity
+    intervals ``[valid_from, valid_to)`` with ``valid_to = NULL`` (and
+    ``is_current = 1``) for each key's latest value.
+
+    Plan shape: ONE shuffle on the key serves both windows (change
+    detection via lag, interval close via lead on the collapsed rows —
+    same partitioning, Spark reuses the sort).  Timestamps surface as
+    epoch seconds so the output is engine-portable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev = F.lag(value_col).over(w)
+    changes = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_pv", prev)
+        .filter(F.col("_pv").isNull() | (F.col(value_col) != F.col("_pv")))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    valid_to = F.unix_timestamp(F.lead(ts_col).over(w2)).cast("bigint")
+    return changes.select(
+        F.col(key_col),
+        F.col(value_col).alias("attr_value"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("bigint").alias("is_current"),
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -99,10 +135,31 @@ TableQualityAudit = _simple_module(
         "SQL predicate}); returns (check, n_violations).",
 )
 
-MODULES = [TableMergeUpsert, TableQualityAudit]
+def _scd2_process(self, im: ValueMap, ctx):
+    return {"table": scd2_intervals(
+        im["table"].data,
+        key_col=self.config["key_column"],
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config["value_column"],
+        tiebreak_col=self.config.get("tiebreak_column", "event_id"))}
+
+
+TableScd2 = _simple_module(
+    "table.scd2.from_changes",
+    {"table": TABLE},
+    {"table": TABLE},
+    _scd2_process,
+    doc="Type-2 SCD intervals from a change log (config: key_column, "
+        "value_column, ts_column, tiebreak_column); one shuffle, two "
+        "windows sharing the sort.",
+)
+
+MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
     Operation("table.quality.audit", "table.quality.audit",
               doc="single-pass data-quality constraint audit"),
+    Operation("table.scd2.from_changes", "table.scd2.from_changes",
+              doc="SCD2 validity intervals from a change log"),
 ]

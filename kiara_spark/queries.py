@@ -3093,3 +3093,34 @@ def graph_pagerank_q(spark, sf_dir):
 
     return G.pagerank(_copurchase_edges(spark, sf_dir), iterations=3,
                       damping=0.85)
+
+
+@query(
+    "scd2_user_event_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS v, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events
+    ), changes AS (
+      SELECT user_id, v, ts, event_id FROM ordered WHERE pv IS NULL OR v <> pv
+    )
+    SELECT user_id, v AS attr_value,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                AS BIGINT) AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_event_intervals_q(spark, sf_dir):
+    """Type-2 SCD build (`table.scd2.from_changes`): each user's stream of
+    event types collapsed into validity intervals — consecutive duplicates
+    merge, the latest value stays open (is_current).  One shuffle on the
+    key feeds both the lag change-detector and the lead interval-closer."""
+    from .operators.quality import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(ev, key_col="user_id", ts_col="ts",
+                          value_col="event_type", tiebreak_col="event_id")

@@ -93,3 +93,27 @@ def test_fuzzy_levenshtein_ops_registered(ctx):
     for op in ("table.merge.upsert", "table.quality.audit",
                "table.dedup.fuzzy_levenshtein", "events.session_paths"):
         assert op in ctx.operation_registry.operation_ids
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    import pyspark.sql.functions as F
+    from kiara_spark.operators.quality import scd2_intervals
+
+    rows = [
+        # user 1: a,a,b,a -> intervals a[0,20) b[20,30) a[30,NULL)
+        (1, 0, 100, "a"), (1, 10, 101, "a"), (1, 20, 102, "b"), (1, 30, 103, "a"),
+        # user 2: single value stays current forever
+        (2, 5, 200, "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, sec long, event_id long, event_type string") \
+        .select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id", "event_type")
+    out = scd2_intervals(df, key_col="user_id", ts_col="ts",
+                         value_col="event_type", tiebreak_col="event_id")
+    got = {(r["user_id"], r["attr_value"], r["valid_from"]):
+           (r["valid_to"], r["is_current"]) for r in out.collect()}
+    assert got == {
+        (1, "a", 0): (20, 0),
+        (1, "b", 20): (30, 0),
+        (1, "a", 30): (None, 1),
+        (2, "x", 5): (None, 1),
+    }
