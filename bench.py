@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "pack_token_budget_bins",
     "graph_pagerank",
     "scd2_user_event_intervals",
+    "asof_join_forward_next_purchase",
 ]
 
 

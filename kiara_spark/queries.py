@@ -3124,3 +3124,36 @@ def scd2_user_event_intervals_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return scd2_intervals(ev, key_col="user_id", ts_col="ts",
                           value_col="event_type", tiebreak_col="event_id")
+
+
+@query(
+    "asof_join_forward_next_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS next_purchase_ts_us,
+           p.event_id AS next_purchase_event_id,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_forward_q(spark, sf_dir):
+    """Forward as-of join: for each click, the user's NEXT purchase at or
+    after that instant (direction='forward' flips the window sort — same
+    single shuffle + sort cost profile as backward)."""
+    from .operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = J.asof_join(clicks, purchases, by="user_id", left_ts="ts",
+                      value_cols=["event_id", "value"], direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_matched").alias("next_purchase_ts_us"),
+        F.col("event_id_matched").alias("next_purchase_event_id"),
+        F.col("value_matched").alias("next_purchase_value"),
+    )
