@@ -148,3 +148,52 @@ def test_pivot_unpivot_roundtrip_property(spark, rows):
     # cells for absent combinations are NULL, and nothing else appears
     assert all(v is None for k, v in got.items() if k not in expect)
     assert set(got) == {(g, p) for g, _, _ in rows for p in ("x", "y")}
+
+
+@given(rows=rows_strategy, src_frac=st.integers(1, 4))
+@SET
+def test_merge_upsert_key_partition_property(spark, rows, src_frac):
+    """MERGE invariants for any split: output keys = target keys ∪ source
+    keys; every source key's payload comes from the source; target-only
+    keys pass through untouched."""
+    from kiara_spark.operators.quality import merge_upsert
+
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], "k int, t int, v double"
+    ).dropDuplicates(["k"])
+    target = df.filter(F.col("t") % 2 == 0)
+    source = df.filter(F.col("t") % src_frac == 0).withColumn("v", F.col("v") + 1.0)
+    out = merge_upsert(target, source, ["k"]).collect()
+    t_keys = {r["k"] for r in target.collect()}
+    s_rows = {r["k"]: r["v"] for r in source.collect()}
+    t_rows = {r["k"]: r["v"] for r in target.collect()}
+    assert {r["k"] for r in out} == t_keys | set(s_rows)
+    for r in out:
+        expected = s_rows.get(r["k"], t_rows.get(r["k"]))
+        assert r["v"] == expected
+
+
+@given(rows=rows_strategy)
+@SET
+def test_scd2_intervals_tile_the_timeline(spark, rows):
+    """SCD2 output per key: intervals are chronological, non-overlapping,
+    contiguous (each valid_to = next valid_from), exactly one open current
+    interval, and consecutive intervals never repeat a value."""
+    from kiara_spark.operators.quality import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(k, t, i, str(int(v) % 3)) for i, (k, t, v) in enumerate(rows)],
+        "k int, sec long, eid int, val string",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "eid", "val")
+    out = scd2_intervals(df, key_col="k", ts_col="ts", value_col="val",
+                         tiebreak_col="eid").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"] == 1) == 1
+        assert ivs[-1]["valid_to"] is None and ivs[-1]["is_current"] == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr_value"] != b["attr_value"]
