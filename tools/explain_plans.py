@@ -24,6 +24,7 @@ INTENTIONAL_CROSS = {
     "sim_topk_bruteforce",        # bounded broadcast cross join (knn baseline)
     "q22_dormant_rich_customers",  # scalar subquery: 1-row avg-balance build side
     "q11_important_parts",         # scalar subquery: 1-row total-value build side
+    "graph_pagerank",              # 1-row node-count broadcast rides every iteration
 }
 
 
