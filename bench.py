@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "scd2_user_event_intervals",
     "asof_join_forward_next_purchase",
+    "events_sliding_distinct_users",
+    "heavy_hitters_tokens_by_lang",
 ]
 
 

@@ -3157,3 +3157,60 @@ def asof_forward_q(spark, sf_dir):
         F.col("event_id_matched").alias("next_purchase_event_id"),
         F.col("value_matched").alias("next_purchase_value"),
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    """
+    SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 AS window_start,
+           (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 + 3600 AS window_end,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, range(0, 4) t(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_distinct_users_q(spark, sf_dir):
+    """Sliding-window DISTINCT cardinality (the concurrent-users metric):
+    1h windows every 15m, exact count_distinct per (window, type).  Each
+    event expands to 4 windows before ONE hash aggregate — distinct state
+    shuffles once on (window, type); at extreme cardinality the same shape
+    takes approx_count_distinct for constant-memory sketching."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return ev.groupBy(win, "event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    ).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("window.end")).alias("window_end"),
+        "event_type", "n_users")
+
+
+@query(
+    "heavy_hitters_tokens_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang, UNNEST({_TOKS}) AS token FROM documents
+    ), counted AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, token, n, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+      FROM counted) WHERE rnk <= 10
+    """,
+)
+def heavy_hitters_tokens_q(spark, sf_dir):
+    """Exact heavy hitters: top-10 tokens per language.  Explode -> ONE
+    hash aggregate on (lang, token) with map-side combine (the explode
+    never shuffles raw text), then a rank window over the already-tiny
+    per-lang count table; total order (count desc, token asc) makes the
+    cutoff deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(X.tokens_col(F.col("text"))).alias("token"))
+    counted = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 10))
