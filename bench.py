@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "asof_join_forward_next_purchase",
     "events_sliding_distinct_users",
     "heavy_hitters_tokens_by_lang",
+    "scalar_null_battery",
 ]
 
 

@@ -67,6 +67,29 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
     return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
 
 
+def validate_schema(df: DataFrame, expected: dict) -> DataFrame:
+    """Schema-contract check: compare a DataFrame's schema against
+    ``{column: spark_type_simple_string}``.  Returns the long-form report
+    (column, expected_type, actual_type, status) with status in
+    ok|type_mismatch|missing|unexpected.  Driver-side only — schema
+    contracts never scan data, so this is free at any scale."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for col_name, want in expected.items():
+        have = actual.get(col_name)
+        if have is None:
+            rows.append((col_name, want, None, "missing"))
+        elif have != want:
+            rows.append((col_name, want, have, "type_mismatch"))
+        else:
+            rows.append((col_name, want, have, "ok"))
+    for col_name, have in actual.items():
+        if col_name not in expected:
+            rows.append((col_name, None, have, "unexpected"))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, status string")
+
+
 def scd2_intervals(
     df: DataFrame,
     key_col: str,
@@ -154,7 +177,17 @@ TableScd2 = _simple_module(
         "windows sharing the sort.",
 )
 
-MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2]
+TableValidateSchema = _simple_module(
+    "table.validate.schema",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": validate_schema(
+        im["table"].data, self.config["expected"])},
+    doc="Schema-contract report (config: expected={column: type}); "
+        "driver-side, never scans data.",
+)
+
+MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -162,4 +195,6 @@ OPERATIONS = [
               doc="single-pass data-quality constraint audit"),
     Operation("table.scd2.from_changes", "table.scd2.from_changes",
               doc="SCD2 validity intervals from a change log"),
+    Operation("table.validate.schema", "table.validate.schema",
+              doc="schema-contract report, no data scan"),
 ]

@@ -3214,3 +3214,40 @@ def heavy_hitters_tokens_q(spark, sf_dir):
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
     return (counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= 10))
+
+
+@query(
+    "scalar_null_battery",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+           CAST(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULLIF(o_orderpriority, '1-URGENT')
+                THEN 1 ELSE 0 END AS BIGINT) AS both_null_or_equal,
+           CAST(CASE WHEN NULLIF(o_totalprice, 0.0) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS price_nulled,
+           CAST(COALESCE(CAST(NULLIF(o_orderstatus, o_orderstatus) AS VARCHAR), 'always') AS VARCHAR) AS self_nullif,
+           IFNULL(NULLIF(o_orderstatus, 'F'), 'FILLED') AS ifnull_twin
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_null_battery_q(spark, sf_dir):
+    """NULL-semantics battery: NULLIF/COALESCE/IFNULL and null-safe
+    equality (`<=>` / IS NOT DISTINCT FROM) — three-valued logic agreement
+    between engines verified on derived nulls (the fixtures are non-null).
+    All map-only codegen expressions."""
+    orders = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_defaulted"),
+        status_or_null.eqNullSafe(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+        ).cast("bigint").alias("both_null_or_equal"),
+        F.nullif(F.col("o_totalprice"), F.lit(0.0)).isNull()
+        .cast("bigint").alias("price_nulled"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus"))
+                   .cast("string"), F.lit("always")).alias("self_nullif"),
+        F.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("FILLED"))
+        .alias("ifnull_twin"),
+    )

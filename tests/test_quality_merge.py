@@ -117,3 +117,14 @@ def test_scd2_intervals_collapse_and_current(spark):
         (1, "a", 30): (None, 1),
         (2, "x", 5): (None, 1),
     }
+
+
+def test_validate_schema_report(spark, ctx):
+    df = spark.createDataFrame([(1, "x", 2.0)], "k int, name string, v double")
+    from kiara_spark.operators.quality import validate_schema
+
+    report = {r["column"]: r["status"] for r in validate_schema(df, {
+        "k": "int", "name": "bigint", "missing_col": "string"}).collect()}
+    assert report == {"k": "ok", "name": "type_mismatch",
+                      "missing_col": "missing", "v": "unexpected"}
+    assert "table.validate.schema" in ctx.operation_registry.operation_ids
