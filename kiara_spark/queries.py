@@ -3251,3 +3251,39 @@ def scalar_null_battery_q(spark, sf_dir):
         F.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("FILLED"))
         .alias("ifnull_twin"),
     )
+
+
+@query(
+    "scalar_date_battery2",
+    """
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2_months,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus_45_days,
+           strftime(o_orderdate - INTERVAL 1 WEEK, '%Y-%m-%d') AS minus_1_week,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           strftime(o_orderdate + to_days(CAST((7 - isodow(o_orderdate) + 1) % 7 AS INT))
+                    + to_days(CASE WHEN (7 - isodow(o_orderdate) + 1) % 7 = 0 THEN 7 ELSE 0 END),
+                    '%Y-%m-%d') AS next_monday
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_date_battery2_q(spark, sf_dir):
+    """Advanced calendar battery: last_day, interval arithmetic
+    (months/days/weeks), ISO week + ISO weekday, and next_day — the
+    calendar edge cases (month-end clamping, year wrap, strictly-after
+    next-weekday) pinned against DuckDB's independent implementations."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        fmt(F.last_day(d)).alias("month_end"),
+        fmt(F.add_months(d, 2)).alias("plus_2_months"),
+        fmt(F.date_add(d.cast("date"), 45)).alias("plus_45_days"),
+        fmt(F.date_sub(d.cast("date"), 7)).alias("minus_1_week"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        fmt(F.next_day(d, "monday")).alias("next_monday"),
+    )
