@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_sliding_distinct_users",
     "heavy_hitters_tokens_by_lang",
     "scalar_null_battery",
+    "scalar_date_battery2",
+    "diff_orders_versions",
 ]
 
 

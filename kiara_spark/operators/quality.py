@@ -67,6 +67,42 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
     return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dataset version diff: classify every key as added (only in new),
+    removed (only in old), or changed (in both, any compared column
+    differs under null-safe inequality); unchanged keys are dropped.
+
+    One full-outer join shuffled on the key; column comparisons are
+    codegen expressions, so the diff costs the same as a single join at
+    any width.  The standard pre-swap check before replacing a 100 TB
+    table version."""
+    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+                   F.lit(1).alias("_in_old"))
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+                   F.lit(1).alias("_in_new"))
+    j = o.join(n, keys, "full_outer")
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("change_type", *keys)
+    )
+
+
 def validate_schema(df: DataFrame, expected: dict) -> DataFrame:
     """Schema-contract check: compare a DataFrame's schema against
     ``{column: spark_type_simple_string}``.  Returns the long-form report
@@ -187,7 +223,23 @@ TableValidateSchema = _simple_module(
         "driver-side, never scans data.",
 )
 
-MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema]
+def _diff_process(self, im: ValueMap, ctx):
+    return {"table": table_diff(
+        im["old"].data, im["new"].data, self.config["keys"],
+        self.config.get("compare_columns"))}
+
+
+TableDiff = _simple_module(
+    "table.diff",
+    {"old": TABLE, "new": TABLE},
+    {"table": TABLE},
+    _diff_process,
+    doc="Version diff by key: added/removed/changed classification "
+        "(config: keys, optional compare_columns); one full-outer join.",
+)
+
+MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
+           TableDiff]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -197,4 +249,6 @@ OPERATIONS = [
               doc="SCD2 validity intervals from a change log"),
     Operation("table.validate.schema", "table.validate.schema",
               doc="schema-contract report, no data scan"),
+    Operation("table.diff", "table.diff",
+              doc="added/removed/changed diff between table versions"),
 ]

@@ -3287,3 +3287,50 @@ def scalar_date_battery2_q(spark, sf_dir):
         (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
         fmt(F.next_day(d, "monday")).alias("next_monday"),
     )
+
+
+@query(
+    "diff_orders_versions",
+    """
+    WITH old_v AS (
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), new_v AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'X-CHANGED' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                  OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                THEN 'changed' END AS change_type,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey
+    FROM old_v o FULL JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                 OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+               THEN 'changed' END IS NOT NULL
+    """,
+)
+def diff_orders_versions_q(spark, sf_dir):
+    """Dataset version diff (`table.diff`): two derived orders versions —
+    rows added, removed, and priority-rewritten — classified in one
+    full-outer join on the key with null-safe column comparisons; the
+    pre-swap audit before replacing a table version."""
+    from .operators.quality import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old_v = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new_v = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("X-CHANGED"))
+        .otherwise(F.col("o_orderpriority")))
+    return table_diff(old_v, new_v, keys=["o_orderkey"])

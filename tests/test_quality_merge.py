@@ -128,3 +128,15 @@ def test_validate_schema_report(spark, ctx):
     assert report == {"k": "ok", "name": "type_mismatch",
                       "missing_col": "missing", "v": "unexpected"}
     assert "table.validate.schema" in ctx.operation_registry.operation_ids
+
+
+def test_table_diff_classification(spark):
+    from kiara_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k int, v string")
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, None), (5, "e")], "k int, v string")
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 changed, 3 unchanged (dropped), 4 null==null unchanged, 5 added
+    assert got == {1: "removed", 2: "changed", 5: "added"}
