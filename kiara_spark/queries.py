@@ -2337,11 +2337,41 @@ def sessionize_users_q(spark, sf_dir):
     return sessionize_pandas(ev, key="user_id", ts_col="ts", gap_seconds=1800.0)
 
 
-@query("streaming_sessionize_demo")
+@query(
+    "streaming_sessionize_demo",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(us) AS session_start_us,
+             MAX(us) AS session_end_us, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events FROM (
+      SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess)
+    WHERE sid < max_sid
+    """,
+)
 def streaming_sessionize_demo(spark, sf_dir):
     """applyInPandasWithState path: keyed session state over a file stream,
     availableNow trigger; emits all sessions provably closed by a later
-    event (the final open session per user stays in state — rows-only)."""
+    event, while the final open session per user stays in state (a real
+    stream never ends).  Oracle-checkable under the single-batch
+    availableNow run: emitted sessions = batch sessionization minus each
+    user's LAST session — the oracle reproduces exactly that, so the
+    keyed-state emission protocol itself is hash-verified."""
     import tempfile
     import uuid
 
