@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (kept short so the driver's tail capture can
+parse it):
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": ..., "n_queries": N}
+and writes the full per-query timing map to BENCH_DETAIL.json next to this
+file.
 
 Each query is materialized via a count-ish action (``write.format('noop')``)
 so the full plan executes without driver-side row transfer dominating.
@@ -136,12 +139,24 @@ def main():
         timings[name] = round(dt, 3)
         total += dt
 
-    print(json.dumps({
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+    }, indent=1))
+
+    # Last line stays compact: the driver tail-captures ~2 KB and the full
+    # per-query map exceeded it in round 1 ("parsed": null in BENCH_r01.json).
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

@@ -227,36 +227,49 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame
     )
 
 
-def decode_image_stub(df: DataFrame, binary_col: str = "media"):
+def decode_image_stub(df: DataFrame, binary_col: str = "media",
+                      passthrough: tuple = ()):
     """Image decode -> features, as ``mapInPandas``.
 
     The real decode needs PIL/ffmpeg (not in this container) — the Python
     boundary, Arrow batching, schema and partition behavior ARE the real
     production plumbing; only the pixel decode is faked deterministically
-    (features derived from byte length + sha prefix).  Swap ``_fake_decode``
-    for a real decoder on a cluster with codecs installed.
+    (features derived from byte length).  Swap ``_fake_decode`` for a real
+    decoder on a cluster with codecs installed.
+
+    ``passthrough`` columns (typically the row id plus metadata columns) are
+    carried through the Arrow batch unchanged so downstream joins aren't
+    needed — at 100 TB a decode stage that forces a re-join on id would pay
+    an avoidable shuffle.
     """
-    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    pt_fields = [f for f in df.schema.fields if f.name in set(passthrough)]
+    pt_names = [f.name for f in pt_fields]
+    schema = StructType(
+        list(pt_fields)
+        + [
+            StructField("byte_len", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
 
     def _fake_decode(batches):
         for pdf in batches:
+            out = pdf[pt_names].copy()
             blobs = pdf[binary_col]
-            yield pd.DataFrame(
-                {
-                    "row_idx": pdf.index,
-                    "byte_len": blobs.map(lambda x: len(x) if x is not None else 0),
-                    # deterministic fake "decoded" dims; replace with PIL.Image.open
-                    "width": blobs.map(lambda x: (len(x) % 64) + 1 if x else 0),
-                    "height": blobs.map(lambda x: (len(x) % 48) + 1 if x else 0),
-                }
-            )
+            out["byte_len"] = blobs.map(lambda x: len(x) if x is not None else 0)
+            # deterministic fake "decoded" dims; replace with PIL.Image.open
+            out["width"] = blobs.map(lambda x: (len(x) % 64) + 1 if x else 0)
+            out["height"] = blobs.map(lambda x: (len(x) % 48) + 1 if x else 0)
+            yield out
 
     real_decode_available = False
     if real_decode_available:  # pragma: no cover
         raise NotImplementedError("install PIL/ffmpeg and replace _fake_decode")
-    return df.mapInPandas(
-        _fake_decode, schema="row_idx long, byte_len long, width int, height int"
-    )
+    return df.mapInPandas(_fake_decode, schema=schema)
 
 
 class MediaAttachMetadata(KiaraModule):
@@ -284,7 +297,8 @@ class MediaDecodeImage(KiaraModule):
 
     def process(self, inputs: ValueMap, context):
         return {"table": decode_image_stub(
-            inputs["table"].data, self.config.get("binary_column", "media"))}
+            inputs["table"].data, self.config.get("binary_column", "media"),
+            passthrough=tuple(self.config.get("passthrough", ())))}
 
 
 MODULES = [

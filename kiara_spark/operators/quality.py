@@ -46,16 +46,22 @@ def quality_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     ``checks`` maps check-name -> violation predicate (Column).  Returns the
     long-form audit table (check_name: string, n_violations: bigint),
     computed as one conditional aggregation (single job, single pass)."""
+    names = list(checks)
     aggs = [
-        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(name)
-        for name, pred in checks.items()
+        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias(f"_c{i}")
+        for i, (_, pred) in enumerate(checks.items())
     ]
     wide = df.agg(*aggs)
-    # unpivot to long form: map-only Expand over the 1-row aggregate
-    names = list(checks)
-    stack = ", ".join(f"'{n}', `{n}`" for n in names)
-    return wide.selectExpr(
-        f"stack({len(names)}, {stack}) as (check_name, n_violations)")
+    # long form via explode of literal-keyed structs over the 1-row aggregate:
+    # check names come from user pipeline config and never enter a SQL/attribute
+    # parser (a selectExpr stack() string or unpivot() would choke on — or let
+    # through — quotes and backticks in a name).
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("check_name"), F.col(f"_c{i}").alias("n_violations"))
+        for i, n in enumerate(names)
+    ])
+    return wide.select(F.explode(pairs).alias("_kv")).select(
+        "_kv.check_name", "_kv.n_violations")
 
 
 def referential_orphans(child: DataFrame, parent: DataFrame,
@@ -81,16 +87,18 @@ def table_diff(
     codegen expressions, so the diff costs the same as a single join at
     any width.  The standard pre-swap check before replacing a 100 TB
     table version."""
-    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
+    if compare_cols is None:  # explicit [] means key-presence diff only
+        compare_cols = [c for c in new.columns if c not in keys]
     o = old.select(*keys, *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
                    F.lit(1).alias("_in_old"))
     n = new.select(*keys, *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
                    F.lit(1).alias("_in_new"))
     j = o.join(n, keys, "full_outer")
-    any_diff = None
+    # start from lit(False) so key-only diffs (no compare columns) still
+    # classify added/removed instead of raising on a None condition
+    any_diff = F.lit(False)
     for c in compare_cols:
-        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        any_diff = d if any_diff is None else (any_diff | d)
+        any_diff = any_diff | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
@@ -146,10 +154,16 @@ def scd2_intervals(
 
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     prev = F.lag(value_col).over(w)
+    # first-row marker must be explicit (lag over a literal): `_pv IS NULL`
+    # can't distinguish "first row" from "previous value was NULL", and the
+    # change test must be null-safe so NULL<->value transitions are kept and
+    # consecutive NULLs collapse.
+    first_row = F.lag(F.lit(1)).over(w).isNull()
     changes = (
         df.select(key_col, ts_col, tiebreak_col, value_col)
         .withColumn("_pv", prev)
-        .filter(F.col("_pv").isNull() | (F.col(value_col) != F.col("_pv")))
+        .withColumn("_first", first_row)
+        .filter(F.col("_first") | ~F.col(value_col).eqNullSafe(F.col("_pv")))
     )
     w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     valid_to = F.unix_timestamp(F.lead(ts_col).over(w2)).cast("bigint")

@@ -241,24 +241,36 @@ def pack_token_budget(
 ) -> DataFrame:
     """Sequence packing for training pipelines: assign documents to
     ~``budget``-token bins.  A single global greedy pack would serialize
-    100 TB behind one sorted window, so documents are first sharded by
-    ``id % shards`` (each shard's window runs in parallel, one shuffle),
-    then packed within the shard by exclusive running token count:
-    ``bin = shard*1e6 + floor(excl_cumsum / budget)``.
+    100 TB behind one sorted window, so documents are first sharded (each
+    shard's window runs in parallel, one shuffle), then packed within the
+    shard by exclusive running token count.
 
-    Output: (bin_id, n_docs, total_tokens) — one row per packed bin."""
+    Numeric ids shard by ``pmod(id, shards)`` (keeps the oracle SQL
+    portable); any other id type shards by ``pmod(xxhash64(id), shards)``.
+    The bin key is the composite (shard_id, bin_no) — NOT a single
+    ``shard*K + bin`` integer, which silently collides once a shard holds
+    more than K bins (~2 G tokens at budget 2048 with K=1e6, far below the
+    100 TB target).
+
+    Output: (shard_id, bin_no, n_docs, total_tokens) — one row per bin."""
+    from pyspark.sql.types import NumericType
+
     ntok = F.size(tokens_col(F.col(text_col))).cast("bigint")
-    shard = (F.col(id_col) % shards).cast("bigint")
+    id_field = df.schema[id_col]
+    if isinstance(id_field.dataType, NumericType):
+        shard = F.pmod(F.col(id_col).cast("bigint"), F.lit(shards)).cast("bigint")
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("bigint")
     t = df.select(F.col(id_col).alias("_id"), shard.alias("_shard"),
                   ntok.alias("_ntok"))
     w = (Window.partitionBy("_shard").orderBy("_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     excl = F.coalesce(F.sum("_ntok").over(w), F.lit(0))
     binned = t.withColumn(
-        "bin_id",
-        (F.col("_shard") * 1000000
-         + F.floor(excl / F.lit(float(budget)))).cast("bigint"))
-    return binned.groupBy("bin_id").agg(
+        "bin_no", F.floor(excl / F.lit(float(budget))).cast("bigint"))
+    return binned.groupBy(
+        F.col("_shard").alias("shard_id"), "bin_no"
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("_ntok").cast("bigint").alias("total_tokens"))
 

@@ -995,20 +995,38 @@ def sim_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-# ---------------------------------------------------------------------------
-# rows-only (non-SQL-expressible) entries: no ORACLE registration
-# ---------------------------------------------------------------------------
-
-@query("multimodal_media_features")
+@query(
+    "multimodal_media_features",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS media_size,
+           sha256(text) AS media_sha,
+           CASE WHEN substr(text, 1, 4) = chr(137) || 'PNG' THEN 'image/png'
+                WHEN substr(text, 1, 2) = chr(255) || chr(216) THEN 'image/jpeg'
+                WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS media_kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(CASE WHEN octet_length(encode(text)) > 0
+                THEN octet_length(encode(text)) % 64 + 1 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN octet_length(encode(text)) > 0
+                THEN octet_length(encode(text)) % 48 + 1 ELSE 0 END AS INT) AS height
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Binary-column plumbing: fake media from text bytes -> metadata +
-    mapInPandas decode stub.  Arrow-batched Python boundary; rows-only check."""
+    mapInPandas decode stub.  Arrow-batched Python boundary is the real
+    production path; the pixel decode itself is a deterministic fake (byte
+    arithmetic), which is exactly what the DuckDB oracle re-computes."""
     from .operators import misc as M
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
-    meta = M.attach_media_metadata(docs, "media")
-    return M.decode_image_stub(meta, "media")
+    meta = M.attach_media_metadata(docs, "media").withColumn(
+        "media_size", F.col("media_size").cast("bigint"))
+    return M.decode_image_stub(
+        meta, "media",
+        passthrough=("id", "media_size", "media_sha", "media_kind"))
 
 
 # ---------------------------------------------------------------------------
@@ -3067,10 +3085,11 @@ def weighted_sample_documents_q(spark, sf_dir):
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
       FROM t
     )
-    SELECT CAST(shard * 1000000 + FLOOR(excl / 2048.0) AS BIGINT) AS bin_id,
+    SELECT CAST(shard AS BIGINT) AS shard_id,
+           CAST(FLOOR(excl / 2048.0) AS BIGINT) AS bin_no,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(ntok) AS BIGINT) AS total_tokens
-    FROM c GROUP BY 1
+    FROM c GROUP BY 1, 2
     """,
 )
 def pack_token_budget_q(spark, sf_dir):
@@ -3130,10 +3149,12 @@ def graph_pagerank_q(spark, sf_dir):
     """
     WITH ordered AS (
       SELECT user_id, event_type AS v, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     ), changes AS (
-      SELECT user_id, v, ts, event_id FROM ordered WHERE pv IS NULL OR v <> pv
+      SELECT user_id, v, ts, event_id FROM ordered
+      WHERE rn = 1 OR pv IS DISTINCT FROM v
     )
     SELECT user_id, v AS attr_value,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
@@ -3364,3 +3385,55 @@ def diff_orders_versions_q(spark, sf_dir):
         F.when(F.col("o_orderkey") % 2 == 0, F.lit("X-CHANGED"))
         .otherwise(F.col("o_orderpriority")))
     return table_diff(old_v, new_v, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# registration order for the driver contract
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks the FIRST 50 entries of the exported
+# dict; tools/check_oracle.py always runs all of them.  Order the highest-
+# value operators first (full TPC-H battery, iterative graph, streaming,
+# SCD2/merge/diff, the dedup/similarity family) so the recorded
+# CORRECTNESS_r{N}.json covers them.
+
+_PRIORITY = [
+    # TPC-H 1..22
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_unshipped",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
+    "q10_returned_items", "q11_important_parts", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
+    # iterative / graph
+    "graph_degrees", "graph_2hop_neighbors", "graph_connected_components",
+    "graph_pagerank",
+    # structured streaming demos
+    "streaming_tumbling_demo", "streaming_dedup_demo", "streaming_join_demo",
+    "streaming_sessionize_demo", "streaming_foreachbatch_upsert_demo",
+    # lakehouse maintenance
+    "scd2_user_event_intervals", "merge_upsert_orders",
+    "diff_orders_versions", "dq_audit_orders_lineitem",
+    # dedup / similarity family
+    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_minhash_clusters",
+    "dedup_simhash", "dedup_ngram_jaccard_blocked", "dedup_embedding_cosine",
+    "fuzzy_part_name_pairs", "sim_topk_bruteforce", "sim_topk_ivf",
+    # temporal joins + stateful + multimodal + packing
+    "asof_join_click_purchase", "asof_join_forward_next_purchase",
+    "range_join_error_before_purchase", "sessionize_stateful_users",
+    "multimodal_media_features", "pack_token_budget_bins",
+]
+
+
+def _reorder() -> None:
+    assert not (set(_PRIORITY) - set(QUERIES)), sorted(set(_PRIORITY) - set(QUERIES))
+    ordered = _PRIORITY + [n for n in QUERIES if n not in _PRIORITY]
+    for d in (QUERIES, ORACLE):
+        snapshot = dict(d)
+        d.clear()
+        d.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_reorder()

@@ -140,3 +140,54 @@ def test_table_diff_classification(spark):
     got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
     # 1 removed, 2 changed, 3 unchanged (dropped), 4 null==null unchanged, 5 added
     assert got == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_table_diff_key_only(spark):
+    """Keys covering every column (or an explicit empty compare list) must
+    still classify added/removed instead of raising (ADVICE round 1)."""
+    from kiara_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "added"}
+    got2 = {r["k"]: r["change_type"] for r in table_diff(
+        old.withColumn("v", F.lit("x")), new.withColumn("v", F.lit("y")),
+        ["k"], compare_cols=[]).collect()}
+    assert got2 == {1: "removed", 3: "added"}
+
+
+def test_scd2_null_attribute_values(spark):
+    """NULL<->value transitions are real changes and consecutive NULLs
+    collapse (ADVICE round 1: null-safe change detection)."""
+    from kiara_spark.operators.quality import scd2_intervals
+
+    rows = [
+        # user 1: a, NULL, NULL, b -> a[0,10) NULL[10,30) b[30,NULL)
+        (1, 0, 100, "a"), (1, 10, 101, None), (1, 20, 102, None), (1, 30, 103, "b"),
+        # user 2: starts NULL -> NULL[5,15) y[15,NULL)
+        (2, 5, 200, None), (2, 15, 201, "y"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, sec long, event_id long, event_type string") \
+        .select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id", "event_type")
+    out = scd2_intervals(df, key_col="user_id", ts_col="ts",
+                         value_col="event_type", tiebreak_col="event_id")
+    got = {(r["user_id"], r["attr_value"], r["valid_from"]):
+           (r["valid_to"], r["is_current"]) for r in out.collect()}
+    assert got == {
+        (1, "a", 0): (10, 0),
+        (1, None, 10): (30, 0),
+        (1, "b", 30): (None, 1),
+        (2, None, 5): (15, 0),
+        (2, "y", 15): (None, 1),
+    }
+
+
+def test_quality_audit_quoted_check_names(spark):
+    """Check names with quotes/backticks come from user pipeline config and
+    must not inject into the plan (ADVICE round 1)."""
+    df = spark.createDataFrame([(None,), (1,)], "k int")
+    name = "bad'name`with quotes"
+    out = {r["check_name"]: r["n_violations"]
+           for r in quality_audit(df, {name: F.col("k").isNull()}).collect()}
+    assert out == {name: 1}

@@ -151,5 +151,23 @@ def test_pack_token_budget_bins(spark):
     assert sum(r["total_tokens"] for r in out) == 800
     # all docs share shard 0 -> bins 0..: excl cumsum 0,100,...,700 -> bins
     # floor(excl/250): 0,0,0,1,1,2,2,2
-    by_bin = {r["bin_id"]: r["n_docs"] for r in out}
-    assert by_bin == {0: 3, 1: 2, 2: 3}
+    by_bin = {(r["shard_id"], r["bin_no"]): r["n_docs"] for r in out}
+    assert by_bin == {(0, 0): 3, (0, 1): 2, (0, 2): 3}
+
+
+def test_pack_token_budget_string_ids_and_no_collision(spark):
+    """Non-numeric ids shard via xxhash64; composite (shard_id, bin_no) key
+    means distinct shards can never collide into each other's bin space."""
+    from kiara_spark.operators.text import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", " ".join(f"w{j}" for j in range(50))) for i in range(40)],
+        "doc_id string, text string")
+    out = pack_token_budget(docs, budget=100, shards=4,
+                            id_col="doc_id", text_col="text").collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    assert sum(r["total_tokens"] for r in out) == 2000
+    assert all(0 <= r["shard_id"] < 4 for r in out)
+    # each (shard, bin) is unique — grouping key is composite, not encoded
+    keys = [(r["shard_id"], r["bin_no"]) for r in out]
+    assert len(keys) == len(set(keys))
