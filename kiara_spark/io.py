@@ -31,6 +31,27 @@ _MIN_PARALLEL_BYTES = 256 << 10
 CPU_HEAVY_TABLES = {"documents", "embeddings"}
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate plan lineage for iterative/reused intermediates.
+
+    ``localCheckpoint`` stores blocks on executor local storage — fine on
+    local[32], but on a real cluster a lost executor kills a long iterative
+    run mid-flight.  When ``KIARA_SPARK_CHECKPOINT_DIR`` is set (any
+    HDFS/S3/shared path), use a RELIABLE checkpoint there instead: blocks
+    land in fault-tolerant storage and survive executor loss.  The env var
+    is read per call so tests and long-lived contexts can flip it."""
+    ckpt_dir = os.environ.get("KIARA_SPARK_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir creates a fresh UUID subdir per call — register
+        # once per configured path, remember what we set
+        if getattr(sc, "_kiara_ckpt_dir", None) != ckpt_dir:
+            sc.setCheckpointDir(ckpt_dir)
+            sc._kiara_ckpt_dir = ckpt_dir
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def ensure_scan_parallelism(df: DataFrame, size_bytes: int | None) -> DataFrame:
     """Spread a low-split scan across the cluster's cores.
 

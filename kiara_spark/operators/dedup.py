@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import cut_lineage
 from ..modules import KiaraModule
 from ..operations import Operation
 from ..values import ValueMap
@@ -238,7 +239,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         shingles_col(F.col(text_col), k).alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
-    ).withColumn("_n", F.size("_sh")).localCheckpoint(eager=True)
+    ).withColumn("_n", F.size("_sh"))
+    sh = cut_lineage(sh)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
                   F.col("_n").alias("n_a"),
                   *([F.col("_blk")] if block_col else []))
@@ -277,7 +279,7 @@ def minhash_dedup_verified(
                              shingle_unit)
     # the candidate pair set is tiny (ids only) and used twice below —
     # checkpoint it so the signature+LSH pipeline runs exactly once.
-    cand = cand.localCheckpoint(eager=True)
+    cand = cut_lineage(cand)
     # AQE coalesces the tiny id-pair set to ~1 partition; the shingle side
     # broadcasts, so without this the exact-Jaccard set ops (the dominant
     # verify cost) serialize onto one core.  Spreading ids is a trivial
@@ -294,8 +296,8 @@ def minhash_dedup_verified(
                 _shingles(F.col(text_col), shingle_k, shingle_unit).alias("_sh"))
         # materialize once: both join sides below reuse the same extracted
         # arrays instead of re-running the O(text) shingle extraction per side
-        .localCheckpoint(eager=True)
     )
+    sh = cut_lineage(sh)
     joined = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "sh_b"}), "id_b")

@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import cut_lineage
 from ..modules import KiaraModule
 from ..operations import Operation
 from ..values import ValueMap
@@ -67,7 +68,7 @@ def neighbors_within_2_hops(edges: DataFrame) -> DataFrame:
     exchange, instead of a distinct shuffle followed by a count shuffle over
     the full pair set — the pair set is the big intermediate here (sum of
     squared degrees), so one fewer pass over it is the main win."""
-    und = undirected_edges(edges).localCheckpoint(eager=True)
+    und = cut_lineage(undirected_edges(edges))
     one = und.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
     two = (
         one.alias("a")
@@ -106,11 +107,11 @@ def connected_components(
     """
     und = undirected_edges(edges)
     if checkpoint:
-        und = und.localCheckpoint(eager=True)
+        und = cut_lineage(und)
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id"))
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        labels = cut_lineage(labels)
     # labels decrease monotonically per node, so sum(component) strictly
     # decreases every round until the fixpoint — convergence detection is
     # ONE cheap aggregate on the (checkpointed) labels, no old-vs-new join.
@@ -139,7 +140,7 @@ def connected_components(
         # both steps changed nothing.
         new_labels = _propagate(_propagate(labels))
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = cut_lineage(new_labels)
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
@@ -168,9 +169,9 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     iteration count is fixed, so the whole computation is ``iterations``
     shuffle rounds — no convergence collect in the loop."""
     e = edges.select("src", "dst").distinct()
-    nodes = (e.select(F.col("src").alias("id"))
-             .unionByName(e.select(F.col("dst").alias("id"))).distinct()
-             .localCheckpoint(eager=True))
+    nodes = cut_lineage(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     outdeg = e.groupBy(F.col("src").alias("_od_src")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_outdeg"))

@@ -139,13 +139,26 @@ def knn_join_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Vectorized (numpy) alternative for wide embeddings: mapInPandas over
     corpus partitions with the query matrix broadcast — one BLAS matmul per
     Arrow batch instead of per-element expression eval.  Same output contract
-    as the bruteforce op; preferable when dims >= a few hundred."""
+    as the bruteforce op; preferable when dims >= a few hundred.
+
+    The broadcast path collects the query set on the driver, so it is gated
+    by ``max_broadcast_queries`` (~100k × 64 dims ≈ 50 MB — comfortably
+    broadcastable; an unbounded collect is a driver OOM at scale).  Above
+    the gate the computation stays fully distributed: an exact partitioned
+    cartesian scoring (no driver collect, bounded memory per task).  Exact
+    knn with huge Q × huge N is inherently O(N·Q) — when that cost itself is
+    the problem, use ``cosine_topk_ivf`` (bucket pruning) instead."""
     import numpy as np
     import pandas as pd
+
+    n_q = queries.select(id_col).count()  # aggregate only — no row transfer
+    if n_q > max_broadcast_queries:
+        return _cosine_topk_distributed(corpus, queries, k, id_col, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows])
@@ -176,6 +189,39 @@ def knn_join_pandas(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _cosine_topk_distributed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact top-k without any driver-side query collect: a partitioned
+    cartesian join (every corpus partition × every query partition — Spark's
+    CartesianProduct keeps per-task memory at one partition pair) scored with
+    the same codegen cosine expression as the bruteforce op.  Output contract
+    identical to ``cosine_topk_bruteforce``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)  # no broadcast hint: planner picks CartesianProduct
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

