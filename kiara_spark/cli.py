@@ -6,7 +6,8 @@ Usage:
     python -m kiara_spark.cli run <operation> [key=value ...] [--save alias] [--explain]
     python -m kiara_spark.cli operation list | operation explain <op_id>
     python -m kiara_spark.cli module list | type list
-    python -m kiara_spark.cli data list | data explain <ref>
+    python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
+    python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
     python -m kiara_spark.cli context info
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
@@ -136,9 +137,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if cmd == "data" and argv[:1] == ["list"]:
+        argv.pop(0)
+        flags = {}
+        while argv:
+            a = argv.pop(0)
+            if a == "--type":
+                flags["data_types"] = [argv.pop(0)]
+            elif a == "--alias":
+                flags["alias_matchers"] = [argv.pop(0)]
+            elif a == "--min-size":
+                flags["min_size"] = int(argv.pop(0))
+            else:
+                raise SystemExit(f"data list: unknown flag {a!r}")
         ctx = KiaraContext()
-        for alias, vid in sorted(ctx.data_registry.aliases.items()):
-            print(f"{alias:30s} {vid}")
+        if flags:
+            # materialize stored aliases so matchers see warehouse values too
+            for alias in list(ctx.data_registry.aliases):
+                try:
+                    ctx.get_value(alias)
+                except Exception:
+                    pass
+            found = ctx.data_registry.find_values(has_alias=True, **flags)
+            alias_of = {vid: a for a, vid in ctx.data_registry.aliases.items()}
+            for vid, v in found.items():
+                print(f"{alias_of.get(vid, '-'):30s} {vid}  ({v.schema.type})")
+        else:
+            for alias, vid in sorted(ctx.data_registry.aliases.items()):
+                print(f"{alias:30s} {vid}")
         return 0
 
     if cmd == "archive" and argv[:1] == ["export"]:

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import os
+import uuid as _uuid
+from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -27,11 +29,30 @@ if TYPE_CHECKING:
     from ..context import KiaraContext
 
 
+@dataclass
+class Destiny:
+    """A deferred derived-value computation registered against a value
+    (reference ``models/module/destiny.py`` + ``registries/data/__init__.py:
+    693-820``): run ``operation`` with the value bound to ``input_field``,
+    remember the result, and attach it to the value as a named property."""
+
+    destiny_alias: str
+    value_id: str
+    operation: str
+    operation_config: dict = field(default_factory=dict)
+    input_field: str | None = None
+    extra_inputs: dict = field(default_factory=dict)
+    result_field: str | None = None
+    destiny_id: str = field(default_factory=lambda: str(_uuid.uuid4()))
+    result_value_id: str | None = None
+
+
 class DataRegistry:
     def __init__(self, context: "KiaraContext", warehouse_path: str | None = None):
         self._context = context
         self._values: dict[str, Value] = {}
         self._aliases: dict[str, str] = {}  # alias -> value_id
+        self._destinies: dict[str, dict[str, Destiny]] = {}  # value_id -> alias -> Destiny
         self._hash_index: dict[str, str] = {}  # content_hash -> store path
         self._scalar_index: dict[str, str] = {}  # scalar content_hash -> value_id
         self.warehouse_path = warehouse_path or os.path.join(
@@ -200,6 +221,150 @@ class DataRegistry:
         )
         self._values[value.value_id] = value
         return value
+
+    # -- matchers (reference models/values/matchers.py:14-69) ---------------
+    def value_size(self, value: Value | str) -> int:
+        """Approximate payload size in bytes.  DataFrames use Catalyst's
+        plan-statistics estimate (metadata-only — no scan, safe at 100 TB);
+        scalars use their serialized repr."""
+        v = self.get_value(value)
+        if isinstance(v.data, DataFrame):
+            try:
+                return int(v.data._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())
+            except Exception:
+                return 0
+        try:
+            return len(repr(v.data).encode())
+        except Exception:
+            return 0
+
+    def find_values(
+        self,
+        data_types: list[str] | str | None = None,
+        min_size: int = 0,
+        max_size: int | None = None,
+        has_alias: bool = False,
+        alias_matchers: list[str] | str | None = None,
+    ) -> dict[str, Value]:
+        """Find registered values by predicate (reference ``ValueMatcher``:
+        data_types, min_size/max_size, has_alias, alias glob matchers).
+        Returns value_id -> Value, insertion-ordered."""
+        import fnmatch
+
+        if isinstance(data_types, str):
+            data_types = [data_types]
+        if isinstance(alias_matchers, str):
+            alias_matchers = [alias_matchers]
+        aliases_by_id: dict[str, list[str]] = {}
+        for a, vid in self._aliases.items():
+            aliases_by_id.setdefault(vid, []).append(a)
+
+        out: dict[str, Value] = {}
+        for vid, v in self._values.items():
+            if data_types and v.schema.type not in data_types:
+                continue
+            val_aliases = aliases_by_id.get(vid, [])
+            if (has_alias or alias_matchers) and not val_aliases:
+                continue
+            if alias_matchers and not any(
+                    fnmatch.fnmatch(a, pat)
+                    for a in val_aliases for pat in alias_matchers):
+                continue
+            if min_size or max_size is not None:
+                size = self.value_size(v)
+                if size < min_size:
+                    continue
+                if max_size is not None and size > max_size:
+                    continue
+            out[vid] = v
+        return out
+
+    # -- destinies (reference data/__init__.py:693-820) --------------------
+    def register_destiny(
+        self,
+        value: Value | str,
+        destiny_alias: str,
+        operation: str,
+        operation_config: dict | None = None,
+        input_field: str | None = None,
+        extra_inputs: dict | None = None,
+        result_field: str | None = None,
+    ) -> Destiny:
+        """Register a deferred derived-value computation for ``value``.
+
+        Nothing executes here — the destiny records WHICH operation to run
+        and HOW to bind the value; ``resolve_destiny`` runs it (through the
+        job registry, so repeated resolves are cache hits) and attaches the
+        result as a property.  One alias per value (reference raises on
+        duplicates too)."""
+        v = self.get_value(value)
+        per_value = self._destinies.setdefault(v.value_id, {})
+        if destiny_alias in per_value:
+            raise ValueError(
+                f"duplicate destiny {destiny_alias!r} for value {v.value_id}")
+        d = Destiny(
+            destiny_alias=destiny_alias,
+            value_id=v.value_id,
+            operation=operation,
+            operation_config=operation_config or {},
+            input_field=input_field,
+            extra_inputs=extra_inputs or {},
+            result_field=result_field,
+        )
+        per_value[destiny_alias] = d
+        return d
+
+    def destiny_aliases(self, value: Value | str) -> list[str]:
+        v = self.get_value(value)
+        return sorted(self._destinies.get(v.value_id, {}))
+
+    def resolve_destiny(self, value: Value | str, destiny_alias: str) -> Value:
+        """Execute a registered destiny (once) and attach its result to the
+        value as a property; later calls — and property reads via
+        ``get_property_value`` — return the attached value without re-run."""
+        v = self.get_value(value)
+        try:
+            d = self._destinies[v.value_id][destiny_alias]
+        except KeyError:
+            raise KeyError(
+                f"no destiny {destiny_alias!r} for value {v.value_id}") from None
+        if d.result_value_id is not None:
+            return self.get_value(d.result_value_id)
+
+        op = self._context.operation_registry.resolve(d.operation)
+        module = self._context.create_module(op.module_type, {
+            **op.module_config, **d.operation_config})
+        input_field = d.input_field
+        if input_field is None:
+            candidates = [n for n, s in module.inputs_schema.items()
+                          if not s.optional]
+            if len(candidates) != 1:
+                raise ValueError(
+                    f"destiny {destiny_alias!r}: can't infer input field from "
+                    f"{sorted(module.inputs_schema)}; pass input_field=")
+            input_field = candidates[0]
+        outputs = self._context.run_job(
+            d.operation, {input_field: v, **d.extra_inputs},
+            operation_config=d.operation_config)
+        result_field = d.result_field or (
+            next(iter(outputs)) if len(outputs) == 1 else None)
+        if result_field is None:
+            raise ValueError(
+                f"destiny {destiny_alias!r}: operation has several outputs "
+                f"{sorted(outputs)}; pass result_field=")
+        result = outputs[result_field]
+        d.result_value_id = result.value_id
+        v.add_property(result, destiny_alias)
+        return result
+
+    def get_property_value(self, value: Value | str, property_path: str) -> Value:
+        """Resolve an attached property back to its value (no execution)."""
+        v = self.get_value(value)
+        if property_path not in v.property_links:
+            raise KeyError(
+                f"value {v.value_id} has no property {property_path!r}")
+        return self.get_value(v.property_links[property_path])
 
     # -- lineage (reference value.py:917-925) ------------------------------
     def lineage(self, value: Value | str, _depth: int = 0) -> dict:

@@ -72,6 +72,11 @@ class Value:
         self.schema = schema
         self.pedigree = pedigree
         self.properties: dict = properties or {}
+        # derived-value attachment (reference value.py:754-820):
+        # property_links maps property_path -> value_id of the derived value;
+        # destiny_backlinks maps derived value_id -> alias on the origin side.
+        self.property_links: dict[str, str] = {}
+        self.destiny_backlinks: dict[str, str] = {}
         self._content_hash: str | None = None
 
     @property
@@ -94,6 +99,27 @@ class Value:
                     {"type": self.schema.type, "data": self.data}
                 )
         return self._content_hash
+
+    def add_property(
+        self,
+        value: "Value | str",
+        property_path: str,
+        add_origin_to_property_value: bool = True,
+    ) -> None:
+        """Attach another value as a named property of this one (reference
+        ``Value.add_property``, value.py:767-811).  Duplicate paths are an
+        error — properties are immutable once attached."""
+        if property_path in self.property_links:
+            raise ValueError(
+                f"property {property_path!r} already set on value {self.value_id}")
+        vid = value.value_id if isinstance(value, Value) else value
+        self.property_links[property_path] = vid
+        if add_origin_to_property_value and isinstance(value, Value):
+            value.destiny_backlinks[self.value_id] = property_path
+
+    @property
+    def property_names(self) -> list[str]:
+        return sorted(self.property_links)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Value(id={self.value_id[:8]}, type={self.schema.type})"

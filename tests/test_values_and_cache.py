@@ -96,3 +96,81 @@ def test_extract_metadata_profile(ctx, tables):
     meta = out["value_metadata"].data
     assert meta["rows"] == 5
     assert meta["columns"]["r_regionkey"]["nulls"] == 0
+
+
+# -- destinies / properties (reference data/__init__.py:693-820) ------------
+
+
+def test_destiny_resolve_attaches_property_no_rerun(ctx, tables):
+    """Register a metadata-extraction destiny, resolve it, then re-fetch the
+    value and read the property back — without executing the job again."""
+    reg = ctx.data_registry
+    v = ctx.get_value("alias:nation")
+    reg.register_destiny(v, "metadata", "extract.table.metadata")
+    assert reg.destiny_aliases(v) == ["metadata"]
+
+    result = reg.resolve_destiny(v, "metadata")
+    assert result.data["rows"] == 25
+
+    # re-fetch the SAME value from the registry: property is attached
+    v2 = ctx.get_value(f"value:{v.value_id}")
+    assert v2.property_names == ["metadata"]
+    n_jobs_before = len([r for r in ctx.job_registry.history if not r.cache_hit])
+    prop = reg.get_property_value(v2, "metadata")
+    assert prop.value_id == result.value_id
+    assert prop.data["rows"] == 25
+    # resolve again: cached result id short-circuits, no new execution
+    again = reg.resolve_destiny(v, "metadata")
+    assert again.value_id == result.value_id
+    n_jobs_after = len([r for r in ctx.job_registry.history if not r.cache_hit])
+    assert n_jobs_after == n_jobs_before
+    # origin backlink recorded on the derived value
+    assert result.destiny_backlinks == {v.value_id: "metadata"}
+
+
+def test_destiny_duplicate_alias_rejected(ctx, tables):
+    reg = ctx.data_registry
+    v = ctx.get_value("alias:region")
+    reg.register_destiny(v, "meta2", "extract.table.metadata")
+    with pytest.raises(ValueError, match="duplicate destiny"):
+        reg.register_destiny(v, "meta2", "extract.table.metadata")
+
+
+def test_property_immutable_once_attached(ctx, tables):
+    from kiara_spark.values import Value, ValueSchema
+
+    a = Value(data=1, schema=ValueSchema(type="integer"))
+    b = Value(data=2, schema=ValueSchema(type="integer"))
+    a.add_property(b, "twin")
+    with pytest.raises(ValueError, match="already set"):
+        a.add_property(b, "twin")
+
+
+# -- value matchers (reference models/values/matchers.py:14-69) -------------
+
+
+def test_find_values_by_type_and_alias(ctx, tables):
+    reg = ctx.data_registry
+    found = reg.find_values(data_types="table", alias_matchers="nat*")
+    assert [a for a in ("nation",) if any(
+        reg.aliases.get("nation") == vid for vid in found)]
+    # scalar values don't match type=table
+    sv = reg.register_data(42, data_type="integer")
+    assert sv.value_id not in reg.find_values(data_types="table")
+    # has_alias excludes the anonymous scalar
+    assert sv.value_id not in reg.find_values(has_alias=True)
+
+
+def test_find_values_size_bounds(ctx, tables):
+    reg = ctx.data_registry
+    lineitem = ctx.get_value("alias:lineitem")
+    region = ctx.get_value("alias:region")
+    big = reg.value_size(lineitem)
+    small = reg.value_size(region)
+    assert big > small > 0
+    found = reg.find_values(data_types="table", min_size=small + 1)
+    assert lineitem.value_id in found
+    assert region.value_id not in found
+    capped = reg.find_values(data_types="table", max_size=small)
+    assert region.value_id in capped
+    assert lineitem.value_id not in capped
