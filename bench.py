@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "sessionize_stateful_users",
     "graph_degrees",
     "graph_2hop_neighbors",
+    "graph_2hop_neighbors_approx",
     "graph_connected_components",
     "merge_upsert_orders",
     "dq_audit_orders_lineitem",
@@ -101,6 +102,7 @@ BENCH_QUERIES = [
     "scd2_user_event_intervals",
     "asof_join_forward_next_purchase",
     "events_sliding_distinct_users",
+    "events_sliding_distinct_users_approx",
     "heavy_hitters_tokens_by_lang",
     "scalar_null_battery",
     "scalar_date_battery2",

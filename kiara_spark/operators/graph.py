@@ -79,6 +79,28 @@ def neighbors_within_2_hops(edges: DataFrame) -> DataFrame:
     return both.groupBy("id").agg(F.count_distinct("nb").alias("n_neighbors_2hop"))
 
 
+def neighbors_within_2_hops_approx(edges: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HLL++ variant of ``neighbors_within_2_hops``: same two self-joins, but
+    the distinct state per node is a constant-size sketch
+    (``approx_count_distinct``) instead of an exact hash set.
+
+    This is the 100 TB path for hub-heavy graphs: the exact op's per-node
+    distinct state is O(unique 2-hop neighbors) — on a hub that's millions of
+    entries shuffled and held per group — while the sketch is a few KB per
+    node at any degree, and partial (map-side) merge cuts the shuffled bytes
+    by the same factor.  The exact op remains the oracle-checked twin."""
+    und = cut_lineage(undirected_edges(edges))
+    one = und.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+    two = (
+        one.alias("a")
+        .join(und.alias("e"), F.col("a.nb") == F.col("e.src"))
+        .select(F.col("a.id").alias("id"), F.col("e.dst").alias("nb"))
+    )
+    both = one.unionByName(two).filter(F.col("id") != F.col("nb"))
+    return both.groupBy("id").agg(
+        F.approx_count_distinct("nb", rsd).alias("n_neighbors_2hop_approx"))
+
+
 def triangle_count_total(edges: DataFrame) -> DataFrame:
     """Total triangle count: orient edges low->high id, join twice (the
     standard shuffle-efficient formulation: each triangle counted once)."""
@@ -309,6 +331,24 @@ class GraphDegrees(KiaraModule):
                                  directed=self.config.get("directed", False))}
 
 
+class GraphTwoHopApprox(KiaraModule):
+    """Sketch-based 2-hop neighborhood size (see
+    neighbors_within_2_hops_approx) — constant memory per node."""
+
+    _module_type_name = "network_graph.two_hop_approx"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": neighbors_within_2_hops_approx(
+            inputs["graph"].data["edges"],
+            rsd=self.config.get("rsd", 0.05))}
+
+
 class GraphComponents(KiaraModule):
     _module_type_name = "network_graph.connected_components"
 
@@ -341,8 +381,8 @@ class GraphPagerank(KiaraModule):
 
 
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
-           CreateGraphFromTables, GraphDegrees, GraphComponents,
-           GraphPagerank]
+           CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
+           GraphComponents, GraphPagerank]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -351,6 +391,7 @@ OPERATIONS = [
     Operation("create.network_graph.from.tables", "create.network_graph.from.tables",
               operation_type="create_from"),
     Operation("network_graph.degrees", "network_graph.degrees"),
+    Operation("network_graph.two_hop_approx", "network_graph.two_hop_approx"),
     Operation("network_graph.connected_components",
               "network_graph.connected_components"),
     Operation("network_graph.pagerank", "network_graph.pagerank"),

@@ -3388,6 +3388,41 @@ def diff_orders_versions_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# approximate-sketch twins of super-linear exact ops (rows-only: HLL++
+# estimates are implementation-specific, so no cross-engine value oracle —
+# the exact twins above stay the oracle-checked versions; tests bound the
+# relative error instead)
+# ---------------------------------------------------------------------------
+
+
+@query("events_sliding_distinct_users_approx")
+def events_sliding_distinct_users_approx_q(spark, sf_dir):
+    """Sketch twin of events_sliding_distinct_users: 1h/15m sliding windows
+    with approx_count_distinct (HLL++, rsd 2%).  The exact op's distinct
+    state is O(users per window) held and shuffled per group; the sketch is
+    constant-size per group with map-side merge — at 100 TB event streams
+    the concurrent-users metric runs at count-aggregate cost."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return ev.groupBy(win, "event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    ).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("window.end")).alias("window_end"),
+        "event_type", "n_users_approx")
+
+
+@query("graph_2hop_neighbors_approx")
+def graph_2hop_approx_q(spark, sf_dir):
+    """Sketch twin of graph_2hop_neighbors (see
+    operators.graph.neighbors_within_2_hops_approx): constant-size HLL++
+    state per node instead of an exact distinct set — the hub-node fix."""
+    from .operators import graph as G
+
+    return G.neighbors_within_2_hops_approx(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the exported

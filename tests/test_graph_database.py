@@ -157,3 +157,27 @@ def test_reliable_checkpoint_when_dir_configured(spark, toy_graph, tmp_path, mon
     # reliable checkpoint actually wrote rdd blocks under the configured dir
     written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
     assert written, "no reliable checkpoint files written"
+
+
+def test_two_hop_approx_tracks_exact(spark):
+    """HLL++ 2-hop sizes stay within the configured relative error of the
+    exact distinct counts (rsd 0.05 -> allow generous 3-sigma slack)."""
+    import random
+
+    from kiara_spark.operators.graph import neighbors_within_2_hops_approx
+
+    random.seed(3)
+    edges = spark.createDataFrame(
+        [(random.randrange(60), random.randrange(60)) for _ in range(400)],
+        "src long, dst long")
+    exact = {r["id"]: r["n_neighbors_2hop"]
+             for r in neighbors_within_2_hops(edges).collect()}
+    approx = {r["id"]: r["n_neighbors_2hop_approx"]
+              for r in neighbors_within_2_hops_approx(edges, rsd=0.05).collect()}
+    assert set(exact) == set(approx)
+    for node, n in exact.items():
+        assert abs(approx[node] - n) <= max(2, 0.15 * n), (node, n, approx[node])
+
+
+def test_two_hop_approx_op_registered(ctx):
+    assert "network_graph.two_hop_approx" in ctx.operation_registry.operation_ids
