@@ -51,6 +51,7 @@ class JobRegistry:
         self.strategy = strategy
         self._records: dict[str, JobRecord] = {}  # job_hash -> record
         self._history: list[JobRecord] = []
+        self._env_cache: dict | None = None
         # persistent job store (reference job archives,
         # ``src/kiara/registries/jobs/job_store/``): job_hash -> stored
         # output dataset paths; enables cache hits ACROSS restarts when the
@@ -69,16 +70,50 @@ class JobRegistry:
             pass
 
     def _environment(self) -> dict:
-        """Runtime fingerprint recorded in job records (reference captures
-        env hashes in pedigrees, ``processing/__init__.py:105-116``)."""
-        import sys
+        """Runtime fingerprint recorded in job records, mirroring the
+        reference's runtime-environment models (``models/runtime_environment/
+        {python,operating_system,kiara}.py``): python + key package versions,
+        OS, and the Spark runtime, plus a stable hash over the whole mapping
+        so two records can be compared for environment drift at a glance."""
+        if self._env_cache is None:
+            import platform
+            import sys
 
-        import pyspark
+            import pyspark
 
-        return {
-            "python": sys.version.split()[0],
-            "pyspark": pyspark.__version__,
-        }
+            packages = {}
+            for pkg in ("pyarrow", "pandas", "numpy"):
+                try:
+                    import importlib
+
+                    packages[pkg] = importlib.import_module(pkg).__version__
+                except Exception:
+                    pass
+            env = {
+                "python": sys.version.split()[0],
+                "pyspark": pyspark.__version__,
+                "packages": packages,
+                "os": {
+                    "system": platform.system(),
+                    "release": platform.release(),
+                    "machine": platform.machine(),
+                },
+            }
+            try:
+                spark = self._context.spark
+                env["spark"] = {
+                    "version": spark.version,
+                    "master": spark.sparkContext.master,
+                    "java": spark.sparkContext._jvm.System.getProperty(
+                        "java.version"),
+                }
+            except Exception:
+                pass
+            from ..hashing import hash_obj
+
+            env["environment_hash"] = hash_obj(env)
+            self._env_cache = env
+        return self._env_cache
 
     def _cache_key(self, module: "KiaraModule", inputs: ValueMap) -> str | None:
         if self.strategy == "no_cache" or not module.characteristics.is_idempotent:

@@ -174,3 +174,16 @@ def test_find_values_size_bounds(ctx, tables):
     capped = reg.find_values(data_types="table", max_size=small)
     assert region.value_id in capped
     assert lineitem.value_id not in capped
+
+
+def test_job_environment_fingerprint(ctx, tables):
+    """Job records capture the full runtime environment (python, packages,
+    OS, spark) + a stable hash — reference runtime_environment models."""
+    ctx.run_job("logic.and", {"a": True, "b": True})
+    rec = [r for r in ctx.job_registry.history if not r.cache_hit][-1]
+    env = rec.environment
+    assert env["python"] and env["pyspark"]
+    assert "numpy" in env["packages"] and "pandas" in env["packages"]
+    assert env["os"]["system"] == "Linux"
+    assert env["spark"]["version"] and env["spark"]["java"]
+    assert len(env["environment_hash"]) >= 16
