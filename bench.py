@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "scalar_null_battery",
     "scalar_date_battery2",
     "diff_orders_versions",
+    "pii_redaction_documents",
+    "decontaminate_documents",
+    "text_repetition_stats",
+    "tfidf_top_docterms",
 ]
 
 

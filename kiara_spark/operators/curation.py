@@ -1,0 +1,242 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+train/eval decontamination, repetition filtering, TF-IDF term weighting.
+
+The reference stops at import/export/filter modules (no curation surface —
+``/root/reference/src/kiara/modules/included_core_modules/``); these are the
+standard large-corpus preparation steps (C4/Gopher-style filtering, n-gram
+decontamination as in public LLM training reports, classic TF-IDF), built
+Spark-first:
+
+- PII + repetition ops are MAP-ONLY (regexp/array expressions, whole-stage
+  codegen, zero shuffle) — at 100 TB they run at scan throughput.
+- Decontamination shuffles ngram *hashes* only (16-byte md5 per gram), never
+  text payloads, and the eval side of the semi-join is tiny -> broadcast.
+- TF-IDF is two hash aggregates over the exploded (doc, term) stream + one
+  window top-k; document frequencies are a per-term count that AQE handles.
+
+Every op has a DuckDB-expressible twin registered in queries.py; regex
+patterns avoid lookaround so Java regex (Spark) and RE2 (DuckDB) agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operations import Operation
+from ..values import ValueMap
+from .tables import TABLE, _simple_module
+from .text import tokens_col
+
+# Conservative, lookaround-free patterns — identical semantics in Java
+# regex and RE2.  Order matters: emails first so the phone pattern can't
+# eat digit runs inside an already-masked token.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped digit runs and count each kind.
+
+    Map-only: one regexp_count + one regexp_replace per pattern, fused into
+    a single projection by codegen — no shuffle, no Python.  Counting
+    happens BEFORE masking so overlapping patterns report what the raw text
+    contained."""
+    text = F.col(text_col)
+    counts = {
+        f"n_{kind}": F.regexp_count(text, F.lit(pat)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    redacted = text
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.withColumns({**counts, "redacted_text": redacted})
+
+
+def word_ngram_hashes(text_col, n: int) -> F.Column:
+    """md5 hex of each word n-gram (space-joined) — the unit of overlap for
+    decontamination.  Hashing means only 32-char digests ever shuffle."""
+    toks = tokens_col(text_col if not isinstance(text_col, str) else F.col(text_col))
+    # positions 0 .. size-n (inclusive); empty array when the doc is shorter
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval overlap check: a training doc is contaminated when it
+    shares any word ``n``-gram with the eval set (the n-gram
+    decontamination rule from public LLM training reports).
+
+    Output: (doc_id, n_contaminated_grams, contaminated) for every train
+    doc.  Plan: explode ngram HASHES on both sides, inner-join train grams
+    against distinct eval grams (eval is small -> Spark broadcasts it),
+    count hits per doc, left-join back onto train ids.  Text payloads never
+    shuffle; the joined key is a 32-char digest."""
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngram_hashes(F.col(text_col), n)).alias("_g")
+    )
+    eval_grams = (
+        eval_df.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    hits = (
+        train_grams.join(eval_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("bigint")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+            .cast("int").alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, line-level: number of (non-empty)
+    lines, duplicate-line fraction, and duplicate-token fraction.  High
+    duplicate fractions flag boilerplate/navigation text.  Map-only array
+    expressions — no shuffle."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    return df.withColumns(
+        {
+            "n_lines": n_lines.cast("bigint"),
+            "dup_line_frac": F.when(
+                n_lines > 0,
+                (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+            ).otherwise(F.lit(0.0)),
+            "dup_token_frac": F.when(
+                n_toks > 0,
+                (n_toks - F.size(F.array_distinct(toks))).cast("double") / n_toks,
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    ``tf = term count in doc``; ``idf = ln((N+1)/(df+1)) + 1`` (smoothed,
+    scikit-learn convention — public formula); score rounded to 6 dp so the
+    SQL twin agrees bit-for-bit after rounding.
+
+    Plan: one explode -> (doc, term) count aggregate; term document
+    frequencies as a second aggregate over the first (no rescan); N rides
+    along from a 1-row count.  Everything shuffles on term or (doc, term) —
+    the exploded stream is the big intermediate, touched twice, never
+    collected."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1))
+                   + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+# -- modules ---------------------------------------------------------------
+
+
+TableRedactPii = _simple_module(
+    "table.redact_pii",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": redact_pii(
+        im["table"].data, self.config.get("text_column", "text"))},
+    doc="Mask emails/IPs/phones + per-kind counts; map-only regex pass.",
+)
+
+TableDecontaminate = _simple_module(
+    "table.decontaminate",
+    {"train": TABLE, "eval": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": decontaminate(
+        im["train"].data, im["eval"].data,
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        n=self.config.get("ngram", 5))},
+    doc="Flag training docs sharing any word n-gram with an eval set; "
+        "ngram-hash join, text never shuffles.",
+)
+
+TableRepetitionStats = _simple_module(
+    "table.repetition_stats",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": repetition_stats(
+        im["table"].data, self.config.get("text_column", "text"))},
+    doc="Gopher-style duplicate-line/token fractions; map-only.",
+)
+
+TableTfidfTopTerms = _simple_module(
+    "table.tfidf_top_terms",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": tfidf_top_terms(
+        im["table"].data,
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        k=self.config.get("k", 5))},
+    doc="Top-k TF-IDF terms per doc (smoothed idf); two aggregates + "
+        "window top-k.",
+)
+
+MODULES = [TableRedactPii, TableDecontaminate, TableRepetitionStats,
+           TableTfidfTopTerms]
+OPERATIONS = [
+    Operation("table.redact_pii", "table.redact_pii",
+              doc="PII masking + counts"),
+    Operation("table.decontaminate", "table.decontaminate",
+              doc="train/eval n-gram overlap flags"),
+    Operation("table.repetition_stats", "table.repetition_stats",
+              doc="duplicate-line/token repetition signals"),
+    Operation("table.tfidf_top_terms", "table.tfidf_top_terms",
+              doc="per-doc top-k TF-IDF terms"),
+]

@@ -3423,6 +3423,161 @@ def graph_2hop_approx_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation battery (operators/curation.py): PII redaction,
+# decontamination, repetition filters, TF-IDF
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+@query(
+    "pii_redaction_documents",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def pii_redaction_q(spark, sf_dir):
+    """PII masking (`table.redact_pii`): emails/IPv4s/phone shapes counted
+    then masked, map-only regex pass (lookaround-free patterns so Java
+    regex and RE2 agree).  Redacted text surfaces as md5 so the compare
+    hash stays small."""
+    from .operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return redact_pii(docs, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("redacted_text").alias("redacted_md5"))
+
+
+@query(
+    "decontaminate_documents",
+    """
+    WITH tr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), ev AS (
+      SELECT list_filter(string_split_regex(lower(substr(text, 1, 120)),
+                         '[^a-z0-9]+'), t -> t <> '') AS t
+      FROM documents WHERE doc_id % 11 = 0
+    ), evg AS (
+      SELECT DISTINCT unnest(CASE WHEN len(t) >= 5
+             THEN list_transform(range(1, len(t)-3),
+                                 i -> md5(array_to_string(t[i:i+4], ' ')))
+             ELSE [] END) AS g
+      FROM ev
+    ), trg AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+             THEN list_transform(range(1, len(t)-3),
+                                 i -> md5(array_to_string(t[i:i+4], ' ')))
+             ELSE [] END) AS g
+      FROM tr
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trg JOIN evg USING (g) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n, 0) AS n_contaminated_grams,
+           CAST(COALESCE(n, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    """,
+)
+def decontaminate_q(spark, sf_dir):
+    """Train/eval n-gram decontamination (`table.decontaminate`): the eval
+    side is 120-char snippets of every 11th doc, so their source docs (and
+    any accidental overlaps) flag as contaminated.  Only md5 gram digests
+    shuffle; the eval gram set broadcasts."""
+    from .operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.substring("text", 1, 120).alias("text"))
+    return decontaminate(docs, eval_df, id_col="doc_id", text_col="text", n=5)
+
+
+@query(
+    "text_repetition_stats",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN ROUND((len(lines) - len(list_distinct(lines)))
+                           / CAST(len(lines) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(toks) > 0
+                THEN ROUND((len(toks) - len(list_distinct(toks)))
+                           / CAST(len(toks) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_token_frac
+    FROM x
+    """,
+)
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition signals (`table.repetition_stats`):
+    duplicate-line and duplicate-token fractions, map-only."""
+    from .operators.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "text")
+    return out.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"))
+
+
+@query(
+    "tfidf_top_docterms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(tf * (ln((nd + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_q(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (`table.tfidf_top_terms`), smoothed idf;
+    scores rounded to 6 dp before ranking so cross-engine libm ulps can't
+    flip an ordering."""
+    from .operators.curation import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
+
+
+# ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the exported

@@ -1,0 +1,70 @@
+"""Corpus-curation operators: PII redaction, decontamination, repetition
+filters, TF-IDF (operators/curation.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kiara_spark.operators.curation import (decontaminate, redact_pii,
+                                            repetition_stats, tfidf_top_terms)
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or alice@test.org, call 555-123-4567, host 10.0.0.1"),
+         (2, "clean text with no identifiers at all")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 1, 1)
+    red = rows[1]["redacted_text"]
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "bob@example.com" not in red and "10.0.0.1" not in red
+    assert rows[2]["redacted_text"] == rows[2]["text"]
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely unrelated words about database engines here"),
+         (3, "short doc")],  # < n tokens -> no grams, never contaminated
+        "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [("quick brown fox jumps over the moon",)], "text string")
+    got = {r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+           for r in decontaminate(train, ev, n=5).collect()}
+    # train doc 1 shares the 5-grams "quick brown fox jumps over" (+1 more
+    # shifted) is NOT shared since eval continues "the moon": exactly 1 gram
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nother line"),
+         (2, "a b c d"),
+         (3, "x x x x")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[3]["dup_token_frac"] == pytest.approx(3 / 4)
+
+
+def test_tfidf_distinctive_term_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "common zebra"),
+         (2, "common words here"),
+         (3, "common words there")],
+        "doc_id int, text string")
+    top1 = {r["doc_id"]: r["term"] for r in tfidf_top_terms(df, k=1).collect()}
+    # equal tf=1 in doc 1: "zebra" (df=1, idf=ln(2)+1) beats "common"
+    # (df=3, idf=1)
+    assert top1[1] == "zebra"
+
+
+def test_curation_ops_registered(ctx):
+    for op in ("table.redact_pii", "table.decontaminate",
+               "table.repetition_stats", "table.tfidf_top_terms"):
+        assert op in ctx.operation_registry.operation_ids
