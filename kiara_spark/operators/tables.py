@@ -284,8 +284,14 @@ def window_function(
     return out
 
 
-def union_tables(a: DataFrame, b: DataFrame, by_name: bool = True, distinct: bool = False) -> DataFrame:
-    out = a.unionByName(b, allowMissingColumns=False) if by_name else a.union(b)
+def union_tables(a: DataFrame, b: DataFrame, by_name: bool = True, distinct: bool = False,
+                 allow_missing_columns: bool = False) -> DataFrame:
+    """``allow_missing_columns``: schema-evolution union — columns present in
+    only one side surface as NULL on the other (DuckDB twin: UNION ALL BY
+    NAME).  The standard shape for unioning file versions whose schemas
+    drifted; Catalyst still prunes columns that nothing downstream reads."""
+    out = (a.unionByName(b, allowMissingColumns=allow_missing_columns)
+           if by_name else a.union(b))
     return out.distinct() if distinct else out
 
 
@@ -686,8 +692,10 @@ TableWindow = _simple_module(
 TableUnion = _simple_module(
     "table.union", {"left": TABLE, "right": TABLE, "distinct": {"type": "boolean", "optional": True}},
     {"table": TABLE},
-    lambda self, im, ctx: {"table": union_tables(im["left"].data, im["right"].data,
-                                                 distinct=bool(_cfg(self, im, "distinct")[0]))},
+    lambda self, im, ctx: {"table": union_tables(
+        im["left"].data, im["right"].data,
+        distinct=bool(_cfg(self, im, "distinct")[0]),
+        allow_missing_columns=bool(self.config.get("allow_missing_columns")))},
 )
 
 TableIntersect = _simple_module(

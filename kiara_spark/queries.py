@@ -3577,6 +3577,29 @@ def tfidf_q(spark, sf_dir):
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
 
 
+@query(
+    "setop_union_evolve_schema",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(NULL AS DATE) AS o_orderdate
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, o_orderdate
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def union_evolve_q(spark, sf_dir):
+    """Schema-evolution union (`table.union` allow_missing_columns): two
+    orders 'file versions' whose schemas drifted (one gained o_orderdate,
+    one kept o_orderpriority) union by name with NULL fill — the standard shape
+    for reading across table versions without a rewrite."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    v2 = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    return T.union_tables(v1, v2, allow_missing_columns=True)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -197,3 +197,42 @@ def test_scd2_intervals_tile_the_timeline(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["attr_value"] != b["attr_value"]
+
+
+text_strategy = st.lists(
+    st.text(alphabet="abc def@x.com 0123.-\n", min_size=0, max_size=80),
+    min_size=1, max_size=12,
+)
+
+
+@given(texts=text_strategy)
+@SET
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction is a fixpoint: a second pass over already-redacted text
+    changes nothing (masks contain no maskable shapes)."""
+    from kiara_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    once = redact_pii(df).select(
+        "doc_id", F.col("redacted_text").alias("text"))
+    twice = redact_pii(once).select("doc_id", "redacted_text")
+    joined = once.join(twice, "doc_id")
+    assert joined.filter(F.col("text") != F.col("redacted_text")).count() == 0
+
+
+@given(texts=st.lists(st.text(alphabet="abcd efgh ", min_size=0, max_size=60),
+                      min_size=1, max_size=10))
+@SET
+def test_decontaminate_self_is_total(spark, texts):
+    """Decontaminating a corpus against ITSELF flags exactly the docs that
+    have at least one n-gram (>= n tokens)."""
+    from kiara_spark.operators.curation import decontaminate, word_ngram_hashes
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(df, df, n=3).collect()}
+    has_gram = {r["doc_id"]: r["ng"] > 0 for r in df.select(
+        "doc_id", F.size(word_ngram_hashes(F.col("text"), 3)).alias("ng")).collect()}
+    assert out == {i: int(has_gram[i]) for i in out}
