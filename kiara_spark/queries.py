@@ -3578,6 +3578,75 @@ def tfidf_q(spark, sf_dir):
 
 
 @query(
+    "streaming_late_drop_demo",
+    """
+    WITH m AS (SELECT MAX(ts) AS m FROM events),
+    b1 AS (
+      SELECT e.* FROM events e CROSS JOIN m
+      WHERE e.ts < m.m
+        AND NOT (e.event_id % 9 = 0 AND e.ts < m.m - INTERVAL 4 HOUR)
+    ),
+    w AS (SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS ws, event_type
+          FROM b1)
+    SELECT ws AS window_start, ws + 3600 AS window_end, event_type,
+           COUNT(*) AS n
+    FROM w CROSS JOIN m
+    WHERE ws + 3600 <= FLOOR(epoch(m.m)) - 7200
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_late_drop_demo_q(spark, sf_dir):
+    """Multi-batch watermark LATE-DATA DROP: three files process as separate
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered) —
+
+      b1: everything except the max-ts row(s) and the designated stragglers
+      b2: the max-ts row(s) (on-time; advances the watermark, lands in a
+          window past the final horizon so it never surfaces in the output)
+      b3: stragglers (event_id % 9 = 0, ts < max - 4h): their windows were
+          evicted after b1/b2 committed, so every b3 row is DROPPED — the
+          path the single-batch demos can't exercise (a late row arriving in
+          the SAME batch as its window's eviction still merges; only a
+          later-batch arrival drops, verified empirically).
+
+    The oracle therefore aggregates exactly b1 up to the final watermark
+    horizon (max - 2h).  The 4h straggler margin keeps the drop decision
+    identical under both the batch-start and batch-commit watermark, so the
+    check is robust to Spark's one-batch watermark propagation lag."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import (read_parquet_stream, run_stream_to_memory,
+                                    streaming_tumbling_agg)
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts")).collect()[0][0]
+    late = (F.col("event_id") % 9 == 0) & (
+        F.col("ts") < F.lit(m) - F.expr("INTERVAL 4 HOURS"))
+    tmp = tempfile.mkdtemp(prefix="kiara_latedrop_")
+    parts = [
+        ev.filter((F.col("ts") < F.lit(m)) & ~late),   # b1 bulk
+        ev.filter(F.col("ts") == F.lit(m)),            # b2 watermark driver
+        ev.filter(late),                               # b3 stragglers
+    ]
+    for i, df in enumerate(parts, 1):
+        d = os.path.join(tmp, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d)
+                   if f.endswith(".parquet") and not f.startswith("_")]
+        os.utime(os.path.join(d, part), (1_000_000_000 * i,) * 2)
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev.schema, options={
+            "maxFilesPerTrigger": "1", "recursiveFileLookup": "true"})
+    result = streaming_tumbling_agg(stream, "ts", "1 hour",
+                                    watermark="2 hours", keys=["event_type"])
+    qname = f"latedrop_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname)
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query(
     "setop_union_evolve_schema",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(NULL AS DATE) AS o_orderdate

@@ -92,9 +92,11 @@ def session_window_agg(
 # ---------------------------------------------------------------------------
 
 
-def read_parquet_stream(spark, path: str, schema=None):
+def read_parquet_stream(spark, path: str, schema=None, options: dict | None = None):
     """Structured Streaming source over a parquet directory (file stream).
     ``schema`` required by Spark for file streams; pass a batch-read schema.
+    ``options`` pass through to the reader (e.g. maxFilesPerTrigger for
+    multi-batch processing, recursiveFileLookup).
 
     Parquet timestamps written without a timezone come back as
     TIMESTAMP_NTZ, which ``withWatermark`` rejects (event time must be
@@ -102,8 +104,11 @@ def read_parquet_stream(spark, path: str, schema=None):
     value-preserving; normalize here so every streaming operator can
     watermark any parquet-sourced column."""
     if schema is None:
-        schema = spark.read.parquet(path).schema
-    df = spark.readStream.schema(schema).parquet(path)
+        schema = spark.read.option("recursiveFileLookup", "true").parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.parquet(path)
     ntz = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     for name in ntz:
         df = df.withColumn(name, F.col(name).cast("timestamp"))
