@@ -49,6 +49,10 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join pruning: a selective dim-side filter
+        # becomes a bloom filter applied to the fact scan — at 100 TB this
+        # skips whole row groups before the shuffle
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/kiara_spark_sql_warehouse"))
@@ -66,6 +70,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }.items():
         try:
             spark.conf.set(k, v)

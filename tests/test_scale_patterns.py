@@ -207,3 +207,36 @@ def test_observe_metrics_no_second_scan(spark):
     assert observed.count() == 3  # the one and only action
     got = obs.get
     assert got["n_rows"] == 3 and got["n_null_v"] == 1 and got["sum_v"] == 40.0
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """The session enables runtime bloom-filter join pruning: a selective
+    dim-side filter becomes a might_contain() predicate on the fact scan.
+    The default application-side threshold (10 GB scanned) is deliberately
+    above local fixture sizes — lower it here to prove the machinery fires;
+    at 100 TB it engages untouched."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter."
+                           "applicationSideScanSizeThreshold"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "1KB")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+            .filter("o_orderpriority = '1-URGENT'")
+        plan = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .agg(F.count(F.lit(1)))
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "might_contain" in plan or "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
