@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"type:     {v.schema.type}")
         if hasattr(v.data, "schema"):
             print(f"schema:   {v.data.schema.simpleString()}")
+        if v.property_links:
+            print("properties:")
+            for path, vid in sorted(v.property_links.items()):
+                print(f"  {path:20s} -> {vid}")
+        if destinies := ctx.data_registry.destiny_aliases(v):
+            print(f"destinies: {', '.join(destinies)}")
         print("lineage:")
         print(_json.dumps(ctx.data_registry.lineage(v), indent=2))
         return 0

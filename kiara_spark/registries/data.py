@@ -183,6 +183,7 @@ class DataRegistry:
                             "module_config": value.pedigree.module_config,
                             "inputs": dict(value.pedigree.inputs),
                         },
+                        "property_links": dict(value.property_links),
                         "spark_schema": value.data.schema.jsonValue(),
                     },
                     f,
@@ -219,6 +220,9 @@ class DataRegistry:
             value_id=info.get("value_id"),
             pedigree=ped,
         )
+        # property links survive restarts (resolution works once the
+        # referenced property values are themselves registered/loaded)
+        value.property_links.update(info.get("property_links") or {})
         self._values[value.value_id] = value
         return value
 

@@ -187,3 +187,20 @@ def test_job_environment_fingerprint(ctx, tables):
     assert env["os"]["system"] == "Linux"
     assert env["spark"]["version"] and env["spark"]["java"]
     assert len(env["environment_hash"]) >= 16
+
+
+def test_property_links_survive_store_load(spark, tmp_path):
+    """property_links round-trip through the warehouse sidecar."""
+    from kiara_spark import KiaraContext
+
+    ctx1 = KiaraContext(spark=spark, base_path=str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    v = ctx1.register_table(df, alias="t")
+    ctx1.data_registry.register_destiny(v, "metadata", "extract.table.metadata")
+    ctx1.data_registry.resolve_destiny(v, "metadata")
+    path = ctx1.store_value(v)
+
+    ctx2 = KiaraContext(spark=spark, base_path=str(tmp_path))
+    v2 = ctx2.data_registry.load_value(path)
+    assert v2.property_names == ["metadata"]
+    assert v2.property_links == v.property_links
