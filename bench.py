@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "text_repetition_stats",
     "tfidf_top_docterms",
+    "interval_overlap_orders",
+    "winsorize_order_prices",
 ]
 
 

@@ -139,6 +139,57 @@ def range_join(
     return joined.drop("_bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str] | None = None,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str | None = None,
+    right_end: str | None = None,
+    bucket_width: float = 86400.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED intervals overlap:
+    ``l.start <= r.end AND r.start <= l.end`` (epoch-second columns),
+    optionally within equi-key groups ``on``.
+
+    Scale design (the interval-join problem has no native Spark operator):
+    each interval explodes onto the grid cells it touches
+    (``floor(start/W) .. floor(end/W)``), the join runs on (keys, cell), and
+    the exact predicate filters cell-mates.  A pair sharing several cells
+    would duplicate, so it is kept only in the FIRST shared cell
+    (``cell == greatest(l_start_cell, r_start_cell)``) — dedup as a codegen
+    predicate instead of a distinct shuffle over the pair set.  Cost scales
+    with interval length / W (cells per interval); pick ``bucket_width``
+    near the typical interval span."""
+    keys = [on] if isinstance(on, str) else list(on or [])
+    right_start = right_start or left_start
+    right_end = right_end or left_end
+
+    ls, le = F.col(left_start).cast("double"), F.col(left_end).cast("double")
+    l_b = left.withColumn("_c0", F.floor(ls / bucket_width)).withColumn(
+        "_cell", F.explode(F.sequence(F.col("_c0"), F.floor(le / bucket_width))))
+    r_cols = [c for c in right.columns if c not in keys]
+    rs = F.col(right_start).cast("double")
+    re_ = F.col(right_end).cast("double")
+    r_b = right.select(
+        *[F.col(k) for k in keys],
+        F.floor(rs / bucket_width).alias("_rc0"),
+        F.explode(F.sequence(F.floor(rs / bucket_width),
+                             F.floor(re_ / bucket_width))).alias("_cell"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_cols],
+    )
+    rs_sfx = F.col(f"{right_start}{suffix}").cast("double")
+    re_sfx = F.col(f"{right_end}{suffix}").cast("double")
+    joined = l_b.join(r_b, on=[*keys, "_cell"]).filter(
+        (ls <= re_sfx) & (rs_sfx <= le)
+        # first-shared-cell dedup: emit the pair exactly once
+        & (F.col("_cell") == F.greatest(F.col("_c0"), F.col("_rc0")))
+    )
+    return joined.drop("_cell", "_c0", "_rc0")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -258,10 +309,34 @@ class StoreBucketed(KiaraModule):
         )}
 
 
-MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed]
+class IntervalOverlapJoin(KiaraModule):
+    """Bucketized interval-overlap join (see interval_overlap_join)."""
+
+    _module_type_name = "table.join.interval_overlap"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        cfg = self.config
+        return {"table": interval_overlap_join(
+            inputs["left"].data, inputs["right"].data,
+            on=cfg.get("on"),
+            left_start=cfg.get("left_start", "start"),
+            left_end=cfg.get("left_end", "end"),
+            right_start=cfg.get("right_start"),
+            right_end=cfg.get("right_end"),
+            bucket_width=float(cfg.get("bucket_width", 86400.0)))}
+
+
+MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin]
 OPERATIONS = [
     Operation("table.join.asof", "table.join.asof"),
     Operation("table.join.range", "table.join.range"),
+    Operation("table.join.interval_overlap", "table.join.interval_overlap"),
     Operation("table.join.salted", "table.join.salted"),
     Operation("table.store.bucketed", "table.store.bucketed"),
 ]

@@ -176,6 +176,28 @@ def scd2_intervals(
     )
 
 
+def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
+              upper: float = 0.99) -> DataFrame:
+    """Percentile clipping (winsorization) — the standard outlier cap before
+    feature normalization.  ONE aggregate computes every column's bounds
+    (exact linear-interpolation percentile, same definition as SQL
+    QUANTILE_CONT so the oracle matches bit-for-bit after rounding); the
+    1-row bounds broadcast onto the scan, clipping is codegen least/greatest
+    — two jobs total regardless of column count."""
+    aggs = []
+    for c in cols:
+        aggs += [F.expr(f"percentile({c}, {lower})").alias(f"_lo_{c}"),
+                 F.expr(f"percentile({c}, {upper})").alias(f"_hi_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_winsorized",
+            F.least(F.greatest(F.col(c).cast("double"), F.col(f"_lo_{c}")),
+                    F.col(f"_hi_{c}")))
+    return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -252,8 +274,20 @@ TableDiff = _simple_module(
         "(config: keys, optional compare_columns); one full-outer join.",
 )
 
+TableWinsorize = _simple_module(
+    "table.winsorize",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": winsorize(
+        im["table"].data, self.config["columns"],
+        lower=self.config.get("lower", 0.01),
+        upper=self.config.get("upper", 0.99))},
+    doc="Percentile clipping (config: columns, lower, upper); one bounds "
+        "aggregate + broadcast clip.",
+)
+
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
-           TableDiff]
+           TableDiff, TableWinsorize]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -265,4 +299,6 @@ OPERATIONS = [
               doc="schema-contract report, no data scan"),
     Operation("table.diff", "table.diff",
               doc="added/removed/changed diff between table versions"),
+    Operation("table.winsorize", "table.winsorize",
+              doc="percentile outlier clipping"),
 ]

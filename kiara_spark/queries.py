@@ -3669,6 +3669,79 @@ def union_evolve_q(spark, sf_dir):
     return T.union_tables(v1, v2, allow_missing_columns=True)
 
 
+@query(
+    "interval_overlap_orders",
+    """
+    WITH a AS (
+      SELECT o_custkey, o_orderkey,
+             FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS s,
+             FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) + 7*86400 AS e
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT o_custkey, o_orderkey,
+             FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS s,
+             FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) + 3*86400 AS e
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT a.o_custkey, a.o_orderkey, CAST(a.s AS BIGINT) AS s,
+           CAST(a.e AS BIGINT) AS e,
+           b.o_orderkey AS o_orderkey_right,
+           CAST(b.s AS BIGINT) AS s_right, CAST(b.e AS BIGINT) AS e_right
+    FROM a JOIN b ON a.o_custkey = b.o_custkey
+    WHERE a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_q(spark, sf_dir):
+    """Interval-overlap join (`table.join.interval_overlap`): per customer,
+    7-day windows of even orders against 3-day windows of odd orders.  No
+    native Spark operator exists for interval joins; the implementation
+    grid-buckets each interval and dedups pairs with a first-shared-cell
+    predicate instead of a distinct shuffle.  Oracle is the naive SQL
+    overlap join."""
+    from .operators.joins import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders")
+    ep = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    base = orders.select("o_custkey", "o_orderkey", ep.alias("s"))
+    a = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "e", (F.col("s") + 7 * 86400).cast("bigint")).withColumn(
+        "s", F.col("s").cast("bigint"))
+    b = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "e", (F.col("s") + 3 * 86400).cast("bigint")).withColumn(
+        "s", F.col("s").cast("bigint"))
+    out = interval_overlap_join(a, b, on="o_custkey", left_start="s",
+                                left_end="e", bucket_width=7 * 86400.0)
+    return out.select("o_custkey", "o_orderkey", "s", "e",
+                      "o_orderkey_right", "s_right", "e_right")
+
+
+@query(
+    "winsorize_order_prices",
+    """
+    WITH bounds AS (
+      SELECT QUANTILE_CONT(o_totalprice, 0.01) AS lo,
+             QUANTILE_CONT(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 6) AS o_totalprice_winsorized
+    FROM orders CROSS JOIN bounds
+    """,
+)
+def winsorize_q(spark, sf_dir):
+    """Percentile clipping (`table.winsorize`): cap order prices at the
+    1st/99th percentile — one exact-percentile aggregate broadcast onto the
+    scan; Spark `percentile` and DuckDB QUANTILE_CONT share the same linear
+    interpolation, so values hash-match after rounding."""
+    from .operators.quality import winsorize
+
+    orders = _t(spark, sf_dir, "orders")
+    out = winsorize(orders, ["o_totalprice"], lower=0.01, upper=0.99)
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice_winsorized", 6).alias("o_totalprice_winsorized"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

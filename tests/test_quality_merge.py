@@ -191,3 +191,16 @@ def test_quality_audit_quoted_check_names(spark):
     out = {r["check_name"]: r["n_violations"]
            for r in quality_audit(df, {name: F.col("k").isNull()}).collect()}
     assert out == {name: 1}
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    from kiara_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "k int, x double")
+    out = {r["k"]: r["x_winsorized"] for r in winsorize(
+        df, ["x"], lower=0.10, upper=0.90).collect()}
+    # exact interpolated percentiles of 1..100 at 0.1/0.9 are 10.9 / 90.1
+    assert out[1] == pytest.approx(10.9)
+    assert out[100] == pytest.approx(90.1)
+    assert out[50] == 50.0  # interior values untouched

@@ -81,3 +81,36 @@ def test_asof_module_via_context(ctx, spark):
                       operation_config={"by": "sym", "left_ts": "t"})
     rows = out["table"].data.collect()
     assert rows[0]["px_matched"] == 42.0
+
+
+def test_interval_overlap_join_semantics(spark):
+    from kiara_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 100, 0, 10), (1, 101, 50, 60), (2, 102, 0, 10)],
+        "k int, id int, s long, e long")
+    b = spark.createDataFrame(
+        [(1, 200, 10, 20),    # touches a.100 at endpoint 10 (closed: overlap)
+         (1, 201, 11, 20),    # just after a.100 -> no overlap
+         (1, 202, 55, 58),    # inside a.101
+         (2, 203, 100, 110)], # same key, no overlap
+        "k int, id int, s long, e long")
+    pairs = {(r["id"], r["id_right"]) for r in interval_overlap_join(
+        a, b, on="k", left_start="s", left_end="e", bucket_width=5.0).collect()}
+    assert pairs == {(100, 200), (101, 202)}
+
+
+def test_interval_overlap_long_intervals_no_duplicates(spark):
+    """An interval spanning many grid cells still emits each pair ONCE
+    (first-shared-cell dedup)."""
+    from kiara_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 1000)], "id int, s long, e long")
+    b = spark.createDataFrame([(2, 500, 900)], "id int, s long, e long")
+    rows = interval_overlap_join(a, b, left_start="s", left_end="e",
+                                 bucket_width=10.0).collect()
+    assert len(rows) == 1
+
+
+def test_interval_overlap_op_registered(ctx):
+    assert "table.join.interval_overlap" in ctx.operation_registry.operation_ids
