@@ -52,9 +52,16 @@ class KiaraContext:
 
     # -- input binding (reference analyze/bind phase, base_api queue_manifest) --
     def _bind_inputs(self, module: KiaraModule, inputs: Mapping[str, Any]) -> ValueMap:
+        from .modules import InvalidInputsError
+
         bound: dict[str, Value] = {}
         for field_name, schema in module.inputs_schema.items():
-            if field_name in inputs:
+            if schema.is_constant:
+                if field_name in inputs:
+                    raise InvalidInputsError(
+                        {field_name: "field is a constant, can't be set"})
+                raw = schema.default
+            elif field_name in inputs:
                 raw = inputs[field_name]
             elif schema.default is not None:
                 raw = schema.default

@@ -68,10 +68,41 @@ class KiaraModule:
             out[k] = v if isinstance(v, ValueSchema) else ValueSchema(**v)
         return out
 
+    def _overlay_constants_and_defaults(
+        self, schemas: dict[str, ValueSchema]
+    ) -> dict[str, ValueSchema]:
+        """Apply module_config ``constants`` / ``defaults`` onto the input
+        schema (reference ``modules/__init__.py:186-203`` +
+        ``utils/values.py:79-111``): names must exist in the schema, a field
+        can't be in both, defaults are overridable, constants are fixed."""
+        from dataclasses import replace
+
+        constants = self.config.get("constants") or {}
+        defaults = self.config.get("defaults") or {}
+        for k in (*constants, *defaults):
+            if k not in schemas:
+                raise InvalidInputsError({
+                    k: "invalid constant/default field name; available: "
+                       + ", ".join(sorted(schemas))})
+        both = set(constants) & set(defaults)
+        if both:
+            raise InvalidInputsError(
+                {k: "set in both 'constants' and 'defaults'" for k in both})
+        out = {}
+        for k, v in schemas.items():
+            if k in constants:
+                out[k] = replace(v, default=constants[k], is_constant=True)
+            elif k in defaults:
+                out[k] = replace(v, default=defaults[k])
+            else:
+                out[k] = v
+        return out
+
     @property
     def inputs_schema(self) -> dict[str, ValueSchema]:
         if self._inputs_schema is None:
-            self._inputs_schema = self._coerce(self.create_inputs_schema())
+            self._inputs_schema = self._overlay_constants_and_defaults(
+                self._coerce(self.create_inputs_schema()))
         return self._inputs_schema
 
     @property

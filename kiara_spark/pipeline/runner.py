@@ -69,6 +69,7 @@ def run_pipeline(
                             data_type="any",
                         )
                 else:
+                    schema = module.inputs_schema[field_name]
                     alias = next(
                         (pi.alias for pi in structure.pipeline_inputs
                          if pi.step_id == step_id and pi.field_name == field_name),
@@ -80,10 +81,14 @@ def run_pipeline(
                             step_inputs[field_name] = raw
                         else:
                             step_inputs[field_name] = context.data_registry.register_data(
-                                raw,
-                                data_type=module.inputs_schema[field_name].type,
-                                schema=module.inputs_schema[field_name],
+                                raw, data_type=schema.type, schema=schema,
                             )
+                    elif schema.is_constant or schema.default is not None:
+                        # constants / schema defaults bind from module_config
+                        # (reference utils/values.py augment_values)
+                        step_inputs[field_name] = context.data_registry.register_data(
+                            schema.default, data_type=schema.type, schema=schema,
+                        )
             record = context.job_registry.execute_job(module, ValueMap(step_inputs))
             state[step_id] = record.outputs
 

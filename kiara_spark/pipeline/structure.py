@@ -93,13 +93,17 @@ class PipelineStructure:
         out = []
         for s in self.config.steps:
             module = self._modules[s.step_id]
-            for field_name in module.inputs_schema:
+            for field_name, schema in module.inputs_schema.items():
                 if field_name in s.input_links:
                     continue
                 # a field satisfied by the step's module_config is not a
                 # pipeline input (kiara semantics: config binds before
                 # inputs — mirrors _cfg()'s config-first resolution)
                 if field_name in s.module_config:
+                    continue
+                # constants are fixed by module_config and can never be
+                # supplied from outside (reference modules/__init__.py:121)
+                if schema.is_constant:
                     continue
                 key = f"{s.step_id}.{field_name}"
                 alias = self.config.input_aliases.get(key, key.replace(".", "__"))

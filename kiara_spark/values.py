@@ -27,13 +27,17 @@ ORPHAN_PEDIGREE_MODULE = "orphan"  # reference: ORPHAN at value.py:1604-1610
 
 @dataclass(frozen=True)
 class ValueSchema:
-    """Named (nominal) type + config — reference value_schema.py:17-97."""
+    """Named (nominal) type + config — reference value_schema.py:17-97.
+    ``is_constant`` marks a field fixed by module_config constants
+    (reference utils/values.py:79-111): its default is the constant value
+    and user-supplied inputs for it are rejected."""
 
     type: str
     type_config: dict = field(default_factory=dict)
     optional: bool = False
     default: Any = None
     doc: str = ""
+    is_constant: bool = False
 
 
 @dataclass(frozen=True)

@@ -219,3 +219,51 @@ def test_corpus_refresh_example_pipeline(ctx, tmp_path):
     assert fresh + len(sampled_ids) == merged.filter("doc_id < 100").count()
     bins = res["training_bins"].data
     assert bins.agg(F.sum("n_docs")).collect()[0][0] == merged.count()
+
+
+def test_reference_logic_4_constants(ctx):
+    """module_config constants (reference logic_4.json): and_1_1.a is fixed
+    false, so it is NOT a pipeline input and the whole AND tree is false
+    regardless of the other legs."""
+    from kiara_spark.pipeline import PipelineConfig, PipelineStructure
+
+    path = f"{REFERENCE_PIPELINES}/logic/logic_4.json"
+    cfg = PipelineConfig.from_file(path)
+    st = PipelineStructure(cfg, ctx.module_registry)
+    aliases = {pi.alias for pi in st.pipeline_inputs}
+    assert "and_1_1__a" not in aliases  # constant: never an open input
+    out = ctx.run_pipeline(path, {
+        "and_1_1__b": True, "and_1_2__a": True, "and_1_2__b": True})
+    assert out["and_2__y"].data is False
+
+
+def test_reference_invalid_logic_4_rejected(ctx):
+    """The reference's invalid_pipelines/logic_4.json names a constant field
+    ('a1') that is not an input of logic.and -> rejected."""
+    from kiara_spark.modules import InvalidInputsError
+
+    with pytest.raises((InvalidInputsError, ValueError)):
+        ctx.run_pipeline(
+            "/root/reference/tests/resources/invalid_pipelines/logic_4.json",
+            {"and_1_1__a": True, "and_1_1__b": True,
+             "and_1_2__a": True, "and_1_2__b": True})
+
+
+def test_constant_input_cannot_be_set(ctx):
+    from kiara_spark.modules import InvalidInputsError
+
+    with pytest.raises(InvalidInputsError, match="constant"):
+        ctx.run_job("logic.and", {"a": True, "b": True},
+                    operation_config={"constants": {"a": False}})
+    out = ctx.run_job("logic.and", {"b": True},
+                      operation_config={"constants": {"a": False}})
+    assert out["y"].data is False
+
+
+def test_defaults_are_overridable(ctx):
+    out = ctx.run_job("logic.and", {"b": True},
+                      operation_config={"defaults": {"a": True}})
+    assert out["y"].data is True
+    out2 = ctx.run_job("logic.and", {"a": False, "b": True},
+                       operation_config={"defaults": {"a": True}})
+    assert out2["y"].data is False
