@@ -65,19 +65,34 @@ class LogicNot(KiaraModule):
 
 
 class MockModule(KiaraModule):
-    """Canned outputs from config (reference mock.py:75-130)."""
+    """Canned outputs from config (reference mock.py:75-130).
+
+    Accepts BOTH config dialects: this engine's compact
+    ``{"inputs": {f: type}, "outputs": {f: {"type":…, "value":…}}}`` and the
+    reference MockModuleConfig shape
+    ``{"inputs_schema": {f: {"type":…}}, "outputs": {f: {"field_schema":
+    {...}, "data":…}}}`` so reference-built mock pipelines run unchanged."""
 
     _module_type_name = "mock"
 
     def create_inputs_schema(self):
+        ins = self.config.get("inputs") or self.config.get("inputs_schema") or {}
         return {
             k: ({"type": v} if isinstance(v, str) else dict(v))
-            for k, v in self.config.get("inputs", {}).items()
+            for k, v in ins.items()
         }
+
+    @staticmethod
+    def _out_schema(spec: dict) -> dict:
+        if "field_schema" in spec:  # reference MockOutput shape
+            fs = dict(spec["field_schema"])
+            return {"type": fs.get("type", "any"),
+                    "optional": fs.get("optional", False)}
+        return {"type": spec.get("type", "string")}
 
     def create_outputs_schema(self):
         return {
-            k: {"type": spec.get("type", "string")}
+            k: self._out_schema(spec)
             for k, spec in self.config.get("outputs", {}).items()
         }
 
@@ -86,6 +101,8 @@ class MockModule(KiaraModule):
         for k, spec in self.config.get("outputs", {}).items():
             if "from_input" in spec:  # echo an input through (testing aid)
                 out[k] = inputs[spec["from_input"]].data
+            elif "data" in spec:  # reference MockOutput shape
+                out[k] = spec["data"]
             else:
                 out[k] = spec.get("value")
         return out

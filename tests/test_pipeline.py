@@ -267,3 +267,15 @@ def test_defaults_are_overridable(ctx):
     out2 = ctx.run_job("logic.and", {"a": False, "b": True},
                        operation_config={"defaults": {"a": True}})
     assert out2["y"].data is False
+
+
+def test_mock_module_reference_config_shape(ctx):
+    """The reference's MockModuleConfig dialect (inputs_schema + outputs
+    with field_schema/data) runs unchanged."""
+    out = ctx.run_job("mock", {"q": "hello"}, operation_config={
+        "inputs_schema": {"q": {"type": "string"}},
+        "outputs": {"result": {
+            "field_schema": {"type": "any", "doc": "A result"},
+            "data": "mock result data"}},
+    })
+    assert out["result"].data == "mock result data"
