@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "tfidf_top_docterms",
     "interval_overlap_orders",
     "winsorize_order_prices",
+    "text_unigram_logprob",
+    "dedup_keep_longest_per_cluster",
 ]
 
 

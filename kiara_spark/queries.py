@@ -3742,6 +3742,162 @@ def winsorize_q(spark, sf_dir):
         F.round("o_totalprice_winsorized", 6).alias("o_totalprice_winsorized"))
 
 
+@query(
+    "streaming_static_join_demo",
+    """
+    SELECT c.c_mktsegment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join_q(spark, sf_dir):
+    """Stream-static enrichment (the canonical streaming dim-join): the
+    event stream joins a STATIC customer dimension — stateless, the dim
+    broadcasts to every micro-batch, no watermark needed — then aggregates
+    per (segment, type) in complete mode.  At 100 TB/day this is the
+    standard enrich-then-rollup ingest shape."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="kiara_ss_join_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    joined = stream.join(F.broadcast(cust),
+                         stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+        .cast("double").alias("total_value"))
+    qname = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tc)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(c / CAST(t AS DOUBLE))), 6) AS avg_neg_logprob
+    FROM toks JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Self-trained unigram LM scoring: corpus unigram probabilities ->
+    per-doc mean negative log-prob (high = surprising/rare tokens — the
+    cheap relational stand-in for perplexity-based quality filtering).
+    Plan: one token-count aggregate, broadcast total, join back on term,
+    per-doc aggregate — everything shuffles on term or doc_id, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = tc.agg(F.sum("c").cast("bigint").alias("t"))
+    return (
+        toks.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t").cast("double"))), 6)
+            .alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_longest_per_cluster",
+    f"""
+    WITH RECURSIVE sh_t AS ({_SH_T_WORD}),
+    h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+                JOIN sh_t sb ON cand.id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION SELECT id_b, id_a FROM ver
+    ),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+      WHERE r.comp < u.dst
+    ),
+    comp AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.id AS doc_id, c.canonical_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM comp c JOIN documents d ON c.id = d.doc_id
+    )
+    SELECT canonical_id, doc_id AS kept_doc_id, n_tokens,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM (SELECT *,
+                 COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+                 ROW_NUMBER() OVER (PARTITION BY canonical_id
+                                    ORDER BY n_tokens DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def dedup_keep_longest_q(spark, sf_dir):
+    """End-to-end dedup pipeline composition: minhash pairs -> connected
+    components -> keep the LONGEST doc per near-dup cluster (the standard
+    survivor heuristic) — pair generation, clustering, and survivor pick
+    are each the operators verified elsewhere, composed into one plan."""
+    from .operators import graph as G
+    from .operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(docs, threshold=0.7, num_hashes=NUM_HASHES,
+                                     bands=BANDS, shingle_k=SHINGLE_WORDS,
+                                     shingle_unit="word")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = G.connected_components(edges)
+    scored = comp.join(
+        docs.select("doc_id", F.size(tokens_col(F.col("text")))
+                    .cast("bigint").alias("n_tokens")),
+        comp.id == F.col("doc_id")).select(
+        "doc_id", F.col("component").alias("canonical_id"), "n_tokens")
+    w = Window.partitionBy("canonical_id")
+    wr = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("canonical_id", F.col("doc_id").alias("kept_doc_id"),
+                "n_tokens", "cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
