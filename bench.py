@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "winsorize_order_prices",
     "text_unigram_logprob",
     "dedup_keep_longest_per_cluster",
+    "sample_per_group_documents",
 ]
 
 

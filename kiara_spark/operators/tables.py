@@ -130,6 +130,34 @@ def stratified_sample(
     return df.filter((F.col(key) % modulus) < thr)
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic fixed-size sample per group (the per-class subsample
+    for balanced training mixes): rank rows inside each group by the md5 of
+    (group, id) — a uniform, engine-portable pseudo-random order — and keep
+    the first ``n``.
+
+    One shuffle on the group key; reproducible across runs, engines, and
+    partitionings (unlike reservoir sampling, whose result depends on
+    partition visit order).  Skewed groups cost one window sort per group —
+    for pathological single-key skew pre-filter with ``stratified_sample``
+    first."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                        for c in (*group_cols, id_col)]))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n)
+        .drop("_rnk")
+    )
+
+
 def pivot_table(
     df: DataFrame,
     keys: list[str],
@@ -621,6 +649,17 @@ TableStratifiedSample = _simple_module(
     doc="Deterministic per-stratum sample (reproducible sampleBy twin).",
 )
 
+TableSamplePerGroup = _simple_module(
+    "table.sample.per_group",
+    {"table": TABLE, "group_cols": {"type": "any"}, "n": {"type": "integer"},
+     "id_col": STRING},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": sample_per_group(
+        im["table"].data, _cfg(self, im, "group_cols")[0],
+        _cfg(self, im, "n")[0], _cfg(self, im, "id_col")[0])},
+    doc="Deterministic fixed-size per-group sample (md5-ranked).",
+)
+
 TablePivot = _simple_module(
     "table.pivot",
     {"table": TABLE, "keys": {"type": "any"}, "pivot_col": STRING,
@@ -755,7 +794,7 @@ MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
     TableDropDuplicates, TableSort, TableLimit, TableSample,
     TableLoad, TableRepartition, TableCoalesce, TableCompact,
-    TableStratifiedSample, TablePivot, TableUnpivot, TableExplode, TableJoin,
+    TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable,
 ]
@@ -767,6 +806,8 @@ OPERATIONS = [
     Operation("table_filter.select_columns", "table.filter.select_columns", operation_type="filter"),
     Operation("table_filter.drop_duplicates", "table.filter.drop_duplicates", operation_type="filter"),
     Operation("query.table", "table.query.sql", doc="SQL over table views"),
+    Operation("table.sample.per_group", "table.sample.per_group",
+              doc="deterministic fixed-size per-group sample"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

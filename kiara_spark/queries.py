@@ -3898,6 +3898,28 @@ def dedup_keep_longest_q(spark, sf_dir):
     )
 
 
+@query(
+    "sample_per_group_documents",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat_ws(chr(31), CAST(lang AS VARCHAR),
+                                      CAST(doc_id AS VARCHAR))), doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= 5
+    """,
+)
+def sample_per_group_q(spark, sf_dir):
+    """Deterministic fixed-size per-group sample (`table.sample.per_group`):
+    5 docs per language, ranked by an md5 of (group, id) — engine-portable
+    pseudo-random order, so the balanced subsample is identical across
+    engines, runs, and partitionings."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return T.sample_per_group(docs, ["lang"], 5, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -168,3 +168,20 @@ def test_table_load_module_config(ctx, tables):
     # module_configs/table_load.json surface)
     out2 = ctx.run_job("table.load", {}, operation_config={"alias": "stored_orders"})
     assert out2["table"].data.columns == out["table"].data.columns
+
+
+def test_sample_per_group_deterministic(spark):
+    from kiara_spark.operators.tables import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "id long, g string")
+    s1 = {(r["g"], r["id"]) for r in sample_per_group(df, ["g"], 4, "id").collect()}
+    s2 = {(r["g"], r["id"]) for r in
+          sample_per_group(df.repartition(7), ["g"], 4, "id").collect()}
+    assert s1 == s2  # partition-invariant
+    from collections import Counter
+    per_group = Counter(g for g, _ in s1)
+    assert per_group == {"g0": 4, "g1": 4, "g2": 4}
+    # n larger than the group keeps everything
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
+    assert sample_per_group(tiny, ["g"], 10, "id").count() == 2
