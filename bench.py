@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "dedup_keep_longest_per_cluster",
     "sample_per_group_documents",
+    "agg_percentile_approx",
+    "cdc_apply_changes_orders",
 ]
 
 

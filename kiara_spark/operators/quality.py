@@ -176,6 +176,40 @@ def scd2_intervals(
     )
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC APPLY CHANGES: materialize the latest snapshot from a base table
+    plus a changelog of upserts ('U'/'I') and deletes ('D').
+
+    Per key the LATEST change (by ``ts_col``, then ``tiebreak_col``) wins:
+    an upsert replaces the base row, a delete removes it; keys without
+    changes pass through.  Plan: one window over the changelog (small next
+    to the base), one anti-join of base against changed keys, one union —
+    the base table is never shuffled beyond the anti-join's key exchange,
+    which broadcasts when the changelog is small.  Equivalent to Delta's
+    APPLY CHANGES INTO semantics, expressed relationally."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    survivors = base.join(latest.select(*keys).distinct(), keys, "left_anti")
+    return survivors.unionByName(upserts)
+
+
 def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
               upper: float = 0.99) -> DataFrame:
     """Percentile clipping (winsorization) — the standard outlier cap before
@@ -274,6 +308,23 @@ TableDiff = _simple_module(
         "(config: keys, optional compare_columns); one full-outer join.",
 )
 
+def _apply_changes_process(self, im: ValueMap, ctx):
+    return {"table": apply_changes(
+        im["base"].data, im["changes"].data, self.config["keys"],
+        ts_col=self.config.get("ts_column", "ts"),
+        op_col=self.config.get("op_column", "op"),
+        tiebreak_col=self.config.get("tiebreak_column"))}
+
+
+TableApplyChanges = _simple_module(
+    "table.apply_changes",
+    {"base": TABLE, "changes": TABLE},
+    {"table": TABLE},
+    _apply_changes_process,
+    doc="CDC snapshot: latest upsert/delete per key applied to base "
+        "(config: keys, ts_column, op_column, tiebreak_column).",
+)
+
 TableWinsorize = _simple_module(
     "table.winsorize",
     {"table": TABLE},
@@ -287,7 +338,7 @@ TableWinsorize = _simple_module(
 )
 
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
-           TableDiff, TableWinsorize]
+           TableDiff, TableWinsorize, TableApplyChanges]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -301,4 +352,6 @@ OPERATIONS = [
               doc="added/removed/changed diff between table versions"),
     Operation("table.winsorize", "table.winsorize",
               doc="percentile outlier clipping"),
+    Operation("table.apply_changes", "table.apply_changes",
+              doc="CDC upsert/delete changelog applied to a base snapshot"),
 ]

@@ -3899,6 +3899,76 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "cdc_apply_changes_orders",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'X-UPDATED' AS o_orderpriority, 'U' AS op,
+             1 AS seq FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'D' AS op,
+             2 AS seq FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes_q(spark, sf_dir):
+    """CDC APPLY CHANGES (`table.apply_changes`): a changelog of priority
+    updates (every 5th order, seq 1) and deletes (every 10th, seq 2 — so
+    deletes WIN over the update for keys in both) applied to a base
+    snapshot.  Latest-per-key window over the changelog, anti-join + union
+    on the base; the base never shuffles beyond the key anti-join."""
+    from .operators.quality import apply_changes
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).withColumns({
+        "o_orderpriority": F.lit("X-UPDATED"),
+        "op": F.lit("U"), "seq": F.lit(1)})
+    dele = orders.filter(F.col("o_orderkey") % 10 == 0).withColumns({
+        "op": F.lit("D"), "seq": F.lit(2)})
+    changes = upd.unionByName(dele)
+    out = apply_changes(base, changes, keys=["o_orderkey"], ts_col="seq")
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_orderpriority")
+
+
+@query("agg_percentile_approx")
+def agg_percentile_approx_q(spark, sf_dir):
+    """Sketch twin of agg_percentile_battery: approx_percentile (the
+    KLL/GK-style constant-memory quantile sketch) — at 100 TB the exact
+    percentile's per-group sorted state is unbounded while the sketch is
+    fixed-size with map-side merge.  Rows-only (sketch results are
+    engine-specific); a pytest bounds its error against the exact twin."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("approx_percentile(o_totalprice, 0.50)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "sample_per_group_documents",
     """
     SELECT doc_id, lang FROM (

@@ -204,3 +204,19 @@ def test_winsorize_clips_to_percentiles(spark):
     assert out[1] == pytest.approx(10.9)
     assert out[100] == pytest.approx(90.1)
     assert out[50] == 50.0  # interior values untouched
+
+
+def test_apply_changes_cdc_semantics(spark):
+    from kiara_spark.operators.quality import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(2, "B1", "U", 1), (2, "B2", "U", 2),   # latest update wins
+         (3, None, "D", 1),                       # delete
+         (4, "d", "I", 1),                        # insert of a new key
+         (5, "e", "U", 1), (5, None, "D", 2)],    # update then delete -> gone
+        "k int, v string, op string, seq int")
+    got = {r["k"]: r["v"] for r in apply_changes(
+        base, changes, keys=["k"], ts_col="seq").collect()}
+    assert got == {1: "a", 2: "B2", 4: "d"}

@@ -185,3 +185,15 @@ def test_sample_per_group_deterministic(spark):
     # n larger than the group keeps everything
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "id long, g string")
     assert sample_per_group(tiny, ["g"], 10, "id").count() == 2
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """approx_percentile stays within ~2% relative error of the exact
+    percentile on the fixture distribution (default accuracy 10000)."""
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx")).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.02 * abs(row["exact"])

@@ -25,6 +25,9 @@ INTENTIONAL_CROSS = {
     "q22_dormant_rich_customers",  # scalar subquery: 1-row avg-balance build side
     "q11_important_parts",         # scalar subquery: 1-row total-value build side
     "graph_pagerank",              # 1-row node-count broadcast rides every iteration
+    "winsorize_order_prices",      # 1-row percentile-bounds broadcast
+    "text_unigram_logprob",        # 1-row corpus-token-total broadcast
+    "tfidf_top_docterms",          # 1-row corpus-doc-count broadcast
 }
 
 
