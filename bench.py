@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "sample_per_group_documents",
     "agg_percentile_approx",
     "cdc_apply_changes_orders",
+    "quantile_bins_totalprice",
 ]
 
 

@@ -232,6 +232,25 @@ def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
 
 
+def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
+                  out_col: str | None = None) -> DataFrame:
+    """Equal-frequency binning: assign each row the index of its quantile
+    bucket (0..n_bins-1) — the scalable stand-in for global
+    ``percent_rank`` feature normalization, which would need a single
+    global sort window.  Here: ONE percentile aggregate computes the inner
+    bin bounds, broadcasts (n_bins-1 doubles), and the bin index is a
+    codegen sum of boundary comparisons — two jobs at any scale."""
+    out_col = out_col or f"{col}_bin"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(F.expr(
+        f"percentile({col}, array({', '.join(map(repr, ps))}))").alias("_bnds"))
+    joined = df.crossJoin(F.broadcast(bounds))
+    bin_idx = F.aggregate(
+        F.col("_bnds"), F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0))
+    return joined.withColumn(out_col, bin_idx.cast("int")).drop("_bnds")
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -337,8 +356,20 @@ TableWinsorize = _simple_module(
         "aggregate + broadcast clip.",
 )
 
+TableQuantileBins = _simple_module(
+    "table.quantile_bins",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": quantile_bins(
+        im["table"].data, self.config["column"],
+        n_bins=self.config.get("n_bins", 10),
+        out_col=self.config.get("out_column"))},
+    doc="Equal-frequency quantile bin index per row (config: column, "
+        "n_bins); one bounds aggregate + broadcast compare.",
+)
+
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
-           TableDiff, TableWinsorize, TableApplyChanges]
+           TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -354,4 +385,6 @@ OPERATIONS = [
               doc="percentile outlier clipping"),
     Operation("table.apply_changes", "table.apply_changes",
               doc="CDC upsert/delete changelog applied to a base snapshot"),
+    Operation("table.quantile_bins", "table.quantile_bins",
+              doc="equal-frequency quantile bin index"),
 ]

@@ -3899,6 +3899,33 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "quantile_bins_totalprice",
+    """
+    WITH b AS (
+      SELECT [QUANTILE_CONT(o_totalprice, 0.25),
+              QUANTILE_CONT(o_totalprice, 0.5),
+              QUANTILE_CONT(o_totalprice, 0.75)] AS bnds
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(bnds,
+                x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)) AS INT)
+             AS o_totalprice_bin
+    FROM orders CROSS JOIN b
+    """,
+)
+def quantile_bins_q(spark, sf_dir):
+    """Equal-frequency binning (`table.quantile_bins`): quartile index per
+    order — one exact-percentile bounds aggregate broadcast onto the scan;
+    the global-sort-free stand-in for percent_rank normalization."""
+    from .operators.quality import quantile_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    return quantile_bins(orders, "o_totalprice", n_bins=4).select(
+        "o_orderkey", "o_totalprice_bin")
+
+
+@query(
     "cdc_apply_changes_orders",
     """
     WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),

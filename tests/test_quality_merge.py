@@ -220,3 +220,18 @@ def test_apply_changes_cdc_semantics(spark):
     got = {r["k"]: r["v"] for r in apply_changes(
         base, changes, keys=["k"], ts_col="seq").collect()}
     assert got == {1: "a", 2: "B2", 4: "d"}
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from collections import Counter
+
+    from kiara_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "k int, x double")
+    out = quantile_bins(df, "x", n_bins=4).collect()
+    counts = Counter(r["x_bin"] for r in out)
+    # exact quartiles of 0..99 split 25/25/25/25
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+    by_k = {r["k"]: r["x_bin"] for r in out}
+    assert by_k[0] == 0 and by_k[99] == 3
