@@ -28,6 +28,7 @@ INTENTIONAL_CROSS = {
     "winsorize_order_prices",      # 1-row percentile-bounds broadcast
     "text_unigram_logprob",        # 1-row corpus-token-total broadcast
     "tfidf_top_docterms",          # 1-row corpus-doc-count broadcast
+    "quantile_bins_totalprice",    # 1-row quantile-bounds broadcast
 }
 
 
