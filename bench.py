@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "agg_percentile_approx",
     "cdc_apply_changes_orders",
     "quantile_bins_totalprice",
+    "corr_matrix_lineitem",
 ]
 
 

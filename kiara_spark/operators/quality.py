@@ -232,6 +232,40 @@ def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
 
 
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE pass.
+
+    All component sums (n, per-column sum/sum-of-squares, every pairwise
+    product sum) compute in a single aggregate over one scan — k columns
+    need k(k+1)/2 + k + 1 accumulators, NOT k² scans (df.stat.corr runs one
+    job per pair).  Sums accumulate as decimal(38,10) (exact,
+    order-insensitive) so the derived doubles are bit-identical across
+    engines and partitionings.  Output: long-form (col_a, col_b, corr) for
+    the upper triangle, rounded to 6 dp."""
+    dec = lambda c: F.sum(c.cast("decimal(38,10)")).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(dec(F.col(c)).alias(f"_s_{c}"))
+        aggs.append(dec(F.col(c) * F.col(c)).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(dec(F.col(a) * F.col(b)).alias(f"_sp_{a}_{b}"))
+    wide = df.agg(*aggs)
+
+    n = F.col("_n")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov = F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}") / n
+            va = F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}") / n
+            vb = F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}") / n
+            pairs.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.round(cov / F.sqrt(va * vb), 6).alias("corr")))
+    return wide.select(F.explode(F.array(*pairs)).alias("_p")).select(
+        "_p.col_a", "_p.col_b", "_p.corr")
+
+
 def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
                   out_col: str | None = None) -> DataFrame:
     """Equal-frequency binning: assign each row the index of its quantile
@@ -356,6 +390,16 @@ TableWinsorize = _simple_module(
         "aggregate + broadcast clip.",
 )
 
+TableCorrMatrix = _simple_module(
+    "table.corr_matrix",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": corr_matrix(
+        im["table"].data, self.config["columns"])},
+    doc="Pairwise Pearson correlations in one pass (config: columns); "
+        "exact decimal component sums.",
+)
+
 TableQuantileBins = _simple_module(
     "table.quantile_bins",
     {"table": TABLE},
@@ -369,7 +413,8 @@ TableQuantileBins = _simple_module(
 )
 
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
-           TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins]
+           TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
+           TableCorrMatrix]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -387,4 +432,6 @@ OPERATIONS = [
               doc="CDC upsert/delete changelog applied to a base snapshot"),
     Operation("table.quantile_bins", "table.quantile_bins",
               doc="equal-frequency quantile bin index"),
+    Operation("table.corr_matrix", "table.corr_matrix",
+              doc="one-pass pairwise correlation matrix"),
 ]

@@ -3899,6 +3899,45 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "corr_matrix_lineitem",
+    """
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS ss_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS ss_p,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS ss_d,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sp_qp,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sp_qd,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS sp_pd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND((sp_qp - s_q*s_p/n) / sqrt((ss_q - s_q*s_q/n)*(ss_p - s_p*s_p/n)), 6) AS corr
+    FROM c
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((sp_qd - s_q*s_d/n) / sqrt((ss_q - s_q*s_q/n)*(ss_d - s_d*s_d/n)), 6)
+    FROM c
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((sp_pd - s_p*s_d/n) / sqrt((ss_p - s_p*s_p/n)*(ss_d - s_d*s_d/n)), 6)
+    FROM c
+    """,
+)
+def corr_matrix_q(spark, sf_dir):
+    """One-pass pairwise correlation matrix (`table.corr_matrix`): every
+    component sum in a single aggregate (vs df.stat.corr's one job per
+    pair); decimal-exact accumulation makes the doubles engine-identical."""
+    from .operators.quality import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query(
     "quantile_bins_totalprice",
     """
     WITH b AS (

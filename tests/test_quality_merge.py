@@ -235,3 +235,21 @@ def test_quantile_bins_equal_frequency(spark):
     assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
     by_k = {r["k"]: r["x_bin"] for r in out}
     assert by_k[0] == 0 and by_k[99] == 3
+
+
+def test_corr_matrix_one_pass(spark):
+    import math
+
+    from kiara_spark.operators.quality import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1, float(-i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(
+        df, ["a", "b", "c"]).collect()}
+    # perfectly linear relations
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+    # one pass: a single aggregate job over one scan
+    plan = corr_matrix(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 2
