@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "cdc_apply_changes_orders",
     "quantile_bins_totalprice",
     "corr_matrix_lineitem",
+    "graph_clustering_coefficient",
 ]
 
 

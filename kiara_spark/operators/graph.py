@@ -112,6 +112,43 @@ def triangle_count_total(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """(id, n_triangles) for every node (0 for triangle-free nodes).
+
+    Same oriented double-join as the total count (each triangle enumerated
+    once as a<b<c), then each triangle credits its three vertices via one
+    explode + count — an O(triangles) shuffle, not a per-node recount."""
+    und = undirected_edges(edges).filter(F.col("src") < F.col("dst"))
+    und = cut_lineage(und)
+    ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, on="b").join(ac, on=["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes = undirected_edges(edges).select(F.col("src").alias("id")).distinct()
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"))
+
+
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, n_triangles, clustering): 2T / (d(d-1)), 0 where d < 2.
+    One degree aggregate + the per-node triangle plan — both shuffle on the
+    node id, so AQE can coalesce them into aligned exchanges."""
+    tri = triangles_per_node(edges)
+    deg = degrees(edges)
+    joined = tri.join(deg, "id")
+    d = F.col("degree").cast("double")
+    return joined.select(
+        "id", "degree", "n_triangles",
+        F.round(
+            F.when(F.col("degree") >= 2,
+                   2.0 * F.col("n_triangles") / (d * (d - 1.0)))
+            .otherwise(F.lit(0.0)), 6).alias("clustering"))
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 60,

@@ -3899,6 +3899,58 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "graph_clustering_coefficient",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+    ),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    oriented AS (SELECT src, dst FROM und WHERE src < dst),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM oriented ab
+      JOIN oriented bc ON ab.dst = bc.src
+      JOIN oriented ac ON ab.src = ac.src AND bc.dst = ac.dst
+    ),
+    per_node AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY id
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM und GROUP BY src)
+    SELECT d.id, d.degree, COALESCE(p.n_triangles, 0) AS n_triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                 THEN 2.0 * COALESCE(p.n_triangles, 0)
+                      / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN per_node p ON d.id = p.id
+    """,
+)
+def graph_clustering_q(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    supplier co-occurrence graph (suppliers sharing a high-quantity order).
+    Triangles enumerate once (a<b<c oriented double-join) and credit their
+    three vertices via one explode — an O(triangles) shuffle, never a
+    per-node neighborhood recount."""
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    pairs = (
+        li.alias("a").join(li.alias("b"),
+                           (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                           & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst")).distinct()
+    )
+    return G.local_clustering_coefficient(pairs).withColumn(
+        "degree", F.col("degree").cast("bigint"))
+
+
+@query(
     "corr_matrix_lineitem",
     """
     WITH c AS (

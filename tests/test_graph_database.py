@@ -181,3 +181,19 @@ def test_two_hop_approx_tracks_exact(spark):
 
 def test_two_hop_approx_op_registered(ctx):
     assert "network_graph.two_hop_approx" in ctx.operation_registry.operation_ids
+
+
+def test_triangles_per_node_and_clustering(spark, toy_graph):
+    from kiara_spark.operators.graph import (local_clustering_coefficient,
+                                             triangles_per_node)
+
+    tri = {r["id"]: r["n_triangles"] for r in triangles_per_node(toy_graph).collect()}
+    # triangle 1-2-3; nodes 4, 10, 11 have none
+    assert tri == {1: 1, 2: 1, 3: 1, 4: 0, 10: 0, 11: 0}
+    cc = {r["id"]: r["clustering"] for r in
+          local_clustering_coefficient(toy_graph).collect()}
+    # node 1: degree 2, 1 triangle -> 2*1/(2*1) = 1.0
+    # node 3: degree 3 (nbrs 1,2,4), 1 triangle -> 2/(3*2) = 0.333333
+    assert cc[1] == 1.0
+    assert cc[3] == pytest.approx(1 / 3, abs=1e-6)
+    assert cc[10] == 0.0  # degree 1 -> defined as 0
