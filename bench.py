@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "quantile_bins_totalprice",
     "corr_matrix_lineitem",
     "graph_clustering_coefficient",
+    "text_chunk_sentences",
+    "impute_nulls_lineitem",
 ]
 
 

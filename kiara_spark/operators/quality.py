@@ -266,6 +266,31 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "_p.col_a", "_p.col_b", "_p.corr")
 
 
+def impute_nulls(df: DataFrame, cols: list[str],
+                 strategy: str = "mean") -> DataFrame:
+    """NULL imputation with the column's mean or median — the standard
+    feature-prep fill.  ONE aggregate computes every fill value (means as
+    decimal-exact sum/count so the fill is engine- and partition-
+    deterministic; medians as exact interpolated percentile), broadcasts
+    the 1-row bounds, and the fill is a codegen coalesce."""
+    if strategy not in ("mean", "median"):
+        raise ValueError(f"unknown imputation strategy: {strategy!r}")
+    aggs = []
+    for c in cols:
+        if strategy == "mean":
+            fill = (F.sum(F.col(c).cast("decimal(38,10)"))
+                    / F.count(F.col(c))).cast("double")
+        else:
+            fill = F.expr(f"percentile({c}, 0.5)")
+        aggs.append(fill.alias(f"_fill_{c}"))
+    fills = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(fills))
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c).cast("double"), F.col(f"_fill_{c}")))
+    return out.drop(*[f"_fill_{c}" for c in cols])
+
+
 def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
                   out_col: str | None = None) -> DataFrame:
     """Equal-frequency binning: assign each row the index of its quantile
@@ -390,6 +415,17 @@ TableWinsorize = _simple_module(
         "aggregate + broadcast clip.",
 )
 
+TableImputeNulls = _simple_module(
+    "table.impute_nulls",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": impute_nulls(
+        im["table"].data, self.config["columns"],
+        strategy=self.config.get("strategy", "mean"))},
+    doc="Mean/median NULL fill (config: columns, strategy); one bounds "
+        "aggregate + broadcast coalesce.",
+)
+
 TableCorrMatrix = _simple_module(
     "table.corr_matrix",
     {"table": TABLE},
@@ -414,7 +450,7 @@ TableQuantileBins = _simple_module(
 
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
-           TableCorrMatrix]
+           TableCorrMatrix, TableImputeNulls]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -434,4 +470,6 @@ OPERATIONS = [
               doc="equal-frequency quantile bin index"),
     Operation("table.corr_matrix", "table.corr_matrix",
               doc="one-pass pairwise correlation matrix"),
+    Operation("table.impute_nulls", "table.impute_nulls",
+              doc="mean/median NULL imputation"),
 ]

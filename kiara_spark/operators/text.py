@@ -218,6 +218,51 @@ def chunk_documents(
     )
 
 
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 400,
+) -> DataFrame:
+    """Sentence-aware chunking: split on sentence boundaries
+    (``[.!?]+`` + whitespace), then greedily pack CONSECUTIVE sentences
+    into chunks whose cumulative length stays ~``max_chars`` — the
+    RAG-friendly splitter that never cuts mid-sentence (a sentence longer
+    than ``max_chars`` becomes its own chunk).
+
+    Plan: split -> posexplode(sentence) -> one window per doc computes the
+    exclusive running length -> ``chunk_id = floor(excl / max_chars)`` ->
+    re-assemble with concat_ws per (doc, chunk).  One shuffle on the doc
+    id; same sharded-cumsum shape as ``pack_token_budget``."""
+    # boundary = punctuation run + whitespace; marked with a unit-separator
+    # sentinel then split — lookaround-free so the RE2-based oracle (DuckDB)
+    # can reproduce the exact same segmentation
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+", "$1\x1f")
+    sentences = F.filter(
+        F.split(marked, "\x1f"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(sentences).alias("_pos", "_sent"),
+    ).withColumn("_len", F.length("_sent") + 1)  # +1 for the joining space
+    w = (Window.partitionBy(id_col).orderBy("_pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    excl = F.coalesce(F.sum("_len").over(w), F.lit(0))
+    binned = ex.withColumn(
+        "chunk_id", F.floor(excl / F.lit(float(max_chars))).cast("int"))
+    return (
+        binned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("_pos", "_sent"))).getField("_sent"))
+            .alias("chunk_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFrame:
@@ -361,12 +406,33 @@ class TextPackTokenBudget(KiaraModule):
             text_col=self.config.get("text_column", "text"))}
 
 
+class TextChunkSentences(KiaraModule):
+    """Sentence-aware greedy chunking (never cuts mid-sentence)."""
+
+    _module_type_name = "text.chunk_sentences"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": chunk_by_sentences(
+            inputs["table"].data,
+            text_col=self.config.get("text_column", "text"),
+            id_col=self.config.get("id_column", "doc_id"),
+            max_chars=self.config.get("max_chars", 400))}
+
+
 MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
-           TextTokenCount, TextChunk, TableWeightedSample, TextPackTokenBudget]
+           TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
+           TextPackTokenBudget]
 OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("text.pack_token_budget", "text.pack_token_budget"),
     Operation("text.chunk", "text.chunk"),
+    Operation("text.chunk_sentences", "text.chunk_sentences"),
     Operation("text.token_stats", "text.token_stats"),
     Operation("text.quality_score", "text.quality_score"),
     Operation("text.language_id", "text.language_id"),

@@ -3899,6 +3899,78 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "text_chunk_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(31), 'g'),
+               chr(31)), x -> trim(x) <> '') AS sents
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, i - 1 AS pos, sents[i] AS sent,
+             len(sents[i]) + 1 AS slen
+      FROM s, UNNEST(range(1, len(sents) + 1)) AS r(i)
+    ), c AS (
+      SELECT doc_id, pos, sent,
+             COALESCE(SUM(slen) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM ex
+    )
+    SELECT doc_id,
+           CAST(FLOOR(excl / 400.0) AS INT) AS chunk_id,
+           string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(length(string_agg(sent, ' ' ORDER BY pos)) AS INT) AS chunk_len
+    FROM c GROUP BY 1, 2
+    """,
+)
+def chunk_sentences_q(spark, sf_dir):
+    """Sentence-aware chunking (`text.chunk_sentences`): greedy packing of
+    consecutive sentences into ~400-char chunks — never cuts mid-sentence
+    (the RAG-friendly splitter).  Sentinel-replace segmentation is
+    lookaround-free so Java regex and RE2 split identically."""
+    from .operators.text import chunk_by_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_by_sentences(docs, max_chars=400).withColumn(
+        "chunk_len", F.col("chunk_len").cast("int"))
+
+
+@query(
+    "impute_nulls_lineitem",
+    """
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity > 45 THEN NULL ELSE l_extendedprice END AS price_g
+      FROM lineitem
+    ), f AS (
+      SELECT CAST(SUM(CAST(price_g AS DECIMAL(38,10))) AS DOUBLE)
+             / COUNT(price_g) AS fill
+      FROM d
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COALESCE(price_g, fill), 6) AS price_g
+    FROM d CROSS JOIN f
+    """,
+)
+def impute_nulls_q(spark, sf_dir):
+    """Mean imputation (`table.impute_nulls`): a derived column with NULLs
+    (prices of high-quantity lines) filled with the decimal-exact column
+    mean — one bounds aggregate broadcast onto the scan."""
+    from .operators.quality import impute_nulls
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") > 45, F.lit(None))
+        .otherwise(F.col("l_extendedprice")).alias("price_g"))
+    out = impute_nulls(d, ["price_g"], strategy="mean")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("price_g", 6).alias("price_g"))
+
+
+@query(
     "graph_clustering_coefficient",
     """
     WITH e0 AS (

@@ -253,3 +253,18 @@ def test_corr_matrix_one_pass(spark):
     # one pass: a single aggregate job over one scan
     plan = corr_matrix(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_impute_nulls_mean_and_median(spark):
+    from kiara_spark.operators.quality import impute_nulls
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0), (4, None), (5, 60.0)],
+        "k int, x double")
+    mean_fill = {r["k"]: r["x"] for r in impute_nulls(df, ["x"], "mean").collect()}
+    assert mean_fill[2] == pytest.approx(30.0)  # (10+20+60)/3
+    med_fill = {r["k"]: r["x"] for r in impute_nulls(df, ["x"], "median").collect()}
+    assert med_fill[2] == pytest.approx(20.0)
+    assert med_fill[1] == 10.0  # non-null untouched
+    with pytest.raises(ValueError):
+        impute_nulls(df, ["x"], "mode")

@@ -188,3 +188,34 @@ def test_pack_token_budget_string_ids_and_no_collision(spark):
     # each (shard, bin) is unique — grouping key is composite, not encoded
     keys = [(r["shard_id"], r["bin_no"]) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_chunk_by_sentences_never_splits_sentences(spark):
+    from kiara_spark.operators.text import chunk_by_sentences
+
+    text = ("First sentence here. Second one follows! Third is a bit longer, "
+            "with a clause? Fourth closes it out.")
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    chunks = sorted(chunk_by_sentences(df, max_chars=50).collect(),
+                    key=lambda r: r["chunk_id"])
+    # every sentence appears exactly once, in order, uncut
+    reassembled = " ".join(r["chunk_text"] for r in chunks)
+    assert reassembled == text
+    assert len(chunks) >= 2
+    for r in chunks:
+        # chunks end on sentence boundaries (or document end)
+        assert r["chunk_text"].rstrip()[-1] in ".!?"
+
+
+def test_chunk_by_sentences_long_sentence_own_chunk(spark):
+    from kiara_spark.operators.text import chunk_by_sentences
+
+    long_s = "x" * 120 + "."
+    df = spark.createDataFrame([(1, f"Short. {long_s} Tail.")],
+                               "doc_id int, text string")
+    rows = {r["chunk_id"]: r for r in chunk_by_sentences(df, max_chars=40).collect()}
+    # the oversized sentence is never split: it appears intact in one chunk
+    assert any(long_s in r["chunk_text"] for r in rows.values())
+    # and the sentence after it starts a fresh chunk (cumsum passed the cap)
+    assert any(r["chunk_text"] == "Tail." for r in rows.values())
+    assert len(rows) == 2
