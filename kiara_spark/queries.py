@@ -3899,6 +3899,100 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "streaming_sliding_demo",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (
+      SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 AS ws, event_type,
+             COUNT(*) AS n
+      FROM events, range(0, 4) t(k)
+      GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, ws + 3600 AS window_end, event_type, n
+    FROM w CROSS JOIN mx
+    WHERE ws + 3600 <= FLOOR(epoch(m)) - 7200
+    """,
+)
+def streaming_sliding_demo_q(spark, sf_dir):
+    """Structured Streaming SLIDING windows (1h every 15m) with a 2h
+    watermark, availableNow: each event lands in 4 overlapping windows;
+    append mode emits exactly the windows the final watermark passed —
+    the oracle reproduces both the expansion and the horizon."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kiara_sliding_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp).withWatermark("ts", "2 hours")
+    agg = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("window.end")).alias("window_end"),
+        "event_type", "n")
+    qname = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(out, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
+@query(
+    "streaming_session_demo",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS window_start,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1800 AS window_end,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    ), mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT window_start, window_end, user_id, n_events
+    FROM agg CROSS JOIN mx
+    WHERE window_end <= FLOOR(epoch(m)) - 7200
+    """,
+)
+def streaming_session_demo_q(spark, sf_dir):
+    """Structured Streaming SESSION windows (30m gap, 2h watermark,
+    availableNow): merge-able per-key session state, closed and emitted
+    once the final watermark passes session end (= last event + gap).
+    The oracle reproduces the gaps-and-islands sessionization AND the
+    emission horizon in SQL."""
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kiara_sess_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp).withWatermark("ts", "2 hours")
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        F.unix_timestamp(F.col("session_window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("window_end"),
+        "user_id", "n_events")
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(out, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
+@query(
     "text_chunk_sentences",
     """
     WITH s AS (
