@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "graph_clustering_coefficient",
     "text_chunk_sentences",
     "impute_nulls_lineitem",
+    "skew_report_orders",
 ]
 
 

@@ -232,6 +232,37 @@ def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
     return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
 
 
+def skew_report(df: DataFrame, cols: list[str], top_n: int = 5) -> DataFrame:
+    """Heavy-key diagnostic: for each column, its ``top_n`` most frequent
+    values and their share of the table — what you run BEFORE a big join to
+    decide whether a key needs salting or AQE skew handling.
+
+    All columns profile in ONE shuffle: rows explode to (column, value)
+    pairs, one count aggregate, window top-n per column — instead of one
+    groupBy job per column.  Values surface as strings so heterogeneous
+    column types share the report schema."""
+    from pyspark.sql.window import Window
+
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in cols
+    ])
+    ex = df.select(F.explode(pairs).alias("_p")).select("_p.column", "_p.value")
+    n = df.count()
+    counts = ex.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("value"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("column", "value", "n_rows",
+                F.round(F.col("n_rows") / F.lit(float(n)), 6).alias("share"),
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations of ``cols`` in ONE pass.
 
@@ -415,6 +446,17 @@ TableWinsorize = _simple_module(
         "aggregate + broadcast clip.",
 )
 
+TableSkewReport = _simple_module(
+    "table.skew_report",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": skew_report(
+        im["table"].data, self.config["columns"],
+        top_n=self.config.get("top_n", 5))},
+    doc="Heavy-key report for join planning (config: columns, top_n); "
+        "all columns in one shuffle.",
+)
+
 TableImputeNulls = _simple_module(
     "table.impute_nulls",
     {"table": TABLE},
@@ -450,7 +492,7 @@ TableQuantileBins = _simple_module(
 
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
-           TableCorrMatrix, TableImputeNulls]
+           TableCorrMatrix, TableImputeNulls, TableSkewReport]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -472,4 +514,6 @@ OPERATIONS = [
               doc="one-pass pairwise correlation matrix"),
     Operation("table.impute_nulls", "table.impute_nulls",
               doc="mean/median NULL imputation"),
+    Operation("table.skew_report", "table.skew_report",
+              doc="heavy-key diagnostic before big joins"),
 ]

@@ -3899,6 +3899,38 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "skew_report_orders",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders),
+    ex AS (
+      SELECT 'o_orderpriority' AS col_name, CAST(o_orderpriority AS VARCHAR) AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+    ),
+    counts AS (
+      SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT col_name AS "column", value, n_rows,
+           ROUND(n_rows / total, 6) AS share, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+                                       ORDER BY n_rows DESC, value) AS rnk
+          FROM counts) CROSS JOIN n
+    WHERE rnk <= 3
+    """,
+)
+def skew_report_q(spark, sf_dir):
+    """Heavy-key diagnostic (`table.skew_report`): top-3 values + row share
+    for two join-candidate columns, ALL columns profiled in one shuffle
+    (explode to (column, value) pairs) — the pre-join skew check that
+    decides salting vs AQE skew handling."""
+    from .operators.quality import skew_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_orderpriority", "o_orderstatus"], top_n=3)
+
+
+@query(
     "streaming_sliding_demo",
     """
     WITH mx AS (SELECT MAX(ts) AS m FROM events),

@@ -268,3 +268,18 @@ def test_impute_nulls_mean_and_median(spark):
     assert med_fill[1] == 10.0  # non-null untouched
     with pytest.raises(ValueError):
         impute_nulls(df, ["x"], "mode")
+
+
+def test_skew_report_single_shuffle_all_columns(spark):
+    from kiara_spark.operators.quality import skew_report
+
+    df = spark.createDataFrame(
+        [("hot", i % 2) for i in range(80)] + [("cold%d" % i, 99) for i in range(20)],
+        "k string, g int")
+    rows = skew_report(df, ["k", "g"], top_n=2).collect()
+    got = {(r["column"], r["rnk"]): (r["value"], r["n_rows"], r["share"])
+           for r in rows}
+    assert got[("k", 1)] == ("hot", 80, 0.8)
+    assert got[("g", 1)][1] in (40, 20)  # g: 0 and 1 have 40 each
+    # both columns profiled, top_n respected
+    assert len(rows) == 4
