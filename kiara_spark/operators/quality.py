@@ -338,7 +338,12 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
     bin_idx = F.aggregate(
         F.col("_bnds"), F.lit(0),
         lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0))
-    return joined.withColumn(out_col, bin_idx.cast("int")).drop("_bnds")
+    # NULL input -> NULL bin (a silent bin-0 assignment would corrupt
+    # downstream class balance)
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None)).otherwise(bin_idx).cast("int"),
+    ).drop("_bnds")
 
 
 # -- modules ---------------------------------------------------------------

@@ -283,3 +283,13 @@ def test_skew_report_single_shuffle_all_columns(spark):
     assert got[("g", 1)][1] in (40, 20)  # g: 0 and 1 have 40 each
     # both columns profiled, top_n respected
     assert len(rows) == 4
+
+
+def test_quantile_bins_null_stays_null(spark):
+    from kiara_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 100.0)],
+                               "k int, x double")
+    out = {r["k"]: r["x_bin"] for r in quantile_bins(df, "x", n_bins=2).collect()}
+    assert out[2] is None
+    assert out[1] == 0 and out[3] == 1
