@@ -29,6 +29,7 @@ INTENTIONAL_CROSS = {
     "text_unigram_logprob",        # 1-row corpus-token-total broadcast
     "tfidf_top_docterms",          # 1-row corpus-doc-count broadcast
     "quantile_bins_totalprice",    # 1-row quantile-bounds broadcast
+    "impute_nulls_lineitem",       # 1-row fill-values broadcast
 }
 
 
