@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "text_chunk_sentences",
     "impute_nulls_lineitem",
     "skew_report_orders",
+    "sim_topk_ivf_pandas",
 ]
 
 

@@ -3899,6 +3899,34 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "sim_topk_ivf_pandas",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {_QNORM} * {_CNORM} > 0
+                   THEN {_DOT} / ({_QNORM} * {_CNORM}) ELSE 0.0 END, 8) AS cosine_sim
+      FROM c JOIN q ON c.label = q.label WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_pandas_q(spark, sf_dir):
+    """IVF bucket pruning + per-bucket BLAS matmul (applyInPandas co-group)
+    — the vectorized twin of sim_topk_ivf with the SAME oracle: identical
+    round-8 sims and id tie-breaks, so the Arrow-grouped numpy path is
+    value-verified against SQL, not just row-counted."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    return S.cosine_topk_ivf_pandas(emb, queries, k=5, bucket_col="label")
+
+
+@query(
     "skew_report_orders",
     """
     WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders),

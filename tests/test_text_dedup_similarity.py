@@ -219,3 +219,17 @@ def test_chunk_by_sentences_long_sentence_own_chunk(spark):
     # and the sentence after it starts a fresh chunk (cumsum passed the cap)
     assert any(r["chunk_text"] == "Tail." for r in rows.values())
     assert len(rows) == 2
+
+
+def test_ivf_pandas_matches_expression_path(spark):
+    import random
+
+    random.seed(5)
+    rows = [(i, [random.random() for _ in range(8)], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id % 12 = 0")
+    expr_path = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in S.cosine_topk_ivf(df, q, k=3, bucket_col="label").collect()}
+    blas_path = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in S.cosine_topk_ivf_pandas(df, q, k=3, bucket_col="label").collect()}
+    assert expr_path == blas_path
