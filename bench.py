@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "impute_nulls_lineitem",
     "skew_report_orders",
     "sim_topk_ivf_pandas",
+    "multimodal_frame_sample",
 ]
 
 

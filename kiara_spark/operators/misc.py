@@ -289,6 +289,55 @@ def decode_image_stub(df: DataFrame, binary_col: str = "media",
     return df.mapInPandas(_fake_decode, schema=schema)
 
 
+def frame_sample_stub(df: DataFrame, binary_col: str = "media",
+                      id_col: str = "id", frame_bytes: int = 1000,
+                      max_frames: int = 8):
+    """Video frame sampling -> one row PER FRAME, as ``mapInPandas``.
+
+    The 1->N Arrow fan-out (each media row yields several frame rows) is
+    the real production plumbing for frame extraction; the decoder is
+    stubbed deterministically (a "frame" every ``frame_bytes`` bytes,
+    capped at ``max_frames``) because ffmpeg is absent in this container.
+    Swap the offset loop for real keyframe extraction on a cluster with
+    codecs installed — schema, batching, and partition behavior carry
+    over unchanged."""
+    import pandas as pd
+
+    def _sample(batches):
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                n = len(blob) if blob is not None else 0
+                n_frames = min(max_frames, n // frame_bytes + 1) if n else 0
+                for i in range(n_frames):
+                    off = i * frame_bytes
+                    out.append((rid, i, off, min(frame_bytes, n - off)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_idx", "frame_offset", "frame_len"])
+
+    return df.mapInPandas(
+        _sample,
+        schema=f"{id_col} long, frame_idx int, frame_offset long, frame_len long")
+
+
+class MediaFrameSample(KiaraModule):
+    _module_type_name = "media.frame_sample"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": frame_sample_stub(
+            inputs["table"].data,
+            binary_col=self.config.get("binary_column", "media"),
+            id_col=self.config.get("id_column", "id"),
+            frame_bytes=self.config.get("frame_bytes", 1000),
+            max_frames=self.config.get("max_frames", 8))}
+
+
 class MediaAttachMetadata(KiaraModule):
     _module_type_name = "media.attach_metadata"
 
@@ -321,6 +370,7 @@ class MediaDecodeImage(KiaraModule):
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
     RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
+    MediaFrameSample,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
@@ -331,4 +381,5 @@ OPERATIONS = [
               operation_type="extract_metadata"),
     Operation("media.attach_metadata", "media.attach_metadata"),
     Operation("media.decode_image", "media.decode_image"),
+    Operation("media.frame_sample", "media.frame_sample"),
 ]

@@ -3899,6 +3899,31 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_offset,
+           CAST(LEAST(1000, n - i * 1000) AS BIGINT) AS frame_len
+    FROM m, UNNEST(range(0, CASE WHEN n > 0
+                    THEN LEAST(8, n // 1000 + 1) ELSE 0 END)) AS r(i)
+    """,
+)
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Frame sampling plumbing (`media.frame_sample`): each media row fans
+    out to one row per sampled frame through mapInPandas — the 1->N Arrow
+    shape real keyframe extraction uses; the stub picks a frame every 1000
+    bytes (deterministic, so the oracle reproduces offsets exactly)."""
+    from .operators import misc as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    return M.frame_sample_stub(docs, "media", id_col="id")
+
+
+@query(
     "sim_topk_ivf_pandas",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),

@@ -99,3 +99,22 @@ def test_render_value_pagination(ctx, tables):
                         operation_config={"offset": 0, "limit": 5})
     ids = [r["n_nationkey"] for r in first["render_value_result"].data["rows"]]
     assert res["rows"][0]["n_nationkey"] not in ids
+
+
+def test_frame_sample_fanout(spark, ctx):
+    import pyspark.sql.functions as F
+
+    from kiara_spark.operators.misc import frame_sample_stub
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 2500), (2, b"y" * 100), (3, None)],
+        "id long, media binary")
+    rows = frame_sample_stub(df, "media", id_col="id",
+                             frame_bytes=1000, max_frames=8).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["frame_offset"], r["frame_len"]))
+    assert sorted(by_id[1]) == [(0, 0, 1000), (1, 1000, 1000), (2, 2000, 500)]
+    assert by_id[2] == [(0, 0, 100)]
+    assert 3 not in by_id  # NULL media -> no frames
+    assert "media.frame_sample" in ctx.operation_registry.operation_ids
