@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "skew_report_orders",
     "sim_topk_ivf_pandas",
     "multimodal_frame_sample",
+    "multimodal_resize_dims",
 ]
 
 

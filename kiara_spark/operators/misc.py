@@ -320,6 +320,62 @@ def frame_sample_stub(df: DataFrame, binary_col: str = "media",
         schema=f"{id_col} long, frame_idx int, frame_offset long, frame_len long")
 
 
+def resize_image_stub(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                      id_col: str = "id"):
+    """Aspect-preserving resize -> ``mapInPandas`` over decoded dimensions.
+
+    Computes the letterbox fit (scale = min(tw/w, th/h), rounded output
+    dims) the way a real resize kernel would, vectorized per Arrow batch;
+    only the pixel resample itself is absent (no PIL in this container) —
+    swap the dimension arithmetic block for Image.resize on a real
+    cluster.  Zero-dim inputs pass through as zero (corrupt-image row,
+    kept for audit rather than dropped)."""
+    import pandas as pd
+
+    def _resize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            scale = pd.concat([target_w / w.where(w > 0, 1.0),
+                               target_h / h.where(h > 0, 1.0)], axis=1).min(axis=1)
+            ok = (w > 0) & (h > 0)
+            # floor(x + 0.5): explicit half-up — numpy's .round() is
+            # half-to-even and would disagree with SQL ROUND on exact .5s
+            half_up = lambda s: np.floor(s + 0.5)  # noqa: E731
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "resized_w": half_up(w * scale).where(ok, 0).astype("int32"),
+                "resized_h": half_up(h * scale).where(ok, 0).astype("int32"),
+                "scale": scale.where(ok, 0.0).round(6),
+            })
+
+    return df.mapInPandas(
+        _resize,
+        schema=f"{id_col} long, width int, height int, "
+               "resized_w int, resized_h int, scale double")
+
+
+class MediaResizeImage(KiaraModule):
+    _module_type_name = "media.resize_image"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": resize_image_stub(
+            inputs["table"].data,
+            target_w=self.config.get("target_width", 224),
+            target_h=self.config.get("target_height", 224),
+            id_col=self.config.get("id_column", "id"))}
+
+
 class MediaFrameSample(KiaraModule):
     _module_type_name = "media.frame_sample"
 
@@ -370,7 +426,7 @@ class MediaDecodeImage(KiaraModule):
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
     RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
-    MediaFrameSample,
+    MediaFrameSample, MediaResizeImage,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
@@ -382,4 +438,5 @@ OPERATIONS = [
     Operation("media.attach_metadata", "media.attach_metadata"),
     Operation("media.decode_image", "media.decode_image"),
     Operation("media.frame_sample", "media.frame_sample"),
+    Operation("media.resize_image", "media.resize_image"),
 ]

@@ -3899,6 +3899,43 @@ def dedup_keep_longest_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize_dims",
+    """
+    WITH d AS (
+      SELECT doc_id AS id, octet_length(encode(text)) AS n FROM documents
+    ), dims AS (
+      SELECT id,
+             CASE WHEN n > 0 THEN n % 64 + 1 ELSE 0 END AS width,
+             CASE WHEN n > 0 THEN n % 48 + 1 ELSE 0 END AS height
+      FROM d
+    )
+    SELECT id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(CASE WHEN width > 0 AND height > 0
+                THEN FLOOR(width * LEAST(224.0/width, 224.0/height) + 0.5)
+                ELSE 0 END AS INT) AS resized_w,
+           CAST(CASE WHEN width > 0 AND height > 0
+                THEN FLOOR(height * LEAST(224.0/width, 224.0/height) + 0.5)
+                ELSE 0 END AS INT) AS resized_h,
+           CASE WHEN width > 0 AND height > 0
+                THEN ROUND(LEAST(224.0/width, 224.0/height), 6)
+                ELSE 0.0 END AS scale
+    FROM dims
+    """,
+)
+def multimodal_resize_q(spark, sf_dir):
+    """Resize plumbing (`media.resize_image`): decode-stub dims -> Arrow-
+    batched letterbox fit (scale + half-up rounded output dims) — the
+    pixel resample is the only absent piece; the dimension arithmetic a
+    real kernel performs is verified exactly against SQL."""
+    from .operators import misc as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    decoded = M.decode_image_stub(docs, "media", passthrough=("id",))
+    return M.resize_image_stub(decoded, 224, 224, id_col="id")
+
+
+@query(
     "multimodal_frame_sample",
     """
     WITH m AS (

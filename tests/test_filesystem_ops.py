@@ -118,3 +118,19 @@ def test_frame_sample_fanout(spark, ctx):
     assert by_id[2] == [(0, 0, 100)]
     assert 3 not in by_id  # NULL media -> no frames
     assert "media.frame_sample" in ctx.operation_registry.operation_ids
+
+
+def test_resize_stub_letterbox_math(spark, ctx):
+    from kiara_spark.operators.misc import resize_image_stub
+
+    df = spark.createDataFrame(
+        [(1, 64, 48), (2, 10, 224), (3, 0, 0)],
+        "id long, width int, height int")
+    rows = {r["id"]: r for r in resize_image_stub(df, 224, 224).collect()}
+    # 64x48 -> scale 3.5 -> 224x168
+    assert (rows[1]["resized_w"], rows[1]["resized_h"]) == (224, 168)
+    # 10x224 -> scale 1.0 -> unchanged
+    assert (rows[2]["resized_w"], rows[2]["resized_h"]) == (10, 224)
+    # corrupt (0-dim) rows kept with zeros, not dropped
+    assert (rows[3]["resized_w"], rows[3]["resized_h"], rows[3]["scale"]) == (0, 0, 0.0)
+    assert "media.resize_image" in ctx.operation_registry.operation_ids
