@@ -3423,6 +3423,77 @@ def graph_2hop_approx_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# mergeable-sketch rollups (operators/sketches.py): exact bitmap distinct,
+# HLL++ partial rollup, theta set algebra — the 100 TB partial-agg pattern
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_distinct_daily_rollup",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users_total
+      FROM events GROUP BY 1
+    )
+    SELECT daily.event_type,
+           COUNT(*) AS n_days,
+           MAX(du) AS max_daily_users,
+           MAX(n_users_total) AS n_users_total
+    FROM daily JOIN tot ON daily.event_type = tot.event_type
+    GROUP BY daily.event_type
+    """,
+)
+def bitmap_distinct_daily_rollup_q(spark, sf_dir):
+    """EXACT distinct users per day AND per event_type from ONE bitmap
+    partial build (operators.sketches.bitmap_distinct_rollup): the per-day
+    partials (4 KB bitmap per (type, day, id-bucket)) are OR-merged up to
+    the per-type total without rescanning events.  At 100 TB the nightly
+    partial table is a few MB and every coarser rollup reads only it; the
+    oracle proves the merged counts are exactly COUNT(DISTINCT)."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    _partials, fine, coarse = SK.bitmap_distinct_rollup(
+        ev, ["event_type", "day"], ["event_type"], "user_id")
+    per_type = fine.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("n_distinct").alias("max_daily_users"),
+    )
+    totals = coarse.withColumnRenamed("n_distinct", "n_users_total")
+    return per_type.join(totals, "event_type")
+
+
+@query("events_hll_daily_rollup")
+def events_hll_daily_rollup_q(spark, sf_dir):
+    """Approximate twin of bitmap_distinct_daily_rollup for huge/sparse id
+    spaces: per-(type, day) HLL++ sketches (constant 2^14-register state)
+    union-merged to per-type estimates.  Rows-only check: HLL register
+    layouts are engine-specific so no cross-engine value oracle; the pytest
+    bounds the estimate against the exact bitmap count instead."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = SK.hll_distinct_partials(ev, ["event_type", "day"], "user_id")
+    return SK.hll_distinct_rollup(partials, ["event_type"])
+
+
+@query("theta_event_type_overlap")
+def theta_event_type_overlap_q(spark, sf_dir):
+    """Pairwise audience-overlap estimates (|A|, |B|, |A∩B|, |A∪B|) between
+    event types via theta sketches — set algebra over user sets at kilobyte
+    cost, never materializing the sets.  Rows-only check (sketch internals
+    are engine-specific); pytest bounds the estimates against exact SQL."""
+    from .operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.theta_overlap_pairs(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
 # corpus-curation battery (operators/curation.py): PII redaction,
 # decontamination, repetition filters, TF-IDF
 # ---------------------------------------------------------------------------
