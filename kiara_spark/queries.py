@@ -2409,6 +2409,43 @@ def streaming_sessionize_demo(spark, sf_dir):
 
 
 @query(
+    "streaming_transform_with_state_demo",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micros,
+           MIN(epoch_us(ts)) AS first_us,
+           MAX(epoch_us(ts)) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_transform_with_state_demo(spark, sf_dir):
+    """Arbitrary-keyed-state path: per-user lifetime aggregate held in
+    explicit state (streaming/stateful.py::user_lifetime_stats_stream) —
+    Spark 4 transformWithStateInPandas ValueState when protobuf is present,
+    applyInPandasWithState otherwise, identical emission either way.  Under
+    the single-batch availableNow run every user emits exactly once with
+    their full-history totals, so the keyed-state update protocol
+    hash-matches the batch SQL aggregate — the sum is int64 micros end to
+    end, no float accumulation-order drift."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import user_lifetime_stats_stream
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev_batch = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_tws_")
+    ev_batch.write.mode("overwrite").parquet(tmp)
+    stream = read_parquet_stream(spark, tmp)
+    result = user_lifetime_stats_stream(stream)
+    qname = f"tws_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
+@query(
     "streaming_tumbling_demo",
     """
     WITH mx AS (SELECT MAX(ts) AS m FROM events),

@@ -124,6 +124,122 @@ def sessionize_stateful_stream(
         fn, SESSION_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout)
 
 
+LIFETIME_SCHEMA = ("user_id long, n_events long, sum_value_micros long, "
+                   "first_us long, last_us long")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; without the (optional) protobuf package the driver
+    worker crashes at init, so gate on importability."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_lifetime_stats_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    api: str = "auto",
+) -> DataFrame:
+    """Per-key lifetime aggregate with explicit keyed state: one fixed-size
+    tuple (n, sum, min_us, max_us) per user, updated from Arrow batches and
+    re-emitted for every user seen in the batch.
+
+    Two interchangeable engines behind one contract (``api``):
+
+    - ``"tws"`` — Spark 4 ``transformWithStateInPandas`` + typed
+      ``ValueState``: the modern arbitrary-state substrate (composite
+      value/list/map state, TTL, timers; RocksDB-backed on a cluster).
+      Requires the protobuf package for the state-server protocol.
+    - ``"apiws"`` — ``applyInPandasWithState`` (GroupState tuple), the
+      Spark 3.x-era API; identical emission semantics.
+    - ``"auto"`` — tws when protobuf is importable, else apiws.
+
+    Money-typed sum: the value is pre-scaled to integer micros so the
+    accumulation is exact int64 (no float ordering drift), making the
+    emission hash-verifiable against SQL whichever engine runs.
+
+    Scale: one shuffle on the key; state per key is O(1), store-backed, so
+    key cardinality is unbounded.
+    """
+    import pandas as pd
+
+    prepped = stream.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.round(F.col(value_col) * F.lit(1_000_000)).cast("long")
+        .alias("value_micros"),
+    )
+
+    def merge_batch(prev, pdf_iter):
+        """Fold Arrow batches into the (n, s, mn, mx) state tuple."""
+        n, s, mn, mx = prev
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            us = pdf["us"].astype("int64")
+            n += len(pdf)
+            s += int(pdf["value_micros"].astype("int64").sum())
+            lo, hi = int(us.min()), int(us.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        return n, s, mn, mx
+
+    if api == "auto":
+        api = "tws" if _tws_available() else "apiws"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+
+        class LifetimeStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState(
+                    "agg", "n long, s long, mn long, mx long")
+
+            def handleInputRows(self, key_tuple, rows, timer_values):
+                prev = tuple(self._agg.get()) if self._agg.exists() else (
+                    0, 0, None, None)
+                n, s, mn, mx = merge_batch(prev, rows)
+                if n == prev[0]:
+                    return
+                self._agg.update((n, s, mn, mx))
+                yield pd.DataFrame({
+                    "user_id": [key_tuple[0]], "n_events": [n],
+                    "sum_value_micros": [s], "first_us": [mn],
+                    "last_us": [mx],
+                })
+
+            def close(self) -> None:
+                pass
+
+        return prepped.groupBy(key).transformWithStateInPandas(
+            LifetimeStats(), LIFETIME_SCHEMA, "append", "none")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdf_iter, state: GroupState):
+        prev = tuple(state.get) if state.exists else (0, 0, None, None)
+        n, s, mn, mx = merge_batch(prev, pdf_iter)
+        if n == prev[0]:
+            return
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame({
+            "user_id": [key_tuple[0]], "n_events": [n],
+            "sum_value_micros": [s], "first_us": [mn], "last_us": [mx],
+        })
+
+    return prepped.groupBy(key).applyInPandasWithState(
+        fn, LIFETIME_SCHEMA, "n long, s long, mn long, mx long",
+        "append", GroupStateTimeout.NoTimeout)
+
+
 class SessionizeUsers(KiaraModule):
     """Custom stateful sessionization (op ``events.sessionize``); batch
     grouped-map now, same logic as the streaming stateful variant."""

@@ -131,3 +131,47 @@ def test_anomaly_hourly_zscore_flags_spike(spark):
     flagged = {(r["event_type"], r["hour_ts"]) for r in out.filter("is_anomaly = 1").collect()}
     assert flagged == {("spiky", 29 * 3600)}
     assert out.filter("event_type = 'steady' and is_anomaly = 1").count() == 0
+
+
+def test_user_lifetime_stats_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState/transformWithState lifetime aggregate: the
+    single-batch availableNow emission equals the batch SQL aggregate, with
+    an exact int64-micros sum."""
+    from pyspark.sql import functions as F
+
+    from kiara_spark.streaming import stateful as ST
+    from kiara_spark.streaming import windows as W
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    stream = W.read_parquet_stream(spark, path)
+    q = W.run_stream_to_memory(
+        ST.user_lifetime_stats_stream(stream), "lifetime_t")
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["sum_value_micros"],
+                          r["first_us"], r["last_us"])
+           for r in spark.table("lifetime_t").collect()}
+    want = {r["user_id"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s"),
+                F.min(F.unix_micros("ts")).alias("mn"),
+                F.max(F.unix_micros("ts")).alias("mx")).collect()}
+    assert got == want
+
+
+def test_user_lifetime_stats_tws_plan_builds(spark, tmp_path):
+    """The transformWithStateInPandas variant builds a valid streaming plan
+    with the declared output schema (execution needs protobuf, gated)."""
+    from kiara_spark.streaming import stateful as ST
+    from kiara_spark.streaming import windows as W
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev2")
+    ev.write.parquet(path)
+    stream = W.read_parquet_stream(spark, path)
+    df = ST.user_lifetime_stats_stream(stream, api="tws")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "n_events", "sum_value_micros", "first_us", "last_us"]
