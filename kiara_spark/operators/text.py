@@ -277,6 +277,70 @@ def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFr
     return df.filter(u < w)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mix composition sampler: downsample groups so the output
+    approximates the target ``weights`` (e.g. lang or source ratios) while
+    keeping as much data as possible.
+
+    The largest feasible total is T = min_g(n_g / w_g) (the binding group
+    keeps 100 %); every group g then keeps rate_g = w_g·T / n_g of its rows
+    via the deterministic hash-vs-threshold rule (pure function of the id:
+    partitioning/retry/rerun invariant, no RNG state).
+
+    Scale: one tiny per-group count aggregate (K rows), broadcast back;
+    the keep decision is map-side.  No driver collect — the binding-group
+    scan T is an un-partitioned window over K group rows.
+    """
+    w_lit = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv])
+    cnt = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+           .withColumn("_w", w_lit[F.col(group_col)])
+           .filter(F.col("_w").isNotNull()))
+    t_min = F.min(F.col("_n") / F.col("_w")).over(
+        Window.partitionBy(F.lit(1)))
+    rates = cnt.withColumn("_rate", F.col("_w") * t_min / F.col("_n")).select(
+        group_col, "_rate")
+    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("_rate"))
+            .drop("_rate"))
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-budget curation: rank documents best-first within each
+    group and keep rows while the exclusive running token count stays under
+    ``budget`` — 'give me the best ~N tokens per domain', the standard
+    per-source cap when assembling a training mix.
+
+    Deterministic order (``order_col`` desc, id asc tiebreak) makes the kept
+    set reproducible and SQL-expressible.  One shuffle on the group key;
+    the window is a single pass per group.
+    """
+    ntok = F.size(tokens_col(F.col(text_col))).cast("bigint")
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(order_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = df.withColumn("_ntok", ntok)
+    excl = F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+    return (t.withColumn("_excl", excl)
+            .filter(F.col("_excl") < F.lit(budget))
+            .withColumnRenamed("_ntok", "n_tokens")
+            .drop("_excl"))
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int = 2048,
@@ -425,11 +489,53 @@ class TextChunkSentences(KiaraModule):
             max_chars=self.config.get("max_chars", 400))}
 
 
+class TableMixtureSample(KiaraModule):
+    """Deterministic mixture-ratio downsampler over a group column."""
+
+    _module_type_name = "table.sample.mixture"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": mixture_sample(
+            inputs["table"].data,
+            group_col=self.config["group_column"],
+            weights=self.config["weights"],
+            id_col=self.config.get("id_column", "doc_id"))}
+
+
+class TableTokenBudgetCap(KiaraModule):
+    """Best-first per-group token-budget cap."""
+
+    _module_type_name = "table.cap.token_budget"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": token_budget_cap(
+            inputs["table"].data,
+            group_col=self.config["group_column"],
+            budget=self.config["budget"],
+            order_col=self.config.get("order_column", "n_chars"),
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"))}
+
+
 MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
-           TextPackTokenBudget]
+           TextPackTokenBudget, TableMixtureSample, TableTokenBudgetCap]
 OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
+    Operation("table.sample.mixture", "table.sample.mixture"),
+    Operation("table.cap.token_budget", "table.cap.token_budget"),
     Operation("text.pack_token_budget", "text.pack_token_budget"),
     Operation("text.chunk", "text.chunk"),
     Operation("text.chunk_sentences", "text.chunk_sentences"),

@@ -3111,6 +3111,65 @@ def weighted_sample_documents_q(spark, sf_dir):
 
 
 @query(
+    "mixture_sample_documents",
+    f"""
+    WITH w(lang, wgt) AS (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+                                 ('es', 0.15), ('zh', 0.05)),
+    cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang),
+    tm AS (SELECT MIN(n / wgt) AS t FROM cnt JOIN w USING (lang)),
+    r AS (SELECT cnt.lang, wgt * (SELECT t FROM tm) / n AS rate
+          FROM cnt JOIN w USING (lang))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ({_H0_DOCID} % 1000000) / 1000000.0 < r.rate
+    """,
+)
+def mixture_sample_documents_q(spark, sf_dir):
+    """Training-mix composition sampler (`table.sample.mixture`): downsample
+    languages toward target ratios en/de/fr/es/zh = 40/20/20/15/5 while
+    keeping the binding language intact (T = min n_g/w_g).  Per-row keep is
+    the deterministic hash-vs-threshold rule — partitioning/retry
+    invariant, verified row-for-row against the SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.mixture_sample(
+        docs, "lang",
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.15, "zh": 0.05})
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "token_budget_cap_per_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, n_tokens
+    FROM c WHERE excl < 5000
+    """,
+)
+def token_budget_cap_per_lang_q(spark, sf_dir):
+    """Per-domain token-budget curation (`table.cap.token_budget`): rank
+    documents best-first (n_chars desc, doc_id tiebreak) within each
+    language and keep rows while the exclusive running token count stays
+    under 5000 — 'the best ~5k tokens per language'.  One shuffle on lang;
+    single window pass per group."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.token_budget_cap(docs, "lang", 5000)
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "n_tokens")
+
+
+@query(
     "pack_token_budget_bins",
     f"""
     WITH t AS (

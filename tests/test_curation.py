@@ -68,3 +68,49 @@ def test_curation_ops_registered(ctx):
     for op in ("table.redact_pii", "table.decontaminate",
                "table.repetition_stats", "table.tfidf_top_terms"):
         assert op in ctx.operation_registry.operation_ids
+
+
+def test_mixture_sample_ratios_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.15, "zh": 0.05}
+    out = X.mixture_sample(docs, "lang", weights)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    # composition tracks the target ratios (hash sampling ⇒ loose tolerance
+    # at this tiny SF), and a repartitioned rerun picks identical rows
+    for lang, w in weights.items():
+        assert abs(got.get(lang, 0) / total - w) < 0.12, (lang, got, total)
+    again = X.mixture_sample(docs.repartition(7), "lang", weights)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_token_budget_cap_respects_budget_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = X.token_budget_cap(docs, "lang", 2000)
+    rows = out.select("lang", "n_chars", "doc_id", "n_tokens").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        # exclusive-cumsum rule: every kept row starts under budget, so the
+        # total may exceed it by at most the last row's tokens
+        tot = sum(r["n_tokens"] for r in rs)
+        assert tot - max(r["n_tokens"] for r in rs) < 2000, (lang, tot)
+        # kept set is a prefix of the (n_chars desc, doc_id) ranking: every
+        # kept row outranks every dropped row of the same lang
+        kept_ids = {r["doc_id"] for r in rs}
+        ranked = (docs.filter(F.col("lang") == lang)
+                  .orderBy(F.col("n_chars").desc(), "doc_id")
+                  .select("doc_id").collect())
+        ranked_ids = [r["doc_id"] for r in ranked]
+        assert set(ranked_ids[:len(rs)]) == kept_ids, lang
