@@ -320,6 +320,55 @@ def frame_sample_stub(df: DataFrame, binary_col: str = "media",
         schema=f"{id_col} long, frame_idx int, frame_offset long, frame_len long")
 
 
+def decode_audio_stub(df: DataFrame, binary_col: str = "media",
+                      passthrough: tuple = ()):
+    """Audio decode -> features, as ``mapInPandas`` (completes the
+    image/video/audio stub family).
+
+    Real decoding needs soundfile/ffmpeg (absent in this container); the
+    Arrow batching, passthrough-column plumbing and schema are the real
+    production path, while the "decoded" header fields are deterministic
+    byte arithmetic so the DuckDB oracle can verify the plumbing exactly:
+    sample_rate ∈ {8000, 16000, 24000} by byte length mod 3, channels
+    1 + len%2, 16-bit PCM duration = len·1000 / (rate·channels·2).  Swap
+    the arithmetic block for a real header parse + resample on a cluster
+    with codecs installed.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    pt_fields = [f for f in df.schema.fields if f.name in set(passthrough)]
+    pt_names = [f.name for f in pt_fields]
+    schema = StructType(
+        list(pt_fields)
+        + [
+            StructField("byte_len", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+
+    def _fake_decode(batches):
+        for pdf in batches:
+            out = pdf[pt_names].copy()
+            lens = pdf[binary_col].map(lambda x: len(x) if x is not None else 0)
+            rate = lens.map(lambda n: (8000 * (n % 3 + 1)) if n else 0)
+            chans = lens.map(lambda n: (1 + n % 2) if n else 0)
+            out["byte_len"] = lens.astype("int64")
+            out["sample_rate"] = rate.astype("int32")
+            out["n_channels"] = chans.astype("int32")
+            out["duration_ms"] = [
+                (n * 1000) // (r * c * 2) if n else 0
+                for n, r, c in zip(lens, rate, chans)
+            ]
+            yield out
+
+    real_decode_available = False
+    if real_decode_available:  # pragma: no cover
+        raise NotImplementedError("install soundfile/ffmpeg and replace _fake_decode")
+    return df.mapInPandas(_fake_decode, schema=schema)
+
+
 def resize_image_stub(df: DataFrame, target_w: int = 224, target_h: int = 224,
                       id_col: str = "id"):
     """Aspect-preserving resize -> ``mapInPandas`` over decoded dimensions.
@@ -423,10 +472,25 @@ class MediaDecodeImage(KiaraModule):
             passthrough=tuple(self.config.get("passthrough", ())))}
 
 
+class MediaDecodeAudio(KiaraModule):
+    _module_type_name = "media.decode_audio"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": decode_audio_stub(
+            inputs["table"].data, self.config.get("binary_column", "media"),
+            passthrough=tuple(self.config.get("passthrough", ())))}
+
+
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
     RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
-    MediaFrameSample, MediaResizeImage,
+    MediaDecodeAudio, MediaFrameSample, MediaResizeImage,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
@@ -437,6 +501,7 @@ OPERATIONS = [
               operation_type="extract_metadata"),
     Operation("media.attach_metadata", "media.attach_metadata"),
     Operation("media.decode_image", "media.decode_image"),
+    Operation("media.decode_audio", "media.decode_audio"),
     Operation("media.frame_sample", "media.frame_sample"),
     Operation("media.resize_image", "media.resize_image"),
 ]

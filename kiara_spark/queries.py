@@ -1029,6 +1029,37 @@ def multimodal_features(spark, sf_dir):
         passthrough=("id", "media_size", "media_sha", "media_kind"))
 
 
+@query(
+    "multimodal_audio_features",
+    """
+    WITH b AS (SELECT doc_id AS id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents),
+    f AS (SELECT id, n,
+                 CAST(CASE WHEN n > 0 THEN 8000 * (n % 3 + 1) ELSE 0 END AS INT)
+                   AS sample_rate,
+                 CAST(CASE WHEN n > 0 THEN 1 + n % 2 ELSE 0 END AS INT)
+                   AS n_channels
+          FROM b)
+    SELECT id, n AS byte_len, sample_rate, n_channels,
+           CASE WHEN n > 0
+                THEN (n * 1000) // (sample_rate * n_channels * 2)
+                ELSE 0 END AS duration_ms
+    FROM f
+    """,
+)
+def multimodal_audio_features_q(spark, sf_dir):
+    """Audio stub plumbing (operators.misc.decode_audio_stub): opaque
+    binary column -> Arrow-batched decode with deterministic fake header
+    fields (rate/channels/PCM duration by byte arithmetic), verified
+    exactly by the SQL twin.  Completes the image/video/audio family."""
+    from .operators import misc as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    return M.decode_audio_stub(docs, "media", passthrough=("id",))
+
+
 # ---------------------------------------------------------------------------
 # 7. temporal joins (as-of, range) + stats + extra TPC-H coverage
 # ---------------------------------------------------------------------------

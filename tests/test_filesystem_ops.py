@@ -134,3 +134,24 @@ def test_resize_stub_letterbox_math(spark, ctx):
     # corrupt (0-dim) rows kept with zeros, not dropped
     assert (rows[3]["resized_w"], rows[3]["resized_h"], rows[3]["scale"]) == (0, 0, 0.0)
     assert "media.resize_image" in ctx.operation_registry.operation_ids
+
+
+def test_audio_stub_header_math(spark, ctx):
+    from kiara_spark.operators.misc import decode_audio_stub
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 32000), (2, b"y" * 7), (3, None)],
+        "id long, media binary")
+    rows = {r["id"]: r for r in
+            decode_audio_stub(df, "media", passthrough=("id",)).collect()}
+    # 32000 bytes: rate 8000*(32000%3+1)=24000, chans 1+0=1, 16-bit PCM
+    # duration = 32000*1000 // (24000*1*2) = 666 ms
+    assert (rows[1]["sample_rate"], rows[1]["n_channels"],
+            rows[1]["duration_ms"]) == (24000, 1, 666)
+    # 7 bytes: rate 8000*(7%3+1)=16000, chans 1+1=2, 7000//(16000*2*2)=0
+    assert (rows[2]["sample_rate"], rows[2]["n_channels"],
+            rows[2]["duration_ms"]) == (16000, 2, 0)
+    # NULL media kept as zero-feature audit row, not dropped
+    assert (rows[3]["byte_len"], rows[3]["sample_rate"],
+            rows[3]["duration_ms"]) == (0, 0, 0)
+    assert "media.decode_audio" in ctx.operation_registry.operation_ids
