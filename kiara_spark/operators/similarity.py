@@ -133,6 +133,99 @@ def cosine_topk_ivf(
     )
 
 
+def rp_plane_weights(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane family: component (p, d) is a uniform
+    [-1, 1] value derived from md5("rp{p}_{d}") — no RNG state, so Spark,
+    the SQL oracle, retries, and any partitioning all see the same planes.
+    Same digest-derived-family trick as the MinHash affine functions."""
+    import hashlib
+
+    def u(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"rp{p}_{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2000001 - 1000000) / 1e6
+
+    return [[u(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def with_rp_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    out_col: str = "rp_bucket",
+) -> DataFrame:
+    """Sign-bit LSH signature (SimHash for cosine): bucket = Σ_p [v·h_p > 0]·2^p.
+
+    Map-only, whole-stage-codegen (literal plane weights unrolled into
+    ``zip_with``/``aggregate`` expressions — no Python, no shuffle, no
+    broadcast).  Vectors on the same side of all ``n_planes`` hyperplanes
+    share a bucket; P[same bucket] = (1 - θ/π)^n_planes, so bucketing
+    candidates preserves high-cosine pairs with high probability.  The dot
+    is rounded to 8 dp before the sign test so cross-engine ulp noise
+    can't flip a bit the round doesn't collapse."""
+    planes = rp_plane_weights(n_planes, dim)
+    v = _to_double(F.col(vec_col))
+    bucket = F.lit(0).cast("bigint")
+    for p, ws in enumerate(planes):
+        wlit = F.array(*[F.lit(w) for w in ws])
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(v, wlit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_rplsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates = corpus vectors in the query's
+    sign-bit bucket, then exact cosine rerank, top-k.
+
+    Unlike IVF this needs no pretrained quantizer or bucket column — the
+    hash family is data-independent, so ingest can bucket vectors the
+    moment they arrive.  At 100 TB: signature is a map-only pass; the
+    candidate join shuffles on the ~2^n_planes bucket key (or broadcasts
+    the query side, as here); exact scoring touches only candidates.
+    Recall < 1 by design (as with any single-probe LSH); deterministic
+    planes make it oracle-checkable.
+    """
+    c = with_rp_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")),
+        "c_vec", n_planes, dim)
+    q = with_rp_bucket(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec")),
+        "q_vec", n_planes, dim)
+    scored = (
+        c.join(F.broadcast(q), on="rp_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def knn_join_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -398,10 +491,12 @@ class SimilarityTopK(KiaraModule):
     def process(self, inputs: ValueMap, context):
         method = self.config.get("method", "bruteforce")
         fn = {"bruteforce": cosine_topk_bruteforce, "ivf": cosine_topk_ivf,
-              "pandas": knn_join_pandas}[method]
+              "pandas": knn_join_pandas, "rplsh": cosine_topk_rplsh}[method]
         kwargs = dict(k=self.config.get("k", 5))
         if method == "ivf":
             kwargs["bucket_col"] = self.config.get("bucket_column", "label")
+        if method == "rplsh":
+            kwargs["n_planes"] = self.config.get("n_planes", 8)
         return {"neighbors": fn(inputs["corpus"].data, inputs["queries"].data, **kwargs)}
 
 

@@ -970,6 +970,65 @@ def sim_brute(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _h32_sql(expr: str) -> str:
+    """DuckDB twin of operators.text.base_hash32 over an arbitrary string
+    expression (first 8 md5 hex digits as bigint, via strpos arithmetic)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {p + 1}, 1)) - 1)"
+        f" * {16 ** (7 - p)}"
+        for p in range(8)
+    ) + ")"
+
+
+_RP_W = _h32_sql("'rp' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)")
+
+
+@query(
+    "sim_topk_rplsh",
+    f"""
+    WITH pw AS (
+      SELECT p, d, (({_RP_W} % 2000001) - 1000000) / 1000000.0 AS w
+      FROM range(8) tp(p) CROSS JOIN range(64) td(d)
+    ),
+    planes AS (SELECT p, list(w ORDER BY d) AS wv FROM pw GROUP BY p),
+    sigs AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN ROUND(list_reduce(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * wv[i]),
+                        (x, y) -> x + y), 8) > 0
+                 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id
+    ),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.bucket
+          FROM embeddings e JOIN sigs s USING (vec_id)
+          WHERE e.vec_id % 50 = 0),
+    c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, s.bucket
+          FROM embeddings e JOIN sigs s USING (vec_id)),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {_QNORM} * {_CNORM} > 0
+                   THEN {_DOT} / ({_QNORM} * {_CNORM}) ELSE 0.0 END, 8) AS cosine_sim
+      FROM c JOIN q ON c.bucket = q.bucket WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_rplsh_q(spark, sf_dir):
+    """Random-hyperplane LSH ANN (operators.similarity.cosine_topk_rplsh):
+    data-independent sign-bit bucketing (md5-derived hyperplanes, no
+    trained quantizer), bucket-join candidate generation, exact cosine
+    rerank.  Every stage is deterministic, so the full pipeline — planes,
+    signatures, candidates, ranking — hash-matches the SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    out = S.cosine_topk_rplsh(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @query(
     "sim_topk_ivf",
     f"""

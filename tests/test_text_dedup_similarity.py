@@ -233,3 +233,52 @@ def test_ivf_pandas_matches_expression_path(spark):
     blas_path = {(r["query_id"], r["rank"]): r["neighbor_id"]
                  for r in S.cosine_topk_ivf_pandas(df, q, k=3, bucket_col="label").collect()}
     assert expr_path == blas_path
+
+
+def test_rplsh_bucket_determinism_and_candidate_consistency(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sigs = S.with_rp_bucket(emb)
+    # non-degenerate hashing: many buckets in use, and the signature is a
+    # pure function of the vector (partitioning-invariant)
+    assert sigs.select("rp_bucket").distinct().count() > 10
+    again = S.with_rp_bucket(emb.repartition(5))
+    assert sorted(map(tuple, sigs.select("vec_id", "rp_bucket").collect())) == \
+           sorted(map(tuple, again.select("vec_id", "rp_bucket").collect()))
+
+    # identical vectors always collide: append exact copies with new ids and
+    # check each copy's bucket equals its source's
+    copies = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000)
+    both = S.with_rp_bucket(emb.unionByName(copies))
+    b = {r["vec_id"]: r["rp_bucket"] for r in both.collect()}
+    for i in range(20):
+        if i in b:
+            assert b[i] == b[i + 1_000_000]
+
+    # LSH result == exact rerank restricted to same-bucket candidates: the
+    # candidate set and ranking are fully characterized (no hidden recall
+    # beyond the bucket restriction, correct top-k within it)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    lsh = S.cosine_topk_rplsh(emb, queries, k=3)
+    qs = S.with_rp_bucket(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_vec")), "q_vec")
+    cs = S.with_rp_bucket(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("c_vec")), "c_vec")
+    from pyspark.sql.window import Window
+
+    cand = (cs.join(qs, "rp_bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine_sim", F.round(
+                S.cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, cand.collect()))
