@@ -127,6 +127,14 @@ BENCH_QUERIES = [
     "sim_topk_ivf_pandas",
     "multimodal_frame_sample",
     "multimodal_resize_dims",
+    "multimodal_audio_features",
+    "bitmap_distinct_daily_rollup",
+    "events_hll_daily_rollup",
+    "theta_event_type_overlap",
+    "mixture_sample_documents",
+    "token_budget_cap_per_lang",
+    "sim_topk_rplsh",
+    "streaming_transform_with_state_demo",
 ]
 
 

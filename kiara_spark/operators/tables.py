@@ -28,6 +28,7 @@ import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..modules import KiaraModule, ModuleCharacteristics
 from ..operations import Operation
@@ -417,6 +418,71 @@ def coalesce_table(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.coalesce(num_partitions)
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "z_key",
+) -> DataFrame:
+    """Morton (Z-order) interleave key over 2+ numeric columns — the
+    multi-dimensional clustering layout behind Delta/Iceberg OPTIMIZE
+    ZORDER.  Sorting/range-partitioning 100 TB by this key co-locates rows
+    that are close in EVERY keyed dimension, so parquet min/max row-group
+    stats prune scans for predicates on any subset of the dimensions (a
+    single-column sort only skips for its leading column).
+
+    Each column is min/max-normalized to ``bits`` integer levels (bounds
+    from ONE map-side-combined aggregate producing a single broadcast row —
+    never a single-partition window, which would funnel the whole table
+    through one task), then bit-interleaved: bit i of column j lands at
+    position i*ncols + j.  Pure integer expressions end to end — exact,
+    engine-portable, map-only after the bounds pass."""
+    n = len(cols)
+    assert n >= 2, "zorder needs >= 2 columns"
+    levels = (1 << bits) - 1
+    aggs = []
+    for j, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        aggs += [F.min(x).alias(f"_mn{j}"), F.max(x).alias(f"_mx{j}")]
+    bounds = df.agg(*aggs)
+    t = df.crossJoin(F.broadcast(bounds))
+    binned = []
+    for j, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        mn = F.col(f"_mn{j}")
+        span = F.col(f"_mx{j}") - mn
+        b = F.when(span > 0,
+                   F.least(F.floor((x - mn) / span * (levels + 1)),
+                           F.lit(levels))
+                   ).otherwise(F.lit(0)).cast("bigint")
+        name = f"_zb{j}"
+        t = t.withColumn(name, b)
+        binned.append(name)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, name in enumerate(binned):
+            z = z + (F.shiftright(F.col(name), i).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (i * n + j)))
+    return t.withColumn(out_col, z).drop(*binned)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> None:
+    """Cluster-and-write: range-partition on the Morton key (global range
+    exchange = the one shuffle), drop the key, write parquet.  Row groups
+    then carry tight min/max bounds on every keyed column."""
+    keyed = zorder_key(df, cols, bits)
+    part = (keyed.repartitionByRange(num_partitions, "z_key")
+            if num_partitions else keyed.repartitionByRange("z_key"))
+    part.sortWithinPartitions("z_key").drop("z_key").write.mode(
+        "overwrite").parquet(path)
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -790,13 +856,22 @@ ExportTable = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableZorderKey = _simple_module(
+    "table.layout.zorder_key",
+    {"table": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": zorder_key(
+        im["table"].data, self.config["columns"],
+        bits=self.config.get("bits", 16))},
+    doc="Morton (Z-order) interleave key for multi-dimensional clustering.",
+)
+
 MODULES = [
     CreateTableFromFile, TableFilterRows, TableSelectColumns, TableWithColumns,
     TableDropDuplicates, TableSort, TableLimit, TableSample,
     TableLoad, TableRepartition, TableCoalesce, TableCompact,
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
-    TableQuerySql, TableMapPandas, ExportTable,
+    TableQuerySql, TableMapPandas, ExportTable, TableZorderKey,
 ]
 
 OPERATIONS = [
@@ -808,6 +883,8 @@ OPERATIONS = [
     Operation("query.table", "table.query.sql", doc="SQL over table views"),
     Operation("table.sample.per_group", "table.sample.per_group",
               doc="deterministic fixed-size per-group sample"),
+    Operation("table.layout.zorder_key", "table.layout.zorder_key",
+              doc="Morton key for Z-order clustered layout"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

@@ -970,6 +970,45 @@ def sim_brute(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+_Z_TERMS = " + ".join(
+    f"((bx >> {i}) & 1) * {1 << (2 * i)} + ((by >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(8)
+)
+
+
+@query(
+    "zorder_key_orders",
+    f"""
+    WITH r AS (SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS x,
+                      CAST(o_totalprice AS DOUBLE) AS y FROM orders),
+    b AS (
+      SELECT o_orderkey,
+        CASE WHEN (MAX(x) OVER () - MIN(x) OVER ()) > 0
+             THEN LEAST(CAST(FLOOR((x - MIN(x) OVER ())
+                  / (MAX(x) OVER () - MIN(x) OVER ()) * 256) AS BIGINT), 255)
+             ELSE 0 END AS bx,
+        CASE WHEN (MAX(y) OVER () - MIN(y) OVER ()) > 0
+             THEN LEAST(CAST(FLOOR((y - MIN(y) OVER ())
+                  / (MAX(y) OVER () - MIN(y) OVER ()) * 256) AS BIGINT), 255)
+             ELSE 0 END AS by
+      FROM r
+    )
+    SELECT o_orderkey, {_Z_TERMS} AS z_key FROM b
+    """,
+)
+def zorder_key_orders_q(spark, sf_dir):
+    """Morton (Z-order) clustering key (operators.tables.zorder_key) over
+    (o_custkey, o_totalprice), 8 bits per dimension: range-partitioning a
+    100 TB table by this key gives row groups with tight min/max bounds on
+    BOTH columns, so scans prune for predicates on either.  The bit
+    interleave and min/max binning are exact integer/double arithmetic —
+    hash-verified against the SQL twin."""
+    orders = _t(spark, sf_dir, "orders")
+    return T.zorder_key(
+        orders, ["o_custkey", "o_totalprice"], bits=8
+    ).select("o_orderkey", "z_key")
+
+
 def _h32_sql(expr: str) -> str:
     """DuckDB twin of operators.text.base_hash32 over an arbitrary string
     expression (first 8 md5 hex digits as bigint, via strpos arithmetic)."""

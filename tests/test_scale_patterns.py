@@ -240,3 +240,40 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_key_interleave_and_locality(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.tables import zorder_key, zorder_write
+
+    # exact interleave on known bit patterns: with x=5 (101), y=3 (011) at
+    # 3 bits over ranges [0,7] the Morton code is y2x2 y1x1 y0x0 = 011011
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 5.0, 3.0), (2, 7.0, 7.0)], "id long, x double, y double")
+    keyed = {r["id"]: r["z_key"]
+             for r in zorder_key(df, ["x", "y"], bits=3).collect()}
+    assert keyed[0] == 0
+    assert keyed[2] == 63          # all 6 bits set
+    assert keyed[1] == 0b011011    # x=101 at even bits, y=011 at odd bits
+
+    # clustered write: each output file's bounding box covers a small slice
+    # of BOTH dimensions, vs. nearly the full span under the natural layout
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "zorders")
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], num_partitions=8)
+    per_file = (spark.read.parquet(path)
+                .withColumn("f", F.input_file_name())
+                .groupBy("f")
+                .agg((F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+                     (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp_span"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+    assert len(per_file) >= 4
+    full_ck = orders.agg(F.max("o_custkey") - F.min("o_custkey")).first()[0]
+    # avg per-file custkey span must be well under the full span (the
+    # single-column-sort layout would give ~full span on the second column)
+    avg_ck = sum(r["ck_span"] for r in per_file) / len(per_file)
+    assert avg_ck < 0.7 * full_ck, (avg_ck, full_ck)
+    # content preserved
+    assert spark.read.parquet(path).count() == orders.count()
