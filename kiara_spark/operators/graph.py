@@ -209,6 +209,53 @@ def connected_components(
     return labels
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, hops): shortest undirected hop distance from any source node,
+    capped at ``max_hops`` (multi-source BFS / k-hop reachability).
+
+    Frontier expansion: each round joins the edge set against ONLY the
+    newest frontier (not the whole visited set), anti-joins out already-
+    visited nodes, and unions the survivors in at distance h.  Work per
+    round is proportional to the frontier's edge boundary — the standard
+    scalable BFS shape; lineage is cut per round (reliable checkpoint when
+    ``KIARA_SPARK_CHECKPOINT_DIR`` is set, else localCheckpoint).
+
+    Reference parity: kiara's network_graph plugin surface (SURVEY §2.3);
+    complements connected_components/pagerank with distance queries.
+    """
+    from ..io import cut_lineage
+
+    und = undirected_edges(edges)
+    if checkpoint:
+        und = cut_lineage(und)
+    visited = sources.select(F.col(sources.columns[0]).alias("id")).distinct() \
+        .withColumn("hops", F.lit(0).cast("bigint"))
+    if checkpoint:
+        visited = cut_lineage(visited)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, und.src == frontier.id)
+            .select(F.col("dst").alias("id")).distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+        )
+        if checkpoint:
+            nxt = cut_lineage(nxt)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = cut_lineage(visited)
+        frontier = nxt
+    return visited
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (id, rank).
 
@@ -417,9 +464,27 @@ class GraphPagerank(KiaraModule):
             damping=self.config.get("damping", 0.85))}
 
 
+class GraphBfsHops(KiaraModule):
+    """Multi-source BFS distances (capped): frontier-only expansion."""
+
+    _module_type_name = "network_graph.bfs_hops"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}, "sources": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": bfs_hops(
+            inputs["graph"].data["edges"],
+            inputs["sources"].data,
+            max_hops=self.config.get("max_hops", 4))}
+
+
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
-           GraphComponents, GraphPagerank]
+           GraphComponents, GraphPagerank, GraphBfsHops]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -432,4 +497,5 @@ OPERATIONS = [
     Operation("network_graph.connected_components",
               "network_graph.connected_components"),
     Operation("network_graph.pagerank", "network_graph.pagerank"),
+    Operation("network_graph.bfs_hops", "network_graph.bfs_hops"),
 ]

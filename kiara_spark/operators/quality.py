@@ -210,6 +210,54 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def incremental_agg_maintain(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    old_col: str = "old_val",
+    new_col: str = "new_val",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for count/sum aggregates:
+    fold a CDC change feed into a stored per-key aggregate WITHOUT
+    rescanning the fact table.
+
+    Change rows carry ``op`` ('I'/'U'/'D'), the group keys, and old/new
+    measure values; contributions are pure algebra (I: +1/+new, D: -1/-old,
+    U: 0/+new-old — same-key updates).  The plan aggregates the (small)
+    change feed once, outer-joins it with the stored aggregate, and sums —
+    cost scales with |changes| + |groups|, never with the 100 TB base.
+    Decimal accumulation keeps the maintained sum bit-identical to a full
+    recompute.  Groups whose count reaches zero are dropped (fully deleted).
+    """
+    op = F.col(op_col)
+    d_cnt = F.when(op == "I", 1).when(op == "D", -1).otherwise(0)
+    oldv = F.col(old_col).cast("decimal(38,4)")
+    newv = F.col(new_col).cast("decimal(38,4)")
+    d_sum = (
+        F.when(op == "I", newv)
+        .when(op == "D", -oldv)
+        .otherwise(newv - oldv)
+    )
+    delta = changes.groupBy(*keys).agg(
+        F.sum(d_cnt).cast("bigint").alias("_dc"),
+        F.sum(d_sum).alias("_ds"),
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    merged = (
+        base_agg.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce(F.col("cnt"), F.lit(0))
+             + F.coalesce(F.col("_dc"), F.lit(0))).alias("cnt"),
+            (F.coalesce(F.col("total").cast("decimal(38,4)"), zero)
+             + F.coalesce(F.col("_ds"), zero)).alias("total"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return merged
+
+
 def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
               upper: float = 0.99) -> DataFrame:
     """Percentile clipping (winsorization) — the standard outlier cap before
@@ -495,12 +543,28 @@ TableQuantileBins = _simple_module(
         "n_bins); one bounds aggregate + broadcast compare.",
 )
 
+TableIncrementalAgg = _simple_module(
+    "table.agg.incremental_maintain",
+    {"base_agg": TABLE, "changes": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": incremental_agg_maintain(
+        im["base_agg"].data, im["changes"].data, self.config["keys"],
+        op_col=self.config.get("op_column", "op"),
+        old_col=self.config.get("old_column", "old_val"),
+        new_col=self.config.get("new_column", "new_val"))},
+    doc="Fold a CDC change feed into a stored count/sum aggregate without "
+        "rescanning the base (config: keys, op/old/new columns).",
+)
+
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
-           TableCorrMatrix, TableImputeNulls, TableSkewReport]
+           TableCorrMatrix, TableImputeNulls, TableSkewReport,
+           TableIncrementalAgg]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
+    Operation("table.agg.incremental_maintain", "table.agg.incremental_maintain",
+              doc="incremental materialized-aggregate maintenance from CDC"),
     Operation("table.quality.audit", "table.quality.audit",
               doc="single-pass data-quality constraint audit"),
     Operation("table.scd2.from_changes", "table.scd2.from_changes",

@@ -3345,6 +3345,86 @@ def _pr_iter_sql(prev: str) -> str:
 
 
 @query(
+    "incremental_agg_orders",
+    """
+    WITH base AS (SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders),
+    post AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS v
+      FROM base WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice / 2 FROM base WHERE o_orderkey % 10 = 2
+    )
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(38,4))), 4) AS DOUBLE) AS total
+    FROM post GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_orders_q(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators.quality.
+    incremental_agg_maintain): a stored per-priority (count, sum) aggregate
+    is folded forward from a CDC feed (10% deletes, 10% updates, 10%
+    inserts synthesized from orders) by pure algebra on the change rows —
+    the base table is never rescanned.  Decimal accumulation makes the
+    maintained aggregate bit-identical to the oracle's full recompute over
+    the post-change table."""
+    from .operators.quality import incremental_agg_maintain
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey") % 10
+    tp = F.col("o_totalprice")
+    base_agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(tp.cast("decimal(38,4)")).alias("total"))
+    nd = F.lit(None).cast("double")
+    d = o.filter(key == 0).select(
+        "o_orderpriority", F.lit("D").alias("op"),
+        tp.alias("old_val"), nd.alias("new_val"))
+    u = o.filter(key == 1).select(
+        "o_orderpriority", F.lit("U").alias("op"),
+        tp.alias("old_val"), (tp + 100).alias("new_val"))
+    i = o.filter(key == 2).select(
+        "o_orderpriority", F.lit("I").alias("op"),
+        nd.alias("old_val"), (tp / 2).alias("new_val"))
+    changes = d.unionByName(u).unionByName(i)
+    out = incremental_agg_maintain(base_agg, changes, ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "cnt",
+        F.round(F.col("total"), 4).cast("double").alias("total"))
+
+
+@query(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    seeds AS (SELECT DISTINCT src AS id FROM und WHERE src % 100 = 0),
+    walk(id, hops) AS (
+      SELECT id, 0 FROM seeds
+      UNION
+      SELECT u.dst, w.hops + 1
+      FROM walk w JOIN und u ON u.src = w.id
+      WHERE w.hops < 3
+    )
+    SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY id
+    """,
+)
+def graph_bfs_hops_q(spark, sf_dir):
+    """Multi-source BFS (operators.graph.bfs_hops): shortest undirected hop
+    distance from the seed set (custkeys % 100 = 0), capped at 3 hops.
+    Frontier-only expansion — per-round work is the frontier's edge
+    boundary, not the visited set — vs the oracle's recursive CTE."""
+    from .operators import graph as G
+
+    edges = _copurchase_edges(spark, sf_dir)
+    und = G.undirected_edges(edges)
+    seeds = und.select("src").filter(F.col("src") % 100 == 0).distinct()
+    return G.bfs_hops(edges, seeds, max_hops=3)
+
+
+@query(
     "graph_pagerank",
     f"""
     WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),

@@ -197,3 +197,20 @@ def test_triangles_per_node_and_clustering(spark, toy_graph):
     assert cc[1] == 1.0
     assert cc[3] == pytest.approx(1 / 3, abs=1e-6)
     assert cc[10] == 0.0  # degree 1 -> defined as 0
+
+
+def test_bfs_hops_frontier(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators import graph as G
+
+    # path graph 1-2-3-4-5 plus isolated pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["hops"] for r in G.bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond cap; 10/11 unreachable
+    # multi-source takes the nearest seed
+    seeds2 = spark.createDataFrame([(1,), (5,)], "id long")
+    got2 = {r["id"]: r["hops"] for r in G.bfs_hops(edges, seeds2, max_hops=2).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

@@ -293,3 +293,22 @@ def test_quantile_bins_null_stays_null(spark):
     out = {r["k"]: r["x_bin"] for r in quantile_bins(df, "x", n_bins=2).collect()}
     assert out[2] is None
     assert out[1] == 0 and out[3] == 1
+
+
+def test_incremental_agg_maintain_algebra(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.quality import incremental_agg_maintain
+
+    base = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)],
+        "k string, cnt long, total double")
+    changes = spark.createDataFrame(
+        [("a", "I", None, 10.0),   # a: +1, +10
+         ("a", "U", 20.0, 25.0),   # a: +5
+         ("b", "D", 5.0, None),    # b emptied -> dropped
+         ("c", "I", None, 7.0)],   # new group
+        "k string, op string, old_val double, new_val double")
+    got = {r["k"]: (r["cnt"], float(r["total"]))
+           for r in incremental_agg_maintain(base, changes, ["k"]).collect()}
+    assert got == {"a": (3, 45.0), "c": (1, 7.0)}
