@@ -3345,6 +3345,64 @@ def _pr_iter_sql(prev: str) -> str:
 
 
 @query(
+    "udtf_chunk_documents",
+    """
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substring(text, CAST(i * 200 + 1 AS BIGINT), 200) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(range(CAST(ceil(len(text) / 200.0) AS BIGINT))) AS i) t
+    WHERE len(text) > 0
+    """,
+)
+def udtf_chunk_documents_q(spark, sf_dir):
+    """Python UDTF surface (operators/udtf.py): catalog-registered table
+    function invoked via SQL LATERAL — the Spark-4 extensibility seam for
+    arbitrary 1->N Python expansions.  This demo chunker hash-matches the
+    declarative substring oracle; the production chunker remains the
+    pure-expression text.chunk_documents."""
+    from .operators.udtf import register_builtin_udtfs
+
+    register_builtin_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk "
+        "FROM udtf_docs_v, LATERAL chunk_text(text, 200) c")
+
+
+@query(
+    "udtf_word_ngrams_topk",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    ng AS (
+      SELECT ts[CAST(i + 1 AS BIGINT)] || ' ' || ts[CAST(i + 2 AS BIGINT)]
+             || ' ' || ts[CAST(i + 3 AS BIGINT)] AS ngram
+      FROM toks,
+           LATERAL (SELECT unnest(range(GREATEST(len(ts) - 2, 0))) AS i) t
+    )
+    SELECT ngram, COUNT(*) AS n FROM ng GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def udtf_word_ngrams_topk_q(spark, sf_dir):
+    """Word-trigram top-k through the UDTF path (LATERAL word_ngrams):
+    per-row Python expansion feeding a JVM-side aggregate, with the
+    engine's shared token rule, verified against the list-arithmetic
+    oracle.  Deterministic total order (count desc, ngram)."""
+    from .operators.udtf import register_builtin_udtfs
+
+    register_builtin_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v2")
+    return spark.sql(
+        "SELECT g.ngram, COUNT(*) AS n "
+        "FROM udtf_docs_v2, LATERAL word_ngrams(text, 3) g "
+        "GROUP BY g.ngram ORDER BY n DESC, g.ngram LIMIT 20")
+
+
+@query(
     "incremental_agg_orders",
     """
     WITH base AS (SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders),

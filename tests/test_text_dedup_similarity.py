@@ -282,3 +282,21 @@ def test_rplsh_bucket_determinism_and_candidate_consistency(spark):
             .filter(F.col("rank") <= 3)
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, cand.collect()))
+
+
+def test_udtf_chunker_edge_cases(spark):
+    from kiara_spark.operators.udtf import register_builtin_udtfs
+
+    register_builtin_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, ""), (3, None)], "id long, t string")
+    df.createOrReplaceTempView("udtf_edge_v")
+    rows = spark.sql(
+        "SELECT id, c.chunk_idx, c.chunk FROM udtf_edge_v, "
+        "LATERAL chunk_text(t, 3) c").collect()
+    got = {(r["id"], r["chunk_idx"]): r["chunk"] for r in rows}
+    assert got == {(1, 0): "abc", (1, 1): "def", (1, 2): "g"}
+    ng = spark.sql(
+        "SELECT id, g.pos, g.ngram FROM udtf_edge_v, "
+        "LATERAL word_ngrams(t, 2) g WHERE id = 1").collect()
+    assert ng == []  # "abcdefg" is a single token: no 2-grams
