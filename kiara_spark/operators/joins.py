@@ -42,11 +42,19 @@ def asof_join(
     value_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_matched",
+    strict: bool = False,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the single right row (same ``by`` key) with
     the greatest ``right_ts`` <= ``left_ts`` (direction='backward') or the
     least ``right_ts`` >= ``left_ts`` ('forward').  Ties on the timestamp
-    match (inclusive), like DuckDB/kdb ASOF JOIN.
+    match (inclusive), like DuckDB/kdb ASOF JOIN — unless ``strict``, which
+    excludes equal-timestamp right rows (< / >): the point-in-time-join
+    semantics ("state just BEFORE the fact").
+
+    ``tiebreak`` names a right column ordering right rows that share a
+    timestamp (the latest by (ts, tiebreak) wins); without it, duplicate
+    right timestamps per key are assumed absent.
 
     Output: all left columns + ``<right_ts><suffix>`` + each value col as
     ``<col><suffix>`` (NULL when no right row qualifies).
@@ -60,25 +68,36 @@ def asof_join(
     ]
 
     carried = [right_ts, *value_cols]
+    # strict: left sorts BEFORE right at equal ts, so the running last()
+    # cannot see a same-timestamp right row from a left row's frame
+    l_mark, r_mark = (0, 1) if strict else (1, 0)
     l_side = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(l_mark).alias("_side"),
+        (F.lit(None).cast(dict(right.dtypes)[tiebreak]) if tiebreak
+         else F.lit(0)).alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
     )
     r_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(r_mark).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
         F.lit(None).cast(
             l_side.schema["_l"].dataType.simpleString()
         ).alias("_l"),
         *[F.col(c).alias(f"_r_{c}") for c in carried],
     )
     both = l_side.unionByName(r_side)
+    is_left = F.col("_side") == F.lit(l_mark)
+    # _side asc is correct for both modes: the mark assignment above already
+    # encodes who sorts first at equal timestamps
     order = [F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc(),
-             F.col("_side").asc()]
+             F.col("_side").asc(),
+             F.col("_tb").asc_nulls_first()
+             if direction == "backward" else F.col("_tb").desc_nulls_first()]
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -86,7 +105,7 @@ def asof_join(
         "_side",
         "_l",
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in carried],
-    ).filter(F.col("_side") == 1)
+    ).filter(is_left)
     return matched.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carried],

@@ -3541,6 +3541,63 @@ def scd2_user_event_intervals_q(spark, sf_dir):
 
 
 @query(
+    "scd2_point_in_time_purchases",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS v, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), changes AS (
+      SELECT user_id, v, ts, event_id FROM ordered
+      WHERE rn = 1 OR pv IS DISTINCT FROM v
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           (SELECT c.v FROM changes c
+            WHERE c.user_id = p.user_id AND c.ts < p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS prev_state,
+           (SELECT epoch_us(c.ts) FROM changes c
+            WHERE c.user_id = p.user_id AND c.ts < p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS prev_state_ts_us
+    FROM p
+    """,
+)
+def scd2_point_in_time_q(spark, sf_dir):
+    """Point-in-time (SCD2) join: each purchase annotated with the state
+    the user was in strictly BEFORE it (last attribute change with
+    change_ts < fact_ts) — the lakehouse pattern for joining facts to
+    slowly-changing dimensions without leakage from same-instant updates.
+    Runs as the as-of union+window plan with strict ordering (facts sort
+    before same-timestamp changes, so the running last() can't see them):
+    one shuffle, no per-row subqueries — the oracle's correlated subquery
+    is the semantic spec, not the plan."""
+    from .operators import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", F.col("event_type").alias("v"), "ts", "event_id",
+        F.lag("event_type").over(wo).alias("pv"),
+        F.row_number().over(wo).alias("rn"))
+    changes = ordered.filter(
+        (F.col("rn") == 1) | ~F.col("pv").eqNullSafe(F.col("v"))
+    ).select("user_id", "ts", "event_id", "v")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    out = J.asof_join(
+        purchases, changes, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="backward", strict=True,
+        tiebreak="event_id", suffix="_prev")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("v_prev").alias("prev_state"),
+        F.unix_micros("ts_prev").alias("prev_state_ts_us"))
+
+
+@query(
     "asof_join_forward_next_purchase",
     """
     SELECT c.event_id, c.user_id,

@@ -114,3 +114,31 @@ def test_interval_overlap_long_intervals_no_duplicates(spark):
 
 def test_interval_overlap_op_registered(ctx):
     assert "table.join.interval_overlap" in ctx.operation_registry.operation_ids
+
+
+def test_asof_strict_excludes_equal_timestamp(spark):
+    from kiara_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, "at100"), (1, 150, "at150"), (1, 200, "at200")],
+        "k long, ts long, v string")
+    incl = {r["ts"]: r["v_matched"] for r in asof_join(
+        left, right, by="k", left_ts="ts", value_cols=["v"]).collect()}
+    assert incl == {100: "at100", 200: "at200"}  # inclusive ties
+    strict = {r["ts"]: r["v_matched"] for r in asof_join(
+        left, right, by="k", left_ts="ts", value_cols=["v"],
+        strict=True).collect()}
+    assert strict == {100: None, 200: "at150"}   # strictly before
+
+
+def test_asof_tiebreak_picks_latest(spark):
+    from kiara_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 300)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 200, 7, "tb7"), (1, 200, 9, "tb9"), (1, 200, 8, "tb8")],
+        "k long, ts long, eid long, v string")
+    got = asof_join(left, right, by="k", left_ts="ts", value_cols=["v"],
+                    strict=True, tiebreak="eid").collect()
+    assert got[0]["v_matched"] == "tb9"  # largest tiebreak at the shared ts
