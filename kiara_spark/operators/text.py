@@ -384,6 +384,51 @@ def pack_token_budget(
         F.sum("_ntok").cast("bigint").alias("total_tokens"))
 
 
+def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> tuple[DataFrame, DataFrame]:
+    """Dictionary (label) encoding: map a categorical column to dense integer
+    ids, returning (encoded_df, dictionary_df).
+
+    Ids are assigned by sort order over the distinct values (deterministic,
+    engine-portable — no fit-time RNG).  At 100 TB: one distinct aggregate
+    over the column (map-side combined), the dictionary is broadcast back —
+    the fact table never shuffles.  NULL encodes as NULL."""
+    out_col = out_col or f"{col}_id"
+    wd = Window.orderBy(F.col(col))
+    dictionary = (df.select(col).filter(F.col(col).isNotNull()).distinct()
+                  .withColumn(out_col, F.dense_rank().over(wd).cast("bigint")))
+    encoded = df.join(F.broadcast(dictionary), col, "left")
+    return encoded, dictionary
+
+
+def feature_hash(text: Column, dim: int = 1024) -> Column:
+    """Hashing-trick feature indices: token -> md5-derived uniform bucket in
+    [0, dim).  Map-only, vocabulary-free (no dictionary to build or ship),
+    collision rate ~n_tokens/dim — the standard unbounded-vocab encoder.
+    Engine-portable (same digest arithmetic as base_hash32)."""
+    return F.transform(
+        tokens_col(text), lambda t: (base_hash32(t) % F.lit(dim)).cast("int"))
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment is a pure function
+    of the GROUP key (md5 bucket in [0,100)), so every row of a group —
+    every document of a user, every event of a session — lands in the same
+    split.  Row-level random splits leak group signal across train/test;
+    this is the standard fix.  Map-only, partition/retry-invariant."""
+    b = base_hash32(F.col(group_col).cast("string")) % F.lit(100)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -529,13 +574,71 @@ class TableTokenBudgetCap(KiaraModule):
             text_col=self.config.get("text_column", "text"))}
 
 
+class TableDictEncode(KiaraModule):
+    """Dictionary encoding of a categorical column (broadcast dict join)."""
+
+    _module_type_name = "table.encode.dictionary"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}, "dictionary": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        encoded, dictionary = dict_encode(
+            inputs["table"].data, self.config["column"])
+        return {"table": encoded, "dictionary": dictionary}
+
+
+class TableSplitByGroup(KiaraModule):
+    """Leakage-safe train/val/test split keyed on a group column."""
+
+    _module_type_name = "table.split.by_group"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": split_by_group(
+            inputs["table"].data, self.config["group_column"],
+            train_pct=self.config.get("train_pct", 80),
+            val_pct=self.config.get("val_pct", 10))}
+
+
+class TextFeatureHash(KiaraModule):
+    """Hashing-trick token feature indices (vocabulary-free)."""
+
+    _module_type_name = "text.feature_hash"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        t = inputs["table"].data
+        return {"table": t.withColumn(
+            self.config.get("output_column", "feature_idx"),
+            feature_hash(F.col(self.config.get("text_column", "text")),
+                         dim=self.config.get("dim", 1024)))}
+
+
 MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
-           TextPackTokenBudget, TableMixtureSample, TableTokenBudgetCap]
+           TextPackTokenBudget, TableMixtureSample, TableTokenBudgetCap,
+           TableDictEncode, TableSplitByGroup, TextFeatureHash]
 OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
     Operation("table.cap.token_budget", "table.cap.token_budget"),
+    Operation("table.encode.dictionary", "table.encode.dictionary"),
+    Operation("table.split.by_group", "table.split.by_group"),
+    Operation("text.feature_hash", "text.feature_hash"),
     Operation("text.pack_token_budget", "text.pack_token_budget"),
     Operation("text.chunk", "text.chunk"),
     Operation("text.chunk_sentences", "text.chunk_sentences"),

@@ -3299,6 +3299,78 @@ def token_budget_cap_per_lang_q(spark, sf_dir):
 
 
 @query(
+    "ml_dict_encode_sources",
+    """
+    WITH d AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+    dict AS (SELECT source,
+                    CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT)
+                      AS source_id
+             FROM d)
+    SELECT doc_id, doc.source, dict.source_id
+    FROM documents doc LEFT JOIN dict ON doc.source = dict.source
+    """,
+)
+def ml_dict_encode_sources_q(spark, sf_dir):
+    """Dictionary encoding (`table.encode.dictionary`): categorical source
+    -> dense integer id, ids assigned by sort order over the DISTINCT set
+    (the dictionary — small by definition; the global rank runs over it,
+    never the fact table) and broadcast-joined back.  Deterministic: no
+    fit-time RNG, so re-fits on reshuffled data give identical codes."""
+    docs = _t(spark, sf_dir, "documents")
+    encoded, _dictionary = X.dict_encode(docs, "source")
+    return encoded.select("doc_id", "source", "source_id")
+
+
+@query(
+    "ml_feature_hash_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           CAST(({_h32_sql("ts[CAST(i + 1 AS BIGINT)]")} % 256) AS INT)
+             AS feature_idx
+    FROM toks, LATERAL (SELECT unnest(range(len(ts))) AS i) t
+    """,
+)
+def ml_feature_hash_documents_q(spark, sf_dir):
+    """Hashing-trick encoding (`text.feature_hash`): token -> md5-derived
+    bucket in [0, 256), vocabulary-free (nothing to fit, build, or
+    broadcast — the unbounded-vocab encoder).  Map-only; verified
+    index-for-index against the digest-arithmetic oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(X.feature_hash(F.col("text"), dim=256))
+        .alias("pos", "feature_idx"))
+
+
+@query(
+    "ml_split_by_group_users",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT user_id,
+           CASE WHEN ({_h32_sql("CAST(user_id AS VARCHAR)")} % 100) < 80
+                  THEN 'train'
+                WHEN ({_h32_sql("CAST(user_id AS VARCHAR)")} % 100) < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def ml_split_by_group_users_q(spark, sf_dir):
+    """Leakage-safe split (`table.split.by_group`): train/val/test assigned
+    from a hash of the USER key, so every event of a user lands in the same
+    split — row-level random splits leak user signal across train/test.
+    Map-only, partition/retry-invariant, verified row-for-row."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    return X.split_by_group(users, "user_id")
+
+
+@query(
     "pack_token_budget_bins",
     f"""
     WITH t AS (

@@ -114,3 +114,27 @@ def test_token_budget_cap_respects_budget_and_order(spark):
                   .select("doc_id").collect())
         ranked_ids = [r["doc_id"] for r in ranked]
         assert set(ranked_ids[:len(rs)]) == kept_ids, lang
+
+
+def test_dict_encode_and_split_by_group(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    encoded, dictionary = X.dict_encode(docs, "source")
+    # bijection: one dense id per distinct source, 1..K by sort order
+    d = sorted((r["source"], r["source_id"]) for r in dictionary.collect())
+    assert [i for _, i in d] == list(range(1, len(d) + 1))
+    assert [s for s, _ in d] == sorted(s for s, _ in d)
+    # encoding is total and consistent
+    assert encoded.filter(F.col("source_id").isNull()).count() == 0
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    split = X.split_by_group(ev, "user_id")
+    # leakage-safety: every user's rows share a single split label
+    per_user = (split.groupBy("user_id")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_user)
+    got = {r["split"] for r in split.select("split").distinct().collect()}
+    assert got <= {"train", "val", "test"} and "train" in got
