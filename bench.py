@@ -135,6 +135,15 @@ BENCH_QUERIES = [
     "token_budget_cap_per_lang",
     "sim_topk_rplsh",
     "streaming_transform_with_state_demo",
+    "zorder_key_orders",
+    "graph_bfs_hops",
+    "incremental_agg_orders",
+    "udtf_chunk_documents",
+    "udtf_word_ngrams_topk",
+    "scd2_point_in_time_purchases",
+    "ml_dict_encode_sources",
+    "ml_feature_hash_documents",
+    "ml_split_by_group_users",
 ]
 
 

@@ -3299,6 +3299,43 @@ def token_budget_cap_per_lang_q(spark, sf_dir):
 
 
 @query(
+    "scalar_variant_battery",
+    """
+    SELECT event_id, event_type AS t, value AS v, user_id AS u,
+           user_id AS arr1, CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(NULL AS INT) AS missing
+    FROM events
+    """,
+)
+def scalar_variant_battery_q(spark, sf_dir):
+    """Spark 4 VARIANT round-trip: nested struct/array/JSON built per row ->
+    to_json -> parse_json (binary variant) -> typed path extraction with
+    variant_get (object fields, nested paths, array indexing) and
+    try_variant_get (missing path -> NULL, no error).  VARIANT is the
+    100 TB semi-structured format — shredded binary, ~8x faster point
+    access than JSON strings — and the oracle pins that every value
+    survives the round-trip exactly."""
+    ev = _t(spark, sf_dir, "events")
+    j = F.to_json(F.struct(
+        F.col("event_type").alias("t"),
+        F.struct(F.col("value").alias("v"),
+                 F.col("user_id").alias("u")).alias("m"),
+        F.array(F.col("event_id"), F.col("user_id")).alias("arr"),
+        F.from_json("props", "k int").alias("p"),
+    ))
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.variant_get(v, "$.m.v", "double").alias("v"),
+        F.variant_get(v, "$.m.u", "bigint").alias("u"),
+        F.variant_get(v, "$.arr[1]", "bigint").alias("arr1"),
+        F.variant_get(v, "$.p.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
+    )
+
+
+@query(
     "ml_dict_encode_sources",
     """
     WITH d AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
