@@ -3299,6 +3299,92 @@ def token_budget_cap_per_lang_q(spark, sf_dir):
 
 
 @query(
+    "events_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_transition_matrix_q(spark, sf_dir):
+    """Behavioral transition matrix: counts of consecutive event-type pairs
+    per user (Markov-chain estimation input, funnel diagnostics).  One
+    shuffle on the user key feeds the lag; the pair count is a map-side-
+    combined aggregate over 25 cells."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE k AS (
+      SELECT p_partkey AS id, p_name || ' ' || p_type AS txt,
+             p_name || '#' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+      WHERE abs(length(a.txt) - length(b.txt)) <= 2
+        AND levenshtein(a.txt, b.txt) <= 2
+    ),
+    und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+      WHERE r.comp < u.dst
+    ),
+    comp AS (SELECT id, MIN(comp) AS entity_id FROM reach GROUP BY id)
+    SELECT c.id AS p_partkey, c.entity_id,
+           (SELECT txt FROM k WHERE k.id = c.entity_id) AS canonical_txt,
+           (SELECT COUNT(*) FROM comp c2
+            WHERE c2.entity_id = c.entity_id) AS entity_size
+    FROM comp c
+    """,
+)
+def entity_resolution_parts_q(spark, sf_dir):
+    """Entity-resolution composition: blocked fuzzy pairs -> connected
+    components -> canonical entity table (each member mapped to its
+    entity id, the min-member's name as the canonical form, entity size).
+    Every stage is an operator verified on its own elsewhere; the value
+    here is the end-to-end ER pipeline over a product catalog."""
+    from .operators import graph as G
+
+    part = _t(spark, sf_dir, "part")
+    prepared = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws(" ", "p_name", "p_type").alias("txt"),
+        F.concat_ws("#", "p_name", F.col("p_size").cast("string")).alias("blk"),
+    )
+    pairs = D.fuzzy_levenshtein_pairs(
+        prepared, id_col="id", text_col="txt", block_col="blk",
+        max_distance=2)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = G.connected_components(edges).select(
+        F.col("id").alias("p_partkey"), F.col("component").alias("entity_id"))
+    names = prepared.select(F.col("id").alias("entity_id"),
+                            F.col("txt").alias("canonical_txt"))
+    sizes = comp.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_size"))
+    return (comp.join(F.broadcast(names), "entity_id")
+            .join(F.broadcast(sizes), "entity_id")
+            .select("p_partkey", "entity_id", "canonical_txt", "entity_size"))
+
+
+@query(
     "scalar_variant_battery",
     """
     SELECT event_id, event_type AS t, value AS v, user_id AS u,

@@ -28,6 +28,8 @@ INTENTIONAL_CROSS = {
     "winsorize_order_prices",      # 1-row percentile-bounds broadcast
     "text_unigram_logprob",        # 1-row corpus-token-total broadcast
     "tfidf_top_docterms",          # 1-row corpus-doc-count broadcast
+    "zorder_key_orders",           # 1-row min/max-bounds broadcast feeds the binning
+    "theta_event_type_overlap",    # K-row sketch×sketch pair join (K = #groups, tiny)
     "quantile_bins_totalprice",    # 1-row quantile-bounds broadcast
     "impute_nulls_lineitem",       # 1-row fill-values broadcast
 }
