@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "ml_dict_encode_sources",
     "ml_feature_hash_documents",
     "ml_split_by_group_users",
+    "scalar_variant_battery",
+    "events_transition_matrix",
+    "entity_resolution_parts",
 ]
 
 

@@ -277,6 +277,23 @@ def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFr
     return df.filter(u < w)
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/fingerprint pre-processing:
+    lowercase, collapse all whitespace runs to single spaces, strip ASCII
+    control characters, trim.  Map-only, engine-portable (the SQL twin uses
+    the same regex classes), and idempotent — normalize(normalize(x)) =
+    normalize(x), so re-running a pipeline stage can't change hashes."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[\\x00-\\x1f]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         out_col: str = "text_norm") -> DataFrame:
+    return df.withColumn(out_col, normalize_text(F.col(text_col)))
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -450,6 +467,8 @@ def _mk(name, fn, doc=""):
     return _Mod
 
 
+TextNormalize = _mk("text.normalize", with_normalized_text,
+                    "canonical lowercase/whitespace/control-char normalization")
 TextTokenStats = _mk("text.token_stats", with_token_stats, "token count/distinct/len stats")
 TextQualityScore = _mk("text.quality_score", with_quality_score, "pretraining quality filters")
 TextLanguageId = _mk("text.language_id", with_language_id, "stopword-membership langid")
@@ -628,7 +647,7 @@ class TextFeatureHash(KiaraModule):
                          dim=self.config.get("dim", 1024)))}
 
 
-MODULES = [TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
+MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash]
@@ -643,6 +662,7 @@ OPERATIONS = [
     Operation("text.chunk", "text.chunk"),
     Operation("text.chunk_sentences", "text.chunk_sentences"),
     Operation("text.token_stats", "text.token_stats"),
+    Operation("text.normalize", "text.normalize"),
     Operation("text.quality_score", "text.quality_score"),
     Operation("text.language_id", "text.language_id"),
     Operation("text.fingerprint", "text.fingerprint"),

@@ -3299,6 +3299,66 @@ def token_budget_cap_per_lang_q(spark, sf_dir):
 
 
 @query(
+    "text_normalize_battery",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || chr(9) || '  ' || upper(substr(text, 1, 20))
+               || chr(10) || chr(13) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(raw),
+                '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS text_norm
+    FROM dirty
+    """,
+)
+def text_normalize_battery_q(spark, sf_dir):
+    """Canonical normalization (`text.normalize`): lowercase, control-char
+    strip, whitespace collapse, trim — the idempotent pre-pass before any
+    hash-based dedup (un-normalized text makes near-identical docs hash
+    apart).  Dirty input synthesized with tabs/CRLF/case noise; verified
+    byte-for-byte against the SQL twin."""
+    from .operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit("\t  "),
+                 F.upper(F.substring("text", 1, 20)),
+                 F.lit("\n\r")).alias("raw"))
+    return dirty.select("doc_id", normalize_text(F.col("raw")).alias("text_norm"))
+
+
+@query(
+    "join_null_safe_counts",
+    """
+    WITH a AS (SELECT o_orderkey AS ka, NULLIF(o_custkey % 50, 0) AS nk
+               FROM orders WHERE o_orderkey % 5 = 0),
+    b AS (SELECT o_orderkey AS kb, NULLIF(o_custkey % 50, 0) AS nk
+          FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT a.nk AS nk, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY a.nk
+    """,
+)
+def join_null_safe_counts_q(spark, sf_dir):
+    """Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — completing the join family's
+    3-valued-logic coverage.  The NULL bucket pairs like any other key, so
+    the plan stays a hash join (the null-safe comparator is sort/hashable),
+    not a nested loop."""
+    o = _t(spark, sf_dir, "orders")
+    nk = F.nullif(F.col("o_custkey") % 50, F.lit(0))
+    a = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("ka"), nk.alias("nk"))
+    b = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("kb"), nk.alias("nk_b"))
+    return (a.join(b, a["nk"].eqNullSafe(b["nk_b"]))
+            .groupBy("nk").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@query(
     "events_transition_matrix",
     """
     WITH o AS (

@@ -279,3 +279,23 @@ def test_mock_module_reference_config_shape(ctx):
             "data": "mock result data"}},
     })
     assert out["result"].data == "mock result data"
+
+
+def test_training_mix_example_pipeline(ctx):
+    """examples/training_mix.json end-to-end: group-keyed split -> mixture
+    sampling -> per-language token cap -> dictionary encoding, through the
+    orchestration surface."""
+    import pyspark.sql.functions as F
+
+    out = ctx.run_pipeline("examples/training_mix.json", {
+        "docs_path": "/root/testdata/sf0.001/documents.parquet"})
+    mix = out["training_mix"].data
+    assert mix.count() > 0
+    # split column present and source-consistent
+    per_source = (mix.groupBy("source")
+                  .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_source)
+    # dictionary covers every encoded source
+    d = out["source_dictionary"].data
+    assert mix.filter(F.col("source_id").isNull()).count() == 0
+    assert d.count() == mix.select("source").distinct().count()

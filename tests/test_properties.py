@@ -236,3 +236,107 @@ def test_decontaminate_self_is_total(spark, texts):
     has_gram = {r["doc_id"]: r["ng"] > 0 for r in df.select(
         "doc_id", F.size(word_ngram_hashes(F.col("text"), 3)).alias("ng")).collect()}
     assert out == {i: int(has_gram[i]) for i in out}
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+    min_size=2, max_size=40))
+@SET
+def test_zorder_key_monotone_on_axes(spark, rows):
+    """Morton key property: if a dominates b on BOTH binned axes, a's key
+    is >= b's (interleaving never inverts simultaneous dominance)."""
+    from kiara_spark.operators.tables import zorder_key
+
+    data = [(i, float(x), float(y)) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, x double, y double")
+    keyed = zorder_key(df, ["x", "y"], bits=8).collect()
+    pts = [(r["x"], r["y"], r["z_key"]) for r in keyed]
+    for ax, ay, az in pts:
+        for bx, by, bz in pts:
+            if ax >= bx and ay >= by:
+                assert az >= bz, ((ax, ay, az), (bx, by, bz))
+
+
+@given(
+    base=st.lists(st.tuples(st.sampled_from("abc"), st.integers(1, 50),
+                            st.integers(-1000, 1000)),
+                  min_size=0, max_size=10),
+    ops=st.lists(st.tuples(st.sampled_from("IUD"), st.sampled_from("abcd"),
+                           st.integers(-1000, 1000), st.integers(-1000, 1000)),
+                 min_size=0, max_size=15))
+@SET
+def test_incremental_agg_equals_replay(spark, base, ops):
+    """Folding a change feed into a stored aggregate == recomputing the
+    aggregate over the replayed row set, for any feed whose D/U old values
+    are consistent with the current state (constructed here by replay)."""
+    from collections import defaultdict
+
+    from kiara_spark.operators.quality import incremental_agg_maintain
+
+    # replay driver-side to build a CONSISTENT feed: deletes remove a live
+    # row's value, updates rewrite one; inconsistent ops are skipped
+    live = defaultdict(list)
+    for k, _n, v in base:
+        live[k].append(v)
+    feed = []
+    for op, k, v1, v2 in ops:
+        if op == "I":
+            live[k].append(v2)
+            feed.append((k, "I", None, float(v2)))
+        elif op == "D" and live[k]:
+            old = live[k].pop()
+            feed.append((k, "D", float(old), None))
+        elif op == "U" and live[k]:
+            old = live[k][-1]
+            live[k][-1] = v2
+            feed.append((k, "U", float(old), float(v2)))
+    agg = defaultdict(lambda: [0, 0.0])
+    for k, _n, v in base:
+        agg[k][0] += 1
+        agg[k][1] += v
+    base_df = spark.createDataFrame(
+        [(k, c, float(s)) for k, (c, s) in agg.items()] or [("_", 0, 0.0)],
+        "k string, cnt long, total double")
+    if not agg:
+        base_df = base_df.filter("cnt > 0")
+    feed_df = spark.createDataFrame(
+        feed or [("_", "X", None, None)],
+        "k string, op string, old_val double, new_val double")
+    if not feed:
+        feed_df = feed_df.filter("op = 'nope'")
+    got = {r["k"]: (r["cnt"], float(r["total"]))
+           for r in incremental_agg_maintain(base_df, feed_df, ["k"]).collect()}
+    want = {k: (len(vs), float(sum(vs))) for k, vs in live.items() if vs}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6, (k, got[k], want[k])
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3),          # key
+              st.integers(0, 30),         # left ts
+              ),
+    min_size=1, max_size=25),
+    rrows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+    min_size=1, max_size=25))
+@SET
+def test_asof_strict_matches_bruteforce(spark, rows, rrows):
+    """strict backward as-of == per-row argmax over right rows with
+    ts strictly less, latest (ts, tiebreak) wins."""
+    from kiara_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(k, t, e, f"v{e}") for (k, t, e) in rrows],
+        "k long, ts long, eid long, v string")
+    got = {r["lid"]: r["v_matched"] for r in asof_join(
+        left, right, by="k", left_ts="ts", value_cols=["v"],
+        strict=True, tiebreak="eid").collect()}
+    rl = [(k, t, e, f"v{e}") for (k, t, e) in rrows]
+    for i, (k, t) in enumerate(rows):
+        cand = [(rt, e, v) for (rk, rt, e, v) in rl if rk == k and rt < t]
+        want = max(cand)[2] if cand else None
+        assert got[i] == want, (i, k, t, got[i], want)
