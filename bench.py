@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "scalar_variant_battery",
     "events_transition_matrix",
     "entity_resolution_parts",
+    "text_normalize_battery",
+    "join_null_safe_counts",
+    "scalar_higher_order_battery",
+    "scalar_map_battery",
 ]
 
 

@@ -2987,6 +2987,94 @@ def scalar_array_q(spark, sf_dir):
     )
 
 
+@query(
+    "scalar_higher_order_battery",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) > 0 AS BIGINT)
+             AS any_pos,
+           CAST(len(list_filter(embedding, x -> NOT (abs(x) <= 1000000.0))) = 0
+                AS BIGINT) AS all_bounded,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           embedding[1] + embedding[len(embedding)] AS zip_first,
+           embedding[4] AS flat4,
+           CAST(list_reduce(range(1, 6), (a, b) -> a + b) AS BIGINT) AS seq_sum,
+           CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+             AS pos_of_max,
+           array_to_string(list_transform(range(3), x -> 'ab'), '-') AS rep3
+    FROM embeddings
+    """,
+)
+def scalar_higher_order_battery_q(spark, sf_dir):
+    """Higher-order function battery round 2: exists / forall / filter /
+    zip_with / flatten / slice / sequence+aggregate / array_position /
+    array_repeat+array_join — all whole-stage-codegen lambda expressions,
+    the function-library surface the tabular plugin seam implies (SURVEY
+    §2.3 scalar fns).  Float elements only move or add once, so values are
+    bit-identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.exists(e, lambda x: x > 0).cast("bigint").alias("any_pos"),
+        F.forall(e, lambda x: F.abs(x) <= 1000000.0).cast("bigint")
+        .alias("all_bounded"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        (F.element_at(F.zip_with(e, F.reverse(e), lambda a, b: a + b), 1))
+        .alias("zip_first"),
+        F.element_at(
+            F.flatten(F.array(F.slice(e, 1, 2), F.slice(e, 3, 2))), 4
+        ).alias("flat4"),
+        F.aggregate(F.sequence(F.lit(1), F.lit(5)), F.lit(0),
+                    lambda a, b: a + b).cast("bigint").alias("seq_sum"),
+        F.array_position(e, F.array_max(e)).cast("bigint").alias("pos_of_max"),
+        F.array_join(F.array_repeat(F.lit("ab"), 3), "-").alias("rep3"),
+    )
+
+
+@query(
+    "scalar_map_battery",
+    """
+    SELECT event_id,
+           'eid,k,uid' AS keys_sorted,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS val_k,
+           CAST(4 AS INT) AS concat_size,
+           CAST((CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 100
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN user_id > 100 THEN 1 ELSE 0 END)
+              + (CASE WHEN event_id > 100 THEN 1 ELSE 0 END) AS INT)
+             AS n_big,
+           CAST(json_extract(props, '$.k') AS BIGINT) + user_id + event_id
+             AS values_sum,
+           2 * CAST(json_extract(props, '$.k') AS BIGINT) AS doubled_k
+    FROM events
+    """,
+)
+def scalar_map_battery_q(spark, sf_dir):
+    """MAP function battery: map_from_arrays / map_keys / element_at /
+    map_concat / map_filter / transform_values / map_values+aggregate.
+    The map is built from typed columns, every extraction re-verified
+    against the base columns by the oracle — MapType parity for the
+    `dict`-typed values the reference carries (SURVEY §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("uid"), F.lit("eid")),
+        F.array(k, F.col("user_id"), F.col("event_id")))
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("val_k"),
+        F.size(F.map_concat(m, F.create_map(F.lit("x"), F.lit(1).cast("bigint"))))
+        .cast("int").alias("concat_size"),
+        F.size(F.map_filter(m, lambda _, v: v > 100)).cast("int").alias("n_big"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("bigint"),
+                    lambda a, b: a + b).alias("values_sum"),
+        F.element_at(F.transform_values(m, lambda _, v: v * 2), "k")
+        .alias("doubled_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 13. table maintenance, data quality, paths, fuzzy matching
 # ---------------------------------------------------------------------------
