@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "join_null_safe_counts",
     "scalar_higher_order_battery",
     "scalar_map_battery",
+    "sql_udf_library_battery",
 ]
 
 

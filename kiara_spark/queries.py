@@ -2988,6 +2988,41 @@ def scalar_array_q(spark, sf_dir):
 
 
 @query(
+    "sql_udf_library_battery",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens,
+           {_h32_sql("lang")} AS lang_h32,
+           trim(regexp_replace(regexp_replace(lower(substr(text, 1, 60)),
+                '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS head_norm,
+           ({_h32_sql("CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0 < 0.5
+             AS kept_half
+    FROM documents
+    """,
+)
+def sql_udf_library_battery_q(spark, sf_dir):
+    """Catalog SQL-UDF library (kiara_spark/functions.py): the engine's
+    shared idioms — token rule, 32-bit hash, normalization, sampler keep
+    rule — exposed as SQL functions users call from table.query.sql.
+    SQL UDF bodies inline into the plan (whole-stage codegen, zero Python);
+    the oracle re-derives every value from the raw idioms, proving the
+    library functions compute exactly the documented semantics."""
+    from .functions import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("sqludf_docs_v")
+    return spark.sql("""
+        SELECT doc_id,
+               kiara_ntokens(text) AS n_tokens,
+               kiara_hash32(lang) AS lang_h32,
+               kiara_normalize(substring(text, 1, 60)) AS head_norm,
+               kiara_keep(cast(doc_id as string), 0.5) AS kept_half
+        FROM sqludf_docs_v
+    """)
+
+
+@query(
     "scalar_higher_order_battery",
     """
     SELECT vec_id,

