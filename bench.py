@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "scalar_higher_order_battery",
     "scalar_map_battery",
     "sql_udf_library_battery",
+    "scalar_try_battery",
+    "dedup_hybrid_pairs",
 ]
 
 

@@ -483,6 +483,23 @@ def zorder_write(
         "overwrite").parquet(path)
 
 
+def vacuum_snapshots(path: str, keep_latest: int = 2) -> dict:
+    """Warehouse retention: keep the ``keep_latest`` newest snapshot
+    subdirectories (by mtime) under ``path``, delete the rest — the
+    VACUUM step that bounds storage under repeated compact/zorder/CDC
+    rewrites.  Driver-side filesystem maintenance (no Spark job);
+    returns {kept: [...], removed: [...]}."""
+    entries = sorted(
+        (e for e in os.scandir(path) if e.is_dir()),
+        key=lambda e: e.stat().st_mtime, reverse=True)
+    kept = [e.name for e in entries[:keep_latest]]
+    removed = []
+    for e in entries[keep_latest:]:
+        shutil.rmtree(e.path)
+        removed.append(e.name)
+    return {"kept": kept, "removed": removed}
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -856,6 +873,15 @@ ExportTable = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableVacuum = _simple_module(
+    "table.vacuum.snapshots",
+    {"path": STRING}, {"report": DICT},
+    lambda self, im, ctx: {"report": vacuum_snapshots(
+        im["path"].data, keep_latest=self.config.get("keep_latest", 2))},
+    doc="Retention: keep N newest snapshot dirs, delete older (driver-side).",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
+)
+
 TableZorderKey = _simple_module(
     "table.layout.zorder_key",
     {"table": TABLE}, {"table": TABLE},
@@ -871,7 +897,7 @@ MODULES = [
     TableLoad, TableRepartition, TableCoalesce, TableCompact,
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
-    TableQuerySql, TableMapPandas, ExportTable, TableZorderKey,
+    TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
 ]
 
 OPERATIONS = [
@@ -885,6 +911,8 @@ OPERATIONS = [
               doc="deterministic fixed-size per-group sample"),
     Operation("table.layout.zorder_key", "table.layout.zorder_key",
               doc="Morton key for Z-order clustered layout"),
+    Operation("table.vacuum.snapshots", "table.vacuum.snapshots",
+              doc="snapshot-dir retention (keep N newest)"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

@@ -2988,6 +2988,102 @@ def scalar_array_q(spark, sf_dir):
 
 
 @query(
+    "dedup_hybrid_pairs",
+    f"""
+    WITH sh_t AS ({{SH_T}}),
+    h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {{H0S}}) AS h0s FROM sh_t),
+    sig AS (SELECT doc_id, {{SIG}} FROM h_t),
+    bands AS ({{BANDS}}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+                JOIN sh_t sb ON cand.id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7
+    ),
+    emb_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(CASE WHEN {_PAIR_ANORM} * {_PAIR_BNORM} > 0
+                  THEN {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM})
+                  ELSE 0.0 END, 8) >= 0.3
+    )
+    SELECT COALESCE(t.id_a, e.id_a) AS id_a,
+           COALESCE(t.id_b, e.id_b) AS id_b,
+           CAST(t.id_a IS NOT NULL AS BIGINT) AS via_text,
+           CAST(e.id_a IS NOT NULL AS BIGINT) AS via_embedding
+    FROM ver t FULL JOIN emb_pairs e
+      ON t.id_a = e.id_a AND t.id_b = e.id_b
+    """.format(SH_T=_SH_T_WORD, H0S=_H0.format(s="s"), SIG=_SIG_SQL,
+               BANDS=_BAND_ROWS),
+)
+def dedup_hybrid_pairs_q(spark, sf_dir):
+    """Hybrid near-dup detection: text-level MinHash-verified pairs OR
+    embedding-cosine pairs (doc i <-> vector i), full-outer merged with
+    per-channel provenance flags — the production pattern where lexical
+    and semantic dedup channels run in parallel and a pair caught by
+    either (or both) is deduplicated.  Each channel is the
+    oracle-verified operator used elsewhere; this checks the composition."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    t = D.minhash_dedup_verified(
+        docs, threshold=0.7, num_hashes=NUM_HASHES, bands=BANDS,
+        shingle_k=SHINGLE_WORDS, shingle_unit="word"
+    ).select(F.col("id_a").alias("t_a"), F.col("id_b").alias("t_b"))
+    e = S.embedding_neardup_pairs(emb, threshold=0.3, bucket_col="label") \
+        .select(F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b"))
+    joined = t.join(
+        e, (F.col("t_a") == F.col("e_a")) & (F.col("t_b") == F.col("e_b")),
+        "full_outer")
+    return joined.select(
+        F.coalesce("t_a", "e_a").alias("id_a"),
+        F.coalesce("t_b", "e_b").alias("id_b"),
+        F.col("t_a").isNotNull().cast("bigint").alias("via_text"),
+        F.col("e_a").isNotNull().cast("bigint").alias("via_embedding"))
+
+
+@query(
+    "scalar_try_battery",
+    """
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 10, 0) AS safe_div,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_totalprice % (o_orderkey % 10) END AS safe_mod,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS good_cast,
+           TRY_CAST(o_orderdate AS TIMESTAMP) IS NOT NULL AS ts_ok
+    FROM orders
+    """,
+)
+def scalar_try_battery_q(spark, sf_dir):
+    """Error-safe SQL semantics (ANSI-mode companions): try_divide /
+    try_mod return NULL on zero divisors instead of raising, try_cast and
+    try_to_timestamp return NULL on malformed input — the 100 TB contract
+    that one bad row cannot kill a stage.  The oracle re-derives each
+    NULL-on-error value with explicit NULLIF/CASE guards."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 10
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), k).alias("safe_div"),
+        F.try_mod(F.col("o_totalprice"), k).alias("safe_mod"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int")
+        .alias("good_cast"),
+        F.try_to_timestamp(F.col("o_orderdate").cast("string")).isNotNull()
+        .alias("ts_ok"),
+    )
+
+
+@query(
     "sql_udf_library_battery",
     f"""
     SELECT doc_id,

@@ -57,6 +57,14 @@ def build_spark(
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/kiara_spark_sql_warehouse"))
     )
+    # transformWithState requires the RocksDB state store; opt in via env on
+    # clusters that use the arbitrary-state operators (the HDFS-backed
+    # default store stays for everything else)
+    if os.environ.get("KIARA_SPARK_ROCKSDB_STATE") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

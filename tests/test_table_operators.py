@@ -216,3 +216,23 @@ def test_sql_udf_library_inlines_no_python(spark):
     assert out.count() == df.count()
     # registration is idempotent (CREATE OR REPLACE)
     register_sql_functions(spark)
+
+
+def test_vacuum_snapshots_retention(spark, ctx, tmp_path):
+    import os
+    import time
+
+    from kiara_spark.operators.tables import vacuum_snapshots
+
+    base = tmp_path / "snaps"
+    base.mkdir()
+    for i in range(5):
+        d = base / f"v{i}"
+        d.mkdir()
+        (d / "part.txt").write_text(str(i))
+        os.utime(d, (time.time() + i, time.time() + i))
+    report = vacuum_snapshots(str(base), keep_latest=2)
+    assert sorted(report["kept"]) == ["v3", "v4"]
+    assert sorted(report["removed"]) == ["v0", "v1", "v2"]
+    assert sorted(p.name for p in base.iterdir()) == ["v3", "v4"]
+    assert "table.vacuum.snapshots" in ctx.operation_registry.operation_ids
