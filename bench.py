@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "sql_udf_library_battery",
     "scalar_try_battery",
     "dedup_hybrid_pairs",
+    "streaming_left_outer_join_demo",
 ]
 
 

@@ -4612,6 +4612,102 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "streaming_left_outer_join_demo",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM (
+           SELECT ts FROM events WHERE event_type IN ('click','purchase','view')
+           ORDER BY ts LIMIT 8000)),
+    base AS (SELECT * FROM (
+           SELECT * FROM events WHERE event_type IN ('click','purchase','view')
+           ORDER BY ts LIMIT 8000)),
+    c AS (SELECT event_id AS cid, user_id, ts FROM base, mx
+          WHERE event_type = 'click' AND ts < mx.m),
+    p AS (SELECT event_id AS pid, user_id, ts FROM base, mx
+          WHERE event_type = 'purchase' AND ts < mx.m),
+    matched AS (
+      SELECT c.cid, c.user_id, epoch_us(c.ts) AS click_us,
+             p.pid, epoch_us(p.ts) AS purchase_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    nulls AS (
+      SELECT c.cid, c.user_id, epoch_us(c.ts) AS click_us,
+             CAST(NULL AS BIGINT) AS pid, CAST(NULL AS BIGINT) AS purchase_us
+      FROM c, mx
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        AND c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM nulls
+    """,
+)
+def streaming_left_outer_join_demo(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark-driven NULL emission —
+    the semantics the inner-join demo can't exercise: an unmatched click
+    emits its NULL row only after the global watermark proves no matching
+    purchase can still arrive.
+
+    Two mtime-ordered files: b1 = everything below the max timestamp, b2 =
+    the max-ts row(s), routed through BOTH side filters so after b2 both
+    side watermarks advance to max-2h, and eviction emits NULLs exactly for
+    unmatched clicks with click_ts + 1h < max - 2h (empirically pinned:
+    the emitted/withheld boundary lands between the last unmatched click
+    under the horizon and the first one above it).  Matched pairs emit on
+    arrival within b1.  The output filter drops rows touching the b2
+    watermark-driver rows, so the oracle is exact."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase", "view")) \
+        .orderBy("ts").limit(8000)
+    m = ev.agg(F.max("ts")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="kiara_louter_")
+    parts = [ev.filter(F.col("ts") < F.lit(m)),
+             ev.filter(F.col("ts") == F.lit(m))]
+    for i, df in enumerate(parts, 1):
+        d = os.path.join(tmp, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d)
+                   if f.endswith(".parquet") and not f.startswith("_")]
+        os.utime(os.path.join(d, part), (1_000_000_000 * i,) * 2)
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev.schema,
+        options={"maxFilesPerTrigger": "1", "recursiveFileLookup": "true"})
+    is_max = F.col("ts") == F.lit(m)
+    clicks = (stream.filter((F.col("event_type") == "click") | is_max)
+              .select(F.col("event_id").alias("cid"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (stream.filter((F.col("event_type") == "purchase") | is_max)
+                 .select(F.col("event_id").alias("pid"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+    out = joined.filter(
+        (F.col("click_ts") < F.lit(m))
+        & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") < F.lit(m)))
+    ).select(
+        "cid", F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        "pid", F.unix_micros("purchase_ts").alias("purchase_us"))
+    qname = f"louter_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(out, qname)
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query(
     "setop_union_evolve_schema",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority, CAST(NULL AS DATE) AS o_orderdate
