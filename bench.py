@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "scalar_try_battery",
     "dedup_hybrid_pairs",
     "streaming_left_outer_join_demo",
+    "pyds_synth_documents",
 ]
 
 

@@ -4612,6 +4612,35 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "pyds_synth_documents",
+    f"""
+    WITH ids AS (SELECT unnest(range(2000)) AS doc_id),
+    f AS (SELECT doc_id,
+            (['de','en','es','fr','zh'])[
+              ({_h32_sql("'lang' || CAST(doc_id AS VARCHAR)")} % 5) + 1] AS lang,
+            {_h32_sql("'n' || CAST(doc_id AS VARCHAR)")} % 1000 AS n_chars
+          FROM ids)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM f WHERE lang = 'en' AND n_chars >= 100
+    """,
+)
+def pyds_synth_documents_q(spark, sf_dir):
+    """Spark 4 Python Data Source API (kiara_spark/sources.py): a custom
+    registered source with parallel input partitions and Python-side
+    FILTER PUSHDOWN — the lang equality is handled inside the generator
+    (rows failing it are never produced), the n_chars range predicate is
+    returned to Spark and re-applied.  Every field is md5-derived from the
+    id, so a third-party connector is verified row-for-row against SQL —
+    the import_data family's extension seam, engine-native."""
+    from .sources import register_python_sources
+
+    register_python_sources(spark)
+    df = (spark.read.format("kiara_synth_docs")
+          .option("partitions", "8").option("rowsPerPartition", "250").load())
+    return df.filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+
+
+@query(
     "streaming_left_outer_join_demo",
     """
     WITH mx AS (SELECT MAX(ts) AS m FROM (

@@ -1,0 +1,100 @@
+"""Custom source connectors on the Spark 4 Python Data Source API.
+
+The reference's source surface is the ``import_data`` operation family
+(``import.local.file[_bundle]``, SURVEY §2.2); Spark 4's Python Data Source
+API is the engine-native way to add NEW source formats without JVM code:
+a registered ``DataSource`` exposes schema, PARALLEL input partitions, and
+FILTER PUSHDOWN, and then composes with everything else
+(``spark.read.format("kiara_synth_docs")``).
+
+``kiara_synth_docs`` is a deterministic synthetic-document source:
+
+- every field derives from md5 arithmetic over (doc id), so the stream is a
+  pure function of (partitions, rowsPerPartition) — reproducible anywhere,
+  and SQL-expressible, which makes a third-party source oracle-verifiable
+  row for row (rare for connectors);
+- ``partitions()`` splits the id range into one ``InputPartition`` per
+  chunk — each reads independently on executors (the 100 TB contract: a
+  source must present enough splits to keep the cluster wide);
+- ``pushFilters`` handles ``lang = '<x>'`` equality INSIDE the generator —
+  rows that fail the filter are never produced — and returns every other
+  predicate to Spark (correctness never depends on pushdown).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    Filter, InputPartition)
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _h32(s: str) -> int:
+    """The engine's portable 32-bit hash (first 8 md5 hex digits)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def synth_row(doc_id: int) -> tuple:
+    """One synthetic document row — pure function of the id, matching the
+    SQL-oracle arithmetic exactly."""
+    lang = LANGS[_h32(f"lang{doc_id}") % 5]
+    n_chars = _h32(f"n{doc_id}") % 1000
+    return (doc_id, lang, n_chars)
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_parts = int(options.get("partitions", 4))
+        self.rows_per = int(options.get("rowsPerPartition", 100))
+        self.lang_eq: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("lang",):
+                self.lang_eq = f.value
+            else:
+                yield f  # unhandled -> Spark re-applies it
+
+    def partitions(self):
+        return [
+            _RangePartition(p * self.rows_per, (p + 1) * self.rows_per)
+            for p in range(self.n_parts)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for doc_id in range(partition.start, partition.end):
+            row = synth_row(doc_id)
+            if self.lang_eq is not None and row[1] != self.lang_eq:
+                continue
+            yield row
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kiara_synth_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def reader(self, schema):
+        return SynthDocsReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Install the Python data sources into the session (idempotent).
+    Python-side filter pushdown is opt-in in Spark 4 — enable it so
+    ``pushFilters`` actually receives predicates."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)

@@ -155,3 +155,26 @@ def test_audio_stub_header_math(spark, ctx):
     assert (rows[3]["byte_len"], rows[3]["sample_rate"],
             rows[3]["duration_ms"]) == (0, 0, 0)
     assert "media.decode_audio" in ctx.operation_registry.operation_ids
+
+
+def test_python_datasource_partitions_and_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.sources import register_python_sources, synth_row
+
+    register_python_sources(spark)
+    df = (spark.read.format("kiara_synth_docs")
+          .option("partitions", "5").option("rowsPerPartition", "40").load())
+    # one task per declared input partition
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 200
+    # rows are the documented pure function of the id
+    got = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in df.collect()}
+    for i in (0, 7, 199):
+        did, lang, n = synth_row(i)
+        assert got[i] == (lang, n)
+    # pushed-down lang filter == post-filter semantics (pushdown must never
+    # change results), and the unpushable predicate still applies
+    pushed = df.filter((F.col("lang") == "zh") & (F.col("n_chars") % 2 == 0))
+    expect = sorted(i for i, (l, n) in got.items() if l == "zh" and n % 2 == 0)
+    assert sorted(r["doc_id"] for r in pushed.collect()) == expect
