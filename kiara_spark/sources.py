@@ -26,8 +26,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Iterator
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    Filter, InputPartition)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, EqualTo, Filter,
+                                    InputPartition, WriterCommitMessage)
 
 LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -92,9 +93,76 @@ class SynthDocsDataSource(DataSource):
         return SynthDocsReader(self.options)
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """One JSONL file per task + driver-side commit manifest — the
+    two-phase protocol every distributed sink needs: task files land under
+    temp names, ``commit`` (driver, exactly once) records the file list,
+    so readers never see a partial write and a failed/speculated task's
+    ``abort`` cleans up after itself."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kiara_jsonl writer requires a path option")
+
+    def write(self, iterator) -> "_WroteFile":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(path=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.path))
+            except OSError:
+                pass
+
+
+class JsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kiara_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options, overwrite)
+
+
 def register_python_sources(spark) -> None:
     """Install the Python data sources into the session (idempotent).
     Python-side filter pushdown is opt-in in Spark 4 — enable it so
     ``pushFilters`` actually receives predicates."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(JsonlDataSource)

@@ -178,3 +178,22 @@ def test_python_datasource_partitions_and_pushdown(spark):
     pushed = df.filter((F.col("lang") == "zh") & (F.col("n_chars") % 2 == 0))
     expect = sorted(i for i, (l, n) in got.items() if l == "zh" and n % 2 == 0)
     assert sorted(r["doc_id"] for r in pushed.collect()) == expect
+
+
+def test_python_datasource_jsonl_writer_roundtrip(spark, tmp_path):
+    import json
+
+    from kiara_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    out = str(tmp_path / "jsonl_sink")
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    df.repartition(3).write.format("kiara_jsonl").option("path", out) \
+        .mode("append").save()
+    manifest = json.loads((tmp_path / "jsonl_sink" / "_MANIFEST.json").read_text())
+    assert manifest["n_rows"] == df.count()
+    assert len(manifest["files"]) == 3
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert back.count() == df.count()
+    assert sorted(r["n_name"] for r in back.collect()) == \
+           sorted(r["n_name"] for r in df.collect())
