@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "dedup_hybrid_pairs",
     "streaming_left_outer_join_demo",
     "pyds_synth_documents",
+    "streaming_update_mode_demo",
 ]
 
 

@@ -4612,6 +4612,67 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "streaming_update_mode_demo",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    b1 AS (SELECT e.* FROM events e CROSS JOIN mx WHERE e.ts < mx.m),
+    w1 AS (SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS ws, event_type,
+                  COUNT(*) AS n
+           FROM b1 GROUP BY 1, 2),
+    mrow AS (SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS ws,
+                    event_type, COUNT(*) AS add_n
+             FROM events e CROSS JOIN mx WHERE e.ts = mx.m GROUP BY 1, 2),
+    upd AS (SELECT m.ws, m.event_type, COALESCE(w1.n, 0) + m.add_n AS n
+            FROM mrow m LEFT JOIN w1
+              ON w1.ws = m.ws AND w1.event_type = m.event_type)
+    SELECT ws AS window_start, ws + 3600 AS window_end, event_type, n FROM w1
+    UNION ALL
+    SELECT ws, ws + 3600, event_type, n FROM upd
+    """,
+)
+def streaming_update_mode_demo(spark, sf_dir):
+    """UPDATE output mode: each micro-batch emits the CURRENT value of
+    every group that changed in it — the low-latency dashboard contract
+    (append withholds a window until the watermark closes it; update
+    re-emits revisions immediately).  Two mtime-ordered batches make the
+    emission history deterministic: b1 emits every window once, b2 emits
+    only the max-ts row's window with its revised cumulative count — so
+    the memory sink holds both versions of that window, and the oracle
+    reproduces exactly that two-version history."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="kiara_updmode_")
+    parts = [ev.filter(F.col("ts") < F.lit(m)),
+             ev.filter(F.col("ts") == F.lit(m))]
+    for i, df in enumerate(parts, 1):
+        d = os.path.join(tmp, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d)
+                   if f.endswith(".parquet") and not f.startswith("_")]
+        os.utime(os.path.join(d, part), (1_000_000_000 * i,) * 2)
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev.schema,
+        options={"maxFilesPerTrigger": "1", "recursiveFileLookup": "true"})
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.unix_timestamp("window.start").alias("window_start"),
+                   F.unix_timestamp("window.end").alias("window_end"),
+                   "event_type", "n"))
+    qname = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+@query(
     "pyds_synth_documents",
     f"""
     WITH ids AS (SELECT unnest(range(2000)) AS doc_id),
