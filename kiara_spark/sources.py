@@ -28,7 +28,9 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, EqualTo, Filter,
-                                    InputPartition, WriterCommitMessage)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -91,6 +93,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema):
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthDocsStreamReader(self.options)
 
 
 @dataclass
@@ -157,6 +162,32 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlWriter(self.options, overwrite)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic micro-batch source: offsets are row indices,
+    each ``read`` advances by ``rowsPerBatch`` until ``maxRows``.  Replay
+    is exact — ``readBetweenOffsets`` regenerates any [start, end) slice
+    from the same pure function, which is precisely the contract a
+    recovering stream needs from a source after failure."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 500))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return (iter([synth_row(i) for i in range(lo, hi)]), {"idx": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["idx"], end["idx"])])
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_python_sources(spark) -> None:
