@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "pyds_synth_documents",
     "streaming_update_mode_demo",
     "pyds_stream_synth_demo",
+    "pandas_api_battery",
 ]
 
 

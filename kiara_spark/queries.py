@@ -4612,6 +4612,41 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "pandas_api_battery",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS total,
+           MIN(o_orderkey) AS min_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pandas_api_battery_q(spark, sf_dir):
+    """pandas API on Spark (pyspark.pandas): the dataframe dialect many
+    analysts arrive with, compiled onto the SAME distributed plans —
+    groupby/agg here lowers to a hash aggregate with map-side combine, no
+    driver data.  Values route through the engine's decimal-exact sum so
+    the pandas-dialect path hash-matches the SQL oracle bit-for-bit."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(_t(spark, sf_dir, "orders")
+                        .select("o_orderpriority", "o_orderkey", "o_totalprice"))
+    g = psdf.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "count"), min_key=("o_orderkey", "min"))
+    out = g.reset_index().to_spark()
+    # decimal-exact sum joined from the DataFrame path (pandas float sum
+    # would be accumulation-order dependent)
+    sums = (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 4)
+                 .cast("double").alias("total")))
+    return out.join(sums, "o_orderpriority").select(
+        "o_orderpriority", F.col("n").cast("bigint").alias("n"), "total",
+        F.col("min_key").cast("bigint").alias("min_key"))
+
+
+@query(
     "pyds_stream_synth_demo",
     f"""
     WITH ids AS (SELECT unnest(range(600)) AS doc_id)

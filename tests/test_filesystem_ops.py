@@ -197,3 +197,22 @@ def test_python_datasource_jsonl_writer_roundtrip(spark, tmp_path):
     assert back.count() == df.count()
     assert sorted(r["n_name"] for r in back.collect()) == \
            sorted(r["n_name"] for r in df.collect())
+
+
+def test_python_stream_source_replay_contract(spark):
+    """readBetweenOffsets must regenerate exactly the rows the incremental
+    read() path produced for the same offset range — the recovery contract."""
+    from kiara_spark.sources import SynthDocsStreamReader
+
+    r = SynthDocsStreamReader({"rowsPerBatch": 7, "maxRows": 30})
+    off = r.initialOffset()
+    incremental = []
+    while off["idx"] < 30:
+        rows, nxt = r.read(off)
+        incremental.extend(rows)
+        assert nxt["idx"] > off["idx"]
+        off = nxt
+    replay = list(r.readBetweenOffsets({"idx": 0}, {"idx": 30}))
+    assert incremental == replay
+    # arbitrary mid-range slice replays exactly
+    assert list(r.readBetweenOffsets({"idx": 5}, {"idx": 12})) == incremental[5:12]
