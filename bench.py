@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "streaming_update_mode_demo",
     "pyds_stream_synth_demo",
     "pandas_api_battery",
+    "events_session_dynamic_gap",
 ]
 
 

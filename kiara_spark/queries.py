@@ -4612,6 +4612,56 @@ def streaming_late_drop_demo_q(spark, sf_dir):
 
 
 @query(
+    "events_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 120 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ), m AS (
+      SELECT *, MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ), f AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS window_start,
+           CAST(FLOOR(epoch(MAX(ts + gap))) AS BIGINT) AS window_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_dynamic_gap_q(spark, sf_dir):
+    """Dynamic-gap session windows: each event extends its session by an
+    EVENT-DEPENDENT inactivity gap (purchases keep a session alive 2h,
+    everything else 30m) — the per-signal session semantics fixed-gap
+    windows can't express.  Spark's session_window accepts a gap COLUMN;
+    the oracle reproduces the merge rule (new session when ts >= running
+    max of prior ts+gap) with a running-max window."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase",
+                 F.lit("120 minutes")).otherwise(F.lit("30 minutes"))
+    win = F.session_window(F.col("ts"), gap)
+    return ev.groupBy(win, "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.unix_timestamp(F.col("session_window.start")).alias("window_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("window_end"),
+        "user_id", "n_events", "sum_value")
+
+
+@query(
     "pandas_api_battery",
     """
     SELECT o_orderpriority,

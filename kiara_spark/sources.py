@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamWriter,
                                     DataSourceWriter, EqualTo, Filter,
                                     InputPartition,
                                     SimpleDataSourceStreamReader,
@@ -130,7 +131,7 @@ class JsonlWriter(DataSourceWriter):
         n = 0
         with open(full, "w") as fh:
             for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
         return _WroteFile(path=name, n_rows=n)
 
@@ -155,6 +156,58 @@ class JsonlWriter(DataSourceWriter):
                 pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the JSONL sink: per-epoch commit — each
+    micro-batch's task files are recorded in ``_EPOCH_<batchId>.json`` by
+    the driver after all tasks succeed, giving readers an atomic view of
+    every completed batch and making replayed batches detectable (same
+    batchId overwrites the same manifest: idempotent under retries)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kiara_jsonl stream writer requires a path option")
+
+    def write(self, iterator) -> "_WroteFile":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        name = f"stream-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _WroteFile(path=name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.path for m in messages if m),
+            "n_rows": sum(m.n_rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, f"_EPOCH_{batchId}.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -162,6 +215,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options)
 
 
 class SynthDocsStreamReader(SimpleDataSourceStreamReader):

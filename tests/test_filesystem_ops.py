@@ -216,3 +216,27 @@ def test_python_stream_source_replay_contract(spark):
     assert incremental == replay
     # arbitrary mid-range slice replays exactly
     assert list(r.readBetweenOffsets({"idx": 5}, {"idx": 12})) == incremental[5:12]
+
+
+def test_python_datasource_stream_writer_epochs(spark, tmp_path):
+    import glob
+    import json
+
+    from kiara_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    src.limit(300).coalesce(1).write.parquet(in_dir)
+    out = str(tmp_path / "stream_sink")
+    stream = spark.readStream.schema(src.schema).parquet(in_dir)
+    q = (stream.writeStream.format("kiara_jsonl").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    manifests = sorted(glob.glob(f"{out}/_EPOCH_*.json"))
+    assert manifests, "no epoch manifests written"
+    total = sum(json.loads(open(m).read())["n_rows"] for m in manifests)
+    assert total == 300
+    back = spark.read.json(f"{out}/stream-*.jsonl")
+    assert back.count() == 300
