@@ -1,0 +1,270 @@
+"""Event-log analytics operators (time-series patterns over append-only logs).
+
+The reference's module surface has no time-series operators (its relational
+capability lives in plugins — SURVEY §2.3); this family supplies the standard
+event-log query patterns a 100 TB clickstream pipeline runs daily, each as a
+single-shuffle DataFrame plan:
+
+- ``events.dedup.debounce`` — drop near-time duplicates (same key, within N
+  seconds of the *previous* event).  Lag-debounce semantics: the comparison
+  is against the immediately preceding event, not the last survivor, so the
+  predicate is a pure window function (one shuffle on the key, no recursion
+  — recursive "last kept" semantics do not distribute; documented).
+- ``events.cumulative_distinct`` — daily new-entity counts and the running
+  distinct total, via first-seen reduction: the 100 TB-safe form of
+  ``COUNT(DISTINCT x) OVER (ORDER BY day)`` (which would need one global
+  window holding every id in state).  Here the log collapses to one row per
+  entity (hash agg), then a tiny per-day frame does the cumsum.
+- ``events.resample.ohlc`` — open/high/low/close/volume bars per (key,
+  bucket): the canonical downsample.  First/last are tie-broken on a unique
+  id so results are partition-invariant; one hash aggregate, no window over
+  the raw log.
+- ``events.attribution`` — last-touch conversion attribution: each
+  conversion credits the latest preceding touch event (strictly before,
+  unique-id tiebreak).  Implemented with the engine's as-of join (union +
+  window — one shuffle, no per-row subqueries).
+- ``table.gaps_islands`` — classic gaps-and-islands: collapse consecutive
+  integer values (e.g. active days) per key into [start, end] islands via
+  the value - dense-row-number difference trick; one shuffle on the key.
+
+Scale notes: every plan is built-in-function only (whole-stage codegen); the
+only shuffles are on the analysis key; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operations import Operation
+from ..values import ValueMap
+from .tables import TABLE, _simple_module
+
+
+def debounce_events(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    min_gap_seconds: int = 60,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Keep an event only if the previous event of the same key is at least
+    ``min_gap_seconds`` older (lag-debounce).  The first event per key always
+    survives.  One window over one shuffle; semantics are deliberately
+    lag-based (vs last-survivor-based, which is an inherently sequential
+    recursion that neither Spark nor SQL can express scalably)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+    return (
+        df.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") >= min_gap_seconds))
+        .drop("_gap")
+    )
+
+
+def cumulative_distinct_daily(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per day: number of first-seen entities and the cumulative distinct
+    total.  Plan: hash-aggregate the log to one row per entity (min day —
+    map-side partial combine does most of the work), count per day, then a
+    running sum over the tiny day table.  Equivalent to a global
+    count-distinct window but with O(days) window state instead of O(ids)."""
+    first_seen = df.groupBy(F.col(id_col)).agg(
+        F.min(F.to_date(ts_col)).alias("first_day"))
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_entities"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "new_entities",
+        F.sum("new_entities").over(w).cast("bigint")
+        .alias("cumulative_distinct"),
+    )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """OHLC + volume downsample bars per (key, time bucket).
+
+    open/close use ``min_by``/``max_by`` on a (epoch, unique id) struct so
+    simultaneous events break ties deterministically — ONE hash aggregate
+    over the raw log (map-side combine; no window sort of the full table).
+    Doubles round to 6 dp for cross-engine stability."""
+    win = F.window(F.col(ts_col), bucket)
+    ordkey = F.struct(
+        F.unix_timestamp(F.col(ts_col)).alias("t"),
+        F.col(tiebreak_col).alias("i"))
+    v = F.col(value_col)
+    return (
+        df.groupBy(F.col(key_col).alias("series"), win.start.alias("_bs"))
+        .agg(
+            F.round(F.min_by(v, ordkey), 6).alias("open"),
+            F.round(F.max(v), 6).alias("high"),
+            F.round(F.min(v), 6).alias("low"),
+            F.round(F.max_by(v, ordkey), 6).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+        )
+        .select("series",
+                F.unix_timestamp("_bs").cast("bigint").alias("bucket_start"),
+                "open", "high", "low", "close", "volume")
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    touch_types: list[str] | None = None,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credits the latest
+    touch event of the same user strictly before it.  Returns
+    (touch_channel, n_conversions) with unattributed conversions under
+    channel ``(none)``.
+
+    Plan: the engine's backward as-of join (union + one window over one
+    user-key shuffle — `operators/joins.py:36`), then a tiny hash agg; no
+    per-conversion subquery, no range self-join."""
+    from .joins import asof_join
+
+    touch_types = touch_types or ["click", "view"]
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("conv_ts"),
+        F.col(tiebreak_col).alias("conv_id"))
+    touch = df.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("touch_ts"),
+        F.col(type_col).alias("channel"),
+        F.col(tiebreak_col).alias("touch_id"))
+    attributed = asof_join(
+        conv, touch, by="u", left_ts="conv_ts", right_ts="touch_ts",
+        value_cols=["channel"], direction="backward", strict=True,
+        tiebreak="touch_id")
+    return (
+        attributed.groupBy(F.coalesce(F.col("channel_matched"),
+                                      F.lit("(none)")).alias("channel"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+    )
+
+
+def gaps_islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Collapse consecutive integer sequence values per key into islands.
+
+    Input rows are deduplicated on (key, seq); ``seq - dense_rank`` is
+    constant within a run of consecutive values, so one window + one hash
+    aggregate produce (key, island_start, island_end, island_len).  The
+    shuffle key is the entity key — day-grain sequences per key are tiny, so
+    the window state is bounded regardless of log size."""
+    d = df.select(F.col(key_col).alias("k"),
+                  F.col(seq_col).cast("bigint").alias("s")).distinct()
+    w = Window.partitionBy("k").orderBy("s")
+    grp = F.col("s") - F.row_number().over(w)
+    return (
+        d.withColumn("_g", grp)
+        .groupBy("k", "_g")
+        .agg(F.min("s").alias("island_start"), F.max("s").alias("island_end"),
+             F.count(F.lit(1)).cast("bigint").alias("island_len"))
+        .select(F.col("k").alias(key_col), "island_start", "island_end",
+                "island_len")
+    )
+
+
+# -- modules ---------------------------------------------------------------
+
+EventsDebounce = _simple_module(
+    "events.dedup.debounce",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": debounce_events(
+        im["table"].data, self.config["keys"],
+        ts_col=self.config.get("ts_column", "ts"),
+        min_gap_seconds=self.config.get("min_gap_seconds", 60),
+        tiebreak_col=self.config.get("tiebreak_column", "event_id"))},
+    doc="Near-time duplicate drop (lag-debounce; config: keys, "
+        "min_gap_seconds, ts_column); one key shuffle.",
+)
+
+EventsCumulativeDistinct = _simple_module(
+    "events.cumulative_distinct",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cumulative_distinct_daily(
+        im["table"].data,
+        id_col=self.config.get("id_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"))},
+    doc="Daily new + running distinct entities via first-seen reduction "
+        "(config: id_column, ts_column); O(days) window state.",
+)
+
+EventsResampleOhlc = _simple_module(
+    "events.resample.ohlc",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": resample_ohlc(
+        im["table"].data,
+        key_col=self.config.get("key_column", "event_type"),
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column", "value"),
+        bucket=self.config.get("bucket", "1 hour"),
+        tiebreak_col=self.config.get("tiebreak_column", "event_id"))},
+    doc="OHLC/volume downsample bars per key+bucket (min_by/max_by, one "
+        "hash aggregate).",
+)
+
+EventsAttribution = _simple_module(
+    "events.attribution.last_touch",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": last_touch_attribution(
+        im["table"].data,
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"),
+        conversion_type=self.config.get("conversion_type", "purchase"),
+        touch_types=self.config.get("touch_types"),
+        tiebreak_col=self.config.get("tiebreak_column", "event_id"))},
+    doc="Last-touch conversion attribution via backward as-of join "
+        "(config: conversion_type, touch_types).",
+)
+
+TableGapsIslands = _simple_module(
+    "table.gaps_islands",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": gaps_islands(
+        im["table"].data, self.config["key_column"],
+        self.config["sequence_column"])},
+    doc="Consecutive-run islands per key (config: key_column, "
+        "sequence_column); seq - row_number trick, one shuffle.",
+)
+
+MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
+           EventsAttribution, TableGapsIslands]
+OPERATIONS = [
+    Operation("events.dedup.debounce", "events.dedup.debounce",
+              doc="near-time duplicate drop (lag-debounce)"),
+    Operation("events.cumulative_distinct", "events.cumulative_distinct",
+              doc="daily new + running distinct entities"),
+    Operation("events.resample.ohlc", "events.resample.ohlc",
+              doc="OHLC downsample bars"),
+    Operation("events.attribution.last_touch", "events.attribution.last_touch",
+              doc="last-touch conversion attribution"),
+    Operation("table.gaps_islands", "table.gaps_islands",
+              doc="gaps-and-islands run collapse"),
+]

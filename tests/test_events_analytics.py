@@ -1,0 +1,101 @@
+"""Event-log analytics family (operators/events.py): debounce, cumulative
+distinct, OHLC resample, last-touch attribution, gaps-and-islands."""
+
+from datetime import datetime
+
+import pytest
+
+from kiara_spark.operators import events as E
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def small_events(spark):
+    rows = [
+        # user 1: events at 0s, 100s, 400s, 450s (same type)
+        (1, 1, "click", _ts("2024-01-01 00:00:00"), 1.0),
+        (2, 1, "click", _ts("2024-01-01 00:01:40"), 2.0),
+        (3, 1, "click", _ts("2024-01-01 00:06:40"), 3.0),
+        (4, 1, "click", _ts("2024-01-01 00:07:30"), 4.0),
+        # user 1 purchase after clicks
+        (5, 1, "purchase", _ts("2024-01-01 00:08:00"), 9.0),
+        # user 2: single view, then purchase at the SAME instant as a click
+        (6, 2, "view", _ts("2024-01-01 01:00:00"), 1.5),
+        (7, 2, "click", _ts("2024-01-01 02:00:00"), 2.5),
+        (8, 2, "purchase", _ts("2024-01-01 02:00:00"), 8.0),
+        # user 3: purchase with no touches
+        (9, 3, "purchase", _ts("2024-01-01 03:00:00"), 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, "
+              "value double")
+
+
+def test_debounce_lag_semantics(small_events):
+    out = E.debounce_events(small_events, ["user_id", "event_type"],
+                            min_gap_seconds=300)
+    kept = sorted(r.event_id for r in out.collect())
+    # user 1 clicks: e1 kept (first), e2 dropped (100s), e3 kept (300s from
+    # e2 — lag semantics compares to PREVIOUS event, not last survivor),
+    # e4 dropped (50s).  All singletons kept.
+    assert kept == [1, 3, 5, 6, 7, 8, 9]
+
+
+def test_cumulative_distinct_first_seen(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-02 10:00:00")),
+        (2, _ts("2024-01-02 10:00:00")), (3, _ts("2024-01-02 11:00:00")),
+        (2, _ts("2024-01-04 10:00:00")), (4, _ts("2024-01-04 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day: (r.new_entities, r.cumulative_distinct)
+           for r in E.cumulative_distinct_daily(df).collect()}
+    assert out == {"2024-01-01": (1, 1), "2024-01-02": (2, 3),
+                   "2024-01-04": (1, 4)}
+
+
+def test_ohlc_tiebreak_and_bounds(spark):
+    rows = [  # all in one hour bucket; first/last tie-broken on event_id
+        (1, "s", _ts("2024-01-01 00:10:00"), 5.0),
+        (2, "s", _ts("2024-01-01 00:10:00"), 3.0),  # same ts as e1
+        (3, "s", _ts("2024-01-01 00:50:00"), 9.0),
+        (4, "s", _ts("2024-01-01 00:50:00"), 1.0),  # same ts as e3
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    r = E.resample_ohlc(df).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.volume) == (5.0, 9.0, 1.0, 1.0, 4)
+
+
+def test_attribution_strict_before(small_events):
+    out = {r.channel: r.n_conversions
+           for r in E.last_touch_attribution(small_events).collect()}
+    # user 1: last touch before purchase = click; user 2: purchase at the
+    # same instant as a click — strict as-of excludes it, so the earlier
+    # view wins; user 3: no touches -> (none).
+    assert out == {"click": 1, "view": 1, "(none)": 1}
+
+
+def test_gaps_islands_runs(spark):
+    rows = [(1, d) for d in (10, 11, 12, 15, 17, 18)] + [(2, 5)]
+    df = spark.createDataFrame(rows, "k long, s long")
+    out = {(r.k, r.island_start): (r.island_end, r.island_len)
+           for r in E.gaps_islands(df, "k", "s").collect()}
+    assert out == {(1, 10): (12, 3), (1, 15): (15, 1), (1, 17): (18, 2),
+                   (2, 5): (5, 1)}
+
+
+def test_gaps_islands_dedups_input(spark):
+    df = spark.createDataFrame([(1, 7), (1, 7), (1, 8)], "k long, s long")
+    out = E.gaps_islands(df, "k", "s").collect()
+    assert len(out) == 1 and out[0].island_len == 2
+
+
+def test_ops_registered(ctx):
+    for op in ("events.dedup.debounce", "events.cumulative_distinct",
+               "events.resample.ohlc", "events.attribution.last_touch",
+               "table.gaps_islands"):
+        assert ctx.operation_registry.resolve(op) is not None
