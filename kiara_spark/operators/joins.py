@@ -328,6 +328,112 @@ class StoreBucketed(KiaraModule):
         )}
 
 
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    n_hashes: int = 5,
+    bits_per_key: int = 16,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join with a bloom-filter pre-filter, as a pure DataFrame plan.
+
+    The scale problem this solves: a semi-join of a 100 TB probe table
+    against a build side too big to broadcast as a hash table shuffles the
+    ENTIRE probe side on the key.  A bloom filter of the build keys is
+    hundreds of times smaller than the build side (``bits_per_key`` bits
+    per key vs full rows), so pre-filtering the probe against it means only
+    rows that *probably* match ever reach the exchange.  Spark's own
+    runtime-filter rule does this for selective joins
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`), but its
+    `bloom_filter_agg` expression is not user-callable — this operator is
+    the explicit, composable form.
+
+    Construction (no JVM-internal APIs, no driver collect):
+    - bit array = DataFrame of (word_index, 64-bit word), built by one
+      hash-aggregate ``bit_or`` over the k bit positions of every build key
+      (positions from ``xxhash64(key, seed_i)``; m rounded to a power of
+      two sized at ``bits_per_key``·n_build).
+    - probe membership = k self-repeated BROADCAST joins of the tiny words
+      table (m/64 rows; e.g. 1 B keys ⇒ 2 GB total bitset, partitioned
+      words would bucket-join instead — at fixture scale it broadcasts),
+      each checking one bit via mask AND.  All k bits set ⇒ candidate.
+    - ``exact=True`` finishes with the exact semi-join on the candidates,
+      so results carry NO false positives (the bloom only cut shuffle
+      volume); ``exact=False`` returns the candidate superset (membership-
+      test mode, FPR ≈ 0.5^k at the default sizing).
+    """
+    build_key = build_key or probe_key
+    n_build = build.select(build_key).distinct().count()  # one agg job
+    m = 1 << max(10, (n_build * bits_per_key - 1).bit_length())
+
+    # bit positions / word indexes / masks as SQL expressions (shiftleft's
+    # DataFrame-API wrapper takes only a literal shift amount)
+    def pos_expr(key: str, i: int) -> str:
+        return f"pmod(xxhash64(`{key}`, {i}), {m})"
+
+    def word_expr(pos: str) -> str:
+        return f"CAST(({pos}) DIV 64 AS BIGINT)"
+
+    def mask_expr(pos: str) -> str:
+        return (f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod({pos}, 64) AS INT))")
+
+    pos_pairs = F.array(*[
+        F.struct(
+            F.expr(word_expr(pos_expr(build_key, i))).alias("word_idx"),
+            F.expr(mask_expr(pos_expr(build_key, i))).alias("mask"))
+        for i in range(n_hashes)
+    ])
+    words = (
+        build.select(F.explode(pos_pairs).alias("_p"))
+        .groupBy(F.col("_p.word_idx").alias("word_idx"))
+        .agg(F.expr("bit_or(_p.mask)").alias("bits"))
+    )
+
+    out = probe
+    for i in range(n_hashes):
+        p = pos_expr(probe_key, i)
+        w = words.select(F.col("word_idx").alias(f"_w{i}"),
+                         F.col("bits").alias(f"_b{i}"))
+        out = out.join(
+            F.broadcast(w),
+            F.expr(word_expr(p)) == F.col(f"_w{i}"), "left")
+        mask = F.expr(mask_expr(p))
+        out = out.filter(
+            F.col(f"_b{i}").isNotNull()
+            & (F.col(f"_b{i}").bitwiseAND(mask) == mask))
+    out = out.select(*probe.columns)
+    if exact:
+        out = out.join(
+            build.select(F.col(build_key).alias(probe_key)).distinct(),
+            probe_key, "left_semi")
+    return out
+
+
+class BloomPrefilterJoin(KiaraModule):
+    """Bloom-prefiltered semi-join (see bloom_prefilter_join)."""
+
+    _module_type_name = "table.join.bloom_prefilter"
+
+    def create_inputs_schema(self):
+        return {"probe": {"type": "table"}, "build": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        cfg = self.config
+        return {"table": bloom_prefilter_join(
+            inputs["probe"].data, inputs["build"].data,
+            probe_key=cfg["probe_key"],
+            build_key=cfg.get("build_key"),
+            n_hashes=int(cfg.get("n_hashes", 5)),
+            bits_per_key=int(cfg.get("bits_per_key", 16)),
+            exact=bool(cfg.get("exact", True)))}
+
+
 class IntervalOverlapJoin(KiaraModule):
     """Bucketized interval-overlap join (see interval_overlap_join)."""
 
@@ -351,11 +457,13 @@ class IntervalOverlapJoin(KiaraModule):
             bucket_width=float(cfg.get("bucket_width", 86400.0)))}
 
 
-MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin]
+MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,
+           BloomPrefilterJoin]
 OPERATIONS = [
     Operation("table.join.asof", "table.join.asof"),
     Operation("table.join.range", "table.join.range"),
     Operation("table.join.interval_overlap", "table.join.interval_overlap"),
     Operation("table.join.salted", "table.join.salted"),
+    Operation("table.join.bloom_prefilter", "table.join.bloom_prefilter"),
     Operation("table.store.bucketed", "table.store.bucketed"),
 ]

@@ -394,6 +394,113 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
     ).drop("_bnds")
 
 
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift report between two table versions: Population
+    Stability Index terms per feature bin — the standard pre-training check
+    that a new data snapshot still looks like the one the model saw.
+
+    Numeric features bin by the REFERENCE version's equal-frequency
+    quantile bounds (one exact-percentile aggregate, broadcast to both
+    scans); categorical features bin by value.  Each side then reduces to
+    (feature, bin, share) with one hash aggregate — two full scans total,
+    never a shuffle of raw rows, so the check costs two passes at any
+    scale.  PSI term = (p - q) * ln(p / q) with ``eps``-clamped shares
+    (rounded to 6 dp for engine portability); sum terms per feature for the
+    headline PSI (> 0.2 conventionally = significant drift)."""
+    numeric_cols = numeric_cols or []
+    categorical_cols = categorical_cols or []
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("drift_psi needs at least one column")
+
+    def binned(df: DataFrame, bounds) -> DataFrame:
+        pieces = []
+        for c in numeric_cols:
+            b = df.crossJoin(F.broadcast(bounds))
+            idx = F.aggregate(
+                F.col(f"_bnds_{c}"), F.lit(0),
+                lambda acc, bnd: acc + F.when(F.col(c) > bnd, 1).otherwise(0))
+            pieces.append(b.select(
+                F.lit(c).alias("feature"),
+                F.when(F.col(c).isNull(), F.lit("(null)"))
+                .otherwise(idx.cast("string")).alias("bin")))
+        for c in categorical_cols:
+            pieces.append(df.select(
+                F.lit(c).alias("feature"),
+                F.coalesce(F.col(c).cast("string"),
+                           F.lit("(null)")).alias("bin")))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("feature", "bin").agg(
+            F.count(F.lit(1)).cast("double").alias("n"))
+
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(*[
+        F.expr(f"percentile({c}, array({', '.join(map(repr, ps))}))")
+        .alias(f"_bnds_{c}")
+        for c in numeric_cols
+    ]) if numeric_cols else ref.limit(1).agg(F.lit(1).alias("_dummy"))
+
+    r = binned(ref, bounds).withColumnRenamed("n", "rn")
+    c = binned(cur, bounds).withColumnRenamed("n", "cn")
+    # per-feature totals via window over the tiny (feature, bin) table
+    from pyspark.sql.window import Window
+
+    j = r.join(c, ["feature", "bin"], "full_outer").fillna(
+        0.0, subset=["rn", "cn"])
+    wt = Window.partitionBy("feature")
+    p = F.greatest(F.col("rn") / F.sum("rn").over(wt), F.lit(eps))
+    q = F.greatest(F.col("cn") / F.sum("cn").over(wt), F.lit(eps))
+    return j.select(
+        "feature", "bin",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def checksum_ranges(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Order-insensitive content checksum per key-range bucket — the
+    anti-entropy primitive for comparing two copies of a 100 TB table
+    without moving data: each side computes (bucket, n_rows, checksum),
+    the tiny reports are diffed, and only mismatching buckets re-sync.
+
+    bucket = md5(key) mod n_buckets (uniform regardless of key skew);
+    checksum = SUM of each row's 48-bit md5 prefix over the caller-chosen
+    column encodings — addition commutes, so the result is independent of
+    partitioning and row order, and a sum of 48-bit values stays within
+    BIGINT for ~30 T rows per bucket.  Callers must pass engine-portable
+    string encodings in ``cols`` (e.g. pre-rounded numerics); raw doubles
+    cast to string differ between engines."""
+    enc = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+           for c in cols]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 12), 16, 10
+    ).cast("bigint")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
+               16, 10).cast("bigint"),
+        F.lit(n_buckets)).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"), row_hash.alias("_h"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum("_h").cast("bigint").alias("checksum"))
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -556,10 +663,39 @@ TableIncrementalAgg = _simple_module(
         "rescanning the base (config: keys, op/old/new columns).",
 )
 
+def _drift_process(self, im: ValueMap, ctx):
+    return {"table": drift_psi(
+        im["ref"].data, im["cur"].data,
+        numeric_cols=self.config.get("numeric_columns"),
+        categorical_cols=self.config.get("categorical_columns"),
+        n_bins=self.config.get("n_bins", 10))}
+
+
+TableDriftPsi = _simple_module(
+    "table.drift.psi",
+    {"ref": TABLE, "cur": TABLE},
+    {"table": TABLE},
+    _drift_process,
+    doc="PSI drift report between two table versions (config: "
+        "numeric_columns, categorical_columns, n_bins); two scans, "
+        "reference-quantile binning.",
+)
+
+TableChecksumRanges = _simple_module(
+    "table.checksum.ranges",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": checksum_ranges(
+        im["table"].data, self.config["key_column"], self.config["columns"],
+        n_buckets=self.config.get("n_buckets", 64))},
+    doc="Order-insensitive per-bucket content checksum (config: key_column, "
+        "columns, n_buckets) for anti-entropy table comparison.",
+)
+
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
-           TableIncrementalAgg]
+           TableIncrementalAgg, TableDriftPsi, TableChecksumRanges]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -585,4 +721,8 @@ OPERATIONS = [
               doc="mean/median NULL imputation"),
     Operation("table.skew_report", "table.skew_report",
               doc="heavy-key diagnostic before big joins"),
+    Operation("table.drift.psi", "table.drift.psi",
+              doc="PSI distribution-drift report between versions"),
+    Operation("table.checksum.ranges", "table.checksum.ranges",
+              doc="per-bucket order-insensitive content checksum"),
 ]

@@ -5830,6 +5830,145 @@ def gaps_islands_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# scale operators: bloom prefilter join, drift PSI, range checksums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bloom_prefilter_lineitem",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_prefilter_q(spark, sf_dir):
+    """Bloom-prefiltered semi-join (`table.join.bloom_prefilter`): lineitem
+    rows whose order is urgent and expensive.  The bloom bit-array is a
+    DataFrame of 64-bit words built by one bit_or aggregate and broadcast
+    (k tiny joins) onto the probe scan, so only probable matches reach the
+    exact semi-join's exchange — the explicit form of Spark's runtime
+    bloom-filter rule, usable when the build side exceeds the broadcast
+    -hash-table threshold.  Results are exact (bloom only cuts shuffle
+    volume); the oracle is the plain semi-join."""
+    from .operators.joins import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000))
+    filtered = bloom_prefilter_join(
+        li, o, probe_key="l_orderkey", build_key="o_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"))
+
+
+@query(
+    "drift_psi_orders",
+    """
+    WITH ref AS (SELECT * FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+    cur AS (SELECT * FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'),
+    bnds AS (SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+             FROM ref),
+    rb AS (
+      SELECT 'o_totalprice' AS feature,
+             CAST(len(list_filter((SELECT b FROM bnds),
+                                  x -> o_totalprice > x)) AS VARCHAR) AS bin
+      FROM ref
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM ref),
+    cb AS (
+      SELECT 'o_totalprice' AS feature,
+             CAST(len(list_filter((SELECT b FROM bnds),
+                                  x -> o_totalprice > x)) AS VARCHAR) AS bin
+      FROM cur
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM cur),
+    ra AS (SELECT feature, bin, CAST(COUNT(*) AS DOUBLE) AS rn
+           FROM rb GROUP BY 1, 2),
+    ca AS (SELECT feature, bin, CAST(COUNT(*) AS DOUBLE) AS cn
+           FROM cb GROUP BY 1, 2),
+    j AS (SELECT COALESCE(ra.feature, ca.feature) AS feature,
+                 COALESCE(ra.bin, ca.bin) AS bin,
+                 COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+          FROM ra FULL OUTER JOIN ca
+            ON ra.feature = ca.feature AND ra.bin = ca.bin),
+    s AS (SELECT feature, bin,
+                 GREATEST(rn / SUM(rn) OVER (PARTITION BY feature), 1e-6) AS p,
+                 GREATEST(cn / SUM(cn) OVER (PARTITION BY feature), 1e-6) AS q
+          FROM j)
+    SELECT feature, bin, ROUND(p, 6) AS ref_share, ROUND(q, 6) AS cur_share,
+           ROUND((p - q) * LN(p / q), 6) AS psi_term
+    FROM s
+    """,
+)
+def drift_psi_q(spark, sf_dir):
+    """Distribution drift between two order snapshots (`table.drift.psi`):
+    PSI terms per bin for a numeric feature (binned by the REFERENCE
+    version's exact deciles — one percentile aggregate, broadcast) and a
+    categorical feature.  Each side collapses to (feature, bin, share) in
+    one hash aggregate: two scans total, no raw-row shuffle, so the check
+    costs the same at 100 TB as the scans themselves."""
+    from .operators.quality import drift_psi
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderdate") < "1996-07-01")
+    cur = o.filter(F.col("o_orderdate") >= "1996-07-01")
+    return drift_psi(ref, cur, numeric_cols=["o_totalprice"],
+                     categorical_cols=["o_orderpriority"])
+
+
+@query(
+    "checksum_ranges_orders",
+    """
+    WITH e AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 32 AS bucket,
+             CAST(('0x' || substr(md5(concat_ws(chr(31),
+                  COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                  COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                  COALESCE(o_orderstatus, chr(0) || 'NULL'),
+                  COALESCE(o_orderpriority, chr(0) || 'NULL'),
+                  COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), chr(0) || 'NULL'))), 1, 12))
+                  AS BIGINT) AS h
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n_rows, SUM(h) AS checksum
+    FROM e GROUP BY bucket
+    """,
+)
+def checksum_ranges_q(spark, sf_dir):
+    """Anti-entropy range checksums (`table.checksum.ranges`): orders
+    reduced to 32 (bucket, n_rows, checksum) rows.  Row hashes SUM per
+    md5-assigned bucket — addition commutes, so the checksum is identical
+    across engines, partitionings, and row orders; two 100 TB replicas
+    compare by diffing 32 rows and re-sync only mismatched buckets.
+    Doubles are pre-encoded as cent bigints (raw double->string rendering
+    is not engine-portable; documented on the operator)."""
+    from .operators.quality import checksum_ranges
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    return checksum_ranges(
+        o, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "price_cents"],
+        n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the exported
