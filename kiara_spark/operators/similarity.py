@@ -519,10 +519,120 @@ class EmbeddingNearDup(KiaraModule):
         )}
 
 
-MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids]
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, bit-deterministic
+    across engines and partitionings.
+
+    Design (the standard distributed k-means shape — MLlib does the same):
+    - init: centroids = the vectors of the ``k`` LOWEST ids (deterministic;
+      k-means++ would need a random stream that no SQL oracle reproduces).
+    - assignment is MAP-ONLY: the k x d centroid matrix embeds as literal
+      expressions (k·d doubles — bounded, tiny), so each scan computes all
+      k distances in whole-stage codegen with NO shuffle and NO UDF.
+      Squared-L2 terms cast to DECIMAL(38,10) before summing: decimal
+      addition is exact, so distances are identical in any order and ties
+      break on cluster index via one array_min over (dist, idx) structs.
+    - update is ONE shuffle: posexplode to (cluster, dim, v), hash-aggregate
+      decimal sums (map-side combine), round-then-divide for portable
+      means, and collect the k·d result to the driver — the only driver
+      transfer, bounded by k·d not data size.  Empty clusters keep their
+      previous centroid.
+
+    Each iteration = one scan + one (cluster, dim)-key aggregate; lineage
+    never grows because centroids re-enter as literals.  Returns
+    (id, cluster, dist_sq) for the final assignment."""
+    init = (df.orderBy(id_col).limit(k)
+            .select(id_col, vec_col).collect())
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds row count {len(init)}")
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    d = len(centroids[0])
+
+    def dist_expr(c: list[float]):
+        # fold with headroom-sized decimals: DECIMAL(38,10)+DECIMAL(38,10)
+        # wants precision 39, and Spark's precision-loss rule caps it by
+        # SHRINKING scale (silently truncating distances); with term
+        # DECIMAL(25,10) and accumulator DECIMAL(30,10) the add lands at
+        # (31,10) — exact, scale preserved — and the re-cast keeps the
+        # accumulator type stable across the fold.
+        terms = F.array(*[
+            ((F.element_at(F.col(vec_col), i + 1) - F.lit(c[i]))
+             * (F.element_at(F.col(vec_col), i + 1) - F.lit(c[i])))
+            .cast("decimal(25,10)")
+            for i in range(d)
+        ])
+        return F.aggregate(
+            terms, F.lit(0).cast("decimal(30,10)"),
+            lambda acc, x: (acc + x).cast("decimal(30,10)")
+        ).cast("decimal(38,10)")
+
+    def assign(data: DataFrame) -> DataFrame:
+        cands = F.array(*[
+            F.struct(dist_expr(c).alias("dist"), F.lit(j).alias("cid"))
+            for j, c in enumerate(centroids)
+        ])
+        best = F.array_min(cands)
+        return data.withColumn("_best", best).select(
+            *data.columns,
+            F.col("_best.cid").alias("cluster"),
+            F.col("_best.dist").alias("_dist"))
+
+    for _ in range(n_iter):
+        assigned = assign(df)
+        rows = (
+            assigned.select("cluster",
+                            F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg((F.round(F.sum(F.col("v").cast("decimal(38,10)")), 6)
+                  .cast("double") / F.count(F.lit(1))).alias("c"))
+            .collect()
+        )
+        new_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new_c.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+        centroids = [
+            [new_c[j][i] for i in range(d)] if j in new_c else centroids[j]
+            for j in range(k)
+        ]
+
+    out = assign(df)
+    return out.select(
+        F.col(id_col), "cluster",
+        F.round(F.col("_dist"), 6).cast("double").alias("dist_sq"))
+
+
+class EmbeddingKMeans(KiaraModule):
+    """Fixed-iteration deterministic Lloyd k-means (see kmeans_lloyd)."""
+
+    _module_type_name = "embedding.kmeans"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"assignments": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"assignments": kmeans_lloyd(
+            inputs["table"].data,
+            k=self.config.get("k", 4),
+            n_iter=self.config.get("n_iter", 2),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"))}
+
+
+MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
+           EmbeddingKMeans]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.similarity.topk.ivf", "embedding.similarity.topk", {"method": "ivf"}),
     Operation("table.dedup.embedding_cosine", "table.dedup.embedding_cosine"),
     Operation("embedding.centroids", "embedding.centroids"),
+    Operation("embedding.kmeans", "embedding.kmeans"),
 ]

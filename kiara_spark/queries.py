@@ -5968,6 +5968,71 @@ def checksum_ranges_q(spark, sf_dir):
         n_buckets=32)
 
 
+@query(
+    "kmeans_embeddings",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    ed AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM e),
+    init AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1
+                      AS cid,
+                    embedding
+             FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+    c0 AS (SELECT cid, generate_subscripts(embedding, 1) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS c
+           FROM init),
+    a1 AS (SELECT ed.vec_id, c0.cid,
+                  SUM(CAST((ed.v - c0.c) * (ed.v - c0.c)
+                           AS DECIMAL(38,10))) AS dist
+           FROM ed JOIN c0 USING (dim) GROUP BY 1, 2),
+    m1 AS (SELECT vec_id, cid AS cluster FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM a1) WHERE rn = 1),
+    c1 AS (SELECT m1.cluster AS cid, ed.dim,
+                  CAST(ROUND(SUM(CAST(ed.v AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM ed JOIN m1 USING (vec_id) GROUP BY 1, 2),
+    a2 AS (SELECT ed.vec_id, c1.cid,
+                  SUM(CAST((ed.v - c1.c) * (ed.v - c1.c)
+                           AS DECIMAL(38,10))) AS dist
+           FROM ed JOIN c1 USING (dim) GROUP BY 1, 2),
+    m2 AS (SELECT vec_id, cid AS cluster,
+                  CAST(ROUND(dist, 6) AS DOUBLE) AS dist_sq FROM (
+             SELECT vec_id, cid, dist,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM a2) WHERE rn = 1),
+    c2 AS (SELECT m2.cluster AS cid, ed.dim,
+                  CAST(ROUND(SUM(CAST(ed.v AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    / COUNT(*) AS c
+           FROM ed JOIN m2 USING (vec_id) GROUP BY 1, 2),
+    a3 AS (SELECT ed.vec_id, c2.cid,
+                  SUM(CAST((ed.v - c2.c) * (ed.v - c2.c)
+                           AS DECIMAL(38,10))) AS dist
+           FROM ed JOIN c2 USING (dim) GROUP BY 1, 2)
+    SELECT vec_id, cid AS cluster, CAST(ROUND(dist, 6) AS DOUBLE) AS dist_sq
+    FROM (SELECT vec_id, cid, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM a3) WHERE rn = 1
+    """,
+)
+def kmeans_q(spark, sf_dir):
+    """Deterministic distributed k-means (`embedding.kmeans`): k=4, two
+    Lloyd update rounds over the 64-dim embedding corpus, init = vectors of
+    the 4 lowest ids.  Assignment is MAP-ONLY (centroids embed as k x d
+    literal expressions — whole-stage codegen, no shuffle, no UDF); each
+    update is one (cluster, dim)-key hash aggregate with exact decimal
+    sums, so every distance and mean is bit-identical to the oracle's
+    unrolled two-iteration SQL.  The only driver transfer per round is the
+    k x d centroid matrix — the same contract MLlib's k-means uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(emb, k=4, n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -300,3 +300,36 @@ def test_udtf_chunker_edge_cases(spark):
         "SELECT id, g.pos, g.ngram FROM udtf_edge_v, "
         "LATERAL word_ngrams(t, 2) g WHERE id = 1").collect()
     assert ng == []  # "abcdefg" is a single token: no 2-grams
+
+
+def test_kmeans_partition_invariant_and_converging(spark):
+    from kiara_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.vec_id: (r.cluster, r.dist_sq)
+         for r in kmeans_lloyd(emb, k=3, n_iter=2).collect()}
+    b = {r.vec_id: (r.cluster, r.dist_sq)
+         for r in kmeans_lloyd(emb.repartition(5), k=3, n_iter=2).collect()}
+    assert a == b  # bit-deterministic across partitionings
+    assert {c for c, _ in a.values()} <= {0, 1, 2}
+    # Lloyd monotonicity: mean assigned distance never increases with more
+    # update rounds (after-update assignment cost <= before)
+    cost1 = sum(d for _, d in
+                {r.vec_id: (r.cluster, r.dist_sq) for r in
+                 kmeans_lloyd(emb, k=3, n_iter=1).collect()}.values())
+    cost2 = sum(d for _, d in a.values())
+    assert cost2 <= cost1 + 1e-6
+
+
+def test_kmeans_k_exceeds_rows_raises(spark):
+    from kiara_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(emb, k=5)
+
+
+def test_kmeans_op_registered(ctx):
+    assert ctx.operation_registry.resolve("embedding.kmeans") is not None
