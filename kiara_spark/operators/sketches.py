@@ -146,6 +146,93 @@ def theta_overlap_pairs(
     )
 
 
+def _cms_bucket(key, j: int, width: int):
+    """Depth-``j`` counter index for count-min: md5-derived (engine-portable
+    — xxhash64 would be faster but has no DuckDB twin), 48-bit prefix mod
+    width."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("\x1f", key, F.lit(str(j)))), 1, 12),
+            16, 10).cast("bigint"),
+        F.lit(width)).cast("bigint")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch build: a (depth x width) counter table estimating
+    per-key frequencies over an unbounded key domain in fixed space.
+
+    Each row increments one counter per depth (md5-derived bucket), so the
+    build is ONE explode + hash aggregate (map-side combine) and the state
+    is depth*width rows TOTAL — independent of key cardinality.  Partials
+    are mergeable: sketches of different days SUM by (depth, bucket), the
+    same re-aggregation contract as the bitmap/HLL family.  Estimates are
+    deterministic (hash-defined), so unlike most sketches this one has an
+    exact DuckDB oracle."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("depth"),
+                 _cms_bucket(key, j, width).alias("bucket"))
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.depth").alias("depth"),
+                 F.col("_p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key_col,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimates for the query keys: min over the key's ``depth``
+    counters (never underestimates; overestimates by <= eN with high
+    probability at width ~ e/eps).  The sketch is depth*width rows — always
+    broadcastable — so estimation is ``depth`` broadcast joins onto the
+    query set: map-only, no shuffle of the queries."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    out = queries
+    for j in range(depth):
+        s_j = sketch.filter(F.col("depth") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("cnt").alias(f"_c{j}"))
+        out = out.join(F.broadcast(s_j),
+                       _cms_bucket(key, j, width) == F.col(f"_b{j}"), "left")
+    est = F.least(*[F.coalesce(F.col(f"_c{j}"), F.lit(0).cast("bigint"))
+                    for j in range(depth)])
+    return out.select(*queries.columns, est.alias("est"))
+
+
+class TableCmsFrequency(KiaraModule):
+    """Count-min frequency sketch build + estimate (see cms_build)."""
+
+    _module_type_name = "table.frequency.cms"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}, "queries": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"estimates": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        cfg = self.config
+        width = int(cfg.get("width", 1024))
+        depth = int(cfg.get("depth", 4))
+        key = cfg["key_column"]
+        sketch = cms_build(inputs["table"].data, key, width, depth)
+        return {"estimates": cms_estimate(
+            sketch, inputs["queries"].data, cfg.get("query_key_column", key),
+            width, depth)}
+
+
 class TableDistinctRollupBitmap(KiaraModule):
     """Exact re-aggregatable distinct counts via bitmap partials."""
 
@@ -210,9 +297,11 @@ class TableOverlapTheta(KiaraModule):
         )}
 
 
-MODULES = [TableDistinctRollupBitmap, TableDistinctRollupHll, TableOverlapTheta]
+MODULES = [TableDistinctRollupBitmap, TableDistinctRollupHll, TableOverlapTheta,
+           TableCmsFrequency]
 OPERATIONS = [
     Operation("table.distinct_rollup.bitmap", "table.distinct_rollup.bitmap"),
     Operation("table.distinct_rollup.hll", "table.distinct_rollup.hll"),
     Operation("table.overlap.theta", "table.overlap.theta"),
+    Operation("table.frequency.cms", "table.frequency.cms"),
 ]

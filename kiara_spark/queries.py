@@ -6033,6 +6033,51 @@ def kmeans_q(spark, sf_dir):
     return S.kmeans_lloyd(emb, k=4, n_iter=2)
 
 
+@query(
+    "cms_user_event_frequency",
+    """
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+                      user_id, event_type
+               FROM events),
+    s AS (SELECT d.j,
+                 CAST(('0x' || substr(md5(k.key || chr(31)
+                                          || CAST(d.j AS VARCHAR)), 1, 12))
+                      AS BIGINT) % 1024 AS bucket,
+                 COUNT(*) AS cnt
+          FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) d(j)
+          GROUP BY 1, 2),
+    q AS (SELECT DISTINCT user_id, event_type, key FROM k
+          WHERE user_id < 20),
+    e AS (SELECT q.user_id, q.event_type, s.cnt
+          FROM q CROSS JOIN (VALUES (0), (1), (2), (3)) d(j)
+          JOIN s ON s.j = d.j
+                AND s.bucket = CAST(('0x' || substr(md5(q.key || chr(31)
+                                    || CAST(d.j AS VARCHAR)), 1, 12))
+                                    AS BIGINT) % 1024)
+    SELECT user_id, event_type, MIN(cnt) AS est
+    FROM e GROUP BY 1, 2
+    """,
+)
+def cms_frequency_q(spark, sf_dir):
+    """Count-min frequency sketch (`table.frequency.cms`): per-key counts
+    over an unbounded key domain in depth x width fixed space (4 x 1024
+    counters here).  Build = ONE explode + hash aggregate; estimate = 4
+    broadcast joins of the always-tiny counter table onto the query keys
+    (map-only).  The md5-derived buckets make the approximation
+    DETERMINISTIC, so this sketch gets an exact oracle; counters from
+    different days SUM by (depth, bucket) — same re-aggregation contract
+    as the bitmap/HLL rollups."""
+    from .operators import sketches as K
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "key", F.concat_ws("|", F.col("user_id"), F.col("event_type")))
+    sketch = K.cms_build(ev, "key", width=1024, depth=4)
+    queries = (ev.filter(F.col("user_id") < 20)
+               .select("user_id", "event_type", "key").distinct())
+    return K.cms_estimate(sketch, queries, "key", width=1024, depth=4) \
+        .select("user_id", "event_type", "est")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

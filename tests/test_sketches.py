@@ -84,3 +84,44 @@ def test_sketch_modules_registered(ctx):
     for op in ("table.distinct_rollup.bitmap", "table.distinct_rollup.hll",
                "table.overlap.theta"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("key", F.concat_ws("|", F.col("user_id"),
+                                       F.col("event_type")))
+    sketch = cms_build(ev, "key", width=2048, depth=4)
+    true = {r.key: r.n for r in ev.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    qs = ev.select("key").distinct()
+    est = {r.key: r.est for r in cms_estimate(
+        sketch, qs, "key", width=2048, depth=4).collect()}
+    n_total = sum(true.values())
+    for k, t in true.items():
+        assert est[k] >= t  # count-min never underestimates
+        assert est[k] - t <= max(5, 0.01 * n_total)
+
+
+def test_cms_partials_merge_by_sum(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.sketches import cms_build
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("key", F.col("event_type"))
+    full = {(r.depth, r.bucket): r.cnt
+            for r in cms_build(ev, "key", 256, 3).collect()}
+    h1 = cms_build(ev.filter("user_id % 2 = 0"), "key", 256, 3)
+    h2 = cms_build(ev.filter("user_id % 2 = 1"), "key", 256, 3)
+    merged = {(r.depth, r.bucket): r.cnt for r in
+              h1.unionByName(h2).groupBy("depth", "bucket")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")).collect()}
+    assert merged == full
+
+
+def test_cms_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.frequency.cms") is not None
