@@ -6078,6 +6078,106 @@ def cms_frequency_q(spark, sf_dir):
         .select("user_id", "event_type", "est")
 
 
+@query(
+    "streaming_full_outer_join_demo",
+    """
+    WITH base AS (SELECT * FROM (
+           SELECT * FROM events
+           WHERE event_type IN ('click','purchase','view')
+           ORDER BY ts LIMIT 8000)),
+    mx AS (SELECT MAX(ts) AS m FROM base),
+    c AS (SELECT event_id AS cid, user_id, ts FROM base, mx
+          WHERE event_type = 'click' AND ts < mx.m),
+    p AS (SELECT event_id AS pid, user_id, ts FROM base, mx
+          WHERE event_type = 'purchase' AND ts < mx.m),
+    matched AS (
+      SELECT c.cid, c.user_id, epoch_us(c.ts) AS click_us,
+             p.pid, epoch_us(p.ts) AS purchase_us
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    null_clicks AS (
+      SELECT c.cid, c.user_id, epoch_us(c.ts) AS click_us,
+             CAST(NULL AS BIGINT) AS pid, CAST(NULL AS BIGINT) AS purchase_us
+      FROM c, mx
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        AND c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR),
+    null_purchases AS (
+      SELECT CAST(NULL AS BIGINT) AS cid, p.user_id,
+             CAST(NULL AS BIGINT) AS click_us, p.pid,
+             epoch_us(p.ts) AS purchase_us
+      FROM p, mx
+      WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        AND p.ts < mx.m - INTERVAL 2 HOUR)
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM null_clicks
+    UNION ALL SELECT * FROM null_purchases
+    """,
+)
+def streaming_full_outer_join_demo(spark, sf_dir):
+    """Stream-stream FULL OUTER join: matched click->purchase pairs emit on
+    arrival; an unmatched CLICK emits its NULL row once the watermark
+    proves no purchase in [click, click+1h] can still arrive (click + 1h <
+    max - 2h), and an unmatched PURCHASE once no click in [purchase - 1h,
+    purchase] can (purchase < max - 2h) — both horizons empirically pinned
+    against the engine's state eviction, asymmetric because the 1-hour
+    range condition extends only the click side's wait.  Same two-batch
+    mtime-ordered replay harness as the left-outer demo; rows touching the
+    watermark-driver batch are filtered so the oracle is exact."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev = _t(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase", "view")) \
+        .orderBy("ts").limit(8000)
+    m = ev.agg(F.max("ts")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="kiara_fouter_")
+    parts = [ev.filter(F.col("ts") < F.lit(m)),
+             ev.filter(F.col("ts") == F.lit(m))]
+    for i, df in enumerate(parts, 1):
+        d = os.path.join(tmp, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d)
+                   if f.endswith(".parquet") and not f.startswith("_")]
+        os.utime(os.path.join(d, part), (1_000_000_000 * i,) * 2)
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev.schema,
+        options={"maxFilesPerTrigger": "1", "recursiveFileLookup": "true"})
+    is_max = F.col("ts") == F.lit(m)
+    clicks = (stream.filter((F.col("event_type") == "click") | is_max)
+              .select(F.col("event_id").alias("cid"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (stream.filter((F.col("event_type") == "purchase") | is_max)
+                 .select(F.col("event_id").alias("pid"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer")
+    out = joined.filter(
+        (F.col("click_ts").isNull() | (F.col("click_ts") < F.lit(m)))
+        & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") < F.lit(m)))
+    ).select(
+        "cid",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        "pid", F.unix_micros("purchase_ts").alias("purchase_us"))
+    qname = f"fouter_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(out, qname)
+    q.awaitTermination(240)
+    return spark.table(qname)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
