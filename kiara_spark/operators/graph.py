@@ -209,6 +209,48 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): labels init
+    to the node id; each round EVERY node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by the smallest label.
+
+    Synchronous update + deterministic tiebreak makes the result a pure
+    function of the graph (async LPA — what networkx ships — is
+    order-dependent), so a fixed-iteration run has an exact unrolled-SQL
+    oracle.  Per round: one join (neighbor labels, shuffled on the edge
+    key) + one (id, label) count aggregate + one top-1 window over the
+    count table — the same per-round cost envelope as hash-min connected
+    components; lineage cut per round so plans stay flat at any iteration
+    count.  Returns (id, community)."""
+    und = undirected_edges(edges)
+    if checkpoint:
+        und = cut_lineage(und)
+    labels = und.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id"))
+    from pyspark.sql.window import Window
+
+    for _ in range(iterations):
+        counts = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy(und.src.alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                             F.col("label").asc())
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "label")
+        )
+        if checkpoint:
+            labels = cut_lineage(labels)
+    return labels.select("id", F.col("label").alias("community"))
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
@@ -448,6 +490,21 @@ class GraphComponents(KiaraModule):
             max_iterations=self.config.get("max_iterations", 20))}
 
 
+class GraphLabelPropagation(KiaraModule):
+    _module_type_name = "network_graph.label_propagation"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": label_propagation(
+            inputs["graph"].data["edges"],
+            iterations=self.config.get("iterations", 2))}
+
+
 class GraphPagerank(KiaraModule):
     _module_type_name = "network_graph.pagerank"
 
@@ -484,7 +541,8 @@ class GraphBfsHops(KiaraModule):
 
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
-           GraphComponents, GraphPagerank, GraphBfsHops]
+           GraphComponents, GraphPagerank, GraphBfsHops,
+           GraphLabelPropagation]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -498,4 +556,6 @@ OPERATIONS = [
               "network_graph.connected_components"),
     Operation("network_graph.pagerank", "network_graph.pagerank"),
     Operation("network_graph.bfs_hops", "network_graph.bfs_hops"),
+    Operation("network_graph.label_propagation",
+              "network_graph.label_propagation"),
 ]

@@ -6178,6 +6178,45 @@ def streaming_full_outer_join_demo(spark, sf_dir):
     return spark.table(qname)
 
 
+@query(
+    "graph_label_propagation",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+    n1 AS (SELECT u.src AS id, l0.label, COUNT(*) AS c
+           FROM und u JOIN l0 ON u.dst = l0.id GROUP BY 1, 2),
+    l1 AS (SELECT id, label FROM (
+             SELECT id, label,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY c DESC, label) AS rn
+             FROM n1) WHERE rn = 1),
+    n2 AS (SELECT u.src AS id, l1.label, COUNT(*) AS c
+           FROM und u JOIN l1 ON u.dst = l1.id GROUP BY 1, 2),
+    l2 AS (SELECT id, label FROM (
+             SELECT id, label,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY c DESC, label) AS rn
+             FROM n2) WHERE rn = 1)
+    SELECT id, label AS community FROM l2
+    """,
+)
+def graph_lpa_q(spark, sf_dir):
+    """Synchronous label-propagation communities
+    (`network_graph.label_propagation`), 2 rounds over the co-purchase
+    graph.  Sync update + smallest-label tiebreak makes LPA a pure function
+    of the graph (async variants are visit-order-dependent and cannot be
+    oracle-checked), so the unrolled 2-round SQL is exact.  Per round: one
+    edge-key join + one (id, label) count + one top-1 window — flat
+    lineage via per-round checkpoint cuts, CC-like cost envelope."""
+    from .operators import graph as G
+
+    return G.label_propagation(_copurchase_edges(spark, sf_dir), iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

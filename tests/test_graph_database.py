@@ -214,3 +214,35 @@ def test_bfs_hops_frontier(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "id long")
     got2 = {r["id"]: r["hops"] for r in G.bfs_hops(edges, seeds2, max_hops=2).collect()}
     assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from kiara_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by a weak bridge 3-10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long")
+    out = {r.id: r.community
+           for r in label_propagation(edges, iterations=3).collect()}
+    # each triangle converges on its own min label
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_label_propagation_partition_invariant(spark):
+    from kiara_spark.operators.graph import label_propagation
+
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet").select(
+        (F.col("o_orderkey") % 97).alias("src"),
+        (F.col("o_custkey") % 89 + 100).alias("dst")).distinct()
+    a = {r.id: r.community
+         for r in label_propagation(edges, iterations=2).collect()}
+    b = {r.id: r.community
+         for r in label_propagation(
+             edges.repartition(7), iterations=2).collect()}
+    assert a == b
