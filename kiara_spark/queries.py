@@ -6217,6 +6217,163 @@ def graph_lpa_q(spark, sf_dir):
     return G.label_propagation(_copurchase_edges(spark, sf_dir), iterations=2)
 
 
+@query(
+    "window_share_battery",
+    """
+    WITH a AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 4)
+                  AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, priority, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY nation), 6)
+             AS share_of_nation,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total,
+           ROUND(SUM(revenue) OVER (
+                   ORDER BY revenue DESC, nation, priority
+                   ROWS UNBOUNDED PRECEDING)
+                 / SUM(revenue) OVER (), 6) AS cumulative_share
+    FROM a
+    """,
+)
+def window_share_q(spark, sf_dir):
+    """ratio_to_report battery: revenue share within nation, share of grand
+    total, and Pareto cumulative share — the three percent-of-total window
+    shapes.  All windows run over the ALREADY-AGGREGATED (nation, priority)
+    table (one hash aggregate over the fact scan, then O(groups) window
+    state), never over raw orders — the 100 TB-safe formulation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    a = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("o_orderpriority").alias("priority"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w_nation = Window.partitionBy("nation")
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("revenue").desc(), "nation", "priority") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return a.select(
+        "nation", "priority", "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_nation), 6)
+        .alias("share_of_nation"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6)
+        .alias("share_of_total"),
+        F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6)
+        .alias("cumulative_share"),
+    )
+
+
+@query(
+    "mad_outliers_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med,
+             ABS(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.o_orderpriority,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN 0.6745 * ABS(d.o_totalprice - d.med) / m.mad > 3.5
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(MAX(d.med), 4) AS median_price,
+           ROUND(MAX(m.mad), 4) AS mad_price
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def mad_outliers_q(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: per priority,
+    flag rows whose modified z-score (0.6745·|x-med|/MAD) exceeds 3.5 —
+    the standard robust alternative to stddev z-scores (one huge order
+    cannot move the threshold).  Two exact-percentile aggregates (median,
+    then MAD of deviations), each broadcast back as a tiny per-group
+    table; flagging is codegen arithmetic on the scan."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"))
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med")))
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(
+                0.6745 * F.abs(F.col("o_totalprice") - F.col("med"))
+                / F.col("mad") > 3.5, 1).otherwise(0))
+            .cast("bigint").alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("median_price"),
+            F.round(F.max("mad"), 4).alias("mad_price"),
+        )
+    )
+
+
+@query(
+    "streaming_chained_stateful_demo",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    d AS (SELECT DISTINCT event_id, ts, event_type FROM events),
+    w AS (
+      SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT)*3600 AS ws, event_type,
+             COUNT(*) AS n
+      FROM d GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, ws + 3600 AS window_end, event_type, n
+    FROM w CROSS JOIN mx
+    WHERE ws + 3600 <= FLOOR(epoch(m)) - 7200
+    """,
+)
+def streaming_chained_stateful_demo(spark, sf_dir):
+    """TWO stateful operators chained in one streaming query:
+    dropDuplicatesWithinWatermark -> tumbling window aggregate (the
+    at-least-once-source pattern: dedup the redelivered stream before
+    counting).  The input is written TWICE (every event redelivered); the
+    dedup state absorbs the duplicates inside the watermark horizon, the
+    downstream aggregate sees each event once, and append mode emits
+    exactly the windows the final watermark passed — all verified against
+    the distinct-then-aggregate SQL with the same eviction frontier."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
+
+    ev_batch = _t(spark, sf_dir, "events").select("event_id", "ts",
+                                                  "event_type")
+    tmp = tempfile.mkdtemp(prefix="kiara_chain_")
+    ev_batch.write.mode("overwrite").parquet(os.path.join(tmp, "copy1"))
+    ev_batch.write.mode("overwrite").parquet(os.path.join(tmp, "copy2"))
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev_batch.schema,
+        options={"recursiveFileLookup": "true"})
+    deduped = (stream.withWatermark("ts", "2 hours")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = (deduped.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    result = agg.select(
+        F.unix_timestamp("window.start").cast("bigint").alias("window_start"),
+        F.unix_timestamp("window.end").cast("bigint").alias("window_end"),
+        "event_type", "n")
+    qname = f"chain_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(result, qname)
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
