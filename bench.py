@@ -160,6 +160,22 @@ BENCH_QUERIES = [
     "pyds_stream_synth_demo",
     "pandas_api_battery",
     "events_session_dynamic_gap",
+    # round 2: event analytics, scale ops, clustering, sketches, streaming
+    "events_debounce_user_type",
+    "events_cumulative_distinct_users",
+    "events_ohlc_hourly",
+    "events_attribution_last_touch",
+    "gaps_islands_user_days",
+    "bloom_prefilter_lineitem",
+    "drift_psi_orders",
+    "checksum_ranges_orders",
+    "kmeans_embeddings",
+    "cms_user_event_frequency",
+    "graph_label_propagation",
+    "window_share_battery",
+    "mad_outliers_orders",
+    "streaming_full_outer_join_demo",
+    "streaming_chained_stateful_demo",
 ]
 
 

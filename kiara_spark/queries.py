@@ -6397,18 +6397,19 @@ _PRIORITY = [
     # iterative / graph
     "graph_degrees", "graph_2hop_neighbors", "graph_connected_components",
     "graph_pagerank",
-    # structured streaming demos
+    # structured streaming demos (incl. chained stateful + full outer)
     "streaming_tumbling_demo", "streaming_dedup_demo", "streaming_join_demo",
-    "streaming_sessionize_demo", "streaming_foreachbatch_upsert_demo",
-    # lakehouse maintenance
-    "scd2_user_event_intervals", "merge_upsert_orders",
-    "diff_orders_versions", "dq_audit_orders_lineitem",
-    # dedup / similarity family
+    "streaming_sessionize_demo", "streaming_full_outer_join_demo",
+    "streaming_chained_stateful_demo",
+    # lakehouse maintenance + drift
+    "scd2_user_event_intervals", "merge_upsert_orders", "drift_psi_orders",
+    # dedup / similarity / clustering family
     "dedup_exact_groups", "dedup_minhash_pairs", "dedup_minhash_clusters",
-    "dedup_simhash", "dedup_ngram_jaccard_blocked", "dedup_embedding_cosine",
-    "fuzzy_part_name_pairs", "sim_topk_bruteforce", "sim_topk_ivf",
+    "dedup_embedding_cosine", "sim_topk_ivf", "kmeans_embeddings",
+    "graph_label_propagation", "bloom_prefilter_lineitem",
+    "cms_user_event_frequency",
     # temporal joins + stateful + multimodal + packing
-    "asof_join_click_purchase", "asof_join_forward_next_purchase",
+    "asof_join_click_purchase",
     "range_join_error_before_purchase", "sessionize_stateful_users",
     "multimodal_media_features", "pack_token_budget_bins",
 ]
