@@ -6374,6 +6374,35 @@ def streaming_chained_stateful_demo(spark, sf_dir):
     return spark.table(qname)
 
 
+@query(
+    "histogram2d_price_quantity",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 9) AS px,
+             LEAST(CAST(FLOOR(l_quantity / 10) AS BIGINT), 4) AS qy
+      FROM lineitem)
+    SELECT px AS price_bin, qy AS quantity_bin, COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def histogram2d_q(spark, sf_dir):
+    """2-D fixed-width histogram (price x quantity heatmap): bin indexes
+    are pure codegen arithmetic with a LEAST overflow cap, ONE hash
+    aggregate over the scan — the joint-distribution profile you run
+    before choosing a 2-D partition/cluster key, at any scale the cost of
+    a single group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least(F.floor(F.col("l_extendedprice") / 10000),
+                    F.lit(9)).cast("bigint").alias("price_bin"),
+            F.least(F.floor(F.col("l_quantity") / 10),
+                    F.lit(4)).cast("bigint").alias("quantity_bin"))
+        .groupBy("price_bin", "quantity_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -240,3 +240,29 @@ def test_python_datasource_stream_writer_epochs(spark, tmp_path):
     assert total == 300
     back = spark.read.json(f"{out}/stream-*.jsonl")
     assert back.count() == 300
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Operational ingestion semantics through create.table.from.file: a
+    JSONL file with malformed rows surfaces them in _corrupt_record under
+    PERMISSIVE (the default triage mode) and drops them under
+    DROPMALFORMED — reader options pass through the operator untouched."""
+    from kiara_spark.operators.tables import create_table_from_file
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 1, "t": "ok"}\n'
+                 'not json at all\n'
+                 '{"id": 3, "t": "fine"}\n')
+    schema = "id bigint, t string, _corrupt_record string"
+    permissive = create_table_from_file(
+        spark, str(p), file_format="json", schema=schema,
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+
+    dropped = create_table_from_file(
+        spark, str(p), file_format="json", schema="id bigint, t string",
+        mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]

@@ -299,3 +299,14 @@ def test_training_mix_example_pipeline(ctx):
     d = out["source_dictionary"].data
     assert mix.filter(F.col("source_id").isNull()).count() == 0
     assert d.count() == mix.select("source").distinct().count()
+
+
+def test_reference_mock_pipeline_yaml_verbatim(ctx):
+    """Run the REFERENCE'S OWN examples/pipelines/mock_pipeline_1.yaml
+    unchanged: YAML pipeline config, mock module with configured
+    inputs_schema + canned outputs, step-qualified input aliases
+    (reference `modules/included_core_modules/mock.py:75-140`)."""
+    out = ctx.run_pipeline(
+        "/root/reference/examples/pipelines/mock_pipeline_1.yaml",
+        {"first": "a", "second": "b"})
+    assert out["step_1__combined"].data == "Hello World!"
