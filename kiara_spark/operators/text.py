@@ -401,6 +401,51 @@ def pack_token_budget(
         F.sum("_ntok").cast("bigint").alias("total_tokens"))
 
 
+def pack_concat_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packed training sequences: the companion to
+    ``pack_token_budget`` that actually CONCATENATES each bin's documents
+    (id order, ``sep``-joined) into the string a pretraining loader reads.
+
+    Same sharded exclusive-cumsum binning (one shuffle, shard windows sort
+    in parallel); the concatenation is one hash aggregate whose per-bin
+    state is bounded by the token budget — collect_list of struct(id, text)
+    sorted in-memory per bin, never a global sort.  Output: (shard_id,
+    bin_no, n_docs, total_tokens, packed_text)."""
+    from pyspark.sql.types import NumericType
+
+    ntok = F.size(tokens_col(F.col(text_col))).cast("bigint")
+    id_field = df.schema[id_col]
+    if isinstance(id_field.dataType, NumericType):
+        shard = F.pmod(F.col(id_col).cast("bigint"), F.lit(shards)).cast("bigint")
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("bigint")
+    t = df.select(F.col(id_col).alias("_id"), shard.alias("_shard"),
+                  F.col(text_col).alias("_text"), ntok.alias("_ntok"))
+    w = (Window.partitionBy("_shard").orderBy("_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    excl = F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+    binned = t.withColumn(
+        "bin_no", F.floor(excl / F.lit(float(budget))).cast("bigint"))
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_id", "_text"))),
+            lambda s: s["_text"]),
+        sep)
+    return binned.groupBy(
+        F.col("_shard").alias("shard_id"), "bin_no"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ntok").cast("bigint").alias("total_tokens"),
+        packed.alias("packed_text"))
+
+
 def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> tuple[DataFrame, DataFrame]:
     """Dictionary (label) encoding: map a categorical column to dense integer
     ids, returning (encoded_df, dictionary_df).
@@ -534,6 +579,28 @@ class TextPackTokenBudget(KiaraModule):
             text_col=self.config.get("text_column", "text"))}
 
 
+class TextPackConcat(KiaraModule):
+    """Pack documents into token-budget bins AND materialize the
+    concatenated training sequences (see pack_concat_sequences)."""
+
+    _module_type_name = "text.pack_concat"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": pack_concat_sequences(
+            inputs["table"].data,
+            budget=self.config.get("budget", 2048),
+            shards=self.config.get("shards", 16),
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"),
+            sep=self.config.get("separator", "\n\n"))}
+
+
 class TextChunkSentences(KiaraModule):
     """Sentence-aware greedy chunking (never cuts mid-sentence)."""
 
@@ -649,7 +716,7 @@ class TextFeatureHash(KiaraModule):
 
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
-           TextPackTokenBudget, TableMixtureSample, TableTokenBudgetCap,
+           TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash]
 OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
@@ -659,6 +726,7 @@ OPERATIONS = [
     Operation("table.split.by_group", "table.split.by_group"),
     Operation("text.feature_hash", "text.feature_hash"),
     Operation("text.pack_token_budget", "text.pack_token_budget"),
+    Operation("text.pack_concat", "text.pack_concat"),
     Operation("text.chunk", "text.chunk"),
     Operation("text.chunk_sentences", "text.chunk_sentences"),
     Operation("text.token_stats", "text.token_stats"),

@@ -6403,6 +6403,47 @@ def histogram2d_q(spark, sf_dir):
     )
 
 
+@query(
+    "pack_concat_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, doc_id % 16 AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS ntok
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, text, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS excl
+      FROM t
+    )
+    SELECT CAST(shard AS BIGINT) AS shard_id,
+           CAST(FLOOR(excl / 2048.0) AS BIGINT) AS bin_no,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+             AS packed_md5,
+           CAST(SUM(LENGTH(text)) + 2 * (COUNT(*) - 1) AS BIGINT)
+             AS packed_chars
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_concat_q(spark, sf_dir):
+    """Packed-sequence materialization (`text.pack_concat`): the step after
+    bin assignment — each bin's documents concatenate (id order,
+    double-newline joined) into the training sequence a pretraining loader
+    reads.  Same sharded exclusive-cumsum binning as pack_token_budget;
+    the concatenation is one hash aggregate whose per-bin state is bounded
+    by the token budget (never a global sort).  The oracle checks the md5
+    of every packed sequence, so join order and separators verify exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.pack_concat_sequences(docs, budget=2048, shards=16)
+    return out.select(
+        "shard_id", "bin_no", "n_docs", "total_tokens",
+        F.md5("packed_text").alias("packed_md5"),
+        F.length("packed_text").cast("bigint").alias("packed_chars"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

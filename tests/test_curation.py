@@ -138,3 +138,23 @@ def test_dict_encode_and_split_by_group(spark):
     assert all(r["k"] == 1 for r in per_user)
     got = {r["split"] for r in split.select("split").distinct().collect()}
     assert got <= {"train", "val", "test"} and "train" in got
+
+
+def test_pack_concat_budget_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.text import pack_concat_sequences
+
+    rows = [(i, f"word{i} " * 10) for i in range(8)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_concat_sequences(df, budget=25, shards=1, sep="|")
+    got = {r.bin_no: r for r in out.collect()}
+    # exclusive cumsum: docs 0-2 (0,10,20) -> bin 0; 3-4 (30,40) -> bin 1...
+    assert got[0].n_docs == 3 and got[0].total_tokens == 30
+    # concatenation preserves id order with the separator
+    assert got[0].packed_text.split("|")[0].startswith("word0")
+    assert got[0].packed_text.split("|")[2].startswith("word2")
+
+
+def test_pack_concat_op_registered(ctx):
+    assert ctx.operation_registry.resolve("text.pack_concat") is not None
