@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     "mad_outliers_orders",
     "streaming_full_outer_join_demo",
     "streaming_chained_stateful_demo",
+    "text_inverted_index",
+    "text_bm25_scores",
+    "events_ewma_daily",
+    "events_trigram_paths",
 ]
 
 

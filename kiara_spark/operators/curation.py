@@ -181,6 +181,98 @@ def tfidf_top_terms(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Build an inverted index: one row per term with its document frequency
+    and the sorted posting list of matching doc ids — the search/retrieval
+    primitive over a document corpus.
+
+    Plan: explode to DISTINCT (doc, term) pairs (array_distinct before the
+    explode keeps within-doc duplicates off the shuffle), one hash aggregate
+    on term.  At 100 TB the exploded stream shuffles term+id only (never
+    text); posting lists for stop-word-like terms are the skew risk, so
+    ``min_df`` filtering and the doc-frequency column let callers drop or
+    split heavy terms.  Postings surface as a comma-joined string so the
+    output is engine-portable (array canonicalization differs per engine)."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("_id")),
+                                 lambda x: x.cast("string"))).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    (public formula, Robertson/Spärck Jones):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))
+
+    Plan: corpus stats first — one explode->aggregate pass restricted to the
+    query's terms (the filter lands BEFORE the shuffle, so only matching
+    (doc, term) pairs move; a q-term query shuffles at most q rows per doc).
+    Document lengths and the corpus average ride along from a map-only
+    projection + a 1-row broadcast aggregate.  Scoring is a per-doc sum over
+    at most |query| joined rows — no text ever shuffles.  Scores round to
+    6 dp for engine portability."""
+    qlits = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_toks"))
+    lens = toks.select("_id", F.size("_toks").cast("bigint").alias("_len"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.avg("_len").alias("_avglen"))
+    tf = (
+        toks.select("_id", F.explode(
+            F.filter(F.col("_toks"), lambda t: t.isin(*qlits))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_len") / F.col("_avglen"))
+    # per-term score is pure scalar double math (deterministic); the per-doc
+    # SUM rounds each term to 9 dp and accumulates as decimal so the total is
+    # independent of addition order (and so the DuckDB twin matches exactly)
+    term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / norm, 9).cast(
+        "decimal(38,12)")
+    return (
+        scored.groupBy(F.col("_id").alias(id_col))
+        .agg(F.round(F.sum(term_score), 6).cast("double").alias("bm25"),
+             F.count(F.lit(1)).cast("bigint").alias("n_query_terms_hit"))
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -228,9 +320,40 @@ TableTfidfTopTerms = _simple_module(
         "window top-k.",
 )
 
+TableInvertedIndex = _simple_module(
+    "table.inverted_index",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": inverted_index(
+        im["table"].data,
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        min_df=self.config.get("min_df", 1))},
+    doc="Term -> (doc_freq, sorted posting list) inverted index; distinct "
+        "(doc, term) explode + one term aggregate.",
+)
+
+TableBm25Score = _simple_module(
+    "table.bm25_score",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": bm25_score(
+        im["table"].data, self.config["query_terms"],
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        k1=self.config.get("k1", 1.2),
+        b=self.config.get("b", 0.75))},
+    doc="Okapi BM25 relevance vs a fixed query (config: query_terms, k1, b); "
+        "pre-shuffle term filter, text never moves.",
+)
+
 MODULES = [TableRedactPii, TableDecontaminate, TableRepetitionStats,
-           TableTfidfTopTerms]
+           TableTfidfTopTerms, TableInvertedIndex, TableBm25Score]
 OPERATIONS = [
+    Operation("table.inverted_index", "table.inverted_index",
+              doc="inverted index: term -> posting list"),
+    Operation("table.bm25_score", "table.bm25_score",
+              doc="BM25 relevance scores against a fixed query"),
     Operation("table.redact_pii", "table.redact_pii",
               doc="PII masking + counts"),
     Operation("table.decontaminate", "table.decontaminate",

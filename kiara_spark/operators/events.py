@@ -185,6 +185,88 @@ def gaps_islands(
     )
 
 
+def ewma_truncated(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    horizon: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over the daily-resampled
+    series, with an explicit ``horizon``-term truncation.
+
+    The textbook recursive EWMA (s_t = α·x_t + (1-α)·s_{t-1}) does not
+    distribute: it is a sequential scan per key, and the closed form
+    Σ α(1-α)^j·x_{t-j} needs unboundedly small/large powers.  The truncated
+    form keeps the j = 0..horizon-1 terms only (weight below (1-α)^h is
+    dropped and the weight vector renormalized over the lags that exist), so
+    it is a fixed set of ``lag`` expressions over ONE window — one shuffle on
+    the key, codegen arithmetic, identical SQL in any engine.  With α = 0.3,
+    h = 8 the dropped tail carries < 6 % of the weight.
+
+    Step 1 resamples to per-(key, day) means (decimal-exact sum/count so the
+    mean is partition-invariant); step 2 applies the weighted lag sum.
+    Output: (key, day string, day_avg, ewma) rounded to 6 dp."""
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.groupBy(F.col(key_col).alias("key"), day.alias("_day"))
+        .agg((F.sum(F.col(value_col).cast("decimal(38,10)"))
+              / F.count(F.lit(1))).cast("double").alias("day_avg"))
+    )
+    w = Window.partitionBy("key").orderBy("_day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(horizon):
+        weight = alpha * (1.0 - alpha) ** j
+        x = F.lag("day_avg", j).over(w)
+        num = num + F.coalesce(x * F.lit(weight), F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return daily.select(
+        "key",
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        F.round("day_avg", 6).alias("day_avg"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n: int = 3,
+    top_k: int = 20,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most frequent length-``n`` event sequences (consecutive
+    per-user paths) — the behavioral-mining primitive behind funnel
+    discovery and next-action models.
+
+    Plan: ``n-1`` lead expressions over ONE per-user window (single shuffle
+    on the user key, one sort serves every lead), drop incomplete tails,
+    one hash aggregate on the path, window top-k.  The (path, count)
+    aggregate state is bounded by the distinct-path vocabulary, not the log
+    size — safe at any scale."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, j).over(w) for j in range(1, n)]
+    paths = df.select(F.concat_ws(" > ", *steps).alias("path"),
+                      steps[-1].alias("_last"))
+    counted = (
+        paths.filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    wr = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= top_k)
+        .select("path", "n_paths", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 EventsDebounce = _simple_module(
@@ -254,9 +336,44 @@ TableGapsIslands = _simple_module(
         "sequence_column); seq - row_number trick, one shuffle.",
 )
 
+EventsEwma = _simple_module(
+    "events.ewma",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": ewma_truncated(
+        im["table"].data,
+        key_col=self.config.get("key_column", "event_type"),
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column", "value"),
+        alpha=self.config.get("alpha", 0.3),
+        horizon=self.config.get("horizon", 8))},
+    doc="Truncated-horizon EWMA over the daily-resampled series (config: "
+        "alpha, horizon); fixed lag battery over one window.",
+)
+
+EventsPathNgrams = _simple_module(
+    "events.path_ngrams",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": event_path_ngrams(
+        im["table"].data,
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"),
+        n=self.config.get("n", 3),
+        top_k=self.config.get("top_k", 20),
+        tiebreak_col=self.config.get("tiebreak_column", "event_id"))},
+    doc="Top-k consecutive event-type n-gram paths per user (config: n, "
+        "top_k); lead battery + one path aggregate.",
+)
+
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
-           EventsAttribution, TableGapsIslands]
+           EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams]
 OPERATIONS = [
+    Operation("events.ewma", "events.ewma",
+              doc="truncated-horizon EWMA over resampled series"),
+    Operation("events.path_ngrams", "events.path_ngrams",
+              doc="top-k consecutive event paths"),
     Operation("events.dedup.debounce", "events.dedup.debounce",
               doc="near-time duplicate drop (lag-debounce)"),
     Operation("events.cumulative_distinct", "events.cumulative_distinct",

@@ -6444,6 +6444,145 @@ def pack_concat_q(spark, sf_dir):
         F.length("packed_text").cast("bigint").alias("packed_chars"))
 
 
+@query(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), pairs AS (SELECT DISTINCT doc_id, term FROM toks)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY term HAVING COUNT(*) >= 2
+    """,
+)
+def inverted_index_q(spark, sf_dir):
+    """Inverted index over documents (`table.inverted_index`): term ->
+    (doc_freq, sorted posting list).  Distinct (doc, term) pairs shuffle —
+    never text; postings surface comma-joined for engine portability."""
+    from .operators.curation import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, id_col="doc_id", text_col="text", min_df=2)
+
+
+@query(
+    "text_bm25_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM toks),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(len) AS avglen
+               FROM lens),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * len / avglen)),
+                        9) AS DECIMAL(38,12)) AS ts
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+              CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(ROUND(SUM(ts), 6) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_query_terms_hit
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bm25_q(spark, sf_dir):
+    """Okapi BM25 relevance of every document vs the fixed query
+    [spark, window, merge] (`table.bm25_score`).  The query-term filter
+    lands before the explode shuffle; per-term scores are scalar double
+    math mirrored exactly in the oracle, summed as 9-dp decimals."""
+    from .operators.curation import bm25_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_score(docs, ["spark", "window", "merge"],
+                      id_col="doc_id", text_col="text", k1=1.2, b=0.75)
+
+
+def _ewma_oracle(alpha: float = 0.3, horizon: int = 8) -> str:
+    """The truncated-EWMA oracle mirrors the Spark lag battery term by term:
+    weight literals are the repr of the SAME Python floats the operator
+    embeds, and additions happen in the same left-to-right order, so the
+    doubles are bit-identical before the final round."""
+    num_terms, den_terms = [], []
+    for j in range(horizon):
+        w = repr(alpha * (1.0 - alpha) ** j)
+        x = f"lag(day_avg, {j}) OVER (PARTITION BY key ORDER BY _day)"
+        num_terms.append(f"COALESCE({x} * {w}, 0.0)")
+        den_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    num = " + ".join(["0.0"] + num_terms)
+    den = " + ".join(["0.0"] + den_terms)
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS _day,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) / COUNT(*) AS DOUBLE)
+               AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT key, strftime(_day, '%Y-%m-%d') AS day,
+           ROUND(day_avg, 6) AS day_avg,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM daily
+    """
+
+
+@query("events_ewma_daily", _ewma_oracle())
+def ewma_q(spark, sf_dir):
+    """Truncated-horizon EWMA per event type over the daily-resampled value
+    series (`events.ewma`, alpha=0.3, horizon=8): a fixed lag battery over
+    one window — the distributable form of the sequential recursive EWMA."""
+    from .operators.events import ewma_truncated
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_truncated(ev, key_col="event_type", ts_col="ts",
+                          value_col="value", alpha=0.3, horizon=8)
+
+
+@query(
+    "events_trigram_paths",
+    """
+    WITH steps AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path
+      FROM steps WHERE s2 IS NOT NULL
+    ), counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths FROM paths GROUP BY 1
+    )
+    SELECT path, n_paths, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS rnk
+          FROM counted)
+    WHERE rnk <= 20
+    """,
+)
+def trigram_paths_q(spark, sf_dir):
+    """Top-20 consecutive 3-step event paths across users
+    (`events.path_ngrams`): lead battery over one per-user window, one
+    path aggregate whose state is the path vocabulary, then a top-k over
+    the tiny (path, count) table."""
+    from .operators.events import event_path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_path_ngrams(ev, user_col="user_id", ts_col="ts",
+                             type_col="event_type", n=3, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

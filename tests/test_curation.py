@@ -158,3 +158,47 @@ def test_pack_concat_budget_and_order(spark):
 
 def test_pack_concat_op_registered(ctx):
     assert ctx.operation_registry.resolve("text.pack_concat") is not None
+
+
+def test_inverted_index_postings_and_min_df(spark):
+    from kiara_spark.operators.curation import inverted_index
+
+    rows = [(1, "alpha beta beta"), (2, "beta gamma"), (3, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: (r.doc_freq, r.postings)
+           for r in inverted_index(df, min_df=1).collect()}
+    # within-doc duplicates collapse; postings sorted by id
+    assert out["beta"] == (2, "1,2")
+    assert out["alpha"] == (2, "1,3")
+    assert out["gamma"] == (1, "2")
+    out2 = {r.term for r in inverted_index(df, min_df=2).collect()}
+    assert out2 == {"alpha", "beta"}
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    from kiara_spark.operators.curation import bm25_score
+
+    # doc 2 repeats the query term but is longer; doc 3 lacks it entirely
+    rows = [(1, "cat sits"), (2, "cat cat cat dog dog dog dog dog"),
+            (3, "dog dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bm25 for r in bm25_score(df, ["cat"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 never scores
+    assert out[2] > out[1] > 0  # higher tf still wins despite length norm
+    # saturation: tripled tf must NOT triple the score (k1 bounds the gain)
+    assert out[2] < 3 * out[1]
+
+
+def test_bm25_multi_term_hit_count(spark):
+    from kiara_spark.operators.curation import bm25_score
+
+    rows = [(1, "alpha beta"), (2, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_query_terms_hit
+           for r in bm25_score(df, ["alpha", "beta"]).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_search_ops_registered(ctx):
+    for op in ("table.inverted_index", "table.bm25_score"):
+        assert ctx.operation_registry.resolve(op) is not None

@@ -99,3 +99,48 @@ def test_ops_registered(ctx):
                "events.resample.ohlc", "events.attribution.last_touch",
                "table.gaps_islands"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_ewma_truncated_weights(spark):
+    # key A: days 1,2 with values 10, 20 -> ewma(day2) =
+    # (0.3*20 + 0.21*10) / (0.3 + 0.21)
+    rows = [
+        (1, "A", _ts("2024-01-01 05:00:00"), 10.0),
+        (2, "A", _ts("2024-01-02 05:00:00"), 20.0),
+        (3, "B", _ts("2024-01-01 09:00:00"), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    out = {(r.key, r.day): r.ewma for r in E.ewma_truncated(
+        df, key_col="event_type", alpha=0.3, horizon=8).collect()}
+    assert out[("A", "2024-01-01")] == 10.0  # single term, renormalized
+    expected = round((0.3 * 20 + 0.3 * 0.7 * 10) / (0.3 + 0.3 * 0.7), 6)
+    assert out[("A", "2024-01-02")] == expected
+    assert out[("B", "2024-01-01")] == 5.0
+
+
+def test_ewma_daily_resample_mean(spark):
+    # two same-day events average before the EWMA sees them
+    rows = [(1, "A", _ts("2024-01-01 05:00:00"), 10.0),
+            (2, "A", _ts("2024-01-01 06:00:00"), 30.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    out = E.ewma_truncated(df, key_col="event_type").collect()
+    assert len(out) == 1 and out[0].day_avg == 20.0 and out[0].ewma == 20.0
+
+
+def test_event_path_ngrams_counts(small_events):
+    out = {r.path: r.n_paths for r in E.event_path_ngrams(
+        small_events, n=2, top_k=10).collect()}
+    # user 1: click>click x3, click>purchase; user 2: view>click,
+    # click>purchase (same-instant tie broken by event_id)
+    assert out["click > click"] == 3
+    assert out["click > purchase"] == 2
+    assert out["view > click"] == 1
+    # incomplete tails (last event per user) never produce short paths
+    assert all(" > " in p for p in out)
+
+
+def test_new_event_ops_registered(ctx):
+    for op in ("events.ewma", "events.path_ngrams"):
+        assert ctx.operation_registry.resolve(op) is not None
