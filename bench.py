@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "text_bm25_scores",
     "events_ewma_daily",
     "events_trigram_paths",
+    "graph_shortest_paths_weighted",
 ]
 
 

@@ -298,6 +298,61 @@ def bfs_hops(
     return visited
 
 
+def shortest_paths_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    rounds: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, dist): minimum-weight undirected distance from any source node
+    over paths of at most ``rounds`` edges — synchronous Bellman-Ford
+    relaxation, the distributable form of Dijkstra (priority queues do not
+    shard; per-round full relaxation does).
+
+    Per round: join the current distance table against the edge list on the
+    source endpoint, add the edge weight, and keep the per-node minimum of
+    old and candidate distances — one join + one hash aggregate per round,
+    both shuffled on the node id.  The round count is FIXED (no convergence
+    collect), so the result is a pure function of the graph: exactly
+    "cheapest path using ≤ rounds hops", which an unrolled SQL twin can
+    verify bit-for-bit.  Weights accumulate as DECIMAL(38,6) — exact
+    addition and min, so distances never depend on partitioning.
+
+    Lineage is cut per round (reliable checkpoint when
+    ``KIARA_SPARK_CHECKPOINT_DIR`` is set, else localCheckpoint) — without
+    the cut, round k's plan would embed k joins and k aggregates.
+
+    Reference parity: extends the network_graph family (SURVEY §2.3) beyond
+    hop-count BFS (``bfs_hops``) to weighted distances."""
+    w_dec = F.col(weight_col).cast("decimal(38,6)")
+    fwd = edges.select("src", "dst", w_dec.alias("_w"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       w_dec.alias("_w"))
+    und = (
+        fwd.unionByName(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("_w").alias("_w"))
+    )
+    if checkpoint:
+        und = cut_lineage(und)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+        .withColumn("dist", F.lit(0).cast("decimal(38,6)"))
+    )
+    for _ in range(rounds):
+        cand = und.join(dist, und.src == dist.id).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("_w")).alias("dist"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            dist = cut_lineage(dist)
+    return dist.select("id", F.col("dist").cast("double").alias("dist"))
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (id, rank).
 
@@ -539,10 +594,29 @@ class GraphBfsHops(KiaraModule):
             max_hops=self.config.get("max_hops", 4))}
 
 
+class GraphShortestPathsWeighted(KiaraModule):
+    """Weighted shortest distances (Bellman-Ford rounds) from a source set."""
+
+    _module_type_name = "network_graph.shortest_paths_weighted"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}, "sources": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": shortest_paths_weighted(
+            inputs["graph"].data["edges"],
+            inputs["sources"].data,
+            weight_col=self.config.get("weight_column", "weight"),
+            rounds=self.config.get("rounds", 4))}
+
+
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
            GraphComponents, GraphPagerank, GraphBfsHops,
-           GraphLabelPropagation]
+           GraphLabelPropagation, GraphShortestPathsWeighted]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -558,4 +632,6 @@ OPERATIONS = [
     Operation("network_graph.bfs_hops", "network_graph.bfs_hops"),
     Operation("network_graph.label_propagation",
               "network_graph.label_propagation"),
+    Operation("network_graph.shortest_paths_weighted",
+              "network_graph.shortest_paths_weighted"),
 ]

@@ -525,6 +525,38 @@ def compact_parquet_dir(
     return {"path": path, "files_before": n_before, "files_after": n_after}
 
 
+def file_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+) -> DataFrame:
+    """Per-file layout audit: for every parquet file under ``path``, its row
+    count, byte size, and each requested column's min/max — the data-skipping
+    report that tells you whether file-level zone maps will prune a predicate
+    (tight per-file ranges = clustered = skippable; full-range overlap on
+    every file = the column needs a zorder/sort rewrite).
+
+    Built on the hidden ``_metadata`` struct (file provenance exposed by
+    Spark's parquet reader — no extra scan source): one hash aggregate
+    grouped by file.  The aggregate output is one row per file, so driver
+    results stay tiny even over a 100 TB table; the scan itself reads only
+    ``columns`` plus metadata (column pruning applies as usual)."""
+    df = spark.read.parquet(path).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("file_name"),
+        F.col("_metadata.file_size").alias("_fsize"),
+        *[F.col(c) for c in columns],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.first("_fsize").cast("bigint").alias("file_bytes"),
+    ]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy("file_name").agg(*aggs)
+
+
 def export_table(df: DataFrame, path: str, file_format: str = "parquet",
                  mode: str = "overwrite", partition_by: list[str] | None = None,
                  **options) -> dict:
@@ -882,6 +914,15 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableFileStats = _simple_module(
+    "table.file_stats",
+    {"path": STRING}, {"table": TABLE},
+    lambda self, im, ctx: {"table": file_stats(
+        ctx.spark, im["path"].data, self.config["columns"])},
+    doc="Per-file row count/bytes/min-max audit via _metadata (data-skipping "
+        "report; config: columns).",
+)
+
 TableZorderKey = _simple_module(
     "table.layout.zorder_key",
     {"table": TABLE}, {"table": TABLE},
@@ -898,6 +939,7 @@ MODULES = [
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
+    TableFileStats,
 ]
 
 OPERATIONS = [
@@ -913,6 +955,8 @@ OPERATIONS = [
               doc="Morton key for Z-order clustered layout"),
     Operation("table.vacuum.snapshots", "table.vacuum.snapshots",
               doc="snapshot-dir retention (keep N newest)"),
+    Operation("table.file_stats", "table.file_stats",
+              doc="per-file min/max zone-map audit (data skipping)"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

@@ -6583,6 +6583,61 @@ def trigram_paths_q(spark, sf_dir):
                              type_col="event_type", n=3, top_k=20)
 
 
+def _sssp_relax_sql(prev: str) -> str:
+    return f"""
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + e.w AS dist
+        FROM {prev} d JOIN und e ON e.src = d.id
+      ) GROUP BY id
+    """
+
+
+@query(
+    "graph_shortest_paths_weighted",
+    f"""
+    WITH e0 AS (
+      SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+             CAST(MIN(l_extendedprice) AS DECIMAL(38,6)) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_extendedprice > 95000
+      GROUP BY 1, 2
+    ),
+    und AS (SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0),
+    seeds AS (SELECT DISTINCT src AS id FROM und WHERE src % 100 = 0),
+    d0 AS (SELECT id, CAST(0 AS DECIMAL(38,6)) AS dist FROM seeds),
+    d1 AS ({_sssp_relax_sql('d0')}),
+    d2 AS ({_sssp_relax_sql('d1')}),
+    d3 AS ({_sssp_relax_sql('d2')}),
+    d4 AS ({_sssp_relax_sql('d3')})
+    SELECT id, CAST(dist AS DOUBLE) AS dist FROM d4
+    """,
+)
+def sssp_weighted_q(spark, sf_dir):
+    """Weighted shortest distances (`network_graph.shortest_paths_weighted`)
+    over the co-purchase graph, edge weight = min lineitem price,
+    seeds = custkeys % 100 = 0: four Bellman-Ford relaxation rounds (one
+    join + one min-aggregate each, decimal-exact) vs a 4-deep unrolled SQL
+    twin."""
+    from .operators import graph as G
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 95000)
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("src"),
+                 (F.col("l_suppkey") + 1000000).alias("dst"))
+        .agg(F.min("l_extendedprice")
+             .cast("decimal(38,6)").alias("weight"))
+    )
+    und = G.undirected_edges(edges)
+    seeds = und.select("src").filter(F.col("src") % 100 == 0).distinct()
+    return G.shortest_paths_weighted(edges, seeds, weight_col="weight",
+                                     rounds=4)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

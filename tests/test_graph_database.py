@@ -246,3 +246,44 @@ def test_label_propagation_partition_invariant(spark):
          for r in label_propagation(
              edges.repartition(7), iterations=2).collect()}
     assert a == b
+
+
+def test_shortest_paths_weighted_path_graph(spark):
+    from kiara_spark.operators.graph import shortest_paths_weighted
+
+    # path 1 -2.0- 2 -3.0- 3 -1.5- 4, plus a 10.0 shortcut 1-4
+    rows = [(1, 2, 2.0), (2, 3, 3.0), (3, 4, 1.5), (1, 4, 10.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist
+           for r in shortest_paths_weighted(edges, seeds, rounds=4).collect()}
+    # cheapest path beats the direct heavier edge
+    assert out == {1: 0.0, 2: 2.0, 3: 5.0, 4: 6.5}
+
+
+def test_shortest_paths_weighted_round_cap(spark):
+    from kiara_spark.operators.graph import shortest_paths_weighted
+
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist
+           for r in shortest_paths_weighted(edges, seeds, rounds=2).collect()}
+    # node 4 is 3 hops away: unreachable within 2 relaxation rounds
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_shortest_paths_weighted_multi_source_min(spark):
+    from kiara_spark.operators.graph import shortest_paths_weighted
+
+    rows = [(1, 2, 5.0), (9, 2, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(1,), (9,)], "id long")
+    out = {r.id: r.dist
+           for r in shortest_paths_weighted(edges, seeds, rounds=3).collect()}
+    assert out[2] == 1.0  # nearest source wins
+
+
+def test_sssp_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "network_graph.shortest_paths_weighted") is not None

@@ -236,3 +236,24 @@ def test_vacuum_snapshots_retention(spark, ctx, tmp_path):
     assert sorted(report["removed"]) == ["v0", "v1", "v2"]
     assert sorted(p.name for p in base.iterdir()) == ["v3", "v4"]
     assert "table.vacuum.snapshots" in ctx.operation_registry.operation_ids
+
+
+def test_file_stats_per_file_minmax(spark, tmp_path):
+    from kiara_spark.operators.tables import file_stats
+
+    # two files with disjoint key ranges (clustered layout)
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    df.where("id < 50").coalesce(1).write.parquet(p)
+    df.where("id >= 50").coalesce(1).write.mode("append").parquet(p)
+    out = file_stats(spark, p, ["id", "v"]).collect()
+    assert len(out) == 2
+    ranges = sorted((r.min_id, r.max_id, r.n_rows) for r in out)
+    assert ranges == [(0, 49, 50), (50, 99, 50)]
+    for r in out:
+        assert r.file_bytes > 0 and r.file_name.endswith(".parquet")
+        assert r.min_v == 2 * r.min_id and r.max_v == 2 * r.max_id
+
+
+def test_file_stats_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.file_stats") is not None
