@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "events_ewma_daily",
     "events_trigram_paths",
     "graph_shortest_paths_weighted",
+    "embedding_normalize_check",
+    "embedding_quantize_int8",
 ]
 
 

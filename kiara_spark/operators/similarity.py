@@ -430,6 +430,74 @@ def embedding_neardup_pairs(
     )
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """L2-normalize embeddings to unit vectors (optionally truncating to the
+    first ``dims`` components first — Matryoshka-style dimension reduction,
+    which requires renormalization to keep cosine math valid).
+
+    Map-only: the norm is a sequential left fold (same order as the SQL
+    twin's list_reduce, so results are bit-identical) and the scale is a
+    per-element transform — no shuffle, runs at scan throughput at any
+    scale.  Zero vectors pass through unchanged (no NaN poisoning)."""
+    out_col = out_col or f"{vec_col}_unit"
+    v = F.col(vec_col)
+    if dims is not None:
+        v = F.slice(v, 1, dims)
+    vd = _to_double(v)
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(norm > 0, F.transform(vd, lambda x: x / norm)).otherwise(vd)
+    return df.withColumn(out_col, unit)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension min/max scalar quantization to ``levels`` buckets
+    (int8-style vector compression: 4x smaller than float32, the standard
+    storage/serving trade for ANN indexes).
+
+    Two jobs at any scale: (1) one posexplode -> per-dimension min/max
+    aggregate — the only shuffle, keyed on the dimension index, d rows out;
+    (2) the d-row bounds collect to the driver (d doubles, like the k·d
+    kmeans centroid literal) and quantization is a map-only two-arg
+    transform against the literal bounds arrays.  A constant dimension
+    (max == min) quantizes to 0.  ``q = min(levels-1,
+    floor((x - mn_d) / (mx_d - mn_d) * levels))`` — pure double arithmetic,
+    exactly reproducible in SQL."""
+    out_col = out_col or f"{vec_col}_q"
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    bounds = (
+        exploded.groupBy("pos")
+        .agg(F.min(F.col("val").cast("double")).alias("mn"),
+             F.max(F.col("val").cast("double")).alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = F.array(*[F.lit(r.mn) for r in bounds])
+    spans = F.array(*[
+        F.lit(r.mx - r.mn) if r.mx > r.mn else F.lit(None).cast("double")
+        for r in bounds])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(spans, i + 1).isNotNull(),
+            F.least(
+                F.lit(levels - 1),
+                F.floor((x.cast("double") - F.element_at(mins, i + 1))
+                        / F.element_at(spans, i + 1) * F.lit(levels))),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    return df.withColumn(out_col, q)
+
+
 def embedding_centroids(
     df: DataFrame,
     group_col: str = "label",
@@ -476,6 +544,40 @@ class EmbeddingCentroids(KiaraModule):
             inputs["table"].data,
             group_col=self.config.get("group_column", "label"),
             vec_col=self.config.get("vector_column", "embedding"),
+        )}
+
+
+class EmbeddingNormalize(KiaraModule):
+    _module_type_name = "embedding.normalize"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": normalize_embeddings(
+            inputs["table"].data,
+            vec_col=self.config.get("vector_column", "embedding"),
+            dims=self.config.get("dims"),
+        )}
+
+
+class EmbeddingQuantizeInt8(KiaraModule):
+    _module_type_name = "embedding.quantize_int8"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": quantize_embeddings_int8(
+            inputs["table"].data,
+            vec_col=self.config.get("vector_column", "embedding"),
+            levels=self.config.get("levels", 256),
         )}
 
 
@@ -628,9 +730,11 @@ class EmbeddingKMeans(KiaraModule):
 
 
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
-           EmbeddingKMeans]
+           EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
+    Operation("embedding.normalize", "embedding.normalize"),
+    Operation("embedding.quantize_int8", "embedding.quantize_int8"),
     Operation("embedding.similarity.topk.ivf", "embedding.similarity.topk", {"method": "ivf"}),
     Operation("table.dedup.embedding_cosine", "table.dedup.embedding_cosine"),
     Operation("embedding.centroids", "embedding.centroids"),

@@ -6638,6 +6638,80 @@ def sssp_weighted_q(spark, sf_dir):
                                      rounds=4)
 
 
+@query(
+    "embedding_normalize_check",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS norm
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, norm,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) / norm, 7)
+                  AS DECIMAL(38,10)) AS e
+      FROM n
+    )
+    SELECT vec_id, ROUND(norm, 6) AS l2_norm,
+           CAST(ROUND(SUM(e), 6) AS DOUBLE) AS unit_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM u GROUP BY vec_id, norm
+    """,
+)
+def embedding_normalize_q(spark, sf_dir):
+    """L2 normalization (`embedding.normalize`): map-only unit-vector
+    rescale.  The check explodes the normalized vector and sums 7-dp-rounded
+    components as decimals (order-insensitive, engine-exact) alongside the
+    pre-normalization norm."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.normalize_embeddings(emb, vec_col="embedding")
+    ex = out.select(
+        "vec_id",
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.explode("embedding_unit").alias("_e"))
+    return ex.groupBy("vec_id", "l2_norm").agg(
+        F.round(F.sum(F.round(F.col("_e"), 7).cast("decimal(38,10)")), 6)
+        .cast("double").alias("unit_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"))
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), b AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos),
+    qq AS (
+      SELECT vec_id,
+             CASE WHEN mx > mn
+                  THEN LEAST(CAST(FLOOR((v - mn) / (mx - mn) * 256) AS BIGINT),
+                             255)
+                  ELSE 0 END AS q
+      FROM x JOIN b USING (pos)
+    )
+    SELECT vec_id, CAST(SUM(q) AS BIGINT) AS q_sum,
+           CAST(MIN(q) AS BIGINT) AS q_min, CAST(MAX(q) AS BIGINT) AS q_max
+    FROM qq GROUP BY vec_id
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Int8 scalar quantization (`embedding.quantize_int8`): per-dimension
+    min/max bounds (one posexplode aggregate, d rows to the driver as
+    literals) then a map-only transform.  Integer outputs make the oracle
+    exact: per-vector sum/min/max of the quantized codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings_int8(emb, vec_col="embedding")
+    return out.select(
+        "vec_id",
+        F.aggregate(F.col("embedding_q"), F.lit(0).cast("bigint"),
+                    lambda a, x: a + x.cast("bigint")).alias("q_sum"),
+        F.array_min("embedding_q").cast("bigint").alias("q_min"),
+        F.array_max("embedding_q").cast("bigint").alias("q_max"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -333,3 +333,47 @@ def test_kmeans_k_exceeds_rows_raises(spark):
 
 def test_kmeans_op_registered(ctx):
     assert ctx.operation_registry.resolve("embedding.kmeans") is not None
+
+
+def test_normalize_embeddings_unit_norm(spark):
+    from kiara_spark.operators.similarity import l2_norm, normalize_embeddings
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    out = normalize_embeddings(df, vec_col="embedding")
+    got = {r.vec_id: r.embedding_unit for r in out.collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero vector passes through, no NaN
+    norms = out.select(F.round(l2_norm(F.col("embedding_unit")), 9).alias("n")) \
+        .collect()
+    assert {r.n for r in norms} == {1.0, 0.0}
+
+
+def test_normalize_embeddings_matryoshka_dims(spark):
+    from kiara_spark.operators.similarity import normalize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0])], "vec_id long, embedding array<double>")
+    out = normalize_embeddings(df, vec_col="embedding", dims=2).collect()
+    assert out[0].embedding_unit == [0.6, 0.8]  # truncate THEN renormalize
+
+
+def test_quantize_int8_bounds_and_constant_dim(spark):
+    from kiara_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [5.0, 7.0]), (3, [10.0, 7.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding_q
+           for r in quantize_embeddings_int8(df, vec_col="embedding").collect()}
+    # dim 0 spans [0, 10]: min -> 0, max clamps to 255, midpoint -> 128
+    assert [out[1][0], out[2][0], out[3][0]] == [0, 128, 255]
+    # constant dim quantizes to 0 everywhere (no divide-by-zero)
+    assert [out[k][1] for k in (1, 2, 3)] == [0, 0, 0]
+
+
+def test_embedding_codec_ops_registered(ctx):
+    for op in ("embedding.normalize", "embedding.quantize_int8"):
+        assert ctx.operation_registry.resolve(op) is not None
