@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "graph_shortest_paths_weighted",
     "embedding_normalize_check",
     "embedding_quantize_int8",
+    "regression_orders_by_priority",
+    "events_ab_test_zscore",
+    "graph_kcore",
+    "text_term_freq_histogram",
 ]
 
 

@@ -273,6 +273,24 @@ def bm25_score(
     )
 
 
+def term_freq_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus frequency-of-frequencies: how many distinct terms occur
+    exactly n times — the Zipf/vocabulary profile used to pick stopword and
+    rare-term cutoffs before building vocabularies or TF-IDF weights.
+
+    Two cascaded hash aggregates (term counts, then count-of-counts); the
+    second input is the term vocabulary, so the histogram costs one small
+    aggregate beyond the (term) shuffle that any vocabulary build pays."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+    return tf.groupBy("occurrences").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+
+
 # -- modules ---------------------------------------------------------------
 
 
@@ -347,11 +365,24 @@ TableBm25Score = _simple_module(
         "pre-shuffle term filter, text never moves.",
 )
 
+TableTermFreqHistogram = _simple_module(
+    "table.term_freq_histogram",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": term_freq_histogram(
+        im["table"].data, text_col=self.config.get("text_column", "text"))},
+    doc="Corpus frequency-of-frequencies (Zipf profile); two cascaded "
+        "aggregates.",
+)
+
 MODULES = [TableRedactPii, TableDecontaminate, TableRepetitionStats,
-           TableTfidfTopTerms, TableInvertedIndex, TableBm25Score]
+           TableTfidfTopTerms, TableInvertedIndex, TableBm25Score,
+           TableTermFreqHistogram]
 OPERATIONS = [
     Operation("table.inverted_index", "table.inverted_index",
               doc="inverted index: term -> posting list"),
+    Operation("table.term_freq_histogram", "table.term_freq_histogram",
+              doc="corpus term frequency-of-frequencies"),
     Operation("table.bm25_score", "table.bm25_score",
               doc="BM25 relevance scores against a fixed query"),
     Operation("table.redact_pii", "table.redact_pii",

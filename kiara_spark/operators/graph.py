@@ -298,6 +298,45 @@ def bfs_hops(
     return visited
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Iterative k-core peeling: repeatedly remove nodes with degree < ``k``
+    (degree counted within the surviving subgraph) for ``rounds`` rounds,
+    then return the surviving nodes with their in-core degree — the standard
+    dense-subgraph/spam-farm filter.
+
+    The round count is FIXED so the result is a pure function of the graph
+    ("the subgraph after N peels", converging to the true k-core as rounds
+    grow) and an unrolled SQL twin can verify it exactly.  Per round: two
+    semi-join restrictions of the edge list to surviving endpoints + one
+    degree aggregate — all shuffles keyed on node id; the alive set only
+    shrinks, so per-round work is monotonically non-increasing.  Lineage is
+    cut per round (reliable checkpoint when ``KIARA_SPARK_CHECKPOINT_DIR``
+    is set, else localCheckpoint)."""
+    und = undirected_edges(edges)
+    if checkpoint:
+        und = cut_lineage(und)
+    alive = und.select(F.col("src").alias("id")).distinct()
+
+    def alive_degrees(a: DataFrame) -> DataFrame:
+        kept = (
+            und.join(a.select(F.col("id").alias("src")), "src")
+            .join(a.select(F.col("id").alias("dst")), "dst")
+        )
+        return kept.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree"))
+
+    for _ in range(rounds):
+        alive = alive_degrees(alive).filter(F.col("degree") >= k).select("id")
+        if checkpoint:
+            alive = cut_lineage(alive)
+    return alive_degrees(alive)
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     sources: DataFrame,
@@ -594,6 +633,24 @@ class GraphBfsHops(KiaraModule):
             max_hops=self.config.get("max_hops", 4))}
 
 
+class GraphKCore(KiaraModule):
+    """Fixed-round k-core peeling (degree-< k removal, see kcore_peel)."""
+
+    _module_type_name = "network_graph.kcore"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": kcore_peel(
+            inputs["graph"].data["edges"],
+            k=self.config.get("k", 2),
+            rounds=self.config.get("rounds", 3))}
+
+
 class GraphShortestPathsWeighted(KiaraModule):
     """Weighted shortest distances (Bellman-Ford rounds) from a source set."""
 
@@ -616,7 +673,7 @@ class GraphShortestPathsWeighted(KiaraModule):
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
            GraphComponents, GraphPagerank, GraphBfsHops,
-           GraphLabelPropagation, GraphShortestPathsWeighted]
+           GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -634,4 +691,5 @@ OPERATIONS = [
               "network_graph.label_propagation"),
     Operation("network_graph.shortest_paths_weighted",
               "network_graph.shortest_paths_weighted"),
+    Operation("network_graph.kcore", "network_graph.kcore"),
 ]

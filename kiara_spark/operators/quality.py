@@ -345,6 +345,51 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "_p.col_a", "_p.col_b", "_p.corr")
 
 
+def regression_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS closed form): slope,
+    intercept, and r² for y ~ x within every group — the grouped trend-fit
+    that replaces a per-group model loop with ONE aggregate pass.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²) · (n·Σy²−(Σy)²))
+
+    All five component sums accumulate as DECIMAL(38,6) (exact, order-
+    insensitive — same rationale as ``corr_matrix``), so the derived
+    doubles are bit-identical across engines and partitionings; groups with
+    zero x-variance yield NULL slope/r².  One hash aggregate keyed on the
+    group — map-side partials, no window, no per-group jobs — so the fit
+    costs the same as a COUNT(*) GROUP BY at any scale."""
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dec(x).alias("_sx"), dec(y).alias("_sy"),
+        dec(x * x).alias("_sxx"), dec(y * y).alias("_syy"),
+        dec(x * y).alias("_sxy"),
+    )
+    n = F.col("_n")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x > 0, cov_n / var_x)
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.when(var_x > 0,
+                       (F.col("_sy") - cov_n / var_x * F.col("_sx")) / n),
+                6).alias("intercept"),
+        F.round(F.when((var_x > 0) & (var_y > 0),
+                       cov_n * cov_n / (var_x * var_y)), 6).alias("r2"),
+    )
+
+
 def impute_nulls(df: DataFrame, cols: list[str],
                  strategy: str = "mean") -> DataFrame:
     """NULL imputation with the column's mean or median — the standard
@@ -628,6 +673,17 @@ TableImputeNulls = _simple_module(
         "aggregate + broadcast coalesce.",
 )
 
+TableRegressionByGroup = _simple_module(
+    "table.regression.by_group",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": regression_by_group(
+        im["table"].data, self.config["group_columns"],
+        self.config["x_column"], self.config["y_column"])},
+    doc="Per-group OLS fit (slope/intercept/r2) in one aggregate pass "
+        "(config: group_columns, x_column, y_column); exact decimal sums.",
+)
+
 TableCorrMatrix = _simple_module(
     "table.corr_matrix",
     {"table": TABLE},
@@ -695,7 +751,8 @@ TableChecksumRanges = _simple_module(
 MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
-           TableIncrementalAgg, TableDriftPsi, TableChecksumRanges]
+           TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
+           TableRegressionByGroup]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -725,4 +782,6 @@ OPERATIONS = [
               doc="PSI distribution-drift report between versions"),
     Operation("table.checksum.ranges", "table.checksum.ranges",
               doc="per-bucket order-insensitive content checksum"),
+    Operation("table.regression.by_group", "table.regression.by_group",
+              doc="per-group OLS slope/intercept/r2 in one pass"),
 ]

@@ -6712,6 +6712,168 @@ def embedding_quantize_q(spark, sf_dir):
         F.array_max("embedding_q").cast("bigint").alias("q_max"))
 
 
+@query(
+    "regression_orders_by_priority",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             epoch(o_orderdate) / 86400.0 AS x,
+             CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders
+    ), agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM base GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                 THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM agg
+    """,
+)
+def regression_q(spark, sf_dir):
+    """Per-group OLS trend fit (`table.regression.by_group`): order price
+    vs order date (epoch days) per priority class — five exact decimal
+    component sums in one hash aggregate, closed-form slope/intercept/r2."""
+    from .operators.quality import regression_by_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.unix_timestamp("o_orderdate") / 86400.0).alias("x"),
+        F.col("o_totalprice").alias("y"))
+    return regression_by_group(o, ["o_orderpriority"], "x", "y")
+
+
+@query(
+    "events_ab_test_zscore",
+    """
+    WITH users AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS DOUBLE) AS c1
+      FROM users
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treatment, CAST(c1 AS BIGINT) AS conv_treatment,
+           ROUND(CASE WHEN n0 > 0 THEN c0 / n0 END, 6) AS rate_control,
+           ROUND(CASE WHEN n1 > 0 THEN c1 / n1 END, 6) AS rate_treatment,
+           ROUND(CASE WHEN n0 > 0 AND n1 > 0
+                       AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+                 THEN (c1 / n1 - c0 / n0)
+                      / sqrt((c0 + c1) / (n0 + n1) * (1 - (c0 + c1) / (n0 + n1))
+                             * (1 / n0 + 1 / n1)) END, 6) AS z_score
+    FROM s
+    """,
+)
+def ab_test_q(spark, sf_dir):
+    """Two-proportion A/B conversion test over the event log: users split
+    by id parity, conversion = any purchase; pooled-variance z-score.  One
+    per-user reduction + one 1-row conditional aggregate — experiment
+    readouts cost two scans of nothing but the log at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("conv")).withColumn("variant", F.pmod("user_id", F.lit(2)))
+    v0 = F.col("variant") == 0
+    s = users.agg(
+        F.sum(F.when(v0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(v0, F.col("conv")).otherwise(0)).cast("double").alias("c0"),
+        F.sum(F.when(~v0, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(~v0, F.col("conv")).otherwise(0)).cast("double").alias("c1"))
+    n0, c0, n1, c1 = F.col("n0"), F.col("c0"), F.col("n1"), F.col("c1")
+    pp = (c0 + c1) / (n0 + n1)
+    return s.select(
+        n0.cast("bigint").alias("n_control"),
+        c0.cast("bigint").alias("conv_control"),
+        n1.cast("bigint").alias("n_treatment"),
+        c1.cast("bigint").alias("conv_treatment"),
+        F.round(F.when(n0 > 0, c0 / n0), 6).alias("rate_control"),
+        F.round(F.when(n1 > 0, c1 / n1), 6).alias("rate_treatment"),
+        # degenerate splits (empty arm, 0% or 100% pooled conversion) have a
+        # zero-variance denominator -> NULL z, mirrored in the oracle
+        F.round(F.when((n0 > 0) & (n1 > 0) & (c0 + c1 > 0)
+                       & (c0 + c1 < n0 + n1),
+                       (c1 / n1 - c0 / n0)
+                       / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))), 6)
+        .alias("z_score"))
+
+
+def _kcore_round_sql(prev: str, k: int) -> str:
+    return f"""
+      SELECT u.src AS id FROM und u
+      JOIN {prev} s ON u.src = s.id
+      JOIN {prev} t ON u.dst = t.id
+      GROUP BY u.src HAVING COUNT(*) >= {k}
+    """
+
+
+@query(
+    "graph_kcore",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    a0 AS (SELECT DISTINCT src AS id FROM und),
+    a1 AS ({_kcore_round_sql('a0', 3)}),
+    a2 AS ({_kcore_round_sql('a1', 3)}),
+    a3 AS ({_kcore_round_sql('a2', 3)})
+    SELECT u.src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM und u JOIN a3 s ON u.src = s.id JOIN a3 t ON u.dst = t.id
+    GROUP BY u.src
+    """,
+)
+def kcore_q(spark, sf_dir):
+    """k-core peeling (`network_graph.kcore`, k=3, 3 rounds) over the
+    co-purchase graph: per round two endpoint semi-restrictions + one
+    degree aggregate, alive set only shrinks — vs a 3-deep unrolled SQL
+    twin."""
+    from .operators import graph as G
+
+    return G.kcore_peel(_copurchase_edges(spark, sf_dir), k=3, rounds=3)
+
+
+@query(
+    "text_term_freq_histogram",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM toks GROUP BY term
+    )
+    SELECT occurrences, CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM tf GROUP BY occurrences
+    """,
+)
+def term_freq_histogram_q(spark, sf_dir):
+    """Corpus frequency-of-frequencies (`table.term_freq_histogram`): the
+    Zipf/vocabulary profile — two cascaded hash aggregates."""
+    from .operators.curation import term_freq_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_freq_histogram(docs, text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -202,3 +202,14 @@ def test_bm25_multi_term_hit_count(spark):
 def test_search_ops_registered(ctx):
     for op in ("table.inverted_index", "table.bm25_score"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_term_freq_histogram(spark):
+    from kiara_spark.operators.curation import term_freq_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {r.occurrences: r.n_terms
+           for r in term_freq_histogram(df).collect()}
+    # a:2, b:2, c:1 -> one singleton term, two doubled terms
+    assert out == {1: 1, 2: 2}

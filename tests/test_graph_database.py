@@ -287,3 +287,31 @@ def test_shortest_paths_weighted_multi_source_min(spark):
 def test_sssp_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.shortest_paths_weighted") is not None
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from kiara_spark.operators.graph import kcore_peel
+
+    # 4-clique {1,2,3,4} with a pendant chain 4-5-6
+    rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = {r.id: r.degree for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    # chain nodes peel (degree < 3); the clique survives at degree 3
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_round_cap_partial_peel(spark):
+    from kiara_spark.operators.graph import kcore_peel
+
+    # a 4-chain peels completely under k=2 with enough rounds, but one
+    # round only removes the endpoints
+    rows = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    one = {r.id for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert one == {2, 3}
+    full = kcore_peel(edges, k=2, rounds=3).collect()
+    assert full == []
+
+
+def test_kcore_op_registered(ctx):
+    assert ctx.operation_registry.resolve("network_graph.kcore") is not None

@@ -312,3 +312,31 @@ def test_incremental_agg_maintain_algebra(spark):
     got = {r["k"]: (r["cnt"], float(r["total"]))
            for r in incremental_agg_maintain(base, changes, ["k"]).collect()}
     assert got == {"a": (3, 45.0), "c": (1, 7.0)}
+
+
+def test_regression_by_group_exact_line(spark):
+    from kiara_spark.operators.quality import regression_by_group
+
+    # group A: exact line y = 2x + 1; group B: zero x-variance
+    rows = [("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0),
+            ("B", 4.0, 1.0), ("B", 4.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in regression_by_group(df, ["g"], "x", "y").collect()}
+    assert out["A"].slope == 2.0 and out["A"].intercept == 1.0
+    assert out["A"].r2 == 1.0 and out["A"].n_rows == 3
+    # degenerate x -> NULL fit, not a crash or fake zero
+    assert out["B"].slope is None and out["B"].r2 is None
+
+
+def test_regression_partition_invariant(spark):
+    from kiara_spark.operators.quality import regression_by_group
+
+    rows = [("A", float(i % 17), float((i * 7) % 23)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = regression_by_group(df, ["g"], "x", "y").collect()[0]
+    b = regression_by_group(df.repartition(13), ["g"], "x", "y").collect()[0]
+    assert (a.slope, a.intercept, a.r2) == (b.slope, b.intercept, b.r2)
+
+
+def test_regression_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.regression.by_group") is not None
