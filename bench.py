@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "events_ab_test_zscore",
     "graph_kcore",
     "text_term_freq_histogram",
+    "scalar_regex_battery",
+    "scalar_bitwise_battery",
+    "agg_minby_mode_battery",
 ]
 
 

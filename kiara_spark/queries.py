@@ -6874,6 +6874,102 @@ def term_freq_histogram_q(spark, sf_dir):
     return term_freq_histogram(docs, text_col="text")
 
 
+@query(
+    "scalar_regex_battery",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+             AS vowel_runs,
+           regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_masked,
+           CAST(regexp_matches(p_name, '^[a-z]+ ') AS BOOLEAN)
+             AS starts_with_word,
+           regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def scalar_regex_q(spark, sf_dir):
+    """Regex scalar battery: extract/extract_all/replace/match across Java
+    regex (Spark) and RE2 (DuckDB) — patterns are lookaround-free and
+    anchored so both engines agree.  Note the portability seams the battery
+    pins down: DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default, and group extraction on a non-match is ''
+    in both engines."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)"))
+        .cast("bigint").alias("vowel_runs"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("type_masked"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_with_word"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "scalar_bitwise_battery",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 2 AS shifted_left,
+           o_orderkey >> 3 AS shifted_right,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           ~o_orderkey AS complement
+    FROM orders
+    """,
+)
+def scalar_bitwise_q(spark, sf_dir):
+    """Bitwise scalar battery: and/or/xor/shifts/popcount/complement —
+    the primitives under bitmap indexes, bloom filters, and hash mixing,
+    verified across engines on bigint keys."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ o_custkey").alias("key_xor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_left"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_right"),
+        F.expr("cast(bit_count(o_orderkey) as bigint)").alias("popcount"),
+        F.expr("~o_orderkey").alias("complement"),
+    )
+
+
+@query(
+    "agg_minby_mode_battery",
+    """
+    SELECT o_orderpriority,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_expensive,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_huge,
+           ROUND(CAST(median(o_totalprice) AS DOUBLE), 4) AS med_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_minby_q(spark, sf_dir):
+    """Selector/conditional aggregate battery: min_by/max_by (argmin with
+    the engine's tiebreak made irrelevant by unique prices per group —
+    fixture property), count_if, bool_and/bool_or, median — one hash
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
+        F.expr("cast(count_if(o_totalprice > 100000) as bigint)")
+        .alias("n_expensive"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_totalprice > 500000)").alias("any_huge"),
+        F.expr("round(cast(median(o_totalprice) as double), 4)")
+        .alias("med_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
