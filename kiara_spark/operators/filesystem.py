@@ -80,6 +80,65 @@ def import_file_bundle(
     return df
 
 
+def incremental_read(
+    spark: SparkSession,
+    path: str,
+    state_path: str,
+    file_format: str = "parquet",
+) -> tuple[DataFrame, dict]:
+    """Batch-incremental file ingest (the Auto-Loader/`availableNow` pattern
+    for plain batch jobs): read ONLY the files under ``path`` that a
+    previous run has not already processed, then record them in a ledger at
+    ``state_path`` so the next run skips them.
+
+    The ledger is a JSON list of (relative path, size) pairs — a file that
+    is rewritten with a different size is treated as new, silent in-place
+    same-size rewrites are not (documented limitation; parquet writers
+    never do that).  The ledger update is atomic (tmp + rename), and it is
+    written BEFORE the returned DataFrame is consumed — callers that crash
+    mid-consume re-run with a fresh ledger read, so delivery is
+    at-most-once per ledger commit; wrap the consume + ledger in the job
+    cache for effectively-once.  Listing is driver-side (one os.walk —
+    cheap next to any scan); the returned plan reads just the new files, so
+    a daily incremental over a 100 TB archive scans only the day's arrivals.
+
+    Returns (DataFrame over new files only — empty with the right schema if
+    nothing is new, report dict)."""
+    import json
+
+    base = os.path.abspath(path)
+    current: dict[str, int] = {}
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, n)
+            current[os.path.relpath(p, base)] = os.path.getsize(p)
+
+    seen: dict[str, int] = {}
+    if os.path.isfile(state_path):
+        with open(state_path) as f:
+            seen = {k: v for k, v in json.load(f)["files"]}
+
+    new_files = sorted(rel for rel, size in current.items()
+                       if seen.get(rel) != size)
+    if new_files:
+        df = spark.read.format(file_format).load(
+            [os.path.join(base, rel) for rel in new_files])
+    else:
+        df = spark.read.format(file_format).load(base).limit(0)
+
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": sorted(current.items())}, f)
+    os.replace(tmp, state_path)
+    return df, {
+        "n_new_files": len(new_files),
+        "n_known_files": len(seen),
+        "new_files": new_files,
+    }
+
+
 def bundle_to_text_table(df: DataFrame, encoding: str = "utf-8") -> DataFrame:
     """file_bundle -> (rel_path, text, length, mtime): the bridge from raw
     corpora to the text-analysis operators."""
@@ -230,9 +289,31 @@ class ExportFile(KiaraModule):
         return {"export_details": {"path": target, "size": src.size}}
 
 
+class ImportIncrementalFiles(KiaraModule):
+    """Batch-incremental ingest: only files unseen by the ledger are read
+    (see incremental_read).  Non-idempotent by nature — each run advances
+    the ledger."""
+
+    _module_type_name = "import.incremental.files"
+    _characteristics = ModuleCharacteristics(is_idempotent=False)
+
+    def create_inputs_schema(self):
+        return {"path": {"type": "string"}, "state_path": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}, "report": {"type": "dict"}}
+
+    def process(self, inputs: ValueMap, context):
+        df, report = incremental_read(
+            context.spark, inputs["path"].data, inputs["state_path"].data,
+            file_format=self.config.get("file_format", "parquet"))
+        return {"table": df, "report": report}
+
+
 MODULES = [
     ImportLocalFile, ImportLocalFileBundle, CreateFileFromBytes,
     FileBundlePickFile, FileBundlePickSubFolder, FileBundleToTextTable, ExportFile,
+    ImportIncrementalFiles,
 ]
 
 OPERATIONS = [
@@ -241,4 +322,6 @@ OPERATIONS = [
     Operation("create.table.from.file_bundle", "create.table.from.file_bundle",
               operation_type="create_from"),
     Operation("export.file.as.copy", "export.file", operation_type="export_as"),
+    Operation("import.incremental.files", "import.incremental.files",
+              operation_type="import_data"),
 ]

@@ -266,3 +266,29 @@ def test_json_corrupt_record_handling(spark, tmp_path):
         spark, str(p), file_format="json", schema="id bigint, t string",
         mode="DROPMALFORMED")
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_incremental_read_only_new_files(spark, tmp_path):
+    from kiara_spark.operators.filesystem import incremental_read
+
+    src = str(tmp_path / "incoming")
+    ledger = str(tmp_path / "ledger.json")
+    spark.range(0, 10).coalesce(1).write.parquet(src)
+
+    df1, r1 = incremental_read(spark, src, ledger)
+    assert df1.count() == 10 and r1["n_new_files"] == 1
+
+    # second run with nothing new: empty result, schema preserved
+    df2, r2 = incremental_read(spark, src, ledger)
+    assert df2.count() == 0 and r2["n_new_files"] == 0
+    assert df2.schema == df1.schema
+
+    # append a batch: only its rows surface
+    spark.range(100, 103).coalesce(1).write.mode("append").parquet(src)
+    df3, r3 = incremental_read(spark, src, ledger)
+    assert r3["n_new_files"] >= 1
+    assert sorted(r.id for r in df3.collect()) == [100, 101, 102]
+
+
+def test_incremental_read_op_registered(ctx):
+    assert ctx.operation_registry.resolve("import.incremental.files") is not None

@@ -292,3 +292,24 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan or "AdaptiveSparkPlan" in plan
+
+
+def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
+    """A selective dim filter must prune fact PARTITIONS at runtime (DPP):
+    the fact side's scan carries a dynamicpruning subquery on the partition
+    column instead of reading every partition."""
+    fact_path = str(tmp_path / "fact")
+    (spark.range(0, 2000)
+     .withColumn("part_key", F.col("id") % 20)
+     .withColumn("v", F.col("id") * 3)
+     .write.partitionBy("part_key").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("dim_key"),
+        (F.col("id") % 4).alias("dim_cat"))
+    joined = fact.join(dim, fact.part_key == dim.dim_key).filter(
+        F.col("dim_cat") == 1)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result is correct: 5 of 20 partitions survive
+    assert joined.count() == 500
