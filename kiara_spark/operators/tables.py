@@ -569,6 +569,55 @@ def export_table(df: DataFrame, path: str, file_format: str = "parquet",
     return {"path": path, "format": file_format, "partition_by": partition_by or []}
 
 
+def export_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    file_format: str = "parquet",
+) -> dict:
+    """Deterministic hash-sharded export — the layout a training-data loader
+    consumes: ``shard=K/`` subdirectories with shard membership a pure
+    function of the id (``pmod(xxhash64(id), n_shards)``), so re-exports of
+    the same data land every row in the same shard regardless of
+    partitioning, cluster size, or input order.
+
+    One shuffle: repartition on the shard key routes each shard's rows
+    together, then the partitioned write emits one file per (shard,
+    partition) — with the repartition keyed on the shard value that is ~1
+    file per shard dir.  A manifest (rows + id-hash checksum per shard,
+    computed in the SAME job pass semantics as the data — one small
+    aggregate) is written next to the data; loaders use it to verify a
+    shard set is complete before training starts."""
+    import json
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    out = df.withColumn("_shard", shard)
+    manifest_rows = (
+        out.groupBy("_shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             # full-range 64-bit hashes overflow a BIGINT sum under ANSI:
+             # accumulate exactly as decimal, fold back into bigint range
+             F.pmod(F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")),
+                    F.lit(2 ** 62)).cast("bigint").alias("id_checksum"))
+        .collect()
+    )
+    (out.repartition(n_shards, "_shard")
+        .write.mode("overwrite").partitionBy("_shard")
+        .format(file_format).save(path))
+    manifest = {
+        "n_shards": n_shards,
+        "id_column": id_col,
+        "format": file_format,
+        "shards": {int(r._shard): {"n_rows": r.n_rows,
+                                   "id_checksum": r.id_checksum}
+                   for r in manifest_rows},
+    }
+    with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def observe_metrics(df: DataFrame, metrics: dict):
     """Attach free pipeline metrics to a plan: the returned DataFrame is
     unchanged, and after ANY action on it the named aggregates are
@@ -914,6 +963,19 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+ExportSharded = _simple_module(
+    "export.table.sharded",
+    {"table": TABLE, "path": STRING}, {"manifest": DICT},
+    lambda self, im, ctx: {"manifest": export_sharded(
+        im["table"].data, im["path"].data,
+        n_shards=self.config.get("n_shards", 16),
+        id_col=self.config["id_column"],
+        file_format=self.config.get("file_format", "parquet"))},
+    doc="Deterministic hash-sharded training export with a per-shard "
+        "manifest (config: n_shards, id_column, file_format).",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
+)
+
 TableFileStats = _simple_module(
     "table.file_stats",
     {"path": STRING}, {"table": TABLE},
@@ -939,7 +1001,7 @@ MODULES = [
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
-    TableFileStats,
+    TableFileStats, ExportSharded,
 ]
 
 OPERATIONS = [
@@ -957,6 +1019,9 @@ OPERATIONS = [
               doc="snapshot-dir retention (keep N newest)"),
     Operation("table.file_stats", "table.file_stats",
               doc="per-file min/max zone-map audit (data skipping)"),
+    Operation("export.table.sharded", "export.table.sharded",
+              operation_type="export_as",
+              doc="hash-sharded training export + manifest"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

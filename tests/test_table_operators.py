@@ -257,3 +257,34 @@ def test_file_stats_per_file_minmax(spark, tmp_path):
 
 def test_file_stats_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.file_stats") is not None
+
+
+def test_export_sharded_deterministic_and_complete(spark, tmp_path):
+    import json
+    import os
+
+    from kiara_spark.operators.tables import export_sharded
+
+    df = spark.range(0, 500).withColumn("v", F.col("id") * 7)
+    p1 = str(tmp_path / "shards1")
+    m1 = export_sharded(df, p1, n_shards=4, id_col="id")
+    # every row lands in exactly one shard; totals add up
+    assert sum(s["n_rows"] for s in m1["shards"].values()) == 500
+    dirs = sorted(d for d in os.listdir(p1) if d.startswith("_shard="))
+    assert dirs == [f"_shard={i}" for i in sorted(m1["shards"])]
+    # shard membership is a pure function of the id: a differently
+    # partitioned re-export produces the identical manifest
+    m2 = export_sharded(df.repartition(13), str(tmp_path / "shards2"),
+                        n_shards=4, id_col="id")
+    assert m1["shards"] == m2["shards"]
+    # manifest on disk matches the returned one
+    disk = json.load(open(os.path.join(p1, "_shard_manifest.json")))
+    assert {int(k): v for k, v in disk["shards"].items()} == m1["shards"]
+    # read-back preserves every row
+    back = spark.read.parquet(p1)
+    assert back.count() == 500
+    assert back.select(F.sum("v")).collect()[0][0] == df.select(F.sum("v")).collect()[0][0]
+
+
+def test_export_sharded_op_registered(ctx):
+    assert ctx.operation_registry.resolve("export.table.sharded") is not None
