@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "scalar_regex_battery",
     "scalar_bitwise_battery",
     "agg_minby_mode_battery",
+    "scalar_generator_battery",
+    "scalar_stack_inline_battery",
 ]
 
 

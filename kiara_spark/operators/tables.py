@@ -500,6 +500,41 @@ def vacuum_snapshots(path: str, keep_latest: int = 2) -> dict:
     return {"kept": kept, "removed": removed}
 
 
+def time_travel_snapshot(
+    spark: SparkSession,
+    path: str,
+    as_of: str | None = None,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Snapshot time travel over the engine's snapshot-dir convention (each
+    write lands in a timestamp-named subdirectory; ``vacuum_snapshots``
+    bounds retention): read the table AS OF a point in time.
+
+    ``snapshot`` picks a subdirectory by exact name; ``as_of`` (any string
+    that sorts lexicographically with the snapshot names, e.g. an ISO
+    timestamp prefix) picks the NEWEST snapshot <= it; neither picks the
+    newest overall.  Selection is a driver-side directory listing — no data
+    is touched until the returned DataFrame is consumed, and the scan reads
+    exactly one snapshot's files."""
+    names = sorted(e.name for e in os.scandir(path) if e.is_dir())
+    if not names:
+        raise FileNotFoundError(f"no snapshots under {path}")
+    if snapshot is not None:
+        if snapshot not in names:
+            raise FileNotFoundError(
+                f"snapshot {snapshot!r} not in {names}")
+        pick = snapshot
+    elif as_of is not None:
+        eligible = [n for n in names if n <= as_of]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot at or before {as_of!r}; earliest is {names[0]}")
+        pick = eligible[-1]
+    else:
+        pick = names[-1]
+    return spark.read.parquet(os.path.join(path, pick))
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -963,6 +998,17 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableTimeTravel = _simple_module(
+    "table.time_travel",
+    {"path": STRING}, {"table": TABLE},
+    lambda self, im, ctx: {"table": time_travel_snapshot(
+        ctx.spark, im["path"].data,
+        as_of=self.config.get("as_of"),
+        snapshot=self.config.get("snapshot"))},
+    doc="Read a snapshot-dir table AS OF a time (config: as_of | snapshot); "
+        "driver-side pick, scans one snapshot only.",
+)
+
 ExportSharded = _simple_module(
     "export.table.sharded",
     {"table": TABLE, "path": STRING}, {"manifest": DICT},
@@ -1001,7 +1047,7 @@ MODULES = [
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
-    TableFileStats, ExportSharded,
+    TableFileStats, ExportSharded, TableTimeTravel,
 ]
 
 OPERATIONS = [
@@ -1022,6 +1068,8 @@ OPERATIONS = [
     Operation("export.table.sharded", "export.table.sharded",
               operation_type="export_as",
               doc="hash-sharded training export + manifest"),
+    Operation("table.time_travel", "table.time_travel",
+              doc="snapshot-dir AS OF read (time travel)"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

@@ -6970,6 +6970,75 @@ def agg_minby_q(spark, sf_dir):
     )
 
 
+@query(
+    "scalar_generator_battery",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST([] AS BIGINT[])
+                  ELSE [o_orderkey, o_custkey] END AS a
+      FROM orders
+    ), padded AS (
+      SELECT k, a,
+             CASE WHEN len(a) = 0 THEN [CAST(NULL AS BIGINT)] ELSE a END AS ap
+      FROM src
+    ), ex AS (
+      SELECT k, len(a) AS alen,
+             generate_subscripts(ap, 1) AS pos1, unnest(ap) AS v
+      FROM padded
+    )
+    SELECT k, CASE WHEN alen = 0 THEN NULL
+                   ELSE CAST(pos1 - 1 AS BIGINT) END AS pos, v
+    FROM ex
+    """,
+)
+def scalar_generator_q(spark, sf_dir):
+    """Generator battery: posexplode_outer keeps EMPTY-array parents as a
+    (NULL, NULL) row instead of dropping them — the outer-generator
+    semantic a plain explode loses (every third order here has an empty
+    array).  The DuckDB twin emulates it by padding empties with [NULL]."""
+    o = _t(spark, sf_dir, "orders")
+    arr = F.when(F.col("o_orderkey") % 3 == 0,
+                 F.array().cast("array<bigint>")) \
+        .otherwise(F.array("o_orderkey", "o_custkey"))
+    return (
+        o.select(F.col("o_orderkey").alias("k"), arr.alias("a"))
+        .select("k", F.posexplode_outer("a").alias("pos", "v"))
+        .select("k", F.col("pos").cast("bigint").alias("pos"), "v")
+    )
+
+
+@query(
+    "scalar_stack_inline_battery",
+    """
+    SELECT o_orderkey AS k, 'price' AS lbl,
+           ROUND(o_totalprice, 4) AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'half', ROUND(o_totalprice / 2, 4) FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key2', CAST(o_orderkey * 2 AS DOUBLE) FROM orders
+    """,
+)
+def scalar_stack_inline_q(spark, sf_dir):
+    """Row-generator battery: ``stack`` (wide -> long unpivot generator)
+    and ``inline`` (array-of-structs -> rows) produce the same long form a
+    4-way UNION ALL spells out — but in ONE scan with a codegen Expand
+    node instead of four passes over the table."""
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("stack(2, 'price', round(o_totalprice, 4), "
+               "'half', round(o_totalprice / 2, 4)) AS (lbl, val)"))
+    inlined = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("inline(array("
+               "struct('cust' AS lbl, cast(o_custkey AS double) AS val), "
+               "struct('key2' AS lbl, cast(o_orderkey * 2 AS double) AS val)))"))
+    return stacked.unionByName(inlined)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

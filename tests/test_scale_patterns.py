@@ -313,3 +313,24 @@ def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and the result is correct: 5 of 20 partitions survive
     assert joined.count() == 500
+
+
+def test_join_strategy_hints_honored(spark):
+    """Join-strategy hints are the manual override when stats mislead the
+    planner at scale: each hint must surface as the corresponding physical
+    join, and an explicit broadcast of a 'large' side must beat the
+    sort-merge default."""
+    a = spark.range(0, 10000).select(F.col("id").alias("k"), F.col("id").alias("va"))
+    b = spark.range(0, 10000).select(F.col("id").alias("k"), F.col("id").alias("vb"))
+
+    merge_plan = a.join(b.hint("merge"), "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in merge_plan
+
+    shuffle_hash_plan = a.join(b.hint("shuffle_hash"), "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in shuffle_hash_plan
+
+    bcast_plan = a.join(F.broadcast(b), "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bcast_plan

@@ -288,3 +288,27 @@ def test_export_sharded_deterministic_and_complete(spark, tmp_path):
 
 def test_export_sharded_op_registered(ctx):
     assert ctx.operation_registry.resolve("export.table.sharded") is not None
+
+
+def test_time_travel_snapshot_selection(spark, tmp_path):
+    from kiara_spark.operators.tables import time_travel_snapshot
+
+    root = str(tmp_path / "snaps")
+    for name, hi in [("2024-01-01T00", 10), ("2024-02-01T00", 20),
+                     ("2024-03-01T00", 30)]:
+        spark.range(0, hi).write.parquet(f"{root}/{name}")
+    # as_of between snapshots picks the newest one at-or-before
+    assert time_travel_snapshot(spark, root, as_of="2024-02-15").count() == 20
+    # exact boundary is inclusive
+    assert time_travel_snapshot(spark, root, as_of="2024-01-01T00").count() == 10
+    # no argument = newest; explicit name = that snapshot
+    assert time_travel_snapshot(spark, root).count() == 30
+    assert time_travel_snapshot(
+        spark, root, snapshot="2024-02-01T00").count() == 20
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        time_travel_snapshot(spark, root, as_of="2023-12-31")
+
+
+def test_time_travel_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.time_travel") is not None
