@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "agg_minby_mode_battery",
     "scalar_generator_battery",
     "scalar_stack_inline_battery",
+    "asof_join_cogroup_click_purchase",
+    "agg_pandas_geomean",
 ]
 
 

@@ -457,10 +457,102 @@ class IntervalOverlapJoin(KiaraModule):
             bucket_width=float(cfg.get("bucket_width", 86400.0)))}
 
 
-MODULES = [AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    right_value: str = "value",
+) -> DataFrame:
+    """Backward as-of join on the TRUE cogroup API:
+    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with a
+    per-key ``pandas.merge_asof`` — the Arrow-vectorized escape hatch for
+    per-key alignment logic the relational form can't express (here it CAN,
+    so the relational ``asof_join``'s SQL oracle verifies this path too).
+
+    Scale shape: both sides shuffle once on the key (same as the relational
+    form); per key the work is two in-memory sorts + one linear merge.  The
+    caveat vs the window formulation is per-key memory — one key's rows must
+    fit in a pandas frame — which is also exactly when you'd choose cogroup:
+    bounded keys, custom per-key logic.  Right-side ties on (key, ts)
+    collapse to the max id first, so the match is deterministic."""
+    import pandas as pd
+
+    l = left.select(F.col(by).alias("_k"), F.col(left_id).alias("_lid"),
+                    F.col(ts_col).alias("_lts"))
+    r = right.select(F.col(by).alias("_k"), F.col(right_id).alias("_rid"),
+                     F.col(ts_col).alias("_rts"),
+                     F.col(right_value).alias("_rval"))
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts_us": pd.Series(dtype="int64"),
+                "purchase_ts_us": pd.Series(dtype="Int64"),
+                "purchase_event_id": pd.Series(dtype="Int64"),
+                "purchase_value": pd.Series(dtype="float64")})
+        lpdf = lpdf.sort_values("_lts", kind="mergesort")
+        out = pd.DataFrame({
+            "event_id": lpdf["_lid"].astype("int64"),
+            "user_id": lpdf["_k"].astype("int64"),
+            "ts_us": lpdf["_lts"].astype("datetime64[us]").astype("int64"),
+        })
+        if rpdf.empty:
+            out["purchase_ts_us"] = pd.Series([pd.NA] * len(out), dtype="Int64")
+            out["purchase_event_id"] = pd.Series([pd.NA] * len(out), dtype="Int64")
+            out["purchase_value"] = pd.Series([None] * len(out), dtype="float64")
+            return out
+        rr = (rpdf.sort_values(["_rts", "_rid"], kind="mergesort")
+              .drop_duplicates("_rts", keep="last")
+              .rename(columns={"_rts": "_ts"}))
+        rr["_mts"] = rr["_ts"]  # carry the matched timestamp through
+        merged = pd.merge_asof(
+            lpdf.rename(columns={"_lts": "_ts"}), rr,
+            on="_ts", direction="backward")
+        mts = merged["_mts"]
+        ts_int = pd.Series(
+            mts.values.astype("datetime64[us]").astype("int64"), dtype="Int64")
+        ts_int[mts.isna().values] = pd.NA
+        out["purchase_ts_us"] = ts_int.values
+        out["purchase_event_id"] = merged["_rid"].astype("Int64").values
+        out["purchase_value"] = merged["_rval"].astype("float64").values
+        return out
+
+    schema = ("event_id long, user_id long, ts_us long, "
+              "purchase_ts_us long, purchase_event_id long, "
+              "purchase_value double")
+    return l.groupBy("_k").cogroup(r.groupBy("_k")).applyInPandas(merge, schema)
+
+
+class AsofJoinCogroup(KiaraModule):
+    """As-of join on the cogroup+applyInPandas API (per-key merge_asof) —
+    the vectorized-Python seam for custom per-key alignment."""
+
+    _module_type_name = "table.join.asof_cogroup"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": asof_join_cogroup(
+            inputs["left"].data,
+            inputs["right"].data,
+            by=self.config.get("by", "user_id"),
+            ts_col=self.config.get("ts_column", "ts"))}
+
+
+MODULES = [AsofJoinCogroup, AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,
            BloomPrefilterJoin]
 OPERATIONS = [
     Operation("table.join.asof", "table.join.asof"),
+    Operation("table.join.asof_cogroup", "table.join.asof_cogroup"),
     Operation("table.join.range", "table.join.range"),
     Operation("table.join.interval_overlap", "table.join.interval_overlap"),
     Operation("table.join.salted", "table.join.salted"),

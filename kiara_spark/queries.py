@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+# `from __future__ import annotations`, which stringifies them)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -7037,6 +7039,82 @@ def scalar_stack_inline_q(spark, sf_dir):
                "struct('cust' AS lbl, cast(o_custkey AS double) AS val), "
                "struct('key2' AS lbl, cast(o_orderkey * 2 AS double) AS val)))"))
     return stacked.unionByName(inlined)
+
+
+@query(
+    "asof_join_cogroup_click_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS purchase_ts_us,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, MAX(event_id) AS event_id,
+             max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_cogroup_q(spark, sf_dir):
+    """The SAME backward as-of semantics as `asof_join_click_purchase`, but
+    on the TRUE cogroup API (`table.join.asof_cogroup`):
+    groupBy(key).cogroup(groupBy(key)).applyInPandas with a per-key
+    pandas.merge_asof.  Right-side (user, ts) ties collapse to the max
+    event id in both the operator and the oracle, so the match is
+    deterministic."""
+    from .operators.joins import asof_join_cogroup
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join_cogroup(clicks, purchases, by="user_id", ts_col="ts")
+
+
+@query(
+    "agg_pandas_geomean",
+    """
+    SELECT o_orderpriority,
+           ROUND(exp(CAST(SUM(CAST(ROUND(ln(o_totalprice), 9)
+                                   AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*)), 6) AS geomean_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pandas_geomean_q(spark, sf_dir):
+    """Grouped-AGGREGATE pandas UDF (the UDAF seam of the UDF surface —
+    SURVEY §2.3 'grouped-agg = UDAF-like'): per-priority geometric mean of
+    order prices, computed in Arrow-batched Python.
+
+    Determinism contract: each log rounds to 9 dp and accumulates as exact
+    Decimal inside the UDF — the same arithmetic the SQL twin spells out —
+    so the result is independent of row order and partitioning (a plain
+    float sum in the UDF would drift from any SQL engine's own order)."""
+    from decimal import Decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import math
+
+        s = sum((Decimal(repr(round(math.log(x), 9))) for x in v),
+                Decimal(0))
+        return round(math.exp(float(s) / len(v)), 6)
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides along
+        # as a second pandas aggregate
+        return len(v)
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        geomean("o_totalprice").alias("geomean_price"),
+        n_rows("o_totalprice").alias("n_rows"))
 
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,34 @@ def test_asof_tiebreak_picks_latest(spark):
     got = asof_join(left, right, by="k", left_ts="ts", value_cols=["v"],
                     strict=True, tiebreak="eid").collect()
     assert got[0]["v_matched"] == "tb9"  # largest tiebreak at the shared ts
+
+
+def test_asof_cogroup_matches_relational(spark):
+    from datetime import datetime
+
+    from kiara_spark.operators.joins import asof_join_cogroup
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    clicks = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:00:00")),
+         (2, 7, _ts("2024-01-01 12:00:00")),
+         (3, 8, _ts("2024-01-01 09:00:00"))],  # user 8: no purchase at all
+        "event_id long, user_id long, ts timestamp")
+    purchases = spark.createDataFrame(
+        [(10, 7, _ts("2024-01-01 09:30:00"), 5.0),
+         (11, 7, _ts("2024-01-01 11:00:00"), 7.0),
+         # same-instant tie: the max event_id must win deterministically
+         (12, 7, _ts("2024-01-01 11:00:00"), 9.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    out = {r.event_id: r for r in asof_join_cogroup(
+        clicks, purchases).collect()}
+    assert out[1].purchase_event_id == 10 and out[1].purchase_value == 5.0
+    assert out[2].purchase_event_id == 12 and out[2].purchase_value == 9.0
+    assert out[3].purchase_event_id is None
+    assert out[3].purchase_ts_us is None
+
+
+def test_asof_cogroup_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.join.asof_cogroup") is not None
