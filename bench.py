@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "scalar_stack_inline_battery",
     "asof_join_cogroup_click_purchase",
     "agg_pandas_geomean",
+    "arrow_map_battery",
+    "lateral_top2_orders_per_customer",
 ]
 
 

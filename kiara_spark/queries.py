@@ -7117,6 +7117,76 @@ def agg_pandas_geomean_q(spark, sf_dir):
         n_rows("o_totalprice").alias("n_rows"))
 
 
+@query(
+    "arrow_map_battery",
+    """
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace,
+           UPPER(SUBSTRING(lang, 1, 2)) AS lang_uc
+    FROM documents
+    """,
+)
+def arrow_map_q(spark, sf_dir):
+    """``mapInArrow`` battery — the zero-copy RecordBatch API below
+    mapInPandas (no pandas conversion at all): per-batch compute stays in
+    pyarrow kernels.  This is the seam for integrating Arrow-native
+    libraries (tokenizers, image codecs) without a pandas round-trip; the
+    oracle pins that the kernel results match SQL exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(
+                        pc.replace_substring(text, " ", "")), pa.int64()),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(
+                        b.column("lang"), 0, 2)),
+                ],
+                names=["doc_id", "n_chars", "n_nonspace", "lang_uc"],
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.mapInArrow(
+        batch_stats,
+        schema="doc_id long, n_chars long, n_nonspace long, lang_uc string")
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def lateral_top2_q(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 orders per customer): the SQL
+    form of per-row dependent subplans.  Catalyst decorrelates this into a
+    window/join plan rather than executing one subquery per row — the
+    property that makes LATERAL usable at all at scale; DuckDB runs the
+    same text natively."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 4) AS price
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 10 = 0
+    """)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
