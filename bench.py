@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "agg_pandas_geomean",
     "arrow_map_battery",
     "lateral_top2_orders_per_customer",
+    "text_token_dropout",
+    "curation_verdicts",
+    "embedding_hard_negatives",
 ]
 
 

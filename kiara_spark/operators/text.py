@@ -277,6 +277,42 @@ def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFr
     return df.filter(u < w)
 
 
+def token_dropout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_pct: int = 20,
+    out_col: str = "augmented_text",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: drop ~``drop_pct``% of a
+    document's tokens, with the drop decision a pure function of
+    (doc id, token position) — no RNG state, so re-runs, retries, and any
+    partitioning produce the SAME augmented corpus, and epoch-varied
+    augmentation is just a salt in the id (``id || '#' || epoch``).
+
+    Map-only: one hash per token position inside array lambdas, whole-stage
+    codegen, zero shuffle — augmentation at scan throughput at any scale.
+    Keeps token i (1-based) iff ``hash32(id || ':' || i) % 100 >=
+    drop_pct``."""
+    toks = tokens_col(F.col(text_col))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard empty docs
+    idx = F.when(F.size(toks) > 0,
+                 F.sequence(F.lit(1), F.size(toks))) \
+        .otherwise(F.array().cast("array<int>"))
+    keep = lambda i: (  # noqa: E731
+        base_hash32(F.concat_ws(
+            ":", F.col(id_col).cast("string"), i.cast("string")))
+        % 100 >= drop_pct)
+    kept = F.filter(
+        F.transform(idx, lambda i: F.when(keep(i), F.element_at(toks, i))),
+        lambda x: x.isNotNull())
+    return df.withColumns({
+        out_col: F.concat_ws(" ", kept),
+        "n_tokens": F.size(toks).cast("bigint"),
+        "n_kept": F.size(kept).cast("bigint"),
+    })
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text normalization for dedup/fingerprint pre-processing:
     lowercase, collapse all whitespace runs to single spaces, strip ASCII
@@ -714,11 +750,32 @@ class TextFeatureHash(KiaraModule):
                          dim=self.config.get("dim", 1024)))}
 
 
+class TextTokenDropout(KiaraModule):
+    """Deterministic token-dropout augmentation (see token_dropout)."""
+
+    _module_type_name = "text.augment.token_dropout"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": token_dropout(
+            inputs["table"].data,
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"),
+            drop_pct=self.config.get("drop_pct", 20),
+            out_col=self.config.get("output_column", "augmented_text"))}
+
+
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
-           TableDictEncode, TableSplitByGroup, TextFeatureHash]
+           TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout]
 OPERATIONS = [
+    Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
     Operation("table.cap.token_budget", "table.cap.token_budget"),

@@ -7187,6 +7187,162 @@ def lateral_top2_q(spark, sf_dir):
     """)
 
 
+_DROP_H = _h32_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+
+
+@query(
+    "text_token_dropout",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, toks,
+             list_filter(
+               list_transform(range(1, len(toks) + 1),
+                 i -> CASE WHEN {_DROP_H} % 100 >= 20 THEN toks[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM toks
+    )
+    SELECT doc_id, md5(array_to_string(kept, ' ')) AS aug_md5,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept
+    FROM kept
+    """,
+)
+def token_dropout_q(spark, sf_dir):
+    """Deterministic token-dropout augmentation
+    (`text.augment.token_dropout`, 20%): the drop decision is a pure hash
+    of (doc id, token position), so the augmented corpus is identical under
+    any partitioning — verified by md5 of every augmented document."""
+    docs = _t(spark, sf_dir, "documents")
+    out = X.token_dropout(docs, drop_pct=20)
+    return out.select(
+        "doc_id", F.md5("augmented_text").alias("aug_md5"),
+        "n_tokens", "n_kept")
+
+
+@query(
+    "curation_verdicts",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks,
+             LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+               AS alpha_chars,
+             LENGTH(text) AS n_chars
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN n_chars > 0
+                  THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END
+               AS alpha_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS dup_token_frac
+      FROM q
+    )
+    SELECT doc_id, n_tokens, ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(dup_token_frac, 6) AS dup_token_frac,
+           CAST(n_tokens >= 10 AND alpha_ratio >= 0.6
+                AND dup_token_frac < 0.97 AS BOOLEAN) AS keep,
+           CONCAT(
+             CASE WHEN n_tokens < 10 THEN 'short;' ELSE '' END,
+             CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha;' ELSE '' END,
+             CASE WHEN dup_token_frac >= 0.97 THEN 'repetitive;' ELSE '' END
+           ) AS drop_reasons
+    FROM feats
+    """,
+)
+def curation_verdicts_q(spark, sf_dir):
+    """End-to-end curation verdict: length + alpha-ratio + repetition
+    features fold into a keep/drop decision WITH machine-readable reasons —
+    the audit trail a data-governance review asks for ('why was this
+    document dropped?').  Composes the quality/repetition feature
+    operators; one map-only pass."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens_col(F.col("text"))
+    n_tok = F.size(toks).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")),
+                                            "[^a-z0-9]", ""))
+    alpha_ratio = F.when(F.length("text") > 0,
+                         alpha_chars.cast("double") / F.length("text")) \
+        .otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.size(toks) > 0,
+        (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+        / F.size(toks)).otherwise(F.lit(0.0))
+    feats = docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        alpha_ratio.alias("_ar"), dup_frac.alias("_df"))
+    keep = (F.col("n_tokens") >= 10) & (F.col("_ar") >= 0.6) & (F.col("_df") < 0.97)
+    reasons = F.concat(
+        F.when(F.col("n_tokens") < 10, F.lit("short;")).otherwise(F.lit("")),
+        F.when(F.col("_ar") < 0.6, F.lit("low_alpha;")).otherwise(F.lit("")),
+        F.when(F.col("_df") >= 0.97, F.lit("repetitive;")).otherwise(F.lit("")))
+    return feats.select(
+        "doc_id", "n_tokens",
+        F.round("_ar", 6).alias("alpha_ratio"),
+        F.round("_df", 6).alias("dup_token_frac"),
+        keep.alias("keep"), reasons.alias("drop_reasons"))
+
+
+@query(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, label AS clabel, embedding AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, c.clabel AS neighbor_label,
+             ROUND(CASE WHEN {_QNORM} * {_CNORM} > 0
+                   THEN {_DOT} / ({_QNORM} * {_CNORM}) ELSE 0.0 END, 8)
+               AS cosine_sim
+      FROM c, q
+      WHERE c.clabel <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id)
+                 AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each query vector's
+    MOST similar neighbor with a DIFFERENT label — the sample that teaches
+    a metric model the most.  Label mismatch filters before scoring (cuts
+    the candidate set), then the same deterministic cosine expression the
+    ANN family uses; top-1 per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("qlabel"))
+        .select("query_id", "neighbor_id", "neighbor_label",
+                F.round(S.cosine_similarity(F.col("qv"), F.col("cv")), 8)
+                .alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1).drop("rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -213,3 +213,36 @@ def test_term_freq_histogram(spark):
            for r in term_freq_histogram(df).collect()}
     # a:2, b:2, c:1 -> one singleton term, two doubled terms
     assert out == {1: 1, 2: 2}
+
+
+def test_token_dropout_deterministic_and_bounded(spark):
+    from kiara_spark.operators.text import token_dropout
+
+    rows = [(i, "one two three four five six seven eight nine ten")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.augmented_text, r.n_kept)
+         for r in token_dropout(df, drop_pct=20).collect()}
+    b = {r.doc_id: (r.augmented_text, r.n_kept)
+         for r in token_dropout(df.repartition(7), drop_pct=20).collect()}
+    assert a == b  # pure function of (id, position)
+    kept_total = sum(v[1] for v in a.values())
+    assert 0.70 * 500 < kept_total < 0.90 * 500  # ~20% dropped
+    # kept tokens preserve original order
+    for text, _ in a.values():
+        toks = text.split()
+        order = ["one", "two", "three", "four", "five", "six", "seven",
+                 "eight", "nine", "ten"]
+        assert toks == [t for t in order if t in toks]
+
+
+def test_token_dropout_empty_doc(spark):
+    from kiara_spark.operators.text import token_dropout
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    out = token_dropout(df).collect()[0]
+    assert out.augmented_text == "" and out.n_kept == 0
+
+
+def test_token_dropout_op_registered(ctx):
+    assert ctx.operation_registry.resolve("text.augment.token_dropout") is not None
