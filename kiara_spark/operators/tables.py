@@ -653,6 +653,40 @@ def export_sharded(
     return manifest
 
 
+def backfill_by_partition(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    overwrite_partitions: list[str] | None = None,
+) -> dict:
+    """Idempotent partitioned backfill — the daily-pipeline re-run pattern:
+    write one ``<partition_col>=<v>/`` directory per distinct value in
+    ``df``, SKIPPING partitions that already exist on disk, so a crashed or
+    repeated backfill resumes instead of rewriting 100 TB.  Pass
+    ``overwrite_partitions`` to force specific partitions (late-data
+    restatement) — only those are rewritten.
+
+    Plan shape: one tiny distinct-values aggregate picks the work list
+    (driver-side set difference against the existing dirs), then ONE
+    filtered write per missing partition — each write scans only its
+    partition's rows (the partition filter pushes to the source scan).
+    Returns {written: [...], skipped: [...]}."""
+    want = sorted(
+        str(r[0]) for r in df.select(partition_col).distinct().collect())
+    have = set()
+    if os.path.isdir(path):
+        have = {e.name.split("=", 1)[1] for e in os.scandir(path)
+                if e.is_dir() and e.name.startswith(f"{partition_col}=")}
+    force = set(overwrite_partitions or [])
+    todo = [v for v in want if v not in have or v in force]
+    for v in todo:
+        (df.filter(F.col(partition_col).cast("string") == v)
+         .write.mode("overwrite")
+         .parquet(os.path.join(path, f"{partition_col}={v}")))
+    return {"written": todo,
+            "skipped": [v for v in want if v not in todo]}
+
+
 def observe_metrics(df: DataFrame, metrics: dict):
     """Attach free pipeline metrics to a plan: the returned DataFrame is
     unchanged, and after ANY action on it the named aggregates are
@@ -998,6 +1032,18 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableBackfill = _simple_module(
+    "table.backfill.by_partition",
+    {"table": TABLE, "path": STRING}, {"report": DICT},
+    lambda self, im, ctx: {"report": backfill_by_partition(
+        im["table"].data, im["path"].data,
+        partition_col=self.config["partition_column"],
+        overwrite_partitions=self.config.get("overwrite_partitions"))},
+    doc="Idempotent partitioned backfill: write missing partition dirs only "
+        "(config: partition_column, overwrite_partitions).",
+    characteristics=ModuleCharacteristics(is_idempotent=False),
+)
+
 TableTimeTravel = _simple_module(
     "table.time_travel",
     {"path": STRING}, {"table": TABLE},
@@ -1047,7 +1093,7 @@ MODULES = [
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
-    TableFileStats, ExportSharded, TableTimeTravel,
+    TableFileStats, ExportSharded, TableTimeTravel, TableBackfill,
 ]
 
 OPERATIONS = [
@@ -1070,6 +1116,8 @@ OPERATIONS = [
               doc="hash-sharded training export + manifest"),
     Operation("table.time_travel", "table.time_travel",
               doc="snapshot-dir AS OF read (time travel)"),
+    Operation("table.backfill.by_partition", "table.backfill.by_partition",
+              doc="idempotent missing-partition backfill"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

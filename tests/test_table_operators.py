@@ -312,3 +312,34 @@ def test_time_travel_snapshot_selection(spark, tmp_path):
 
 def test_time_travel_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.time_travel") is not None
+
+
+def test_backfill_by_partition_idempotent(spark, tmp_path):
+    import os
+
+    from kiara_spark.operators.tables import backfill_by_partition
+
+    out = str(tmp_path / "bf")
+    df = spark.range(0, 90).withColumn("day", (F.col("id") % 3).cast("string"))
+    r1 = backfill_by_partition(df, out, "day")
+    assert sorted(r1["written"]) == ["0", "1", "2"] and r1["skipped"] == []
+    # re-run: everything skipped, nothing rewritten
+    mtimes = {d: os.path.getmtime(os.path.join(out, d)) for d in os.listdir(out)}
+    r2 = backfill_by_partition(df, out, "day")
+    assert r2["written"] == [] and sorted(r2["skipped"]) == ["0", "1", "2"]
+    assert mtimes == {d: os.path.getmtime(os.path.join(out, d))
+                      for d in os.listdir(out)}
+    # drop one partition: only it is restored
+    import shutil
+    shutil.rmtree(os.path.join(out, "day=1"))
+    r3 = backfill_by_partition(df, out, "day")
+    assert r3["written"] == ["1"]
+    # forced restatement rewrites exactly the named partition
+    r4 = backfill_by_partition(df, out, "day", overwrite_partitions=["2"])
+    assert r4["written"] == ["2"]
+    # content complete after all that
+    assert spark.read.parquet(out).count() == 90
+
+
+def test_backfill_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.backfill.by_partition") is not None
