@@ -334,3 +334,42 @@ def test_join_strategy_hints_honored(spark):
     bcast_plan = a.join(F.broadcast(b), "k") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bcast_plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The hot-key insurance policy at 100 TB: AQE must detect a skewed
+    shuffle partition at runtime and split it (OptimizeSkewedJoin), without
+    any manual salting.  Thresholds are lowered so the fixture-sized hot
+    key trips the optimizer; production uses the defaults."""
+    old = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # one hot key (90% of rows) + a long tail
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"))
+        right = spark.range(0, 97).select(F.col("id").alias("k"),
+                                          F.col("id").alias("rv"))
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would build a
+        # separate plan and leave joined's adaptive plan unfinalized)
+        assert len(joined.collect()) == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

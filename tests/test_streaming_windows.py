@@ -175,3 +175,53 @@ def test_user_lifetime_stats_tws_plan_builds(spark, tmp_path):
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == [
         "user_id", "n_events", "sum_value_micros", "first_us", "last_us"]
+
+
+def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Failure recovery contract: a stopped streaming aggregation restarted
+    from its checkpoint must (a) NOT reprocess batch-1 files and (b) resume
+    its running counts, so the final totals equal a single uninterrupted
+    run.  This is what makes a 100-executor streaming job survive a driver
+    restart."""
+    import os
+
+    from kiara_spark.streaming.windows import read_parquet_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)], "id long, k string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = read_parquet_stream(spark, src)
+        counts = stream.groupBy("k").count()
+        return (counts.writeStream.format("memory")
+                .queryName("ckpt_restart_demo")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start())
+
+    q1 = start()
+    q1.awaitTermination(120)
+    first = {r.k: r["count"] for r in
+             spark.sql("select * from ckpt_restart_demo").collect()}
+    assert first == {"a": 5, "b": 5}
+
+    # second batch arrives while the query is DOWN
+    b2 = spark.createDataFrame([(100 + i, "a") for i in range(3)],
+                               "id long, k string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()
+    q2.awaitTermination(120)
+    final = {r.k: r["count"] for r in
+             spark.sql("select * from ckpt_restart_demo").collect()}
+    # state resumed: totals include both batches exactly once
+    assert final == {"a": 8, "b": 5}
+    # and the restart consumed only the new file (offset log advanced, not reset)
+    offsets = sorted(os.listdir(os.path.join(ckpt, "offsets")))
+    assert len([o for o in offsets if not o.startswith(".")]) == 2
