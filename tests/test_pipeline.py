@@ -310,3 +310,19 @@ def test_reference_mock_pipeline_yaml_verbatim(ctx):
         "/root/reference/examples/pipelines/mock_pipeline_1.yaml",
         {"first": "a", "second": "b"})
     assert out["step_1__combined"].data == "Hello World!"
+
+
+def test_search_index_build_example_pipeline(ctx):
+    """examples/search_index_build.json: normalize -> inverted index +
+    BM25 + deterministic augmentation, three outputs from one DAG."""
+    out = ctx.run_pipeline("examples/search_index_build.json", {
+        "path": "/root/testdata/sf0.001/documents.parquet",
+    })
+    idx = out["inverted_index"].data
+    scores = out["bm25_scores"].data
+    aug = out["augmented_corpus"].data
+    assert set(idx.columns) == {"term", "doc_freq", "postings"}
+    assert idx.filter("doc_freq < 2").count() == 0  # min_df honored
+    assert {"doc_id", "bm25", "n_query_terms_hit"} <= set(scores.columns)
+    assert scores.count() > 0
+    assert aug.filter("n_kept > n_tokens").count() == 0
