@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "text_token_dropout",
     "curation_verdicts",
     "embedding_hard_negatives",
+    "agg_stringagg_battery",
+    "scalar_calendar_battery",
 ]
 
 

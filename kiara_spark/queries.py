@@ -7343,6 +7343,78 @@ def hard_negatives_q(spark, sf_dir):
     )
 
 
+@query(
+    "agg_stringagg_battery",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) AS top_keys,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rnk
+          FROM orders)
+    WHERE rnk <= 5
+    GROUP BY o_orderpriority
+    """,
+)
+def stringagg_q(spark, sf_dir):
+    """ORDERED string aggregation (LISTAGG/string_agg WITHIN GROUP): Spark
+    has no ordered string_agg aggregate, so the engine-portable form is
+    collect_list of (sort-key, value) structs -> array_sort -> join — the
+    order is enforced by data, not by accumulation sequence, which is the
+    only way any distributed engine can promise deterministic listagg."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    top = o.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    pairs = F.collect_list(F.struct(
+        (-F.col("o_totalprice")).alias("s1"), F.col("o_orderkey").alias("s2"),
+        F.col("o_orderkey").cast("string").alias("v")))
+    return top.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.transform(F.array_sort(pairs),
+                                     lambda x: x["v"])).alias("top_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "scalar_calendar_battery",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_two_months,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sunday1,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           make_date(CAST(year(o_orderdate) AS INT), 12, 25) AS holiday,
+           CAST(date_diff('day', o_orderdate,
+                          CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP))
+                AS BIGINT) AS days_in_two_months
+    FROM orders
+    """,
+)
+def calendar_q(spark, sf_dir):
+    """Calendar arithmetic battery: month addition (both engines clamp
+    end-of-month), last_day, quarter truncation, day-of-week (normalized to
+    Sunday=1 on both sides), ISO week, make_date, and day spans.  Strings
+    the cross-engine calendar semantics down to exact DATE equality."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    plus2 = F.add_months(d, 2)
+    return o.select(
+        "o_orderkey",
+        plus2.alias("plus_two_months"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date")
+        .alias("quarter_start"),
+        F.dayofweek(d).cast("bigint").alias("dow_sunday1"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.make_date(F.year(d).cast("int"), F.lit(12), F.lit(25))
+        .alias("holiday"),
+        F.datediff(plus2, d).cast("bigint").alias("days_in_two_months"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
