@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "embedding_hard_negatives",
     "agg_stringagg_battery",
     "scalar_calendar_battery",
+    "row_ids_orders",
 ]
 
 

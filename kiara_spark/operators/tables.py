@@ -653,6 +653,53 @@ def export_sharded(
     return manifest
 
 
+def add_contiguous_row_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "row_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Contiguous 0-based row ids in global ``order_col`` order — WITHOUT
+    the single-partition global window that ``row_number() OVER (ORDER BY
+    …)`` costs (the classic surrogate-key/example-index need in training
+    pipelines, where a global sort window would serialize 100 TB through
+    one task).
+
+    Three declarative steps, all deterministic:
+    1. bucket rows by exact percentile bounds of ``order_col`` (one
+       aggregate; the bounds broadcast) — equal values always share a
+       bucket, so per-bucket ranks are globally consistent when
+       ``order_col`` is unique (required for stable ids; documented);
+    2. rank within each bucket (parallel windows, one shuffle);
+    3. add each bucket's cumulative row-count offset (tiny aggregate,
+       windowed cumsum over ≤ n_buckets rows, broadcast join back).
+
+    Result is bit-identical to the global-window formulation."""
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.expr(
+        f"percentile({order_col}, array({', '.join(map(repr, ps))}))")
+        .alias("_bnds"))
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.aggregate(F.col("_bnds"), F.lit(0),
+                    lambda acc, b: acc + F.when(F.col(order_col) > b, 1)
+                    .otherwise(0))).drop("_bnds")
+    w_in = Window.partitionBy("_bkt").orderBy(order_col)
+    ranked = bucketed.withColumn("_rn", F.row_number().over(w_in))
+    counts = bucketed.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop("_cnt")
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(id_col,
+                    (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
+        .drop("_bkt", "_rn", "_off")
+    )
+
+
 def backfill_by_partition(
     df: DataFrame,
     path: str,
@@ -1032,6 +1079,17 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TableAddRowIds = _simple_module(
+    "table.add_row_ids",
+    {"table": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": add_contiguous_row_ids(
+        im["table"].data, self.config["order_column"],
+        id_col=self.config.get("id_column", "row_id"),
+        n_buckets=self.config.get("n_buckets", 32))},
+    doc="Contiguous global row ids without a single-partition window "
+        "(config: order_column [unique], id_column, n_buckets).",
+)
+
 TableBackfill = _simple_module(
     "table.backfill.by_partition",
     {"table": TABLE, "path": STRING}, {"report": DICT},
@@ -1094,6 +1152,7 @@ MODULES = [
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
     TableFileStats, ExportSharded, TableTimeTravel, TableBackfill,
+    TableAddRowIds,
 ]
 
 OPERATIONS = [
@@ -1118,6 +1177,8 @@ OPERATIONS = [
               doc="snapshot-dir AS OF read (time travel)"),
     Operation("table.backfill.by_partition", "table.backfill.by_partition",
               doc="idempotent missing-partition backfill"),
+    Operation("table.add_row_ids", "table.add_row_ids",
+              doc="contiguous global row ids, no global-sort window"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

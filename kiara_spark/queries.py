@@ -7415,6 +7415,27 @@ def calendar_q(spark, sf_dir):
     )
 
 
+@query(
+    "row_ids_orders",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+             AS row_id
+    FROM orders
+    """,
+)
+def row_ids_q(spark, sf_dir):
+    """Contiguous global row ids (`table.add_row_ids`) WITHOUT the
+    single-partition global-sort window the oracle uses: percentile-bucket
+    + parallel per-bucket windows + tiny offset join, bit-identical to
+    ROW_NUMBER() OVER (ORDER BY …) - 1."""
+    from .operators.tables import add_contiguous_row_ids
+
+    o = _t(spark, sf_dir, "orders")
+    out = add_contiguous_row_ids(o, "o_orderkey", n_buckets=16)
+    return out.select("o_orderkey", "row_id")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -343,3 +343,35 @@ def test_backfill_by_partition_idempotent(spark, tmp_path):
 
 def test_backfill_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.backfill.by_partition") is not None
+
+
+def test_add_contiguous_row_ids_matches_global_window(spark):
+    from pyspark.sql.window import Window as W
+
+    from kiara_spark.operators.tables import add_contiguous_row_ids
+
+    df = spark.range(0, 1000).select(
+        (F.xxhash64("id") % 100000).alias("key"), F.col("id").alias("payload"))
+    df = df.dropDuplicates(["key"])  # order column must be unique
+    got = {r.key: r.row_id
+           for r in add_contiguous_row_ids(df, "key", n_buckets=8).collect()}
+    want = {r.key: r.rid - 1 for r in df.withColumn(
+        "rid", F.row_number().over(W.orderBy("key"))).collect()}
+    assert got == want
+    # ids are a contiguous 0..n-1 range
+    assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_add_row_ids_partition_invariant(spark):
+    from kiara_spark.operators.tables import add_contiguous_row_ids
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    a = {r.k: r.row_id
+         for r in add_contiguous_row_ids(df, "k", n_buckets=4).collect()}
+    b = {r.k: r.row_id for r in add_contiguous_row_ids(
+        df.repartition(11), "k", n_buckets=4).collect()}
+    assert a == b
+
+
+def test_add_row_ids_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.add_row_ids") is not None
