@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "agg_stringagg_battery",
     "scalar_calendar_battery",
     "row_ids_orders",
+    "kth_smallest_totalprice",
 ]
 
 

@@ -345,6 +345,71 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "_p.col_a", "_p.col_b", "_p.corr")
 
 
+def kth_smallest_scalable(
+    df: DataFrame,
+    col: str,
+    k: int,
+    n_bins: int = 512,
+    final_limit: int = 100_000,
+    max_rounds: int = 12,
+):
+    """Exact k-th smallest value (1-based) by distributed selection —
+    the scale path for exact order statistics.  Spark's ``percentile``
+    aggregate buffers EVERY value of the group in executor memory, which a
+    100 TB column cannot do; histogram refinement needs O(log) cheap
+    aggregate rounds and constant state instead:
+
+    each round computes one ``n_bins``-bucket count histogram over the
+    current [lo, hi] value range (one hash aggregate with a tiny result),
+    walks the cumulative counts to the bucket containing rank k, and
+    narrows the range to that bucket (the filter pushes down to the scan,
+    so later rounds read a shrinking slice).  When the surviving slice is
+    ≤ ``final_limit`` rows it is sorted exactly.  Returns the exact value
+    as a Python float (driver scalar — selection is an action, not a
+    transform)."""
+    import math
+
+    c = F.col(col).cast("double")
+    stats = df.agg(F.count(c).alias("n"), F.min(c).alias("lo"),
+                   F.max(c).alias("hi")).collect()[0]
+    if not (1 <= k <= stats.n):
+        raise ValueError(f"k={k} outside 1..{stats.n}")
+    lo, hi, want = float(stats.lo), float(stats.hi), k
+    cnt = int(stats.n)
+    cur = df.select(c.alias("_v"))
+    for _ in range(max_rounds):
+        if lo == hi or cnt <= final_limit:
+            break
+        width = (hi - lo) / n_bins
+        if width <= 0 or not math.isfinite(width):
+            break
+        # the narrowing filter reuses the SAME bucket expression the
+        # histogram counted with (clamped to [0, n_bins-1]), so edge values
+        # can never be counted in one bucket and filtered into another —
+        # a [lo, hi) range filter could disagree with floor() by 1 ulp
+        bucket = F.greatest(F.lit(0), F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("int")))
+        hist = {r["_b"]: r["count"] for r in
+                cur.groupBy(bucket.alias("_b")).count().collect()}
+        running = 0
+        for b in range(n_bins):
+            nb = hist.get(b, 0)
+            if running + nb >= want:
+                want -= running
+                cnt = nb
+                cur = cur.filter(bucket == b)
+                lo, hi = lo + b * width, lo + (b + 1) * width
+                break
+            running += nb
+        else:
+            raise AssertionError("histogram walk overran rank")
+    if lo == hi and cnt > final_limit:
+        return lo
+    rows = cur.orderBy("_v").limit(want).collect()
+    return float(rows[want - 1][0])
+
+
 def regression_by_group(
     df: DataFrame,
     group_cols: list[str],
@@ -673,6 +738,20 @@ TableImputeNulls = _simple_module(
         "aggregate + broadcast coalesce.",
 )
 
+TableKthSmallest = _simple_module(
+    "table.kth_smallest",
+    {"table": TABLE},
+    {"result": DICT},
+    lambda self, im, ctx: {"result": {
+        "k": self.config["k"],
+        "value": kth_smallest_scalable(
+            im["table"].data, self.config["column"], self.config["k"],
+            n_bins=self.config.get("n_bins", 512),
+            final_limit=self.config.get("final_limit", 100_000))}},
+    doc="Exact k-th smallest by histogram-refinement selection (config: "
+        "column, k) — constant executor state, O(log) aggregate rounds.",
+)
+
 TableRegressionByGroup = _simple_module(
     "table.regression.by_group",
     {"table": TABLE},
@@ -752,7 +831,7 @@ MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
            TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
-           TableRegressionByGroup]
+           TableRegressionByGroup, TableKthSmallest]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -784,4 +863,6 @@ OPERATIONS = [
               doc="per-bucket order-insensitive content checksum"),
     Operation("table.regression.by_group", "table.regression.by_group",
               doc="per-group OLS slope/intercept/r2 in one pass"),
+    Operation("table.kth_smallest", "table.kth_smallest",
+              doc="exact order statistic by distributed selection"),
 ]

@@ -7436,6 +7436,38 @@ def row_ids_q(spark, sf_dir):
     return out.select("o_orderkey", "row_id")
 
 
+@query(
+    "kth_smallest_totalprice",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(rn AS BIGINT) AS k, CAST(n AS BIGINT) AS n_rows,
+           o_totalprice AS value
+    FROM ranked
+    WHERE rn = CAST(FLOOR(0.37 * (n - 1)) + 1 AS BIGINT)
+    """,
+)
+def kth_smallest_q(spark, sf_dir):
+    """Exact order statistic by distributed selection
+    (`table.kth_smallest`, rank = floor(0.37·(n-1))+1): histogram
+    refinement — O(log) aggregate rounds with constant executor state —
+    where the oracle's ROW_NUMBER formulation would buffer or sort the
+    whole column.  final_limit is forced low here so the refinement loop
+    actually exercises at fixture scale."""
+    from .operators.quality import kth_smallest_scalable
+
+    o = _t(spark, sf_dir, "orders")
+    n = o.count()
+    k = int(0.37 * (n - 1)) + 1
+    v = kth_smallest_scalable(o, "o_totalprice", k, n_bins=64,
+                              final_limit=200)
+    return spark.createDataFrame([(k, n, v)], "k long, n_rows long, value double")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -340,3 +340,39 @@ def test_regression_partition_invariant(spark):
 
 def test_regression_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.regression.by_group") is not None
+
+
+def test_kth_smallest_matches_sort(spark):
+    import random
+
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-100, 100), 3) for _ in range(5000)]
+    vals += [42.0] * 500  # heavy duplicate run
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for k in (1, 17, 2750, len(vals)):
+        got = kth_smallest_scalable(df, "x", k, n_bins=16, final_limit=50)
+        assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_kth_smallest_constant_column(spark):
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    df = spark.createDataFrame([(5.0,)] * 1000, "x double")
+    assert kth_smallest_scalable(df, "x", 500, final_limit=10) == 5.0
+
+
+def test_kth_smallest_bounds(spark):
+    import pytest as _pytest
+
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with _pytest.raises(ValueError):
+        kth_smallest_scalable(df, "x", 3)
+
+
+def test_kth_smallest_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.kth_smallest") is not None
