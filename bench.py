@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "scalar_calendar_battery",
     "row_ids_orders",
     "kth_smallest_totalprice",
+    "basket_association_parts",
+    "forecast_linear_next_day",
 ]
 
 

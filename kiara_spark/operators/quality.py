@@ -258,6 +258,52 @@ def incremental_agg_maintain(
     return merged
 
 
+def association_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association mining: co-occurrence pairs with support,
+    confidence, and lift — the classic "bought together" analysis
+    (Apriori's pair level, the part that matters in practice).
+
+    Plan shape: distinct (basket, item) pairs, a self-join keyed ON THE
+    BASKET (each basket only joins to itself, so the blowup is bounded by
+    basket size squared, never |items|²), one pair-count aggregate, then
+    item counts broadcast back for the metrics.  ``min_support`` prunes
+    AFTER pair counting — at 100 TB, huge baskets are the hazard, so cap or
+    pre-filter basket size upstream.  Pairs are emitted once (item_a <
+    item_b); confidence is directional P(b|a); lift is symmetric.
+    Doubles round to 6 dp for engine portability."""
+    bi = df.select(F.col(basket_col).alias("_b"),
+                   F.col(item_col).alias("_i")).distinct()
+    n_baskets = bi.select("_b").distinct().count()
+    item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_n"))
+    a = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ca = item_counts.select(F.col("item").alias("item_a"),
+                            F.col("item_n").alias("_na"))
+    cb = item_counts.select(F.col("item").alias("item_b"),
+                            F.col("item_n").alias("_nb"))
+    out = pairs.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+    conf = F.col("support") / F.col("_na")
+    lift = (F.col("support") * F.lit(float(n_baskets))
+            / (F.col("_na") * F.col("_nb")))
+    return out.select(
+        "item_a", "item_b", "support",
+        F.round(conf, 6).alias("confidence_a_to_b"),
+        F.round(lift, 6).alias("lift"))
+
+
 def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
               upper: float = 0.99) -> DataFrame:
     """Percentile clipping (winsorization) — the standard outlier cap before
@@ -738,6 +784,18 @@ TableImputeNulls = _simple_module(
         "aggregate + broadcast coalesce.",
 )
 
+TableAssociationPairs = _simple_module(
+    "table.association.pairs",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": association_pairs(
+        im["table"].data, self.config["basket_column"],
+        self.config["item_column"],
+        min_support=self.config.get("min_support", 2))},
+    doc="Market-basket pair mining: support/confidence/lift via basket-"
+        "keyed self-join (config: basket_column, item_column, min_support).",
+)
+
 TableKthSmallest = _simple_module(
     "table.kth_smallest",
     {"table": TABLE},
@@ -831,7 +889,7 @@ MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
            TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
-           TableRegressionByGroup, TableKthSmallest]
+           TableRegressionByGroup, TableKthSmallest, TableAssociationPairs]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -865,4 +923,6 @@ OPERATIONS = [
               doc="per-group OLS slope/intercept/r2 in one pass"),
     Operation("table.kth_smallest", "table.kth_smallest",
               doc="exact order statistic by distributed selection"),
+    Operation("table.association.pairs", "table.association.pairs",
+              doc="market-basket support/confidence/lift pairs"),
 ]

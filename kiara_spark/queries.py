@@ -7468,6 +7468,99 @@ def kth_smallest_q(spark, sf_dir):
     return spark.createDataFrame([(k, n, v)], "k long, n_rows long, value double")
 
 
+@query(
+    "basket_association_parts",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+    ic AS (SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS item_n
+           FROM bi GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b2.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, support,
+           ROUND(CAST(support AS DOUBLE) / ca.item_n, 6) AS confidence_a_to_b,
+           ROUND(support * CAST(n AS DOUBLE) / (ca.item_n * cb.item_n), 6)
+             AS lift
+    FROM pairs
+    JOIN ic ca ON ca.item = item_a
+    JOIN ic cb ON cb.item = item_b
+    CROSS JOIN nb
+    """,
+)
+def basket_assoc_q(spark, sf_dir):
+    """Market-basket pair mining (`table.association.pairs`) over order
+    baskets: support/confidence/lift for parts bought together.  The
+    self-join is keyed on the basket, so blowup is basket-size-squared —
+    never catalog-squared."""
+    from .operators.quality import association_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query(
+    "forecast_linear_next_day",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch(date_trunc('day', ts)) / 86400.0 AS x,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) / COUNT(*)
+                        AS DOUBLE), 6) AS y
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             MAX(x) AS maxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                       / n, 6)
+                 + ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   * (maxx + 1), 4) AS predicted_next_day
+    FROM agg
+    """,
+)
+def forecast_q(spark, sf_dir):
+    """Linear-trend forecast per event type: OLS over the daily-mean series
+    (`table.regression.by_group` composition), extrapolated one day ahead.
+    The prediction uses the 6-dp-rounded coefficients on both engines so
+    the extrapolation is bit-identical."""
+    from .operators.quality import regression_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400.0).alias("x"),
+    ).agg(F.round((F.sum(F.col("value").cast("decimal(38,10)"))
+                   / F.count(F.lit(1))).cast("double"), 6).alias("y"))
+    # y rounds to 6 dp on both engines: decimal-division SCALE rules differ
+    # between Spark and DuckDB, so the unrounded means disagree in the last
+    # ulps and the near-cancelling OLS sums would amplify that
+    fit = regression_by_group(daily, ["event_type"], "x", "y")
+    maxx = daily.groupBy("event_type").agg(F.max("x").alias("_maxx"))
+    return (
+        fit.join(maxx, "event_type")
+        .select("event_type", "slope", "intercept",
+                F.round(F.col("intercept")
+                        + F.col("slope") * (F.col("_maxx") + 1), 4)
+                .alias("predicted_next_day"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

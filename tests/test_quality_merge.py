@@ -376,3 +376,30 @@ def test_kth_smallest_bounds(spark):
 
 def test_kth_smallest_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.kth_smallest") is not None
+
+
+def test_association_pairs_metrics(spark):
+    from kiara_spark.operators.quality import association_pairs
+
+    # baskets: {A,B,C}, {A,B}, {A}, {B,C} -> AB support 2, BC support 2,
+    # AC support 1 (pruned at min_support=2)
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+            (3, "A"), (4, "B"), (4, "C")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): r
+           for r in association_pairs(df, "basket", "item").collect()}
+    assert set(out) == {("A", "B"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.support == 2
+    assert ab.confidence_a_to_b == round(2 / 3, 6)  # A in 3 baskets
+    assert ab.lift == round(2 * 4 / (3 * 3), 6)     # 4 baskets, B in 3
+    # duplicate items within a basket don't inflate support
+    dup = spark.createDataFrame(rows + [(1, "A"), (1, "B")],
+                                "basket long, item string")
+    out2 = {(r.item_a, r.item_b): r.support
+            for r in association_pairs(dup, "basket", "item").collect()}
+    assert out2[("A", "B")] == 2
+
+
+def test_association_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.association.pairs") is not None
