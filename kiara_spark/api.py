@@ -1,0 +1,446 @@
+"""Public API façade — parity with the reference's curated ``KiaraAPI``
+(`/root/reference/src/kiara/interfaces/python_api/kiara_api.py`, ~55 public
+methods, itself a curated view over ``base_api.py``).  A user of the
+reference drives everything through this one class; this module reproduces
+that surface over the Spark engine's registries.
+
+Design notes:
+- contexts are named and switchable (``set_active_context`` /
+  ``create_new_context``), each one a :class:`KiaraContext` with its own
+  warehouse/base path — mirroring the reference's context directories.
+- "info" methods return plain dicts (the reference returns pydantic info
+  models; the FIELDS are mirrored, the wrapper class is not — nothing in a
+  Spark pipeline needs the pydantic machinery).
+- ``queue_job`` returns a job id and ``get_job_result`` fetches its outputs
+  later — the reference's async-looking contract.  Execution itself is lazy
+  DataFrame composition either way, so queue/run coincide on the driver.
+- job comments persist next to the job store
+  (reference ``set_job_comment/get_job_comment``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping
+
+from .context import KiaraContext
+from .values import Value, ValueMap
+
+
+class KiaraAPI:
+    """The reference's single public entry point, Spark-backed."""
+
+    _contexts: dict[str, KiaraContext] = {}
+    _singleton: "KiaraAPI | None" = None
+
+    def __init__(self, context: KiaraContext | None = None,
+                 context_name: str = "default"):
+        if context is not None:
+            KiaraAPI._contexts[context_name] = context
+        self._current = context_name
+        if context_name not in KiaraAPI._contexts:
+            KiaraAPI._contexts[context_name] = KiaraContext()
+        self._comments: dict[str, str] = {}
+        self._load_comments()
+
+    # -- instance / context management (kiara_api.py:instance, context) ----
+
+    @classmethod
+    def instance(cls) -> "KiaraAPI":
+        if cls._singleton is None:
+            cls._singleton = cls()
+        return cls._singleton
+
+    @property
+    def context(self) -> KiaraContext:
+        return KiaraAPI._contexts[self._current]
+
+    def get_current_context_name(self) -> str:
+        return self._current
+
+    def list_context_names(self) -> list[str]:
+        return sorted(KiaraAPI._contexts)
+
+    def create_new_context(self, context_name: str,
+                           set_active: bool = True) -> str:
+        if context_name in KiaraAPI._contexts:
+            raise ValueError(f"context {context_name!r} already exists")
+        KiaraAPI._contexts[context_name] = KiaraContext(
+            spark=self.context.spark)
+        if set_active:
+            self._current = context_name
+        return context_name
+
+    def set_active_context(self, context_name: str,
+                           create: bool = False) -> None:
+        if context_name not in KiaraAPI._contexts:
+            if not create:
+                raise KeyError(f"unknown context: {context_name!r}")
+            KiaraAPI._contexts[context_name] = KiaraContext(
+                spark=self.context.spark)
+        self._current = context_name
+
+    def get_context_info(self) -> dict:
+        ctx = self.context
+        return {
+            "context_name": self._current,
+            "base_path": ctx.base_path,
+            "n_values": len(ctx.data_registry._values),
+            "n_aliases": len(ctx.data_registry.aliases),
+            "n_jobs": len(ctx.job_registry.history),
+            "n_operations": len(ctx.operation_registry.operation_ids),
+            "n_module_types": len(self.list_module_type_names()),
+        }
+
+    def retrieve_context_infos(self) -> dict:
+        cur = self._current
+        out = {}
+        for name in self.list_context_names():
+            self._current = name
+            out[name] = self.get_context_info()
+        self._current = cur
+        return out
+
+    def get_info(self) -> dict:
+        """Engine/runtime info (reference get_info: version block)."""
+        env = dict(self.context.job_registry._environment())
+        env["context"] = self._current
+        return env
+
+    # -- data types ---------------------------------------------------------
+
+    def list_data_type_names(self) -> list[str]:
+        return sorted(self.context.type_registry._types)
+
+    def retrieve_data_type_info(self, data_type: str) -> dict:
+        cls = self.context.type_registry._types[data_type]
+        return {"type_name": data_type, "doc": (cls.__doc__ or "").strip(),
+                "python_class": cls.__name__}
+
+    def retrieve_data_types_info(self) -> dict:
+        return {n: self.retrieve_data_type_info(n)
+                for n in self.list_data_type_names()}
+
+    # -- modules ------------------------------------------------------------
+
+    def list_module_type_names(self) -> list[str]:
+        return sorted(self.context.module_registry._modules)
+
+    def retrieve_module_type_info(self, module_type: str) -> dict:
+        cls = self.context.module_registry._modules[module_type]
+        mod = cls()
+        return {
+            "module_type": module_type,
+            "doc": (cls.__doc__ or "").strip(),
+            "inputs": {k: dict(v.__dict__) if hasattr(v, "__dict__") else v
+                       for k, v in mod.inputs_schema.items()},
+            "outputs": list(mod.outputs_schema),
+        }
+
+    def retrieve_module_types_info(self) -> dict:
+        out = {}
+        for n in self.list_module_type_names():
+            try:
+                out[n] = self.retrieve_module_type_info(n)
+            except Exception:  # abstract/config-required modules
+                out[n] = {"module_type": n, "doc": "", "inputs": None,
+                          "outputs": None}
+        return out
+
+    # -- operations ----------------------------------------------------------
+
+    def list_operation_ids(self, filter: str | None = None) -> list[str]:
+        ids = self.context.operation_registry.operation_ids
+        if filter:
+            ids = [i for i in ids if filter in i]
+        return sorted(ids)
+
+    def list_operations(self, filter: str | None = None) -> dict:
+        return {i: self.context.operation_registry.resolve(i)
+                for i in self.list_operation_ids(filter)}
+
+    def get_operation(self, operation: str):
+        return self.context.operation_registry.resolve(operation)
+
+    def retrieve_operation_info(self, operation: str) -> dict:
+        op = self.get_operation(operation)
+        return {"operation_id": op.operation_id,
+                "module_type": op.module_type,
+                "module_config": dict(op.module_config),
+                "operation_type": getattr(op, "operation_type", None),
+                "doc": getattr(op, "doc", "")}
+
+    def retrieve_operations_info(self, filter: str | None = None) -> dict:
+        return {i: self.retrieve_operation_info(i)
+                for i in self.list_operation_ids(filter)}
+
+    # -- plugins (operator families stand in for plugin packages) -----------
+
+    @staticmethod
+    def _operator_modules() -> list:
+        from .operators import (curation, dedup, events, filesystem, graph,
+                                joins, misc, quality, serialization,
+                                similarity, sketches, tables, text)
+        from .streaming import stateful, windows
+
+        return [tables, filesystem, text, dedup, similarity, misc, windows,
+                stateful, joins, serialization, graph, quality, curation,
+                sketches, events]
+
+    def list_available_plugin_names(self) -> list[str]:
+        return sorted(m.__name__.rsplit(".", 1)[-1]
+                      for m in self._operator_modules())
+
+    def retrieve_plugin_info(self, plugin_name: str) -> dict:
+        for m in self._operator_modules():
+            if m.__name__.rsplit(".", 1)[-1] == plugin_name:
+                return {
+                    "plugin_name": plugin_name,
+                    "doc": (m.__doc__ or "").strip().split("\n")[0],
+                    "module_types": sorted(
+                        c._module_type_name for c in getattr(m, "MODULES", [])),
+                    "operations": sorted(
+                        o.operation_id for o in getattr(m, "OPERATIONS", [])),
+                }
+        raise KeyError(f"unknown plugin: {plugin_name!r}")
+
+    def retrieve_plugin_infos(self) -> dict:
+        return {n: self.retrieve_plugin_info(n)
+                for n in self.list_available_plugin_names()}
+
+    # -- values --------------------------------------------------------------
+
+    def get_value(self, value: Any) -> Value:
+        return self.context.get_value(value)
+
+    def get_values(self, *values: Any) -> dict[str, Value]:
+        return {str(v): self.get_value(v) for v in values}
+
+    def get_value_str(self, value: Any) -> str:
+        """One-line rendering (reference get_value_str -> pretty print)."""
+        v = self.get_value(value)
+        out = self.context.run_job("pretty_print.value", {"value": v})
+        return str(out["rendered_value"].data)
+
+    def list_all_value_ids(self) -> list[str]:
+        return sorted(self.context.data_registry._values)
+
+    def list_value_ids(self) -> list[str]:
+        """Ids of values that carry at least one alias ("your data"), the
+        reference's distinction from list_ALL_value_ids (internal included)."""
+        reg = self.context.data_registry
+        out = set()
+        for a in reg.aliases:
+            try:
+                out.add(self.get_value(f"alias:{a}").value_id)
+            except Exception:
+                pass
+        return sorted(out)
+
+    def list_all_values(self) -> dict[str, Value]:
+        return {i: self.get_value(i) for i in self.list_all_value_ids()}
+
+    def list_values(self, **matcher) -> dict[str, Value]:
+        found = self.context.data_registry.find_values(
+            has_alias=True, **matcher)
+        return {v.value_id: v for v in found}
+
+    def retrieve_value_info(self, value: Any) -> dict:
+        v = self.get_value(value)
+        reg = self.context.data_registry
+        aliases = []
+        for a in reg.aliases:
+            try:
+                if self.get_value(f"alias:{a}").value_id == v.value_id:
+                    aliases.append(a)
+            except Exception:
+                pass
+        ped = getattr(v, "pedigree", None)
+        return {
+            "value_id": v.value_id,
+            "data_type": v.data_type,
+            "aliases": sorted(aliases),
+            "size": reg.value_size(v),
+            "destinies": reg.destiny_aliases(v),
+            "pedigree": None if ped is None else {
+                "module_type": ped.module_type,
+                "is_orphan": ped.is_orphan},
+        }
+
+    def retrieve_values_info(self, **matcher) -> dict:
+        return {vid: self.retrieve_value_info(vid)
+                for vid in self.list_value_ids()}
+
+    def retrieve_augmented_value_lineage(self, value: Any) -> dict:
+        """Lineage tree with per-node value info attached."""
+        v = self.get_value(value)
+        tree = self.context.data_registry.lineage(v)
+
+        def augment(node: dict) -> dict:
+            out = dict(node)
+            vid = node.get("value_id")
+            if vid and vid in self.context.data_registry._values:
+                out["info"] = {
+                    "data_type": self.get_value(vid).data_type}
+            out["inputs"] = {k: augment(sub) if isinstance(sub, dict) else sub
+                             for k, sub in node.get("inputs", {}).items()}
+            return out
+
+        return augment(tree)
+
+    def register_value_alias(self, value: Any, alias: str) -> None:
+        self.context.data_registry.register_alias(alias, self.get_value(value))
+
+    def list_aliases(self) -> dict[str, str]:
+        return dict(sorted(self.context.data_registry.aliases.items()))
+
+    def list_alias_names(self) -> list[str]:
+        return sorted(self.context.data_registry.aliases)
+
+    def retrieve_aliases_info(self) -> dict:
+        return {a: self.retrieve_value_info(ref)
+                for a, ref in self.list_aliases().items()
+                if self._alias_resolvable(a)}
+
+    def _alias_resolvable(self, alias: str) -> bool:
+        try:
+            self.get_value(f"alias:{alias}")
+            return True
+        except Exception:
+            return False
+
+    def store_value(self, value: Any, alias: str | None = None) -> str:
+        return self.context.store_value(value, alias=alias)
+
+    def store_values(self, values: Mapping[str, Any]) -> dict[str, str]:
+        return {alias: self.store_value(v, alias=alias)
+                for alias, v in values.items()}
+
+    # -- archives ------------------------------------------------------------
+
+    def export_archive(self, refs, archive_path: str, **kw) -> dict:
+        return self.context.export_archive(refs, archive_path, **kw)
+
+    def import_archive(self, archive_path: str,
+                       alias_prefix: str = "") -> dict:
+        return self.context.import_archive(archive_path,
+                                           alias_prefix=alias_prefix)
+
+    # reference export_values/import_values: alias-set <-> archive sugar
+    def export_values(self, archive_path: str, values: list,
+                      **kw) -> dict:
+        return self.export_archive(values, archive_path, **kw)
+
+    def import_values(self, archive_path: str,
+                      alias_prefix: str = "") -> dict:
+        return self.import_archive(archive_path, alias_prefix=alias_prefix)
+
+    def retrieve_archive_info(self, archive_path: str) -> dict:
+        from .archive import MANIFEST_NAME
+
+        with open(os.path.join(archive_path, MANIFEST_NAME)) as f:
+            manifest = json.load(f)
+        return {
+            "archive_path": archive_path,
+            "format_version": manifest.get("format_version"),
+            "n_values": len(manifest.get("values", {})),
+            "aliases": sorted(manifest.get("aliases", {})),
+        }
+
+    # -- jobs ----------------------------------------------------------------
+
+    def run_job(self, operation: str,
+                inputs: Mapping[str, Any] | None = None,
+                operation_config: dict | None = None,
+                save: str | None = None,
+                comment: str | None = None) -> ValueMap:
+        out = self.context.run_job(operation, inputs,
+                                   operation_config=operation_config,
+                                   save=save)
+        if comment is not None:
+            self.set_job_comment(self.context.job_registry.history[-1].job_id,
+                                 comment)
+        return out
+
+    def queue_job(self, operation: str,
+                  inputs: Mapping[str, Any] | None = None,
+                  operation_config: dict | None = None,
+                  comment: str | None = None) -> str:
+        self.run_job(operation, inputs, operation_config=operation_config,
+                     comment=comment)
+        return self.context.job_registry.history[-1].job_id
+
+    def get_job(self, job_id: str):
+        return self.get_job_record(job_id)
+
+    def get_job_record(self, job_id: str):
+        for rec in self.context.job_registry.history:
+            if rec.job_id == job_id:
+                return rec
+        raise KeyError(f"unknown job id: {job_id!r}")
+
+    def get_job_result(self, job_id: str) -> ValueMap:
+        return self.get_job_record(job_id).outputs
+
+    def list_job_record_ids(self) -> list[str]:
+        return [r.job_id for r in self.context.job_registry.history]
+
+    def list_all_job_record_ids(self) -> list[str]:
+        return self.list_job_record_ids()
+
+    def list_job_records(self) -> dict:
+        return {r.job_id: r for r in self.context.job_registry.history}
+
+    def list_all_job_records(self) -> dict:
+        return self.list_job_records()
+
+    def retrieve_job_info(self, job_id: str) -> dict:
+        r = self.get_job_record(job_id)
+        return {
+            "job_id": r.job_id, "module_type": r.module_type,
+            "module_config": dict(r.module_config),
+            "runtime_sec": r.runtime_sec, "cache_hit": r.cache_hit,
+            "outputs": list(r.outputs),
+            "comment": self.get_job_comment(r.job_id),
+        }
+
+    def retrieve_jobs_info(self) -> dict:
+        return {jid: self.retrieve_job_info(jid)
+                for jid in self.list_job_record_ids()}
+
+    def get_all_jobs_info_data(self) -> list[dict]:
+        return [self.retrieve_job_info(j) for j in self.list_job_record_ids()]
+
+    def print_all_jobs_info_data(self) -> None:
+        for info in self.get_all_jobs_info_data():
+            line = (f"{info['job_id'][:8]}  {info['module_type']:<40} "
+                    f"{info['runtime_sec']:.2f}s "
+                    f"{'cache' if info['cache_hit'] else 'ran'}")
+            if info["comment"]:
+                line += f"  # {info['comment']}"
+            print(line)
+
+    # -- job comments (kiara_api.py set/get_job_comment) ---------------------
+
+    def _comments_file(self) -> str:
+        return os.path.join(self.context.base_path, "job_comments.json")
+
+    def _load_comments(self) -> None:
+        try:
+            with open(self._comments_file()) as f:
+                self._comments = json.load(f)
+        except (OSError, ValueError):
+            self._comments = {}
+
+    def set_job_comment(self, job_id: str, comment: str) -> None:
+        self.get_job_record(job_id)  # validate
+        self._comments[job_id] = comment
+        try:
+            with open(self._comments_file(), "w") as f:
+                json.dump(self._comments, f)
+        except OSError:
+            pass
+
+    def get_job_comment(self, job_id: str) -> str | None:
+        return self._comments.get(job_id)

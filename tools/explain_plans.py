@@ -32,6 +32,10 @@ INTENTIONAL_CROSS = {
     "theta_event_type_overlap",    # K-row sketch×sketch pair join (K = #groups, tiny)
     "quantile_bins_totalprice",    # 1-row quantile-bounds broadcast
     "impute_nulls_lineitem",       # 1-row fill-values broadcast
+    "drift_psi_orders",            # 1-row reference-quantile-bounds broadcast
+    "text_bm25_scores",            # 1-row corpus n/avglen broadcast
+    "embedding_hard_negatives",    # bounded broadcast query set (like knn baseline)
+    "row_ids_orders",              # 1-row percentile-bounds broadcast feeds bucketing
 }
 
 
