@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "kth_smallest_totalprice",
     "basket_association_parts",
     "forecast_linear_next_day",
+    "events_gap_interpolate_hourly",
 ]
 
 

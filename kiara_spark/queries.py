@@ -7561,6 +7561,52 @@ def forecast_q(spark, sf_dir):
     )
 
 
+@query(
+    "events_gap_interpolate_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS hv
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT k, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY k),
+    grid AS (SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM b),
+    j AS (SELECT g.k, g.h, CAST(epoch(g.h) AS BIGINT) AS ts, hv
+          FROM grid g LEFT JOIN hourly ON g.k = hourly.k AND g.h = hourly.h),
+    anch AS (
+      SELECT k, h, ts, hv,
+             last_value(hv IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN hv IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER wb AS pt,
+             first_value(hv IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN hv IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER wf AS nt
+      FROM j
+      WINDOW wb AS (PARTITION BY k ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY k ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k AS event_type, ts AS hour_ts,
+           ROUND(CASE WHEN hv IS NOT NULL THEN hv
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END,
+                 6) AS interpolated_value,
+           CAST(hv IS NULL AS BIGINT) AS was_gap
+    FROM anch
+    """,
+)
+def events_gap_interpolate_q(spark, sf_dir):
+    """Hypertable-style gap fill + LINEAR interpolation
+    (`events.gap_fill.interpolate`): dense hourly grid, then backward and
+    forward ignore-nulls anchors carrying (value, hour) so missing hours
+    take prev + (next-prev)·elapsed/span; edges extrapolate to the nearest
+    anchor.  Both windows share one key sort."""
+    ev = _t(spark, sf_dir, "events")
+    return W.gap_fill_interpolate(ev)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -209,6 +209,61 @@ def gap_fill_hourly(
     )
 
 
+def gap_fill_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Gap filling with LINEAR interpolation (the hypertable
+    ``time_bucket_gapfill`` + ``interpolate`` pattern, complementing the
+    LOCF variant): missing hours take
+    ``prev + (next - prev) · elapsed/span`` between the surrounding
+    observed hours.
+
+    Same dense-grid build as ``gap_fill_hourly`` (sequence+explode, grid
+    never shuffles beyond the key), then TWO ignore-nulls windows over one
+    key sort (backward last + forward first share the partitioning — Spark
+    reuses the exchange): each carries both the anchor value and its hour,
+    so the interpolation fraction is pure codegen arithmetic.  Hours before
+    the first / after the last observation keep the nearest anchor
+    (= the only defensible extrapolation).  Output: (key, hour_ts,
+    interpolated_value rounded 6dp, was_gap)."""
+    h = F.date_trunc("hour", F.col(ts_col))
+    agg = F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4) \
+        .cast("double")
+    hourly = df.groupBy(F.col(key_col).alias("_key"), h.alias("_h")).agg(
+        agg.alias("_v"))
+    bounds = hourly.groupBy("_key").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+    grid = bounds.select(
+        "_key",
+        F.explode(F.sequence("_h0", "_h1", F.expr("interval 1 hour")))
+        .alias("_h"))
+    filled = grid.join(hourly, ["_key", "_h"], "left").withColumn(
+        "_ts", F.unix_timestamp("_h").cast("bigint"))
+    wb = Window.partitionBy("_key").orderBy("_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy("_key").orderBy("_h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    anchor_t = F.when(F.col("_v").isNotNull(), F.col("_ts"))
+    pv = F.last("_v", ignorenulls=True).over(wb)
+    pt = F.last(anchor_t, ignorenulls=True).over(wb)
+    nv = F.first("_v", ignorenulls=True).over(wf)
+    nt = F.first(anchor_t, ignorenulls=True).over(wf)
+    interp = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(pv.isNull(), nv)           # before first observation
+        .when(nv.isNull(), pv)           # after last observation
+        .otherwise(pv + (nv - pv) * (F.col("_ts") - pt) / (nt - pt))
+    )
+    return filled.select(
+        F.col("_key").alias(key_col),
+        F.col("_ts").alias("hour_ts"),
+        F.round(interp, 6).alias("interpolated_value"),
+        F.col("_v").isNull().cast("bigint").alias("was_gap"),
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     stages: list[str],
@@ -393,6 +448,24 @@ class EventsGapFill(KiaraModule):
             key_col=self.config.get("key_column", "event_type"))}
 
 
+class EventsGapInterpolate(KiaraModule):
+    """Hourly gap-fill + LINEAR interpolation over an event table."""
+
+    _module_type_name = "events.gap_fill.interpolate"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": gap_fill_interpolate(
+            inputs["table"].data,
+            ts_col=self.config.get("ts_column", "ts"),
+            key_col=self.config.get("key_column", "event_type"))}
+
+
 class EventsFunnel(KiaraModule):
     """Ordered conversion funnel over an event table (config: ``stages``)."""
 
@@ -454,7 +527,7 @@ class EventsAnomalyZscore(KiaraModule):
 
 
 MODULES = [EventsTumbling, EventsSliding, EventsSession, EventsRetention,
-           EventsGapFill, EventsFunnel, EventsSessionPaths,
+           EventsGapFill, EventsGapInterpolate, EventsFunnel, EventsSessionPaths,
            EventsAnomalyZscore]
 OPERATIONS = [
     Operation("events.window.tumbling", "events.window.tumbling"),
@@ -462,6 +535,7 @@ OPERATIONS = [
     Operation("events.window.session", "events.window.session"),
     Operation("events.retention.cohorts", "events.retention.cohorts"),
     Operation("events.gap_fill.hourly", "events.gap_fill.hourly"),
+    Operation("events.gap_fill.interpolate", "events.gap_fill.interpolate"),
     Operation("events.funnel", "events.funnel"),
     Operation("events.session_paths", "events.session_paths"),
     Operation("events.anomaly.zscore", "events.anomaly.zscore"),

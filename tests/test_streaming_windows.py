@@ -225,3 +225,29 @@ def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
     # and the restart consumed only the new file (offset log advanced, not reset)
     offsets = sorted(os.listdir(os.path.join(ckpt, "offsets")))
     assert len([o for o in offsets if not o.startswith(".")]) == 2
+
+
+def test_gap_fill_interpolate_linear_values(spark):
+    from datetime import datetime
+
+    from kiara_spark.streaming.windows import gap_fill_interpolate
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    # key A: anchors at hour 0 (value 10) and hour 3 (value 40);
+    # hours 1 and 2 must interpolate to 20 and 30
+    rows = [(1, "A", _ts("2024-01-01 00:10:00"), 10.0),
+            (2, "A", _ts("2024-01-01 03:20:00"), 40.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    out = {r.hour_ts: (r.interpolated_value, r.was_gap)
+           for r in gap_fill_interpolate(df).collect()}
+    base = min(out)
+    vals = [out[base + 3600 * i] for i in range(4)]
+    assert vals == [(10.0, 0), (20.0, 1), (30.0, 1), (40.0, 0)]
+
+
+def test_gap_interpolate_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "events.gap_fill.interpolate") is not None
