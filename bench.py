@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "basket_association_parts",
     "forecast_linear_next_day",
     "events_gap_interpolate_hourly",
+    "anonymize_customers",
 ]
 
 

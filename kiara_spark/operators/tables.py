@@ -734,6 +734,52 @@ def backfill_by_partition(
             "skipped": [v for v in want if v not in todo]}
 
 
+def plan_stats(df: DataFrame) -> dict:
+    """Optimizer statistics for a plan WITHOUT executing it: Catalyst's
+    estimated size in bytes (and row count when stats are available) from
+    the optimized logical plan — what AQE/broadcast decisions read.  The
+    pre-flight check before launching a 100 TB job: if the estimate says
+    the build side won't broadcast, fix the plan, not the cluster."""
+    qe = df._jdf.queryExecution()
+    stats = qe.optimizedPlan().stats()
+    # rowCount() is Option[BigInt]; py4j surfaces an empty Option as either
+    # None or a JavaObject whose get() throws — normalize both to None
+    row_count = None
+    try:
+        rc = stats.rowCount()
+        if rc is not None and rc.isDefined():
+            row_count = int(str(rc.get()))
+    except Exception:
+        row_count = None
+    return {
+        "size_in_bytes": int(stats.sizeInBytes()),
+        "row_count": row_count,
+        "num_output_columns": len(df.columns),
+    }
+
+
+def anonymize_columns(
+    df: DataFrame,
+    hash_cols: list[str],
+    drop_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Pseudonymization for data sharing: direct identifiers are dropped,
+    quasi-identifiers are replaced by salted md5 hex digests (deterministic,
+    so joins ACROSS anonymized tables sharing the salt still line up —
+    the property naive random tokens lose).  Map-only, scan throughput.
+
+    This is pseudonymization, not k-anonymity: with the salt an attacker
+    can verify membership by hashing candidates — rotate/secure the salt
+    accordingly (documented limitation, same as every hashed-key share)."""
+    out = df
+    for c in hash_cols:
+        out = out.withColumn(
+            c, F.md5(F.concat_ws("\x1f", F.lit(salt),
+                                 F.col(c).cast("string"))))
+    return out.drop(*(drop_cols or []))
+
+
 def observe_metrics(df: DataFrame, metrics: dict):
     """Attach free pipeline metrics to a plan: the returned DataFrame is
     unchanged, and after ANY action on it the named aggregates are
@@ -1079,6 +1125,24 @@ TableVacuum = _simple_module(
     characteristics=ModuleCharacteristics(is_idempotent=False),
 )
 
+TablePlanStats = _simple_module(
+    "table.explain.stats",
+    {"table": TABLE}, {"stats": DICT},
+    lambda self, im, ctx: {"stats": plan_stats(im["table"].data)},
+    doc="Catalyst size/row estimates from the optimized plan, no execution.",
+)
+
+TableAnonymize = _simple_module(
+    "table.anonymize",
+    {"table": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": anonymize_columns(
+        im["table"].data, self.config["hash_columns"],
+        drop_cols=self.config.get("drop_columns"),
+        salt=self.config.get("salt", ""))},
+    doc="Pseudonymize: salted-md5 quasi-identifiers, drop direct "
+        "identifiers (config: hash_columns, drop_columns, salt).",
+)
+
 TableAddRowIds = _simple_module(
     "table.add_row_ids",
     {"table": TABLE}, {"table": TABLE},
@@ -1152,7 +1216,7 @@ MODULES = [
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
     TableFileStats, ExportSharded, TableTimeTravel, TableBackfill,
-    TableAddRowIds,
+    TableAddRowIds, TablePlanStats, TableAnonymize,
 ]
 
 OPERATIONS = [
@@ -1179,6 +1243,10 @@ OPERATIONS = [
               doc="idempotent missing-partition backfill"),
     Operation("table.add_row_ids", "table.add_row_ids",
               doc="contiguous global row ids, no global-sort window"),
+    Operation("table.explain.stats", "table.explain.stats",
+              doc="optimizer size/row estimates without execution"),
+    Operation("table.anonymize", "table.anonymize",
+              doc="salted-hash pseudonymization for data sharing"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

@@ -7607,6 +7607,29 @@ def events_gap_interpolate_q(spark, sf_dir):
     return W.gap_fill_interpolate(ev)
 
 
+@query(
+    "anonymize_customers",
+    """
+    SELECT md5('s1' || CHR(31) || CAST(c_custkey AS VARCHAR)) AS c_custkey,
+           c_nationkey, ROUND(c_acctbal, 4) AS c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def anonymize_q(spark, sf_dir):
+    """Pseudonymized share of the customer table (`table.anonymize`):
+    the key becomes a salted md5 (joins across tables sharing the salt
+    still line up), the name — a direct identifier — is dropped, analytic
+    columns pass through.  Map-only."""
+    from .operators.tables import anonymize_columns
+
+    c = _t(spark, sf_dir, "customer")
+    out = anonymize_columns(c, ["c_custkey"], drop_cols=["c_name"],
+                            salt="s1")
+    return out.select("c_custkey", "c_nationkey",
+                      F.round("c_acctbal", 4).alias("c_acctbal"),
+                      "c_mktsegment")
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -375,3 +375,34 @@ def test_add_row_ids_partition_invariant(spark):
 
 def test_add_row_ids_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.add_row_ids") is not None
+
+
+def test_anonymize_join_consistency_and_drop(spark):
+    from kiara_spark.operators.tables import anonymize_columns
+
+    a = spark.createDataFrame([(1, "alice", 10.0), (2, "bob", 20.0)],
+                              "uid long, name string, v double")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "uid long, tag string")
+    aa = anonymize_columns(a, ["uid"], drop_cols=["name"], salt="k")
+    bb = anonymize_columns(b, ["uid"], salt="k")
+    assert "name" not in aa.columns
+    # same salt -> keys still join across tables
+    assert aa.join(bb, "uid").count() == 2
+    # different salt -> unlinkable
+    cc = anonymize_columns(b, ["uid"], salt="other")
+    assert aa.join(cc, "uid").count() == 0
+
+
+def test_plan_stats_no_execution(spark):
+    from kiara_spark.operators.tables import plan_stats
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    s = plan_stats(df)
+    assert s["size_in_bytes"] > 0
+    assert s["num_output_columns"] == 2
+
+
+def test_stats_anonymize_ops_registered(ctx):
+    for op in ("table.explain.stats", "table.anonymize"):
+        assert ctx.operation_registry.resolve(op) is not None
