@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "forecast_linear_next_day",
     "events_gap_interpolate_hourly",
     "anonymize_customers",
+    "graph_pagerank_personalized",
 ]
 
 

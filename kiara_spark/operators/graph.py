@@ -438,6 +438,62 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     return ranks.select("id", "rank")
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleportation jumps to the SEED SET instead of
+    uniformly — ranks measure proximity to the seeds (recommendation /
+    related-entity scoring), not global importance.
+
+        rank_{k+1}(v) = (1-d)·tele(v) + d·Σ_{u→v} rank_k(u)/outdeg(u)
+        tele(v) = 1/|S| for seeds, 0 elsewhere; rank_0 = tele
+
+    Same bit-stability contract as ``pagerank`` (double divisions, exact
+    DECIMAL(38,18) contribution sums, fixed iterations, no convergence
+    collect); the teleport vector is one extra left-join against the seed
+    set, computed once and reused every round.  Mass leaks through
+    dangling/non-seed paths exactly as in the simple variant — the standard
+    unnormalized formulation a SQL twin can reproduce."""
+    e = edges.select("src", "dst").distinct()
+    nodes = cut_lineage(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    s = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
+    base = (
+        nodes.join(s.withColumn("_is_seed", F.lit(1)), "id", "left")
+        .crossJoin(F.broadcast(ns))
+        .select("id", F.when(F.col("_is_seed").isNotNull(),
+                             F.lit(1.0) / F.col("_ns"))
+                .otherwise(F.lit(0.0)).alias("tele"))
+    )
+    base = cut_lineage(base)
+    outdeg = e.groupBy(F.col("src").alias("_od_src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_outdeg"))
+    ranks = base.select("id", F.col("tele").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
+                   e.src == F.col("_r_id"))
+            .join(outdeg, e.src == F.col("_od_src"))
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("_outdeg"))
+                    .cast("decimal(38,18)").alias("_c"))
+        )
+        sums = contribs.groupBy("id").agg(F.sum("_c").alias("_s"))
+        ranks = base.join(sums, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) * F.col("tele")
+             + F.lit(damping)
+             * F.coalesce(F.col("_s").cast("double"), F.lit(0.0)))
+            .alias("rank"),
+        )
+    return ranks.select("id", "rank")
+
+
 # -- database namespace ops -------------------------------------------------
 
 
@@ -633,6 +689,25 @@ class GraphBfsHops(KiaraModule):
             max_hops=self.config.get("max_hops", 4))}
 
 
+class GraphPersonalizedPagerank(KiaraModule):
+    """Personalized (seed-teleport) PageRank, fixed iterations."""
+
+    _module_type_name = "network_graph.pagerank_personalized"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}, "seeds": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": pagerank_personalized(
+            inputs["graph"].data["edges"],
+            inputs["seeds"].data,
+            iterations=self.config.get("iterations", 3),
+            damping=self.config.get("damping", 0.85))}
+
+
 class GraphKCore(KiaraModule):
     """Fixed-round k-core peeling (degree-< k removal, see kcore_peel)."""
 
@@ -673,7 +748,8 @@ class GraphShortestPathsWeighted(KiaraModule):
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
            GraphComponents, GraphPagerank, GraphBfsHops,
-           GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore]
+           GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
+           GraphPersonalizedPagerank]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -692,4 +768,6 @@ OPERATIONS = [
     Operation("network_graph.shortest_paths_weighted",
               "network_graph.shortest_paths_weighted"),
     Operation("network_graph.kcore", "network_graph.kcore"),
+    Operation("network_graph.pagerank_personalized",
+              "network_graph.pagerank_personalized"),
 ]

@@ -7630,6 +7630,61 @@ def anonymize_q(spark, sf_dir):
                       "c_mktsegment")
 
 
+def _ppr_iter_sql(prev: str) -> str:
+    # (1-d) is spelled as repr(1.0 - 0.85) — the Python float the operator
+    # computes — NOT the literal 0.15 (1 ulp apart).  With a power-of-two
+    # seed count the ranks are exactly dyadic, so that single ulp lands on
+    # the round-half boundary and flips the 9-dp canonical form.
+    return f"""
+      SELECT n2.id, n2.tele,
+             0.15000000000000002 * n2.tele + 0.85 * CAST(COALESCE(c.s, 0) AS DOUBLE) AS rank
+      FROM nodes n2
+      LEFT JOIN (
+        SELECT e.dst AS id,
+               SUM(CAST(r.rank / od.outdeg AS DECIMAL(38,18))) AS s
+        FROM e JOIN {prev} r ON e.src = r.id JOIN od ON e.src = od.src
+        GROUP BY e.dst
+      ) c ON c.id = n2.id
+    """
+
+
+@query(
+    "graph_pagerank_personalized",
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+    rawnodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT DISTINCT id FROM rawnodes WHERE id % 100 = 0),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+    nodes AS (
+      SELECT r.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END
+               AS tele
+      FROM rawnodes r LEFT JOIN seeds s ON r.id = s.id CROSS JOIN ns),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT id, tele, tele AS rank FROM nodes),
+    r1 AS ({_ppr_iter_sql('r0')}),
+    r2 AS ({_ppr_iter_sql('r1')}),
+    r3 AS ({_ppr_iter_sql('r2')})
+    SELECT id, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def ppr_q(spark, sf_dir):
+    """Personalized PageRank (`network_graph.pagerank_personalized`):
+    teleport mass restricted to the seed set (node ids % 100 = 0), ranks =
+    proximity to seeds.  Same decimal-exact contribution sums as plain
+    PageRank, verified against a 3-deep unrolled SQL twin."""
+    from .operators import graph as G
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))).distinct()
+    seeds = nodes.filter(F.col("id") % 100 == 0)
+    out = G.pagerank_personalized(edges, seeds, iterations=3, damping=0.85)
+    # ranks surface 6-dp rounded: a power-of-two seed count makes raw ranks
+    # dyadic, where DuckDB's decimal->double cast 1-ulp drift (see dsum)
+    # lands exactly on the 9-dp canonical-rounding boundary
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

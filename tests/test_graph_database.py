@@ -315,3 +315,22 @@ def test_kcore_round_cap_partial_peel(spark):
 
 def test_kcore_op_registered(ctx):
     assert ctx.operation_registry.resolve("network_graph.kcore") is not None
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    from kiara_spark.operators.graph import pagerank_personalized
+
+    # star around seed 1 plus a detached pair 10-11: mass must stay near
+    # the seed component, detached nodes get zero
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {x.id: x.rank for x in pagerank_personalized(
+        edges, seeds, iterations=4).collect()}
+    assert r[1] > r[2] == r[3] > 0
+    assert r[10] == 0.0 and r[11] == 0.0
+
+
+def test_ppr_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "network_graph.pagerank_personalized") is not None

@@ -251,3 +251,39 @@ def test_gap_fill_interpolate_linear_values(spark):
 def test_gap_interpolate_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "events.gap_fill.interpolate") is not None
+
+
+def test_streaming_progress_listener_metrics(spark, tmp_path):
+    """Observability contract: the progress listener must see every
+    micro-batch with exact input-row counts and stateful-operator sizes —
+    what a production dashboard charts."""
+    import os
+    import time
+
+    from kiara_spark.streaming.monitor import attach_progress_listener
+    from kiara_spark.streaming.windows import read_parquet_stream
+
+    src = str(tmp_path / "mon_src")
+    os.makedirs(src)
+    spark.createDataFrame([(i, "a") for i in range(20)],
+                          "id long, k string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    mon = attach_progress_listener(spark)
+    try:
+        stream = read_parquet_stream(spark, src)
+        q = (stream.groupBy("k").count()
+             .writeStream.format("memory").queryName("mon_demo")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and not mon.batches_for("mon_demo"):
+            time.sleep(0.2)
+        s = mon.summary("mon_demo")
+        assert s["n_batches"] >= 1
+        assert s["total_input_rows"] == 20
+        assert s["max_state_rows"] >= 1  # the aggregation kept state
+        assert mon.started  # lifecycle seen
+    finally:
+        spark.streams.removeListener(mon)
