@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "events_gap_interpolate_hourly",
     "anonymize_customers",
     "graph_pagerank_personalized",
+    "events_cusum_changepoint",
+    "rolling_features_battery",
+    "setop_all_variants",
 ]
 
 

@@ -7685,6 +7685,130 @@ def ppr_q(spark, sf_dir):
     return out.select("id", F.round("rank", 6).alias("rank"))
 
 
+@query(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) / COUNT(*)
+                        AS DOUBLE), 6) AS y
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT key,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM daily GROUP BY key
+    ), dev AS (
+      SELECT daily.key, d,
+             CAST(ROUND(y - mu, 6) AS DECIMAL(38,6)) AS dv
+      FROM daily JOIN stats ON daily.key = stats.key
+    )
+    SELECT key, strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(dv) OVER (PARTITION BY key ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE) AS cusum
+    FROM dev
+    """,
+)
+def cusum_q(spark, sf_dir):
+    """CUSUM change detection input: the running sum of (daily mean −
+    series mean) per key — drifts near zero under a stable mean, ramps
+    when the level shifts (the classic changepoint signal).  Deviations
+    round to 6 dp then accumulate as exact decimals, so the cumulative sum
+    is engine- and partition-exact; one key shuffle serves the window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("day", "ts").alias("_d"),
+    ).agg(F.round((F.sum(F.col("value").cast("decimal(38,10)"))
+                   / F.count(F.lit(1))).cast("double"), 6).alias("y"))
+    mu = daily.groupBy("key").agg(
+        (F.sum(F.col("y").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("_mu"))
+    dev = daily.join(mu, "key").withColumn(
+        "_dv", F.round(F.col("y") - F.col("_mu"), 6).cast("decimal(38,6)"))
+    w = Window.partitionBy("key").orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return dev.select(
+        "key", F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.sum("_dv").over(w).cast("double").alias("cusum"))
+
+
+@query(
+    "rolling_features_battery",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) / COUNT(*)
+                        AS DOUBLE), 6) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT key, strftime(d, '%Y-%m-%d') AS day,
+           CAST(ROUND(SUM(CAST(y AS DECIMAL(38,6))) OVER w7 /
+                      COUNT(*) OVER w7, 6) AS DOUBLE) AS roll_mean_7,
+           MIN(y) OVER w7 AS roll_min_7,
+           MAX(y) OVER w7 AS roll_max_7,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS roll_n_7
+    FROM daily
+    WINDOW w7 AS (PARTITION BY key ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_features_q(spark, sf_dir):
+    """Rolling ML-feature battery: trailing-7-row mean/min/max/count per
+    key over the daily series — the standard lag-feature generation before
+    model training.  The rolling mean divides a decimal-exact frame sum,
+    rounded while still decimal, so every feature is bit-identical across
+    engines; one key shuffle serves all four frames."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("day", "ts").alias("_d"),
+    ).agg(F.round((F.sum(F.col("value").cast("decimal(38,10)"))
+                   / F.count(F.lit(1))).cast("double"), 6).alias("y"))
+    w7 = Window.partitionBy("key").orderBy("_d").rowsBetween(-6, 0)
+    return daily.select(
+        "key", F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum(F.col("y").cast("decimal(38,6)")).over(w7)
+                / F.count(F.lit(1)).over(w7), 6).cast("double")
+        .alias("roll_mean_7"),
+        F.min("y").over(w7).alias("roll_min_7"),
+        F.max("y").over(w7).alias("roll_max_7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("roll_n_7"))
+
+
+@query(
+    "setop_all_variants",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders
+               WHERE o_totalprice > 150000),
+    b AS (SELECT o_orderpriority AS p FROM orders
+          WHERE o_orderstatus = 'F' AND o_totalprice > 150000)
+    SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY p
+    UNION ALL
+    SELECT 'except_all', p, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY p
+    """,
+)
+def setop_all_q(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    multiplicities follow min/difference rules instead of collapsing — the
+    DISTINCT-variant battery can't see this.  Output aggregates per value
+    so the check is multiplicity-exact without hashing giant row lists."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter("o_totalprice > 150000").select(
+        F.col("o_orderpriority").alias("p"))
+    b = o.filter("o_orderstatus = 'F' AND o_totalprice > 150000").select(
+        F.col("o_orderpriority").alias("p"))
+    ia = a.intersectAll(b).groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")) \
+        .select(F.lit("intersect_all").alias("op"), "p", "n")
+    ea = a.exceptAll(b).groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")) \
+        .select(F.lit("except_all").alias("op"), "p", "n")
+    return ia.unionByName(ea)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
