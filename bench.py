@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "rolling_features_battery",
     "setop_all_variants",
+    "profile_orders_columns",
 ]
 
 

@@ -391,6 +391,45 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         "_p.col_a", "_p.col_b", "_p.corr")
 
 
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form column profile in ONE scan: per column its null count,
+    exact distinct count, and min/max (as strings so heterogeneous types
+    share the report schema) — the distributed form of the
+    ``value.extract_metadata`` profile, emitted as a TABLE so it can be
+    stored, diffed between snapshots, and oracle-verified.
+
+    All per-column aggregates ride in a single aggregate (one scan,
+    map-side partials); the wide 1-row result explodes to long form via
+    literal-keyed structs (never string-SQL, same rationale as
+    quality_audit).  count_distinct per column does grow the aggregate
+    state with column cardinality — swap in approx_count_distinct for
+    ultra-high-cardinality profiling at 100 TB (documented trade)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"_nulls_{i}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_dist_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{i}").alias("n_nulls"),
+            F.col(f"_dist_{i}").alias("n_distinct"),
+            F.col(f"_min_{i}").alias("min_value"),
+            F.col(f"_max_{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return wide.select(F.explode(rows).alias("_r")).select(
+        "_r.column", "_r.n_rows", "_r.n_nulls", "_r.n_distinct",
+        "_r.min_value", "_r.max_value")
+
+
 def kth_smallest_scalable(
     df: DataFrame,
     col: str,
@@ -784,6 +823,17 @@ TableImputeNulls = _simple_module(
         "aggregate + broadcast coalesce.",
 )
 
+TableProfile = _simple_module(
+    "table.profile",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": profile_columns(
+        im["table"].data,
+        self.config.get("columns") or im["table"].data.columns)},
+    doc="Long-form per-column profile (nulls/distinct/min/max) in one scan "
+        "(config: columns; defaults to all).",
+)
+
 TableAssociationPairs = _simple_module(
     "table.association.pairs",
     {"table": TABLE},
@@ -889,7 +939,8 @@ MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
            TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
-           TableRegressionByGroup, TableKthSmallest, TableAssociationPairs]
+           TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
+           TableProfile]
 OPERATIONS = [
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
@@ -925,4 +976,6 @@ OPERATIONS = [
               doc="exact order statistic by distributed selection"),
     Operation("table.association.pairs", "table.association.pairs",
               doc="market-basket support/confidence/lift pairs"),
+    Operation("table.profile", "table.profile",
+              doc="one-scan per-column profile report"),
 ]

@@ -7809,6 +7809,49 @@ def setop_all_q(spark, sf_dir):
     return ia.unionByName(ea)
 
 
+@query(
+    "profile_orders_columns",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders)
+    SELECT 'o_orderkey' AS "column", n.c AS n_rows,
+           (SELECT CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) FROM orders)
+             AS n_nulls,
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+             AS n_distinct,
+           (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+           (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_value
+    FROM n
+    UNION ALL
+    SELECT 'o_orderpriority', n.c,
+           (SELECT CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT)
+            FROM orders),
+           (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+            FROM orders),
+           (SELECT MIN(o_orderpriority) FROM orders),
+           (SELECT MAX(o_orderpriority) FROM orders)
+    FROM n
+    UNION ALL
+    SELECT 'o_orderstatus', n.c,
+           (SELECT CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT)
+            FROM orders),
+           (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+           (SELECT MIN(o_orderstatus) FROM orders),
+           (SELECT MAX(o_orderstatus) FROM orders)
+    FROM n
+    """,
+)
+def profile_q(spark, sf_dir):
+    """One-scan column profile (`table.profile`): nulls/distinct/min/max
+    per column, long-form — vs an oracle that spells each column's stats as
+    separate subqueries (the n-scan formulation the single-pass plan
+    replaces)."""
+    from .operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -403,3 +403,23 @@ def test_association_pairs_metrics(spark):
 
 def test_association_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.association.pairs") is not None
+
+
+def test_profile_columns_one_scan(spark):
+    from kiara_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string")
+    out = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 2
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    # single job: the profile plan contains exactly one aggregate pass
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final, one agg chain
+
+
+def test_profile_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.profile") is not None
