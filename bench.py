@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "rolling_features_battery",
     "setop_all_variants",
     "profile_orders_columns",
+    "multimodal_crossmodal_topk",
 ]
 
 

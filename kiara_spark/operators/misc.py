@@ -369,6 +369,41 @@ def decode_audio_stub(df: DataFrame, binary_col: str = "media",
     return df.mapInPandas(_fake_decode, schema=schema)
 
 
+def embed_media_stub(df: DataFrame, binary_col: str = "media",
+                     id_col: str = "id", dim: int = 8):
+    """Media -> embedding via ``mapInPandas`` — the encoder seam of a
+    cross-modal retrieval pipeline (CLIP-style: encode every modality into
+    one vector space, then ANN).
+
+    The "encoder" is a deterministic md5-derived projection
+    (``v_i = hash32(blob ++ ':' ++ i) / 2^32 · 2 − 1``) because no model
+    runtime ships in this container — but it is chosen so the SAME vector
+    is computable as a JVM-side expression (operators.text.base_hash32 per
+    dimension), which pins the Arrow plumbing exactly: batching, binary
+    handling, and float math must all agree with the SQL/JVM path
+    bit-for-bit or the oracle fails.  Swap the hash block for a real
+    encoder (ONNX/torch) on a cluster with the runtime installed; schema
+    and batch shape carry over."""
+    import hashlib
+
+    import pandas as pd
+
+    def _embed(batches):
+        for pdf in batches:
+            vecs = []
+            for blob in pdf[binary_col]:
+                b = bytes(blob) if blob is not None else b""
+                vecs.append([
+                    int(hashlib.md5(b + b":" + str(i).encode()).hexdigest()[:8],
+                        16) / 4294967296.0 * 2.0 - 1.0
+                    for i in range(dim)
+                ])
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.mapInPandas(
+        _embed, schema=f"{id_col} long, embedding array<double>")
+
+
 def resize_image_stub(df: DataFrame, target_w: int = 224, target_h: int = 224,
                       id_col: str = "id"):
     """Aspect-preserving resize -> ``mapInPandas`` over decoded dimensions.
@@ -487,10 +522,27 @@ class MediaDecodeAudio(KiaraModule):
             passthrough=tuple(self.config.get("passthrough", ())))}
 
 
+class MediaEmbed(KiaraModule):
+    _module_type_name = "media.embed"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": embed_media_stub(
+            inputs["table"].data,
+            binary_col=self.config.get("binary_column", "media"),
+            id_col=self.config.get("id_column", "id"),
+            dim=self.config.get("dim", 8))}
+
+
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
     RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
-    MediaDecodeAudio, MediaFrameSample, MediaResizeImage,
+    MediaDecodeAudio, MediaFrameSample, MediaResizeImage, MediaEmbed,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
@@ -504,4 +556,5 @@ OPERATIONS = [
     Operation("media.decode_audio", "media.decode_audio"),
     Operation("media.frame_sample", "media.frame_sample"),
     Operation("media.resize_image", "media.resize_image"),
+    Operation("media.embed", "media.embed"),
 ]

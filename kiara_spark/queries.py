@@ -7852,6 +7852,75 @@ def profile_q(spark, sf_dir):
         o, ["o_orderkey", "o_orderpriority", "o_orderstatus"])
 
 
+_XM_DIM = 8
+_XM_DIMS_SQL = "[" + ", ".join(
+    f"({_h32_sql(f'''text || ':{i}' ''').strip()} / 4294967296.0 * 2.0 - 1.0)"
+    for i in range(_XM_DIM)) + "]"
+_XM_DOT = ("list_reduce(list_transform(range(1, 9), "
+           "i -> q.qv[i] * c.cv[i]), (x, y) -> x + y)")
+_XM_QN = ("sqrt(list_reduce(list_transform(range(1, 9), "
+          "i -> q.qv[i] * q.qv[i]), (x, y) -> x + y))")
+_XM_CN = ("sqrt(list_reduce(list_transform(range(1, 9), "
+          "i -> c.cv[i] * c.cv[i]), (x, y) -> x + y))")
+
+
+@query(
+    "multimodal_crossmodal_topk",
+    f"""
+    WITH q AS (SELECT doc_id AS query_id, {_XM_DIMS_SQL} AS qv
+               FROM documents WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id AS neighbor_id, {_XM_DIMS_SQL} AS cv FROM documents),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {_XM_QN} * {_XM_CN} > 0
+                   THEN {_XM_DOT} / ({_XM_QN} * {_XM_CN}) ELSE 0.0 END, 8)
+               AS cosine_sim
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id)
+                 AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def crossmodal_q(spark, sf_dir):
+    """Cross-modal retrieval plumbing end-to-end (`media.embed` +
+    similarity): the QUERY side encodes raw media bytes through the
+    Arrow-batched Python encoder stub (mapInPandas), the CORPUS side
+    computes the same projection as JVM expressions — and the two paths
+    must agree bit-for-bit for the top-1 neighbors to match the all-SQL
+    oracle.  This pins exactly what a real CLIP-style encoder swap relies
+    on: binary handling, Arrow batching, and float math across the
+    Python/JVM boundary."""
+    from .operators import misc as M
+    from .operators.text import base_hash32
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.filter("doc_id % 50 = 0").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    qvecs = M.embed_media_stub(media, "media", "id", dim=_XM_DIM).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv"))
+    cdims = F.array(*[
+        (base_hash32(F.concat(F.col("text"), F.lit(f":{i}")))
+         / F.lit(4294967296.0) * F.lit(2.0) - F.lit(1.0)).cast("double")
+        for i in range(_XM_DIM)])
+    corpus = docs.select(F.col("doc_id").alias("neighbor_id"),
+                         cdims.alias("cv"))
+    scored = (
+        corpus.crossJoin(F.broadcast(qvecs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(S.cosine_similarity(F.col("qv"), F.col("cv")), 8)
+                .alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1).drop("rnk"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -377,3 +377,32 @@ def test_quantize_int8_bounds_and_constant_dim(spark):
 def test_embedding_codec_ops_registered(ctx):
     for op in ("embedding.normalize", "embedding.quantize_int8"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_media_embed_stub_matches_jvm_expression(spark):
+    """The Arrow-batched Python encoder and the JVM expression projection
+    must produce bit-identical vectors — the contract a real encoder swap
+    inherits (binary handling + float math across the boundary)."""
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.misc import embed_media_stub
+    from kiara_spark.operators.text import base_hash32
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "ünïcödé bytes")],
+        "id long, text string")
+    media = docs.select("id", F.encode("text", "utf-8").alias("media"))
+    py = {r.id: r.embedding
+          for r in embed_media_stub(media, "media", "id", dim=4).collect()}
+    dims = F.array(*[
+        (base_hash32(F.concat(F.col("text"), F.lit(f":{i}")))
+         / F.lit(4294967296.0) * F.lit(2.0) - F.lit(1.0)).cast("double")
+        for i in range(4)])
+    jvm = {r.id: r.v for r in docs.select("id", dims.alias("v")).collect()}
+    assert py == jvm
+    # vectors are bounded and non-degenerate
+    assert all(-1.0 <= x <= 1.0 for v in py.values() for x in v)
+
+
+def test_media_embed_op_registered(ctx):
+    assert ctx.operation_registry.resolve("media.embed") is not None
