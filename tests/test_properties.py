@@ -340,3 +340,39 @@ def test_asof_strict_matches_bruteforce(spark, rows, rrows):
         cand = [(rt, e, v) for (rk, rt, e, v) in rl if rk == k and rt < t]
         want = max(cand)[2] if cand else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False,
+                               width=32),
+                     min_size=1, max_size=120),
+       kfrac=st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kth_smallest_selection_property(spark, vals, kfrac):
+    """Histogram-refinement selection == position k of the sorted multiset
+    for ANY distribution (duplicates, negatives, single value)."""
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    vals = [float(v) for v in vals]
+    k = max(1, min(len(vals), int(kfrac * len(vals)) + 1))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = kth_smallest_scalable(df, "x", k, n_bins=8, final_limit=4)
+    assert got == sorted(vals)[k - 1]
+
+
+@given(keys=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                     min_size=1, max_size=150, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_row_ids_bijection_property(spark, keys):
+    """Contiguous row ids are exactly the sort permutation: a bijection
+    onto 0..n-1 that preserves key order, for any key distribution."""
+    from kiara_spark.operators.tables import add_contiguous_row_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {r.k: r.row_id
+           for r in add_contiguous_row_ids(df, "k", n_buckets=4).collect()}
+    assert sorted(out.values()) == list(range(len(keys)))
+    ordered = [k for k, _ in sorted(out.items(), key=lambda kv: kv[1])]
+    assert ordered == sorted(keys)
