@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "setop_all_variants",
     "profile_orders_columns",
     "multimodal_crossmodal_topk",
+    "inventory_capped_balance",
+    "events_conversion_latency",
 ]
 
 

@@ -267,6 +267,49 @@ def event_path_ngrams(
     )
 
 
+def capped_running_balance(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    floor_value: float = 0.0,
+) -> DataFrame:
+    """Running balance with a floor (inventory/credit semantics):
+    ``balance_t = max(floor, balance_{t-1} + delta_t)`` per key over the
+    daily net change — the canonical NON-LINEAR recurrence that a window
+    cumulative sum CANNOT express (the clamp makes each step depend on the
+    clamped previous value, not the raw prefix sum).
+
+    This is exactly the case for ``applyInPandas``: one shuffle on the key,
+    then a per-key in-memory sequential fold (bounded by days-per-key, not
+    table size).  Deltas round to 6 dp before the fold so the recurrence is
+    bit-reproducible; the oracle replays it with a recursive CTE."""
+    import pandas as pd
+
+    daily = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("_d"),
+    ).agg(F.round(F.sum(F.col(delta_col).cast("decimal(38,10)")), 6)
+          .cast("double").alias("_delta"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_d", kind="mergesort")
+        bal, out = floor_value, []
+        for dlt in pdf["_delta"]:
+            bal = max(floor_value, round(bal + dlt, 6))
+            out.append(bal)
+        pdf = pdf.assign(balance=out)
+        return pdf[["key", "_d", "_delta", "balance"]]
+
+    return (
+        daily.groupBy("key")
+        .applyInPandas(fold, schema="key string, _d timestamp, _delta double, "
+                              "balance double")
+        .select("key", F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                F.col("_delta").alias("net_change"), "balance")
+    )
+
+
 # -- modules ---------------------------------------------------------------
 
 EventsDebounce = _simple_module(
@@ -367,9 +410,27 @@ EventsPathNgrams = _simple_module(
         "top_k); lead battery + one path aggregate.",
 )
 
+EventsCappedBalance = _simple_module(
+    "events.balance.capped",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": capped_running_balance(
+        im["table"].data,
+        key_col=self.config.get("key_column", "event_type"),
+        ts_col=self.config.get("ts_column", "ts"),
+        delta_col=self.config.get("delta_column", "delta"),
+        floor_value=self.config.get("floor", 0.0))},
+    doc="Floored running balance (inventory semantics) — the non-linear "
+        "recurrence a window cumsum can't express; per-key applyInPandas "
+        "fold.",
+)
+
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
-           EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams]
+           EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
+           EventsCappedBalance]
 OPERATIONS = [
+    Operation("events.balance.capped", "events.balance.capped",
+              doc="floored running balance (sequential per-key fold)"),
     Operation("events.ewma", "events.ewma",
               doc="truncated-horizon EWMA over resampled series"),
     Operation("events.path_ngrams", "events.path_ngrams",

@@ -7921,6 +7921,92 @@ def crossmodal_q(spark, sf_dir):
             .filter(F.col("rnk") == 1).drop("rnk"))
 
 
+@query(
+    "inventory_capped_balance",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS d,
+             CAST(ROUND(SUM(CAST(value - 50 AS DECIMAL(38,10))), 6)
+                  AS DOUBLE) AS delta
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT key, d, delta,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY d) AS rn
+      FROM daily
+    ), walk(key, rn, d, delta, balance) AS (
+      SELECT key, rn, d, delta, GREATEST(0.0, ROUND(0.0 + delta, 6))
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.key, s.rn, s.d, s.delta,
+             GREATEST(0.0, ROUND(w.balance + s.delta, 6))
+      FROM walk w JOIN seq s ON s.key = w.key AND s.rn = w.rn + 1
+    )
+    SELECT key, strftime(d, '%Y-%m-%d') AS day, delta AS net_change, balance
+    FROM walk
+    """,
+)
+def capped_balance_q(spark, sf_dir):
+    """Floored running balance (`events.balance.capped`, floor 0): the
+    NON-LINEAR recurrence (each step depends on the clamped previous
+    balance) that no window cumulative sum expresses — per-key
+    applyInPandas fold after one key shuffle, vs the oracle's recursive
+    CTE replay.  Daily deltas = Σ(value − 50) per type/day."""
+    from .operators.events import capped_running_balance
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "delta", F.col("value") - 50)
+    return capped_running_balance(ev, key_col="event_type", ts_col="ts",
+                                  delta_col="delta", floor_value=0.0)
+
+
+@query(
+    "events_conversion_latency",
+    """
+    WITH c AS (SELECT user_id, MIN(ts) AS cts FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pts
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.cts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    lat AS (SELECT CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS us
+            FROM c JOIN p USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CAST(us AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 2) AS mean_sec,
+           ROUND(CAST(quantile_cont(us, 0.5) AS DOUBLE) / 1000000.0, 2)
+             AS p50_sec,
+           ROUND(CAST(quantile_cont(us, 0.9) AS DOUBLE) / 1000000.0, 2)
+             AS p90_sec
+    FROM lat
+    """,
+)
+def conversion_latency_q(spark, sf_dir):
+    """Conversion-latency distribution: per user, seconds from FIRST click
+    to the first purchase at-or-after it; one row of count/mean/p50/p90.
+    Two per-user reductions + a 1-row exact-percentile aggregate — the
+    funnel-health readout at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").groupBy("user_id").agg(
+        F.min("ts").alias("cts"))
+    p = (ev.filter("event_type = 'purchase'")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("cts"))
+         .groupBy("user_id").agg(F.min("ts").alias("pts")))
+    # microsecond latencies: truncating each timestamp to whole seconds
+    # BEFORE subtracting (unix_timestamp) disagrees with subtracting exact
+    # times then truncating (the oracle) whenever sub-second fractions wrap
+    lat = c.join(p, "user_id").select(
+        (F.unix_micros("pts") - F.unix_micros("cts"))
+        .cast("bigint").alias("us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.sum(F.col("us").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)) / 1000000.0, 2).alias("mean_sec"),
+        F.round(F.expr("cast(percentile(us, 0.5) as double)") / 1000000.0, 2)
+        .alias("p50_sec"),
+        F.round(F.expr("cast(percentile(us, 0.9) as double)") / 1000000.0, 2)
+        .alias("p90_sec"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -144,3 +144,37 @@ def test_event_path_ngrams_counts(small_events):
 def test_new_event_ops_registered(ctx):
     for op in ("events.ewma", "events.path_ngrams"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_capped_running_balance_clamps(spark):
+    from kiara_spark.operators.events import capped_running_balance
+
+    rows = [
+        (1, "A", _ts("2024-01-01 05:00:00"), 10.0),
+        (2, "A", _ts("2024-01-02 05:00:00"), -25.0),  # would go to -15
+        (3, "A", _ts("2024-01-03 05:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, delta double")
+    out = {r.day: r.balance for r in capped_running_balance(
+        df, key_col="event_type", delta_col="delta").collect()}
+    # clamp at 0 resets the base: day 3 starts from 0, NOT from -15
+    assert out == {"2024-01-01": 10.0, "2024-01-02": 0.0, "2024-01-03": 7.0}
+
+
+def test_capped_balance_partition_invariant(spark):
+    from kiara_spark.operators.events import capped_running_balance
+
+    rows = [(i, "K", _ts(f"2024-01-{(i % 27) + 1:02d} 01:00:00"),
+             float((i * 13) % 40 - 18)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, delta double")
+    a = sorted(map(tuple, capped_running_balance(
+        df, delta_col="delta").collect()))
+    b = sorted(map(tuple, capped_running_balance(
+        df.repartition(7), delta_col="delta").collect()))
+    assert a == b
+
+
+def test_capped_balance_op_registered(ctx):
+    assert ctx.operation_registry.resolve("events.balance.capped") is not None
