@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "multimodal_crossmodal_topk",
     "inventory_capped_balance",
     "events_conversion_latency",
+    "geo_radius_pairs_customers",
 ]
 
 

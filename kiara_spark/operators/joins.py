@@ -457,6 +457,86 @@ class IntervalOverlapJoin(KiaraModule):
             bucket_width=float(cfg.get("bucket_width", 86400.0)))}
 
 
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    left_id: str = "id",
+    right_id: str = "id",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Spatial radius join: pairs within ``radius_km`` great-circle
+    distance — the 2-D generalization of the banded range join, and the
+    same scale shape: GRID-bucketed candidate generation + exact verify,
+    never an all-pairs cross product.
+
+    Each left point maps to one grid cell (cell size = one radius in
+    degrees, latitude-padded for longitude shrink) and probes its 3×3
+    neighborhood via a 9-way offset explode; the right side maps to one
+    cell.  The equi-join on the cell key bounds candidates by local point
+    density; the haversine predicate then verifies exactly.  Earth radius
+    6371.0088 km (IUGG mean).  Output distances round to 4 dp.
+
+    The longitude probe span scales with ``max_abs_lat`` (default 66°):
+    one degree of longitude shrinks by cos(lat), so the cell neighborhood
+    must widen by 1/cos(max |lat|) cells.  Longitude cells are MODULAR
+    (pmod over the ring of cells), so pairs straddling the antimeridian
+    are found; the haversine verify is itself periodic in Δλ, so the raw
+    difference stays correct across the seam.  Points beyond
+    ``max_abs_lat`` are not guaranteed (raise it — at the cost of a wider
+    probe — for polar data)."""
+    import math
+
+    cell_deg = max(radius_km / 111.0, 1e-6)  # ~1° lat = 111 km
+    n_lon_cells = max(1, math.ceil(360.0 / cell_deg))
+    lon_span = max(1, math.ceil(
+        1.0 / math.cos(math.radians(min(abs(max_abs_lat), 89.0)))))
+
+    offsets = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in range(-lon_span - 1, lon_span + 2)
+    ])
+    def lon_cell(lon):
+        return F.pmod(
+            F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("bigint"),
+            F.lit(n_lon_cells))
+
+    l = left.select(
+        F.col(left_id).alias("id_a"),
+        F.col(lat_col).alias("lat_a"), F.col(lon_col).alias("lon_a"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "id_a", "lat_a", "lon_a",
+        (F.floor(F.col("lat_a") / F.lit(cell_deg)).cast("bigint")
+         + F.col("_o.dy")).alias("_cy"),
+        F.pmod(lon_cell(F.col("lon_a")) + F.col("_o.dx"),
+               F.lit(n_lon_cells)).alias("_cx"),
+    )
+    r = right.select(
+        F.col(right_id).alias("id_b"),
+        F.col(lat_col).alias("lat_b"), F.col(lon_col).alias("lon_b"),
+        F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("bigint").alias("_cy"),
+        lon_cell(F.col(lon_col)).alias("_cx"),
+    )
+    R = 6371.0088
+    la, lb = F.radians("lat_a"), F.radians("lat_b")
+    dphi = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlmb = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    h = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(la) * F.cos(lb) * F.sin(dlmb) * F.sin(dlmb))
+    dist = F.lit(2.0 * R) * F.asin(F.sqrt(h))
+    return (
+        l.join(r, ["_cy", "_cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance_km", F.round(dist, 4))
+        .filter(F.col("distance_km") <= F.lit(radius_km))
+        .select("id_a", "id_b", "distance_km")
+        .distinct()
+    )
+
+
 def asof_join_cogroup(
     left: DataFrame,
     right: DataFrame,
@@ -528,6 +608,27 @@ def asof_join_cogroup(
     return l.groupBy("_k").cogroup(r.groupBy("_k")).applyInPandas(merge, schema)
 
 
+class GeoRadiusJoin(KiaraModule):
+    """Grid-bucketed great-circle radius join (see geo_radius_join)."""
+
+    _module_type_name = "table.join.geo_radius"
+
+    def create_inputs_schema(self):
+        return {"left": {"type": "table"}, "right": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": geo_radius_join(
+            inputs["left"].data, inputs["right"].data,
+            radius_km=self.config["radius_km"],
+            lat_col=self.config.get("lat_column", "lat"),
+            lon_col=self.config.get("lon_column", "lon"),
+            left_id=self.config.get("left_id", "id"),
+            right_id=self.config.get("right_id", "id"))}
+
+
 class AsofJoinCogroup(KiaraModule):
     """As-of join on the cogroup+applyInPandas API (per-key merge_asof) —
     the vectorized-Python seam for custom per-key alignment."""
@@ -548,11 +649,12 @@ class AsofJoinCogroup(KiaraModule):
             ts_col=self.config.get("ts_column", "ts"))}
 
 
-MODULES = [AsofJoinCogroup, AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,
+MODULES = [AsofJoinCogroup, GeoRadiusJoin, AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,
            BloomPrefilterJoin]
 OPERATIONS = [
     Operation("table.join.asof", "table.join.asof"),
     Operation("table.join.asof_cogroup", "table.join.asof_cogroup"),
+    Operation("table.join.geo_radius", "table.join.geo_radius"),
     Operation("table.join.range", "table.join.range"),
     Operation("table.join.interval_overlap", "table.join.interval_overlap"),
     Operation("table.join.salted", "table.join.salted"),

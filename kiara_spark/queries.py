@@ -8007,6 +8007,43 @@ def conversion_latency_q(spark, sf_dir):
         .alias("p90_sec"))
 
 
+@query(
+    "geo_radius_pairs_customers",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey % 1200) / 10.0 - 60 AS lat,
+             ((c_custkey * 7) % 3600) / 10.0 - 180 AS lon
+      FROM customer
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(2 * 6371.0088 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2)
+                 * sin(radians(b.lon - a.lon) / 2))), 4) AS distance_km
+      FROM pts a JOIN pts b ON a.id < b.id
+    )
+    SELECT id_a, id_b, distance_km FROM pairs WHERE distance_km <= 150
+    """,
+)
+def geo_radius_q(spark, sf_dir):
+    """Spatial radius join (`table.join.geo_radius`): customer points (lat/
+    lon derived deterministically from the key) within 150 km great-circle
+    distance.  The engine runs GRID-bucketed candidate generation (one cell
+    per right point, 3x(3+2pad) probe cells per left point, equi-join on
+    the cell) + exact haversine verify — the oracle brute-forces all
+    pairs, which is exactly the cross product the grid avoids."""
+    from .operators.joins import geo_radius_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 1200) / 10.0 - 60).alias("lat"),
+        (((F.col("c_custkey") * 7) % 3600) / 10.0 - 180).alias("lon"))
+    return geo_radius_join(pts, pts, radius_km=150.0, max_abs_lat=60.0)
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------

@@ -173,3 +173,35 @@ def test_asof_cogroup_matches_relational(spark):
 
 def test_asof_cogroup_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.join.asof_cogroup") is not None
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    import math
+    import random
+
+    from kiara_spark.operators.joins import geo_radius_join
+
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-170, 170))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r.id_a, r.id_b)
+           for r in geo_radius_join(df, df, radius_km=500.0,
+                                    max_abs_lat=60.0).collect()}
+
+    def hav(a, b):
+        r = 6371.0088
+        dphi = math.radians(b[1] - a[1]) / 2
+        dl = math.radians(b[2] - a[2]) / 2
+        h = (math.sin(dphi) ** 2
+             + math.cos(math.radians(a[1])) * math.cos(math.radians(b[1]))
+             * math.sin(dl) ** 2)
+        return 2 * r * math.asin(math.sqrt(h))
+
+    want = {(a[0], b[0]) for a in pts for b in pts
+            if a[0] < b[0] and round(hav(a, b), 4) <= 500.0}
+    assert got == want
+
+
+def test_geo_radius_op_registered(ctx):
+    assert ctx.operation_registry.resolve("table.join.geo_radius") is not None
