@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "inventory_capped_balance",
     "events_conversion_latency",
     "geo_radius_pairs_customers",
+    "window_distribution_battery",
 ]
 
 

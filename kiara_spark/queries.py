@@ -8044,6 +8044,41 @@ def geo_radius_q(spark, sf_dir):
     return geo_radius_join(pts, pts, radius_km=150.0, max_abs_lat=60.0)
 
 
+@query(
+    "window_distribution_battery",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(cume_dist() OVER wp, 6) AS cdist,
+           nth_value(o_orderkey, 3) OVER (wp ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS third_key,
+           first_value(o_orderkey) OVER wp AS first_key,
+           last_value(o_orderkey) OVER (wp ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW wp AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_q(spark, sf_dir):
+    """Distribution-function window battery: cume_dist (rank fraction),
+    nth_value over a running frame, first/last over full-partition frames —
+    the remaining window functions the rank battery doesn't touch.  Unique
+    (price, key) ordering keeps every function deterministic."""
+    o = _t(spark, sf_dir, "orders").filter("o_orderkey % 20 = 0")
+    wp = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = wp.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.cume_dist().over(wp), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 3).over(run).alias("third_key"),
+        F.first("o_orderkey").over(wp).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"))
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
