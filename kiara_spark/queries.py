@@ -8117,6 +8117,8 @@ _PRIORITY = [
     "asof_join_click_purchase",
     "range_join_error_before_purchase", "sessionize_stateful_users",
     "multimodal_media_features", "pack_token_budget_bins",
+    # round-2 flagships (weighted SSSP + distributed exact selection)
+    "graph_shortest_paths_weighted", "kth_smallest_totalprice",
 ]
 
 
