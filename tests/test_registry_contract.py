@@ -1,0 +1,60 @@
+"""Driver-contract regression guards: the queries()/oracle_sql() registry
+shape the correctness gate depends on."""
+
+import inspect
+
+
+def test_every_oracle_has_a_query():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+
+
+def test_no_oracle_set_is_exactly_the_approximate_family():
+    """Only genuinely approximate operators (engine-specific sketch
+    estimates whose EXACT twins are oracle-checked) may lack an oracle —
+    a new query accidentally registered without one should fail here, not
+    silently weaken the correctness gate."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    missing = set(q) - set(o)
+    assert missing == {
+        "events_sliding_distinct_users_approx",
+        "graph_2hop_neighbors_approx",
+        "events_hll_daily_rollup",
+        "theta_event_type_overlap",
+        "agg_percentile_approx",
+    }
+
+
+def test_query_callables_take_spark_and_sfdir():
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_first_fifty_are_all_oracle_checked():
+    """The driver records only the first 50 registered queries; every one
+    of them must carry an exact oracle (no rows-only entries burning a
+    recorded slot)."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    first = list(q)[:50]
+    assert all(n in o for n in first)
+
+
+def test_bench_names_resolve():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from bench import BENCH_QUERIES
+
+    q = e.queries()
+    assert all(n in q for n in BENCH_QUERIES)
+    assert len(set(BENCH_QUERIES)) == len(BENCH_QUERIES)
