@@ -120,6 +120,10 @@ def incremental_read(
         with open(state_path) as f:
             seen = {k: v for k, v in json.load(f)["files"]}
 
+    if not current:
+        raise FileNotFoundError(
+            f"incremental_read: no data files under {base!r} (cannot infer "
+            "a schema from an empty source; write at least one file first)")
     new_files = sorted(rel for rel, size in current.items()
                        if seen.get(rel) != size)
     if new_files:

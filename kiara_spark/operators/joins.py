@@ -466,6 +466,7 @@ def geo_radius_join(
     left_id: str = "id",
     right_id: str = "id",
     max_abs_lat: float = 66.0,
+    dedupe_pairs: bool = True,
 ) -> DataFrame:
     """Spatial radius join: pairs within ``radius_km`` great-circle
     distance — the 2-D generalization of the banded range join, and the
@@ -527,9 +528,14 @@ def geo_radius_join(
     h = (F.sin(dphi) * F.sin(dphi)
          + F.cos(la) * F.cos(lb) * F.sin(dlmb) * F.sin(dlmb))
     dist = F.lit(2.0 * R) * F.asin(F.sqrt(h))
+    joined = l.join(r, ["_cy", "_cx"])
+    # dedupe_pairs: self-join semantics (unordered pairs once, no self-
+    # matches).  For two DISTINCT point sets pass False — ids may collide
+    # across tables and every (a, b) match is wanted.
+    if dedupe_pairs:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
     return (
-        l.join(r, ["_cy", "_cx"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         .withColumn("distance_km", F.round(dist, 4))
         .filter(F.col("distance_km") <= F.lit(radius_km))
         .select("id_a", "id_b", "distance_km")
