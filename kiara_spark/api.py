@@ -270,7 +270,8 @@ class KiaraAPI:
 
     def retrieve_values_info(self, **matcher) -> dict:
         return {vid: self.retrieve_value_info(vid)
-                for vid in self.list_value_ids()}
+                for vid in (self.list_values(**matcher) if matcher
+                            else self.list_value_ids())}
 
     def retrieve_augmented_value_lineage(self, value: Any) -> dict:
         """Lineage tree with per-node value info attached."""
