@@ -551,24 +551,29 @@ def asof_join_cogroup(
     left_id: str = "event_id",
     right_id: str = "event_id",
     right_value: str = "value",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Backward as-of join on the TRUE cogroup API:
-    ``left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas`` with a
-    per-key ``pandas.merge_asof`` — the Arrow-vectorized escape hatch for
-    per-key alignment logic the relational form can't express (here it CAN,
-    so the relational ``asof_join``'s SQL oracle verifies this path too).
+    ``groupBy(bucket).cogroup(groupBy(bucket)).applyInPandas`` with a
+    per-bucket ``pandas.merge_asof(by=key)`` — the Arrow-vectorized escape
+    hatch for per-key alignment logic (here the relational ``asof_join``
+    CAN express it too, so its SQL oracle verifies this path as well).
 
-    Scale shape: both sides shuffle once on the key (same as the relational
-    form); per key the work is two in-memory sorts + one linear merge.  The
-    caveat vs the window formulation is per-key memory — one key's rows must
-    fit in a pandas frame — which is also exactly when you'd choose cogroup:
-    bounded keys, custom per-key logic.  Right-side ties on (key, ts)
-    collapse to the max id first, so the match is deterministic."""
+    The cogroup key is a COARSE HASH BUCKET of the join key, not the key
+    itself: cogrouping directly on a high-cardinality key means one Python
+    invocation per key (measured 14.5s for ~700 tiny user groups at sf0.1);
+    bucketing amortizes the Python/Arrow boundary to ``n_buckets`` calls
+    while ``merge_asof(by=...)`` keeps exact per-key semantics inside each
+    call.  Same single shuffle per side; per-bucket memory is the bound.
+    Right-side ties on (key, ts) collapse to the max id first, so the
+    match is deterministic."""
     import pandas as pd
 
-    l = left.select(F.col(by).alias("_k"), F.col(left_id).alias("_lid"),
-                    F.col(ts_col).alias("_lts"))
-    r = right.select(F.col(by).alias("_k"), F.col(right_id).alias("_rid"),
+    bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets))
+    l = left.select(bucket.alias("_b"), F.col(by).alias("_k"),
+                    F.col(left_id).alias("_lid"), F.col(ts_col).alias("_lts"))
+    r = right.select(bucket.alias("_b"), F.col(by).alias("_k"),
+                     F.col(right_id).alias("_rid"),
                      F.col(ts_col).alias("_rts"),
                      F.col(right_value).alias("_rval"))
 
@@ -581,7 +586,7 @@ def asof_join_cogroup(
                 "purchase_ts_us": pd.Series(dtype="Int64"),
                 "purchase_event_id": pd.Series(dtype="Int64"),
                 "purchase_value": pd.Series(dtype="float64")})
-        lpdf = lpdf.sort_values("_lts", kind="mergesort")
+        lpdf = lpdf.sort_values(["_lts", "_k"], kind="mergesort")
         out = pd.DataFrame({
             "event_id": lpdf["_lid"].astype("int64"),
             "user_id": lpdf["_k"].astype("int64"),
@@ -593,12 +598,13 @@ def asof_join_cogroup(
             out["purchase_value"] = pd.Series([None] * len(out), dtype="float64")
             return out
         rr = (rpdf.sort_values(["_rts", "_rid"], kind="mergesort")
-              .drop_duplicates("_rts", keep="last")
-              .rename(columns={"_rts": "_ts"}))
+              .drop_duplicates(["_k", "_rts"], keep="last")
+              .rename(columns={"_rts": "_ts"})
+              .sort_values(["_ts", "_k"], kind="mergesort"))
         rr["_mts"] = rr["_ts"]  # carry the matched timestamp through
         merged = pd.merge_asof(
             lpdf.rename(columns={"_lts": "_ts"}), rr,
-            on="_ts", direction="backward")
+            on="_ts", by="_k", direction="backward")
         mts = merged["_mts"]
         ts_int = pd.Series(
             mts.values.astype("datetime64[us]").astype("int64"), dtype="Int64")
@@ -611,7 +617,7 @@ def asof_join_cogroup(
     schema = ("event_id long, user_id long, ts_us long, "
               "purchase_ts_us long, purchase_event_id long, "
               "purchase_value double")
-    return l.groupBy("_k").cogroup(r.groupBy("_k")).applyInPandas(merge, schema)
+    return l.groupBy("_b").cogroup(r.groupBy("_b")).applyInPandas(merge, schema)
 
 
 class GeoRadiusJoin(KiaraModule):
