@@ -36,6 +36,7 @@ INTENTIONAL_CROSS = {
     "text_bm25_scores",            # 1-row corpus n/avglen broadcast
     "embedding_hard_negatives",    # bounded broadcast query set (like knn baseline)
     "row_ids_orders",              # 1-row percentile-bounds broadcast feeds bucketing
+    "multimodal_crossmodal_topk",  # bounded broadcast query set (knn-style)
 }
 
 
