@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "events_conversion_latency",
     "geo_radius_pairs_customers",
     "window_distribution_battery",
+    "scalar_string_battery2",
 ]
 
 

@@ -8079,6 +8079,39 @@ def window_distribution_q(spark, sf_dir):
         F.last("o_orderkey").over(full).alias("last_key"))
 
 
+@query(
+    "scalar_string_battery2",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 2) AS second_word,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a,
+           repeat(p_type, 2) AS type_doubled,
+           reverse(p_name) AS name_reversed,
+           left(p_name, 3) AS name_left3,
+           right(p_name, 3) AS name_right3,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos
+    FROM part
+    """,
+)
+def scalar_strings2_q(spark, sf_dir):
+    """String battery 2: split_part/translate/initcap/repeat/reverse/
+    left/right/position — the second tier of string functions the first
+    battery skipped, each with an identical-name DuckDB twin."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_name, ' ', 2)").alias("second_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.repeat(F.col("p_type"), 2).alias("type_doubled"),
+        F.reverse(F.col("p_name")).alias("name_reversed"),
+        F.expr("left(p_name, 3)").alias("name_left3"),
+        F.expr("right(p_name, 3)").alias("name_right3"),
+        F.expr("cast(position('a' in p_name) as bigint)").alias("first_a_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order for the driver contract
 # ---------------------------------------------------------------------------
