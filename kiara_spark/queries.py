@@ -1744,8 +1744,8 @@ def q9(spark, sf_dir):
     "q12_late_shipments",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND o_orderdate >= TIMESTAMP '1996-01-01'
@@ -2544,7 +2544,7 @@ def streaming_sessionize_demo(spark, sf_dir):
     """
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS sum_value_micros,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros,
            MIN(epoch_us(ts)) AS first_us,
            MAX(epoch_us(ts)) AS last_us
     FROM events GROUP BY user_id
@@ -5945,7 +5945,7 @@ def drift_psi_q(spark, sf_dir):
                                 AS VARCHAR), chr(0) || 'NULL'))), 1, 12))
                   AS BIGINT) AS h
       FROM orders)
-    SELECT bucket, COUNT(*) AS n_rows, SUM(h) AS checksum
+    SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum
     FROM e GROUP BY bucket
     """,
 )
@@ -6287,8 +6287,8 @@ def window_share_q(spark, sf_dir):
       FROM dev GROUP BY 1)
     SELECT d.o_orderpriority,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN 0.6745 * ABS(d.o_totalprice - d.med) / m.mad > 3.5
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN 0.6745 * ABS(d.o_totalprice - d.med) / m.mad > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(MAX(d.med), 4) AS median_price,
            ROUND(MAX(m.mad), 4) AS mad_price
     FROM dev d JOIN mad m USING (o_orderpriority)
@@ -8135,20 +8135,30 @@ _PRIORITY = [
     # iterative / graph
     "graph_degrees", "graph_2hop_neighbors", "graph_connected_components",
     "graph_pagerank",
-    # structured streaming demos (incl. chained stateful + full outer)
-    "streaming_tumbling_demo", "streaming_dedup_demo", "streaming_join_demo",
+    # structured streaming demos (incl. chained stateful + full outer).
+    # r3 rotation: streaming_join_demo -> streaming_transform_with_state_demo
+    # (inner stream-stream join coverage is subsumed by the full-outer demo;
+    # transformWithState carried one of the r2 latent HUGEINT oracle bugs and
+    # the gate should re-verify the fix).
+    "streaming_tumbling_demo", "streaming_dedup_demo",
+    "streaming_transform_with_state_demo",
     "streaming_sessionize_demo", "streaming_full_outer_join_demo",
     "streaming_chained_stateful_demo",
-    # lakehouse maintenance + drift
+    # lakehouse maintenance + drift + anti-entropy + robust stats.
+    # r3 rotation: checksum_ranges_orders and mad_outliers_orders replace
+    # dedup_minhash_clusters (derived from dedup_minhash_pairs, which stays)
+    # and sessionize_stateful_users (coverage duplicated by
+    # streaming_sessionize_demo) — both carried the latent HUGEINT twin bug.
     "scd2_user_event_intervals", "merge_upsert_orders", "drift_psi_orders",
+    "checksum_ranges_orders", "mad_outliers_orders",
     # dedup / similarity / clustering family
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_minhash_clusters",
+    "dedup_exact_groups", "dedup_minhash_pairs",
     "dedup_embedding_cosine", "sim_topk_ivf", "kmeans_embeddings",
     "graph_label_propagation", "bloom_prefilter_lineitem",
     "cms_user_event_frequency",
-    # temporal joins + stateful + multimodal + packing
+    # temporal joins + multimodal + packing
     "asof_join_click_purchase",
-    "range_join_error_before_purchase", "sessionize_stateful_users",
+    "range_join_error_before_purchase",
     "multimodal_media_features", "pack_token_budget_bins",
     # round-2 flagships (weighted SSSP + distributed exact selection)
     "graph_shortest_paths_weighted", "kth_smallest_totalprice",

@@ -48,6 +48,27 @@ def test_first_fifty_are_all_oracle_checked():
     assert all(n in o for n in first)
 
 
+def test_no_oracle_yields_banned_duckdb_types():
+    """DESCRIBE every oracle in DuckDB and assert no HUGEINT/UHUGEINT final
+    column: DuckDB types an un-cast integer SUM as int128, which exports as
+    decimal128/float64 through Arrow/pandas and hash-mismatches Spark's
+    BIGINT in the driver's typed compare (the q12_late_shipments r2 red
+    row).  DESCRIBE only plans the query, so this sweep is cheap."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from tools.check_oracle import duck_con, oracle_type_violations
+
+    con = duck_con("/root/testdata/sf0.001")
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        viol = oracle_type_violations(con, sql)
+        if viol:
+            bad[name] = viol
+    assert not bad, f"oracles with HUGEINT-family result columns: {bad}"
+
+
 def test_bench_names_resolve():
     import sys
 

@@ -32,23 +32,70 @@ def duck_con(sf_dir: str):
     return con
 
 
+def _tag(v):
+    """Coarse type tag so the hash is TYPE-AWARE like the driver's comparator
+    (a DuckDB HUGEINT that exports as decimal/float must not silently equal a
+    Spark BIGINT).  Width differences (int32 vs int64) deliberately collapse."""
+    import datetime
+    import decimal
+    if v is None:
+        return "n"
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, decimal.Decimal):
+        return "d"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, datetime.datetime):
+        return "T"
+    if isinstance(v, datetime.date):
+        return "D"
+    if isinstance(v, (bytes, bytearray)):
+        return "y"
+    if isinstance(v, (list, tuple)):
+        return "l"
+    if isinstance(v, dict):
+        return "m"
+    return "o"
+
+
 def canon(rows, columns):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+    Each value is hashed with its coarse type tag (see ``_tag``)."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
+            t = _tag(v)
             if isinstance(v, float):
-                vals.append(repr(round(v, 9)))
+                vals.append(t + repr(round(v, 9)))
             elif isinstance(v, bool):
-                vals.append(str(bool(v)))
+                vals.append(t + str(bool(v)))
             else:
-                vals.append(str(v))
+                vals.append(t + str(v))
         out.append("\x01".join(vals))
     out.sort()
     return hashlib.sha256("\x02".join(out).encode()).hexdigest(), len(out)
+
+
+#: DuckDB result types that export as decimal128/float64 through Arrow/pandas
+#: and therefore hash-mismatch a Spark BIGINT in the driver's typed compare.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_violations(con, sql):
+    """DESCRIBE the oracle and return [(column, type)] whose DuckDB result
+    type is in ``_BANNED_DUCK_TYPES`` — the q12_late_shipments failure class
+    (un-cast integer SUM typing as int128)."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if any(b in str(r[1]).upper() for b in _BANNED_DUCK_TYPES)]
 
 
 def main():
@@ -90,6 +137,12 @@ def main():
         sh, sn = canon(s_rows, s_cols)
         dh, dn = canon(d_rows, d_cols)
         ok_cols = sorted(s_cols) == sorted(d_cols)
+        viol = oracle_type_violations(con, oracles[name])
+        if viol:
+            print(f"FAIL {name}: banned DuckDB result type {viol} "
+                  "(exports as decimal128/float64 — CAST it)")
+            n_fail += 1
+            continue
         status = "PASS" if (sh == dh and ok_cols) else "FAIL"
         if status == "PASS":
             n_pass += 1
