@@ -31,16 +31,19 @@ from .values import Value, ValueMap
 class KiaraAPI:
     """The reference's single public entry point, Spark-backed."""
 
-    _contexts: dict[str, KiaraContext] = {}
     _singleton: "KiaraAPI | None" = None
 
     def __init__(self, context: KiaraContext | None = None,
                  context_name: str = "default"):
+        # contexts are INSTANCE state: two KiaraAPI instances must not
+        # clobber each other's 'default' context or collide on
+        # create_new_context (r2 ADVICE — was a class-level dict)
+        self._contexts: dict[str, KiaraContext] = {}
         if context is not None:
-            KiaraAPI._contexts[context_name] = context
+            self._contexts[context_name] = context
         self._current = context_name
-        if context_name not in KiaraAPI._contexts:
-            KiaraAPI._contexts[context_name] = KiaraContext()
+        if context_name not in self._contexts:
+            self._contexts[context_name] = KiaraContext()
         self._comments: dict[str, str] = {}
         self._load_comments()
 
@@ -54,19 +57,19 @@ class KiaraAPI:
 
     @property
     def context(self) -> KiaraContext:
-        return KiaraAPI._contexts[self._current]
+        return self._contexts[self._current]
 
     def get_current_context_name(self) -> str:
         return self._current
 
     def list_context_names(self) -> list[str]:
-        return sorted(KiaraAPI._contexts)
+        return sorted(self._contexts)
 
     def create_new_context(self, context_name: str,
                            set_active: bool = True) -> str:
-        if context_name in KiaraAPI._contexts:
+        if context_name in self._contexts:
             raise ValueError(f"context {context_name!r} already exists")
-        KiaraAPI._contexts[context_name] = KiaraContext(
+        self._contexts[context_name] = KiaraContext(
             spark=self.context.spark)
         if set_active:
             self._current = context_name
@@ -74,10 +77,10 @@ class KiaraAPI:
 
     def set_active_context(self, context_name: str,
                            create: bool = False) -> None:
-        if context_name not in KiaraAPI._contexts:
+        if context_name not in self._contexts:
             if not create:
                 raise KeyError(f"unknown context: {context_name!r}")
-            KiaraAPI._contexts[context_name] = KiaraContext(
+            self._contexts[context_name] = KiaraContext(
                 spark=self.context.spark)
         self._current = context_name
 
@@ -96,10 +99,14 @@ class KiaraAPI:
     def retrieve_context_infos(self) -> dict:
         cur = self._current
         out = {}
-        for name in self.list_context_names():
-            self._current = name
-            out[name] = self.get_context_info()
-        self._current = cur
+        try:
+            for name in self.list_context_names():
+                self._current = name
+                out[name] = self.get_context_info()
+        finally:
+            # an exception mid-sweep must not leave the active context
+            # switched (r2 ADVICE)
+            self._current = cur
         return out
 
     def get_info(self) -> dict:
@@ -214,8 +221,10 @@ class KiaraAPI:
     def get_value(self, value: Any) -> Value:
         return self.context.get_value(value)
 
-    def get_values(self, *values: Any) -> dict[str, Value]:
-        return {str(v): self.get_value(v) for v in values}
+    def get_values(self, **values: Any) -> dict[str, Value]:
+        """Reference parity (`kiara_api.py` get_values(**values)): resolve a
+        field-name -> reference mapping to a field-name -> Value map."""
+        return {field: self.get_value(v) for field, v in values.items()}
 
     def get_value_str(self, value: Any) -> str:
         """One-line rendering (reference get_value_str -> pretty print)."""

@@ -458,10 +458,18 @@ def pagerank_personalized(
     dangling/non-seed paths exactly as in the simple variant — the standard
     unnormalized formulation a SQL twin can reproduce."""
     e = edges.select("src", "dst").distinct()
+    s = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    n_seeds = s.count()  # tiny seed set; also guards the 1/|S| teleport
+    if n_seeds == 0:
+        raise ValueError("pagerank_personalized: empty seed set "
+                         "(teleport mass 1/|S| is undefined)")
+    # union seeds INTO the node set: a seed absent from the edge list is an
+    # isolated node that must still hold its (1-d)·tele rank — dropping it
+    # silently loses teleport mass (r2 ADVICE)
     nodes = cut_lineage(
         e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id"))).distinct())
-    s = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .unionByName(s).distinct())
     ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
     base = (
         nodes.join(s.withColumn("_is_seed", F.lit(1)), "id", "left")

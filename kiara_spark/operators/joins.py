@@ -543,6 +543,10 @@ def geo_radius_join(
     )
 
 
+#: Spark simpleString type names that map to pandas' nullable Int64.
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def asof_join_cogroup(
     left: DataFrame,
     right: DataFrame,
@@ -552,6 +556,7 @@ def asof_join_cogroup(
     right_id: str = "event_id",
     right_value: str = "value",
     n_buckets: int = 32,
+    out_prefix: str = "purchase_",
 ) -> DataFrame:
     """Backward as-of join on the TRUE cogroup API:
     ``groupBy(bucket).cogroup(groupBy(bucket)).applyInPandas`` with a
@@ -566,8 +571,43 @@ def asof_join_cogroup(
     while ``merge_asof(by=...)`` keeps exact per-key semantics inside each
     call.  Same single shuffle per side; per-bucket memory is the bound.
     Right-side ties on (key, ts) collapse to the max id first, so the
-    match is deterministic."""
+    match is deterministic.
+
+    Output schema is DERIVED from the inputs (key/id/value columns keep
+    their own types; string keys and non-integer ids are fine):
+    ``(left_id, by, ts_us, {out_prefix}ts_us, {out_prefix}{right_id},
+    {out_prefix}{right_value})`` with the two timestamps as epoch
+    microseconds.  ``ts_col`` must be a timestamp column on both sides."""
     import pandas as pd
+
+    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    for col, side, types in ((by, "left", ltypes), (ts_col, "left", ltypes),
+                             (left_id, "left", ltypes), (by, "right", rtypes),
+                             (ts_col, "right", rtypes), (right_id, "right", rtypes),
+                             (right_value, "right", rtypes)):
+        if col not in types:
+            raise ValueError(f"asof_join_cogroup: column {col!r} not in {side} table")
+    for side, types in (("left", ltypes), ("right", rtypes)):
+        if not types[ts_col].startswith("timestamp"):
+            raise ValueError(
+                f"asof_join_cogroup: {side}.{ts_col} must be a timestamp, "
+                f"got {types[ts_col]}")
+    out_names = [left_id, by, "ts_us", f"{out_prefix}ts_us",
+                 f"{out_prefix}{right_id}", f"{out_prefix}{right_value}"]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"asof_join_cogroup: output name collision in {out_names}")
+    out_types = [ltypes[left_id], ltypes[by], "bigint", "bigint",
+                 rtypes[right_id], rtypes[right_value]]
+    schema = ", ".join(f"`{n}` {t}" for n, t in zip(out_names, out_types))
+
+    def _nullable_out(series, spark_type):
+        """merge_asof leaves NaN where no match: integral targets need
+        pandas' nullable Int64 (plain int64 can't hold NA); everything else
+        gets None in an object column so Arrow casts cleanly."""
+        if spark_type in _INTEGRAL_TYPES:
+            return series.astype("Int64").values
+        return series.where(series.notna(), None).values
 
     bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets))
     l = left.select(bucket.alias("_b"), F.col(by).alias("_k"),
@@ -579,23 +619,17 @@ def asof_join_cogroup(
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
-            return pd.DataFrame({
-                "event_id": pd.Series(dtype="int64"),
-                "user_id": pd.Series(dtype="int64"),
-                "ts_us": pd.Series(dtype="int64"),
-                "purchase_ts_us": pd.Series(dtype="Int64"),
-                "purchase_event_id": pd.Series(dtype="Int64"),
-                "purchase_value": pd.Series(dtype="float64")})
+            return pd.DataFrame({n: pd.Series(dtype="object") for n in out_names})
         lpdf = lpdf.sort_values(["_lts", "_k"], kind="mergesort")
         out = pd.DataFrame({
-            "event_id": lpdf["_lid"].astype("int64"),
-            "user_id": lpdf["_k"].astype("int64"),
-            "ts_us": lpdf["_lts"].astype("datetime64[us]").astype("int64"),
+            out_names[0]: lpdf["_lid"].values,
+            out_names[1]: lpdf["_k"].values,
+            out_names[2]: lpdf["_lts"].astype("datetime64[us]").astype("int64").values,
         })
         if rpdf.empty:
-            out["purchase_ts_us"] = pd.Series([pd.NA] * len(out), dtype="Int64")
-            out["purchase_event_id"] = pd.Series([pd.NA] * len(out), dtype="Int64")
-            out["purchase_value"] = pd.Series([None] * len(out), dtype="float64")
+            out[out_names[3]] = pd.Series([pd.NA] * len(out), dtype="Int64")
+            out[out_names[4]] = None
+            out[out_names[5]] = None
             return out
         rr = (rpdf.sort_values(["_rts", "_rid"], kind="mergesort")
               .drop_duplicates(["_k", "_rts"], keep="last")
@@ -609,14 +643,11 @@ def asof_join_cogroup(
         ts_int = pd.Series(
             mts.values.astype("datetime64[us]").astype("int64"), dtype="Int64")
         ts_int[mts.isna().values] = pd.NA
-        out["purchase_ts_us"] = ts_int.values
-        out["purchase_event_id"] = merged["_rid"].astype("Int64").values
-        out["purchase_value"] = merged["_rval"].astype("float64").values
+        out[out_names[3]] = ts_int.values
+        out[out_names[4]] = _nullable_out(merged["_rid"], rtypes[right_id])
+        out[out_names[5]] = _nullable_out(merged["_rval"], rtypes[right_value])
         return out
 
-    schema = ("event_id long, user_id long, ts_us long, "
-              "purchase_ts_us long, purchase_event_id long, "
-              "purchase_value double")
     return l.groupBy("_b").cogroup(r.groupBy("_b")).applyInPandas(merge, schema)
 
 
@@ -658,7 +689,12 @@ class AsofJoinCogroup(KiaraModule):
             inputs["left"].data,
             inputs["right"].data,
             by=self.config.get("by", "user_id"),
-            ts_col=self.config.get("ts_column", "ts"))}
+            ts_col=self.config.get("ts_column", "ts"),
+            left_id=self.config.get("left_id", "event_id"),
+            right_id=self.config.get("right_id", "event_id"),
+            right_value=self.config.get("right_value", "value"),
+            n_buckets=self.config.get("n_buckets", 32),
+            out_prefix=self.config.get("out_prefix", "purchase_"))}
 
 
 MODULES = [AsofJoinCogroup, GeoRadiusJoin, AsofJoin, RangeJoin, SaltedJoin, StoreBucketed, IntervalOverlapJoin,

@@ -489,8 +489,25 @@ def kth_smallest_scalable(
             running += nb
         else:
             raise AssertionError("histogram walk overran rank")
-    if lo == hi and cnt > final_limit:
-        return lo
+    if cnt > final_limit:
+        # The range stopped narrowing (max_rounds hit, or ties straddle a
+        # single bin) while the slice is still > final_limit rows — the
+        # duplicate-dominated case.  Ties mean FEW DISTINCT values, so
+        # aggregate to per-value counts (bounded executor state) and walk
+        # the cumulative counts exactly instead of collecting up-to-n raw
+        # rows to the driver.
+        if lo == hi:
+            return lo
+        vals = (cur.groupBy("_v").count().orderBy("_v")
+                .limit(final_limit).collect())
+        running = 0
+        for r in vals:
+            running += r["count"]
+            if running >= want:
+                return float(r["_v"])
+        raise RuntimeError(
+            f"kth_smallest_scalable: slice still has >{final_limit} distinct "
+            f"values after {max_rounds} rounds; raise max_rounds/final_limit")
     rows = cur.orderBy("_v").limit(want).collect()
     return float(rows[want - 1][0])
 

@@ -717,9 +717,15 @@ def backfill_by_partition(
     (driver-side set difference against the existing dirs), then ONE
     filtered write per missing partition — each write scans only its
     partition's rows (the partition filter pushes to the source scan).
-    Returns {written: [...], skipped: [...]}."""
-    want = sorted(
-        str(r[0]) for r in df.select(partition_col).distinct().collect())
+
+    Rows with a NULL partition value are excluded and reported (r2 ADVICE:
+    a NULL used to stringify to 'None' in the work list, the equality
+    filter then matched nothing, and an empty dir was falsely reported as
+    'written').  Returns {written: [...], skipped: [...],
+    has_null_partition: bool}."""
+    distinct = [r[0] for r in df.select(partition_col).distinct().collect()]
+    has_null = any(v is None for v in distinct)
+    want = sorted(str(v) for v in distinct if v is not None)
     have = set()
     if os.path.isdir(path):
         have = {e.name.split("=", 1)[1] for e in os.scandir(path)
@@ -731,7 +737,8 @@ def backfill_by_partition(
          .write.mode("overwrite")
          .parquet(os.path.join(path, f"{partition_col}={v}")))
     return {"written": todo,
-            "skipped": [v for v in want if v not in todo]}
+            "skipped": [v for v in want if v not in todo],
+            "has_null_partition": has_null}
 
 
 def plan_stats(df: DataFrame) -> dict:

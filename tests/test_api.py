@@ -9,8 +9,6 @@ from kiara_spark.api import KiaraAPI
 
 @pytest.fixture()
 def api(ctx):
-    # isolate the class-level context registry per test
-    KiaraAPI._contexts = {}
     KiaraAPI._singleton = None
     return KiaraAPI(context=ctx, context_name="default")
 
@@ -80,6 +78,39 @@ def test_context_switching(api):
         api.create_new_context("default")
 
 
+def test_contexts_are_instance_state(api, ctx):
+    """r2 ADVICE: a second KiaraAPI instance must not clobber the first
+    instance's 'default' context or collide on create_new_context."""
+    other = KiaraAPI(context=ctx, context_name="default")
+    other.create_new_context("scratch2")
+    assert "scratch2" not in api.list_context_names()
+    # same name in a different instance: no ValueError collision
+    api.create_new_context("scratch2")
+    assert api.context is not other.context
+
+
+def test_retrieve_context_infos_restores_current_on_error(api, monkeypatch):
+    api.create_new_context("boom", set_active=False)
+    orig = KiaraAPI.get_context_info
+
+    def exploding(self):
+        if self._current == "boom":
+            raise RuntimeError("synthetic")
+        return orig(self)
+
+    monkeypatch.setattr(KiaraAPI, "get_context_info", exploding)
+    with pytest.raises(RuntimeError):
+        api.retrieve_context_infos()
+    assert api.get_current_context_name() == "default"
+
+
+def test_get_values_keyword_form(api, spark):
+    df = spark.range(0, 3).toDF("z")
+    api.context.register_table(df, alias="kwform")
+    got = api.get_values(mine="alias:kwform")
+    assert set(got) == {"mine"} and got["mine"].data_type == "table"
+
+
 def test_archive_roundtrip_via_api(api, spark, tmp_path):
     df = spark.range(0, 7).toDF("n")
     api.context.register_table(df, alias="to_ship")
@@ -94,7 +125,6 @@ def test_archive_roundtrip_via_api(api, spark, tmp_path):
 
 
 def test_singleton_instance():
-    KiaraAPI._contexts = {}
     KiaraAPI._singleton = None
     # instance() would build a fresh default context (and a Spark session);
     # seed the registry so the singleton reuses the test session context

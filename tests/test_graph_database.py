@@ -331,6 +331,25 @@ def test_personalized_pagerank_seed_proximity(spark):
     assert r[10] == 0.0 and r[11] == 0.0
 
 
+def test_personalized_pagerank_isolated_seed_and_empty_seeds(spark):
+    """r2 ADVICE: a seed absent from the edge list must keep its teleport
+    mass (isolated node with rank (1-d)·1/|S|), and an empty seed set must
+    raise instead of NULLing every rank."""
+    import pytest as _pytest
+
+    from kiara_spark.operators.graph import pagerank_personalized
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "id long")  # 99 isolated
+    r = {x.id: x.rank for x in pagerank_personalized(
+        edges, seeds, iterations=3, damping=0.85).collect()}
+    assert r[99] == (1 - 0.85) * 0.5  # keeps its share of teleport mass
+    assert r[1] > 0 and r[2] > 0
+    empty = spark.createDataFrame([], "id long")
+    with _pytest.raises(ValueError, match="empty seed set"):
+        pagerank_personalized(edges, empty)
+
+
 def test_ppr_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.pagerank_personalized") is not None

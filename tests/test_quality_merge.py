@@ -364,6 +364,21 @@ def test_kth_smallest_constant_column(spark):
     assert kth_smallest_scalable(df, "x", 500, final_limit=10) == 5.0
 
 
+def test_kth_smallest_duplicate_dominated_bucket_stays_bounded(spark):
+    """r2 ADVICE: when the rank-k bucket is dominated by ties the range
+    narrows but cnt never drops below final_limit — the fallback must walk
+    per-value counts (bounded), never collect up-to-n raw rows.  Two tie
+    runs with the rank crossing between them exercises the cumulative walk."""
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    vals = [1.0] * 600 + [2.0] * 600
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    assert kth_smallest_scalable(df, "x", 600, n_bins=4, final_limit=20,
+                                 max_rounds=3) == 1.0
+    assert kth_smallest_scalable(df, "x", 601, n_bins=4, final_limit=20,
+                                 max_rounds=3) == 2.0
+
+
 def test_kth_smallest_bounds(spark):
     import pytest as _pytest
 

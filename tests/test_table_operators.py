@@ -341,6 +341,26 @@ def test_backfill_by_partition_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == 90
 
 
+def test_backfill_null_partition_excluded_and_reported(spark, tmp_path):
+    """r2 ADVICE: NULL partition values used to stringify to 'None', match
+    nothing, and be falsely reported as written (with an empty dir)."""
+    import os
+
+    from kiara_spark.operators.tables import backfill_by_partition
+
+    out = str(tmp_path / "bfnull")
+    df = spark.range(0, 30).withColumn(
+        "day", F.when(F.col("id") % 3 == 0, None)
+                .otherwise((F.col("id") % 3).cast("string")))
+    r = backfill_by_partition(df, out, "day")
+    assert sorted(r["written"]) == ["1", "2"]
+    assert r["has_null_partition"] is True
+    assert not os.path.isdir(os.path.join(out, "day=None"))
+    assert spark.read.parquet(out).count() == 20  # null rows excluded
+    r2 = backfill_by_partition(df, out, "day")
+    assert r2["written"] == [] and sorted(r2["skipped"]) == ["1", "2"]
+
+
 def test_backfill_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.backfill.by_partition") is not None
 
