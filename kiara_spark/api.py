@@ -187,13 +187,14 @@ class KiaraAPI:
     @staticmethod
     def _operator_modules() -> list:
         from .operators import (curation, dedup, events, filesystem, graph,
-                                joins, misc, quality, serialization,
-                                similarity, sketches, tables, text)
+                                joins, media_codecs, misc, quality,
+                                serialization, similarity, sketches, tables,
+                                text)
         from .streaming import stateful, windows
 
         return [tables, filesystem, text, dedup, similarity, misc, windows,
                 stateful, joins, serialization, graph, quality, curation,
-                sketches, events]
+                sketches, events, media_codecs]
 
     def list_available_plugin_names(self) -> list[str]:
         return sorted(m.__name__.rsplit(".", 1)[-1]

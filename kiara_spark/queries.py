@@ -1160,6 +1160,104 @@ def multimodal_audio_features_q(spark, sf_dir):
     return M.decode_audio_stub(docs, "media", passthrough=("id",))
 
 
+@query(
+    "multimodal_image_real_decode",
+    """
+    WITH p AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 7 AS INT) AS width,
+             CAST(1 + doc_id % 5 AS INT) AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+      FROM documents)
+    SELECT id, format, width, height,
+           CAST(width AS BIGINT) * height * 3 AS n_pixel_bytes,
+           CAST(list_sum(list_transform(range(0, CAST(width AS BIGINT)*height*3),
+                n -> (id*31 + n) % 256)) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(list_transform(range(0, CAST(width AS BIGINT)*height),
+                k -> (id*31 + 3*k) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, CAST(width AS BIGINT)*height),
+                k -> (id*31 + 3*k + 1) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, CAST(width AS BIGINT)*height),
+                k -> (id*31 + 3*k + 2) % 256)) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, CAST(width AS BIGINT)*height*3),
+                n -> (n+1) * ((id*31 + n) % 256))) AS BIGINT) AS weighted_checksum
+    FROM p
+    """,
+)
+def multimodal_image_real_q(spark, sf_dir):
+    """REAL image decode (`media.decode_image_real`): deterministic BMP/P6
+    fixtures are encoded in one mapInPandas stage, then decoded by the
+    pure-stdlib codecs (operators/media_codecs.py) — bottom-up rows, BGR
+    order, and 4-byte padding all round-trip.  The oracle predicts the
+    decoded channel sums and the position-weighted checksum from the pixel
+    rule alone, so a decoder that mis-handles any container quirk
+    hash-fails.  (Reference carries media as opaque FileModel bytes,
+    models/filesystem.py; decode is the Spark-native extension.)"""
+    import pandas as pd
+
+    from .operators import media_codecs as MC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            media = [
+                MC.synth_bmp(i, 1 + i % 7, 1 + i % 5) if i % 2 == 0
+                else MC.synth_ppm(i, 1 + i % 7, 1 + i % 5)
+                for i in ids]
+            yield pd.DataFrame({"id": ids, "media": media})
+
+    blobs = docs.mapInPandas(synth, schema="id long, media binary")
+    return MC.decode_image(blobs, binary_col="media", id_col="id")
+
+
+@query(
+    "multimodal_audio_real_decode",
+    """
+    WITH p AS (
+      SELECT doc_id AS id,
+             CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(40 + doc_id % 50 AS BIGINT) AS n_frames
+      FROM documents)
+    SELECT id, 'wav' AS format, sample_rate, n_channels,
+           CAST(16 AS INT) AS bits, n_frames,
+           CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(range(0, n_frames*n_channels),
+                n -> ((id*7 + 13*n) % 65536) - 32768)) AS BIGINT) AS pcm_sum,
+           CAST(list_sum(list_transform(range(0, n_frames*n_channels),
+                n -> (n+1) * (((id*7 + 13*n) % 65536) - 32768))) AS BIGINT)
+             AS pcm_weighted,
+           CAST(list_max(list_transform(range(0, n_frames*n_channels),
+                n -> abs(((id*7 + 13*n) % 65536) - 32768))) AS INT) AS peak_abs
+    FROM p
+    """,
+)
+def multimodal_audio_real_q(spark, sf_dir):
+    """REAL audio decode (`media.decode_audio_real`): RIFF/WAVE PCM-16
+    fixtures built per document (rate/channels/frames derived from doc_id),
+    parsed back by the stdlib chunk-walking codec; the oracle recomputes
+    the exact PCM sums from the sample rule, so header parsing, chunk
+    alignment, and int16 decoding are all hash-verified."""
+    import pandas as pd
+
+    from .operators import media_codecs as MC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            media = [
+                MC.synth_wav(i, 8000 * (1 + i % 3), 1 + i % 2, 40 + i % 50)
+                for i in ids]
+            yield pd.DataFrame({"id": ids, "media": media})
+
+    blobs = docs.mapInPandas(synth, schema="id long, media binary")
+    return MC.decode_audio(blobs, binary_col="media", id_col="id")
+
+
 # ---------------------------------------------------------------------------
 # 7. temporal joins (as-of, range) + stats + extra TPC-H coverage
 # ---------------------------------------------------------------------------
@@ -8154,12 +8252,16 @@ _PRIORITY = [
     # dedup / similarity / clustering family
     "dedup_exact_groups", "dedup_minhash_pairs",
     "dedup_embedding_cosine", "sim_topk_ivf", "kmeans_embeddings",
+    # r3 rotation: real-decode queries replace the stub-plumbing
+    # multimodal_media_features and the second sketch slot
+    # (cms_user_event_frequency; bloom_prefilter_lineitem keeps the family
+    # represented) — the new codecs are exactly what the gate should cover.
     "graph_label_propagation", "bloom_prefilter_lineitem",
-    "cms_user_event_frequency",
+    "multimodal_image_real_decode",
     # temporal joins + multimodal + packing
     "asof_join_click_purchase",
     "range_join_error_before_purchase",
-    "multimodal_media_features", "pack_token_budget_bins",
+    "multimodal_audio_real_decode", "pack_token_budget_bins",
     # round-2 flagships (weighted SSSP + distributed exact selection)
     "graph_shortest_paths_weighted", "kth_smallest_totalprice",
 ]
