@@ -10,8 +10,16 @@ Usage:
     python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
     python -m kiara_spark.cli context info
+    python -m kiara_spark.cli context list | context explain [name ...]
+    python -m kiara_spark.cli context delete <name> | context delete --all
+    python -m kiara_spark.cli metadata list | metadata explain <key>
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
+    python -m kiara_spark.cli archive explain <path>
     python -m kiara_spark.cli pipeline explain <file.json>
+
+Named contexts persist under $KIARA_SPARK_CONTEXTS (default
+~/.local/share/kiara_spark/contexts), one directory per context — the
+reference's context directory model (interfaces/cli/context/commands.py).
 
 Inputs parse as JSON when possible, else strings (mirrors kiara's CLI arg
 parsing in ``src/kiara/utils/cli/run.py``).
@@ -20,7 +28,15 @@ parsing in ``src/kiara/utils/cli/run.py``).
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+
+def _contexts_root() -> str:
+    """Directory holding named context dirs (reference: one directory per
+    context under the kiara config dir)."""
+    return (os.environ.get("KIARA_SPARK_CONTEXTS")
+            or os.path.expanduser("~/.local/share/kiara_spark/contexts"))
 
 
 def _parse_inputs(args: list[str]) -> dict:
@@ -175,7 +191,9 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "archive" and argv[:1] == ["export"]:
         _, ref, path = argv[:3]
         ctx = KiaraContext()
-        manifest = ctx.export_archive([ref], path)
+        # an 'alias:x' ref should land in the archive as alias 'x'
+        name = ref.split(":", 1)[1] if ref.startswith("alias:") else ref
+        manifest = ctx.export_archive({name: ref}, path)
         print(f"exported {len(manifest['values'])} value(s), "
               f"aliases: {', '.join(manifest['aliases'])} -> {path}")
         return 0
@@ -213,6 +231,90 @@ def main(argv: list[str] | None = None) -> int:
                   f"next={result['related_scenes']['next']['offset']}]")
         else:
             print(result.get("rendered", result))
+        return 0
+
+    if cmd == "context" and argv[:1] == ["list"]:
+        root = _contexts_root()
+        names = {"default"}
+        if os.path.isdir(root):
+            names.update(e.name for e in os.scandir(root) if e.is_dir())
+        for name in sorted(names):
+            print(name)
+        return 0
+
+    if cmd == "context" and argv[:1] == ["explain"]:
+        argv.pop(0)
+        root = _contexts_root()
+        names = argv or ["default"]
+        for name in names:
+            ctx = KiaraContext(base_path=os.path.join(root, name))
+            print(f"context: {name}")
+            print(f"  base_path:  {ctx.base_path}")
+            print(f"  aliases:    {len(ctx.data_registry.aliases)}")
+            print(f"  operations: {len(list(ctx.operations))}")
+            print(f"  modules:    {len(list(ctx.modules))}")
+            print(f"  types:      {len(ctx.type_registry.type_names)}")
+        return 0
+
+    if cmd == "context" and argv[:1] == ["delete"]:
+        import shutil
+
+        argv.pop(0)
+        root = _contexts_root()
+        if argv[:1] == ["--all"]:
+            if os.path.isdir(root):
+                for e in os.scandir(root):
+                    if e.is_dir():
+                        shutil.rmtree(e.path)
+                        print(f"deleted context: {e.name}")
+            return 0
+        if not argv:
+            raise SystemExit("context delete: missing context name (or --all)")
+        name = argv.pop(0)
+        target = os.path.join(root, name)
+        if not os.path.isdir(target):
+            raise SystemExit(f"context delete: no such context {name!r}")
+        shutil.rmtree(target)
+        print(f"deleted context: {name}")
+        return 0
+
+    if cmd == "metadata" and argv[:1] == ["list"]:
+        from .operators.misc import METADATA_SCHEMAS
+
+        for key in sorted(METADATA_SCHEMAS):
+            print(f"{key:16s} {METADATA_SCHEMAS[key]['doc'].splitlines()[0]}")
+        return 0
+
+    if cmd == "metadata" and argv[:1] == ["explain"]:
+        from .operators.misc import METADATA_SCHEMAS
+
+        if len(argv) < 2:
+            raise SystemExit("metadata explain: missing metadata key")
+        key = argv[1]
+        if key not in METADATA_SCHEMAS:
+            print(f"No metadata schema for key {key!r}. Available: "
+                  f"{', '.join(sorted(METADATA_SCHEMAS))}", file=sys.stderr)
+            return 1
+        schema = METADATA_SCHEMAS[key]
+        print(f"metadata type: {key}")
+        print(f"doc: {schema['doc']}")
+        print("fields:")
+        for fname, ftype in schema["fields"].items():
+            print(f"  {fname:24s} {ftype}")
+        return 0
+
+    if cmd == "archive" and argv[:1] == ["explain"]:
+        from .archive import MANIFEST_NAME
+
+        if len(argv) < 2:
+            raise SystemExit("archive explain: missing archive path")
+        path = argv[1]
+        with open(os.path.join(path, MANIFEST_NAME)) as f:
+            manifest = json.load(f)
+        print(f"archive: {path}")
+        print(f"  format_version: {manifest.get('format_version')}")
+        print(f"  values:  {len(manifest.get('values', {}))}")
+        print(f"  aliases: {', '.join(sorted(manifest.get('aliases', {})))}")
         return 0
 
     if cmd == "context" and argv[:1] == ["info"]:

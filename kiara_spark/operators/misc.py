@@ -218,6 +218,45 @@ class ExtractMetadata(KiaraModule):
 
 
 # ---------------------------------------------------------------------------
+# metadata schema registry (reference `kiara context info environment
+# metadata list/explain` — models/values/value_metadata.py: ValueMetadata
+# subclasses keyed by metadata key, e.g. 'python_class')
+# ---------------------------------------------------------------------------
+
+METADATA_SCHEMAS: dict[str, dict] = {
+    "python_class": {
+        "doc": "Python class backing the value's data object.",
+        "fields": {"python_class_name": "string", "python_module_name": "string",
+                   "full_name": "string"},
+    },
+    "table": {
+        "doc": "Table profile: row count plus per-column type/null/min/max "
+               "(one distributed aggregate pass, value.extract_metadata).",
+        "fields": {"rows": "long", "columns": "map<col, profile>"},
+    },
+    "file": {
+        "doc": "File metadata: size, mime type, content hash.",
+        "fields": {"size": "long", "mime_type": "string", "hash": "string"},
+    },
+    "media": {
+        "doc": "Opaque media column metadata: byte size, sha256, sniffed "
+               "kind (media.attach_metadata).",
+        "fields": {"media_size": "long", "media_sha": "string",
+                   "media_kind": "string"},
+    },
+}
+
+
+def metadata_for_value(value) -> dict:
+    """The `python_class` metadata record for any value (reference
+    value_metadata.py PythonClass)."""
+    cls = type(value.data)
+    return {"python_class_name": cls.__name__,
+            "python_module_name": cls.__module__,
+            "full_name": f"{cls.__module__}.{cls.__name__}"}
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,74 @@
+"""CLI subcommand parity with the reference's context/archive/metadata
+suites (reference interfaces/cli/context/commands.py,
+.../archive/commands.py; tests mirrored from the reference's
+tests/test_cli/test_context_subcommands.py and
+test_metadata_subcommands.py)."""
+
+import os
+
+import pytest
+
+from kiara_spark.cli import main
+
+
+def test_context_list_shows_default(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("KIARA_SPARK_CONTEXTS", str(tmp_path / "ctxs"))
+    assert main(["context", "list"]) == 0
+    assert "default" in capsys.readouterr().out
+
+
+def test_context_list_and_delete(tmp_path, monkeypatch, capsys):
+    root = tmp_path / "ctxs"
+    (root / "alpha").mkdir(parents=True)
+    (root / "beta").mkdir()
+    monkeypatch.setenv("KIARA_SPARK_CONTEXTS", str(root))
+    assert main(["context", "list"]) == 0
+    out = capsys.readouterr().out.split()
+    assert out == ["alpha", "beta", "default"]
+    assert main(["context", "delete", "alpha"]) == 0
+    assert "deleted context: alpha" in capsys.readouterr().out
+    assert not (root / "alpha").exists()
+    with pytest.raises(SystemExit):
+        main(["context", "delete", "missing"])
+    assert main(["context", "delete", "--all"]) == 0
+    assert not (root / "beta").exists()
+
+
+def test_context_explain(tmp_path, monkeypatch, capsys, spark):
+    monkeypatch.setenv("KIARA_SPARK_CONTEXTS", str(tmp_path / "ctxs"))
+    assert main(["context", "explain"]) == 0
+    out = capsys.readouterr().out
+    assert "context: default" in out and "operations:" in out
+
+
+def test_metadata_list_subcommand(capsys):
+    # reference test_metadata_subcommands: 'python_class' in list output
+    assert main(["metadata", "list"]) == 0
+    assert "python_class" in capsys.readouterr().out
+
+
+def test_metadata_explain_subcommand(capsys):
+    # reference: explain python_class mentions 'Python class'
+    assert main(["metadata", "explain", "python_class"]) == 0
+    assert "Python class" in capsys.readouterr().out
+    assert main(["metadata", "explain", "nope"]) == 1
+
+
+def test_archive_cli_round_trip(tmp_path, monkeypatch, capsys, spark):
+    home_a = tmp_path / "home_a"
+    arch = str(tmp_path / "arch")
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(home_a))
+    assert main(["run", "create.table.from.file",
+                 "path=/root/testdata/sf0.001/region.parquet",
+                 "--save", "regions"]) == 0
+    capsys.readouterr()
+    assert main(["archive", "export", "alias:regions", arch]) == 0
+    assert "exported 1 value(s)" in capsys.readouterr().out
+    assert main(["archive", "explain", arch]) == 0
+    out = capsys.readouterr().out
+    assert "values:  1" in out and "regions" in out
+    # import into a FRESH context home restores the alias
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home_b"))
+    assert main(["archive", "import", arch]) == 0
+    assert "regions" in capsys.readouterr().out
+    assert os.path.isdir(arch)

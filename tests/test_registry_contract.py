@@ -74,8 +74,23 @@ def test_bench_names_resolve():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from bench import BENCH_QUERIES
+    from bench import BENCH_QUERIES, STREAMING_EXTRA_QUERIES
 
     q = e.queries()
-    assert all(n in q for n in BENCH_QUERIES)
-    assert len(set(BENCH_QUERIES)) == len(BENCH_QUERIES)
+    both = BENCH_QUERIES + STREAMING_EXTRA_QUERIES
+    assert all(n in q for n in both)
+    assert len(set(both)) == len(both)
+
+
+def test_bench_covers_every_registered_query():
+    """r2 verdict task: every registered query is benched — batch queries
+    in the headline list, streaming demos under the separate budget line.
+    A new query registered without a bench entry fails here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from bench import BENCH_QUERIES, STREAMING_EXTRA_QUERIES
+
+    unbenched = set(e.queries()) - set(BENCH_QUERIES) - set(STREAMING_EXTRA_QUERIES)
+    assert not unbenched, f"queries missing a bench entry: {sorted(unbenched)}"
