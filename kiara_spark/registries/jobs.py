@@ -81,18 +81,10 @@ class JobRegistry:
 
             import pyspark
 
-            packages = {}
-            for pkg in ("pyarrow", "pandas", "numpy"):
-                try:
-                    import importlib
-
-                    packages[pkg] = importlib.import_module(pkg).__version__
-                except Exception:
-                    pass
             env = {
                 "python": sys.version.split()[0],
                 "pyspark": pyspark.__version__,
-                "packages": packages,
+                "packages": self._installed_packages(),
                 "os": {
                     "system": platform.system(),
                     "release": platform.release(),
@@ -111,9 +103,42 @@ class JobRegistry:
                 pass
             from ..hashing import hash_obj
 
+            # the packages hash stands alone so data_hash memoization can
+            # invalidate on dependency drift without the OS/Spark fields
+            # (reference PythonRuntimeEnvironment: the full distribution
+            # set IS the environment identity)
+            env["packages_hash"] = hash_obj(env["packages"])
             env["environment_hash"] = hash_obj(env)
             self._env_cache = env
         return self._env_cache
+
+    @staticmethod
+    def _installed_packages() -> dict[str, str]:
+        """The FULL installed-distribution set, name -> version (reference
+        ``models/runtime_environment/python.py`` PythonRuntimeEnvironment.
+        packages via importlib.metadata.distributions).  Falls back to the
+        handful of hard dependencies if distribution metadata is absent."""
+        try:
+            from importlib.metadata import distributions
+
+            out: dict[str, str] = {}
+            for dist in distributions():
+                name = (dist.metadata or {}).get("Name")
+                if name:
+                    out[name.lower()] = dist.version or ""
+            if out:
+                return dict(sorted(out.items()))
+        except Exception:
+            pass
+        packages = {}
+        for pkg in ("pyspark", "pyarrow", "pandas", "numpy"):
+            try:
+                import importlib
+
+                packages[pkg] = importlib.import_module(pkg).__version__
+            except Exception:
+                pass
+        return packages
 
     def _cache_key(self, module: "KiaraModule", inputs: ValueMap) -> str | None:
         if self.strategy == "no_cache" or not module.characteristics.is_idempotent:

@@ -187,6 +187,32 @@ def test_job_environment_fingerprint(ctx, tables):
     assert env["os"]["system"] == "Linux"
     assert env["spark"]["version"] and env["spark"]["java"]
     assert len(env["environment_hash"]) >= 16
+    # the FULL installed-distribution set is captured (reference
+    # PythonRuntimeEnvironment), not just the hard dependencies
+    assert "pyspark" in env["packages"] and len(env["packages"]) > 4
+    assert len(env["packages_hash"]) >= 16
+
+
+def test_environment_hash_changes_on_package_drift(ctx, monkeypatch):
+    """r2 verdict task 7: the packages hash must invalidate when a tracked
+    package version changes, so data_hash memoization can detect
+    dependency drift across restarts."""
+    from kiara_spark.hashing import hash_obj
+    from kiara_spark.registries.jobs import JobRegistry
+
+    reg = ctx.job_registry
+    base = reg._environment()
+    drifted = dict(JobRegistry._installed_packages())
+    assert drifted, "package scan came back empty"
+    k = sorted(drifted)[0]
+    drifted[k] = (drifted[k] or "0") + ".post1"
+    monkeypatch.setattr(JobRegistry, "_installed_packages",
+                        staticmethod(lambda: drifted))
+    monkeypatch.setattr(reg, "_env_cache", None)
+    moved = reg._environment()
+    assert moved["packages_hash"] != base["packages_hash"]
+    assert moved["environment_hash"] != base["environment_hash"]
+    assert base["packages_hash"] == hash_obj(base["packages"])
 
 
 def test_property_links_survive_store_load(spark, tmp_path):
