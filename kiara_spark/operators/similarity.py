@@ -498,6 +498,100 @@ def quantize_embeddings_int8(
     return df.withColumn(out_col, q)
 
 
+def pq_seed_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+) -> list:
+    """Deterministic PQ codebook: the ``k`` lowest-id vectors, sliced into
+    ``m`` subvectors each, become the per-subspace codewords — shape
+    [m][k][dim/m].  A deterministic seeding rather than iterative k-means,
+    so a SQL twin can derive the identical codebook from the data itself;
+    swap in trained centroids (``kmeans_embeddings``) for production
+    recall.  Driver state is k·dim doubles — same budget as the kmeans
+    literal-centroid pattern."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(f"pq_seed_codebook: need >= {k} vectors, have {len(rows)}")
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [[[float(r[1][s * dsub + t]) for t in range(dsub)]
+             for r in rows] for s in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization encode: each vector is split into ``m``
+    subvectors, each assigned to its nearest codeword (exact L2², ties to
+    the lowest code) — ``m`` small codes replace ``dim`` floats (here
+    64 floats -> 4 bytes, 64x), the storage layer under IVF-PQ ANN serving.
+
+    MAP-ONLY plan: the codebook is a plan literal (like the kmeans
+    centroid assignment), so encoding runs at scan throughput with zero
+    shuffles at any corpus size.  Distances accumulate as
+    DECIMAL(38,12) sums of 9-dp-rounded squared diffs — order-independent
+    and bit-identical across engines, so code assignment (argmin +
+    tiebreak) is exactly reproducible in SQL.
+
+    Returns (id, codes array<bigint>, recon_err double) where recon_err is
+    the summed quantization L2² across subspaces."""
+    m, k = len(codebook), len(codebook[0])
+    dsub = len(codebook[0][0])
+    v = _to_double(F.col(vec_col))
+
+    def dist(s: int, j: int):
+        cw = F.array(*[F.lit(x) for x in codebook[s][j]])
+        sub = F.slice(v, s * dsub + 1, dsub)
+        terms = F.zip_with(
+            sub, cw,
+            lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(38,12)"))
+        zero = F.lit(0).cast("decimal(38,12)")
+        return F.aggregate(terms, zero, lambda acc, x: acc + x)
+
+    best = [
+        F.array_min(F.array(*[
+            F.struct(dist(s, j).alias("d"), F.lit(j).alias("j"))
+            for j in range(k)]))
+        for s in range(m)]
+    codes = F.array(*[b.getField("j").cast("bigint") for b in best])
+    err = best[0].getField("d")
+    for b in best[1:]:
+        err = err + b.getField("d")
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.round(err, 6).cast("double").alias("recon_err"))
+
+
+class EmbeddingPQEncode(KiaraModule):
+    """Product-quantization encode against a seed or supplied codebook."""
+
+    _module_type_name = "embedding.pq_encode"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        df = inputs["table"].data
+        id_col = self.config.get("id_column", "vec_id")
+        vec_col = self.config.get("vector_column", "embedding")
+        codebook = self.config.get("codebook") or pq_seed_codebook(
+            df, id_col, vec_col,
+            m=self.config.get("m", 4), k=self.config.get("k", 16))
+        return {"table": pq_encode(df, codebook, vec_col, id_col)}
+
+
 def embedding_centroids(
     df: DataFrame,
     group_col: str = "label",

@@ -894,7 +894,11 @@ def dedup_minhash_q(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard_blocked",
     f"""
-    WITH sh_t AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM documents)
+    WITH sh_t AS (SELECT doc_id, lang,
+                         list_distinct(list_transform({_SHINGLES},
+                           s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)))
+                           AS sh
+                  FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
@@ -904,8 +908,65 @@ def dedup_minhash_q(spark, sf_dir):
     """,
 )
 def dedup_jaccard_q(spark, sf_dir):
+    """Blocked exact n-gram Jaccard: quadratic within the block BY DESIGN
+    (it is the exact verify for bounded blocks; the corpus-scale candidate
+    path is minhash).  Shingles are 48-bit md5-prefix longs on both
+    engines — see ngram_jaccard_pairs(hash_shingles=True)."""
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K, block_col="lang")
+
+
+@query(
+    "text_duplicate_ngram_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 10 + 1, 0))) AS p
+      FROM toks),
+    grams AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(w, CAST(p + 1 AS BIGINT),
+                                        CAST(p + 10 AS BIGINT)), chr(31)) AS g
+      FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, p, p + 10 AS e,
+             MAX(p + 10) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM hits),
+    grp AS (
+      SELECT doc_id, p, e,
+             SUM(CASE WHEN prev_max IS NULL OR p > prev_max
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM isl)
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(p) AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, grp
+    """,
+)
+def text_duplicate_ngram_spans_q(spark, sf_dir):
+    """Exact substring dedup primitive (`table.dedup.ngram_spans`):
+    corpus-wide duplicated word 10-grams merged into maximal per-document
+    token spans — what a training pipeline clips instead of dropping the
+    whole document (Lee et al. 2022 ExactSubstr, fixed-n formulation; see
+    operators/dedup.py duplicate_ngram_spans for the 3-shuffle plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.duplicate_ngram_spans(docs, n=10, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"))
 
 
 def _simhash_digit_sql(p: int) -> str:

@@ -1,0 +1,184 @@
+"""Pseudo-sf1 scale probe (r2 verdict task 5): union-replicate the sf0.1
+fixtures 10x with DISJOINT ids/content and re-run the most expensive
+non-streaming queries, recording sf0.1 vs pseudo-sf1 time AND output-row
+ratios in BENCH_SCALE.json.
+
+Replication is content-perturbing so the probe measures scaling, not
+artifact inflation: ids shift by copy*100M (joins stay within-copy), text
+is alphabet-rotated per copy (no cross-copy near-duplicates), embedding
+vectors are dimension-rotated per copy (cross-copy cosine decorrelates).
+Dim tables (region/nation/supplier) stay verbatim.
+
+A query is flagged when its time ratio exceeds FLAG_RATIO (15x at 10x
+data) AND the growth is not explained by output size (time_ratio >
+3x rows_ratio) — e.g. geo pairs legitimately grow superlinearly because
+replicated points densify the same lat/lon lattice.
+
+Usage: python tools/bench_scale.py [--rebuild]
+Writes BENCH_SCALE.json at the repo root; the scaled dataset is cached at
+$KIARA_SCALE_DIR (default /tmp/kiara_scale_pseudo_sf1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC_DIR = "/root/testdata/sf0.1"
+REPLICAS = 10
+OFF = 100_000_000
+FLAG_RATIO = 15.0
+
+PROBE_QUERIES = [
+    "graph_2hop_neighbors",
+    "graph_pagerank",
+    "basket_association_parts",
+    "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
+    "dedup_keep_longest_per_cluster",
+    "dedup_simhash",
+    "geo_radius_pairs_customers",
+    "entity_resolution_parts",
+    "kmeans_embeddings",
+    "sim_topk_ivf",
+    "bloom_prefilter_lineitem",
+]
+
+EXCLUDED = {
+    "dedup_ngram_jaccard_blocked":
+        "provably quadratic within (lang) blocks by design — the exact "
+        "verify for bounded blocks, not a corpus-scale path (see "
+        "bench.BENCH_NOTES); at 10x it is 100x pair verifications by "
+        "construction, so the probe would only re-measure the definition.",
+}
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot_text(col, i: int):
+    """Alphabet rotation per copy: every word changes, so copies are not
+    near-duplicates of each other (shingle/minhash sees fresh content)."""
+    if i == 0:
+        return col
+    rot = _ALPHA[i:] + _ALPHA[:i]
+    return F.translate(col, _ALPHA, rot)
+
+
+def _rot_vec(col, i: int):
+    """Dimension rotation per copy: preserves norms and within-copy
+    geometry exactly while decorrelating cross-copy cosine."""
+    if i == 0:
+        return col
+    return F.expr(
+        f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+        f"slice(embedding, 1, {i}))")
+
+
+def build_scaled(spark, dst: str) -> None:
+    from kiara_spark.io import load_table
+
+    os.makedirs(dst, exist_ok=True)
+    shifts = {
+        "customer": ["c_custkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    perturb = {
+        "documents": ("text", _rot_text),
+        "part": ("p_name", _rot_text),
+        "embeddings": ("embedding", _rot_vec),
+    }
+    for name in ("region", "nation", "supplier", *shifts):
+        out = os.path.join(dst, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, SRC_DIR, name, parallelize=False)
+        if name not in shifts:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        copies = []
+        for i in range(REPLICAS):
+            c = base
+            for key in shifts[name]:
+                c = c.withColumn(key, F.col(key) + F.lit(i * OFF))
+            if name in perturb:
+                col, fn = perturb[name]
+                c = c.withColumn(col, fn(F.col(col), i))
+            copies.append(c)
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(out)
+        print(f"built {name}: {REPLICAS}x", flush=True)
+
+
+def main() -> int:
+    from kiara_spark.queries import QUERIES
+    from kiara_spark.session import build_spark
+
+    dst = os.environ.get("KIARA_SCALE_DIR", "/tmp/kiara_scale_pseudo_sf1")
+    spark = build_spark(app_name="kiara-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv:
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+    build_scaled(spark, dst)
+
+    import gc
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        t0 = time.monotonic()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        gc.collect()
+        return dt, n
+
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        t_small, n_small = run(name, SRC_DIR)
+        t_big, n_big = run(name, dst)
+        time_ratio = round(t_big / t_small, 2) if t_small > 0 else None
+        rows_ratio = round(n_big / n_small, 2) if n_small else None
+        flagged = bool(
+            time_ratio and time_ratio > FLAG_RATIO
+            and (not rows_ratio or time_ratio > 3 * rows_ratio))
+        results[name] = {
+            "sf01_sec": round(t_small, 3), "sf1_sec": round(t_big, 3),
+            "time_ratio": time_ratio,
+            "sf01_rows": n_small, "sf1_rows": n_big,
+            "rows_ratio": rows_ratio, "flagged": flagged,
+        }
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
+              f"({time_ratio}x time, {rows_ratio}x rows)"
+              f"{'  ** FLAGGED' if flagged else ''}", flush=True)
+
+    out = {
+        "replicas": REPLICAS,
+        "src": SRC_DIR,
+        "flag_ratio": FLAG_RATIO,
+        "queries": results,
+        "excluded": EXCLUDED,
+        "n_flagged": sum(1 for r in results.values() if r["flagged"]),
+    }
+    path = Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(json.dumps({"metric": "scale_probe_flagged",
+                      "value": out["n_flagged"],
+                      "detail": "BENCH_SCALE.json"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
