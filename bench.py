@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_token_count",
     "window_order_gaps",
+    "text_duplicate_ngram_spans",
+    "embedding_pq_codes",
+    "sim_topk_pq_adc",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

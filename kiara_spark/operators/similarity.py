@@ -528,6 +528,7 @@ def pq_encode(
     codebook: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Product quantization encode: each vector is split into ``m``
     subvectors, each assigned to its nearest codeword (exact L2², ties to
@@ -542,25 +543,14 @@ def pq_encode(
     tiebreak) is exactly reproducible in SQL.
 
     Returns (id, codes array<bigint>, recon_err double) where recon_err is
-    the summed quantization L2² across subspaces."""
-    m, k = len(codebook), len(codebook[0])
-    dsub = len(codebook[0][0])
-    v = _to_double(F.col(vec_col))
+    the summed quantization L2² across subspaces.
 
-    def dist(s: int, j: int):
-        cw = F.array(*[F.lit(x) for x in codebook[s][j]])
-        sub = F.slice(v, s * dsub + 1, dsub)
-        terms = F.zip_with(
-            sub, cw,
-            lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(38,12)"))
-        zero = F.lit(0).cast("decimal(38,12)")
-        return F.aggregate(terms, zero, lambda acc, x: acc + x)
-
-    best = [
-        F.array_min(F.array(*[
-            F.struct(dist(s, j).alias("d"), F.lit(j).alias("j"))
-            for j in range(k)]))
-        for s in range(m)]
+    The codebook embeds as ONE literal array-of-arrays per subspace and
+    the k codewords are scanned by a runtime ``transform`` — m aggregate
+    expressions in the plan, not m*k (the expanded form cost ~15s of
+    Catalyst analysis for m=4, k=16)."""
+    m = len(codebook)
+    best = [_pq_best(F.col(vec_col), codebook, s, exact) for s in range(m)]
     codes = F.array(*[b.getField("j").cast("bigint") for b in best])
     err = best[0].getField("d")
     for b in best[1:]:
@@ -569,6 +559,104 @@ def pq_encode(
         F.col(id_col),
         codes.alias("codes"),
         F.round(err, 6).cast("double").alias("recon_err"))
+
+
+def _pq_dist(sub: Column, cw: Column, exact: bool = True) -> Column:
+    """L2² between two double arrays.  ``exact`` (the oracle path) sums
+    9-dp-rounded squared diffs as DECIMAL(38,12) — order-independent and
+    reproducible in SQL bit-for-bit, but interpreted (decimal higher-order
+    lambdas skip codegen).  ``exact=False`` is the production fast path:
+    plain double fold, ~an order of magnitude cheaper per element, still
+    deterministic on one engine (fixed fold order) but not cross-engine
+    hash-stable."""
+    if not exact:
+        return F.aggregate(
+            F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+    terms = F.zip_with(
+        sub, cw,
+        lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(38,12)"))
+    zero = F.lit(0).cast("decimal(38,12)")
+    # decimal + decimal widens to (38,11) under Spark's precision rules;
+    # the fold's accumulator type must stay fixed, and the cast is
+    # lossless here (terms are tiny 9-dp squares)
+    return F.aggregate(terms, zero,
+                       lambda acc, x: (acc + x).cast("decimal(38,12)"))
+
+
+def _pq_codebook_lit(codebook: list, s: int) -> Column:
+    """Subspace ``s``'s k codewords as one literal array<array<double>>."""
+    return F.array(*[F.array(*[F.lit(x) for x in codebook[s][j]])
+                     for j in range(len(codebook[s]))])
+
+
+def _pq_best(v: Column, codebook: list, s: int, exact: bool = True) -> Column:
+    """struct(d, j) of the nearest codeword in subspace s (ties -> lowest
+    code, via struct-ordered array_min)."""
+    dsub = len(codebook[0][0])
+    sub = F.slice(_to_double(v), s * dsub + 1, dsub)
+    return F.array_min(F.transform(
+        _pq_codebook_lit(codebook, s),
+        lambda cw, j: F.struct(_pq_dist(sub, cw, exact).alias("d"),
+                               j.alias("j"))))
+
+
+def pq_topk_adc(
+    df: DataFrame,
+    queries: DataFrame,
+    codebook: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes — the
+    serving-side half of IVF-PQ: corpus vectors are m small codes; each
+    query precomputes an m x k distance table against the codebook, and a
+    candidate's distance is m table lookups + adds, never a d-dim float op.
+
+    Plan shape: corpus codes explode to (id, subspace, code) long form —
+    ONE row per code, 4/vec here; the query distance tables (|Q| x m x k
+    rows, tiny) broadcast onto them, and one (query, neighbor) hash
+    aggregate sums the m looked-up entries.  Corpus floats are read once
+    at encode time; the retrieval join moves only codes.  Distances stay
+    decimal-exact end-to-end, so ranking ties break identically in SQL."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+
+    codes_long = (
+        pq_encode(df, codebook, vec_col, id_col, exact)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.posexplode("codes").alias("_s", "_code")))
+
+    def dtab_entries(v: Column, s: int) -> Column:
+        sub = F.slice(_to_double(v), s * dsub + 1, dsub)
+        return F.transform(
+            _pq_codebook_lit(codebook, s),
+            lambda cw, j: F.struct(
+                F.lit(s).alias("_s"), j.cast("bigint").alias("_code"),
+                _pq_dist(sub, cw, exact).alias("_d")))
+
+    dtab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.flatten(F.array(*[
+            dtab_entries(F.col(vec_col), s) for s in range(m)]))).alias("_e")
+    ).select("query_id", "_e._s", "_e._code", "_e._d")
+    adc = (
+        codes_long.join(F.broadcast(dtab), ["_s", "_code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("_adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                (F.round(F.col("_adc").cast("decimal(38,12)"), 6)
+                 if exact else F.round(F.col("_adc"), 6))
+                .cast("double").alias("adc_dist"),
+                F.col("rank").cast("bigint").alias("rank")))
 
 
 class EmbeddingPQEncode(KiaraModule):
@@ -827,10 +915,36 @@ class EmbeddingKMeans(KiaraModule):
             vec_col=self.config.get("vector_column", "embedding"))}
 
 
+class EmbeddingPQTopK(KiaraModule):
+    """ADC top-k retrieval over PQ codes (serving half of IVF-PQ)."""
+
+    _module_type_name = "embedding.pq_topk"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}, "queries": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        df = inputs["table"].data
+        id_col = self.config.get("id_column", "vec_id")
+        vec_col = self.config.get("vector_column", "embedding")
+        codebook = self.config.get("codebook") or pq_seed_codebook(
+            df, id_col, vec_col,
+            m=self.config.get("m", 4), k=self.config.get("codebook_k", 16))
+        return {"table": pq_topk_adc(
+            df, inputs["queries"].data, codebook,
+            k=self.config.get("k", 5), vec_col=vec_col, id_col=id_col)}
+
+
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
-           EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8]
+           EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
+           EmbeddingPQEncode, EmbeddingPQTopK]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
+    Operation("embedding.pq_encode", "embedding.pq_encode"),
+    Operation("embedding.pq_topk", "embedding.pq_topk"),
     Operation("embedding.normalize", "embedding.normalize"),
     Operation("embedding.quantize_int8", "embedding.quantize_int8"),
     Operation("embedding.similarity.topk.ivf", "embedding.similarity.topk", {"method": "ivf"}),

@@ -1222,6 +1222,116 @@ def multimodal_audio_features_q(spark, sf_dir):
 
 
 @query(
+    "embedding_pq_codes",
+    """
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    cw AS (
+      SELECT s, j,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM cb, ss),
+    vs AS (
+      SELECT vec_id, s,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings, ss),
+    d AS (
+      SELECT vec_id, vs.s, j,
+             list_sum(list_transform(range(1, 17),
+               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
+                         AS DECIMAL(38,12)))) AS dist
+      FROM vs JOIN cw ON vs.s = cw.s),
+    best AS (
+      SELECT vec_id, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM d)
+    SELECT vec_id,
+           list(CAST(j AS BIGINT) ORDER BY s) AS codes,
+           CAST(ROUND(CAST(SUM(dist) AS DECIMAL(38,12)), 6) AS DOUBLE)
+             AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes_q(spark, sf_dir):
+    """Product quantization (`embedding.pq_encode`): 64-float vectors ->
+    4 sub-codes against a deterministic seed codebook (the 16 lowest-id
+    vectors), the storage codec under IVF-PQ serving (64 floats -> 4
+    bytes).  Encoding is MAP-ONLY against plan-literal codewords — zero
+    shuffles at any corpus size; distances are decimal-exact so the
+    argmin assignment hash-matches the SQL twin bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_seed_codebook(emb, m=4, k=16)
+    return S.pq_encode(emb, cb)
+
+
+@query(
+    "sim_topk_pq_adc",
+    """
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    cw AS (
+      SELECT s, j,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM cb, ss),
+    vs AS (
+      SELECT vec_id, s,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings, ss),
+    d AS (
+      SELECT vec_id, vs.s, j,
+             list_sum(list_transform(range(1, 17),
+               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
+                         AS DECIMAL(38,12)))) AS dist
+      FROM vs JOIN cw ON vs.s = cw.s),
+    best AS (
+      SELECT vec_id, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM d),
+    codes AS (SELECT vec_id AS neighbor_id, s, j AS code
+              FROM best WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, s, j, dist FROM d
+          WHERE vec_id % 50 = 0),
+    adc AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(SUM(q.dist) AS DECIMAL(38,12)) AS adc_d
+      FROM codes c JOIN q ON q.s = c.s AND q.j = c.code
+      WHERE c.neighbor_id <> q.query_id
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT query_id, neighbor_id, adc_d,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d, neighbor_id) AS rn
+      FROM adc)
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(adc_d, 6) AS DOUBLE) AS adc_dist,
+           CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 5
+    """,
+)
+def sim_topk_pq_adc_q(spark, sf_dir):
+    """ADC top-k over PQ codes (`embedding.pq_topk`): the serving half of
+    IVF-PQ — queries precompute m x k distance tables, candidates are
+    scored by m code lookups + adds (no d-dim float math per candidate),
+    and only 4-byte codes move through the retrieval join.  Decimal-exact
+    distances make the ranking (ties included) hash-match the SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    cb = S.pq_seed_codebook(emb, m=4, k=16)
+    return S.pq_topk_adc(emb, queries, cb, k=5)
+
+
+@query(
     "multimodal_image_real_decode",
     """
     WITH p AS (

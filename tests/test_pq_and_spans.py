@@ -1,0 +1,116 @@
+"""Round-3 additions: product quantization (encode + ADC top-k) and the
+exact substring-dedup primitive (duplicate n-gram spans)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark, n=40, dim=8, seed=3):
+    import hashlib
+
+    def val(i, d):
+        h = int(hashlib.md5(f"{seed}_{i}_{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    rows = [(i, [val(i, d) for d in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_seed_vectors_have_zero_error(spark):
+    from kiara_spark.operators.similarity import pq_encode, pq_seed_codebook
+
+    emb = _emb(spark)
+    cb = pq_seed_codebook(emb, m=2, k=4)
+    out = {r.vec_id: r for r in pq_encode(emb, cb).collect()}
+    assert len(out) == 40
+    # the k lowest-id vectors ARE codewords: they encode to themselves
+    for i in range(4):
+        assert out[i].recon_err == 0.0
+        assert out[i].codes == [i, i]
+    for r in out.values():
+        assert len(r.codes) == 2
+        assert all(0 <= c < 4 for c in r.codes)
+        assert r.recon_err >= 0.0
+
+
+def test_pq_fast_path_matches_exact_assignment(spark):
+    from kiara_spark.operators.similarity import pq_encode, pq_seed_codebook
+
+    emb = _emb(spark)
+    cb = pq_seed_codebook(emb, m=2, k=4)
+    exact = {r.vec_id: r.codes for r in pq_encode(emb, cb).collect()}
+    fast = {r.vec_id: r.codes
+            for r in pq_encode(emb, cb, exact=False).collect()}
+    assert exact == fast  # same argmin on non-adversarial data
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from kiara_spark.operators.similarity import pq_seed_codebook
+
+    emb = _emb(spark, dim=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_seed_codebook(emb, m=2, k=4)
+
+
+def test_pq_topk_adc_ranks(spark):
+    from kiara_spark.operators.similarity import pq_seed_codebook, pq_topk_adc
+
+    emb = _emb(spark)
+    cb = pq_seed_codebook(emb, m=2, k=4)
+    queries = emb.filter("vec_id < 3")
+    got = pq_topk_adc(emb, queries, cb, k=5).collect()
+    by_q = {}
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert r.adc_dist >= 0.0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
+        assert dists == sorted(dists)
+
+
+def test_duplicate_ngram_spans_merges_overlaps(spark):
+    from kiara_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "alpha beta gamma delta"          # 4-token phrase, n=3 below
+    docs = spark.createDataFrame([
+        (1, f"one two {shared} three four"),   # dup grams at pos 2 and 3
+        (2, f"xx yy zz {shared} ww"),          # dup grams at pos 3 and 4
+        (3, "totally unrelated words here now"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_ngram_spans(
+        docs, n=3, min_count=2).collect()}
+    # doc1: grams (alpha beta gamma)@2 and (beta gamma delta)@3 overlap ->
+    # one merged span [2, 6)
+    assert (out[1].span_start, out[1].span_end, out[1].span_tokens) == (2, 6, 4)
+    assert (out[2].span_start, out[2].span_end) == (3, 7)
+    assert 3 not in out
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    from kiara_spark.operators.dedup import duplicate_ngram_spans
+
+    # the same 3-gram twice INSIDE one doc also counts (corpus-wide >= 2)
+    docs = spark.createDataFrame(
+        [(1, "p q r s t p q r")], "doc_id long, text string")
+    got = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_ngram_spans(docs, n=3, min_count=2).collect())
+    assert got == [(0, 3), (5, 8)]
+
+
+def test_duplicate_ngram_spans_short_docs_empty(spark):
+    from kiara_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string")
+    assert duplicate_ngram_spans(docs, n=10).count() == 0
+
+
+def test_new_ops_registered(ctx):
+    assert ctx.operation_registry.resolve("table.dedup.ngram_spans") is not None
+    assert ctx.operation_registry.resolve("embedding.pq_encode") is not None
+    assert ctx.operation_registry.resolve("embedding.pq_topk") is not None
