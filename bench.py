@@ -241,8 +241,10 @@ BENCH_QUERIES = [
     "text_token_count",
     "window_order_gaps",
     "text_duplicate_ngram_spans",
+    "text_clip_duplicate_spans",
     "embedding_pq_codes",
     "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -500,6 +500,65 @@ def duplicate_ngram_spans(
     )
 
 
+def clip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply :func:`duplicate_ngram_spans`: remove every duplicated span's
+    tokens from each document and return the clipped text — the
+    ExactSubstr 'clip, don't drop' policy end-to-end.  Documents with no
+    duplicated spans pass through unchanged.
+
+    One extra broadcast-ish join (spans are tiny relative to the corpus)
+    + a map-side token filter: each doc aggregates its spans to an array
+    and keeps tokens whose position falls in no span.  Token positions are
+    the same tokenizer's indices the span op emitted, so clip boundaries
+    are exact."""
+    from .text import tokens_col
+
+    spans = (duplicate_ngram_spans(df, id_col, text_col, n, min_count)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("_spans")))
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_t"))
+    joined = toks.join(spans, id_col, "left")
+    in_any = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp.getField("span_start"))
+        & (i < sp.getField("span_end")))
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+        F.filter("_t", lambda t, i: ~in_any(i)))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clipped_text"),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_tokens_removed"))
+
+
+class DedupClipSpans(KiaraModule):
+    """Clip corpus-duplicated n-gram spans out of each document's text."""
+
+    _module_type_name = "table.dedup.clip_spans"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": clip_duplicate_spans(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("n", 10),
+            self.config.get("min_count", 2),
+        )}
+
+
 class DedupDuplicateNgramSpans(KiaraModule):
     """Corpus-wide duplicated word-n-gram spans per document (exact
     substring dedup primitive)."""
@@ -613,7 +672,7 @@ class DedupFuzzyLevenshtein(KiaraModule):
 
 
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
-           DedupFuzzyLevenshtein, DedupDuplicateNgramSpans]
+           DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
@@ -621,4 +680,5 @@ OPERATIONS = [
     Operation("table.dedup.ngram_jaccard", "table.dedup.ngram_jaccard"),
     Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
     Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
+    Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),
 ]

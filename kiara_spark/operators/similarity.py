@@ -609,6 +609,7 @@ def pq_topk_adc(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = True,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation (ADC) top-k over PQ codes — the
     serving-side half of IVF-PQ: corpus vectors are m small codes; each
@@ -620,7 +621,11 @@ def pq_topk_adc(
     rows, tiny) broadcast onto them, and one (query, neighbor) hash
     aggregate sums the m looked-up entries.  Corpus floats are read once
     at encode time; the retrieval join moves only codes.  Distances stay
-    decimal-exact end-to-end, so ranking ties break identically in SQL."""
+    decimal-exact end-to-end, so ranking ties break identically in SQL.
+
+    ``bucket_col`` adds IVF coarse pruning (nprobe=1): candidates are
+    scored only inside the query's bucket — the full FAISS IVF-PQ layout,
+    where the candidate list shrinks ~B x before any distance work."""
     m = len(codebook)
     dsub = len(codebook[0][0])
 
@@ -628,6 +633,13 @@ def pq_topk_adc(
         pq_encode(df, codebook, vec_col, id_col, exact)
         .select(F.col(id_col).alias("neighbor_id"),
                 F.posexplode("codes").alias("_s", "_code")))
+    join_keys = ["_s", "_code"]
+    if bucket_col is not None:
+        codes_long = codes_long.join(
+            df.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(bucket_col).alias("_bkt")),
+            "neighbor_id")
+        join_keys.append("_bkt")
 
     def dtab_entries(v: Column, s: int) -> Column:
         sub = F.slice(_to_double(v), s * dsub + 1, dsub)
@@ -639,11 +651,13 @@ def pq_topk_adc(
 
     dtab = queries.select(
         F.col(id_col).alias("query_id"),
+        *([F.col(bucket_col).alias("_bkt")] if bucket_col is not None else []),
         F.explode(F.flatten(F.array(*[
             dtab_entries(F.col(vec_col), s) for s in range(m)]))).alias("_e")
-    ).select("query_id", "_e._s", "_e._code", "_e._d")
+    ).select("query_id", "_e._s", "_e._code", "_e._d",
+             *(["_bkt"] if bucket_col is not None else []))
     adc = (
-        codes_long.join(F.broadcast(dtab), ["_s", "_code"])
+        codes_long.join(F.broadcast(dtab), join_keys)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("_d").alias("_adc")))

@@ -969,6 +969,64 @@ def text_duplicate_ngram_spans_q(spark, sf_dir):
         F.col("span_tokens").cast("bigint").alias("span_tokens"))
 
 
+@query(
+    "text_clip_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 10 + 1, 0))) AS p
+      FROM toks),
+    grams AS (
+      SELECT doc_id, p,
+             array_to_string(list_slice(w, CAST(p + 1 AS BIGINT),
+                                        CAST(p + 10 AS BIGINT)), chr(31)) AS g
+      FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, p, p + 10 AS e,
+             MAX(p + 10) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM hits),
+    grp AS (
+      SELECT doc_id, p, e,
+             SUM(CASE WHEN prev_max IS NULL OR p > prev_max
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM isl),
+    spans AS (SELECT doc_id, MIN(p) AS ss, MAX(e) AS ee
+              FROM grp GROUP BY doc_id, grp),
+    spl AS (SELECT doc_id,
+                   flatten(list(range(ss, ee) ORDER BY ss)) AS removed
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           -- DuckDB's array_to_string([]) is NULL, Spark's concat_ws is ''
+           COALESCE(array_to_string(
+             CASE WHEN spl.removed IS NULL THEN t.w
+                  ELSE list_filter(t.w,
+                         (x, i) -> NOT list_contains(spl.removed, i - 1)) END,
+             ' '), '') AS clipped_text,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(spl.removed), 0) AS BIGINT) AS n_tokens_removed
+    FROM toks t LEFT JOIN spl ON t.doc_id = spl.doc_id
+    """,
+)
+def text_clip_duplicate_spans_q(spark, sf_dir):
+    """Span clipping applied (`table.dedup.clip_spans`): the duplicated
+    spans found by `text_duplicate_ngram_spans` are removed from each
+    document's token stream — ExactSubstr's 'clip, don't drop' policy as
+    one composable operator.  Spans are tiny next to the corpus, so the
+    apply step is one small join + a map-side indexed token filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.clip_duplicate_spans(docs, n=10, min_count=2)
+
+
 def _simhash_digit_sql(p: int) -> str:
     parts = []
     for q in range(4):
@@ -1329,6 +1387,69 @@ def sim_topk_pq_adc_q(spark, sf_dir):
     queries = emb.filter("vec_id % 50 = 0")
     cb = S.pq_seed_codebook(emb, m=4, k=16)
     return S.pq_topk_adc(emb, queries, cb, k=5)
+
+
+@query(
+    "sim_topk_ivfpq",
+    """
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    cw AS (
+      SELECT s, j,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM cb, ss),
+    vs AS (
+      SELECT vec_id, label, s,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings, ss),
+    d AS (
+      SELECT vec_id, label, vs.s, j,
+             list_sum(list_transform(range(1, 17),
+               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
+                         AS DECIMAL(38,12)))) AS dist
+      FROM vs JOIN cw ON vs.s = cw.s),
+    best AS (
+      SELECT vec_id, label, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM d),
+    codes AS (SELECT vec_id AS neighbor_id, label, s, j AS code
+              FROM best WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, label, s, j, dist FROM d
+          WHERE vec_id % 50 = 0),
+    adc AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(SUM(q.dist) AS DECIMAL(38,12)) AS adc_d
+      FROM codes c JOIN q ON q.s = c.s AND q.j = c.code
+                         AND q.label = c.label
+      WHERE c.neighbor_id <> q.query_id
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT query_id, neighbor_id, adc_d,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d, neighbor_id) AS rn
+      FROM adc)
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(adc_d, 6) AS DOUBLE) AS adc_dist,
+           CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 5
+    """,
+)
+def sim_topk_ivfpq_q(spark, sf_dir):
+    """Full IVF-PQ serving path (`embedding.pq_topk` with bucket_col):
+    coarse bucket pruning (nprobe=1 on the label quantizer) composed with
+    ADC code scoring — candidates shrink ~B x before any distance work and
+    the retrieval join still moves only 4-byte codes.  The FAISS layout,
+    Spark-shaped."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    cb = S.pq_seed_codebook(emb, m=4, k=16)
+    return S.pq_topk_adc(emb, queries, cb, k=5, bucket_col="label")
 
 
 @query(

@@ -110,7 +110,49 @@ def test_duplicate_ngram_spans_short_docs_empty(spark):
     assert duplicate_ngram_spans(docs, n=10).count() == 0
 
 
+def test_clip_duplicate_spans(spark):
+    from kiara_spark.operators.dedup import clip_duplicate_spans
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame([
+        (1, f"one two {shared} three four"),
+        (2, f"xx yy zz {shared} ww"),
+        (3, "totally unrelated words here now"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in clip_duplicate_spans(
+        docs, n=3, min_count=2).collect()}
+    assert out[1].clipped_text == "one two three four"
+    assert out[1].n_tokens == 8 and out[1].n_tokens_removed == 4
+    assert out[2].clipped_text == "xx yy zz ww"
+    assert out[3].clipped_text == "totally unrelated words here now"
+    assert out[3].n_tokens_removed == 0
+
+
+def test_clip_fully_duplicated_doc_empties(spark):
+    from kiara_spark.operators.dedup import clip_duplicate_spans
+
+    docs = spark.createDataFrame([
+        (1, "a b c d"), (2, "a b c d")], "doc_id long, text string")
+    out = {r.doc_id: r for r in clip_duplicate_spans(
+        docs, n=4, min_count=2).collect()}
+    assert out[1].clipped_text == "" and out[1].n_tokens_removed == 4
+
+
+def test_pq_topk_bucket_pruning(spark):
+    from kiara_spark.operators.similarity import pq_seed_codebook, pq_topk_adc
+
+    emb = _emb(spark).withColumn(
+        "label", (F.col("vec_id") % 2).cast("string"))
+    cb = pq_seed_codebook(emb, m=2, k=4)
+    queries = emb.filter("vec_id < 2")
+    got = pq_topk_adc(emb, queries, cb, k=40, bucket_col="label").collect()
+    # nprobe=1: every scored neighbor shares the query's bucket parity
+    for r in got:
+        assert r.neighbor_id % 2 == r.query_id % 2
+
+
 def test_new_ops_registered(ctx):
     assert ctx.operation_registry.resolve("table.dedup.ngram_spans") is not None
+    assert ctx.operation_registry.resolve("table.dedup.clip_spans") is not None
     assert ctx.operation_registry.resolve("embedding.pq_encode") is not None
     assert ctx.operation_registry.resolve("embedding.pq_topk") is not None
