@@ -15,6 +15,7 @@ Usage:
     python -m kiara_spark.cli metadata list | metadata explain <key>
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
     python -m kiara_spark.cli archive explain <path>
+    python -m kiara_spark.cli workflow list | workflow explain <alias>
     python -m kiara_spark.cli pipeline explain <file.json>
 
 Named contexts persist under $KIARA_SPARK_CONTEXTS (default
@@ -315,6 +316,41 @@ def main(argv: list[str] | None = None) -> int:
         print(f"  format_version: {manifest.get('format_version')}")
         print(f"  values:  {len(manifest.get('values', {}))}")
         print(f"  aliases: {', '.join(sorted(manifest.get('aliases', {})))}")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["list"]:
+        ctx = KiaraContext()
+        wdir = os.path.join(ctx.base_path, "workflows")
+        if os.path.isdir(wdir):
+            for e in sorted(os.scandir(wdir), key=lambda e: e.name):
+                if e.name.endswith(".json"):
+                    with open(e.path) as f:
+                        saved = json.load(f)
+                    print(f"{e.name[:-5]:30s} {len(saved.get('steps', []))} "
+                          f"step(s), {len(saved.get('snapshots', []))} "
+                          f"snapshot(s)")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["explain"]:
+        if len(argv) < 2:
+            raise SystemExit("workflow explain: missing workflow alias")
+        from .workflow import Workflow
+
+        ctx = KiaraContext()
+        wf = Workflow(ctx, argv[1])
+        print(f"workflow: {wf.alias}")
+        print("steps:")
+        for s in wf.pipeline_config["steps"]:
+            links = s.get("input_links") or {}
+            extra = f"  <- {links}" if links else ""
+            print(f"  {s['step_id']:30s} {s['module_type']}{extra}")
+        for label, aliases in (("input aliases", wf.pipeline_config.get("input_aliases", {})),
+                               ("output aliases", wf.pipeline_config.get("output_aliases", {}))):
+            if aliases:
+                print(f"{label}:")
+                for k, v in sorted(aliases.items()):
+                    print(f"  {k} -> {v}")
+        print(f"snapshots: {len(wf.snapshots)}")
         return 0
 
     if cmd == "context" and argv[:1] == ["info"]:

@@ -54,6 +54,25 @@ def test_metadata_explain_subcommand(capsys):
     assert main(["metadata", "explain", "nope"]) == 1
 
 
+def test_workflow_list_and_explain(tmp_path, monkeypatch, capsys, spark):
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "whome"))
+    from kiara_spark.context import KiaraContext
+    from kiara_spark.workflow import Workflow
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "whome"))
+    wf = Workflow(ctx, "demo_flow")
+    wf.add_step("logic.and", step_id="gate")
+    wf.set_inputs(gate__a=True, gate__b=True)
+    wf.process()
+    wf.snapshot()
+    assert main(["workflow", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "demo_flow" in out and "1 step(s)" in out
+    assert main(["workflow", "explain", "demo_flow"]) == 0
+    out = capsys.readouterr().out
+    assert "gate" in out and "logic.and" in out and "snapshots: 1" in out
+
+
 def test_archive_cli_round_trip(tmp_path, monkeypatch, capsys, spark):
     home_a = tmp_path / "home_a"
     arch = str(tmp_path / "arch")

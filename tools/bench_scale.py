@@ -49,6 +49,11 @@ PROBE_QUERIES = [
     "kmeans_embeddings",
     "sim_topk_ivf",
     "bloom_prefilter_lineitem",
+    # round-3 additions: span dedup (3 linear shuffles) and PQ (map-only
+    # encode / code-join retrieval) must hold their shape at 10x
+    "text_duplicate_ngram_spans",
+    "embedding_pq_codes",
+    "sim_topk_ivfpq",
 ]
 
 EXCLUDED = {
