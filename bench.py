@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "embedding_pq_codes",
     "sim_topk_pq_adc",
     "sim_topk_ivfpq",
+    "dedup_minhash_incremental",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -432,6 +432,134 @@ def fuzzy_levenshtein_pairs(
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band_id, band_key) rows from a signature table."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[
+                    F.col(f"h{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ]).alias("band_key"),
+            )
+            for b in range(bands)
+        ])).alias("band"),
+    ).select("_id", "band.band_id", "band.band_key")
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    shingle_unit: str = "char",
+) -> DataFrame:
+    """INCREMENTAL near-dedup: screen an incoming batch against the
+    already-accepted corpus — the daily-ingest shape, where re-running
+    corpus x corpus dedup on every batch would rescan 100 TB for a 100 GB
+    delta.  A new doc is rejected when it near-matches (verified Jaccard
+    >= threshold) any corpus doc OR any LOWER-ID batch peer (deterministic
+    first-wins within the batch, no iterative acceptance chain).
+
+    Plan shape: signatures for batch and corpus (in production the corpus
+    signature table is persisted and only the batch side is computed — at
+    16 bigints/doc it is ~1/1000th the corpus bytes); banded LSH keys
+    joined batch-vs-corpus and batch-vs-batch; exact shingle verify only
+    on candidates.  The corpus TEXT is touched only for candidate rows
+    (semi-join pushdown), never rescanned wholesale.
+
+    Returns one row per batch doc: (id, n_corpus_matches,
+    n_batch_matches, accepted)."""
+    sig_new = minhash_signatures_df(new_df, id_col, text_col, num_hashes,
+                                    shingle_k, shingle_unit)
+    sig_corpus = minhash_signatures_df(corpus_df, id_col, text_col,
+                                       num_hashes, shingle_k, shingle_unit)
+    nb = _band_rows(sig_new, num_hashes, bands)
+    cb = _band_rows(sig_corpus, num_hashes, bands)
+    vs_corpus = (
+        nb.alias("a").join(cb.alias("b"),
+                           ["band_id", "band_key"])
+        .select(F.col("a._id").alias("new_id"),
+                F.col("b._id").alias("other_id"),
+                F.lit(True).alias("is_corpus")))
+    vs_batch = (
+        nb.alias("a").join(nb.alias("b"),
+                           on=[F.col("a.band_id") == F.col("b.band_id"),
+                               F.col("a.band_key") == F.col("b.band_key"),
+                               F.col("a._id") > F.col("b._id")])
+        .select(F.col("a._id").alias("new_id"),
+                F.col("b._id").alias("other_id"),
+                F.lit(False).alias("is_corpus")))
+    cand = cut_lineage(vs_corpus.unionByName(vs_batch).distinct())
+
+    def _sh(df: DataFrame) -> DataFrame:
+        ids = (cand.select(F.explode(F.array("new_id", "other_id"))
+                           .alias(id_col)).distinct())
+        return (df.join(ids, id_col, "left_semi")
+                .select(F.col(id_col),
+                        _shingles(F.col(text_col), shingle_k,
+                                  shingle_unit).alias("_sh")))
+
+    all_sh = cut_lineage(_sh(new_df).unionByName(_sh(corpus_df)))
+    verified = (
+        cand.join(all_sh.withColumnsRenamed({id_col: "new_id", "_sh": "sh_a"}),
+                  "new_id")
+        .join(all_sh.withColumnsRenamed({id_col: "other_id", "_sh": "sh_b"}),
+              "other_id")
+        .filter(_jaccard_arrays(F.col("sh_a"), F.col("sh_b"))
+                >= F.lit(threshold)))
+    agg = verified.groupBy("new_id").agg(
+        F.sum(F.when(F.col("is_corpus"), 1).otherwise(0))
+        .cast("bigint").alias("n_corpus_matches"),
+        F.sum(F.when(~F.col("is_corpus"), 1).otherwise(0))
+        .cast("bigint").alias("n_batch_matches"))
+    return (
+        new_df.select(F.col(id_col))
+        .join(agg, new_df[id_col] == agg["new_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_corpus_matches", F.lit(0)).cast("bigint")
+            .alias("n_corpus_matches"),
+            F.coalesce("n_batch_matches", F.lit(0)).cast("bigint")
+            .alias("n_batch_matches"),
+            ((F.coalesce("n_corpus_matches", F.lit(0)) == 0)
+             & (F.coalesce("n_batch_matches", F.lit(0)) == 0))
+            .alias("accepted")))
+
+
+class DedupMinhashIncremental(KiaraModule):
+    """Screen an incoming batch against the accepted corpus (incremental
+    minhash dedup)."""
+
+    _module_type_name = "table.dedup.minhash_incremental"
+
+    def create_inputs_schema(self):
+        return {"batch": {"type": "table"}, "corpus": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": minhash_dedup_incremental(
+            inputs["batch"].data,
+            inputs["corpus"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("threshold", 0.7),
+            self.config.get("num_hashes", 16),
+            self.config.get("bands", 4),
+            self.config.get("shingle_k", 5),
+            self.config.get("shingle_unit", "char"),
+        )}
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -672,7 +800,8 @@ class DedupFuzzyLevenshtein(KiaraModule):
 
 
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
-           DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans]
+           DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans,
+           DedupMinhashIncremental]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
@@ -681,4 +810,5 @@ OPERATIONS = [
     Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
     Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
     Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),
+    Operation("table.dedup.minhash_incremental", "table.dedup.minhash_incremental"),
 ]

@@ -892,6 +892,58 @@ def dedup_minhash_q(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_incremental",
+    f"""
+    WITH sh_t AS ({_SH_T_WORD}),
+    h_t AS (SELECT doc_id, sh, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS other_id,
+             (b.doc_id % 5 <> 0) AS is_corpus
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 5 = 0
+        AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)
+      GROUP BY 1, 2, 3),
+    ver AS (
+      SELECT cand.new_id, cand.is_corpus
+      FROM cand JOIN sh_t sa ON cand.new_id = sa.doc_id
+                JOIN sh_t sb ON cand.other_id = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.7),
+    agg AS (
+      SELECT new_id,
+             CAST(SUM(CASE WHEN is_corpus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corpus_matches,
+             CAST(SUM(CASE WHEN is_corpus THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_batch_matches
+      FROM ver GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches,
+           CAST(COALESCE(a.n_batch_matches, 0) AS BIGINT) AS n_batch_matches,
+           (COALESCE(a.n_corpus_matches, 0) = 0
+            AND COALESCE(a.n_batch_matches, 0) = 0) AS accepted
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN agg a ON d.doc_id = a.new_id
+    """,
+)
+def dedup_minhash_incremental_q(spark, sf_dir):
+    """Incremental ingest dedup (`table.dedup.minhash_incremental`): every
+    5th document plays the incoming batch, the rest the accepted corpus.
+    Batch docs are screened batch-vs-corpus AND batch-vs-lower-id-peer via
+    banded LSH + exact verify; corpus text is touched only for candidate
+    rows — the daily-delta shape where the 100 TB corpus is never
+    rescanned."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    return D.minhash_dedup_incremental(
+        batch, corpus, threshold=0.7, num_hashes=NUM_HASHES, bands=BANDS,
+        shingle_k=SHINGLE_WORDS, shingle_unit="word")
+
+
+@query(
     "dedup_ngram_jaccard_blocked",
     f"""
     WITH sh_t AS (SELECT doc_id, lang,

@@ -52,6 +52,29 @@ def test_minhash_finds_near_dups(spark):
     assert all(3 not in p for p in got)
 
 
+def test_minhash_incremental_screens_batch(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "some settled corpus document that is unrelated")],
+        "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(10, base + " ok"),                       # near-dup of corpus doc 1
+         (11, "a genuinely fresh document about novel things"),
+         (12, "a genuinely fresh document about novel things!!")],  # dup of 11
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in D.minhash_dedup_incremental(
+        batch, corpus, threshold=0.5, num_hashes=16, bands=8).collect()}
+    assert not out[10].accepted and out[10].n_corpus_matches >= 1
+    assert out[11].accepted  # first-wins: lower id keeps, later dup rejected
+    assert not out[12].accepted and out[12].n_batch_matches >= 1
+    assert out[12].n_corpus_matches == 0
+
+
+def test_minhash_incremental_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "table.dedup.minhash_incremental") is not None
+
+
 def test_simhash_similar_texts_close(spark):
     df = spark.createDataFrame(
         [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd ffff"),
