@@ -537,13 +537,16 @@ def pq_encode(
 
     MAP-ONLY plan: the codebook is a plan literal (like the kmeans
     centroid assignment), so encoding runs at scan throughput with zero
-    shuffles at any corpus size.  Distances accumulate as
-    DECIMAL(38,12) sums of 9-dp-rounded squared diffs — order-independent
-    and bit-identical across engines, so code assignment (argmin +
-    tiebreak) is exactly reproducible in SQL.
+    shuffles at any corpus size.  Distances accumulate as FIXED-POINT
+    int64 nano units (truncate((a-b)^2 * 1e9) summed as BIGINT) —
+    order-independent, overflow-free for unit-scale embeddings, and
+    bit-identical across engines, so code assignment (argmin + tiebreak)
+    is exactly reproducible in SQL, at primitive-long fold cost instead
+    of interpreted decimal arithmetic.
 
-    Returns (id, codes array<bigint>, recon_err double) where recon_err is
-    the summed quantization L2² across subspaces.
+    Returns (id, codes array<bigint>, recon_err_e9 bigint) where
+    recon_err_e9 is the summed quantization L2² across subspaces in nano
+    units (divide by 1e9 for the float value).
 
     The codebook embeds as ONE literal array-of-arrays per subspace and
     the k codewords are scanned by a runtime ``transform`` — m aggregate
@@ -558,30 +561,28 @@ def pq_encode(
     return df.select(
         F.col(id_col),
         codes.alias("codes"),
-        F.round(err, 6).cast("double").alias("recon_err"))
+        (err.cast("bigint") if exact
+         else F.round(err * 1e9).cast("bigint")).alias("recon_err_e9"))
 
 
 def _pq_dist(sub: Column, cw: Column, exact: bool = True) -> Column:
     """L2² between two double arrays.  ``exact`` (the oracle path) sums
-    9-dp-rounded squared diffs as DECIMAL(38,12) — order-independent and
-    reproducible in SQL bit-for-bit, but interpreted (decimal higher-order
-    lambdas skip codegen).  ``exact=False`` is the production fast path:
-    plain double fold, ~an order of magnitude cheaper per element, still
-    deterministic on one engine (fixed fold order) but not cross-engine
-    hash-stable."""
+    truncated fixed-point nano units as BIGINT — each term is
+    ``CAST((a-b)^2 * 1e9 AS BIGINT)``: the double product and scale are
+    IEEE-deterministic and truncation has no rounding-tie mode to
+    disagree on, so DuckDB reproduces every sum exactly, and the fold is
+    primitive-long work (the earlier DECIMAL(38,12) fold was interpreted
+    and ~5x slower).  ``exact=False`` is a double fold — cheaper still,
+    deterministic on one engine, not cross-engine hash-stable."""
     if not exact:
         return F.aggregate(
             F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
     terms = F.zip_with(
         sub, cw,
-        lambda a, b: F.round((a - b) * (a - b), 9).cast("decimal(38,12)"))
-    zero = F.lit(0).cast("decimal(38,12)")
-    # decimal + decimal widens to (38,11) under Spark's precision rules;
-    # the fold's accumulator type must stay fixed, and the cast is
-    # lossless here (terms are tiny 9-dp squares)
-    return F.aggregate(terms, zero,
-                       lambda acc, x: (acc + x).cast("decimal(38,12)"))
+        lambda a, b: ((a - b) * (a - b) * F.lit(1e9)).cast("bigint"))
+    return F.aggregate(terms, F.lit(0).cast("bigint"),
+                       lambda acc, x: acc + x)
 
 
 def _pq_codebook_lit(codebook: list, s: int) -> Column:
@@ -621,7 +622,8 @@ def pq_topk_adc(
     rows, tiny) broadcast onto them, and one (query, neighbor) hash
     aggregate sums the m looked-up entries.  Corpus floats are read once
     at encode time; the retrieval join moves only codes.  Distances stay
-    decimal-exact end-to-end, so ranking ties break identically in SQL.
+    fixed-point-exact (int64 nano units) end-to-end, so ranking ties
+    break identically in SQL.
 
     ``bucket_col`` adds IVF coarse pruning (nprobe=1): candidates are
     scored only inside the query's bucket — the full FAISS IVF-PQ layout,
@@ -667,9 +669,9 @@ def pq_topk_adc(
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id",
-                (F.round(F.col("_adc").cast("decimal(38,12)"), 6)
-                 if exact else F.round(F.col("_adc"), 6))
-                .cast("double").alias("adc_dist"),
+                (F.col("_adc").cast("bigint") if exact
+                 else F.round(F.col("_adc") * 1e9).cast("bigint"))
+                .alias("adc_dist_e9"),
                 F.col("rank").cast("bigint").alias("rank")))
 
 

@@ -1350,10 +1350,10 @@ def multimodal_audio_features_q(spark, sf_dir):
       FROM embeddings, ss),
     d AS (
       SELECT vec_id, vs.s, j,
-             list_sum(list_transform(range(1, 17),
-               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
-                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
-                         AS DECIMAL(38,12)))) AS dist
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CAST(trunc((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * 1e9)
+                         AS BIGINT))) AS BIGINT) AS dist
       FROM vs JOIN cw ON vs.s = cw.s),
     best AS (
       SELECT vec_id, s, j, dist,
@@ -1362,8 +1362,7 @@ def multimodal_audio_features_q(spark, sf_dir):
       FROM d)
     SELECT vec_id,
            list(CAST(j AS BIGINT) ORDER BY s) AS codes,
-           CAST(ROUND(CAST(SUM(dist) AS DECIMAL(38,12)), 6) AS DOUBLE)
-             AS recon_err
+           CAST(SUM(dist) AS BIGINT) AS recon_err_e9
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
 )
@@ -1398,10 +1397,10 @@ def embedding_pq_codes_q(spark, sf_dir):
       FROM embeddings, ss),
     d AS (
       SELECT vec_id, vs.s, j,
-             list_sum(list_transform(range(1, 17),
-               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
-                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
-                         AS DECIMAL(38,12)))) AS dist
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CAST(trunc((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * 1e9)
+                         AS BIGINT))) AS BIGINT) AS dist
       FROM vs JOIN cw ON vs.s = cw.s),
     best AS (
       SELECT vec_id, s, j, dist,
@@ -1414,7 +1413,7 @@ def embedding_pq_codes_q(spark, sf_dir):
           WHERE vec_id % 50 = 0),
     adc AS (
       SELECT q.query_id, c.neighbor_id,
-             CAST(SUM(q.dist) AS DECIMAL(38,12)) AS adc_d
+             CAST(SUM(q.dist) AS BIGINT) AS adc_d
       FROM codes c JOIN q ON q.s = c.s AND q.j = c.code
       WHERE c.neighbor_id <> q.query_id
       GROUP BY 1, 2),
@@ -1424,7 +1423,7 @@ def embedding_pq_codes_q(spark, sf_dir):
                                 ORDER BY adc_d, neighbor_id) AS rn
       FROM adc)
     SELECT query_id, neighbor_id,
-           CAST(ROUND(adc_d, 6) AS DOUBLE) AS adc_dist,
+           adc_d AS adc_dist_e9,
            CAST(rn AS BIGINT) AS rank
     FROM rk WHERE rn <= 5
     """,
@@ -1460,10 +1459,10 @@ def sim_topk_pq_adc_q(spark, sf_dir):
       FROM embeddings, ss),
     d AS (
       SELECT vec_id, label, vs.s, j,
-             list_sum(list_transform(range(1, 17),
-               i -> CAST(ROUND((v[CAST(i AS INT)] - c[CAST(i AS INT)])
-                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]), 9)
-                         AS DECIMAL(38,12)))) AS dist
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CAST(trunc((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * 1e9)
+                         AS BIGINT))) AS BIGINT) AS dist
       FROM vs JOIN cw ON vs.s = cw.s),
     best AS (
       SELECT vec_id, label, s, j, dist,
@@ -1476,7 +1475,7 @@ def sim_topk_pq_adc_q(spark, sf_dir):
           WHERE vec_id % 50 = 0),
     adc AS (
       SELECT q.query_id, c.neighbor_id,
-             CAST(SUM(q.dist) AS DECIMAL(38,12)) AS adc_d
+             CAST(SUM(q.dist) AS BIGINT) AS adc_d
       FROM codes c JOIN q ON q.s = c.s AND q.j = c.code
                          AND q.label = c.label
       WHERE c.neighbor_id <> q.query_id
@@ -1487,7 +1486,7 @@ def sim_topk_pq_adc_q(spark, sf_dir):
                                 ORDER BY adc_d, neighbor_id) AS rn
       FROM adc)
     SELECT query_id, neighbor_id,
-           CAST(ROUND(adc_d, 6) AS DOUBLE) AS adc_dist,
+           adc_d AS adc_dist_e9,
            CAST(rn AS BIGINT) AS rank
     FROM rk WHERE rn <= 5
     """,

@@ -26,12 +26,12 @@ def test_pq_encode_seed_vectors_have_zero_error(spark):
     assert len(out) == 40
     # the k lowest-id vectors ARE codewords: they encode to themselves
     for i in range(4):
-        assert out[i].recon_err == 0.0
+        assert out[i].recon_err_e9 == 0
         assert out[i].codes == [i, i]
     for r in out.values():
         assert len(r.codes) == 2
         assert all(0 <= c < 4 for c in r.codes)
-        assert r.recon_err >= 0.0
+        assert r.recon_err_e9 >= 0
 
 
 def test_pq_fast_path_matches_exact_assignment(spark):
@@ -63,12 +63,12 @@ def test_pq_topk_adc_ranks(spark):
     by_q = {}
     for r in got:
         assert r.neighbor_id != r.query_id
-        assert r.adc_dist >= 0.0
+        assert r.adc_dist_e9 >= 0
         by_q.setdefault(r.query_id, []).append(r)
     for q, rows in by_q.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
-        dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
+        dists = [r.adc_dist_e9 for r in sorted(rows, key=lambda r: r.rank)]
         assert dists == sorted(dists)
 
 
