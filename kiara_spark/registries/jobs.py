@@ -147,6 +147,11 @@ class JobRegistry:
             ids = {k: v.value_id for k, v in inputs.items()}
         else:  # data_hash: deep, content-addressed
             ids = {k: v.content_hash() for k, v in inputs.items()}
+            # deep cache keys survive restarts, so they must also bind the
+            # installed-package set: a dependency upgrade can change what an
+            # operator computes, and a stale hit would silently serve the
+            # old answer (reference PythonRuntimeEnvironment identity)
+            ids["__packages__"] = self._environment()["packages_hash"]
         return _job_hash(module.module_type, module.config, ids)
 
     def persist_record(self, record: JobRecord) -> None:

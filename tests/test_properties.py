@@ -376,3 +376,65 @@ def test_row_ids_bijection_property(spark, keys):
     assert sorted(out.values()) == list(range(len(keys)))
     ordered = [k for k, _ in sorted(out.items(), key=lambda kv: kv[1])]
     assert ordered == sorted(keys)
+
+
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=18)
+    .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=25,
+)
+
+
+@given(texts=_doc_strategy)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_spans_partition_invariant_and_clip_conserves(spark, texts):
+    """Span detection is a pure function of the corpus (any partitioning),
+    spans never overlap after merging, and clipping conserves tokens:
+    kept + removed == total for every doc."""
+    from kiara_spark.operators.dedup import (clip_duplicate_spans,
+                                             duplicate_ngram_spans)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, duplicate_ngram_spans(
+        df.coalesce(1), n=3).collect()))
+    b = sorted(map(tuple, duplicate_ngram_spans(
+        df.repartition(5, "doc_id"), n=3).collect()))
+    assert a == b
+    by_doc: dict = {}
+    for doc_id, s, e, _ in a:
+        assert s < e
+        for ps, pe in by_doc.get(doc_id, []):
+            assert e <= ps or s >= pe  # merged spans never overlap
+        by_doc.setdefault(doc_id, []).append((s, e))
+    clipped = {r.doc_id: r for r in clip_duplicate_spans(df, n=3).collect()}
+    for i, t in rows:
+        kept = len([w for w in clipped[i].clipped_text.split() if w])
+        assert kept + clipped[i].n_tokens_removed == clipped[i].n_tokens
+        assert clipped[i].n_tokens == len(t.split())
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_codes_partition_invariant(spark, seed):
+    """PQ code assignment is map-only and deterministic: any repartitioning
+    yields identical codes and errors, and every doc's reconstruction error
+    is the sum of per-subspace minima (>= 0, == 0 iff codeword hit)."""
+    import hashlib
+
+    from kiara_spark.operators.similarity import pq_encode, pq_seed_codebook
+
+    def val(i, d):
+        h = int(hashlib.md5(f"{seed}_{i}_{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    rows = [(i, [val(i, d) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_seed_codebook(df, m=2, k=4)
+    a = sorted(map(tuple, pq_encode(df.coalesce(1), cb).collect()))
+    b = sorted(map(tuple, pq_encode(df.repartition(6), cb).collect()))
+    assert a == b
+    for _, codes, err in a:
+        assert err >= 0 and len(codes) == 2

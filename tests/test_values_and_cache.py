@@ -193,6 +193,34 @@ def test_job_environment_fingerprint(ctx, tables):
     assert len(env["packages_hash"]) >= 16
 
 
+def test_data_hash_cache_key_binds_package_set(spark, tmp_path, monkeypatch):
+    """Deep (data_hash) cache keys must change when the installed-package
+    set drifts — a dependency upgrade may change what an operator computes,
+    and a restart-surviving stale hit would silently serve the old answer."""
+    from kiara_spark import KiaraContext
+    from kiara_spark.registries.jobs import JobRegistry
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path),
+                       cache_strategy="data_hash")
+    ctx.run_job("logic.and", {"a": True, "b": True})
+    rec1 = ctx.job_registry.history[-1]
+    assert not rec1.cache_hit
+    # same inputs, same env: hit
+    ctx.run_job("logic.and", {"a": True, "b": True})
+    assert ctx.job_registry.history[-1].cache_hit
+    # drift the package set: the key changes, so the job re-executes
+    drifted = dict(JobRegistry._installed_packages())
+    k = sorted(drifted)[0]
+    drifted[k] = (drifted[k] or "0") + ".post1"
+    monkeypatch.setattr(JobRegistry, "_installed_packages",
+                        staticmethod(lambda: drifted))
+    monkeypatch.setattr(ctx.job_registry, "_env_cache", None)
+    ctx.run_job("logic.and", {"a": True, "b": True})
+    rec3 = ctx.job_registry.history[-1]
+    assert not rec3.cache_hit
+    assert rec3.job_hash != rec1.job_hash
+
+
 def test_environment_hash_changes_on_package_drift(ctx, monkeypatch):
     """r2 verdict task 7: the packages hash must invalidate when a tracked
     package version changes, so data_hash memoization can detect
