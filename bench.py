@@ -279,6 +279,7 @@ STREAMING_EXTRA_QUERIES = [
     "streaming_static_join_demo",
     "streaming_late_drop_demo",
     "streaming_foreachbatch_upsert_demo",
+    "streaming_enrich_minhash_demo",
 ]
 
 

@@ -3054,6 +3054,58 @@ def streaming_demo(spark, sf_dir):
     return spark.table(qname)
 
 
+@query(
+    "streaming_enrich_minhash_demo",
+    f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    h_t AS (SELECT doc_id, list_transform(sh, s -> {_H0.format(s='s')}) AS h0s
+            FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t)
+    SELECT doc_id,
+           concat_ws('|', CAST(h0 AS VARCHAR), CAST(h1 AS VARCHAR),
+                     CAST(h2 AS VARCHAR), CAST(h3 AS VARCHAR)) AS band_0,
+           concat_ws('|', CAST(h4 AS VARCHAR), CAST(h5 AS VARCHAR),
+                     CAST(h6 AS VARCHAR), CAST(h7 AS VARCHAR)) AS band_1,
+           concat_ws('|', CAST(h8 AS VARCHAR), CAST(h9 AS VARCHAR),
+                     CAST(h10 AS VARCHAR), CAST(h11 AS VARCHAR)) AS band_2,
+           concat_ws('|', CAST(h12 AS VARCHAR), CAST(h13 AS VARCHAR),
+                     CAST(h14 AS VARCHAR), CAST(h15 AS VARCHAR)) AS band_3
+    FROM sig
+    """,
+)
+def streaming_enrich_minhash_demo_q(spark, sf_dir):
+    """Ingest-time dedup enrichment under Structured Streaming: documents
+    arrive as a file stream and each row is stamped with its 4 LSH band
+    keys via the EXPRESSION form of the minhash signature (one shingle
+    transform + 16 array_min folds — map-only, so the streaming query is
+    STATELESS: no watermark, no state store, runs in append mode at scan
+    throughput).  Downstream, arriving band keys join against the corpus
+    band table (see dedup_minhash_incremental) without recomputing
+    anything.  The batch oracle reproduces every band key exactly."""
+    import tempfile
+    import uuid
+
+    from .operators.dedup import minhash_signature
+    from .streaming.windows import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_")
+    docs.write.mode("overwrite").parquet(tmp)
+    stream = (spark.readStream.schema(docs.schema).parquet(tmp))
+    sig = minhash_signature(F.col("text"), num_hashes=NUM_HASHES, shingle_k=SHINGLE_K)
+    rpb = NUM_HASHES // BANDS
+    enriched = stream.select(
+        "doc_id",
+        *[F.concat_ws("|", *[
+            F.element_at(sig, b * rpb + j + 1).cast("string")
+            for j in range(rpb)]).alias(f"band_{b}")
+          for b in range(BANDS)])
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(enriched, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
+
+
 # ---------------------------------------------------------------------------
 # 10. reshape: pivot / unpivot / unnest + stratified sampling + range frames
 # ---------------------------------------------------------------------------
