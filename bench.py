@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "text_duplicate_ngram_spans",
     "text_clip_duplicate_spans",
     "embedding_pq_codes",
+    "embedding_pq_trained_codes",
     "sim_topk_pq_adc",
     "sim_topk_ivfpq",
     "dedup_minhash_incremental",

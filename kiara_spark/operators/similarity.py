@@ -602,6 +602,50 @@ def _pq_best(v: Column, codebook: list, s: int, exact: bool = True) -> Column:
                                j.alias("j"))))
 
 
+def pq_train_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+) -> list:
+    """Train the PQ codebook: per-subspace Lloyd iterations from the
+    deterministic seed codebook.  ALL m subspaces train in one pass per
+    iteration — assignment is the same map-only literal-codebook argmin
+    as ``pq_encode`` (fixed-point distances, so it is bit-deterministic),
+    and the update is ONE (subspace, code, dim) hash aggregate with
+    decimal-exact means (round(sum,6)/count — the portable mean rule
+    ``kmeans_lloyd`` uses).  Driver transfer per iteration is m·k·dsub
+    doubles, never data-sized; empty codes keep their previous codeword.
+    The result plugs straight into ``pq_encode``/``pq_topk_adc``."""
+    codebook = pq_seed_codebook(df, id_col, vec_col, m, k)
+    dsub = len(codebook[0][0])
+    for _ in range(n_iter):
+        best = [_pq_best(F.col(vec_col), codebook, s) for s in range(m)]
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+            *[b.getField("j").alias(f"_c{s}") for s, b in enumerate(best)])
+        long = assigned.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"), F.col(f"_c{s}").alias("code"),
+                    F.slice(_to_double(F.col("_v")), s * dsub + 1, dsub)
+                    .alias("sub"))
+                for s in range(m)])).alias("_e")
+        ).select("_e.s", "_e.code", F.posexplode("_e.sub").alias("t", "v"))
+        rows = (
+            long.groupBy("s", "code", "t")
+            .agg((F.round(F.sum(F.col("v").cast("decimal(38,10)")), 6)
+                  .cast("double") / F.count(F.lit(1))).alias("c"))
+            .collect())
+        new = [[list(codebook[s][j]) for j in range(k)] for s in range(m)]
+        for r in rows:
+            new[r.s][r.code][r.t] = float(r.c)
+        codebook = new
+    return codebook
+
+
 def pq_topk_adc(
     df: DataFrame,
     queries: DataFrame,

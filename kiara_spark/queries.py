@@ -1379,6 +1379,86 @@ def embedding_pq_codes_q(spark, sf_dir):
 
 
 @query(
+    "embedding_pq_trained_codes",
+    """
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    cw0 AS (
+      SELECT s, j,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM cb, ss),
+    vs AS (
+      SELECT vec_id, s,
+             list_transform(list_slice(embedding, s*16 + 1, s*16 + 16),
+                            x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings, ss),
+    d0 AS (
+      SELECT vec_id, vs.s, j,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CAST(trunc((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * 1e9)
+                         AS BIGINT))) AS BIGINT) AS dist
+      FROM vs JOIN cw0 ON vs.s = cw0.s),
+    best0 AS (
+      SELECT vec_id, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM d0),
+    a0 AS (SELECT vec_id, s, j AS code FROM best0 WHERE rn = 1),
+    tt AS (SELECT unnest(range(0, 16)) AS t),
+    upd AS (
+      SELECT a0.s, a0.code, tt.t,
+             CAST(ROUND(SUM(CAST(vs.v[CAST(tt.t + 1 AS INT)]
+                                 AS DECIMAL(38,10))), 6) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM a0 JOIN vs ON a0.vec_id = vs.vec_id AND a0.s = vs.s
+      CROSS JOIN tt
+      GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT cw0.s, cw0.j, tt.t,
+             cw0.c[CAST(tt.t + 1 AS INT)] AS seed_val
+      FROM cw0 CROSS JOIN tt),
+    cw1 AS (
+      SELECT g.s, g.j, list(COALESCE(u.c, g.seed_val) ORDER BY g.t) AS c
+      FROM grid g LEFT JOIN upd u
+        ON u.s = g.s AND u.code = g.j AND u.t = g.t
+      GROUP BY g.s, g.j),
+    d1 AS (
+      SELECT vec_id, vs.s, j,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> CAST(trunc((v[CAST(i AS INT)] - c[CAST(i AS INT)])
+                               * (v[CAST(i AS INT)] - c[CAST(i AS INT)]) * 1e9)
+                         AS BIGINT))) AS BIGINT) AS dist
+      FROM vs JOIN cw1 ON vs.s = cw1.s),
+    best1 AS (
+      SELECT vec_id, s, j, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist, j) AS rn
+      FROM d1)
+    SELECT vec_id,
+           list(CAST(j AS BIGINT) ORDER BY s) AS codes,
+           CAST(SUM(dist) AS BIGINT) AS recon_err_e9
+    FROM best1 WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def embedding_pq_trained_codes_q(spark, sf_dir):
+    """PQ with a TRAINED codebook (`pq_train_codebook`, one Lloyd round):
+    all m subspaces train in one scan + one (subspace, code, dim)
+    aggregate — assignment is the same map-only fixed-point argmin as
+    encode, means use the portable round(sum-decimal,6)/count rule, so the
+    unrolled SQL twin reproduces the trained codewords AND the final codes
+    bit-for-bit.  Seed -> trained typically cuts reconstruction error
+    substantially (the oracle's recon_err_e9 proves it against the seed
+    query's)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train_codebook(emb, m=4, k=16, n_iter=1)
+    return S.pq_encode(emb, cb)
+
+
+@query(
     "sim_topk_pq_adc",
     """
     WITH cb AS (

@@ -138,6 +138,22 @@ def test_clip_fully_duplicated_doc_empties(spark):
     assert out[1].clipped_text == "" and out[1].n_tokens_removed == 4
 
 
+def test_pq_training_reduces_reconstruction_error(spark):
+    from kiara_spark.operators.similarity import (pq_encode,
+                                                  pq_seed_codebook,
+                                                  pq_train_codebook)
+
+    emb = _emb(spark, n=60)
+    seed = pq_seed_codebook(emb, m=2, k=4)
+    trained = pq_train_codebook(emb, m=2, k=4, n_iter=2)
+    err_seed = sum(r.recon_err_e9 for r in pq_encode(emb, seed).collect())
+    err_trained = sum(r.recon_err_e9
+                      for r in pq_encode(emb, trained).collect())
+    # Lloyd updates move codewords to their cells' centroids: total
+    # quantization error must not increase, and on random data it drops
+    assert err_trained < err_seed
+
+
 def test_pq_topk_bucket_pruning(spark):
     from kiara_spark.operators.similarity import pq_seed_codebook, pq_topk_adc
 
