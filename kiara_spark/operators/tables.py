@@ -1258,4 +1258,8 @@ OPERATIONS = [
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},
               operation_type="export_as"),
+    Operation("export.table.as.json", "export.table.as.file", {"file_format": "json"},
+              operation_type="export_as"),
+    Operation("export.table.as.orc", "export.table.as.file", {"file_format": "orc"},
+              operation_type="export_as"),
 ]

@@ -109,6 +109,16 @@ def test_export_and_reimport(ctx, tables, tmp_path):
     assert back["table"].data.count() == 25
 
 
+def test_export_json_and_orc_round_trip(ctx, tables, tmp_path):
+    for fmt in ("json", "orc"):
+        path = str(tmp_path / f"nation_{fmt}")
+        ctx.run_job(f"export.table.as.{fmt}",
+                    {"table": ctx.get_value("nation"), "path": path})
+        back = ctx.run_job("create.table.from.file",
+                           {"path": path, "file_format": fmt})
+        assert back["table"].data.count() == 25, fmt
+
+
 def test_pivot_unpivot_roundtrip(spark):
     df = spark.createDataFrame(
         [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "x", 4.0)],
