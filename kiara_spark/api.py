@@ -266,6 +266,8 @@ class KiaraAPI:
                     aliases.append(a)
             except Exception:
                 pass
+        from .operators.misc import metadata_for_value
+
         ped = getattr(v, "pedigree", None)
         return {
             "value_id": v.value_id,
@@ -273,6 +275,9 @@ class KiaraAPI:
             "aliases": sorted(aliases),
             "size": reg.value_size(v),
             "destinies": reg.destiny_aliases(v),
+            # the reference attaches the python_class metadata record to
+            # every value (models/values/value_metadata.py PythonClass)
+            "python_class": metadata_for_value(v),
             "pedigree": None if ped is None else {
                 "module_type": ped.module_type,
                 "is_orphan": ped.is_orphan},

@@ -248,7 +248,16 @@ def main(argv: list[str] | None = None) -> int:
         root = _contexts_root()
         names = argv or ["default"]
         for name in names:
-            ctx = KiaraContext(base_path=os.path.join(root, name))
+            target = os.path.join(root, name)
+            if name == "default" and not os.path.isdir(target):
+                # the ambient default context (KIARA_SPARK_HOME / tempdir),
+                # same store `run`/`context info` use — not a fresh dir
+                ctx = KiaraContext()
+            elif os.path.isdir(target):
+                ctx = KiaraContext(base_path=target)
+            else:
+                # must not os.makedirs a context as a side effect of a typo
+                raise SystemExit(f"context explain: no such context {name!r}")
             print(f"context: {name}")
             print(f"  base_path:  {ctx.base_path}")
             print(f"  aliases:    {len(ctx.data_registry.aliases)}")

@@ -166,26 +166,9 @@ def minhash_lsh_pairs(
     join key is a short pipe-joined string of the band's hash minima: buckets
     are tiny, the join never sees the full cross product.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k,
                                 shingle_unit)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws("|", *[
-                            F.col(f"h{b * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ]).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_key")
+    banded = _band_rows(sig, num_hashes, bands)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -476,7 +459,18 @@ def minhash_dedup_incremental(
     (semi-join pushdown), never rescanned wholesale.
 
     Returns one row per batch doc: (id, n_corpus_matches,
-    n_batch_matches, accepted)."""
+    n_batch_matches, accepted).  Batch and corpus ids must be DISJOINT
+    (they address one shared doc store); an overlap would make the
+    shingle lookup ambiguous — re-ingest under the same id is an update,
+    not a dedup question — so it raises."""
+    overlap = (new_df.select(F.col(id_col))
+               .join(corpus_df.select(F.col(id_col)), id_col, "left_semi")
+               .limit(1).count())
+    if overlap:
+        raise ValueError(
+            "minhash_dedup_incremental: batch and corpus share ids — "
+            "re-ingest under an existing id is an update, not a dedup "
+            "screen; assign fresh batch ids")
     sig_new = minhash_signatures_df(new_df, id_col, text_col, num_hashes,
                                     shingle_k, shingle_unit)
     sig_corpus = minhash_signatures_df(corpus_df, id_col, text_col,

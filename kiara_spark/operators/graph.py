@@ -458,8 +458,10 @@ def pagerank_personalized(
     dangling/non-seed paths exactly as in the simple variant — the standard
     unnormalized formulation a SQL twin can reproduce."""
     e = edges.select("src", "dst").distinct()
-    s = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
-    n_seeds = s.count()  # tiny seed set; also guards the 1/|S| teleport
+    s = cut_lineage(seeds.select(F.col(seeds.columns[0]).alias("id")).distinct())
+    # the seed count both guards the 1/|S| teleport AND re-enters the plan
+    # as a literal — one action, no count-aggregate crossJoin per build
+    n_seeds = s.count()
     if n_seeds == 0:
         raise ValueError("pagerank_personalized: empty seed set "
                          "(teleport mass 1/|S| is undefined)")
@@ -470,12 +472,10 @@ def pagerank_personalized(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .unionByName(s).distinct())
-    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
     base = (
         nodes.join(s.withColumn("_is_seed", F.lit(1)), "id", "left")
-        .crossJoin(F.broadcast(ns))
         .select("id", F.when(F.col("_is_seed").isNotNull(),
-                             F.lit(1.0) / F.col("_ns"))
+                             F.lit(1.0) / F.lit(float(n_seeds)))
                 .otherwise(F.lit(0.0)).alias("tele"))
     )
     base = cut_lineage(base)

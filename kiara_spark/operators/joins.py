@@ -601,12 +601,21 @@ def asof_join_cogroup(
                  rtypes[right_id], rtypes[right_value]]
     schema = ", ".join(f"`{n}` {t}" for n, t in zip(out_names, out_types))
 
-    def _nullable_out(series, spark_type):
-        """merge_asof leaves NaN where no match: integral targets need
-        pandas' nullable Int64 (plain int64 can't hold NA); everything else
-        gets None in an object column so Arrow casts cleanly."""
+    def _widen_nullable(frame, col, spark_type):
+        """Convert an integral payload column to pandas' NULLABLE Int64
+        BEFORE merge_asof: otherwise an unmatched left row makes pandas
+        upcast the whole column to float64 (NaN insertion), silently
+        rounding bigints above 2^53 — Int64 carries NA natively and passes
+        through the merge exactly."""
         if spark_type in _INTEGRAL_TYPES:
-            return series.astype("Int64").values
+            frame[col] = frame[col].astype("Int64")
+
+    def _nullable_out(series, spark_type):
+        """Post-merge normalization: integral columns are already nullable
+        Int64 (see _widen_nullable); anything else gets None where the
+        merge left NaN so Arrow casts cleanly."""
+        if spark_type in _INTEGRAL_TYPES:
+            return series.values
         return series.where(series.notna(), None).values
 
     bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets))
@@ -636,6 +645,8 @@ def asof_join_cogroup(
               .rename(columns={"_rts": "_ts"})
               .sort_values(["_ts", "_k"], kind="mergesort"))
         rr["_mts"] = rr["_ts"]  # carry the matched timestamp through
+        _widen_nullable(rr, "_rid", rtypes[right_id])
+        _widen_nullable(rr, "_rval", rtypes[right_value])
         merged = pd.merge_asof(
             lpdf.rename(columns={"_lts": "_ts"}), rr,
             on="_ts", by="_k", direction="backward")

@@ -161,13 +161,13 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
     if data[:2] == b"P6":
         w, h, maxval, off = _pnm_header(data, b"P6")
         need = w * h * 3
-        if maxval != 255 or len(data) < off + need:
+        if w <= 0 or h <= 0 or maxval != 255 or len(data) < off + need:
             raise ValueError("unsupported/truncated P6")
         return w, h, bytes(data[off:off + need])
     if data[:2] == b"P5":
         w, h, maxval, off = _pnm_header(data, b"P5")
         need = w * h
-        if maxval != 255 or len(data) < off + need:
+        if w <= 0 or h <= 0 or maxval != 255 or len(data) < off + need:
             raise ValueError("unsupported/truncated P5")
         gray = data[off:off + need]
         out = bytearray(need * 3)
@@ -200,6 +200,12 @@ def decode_wav(data: bytes) -> dict:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if sample_rate <= 0 or n_channels <= 0:
+        # a zero rate would make downstream duration math divide by zero —
+        # corrupt header, reject so the operator's never-abort catch turns
+        # it into an auditable 'unknown' row
+        raise ValueError(
+            f"bad WAV header: rate={sample_rate} channels={n_channels}")
     n_samples = len(pcm) // 2
     samples = list(struct.unpack(f"<{n_samples}h", pcm[:n_samples * 2]))
     return {"sample_rate": sample_rate, "n_channels": n_channels,

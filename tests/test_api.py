@@ -54,6 +54,8 @@ def test_value_surfaces(api, spark):
     vinfo = api.retrieve_value_info(val)
     assert vinfo["data_type"] == "table"
     assert "api_demo" in vinfo["aliases"]
+    assert vinfo["python_class"]["python_class_name"] == "DataFrame"
+    assert "pyspark" in vinfo["python_class"]["python_module_name"]
     lineage = api.retrieve_augmented_value_lineage(val)
     assert "value_id" in lineage
     s = api.get_value_str(val)

@@ -202,6 +202,27 @@ def test_asof_cogroup_generic_string_key_and_ids(spark):
     assert out["q3"].trade_trade_id is None  # MSFT has no trades
 
 
+def test_asof_cogroup_preserves_big_int64_ids(spark):
+    """Review regression: an unmatched left row must not force the right
+    id column through float64 (which rounds bigints above 2^53)."""
+    from datetime import datetime
+
+    from kiara_spark.operators.joins import asof_join_cogroup
+
+    big = 9_007_199_254_740_993  # 2^53 + 1: not float64-representable
+    clicks = spark.createDataFrame(
+        [(1, 7, datetime.fromisoformat("2024-01-01 10:00:00")),
+         (2, 8, datetime.fromisoformat("2024-01-01 10:00:00"))],  # no match
+        "event_id long, user_id long, ts timestamp")
+    purchases = spark.createDataFrame(
+        [(big, 7, datetime.fromisoformat("2024-01-01 09:00:00"), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    out = {r.event_id: r for r in asof_join_cogroup(
+        clicks, purchases).collect()}
+    assert out[1].purchase_event_id == big  # exact, not 2^53
+    assert out[2].purchase_event_id is None
+
+
 def test_asof_cogroup_rejects_missing_and_nontimestamp_cols(spark):
     import pytest as _pytest
 

@@ -67,23 +67,23 @@ EXCLUDED = {
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def _rot_text(col, i: int):
+def _rot_text(name: str, i: int):
     """Alphabet rotation per copy: every word changes, so copies are not
     near-duplicates of each other (shingle/minhash sees fresh content)."""
     if i == 0:
-        return col
+        return F.col(name)
     rot = _ALPHA[i:] + _ALPHA[:i]
-    return F.translate(col, _ALPHA, rot)
+    return F.translate(F.col(name), _ALPHA, rot)
 
 
-def _rot_vec(col, i: int):
+def _rot_vec(name: str, i: int):
     """Dimension rotation per copy: preserves norms and within-copy
     geometry exactly while decorrelating cross-copy cosine."""
     if i == 0:
-        return col
+        return F.col(name)
     return F.expr(
-        f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
-        f"slice(embedding, 1, {i}))")
+        f"concat(slice({name}, {i + 1}, size({name}) - {i}), "
+        f"slice({name}, 1, {i}))")
 
 
 def build_scaled(spark, dst: str) -> None:
@@ -119,7 +119,7 @@ def build_scaled(spark, dst: str) -> None:
                 c = c.withColumn(key, F.col(key) + F.lit(i * OFF))
             if name in perturb:
                 col, fn = perturb[name]
-                c = c.withColumn(col, fn(F.col(col), i))
+                c = c.withColumn(col, fn(col, i))
             copies.append(c)
         allc = copies[0]
         for c in copies[1:]:
