@@ -264,6 +264,12 @@ BENCH_NOTES = {
         "size BY DESIGN (the corpus-scale candidate path is minhash). "
         "r3: shingles hashed to 48-bit md5-prefix longs before the per-"
         "pair set ops (34.6s -> ~13s at sf0.1), oracle updated in step.",
+    "dedup_minhash_clusters":
+        "timing is dominated by iterative connected-components driver "
+        "rounds with eager localCheckpoints; run-to-run variance is ~2x "
+        "(6.8-16s observed at sf0.1) from JVM/GC state, not plan changes "
+        "- the isolated warm time is ~3.8s and the pseudo-sf1 probe shows "
+        "2.9x time at 10x data.",
 }
 
 # Structured Streaming demos not already in the headline list: their wall
