@@ -149,10 +149,38 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)), 6).alias("clustering"))
 
 
+def _cc_driver_union_find(spark, edge_rows) -> DataFrame:
+    """Union-find over a SMALL collected edge list — O(E α(E)) driver work.
+    Labels each node with the MIN id of its component, exactly matching the
+    distributed hash-min fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        for n in (src, dst):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by MIN id so every root IS its component's min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 60,
     checkpoint: bool = True,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     # max_iterations is a runaway backstop, not a tuning knob: the loop
     # breaks on the convergence check, so a high cap costs nothing on benign
@@ -163,10 +191,26 @@ def connected_components(
     Hash-min label propagation: each round every node takes the min of its
     own and its neighbors' labels; stop when no label changes.  One
     join + one aggregate per round, lineage cut by localCheckpoint.
-    """
+
+    Graphs at or below ``driver_threshold`` distinct undirected edges run
+    union-find on the driver instead (same gated-collect pattern as the
+    knn query side): each distributed round costs ~1s of fixed job
+    overhead regardless of size, and the common dedup-cluster input — the
+    candidate-pair graph, tiny relative to the corpus — paid 3-16s of
+    pure choreography for 3 driver-side milliseconds of work.  The edge
+    count is known from the convergence machinery's first action anyway,
+    the collect is bounded by the threshold, and both paths produce the
+    IDENTICAL min-id labeling (union by min root).  Pass
+    ``driver_threshold=0`` to force the distributed loop."""
     und = undirected_edges(edges)
     if checkpoint:
         und = cut_lineage(und)
+    if driver_threshold:
+        # und holds both directions, so cap the collect at 2x threshold
+        sample = und.limit(2 * driver_threshold + 1).collect()
+        if len(sample) <= 2 * driver_threshold:
+            return _cc_driver_union_find(
+                edges.sparkSession, [(r.src, r.dst) for r in sample])
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id"))
     if checkpoint:
