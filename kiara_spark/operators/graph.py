@@ -149,10 +149,11 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)), 6).alias("clustering"))
 
 
-def _cc_driver_union_find(spark, edge_rows) -> DataFrame:
+def _cc_driver_union_find(edges: DataFrame, edge_rows) -> DataFrame:
     """Union-find over a SMALL collected edge list — O(E α(E)) driver work.
     Labels each node with the MIN id of its component, exactly matching the
-    distributed hash-min fixpoint."""
+    distributed hash-min fixpoint; the output schema keeps the edge id
+    type (string/int node ids both work)."""
     parent: dict = {}
 
     def find(x):
@@ -173,7 +174,9 @@ def _cc_driver_union_find(spark, edge_rows) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "id long, component long")
+    t = edges.schema["src"].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        rows, f"id {t}, component {t}")
 
 
 def connected_components(
@@ -210,7 +213,7 @@ def connected_components(
         sample = und.limit(2 * driver_threshold + 1).collect()
         if len(sample) <= 2 * driver_threshold:
             return _cc_driver_union_find(
-                edges.sparkSession, [(r.src, r.dst) for r in sample])
+                edges, [(r.src, r.dst) for r in sample])
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id"))
     if checkpoint:

@@ -101,6 +101,25 @@ def test_map_pandas_module(ctx, spark):
     assert sorted(r["x2"] for r in out["table"].data.collect()) == [2.0, 4.0]
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The gated driver union-find must produce the identical min-id
+    labeling the distributed hash-min loop does (threshold=0 forces the
+    distributed path); string node ids keep their type on the fast path."""
+    from kiara_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)] + [(1, 3), (30, 31)],
+        "src bigint, dst bigint")
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(map(tuple, connected_components(
+        edges, driver_threshold=0).collect()))
+    assert fast == dist
+    sedges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    got = {r.id: r.component for r in connected_components(sedges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_connected_components_long_chain(spark):
     """A 61-node path graph (diameter 60): hash-min needs ~diameter hops for
     the min label to reach the far end — verifies the double-step rounds and
