@@ -390,6 +390,7 @@ def shortest_paths_weighted(
     weight_col: str = "weight",
     rounds: int = 4,
     checkpoint: bool = True,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, dist): minimum-weight undirected distance from any source node
     over paths of at most ``rounds`` edges — synchronous Bellman-Ford
@@ -422,6 +423,33 @@ def shortest_paths_weighted(
     )
     if checkpoint:
         und = cut_lineage(und)
+    if driver_threshold:
+        # same gated driver fast path as connected_components: each
+        # distributed round is a join + aggregate with ~1s fixed overhead;
+        # small graphs (the common candidate-graph input) run the identical
+        # synchronous relaxation over the collected edge list.  Weights
+        # collect as Python Decimal — exact addition and min, matching the
+        # DECIMAL(38,6) arithmetic of the distributed loop bit-for-bit.
+        sample = und.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            from decimal import Decimal
+
+            srcs = [r[0] for r in
+                    sources.select(sources.columns[0]).distinct().collect()]
+            ddist = {s: Decimal(0) for s in srcs}
+            adj = [(r.src, r.dst, r._w) for r in sample]
+            for _ in range(rounds):
+                new = dict(ddist)
+                for u, v, w in adj:
+                    if u in ddist:
+                        cand = ddist[u] + w
+                        if v not in new or cand < new[v]:
+                            new[v] = cand
+                ddist = new
+            t = edges.schema["src"].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                [(k, float(v)) for k, v in ddist.items()],
+                f"id {t}, dist double")
     dist = (
         sources.select(F.col(sources.columns[0]).alias("id")).distinct()
         .withColumn("dist", F.lit(0).cast("decimal(38,6)"))

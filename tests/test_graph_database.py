@@ -303,6 +303,23 @@ def test_shortest_paths_weighted_multi_source_min(spark):
     assert out[2] == 1.0  # nearest source wins
 
 
+def test_sssp_driver_and_distributed_paths_agree(spark):
+    from kiara_spark.operators.graph import shortest_paths_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.5), (2, 3, 2.25), (1, 3, 9.0), (3, 4, 0.5), (10, 11, 1.0)],
+        "src long, dst long, weight double")
+    sources = spark.createDataFrame([(1,)], "id long")
+    fast = sorted(map(tuple, shortest_paths_weighted(
+        edges, sources).collect()))
+    dist = sorted(map(tuple, shortest_paths_weighted(
+        edges, sources, driver_threshold=0).collect()))
+    assert fast == dist
+    got = dict(fast)
+    assert got[3] == 3.75 and got[4] == 4.25  # via 1-2-3, not the 9.0 edge
+    assert 10 not in got  # unreachable component absent, both paths
+
+
 def test_sssp_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.shortest_paths_weighted") is not None
