@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "sim_topk_pq_adc",
     "sim_topk_ivfpq",
     "dedup_minhash_incremental",
+    # round 4: de-skewed jaccard (LSH-band blocking)
+    "dedup_ngram_jaccard_lsh_blocked",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -212,10 +212,20 @@ def ngram_jaccard_pairs(
     k: int = 5,
     block_col: str | None = None,
     hash_shingles: bool = True,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold.  ``block_col`` restricts
     the self-join to blocking buckets (at scale you ALWAYS block — use
-    minhash_lsh_pairs for candidates instead of a raw cross join).
+    minhash_lsh_pairs for candidates instead of a raw cross join, or
+    :func:`ngram_jaccard_pairs_lsh` which composes the two).
+
+    ``max_block_size`` is the skew guard for natural-key blocking: a
+    low-cardinality block column (language, domain, ...) makes the
+    within-block self-join quadratic in the hottest block — O((N/20)^2)
+    at 100 TB for a ~20-language corpus.  When set, ONE cheap aggregate
+    over the block column counts bucket sizes up front and raises with
+    the offending buckets if any exceeds the cap, pointing the caller at
+    LSH blocking — fail-fast beats an accidental quadratic shuffle.
 
     Shingle arrays are computed ONCE per doc before the join (O(N) extraction
     + O(pairs) set ops), not per pair — per-pair re-extraction is quadratic in
@@ -230,6 +240,18 @@ def ngram_jaccard_pairs(
     within one document pair (~1e-6 odds corpus-wide here); the md5-prefix
     rule is portable, so a SQL twin reproduces it bit-for-bit
     (`CAST('0x' || substring(md5(s),1,12) AS BIGINT)`)."""
+    if max_block_size is not None and block_col is not None:
+        hot = (df.groupBy(F.col(block_col).alias("_blk")).count()
+               .filter(F.col("count") > max_block_size)
+               .orderBy(F.desc("count")).limit(5).collect())
+        if hot:
+            worst = ", ".join(f"{r['_blk']!r}={r['count']}" for r in hot)
+            raise ValueError(
+                f"ngram_jaccard_pairs: blocking buckets exceed "
+                f"max_block_size={max_block_size} ({worst}); a hot block "
+                f"makes the within-block self-join quadratic — use "
+                f"ngram_jaccard_pairs_lsh (minhash band candidates) or a "
+                f"finer block column")
     sh_col = shingles_col(F.col(text_col), k)
     if hash_shingles:
         sh_col = F.array_distinct(F.transform(
@@ -255,6 +277,57 @@ def ngram_jaccard_pairs(
         (F.col("id_a") < F.col("id_b"))
         & (F.least("n_a", "n_b").cast("double")
            >= F.lit(threshold) * F.greatest("n_a", "n_b")))
+    return (
+        joined.withColumn("jaccard", _jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` semantics with MINHASH-BAND blocking —
+    the de-skewed scale path for n-gram Jaccard.  Natural-key blocking
+    (language, domain) concentrates a 100 TB corpus into a handful of hot
+    buckets whose within-block self-join is quadratic; banded LSH keys are
+    uniformly distributed by construction, so candidate buckets stay tiny
+    at any corpus size and the verify stage is O(candidate pairs), not
+    O(hottest block squared).
+
+    Plan shape: signature scan (map-only after one shuffle on id) ->
+    explode to bands -> within-bucket join on (band_id, band_key) ->
+    distinct candidate ids -> semi-join restricts shingle extraction to
+    candidate docs -> exact (hashed-shingle) Jaccard, thresholded.  Same
+    output contract as ``ngram_jaccard_pairs``: (id_a, id_b, jaccard),
+    id_a < id_b — minus pairs no band catches (recall is the standard LSH
+    S-curve at ``bands`` bands of ``num_hashes/bands`` rows; raise bands
+    for higher recall at lower thresholds)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k,
+                             "char")
+    cand = cut_lineage(cand)
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh_col = shingles_col(F.col(text_col), k)
+    if hash_shingles:
+        sh_col = F.array_distinct(F.transform(
+            sh_col,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")))
+    cand_ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+                .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col), sh_col.alias("_sh")))
+    sh = cut_lineage(sh)
+    joined = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "sh_b"}), "id_b")
+    )
     return (
         joined.withColumn("jaccard", _jaccard_arrays(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -771,6 +844,11 @@ class DedupNgramJaccard(KiaraModule):
             self.config.get("threshold", 0.5),
             self.config.get("shingle_k", 5),
             self.config.get("block_column"),
+            # exactness escape hatch: hashed 48-bit shingles are collision-
+            # sensitive (~1e-6); callers that need string-exact Jaccard can
+            # disable hashing per-operation
+            self.config.get("hash_shingles", True),
+            self.config.get("max_block_size"),
         )}
 
 

@@ -418,6 +418,11 @@ def shortest_paths_weighted(
                        w_dec.alias("_w"))
     und = (
         fwd.unionByName(rev)
+        # NULL weights cannot relax anything: drop them up front so the
+        # driver fast path and the distributed loop agree (an all-NULL
+        # (src,dst) group would otherwise surface as a dist=NULL row in
+        # the distributed output and a TypeError in the driver loop)
+        .filter(F.col("_w").isNotNull())
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst").agg(F.min("_w").alias("_w"))
     )
@@ -437,7 +442,10 @@ def shortest_paths_weighted(
             srcs = [r[0] for r in
                     sources.select(sources.columns[0]).distinct().collect()]
             ddist = {s: Decimal(0) for s in srcs}
-            adj = [(r.src, r.dst, r._w) for r in sample]
+            # NULL _w (all weights in a (src,dst) group NULL) must be
+            # skipped — the distributed path's F.min silently drops the
+            # NULL candidate distance, so the driver loop must too.
+            adj = [(r.src, r.dst, r._w) for r in sample if r._w is not None]
             for _ in range(rounds):
                 new = dict(ddist)
                 for u, v, w in adj:

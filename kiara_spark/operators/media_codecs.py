@@ -188,6 +188,12 @@ def decode_wav(data: bytes) -> dict:
         cid = data[pos:pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # the slice clamps to available bytes — a cut-off file would
+            # otherwise yield fewer samples and plausible-but-wrong
+            # aggregates; reject like the truncated-BMP/P6 paths so corrupt
+            # audio lands as format='unknown' in the auditable-row output
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)}/{size}")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt chunk")

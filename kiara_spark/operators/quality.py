@@ -498,16 +498,26 @@ def kth_smallest_scalable(
         # rows to the driver.
         if lo == hi:
             return lo
-        vals = (cur.groupBy("_v").count().orderBy("_v")
-                .limit(final_limit).collect())
+        # Walk the ordered distinct values in PAGES of final_limit (keyed
+        # by last value seen, not OFFSET — a value filter pushes down to
+        # the scan, an offset re-sorts the whole slice every page), so a
+        # non-converged slice with many distinct values still returns the
+        # exact answer with bounded driver memory per page.
+        counts = cur.groupBy("_v").count()
         running = 0
-        for r in vals:
-            running += r["count"]
-            if running >= want:
-                return float(r["_v"])
-        raise RuntimeError(
-            f"kth_smallest_scalable: slice still has >{final_limit} distinct "
-            f"values after {max_rounds} rounds; raise max_rounds/final_limit")
+        page_floor = None
+        while True:
+            page_df = counts if page_floor is None else counts.filter(
+                F.col("_v") > F.lit(page_floor))
+            vals = page_df.orderBy("_v").limit(final_limit).collect()
+            if not vals:
+                raise AssertionError("kth_smallest_scalable: rank overran "
+                                     "distinct-value walk")
+            for r in vals:
+                running += r["count"]
+                if running >= want:
+                    return float(r["_v"])
+            page_floor = vals[-1]["_v"]
     rows = cur.orderBy("_v").limit(want).collect()
     return float(rows[want - 1][0])
 

@@ -968,6 +968,53 @@ def dedup_jaccard_q(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K, block_col="lang")
 
 
+# char-shingle variant of the signature pipeline for the LSH-blocked
+# jaccard twin: same affine family, base hash over char 5-grams
+_SH_T_CHAR_HASHED = (
+    f"SELECT doc_id, {_SHINGLES} AS shs FROM documents"
+)
+
+@query(
+    "dedup_ngram_jaccard_lsh_blocked",
+    f"""
+    WITH sh_t AS ({_SH_T_CHAR_HASHED}),
+    h_t AS (SELECT doc_id,
+                   list_transform(shs, s -> {_H0.format(s='s')}) AS h0s,
+                   list_distinct(list_transform(shs,
+                     s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)))
+                     AS sh
+            FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand JOIN h_t sa ON cand.id_a = sa.doc_id
+              JOIN h_t sb ON cand.id_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5
+    """,
+)
+def dedup_jaccard_lsh_q(spark, sf_dir):
+    """De-skewed n-gram Jaccard (`ngram_jaccard_pairs_lsh`): minhash BAND
+    keys replace the natural blocking column, so candidate buckets stay
+    uniform at any corpus size — the 100-TB-safe form of
+    `dedup_ngram_jaccard_blocked`, whose `lang` blocks grow O(corpus/20)
+    and go quadratic.  Verify stage is identical hashed-shingle Jaccard,
+    restricted to LSH candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs_lsh(docs, threshold=0.5, k=SHINGLE_K,
+                                     num_hashes=NUM_HASHES, bands=BANDS)
+
+
 @query(
     "text_duplicate_ngram_spans",
     """

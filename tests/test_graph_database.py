@@ -389,3 +389,22 @@ def test_personalized_pagerank_isolated_seed_and_empty_seeds(spark):
 def test_ppr_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.pagerank_personalized") is not None
+
+
+def test_sssp_null_weight_edges_skipped_both_paths(spark):
+    """r3 ADVICE: an all-NULL-weight (src,dst) group must be skipped by the
+    driver fast path exactly like the distributed path (F.min drops the
+    NULL candidate) — not crash with TypeError."""
+    from kiara_spark.operators.graph import shortest_paths_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, None), (1, 4, 2.5)],
+        "src long, dst long, weight double")
+    sources = spark.createDataFrame([(1,)], "id long")
+    fast = sorted(map(tuple, shortest_paths_weighted(
+        edges, sources).collect()))
+    dist = sorted(map(tuple, shortest_paths_weighted(
+        edges, sources, driver_threshold=0).collect()))
+    assert fast == dist
+    got = dict(fast)
+    assert got[2] == 1.0 and got[4] == 2.5 and 3 not in got

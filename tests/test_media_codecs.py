@@ -119,3 +119,16 @@ def test_decode_audio_operator(spark):
 def test_media_real_ops_registered(ctx):
     assert ctx.operation_registry.resolve("media.decode_image_real") is not None
     assert ctx.operation_registry.resolve("media.decode_audio_real") is not None
+
+
+def test_decode_wav_truncated_data_chunk_raises():
+    """r3 ADVICE: a data chunk whose size field overruns the file must
+    raise (→ auditable 'unknown' row), not silently yield fewer samples."""
+    import pytest as _pytest
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = struct.pack("<4h", 1, -2, 3, -4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 16) + pcm)  # claims 16, has 8
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

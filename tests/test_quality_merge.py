@@ -438,3 +438,19 @@ def test_profile_columns_one_scan(spark):
 
 def test_profile_op_registered(ctx):
     assert ctx.operation_registry.resolve("table.profile") is not None
+
+
+def test_kth_smallest_nonconverged_many_distinct_pages(spark):
+    """r3 ADVICE: a non-converged slice with MORE distinct values than
+    final_limit must page the ordered per-value walk (keyed by last value
+    seen), not raise.  max_rounds=0 forces the fallback on the full column:
+    300 distinct values, final_limit=40 → 8 pages, exact answer."""
+    from kiara_spark.operators.quality import kth_smallest_scalable
+
+    vals = [float(i) for i in range(300)] * 2  # 600 rows, 300 distinct
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for k in (1, 95, 301, 600):
+        got = kth_smallest_scalable(df, "x", k, n_bins=8, final_limit=40,
+                                    max_rounds=0)
+        assert got == s[k - 1], (k, got, s[k - 1])

@@ -429,3 +429,57 @@ def test_media_embed_stub_matches_jvm_expression(spark):
 
 def test_media_embed_op_registered(ctx):
     assert ctx.operation_registry.resolve("media.embed") is not None
+
+
+def test_ngram_jaccard_max_block_size_guard(spark):
+    """r3 VERDICT: natural-key blocking is a skew bomb — the opt-in
+    max_block_size cap must fail fast naming the hot bucket, and pass
+    untouched when every block fits."""
+    import pytest as _pytest
+
+    rows = [(i, f"document number {i} with shared prefix text", "en")
+            for i in range(8)] + [(100, "lone doc in small block", "fr")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    with _pytest.raises(ValueError, match="max_block_size=5.*'en'"):
+        D.ngram_jaccard_pairs(df, block_col="lang", max_block_size=5)
+    # cap above the hottest block: identical results to the unguarded call
+    guarded = sorted(map(tuple, D.ngram_jaccard_pairs(
+        df, block_col="lang", max_block_size=8).collect()))
+    plain = sorted(map(tuple, D.ngram_jaccard_pairs(
+        df, block_col="lang").collect()))
+    assert guarded == plain
+
+
+def test_ngram_jaccard_lsh_matches_unblocked_on_caught_pairs(spark):
+    """ngram_jaccard_pairs_lsh = same verify semantics, LSH-band blocking:
+    every emitted pair must appear in the unblocked exact computation with
+    the identical jaccard value, and true near-dups must be recalled."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " ok"),
+            (3, "completely different content over here entirely my friend"),
+            (4, "yet another unrelated piece of writing altogether")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs_lsh(
+               df, threshold=0.5, k=5, num_hashes=16, bands=8).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df, threshold=0.5, k=5).collect()}
+    assert (1, 2) in lsh
+    for pair, j in lsh.items():
+        assert exact[pair] == j  # LSH output is a subset with equal values
+
+
+def test_ngram_jaccard_hash_shingles_configurable(ctx):
+    """r3 ADVICE: hash_shingles must be a module config so callers needing
+    string-exact Jaccard can disable the 48-bit hashed fast path."""
+    spark = ctx.spark
+    df = spark.createDataFrame(
+        [(1, "abcdefgh abcdefgh"), (2, "abcdefgh abcdefghx")],
+        "doc_id int, text string")
+    for flag in (True, False):
+        op = ctx.operation_registry.resolve("table.dedup.ngram_jaccard")
+        res = ctx.run_job(op.operation_id, {"table": df},
+                          operation_config={"threshold": 0.3,
+                                            "hash_shingles": flag})
+        rows = res["pairs"].data.collect()
+        assert len(rows) == 1 and rows[0]["id_a"] == 1

@@ -54,6 +54,10 @@ PROBE_QUERIES = [
     "text_duplicate_ngram_spans",
     "embedding_pq_codes",
     "sim_topk_ivfpq",
+    # round 4: the de-skewed jaccard must stay sub-quadratic at 10x on the
+    # replicated (skewed-language) corpus — the whole point of LSH-band
+    # blocking over the natural `lang` key
+    "dedup_ngram_jaccard_lsh_blocked",
 ]
 
 EXCLUDED = {
