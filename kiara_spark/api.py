@@ -135,11 +135,14 @@ class KiaraAPI:
         return sorted(self.context.module_registry._modules)
 
     def retrieve_module_type_info(self, module_type: str) -> dict:
+        from .doc import extract_doc
+
         cls = self.context.module_registry._modules[module_type]
         mod = cls()
         return {
             "module_type": module_type,
             "doc": (cls.__doc__ or "").strip(),
+            "description": extract_doc(cls)["description"],
             "inputs": {k: dict(v.__dict__) if hasattr(v, "__dict__") else v
                        for k, v in mod.inputs_schema.items()},
             "outputs": list(mod.outputs_schema),
@@ -171,12 +174,21 @@ class KiaraAPI:
         return self.context.operation_registry.resolve(operation)
 
     def retrieve_operation_info(self, operation: str) -> dict:
+        from .doc import extract_doc
+
         op = self.get_operation(operation)
+        doc = getattr(op, "doc", "")
+        if not doc and op.module_type in self.context.module_registry:
+            # fall back to the backing module's docstring description
+            # (reference: operation doc defaults to the module doc)
+            doc = extract_doc(
+                self.context.module_registry._modules[op.module_type]
+            )["description"]
         return {"operation_id": op.operation_id,
                 "module_type": op.module_type,
                 "module_config": dict(op.module_config),
                 "operation_type": getattr(op, "operation_type", None),
-                "doc": getattr(op, "doc", "")}
+                "doc": doc}
 
     def retrieve_operations_info(self, filter: str | None = None) -> dict:
         return {i: self.retrieve_operation_info(i)
@@ -197,10 +209,23 @@ class KiaraAPI:
                 sketches, events, media_codecs]
 
     def list_available_plugin_names(self) -> list[str]:
-        return sorted(m.__name__.rsplit(".", 1)[-1]
-                      for m in self._operator_modules())
+        builtin = {m.__name__.rsplit(".", 1)[-1]
+                   for m in self._operator_modules()}
+        discovered = set(getattr(self.context, "plugin_infos", {}))
+        return sorted(builtin | discovered)
 
     def retrieve_plugin_info(self, plugin_name: str) -> dict:
+        # entry-point-discovered distributions first (the real plugin seam)
+        info = getattr(self.context, "plugin_infos", {}).get(plugin_name)
+        if info is not None:
+            return {
+                "plugin_name": plugin_name,
+                "doc": f"entry-point plugin distribution {plugin_name!r}",
+                "module_types": sorted(info["modules"]),
+                "operations": sorted(info["operations"]),
+                "data_types": sorted(info["data_types"]),
+                "errors": list(info["errors"]),
+            }
         for m in self._operator_modules():
             if m.__name__.rsplit(".", 1)[-1] == plugin_name:
                 return {

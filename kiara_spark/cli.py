@@ -6,6 +6,8 @@ Usage:
     python -m kiara_spark.cli run <operation> [key=value ...] [--save alias] [--explain]
     python -m kiara_spark.cli operation list | operation explain <op_id>
     python -m kiara_spark.cli module list | type list
+    python -m kiara_spark.cli plugin list | plugin explain <name>
+    python -m kiara_spark.cli info
     python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
     python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
@@ -141,9 +143,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"module:    {op.module_type}")
         if op.module_config:
             print(f"config:    {op.module_config}")
-        doc = (module.__doc__ or "").strip().splitlines()
-        if doc:
-            print(f"doc:       {doc[0]}")
+        from .doc import extract_doc
+
+        doc = extract_doc(module.__class__)
+        if doc["description"]:
+            print(f"doc:       {doc['description']}")
+        if doc["doc"]:
+            print()
+            for line in doc["doc"].splitlines():
+                print(f"    {line}")
+            print()
         print("inputs:")
         for name, schema in module.inputs_schema.items():
             opt = " (optional)" if schema.optional or schema.default is not None else ""
@@ -360,6 +369,67 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in sorted(aliases.items()):
                     print(f"  {k} -> {v}")
         print(f"snapshots: {len(wf.snapshots)}")
+        return 0
+
+    if cmd == "plugin" and argv[:1] == ["list"]:
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        infos = api.retrieve_plugin_infos()
+        for name in sorted(infos):
+            i = infos[name]
+            n_ops = len(i.get("operations", []))
+            n_mods = len(i.get("module_types", []))
+            err = f"  [{len(i['errors'])} error(s)]" if i.get("errors") else ""
+            print(f"{name:30s} {n_mods:3d} module(s) {n_ops:3d} op(s){err}")
+        return 0
+
+    if cmd == "plugin" and argv[:1] == ["explain"]:
+        if len(argv) < 2:
+            raise SystemExit("plugin explain: missing plugin name")
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        i = api.retrieve_plugin_info(argv[1])
+        print(f"plugin: {i['plugin_name']}")
+        print(f"doc:    {i['doc']}")
+        for key in ("module_types", "operations", "data_types"):
+            if i.get(key):
+                print(f"{key}:")
+                for n in i[key]:
+                    print(f"  {n}")
+        for e in i.get("errors", []):
+            print(f"ERROR: {e}")
+        return 0
+
+    if cmd == "info":
+        # aggregate info surface (reference `kiara info`,
+        # src/kiara/interfaces/cli/info/): one combined listing of
+        # context + types + modules + operations + plugins
+        from .api import KiaraAPI
+
+        ctx = KiaraContext()
+        api = KiaraAPI(context=ctx)
+        spark = ctx.spark
+        print("-- context")
+        print(f"spark:      {spark.version} ({spark.sparkContext.master})")
+        print(f"base_path:  {ctx.base_path}")
+        print(f"warehouse:  {ctx.data_registry.warehouse_path}")
+        print(f"aliases:    {len(ctx.data_registry.aliases)}")
+        print(f"-- data types ({len(ctx.type_registry.type_names)})")
+        print("  " + ", ".join(ctx.type_registry.type_names))
+        mods = list(ctx.modules)
+        print(f"-- modules ({len(mods)})")
+        print("  " + ", ".join(mods))
+        ops = list(ctx.operations)
+        print(f"-- operations ({len(ops)})")
+        for op_id in ops:
+            op = ctx.operation_registry.resolve(op_id)
+            print(f"  {op_id:45s} -> {op.module_type}")
+        infos = api.retrieve_plugin_infos()
+        print(f"-- plugins ({len(infos)})")
+        for name in sorted(infos):
+            print(f"  {name}")
         return 0
 
     if cmd == "context" and argv[:1] == ["info"]:

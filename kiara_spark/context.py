@@ -50,6 +50,13 @@ class KiaraContext:
 
         operators.register_all(self)
 
+        # third-party extension seam: load kiara_spark.{modules,data_types,
+        # operations,plugin} entry points, mirroring the reference's
+        # pyproject.toml:129-193 + src/kiara/utils/class_loading.py
+        from .plugins import discover_entry_point_plugins
+
+        self.plugin_infos = discover_entry_point_plugins(self)
+
     # -- input binding (reference analyze/bind phase, base_api queue_manifest) --
     def _bind_inputs(self, module: KiaraModule, inputs: Mapping[str, Any]) -> ValueMap:
         from .modules import InvalidInputsError

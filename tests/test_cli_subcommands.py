@@ -91,3 +91,37 @@ def test_archive_cli_round_trip(tmp_path, monkeypatch, capsys, spark):
     assert main(["archive", "import", arch]) == 0
     assert "regions" in capsys.readouterr().out
     assert os.path.isdir(arch)
+
+
+def test_info_aggregate_subcommand(capsys, spark):
+    """r3 VERDICT item 8: one combined context/types/modules/operations/
+    plugins listing (reference `kiara info`)."""
+    from kiara_spark.cli import main
+
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    for section in ("-- context", "-- data types", "-- modules",
+                    "-- operations", "-- plugins"):
+        assert section in out
+    assert "table.query.sql" in out and "spark:" in out
+
+
+def test_plugin_list_and_explain_subcommands(capsys, spark):
+    from kiara_spark.cli import main
+
+    assert main(["plugin", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup" in out
+    assert main(["plugin", "explain", "dedup"]) == 0
+    out = capsys.readouterr().out
+    assert "table.dedup.minhash" in out
+
+
+def test_operation_explain_extracts_doc_body(capsys, spark):
+    """Doc extraction: operation explain shows the one-line description AND
+    the dedented docstring body, not just the first line."""
+    from kiara_spark.cli import main
+
+    assert main(["operation", "explain", "table.dedup.minhash_incremental"]) == 0
+    out = capsys.readouterr().out
+    assert "doc:" in out and "inputs:" in out

@@ -1,0 +1,152 @@
+"""Entry-point plugin discovery (r3 VERDICT item 1).
+
+Builds a REAL in-tree distribution — a module file plus a ``.dist-info``
+directory with ``entry_points.txt`` on ``sys.path`` — so discovery runs
+through ``importlib.metadata`` exactly like an installed third-party
+package, with no monkeypatching of the loader."""
+
+import sys
+import textwrap
+
+import pytest
+
+PLUGIN_SRC = textwrap.dedent('''
+    """Demo plugin distribution for entry-point discovery tests."""
+    from kiara_spark.datatypes import DataType, DataTypeError
+    from kiara_spark.modules import KiaraModule
+    from kiara_spark.operations import Operation
+
+
+    class DoubleModule(KiaraModule):
+        """Doubles an integer (demo plugin module)."""
+
+        # NO _module_type_name: the entry point name must become the id
+
+        def create_inputs_schema(self):
+            return {"x": {"type": "integer"}}
+
+        def create_outputs_schema(self):
+            return {"y": {"type": "integer"}}
+
+        def process(self, inputs, context):
+            return {"y": inputs["x"].data * 2}
+
+
+    class EvenNumberType(DataType):
+        """Demo data type: integers that must be even."""
+
+        def validate(self, data):
+            if not isinstance(data, int) or data % 2:
+                raise DataTypeError("expected an even integer")
+            return data
+
+
+    OPERATIONS = [
+        Operation("demo.limit_three", "table.limit", {"n": 3},
+                  doc="demo: first three rows"),
+    ]
+
+
+    def register_plugin(context):
+        context.data_registry.register_alias  # touch: prove full access
+''')
+
+ENTRY_POINTS_TXT = textwrap.dedent('''
+    [kiara_spark.modules]
+    demo.double = kiara_spark_demo_plugin:DoubleModule
+
+    [kiara_spark.data_types]
+    even_integer = kiara_spark_demo_plugin:EvenNumberType
+
+    [kiara_spark.operations]
+    ops = kiara_spark_demo_plugin:OPERATIONS
+
+    [kiara_spark.plugin]
+    register = kiara_spark_demo_plugin:register_plugin
+''')
+
+BROKEN_ENTRY_POINTS_TXT = textwrap.dedent('''
+    [kiara_spark.modules]
+    broken.module = kiara_spark_demo_plugin:DoesNotExist
+''')
+
+
+@pytest.fixture()
+def plugin_dist(tmp_path):
+    (tmp_path / "kiara_spark_demo_plugin.py").write_text(PLUGIN_SRC)
+    d = tmp_path / "kiara_spark_demo_plugin-0.1.0.dist-info"
+    d.mkdir()
+    (d / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: kiara-spark-demo-plugin\n"
+        "Version: 0.1.0\n")
+    (d / "entry_points.txt").write_text(ENTRY_POINTS_TXT)
+    b = tmp_path / "kiara_spark_broken_plugin-0.1.0.dist-info"
+    b.mkdir()
+    (b / "METADATA").write_text(
+        "Metadata-Version: 2.1\nName: kiara-spark-broken-plugin\n"
+        "Version: 0.1.0\n")
+    (b / "entry_points.txt").write_text(BROKEN_ENTRY_POINTS_TXT)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        yield str(tmp_path)
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("kiara_spark_demo_plugin", None)
+
+
+@pytest.fixture()
+def plugin_ctx(spark, plugin_dist):
+    from kiara_spark.context import KiaraContext
+
+    return KiaraContext(spark=spark)
+
+
+def test_plugin_module_registers_resolves_and_runs(plugin_ctx):
+    ctx = plugin_ctx
+    # module registered under the ENTRY POINT name, resolvable as operation
+    assert "demo.double" in ctx.module_registry.module_type_names
+    op = ctx.operation_registry.resolve("demo.double")
+    assert op.module_type == "demo.double"
+    out = ctx.run_job("demo.double", {"x": 21})
+    assert out["y"].data == 42
+
+
+def test_plugin_job_cache_round_trip(plugin_ctx):
+    ctx = plugin_ctx
+    m1 = ctx.create_module("demo.double")
+    bound = ctx._bind_inputs(m1, {"x": 7})
+    r1 = ctx.job_registry.execute_job(m1, bound)
+    r2 = ctx.job_registry.execute_job(ctx.create_module("demo.double"), bound)
+    assert not r1.cache_hit and r2.cache_hit
+    assert r2.outputs["y"].value_id == r1.outputs["y"].value_id
+
+
+def test_plugin_data_type_and_operations_register(plugin_ctx):
+    ctx = plugin_ctx
+    # data type: name taken from the entry point, validation live
+    t = ctx.type_registry.get("even_integer")
+    assert t.validate(4) == 4
+    with pytest.raises(Exception):
+        t.validate(3)
+    # plugin-declared named operation over a CORE module
+    ctx.load_tables("/root/testdata/sf0.001", ["lineitem"])
+    li = ctx.get_value("alias:lineitem")
+    out = ctx.run_job("demo.limit_three", {"table": li})
+    assert out["table"].data.count() == 3
+
+
+def test_plugin_info_surface_and_error_isolation(plugin_ctx):
+    from kiara_spark.api import KiaraAPI
+
+    api = KiaraAPI(context=plugin_ctx)
+    names = api.list_available_plugin_names()
+    assert "kiara-spark-demo-plugin" in names
+    info = api.retrieve_plugin_info("kiara-spark-demo-plugin")
+    assert "demo.double" in info["module_types"]
+    assert "demo.limit_three" in info["operations"]
+    assert "even_integer" in info["data_types"]
+    assert info["errors"] == []
+    # the broken distribution is reported, not fatal
+    broken = api.retrieve_plugin_info("kiara-spark-broken-plugin")
+    assert broken["errors"] and "broken.module" in broken["errors"][0]
+    assert "broken.module" not in plugin_ctx.module_registry.module_type_names
