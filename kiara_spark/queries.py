@@ -8741,57 +8741,38 @@ def scalar_strings2_q(spark, sf_dir):
 # SCD2/merge/diff, the dedup/similarity family) so the recorded
 # CORRECTNESS_r{N}.json covers them.
 
-_PRIORITY = [
-    # TPC-H 1..22
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_unshipped",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
-    "q10_returned_items", "q11_important_parts", "q12_late_shipments",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_rich_customers",
-    # iterative / graph
-    "graph_degrees", "graph_2hop_neighbors", "graph_connected_components",
-    "graph_pagerank",
-    # structured streaming demos (incl. chained stateful + full outer).
-    # r3 rotation: streaming_join_demo -> streaming_transform_with_state_demo
-    # (inner stream-stream join coverage is subsumed by the full-outer demo;
-    # transformWithState carried one of the r2 latent HUGEINT oracle bugs and
-    # the gate should re-verify the fix).
-    "streaming_tumbling_demo", "streaming_dedup_demo",
-    "streaming_transform_with_state_demo",
-    "streaming_sessionize_demo", "streaming_full_outer_join_demo",
-    "streaming_chained_stateful_demo",
-    # lakehouse maintenance + drift + anti-entropy + robust stats.
-    # r3 rotation: checksum_ranges_orders and mad_outliers_orders replace
-    # dedup_minhash_clusters (derived from dedup_minhash_pairs, which stays)
-    # and sessionize_stateful_users (coverage duplicated by
-    # streaming_sessionize_demo) — both carried the latent HUGEINT twin bug.
-    "scd2_user_event_intervals", "merge_upsert_orders", "drift_psi_orders",
-    "checksum_ranges_orders", "mad_outliers_orders",
-    # dedup / similarity / clustering family
-    "dedup_exact_groups", "dedup_minhash_pairs",
-    "dedup_embedding_cosine", "sim_topk_ivf", "kmeans_embeddings",
-    # r3 rotation: real-decode queries replace the stub-plumbing
-    # multimodal_media_features and the second sketch slot
-    # (cms_user_event_frequency; bloom_prefilter_lineitem keeps the family
-    # represented) — the new codecs are exactly what the gate should cover.
-    "graph_label_propagation", "bloom_prefilter_lineitem",
-    "multimodal_image_real_decode",
-    # temporal joins + multimodal + packing
-    "asof_join_click_purchase",
-    "range_join_error_before_purchase",
-    "multimodal_audio_real_decode", "pack_token_budget_bins",
-    # round-2 flagships (weighted SSSP + distributed exact selection)
-    "graph_shortest_paths_weighted", "kth_smallest_totalprice",
-]
+# r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
+# entries, and a static priority list left 145 of 234 queries without a
+# driver-recorded CORRECTNESS row after three rounds.  The order is now
+# derived from the committed CORRECTNESS_r*.json history: queries recorded
+# FEWEST times come first (oracle-backed before rows-only within a tie,
+# registration order otherwise), so each round's recorded-50 automatically
+# samples previously-unrecorded entries and, once everything has been
+# recorded once, continues round-robin.  Deterministic given the repo state.
+
+
+def _recorded_counts() -> dict[str, int]:
+    import glob
+    import json
+    import os
+
+    counts: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        queries = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        for name in queries:
+            counts[name] = counts.get(name, 0) + 1
+    return counts
 
 
 def _reorder() -> None:
-    assert not (set(_PRIORITY) - set(QUERIES)), sorted(set(_PRIORITY) - set(QUERIES))
-    ordered = _PRIORITY + [n for n in QUERIES if n not in _PRIORITY]
+    counts = _recorded_counts()
+    ordered = sorted(QUERIES, key=lambda n: (counts.get(n, 0), n not in ORACLE))
     for d in (QUERIES, ORACLE):
         snapshot = dict(d)
         d.clear()
