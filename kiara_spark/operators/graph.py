@@ -179,11 +179,100 @@ def _cc_driver_union_find(edges: DataFrame, edge_rows) -> DataFrame:
         rows, f"id {t}, component {t}")
 
 
+def _two_phase_components(
+    edges: DataFrame,
+    max_iterations: int,
+    checkpoint: bool,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    'Connected Components in MapReduce and Beyond') — the high-diameter
+    scale path: converges in O(log^2 n) alternating rounds regardless of
+    graph diameter, where hash-min needs O(diameter) label-propagation
+    hops (a 10M-hop path graph would mean 5M hash-min double-rounds but
+    only ~25 star rounds).
+
+    Each round is two edge rewrites, each ONE groupBy(min) + ONE join:
+
+    - large-star: every node u computes m = min(neighbors ∪ {u}) and
+      re-points its LARGER neighbors v > u at m — long chains collapse
+      toward local minima in parallel;
+    - small-star: keyed by the larger endpoint, every node re-points its
+      smaller-or-equal neighborhood (and itself) at the local min —
+      turning the forest into stars.
+
+    At the fixpoint the edge set IS the star set {(v, component_min)}, so
+    the labeling falls out of one final left join.  Convergence is
+    checked exactly (same count + empty set difference): stopping early
+    would label mid-collapse parents, so a sound check beats a cheap
+    heuristic here.  ``stats['rounds']`` reports the round count for
+    tests/telemetry."""
+    E = (undirected_edges(edges)
+         .filter(F.col("src") < F.col("dst"))
+         .select("src", "dst"))
+    if checkpoint:
+        E = cut_lineage(E)
+    # isolated nodes / full node set for the final labeling join
+    all_nodes = undirected_edges(edges).select(
+        F.col("src").alias("id")).distinct()
+    if checkpoint:
+        all_nodes = cut_lineage(all_nodes)
+
+    def _min_over(keyed: DataFrame) -> DataFrame:
+        return keyed.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m"))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select(F.col("src").alias("u"), F.col("dst").alias("v")) \
+            .unionByName(
+                e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        m = _min_over(nbrs)
+        return (nbrs.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        keyed = e.select(F.greatest("src", "dst").alias("u"),
+                         F.least("src", "dst").alias("v"))
+        m = _min_over(keyed)
+        emit_nbrs = (keyed.join(m, "u")
+                     .filter(F.col("v") != F.col("m"))
+                     .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+        emit_self = (m.filter(F.col("u") != F.col("m"))
+                     .select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        return (emit_nbrs.unionByName(emit_self)
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+
+    rounds = 0
+    prev_count = None
+    for _ in range(max_iterations):
+        new_E = _small_star(_large_star(E))
+        if checkpoint:
+            new_E = cut_lineage(new_E)
+        rounds += 1
+        cnt = new_E.count()
+        if prev_count == cnt and new_E.exceptAll(E).limit(1).count() == 0:
+            E = new_E
+            break
+        prev_count, E = cnt, new_E
+    if stats is not None:
+        stats["rounds"] = rounds
+    parents = E.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("component"))
+    return all_nodes.join(parents, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component"))
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 60,
     checkpoint: bool = True,
     driver_threshold: int = 100_000,
+    algorithm: str = "hash_min",
+    stats: dict | None = None,
 ) -> DataFrame:
     # max_iterations is a runaway backstop, not a tuning knob: the loop
     # breaks on the convergence check, so a high cap costs nothing on benign
@@ -204,7 +293,16 @@ def connected_components(
     count is known from the convergence machinery's first action anyway,
     the collect is bounded by the threshold, and both paths produce the
     IDENTICAL min-id labeling (union by min root).  Pass
-    ``driver_threshold=0`` to force the distributed loop."""
+    ``driver_threshold=0`` to force the distributed loop.
+
+    ``algorithm``: ``"hash_min"`` (default — O(diameter) rounds, one
+    join+aggregate each, right for the short-diameter candidate/social
+    graphs the dedup pipeline produces) or ``"two_phase"`` (large-star/
+    small-star, O(log^2 n) rounds independent of diameter — the 100-TB
+    path for long-chain graphs; see :func:`_two_phase_components`).  Both
+    share the gated driver fast path and the min-id labeling contract."""
+    if algorithm not in ("hash_min", "two_phase"):
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     und = undirected_edges(edges)
     if checkpoint:
         und = cut_lineage(und)
@@ -212,8 +310,12 @@ def connected_components(
         # und holds both directions, so cap the collect at 2x threshold
         sample = und.limit(2 * driver_threshold + 1).collect()
         if len(sample) <= 2 * driver_threshold:
+            if stats is not None:
+                stats["rounds"] = 0  # driver fast path: no distributed rounds
             return _cc_driver_union_find(
                 edges, [(r.src, r.dst) for r in sample])
+    if algorithm == "two_phase":
+        return _two_phase_components(edges, max_iterations, checkpoint, stats)
     labels = und.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id"))
     if checkpoint:
@@ -236,6 +338,7 @@ def connected_components(
         )
 
     prev_sum = None
+    rounds = 0
     for _ in range(max_iterations):
         # TWO propagation steps per checkpoint/convergence round: labels
         # travel 2 hops per driver round-trip, halving the number of eager
@@ -250,9 +353,12 @@ def connected_components(
         cur_sum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
+        rounds += 1
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
@@ -728,7 +834,9 @@ class GraphComponents(KiaraModule):
     def process(self, inputs: ValueMap, context):
         return {"table": connected_components(
             inputs["graph"].data["edges"],
-            max_iterations=self.config.get("max_iterations", 20))}
+            max_iterations=self.config.get("max_iterations", 20),
+            driver_threshold=self.config.get("driver_threshold", 100_000),
+            algorithm=self.config.get("algorithm", "hash_min"))}
 
 
 class GraphLabelPropagation(KiaraModule):
