@@ -8,6 +8,13 @@ Usage:
     python -m kiara_spark.cli module list | type list
     python -m kiara_spark.cli plugin list | plugin explain <name>
     python -m kiara_spark.cli info
+    python -m kiara_spark.cli service start [--socket P] [--daemon]
+    python -m kiara_spark.cli service status | service stop
+
+When $KIARA_SPARK_SERVICE names a live service socket, `run` routes
+through the long-lived context daemon (one SparkSession + one shared job
+cache across invocations — the reference's ZMQ service model); otherwise
+it builds a fresh local context.
     python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
     python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
@@ -81,6 +88,22 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--save requires an alias name") from None
             del argv[i:i + 2]
         inputs = _parse_inputs(argv)
+        # service routing: a live daemon answers without paying Spark startup
+        if not op.endswith((".json", ".yaml", ".yml")) and not explain:
+            from . import service as _svc
+
+            if os.environ.get("KIARA_SPARK_SERVICE") and _svc.is_running():
+                resp = _svc.request({"cmd": "run", "operation": op,
+                                     "inputs": inputs, "save": save})
+                if not resp.get("ok"):
+                    print(f"error: {resp.get('error')}", file=sys.stderr)
+                    return 2
+                if resp.get("cache_hit"):
+                    print("(cache hit — loaded stored outputs, no execution)")
+                for name, o in resp["outputs"].items():
+                    print(f"-- {name} ({o['type']})")
+                    print(o["rendered"])
+                return 0
         ctx = KiaraContext()
         if op.endswith((".json", ".yaml", ".yml")):
             outputs = ctx.run_pipeline(op, inputs)
@@ -370,6 +393,41 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"  {k} -> {v}")
         print(f"snapshots: {len(wf.snapshots)}")
         return 0
+
+    if cmd == "service":
+        from . import service as _svc
+
+        sub = argv.pop(0) if argv else "status"
+        sock = None
+        if "--socket" in argv:
+            i = argv.index("--socket")
+            sock = argv[i + 1]
+            del argv[i:i + 2]
+        if sub == "start":
+            if "--daemon" in argv:
+                pid = _svc.spawn_daemon(sock)
+                print(f"service starting in background (pid {pid}); poll "
+                      f"with `service status`")
+                return 0
+            _svc.serve(sock)
+            return 0
+        if sub == "status":
+            if _svc.is_running(sock):
+                info = _svc.request({"cmd": "info"}, path=sock)
+                print(f"running (pid {info['pid']}): "
+                      f"{info['operations']} op(s), {info['jobs_run']} "
+                      f"job(s) run, {info['aliases']} alias(es)")
+                return 0
+            print("not running")
+            return 1
+        if sub == "stop":
+            if not _svc.is_running(sock):
+                print("not running")
+                return 1
+            _svc.request({"cmd": "shutdown"}, path=sock)
+            print("stopped")
+            return 0
+        raise SystemExit(f"service: unknown subcommand {sub!r}")
 
     if cmd == "plugin" and argv[:1] == ["list"]:
         from .api import KiaraAPI

@@ -1,0 +1,179 @@
+"""Context service: a long-lived daemon holding ONE KiaraContext (and its
+SparkSession), plus a thin client the CLI routes through — so repeated
+``kiara run`` invocations skip the ~20-30s JVM/SparkSession startup and
+share one job cache.
+
+Reference parity: the reference ships a per-context ZMQ service process and
+client for exactly this reason (``src/kiara/zmq/__init__.py:17-50``,
+``zmq/service/``, ``zmq/client.py``).  Here the transport is a Unix domain
+socket with newline-delimited JSON — localhost-only by construction,
+authorization = filesystem permissions on the socket, no extra
+dependencies.
+
+Protocol (one JSON object per line, one request per connection):
+
+    {"cmd": "ping"}                          -> {"ok": true, "pid": N}
+    {"cmd": "info"}                          -> {"ok": true, ...counts}
+    {"cmd": "shutdown"}                      -> {"ok": true} (then exits)
+    {"cmd": "run", "operation": str,
+     "inputs": {...}, "operation_config": {}|null, "save": str|null}
+        -> {"ok": true, "cache_hit": bool,
+            "outputs": {name: {"type": t, "rendered": str}}}
+
+Inputs are JSON scalars or value references (``alias:x`` / ``value:uuid``)
+resolved inside the service context — DataFrames never cross the process
+boundary; table outputs come back pre-rendered (the same show-string the
+local CLI prints).
+
+Start:  python -m kiara_spark.cli service start [--socket P] [--daemon]
+Route:  KIARA_SPARK_SERVICE=<socket> python -m kiara_spark.cli run ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import sys
+
+DEFAULT_SOCKET = os.path.join(
+    os.path.expanduser("~/.local/share/kiara_spark"), "service.sock")
+
+
+def socket_path() -> str:
+    return os.environ.get("KIARA_SPARK_SERVICE") or DEFAULT_SOCKET
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+def request(payload: dict, path: str | None = None, timeout: float = 600.0) -> dict:
+    """Send one request, return the decoded response.  Raises OSError when
+    the service is not reachable (callers fall back to a local context)."""
+    path = path or socket_path()
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(path)
+        s.sendall(json.dumps(payload).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
+
+
+def is_running(path: str | None = None) -> bool:
+    try:
+        return request({"cmd": "ping"}, path=path, timeout=5.0).get("ok", False)
+    except (OSError, ValueError):
+        return False
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+
+def _render_outputs(outputs) -> dict:
+    out = {}
+    for name, value in outputs.items():
+        data = value.data
+        if hasattr(data, "_show_string"):
+            rendered = data._show_string(20, 40, False)
+        else:
+            rendered = repr(data)
+        out[name] = {"type": value.schema.type, "rendered": rendered}
+    return out
+
+
+def _handle(ctx, req: dict) -> tuple[dict, bool]:
+    """-> (response, keep_serving)"""
+    cmd = req.get("cmd")
+    if cmd == "ping":
+        return {"ok": True, "pid": os.getpid()}, True
+    if cmd == "shutdown":
+        return {"ok": True}, False
+    if cmd == "info":
+        return {"ok": True,
+                "pid": os.getpid(),
+                "base_path": ctx.base_path,
+                "operations": len(list(ctx.operations)),
+                "modules": len(list(ctx.modules)),
+                "aliases": len(ctx.data_registry.aliases),
+                "jobs_run": len(ctx.job_registry.history)}, True
+    if cmd == "run":
+        outputs = ctx.run_job(
+            req["operation"], req.get("inputs") or {},
+            operation_config=req.get("operation_config"),
+            save=req.get("save"))
+        hist = ctx.job_registry.history
+        return {"ok": True,
+                "cache_hit": bool(hist and hist[-1].cache_hit),
+                "outputs": _render_outputs(outputs)}, True
+    return {"ok": False, "error": f"unknown cmd {cmd!r}"}, True
+
+
+def serve(path: str | None = None, base_path: str | None = None) -> None:
+    """Build the context once, then serve until a shutdown request.  One
+    request per connection, sequential — the service wraps a single driver
+    context, so serializing requests mirrors the execution model (Spark
+    parallelism lives below, in the jobs themselves)."""
+    from .context import KiaraContext
+
+    path = path or socket_path()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        if is_running(path):
+            raise SystemExit(f"service already running on {path}")
+        os.unlink(path)  # stale socket from a dead process
+
+    ctx = KiaraContext(base_path=base_path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        srv.bind(path)
+        os.chmod(path, 0o600)  # owner-only: the socket IS the auth boundary
+        srv.listen(8)
+        print(f"kiara_spark service ready on {path} (pid {os.getpid()})",
+              flush=True)
+        serving = True
+        while serving:
+            conn, _ = srv.accept()
+            with conn:
+                f = conn.makefile("rwb")
+                line = f.readline()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line.decode())
+                    resp, serving = _handle(ctx, req)
+                except Exception as exc:  # noqa: BLE001 — report, keep serving
+                    resp = {"ok": False,
+                            "error": f"{type(exc).__name__}: {exc}"}
+                f.write(json.dumps(resp).encode() + b"\n")
+                f.flush()
+    finally:
+        srv.close()
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def spawn_daemon(path: str | None = None) -> int:
+    """Start the service as a detached background process; returns its pid.
+    The caller should poll ``is_running`` — SparkSession startup takes
+    ~20-30s."""
+    import subprocess
+
+    path = path or socket_path()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kiara_spark.service", path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    return proc.pid
+
+
+if __name__ == "__main__":
+    serve(sys.argv[1] if len(sys.argv) > 1 else None)
