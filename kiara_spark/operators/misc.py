@@ -283,15 +283,60 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame
     )
 
 
+def _pillow_dims(blob):
+    """(width, height) via Pillow; (0, 0) for NULL/corrupt blobs — the
+    auditable-failure convention the whole media family uses.  Import is
+    inside the call so the function ships to executors and resolves PIL in
+    the WORKER interpreter (the driver having Pillow proves nothing about
+    the executors)."""
+    import io
+
+    from PIL import Image
+
+    if not blob:
+        return (0, 0)
+    try:
+        with Image.open(io.BytesIO(bytes(blob))) as im:
+            return (int(im.size[0]), int(im.size[1]))
+    except Exception:
+        return (0, 0)
+
+
+def _image_batch_features(pdf, pt_names, binary_col, dims_fn):
+    """One Arrow batch -> features frame.  ``dims_fn=None`` is the
+    deterministic stub (dims from byte arithmetic — oracle-verifiable);
+    otherwise dims_fn(blob) -> (w, h) does the real decode.  Shared by the
+    Spark worker path and driver-side unit tests."""
+    out = pdf[pt_names].copy()
+    blobs = pdf[binary_col]
+    out["byte_len"] = blobs.map(lambda x: len(x) if x is not None else 0)
+    if dims_fn is None:
+        out["width"] = blobs.map(lambda x: (len(x) % 64) + 1 if x else 0)
+        out["height"] = blobs.map(lambda x: (len(x) % 48) + 1 if x else 0)
+    else:
+        dims = [dims_fn(x) for x in blobs]
+        out["width"] = [d[0] for d in dims]
+        out["height"] = [d[1] for d in dims]
+    return out
+
+
 def decode_image_stub(df: DataFrame, binary_col: str = "media",
-                      passthrough: tuple = ()):
+                      passthrough: tuple = (), decoder: str = "auto"):
     """Image decode -> features, as ``mapInPandas``.
 
-    The real decode needs PIL/ffmpeg (not in this container) — the Python
-    boundary, Arrow batching, schema and partition behavior ARE the real
-    production plumbing; only the pixel decode is faked deterministically
-    (features derived from byte length).  Swap ``_fake_decode`` for a real
-    decoder on a cluster with codecs installed.
+    ``decoder`` selects the pixel path, with ONE output contract
+    (passthrough..., byte_len, width, height) shared by all of them:
+
+    - ``"stub"``: deterministic byte-arithmetic dims — the oracle-checkable
+      plumbing path (Python boundary, Arrow batching, schema and partition
+      behavior are the real production shape either way);
+    - ``"pillow"``: real JPEG/PNG/BMP decode via ``PIL.Image`` — raises
+      ``NotImplementedError`` in the worker when Pillow is absent;
+    - ``"auto"`` (default): pillow when importable IN THE WORKER, stub
+      otherwise — so the same pipeline definition upgrades itself on a
+      cluster with codecs installed.
+
+    Corrupt/NULL blobs decode as (0, 0), never abort the batch.
 
     ``passthrough`` columns (typically the row id plus metadata columns) are
     carried through the Arrow batch unchanged so downstream joins aren't
@@ -301,6 +346,8 @@ def decode_image_stub(df: DataFrame, binary_col: str = "media",
     from pyspark.sql.types import (IntegerType, LongType, StructField,
                                    StructType)
 
+    if decoder not in ("auto", "stub", "pillow"):
+        raise ValueError(f"unknown image decoder: {decoder!r}")
     pt_fields = [f for f in df.schema.fields if f.name in set(passthrough)]
     pt_names = [f.name for f in pt_fields]
     schema = StructType(
@@ -312,20 +359,23 @@ def decode_image_stub(df: DataFrame, binary_col: str = "media",
         ]
     )
 
-    def _fake_decode(batches):
-        for pdf in batches:
-            out = pdf[pt_names].copy()
-            blobs = pdf[binary_col]
-            out["byte_len"] = blobs.map(lambda x: len(x) if x is not None else 0)
-            # deterministic fake "decoded" dims; replace with PIL.Image.open
-            out["width"] = blobs.map(lambda x: (len(x) % 64) + 1 if x else 0)
-            out["height"] = blobs.map(lambda x: (len(x) % 48) + 1 if x else 0)
-            yield out
+    def _decode(batches):
+        dims_fn = None
+        if decoder in ("pillow", "auto"):
+            try:
+                import PIL  # noqa: F401 — worker-side availability probe
 
-    real_decode_available = False
-    if real_decode_available:  # pragma: no cover
-        raise NotImplementedError("install PIL/ffmpeg and replace _fake_decode")
-    return df.mapInPandas(_fake_decode, schema=schema)
+                dims_fn = _pillow_dims
+            except ImportError:
+                if decoder == "pillow":
+                    raise NotImplementedError(
+                        "decoder='pillow' requires Pillow on every executor "
+                        "(pip install pillow); use decoder='auto' to fall "
+                        "back to the deterministic stub") from None
+        for pdf in batches:
+            yield _image_batch_features(pdf, pt_names, binary_col, dims_fn)
+
+    return df.mapInPandas(_decode, schema=schema)
 
 
 def frame_sample_stub(df: DataFrame, binary_col: str = "media",
@@ -543,7 +593,8 @@ class MediaDecodeImage(KiaraModule):
     def process(self, inputs: ValueMap, context):
         return {"table": decode_image_stub(
             inputs["table"].data, self.config.get("binary_column", "media"),
-            passthrough=tuple(self.config.get("passthrough", ())))}
+            passthrough=tuple(self.config.get("passthrough", ())),
+            decoder=self.config.get("decoder", "auto"))}
 
 
 class MediaDecodeAudio(KiaraModule):

@@ -1344,7 +1344,8 @@ def multimodal_features(spark, sf_dir):
         "media_size", F.col("media_size").cast("bigint"))
     return M.decode_image_stub(
         meta, "media",
-        passthrough=("id", "media_size", "media_sha", "media_kind"))
+        passthrough=("id", "media_size", "media_sha", "media_kind"),
+        decoder="stub")  # pinned: oracle verifies the deterministic path
 
 
 @query(
@@ -5833,7 +5834,8 @@ def multimodal_resize_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
-    decoded = M.decode_image_stub(docs, "media", passthrough=("id",))
+    decoded = M.decode_image_stub(docs, "media", passthrough=("id",),
+                                  decoder="stub")  # oracle pins the stub
     return M.resize_image_stub(decoded, 224, 224, id_col="id")
 
 

@@ -132,3 +132,61 @@ def test_decode_wav_truncated_data_chunk_raises():
             + b"data" + struct.pack("<I", 16) + pcm)  # claims 16, has 8
     with _pytest.raises(ValueError, match="truncated"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_image_decoder_paths_share_contract(spark):
+    """r3 VERDICT item 7: stub and pillow paths share one output contract.
+    Without Pillow installed, 'auto' must equal 'stub' exactly and
+    'pillow' must fail loudly; the pillow batch function is exercised
+    driver-side with a real BMP through a PIL-shaped opener."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from kiara_spark.operators.media_codecs import decode_bmp, synth_bmp
+    from kiara_spark.operators.misc import (_image_batch_features,
+                                            decode_image_stub)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100)), (2, bytearray(b"y" * 65)), (3, None)],
+        "id long, media binary")
+    stub = decode_image_stub(df, "media", passthrough=("id",),
+                             decoder="stub")
+    auto = decode_image_stub(df, "media", passthrough=("id",),
+                             decoder="auto")
+    assert stub.schema == auto.schema
+    has_pil = True
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert sorted(map(tuple, stub.collect())) == \
+            sorted(map(tuple, auto.collect()))
+        with _pytest.raises(Exception, match="[Pp]illow"):
+            decode_image_stub(df, "media", decoder="pillow").collect()
+    else:  # real path exercised when PIL is present
+        rows = {r["id"]: r for r in auto.collect()}
+        assert rows[3]["width"] == 0  # NULL blob -> auditable (0,0)
+    with _pytest.raises(ValueError, match="unknown image decoder"):
+        decode_image_stub(df, "media", decoder="nope")
+
+    # driver-side: the real-decode batch path with a PIL-shaped opener
+    # backed by our own BMP codec — same columns, REAL dims
+    bmp = synth_bmp(seed=5, width=7, height=3)
+
+    def dims_fn(blob):
+        if not blob:
+            return (0, 0)
+        try:
+            w, h, _ = decode_bmp(bytes(blob))
+            return (w, h)
+        except ValueError:
+            return (0, 0)
+
+    pdf = pd.DataFrame({"id": [1, 2, 3],
+                        "media": [bmp, b"not an image", None]})
+    out = _image_batch_features(pdf, ["id"], "media", dims_fn)
+    assert list(out.columns) == ["id", "byte_len", "width", "height"]
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (7, 3)
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (0, 0)
+    assert out.loc[2, "byte_len"] == 0
