@@ -32,11 +32,20 @@ class InvalidInputsError(ValueError):
 
 @dataclass(frozen=True)
 class ModuleCharacteristics:
-    """Reference ``src/kiara/modules/__init__.py:268-291``."""
+    """Reference ``src/kiara/modules/__init__.py:268-291``.
+
+    ``is_source`` refines ``is_idempotent=False`` for EXTERNAL READS
+    (file/folder imports): a source is non-idempotent because the outside
+    world can change under the same inputs, but it is deterministic GIVEN a
+    fingerprint of that outside state — so a pipeline-level cache may
+    include source steps as long as it binds the fingerprint of every
+    path they read (pipeline/runner.py).  Side-effect sinks (exports) stay
+    plainly non-idempotent: serving them from cache would skip the write."""
 
     is_idempotent: bool = True
     is_internal: bool = False
     unique_result_values: bool = False
+    is_source: bool = False
 
 
 class KiaraModule:

@@ -158,7 +158,7 @@ class ImportLocalFile(KiaraModule):
     """Reference filesystem.py:28-55 (non-idempotent: external-world read)."""
 
     _module_type_name = "import.local.file"
-    _characteristics = ModuleCharacteristics(is_idempotent=False)
+    _characteristics = ModuleCharacteristics(is_idempotent=False, is_source=True)
 
     def create_inputs_schema(self):
         return {"path": {"type": "string"}}
@@ -174,7 +174,7 @@ class ImportLocalFileBundle(KiaraModule):
     """Reference filesystem.py:136-179."""
 
     _module_type_name = "import.local.file_bundle"
-    _characteristics = ModuleCharacteristics(is_idempotent=False)
+    _characteristics = ModuleCharacteristics(is_idempotent=False, is_source=True)
 
     def create_inputs_schema(self):
         return {"path": {"type": "string"}}
@@ -299,7 +299,7 @@ class ImportIncrementalFiles(KiaraModule):
     the ledger."""
 
     _module_type_name = "import.incremental.files"
-    _characteristics = ModuleCharacteristics(is_idempotent=False)
+    _characteristics = ModuleCharacteristics(is_idempotent=False, is_source=True)
 
     def create_inputs_schema(self):
         return {"path": {"type": "string"}, "state_path": {"type": "string"}}

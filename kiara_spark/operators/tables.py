@@ -883,7 +883,7 @@ CreateTableFromFile = _simple_module(
     {"table": TABLE},
     _table_from_file_process,
     doc="Source: file -> DataFrame (csv/json/parquet/orc).",
-    characteristics=ModuleCharacteristics(is_idempotent=False),
+    characteristics=ModuleCharacteristics(is_idempotent=False, is_source=True),
 )
 
 TableFilterRows = _simple_module(

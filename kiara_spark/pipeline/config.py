@@ -112,6 +112,31 @@ class PipelineConfig:
             doc=str(data.get("documentation", data.get("doc", ""))),
         )
 
+    def to_config(self) -> dict:
+        """Canonical JSON-serializable dict — the hashable identity of the
+        pipeline used by the pipeline-level job cache (``from_config``
+        round-trips it).  Deterministic: plain dicts and sorted-key JSON
+        hashing downstream make identical pipelines hash identically
+        regardless of how they were loaded (file, dict, or object)."""
+        return {
+            "pipeline_name": self.pipeline_name,
+            "doc": self.doc,
+            "steps": [
+                {
+                    "step_id": s.step_id,
+                    "module_type": s.module_type,
+                    "module_config": dict(s.module_config),
+                    "input_links": {
+                        f: [f"{r.step_id}.{r.value_name}" for r in refs]
+                        for f, refs in s.input_links.items()
+                    },
+                }
+                for s in self.steps
+            ],
+            "input_aliases": dict(self.input_aliases),
+            "output_aliases": dict(self.output_aliases),
+        }
+
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":
         with open(path) as f:

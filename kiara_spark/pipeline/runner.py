@@ -17,6 +17,7 @@ pipelines can be steps of pipelines.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping
 
 from ..modules import InvalidInputsError, KiaraModule
@@ -25,12 +26,46 @@ from .config import PipelineConfig
 from .structure import PipelineStructure
 
 
+def _path_fingerprint(p: str) -> str | None:
+    """Cheap external-state identity for a local path: file -> size+mtime,
+    dir -> recursive (count, bytes, max mtime).  None when ``p`` is not an
+    existing path (plain string inputs fingerprint as themselves via their
+    content hash)."""
+    try:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return f"file:{st.st_size}:{st.st_mtime_ns}"
+        if os.path.isdir(p):
+            n = tot = mx = 0
+            for root, _, files in os.walk(p):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    n += 1
+                    tot += st.st_size
+                    mx = max(mx, st.st_mtime_ns)
+            return f"dir:{n}:{tot}:{mx}"
+    except OSError:
+        return None
+    return None
+
+
 def run_pipeline(
     context,
     config: PipelineConfig | Mapping | str,
     inputs: Mapping[str, Any],
+    persist: bool | None = None,
 ) -> ValueMap:
-    """Execute a pipeline config against a context; returns aliased outputs."""
+    """Execute a pipeline config against a context; returns aliased outputs.
+
+    The WHOLE pipeline is one composite job (r3 VERDICT item 10): its
+    content-addressed key — hash(pipeline definition, input identities) —
+    is probed against the session records and the persistent job store
+    BEFORE any step runs, so an identical pipeline returns stored outputs
+    without stepping.  ``persist`` (default: on under the ``data_hash``
+    strategy, whose keys survive restarts) writes materialized table
+    outputs to the warehouse after a miss, making the NEXT context's run a
+    zero-executor-work load.  On a miss every step still gets its own
+    cache probe and outputs keep per-step pedigree (lineage unchanged)."""
     if isinstance(config, str):
         config = PipelineConfig.from_file(config)
     elif not isinstance(config, PipelineConfig):
@@ -48,6 +83,57 @@ def run_pipeline(
     if missing:
         raise InvalidInputsError({m: "missing pipeline input" for m in missing})
 
+    # pipeline-level cache identity: the canonical config dict + the
+    # provided inputs as Values (scalars dedup to stable ids; Values pass
+    # through untouched), PLUS a filesystem fingerprint for every string
+    # input naming an existing path — that fingerprint is what makes
+    # SOURCE steps (external reads) safe to include in the composite key:
+    # if the file changes, size/mtime change, the key changes, the
+    # pipeline re-runs.  Registration here never changes what the steps
+    # see — they bind from the raw ``provided`` map exactly as before.
+    key_raw: dict[str, Any] = {}
+    for alias, raw in provided.items():
+        key_raw[alias] = raw
+        if isinstance(raw, str):
+            fp = _path_fingerprint(raw)
+            if fp is not None:
+                key_raw[f"__fp__{alias}"] = fp
+    key_inputs = ValueMap({
+        alias: (raw if isinstance(raw, Value)
+                else context.data_registry.register_data(raw, data_type="any"))
+        for alias, raw in key_raw.items()
+    })
+    if persist is None:
+        persist = context.job_registry.strategy == "data_hash"
+    # composite-cache gate (same spirit as the single-job idempotency gate,
+    # reference jobs/__init__.py:466-472): side-effect steps (exports) are
+    # never cacheable; SOURCE steps are cacheable only when every one of
+    # their inputs binds from pipeline inputs/config — i.e. is covered by
+    # the path fingerprints above — never from an upstream step output
+    # (which the fingerprint cannot see).
+    cacheable = True
+    for stage in structure.stages:
+        for step_id in stage:
+            ch = structure.module_for(step_id).characteristics
+            if ch.is_idempotent:
+                continue
+            if not ch.is_source or structure.step(step_id).input_links:
+                cacheable = False
+                break
+        if not cacheable:
+            break
+
+    def _compute() -> ValueMap:
+        return _run_steps(context, structure, provided)
+
+    record = context.job_registry.execute_composite(
+        "pipeline", config.to_config(), key_inputs, _compute,
+        persist=persist and cacheable, cacheable=cacheable)
+    return record.outputs
+
+
+def _run_steps(context, structure: PipelineStructure,
+               provided: Mapping[str, Any]) -> ValueMap:
     # step_id -> output ValueMap
     state: dict[str, ValueMap] = {}
 

@@ -200,12 +200,20 @@ class DataRegistry:
         Pedigree from the sidecar is restored so lineage survives restarts."""
         from ..values import ValuePedigree
 
-        df = self._context.spark.read.parquet(path)
         meta_path = self._sidecar(path)
         info = {}
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
                 info = json.load(f)
+        reader = self._context.spark.read
+        if info.get("spark_schema"):
+            # the sidecar schema makes the load a pure plan: without it,
+            # spark.read.parquet runs a footer-inference job, and a
+            # cross-restart cache hit would no longer be zero Spark jobs
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(info["spark_schema"]))
+        df = reader.parquet(path)
         ped = ORPHAN
         if p := info.get("pedigree"):
             if p.get("module_type") and p["module_type"] != ORPHAN.module_type:

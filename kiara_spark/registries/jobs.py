@@ -140,9 +140,8 @@ class JobRegistry:
                 pass
         return packages
 
-    def _cache_key(self, module: "KiaraModule", inputs: ValueMap) -> str | None:
-        if self.strategy == "no_cache" or not module.characteristics.is_idempotent:
-            return None
+    def _key_for(self, module_type: str, config: dict,
+                 inputs: ValueMap) -> str | None:
         if self.strategy == "value_id":
             ids = {k: v.value_id for k, v in inputs.items()}
         else:  # data_hash: deep, content-addressed
@@ -152,7 +151,12 @@ class JobRegistry:
             # operator computes, and a stale hit would silently serve the
             # old answer (reference PythonRuntimeEnvironment identity)
             ids["__packages__"] = self._environment()["packages_hash"]
-        return _job_hash(module.module_type, module.config, ids)
+        return _job_hash(module_type, config, ids)
+
+    def _cache_key(self, module: "KiaraModule", inputs: ValueMap) -> str | None:
+        if self.strategy == "no_cache" or not module.characteristics.is_idempotent:
+            return None
+        return self._key_for(module.module_type, module.config, inputs)
 
     def persist_record(self, record: JobRecord) -> None:
         """Persist a job's outputs + record so the next context gets a cache
@@ -236,6 +240,80 @@ class JobRegistry:
         if key is not None:
             self._records[key] = record
         self._history.append(record)
+        return record
+
+    def execute_composite(
+        self,
+        module_type: str,
+        config: dict,
+        inputs: ValueMap,
+        compute,
+        persist: bool = False,
+        cacheable: bool = True,
+    ) -> JobRecord:
+        """Cache-probe + run a COMPOSITE job (a pipeline) whose body is an
+        arbitrary ``compute() -> ValueMap`` callable rather than a module
+        (r3 VERDICT item 10).
+
+        The whole pipeline gets one content-addressed key — probed against
+        the in-session records AND the persistent store BEFORE any step
+        runs, so a restarted context serves a previously-persisted
+        pipeline entirely from warehouse parquet (lazy reads, zero
+        executor work).  On a miss, ``compute`` runs the normal per-step
+        path (per-step probes, per-step lineage — outputs keep their final
+        step's pedigree, which ``persist_record`` writes into the sidecar,
+        so lineage survives the round-trip).  ``persist=True``
+        auto-persists the outputs; only meaningful under the ``data_hash``
+        strategy, whose keys are stable across restarts."""
+        key = None
+        if self.strategy != "no_cache" and cacheable:
+            try:
+                key = self._key_for(module_type, config, inputs)
+            except Exception:  # un-hashable input (exotic object): no cache
+                key = None
+        if key is not None and key not in self._records:
+            if (stored := self._probe_stored(key)) is not None:
+                self._records[key] = JobRecord(
+                    job_id=f"stored-{key[:8]}",
+                    job_hash=key,
+                    module_type=module_type,
+                    module_config=config,
+                    input_ids={k: v.value_id for k, v in inputs.items()},
+                    outputs=stored,
+                    runtime_sec=0.0,
+                )
+        if key is not None and key in self._records:
+            prior = self._records[key]
+            hit = JobRecord(
+                job_id=f"{prior.job_id}+hit",
+                job_hash=key,
+                module_type=prior.module_type,
+                module_config=prior.module_config,
+                input_ids=prior.input_ids,
+                outputs=prior.outputs,
+                runtime_sec=0.0,
+                environment=prior.environment,
+                cache_hit=True,
+            )
+            self._history.append(hit)
+            return hit
+        start = time.monotonic()
+        outputs = compute()
+        record = JobRecord(
+            job_id=f"job-{len(self._history)}",
+            job_hash=key or "",
+            module_type=module_type,
+            module_config=config,
+            input_ids={k: v.value_id for k, v in inputs.items()},
+            outputs=outputs,
+            runtime_sec=time.monotonic() - start,
+            environment=self._environment(),
+        )
+        if key is not None:
+            self._records[key] = record
+        self._history.append(record)
+        if persist:
+            self.persist_record(record)
         return record
 
     @property

@@ -326,3 +326,122 @@ def test_search_index_build_example_pipeline(ctx):
     assert {"doc_id", "bm25", "n_query_terms_hit"} <= set(scores.columns)
     assert scores.count() > 0
     assert aug.filter("n_kept > n_tokens").count() == 0
+
+
+TABLE_PIPE = {
+    "pipeline_name": "region_filter",
+    "steps": [
+        {"step_id": "load", "module_type": "create.table.from.file"},
+        {"step_id": "pick", "module_type": "table.filter.rows",
+         "module_config": {"where": "r_regionkey < 3"},
+         "input_links": {"table": "load.table"}},
+    ],
+    "input_aliases": {"load.path": "path"},
+    "output_aliases": {"pick.table": "result"},
+}
+
+
+def test_pipeline_cross_restart_warehouse_cache(spark, tmp_path):
+    """r3 VERDICT item 10: under data_hash, a pipeline's materialized
+    outputs auto-persist to the warehouse; a RESTARTED context (same
+    base_path) serves the identical pipeline from storage with ZERO Spark
+    jobs — no step runs, no executor work until the caller acts."""
+    from kiara_spark.context import KiaraContext
+
+    home = str(tmp_path / "ctx_home")
+    inputs = {"path": "/root/testdata/sf0.001/region.parquet"}
+
+    ctx1 = KiaraContext(spark=spark, base_path=home, cache_strategy="data_hash")
+    out1 = ctx1.run_pipeline(TABLE_PIPE, inputs)
+    rows1 = sorted(map(tuple, out1["result"].data.collect()))
+    assert len(rows1) == 3
+    hist1 = ctx1.job_registry.history
+    assert hist1[-1].module_type == "pipeline" and not hist1[-1].cache_hit
+
+    # fresh context, same base path = the restart
+    ctx2 = KiaraContext(spark=spark, base_path=home, cache_strategy="data_hash")
+    sc = spark.sparkContext
+    sc.setJobGroup("restart-probe", "restart-probe")
+    try:
+        out2 = ctx2.run_pipeline(TABLE_PIPE, inputs)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("restart-probe")
+    assert jobs == [], f"expected zero Spark jobs on restart hit, got {jobs}"
+    rec = ctx2.job_registry.history[-1]
+    assert rec.cache_hit and rec.module_type == "pipeline"
+    assert sorted(map(tuple, out2["result"].data.collect())) == rows1
+
+
+def test_pipeline_in_session_composite_hit_skips_steps(spark, tmp_path):
+    """Second identical run in ONE context: a single composite cache-hit
+    record, no per-step records appended."""
+    from kiara_spark.context import KiaraContext
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "h2"))
+    inputs = {"path": "/root/testdata/sf0.001/region.parquet"}
+    ctx.run_pipeline(TABLE_PIPE, inputs)
+    n_mid = len(ctx.job_registry.history)
+    ctx.run_pipeline(TABLE_PIPE, inputs)
+    new = ctx.job_registry.history[n_mid:]
+    assert [r.module_type for r in new] == ["pipeline"]
+    assert new[0].cache_hit
+
+
+def test_pipeline_with_sink_step_never_composite_cached(spark, tmp_path):
+    """A pipeline containing a SIDE-EFFECT step (export) must bypass the
+    composite cache — a cache hit would silently skip the write.  Source
+    steps (imports) stay cacheable because their path inputs are
+    fingerprint-bound into the key."""
+    from kiara_spark.context import KiaraContext
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "h3"),
+                       cache_strategy="data_hash")
+    pipe = {
+        "pipeline_name": "imp_exp",
+        "steps": [
+            {"step_id": "imp", "module_type": "import.local.file"},
+            {"step_id": "exp", "module_type": "export.file",
+             "module_config": {"name": "copy.parquet"},
+             "input_links": {"file": "imp.file"}},
+        ],
+        "input_aliases": {"imp.path": "path", "exp.base_path": "dest"},
+        "output_aliases": {"exp.export_details": "details"},
+    }
+    inputs = {"path": "/root/testdata/sf0.001/region.parquet",
+              "dest": str(tmp_path / "exported")}
+    ctx.run_pipeline(pipe, inputs)
+    ctx.run_pipeline(pipe, inputs)
+    pipes = [r for r in ctx.job_registry.history if r.module_type == "pipeline"]
+    assert len(pipes) == 2 and not any(r.cache_hit for r in pipes)
+
+
+def test_pipeline_source_cache_invalidated_by_file_change(spark, tmp_path):
+    """The path fingerprint must bind external state: rewriting the input
+    file with different content forces a composite re-run."""
+    import shutil
+    import time as _time
+
+    from kiara_spark.context import KiaraContext
+
+    src = tmp_path / "data.csv"
+    src.write_text("k,v\n1,a\n2,b\n")
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "h4"),
+                       cache_strategy="data_hash")
+    pipe = {
+        "pipeline_name": "csvload",
+        "steps": [{"step_id": "load", "module_type": "create.table.from.file"}],
+        "input_aliases": {"load.path": "path"},
+        "output_aliases": {"load.table": "t"},
+    }
+    out1 = ctx.run_pipeline(pipe, {"path": str(src)})
+    assert out1["t"].data.count() == 2
+    # same file untouched -> composite hit
+    ctx.run_pipeline(pipe, {"path": str(src)})
+    assert ctx.job_registry.history[-1].cache_hit
+    # rewrite with MORE rows -> new fingerprint -> miss + fresh result
+    _time.sleep(0.01)
+    src.write_text("k,v\n1,a\n2,b\n3,c\n")
+    out3 = ctx.run_pipeline(pipe, {"path": str(src)})
+    assert not ctx.job_registry.history[-1].cache_hit
+    assert out3["t"].data.count() == 3
