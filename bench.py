@@ -247,8 +247,10 @@ BENCH_QUERIES = [
     "sim_topk_pq_adc",
     "sim_topk_ivfpq",
     "dedup_minhash_incremental",
-    # round 4: de-skewed jaccard (LSH-band blocking)
+    # round 4: de-skewed jaccard (LSH-band blocking), SemDeDup, URL dedup
     "dedup_ngram_jaccard_lsh_blocked",
+    "dedup_semantic_semdedup",
+    "dedup_url_canonical",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -375,10 +375,75 @@ TableTermFreqHistogram = _simple_module(
         "aggregates.",
 )
 
-MODULES = [TableRedactPii, TableDecontaminate, TableRepetitionStats,
+TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|ref_src"
+
+
+def canonical_url(url):
+    """Canonical form of a URL for web-corpus dedup — the normalization
+    every crawl pipeline applies before URL-level dedup (the cheapest dedup
+    tier: same canonical URL => same fetch, no content comparison needed).
+
+    Rules, in order (each a portable lookaround-free regex — Java and RE2
+    agree; replacements differ only in backref syntax, `$1` vs `\\1`, so
+    the DuckDB twin mirrors this chain with `\\1`):
+    1. strip scheme (http/https, any case)  — http vs https collide;
+    2. strip a leading ``www.``;
+    3. drop the fragment;
+    4. remove tracking params (utm_*, fbclid, gclid, ref_src), then a
+       dangling ``?``;
+    5. strip default ports ``:80``/``:443``;
+    6. lowercase the HOST (path stays case-sensitive);
+    7. strip one trailing slash.
+
+    Map-only expression — canonicalization runs at scan throughput."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(F.trim(u), "(?i)^https?://", "")
+    u = F.regexp_replace(u, "(?i)^www\\.", "")
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.regexp_replace(u, f"({TRACKING_PARAMS})=[^&]*&", "")
+    u = F.regexp_replace(u, f"[?&]({TRACKING_PARAMS})=[^&]*$", "")
+    u = F.regexp_replace(u, "\\?$", "")
+    u = F.regexp_replace(u, "^([^/:]+):(80|443)($|/)", "$1$3")
+    u = F.concat(F.lower(F.regexp_extract(u, "^[^/]*", 0)),
+                 F.regexp_replace(u, "^[^/]*", ""))
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup groups: (canonical_url, url_host, n_dups, keep_id).
+    One map-only canonicalization + one hash aggregate on the canonical
+    key — at 100 TB only the (short) canonical strings shuffle, with
+    map-side combine; min-id survivor matches every other dedup family."""
+    keyed = df.select(
+        F.col(id_col),
+        canonical_url(url_col).alias("canonical_url"))
+    return (keyed.groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .withColumn("url_host",
+                        F.regexp_extract("canonical_url", "^[^/]*", 0)))
+
+
+TableUrlDedup = _simple_module(
+    "table.dedup.url",
+    {"table": TABLE},
+    {"groups": TABLE},
+    lambda self, im, ctx: {"groups": url_dup_groups(
+        im["table"].data,
+        url_col=self.config.get("url_column", "url"),
+        id_col=self.config.get("id_column", "doc_id"))},
+    doc="URL canonicalization + dedup groups (scheme/www/fragment/"
+        "tracking-param/port/case/trailing-slash normalization, min-id "
+        "survivor).",
+)
+
+MODULES = [TableUrlDedup, TableRedactPii, TableDecontaminate, TableRepetitionStats,
            TableTfidfTopTerms, TableInvertedIndex, TableBm25Score,
            TableTermFreqHistogram]
 OPERATIONS = [
+    Operation("table.dedup.url", "table.dedup.url",
+              doc="URL canonicalization + dedup groups"),
     Operation("table.inverted_index", "table.inverted_index",
               doc="inverted index: term -> posting list"),
     Operation("table.term_freq_histogram", "table.term_freq_histogram",

@@ -975,6 +975,66 @@ class EmbeddingKMeans(KiaraModule):
             vec_col=self.config.get("vector_column", "embedding"))}
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication'): k-means the embedding
+    space, then WITHIN each cluster drop every item whose cosine
+    similarity to a lower-id cluster-mate reaches ``threshold`` — semantic
+    near-duplicates land in the same cluster, so the quadratic cosine
+    check runs over O((N/k)^2) per cluster instead of N^2, and k scales
+    with the corpus to keep clusters bounded.
+
+    Deterministic end-to-end: the k-means is the bit-stable
+    :func:`kmeans_lloyd` (lowest-id init, decimal-exact arithmetic) and
+    the keep rule is min-id-wins, so a SQL oracle reproduces the whole
+    pipeline exactly.
+
+    Plan shape: kmeans (n_iter scans + tiny driver centroid transfers) ->
+    one join to attach clusters -> within-cluster pair join with
+    precomputed norms -> anti-join drops.  Returns (id, cluster, kept)."""
+    assigned = kmeans_lloyd(df, k, n_iter, id_col, vec_col).select(
+        id_col, "cluster")
+    clustered = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    pairs = embedding_neardup_pairs(
+        clustered, threshold, id_col, vec_col, bucket_col="cluster")
+    dropped = (pairs.select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("_dropped", F.lit(True)))
+    return (
+        clustered.join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"))
+    )
+
+
+class EmbeddingSemanticDedup(KiaraModule):
+    """SemDeDup: k-means clusters -> within-cluster cosine prune
+    (see semantic_dedup)."""
+
+    _module_type_name = "table.dedup.semantic"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": semantic_dedup(
+            inputs["table"].data,
+            k=self.config.get("k", 4),
+            n_iter=self.config.get("n_iter", 2),
+            threshold=self.config.get("threshold", 0.9),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"))}
+
+
 class EmbeddingPQTopK(KiaraModule):
     """ADC top-k retrieval over PQ codes (serving half of IVF-PQ)."""
 
@@ -1000,7 +1060,7 @@ class EmbeddingPQTopK(KiaraModule):
 
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
-           EmbeddingPQEncode, EmbeddingPQTopK]
+           EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1011,4 +1071,5 @@ OPERATIONS = [
     Operation("table.dedup.embedding_cosine", "table.dedup.embedding_cosine"),
     Operation("embedding.centroids", "embedding.centroids"),
     Operation("embedding.kmeans", "embedding.kmeans"),
+    Operation("table.dedup.semantic", "table.dedup.semantic"),
 ]

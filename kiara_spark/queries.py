@@ -6592,10 +6592,9 @@ def checksum_ranges_q(spark, sf_dir):
         n_buckets=32)
 
 
-@query(
-    "kmeans_embeddings",
-    """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+# k-means CTE chain (k=4, 2 Lloyd rounds), shared by kmeans_embeddings and
+# dedup_semantic_semdedup — twin of kmeans_lloyd's unrolled iterations
+_KMEANS_CTES = """e AS (SELECT vec_id, embedding FROM embeddings),
     ed AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                   CAST(unnest(embedding) AS DOUBLE) AS v
            FROM e),
@@ -6636,7 +6635,12 @@ def checksum_ranges_q(spark, sf_dir):
     a3 AS (SELECT ed.vec_id, c2.cid,
                   SUM(CAST((ed.v - c2.c) * (ed.v - c2.c)
                            AS DECIMAL(38,10))) AS dist
-           FROM ed JOIN c2 USING (dim) GROUP BY 1, 2)
+           FROM ed JOIN c2 USING (dim) GROUP BY 1, 2)"""
+
+@query(
+    "kmeans_embeddings",
+    f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, cid AS cluster, CAST(ROUND(dist, 6) AS DOUBLE) AS dist_sq
     FROM (SELECT vec_id, cid, dist,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -6655,6 +6659,110 @@ def kmeans_q(spark, sf_dir):
     k x d centroid matrix — the same contract MLlib's k-means uses."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.kmeans_lloyd(emb, k=4, n_iter=2)
+
+
+_SEM_COS = (f"ROUND(CASE WHEN {_PAIR_ANORM} * {_PAIR_BNORM} > 0 "
+            f"THEN {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) "
+            f"ELSE 0.0 END, 8)")
+
+@query(
+    "dedup_semantic_semdedup",
+    f"""
+    WITH {_KMEANS_CTES},
+    asg AS (SELECT vec_id, cid AS cluster
+            FROM (SELECT vec_id, cid, dist,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM a3) WHERE rn = 1),
+    v AS (SELECT e2.vec_id, asg.cluster, e2.embedding
+          FROM embeddings e2 JOIN asg USING (vec_id)),
+    drp AS (SELECT DISTINCT b.vec_id
+            FROM v a JOIN v b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_SEM_COS} >= 0.25)
+    SELECT v.vec_id, v.cluster,
+           (drp.vec_id IS NULL) AS kept
+    FROM v LEFT JOIN drp ON v.vec_id = drp.vec_id
+    """,
+)
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup (`table.dedup.semantic`, Abbas et al. 2023): deterministic
+    k-means partitions the embedding space, then every vector with a
+    lower-id cluster-mate at cosine >= 0.25 is dropped (min-id survivor).
+    The quadratic cosine check is confined to clusters — O((N/k)^2) per
+    cluster with k growing with the corpus — and both stages are
+    bit-stable, so the oracle replays kmeans + prune exactly.  (Fixture
+    vectors are near-orthogonal; the demo threshold is low so drops are
+    non-vacuous.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, k=4, n_iter=2, threshold=0.25)
+
+
+def _url_canon_sql(expr: str) -> str:
+    """DuckDB twin of curation.canonical_url: same regex chain, RE2
+    backrefs (\\1) instead of Java's ($1), explicit 'g' where the Spark
+    default replace-all matters."""
+    trk = "utm_[a-z]+|fbclid|gclid|ref_src"
+    u = f"regexp_replace(trim({expr}), '(?i)^https?://', '')"
+    u = f"regexp_replace({u}, '(?i)^www\\.', '')"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '({trk})=[^&]*&', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]({trk})=[^&]*$', '')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '^([^/:]+):(80|443)($|/)', '\\1\\3')"
+    u = (f"(lower(regexp_extract({u}, '^[^/]*', 0)) || "
+         f"regexp_replace({u}, '^[^/]*', ''))")
+    return f"regexp_replace({u}, '/$', '')"
+
+
+@query(
+    "dedup_url_canonical",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'http://www.' || host || path
+               WHEN 1 THEN 'https://' || host || ':443' || path || '/'
+               WHEN 2 THEN 'HTTPS://WWW.' || upper(host) || path
+                           || '?utm_source=x&utm_campaign=y'
+               ELSE 'https://' || host || path || '#frag'
+             END AS url
+      FROM (SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example.com' AS host,
+                   '/P/' || CAST(doc_id % 11 AS VARCHAR) AS path
+            FROM documents)),
+    c AS (SELECT doc_id, {_url_canon_sql('url')} AS canonical_url FROM u)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keep_id,
+           regexp_extract(canonical_url, '^[^/]*', 0) AS url_host
+    FROM c GROUP BY 1
+    """,
+)
+def dedup_url_q(spark, sf_dir):
+    """URL-level dedup (`table.dedup.url`): the cheapest dedup tier of a
+    crawl pipeline — canonicalize (scheme/www/fragment/tracking-param/
+    port/host-case/trailing-slash) then one hash aggregate on the short
+    canonical key; only canonical strings shuffle.  The fixture corpus
+    has no URL column, so four mangled presentation variants per doc are
+    synthesized from doc_id — the operator must collapse them."""
+    from .operators.curation import url_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/P/"), (F.col("doc_id") % 11).cast("string"))
+    deco = (F.col("doc_id") % 4).cast("int")
+    url = (F.when(deco == 0, F.concat(F.lit("http://www."), host, path))
+           .when(deco == 1, F.concat(F.lit("https://"), host, F.lit(":443"),
+                                     path, F.lit("/")))
+           .when(deco == 2, F.concat(F.lit("HTTPS://WWW."), F.upper(host),
+                                     path,
+                                     F.lit("?utm_source=x&utm_campaign=y")))
+           .otherwise(F.concat(F.lit("https://"), host, path,
+                               F.lit("#frag"))))
+    return url_dup_groups(docs.select("doc_id").withColumn("url", url))
 
 
 @query(

@@ -246,3 +246,41 @@ def test_token_dropout_empty_doc(spark):
 
 def test_token_dropout_op_registered(ctx):
     assert ctx.operation_registry.resolve("text.augment.token_dropout") is not None
+
+
+def test_canonical_url_rules(spark):
+    """Every normalization rule: scheme, www, fragment, tracking params,
+    default ports, host case (path case preserved), trailing slash."""
+    from kiara_spark.operators.curation import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM/Path/", "ex.com/Path"),
+        ("https://ex.com:443/a", "ex.com/a"),
+        ("http://ex.com:80", "ex.com"),
+        ("https://ex.com/a?utm_source=x&utm_campaign=y", "ex.com/a"),
+        ("https://ex.com/a?utm_source=x&real=1&gclid=z", "ex.com/a?real=1"),
+        ("https://ex.com/a#section", "ex.com/a"),
+        ("https://ex.com:8080/a", "ex.com:8080/a"),  # non-default port kept
+        ("ex.com/a", "ex.com/a"),  # already bare
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dup_groups_min_id_survivor(ctx, spark):
+    from kiara_spark.operators.curation import url_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "https://www.ex.com/a"), (2, "HTTP://EX.com/a?utm_source=t"),
+         (3, "https://ex.com/b")],
+        "doc_id int, url string")
+    groups = {r["canonical_url"]: r for r in url_dup_groups(df).collect()}
+    assert groups["ex.com/a"]["n_dups"] == 2
+    assert groups["ex.com/a"]["keep_id"] == 1
+    assert groups["ex.com/a"]["url_host"] == "ex.com"
+    assert groups["ex.com/b"]["n_dups"] == 1
+    assert ctx.operation_registry.resolve("table.dedup.url") is not None

@@ -483,3 +483,18 @@ def test_ngram_jaccard_hash_shingles_configurable(ctx):
                                             "hash_shingles": flag})
         rows = res["pairs"].data.collect()
         assert len(rows) == 1 and rows[0]["id_a"] == 1
+
+
+def test_semantic_dedup_drops_near_duplicate_vectors(ctx, spark):
+    """SemDeDup: near-identical vectors in the same kmeans cluster -> only
+    the min id survives; orthogonal vectors all survive."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0, 0.0]),  # dups
+        (3, [0.0, 1.0, 0.0, 0.0]), (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in
+           S.semantic_dedup(df, k=2, n_iter=1, threshold=0.95).collect()}
+    assert out[1] is True and out[2] is False  # min-id survivor
+    assert out[3] is True and out[4] is True
+    assert ctx.operation_registry.resolve("table.dedup.semantic") is not None
