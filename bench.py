@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard_lsh_blocked",
     "dedup_semantic_semdedup",
     "dedup_url_canonical",
+    "text_extract_html",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -330,6 +330,34 @@ def with_normalized_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, normalize_text(F.col(text_col)))
 
 
+def extract_html_text(text: Column) -> Column:
+    """HTML -> visible text (the crawl-ingest step before any text op):
+    drop <script>/<style> blocks wholesale, break <br>/<p>/<div>/<li>/
+    heading boundaries into spaces, strip remaining tags and comments,
+    decode the common entities, collapse whitespace.
+
+    Map-only regex chain (lookaround-free: Java regex and RE2 agree; the
+    (?is) flags make . span newlines and tags case-insensitive), so
+    extraction runs at scan throughput — the trafilatura-class readability
+    heuristics stay out of scope, but this is the 95% path for turning a
+    crawled page column into the `text` column the dedup/quality family
+    consumes.  Idempotent on plain text (no tags -> only whitespace
+    collapse)."""
+    t = F.regexp_replace(text, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    t = F.regexp_replace(t, "(?is)<!--.*?-->", " ")
+    t = F.regexp_replace(t, "(?i)</?(br|p|div|li|tr|h[1-6])[^>]*>", " ")
+    t = F.regexp_replace(t, "(?s)<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+def with_extracted_html(df: DataFrame, html_col: str = "text",
+                        out_col: str = "extracted_text") -> DataFrame:
+    return df.withColumn(out_col, extract_html_text(F.col(html_col)))
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -555,6 +583,8 @@ TextQualityScore = _mk("text.quality_score", with_quality_score, "pretraining qu
 TextLanguageId = _mk("text.language_id", with_language_id, "stopword-membership langid")
 TextFingerprint = _mk("text.fingerprint", with_fingerprint, "min-k md5 shingle fingerprint")
 TextTokenCount = _mk("text.token_count", token_count_bpeish, "ws + BPE-ish token counts")
+TextExtractHtml = _mk("text.extract_html", with_extracted_html,
+                      "HTML -> visible text (tags/scripts/entities stripped)")
 
 class TextChunk(KiaraModule):
     """Fixed-size overlapping character chunks (pre-embedding splitter)."""
@@ -773,7 +803,8 @@ class TextTokenDropout(KiaraModule):
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
-           TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout]
+           TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
+           TextExtractHtml]
 OPERATIONS = [
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
@@ -792,4 +823,5 @@ OPERATIONS = [
     Operation("text.language_id", "text.language_id"),
     Operation("text.fingerprint", "text.fingerprint"),
     Operation("text.token_count", "text.token_count"),
+    Operation("text.extract_html", "text.extract_html"),
 ]

@@ -6698,6 +6698,57 @@ def dedup_semantic_q(spark, sf_dir):
     return S.semantic_dedup(emb, k=4, n_iter=2, threshold=0.25)
 
 
+def _extract_html_sql(expr: str) -> str:
+    """DuckDB twin of text.extract_html_text: same inline-flag RE2/Java
+    patterns, explicit 'g' where Spark's replace-all default matters."""
+    t = f"regexp_replace({expr}, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<!--.*?-->', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?i)</?(br|p|div|li|tr|h[1-6])[^>]*>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    t = f"replace({t}, '&nbsp;', ' ')"
+    t = f"replace({t}, '&amp;', '&')"
+    t = f"replace({t}, '&lt;', '<')"
+    t = f"replace({t}, '&gt;', '>')"
+    t = f"replace({t}, '&quot;', '\"')"
+    t = f"replace({t}, '&#39;', chr(39))"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+_HTML_TAIL = ('</p><!-- hidden --><div>Tom &amp; Jerry&nbsp;&lt;3</div>'
+              '</body></html>')
+
+@query(
+    "text_extract_html",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><script>var x = 1;</script>'
+             || '<style>p {{color:red}}</style></head><body><h1>Title '
+             || CAST(doc_id AS VARCHAR) || '</h1><p class="a">' || text
+             || '{_HTML_TAIL}' AS html
+      FROM documents)
+    SELECT doc_id, {_extract_html_sql('html')} AS extracted_text FROM h
+    """,
+)
+def text_extract_html_q(spark, sf_dir):
+    """HTML -> visible text (`text.extract_html`): the crawl-ingest step.
+    Each fixture doc is wrapped in a full page (script/style blocks,
+    comments, attributes, entities); the operator must return exactly
+    'Title <id> <text> Tom & Jerry <3'.  Map-only regex chain — scan
+    throughput at 100 TB."""
+    from .operators.text import with_extracted_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script>var x = 1;</script>'
+              '<style>p {color:red}</style></head><body><h1>Title '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="a">'), F.col("text"), F.lit(_HTML_TAIL))
+    return with_extracted_html(
+        docs.select("doc_id", html.alias("html")),
+        "html").select("doc_id", "extracted_text")
+
+
 def _url_canon_sql(expr: str) -> str:
     """DuckDB twin of curation.canonical_url: same regex chain, RE2
     backrefs (\\1) instead of Java's ($1), explicit 'g' where the Spark

@@ -284,3 +284,23 @@ def test_url_dup_groups_min_id_survivor(ctx, spark):
     assert groups["ex.com/a"]["url_host"] == "ex.com"
     assert groups["ex.com/b"]["n_dups"] == 1
     assert ctx.operation_registry.resolve("table.dedup.url") is not None
+
+
+def test_extract_html_text_rules(ctx, spark):
+    from kiara_spark.operators.text import extract_html_text
+
+    cases = [
+        ("<p>Hello</p><script>bad()</script><b>World</b>", "Hello World"),
+        ("<style>p{}</style>A<!-- x -->B", "A B"),
+        ("Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;q&#39;",
+         "Tom & Jerry <3 \"hi\" 'q'"),
+        ("line1<br/>line2<div class='c'>line3</div>", "line1 line2 line3"),
+        ("plain  text   here", "plain text here"),  # idempotent on plain
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", extract_html_text(F.col("html")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+    assert ctx.operation_registry.resolve("text.extract_html") is not None
