@@ -445,3 +445,32 @@ def test_pipeline_source_cache_invalidated_by_file_change(spark, tmp_path):
     out3 = ctx.run_pipeline(pipe, {"path": str(src)})
     assert not ctx.job_registry.history[-1].cache_hit
     assert out3["t"].data.count() == 3
+
+
+def test_crawl_curation_example_pipeline(spark, tmp_path):
+    """examples/crawl_curation.json end-to-end: raw HTML pages -> extract
+    -> URL dedup (canonical survivors only) -> normalize -> quality."""
+    from kiara_spark.context import KiaraContext
+
+    rows = []
+    for i in range(6):
+        # pairs of URL variants pointing at the same canonical page
+        url = (f"https://www.site{i % 3}.ex.com/a" if i < 3
+               else f"HTTP://site{i % 3}.ex.com/a?utm_source=t")
+        rows.append((i, url,
+                     f"<html><body><p>Page {i % 3} body text here"
+                     f"</p><script>x()</script></body></html>"))
+    import pandas as pd
+    src = str(tmp_path / "pages.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "url", "html"]).to_parquet(src)
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "home"))
+    out = ctx.run_pipeline("examples/crawl_curation.json", {"path": src})
+    report = {r["canonical_url"]: r for r in out["url_dup_report"].data.collect()}
+    assert len(report) == 3 and all(r["n_dups"] == 2 for r in report.values())
+    corpus = out["curated_corpus"].data.collect()
+    assert len(corpus) == 3  # one survivor per canonical URL
+    by_id = {r["doc_id"]: r for r in corpus}
+    assert set(by_id) == {0, 1, 2}  # min-id survivors
+    assert by_id[0]["extracted_text"] == "Page 0 body text here"
+    assert all(r["quality_score"] is not None for r in corpus)
