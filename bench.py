@@ -257,6 +257,17 @@ BENCH_QUERIES = [
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
 # alone doesn't carry.
 BENCH_NOTES = {
+    "dedup_ngram_jaccard_lsh_blocked":
+        "r4: the de-skewed jaccard path (minhash BAND keys replace the "
+        "natural `lang` block) — ~6s vs ~10s for the lang-blocked exact "
+        "variant at sf0.1, and the candidate buckets stay uniform at any "
+        "corpus size (the lang blocks grow O(corpus/20) and go quadratic).",
+    "dedup_semantic_semdedup":
+        "r4 SemDeDup: deterministic kmeans (2 Lloyd rounds, map-only "
+        "literal-centroid assignment) + within-cluster cosine prune. The "
+        "within-cluster pair join is quadratic in cluster size BY DESIGN "
+        "(k=4 demo config); at corpus scale k grows with N so clusters "
+        "stay bounded (documented on the operator).",
     "unpivot_returnflag_measures":
         "r1 0.98s -> ~1.1-1.4s since r2: the melt itself is an unchanged "
         "map-only Expand over 5 rows; the time is the 3-split lineitem "
