@@ -88,13 +88,21 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--save requires an alias name") from None
             del argv[i:i + 2]
         inputs = _parse_inputs(argv)
-        # service routing: a live daemon answers without paying Spark startup
-        if not op.endswith((".json", ".yaml", ".yml")) and not explain:
+        # service routing: a live daemon answers without paying Spark
+        # startup (pipelines route too — save is local-context only)
+        is_pipeline = op.endswith((".json", ".yaml", ".yml"))
+        if not explain and not (is_pipeline and save):
             from . import service as _svc
 
             if os.environ.get("KIARA_SPARK_SERVICE") and _svc.is_running():
-                resp = _svc.request({"cmd": "run", "operation": op,
-                                     "inputs": inputs, "save": save})
+                if is_pipeline:
+                    payload = {"cmd": "run_pipeline",
+                               "pipeline": os.path.abspath(op),
+                               "inputs": inputs}
+                else:
+                    payload = {"cmd": "run", "operation": op,
+                               "inputs": inputs, "save": save}
+                resp = _svc.request(payload)
                 if not resp.get("ok"):
                     print(f"error: {resp.get('error')}", file=sys.stderr)
                     return 2

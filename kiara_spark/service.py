@@ -19,6 +19,11 @@ Protocol (one JSON object per line, one request per connection):
      "inputs": {...}, "operation_config": {}|null, "save": str|null}
         -> {"ok": true, "cache_hit": bool,
             "outputs": {name: {"type": t, "rendered": str}}}
+    {"cmd": "run_pipeline", "pipeline": <path or config dict>,
+     "inputs": {...}}
+        -> same shape; the daemon's composite pipeline cache makes a
+           repeated pipeline answer without stepping (and, under
+           data_hash, across daemon restarts from the warehouse)
 
 Inputs are JSON scalars or value references (``alias:x`` / ``value:uuid``)
 resolved inside the service context — DataFrames never cross the process
@@ -110,6 +115,12 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
             req["operation"], req.get("inputs") or {},
             operation_config=req.get("operation_config"),
             save=req.get("save"))
+        hist = ctx.job_registry.history
+        return {"ok": True,
+                "cache_hit": bool(hist and hist[-1].cache_hit),
+                "outputs": _render_outputs(outputs)}, True
+    if cmd == "run_pipeline":
+        outputs = ctx.run_pipeline(req["pipeline"], req.get("inputs") or {})
         hist = ctx.job_registry.history
         return {"ok": True,
                 "cache_hit": bool(hist and hist[-1].cache_hit),

@@ -93,3 +93,25 @@ def test_status_not_running(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("KIARA_SPARK_SERVICE", str(tmp_path / "nope.sock"))
     assert main(["service", "status"]) == 1
     assert "not running" in capsys.readouterr().out
+
+
+def test_pipeline_routes_through_service(service, monkeypatch, capsys):
+    """Pipeline files route through the daemon too; the second run hits
+    the composite pipeline cache without stepping."""
+    import time as _time
+
+    from kiara_spark.cli import main
+
+    monkeypatch.setenv("KIARA_SPARK_SERVICE", service)
+    args = ["run", "examples/llm_data_prep.json",
+            "path=/root/testdata/sf0.001/documents.parquet",
+            "min_quality=quality_score >= 0.3",
+            "summary_query=select lang, count(*) as n from data group by 1"]
+    assert main(args) == 0
+    first = capsys.readouterr().out
+    assert "clean_corpus" in first and "corpus_summary" in first
+    t0 = _time.monotonic()
+    assert main(args) == 0
+    second = capsys.readouterr().out
+    assert "cache hit" in second
+    assert _time.monotonic() - t0 < 5.0
