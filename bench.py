@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "dedup_semantic_semdedup",
     "dedup_url_canonical",
     "text_extract_html",
+    "dedup_paragraphs_boilerplate",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

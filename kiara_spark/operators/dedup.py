@@ -284,6 +284,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/C4 line-level policy at
+    paragraph granularity): a paragraph whose NORMALIZED form occurs >=
+    ``min_count`` times across the corpus is removed from EVERY document;
+    the document survives with its unique paragraphs stitched back in
+    order.  Boilerplate (nav text, cookie banners, footers) dies corpus-
+    wide without dropping the documents that carry it.
+
+    Plan shape (all linear — the doc-level quadratic never appears):
+      1. split each doc on blank-line paragraph boundaries, explode to
+         (doc, position, paragraph) — one map + explode;
+      2. count normalized-paragraph md5s corpus-wide — ONE hash aggregate
+         with map-side combine; only 16-byte digests shuffle, never text;
+      3. semi-join paragraph rows against the duplicated digests
+         (broadcastable when boilerplate is rare — AQE decides), flag;
+      4. reassemble per doc: groupBy(doc) with a position-sorted
+         collect_list of surviving paragraphs.
+
+    Returns (id, cleaned_text, n_paragraphs, n_removed).  Documents that
+    were ALL boilerplate come back with empty cleaned_text — the caller's
+    length filter (text.quality_score) drops them, keeping each policy
+    single-purpose."""
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\\n\\s*\\n")).alias("_p", "_para"),
+    ).withColumn("_norm", normalized_text(F.col("_para"))).filter(
+        F.length("_norm") >= min_chars)
+    paras = paras.withColumn("_h", F.md5(F.col("_norm")))
+    paras = cut_lineage(paras)
+    dup = (paras.groupBy("_h").count()
+           .filter(F.col("count") >= min_count).select("_h"))
+    flagged = paras.join(dup.withColumn("_dup", F.lit(True)), "_h", "left")
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.concat_ws("\n\n", F.array_sort(
+                F.collect_list(F.when(F.col("_dup").isNull(), F.struct(
+                    F.col("_p"), F.col("_para"))))
+            ).getField("_para")).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+class DedupParagraphs(KiaraModule):
+    """Corpus-wide exact paragraph dedup: duplicated paragraphs removed
+    from every document, unique paragraphs stitched back in order."""
+
+    _module_type_name = "table.dedup.paragraphs"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": dedup_paragraphs(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("min_count", 2),
+            self.config.get("min_chars", 1),
+        )}
+
+
 def ngram_jaccard_pairs_lsh(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -873,7 +947,7 @@ class DedupFuzzyLevenshtein(KiaraModule):
 
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
            DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans,
-           DedupMinhashIncremental]
+           DedupMinhashIncremental, DedupParagraphs]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
@@ -883,4 +957,5 @@ OPERATIONS = [
     Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
     Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),
     Operation("table.dedup.minhash_incremental", "table.dedup.minhash_incremental"),
+    Operation("table.dedup.paragraphs", "table.dedup.paragraphs"),
 ]

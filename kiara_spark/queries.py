@@ -1016,6 +1016,52 @@ def dedup_jaccard_lsh_q(spark, sf_dir):
 
 
 @query(
+    "dedup_paragraphs_boilerplate",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             'Cookie banner accept all cookies' || chr(10) || chr(10)
+             || 'shared for lang ' || lang || chr(10) || chr(10) || text AS t
+      FROM documents),
+    paras AS (
+      SELECT doc_id, generate_subscripts(ps, 1) AS pos, unnest(ps) AS para
+      FROM (SELECT doc_id, regexp_split_to_array(t, '\\n\\s*\\n') AS ps
+            FROM docs2)),
+    norm AS (
+      SELECT doc_id, pos, para,
+             md5(regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')) AS h
+      FROM paras
+      WHERE length(regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')) >= 1),
+    dupes AS (SELECT h FROM norm GROUP BY h HAVING COUNT(*) >= 2),
+    flagged AS (
+      SELECT n.doc_id, n.pos, n.para, (d.h IS NOT NULL) AS isdup
+      FROM norm n LEFT JOIN dupes d ON n.h = d.h)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT isdup THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '')
+             AS cleaned_text,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs_q(spark, sf_dir):
+    """Paragraph-level exact dedup (`table.dedup.paragraphs`, the
+    RefinedWeb boilerplate-removal policy): every doc is wrapped with a
+    corpus-wide cookie-banner paragraph and a per-language shared
+    paragraph; both must be removed from every document (only md5 digests
+    shuffle) while each doc's unique body survives, stitched in order."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("Cookie banner accept all cookies\n\n"),
+                 F.lit("shared for lang "), F.col("lang"),
+                 F.lit("\n\n"), F.col("text")).alias("text"))
+    return D.dedup_paragraphs(wrapped)
+
+
+@query(
     "text_duplicate_ngram_spans",
     """
     WITH toks AS (

@@ -498,3 +498,23 @@ def test_semantic_dedup_drops_near_duplicate_vectors(ctx, spark):
     assert out[1] is True and out[2] is False  # min-id survivor
     assert out[3] is True and out[4] is True
     assert ctx.operation_registry.resolve("table.dedup.semantic") is not None
+
+
+def test_dedup_paragraphs_removes_boilerplate_keeps_order(ctx, spark):
+    rows = [
+        (1, "BOILER\n\nunique one\n\nmid shared\n\ntail one"),
+        (2, "BOILER\n\nunique two\n\nmid shared"),
+        (3, "solo document with no shared paragraphs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in D.dedup_paragraphs(df).collect()}
+    assert out[1]["cleaned_text"] == "unique one\n\ntail one"
+    assert out[1]["n_paragraphs"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["cleaned_text"] == "unique two"
+    assert out[3]["cleaned_text"] == rows[2][1] and out[3]["n_removed"] == 0
+    # all-boilerplate doc comes back empty, not dropped
+    df2 = spark.createDataFrame(
+        [(1, "same\n\nsame2"), (2, "same\n\nsame2")], "doc_id int, text string")
+    out2 = {r["doc_id"]: r for r in D.dedup_paragraphs(df2).collect()}
+    assert out2[1]["cleaned_text"] == "" and out2[1]["n_removed"] == 2
+    assert ctx.operation_registry.resolve("table.dedup.paragraphs") is not None
