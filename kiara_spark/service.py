@@ -153,19 +153,25 @@ def serve(path: str | None = None, base_path: str | None = None) -> None:
         serving = True
         while serving:
             conn, _ = srv.accept()
-            with conn:
-                f = conn.makefile("rwb")
-                line = f.readline()
-                if not line:
-                    continue
-                try:
-                    req = json.loads(line.decode())
-                    resp, serving = _handle(ctx, req)
-                except Exception as exc:  # noqa: BLE001 — report, keep serving
-                    resp = {"ok": False,
-                            "error": f"{type(exc).__name__}: {exc}"}
-                f.write(json.dumps(resp).encode() + b"\n")
-                f.flush()
+            # a misbehaving client (disconnect mid-request, broken pipe on
+            # the response write) must never take the daemon down — the
+            # whole point is outliving its clients
+            try:
+                with conn:
+                    f = conn.makefile("rwb")
+                    line = f.readline()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line.decode())
+                        resp, serving = _handle(ctx, req)
+                    except Exception as exc:  # noqa: BLE001 — report, serve on
+                        resp = {"ok": False,
+                                "error": f"{type(exc).__name__}: {exc}"}
+                    f.write(json.dumps(resp).encode() + b"\n")
+                    f.flush()
+            except OSError:
+                continue
     finally:
         srv.close()
         if os.path.exists(path):

@@ -115,3 +115,25 @@ def test_pipeline_routes_through_service(service, monkeypatch, capsys):
     second = capsys.readouterr().out
     assert "cache hit" in second
     assert _time.monotonic() - t0 < 5.0
+
+
+def test_daemon_survives_client_disconnect(service):
+    """A client that connects and vanishes mid-request (or before reading
+    the response) must not kill the daemon."""
+    import socket as _socket
+
+    from kiara_spark import service as svc
+
+    # connect and drop without sending anything
+    s = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+    s.connect(service)
+    s.close()
+    # send a request then close before reading the (large) response
+    s = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+    s.connect(service)
+    s.sendall(b'{"cmd": "run", "operation": "create.table.from.file", '
+              b'"inputs": {"path": "/root/testdata/sf0.001/orders.parquet"}}\n')
+    s.close()
+    import time as _time
+    _time.sleep(1.0)
+    assert svc.is_running(service)
