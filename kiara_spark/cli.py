@@ -102,16 +102,25 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     payload = {"cmd": "run", "operation": op,
                                "inputs": inputs, "save": save}
-                resp = _svc.request(payload)
-                if not resp.get("ok"):
-                    print(f"error: {resp.get('error')}", file=sys.stderr)
-                    return 2
-                if resp.get("cache_hit"):
-                    print("(cache hit — loaded stored outputs, no execution)")
-                for name, o in resp["outputs"].items():
-                    print(f"-- {name} ({o['type']})")
-                    print(o["rendered"])
-                return 0
+                try:
+                    resp = _svc.request(payload)
+                except (OSError, ValueError):
+                    # daemon died between ping and response (r4 review):
+                    # fall through to the local-context path below
+                    resp = None
+                if resp is not None:
+                    if not resp.get("ok"):
+                        print(f"error: {resp.get('error')}", file=sys.stderr)
+                        return 2
+                    if resp.get("cache_hit"):
+                        print("(cache hit — loaded stored outputs, "
+                              "no execution)")
+                    for name, o in resp["outputs"].items():
+                        print(f"-- {name} ({o['type']})")
+                        print(o["rendered"])
+                    return 0
+                print("(service unreachable — running locally)",
+                      file=sys.stderr)
         ctx = KiaraContext()
         if op.endswith((".json", ".yaml", ".yml")):
             outputs = ctx.run_pipeline(op, inputs)

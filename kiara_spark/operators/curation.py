@@ -400,8 +400,12 @@ def canonical_url(url):
     u = F.regexp_replace(F.trim(u), "(?i)^https?://", "")
     u = F.regexp_replace(u, "(?i)^www\\.", "")
     u = F.regexp_replace(u, "#.*$", "")
-    u = F.regexp_replace(u, f"({TRACKING_PARAMS})=[^&]*&", "")
-    u = F.regexp_replace(u, f"[?&]({TRACKING_PARAMS})=[^&]*$", "")
+    # tracking params must be anchored at a separator — an unanchored
+    # pattern would eat 'fbclid=1' out of a param NAMED 'xfbclid' (r4
+    # review).  One global pass removes separator+param+value; a surviving
+    # leading '&' (first param removed) is then promoted to '?'
+    u = F.regexp_replace(u, f"[?&]({TRACKING_PARAMS})=[^&]*", "")
+    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
     u = F.regexp_replace(u, "\\?$", "")
     u = F.regexp_replace(u, "^([^/:]+):(80|443)($|/)", "$1$3")
     u = F.concat(F.lower(F.regexp_extract(u, "^[^/]*", 0)),

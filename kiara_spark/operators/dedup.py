@@ -308,21 +308,28 @@ def dedup_paragraphs(
       4. reassemble per doc: groupBy(doc) with a position-sorted
          collect_list of surviving paragraphs.
 
-    Returns (id, cleaned_text, n_paragraphs, n_removed).  Documents that
-    were ALL boilerplate come back with empty cleaned_text — the caller's
-    length filter (text.quality_score) drops them, keeping each policy
-    single-purpose."""
+    Returns (id, cleaned_text, n_paragraphs, n_removed) with EXACTLY one
+    row per input document — an all-boilerplate (or empty) document comes
+    back with empty cleaned_text and survives for downstream joins; the
+    caller's length filter (text.quality_score) decides whether to drop
+    it, keeping each policy single-purpose.  Paragraphs whose normalized
+    form is shorter than ``min_chars`` are EXEMPT from dedup (kept, never
+    counted as duplicates) — short fragments like headings collide by
+    accident, and a dedup pass must never delete text it didn't prove
+    duplicated.  Empty paragraphs (blank-line runs) are split artifacts
+    and don't count."""
     paras = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\\n\\s*\\n")).alias("_p", "_para"),
     ).withColumn("_norm", normalized_text(F.col("_para"))).filter(
-        F.length("_norm") >= min_chars)
-    paras = paras.withColumn("_h", F.md5(F.col("_norm")))
+        F.length("_norm") > 0)
+    paras = paras.withColumn(
+        "_h", F.when(F.length("_norm") >= min_chars, F.md5(F.col("_norm"))))
     paras = cut_lineage(paras)
-    dup = (paras.groupBy("_h").count()
+    dup = (paras.filter(F.col("_h").isNotNull()).groupBy("_h").count()
            .filter(F.col("count") >= min_count).select("_h"))
     flagged = paras.join(dup.withColumn("_dup", F.lit(True)), "_h", "left")
-    return (
+    agg = (
         flagged.groupBy(F.col("_id").alias(id_col))
         .agg(
             F.concat_ws("\n\n", F.array_sort(
@@ -334,6 +341,13 @@ def dedup_paragraphs(
             .cast("bigint").alias("n_removed"),
         )
     )
+    # one row per INPUT doc: documents whose every paragraph was filtered
+    # (empty text) must not vanish from the output
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_paragraphs", F.lit(0)).cast("bigint").alias("n_paragraphs"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"))
 
 
 class DedupParagraphs(KiaraModule):

@@ -742,8 +742,13 @@ def backfill_by_partition(
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(partition_col)
          .parquet(path))
+    # a FORCED partition with no source rows cannot be restated by the
+    # dynamic write (nothing to overwrite with) — surface it instead of
+    # silently ignoring the request; the caller decides whether the
+    # stale dir should be deleted (a retraction) or the force was a typo
     return {"written": todo,
             "skipped": [v for v in want if v not in todo],
+            "missing_in_source": sorted(v for v in force if v not in want),
             "has_null_partition": has_null}
 
 
@@ -860,7 +865,9 @@ def _table_from_file_process(self, im, ctx):
     # accepts either a raw path string or a `file` value (the reference's
     # table_import.json wires import.local.file -> create.table.from.file
     # through the file field; see tests/resources/pipelines/table_import.json)
-    if "path" in im and im["path"].data is not None:
+    if self.config.get("path") is not None:
+        path = self.config["path"]  # config pins win (the _cfg convention)
+    elif "path" in im and im["path"].data is not None:
         path = im["path"].data
     elif "file" in im:
         path = im["file"].data.path

@@ -347,8 +347,11 @@ def extract_html_text(text: Column) -> Column:
     t = F.regexp_replace(t, "(?is)<!--.*?-->", " ")
     t = F.regexp_replace(t, "(?i)</?(br|p|div|li|tr|h[1-6])[^>]*>", " ")
     t = F.regexp_replace(t, "(?s)<[^>]*>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # '&amp;' decodes LAST: an escaped entity reference like '&amp;lt;'
+    # renders as the literal '&lt;', and decoding amp first would
+    # double-decode it into '<' (r4 review)
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, "\\s+", " "))
 

@@ -27,23 +27,32 @@ from .structure import PipelineStructure
 
 
 def _path_fingerprint(p: str) -> str | None:
-    """Cheap external-state identity for a local path: file -> size+mtime,
-    dir -> recursive (count, bytes, max mtime).  None when ``p`` is not an
-    existing path (plain string inputs fingerprint as themselves via their
-    content hash)."""
+    """Cheap external-state identity for a local path: file ->
+    size+mtime; dir -> md5 over the sorted (relpath, size, mtime) listing,
+    so renames and same-size/same-total swaps change the fingerprint
+    (aggregate count/bytes/max-mtime was blind to both — r4 review).
+    None when ``p`` is not an existing local path (globs, remote URIs,
+    plain strings) — the composite-cache gate treats None as
+    not-fingerprintable and disables caching for source steps that depend
+    on it."""
+    import hashlib
+
     try:
         if os.path.isfile(p):
             st = os.stat(p)
             return f"file:{st.st_size}:{st.st_mtime_ns}"
         if os.path.isdir(p):
-            n = tot = mx = 0
+            entries = []
             for root, _, files in os.walk(p):
                 for fn in files:
-                    st = os.stat(os.path.join(root, fn))
-                    n += 1
-                    tot += st.st_size
-                    mx = max(mx, st.st_mtime_ns)
-            return f"dir:{n}:{tot}:{mx}"
+                    full = os.path.join(root, fn)
+                    st = os.stat(full)
+                    entries.append(
+                        f"{os.path.relpath(full, p)}:{st.st_size}:"
+                        f"{st.st_mtime_ns}")
+            digest = hashlib.md5(
+                "\n".join(sorted(entries)).encode()).hexdigest()
+            return f"dir:{len(entries)}:{digest}"
     except OSError:
         return None
     return None
@@ -92,36 +101,64 @@ def run_pipeline(
     # pipeline re-runs.  Registration here never changes what the steps
     # see — they bind from the raw ``provided`` map exactly as before.
     key_raw: dict[str, Any] = {}
+    fingerprinted: set[str] = set()
     for alias, raw in provided.items():
         key_raw[alias] = raw
         if isinstance(raw, str):
             fp = _path_fingerprint(raw)
             if fp is not None:
                 key_raw[f"__fp__{alias}"] = fp
-    key_inputs = ValueMap({
-        alias: (raw if isinstance(raw, Value)
-                else context.data_registry.register_data(raw, data_type="any"))
-        for alias, raw in key_raw.items()
-    })
+                fingerprinted.add(alias)
     if persist is None:
         persist = context.job_registry.strategy == "data_hash"
     # composite-cache gate (same spirit as the single-job idempotency gate,
     # reference jobs/__init__.py:466-472): side-effect steps (exports) are
-    # never cacheable; SOURCE steps are cacheable only when every one of
-    # their inputs binds from pipeline inputs/config — i.e. is covered by
-    # the path fingerprints above — never from an upstream step output
-    # (which the fingerprint cannot see).
+    # never cacheable; SOURCE steps are cacheable only when the external
+    # state they read is PROVABLY in the key — every 'path'-named binding
+    # (input or config) must be a local path that actually fingerprinted.
+    # A glob, remote URI, upstream-fed path, or config path that failed to
+    # fingerprint means the key can't see the outside world -> no caching
+    # (r4 review: the earlier gate assumed coverage instead of checking it).
+    def _source_step_covered(step_id: str) -> bool:
+        step = structure.step(step_id)
+        module = structure.module_for(step_id)
+        for field_name in module.inputs_schema:
+            if "path" not in field_name:
+                continue
+            alias = next(
+                (pi.alias for pi in structure.pipeline_inputs
+                 if pi.step_id == step_id and pi.field_name == field_name),
+                None)
+            if alias is not None and alias in provided \
+                    and alias not in fingerprinted:
+                return False
+        for ck, cv in (step.module_config or {}).items():
+            if "path" not in ck:
+                continue
+            fp = _path_fingerprint(cv) if isinstance(cv, str) else None
+            if fp is None:
+                return False
+            key_raw[f"__fp__cfg__{step_id}__{ck}"] = fp
+        return True
+
     cacheable = True
     for stage in structure.stages:
         for step_id in stage:
             ch = structure.module_for(step_id).characteristics
             if ch.is_idempotent:
                 continue
-            if not ch.is_source or structure.step(step_id).input_links:
+            if (not ch.is_source
+                    or structure.step(step_id).input_links
+                    or not _source_step_covered(step_id)):
                 cacheable = False
                 break
         if not cacheable:
             break
+    key_inputs = ValueMap({
+        alias: (raw if isinstance(raw, Value)
+                else context.data_registry.register_data(raw, data_type="any"))
+        for alias, raw in key_raw.items()
+    })
 
     def _compute() -> ValueMap:
         return _run_steps(context, structure, provided)

@@ -1035,15 +1035,21 @@ def dedup_jaccard_lsh_q(spark, sf_dir):
     dupes AS (SELECT h FROM norm GROUP BY h HAVING COUNT(*) >= 2),
     flagged AS (
       SELECT n.doc_id, n.pos, n.para, (d.h IS NOT NULL) AS isdup
-      FROM norm n LEFT JOIN dupes d ON n.h = d.h)
-    SELECT doc_id,
-           COALESCE(string_agg(CASE WHEN NOT isdup THEN para END,
-                               chr(10) || chr(10) ORDER BY pos), '')
-             AS cleaned_text,
-           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
-           CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_removed
-    FROM flagged GROUP BY doc_id
+      FROM norm n LEFT JOIN dupes d ON n.h = d.h),
+    agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT isdup THEN para END,
+                                 chr(10) || chr(10) ORDER BY pos), '')
+               AS cleaned_text,
+             CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+             CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM flagged GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(a.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def dedup_paragraphs_q(spark, sf_dir):
@@ -6752,11 +6758,11 @@ def _extract_html_sql(expr: str) -> str:
     t = f"regexp_replace({t}, '(?i)</?(br|p|div|li|tr|h[1-6])[^>]*>', ' ', 'g')"
     t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
     t = f"replace({t}, '&nbsp;', ' ')"
-    t = f"replace({t}, '&amp;', '&')"
     t = f"replace({t}, '&lt;', '<')"
     t = f"replace({t}, '&gt;', '>')"
     t = f"replace({t}, '&quot;', '\"')"
     t = f"replace({t}, '&#39;', chr(39))"
+    t = f"replace({t}, '&amp;', '&')"  # amp LAST: no double-decode
     return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
 
 
@@ -6803,8 +6809,8 @@ def _url_canon_sql(expr: str) -> str:
     u = f"regexp_replace(trim({expr}), '(?i)^https?://', '')"
     u = f"regexp_replace({u}, '(?i)^www\\.', '')"
     u = f"regexp_replace({u}, '#.*$', '')"
-    u = f"regexp_replace({u}, '({trk})=[^&]*&', '', 'g')"
-    u = f"regexp_replace({u}, '[?&]({trk})=[^&]*$', '')"
+    u = f"regexp_replace({u}, '[?&]({trk})=[^&]*', '', 'g')"
+    u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
     u = f"regexp_replace({u}, '\\?$', '')"
     u = f"regexp_replace({u}, '^([^/:]+):(80|443)($|/)', '\\1\\3')"
     u = (f"(lower(regexp_extract({u}, '^[^/]*', 0)) || "

@@ -158,8 +158,15 @@ def serve(path: str | None = None, base_path: str | None = None) -> None:
             # whole point is outliving its clients
             try:
                 with conn:
+                    # a connected-but-silent client must not wedge the
+                    # sequential accept loop: clients send their one
+                    # request immediately, so a 30s read deadline is
+                    # generous; the timeout lifts before the (possibly
+                    # long-computing) response is written
+                    conn.settimeout(30.0)
                     f = conn.makefile("rwb")
                     line = f.readline()
+                    conn.settimeout(None)
                     if not line:
                         continue
                     try:

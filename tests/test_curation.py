@@ -304,3 +304,38 @@ def test_extract_html_text_rules(ctx, spark):
     for i, (h, want) in enumerate(cases):
         assert got[i] == want, (h, got[i], want)
     assert ctx.operation_registry.resolve("text.extract_html") is not None
+
+
+def test_canonical_url_tracking_param_boundaries(spark):
+    """r4 review: tracking-param removal must anchor at a separator —
+    'xfbclid' is NOT a tracking param; consecutive tracking params all go;
+    a removed first param promotes the next separator to '?'."""
+    from kiara_spark.operators.curation import canonical_url
+
+    cases = [
+        ("https://ex.com/?xfbclid=1&a=2", "ex.com/?xfbclid=1&a=2"),
+        ("https://ex.com/?utm_a=1&utm_b=2&real=3", "ex.com/?real=3"),
+        ("https://ex.com/?utm_a=1&real=2&gclid=3&utm_c=4", "ex.com/?real=2"),
+        ("https://ex.com/p?fbclid=x", "ex.com/p"),
+        ("https://ex.com/p?a=utm_source%3Dx", "ex.com/p?a=utm_source%3Dx"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_extract_html_no_double_entity_decode(ctx, spark):
+    """r4 review: '&amp;lt;' renders as the literal '&lt;' — amp decodes
+    LAST so escaped entity references never double-decode."""
+    from kiara_spark.operators.text import extract_html_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;lt; b</p>"), (2, "<p>x &amp;amp; y</p>")],
+        "i int, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", extract_html_text(F.col("html")).alias("t")).collect()}
+    assert got[1] == "a &lt; b"
+    assert got[2] == "x &amp; y"

@@ -474,3 +474,75 @@ def test_crawl_curation_example_pipeline(spark, tmp_path):
     assert set(by_id) == {0, 1, 2}  # min-id survivors
     assert by_id[0]["extracted_text"] == "Page 0 body text here"
     assert all(r["quality_score"] is not None for r in corpus)
+
+
+def test_pipeline_source_not_cacheable_without_fingerprint(spark, tmp_path):
+    """r4 review: a source step whose path is a glob/remote URI (no local
+    fingerprint) must DISABLE the composite cache — the key cannot see the
+    external state, so a hit could serve stale results."""
+    import shutil
+
+    from kiara_spark.context import KiaraContext
+
+    d = tmp_path / "globdir"
+    d.mkdir()
+    src = d / "a.csv"
+    src.write_text("k,v\n1,a\n")
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "h5"),
+                       cache_strategy="data_hash")
+    pipe = {
+        "pipeline_name": "globload",
+        "steps": [{"step_id": "load", "module_type": "create.table.from.file",
+                   "module_config": {"file_format": "csv"}}],
+        "input_aliases": {"load.path": "path"},
+        "output_aliases": {"load.table": "t"},
+    }
+    glob_path = str(d / "*.csv")
+    out1 = ctx.run_pipeline(pipe, {"path": glob_path})
+    assert out1["t"].data.count() == 1
+    out2 = ctx.run_pipeline(pipe, {"path": glob_path})
+    assert not ctx.job_registry.history[-1].cache_hit  # never cached
+    # and results track the file set
+    (d / "b.csv").write_text("k,v\n2,b\n3,c\n")
+    out3 = ctx.run_pipeline(pipe, {"path": glob_path})
+    assert out3["t"].data.count() == 3
+
+
+def test_pipeline_config_path_fingerprinted(spark, tmp_path):
+    """A source step whose path lives in module_config (not a pipeline
+    input) must bind that file's fingerprint into the composite key."""
+    import time as _time
+
+    from kiara_spark.context import KiaraContext
+
+    src = tmp_path / "cfg.csv"
+    src.write_text("k,v\n1,a\n")
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "h6"),
+                       cache_strategy="data_hash")
+    pipe = {
+        "pipeline_name": "cfgload",
+        "steps": [{"step_id": "load", "module_type": "create.table.from.file",
+                   "module_config": {"path": str(src)}}],
+        "output_aliases": {"load.table": "t"},
+    }
+    assert ctx.run_pipeline(pipe, {})["t"].data.count() == 1
+    ctx.run_pipeline(pipe, {})
+    assert ctx.job_registry.history[-1].cache_hit
+    _time.sleep(0.01)
+    src.write_text("k,v\n1,a\n2,b\n")
+    out = ctx.run_pipeline(pipe, {})
+    assert not ctx.job_registry.history[-1].cache_hit
+    assert out["t"].data.count() == 2
+
+
+def test_dir_fingerprint_sees_renames(tmp_path):
+    from kiara_spark.pipeline.runner import _path_fingerprint
+
+    d = tmp_path / "fp"
+    d.mkdir()
+    (d / "a.txt").write_text("xx")
+    fp1 = _path_fingerprint(str(d))
+    (d / "a.txt").rename(d / "b.txt")
+    fp2 = _path_fingerprint(str(d))
+    assert fp1 != fp2  # rename changes the fingerprint
+    assert _path_fingerprint(str(d / "*.txt")) is None  # glob: no fp

@@ -460,3 +460,17 @@ def test_backfill_single_job_for_missing_set(spark, tmp_path):
 
     j2, j12 = jobs_for(2, "bf2"), jobs_for(12, "bf12")
     assert j12 == j2, (j2, j12)  # constant jobs, independent of N
+
+
+def test_backfill_reports_forced_partition_missing_from_source(spark, tmp_path):
+    """r4 review: a forced partition with zero source rows cannot be
+    restated by the dynamic write — it must be reported, not silently
+    ignored."""
+    from kiara_spark.operators.tables import backfill_by_partition
+
+    out = str(tmp_path / "bfm")
+    df = spark.range(0, 20).withColumn("day", (F.col("id") % 2).cast("string"))
+    r1 = backfill_by_partition(df, out, "day")
+    assert r1["missing_in_source"] == []
+    r2 = backfill_by_partition(df, out, "day", overwrite_partitions=["9"])
+    assert r2["missing_in_source"] == ["9"] and r2["written"] == []

@@ -518,3 +518,25 @@ def test_dedup_paragraphs_removes_boilerplate_keeps_order(ctx, spark):
     out2 = {r["doc_id"]: r for r in D.dedup_paragraphs(df2).collect()}
     assert out2[1]["cleaned_text"] == "" and out2[1]["n_removed"] == 2
     assert ctx.operation_registry.resolve("table.dedup.paragraphs") is not None
+
+
+def test_dedup_paragraphs_min_chars_exempts_short_and_keeps_empty_docs(spark):
+    """r4 review: short paragraphs are EXEMPT from dedup (kept, never
+    deleted), and documents whose text is empty still appear in the
+    output with empty cleaned_text."""
+    rows = [
+        (1, "hi\n\nlong unique paragraph one\n\nshared long paragraph here"),
+        (2, "hi\n\nlong unique paragraph two\n\nshared long paragraph here"),
+        (3, ""),
+        (4, "   \n\n  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           D.dedup_paragraphs(df, min_chars=10).collect()}
+    assert len(out) == 4  # one row per input doc, always
+    # 'hi' (<10 chars) repeats but is exempt: kept in both docs
+    assert out[1]["cleaned_text"] == "hi\n\nlong unique paragraph one"
+    assert out[2]["cleaned_text"] == "hi\n\nlong unique paragraph two"
+    assert out[1]["n_removed"] == 1 and out[1]["n_paragraphs"] == 3
+    assert out[3]["cleaned_text"] == "" and out[3]["n_paragraphs"] == 0
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 0
