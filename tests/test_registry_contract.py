@@ -94,3 +94,32 @@ def test_bench_covers_every_registered_query():
 
     unbenched = set(e.queries()) - set(BENCH_QUERIES) - set(STREAMING_EXTRA_QUERIES)
     assert not unbenched, f"queries missing a bench entry: {sorted(unbenched)}"
+
+
+def test_query_order_rotates_by_recorded_history():
+    """The driver records the FIRST 50 queries; ordering must put
+    never-recorded (oracle-backed first) ahead of already-recorded ones,
+    derived from the committed CORRECTNESS_r*.json history."""
+    import json
+    from pathlib import Path
+
+    from kiara_spark.queries import ORACLE, QUERIES, _recorded_counts
+
+    counts = _recorded_counts()
+    # sanity: the helper reads the committed files
+    root = Path(__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "committed correctness history expected"
+    rec_any = set()
+    for p in files:
+        doc = json.loads(p.read_text())
+        rec_any |= set(doc.get("queries", doc))
+    assert rec_any <= set(counts) and all(counts[n] >= 1 for n in rec_any)
+    # ordering invariant: counts are non-decreasing along the query list,
+    # and within the first tie-group oracle-backed entries come first
+    names = list(QUERIES)
+    keys = [(counts.get(n, 0), n not in ORACLE) for n in names]
+    assert keys == sorted(keys), "queries not ordered by (recorded, oracle)"
+    first50 = names[:50]
+    assert all(counts.get(n, 0) == min(counts.get(m, 0) for m in names)
+               for n in first50)

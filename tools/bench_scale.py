@@ -58,6 +58,9 @@ PROBE_QUERIES = [
     # replicated (skewed-language) corpus — the whole point of LSH-band
     # blocking over the natural `lang` key
     "dedup_ngram_jaccard_lsh_blocked",
+    # round 4: paragraph dedup is explode + one digest aggregate +
+    # semi-join + reassembly — must hold near-linear at 10x
+    "dedup_paragraphs_boilerplate",
 ]
 
 EXCLUDED = {
@@ -66,6 +69,12 @@ EXCLUDED = {
         "verify for bounded blocks, not a corpus-scale path (see "
         "bench.BENCH_NOTES); at 10x it is 100x pair verifications by "
         "construction, so the probe would only re-measure the definition.",
+    "dedup_semantic_semdedup":
+        "the demo config pins k=4, so at 10x data each kmeans cluster is "
+        "10x larger and the within-cluster cosine check is ~100x pairs by "
+        "construction; the operator's scale contract is k growing with "
+        "the corpus (documented on semantic_dedup), which a fixed-k probe "
+        "cannot exercise.",
 }
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
