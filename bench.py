@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "dedup_url_canonical",
     "text_extract_html",
     "dedup_paragraphs_boilerplate",
+    "dedup_minhash_incremental_indexed",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

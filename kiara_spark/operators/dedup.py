@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import cut_lineage
-from ..modules import KiaraModule
+from ..modules import KiaraModule, ModuleCharacteristics
 from ..operations import Operation
 from ..values import ValueMap
 from .text import base_hash32, shingles_col, word_shingles_col
@@ -594,6 +594,71 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("_id", "band.band_id", "band.band_key")
 
 
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    shingle_unit: str = "char",
+) -> dict:
+    """Build and PERSIST the corpus band index — the production shape for
+    daily-ingest dedup: at 16 bigints/doc the index is ~1/1000th the
+    corpus bytes, and every future batch screens against it WITHOUT
+    rescanning 100 TB of corpus text (the signature scan is the dominant
+    cost of :func:`minhash_dedup_incremental`).
+
+    Writes (id, band_id, band_key) parquet plus a ``_index_meta.json``
+    sidecar pinning the sketch parameters — a screen with MISMATCHED
+    parameters would silently produce garbage candidates, so the loader
+    refuses incompatible indexes instead."""
+    import json
+    import os
+
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k,
+                                shingle_unit)
+    band_rows = _band_rows(sig, num_hashes, bands).withColumnRenamed(
+        "_id", id_col)
+    band_rows.write.mode("overwrite").parquet(path)
+    meta = {"id_col": id_col, "num_hashes": num_hashes, "bands": bands,
+            "shingle_k": shingle_k, "shingle_unit": shingle_unit}
+    with open(os.path.join(path, "_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+    n_rows = band_rows.count()
+    return {"path": path, "n_band_rows": n_rows, **meta}
+
+
+def minhash_index_load(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    shingle_unit: str = "char",
+) -> DataFrame:
+    """Load a persisted band index, REFUSING parameter mismatches (see
+    :func:`minhash_index_build`).  Returns (_id, band_id, band_key)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_index_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    want = {"id_col": id_col, "num_hashes": num_hashes, "bands": bands,
+            "shingle_k": shingle_k, "shingle_unit": shingle_unit}
+    if meta != want:
+        raise ValueError(
+            f"minhash index at {path} was built with {meta}, "
+            f"screen requested {want} — candidates would be garbage; "
+            f"rebuild the index or match the parameters")
+    return (spark.read.parquet(path)
+            .withColumnRenamed(id_col, "_id")
+            .select("_id", "band_id", "band_key"))
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -604,6 +669,7 @@ def minhash_dedup_incremental(
     bands: int = 4,
     shingle_k: int = 5,
     shingle_unit: str = "char",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dedup: screen an incoming batch against the
     already-accepted corpus — the daily-ingest shape, where re-running
@@ -634,10 +700,16 @@ def minhash_dedup_incremental(
             "screen; assign fresh batch ids")
     sig_new = minhash_signatures_df(new_df, id_col, text_col, num_hashes,
                                     shingle_k, shingle_unit)
-    sig_corpus = minhash_signatures_df(corpus_df, id_col, text_col,
-                                       num_hashes, shingle_k, shingle_unit)
     nb = _band_rows(sig_new, num_hashes, bands)
-    cb = _band_rows(sig_corpus, num_hashes, bands)
+    if corpus_bands is not None:
+        # persisted index path (minhash_index_build/load): the corpus
+        # signature scan — the dominant cost at 100 TB — never runs
+        cb = corpus_bands
+    else:
+        sig_corpus = minhash_signatures_df(corpus_df, id_col, text_col,
+                                           num_hashes, shingle_k,
+                                           shingle_unit)
+        cb = _band_rows(sig_corpus, num_hashes, bands)
     vs_corpus = (
         nb.alias("a").join(cb.alias("b"),
                            ["band_id", "band_key"])
@@ -702,12 +774,48 @@ class DedupMinhashIncremental(KiaraModule):
         return {"table": {"type": "table"}}
 
     def process(self, inputs: ValueMap, context):
+        corpus_bands = None
+        if self.config.get("index_path"):
+            corpus_bands = minhash_index_load(
+                context.spark, self.config["index_path"],
+                self.config.get("id_column", "doc_id"),
+                self.config.get("num_hashes", 16),
+                self.config.get("bands", 4),
+                self.config.get("shingle_k", 5),
+                self.config.get("shingle_unit", "char"))
         return {"table": minhash_dedup_incremental(
             inputs["batch"].data,
             inputs["corpus"].data,
             self.config.get("id_column", "doc_id"),
             self.config.get("text_column", "text"),
             self.config.get("threshold", 0.7),
+            self.config.get("num_hashes", 16),
+            self.config.get("bands", 4),
+            self.config.get("shingle_k", 5),
+            self.config.get("shingle_unit", "char"),
+            corpus_bands=corpus_bands,
+        )}
+
+
+class DedupMinhashIndexBuild(KiaraModule):
+    """Build + persist the corpus minhash band index for indexed
+    incremental dedup (see minhash_index_build)."""
+
+    _module_type_name = "table.dedup.minhash_index.build"
+    _characteristics = ModuleCharacteristics(is_idempotent=False)
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}, "path": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"index_info": {"type": "dict"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"index_info": minhash_index_build(
+            inputs["table"].data,
+            inputs["path"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
             self.config.get("num_hashes", 16),
             self.config.get("bands", 4),
             self.config.get("shingle_k", 5),
@@ -961,7 +1069,8 @@ class DedupFuzzyLevenshtein(KiaraModule):
 
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
            DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans,
-           DedupMinhashIncremental, DedupParagraphs]
+           DedupMinhashIncremental, DedupParagraphs,
+           DedupMinhashIndexBuild]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
@@ -972,4 +1081,5 @@ OPERATIONS = [
     Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),
     Operation("table.dedup.minhash_incremental", "table.dedup.minhash_incremental"),
     Operation("table.dedup.paragraphs", "table.dedup.paragraphs"),
+    Operation("table.dedup.minhash_index.build", "table.dedup.minhash_index.build"),
 ]

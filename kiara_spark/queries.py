@@ -943,6 +943,35 @@ def dedup_minhash_incremental_q(spark, sf_dir):
         shingle_k=SHINGLE_WORDS, shingle_unit="word")
 
 
+# identical oracle: the indexed screen must produce EXACTLY the result of
+# the recompute-everything screen — the index only removes the corpus
+# signature scan, never changes candidates or verification
+ORACLE_INDEXED = ORACLE["dedup_minhash_incremental"]
+
+@query("dedup_minhash_incremental_indexed", ORACLE_INDEXED)
+def dedup_minhash_incremental_indexed_q(spark, sf_dir):
+    """Indexed incremental dedup: the corpus band index is BUILT ONCE
+    (table.dedup.minhash_index.build -> parquet + parameter sidecar) and
+    the batch screens against it — the corpus signature scan, the
+    dominant cost of the daily-ingest screen at 100 TB, never runs.
+    Same candidates, same verification, same oracle as
+    `dedup_minhash_incremental`."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    idx = tempfile.mkdtemp(prefix="kiara_mh_index_") + "/bands"
+    D.minhash_index_build(corpus, idx, num_hashes=NUM_HASHES, bands=BANDS,
+                          shingle_k=SHINGLE_WORDS, shingle_unit="word")
+    cb = D.minhash_index_load(spark, idx, num_hashes=NUM_HASHES,
+                              bands=BANDS, shingle_k=SHINGLE_WORDS,
+                              shingle_unit="word")
+    return D.minhash_dedup_incremental(
+        batch, corpus, threshold=0.7, num_hashes=NUM_HASHES, bands=BANDS,
+        shingle_k=SHINGLE_WORDS, shingle_unit="word", corpus_bands=cb)
+
+
 @query(
     "dedup_ngram_jaccard_blocked",
     f"""

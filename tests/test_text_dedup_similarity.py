@@ -540,3 +540,42 @@ def test_dedup_paragraphs_min_chars_exempts_short_and_keeps_empty_docs(spark):
     assert out[1]["n_removed"] == 1 and out[1]["n_paragraphs"] == 3
     assert out[3]["cleaned_text"] == "" and out[3]["n_paragraphs"] == 0
     assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 0
+
+
+def test_minhash_index_build_load_and_param_guard(ctx, spark, tmp_path):
+    """Persisted band index: indexed screen == recompute screen exactly;
+    a parameter-mismatched load is refused (silent garbage otherwise)."""
+    import pytest as _pytest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "settled corpus document that is unrelated prose")],
+        "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(10, base + " ok"), (11, "completely novel content here")],
+        "doc_id int, text string")
+    idx = str(tmp_path / "mh_idx")
+    info = D.minhash_index_build(corpus, idx, num_hashes=16, bands=8)
+    assert info["n_band_rows"] == 2 * 8
+    cb = D.minhash_index_load(spark, idx, num_hashes=16, bands=8)
+    indexed = sorted(map(tuple, D.minhash_dedup_incremental(
+        batch, corpus, threshold=0.5, num_hashes=16, bands=8,
+        corpus_bands=cb).collect()))
+    direct = sorted(map(tuple, D.minhash_dedup_incremental(
+        batch, corpus, threshold=0.5, num_hashes=16, bands=8).collect()))
+    assert indexed == direct
+    accepted = {r[0]: r[3] for r in indexed}
+    assert accepted[10] is False and accepted[11] is True
+    with _pytest.raises(ValueError, match="built with"):
+        D.minhash_index_load(spark, idx, num_hashes=16, bands=4)
+    # module surface: build via operation, screen via index_path config
+    out = ctx.run_job("table.dedup.minhash_index.build",
+                      {"table": corpus, "path": str(tmp_path / "mh_idx2")},
+                      operation_config={"num_hashes": 16, "bands": 8})
+    assert out["index_info"].data["n_band_rows"] == 16
+    res = ctx.run_job("table.dedup.minhash_incremental",
+                      {"batch": batch, "corpus": corpus},
+                      operation_config={"threshold": 0.5, "num_hashes": 16,
+                                        "bands": 8,
+                                        "index_path": str(tmp_path / "mh_idx2")})
+    assert sorted(map(tuple, res["table"].data.collect())) == direct
