@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "text_extract_html",
     "dedup_paragraphs_boilerplate",
     "dedup_minhash_incremental_indexed",
+    "temperature_sample_sources",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

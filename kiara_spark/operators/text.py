@@ -396,6 +396,41 @@ def mixture_sample(
             .drop("_rate"))
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the T5/UL2 multilingual mixing
+    rule): target share of group g ∝ n_g^alpha, which flattens the size
+    distribution — alpha=1 keeps natural proportions, alpha=0 equalizes
+    groups, alpha~0.3-0.7 is the usual band for up-weighting low-resource
+    languages/domains without discarding most of the head.
+
+    Closed form (no explicit weight dict needed): the feasible keep rate
+    normalizes so the SMALLEST group keeps 100%:
+
+        rate_g = (n_g / n_min)^(alpha - 1)
+
+    rounded to 6 dp so cross-engine pow() ulp noise can't flip a keep
+    decision the round doesn't collapse.  Keeps are the deterministic
+    hash-vs-threshold rule (pure function of the id: partition/retry/rerun
+    invariant).  Scale: one tiny per-group count aggregate broadcast back;
+    the keep decision is map-side — one shuffle of K group rows total."""
+    cnt = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    n_min = F.min("_n").over(Window.partitionBy(F.lit(1)))
+    rates = cnt.withColumn(
+        "_rate",
+        F.round(F.pow(F.col("_n") / n_min, F.lit(alpha - 1.0)), 6)
+    ).select(group_col, "_rate")
+    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("_rate"))
+            .drop("_rate"))
+
+
 def token_budget_cap(
     df: DataFrame,
     group_col: str,
@@ -689,6 +724,26 @@ class TextChunkSentences(KiaraModule):
             max_chars=self.config.get("max_chars", 400))}
 
 
+class TableTemperatureSample(KiaraModule):
+    """Temperature-based mixture sampling (rate_g = (n_g/n_min)^(alpha-1);
+    see temperature_sample)."""
+
+    _module_type_name = "table.sample.temperature"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": temperature_sample(
+            inputs["table"].data,
+            self.config["group_column"],
+            self.config.get("alpha", 0.5),
+            self.config.get("id_column", "doc_id"))}
+
+
 class TableMixtureSample(KiaraModule):
     """Deterministic mixture-ratio downsampler over a group column."""
 
@@ -807,11 +862,12 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
-           TextExtractHtml]
+           TextExtractHtml, TableTemperatureSample]
 OPERATIONS = [
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
+    Operation("table.sample.temperature", "table.sample.temperature"),
     Operation("table.cap.token_budget", "table.cap.token_budget"),
     Operation("table.encode.dictionary", "table.encode.dictionary"),
     Operation("table.split.by_group", "table.split.by_group"),

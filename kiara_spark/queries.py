@@ -4191,6 +4191,32 @@ def mixture_sample_documents_q(spark, sf_dir):
 
 
 @query(
+    "temperature_sample_sources",
+    f"""
+    WITH cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+                 FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 ROUND(POW(n / (SELECT MIN(n) FROM cnt), {repr(0.5 - 1.0)}),
+                       6) AS rate
+          FROM cnt)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ({_H0_DOCID} % 1000000) / 1000000.0 < r.rate
+    """,
+)
+def temperature_sample_sources_q(spark, sf_dir):
+    """Temperature mixture sampling (`table.sample.temperature`, alpha=0.5
+    — the T5/UL2 multilingual mixing rule): keep rate per language is
+    (n/n_min)^(alpha-1), so large languages are downsampled toward the
+    flattened n^alpha share while the smallest keeps 100%.  Rates round to
+    6 dp on both engines (pow ulp noise), keeps are the deterministic
+    hash-vs-threshold rule — verified row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.temperature_sample(docs, "lang", alpha=0.5).select(
+        "doc_id", "lang")
+
+
+@query(
     "token_budget_cap_per_lang",
     """
     WITH t AS (

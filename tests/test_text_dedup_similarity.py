@@ -579,3 +579,22 @@ def test_minhash_index_build_load_and_param_guard(ctx, spark, tmp_path):
                                         "bands": 8,
                                         "index_path": str(tmp_path / "mh_idx2")})
     assert sorted(map(tuple, res["table"].data.collect())) == direct
+
+
+def test_temperature_sample_flattens_and_deterministic(ctx, spark):
+    """alpha=0.5: rate_g=(n_g/n_min)^-0.5 — the smallest group keeps 100%,
+    larger groups downsample toward the flattened share; same output on
+    rerun (hash-threshold keeps)."""
+    rows = [(i, "big") for i in range(400)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out1 = X.temperature_sample(df, "lang", alpha=0.5)
+    got = out1.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by["small"] == 100  # binding group intact
+    assert 150 <= by["big"] <= 250  # ~400*(4)^-0.5 = 200
+    assert sorted(map(tuple, out1.collect())) == \
+        sorted(map(tuple, X.temperature_sample(df, "lang", 0.5).collect()))
+    # alpha=1 keeps everything (natural proportions)
+    assert X.temperature_sample(df, "lang", alpha=1.0).count() == 500
+    assert ctx.operation_registry.resolve("table.sample.temperature") is not None
