@@ -260,6 +260,13 @@ BENCH_QUERIES = [
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
 # alone doesn't carry.
 BENCH_NOTES = {
+    "dedup_minhash_incremental_indexed":
+        "r4: the benched time INCLUDES building the corpus band index "
+        "from scratch (signature scan + parquet write) — a one-time cost "
+        "in production, paid per-run here so the query is self-contained. "
+        "The screen itself is the cheap part: with the index prebuilt the "
+        "same screen ran 5.1s vs 13.0s for the recompute path at "
+        "sf0.001-scale corpus signatures.",
     "dedup_ngram_jaccard_lsh_blocked":
         "r4: the de-skewed jaccard path (minhash BAND keys replace the "
         "natural `lang` block) — ~6s vs ~10s for the lang-blocked exact "
