@@ -104,9 +104,17 @@ def main(argv: list[str] | None = None) -> int:
                                "inputs": inputs, "save": save}
                 try:
                     resp = _svc.request(payload)
-                except (OSError, ValueError):
-                    # daemon died between ping and response (r4 review):
-                    # fall through to the local-context path below
+                except _svc.ServiceMidFlightError as e:
+                    # the daemon may have EXECUTED the request before the
+                    # failure — re-running locally could duplicate side
+                    # effects (--save), so surface instead of retrying
+                    print(f"error: {e} (not re-running locally — the "
+                          f"service may have completed the request; check "
+                          f"`service status`)", file=sys.stderr)
+                    return 2
+                except OSError:
+                    # could not reach the daemon at all: nothing was sent,
+                    # safe to fall through to the local-context path
                     resp = None
                 if resp is not None:
                     if not resp.get("ok"):
@@ -551,6 +559,12 @@ def entrypoint() -> int:
     except FileNotFoundError as e:
         print(f"error: not found: {e.filename or e}", file=sys.stderr)
     except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+    except Exception as e:
+        from .service import ServiceMidFlightError
+
+        if not isinstance(e, ServiceMidFlightError):
+            raise
         print(f"error: {e}", file=sys.stderr)
     return 2
 

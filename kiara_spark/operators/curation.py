@@ -402,11 +402,17 @@ def canonical_url(url):
     u = F.regexp_replace(u, "#.*$", "")
     # tracking params must be anchored at a separator — an unanchored
     # pattern would eat 'fbclid=1' out of a param NAMED 'xfbclid' (r4
-    # review).  One global pass removes separator+param+value; a surviving
-    # leading '&' (first param removed) is then promoted to '?'
-    u = F.regexp_replace(u, f"[?&]({TRACKING_PARAMS})=[^&]*", "")
-    u = F.regexp_replace(u, "^([^?]*)&", "$1?")
-    u = F.regexp_replace(u, "\\?$", "")
+    # review).  Three separator-preserving passes (r4 review round 2: a
+    # blanket '&'->'?' promotion corrupted URLs with a literal '&' in the
+    # path): first drop every '&'-separated tracking param; any tracking
+    # param left is then in FIRST position, so one '?trk=...&' -> '?'
+    # rewrite (next param inherits the '?') and one trailing
+    # '?trk=...$' -> '' finish the job without ever touching non-query
+    # '&' characters.
+    u = F.regexp_replace(u, f"&({TRACKING_PARAMS})=[^&]*", "")
+    u = F.regexp_replace(u, f"\\?({TRACKING_PARAMS})=[^&]*&", "?")
+    u = F.regexp_replace(u, f"\\?({TRACKING_PARAMS})=[^&]*$", "")
+    u = F.regexp_replace(u, "\\?$", "")  # a natively-dangling lone '?'
     u = F.regexp_replace(u, "^([^/:]+):(80|443)($|/)", "$1$3")
     u = F.concat(F.lower(F.regexp_extract(u, "^[^/]*", 0)),
                  F.regexp_replace(u, "^[^/]*", ""))

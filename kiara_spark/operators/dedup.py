@@ -622,11 +622,14 @@ def minhash_index_build(
     band_rows = _band_rows(sig, num_hashes, bands).withColumnRenamed(
         "_id", id_col)
     band_rows.write.mode("overwrite").parquet(path)
-    meta = {"id_col": id_col, "num_hashes": num_hashes, "bands": bands,
+    meta = {"id_col": id_col, "text_col": text_col,
+            "num_hashes": num_hashes, "bands": bands,
             "shingle_k": shingle_k, "shingle_unit": shingle_unit}
     with open(os.path.join(path, "_index_meta.json"), "w") as f:
         json.dump(meta, f)
-    n_rows = band_rows.count()
+    # count the WRITTEN parquet, not the plan — counting the plan would
+    # re-run the whole signature scan (the cost this index amortizes)
+    n_rows = df.sparkSession.read.parquet(path).count()
     return {"path": path, "n_band_rows": n_rows, **meta}
 
 
@@ -638,16 +641,21 @@ def minhash_index_load(
     bands: int = 4,
     shingle_k: int = 5,
     shingle_unit: str = "char",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Load a persisted band index, REFUSING parameter mismatches (see
-    :func:`minhash_index_build`).  Returns (_id, band_id, band_key)."""
+    """Load a persisted band index, REFUSING parameter mismatches
+    INCLUDING the source text column (see :func:`minhash_index_build` —
+    an index sketched from 'title' screened against batches sketched from
+    'text' would silently accept near-duplicates).  Returns
+    (_id, band_id, band_key)."""
     import json
     import os
 
     meta_path = os.path.join(path, "_index_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    want = {"id_col": id_col, "num_hashes": num_hashes, "bands": bands,
+    want = {"id_col": id_col, "text_col": text_col,
+            "num_hashes": num_hashes, "bands": bands,
             "shingle_k": shingle_k, "shingle_unit": shingle_unit}
     if meta != want:
         raise ValueError(
@@ -773,6 +781,19 @@ class DedupMinhashIncremental(KiaraModule):
     def create_outputs_schema(self):
         return {"table": {"type": "table"}}
 
+    @property
+    def characteristics(self):
+        # screening against a PERSISTED index reads external disk state
+        # the cache key cannot see (the key holds only the index_path
+        # STRING) — a rebuilt index must never be served a stale cached
+        # screen, so the indexed form opts out of the job cache entirely
+        # (r4 review round 2; same reasoning as pipeline source steps)
+        from ..modules import ModuleCharacteristics
+
+        if self.config.get("index_path"):
+            return ModuleCharacteristics(is_idempotent=False)
+        return self._characteristics
+
     def process(self, inputs: ValueMap, context):
         corpus_bands = None
         if self.config.get("index_path"):
@@ -782,7 +803,8 @@ class DedupMinhashIncremental(KiaraModule):
                 self.config.get("num_hashes", 16),
                 self.config.get("bands", 4),
                 self.config.get("shingle_k", 5),
-                self.config.get("shingle_unit", "char"))
+                self.config.get("shingle_unit", "char"),
+                text_col=self.config.get("text_column", "text"))
         return {"table": minhash_dedup_incremental(
             inputs["batch"].data,
             inputs["corpus"].data,

@@ -361,6 +361,19 @@ def with_extracted_html(df: DataFrame, html_col: str = "text",
     return df.withColumn(out_col, extract_html_text(F.col(html_col)))
 
 
+def _keep_by_group_rate(df: DataFrame, rates: DataFrame, group_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Shared deterministic keep rule for all group-rate samplers
+    (mixture, temperature): broadcast the tiny per-group ``_rate`` table,
+    keep rows where hash32(id)/1e6 < rate.  ONE definition so the DuckDB
+    twin's ``_H0_DOCID % 1000000 / 1000000.0`` formula has exactly one
+    Spark counterpart to stay in lockstep with."""
+    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(u < F.col("_rate"))
+            .drop("_rate"))
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -390,10 +403,7 @@ def mixture_sample(
         Window.partitionBy(F.lit(1)))
     rates = cnt.withColumn("_rate", F.col("_w") * t_min / F.col("_n")).select(
         group_col, "_rate")
-    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
-    return (df.join(F.broadcast(rates), group_col)
-            .filter(u < F.col("_rate"))
-            .drop("_rate"))
+    return _keep_by_group_rate(df, rates, group_col, id_col)
 
 
 def temperature_sample(
@@ -425,10 +435,7 @@ def temperature_sample(
         "_rate",
         F.round(F.pow(F.col("_n") / n_min, F.lit(alpha - 1.0)), 6)
     ).select(group_col, "_rate")
-    u = (base_hash32(F.col(id_col).cast("string")) % F.lit(1000000)) / F.lit(1000000.0)
-    return (df.join(F.broadcast(rates), group_col)
-            .filter(u < F.col("_rate"))
-            .drop("_rate"))
+    return _keep_by_group_rate(df, rates, group_col, id_col)
 
 
 def token_budget_cap(

@@ -122,15 +122,19 @@ def run_pipeline(
     def _source_step_covered(step_id: str) -> bool:
         step = structure.step(step_id)
         module = structure.module_for(step_id)
-        for field_name in module.inputs_schema:
+        for field_name, schema in module.inputs_schema.items():
             if "path" not in field_name:
                 continue
             alias = next(
                 (pi.alias for pi in structure.pipeline_inputs
                  if pi.step_id == step_id and pi.field_name == field_name),
                 None)
-            if alias is not None and alias in provided \
-                    and alias not in fingerprinted:
+            if alias is not None and alias in provided:
+                if alias not in fingerprinted:
+                    return False
+            elif schema.default is not None:
+                # the step would bind a SCHEMA-DEFAULT path the key never
+                # sees — same blindness as a failed fingerprint
                 return False
         for ck, cv in (step.module_config or {}).items():
             if "path" not in ck:

@@ -956,12 +956,21 @@ def dedup_minhash_incremental_indexed_q(spark, sf_dir):
     dominant cost of the daily-ingest screen at 100 TB, never runs.
     Same candidates, same verification, same oracle as
     `dedup_minhash_incremental`."""
+    import hashlib
+    import os
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter("doc_id % 5 = 0")
     corpus = docs.filter("doc_id % 5 <> 0")
-    idx = tempfile.mkdtemp(prefix="kiara_mh_index_") + "/bands"
+    # STABLE per-(sf_dir, params) path, overwritten each run — a fresh
+    # mkdtemp per invocation would leak one corpus-scale index dir per
+    # bench/correctness run (r4 review round 2)
+    key = hashlib.md5(
+        f"{sf_dir}|{NUM_HASHES}|{BANDS}|{SHINGLE_WORDS}|word".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"kiara_mh_index_cache_{key}", "bands")
     D.minhash_index_build(corpus, idx, num_hashes=NUM_HASHES, bands=BANDS,
                           shingle_k=SHINGLE_WORDS, shingle_unit="word")
     cb = D.minhash_index_load(spark, idx, num_hashes=NUM_HASHES,
@@ -6864,8 +6873,9 @@ def _url_canon_sql(expr: str) -> str:
     u = f"regexp_replace(trim({expr}), '(?i)^https?://', '')"
     u = f"regexp_replace({u}, '(?i)^www\\.', '')"
     u = f"regexp_replace({u}, '#.*$', '')"
-    u = f"regexp_replace({u}, '[?&]({trk})=[^&]*', '', 'g')"
-    u = f"regexp_replace({u}, '^([^?]*)&', '\\1?')"
+    u = f"regexp_replace({u}, '&({trk})=[^&]*', '', 'g')"
+    u = f"regexp_replace({u}, '\\?({trk})=[^&]*&', '?')"
+    u = f"regexp_replace({u}, '\\?({trk})=[^&]*$', '')"
     u = f"regexp_replace({u}, '\\?$', '')"
     u = f"regexp_replace({u}, '^([^/:]+):(80|443)($|/)', '\\1\\3')"
     u = (f"(lower(regexp_extract({u}, '^[^/]*', 0)) || "

@@ -54,27 +54,42 @@ def socket_path() -> str:
 # ---------------------------------------------------------------------------
 
 
+class ServiceMidFlightError(RuntimeError):
+    """The request was SENT but no (complete) response came back — the
+    daemon may have executed it, so callers must NOT blindly re-run a
+    side-effecting request (r4 review: a --save job retried locally after
+    a post-send failure would store its outputs twice)."""
+
+
 def request(payload: dict, path: str | None = None, timeout: float = 600.0) -> dict:
-    """Send one request, return the decoded response.  Raises OSError when
-    the service is not reachable (callers fall back to a local context)."""
+    """Send one request, return the decoded response.
+
+    Raises ConnectionError/OSError when the service cannot be REACHED
+    (nothing was sent — safe to fall back to a local context) and
+    :class:`ServiceMidFlightError` when the failure happened after the
+    request went out (the work may have happened)."""
     path = path or socket_path()
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
-        s.connect(path)
-        s.sendall(json.dumps(payload).encode() + b"\n")
-        buf = b""
-        while not buf.endswith(b"\n"):
-            chunk = s.recv(1 << 20)
-            if not chunk:
-                break
-            buf += chunk
-    return json.loads(buf.decode())
+        s.connect(path)  # pre-send failures propagate as OSError
+        try:
+            s.sendall(json.dumps(payload).encode() + b"\n")
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(1 << 20)
+                if not chunk:
+                    break
+                buf += chunk
+            return json.loads(buf.decode())
+        except (OSError, ValueError) as exc:
+            raise ServiceMidFlightError(
+                f"service request failed after send: {exc}") from exc
 
 
 def is_running(path: str | None = None) -> bool:
     try:
         return request({"cmd": "ping"}, path=path, timeout=5.0).get("ok", False)
-    except (OSError, ValueError):
+    except (OSError, ValueError, ServiceMidFlightError):
         return False
 
 
@@ -128,6 +143,26 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
     return {"ok": False, "error": f"unknown cmd {cmd!r}"}, True
 
 
+def _read_request_line(conn, deadline_s: float, max_bytes: int) -> bytes:
+    """Read one newline-terminated request under an ABSOLUTE deadline and
+    size cap; raises OSError (timeout) past either, so the per-connection
+    handler drops the client and keeps serving."""
+    import time
+
+    deadline = time.monotonic() + deadline_s
+    buf = b""
+    while not buf.endswith(b"\n"):
+        remaining = deadline - time.monotonic()
+        if remaining <= 0 or len(buf) > max_bytes:
+            raise OSError("request read deadline/size exceeded")
+        conn.settimeout(remaining)
+        chunk = conn.recv(1 << 16)
+        if not chunk:
+            return b""  # client closed without a request
+        buf += chunk
+    return buf
+
+
 def serve(path: str | None = None, base_path: str | None = None) -> None:
     """Build the context once, then serve until a shutdown request.  One
     request per connection, sequential — the service wraps a single driver
@@ -158,15 +193,15 @@ def serve(path: str | None = None, base_path: str | None = None) -> None:
             # whole point is outliving its clients
             try:
                 with conn:
-                    # a connected-but-silent client must not wedge the
-                    # sequential accept loop: clients send their one
-                    # request immediately, so a 30s read deadline is
-                    # generous; the timeout lifts before the (possibly
-                    # long-computing) response is written
-                    conn.settimeout(30.0)
-                    f = conn.makefile("rwb")
-                    line = f.readline()
-                    conn.settimeout(None)
+                    # a connected-but-silent (or byte-trickling) client
+                    # must not wedge the sequential accept loop: the read
+                    # enforces an ABSOLUTE 30s deadline + 1 MiB cap, not a
+                    # per-recv timeout a trickler could reset forever; the
+                    # response write gets its own bounded timeout so a
+                    # client that never reads can't block past the socket
+                    # buffer either (r4 review round 2)
+                    line = _read_request_line(conn, deadline_s=30.0,
+                                              max_bytes=1 << 20)
                     if not line:
                         continue
                     try:
@@ -175,8 +210,8 @@ def serve(path: str | None = None, base_path: str | None = None) -> None:
                     except Exception as exc:  # noqa: BLE001 — report, serve on
                         resp = {"ok": False,
                                 "error": f"{type(exc).__name__}: {exc}"}
-                    f.write(json.dumps(resp).encode() + b"\n")
-                    f.flush()
+                    conn.settimeout(600.0)
+                    conn.sendall(json.dumps(resp).encode() + b"\n")
             except OSError:
                 continue
     finally:

@@ -339,3 +339,22 @@ def test_extract_html_no_double_entity_decode(ctx, spark):
            df.select("i", extract_html_text(F.col("html")).alias("t")).collect()}
     assert got[1] == "a &lt; b"
     assert got[2] == "x &amp; y"
+
+
+def test_canonical_url_literal_ampersand_in_path_untouched(spark):
+    """r4 review round 2: a literal '&' outside the query string is a
+    legal character — removal of tracking params must never promote it."""
+    from kiara_spark.operators.curation import canonical_url
+
+    cases = [
+        ("https://ex.com/a&b", "ex.com/a&b"),
+        ("https://ex.com/a&b?q=1", "ex.com/a&b?q=1"),
+        ("https://ex.com/a&b?utm_x=1", "ex.com/a&b"),
+        ("https://ex.com/a?", "ex.com/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

@@ -598,3 +598,26 @@ def test_temperature_sample_flattens_and_deterministic(ctx, spark):
     # alpha=1 keeps everything (natural proportions)
     assert X.temperature_sample(df, "lang", alpha=1.0).count() == 500
     assert ctx.operation_registry.resolve("table.sample.temperature") is not None
+
+
+def test_minhash_index_text_col_guard_and_no_stale_cache(ctx, spark, tmp_path):
+    """r4 review round 2: the index meta pins the TEXT COLUMN (a 'title'
+    index screened against 'text' batches is garbage), and screening via
+    index_path is non-idempotent so a rebuilt index is never served a
+    stale cached screen."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "totally different title")],
+        "doc_id int, text string, title string")
+    idx = str(tmp_path / "mh_tc")
+    D.minhash_index_build(corpus, idx, text_col="title",
+                          num_hashes=16, bands=4)
+    with _pytest.raises(ValueError, match="built with"):
+        D.minhash_index_load(spark, idx, num_hashes=16, bands=4,
+                             text_col="text")
+    m = ctx.create_module("table.dedup.minhash_incremental",
+                          {"index_path": idx})
+    assert m.characteristics.is_idempotent is False
+    m2 = ctx.create_module("table.dedup.minhash_incremental")
+    assert m2.characteristics.is_idempotent is True
