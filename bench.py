@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs_boilerplate",
     "dedup_minhash_incremental_indexed",
     "temperature_sample_sources",
+    "graph_strongly_connected_components",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

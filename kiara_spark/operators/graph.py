@@ -581,6 +581,173 @@ def shortest_paths_weighted(
     return dist.select("id", F.col("dist").cast("double").alias("dist"))
 
 
+def _scc_driver_tarjan(edges: DataFrame, edge_rows) -> DataFrame:
+    """Iterative Tarjan over a SMALL collected edge list; labels each node
+    with the MIN id of its strongly connected component — the identical
+    contract as the distributed coloring path."""
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    label: dict = {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        # explicit work stack — recursion would blow on long chains
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+    t = edges.schema["src"].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        sorted(label.items()), f"id {t}, component {t}")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_peel_rounds: int = 20,
+    propagate_rounds: int = 20,
+    checkpoint: bool = True,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """(id, component) for DIRECTED graphs: component = min node id in the
+    node's strongly connected component — the directed sibling of
+    :func:`connected_components` (which treats edges as undirected and
+    would merge A->B->A with A->C).
+
+    Distributed algorithm — iterative forward/backward min-label coloring
+    (the classic MapReduce SCC decomposition):
+
+    1. ``fwd(v)`` = min id that can REACH v, ``bwd(v)`` = min id REACHABLE
+       FROM v — two independent min-label propagations (one join + one
+       aggregate per hop, same plan shape as hash-min CC; the backward
+       pass just runs on reversed edges);
+    2. ``fwd(v) == bwd(v) == m`` proves ``m ->* v`` and ``v ->* m``, i.e.
+       v ∈ SCC(m) — those nodes are DONE with component m;
+    3. peel the finished nodes out and repeat on the remainder: each round
+       finishes at least the SCC of the remaining global min (in practice
+       many SCCs whose labels coincide), so rounds ≤ #SCC with a
+       ``max_peel_rounds`` backstop that RAISES rather than mislabel.
+
+    Small graphs take the gated driver Tarjan fast path (bounded collect,
+    identical min-id labeling) exactly like CC/SSSP; pass
+    ``driver_threshold=0`` to force the distributed loop."""
+    e_all = (edges.select("src", "dst")
+             .filter(F.col("src") != F.col("dst")).distinct())
+    if checkpoint:
+        e_all = cut_lineage(e_all)
+    if driver_threshold:
+        sample = e_all.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _scc_driver_tarjan(
+                edges, [(r.src, r.dst) for r in sample])
+
+    spark = edges.sparkSession
+    all_nodes = (e_all.select(F.col("src").alias("id"))
+                 .unionByName(e_all.select(F.col("dst").alias("id")))
+                 .distinct())
+    if checkpoint:
+        all_nodes = cut_lineage(all_nodes)
+
+    def _min_reach(nodes: DataFrame, e: DataFrame) -> DataFrame:
+        """labels(id, lbl): min id with a directed path TO id (incl. id),
+        by hash-min propagation along e with sum-convergence."""
+        lbl = nodes.withColumn("lbl", F.col("id"))
+        prev_sum = None
+        for _ in range(propagate_rounds):
+            cand = (e.join(lbl, e.src == lbl.id)
+                    .select(F.col("dst").alias("id"), F.col("lbl")))
+            new = (lbl.unionByName(cand)
+                   .groupBy("id").agg(F.min("lbl").alias("lbl")))
+            if checkpoint:
+                new = cut_lineage(new)
+            cur = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))
+                          ).collect()[0][0]
+            lbl = new
+            if prev_sum is not None and cur == prev_sum:
+                break
+            prev_sum = cur
+        return lbl
+
+    remaining_nodes = all_nodes
+    e = e_all
+    done_parts: list[DataFrame] = []
+    for _ in range(max_peel_rounds):
+        if remaining_nodes.limit(1).count() == 0:
+            break
+        fwd = _min_reach(remaining_nodes, e)
+        bwd = _min_reach(
+            remaining_nodes,
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        joined = (fwd.withColumnRenamed("lbl", "_f")
+                  .join(bwd.withColumnRenamed("lbl", "_b"), "id"))
+        done = (joined.filter(F.col("_f") == F.col("_b"))
+                .select("id", F.col("_f").alias("component")))
+        if checkpoint:
+            done = cut_lineage(done)
+        done_parts.append(done)
+        remaining_nodes = (remaining_nodes
+                           .join(done.select("id"), "id", "left_anti"))
+        if checkpoint:
+            remaining_nodes = cut_lineage(remaining_nodes)
+        e = (e.join(done.select(F.col("id").alias("src")), "src", "left_anti")
+             .join(done.select(F.col("id").alias("dst")), "dst", "left_anti")
+             .select("src", "dst"))
+        if checkpoint:
+            e = cut_lineage(e)
+    else:
+        if remaining_nodes.limit(1).count() > 0:
+            raise RuntimeError(
+                f"strongly_connected_components: {max_peel_rounds} peel "
+                f"rounds did not finish the graph (long SCC condensation "
+                f"chain); raise max_peel_rounds")
+    if not done_parts:  # edgeless graph: no nodes, empty result
+        return all_nodes.withColumn("component", F.col("id")).limit(0)
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (id, rank).
 
@@ -839,6 +1006,26 @@ class GraphComponents(KiaraModule):
             algorithm=self.config.get("algorithm", "hash_min"))}
 
 
+class GraphSCC(KiaraModule):
+    """Strongly connected components of a directed graph (min-id label;
+    see strongly_connected_components)."""
+
+    _module_type_name = "network_graph.strongly_connected_components"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": strongly_connected_components(
+            inputs["graph"].data["edges"],
+            max_peel_rounds=self.config.get("max_peel_rounds", 20),
+            propagate_rounds=self.config.get("propagate_rounds", 20),
+            driver_threshold=self.config.get("driver_threshold", 100_000))}
+
+
 class GraphLabelPropagation(KiaraModule):
     _module_type_name = "network_graph.label_propagation"
 
@@ -948,7 +1135,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
            GraphComponents, GraphPagerank, GraphBfsHops,
            GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
-           GraphPersonalizedPagerank]
+           GraphPersonalizedPagerank, GraphSCC]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -960,6 +1147,8 @@ OPERATIONS = [
     Operation("network_graph.two_hop_approx", "network_graph.two_hop_approx"),
     Operation("network_graph.connected_components",
               "network_graph.connected_components"),
+    Operation("network_graph.strongly_connected_components",
+              "network_graph.strongly_connected_components"),
     Operation("network_graph.pagerank", "network_graph.pagerank"),
     Operation("network_graph.bfs_hops", "network_graph.bfs_hops"),
     Operation("network_graph.label_propagation",

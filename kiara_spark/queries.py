@@ -3113,6 +3113,48 @@ def graph_components_q(spark, sf_dir):
 
 
 @query(
+    "graph_strongly_connected_components",
+    """
+    WITH RECURSIVE g0 AS (
+      SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT) AS src,
+             CAST(((o_custkey % 60) * 2 + 1) % 60 AS BIGINT) AS dst
+      FROM orders
+      UNION
+      SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT),
+             CAST(((o_custkey % 60) * 7 + 3) % 60 AS BIGINT)
+      FROM orders),
+    g AS (SELECT src, dst FROM g0 WHERE src <> dst),
+    n AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+    r(a, b) AS (
+      SELECT src, dst FROM g
+      UNION
+      SELECT r.a, g.dst FROM r JOIN g ON r.b = g.src),
+    closure AS (SELECT a, b FROM r UNION SELECT id, id FROM n)
+    SELECT c1.b AS id, MIN(c1.a) AS component
+    FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
+    GROUP BY c1.b
+    """,
+)
+def graph_scc_q(spark, sf_dir):
+    """Strongly connected components (`network_graph.strongly_connected_
+    components`): directed sibling of CC — component = min id u with BOTH
+    u ->* v and v ->* u.  Edges are a deterministic 60-node double
+    functional graph over customer keys (cycles = SCCs, tails =
+    singletons); the oracle derives the same labeling from the recursive
+    reachability closure joined with its transpose."""
+    from .operators import graph as G
+
+    o = _t(spark, sf_dir, "orders")
+    s = (F.col("o_custkey") % 60).cast("bigint")
+    edges = (o.select(s.alias("src"), ((s * 2 + 1) % 60).cast("bigint").alias("dst"))
+             .unionByName(
+                 o.select(s.alias("src"),
+                          ((s * 7 + 3) % 60).cast("bigint").alias("dst")))
+             .distinct())
+    return G.strongly_connected_components(edges)
+
+
+@query(
     "sessionize_stateful_users",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -463,3 +463,51 @@ def test_cc_algorithm_config_and_validation(ctx, spark):
                       operation_config={"algorithm": "two_phase",
                                         "driver_threshold": 0})
     assert sorted(map(tuple, out["table"].data.collect())) == [(1, 1), (2, 1)]
+
+
+def test_scc_driver_and_distributed_agree(spark):
+    """SCC: directed cycles are components, DAG edges separate them; the
+    driver Tarjan fast path and the distributed coloring produce the
+    identical min-id labeling."""
+    from kiara_spark.operators.graph import strongly_connected_components
+
+    # cycle {1,2,3}, cycle {10,11}, chain 3->10 (DAG edge), lone pair 20->21
+    rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10), (20, 21)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    fast = sorted(map(tuple, strongly_connected_components(edges).collect()))
+    dist = sorted(map(tuple, strongly_connected_components(
+        edges, driver_threshold=0).collect()))
+    assert fast == dist
+    got = dict(fast)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21  # singletons: own component
+    # directed semantics: undirected CC would merge everything reachable
+    from kiara_spark.operators.graph import connected_components
+    cc = dict(map(tuple, connected_components(edges).collect()))
+    assert cc[10] == 1  # undirected merges across the DAG edge; SCC doesn't
+
+
+def test_scc_long_condensation_chain_and_peel_limit(spark):
+    from kiara_spark.operators.graph import strongly_connected_components
+    import pytest as _pytest
+
+    # chain of 2-cycles: (0,1) -> (2,3) -> (4,5): 3 SCCs in a line
+    rows = []
+    for i in range(0, 6, 2):
+        rows += [(i, i + 1), (i + 1, i)]
+        if i + 2 < 6:
+            rows.append((i + 1, i + 2))
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = dict(map(tuple, strongly_connected_components(
+        edges, driver_threshold=0).collect()))
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
+    # a too-small peel budget must RAISE, never mislabel
+    with _pytest.raises(RuntimeError, match="peel"):
+        strongly_connected_components(edges, driver_threshold=0,
+                                      max_peel_rounds=1)
+
+
+def test_scc_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "network_graph.strongly_connected_components") is not None
