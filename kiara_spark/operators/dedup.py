@@ -213,11 +213,21 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     hash_shingles: bool = True,
     max_block_size: int | None = None,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold.  ``block_col`` restricts
     the self-join to blocking buckets (at scale you ALWAYS block — use
     minhash_lsh_pairs for candidates instead of a raw cross join, or
     :func:`ngram_jaccard_pairs_lsh` which composes the two).
+
+    ``broadcast_rows``: caller-supplied row count.  When small (<= 50k —
+    shingle arrays are heavy, ~KBs/doc) the build side of the blocked
+    self-join is broadcast and the probe side repartitioned to full
+    parallelism: a LOW-cardinality block column (language, domain) caps a
+    shuffle join's parallelism at the number of distinct blocks, funneling
+    the quadratic per-pair set ops onto a handful of tasks.  Above the
+    gate (or unset) the within-block shuffle join is unchanged — at that
+    size the answer is LSH blocking, not a bigger broadcast.
 
     ``max_block_size`` is the skew guard for natural-key blocking: a
     low-cardinality block column (language, domain, ...) makes the
@@ -269,6 +279,10 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
                   F.col("_n").alias("n_b"),
                   *([F.col("_blk")] if block_col else []))
+    if (broadcast_rows is not None and broadcast_rows <= 50_000
+            and block_col is not None):
+        a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
     # size prune: |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
     # J <= min/max — an integer predicate that kills most of the quadratic
     # blocked pairs before any per-pair set op runs.  Pure optimization:

@@ -388,6 +388,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = "label",
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -395,6 +396,16 @@ def embedding_neardup_pairs(
     IVF-style scale path — same pruning as ``cosine_topk_ivf``); without it,
     a full O(N²/2) cross join (small corpora / verification only).  Output:
     (id_a, id_b, cosine_sim), id_a < id_b.
+
+    ``broadcast_rows``: when the caller knows the input's row count and it
+    is small (<= 500k), the build side of the bucketed self-join is
+    broadcast and the probe side repartitioned to full parallelism.  The
+    bucketed join keys on FEW distinct values (k clusters), so a shuffle
+    join would funnel the quadratic per-pair cosine work onto k tasks;
+    broadcasting removes the key-count cap on parallelism.  At scale the
+    caller omits it (or the count exceeds the gate) and the plain
+    within-bucket shuffle join — whose parallelism then comes from genuinely
+    many buckets — is used unchanged.
     """
     sel = [F.col(id_col), F.col(vec_col)] + (
         [F.col(bucket_col).alias("_bucket")] if bucket_col else []
@@ -414,6 +425,12 @@ def embedding_neardup_pairs(
         F.col("_norm").alias("n_b"),
         *([F.col("_bucket")] if bucket_col else []),
     )
+    small = (broadcast_rows is not None and broadcast_rows <= 500_000
+             and bucket_col is not None)
+    if small:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(par)
+        b = F.broadcast(b)
     joined = (a.join(b, on="_bucket") if bucket_col else a.crossJoin(b)).filter(
         F.col("id_a") < F.col("id_b")
     )
@@ -1001,11 +1018,19 @@ def semantic_dedup(
     precomputed norms -> anti-join drops.  Returns (id, cluster, kept)."""
     assigned = kmeans_lloyd(df, k, n_iter, id_col, vec_col).select(
         id_col, "cluster")
-    clustered = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    # cache the clustered set: it feeds BOTH sides of the pair self-join and
+    # the final keep join — uncached, the kmeans assignment scan + attach
+    # join would re-execute three times
+    clustered = (df.select(F.col(id_col), F.col(vec_col))
+                 .join(assigned, id_col).cache())
+    n = clustered.count()
     pairs = embedding_neardup_pairs(
-        clustered, threshold, id_col, vec_col, bucket_col="cluster")
+        clustered, threshold, id_col, vec_col, bucket_col="cluster",
+        broadcast_rows=n)
     dropped = (pairs.select(F.col("id_b").alias(id_col)).distinct()
                .withColumn("_dropped", F.lit(True)))
+    if n <= 500_000:  # dropped ⊆ input, so the same small-corpus gate holds
+        dropped = F.broadcast(dropped)
     return (
         clustered.join(dropped, id_col, "left")
         .select(F.col(id_col), F.col("cluster"),

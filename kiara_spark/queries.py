@@ -1003,7 +1003,9 @@ def dedup_jaccard_q(spark, sf_dir):
     path is minhash).  Shingles are 48-bit md5-prefix longs on both
     engines — see ngram_jaccard_pairs(hash_shingles=True)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K, block_col="lang")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K,
+                                 block_col="lang",
+                                 broadcast_rows=docs.count())
 
 
 # char-shingle variant of the signature pipeline for the LSH-blocked
