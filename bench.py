@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "regression_orders_by_priority",
     "events_ab_test_zscore",
     "graph_kcore",
+    "graph_hits_hubs_authorities",
+    "graph_node_similarity_jaccard",
     "text_term_freq_histogram",
     "scalar_regex_battery",
     "scalar_bitwise_battery",

@@ -858,6 +858,118 @@ def pagerank_personalized(
     return ranks.select("id", "rank")
 
 
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge list:
+    (id, hub, authority), L1-normalized after every half-step.
+
+    Update rule per iteration (the standard alternating form):
+      ``auth'(v) = sum_{u->v} hub(u)``, normalize so sum(auth)=1;
+      ``hub'(u)  = sum_{u->v} auth'(v)``, normalize so sum(hub)=1.
+
+    Cross-engine bit-stability (same discipline as :func:`pagerank`):
+    per-edge contributions cast to DECIMAL(38,18) before SUM — exact,
+    order-independent — and the normalizing divide happens in double
+    (decimal/decimal division scales differ between engines).  Nodes with
+    no in-edges (resp. out-edges) keep authority (resp. hub) 0.
+
+    Plan shape per iteration: two (join on one endpoint + hash aggregate on
+    the other) rounds plus two broadcast 1-row totals — ``2*iterations``
+    shuffle rounds total, no driver collection, no convergence check; at
+    web scale both join sides hash-partition on the key exactly like the
+    pagerank plan."""
+    e = cut_lineage(edges.select("src", "dst").distinct())
+    nodes = cut_lineage(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    base = nodes.crossJoin(F.broadcast(nn))
+    scores = base.select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("hub"),
+        (F.lit(1.0) / F.col("_n")).alias("authority"))
+    for _ in range(iterations):
+        auth_sums = (
+            e.join(scores.select(F.col("id").alias("_h_id"), "hub"),
+                   e.src == F.col("_h_id"))
+            .select(F.col("dst").alias("id"),
+                    F.col("hub").cast("decimal(38,18)").alias("_c"))
+            .groupBy("id").agg(F.sum("_c").alias("_a")))
+        a_tot = auth_sums.agg(
+            F.sum("_a").cast("double").alias("_at"))
+        auth = (nodes.join(auth_sums, "id", "left")
+                .crossJoin(F.broadcast(a_tot))
+                .select("id",
+                        F.when(F.col("_at") > 0,
+                               F.coalesce(F.col("_a").cast("double"),
+                                          F.lit(0.0)) / F.col("_at"))
+                        .otherwise(F.lit(0.0)).alias("authority")))
+        hub_sums = (
+            e.join(auth.select(F.col("id").alias("_a_id"), "authority"),
+                   e.dst == F.col("_a_id"))
+            .select(F.col("src").alias("id"),
+                    F.col("authority").cast("decimal(38,18)").alias("_c"))
+            .groupBy("id").agg(F.sum("_c").alias("_h")))
+        h_tot = hub_sums.agg(F.sum("_h").cast("double").alias("_ht"))
+        scores = (nodes.join(hub_sums, "id", "left")
+                  .crossJoin(F.broadcast(h_tot))
+                  .join(auth, "id")
+                  .select("id",
+                          F.when(F.col("_ht") > 0,
+                                 F.coalesce(F.col("_h").cast("double"),
+                                            F.lit(0.0)) / F.col("_ht"))
+                          .otherwise(F.lit(0.0)).alias("hub"),
+                          "authority"))
+    return scores.select("id", "hub", "authority")
+
+
+def node_similarity_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every node pair sharing at least
+    ``min_common`` undirected neighbors: (id_a, id_b, n_common, jaccard)
+    with id_a < id_b, ``jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|``.
+
+    The classic link-prediction / role-equivalence score.  Plan shape:
+    candidate pairs come from ONE self-join of the adjacency list on the
+    shared neighbor (only pairs with a common neighbor ever materialize —
+    the N² pair space doesn't), then a (pair)-key count and two degree
+    joins; the division is a plain double op so both engines agree
+    bit-for-bit without rounding.
+
+    Scale note: the common-neighbor join is Σ deg(v)² pair rows — a hub of
+    degree D fans out D² rows exactly like :func:`neighbors_within_2_hops`.
+    ``max_degree`` prunes hubs ABOVE the cap from the candidate generation
+    (their pairs are dominated by noise in link prediction anyway); at
+    100 TB you always set it (or pre-filter the graph) — the cap turns the
+    worst block from O(D_max²) to O(cap²)."""
+    und = cut_lineage(undirected_edges(edges))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg"))
+    adj = und.select(F.col("dst").alias("_nb"), F.col("src").alias("_id"))
+    if max_degree is not None:
+        small = deg.filter(F.col("_deg") <= max_degree).select(
+            F.col("id").alias("_id"))
+        adj = adj.join(small, "_id")
+    a = adj.select(F.col("_nb"), F.col("_id").alias("id_a"))
+    b = adj.select(F.col("_nb"), F.col("_id").alias("id_b"))
+    common = (
+        a.join(b, "_nb").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common))
+    return (
+        common
+        .join(deg.select(F.col("id").alias("id_a"),
+                         F.col("_deg").alias("_deg_a")), "id_a")
+        .join(deg.select(F.col("id").alias("id_b"),
+                         F.col("_deg").alias("_deg_b")), "id_b")
+        .select("id_a", "id_b", "n_common",
+                (F.col("n_common").cast("double")
+                 / (F.col("_deg_a") + F.col("_deg_b") - F.col("n_common")))
+                .alias("jaccard")))
+
+
 # -- database namespace ops -------------------------------------------------
 
 
@@ -1131,11 +1243,48 @@ class GraphShortestPathsWeighted(KiaraModule):
             rounds=self.config.get("rounds", 4))}
 
 
+class GraphHITS(KiaraModule):
+    """Hub/authority scores, fixed iterations (see hits)."""
+
+    _module_type_name = "network_graph.hits"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": hits(
+            inputs["graph"].data["edges"],
+            iterations=self.config.get("iterations", 2))}
+
+
+class GraphNodeSimilarity(KiaraModule):
+    """Neighbor-set Jaccard for co-neighbor pairs (see
+    node_similarity_jaccard)."""
+
+    _module_type_name = "network_graph.node_similarity"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": node_similarity_jaccard(
+            inputs["graph"].data["edges"],
+            min_common=self.config.get("min_common", 1),
+            max_degree=self.config.get("max_degree"))}
+
+
 MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            CreateGraphFromTables, GraphDegrees, GraphTwoHopApprox,
            GraphComponents, GraphPagerank, GraphBfsHops,
            GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
-           GraphPersonalizedPagerank, GraphSCC]
+           GraphPersonalizedPagerank, GraphSCC, GraphHITS,
+           GraphNodeSimilarity]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1158,4 +1307,6 @@ OPERATIONS = [
     Operation("network_graph.kcore", "network_graph.kcore"),
     Operation("network_graph.pagerank_personalized",
               "network_graph.pagerank_personalized"),
+    Operation("network_graph.hits", "network_graph.hits"),
+    Operation("network_graph.node_similarity", "network_graph.node_similarity"),
 ]

@@ -4764,6 +4764,89 @@ def graph_pagerank_q(spark, sf_dir):
                       damping=0.85)
 
 
+def _hits_half_sql(score_src: str, score_col: str, from_col: str,
+                   to_col: str, out_col: str, tag: str) -> str:
+    """One HITS half-step in portable SQL (mirrors graph.hits exactly:
+    DECIMAL(38,18)-exact contribution sums, double normalize divide)."""
+    return f"""
+    {tag}s AS (SELECT e.{to_col} AS id,
+                      SUM(CAST(s.{score_col} AS DECIMAL(38,18))) AS v
+               FROM e JOIN {score_src} s ON e.{from_col} = s.id
+               GROUP BY e.{to_col}),
+    {tag}t AS (SELECT CAST(SUM(v) AS DOUBLE) AS t FROM {tag}s),
+    {tag} AS (SELECT n2.id,
+                     CASE WHEN {tag}t.t > 0
+                          THEN CAST(COALESCE({tag}s.v, 0) AS DOUBLE) / {tag}t.t
+                          ELSE 0.0 END AS {out_col}
+              FROM nodes n2 CROSS JOIN {tag}t
+              LEFT JOIN {tag}s ON {tag}s.id = n2.id)"""
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    s0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS hub,
+                  CAST(1.0 AS DOUBLE) / nn.n AS authority
+           FROM nodes CROSS JOIN nn),
+    {_hits_half_sql('s0', 'hub', 'src', 'dst', 'authority', 'a1')},
+    {_hits_half_sql('a1', 'authority', 'dst', 'src', 'hub', 'h1')},
+    {_hits_half_sql('h1', 'hub', 'src', 'dst', 'authority', 'a2')},
+    {_hits_half_sql('a2', 'authority', 'dst', 'src', 'hub', 'h2')}
+    SELECT h2.id, h2.hub, a2.authority
+    FROM h2 JOIN a2 ON h2.id = a2.id
+    """,
+)
+def graph_hits_q(spark, sf_dir):
+    """Fixed-iteration HITS (`network_graph.hits`, Kleinberg 1999) over the
+    directed co-purchase graph — customers are pure hubs, suppliers pure
+    authorities (bipartite edges), so the score split is visible in the
+    result.  Two alternating half-steps per iteration, each one join + one
+    hash aggregate with DECIMAL(38,18)-exact sums and a broadcast 1-row L1
+    total; bit-stable under any partitioning, verified against a 4-deep
+    unrolled SQL twin."""
+    from .operators import graph as G
+
+    return G.hits(_copurchase_edges(spark, sf_dir), iterations=2)
+
+
+@query(
+    "graph_node_similarity_jaccard",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    common AS (
+      SELECT a.src AS id_a, b.src AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3)
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common) AS jaccard
+    FROM common
+    JOIN deg da ON common.id_a = da.id
+    JOIN deg db ON common.id_b = db.id
+    """,
+)
+def graph_node_similarity_q(spark, sf_dir):
+    """Neighbor-set Jaccard (`network_graph.node_similarity`) — the classic
+    link-prediction score: pairs sharing >= 3 undirected neighbors, scored
+    |N(a)∩N(b)| / |N(a)∪N(b)|.  Candidates materialize from ONE adjacency
+    self-join on the shared neighbor (never the N² pair space); the raw
+    double divide needs no rounding to hash-match.  The operator's
+    max_degree cap is the hub guard at corpus scale."""
+    from .operators import graph as G
+
+    return G.node_similarity_jaccard(
+        _copurchase_edges(spark, sf_dir), min_common=3)
+
+
 @query(
     "scd2_user_event_intervals",
     """

@@ -511,3 +511,48 @@ def test_scc_long_condensation_chain_and_peel_limit(spark):
 def test_scc_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.strongly_connected_components") is not None
+
+
+def test_hits_bipartite_split_and_normalization(spark):
+    from kiara_spark.operators.graph import hits
+
+    # bipartite: 1,2 -> 10,11,12 (1 points at all three, 2 only at 10):
+    # sources get hub mass only, sinks authority mass only
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long")
+    got = {r.id: (r.hub, r.authority) for r in hits(edges, 2).collect()}
+    assert set(got) == {1, 2, 10, 11, 12}
+    for n in (1, 2):
+        assert got[n][1] == 0.0  # no in-edges -> zero authority
+    for n in (10, 11, 12):
+        assert got[n][0] == 0.0  # no out-edges -> zero hub
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-12
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-12
+    # node 1 links more authorities than node 2; 10 has more in-links
+    assert got[1][0] > got[2][0]
+    assert got[10][1] > got[11][1]
+    assert got[11][1] == got[12][1]
+
+
+def test_node_similarity_jaccard_counts_and_cap(spark):
+    from kiara_spark.operators.graph import node_similarity_jaccard
+
+    # N(1)={2,3,4}, N(5)={2,3,4,6}: J(1,5) = 3/4; 6's only neighbor is 5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2), (5, 3), (5, 4), (5, 6)],
+        "src long, dst long")
+    rows = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+            for r in node_similarity_jaccard(edges).collect()}
+    assert rows[(1, 5)] == (3, 0.75)
+    # 2,3,4 pairwise share neighbors {1,5}
+    assert rows[(2, 3)] == (2, 1.0)
+    # max_degree=3 prunes node 5 (degree 4) from candidate generation
+    capped = {(r.id_a, r.id_b)
+              for r in node_similarity_jaccard(edges, max_degree=3).collect()}
+    assert (1, 5) not in capped and (2, 3) in capped
+
+
+def test_hits_and_node_similarity_ops_registered(ctx):
+    assert ctx.operation_registry.resolve("network_graph.hits") is not None
+    assert ctx.operation_registry.resolve(
+        "network_graph.node_similarity") is not None
