@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "histogram_totalprice",
     "text_token_stats",
     "text_quality_scores",
+    "quality_gopher_rules",
+    "clean_c4_documents",
+    "quality_perplexity_buckets",
+    "sample_dsir_documents",
     "text_fingerprint",
     "text_chunking",
     "embedding_centroids",

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..io import cut_lineage
 from ..operations import Operation
 from ..values import ValueMap
 from .tables import TABLE, _simple_module
@@ -68,6 +69,152 @@ def word_ngram_hashes(text_col, n: int) -> F.Column:
     return F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def _bigram_bucket_rows(df: DataFrame, id_col: str, text_col: str,
+                        buckets: int) -> DataFrame:
+    """(_id, _bkt, _c): per-doc hashed word-bigram bucket counts — DSIR's
+    feature extraction.  One map + explode + (id, bucket) aggregate; only
+    (id, small-int bucket) pairs ever shuffle, never text."""
+    from .text import base_hash32
+
+    toks = tokens_col(F.col(text_col))
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(1), F.size(toks) - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (df.select(F.col(id_col).alias("_id"),
+                      F.explode(grams).alias("_g"))
+            .select("_id", F.pmod(base_hash32(F.col("_g")),
+                                  F.lit(buckets)).alias("_bkt"))
+            .groupBy("_id", "_bkt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    top_k: int = 100,
+    gumbel: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR —
+    the standard recipe for biasing a raw crawl toward a target domain):
+    estimate hashed word-bigram bucket distributions for the raw corpus
+    and the ``target`` sample, score every raw document by its importance
+    log-weight ``w(doc) = Σ_b count_doc[b] · ln(p_target[b] / p_raw[b])``
+    (add-1 smoothed), and resample the ``top_k`` docs by Gumbel-top-k —
+    equivalent to sampling without replacement ∝ exp(w), the paper's
+    sampling rule — with deterministic per-doc Gumbel noise derived from
+    ``base_hash32(id)`` so the draw is reproducible on any engine.
+    ``gumbel=False`` degrades to plain top-k by weight.
+
+    Scale shape: two (bucket)-key aggregates (raw + target counts — the
+    bucket table is ``buckets`` rows, broadcast), one (id, bucket)
+    aggregate for features, one broadcast join, one per-doc sum, one
+    global top-k.  Documents' text is read exactly once.  Per-bucket
+    ln-ratios go to int64 NANO UNITS (``trunc(x * 1e9)`` — the same
+    fixed-point rule as the PQ distance path) so every per-doc sum and
+    the final ranking is pure bigint arithmetic: exact, order-independent,
+    identical in any engine.
+
+    Returns (id, weight_e9, score_e9, rank), rank 1..top_k; divide the
+    ``_e9`` columns by 1e9 for the float weights."""
+    from .text import base_hash32
+
+    feats = _bigram_bucket_rows(df, id_col, text_col, buckets)
+    feats = cut_lineage(feats)
+    raw_counts = feats.groupBy("_bkt").agg(F.sum("_c").alias("_cr"))
+    tgt = _bigram_bucket_rows(target, id_col, text_col, buckets)
+    tgt_counts = tgt.groupBy("_bkt").agg(F.sum("_c").alias("_ct"))
+    raw_tot = raw_counts.agg(F.sum("_cr").alias("_R"))
+    tgt_tot = tgt_counts.agg(F.sum("_ct").alias("_T"))
+    # p_t[b] = (ct+1)/(T+B); p_r[b] = (cr+1)/(R+B); products go through
+    # double BEFORE multiplying (bigint products overflow at corpus scale),
+    # and the double->bigint cast truncates toward zero in both engines
+    # (DuckDB twin spells it trunc(x*1e9))
+    ratios = (raw_counts.join(tgt_counts, "_bkt", "left")
+              .crossJoin(F.broadcast(raw_tot))
+              .crossJoin(F.broadcast(tgt_tot))
+              .select(
+                  "_bkt",
+                  (F.log(
+                      ((F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                       * (F.col("_R") + buckets).cast("double"))
+                      / ((F.col("_cr") + 1).cast("double")
+                         * (F.col("_T") + buckets).cast("double")))
+                   * F.lit(1e9)).cast("bigint").alias("_lr_e9")))
+    weights = (feats.join(F.broadcast(ratios), "_bkt")
+               .groupBy("_id")
+               .agg(F.sum(F.col("_c") * F.col("_lr_e9")).cast("bigint")
+                    .alias("weight_e9")))
+    if gumbel:
+        # u in (0,1) from the 32-bit id hash; g = -ln(-ln(u)), also in
+        # truncated nano units so the score stays pure bigint
+        u = ((base_hash32(F.col("_id").cast("string")) + F.lit(0.5))
+             / F.lit(float(2 ** 32)))
+        score = (F.col("weight_e9")
+                 + (-F.log(-F.log(u)) * F.lit(1e9)).cast("bigint"))
+    else:
+        score = F.col("weight_e9")
+    scored = weights.withColumn("score_e9", score.cast("bigint"))
+    w = Window.orderBy(F.col("score_e9").desc(), F.col("_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= top_k)
+            .select(F.col("_id").alias(id_col), "weight_e9", "score_e9",
+                    "rank"))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    group_col: str | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by mean negative log-prob under the corpus's own unigram LM,
+    then split into ``n_buckets`` equal tiles (per ``group_col`` when
+    given — CCNet tiles per language) ordered cheap-to-surprising.  With
+    three buckets the labels are the paper's head/middle/tail; CCNet
+    keeps head+middle for pretraining.
+
+    Plan: one token-count aggregate (term-key shuffle, map-side combine),
+    broadcast 1-row total, join back on term, per-doc aggregate, one
+    window ntile — no Python, no driver loop; ordering ties break on the
+    ROUNDED score then id, so tiling is bit-stable across engines."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     *([F.col(group_col).alias("_grp")] if group_col else []),
+                     F.explode(tokens_col(F.col(text_col))).alias("_term"))
+    tc = toks.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    tot = tc.agg(F.sum("_c").cast("bigint").alias("_t"))
+    per_doc = (
+        toks.join(tc, "_term").crossJoin(F.broadcast(tot))
+        .groupBy("_id", *(["_grp"] if group_col else []))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+             F.round(F.avg(-F.log(F.col("_c") / F.col("_t").cast("double"))),
+                     6).alias("avg_neg_logprob")))
+    w = Window.partitionBy(*(["_grp"] if group_col else [])).orderBy(
+        F.col("avg_neg_logprob").asc(), F.col("_id").asc())
+    out = per_doc.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("bigint"))
+    if n_buckets == 3:
+        out = out.withColumn(
+            "label",
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    else:
+        out = out.withColumn("label",
+                             F.concat(F.lit("b"), F.col("bucket")))
+    cols = [F.col("_id").alias(id_col)]
+    if group_col:
+        cols.append(F.col("_grp").alias(group_col))
+    return out.select(*cols, "n_tokens", "avg_neg_logprob", "bucket",
+                      "label")
 
 
 def decontaminate(
@@ -448,10 +595,46 @@ TableUrlDedup = _simple_module(
         "survivor).",
 )
 
+def _dsir_process(self, im: ValueMap, context):
+    return {"table": dsir_sample(
+        im["table"].data, im["target"].data,
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        buckets=self.config.get("buckets", 256),
+        top_k=self.config.get("top_k", 100),
+        gumbel=self.config.get("gumbel", True))}
+
+
+TableDsirSample = _simple_module(
+    "table.sample.dsir", {"table": TABLE, "target": TABLE},
+    {"table": TABLE}, _dsir_process,
+    doc="DSIR importance resampling toward a target domain "
+        "(hashed-bigram importance weights, Gumbel-top-k)")
+
+
+TablePerplexityBuckets = _simple_module(
+    "table.quality.perplexity_buckets",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": perplexity_buckets(
+        im["table"].data,
+        id_col=self.config.get("id_column", "doc_id"),
+        text_col=self.config.get("text_column", "text"),
+        n_buckets=self.config.get("n_buckets", 3),
+        group_col=self.config.get("group_column"))},
+    doc="CCNet head/middle/tail perplexity tiles under the corpus's own "
+        "unigram LM",
+)
+
 MODULES = [TableUrlDedup, TableRedactPii, TableDecontaminate, TableRepetitionStats,
            TableTfidfTopTerms, TableInvertedIndex, TableBm25Score,
-           TableTermFreqHistogram]
+           TableTermFreqHistogram, TableDsirSample, TablePerplexityBuckets]
 OPERATIONS = [
+    Operation("table.sample.dsir", "table.sample.dsir",
+              doc="DSIR importance resampling toward a target domain"),
+    Operation("table.quality.perplexity_buckets",
+              "table.quality.perplexity_buckets",
+              doc="CCNet-style perplexity head/middle/tail tiles"),
     Operation("table.dedup.url", "table.dedup.url",
               doc="URL canonicalization + dedup groups"),
     Operation("table.inverted_index", "table.inverted_index",

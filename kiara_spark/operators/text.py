@@ -97,6 +97,150 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", quality.cast("double"))
 
 
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, 'Scaling Language
+    Models', Table A1 — the standard pretraining document filter; same
+    rules MassiveText/RefinedWeb/Dolma apply).  Appends per-rule signals
+    and booleans plus the conjunction ``pass_gopher``:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - '#' / '...' symbols per word <= max_symbol_word_ratio
+    - fraction of lines starting with a bullet <= max_bullet_line_ratio
+    - fraction of lines ending with an ellipsis <= max_ellipsis_line_ratio
+    - fraction of words containing an alphabetic char >= min_alpha_word_ratio
+    - at least min_required_hits distinct words from the required-word list
+
+    Everything is whole-stage-codegen expressions over one split — a pure
+    map, no shuffle, no UDF; ratios stay RAW double divisions of integer
+    counts (deterministic IEEE — no rounding needed for an exact oracle
+    twin)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, "\\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike("^([-*•‣▪])")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike("(\\.\\.\\.|…)$")))
+    n_alpha_words = F.size(F.filter(
+        words, lambda w: F.lower(w).rlike("[a-z]")))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_dots3 = (F.length(text)
+               - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))) / F.lit(3)
+    low_toks = tokens_col(text)
+    n_required = F.size(F.array_intersect(
+        F.array_distinct(low_toks),
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])))
+    out = df.withColumns({
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": F.when(
+            n_words > 0,
+            F.aggregate(words, F.lit(0),
+                        lambda a, w: a + F.length(w)).cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        "symbol_word_ratio": F.when(
+            n_words > 0, (n_hash + n_dots3).cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        "bullet_line_ratio": F.when(
+            n_lines > 0, n_bullet.cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        "ellipsis_line_ratio": F.when(
+            n_lines > 0, n_ellipsis.cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        "alpha_word_ratio": F.when(
+            n_words > 0, n_alpha_words.cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        "n_required_hits": n_required.cast("bigint"),
+    })
+    checks = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+                         & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+                            & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_bullet_lines": F.col("bullet_line_ratio") <= max_bullet_line_ratio,
+        "ok_ellipsis_lines":
+            F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio,
+        "ok_alpha_words": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "ok_required_words": F.col("n_required_hits") >= min_required_hits,
+    }
+    out = out.withColumns(checks)
+    passed = F.lit(True)
+    for c in checks:
+        passed = passed & F.col(c)
+    return out.withColumn("pass_gopher", passed)
+
+
+def clean_c4(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 3,
+    banned_substrings: tuple = ("lorem ipsum", "{"),
+    banned_line_words: tuple = ("javascript",),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the rules
+    behind the C4 corpus): keep only lines that end in terminal
+    punctuation AND have >= ``min_words_per_line`` words AND mention no
+    banned line word; drop the WHOLE document when it contains a banned
+    substring ('lorem ipsum', '{') or the cleaned text ends with fewer
+    than ``min_sentences`` sentence terminators.
+
+    Output: (id, cleaned_text, n_lines, n_kept_lines, n_sentences,
+    kept_doc) — exactly one row per input document; callers drop
+    ``kept_doc = false`` rows (returning the verdict instead of silently
+    dropping keeps the filter auditable, same policy as dedup_paragraphs).
+
+    Pure map over one line split (codegen, no shuffle, no UDF)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def line_ok(ln):
+        trimmed = F.trim(ln)
+        n_w = F.size(F.filter(F.split(trimmed, "\\s+"),
+                              lambda w: w != F.lit("")))
+        ok = trimmed.rlike("[.!?\"”]$") & (n_w >= min_words_per_line)
+        for bad in banned_line_words:
+            ok = ok & ~F.contains(F.lower(ln), F.lit(bad))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sent = (F.length(cleaned)
+              - F.length(F.regexp_replace(cleaned, "[.!?]", "")))
+    doc_ok = n_sent >= F.lit(min_sentences)
+    for bad in banned_substrings:
+        doc_ok = doc_ok & ~F.contains(F.lower(text), F.lit(bad))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("cleaned_text"),
+        F.size(F.filter(lines, lambda ln: F.trim(ln) != F.lit("")))
+         .cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        doc_ok.alias("kept_doc"))
+
+
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-membership language ID: score = count of tokens in each
     language's marker set; argmax wins (ties broken by language code order —
@@ -865,12 +1009,41 @@ class TextTokenDropout(KiaraModule):
             out_col=self.config.get("output_column", "augmented_text"))}
 
 
+TextGopherRules = _mk("text.quality.gopher", with_gopher_rules,
+                      "the Gopher (Rae et al. 2021) quality-rule battery")
+
+
+class TextCleanC4(KiaraModule):
+    """C4-style line-level cleaning (see clean_c4)."""
+
+    _module_type_name = "text.clean.c4"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": clean_c4(
+            inputs["table"].data,
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"),
+            min_words_per_line=self.config.get("min_words_per_line", 3),
+            min_sentences=self.config.get("min_sentences", 3))}
+
+
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
-           TextExtractHtml, TableTemperatureSample]
+           TextExtractHtml, TableTemperatureSample, TextGopherRules,
+           TextCleanC4]
 OPERATIONS = [
+    Operation("text.quality.gopher", "text.quality.gopher",
+              doc="Gopher quality-rule battery (word/line/symbol signals)"),
+    Operation("text.clean.c4", "text.clean.c4",
+              doc="C4 line-level cleaning + document verdict"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),

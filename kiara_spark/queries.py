@@ -9146,6 +9146,293 @@ def scalar_strings2_q(spark, sf_dir):
 # SCD2/merge/diff, the dedup/similarity family) so the recorded
 # CORRECTNESS_r{N}.json covers them.
 
+# ---------------------------------------------------------------------------
+# r6: pretraining-corpus curation battery — Gopher rules, C4 cleaning,
+# CCNet perplexity tiles, DSIR importance resampling.
+#
+# The synthetic documents have no punctuation/newlines, so the Gopher/C4
+# queries ENRICH each doc deterministically (doc_id-keyed bullets, line
+# breaks, ellipses, '#' runs, '{' and 'lorem ipsum' injections) with
+# mirrored Spark/SQL expressions — every rule fires on a real subset
+# instead of being vacuously true.
+# ---------------------------------------------------------------------------
+
+def _rich_text_col():
+    """doc_id-keyed enrichment of the flat synthetic text: 3 lines, a
+    bullet every 3rd doc, ellipsis line-end every 4th, '###' every 5th,
+    '{' every 37th, 'lorem ipsum' every 41st (twin: _RICH_SQL)."""
+    parts = F.split(F.col("text"), " ")
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.concat_ws(" ", F.slice(parts, 1, 12)), F.lit(".\n"),
+        F.concat_ws(" ", F.slice(parts, 13, 12)),
+        F.when(did % 4 == 0, F.lit(" ...")).otherwise(F.lit(".")),
+        F.lit("\n"),
+        F.concat_ws(" ", F.slice(parts, 25, 100000)),
+        F.when(did % 5 == 0, F.lit(" ###")).otherwise(F.lit("")),
+        F.when(did % 37 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(did % 41 == 0, F.lit("\nlorem ipsum dolor sit."))
+         .otherwise(F.lit("")),
+    )
+
+
+_RICH_SQL = """
+      CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END
+      || COALESCE(array_to_string(
+             list_slice(string_split(text, ' '), 1, 12), ' '), '')
+      || '.' || chr(10)
+      || COALESCE(array_to_string(
+             list_slice(string_split(text, ' '), 13, 24), ' '), '')
+      || CASE WHEN doc_id % 4 = 0 THEN ' ...' ELSE '.' END || chr(10)
+      || COALESCE(array_to_string(
+             list_slice(string_split(text, ' '), 25, 100000), ' '), '')
+      || CASE WHEN doc_id % 5 = 0 THEN ' ###' ELSE '' END
+      || CASE WHEN doc_id % 37 = 0 THEN ' {' ELSE '' END
+      || CASE WHEN doc_id % 41 = 0
+              THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END
+"""
+
+_GOPHER_REQ_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH rt AS (SELECT doc_id, {_RICH_SQL} AS t FROM documents),
+    sig AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\\s+'), w -> w <> '')
+               AS words,
+             list_filter(string_split(t, chr(10)), l -> trim(l) <> '')
+               AS lines
+      FROM rt),
+    feat AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+            / len(words) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(words) > 0 THEN
+          CAST(length(t) - length(replace(t, '#', ''))
+               + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+            / len(words) ELSE 0.0 END AS symbol_word_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[-*•‣▪]'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END AS bullet_line_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END AS ellipsis_line_ratio,
+        CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words,
+                 w -> regexp_matches(lower(w), '[a-z]'))) AS DOUBLE)
+            / len(words) ELSE 0.0 END AS alpha_word_ratio,
+        CAST(len(list_intersect(
+          list_distinct(list_filter(
+            string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '')),
+          {_GOPHER_REQ_SQL})) AS BIGINT) AS n_required_hits
+      FROM sig)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           n_required_hits,
+           (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS ok_mean_word_len,
+           symbol_word_ratio <= 0.05 AS ok_symbol_ratio,
+           bullet_line_ratio <= 0.3 AS ok_bullet_lines,
+           ellipsis_line_ratio <= 0.3 AS ok_ellipsis_lines,
+           alpha_word_ratio >= 0.8 AS ok_alpha_words,
+           n_required_hits >= 1 AS ok_required_words,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND symbol_word_ratio <= 0.05
+            AND bullet_line_ratio <= 0.3
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_word_ratio >= 0.8
+            AND n_required_hits >= 1) AS pass_gopher
+    FROM feat
+    """,
+)
+def gopher_rules_q(spark, sf_dir):
+    """The Gopher quality-rule battery (`text.quality.gopher`, Rae et al.
+    2021 Table A1) over doc_id-enriched documents: word-count band, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required-word hits — each rule's boolean
+    plus the conjunction.  Pure map (codegen), ratios are raw double
+    divisions of integer counts so the oracle matches without rounding."""
+    from .operators.text import with_gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _rich_text_col().alias("text"))
+    return with_gopher_rules(
+        docs, min_words=30, max_symbol_word_ratio=0.05,
+        max_bullet_line_ratio=0.3, min_required_hits=1,
+    ).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "n_required_hits", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_required_words", "pass_gopher")
+
+
+@query(
+    "clean_c4_documents",
+    f"""
+    WITH rt AS (SELECT doc_id, {_RICH_SQL} AS t FROM documents),
+    l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM rt),
+    k AS (
+      SELECT doc_id, t, lines,
+             list_transform(list_filter(lines,
+               ln -> regexp_matches(trim(ln), '[.!?"”]$')
+                     AND len(list_filter(
+                           string_split_regex(trim(ln), '\\s+'),
+                           w -> w <> '')) >= 3
+                     AND NOT contains(lower(ln), 'javascript')),
+               ln -> trim(ln)) AS keptl
+      FROM l),
+    c AS (SELECT doc_id, t, lines, keptl,
+                 COALESCE(array_to_string(keptl, chr(10)), '')
+                   AS cleaned_text
+          FROM k)
+    SELECT doc_id, cleaned_text,
+           CAST(len(list_filter(lines, ln -> trim(ln) <> '')) AS BIGINT)
+             AS n_lines,
+           CAST(len(keptl) AS BIGINT) AS n_kept_lines,
+           CAST(length(cleaned_text)
+                - length(regexp_replace(cleaned_text, '[.!?]', '', 'g'))
+                AS BIGINT) AS n_sentences,
+           (length(cleaned_text)
+              - length(regexp_replace(cleaned_text, '[.!?]', '', 'g')) >= 2
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(lower(t), '{{')) AS kept_doc
+    FROM c
+    """,
+)
+def clean_c4_q(spark, sf_dir):
+    """C4-style line-level cleaning (`text.clean.c4`, Raffel et al. 2020
+    §2.2) over doc_id-enriched documents: keep terminal-punctuated lines
+    with >= 3 words, drop whole docs containing 'lorem ipsum' or a brace or
+    with < 2 sentence terminators after cleaning.  One row per input doc
+    with the verdict — auditable, never silently dropping."""
+    from .operators.text import clean_c4
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _rich_text_col().alias("text"))
+    return clean_c4(docs, min_sentences=2)
+
+
+@query(
+    "quality_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+    ), tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tc),
+    pd AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(-ln(c / CAST(t AS DOUBLE))), 6) AS avg_neg_logprob
+      FROM toks JOIN tc USING (term) CROSS JOIN tot
+      GROUP BY 1, 2),
+    tiled AS (
+      SELECT doc_id, lang, n_tokens, avg_neg_logprob,
+             CAST(NTILE(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_neg_logprob, doc_id)
+                  AS BIGINT) AS bucket
+      FROM pd)
+    SELECT doc_id, lang, n_tokens, avg_neg_logprob, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS label
+    FROM tiled
+    """,
+)
+def perplexity_buckets_q(spark, sf_dir):
+    """CCNet perplexity tiles (`table.quality.perplexity_buckets`, Wenzek
+    et al. 2020): per-language head/middle/tail thirds by mean negative
+    log-prob under the corpus's own unigram LM.  One term-key aggregate +
+    broadcast total + per-doc aggregate + one window ntile; tie-break on
+    (rounded score, id) keeps the tiling bit-stable."""
+    from .operators.curation import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"), group_col="lang")
+
+
+@query(
+    "sample_dsir_documents",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_TOKS} AS wl FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wl)),
+               i -> wl[CAST(i AS INT)] || ' ' || wl[CAST(i AS INT) + 1]))
+               AS gram
+      FROM w WHERE len(wl) >= 2
+    ), f AS (
+      SELECT doc_id, {_h32_sql('gram')} % 256 AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2
+    ), raw AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS cr FROM f GROUP BY 1),
+    tw AS (
+      SELECT doc_id, {_TOKS} AS wl FROM documents WHERE lang = 'en'
+    ), tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wl)),
+               i -> wl[CAST(i AS INT)] || ' ' || wl[CAST(i AS INT) + 1]))
+               AS gram
+      FROM tw WHERE len(wl) >= 2
+    ), tc AS (
+      SELECT {_h32_sql('gram')} % 256 AS bkt, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tg GROUP BY 1
+    ),
+    rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS r FROM raw),
+    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM tc),
+    ratios AS (
+      SELECT raw.bkt,
+             CAST(trunc(ln(
+               (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                * CAST(rt.r + 256 AS DOUBLE))
+               / (CAST(raw.cr + 1 AS DOUBLE) * CAST(tt.t + 256 AS DOUBLE)))
+               * 1e9) AS BIGINT) AS lr_e9
+      FROM raw LEFT JOIN tc ON raw.bkt = tc.bkt
+      CROSS JOIN rt CROSS JOIN tt
+    ),
+    wts AS (
+      SELECT f.doc_id, CAST(SUM(f.c * ratios.lr_e9) AS BIGINT) AS weight_e9
+      FROM f JOIN ratios ON f.bkt = ratios.bkt GROUP BY 1
+    ),
+    scored AS (
+      SELECT doc_id, weight_e9,
+             weight_e9 + CAST(trunc(-ln(-ln(
+               (CAST({_h32_sql('CAST(doc_id AS VARCHAR)')} AS DOUBLE) + 0.5)
+               / 4294967296)) * 1e9) AS BIGINT) AS score_e9
+      FROM wts)
+    SELECT doc_id, weight_e9, score_e9,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT doc_id, weight_e9, score_e9,
+                 ROW_NUMBER() OVER (ORDER BY score_e9 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 100
+    """,
+)
+def dsir_sample_q(spark, sf_dir):
+    """DSIR importance resampling (`table.sample.dsir`, Xie et al. 2023):
+    bias the whole corpus toward the English subset via hashed word-bigram
+    importance log-weights (add-1 smoothed, 256 buckets), then Gumbel-top-
+    100 with deterministic per-doc noise — the paper's sample-∝-exp(w)
+    rule, reproducible on any engine.  All per-doc sums and the ranking
+    are int64 nano-unit arithmetic (exact, order-independent)."""
+    from .operators.curation import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(docs, docs.filter(F.col("lang") == "en"),
+                       top_k=100)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

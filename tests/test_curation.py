@@ -358,3 +358,90 @@ def test_canonical_url_literal_ampersand_in_path_untouched(spark):
            df.select("i", canonical_url("url").alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_gopher_rules_battery(spark):
+    from kiara_spark.operators.text import with_gopher_rules
+
+    rows = [
+        # good: 60 required-ish words, clean lines
+        (1, " ".join(["the quick brown fox jumps over lazy dogs today and"] * 6)),
+        # too short
+        (2, "tiny doc"),
+        # symbol-heavy
+        (3, "the " + "# " * 40 + "of and that have with be to words here"),
+        # bullet-heavy
+        (4, "\n".join("- item number %d in the list of things" % i
+                      for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    assert got[1].ok_word_count and got[1].ok_alpha_words
+    assert got[1].ok_required_words and got[1].pass_gopher
+    assert not got[2].ok_word_count and not got[2].pass_gopher
+    assert not got[3].ok_symbol_ratio and not got[3].ok_alpha_words
+    assert got[4].bullet_line_ratio == 1.0 and not got[4].ok_bullet_lines
+
+
+def test_clean_c4_line_and_doc_rules(spark):
+    from kiara_spark.operators.text import clean_c4
+
+    rows = [
+        (1, "This is a good sentence.\nshort.\nNo terminal punctuation here\n"
+            "Another proper sentence stands here. And one more follows it."),
+        (2, "Uses javascript for tracking everywhere.\nA clean line is here."),
+        (3, "Contains the banned { brace.\nA clean line sits here. More."),
+        (4, "lorem ipsum dolor sit amet.\nA clean line sits right here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_c4(df, min_sentences=2).collect()}
+    # doc 1: line1 + line4 kept ('short.' <3 words, line3 no punct)
+    assert got[1].n_kept_lines == 2 and got[1].kept_doc
+    assert "No terminal" not in got[1].cleaned_text
+    # javascript line dropped, doc survives on the clean line? only 1
+    # sentence left -> dropped by min_sentences=2
+    assert got[2].n_kept_lines == 1 and not got[2].kept_doc
+    assert not got[3].kept_doc  # brace kills the whole doc
+    assert not got[4].kept_doc  # lorem ipsum kills the whole doc
+
+
+def test_perplexity_buckets_orders_rare_docs_to_tail(spark):
+    from kiara_spark.operators.curation import perplexity_buckets
+
+    common = "alpha beta gamma delta " * 5
+    docs = [(i, common) for i in range(1, 7)]
+    docs.append((7, "zeta eta theta iota kappa"))  # all-rare tokens
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+    assert got[7].label == "tail" and got[7].bucket == 3
+    assert got[1].label == "head"
+    assert all(got[i].avg_neg_logprob < got[7].avg_neg_logprob
+               for i in range(1, 7))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from kiara_spark.operators.curation import dsir_sample
+
+    tgt_like = "the cat sat on the mat and the dog ran off"
+    off_dom = "numeric tables of figures list digits rows columns cells"
+    raw = [(i, tgt_like) for i in range(10)] + \
+          [(i, off_dom) for i in range(10, 20)]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, tgt_like), (101, "the cat and the dog sat")],
+        "doc_id long, text string")
+    got = dsir_sample(df, target, top_k=10, gumbel=False).collect()
+    picked = {r.doc_id for r in got}
+    assert picked == set(range(10))  # every target-like doc outranks off-domain
+    ranks = {r.doc_id: r.rank for r in got}
+    assert sorted(ranks.values()) == list(range(1, 11))
+    # gumbel variant is deterministic: same call, same draw
+    g1 = [r.doc_id for r in dsir_sample(df, target, top_k=5).collect()]
+    g2 = [r.doc_id for r in dsir_sample(df, target, top_k=5).collect()]
+    assert g1 == g2
+
+
+def test_new_curation_ops_registered(ctx):
+    for op in ("table.sample.dsir", "table.quality.perplexity_buckets",
+               "text.quality.gopher", "text.clean.c4"):
+        assert ctx.operation_registry.resolve(op) is not None
