@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "join_anti_inactive_customers",
     "multimodal_media_features",
     "multimodal_image_real_decode",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup_pairs",
     "multimodal_audio_real_decode",
     "pack_concat_sequences",
     "scalar_date_battery",

@@ -37,6 +37,7 @@ from __future__ import annotations
 import struct
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # synth encoders (deterministic fixtures)
@@ -52,7 +53,12 @@ def synth_pixels(seed: int, width: int, height: int) -> bytes:
 def synth_bmp(seed: int, width: int, height: int) -> bytes:
     """Uncompressed 24-bit BI_RGB BMP of the synth_pixels image — written
     bottom-up, BGR, with 4-byte row padding (the real format quirks)."""
-    px = synth_pixels(seed, width, height)
+    return encode_bmp(synth_pixels(seed, width, height), width, height)
+
+
+def encode_bmp(px: bytes, width: int, height: int) -> bytes:
+    """Write top-down row-major RGB pixels as an uncompressed 24-bit
+    BI_RGB BMP (bottom-up, BGR, 4-byte row padding)."""
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
     body = bytearray()
@@ -72,8 +78,12 @@ def synth_bmp(seed: int, width: int, height: int) -> bytes:
 
 def synth_ppm(seed: int, width: int, height: int) -> bytes:
     """P6 binary PPM of the synth_pixels image (header + raw RGB)."""
-    return (f"P6\n{width} {height}\n255\n".encode("ascii")
-            + synth_pixels(seed, width, height))
+    return encode_ppm(synth_pixels(seed, width, height), width, height)
+
+
+def encode_ppm(px: bytes, width: int, height: int) -> bytes:
+    """Write top-down row-major RGB pixels as a binary P6 PPM."""
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(px)
 
 
 def synth_samples(seed: int, n_samples: int) -> list[int]:
@@ -328,6 +338,110 @@ def decode_audio(df: DataFrame, binary_col: str = "media",
 # ---------------------------------------------------------------------------
 
 from ..modules import KiaraModule  # noqa: E402
+IMAGE_DHASH_SCHEMA = ("id long, format string, width int, height int, "
+                      "dhash long")
+
+
+def image_dhash(df: DataFrame, binary_col: str = "media",
+                id_col: str = "id") -> DataFrame:
+    """Perceptual difference hash (dHash — Krawetz 2013, the standard
+    cheap image fingerprint) over REAL decoded pixels: nearest-neighbor
+    downsample to a 9x8 grayscale grid, emit one bit per cell pair
+    (brighter-than-left), pack 64 bits into a signed BIGINT.
+
+    Deterministic and engine-portable by construction: integer
+    nearest-neighbor sampling (``sx = x*W // 9``), integer grayscale
+    ``(r+g+b) // 3``, two's-complement packing — a SQL oracle can predict
+    the hash from the pixel rule alone.  Map-only ``mapInPandas``; the
+    stdlib codecs stand in for a numpy/PIL kernel exactly as in
+    :func:`decode_image` (same error contract: undecodable -> NULL row).
+
+    Near-duplicate images (crops, re-encodes, brightness shifts) land
+    within a few bits of Hamming distance; pair search is
+    :func:`dhash_neardup_pairs`."""
+    import pandas as pd
+
+    def _hash(batches):
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                row = {"id": rid, "format": "unknown", "width": None,
+                       "height": None, "dhash": None}
+                data = bytes(blob) if blob is not None else b""
+                try:
+                    if data[:2] == b"BM":
+                        fmt, (w, h, px) = "bmp", decode_bmp(data)
+                    elif data[:2] in (b"P6", b"P5"):
+                        fmt, (w, h, px) = (
+                            "ppm" if data[:2] == b"P6" else "pgm",
+                            decode_ppm(data))
+                    else:
+                        raise ValueError("unknown magic")
+
+                    def gray(cx, cy):
+                        k = 3 * (cy * w + cx)
+                        return (px[k] + px[k + 1] + px[k + 2]) // 3
+
+                    xs = [x * w // 9 for x in range(9)]
+                    ys = [y * h // 8 for y in range(8)]
+                    hval = 0
+                    for i in range(64):
+                        x, y = i % 8, i // 8
+                        if gray(xs[x + 1], ys[y]) > gray(xs[x], ys[y]):
+                            hval |= 1 << i
+                    if hval >= 1 << 63:
+                        hval -= 1 << 64
+                    row.update(format=fmt, width=w, height=h, dhash=hval)
+                except (ValueError, struct.error):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_hash, schema=IMAGE_DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(sig: DataFrame, id_col: str = "id",
+                        hash_col: str = "dhash",
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance: band the
+    64-bit hash into four 16-bit keys, self-join within (band, key)
+    buckets only, verify candidates with an exact
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    By pigeonhole, any pair within Hamming distance 3 agrees on at least
+    one of the four bands, so the banded join finds EVERY such pair
+    without materializing N² — the same LSH shape as minhash dedup; for
+    ``max_hamming`` > 3 recall needs more/narrower bands (documented
+    contract, enforced below).  Only (id, 16-bit key) rows shuffle; the
+    hash join keys are uniformly distributed by construction.
+
+    Returns (id_a, id_b, hamming), id_a < id_b."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding guarantees recall only for "
+                         "max_hamming <= 3; use more bands")
+    base = sig.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    banded = base.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("_band"),
+                     (F.shiftrightunsigned(F.col("_h"), 16 * b)
+                      .bitwiseAND(F.lit(65535))).alias("_key"))
+            for b in range(4)])).alias("_bk")
+    ).select("_id", "_h", "_bk._band", "_bk._key")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"),
+                      "_band", "_key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"),
+                      "_band", "_key")
+    pairs = (a.join(b, ["_band", "_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", ham.cast("bigint"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 from ..values import ValueMap  # noqa: E402
 
 
@@ -370,8 +484,51 @@ class MediaDecodeAudioReal(KiaraModule):
 
 from ..operations import Operation  # noqa: E402
 
-MODULES = [MediaDecodeImageReal, MediaDecodeAudioReal]
+class MediaImageDhash(KiaraModule):
+    """Perceptual dHash fingerprints over decoded pixels (see
+    image_dhash)."""
+
+    _module_type_name = "media.image_dhash"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": image_dhash(
+            inputs["table"].data,
+            binary_col=self.config.get("binary_column", "media"),
+            id_col=self.config.get("id_column", "id"))}
+
+
+class MediaDedupImages(KiaraModule):
+    """Near-duplicate image pairs via banded dHash LSH (see
+    dhash_neardup_pairs)."""
+
+    _module_type_name = "media.dedup_images"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        sig = image_dhash(
+            inputs["table"].data,
+            binary_col=self.config.get("binary_column", "media"),
+            id_col=self.config.get("id_column", "id"))
+        return {"pairs": dhash_neardup_pairs(
+            sig, max_hamming=self.config.get("max_hamming", 3))}
+
+
+MODULES = [MediaDecodeImageReal, MediaDecodeAudioReal, MediaImageDhash,
+           MediaDedupImages]
 OPERATIONS = [
     Operation("media.decode_image_real", "media.decode_image_real"),
     Operation("media.decode_audio_real", "media.decode_audio_real"),
+    Operation("media.image_dhash", "media.image_dhash"),
+    Operation("media.dedup_images", "media.dedup_images"),
 ]

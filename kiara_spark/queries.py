@@ -9433,6 +9433,130 @@ def dsir_sample_q(spark, sf_dir):
                        top_k=100)
 
 
+# --- image perceptual dedup (dHash) ---------------------------------------
+# The fixture makes REAL near-duplicate groups: seed = doc_id % 50 so ~10
+# docs share each image; every 5th doc gets a one-pixel +8 jitter, so some
+# hashes sit at Hamming distance 1-3 from their group (a sampled pixel)
+# and most at 0 — the verify stage sees a genuine distance spread.
+
+def _dhash_fixture(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import media_codecs as MC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            media = []
+            for i in ids:
+                seed = i % 50
+                w, h = 16 + seed % 5, 12 + seed % 3
+                stride = 7 + seed % 11
+                px = bytearray((seed * 31 + n * stride) % 256
+                               for n in range(w * h * 3))
+                if i % 5 == 4:
+                    nj = (i * 13) % (w * h * 3)
+                    px[nj] = (px[nj] + 8) % 256
+                media.append(
+                    MC.encode_bmp(bytes(px), w, h) if seed % 2 == 0
+                    else MC.encode_ppm(bytes(px), w, h))
+            yield pd.DataFrame({"id": ids, "media": media})
+
+    return docs.mapInPandas(synth, schema="id long, media binary")
+
+
+def _dh_px(n: str) -> str:
+    """SQL twin of the fixture's pixel rule (per-seed stride makes each
+    seed's image genuinely distinct — a shared linear ramp would give
+    near-identical dhashes across seeds — plus the one-pixel jitter)."""
+    return (f"(CASE WHEN njit IS NOT NULL AND ({n}) = njit "
+            f"THEN ((seed*31 + ({n})*(7 + seed % 11)) % 256 + 8) % 256 "
+            f"ELSE (seed*31 + ({n})*(7 + seed % 11)) % 256 END)")
+
+
+def _dh_gray(k: str) -> str:
+    b = f"(3*({k}))"
+    return (f"(({_dh_px(b)} + {_dh_px(b + '+1')} + {_dh_px(b + '+2')})"
+            f" // 3)")
+
+
+# grid sampling: ys = (y*h)//8, xs = (x*w)//9 with y = i//8, x = i%8
+_DH_K0 = "((((i//8)*h)//8)*w + (((i%8))*w)//9"
+_DH_K1 = "((((i//8)*h)//8)*w + ((((i%8))+1)*w)//9"
+_DH_BIT = (f"{_dh_gray(_DH_K1 + ')')} > {_dh_gray(_DH_K0 + ')')}")
+# bit 63 (x=7, y=7) spelled with literals for the sign fix-up
+_DH_BIT63 = (f"{_dh_gray('((7*h)//8)*w + (8*w)//9')} > "
+             f"{_dh_gray('((7*h)//8)*w + (7*w)//9')}")
+
+_DHASH_SQL = f"""
+    p AS (SELECT doc_id AS id, doc_id % 50 AS seed,
+                 16 + (doc_id % 50) % 5 AS w,
+                 12 + (doc_id % 50) % 3 AS h,
+                 CASE WHEN doc_id % 5 = 4
+                      THEN (doc_id*13) % ((16 + (doc_id % 50) % 5)
+                                          * (12 + (doc_id % 50) % 3) * 3)
+                      ELSE NULL END AS njit,
+                 CASE WHEN (doc_id % 50) % 2 = 0 THEN 'bmp' ELSE 'ppm' END
+                   AS fmt
+          FROM documents),
+    sig AS (
+      SELECT id, fmt, w, h,
+             CAST(list_sum(list_transform(range(0, 63), i ->
+               CASE WHEN {_DH_BIT}
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+             + CASE WHEN {_DH_BIT63}
+                    THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                    ELSE 0 END AS dhash
+      FROM p)"""
+
+
+@query(
+    "multimodal_image_dhash",
+    f"""
+    WITH {_DHASH_SQL}
+    SELECT id, fmt AS format, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, dhash
+    FROM sig
+    """,
+)
+def image_dhash_q(spark, sf_dir):
+    """Perceptual dHash (`media.image_dhash`, Krawetz 2013) over REAL
+    decoded BMP/P6 fixtures: 9x8 nearest-neighbor grayscale grid,
+    brighter-than-left bits packed into a signed 64-bit hash.  Integer
+    sampling + integer grayscale means the oracle predicts every hash
+    from the pixel rule alone — container quirks (bottom-up BMP rows,
+    BGR, padding) must all round-trip for the hashes to match."""
+    from .operators import media_codecs as MC
+
+    return MC.image_dhash(_dhash_fixture(spark, sf_dir))
+
+
+@query(
+    "multimodal_image_neardup_pairs",
+    f"""
+    WITH {_DHASH_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def image_neardup_q(spark, sf_dir):
+    """Near-duplicate image pairs (`media.dedup_images`): banded dHash LSH
+    — four 16-bit bands, within-bucket self-join, exact Hamming verify
+    via bit_count(xor).  Pigeonhole guarantees every pair within distance
+    3 shares a band, so the banded join equals the oracle's brute-force
+    N² scan while shuffling only (id, 16-bit key) rows — the image twin
+    of minhash LSH dedup."""
+    from .operators import media_codecs as MC
+
+    sig = MC.image_dhash(_dhash_fixture(spark, sf_dir))
+    return MC.dhash_neardup_pairs(sig, max_hamming=3)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -190,3 +190,38 @@ def test_decode_image_decoder_paths_share_contract(spark):
     assert (out.loc[0, "width"], out.loc[0, "height"]) == (7, 3)
     assert (out.loc[1, "width"], out.loc[1, "height"]) == (0, 0)
     assert out.loc[2, "byte_len"] == 0
+
+
+def test_image_dhash_identical_and_jittered(spark):
+    from kiara_spark.operators.media_codecs import (
+        dhash_neardup_pairs, encode_bmp, encode_ppm, image_dhash,
+        synth_pixels)
+
+    w, h = 16, 12
+    px = bytearray(synth_pixels(3, w, h))
+    jit = bytearray(px)
+    jit[5] = (jit[5] + 120) % 256  # hit a sampled cell hard
+    rows = [
+        (1, encode_bmp(bytes(px), w, h)),
+        (2, encode_ppm(bytes(px), w, h)),   # same pixels, other container
+        (3, encode_bmp(bytes(jit), w, h)),
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    sig = {r.id: r for r in image_dhash(df).collect()}
+    assert sig[1].dhash == sig[2].dhash  # container-independent
+    assert sig[1].format == "bmp" and sig[2].format == "ppm"
+    assert sig[4].dhash is None and sig[4].format == "unknown"
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dhash_neardup_pairs(image_dhash(df)).collect()}
+    assert pairs[(1, 2)] == 0
+    # jittered image is near, not identical, to 1 and 2
+    assert 0 < pairs.get((1, 3), 99) <= 3 or (1, 3) not in pairs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bands"):
+        dhash_neardup_pairs(image_dhash(df), max_hamming=5)
+
+
+def test_dhash_ops_registered(ctx):
+    assert ctx.operation_registry.resolve("media.image_dhash") is not None
+    assert ctx.operation_registry.resolve("media.dedup_images") is not None
