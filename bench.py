@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "events_funnel_signup_click_purchase",
     "events_gap_fill_hourly",
+    "events_seasonal_decompose",
     "histogram_totalprice",
     "text_token_stats",
     "text_quality_scores",
@@ -191,6 +192,7 @@ BENCH_QUERIES = [
     "events_ab_test_zscore",
     "graph_kcore",
     "graph_hits_hubs_authorities",
+    "graph_random_walks",
     "graph_node_similarity_jaccard",
     "text_term_freq_histogram",
     "scalar_regex_battery",

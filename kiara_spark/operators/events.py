@@ -425,10 +425,73 @@ EventsCappedBalance = _simple_module(
         "fold.",
 )
 
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    period: int = 24,
+    window: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of an hourly count series
+    (the moving-average method behind STL's initial pass):
+
+    - ``c``: events per hour bucket;
+    - ``trend``: centered ``window``-row moving average of ``c``;
+    - ``seasonal``: per hour-of-period mean of the detrended series,
+      summed as exact decimals so it is order-independent;
+    - ``residual = c - trend - seasonal``.
+
+    Plan: one hour-truncate aggregate, one ordered window (the series is
+    one row per hour — tiny relative to the events that produced it; at
+    100 TB the heavy step is the first aggregate, which shuffles on the
+    hour key with map-side combine), one ``period``-row broadcast join.
+    Rounding discipline: trend is an exact-int mean (deterministic
+    double), detrended terms round to 9dp before the decimal seasonal
+    sum, outputs round to 6dp — the cross-engine pattern every other
+    oracle op uses."""
+    hourly = (df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    half = window // 2
+    w_ma = (Window.orderBy("bucket_ts")
+            .rowsBetween(-half, window - half - 1))
+    wd = (hourly
+          .withColumn("trend", F.avg("c").over(w_ma))
+          .withColumn("detrended", F.col("c") - F.col("trend"))
+          .withColumn("hour_of_period",
+                      F.pmod(F.hour("bucket_ts"), F.lit(period))
+                      .cast("bigint")))
+    seasonal = (wd.groupBy("hour_of_period")
+                .agg((F.round(F.sum(F.round(F.col("detrended"), 9)
+                                    .cast("decimal(38,12)")), 6)
+                      .cast("double")
+                      / F.count(F.lit(1))).alias("seasonal_raw")))
+    return (wd.join(F.broadcast(seasonal), "hour_of_period")
+            .select(
+                "bucket_ts", "hour_of_period", "c",
+                F.round("trend", 6).alias("trend"),
+                F.round("seasonal_raw", 6).alias("seasonal"),
+                F.round(F.col("detrended") - F.col("seasonal_raw"), 6)
+                .alias("residual")))
+
+
+EventsSeasonalDecompose = _simple_module(
+    "events.seasonal_decompose",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": seasonal_decompose(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        period=self.config.get("period", 24),
+        window=self.config.get("window", 24))},
+    doc="Additive trend/seasonal/residual decomposition of an hourly "
+        "count series (centered moving average + per-phase means).",
+)
+
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
-           EventsCappedBalance]
+           EventsCappedBalance, EventsSeasonalDecompose]
 OPERATIONS = [
+    Operation("events.seasonal_decompose", "events.seasonal_decompose",
+              doc="trend/seasonal/residual decomposition of hourly counts"),
     Operation("events.balance.capped", "events.balance.capped",
               doc="floored running balance (sequential per-key fold)"),
     Operation("events.ewma", "events.ewma",

@@ -26,6 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import cut_lineage
 from ..modules import KiaraModule
@@ -970,6 +971,81 @@ def node_similarity_jaccard(
                 .alias("jaccard")))
 
 
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+) -> DataFrame:
+    """Deterministic uniform random walks over the undirected graph — the
+    DeepWalk/node2vec corpus-preparation step (Perozzi et al. 2014), with
+    the random stream replaced by a per-(start, walk, step, node) hash so
+    the walk set is a pure function of the graph (reproducible on any
+    engine; the statistical role of the hash matches the usual PRNG).
+
+    Step rule: from node ``v`` at step ``t`` of walk ``w`` started at
+    ``s``, move to the ``(base_hash32(s_w_t_v) mod deg(v))``-th neighbor
+    of ``v`` in ascending-id order.
+
+    Scale shape: neighbors are INDEXED, not collected — one row_number
+    window ranks each adjacency edge, and every step is two hash joins
+    ((cur -> degree) then (cur, idx -> neighbor)) — no per-node arrays,
+    so hub nodes cost O(deg) rows instead of an O(deg) array payload
+    replicated into every walk.  ``walk_length`` fixed joins total, no
+    driver loop.  Returns (start, walk, step, node) long form."""
+    from .text import base_hash32
+
+    und = cut_lineage(undirected_edges(edges))
+    wdeg = Window.partitionBy("src").orderBy("dst")
+    adj = und.select(
+        F.col("src").alias("_v"), F.col("dst").alias("_nb"),
+        F.row_number().over(wdeg).cast("bigint").alias("_idx"))
+    adj = cut_lineage(adj)
+    deg = adj.groupBy("_v").agg(F.max("_idx").alias("_deg"))
+    state = (deg.select(F.col("_v").alias("start"))
+             .select("start",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(walks_per_node - 1))).alias("walk"))
+             .withColumn("node", F.col("start"))
+             .withColumn("path", F.array(F.col("start"))))
+    for t in range(1, walk_length):
+        key = F.concat_ws("_", F.col("start"), F.col("walk"), F.lit(t),
+                          F.col("node"))
+        state = (
+            state.join(deg, state.node == deg._v)
+            .withColumn("_i", F.pmod(base_hash32(key), F.col("_deg")) + 1)
+            .drop("_v", "_deg"))
+        state = (
+            state.join(adj, (state.node == adj._v)
+                       & (state._i == adj._idx))
+            .select("start", "walk",
+                    F.col("_nb").alias("node"),
+                    F.concat("path", F.array(F.col("_nb"))).alias("path")))
+    return state.select(
+        "start", F.col("walk").cast("bigint").alias("walk"),
+        F.posexplode("path").alias("step", "node")
+    ).select("start", "walk", F.col("step").cast("bigint").alias("step"),
+             "node")
+
+
+class GraphRandomWalks(KiaraModule):
+    """Deterministic DeepWalk-style random-walk corpus (see
+    random_walks)."""
+
+    _module_type_name = "network_graph.random_walks"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": random_walks(
+            inputs["graph"].data["edges"],
+            walk_length=self.config.get("walk_length", 4),
+            walks_per_node=self.config.get("walks_per_node", 2))}
+
+
 # -- database namespace ops -------------------------------------------------
 
 
@@ -1284,7 +1360,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphComponents, GraphPagerank, GraphBfsHops,
            GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
            GraphPersonalizedPagerank, GraphSCC, GraphHITS,
-           GraphNodeSimilarity]
+           GraphNodeSimilarity, GraphRandomWalks]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1309,4 +1385,5 @@ OPERATIONS = [
               "network_graph.pagerank_personalized"),
     Operation("network_graph.hits", "network_graph.hits"),
     Operation("network_graph.node_similarity", "network_graph.node_similarity"),
+    Operation("network_graph.random_walks", "network_graph.random_walks"),
 ]

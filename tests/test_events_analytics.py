@@ -178,3 +178,38 @@ def test_capped_balance_partition_invariant(spark):
 
 def test_capped_balance_op_registered(ctx):
     assert ctx.operation_registry.resolve("events.balance.capped") is not None
+
+
+def test_seasonal_decompose_recovers_daily_pattern(spark):
+    import datetime
+
+    from kiara_spark.operators.events import seasonal_decompose
+
+    # 4 days, hourly: base 10 events + 5 extra every noon
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for hr in range(96):
+        ts = t0 + datetime.timedelta(hours=hr)
+        n = 10 + (5 if ts.hour == 12 else 0)
+        for _ in range(n):
+            rows.append((eid, ts))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {(r.bucket_ts.hour, r.bucket_ts.day): r
+           for r in seasonal_decompose(df).collect()}
+    assert len(out) == 96
+    # interior noon buckets: seasonal component carries the spike,
+    # residual stays small
+    mid = out[(12, 2)]
+    off = out[(3, 2)]
+    assert mid.seasonal > off.seasonal + 3
+    assert abs(mid.residual) < 2 and abs(off.residual) < 2
+    # decomposition identity: c == trend + seasonal + residual (to 5dp)
+    for r in out.values():
+        assert abs(r.c - (r.trend + r.seasonal + r.residual)) < 1e-4
+
+
+def test_seasonal_ops_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "events.seasonal_decompose") is not None

@@ -556,3 +556,26 @@ def test_hits_and_node_similarity_ops_registered(ctx):
     assert ctx.operation_registry.resolve("network_graph.hits") is not None
     assert ctx.operation_registry.resolve(
         "network_graph.node_similarity") is not None
+
+
+def test_random_walks_shape_and_validity(spark):
+    from kiara_spark.operators.graph import random_walks, undirected_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)], "src long, dst long")
+    out = random_walks(edges, walk_length=4, walks_per_node=2).collect()
+    # 4 nodes x 2 walks x 4 steps
+    assert len(out) == 4 * 2 * 4
+    nbrs = {}
+    for r in undirected_edges(edges).collect():
+        nbrs.setdefault(r.src, set()).add(r.dst)
+    walks = {}
+    for r in out:
+        walks.setdefault((r.start, r.walk), {})[r.step] = r.node
+    for (start, _), steps in walks.items():
+        assert steps[0] == start
+        for t in range(1, 4):
+            assert steps[t] in nbrs[steps[t - 1]]  # every hop is an edge
+    # deterministic: second invocation is identical
+    again = random_walks(edges, walk_length=4, walks_per_node=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
