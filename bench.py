@@ -49,10 +49,12 @@ BENCH_QUERIES = [
     "events_funnel_signup_click_purchase",
     "events_gap_fill_hourly",
     "events_seasonal_decompose",
+    "events_autocorrelation",
     "histogram_totalprice",
     "text_token_stats",
     "text_quality_scores",
     "quality_gopher_rules",
+    "text_readability_flesch",
     "clean_c4_documents",
     "quality_perplexity_buckets",
     "sample_dsir_documents",
@@ -149,6 +151,7 @@ BENCH_QUERIES = [
     "ml_dict_encode_sources",
     "ml_feature_hash_documents",
     "ml_split_by_group_users",
+    "ml_scale_features_orders",
     "scalar_variant_battery",
     "events_transition_matrix",
     "entity_resolution_parts",

@@ -473,6 +473,68 @@ def seasonal_decompose(
                 .alias("residual")))
 
 
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 12,
+) -> DataFrame:
+    """Autocorrelation function (ACF) of the hourly event-count series for
+    lags 1..``max_lag`` — the standard seasonality/persistence diagnostic
+    (statsmodels' acf with the full-series mean/variance, Pearson form).
+
+    EXACT integer algebra end-to-end: with N buckets, S = Σc, Q = Σc² and
+    per-lag P = Σ c_t·c_{t-k}, A = Σ' c_t, B = Σ' c_{t-k},
+
+      acf_k = (N²·P − N·S·(A+B) + (N−k)·S²) / (N²·Q − N·S²)
+
+    — every term is a BIGINT (order-independent, partition-independent);
+    only the final division is floating point, so any engine reproduces
+    the doubles bit-for-bit.  Plan: one hour aggregate (the only pass
+    over the raw events), one row_number window over the tiny series, one
+    explode-by-lag self-join, one (lag)-key aggregate + broadcast global
+    row.  Returns (lag, n_pairs, acf)."""
+    hourly = (df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_bts"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    r = hourly.select(
+        "_c", F.row_number().over(Window.orderBy("_bts"))
+        .cast("bigint").alias("_rn"))
+    r = r.localCheckpoint(eager=False)
+    g = r.agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+              F.sum("_c").cast("bigint").alias("_s"),
+              F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_q"))
+    b = r.select(
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        "_rn", F.col("_c").alias("_c_lag")
+    ).select(F.col("lag").cast("bigint").alias("lag"),
+             (F.col("_rn") + F.col("lag")).alias("_rn"), "_c_lag")
+    j = (r.join(b, "_rn")
+         .groupBy("lag")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+              F.sum(F.col("_c") * F.col("_c_lag")).cast("bigint").alias("_p"),
+              F.sum("_c").cast("bigint").alias("_sa"),
+              F.sum("_c_lag").cast("bigint").alias("_sb")))
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    num = (n * n * F.col("_p") - n * s * (F.col("_sa") + F.col("_sb"))
+           + (n - F.col("lag")) * s * s)
+    den = n * n * q - n * s * s
+    return (j.crossJoin(F.broadcast(g))
+            .select("lag", "n_pairs",
+                    (num.cast("double") / den).alias("acf"))
+            .orderBy("lag"))
+
+
+EventsAutocorrelation = _simple_module(
+    "events.autocorrelation",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": autocorrelation(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        max_lag=self.config.get("max_lag", 12))},
+    doc="ACF of the hourly count series via exact bigint algebra "
+        "(one raw-data pass, tiny series joins).",
+)
+
 EventsSeasonalDecompose = _simple_module(
     "events.seasonal_decompose",
     {"table": TABLE},
@@ -488,10 +550,13 @@ EventsSeasonalDecompose = _simple_module(
 
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
-           EventsCappedBalance, EventsSeasonalDecompose]
+           EventsCappedBalance, EventsSeasonalDecompose,
+           EventsAutocorrelation]
 OPERATIONS = [
     Operation("events.seasonal_decompose", "events.seasonal_decompose",
               doc="trend/seasonal/residual decomposition of hourly counts"),
+    Operation("events.autocorrelation", "events.autocorrelation",
+              doc="exact-integer ACF of the hourly count series"),
     Operation("events.balance.capped", "events.balance.capped",
               doc="floored running balance (sequential per-key fold)"),
     Operation("events.ewma", "events.ewma",

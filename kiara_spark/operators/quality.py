@@ -962,13 +962,70 @@ TableChecksumRanges = _simple_module(
         "columns, n_buckets) for anti-entropy table comparison.",
 )
 
-MODULES = [TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
+def scale_features(
+    df: DataFrame,
+    cols: list[str],
+    methods: tuple = ("minmax", "zscore"),
+) -> DataFrame:
+    """Feature scaling for ML pipelines: append ``<col>_minmax``
+    ((x−min)/(max−min), 0 when constant) and/or ``<col>_z``
+    ((x−mean)/σ_pop, 0 when constant) per requested column.
+
+    ONE aggregate pass computes every column's min/max/sum/sum-of-squares
+    (decimal-exact sums — order-independent, so mean and population σ are
+    bit-stable doubles), broadcast as a 1-row frame onto the scan; the
+    scaled values are then a pure map.  Two passes over the data total —
+    the same shape MLlib's StandardScaler/MinMaxScaler fit+transform
+    uses.  Outputs round to 6 dp."""
+    dec = lambda c: F.sum(c.cast("decimal(38,10)")).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs += [F.min(c).cast("double").alias(f"_mn_{c}"),
+                 F.max(c).cast("double").alias(f"_mx_{c}"),
+                 dec(F.col(c)).alias(f"_s_{c}"),
+                 dec(F.col(c) * F.col(c)).alias(f"_q_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        x = F.col(c).cast("double")
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        mean = F.col(f"_s_{c}") / F.col("_n")
+        var = F.col(f"_q_{c}") / F.col("_n") - mean * mean
+        if "minmax" in methods:
+            out = out.withColumn(
+                f"{c}_minmax",
+                F.round(F.when(mx > mn, (x - mn) / (mx - mn))
+                        .otherwise(F.lit(0.0)), 6))
+        if "zscore" in methods:
+            out = out.withColumn(
+                f"{c}_z",
+                F.round(F.when(var > 0, (x - mean) / F.sqrt(var))
+                        .otherwise(F.lit(0.0)), 6))
+    return out.drop("_n", *[f"_{p}_{c}" for c in cols
+                            for p in ("mn", "mx", "s", "q")])
+
+
+TableScaleFeatures = _simple_module(
+    "table.ml.scale_features",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": scale_features(
+        im["table"].data, self.config["columns"],
+        methods=tuple(self.config.get("methods", ("minmax", "zscore"))))},
+    doc="Min-max and z-score feature scaling (one decimal-exact stats "
+        "pass + broadcast map).",
+)
+
+MODULES = [TableScaleFeatures,
+           TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
            TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
            TableProfile]
 OPERATIONS = [
+    Operation("table.ml.scale_features", "table.ml.scale_features",
+              doc="min-max / z-score feature scaling"),
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
     Operation("table.agg.incremental_maintain", "table.agg.incremental_maintain",

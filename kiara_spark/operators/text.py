@@ -190,6 +190,36 @@ def with_gopher_rules(
     return out.withColumn("pass_gopher", passed)
 
 
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score (Flesch 1948 — the standard readability
+    quality signal; higher = easier):
+
+      ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+
+    with the usual cheap proxies: sentences = runs of terminal
+    punctuation, syllables = vowel-group count (``[aeiouy]+`` per word;
+    groups can't span whitespace, so one regexp over the whole text
+    equals the per-word sum).  Map-only codegen; the score is raw double
+    arithmetic over integer counts — no rounding needed for an exact
+    oracle twin.  NULL score when the doc has no words or no sentences
+    (don't fake a readability for fragments)."""
+    text = F.col(text_col)
+    n_words = F.size(F.filter(F.split(text, "\\s+"),
+                              lambda w: w != F.lit("")))
+    n_sents = F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), 0))
+    n_syll = F.size(F.regexp_extract_all(F.lower(text),
+                                         F.lit("[aeiouy]+"), 0))
+    score = (F.lit(206.835)
+             - F.lit(1.015) * (n_words.cast("double") / n_sents)
+             - F.lit(84.6) * (n_syll.cast("double") / n_words))
+    return df.withColumns({
+        "n_words": n_words.cast("bigint"),
+        "n_sentences": n_sents.cast("bigint"),
+        "n_syllables": n_syll.cast("bigint"),
+        "flesch_score": F.when((n_words > 0) & (n_sents > 0), score),
+    })
+
+
 def clean_c4(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1011,6 +1041,8 @@ class TextTokenDropout(KiaraModule):
 
 TextGopherRules = _mk("text.quality.gopher", with_gopher_rules,
                       "the Gopher (Rae et al. 2021) quality-rule battery")
+TextReadability = _mk("text.readability", with_readability,
+                      "Flesch reading-ease score (vowel-group syllables)")
 
 
 class TextCleanC4(KiaraModule):
@@ -1038,12 +1070,14 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4]
+           TextCleanC4, TextReadability]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
     Operation("text.clean.c4", "text.clean.c4",
               doc="C4 line-level cleaning + document verdict"),
+    Operation("text.readability", "text.readability",
+              doc="Flesch reading-ease readability score"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),

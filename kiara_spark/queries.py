@@ -9649,6 +9649,116 @@ def events_seasonal_q(spark, sf_dir):
     return seasonal_decompose(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "events_autocorrelation",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bts, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY bts) AS BIGINT) AS rn
+      FROM hourly
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c*c) AS BIGINT) AS q
+      FROM r
+    ), l AS (SELECT CAST(unnest(range(1, 13)) AS BIGINT) AS lag),
+    b AS (SELECT l.lag, r.rn + l.lag AS rn, r.c AS c_lag
+          FROM r CROSS JOIN l),
+    j AS (
+      SELECT b.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(a.c * b.c_lag) AS BIGINT) AS p,
+             CAST(SUM(a.c) AS BIGINT) AS sa,
+             CAST(SUM(b.c_lag) AS BIGINT) AS sb
+      FROM r a JOIN b ON a.rn = b.rn GROUP BY 1)
+    SELECT lag, n_pairs,
+           CAST(n*n*p - n*s*(sa + sb) + (n - lag)*s*s AS DOUBLE)
+             / (n*n*q - n*s*s) AS acf
+    FROM j CROSS JOIN g
+    ORDER BY lag
+    """,
+)
+def events_acf_q(spark, sf_dir):
+    """Autocorrelation function (`events.autocorrelation`) of hourly event
+    counts, lags 1-12: numerator and denominator assembled from pure
+    BIGINT sums (N²P − NS(A+B) + (N−k)S² over N²Q − NS²) so the ACF is
+    exact integer algebra with one final float divide — bit-stable on any
+    engine/partitioning.  One pass over the raw events; everything after
+    is the tiny hourly series."""
+    from .operators.events import autocorrelation
+
+    return autocorrelation(_t(spark, sf_dir, "events"), max_lag=12)
+
+
+@query(
+    "ml_scale_features_orders",
+    """
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS mx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10)))
+                  AS DOUBLE) AS q
+      FROM orders)
+    SELECT o_orderkey,
+           ROUND(CASE WHEN mx > mn
+                      THEN (CAST(o_totalprice AS DOUBLE) - mn) / (mx - mn)
+                      ELSE 0.0 END, 6) AS o_totalprice_minmax,
+           ROUND(CASE WHEN q/n - (s/n)*(s/n) > 0
+                      THEN (CAST(o_totalprice AS DOUBLE) - s/n)
+                           / sqrt(q/n - (s/n)*(s/n))
+                      ELSE 0.0 END, 6) AS o_totalprice_z
+    FROM orders CROSS JOIN g
+    """,
+)
+def ml_scale_q(spark, sf_dir):
+    """Feature scaling (`table.ml.scale_features`): min-max and population
+    z-score of o_totalprice — one decimal-exact stats aggregate broadcast
+    onto the scan, then a pure map (the MLlib scaler fit+transform shape,
+    two passes total)."""
+    from .operators.quality import scale_features
+
+    return scale_features(
+        _t(spark, sf_dir, "orders"), ["o_totalprice"]
+    ).select("o_orderkey", "o_totalprice_minmax", "o_totalprice_z")
+
+
+@query(
+    "text_readability_flesch",
+    f"""
+    WITH rt AS (SELECT doc_id, {_RICH_SQL} AS t FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(t, '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM rt)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0
+                THEN 206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                END AS flesch_score
+    FROM feat
+    """,
+)
+def readability_q(spark, sf_dir):
+    """Flesch reading-ease (`text.readability`, Flesch 1948) over the
+    doc_id-enriched documents: sentences = terminal-punctuation runs,
+    syllables = vowel groups.  Map-only; the score is raw double
+    arithmetic over integer counts, no rounding needed to hash-match."""
+    from .operators.text import with_readability
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _rich_text_col().alias("text"))
+    return with_readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -445,3 +445,17 @@ def test_new_curation_ops_registered(ctx):
     for op in ("table.sample.dsir", "table.quality.perplexity_buckets",
                "text.quality.gopher", "text.clean.c4"):
         assert ctx.operation_registry.resolve(op) is not None
+
+
+def test_readability_flesch(spark):
+    from kiara_spark.operators.text import with_readability
+
+    rows = [(1, "The cat sat. The dog ran."),
+            (2, "no terminal punctuation here"),
+            (3, "Incomprehensibility characterizes institutionalization.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_readability(df).collect()}
+    assert got[1].n_sentences == 2 and got[1].n_words == 6
+    assert got[2].flesch_score is None  # zero sentences -> NULL, not inf
+    # polysyllabic monster scores far below the simple sentences
+    assert got[3].flesch_score < got[1].flesch_score - 50

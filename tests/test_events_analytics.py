@@ -213,3 +213,27 @@ def test_seasonal_decompose_recovers_daily_pattern(spark):
 def test_seasonal_ops_registered(ctx):
     assert ctx.operation_registry.resolve(
         "events.seasonal_decompose") is not None
+
+
+def test_autocorrelation_periodic_series(spark):
+    import datetime
+
+    from kiara_spark.operators.events import autocorrelation
+
+    # strict period-3 pattern: 5, 10, 20, 5, 10, 20, ...
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for hr in range(30):
+        for _ in range([5, 10, 20][hr % 3]):
+            rows.append((eid, t0 + datetime.timedelta(hours=hr)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    acf = {r.lag: r.acf for r in autocorrelation(df, max_lag=6).collect()}
+    # period-3 signal: strong positive at lags 3 and 6, negative at 1, 2
+    assert acf[3] > 0.85 and acf[6] > 0.7
+    assert acf[1] < 0 and acf[2] < 0
+    assert all(-1.001 <= v <= 1.001 for v in acf.values())
+
+
+def test_acf_op_registered(ctx):
+    assert ctx.operation_registry.resolve("events.autocorrelation") is not None

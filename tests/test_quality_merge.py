@@ -454,3 +454,20 @@ def test_kth_smallest_nonconverged_many_distinct_pages(spark):
         got = kth_smallest_scalable(df, "x", k, n_bins=8, final_limit=40,
                                     max_rounds=0)
         assert got == s[k - 1], (k, got, s[k - 1])
+
+
+def test_scale_features_minmax_and_zscore(spark):
+    from kiara_spark.operators.quality import scale_features
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, x double")
+    got = {r.id: r for r in scale_features(df, ["x"]).collect()}
+    assert got[1].x_minmax == 0.0 and got[4].x_minmax == 1.0
+    assert abs(got[2].x_minmax - 1 / 3) < 1e-6
+    # population sd of [10,20,30,40] = sqrt(125); z(40) = 15/sqrt(125)
+    assert abs(got[4].x_z - 15 / 125 ** 0.5) < 1e-6
+    assert abs(sum(got[i].x_z for i in got)) < 1e-5  # zero-mean
+    # constant column degrades to 0, not NaN/div-by-zero
+    cdf = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
+    for r in scale_features(cdf, ["x"]).collect():
+        assert r.x_minmax == 0.0 and r.x_z == 0.0
