@@ -61,6 +61,14 @@ PROBE_QUERIES = [
     # round 4: paragraph dedup is explode + one digest aggregate +
     # semi-join + reassembly — must hold near-linear at 10x
     "dedup_paragraphs_boilerplate",
+    # round 6: the broadcast-parallelized semantic dedup, the banded dHash
+    # image dedup, alternating HITS, hash-walk corpus, and DSIR weights
+    # must all keep their banded/broadcast shapes at 10x
+    "dedup_semantic_semdedup",
+    "multimodal_image_neardup_pairs",
+    "graph_hits_hubs_authorities",
+    "graph_random_walks",
+    "sample_dsir_documents",
 ]
 
 EXCLUDED = {

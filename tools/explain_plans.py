@@ -37,6 +37,11 @@ INTENTIONAL_CROSS = {
     "embedding_hard_negatives",    # bounded broadcast query set (like knn baseline)
     "row_ids_orders",              # 1-row percentile-bounds broadcast feeds bucketing
     "multimodal_crossmodal_topk",  # bounded broadcast query set (knn-style)
+    "graph_hits_hubs_authorities",  # 1-row L1-total broadcast per half-step
+    "quality_perplexity_buckets",  # 1-row corpus-token-total broadcast
+    "sample_dsir_documents",       # 1-row corpus-total broadcasts (R and T)
+    "events_autocorrelation",      # 1-row global N/S/Q broadcast
+    "ml_scale_features_orders",    # 1-row stats broadcast feeds the scaling map
 }
 
 
