@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "quality_gopher_rules",
     "text_readability_flesch",
+    "text_bpe_merge_candidates",
     "clean_c4_documents",
     "quality_perplexity_buckets",
     "sample_dsir_documents",

@@ -190,6 +190,40 @@ def with_gopher_rules(
     return out.withColumn("pass_gopher", passed)
 
 
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First round of BPE tokenizer training (Sennrich et al. 2016):
+    count every adjacent character pair across the corpus weighted by
+    word frequency and rank the merge candidates.
+
+    The classic formulation trains on the word-frequency dictionary, so
+    the heavy text only feeds ONE (word)-key aggregate; pair extraction
+    then runs over the tiny distinct-word table (corpus-size-independent
+    vocabulary), and a second (pair)-key aggregate + one top-k window
+    finish the job.  Pairs come straight from ``substring(word, i, 2)``
+    — no per-char explode.  Returns (rank, pair, n_occurrences), ties on
+    count broken by pair text."""
+    words = (df.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
+             .groupBy("_w")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_wc")))
+    pairs = words.select(
+        "_wc",
+        F.explode(F.when(
+            F.length("_w") >= 2,
+            F.transform(F.sequence(F.lit(1), F.length("_w") - 1),
+                        lambda i: F.col("_w").substr(i, F.lit(2)))
+        ).otherwise(F.array().cast("array<string>"))).alias("pair"))
+    counts = (pairs.groupBy("pair")
+              .agg(F.sum("_wc").cast("bigint").alias("n_occurrences")))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= top_k)
+            .select("rank", "pair", "n_occurrences"))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1043,6 +1077,8 @@ TextGopherRules = _mk("text.quality.gopher", with_gopher_rules,
                       "the Gopher (Rae et al. 2021) quality-rule battery")
 TextReadability = _mk("text.readability", with_readability,
                       "Flesch reading-ease score (vowel-group syllables)")
+TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
+                    "BPE round-1 merge candidates over the word-freq dict")
 
 
 class TextCleanC4(KiaraModule):
@@ -1070,7 +1106,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4, TextReadability]
+           TextCleanC4, TextReadability, TextBpeMerges]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1078,6 +1114,8 @@ OPERATIONS = [
               doc="C4 line-level cleaning + document verdict"),
     Operation("text.readability", "text.readability",
               doc="Flesch reading-ease readability score"),
+    Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
+              doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),

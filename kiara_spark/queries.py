@@ -9759,6 +9759,36 @@ def readability_q(spark, sf_dir):
         "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score")
 
 
+@query(
+    "text_bpe_merge_candidates",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    pr AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substring(w, CAST(i AS INT), 2))) AS pair, c
+      FROM wc WHERE length(w) >= 2),
+    cnt AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+            FROM pr GROUP BY 1)
+    SELECT CAST(rnk AS BIGINT) AS rank, pair, n_occurrences
+    FROM (SELECT pair, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair)
+                   AS rnk
+          FROM cnt)
+    WHERE rnk <= 20
+    """,
+)
+def bpe_merges_q(spark, sf_dir):
+    """BPE tokenizer-training round 1 (`text.bpe_merge_candidates`,
+    Sennrich et al. 2016): adjacent character pairs counted across the
+    corpus weighted by word frequency, top-20 merge candidates.  The text
+    feeds only the word-frequency aggregate; pair extraction runs over
+    the corpus-size-independent vocabulary table."""
+    from .operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -459,3 +459,16 @@ def test_readability_flesch(spark):
     assert got[2].flesch_score is None  # zero sentences -> NULL, not inf
     # polysyllabic monster scores far below the simple sentences
     assert got[3].flesch_score < got[1].flesch_score - 50
+
+
+def test_bpe_merge_candidates_weighted_counts(spark):
+    from kiara_spark.operators.text import bpe_merge_candidates
+
+    # 'aaab' x3 + 'ab': pairs aa(2x3=6), ab(1x3+1=4), b alone contributes none
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab b")], "doc_id long, text string")
+    got = {r.pair: (r.rank, r.n_occurrences)
+           for r in bpe_merge_candidates(df, top_k=10).collect()}
+    assert got["aa"] == (1, 6)
+    assert got["ab"] == (2, 4)
+    assert "b" not in got  # single chars produce no pair
