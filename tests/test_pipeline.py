@@ -546,3 +546,37 @@ def test_dir_fingerprint_sees_renames(tmp_path):
     fp2 = _path_fingerprint(str(d))
     assert fp1 != fp2  # rename changes the fingerprint
     assert _path_fingerprint(str(d / "*.txt")) is None  # glob: no fp
+
+
+def test_pretraining_curation_example_pipeline(spark, tmp_path):
+    """examples/pretraining_curation.json end-to-end: Gopher rules ->
+    filter -> C4 clean -> filter -> perplexity tiles + readability."""
+    import pandas as pd
+
+    from kiara_spark.context import KiaraContext
+
+    good_line = ("The quick brown fox jumps over the lazy dog and runs far "
+                 "away to be safe today.")
+    rows = []
+    for i in range(9):
+        if i < 6:  # passes Gopher (50+ words) and C4 (punctuated lines)
+            rows.append((i, "\n".join([good_line] * 7)))
+        elif i < 8:  # fails Gopher: too short
+            rows.append((i, "tiny fragment"))
+        else:  # passes Gopher, killed by C4 doc rule (brace)
+            rows.append((i, "\n".join([good_line] * 7) + "\n{ code }"))
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "home"))
+    out = ctx.run_pipeline("examples/pretraining_curation.json",
+                           {"path": src})
+    verdicts = {r["doc_id"]: r for r in out["c4_verdicts"].data.collect()}
+    assert set(verdicts) == {0, 1, 2, 3, 4, 5, 8}  # gopher dropped 6, 7
+    assert not verdicts[8]["kept_doc"]  # brace kills doc 8 at the C4 stage
+    tiles = {r["doc_id"]: r for r in out["perplexity_tiles"].data.collect()}
+    assert set(tiles) == {0, 1, 2, 3, 4, 5}
+    assert {r["label"] for r in tiles.values()} == {"head", "middle", "tail"}
+    readability = out["readability_report"].data.collect()
+    assert len(readability) == 6
+    assert all(r["flesch_score"] is not None for r in readability)
