@@ -328,6 +328,7 @@ STREAMING_EXTRA_QUERIES = [
     "streaming_late_drop_demo",
     "streaming_foreachbatch_upsert_demo",
     "streaming_enrich_minhash_demo",
+    "streaming_quality_filter_demo",
 ]
 
 

@@ -9196,9 +9196,7 @@ _RICH_SQL = """
 _GOPHER_REQ_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
 
 
-@query(
-    "quality_gopher_rules",
-    f"""
+_GOPHER_SQL = f"""
     WITH rt AS (SELECT doc_id, {_RICH_SQL} AS t FROM documents),
     sig AS (
       SELECT doc_id, t,
@@ -9252,9 +9250,10 @@ _GOPHER_REQ_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
             AND ellipsis_line_ratio <= 0.3
             AND alpha_word_ratio >= 0.8
             AND n_required_hits >= 1) AS pass_gopher
-    FROM feat
-    """,
-)
+    FROM feat"""
+
+
+@query("quality_gopher_rules", _GOPHER_SQL)
 def gopher_rules_q(spark, sf_dir):
     """The Gopher quality-rule battery (`text.quality.gopher`, Rae et al.
     2021 Table A1) over doc_id-enriched documents: word-count band, mean
@@ -9757,6 +9756,44 @@ def readability_q(spark, sf_dir):
         "doc_id", _rich_text_col().alias("text"))
     return with_readability(docs).select(
         "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score")
+
+
+@query(
+    "streaming_quality_filter_demo",
+    f"SELECT * FROM ({_GOPHER_SQL}) WHERE pass_gopher",
+)
+def streaming_quality_filter_q(spark, sf_dir):
+    """Ingest-time quality filtering under Structured Streaming: enriched
+    documents arrive as a file stream, every Gopher rule evaluates as a
+    map-only expression, and only passing docs are emitted — STATELESS
+    (no watermark, no state store, append mode at scan throughput), the
+    shape a 100 TB crawl-ingest filter runs in production.  The batch
+    oracle is the gopher battery restricted to survivors — streaming and
+    batch semantics must agree row-for-row."""
+    import tempfile
+    import uuid
+
+    from .operators.text import with_gopher_rules
+    from .streaming.windows import run_stream_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _rich_text_col().alias("text"))
+    tmp = tempfile.mkdtemp(prefix="kiara_stream_")
+    docs.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    filtered = with_gopher_rules(
+        stream, min_words=30, max_symbol_word_ratio=0.05,
+        max_bullet_line_ratio=0.3, min_required_hits=1,
+    ).filter(F.col("pass_gopher")).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "n_required_hits", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_required_words", "pass_gopher")
+    qname = f"qfilter_{uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(filtered, qname)
+    q.awaitTermination(120)
+    return spark.table(qname)
 
 
 @query(
