@@ -160,9 +160,13 @@ def dsir_sample(
     else:
         score = F.col("weight_e9")
     scored = weights.withColumn("score_e9", score.cast("bigint"))
+    # distributed top-k FIRST (orderBy+limit compiles to
+    # TakeOrderedAndProject — per-partition heaps, no global sort), THEN
+    # a row_number over just the top_k survivors: a bare global window
+    # would funnel the whole corpus-sized weights table into one task
+    top = scored.orderBy(F.col("score_e9").desc(), F.col("_id")).limit(top_k)
     w = Window.orderBy(F.col("score_e9").desc(), F.col("_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= top_k)
+    return (top.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .select(F.col("_id").alias(id_col), "weight_e9", "score_e9",
                     "rank"))
 
@@ -191,12 +195,19 @@ def perplexity_buckets(
     tc = toks.groupBy("_term").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c"))
     tot = tc.agg(F.sum("_c").cast("bigint").alias("_t"))
+    # per-term -ln(p) rounds to 9dp and sums as exact decimals before the
+    # mean: a plain double AVG is accumulation-order-dependent and the
+    # rounded score feeds the ntile ORDER BY — one flipped ulp would move
+    # a doc across a bucket boundary (the repo's standard sum discipline)
+    neg_lp = F.round(-F.log(F.col("_c") / F.col("_t").cast("double")), 9)
     per_doc = (
         toks.join(tc, "_term").crossJoin(F.broadcast(tot))
         .groupBy("_id", *(["_grp"] if group_col else []))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-             F.round(F.avg(-F.log(F.col("_c") / F.col("_t").cast("double"))),
-                     6).alias("avg_neg_logprob")))
+             F.round(
+                 F.round(F.sum(neg_lp.cast("decimal(38,12)")), 6)
+                 .cast("double") / F.count(F.lit(1)), 6)
+             .alias("avg_neg_logprob")))
     w = Window.partitionBy(*(["_grp"] if group_col else [])).orderBy(
         F.col("avg_neg_logprob").asc(), F.col("_id").asc())
     out = per_doc.withColumn(

@@ -453,12 +453,17 @@ def seasonal_decompose(
     half = window // 2
     w_ma = (Window.orderBy("bucket_ts")
             .rowsBetween(-half, window - half - 1))
+    # phase = hours-since-epoch mod period (NOT hour-of-day: hour() caps
+    # the phase space at 24, silently breaking weekly/multi-day periods;
+    # for period=24 under a UTC session the two coincide — epoch is
+    # midnight UTC — so the daily twin is unchanged)
     wd = (hourly
           .withColumn("trend", F.avg("c").over(w_ma))
           .withColumn("detrended", F.col("c") - F.col("trend"))
           .withColumn("hour_of_period",
-                      F.pmod(F.hour("bucket_ts"), F.lit(period))
-                      .cast("bigint")))
+                      F.pmod(F.floor(F.unix_timestamp("bucket_ts")
+                                     / F.lit(3600)).cast("bigint"),
+                             F.lit(period)).cast("bigint")))
     seasonal = (wd.groupBy("hour_of_period")
                 .agg((F.round(F.sum(F.round(F.col("detrended"), 9)
                                     .cast("decimal(38,12)")), 6)
@@ -487,10 +492,13 @@ def autocorrelation(
 
       acf_k = (N²·P − N·S·(A+B) + (N−k)·S²) / (N²·Q − N·S²)
 
-    — every term is a BIGINT (order-independent, partition-independent);
-    only the final division is floating point, so any engine reproduces
-    the doubles bit-for-bit.  Plan: one hour aggregate (the only pass
-    over the raw events), one row_number window over the tiny series, one
+    — the component sums are BIGINTs and the assembled products go
+    through DECIMAL(38,0) (Spark) / HUGEINT (the SQL twin): exact,
+    order-independent, and safe where ``N²·Q`` would overflow int64
+    (~160k events/hour over a month already exceeds 2⁶³ there); only the
+    final division is floating point, so any engine reproduces the
+    doubles bit-for-bit.  Plan: one hour aggregate (the only pass over
+    the raw events), one row_number window over the tiny series, one
     explode-by-lag self-join, one (lag)-key aggregate + broadcast global
     row.  Returns (lag, n_pairs, acf)."""
     hourly = (df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("_bts"))
@@ -498,10 +506,13 @@ def autocorrelation(
     r = hourly.select(
         "_c", F.row_number().over(Window.orderBy("_bts"))
         .cast("bigint").alias("_rn"))
-    r = r.localCheckpoint(eager=False)
+    from ..io import cut_lineage
+
+    r = cut_lineage(r)
     g = r.agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
               F.sum("_c").cast("bigint").alias("_s"),
-              F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_q"))
+              F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c"))
+              .cast("decimal(38,0)").alias("_q"))
     b = r.select(
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
         "_rn", F.col("_c").alias("_c_lag")
@@ -510,12 +521,14 @@ def autocorrelation(
     j = (r.join(b, "_rn")
          .groupBy("lag")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-              F.sum(F.col("_c") * F.col("_c_lag")).cast("bigint").alias("_p"),
+              F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c_lag"))
+              .cast("decimal(38,0)").alias("_p"),
               F.sum("_c").cast("bigint").alias("_sa"),
               F.sum("_c_lag").cast("bigint").alias("_sb")))
-    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
-    num = (n * n * F.col("_p") - n * s * (F.col("_sa") + F.col("_sb"))
-           + (n - F.col("lag")) * s * s)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n, s, q = dec(F.col("_n")), dec(F.col("_s")), F.col("_q")
+    num = (n * n * F.col("_p") - n * s * dec(F.col("_sa") + F.col("_sb"))
+           + dec(F.col("_n") - F.col("lag")) * s * s)
     den = n * n * q - n * s * s
     return (j.crossJoin(F.broadcast(g))
             .select("lag", "n_pairs",

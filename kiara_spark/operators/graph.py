@@ -938,20 +938,24 @@ def node_similarity_jaccard(
     joins; the division is a plain double op so both engines agree
     bit-for-bit without rounding.
 
-    Scale note: the common-neighbor join is Σ deg(v)² pair rows — a hub of
-    degree D fans out D² rows exactly like :func:`neighbors_within_2_hops`.
-    ``max_degree`` prunes hubs ABOVE the cap from the candidate generation
-    (their pairs are dominated by noise in link prediction anyway); at
-    100 TB you always set it (or pre-filter the graph) — the cap turns the
-    worst block from O(D_max²) to O(cap²)."""
+    Scale note: the common-neighbor join fans out deg(v)² pair rows PER
+    SHARED NEIGHBOR v — a hub shared neighbor of degree D is a single
+    join-key block of D² pairs, exactly like
+    :func:`neighbors_within_2_hops`.  ``max_degree`` therefore prunes
+    hub nodes from BOTH roles in candidate generation: as the shared
+    neighbor (the quadratic block — this is what bounds the worst block
+    at O(cap²)) and as a pair member (hub pairs are noise in link
+    prediction anyway).  At 100 TB you always set it (or pre-filter the
+    graph).  Jaccard denominators still use FULL degrees."""
     und = cut_lineage(undirected_edges(edges))
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg"))
     adj = und.select(F.col("dst").alias("_nb"), F.col("src").alias("_id"))
     if max_degree is not None:
-        small = deg.filter(F.col("_deg") <= max_degree).select(
-            F.col("id").alias("_id"))
-        adj = adj.join(small, "_id")
+        small = deg.filter(F.col("_deg") <= max_degree)
+        adj = (adj
+               .join(small.select(F.col("id").alias("_id")), "_id")
+               .join(small.select(F.col("id").alias("_nb")), "_nb"))
     a = adj.select(F.col("_nb"), F.col("_id").alias("id_a"))
     b = adj.select(F.col("_nb"), F.col("_id").alias("id_b"))
     common = (

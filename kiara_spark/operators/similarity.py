@@ -1016,14 +1016,22 @@ def semantic_dedup(
     Plan shape: kmeans (n_iter scans + tiny driver centroid transfers) ->
     one join to attach clusters -> within-cluster pair join with
     precomputed norms -> anti-join drops.  Returns (id, cluster, kept)."""
+    # the input count gates the broadcast paths below; the attach join is
+    # inner on an assignment covering every row, so |clustered| == |df|
+    # and this stays a cheap metadata-level count of the input
+    n = df.count()
     assigned = kmeans_lloyd(df, k, n_iter, id_col, vec_col).select(
         id_col, "cluster")
-    # cache the clustered set: it feeds BOTH sides of the pair self-join and
-    # the final keep join — uncached, the kmeans assignment scan + attach
-    # join would re-execute three times
-    clustered = (df.select(F.col(id_col), F.col(vec_col))
-                 .join(assigned, id_col).cache())
-    n = clustered.count()
+    # lineage-cut the clustered set: it feeds BOTH sides of the pair
+    # self-join and the final keep join — otherwise the kmeans assignment
+    # scan + attach join re-execute three times.  cut_lineage (lazy local
+    # checkpoint) instead of .cache(): checkpoint blocks release when the
+    # Python refs drop (the bench loop's gc discipline), while CacheManager
+    # entries would pin storage until an explicit unpersist.
+    from ..io import cut_lineage
+
+    clustered = cut_lineage(
+        df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col))
     pairs = embedding_neardup_pairs(
         clustered, threshold, id_col, vec_col, bucket_col="cluster",
         broadcast_rows=n)

@@ -62,6 +62,20 @@ def _t(spark, sf_dir, name, parallelize=None):
     return load_table(spark, sf_dir, name, parallelize=parallelize)
 
 
+_TABLE_ROWS: dict = {}
+
+
+def _table_rows(spark, sf_dir, name) -> int:
+    """Memoized row count per (sf_dir, table) — the counts gate broadcast
+    decisions, are static per fixture directory, and would otherwise cost
+    one extra Spark job on EVERY query construction (bench, driver, and
+    plan-only tooling)."""
+    key = (sf_dir, name)
+    if key not in _TABLE_ROWS:
+        _TABLE_ROWS[key] = _t(spark, sf_dir, name).count()
+    return _TABLE_ROWS[key]
+
+
 # ---------------------------------------------------------------------------
 # 1. TPC-H-style relational core
 # ---------------------------------------------------------------------------
@@ -1005,7 +1019,8 @@ def dedup_jaccard_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K,
                                  block_col="lang",
-                                 broadcast_rows=docs.count())
+                                 broadcast_rows=_table_rows(
+                                     spark, sf_dir, "documents"))
 
 
 # char-shingle variant of the signature pipeline for the LSH-blocked
@@ -9333,7 +9348,9 @@ def clean_c4_q(spark, sf_dir):
     pd AS (
       SELECT doc_id, lang,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             ROUND(AVG(-ln(c / CAST(t AS DOUBLE))), 6) AS avg_neg_logprob
+             ROUND(CAST(ROUND(SUM(CAST(ROUND(-ln(c / CAST(t AS DOUBLE)), 9)
+                                       AS DECIMAL(38,12))), 6) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_neg_logprob
       FROM toks JOIN tc USING (term) CROSS JOIN tot
       GROUP BY 1, 2),
     tiled AS (
@@ -9658,21 +9675,22 @@ def events_seasonal_q(spark, sf_dir):
       SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY bts) AS BIGINT) AS rn
       FROM hourly
     ), g AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
-             CAST(SUM(c*c) AS BIGINT) AS q
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
       FROM r
     ), l AS (SELECT CAST(unnest(range(1, 13)) AS BIGINT) AS lag),
     b AS (SELECT l.lag, r.rn + l.lag AS rn, r.c AS c_lag
           FROM r CROSS JOIN l),
     j AS (
       SELECT b.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             CAST(SUM(a.c * b.c_lag) AS BIGINT) AS p,
-             CAST(SUM(a.c) AS BIGINT) AS sa,
-             CAST(SUM(b.c_lag) AS BIGINT) AS sb
+             CAST(SUM(CAST(a.c AS HUGEINT) * b.c_lag) AS HUGEINT) AS p,
+             CAST(SUM(a.c) AS HUGEINT) AS sa,
+             CAST(SUM(b.c_lag) AS HUGEINT) AS sb
       FROM r a JOIN b ON a.rn = b.rn GROUP BY 1)
     SELECT lag, n_pairs,
-           CAST(n*n*p - n*s*(sa + sb) + (n - lag)*s*s AS DOUBLE)
-             / (n*n*q - n*s*s) AS acf
+           CAST(n*n*p - n*s*(sa + sb) + (n - CAST(lag AS HUGEINT))*s*s
+                AS DOUBLE)
+             / CAST(n*n*q - n*s*s AS DOUBLE) AS acf
     FROM j CROSS JOIN g
     ORDER BY lag
     """,
