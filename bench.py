@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "graph_kcore",
     "graph_hits_hubs_authorities",
     "graph_random_walks",
+    "graph_condensation_layers",
     "graph_node_similarity_jaccard",
     "text_term_freq_histogram",
     "scalar_regex_battery",

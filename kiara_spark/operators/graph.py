@@ -1031,6 +1031,76 @@ def random_walks(
              "node")
 
 
+def condensation_layers(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Condensation + topological layering of a directed graph: contract
+    each strongly connected component to one super-node (the condensation
+    is always a DAG), then assign every component its longest-path depth
+    from the DAG's roots — the classic dependency-leveling step (which
+    batches can run in parallel, stage numbering, cycle-safe
+    toposort).
+
+    Plan: one SCC labeling (:func:`strongly_connected_components`), one
+    double join to contract edges, then Bellman-style relaxation on the
+    COMPONENT graph — ``layer(c) = 1 + max(layer(pred))`` — which
+    converges in DAG-depth rounds; each round is one join + one max
+    aggregate over the condensed (tiny relative to the input) graph with
+    a 1-row convergence probe, lineage cut per round.  Raises if
+    ``max_rounds`` is hit (a converged run can never mislabel).
+
+    Returns (id, component, layer) per original node."""
+    scc = cut_lineage(strongly_connected_components(edges))
+    e = edges.select("src", "dst").distinct()
+    ce = (e.join(scc.select(F.col("id").alias("src"),
+                            F.col("component").alias("_cs")), "src")
+          .join(scc.select(F.col("id").alias("dst"),
+                           F.col("component").alias("_cd")), "dst")
+          .select(F.col("_cs").alias("csrc"), F.col("_cd").alias("cdst"))
+          .filter(F.col("csrc") != F.col("cdst")).distinct())
+    ce = cut_lineage(ce)
+    comps = cut_lineage(scc.select(F.col("component").alias("comp"))
+                        .distinct())
+    layers = comps.withColumn("layer", F.lit(0).cast("bigint"))
+    for _ in range(max_rounds):
+        cand = (ce.join(layers.withColumnRenamed("comp", "csrc"), "csrc")
+                .groupBy(F.col("cdst").alias("comp"))
+                .agg((F.max("layer") + 1).cast("bigint").alias("_cl")))
+        new_layers = cut_lineage(
+            comps.join(cand, "comp", "left")
+            .select("comp", F.coalesce(F.col("_cl"), F.lit(0))
+                    .cast("bigint").alias("layer")))
+        changed = (new_layers
+                   .join(layers.withColumnRenamed("layer", "_old"), "comp")
+                   .filter(F.col("layer") != F.col("_old")).limit(1).count())
+        layers = new_layers
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "condensation_layers: no fixpoint after "
+            f"{max_rounds} rounds — condensation deeper than max_rounds")
+    return (scc.join(layers.withColumnRenamed("comp", "component"),
+                     "component")
+            .select("id", "component", "layer"))
+
+
+class GraphCondensationLayers(KiaraModule):
+    """SCC condensation + longest-path topological layers (see
+    condensation_layers)."""
+
+    _module_type_name = "network_graph.condensation_layers"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": condensation_layers(
+            inputs["graph"].data["edges"],
+            max_rounds=self.config.get("max_rounds", 100))}
+
+
 class GraphRandomWalks(KiaraModule):
     """Deterministic DeepWalk-style random-walk corpus (see
     random_walks)."""
@@ -1364,7 +1434,8 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphComponents, GraphPagerank, GraphBfsHops,
            GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
            GraphPersonalizedPagerank, GraphSCC, GraphHITS,
-           GraphNodeSimilarity, GraphRandomWalks]
+           GraphNodeSimilarity, GraphRandomWalks,
+           GraphCondensationLayers]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1390,4 +1461,6 @@ OPERATIONS = [
     Operation("network_graph.hits", "network_graph.hits"),
     Operation("network_graph.node_similarity", "network_graph.node_similarity"),
     Operation("network_graph.random_walks", "network_graph.random_walks"),
+    Operation("network_graph.condensation_layers",
+              "network_graph.condensation_layers"),
 ]

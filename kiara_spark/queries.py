@@ -9815,6 +9815,64 @@ def streaming_quality_filter_q(spark, sf_dir):
 
 
 @query(
+    "graph_condensation_layers",
+    """
+    WITH RECURSIVE g0 AS (
+      SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT) AS src,
+             CAST(((o_custkey % 60) * 2 + 1) % 60 AS BIGINT) AS dst
+      FROM orders
+      UNION
+      SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT),
+             CAST(((o_custkey % 60) * 7 + 3) % 60 AS BIGINT)
+      FROM orders),
+    g AS (SELECT src, dst FROM g0 WHERE src <> dst),
+    n AS (SELECT src AS id FROM g UNION SELECT dst FROM g),
+    r(a, b) AS (
+      SELECT src, dst FROM g
+      UNION
+      SELECT r.a, g.dst FROM r JOIN g ON r.b = g.src),
+    closure AS (SELECT a, b FROM r UNION SELECT id, id FROM n),
+    scc AS (
+      SELECT c1.b AS id, MIN(c1.a) AS component
+      FROM closure c1 JOIN closure c2 ON c1.a = c2.b AND c1.b = c2.a
+      GROUP BY c1.b),
+    ce AS (
+      SELECT DISTINCT s1.component AS csrc, s2.component AS cdst
+      FROM g JOIN scc s1 ON g.src = s1.id JOIN scc s2 ON g.dst = s2.id
+      WHERE s1.component <> s2.component),
+    comps AS (SELECT DISTINCT component AS comp FROM scc),
+    walk(c, d) AS (
+      SELECT comp, CAST(0 AS BIGINT) FROM comps
+      UNION
+      SELECT ce.cdst, walk.d + 1 FROM walk JOIN ce ON walk.c = ce.csrc),
+    lay AS (SELECT c AS comp, CAST(MAX(d) AS BIGINT) AS layer
+            FROM walk GROUP BY 1)
+    SELECT scc.id, scc.component, lay.layer
+    FROM scc JOIN lay ON scc.component = lay.comp
+    """,
+)
+def graph_condensation_q(spark, sf_dir):
+    """SCC condensation + topological layers
+    (`network_graph.condensation_layers`): contract each SCC of the
+    60-node functional graph to a super-node (always a DAG), then give
+    every component its longest-path depth from the roots — the
+    dependency-leveling / cycle-safe toposort primitive.  Bellman-style
+    relaxation on the condensed graph, converging in DAG-depth rounds;
+    the oracle replays SCC + a distinct-recursive longest-path walk."""
+    from .operators import graph as G
+
+    o = _t(spark, sf_dir, "orders")
+    s = (F.col("o_custkey") % 60).cast("bigint")
+    edges = (o.select(s.alias("src"),
+                      ((s * 2 + 1) % 60).cast("bigint").alias("dst"))
+             .unionByName(
+                 o.select(s.alias("src"),
+                          ((s * 7 + 3) % 60).cast("bigint").alias("dst")))
+             .distinct())
+    return G.condensation_layers(edges)
+
+
+@query(
     "text_bpe_merge_candidates",
     f"""
     WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),

@@ -579,3 +579,26 @@ def test_random_walks_shape_and_validity(spark):
     # deterministic: second invocation is identical
     again = random_walks(edges, walk_length=4, walks_per_node=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_condensation_layers_dag_and_cycles(spark):
+    from kiara_spark.operators.graph import condensation_layers
+
+    # 2-cycle (0,1) -> 2 -> 3; plus isolated root 9 -> 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (9, 0)], "src long, dst long")
+    got = {r.id: (r.component, r.layer)
+           for r in condensation_layers(edges).collect()}
+    assert got[0][0] == got[1][0] == 0  # SCC {0,1}
+    # layers: 9 is the root (0), SCC{0,1} at 1, then 2, then 3
+    assert got[9][1] == 0
+    assert got[0][1] == got[1][1] == 1
+    assert got[2][1] == 2 and got[3][1] == 3
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="rounds"):
+        condensation_layers(edges, max_rounds=1)
+
+
+def test_condensation_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "network_graph.condensation_layers") is not None
