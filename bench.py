@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "forecast_linear_next_day",
     "events_gap_interpolate_hourly",
     "anonymize_customers",
+    "privacy_k_anonymity_customers",
     "graph_pagerank_personalized",
     "events_cusum_changepoint",
     "rolling_features_battery",

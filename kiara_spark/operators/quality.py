@@ -1005,6 +1005,38 @@ def scale_features(
                             for p in ("mn", "mx", "s", "q")])
 
 
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002 — the standard re-identification
+    check before releasing a dataset): every combination of the
+    quasi-identifier columns with its group size and a ``violates_k``
+    flag (group smaller than ``k`` ⇒ those rows are re-identifiable to
+    within < k candidates).
+
+    ONE hash aggregate on the quasi-identifier tuple (map-side combine;
+    only the tuple + a count shuffle) — the release gate is then
+    ``violates_k`` = false everywhere, and the violating tuples are the
+    exact generalization worklist.  Returns one row per equivalence
+    class."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+            .withColumn("violates_k", F.col("group_size") < k))
+
+
+TableKAnonymity = _simple_module(
+    "table.privacy.k_anonymity",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": k_anonymity_report(
+        im["table"].data, self.config["quasi_columns"],
+        k=self.config.get("k", 5))},
+    doc="k-anonymity audit: equivalence-class sizes over the "
+        "quasi-identifiers + violation flags.",
+)
+
 TableScaleFeatures = _simple_module(
     "table.ml.scale_features",
     {"table": TABLE},
@@ -1016,7 +1048,7 @@ TableScaleFeatures = _simple_module(
         "pass + broadcast map).",
 )
 
-MODULES = [TableScaleFeatures,
+MODULES = [TableScaleFeatures, TableKAnonymity,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1026,6 +1058,8 @@ MODULES = [TableScaleFeatures,
 OPERATIONS = [
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.privacy.k_anonymity", "table.privacy.k_anonymity",
+              doc="k-anonymity equivalence-class audit"),
     Operation("table.merge.upsert", "table.merge.upsert",
               doc="upsert source into target by key"),
     Operation("table.agg.incremental_maintain", "table.agg.incremental_maintain",

@@ -9815,6 +9815,34 @@ def streaming_quality_filter_q(spark, sf_dir):
 
 
 @query(
+    "privacy_k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+             AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < 5 AS violates_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def k_anonymity_q(spark, sf_dir):
+    """k-anonymity audit (`table.privacy.k_anonymity`, Sweeney 2002) over
+    (nation, segment, $1000-balance-band) quasi-identifiers: equivalence-
+    class sizes + violation flags for classes smaller than k=5 — the
+    release gate / generalization worklist before publishing a dataset.
+    One hash aggregate with map-side combine."""
+    from .operators.quality import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint").alias("balance_band"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=5)
+
+
+@query(
     "graph_condensation_layers",
     """
     WITH RECURSIVE g0 AS (

@@ -471,3 +471,20 @@ def test_scale_features_minmax_and_zscore(spark):
     cdf = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
     for r in scale_features(cdf, ["x"]).collect():
         assert r.x_minmax == 0.0 and r.x_z == 0.0
+
+
+def test_k_anonymity_report(spark):
+    from kiara_spark.operators.quality import k_anonymity_report
+
+    rows = [(i, "A", "x") for i in range(6)] + [(10, "B", "y"), (11, "B", "z")]
+    df = spark.createDataFrame(rows, "id long, region string, seg string")
+    got = {(r.region, r.seg): r for r in
+           k_anonymity_report(df, ["region", "seg"], k=5).collect()}
+    assert got[("A", "x")].group_size == 6
+    assert not got[("A", "x")].violates_k
+    assert got[("B", "y")].violates_k and got[("B", "z")].violates_k
+
+
+def test_privacy_op_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "table.privacy.k_anonymity") is not None
