@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "events_session_30m",
     "events_retention_cohorts",
     "events_funnel_signup_click_purchase",
+    "events_funnel_signup_purchase",
+    "events_cohort_retention_weekly",
     "events_gap_fill_hourly",
     "events_seasonal_decompose",
     "events_autocorrelation",

@@ -536,6 +536,152 @@ def autocorrelation(
             .orderBy("lag"))
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the furthest step reached where
+    each step's event occurs STRICTLY after the event that satisfied the
+    previous step (the strict form is deliberate — it is the only ordering
+    whose outcome is independent of how equal-timestamp events are broken,
+    so the result is a pure function of (user, ts, type) and matches the
+    sequential ``min(ts) > t_prev`` CTE chain any SQL engine would write).
+
+    Scale design: ONE shuffle on the user key.  Events are filtered to the
+    step vocabulary before the shuffle (map-side prune), collected into a
+    per-user sorted array (bounded by per-user activity, the same state any
+    funnel engine must hold), and the stage progression is a single
+    ``F.aggregate`` fold over that array — whole-stage-codegen expressions,
+    no Python, no per-step join round per funnel stage (a k-step funnel as
+    sequential joins would cost k shuffles and k scans).  The per-step
+    rollup then runs on one row per user.
+
+    Returns one row per step: (step, event_type, users, pct_of_first,
+    pct_of_prev), where ``users`` counts users whose progression reached at
+    least that step.  Reference parity: kiara has no funnel module; this is
+    the clickstream analog of its table.filter/aggregate family
+    (reference src/kiara_plugin/tabular modules).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = (df.filter(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col).alias("_u"),
+                  F.col(ts_col).alias("_ts"),
+                  F.col(type_col).alias("_ty")))
+    per_user = (ev.groupBy("_u")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("_ts").alias("t"),
+                    F.col("_ty").alias("y")))).alias("_seq")))
+    # Fold state: (stage reached so far, ts of the event that reached it).
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.to_timestamp(F.lit("1000-01-01 00:00:00")).alias("t"))
+    fold = F.aggregate(
+        F.col("_seq"), init,
+        lambda acc, e: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (e["y"] == F.element_at(steps_lit, acc["stage"] + 1))
+            & (e["t"] > acc["t"]),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), e["t"].alias("t")),
+        ).otherwise(acc))
+    stages = per_user.select(fold["stage"].alias("_stage"))
+    by_stage = (stages.filter(F.col("_stage") > 0)
+                .groupBy("_stage")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    grid = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("step"))
+    # users reaching >= step: suffix sum over the tiny per-stage rollup.
+    w = (Window.orderBy(F.col("step").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (grid.join(by_stage, grid["step"] == by_stage["_stage"], "left")
+           .select("step", F.coalesce("_n", F.lit(0)).alias("_n"))
+           .select("step", F.sum("_n").over(w).cast("bigint").alias("users")))
+    w_prev = Window.orderBy("step")
+    first_users = F.first("users").over(
+        Window.orderBy("step").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    prev_users = F.lag("users").over(w_prev)
+    return (out.select(
+        F.col("step").cast("bigint").alias("step"),
+        F.element_at(steps_lit, F.col("step")).alias("event_type"),
+        "users",
+        F.when(first_users > 0,
+               F.round(F.col("users").cast("double") / first_users, 6))
+        .alias("pct_of_first"),
+        F.when(prev_users > 0,
+               F.round(F.col("users").cast("double") / prev_users, 6))
+        .alias("pct_of_prev"))
+        .orderBy("step"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the ISO week of
+    their first event; each later week of activity increments that cohort's
+    (week_offset) cell.  The canonical product-analytics readout.
+
+    Plan: one hash aggregate collapses the log to (user, active_week)
+    distinct pairs AND derives each user's cohort week in the same pass
+    (min over the per-user weeks — no second scan of the raw log), then a
+    tiny (cohort, offset) rollup.  Shuffles only on the user key and the
+    cohort grid; the raw log is read once.  Retention is active/cohort_size
+    with the offset-0 cell as the denominator (every user is active in
+    their cohort week by construction).
+    """
+    pairs = (df.select(F.col(user_col).alias("_u"),
+                       F.date_trunc("week", F.col(ts_col)).alias("_w"))
+             .groupBy("_u", "_w").agg(F.lit(1))
+             .select("_u", "_w"))
+    with_cohort = pairs.select(
+        "_u", "_w",
+        F.min("_w").over(Window.partitionBy("_u")).alias("_cw"))
+    cells = (with_cohort
+             .groupBy("_cw", (F.datediff(F.col("_w"), F.col("_cw")) / 7)
+                      .cast("bigint").alias("week_offset"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("active_users")))
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))) \
+        .over(Window.partitionBy("_cw"))
+    return (cells.select(
+        F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "active_users",
+        F.round(F.col("active_users").cast("double") / size, 6)
+        .alias("retention"))
+        .orderBy("cohort_week", "week_offset"))
+
+
+EventsFunnel = _simple_module(
+    "events.funnel",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": funnel(
+        im["table"].data,
+        steps=self.config["steps"],
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"))},
+    doc="ordered conversion funnel (strict progression, one shuffle)",
+)
+
+EventsCohortRetention = _simple_module(
+    "events.cohort_retention",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cohort_retention(
+        im["table"].data,
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"))},
+    doc="weekly cohort retention matrix (one raw-log pass)",
+)
+
+
 EventsAutocorrelation = _simple_module(
     "events.autocorrelation",
     {"table": TABLE},
@@ -564,8 +710,12 @@ EventsSeasonalDecompose = _simple_module(
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
            EventsCappedBalance, EventsSeasonalDecompose,
-           EventsAutocorrelation]
+           EventsAutocorrelation, EventsFunnel, EventsCohortRetention]
 OPERATIONS = [
+    Operation("events.funnel", "events.funnel",
+              doc="ordered conversion funnel (strict progression)"),
+    Operation("events.cohort_retention", "events.cohort_retention",
+              doc="weekly cohort retention matrix"),
     Operation("events.seasonal_decompose", "events.seasonal_decompose",
               doc="trend/seasonal/residual decomposition of hourly counts"),
     Operation("events.autocorrelation", "events.autocorrelation",

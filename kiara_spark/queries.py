@@ -9930,6 +9930,91 @@ def bpe_merges_q(spark, sf_dir):
     return bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_k=20)
 
 
+# --- product analytics: funnel + cohort retention --------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY e.user_id
+), t4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY e.user_id
+), c AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+         (SELECT count(*) FROM t1) AS users
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+)
+SELECT step, event_type, users,
+  CASE WHEN first_value(users) OVER (ORDER BY step) > 0
+       THEN round(CAST(users AS DOUBLE)
+                  / first_value(users) OVER (ORDER BY step), 6)
+  END AS pct_of_first,
+  CASE WHEN lag(users) OVER (ORDER BY step) > 0
+       THEN round(CAST(users AS DOUBLE)
+                  / lag(users) OVER (ORDER BY step), 6)
+  END AS pct_of_prev
+FROM c ORDER BY step
+"""
+
+
+@query("events_funnel_signup_purchase", _FUNNEL_ORACLE)
+def events_funnel_signup_purchase(spark, sf_dir):
+    """signup -> view -> click -> purchase funnel; strict (ts-only) ordered
+    progression, ONE user-key shuffle + array fold — contrast with
+    ``events_funnel_signup_click_purchase`` (the sequential-join plan,
+    k shuffles for k steps): the fold form holds per-user state in a sorted
+    array instead of re-joining the log per stage, so a 10-step funnel
+    still costs one shuffle.  The oracle is the unrolled sequential
+    min(ts) CTE chain — provably the same semantics (greedy earliest
+    progression is optimal, and strict comparison makes the result
+    independent of equal-ts ordering)."""
+    from .operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), steps=_FUNNEL_STEPS)
+
+
+_COHORT_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w FROM events
+), wc AS (
+  SELECT u, w, min(w) OVER (PARTITION BY u) AS cw FROM pairs
+), cells AS (
+  SELECT cw,
+         CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7
+              AS BIGINT) AS week_offset,
+         count(*) AS active_users
+  FROM wc GROUP BY 1, 2
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset, active_users,
+  round(CAST(active_users AS DOUBLE)
+        / max(CASE WHEN week_offset = 0 THEN active_users END)
+          OVER (PARTITION BY cw), 6) AS retention
+FROM cells ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_cohort_retention_weekly", _COHORT_ORACLE)
+def events_cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention matrix: one raw-log pass collapses to
+    (user, active-week) pairs, cohort = per-user min week, tiny rollup."""
+    from .operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

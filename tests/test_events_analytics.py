@@ -237,3 +237,75 @@ def test_autocorrelation_periodic_series(spark):
 
 def test_acf_op_registered(ctx):
     assert ctx.operation_registry.resolve("events.autocorrelation") is not None
+
+
+def test_funnel_strict_progression(spark):
+    import datetime
+
+    from kiara_spark.operators.events import funnel
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(uid, minute, ty):
+        return (uid, t0 + datetime.timedelta(minutes=minute), ty)
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 0, "a"), ev(1, 1, "b"), ev(1, 2, "c"),
+        # user 2: b before a -> stops after a (b never strictly after a)
+        ev(2, 0, "b"), ev(2, 1, "a"),
+        # user 3: a and b at the SAME instant -> strict ordering rejects b
+        ev(3, 0, "a"), ev(3, 0, "b"),
+        # user 4: a only
+        ev(4, 0, "a"),
+        # user 5: no step events at all
+        ev(5, 0, "zzz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: r for r in
+           funnel(df, ["a", "b", "c"]).collect()}
+    assert [out[s].users for s in (1, 2, 3)] == [4, 1, 1]
+    assert out[1].pct_of_first == 1.0
+    assert out[2].pct_of_prev == 0.25
+    assert out[3].pct_of_prev == 1.0
+
+
+def test_funnel_zero_tail_and_registration(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "a")],
+        "user_id long, ts timestamp, event_type string")
+    out = funnel(df, ["a", "b"]).collect()
+    assert [r.users for r in out] == [1, 0]
+    assert out[1].pct_of_first == 0.0 and out[1].pct_of_prev == 0.0
+    assert ctx.operation_registry.resolve("events.funnel") is not None
+
+
+def test_cohort_retention_offsets(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import cohort_retention
+
+    # Mondays: 2024-01-01 and 2024-01-08 and 2024-01-15
+    rows = [
+        (1, datetime.datetime(2024, 1, 2)),   # cohort w0
+        (1, datetime.datetime(2024, 1, 9)),   # active w1
+        (2, datetime.datetime(2024, 1, 3)),   # cohort w0, never again
+        (3, datetime.datetime(2024, 1, 10)),  # cohort w1
+        (3, datetime.datetime(2024, 1, 16)),  # active w2 (offset 1)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    cells = {(r.cohort_week, r.week_offset): r
+             for r in cohort_retention(df).collect()}
+    assert cells[("2024-01-01", 0)].active_users == 2
+    assert cells[("2024-01-01", 1)].active_users == 1
+    assert cells[("2024-01-01", 1)].retention == 0.5
+    assert cells[("2024-01-08", 0)].active_users == 1
+    assert cells[("2024-01-08", 1)].retention == 1.0
+    assert ("2024-01-01", 2) not in cells
+    assert ctx.operation_registry.resolve(
+        "events.cohort_retention") is not None
