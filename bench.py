@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_scores",
     "quality_gopher_rules",
+    "quality_expectations_orders",
     "text_readability_flesch",
     "text_bpe_merge_candidates",
     "clean_c4_documents",

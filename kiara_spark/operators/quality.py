@@ -64,6 +64,85 @@ def quality_audit(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         "_kv.check_name", "_kv.n_violations")
 
 
+def quality_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
+    """Declarative expectation suite (the Deequ/Great-Expectations shape):
+    each expectation names a metric over a column plus a threshold, and the
+    report states (expectation, column, observed, threshold, passed).
+
+    Supported kinds:
+      - ``completeness``: non-null fraction          >= ``min_ratio``
+      - ``uniqueness``:   distinct/total fraction    >= ``min_ratio``
+      - ``min``:          column minimum             >= ``at_least``
+      - ``max``:          column maximum             <= ``at_most``
+      - ``accepted_values``: fraction of non-null values in ``values``
+                                                     >= ``min_ratio`` (def 1)
+      - ``row_count``:    table row count            >= ``at_least``
+
+    Scale design: ALL metrics for ALL expectations are computed in ONE
+    aggregate scan (map-side partial aggregation; ``count(DISTINCT)`` is
+    exact and goes through Spark's two-phase distinct expansion).  The
+    long-form report explodes a literal-keyed struct array over the 1-row
+    aggregate — no per-expectation job, no driver-side values.  ``passed``
+    compares the 6-dp-rounded observed value so the verdict is
+    reproducible across engines and partition orders.
+
+    Reference parity: kiara's validation story is per-module input
+    validation (reference src/kiara/models/values/value_schema.py); a
+    table-level expectation suite is the lakehouse-scale analog.
+    """
+    total = F.count(F.lit(1)).cast("bigint")
+    aggs: list[Column] = [total.alias("_total")]
+    specs: list[tuple[str, str, Column, float]] = []  # (kind, col, observed_expr_name, threshold)
+    for i, ex in enumerate(expectations):
+        kind = ex["kind"]
+        col = ex.get("column", "")
+        a = f"_m{i}"
+        if kind == "completeness":
+            aggs.append(F.count(F.col(col)).cast("double").alias(a))
+            thr = float(ex["min_ratio"])
+        elif kind == "uniqueness":
+            aggs.append(F.count_distinct(F.col(col)).cast("double").alias(a))
+            thr = float(ex["min_ratio"])
+        elif kind == "min":
+            aggs.append(F.min(F.col(col)).cast("double").alias(a))
+            thr = float(ex["at_least"])
+        elif kind == "max":
+            aggs.append(F.max(F.col(col)).cast("double").alias(a))
+            thr = float(ex["at_most"])
+        elif kind == "accepted_values":
+            vals = list(ex["values"])
+            aggs.append(F.sum(F.when(F.col(col).isin(vals), F.lit(1))
+                              .otherwise(F.lit(0))).cast("double").alias(a))
+            thr = float(ex.get("min_ratio", 1.0))
+        elif kind == "row_count":
+            aggs.append(F.count(F.lit(1)).cast("double").alias(a))
+            thr = float(ex["at_least"])
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        specs.append((kind, col, a, thr))
+    wide = df.agg(*aggs)
+    entries = []
+    for kind, col, a, thr in specs:
+        raw = F.col(a)
+        if kind in ("completeness", "uniqueness"):
+            raw = F.when(F.col("_total") > 0, raw / F.col("_total"))
+        elif kind == "accepted_values":
+            nn = F.col("_total")  # fraction over all rows (NULL counts as miss)
+            raw = F.when(nn > 0, raw / nn)
+        observed = F.round(raw, 6)
+        passed = (observed <= F.lit(thr)) if kind == "max" \
+            else (observed >= F.lit(thr))
+        entries.append(F.struct(
+            F.lit(kind).alias("expectation"),
+            F.lit(col).alias("column"),
+            observed.alias("observed"),
+            F.lit(thr).cast("double").alias("threshold"),
+            F.coalesce(passed, F.lit(False)).alias("passed")))
+    return (wide.select(F.explode(F.array(*entries)).alias("_e"))
+            .select("_e.expectation", "_e.column", "_e.observed",
+                    "_e.threshold", "_e.passed"))
+
+
 def referential_orphans(child: DataFrame, parent: DataFrame,
                         child_key: str, parent_key: str) -> DataFrame:
     """Rows of ``child`` whose key has no match in ``parent`` (FK violation
@@ -755,6 +834,17 @@ TableQualityAudit = _simple_module(
         "SQL predicate}); returns (check, n_violations).",
 )
 
+TableQualityExpectations = _simple_module(
+    "table.quality.expectations",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": quality_expectations(
+        im["table"].data, self.config["expectations"])},
+    doc="Declarative expectation suite (completeness/uniqueness/min/max/"
+        "accepted_values/row_count vs thresholds) in ONE aggregate scan; "
+        "returns (expectation, column, observed, threshold, passed).",
+)
+
 def _scd2_process(self, im: ValueMap, ctx):
     return {"table": scd2_intervals(
         im["table"].data,
@@ -1048,7 +1138,7 @@ TableScaleFeatures = _simple_module(
         "pass + broadcast map).",
 )
 
-MODULES = [TableScaleFeatures, TableKAnonymity,
+MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1064,6 +1154,8 @@ OPERATIONS = [
               doc="upsert source into target by key"),
     Operation("table.agg.incremental_maintain", "table.agg.incremental_maintain",
               doc="incremental materialized-aggregate maintenance from CDC"),
+    Operation("table.quality.expectations", "table.quality.expectations",
+              doc="declarative expectation suite in one aggregate scan"),
     Operation("table.quality.audit", "table.quality.audit",
               doc="single-pass data-quality constraint audit"),
     Operation("table.scd2.from_changes", "table.scd2.from_changes",

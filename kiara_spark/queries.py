@@ -10015,6 +10015,66 @@ def events_cohort_retention_weekly(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+# --- declarative data-quality expectations ---------------------------------
+
+_EXPECT_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS total,
+         count(o_custkey) AS c1,
+         count(DISTINCT o_orderkey) AS u1,
+         count(DISTINCT o_custkey) AS u2,
+         min(o_totalprice) AS mn,
+         max(o_totalprice) AS mx,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS acc
+  FROM orders
+)
+SELECT 'completeness' AS expectation, 'o_custkey' AS "column",
+       round(CAST(c1 AS DOUBLE) / total, 6) AS observed,
+       CAST(1.0 AS DOUBLE) AS threshold,
+       round(CAST(c1 AS DOUBLE) / total, 6) >= 1.0 AS passed FROM a
+UNION ALL
+SELECT 'uniqueness', 'o_orderkey',
+       round(CAST(u1 AS DOUBLE) / total, 6), 1.0,
+       round(CAST(u1 AS DOUBLE) / total, 6) >= 1.0 FROM a
+UNION ALL
+SELECT 'uniqueness', 'o_custkey',
+       round(CAST(u2 AS DOUBLE) / total, 6), 0.5,
+       round(CAST(u2 AS DOUBLE) / total, 6) >= 0.5 FROM a
+UNION ALL
+SELECT 'min', 'o_totalprice', round(CAST(mn AS DOUBLE), 6), 0.0,
+       round(CAST(mn AS DOUBLE), 6) >= 0.0 FROM a
+UNION ALL
+SELECT 'max', 'o_totalprice', round(CAST(mx AS DOUBLE), 6), 100000.0,
+       round(CAST(mx AS DOUBLE), 6) <= 100000.0 FROM a
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus',
+       round(CAST(acc AS DOUBLE) / total, 6), 1.0,
+       round(CAST(acc AS DOUBLE) / total, 6) >= 1.0 FROM a
+UNION ALL
+SELECT 'row_count', '', CAST(total AS DOUBLE), 1000.0,
+       CAST(total AS DOUBLE) >= 1000.0 FROM a
+"""
+
+
+@query("quality_expectations_orders", _EXPECT_ORACLE)
+def quality_expectations_orders(spark, sf_dir):
+    """Deequ-style declarative expectation suite over orders — seven
+    constraints (completeness, two uniqueness thresholds, min/max bounds,
+    accepted values, row count), ALL metrics from ONE aggregate scan."""
+    from .operators.quality import quality_expectations
+
+    return quality_expectations(_t(spark, sf_dir, "orders"), [
+        {"kind": "completeness", "column": "o_custkey", "min_ratio": 1.0},
+        {"kind": "uniqueness", "column": "o_orderkey", "min_ratio": 1.0},
+        {"kind": "uniqueness", "column": "o_custkey", "min_ratio": 0.5},
+        {"kind": "min", "column": "o_totalprice", "at_least": 0.0},
+        {"kind": "max", "column": "o_totalprice", "at_most": 100000.0},
+        {"kind": "accepted_values", "column": "o_orderstatus",
+         "values": ["O", "F", "P"], "min_ratio": 1.0},
+        {"kind": "row_count", "at_least": 1000},
+    ])
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -488,3 +488,46 @@ def test_k_anonymity_report(spark):
 def test_privacy_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "table.privacy.k_anonymity") is not None
+
+
+def test_quality_expectations_verdicts(spark):
+    from kiara_spark.operators.quality import quality_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, None, -1.0), (3, "b", 2.0)],
+        "id long, cat string, x double")
+    out = {(r.expectation, r.column): r for r in quality_expectations(df, [
+        {"kind": "completeness", "column": "cat", "min_ratio": 0.9},
+        {"kind": "uniqueness", "column": "id", "min_ratio": 1.0},
+        {"kind": "min", "column": "x", "at_least": 0.0},
+        {"kind": "max", "column": "x", "at_most": 10.0},
+        {"kind": "accepted_values", "column": "cat", "values": ["a", "b"],
+         "min_ratio": 1.0},
+        {"kind": "row_count", "at_least": 3},
+    ]).collect()}
+    assert out[("completeness", "cat")].observed == 0.75
+    assert not out[("completeness", "cat")].passed
+    assert out[("uniqueness", "id")].observed == 0.75
+    assert not out[("uniqueness", "id")].passed
+    assert out[("min", "x")].observed == -1.0
+    assert not out[("min", "x")].passed
+    assert out[("max", "x")].passed
+    # NULL counts as a miss for accepted_values (fraction over all rows)
+    assert out[("accepted_values", "cat")].observed == 0.75
+    assert out[("row_count", "")].observed == 4.0
+    assert out[("row_count", "")].passed
+
+
+def test_quality_expectations_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from kiara_spark.operators.quality import quality_expectations
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        quality_expectations(df, [{"kind": "nope", "column": "id"}])
+
+
+def test_quality_expectations_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "table.quality.expectations") is not None
