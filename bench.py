@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "quality_expectations_orders",
     "text_readability_flesch",
     "text_bpe_merge_candidates",
+    "text_cooccurrence_pmi",
     "clean_c4_documents",
     "quality_perplexity_buckets",
     "sample_dsir_documents",

@@ -224,6 +224,57 @@ def bpe_merge_candidates(
             .select("rank", "pair", "n_occurrences"))
 
 
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual information
+    (Church & Hanks 1990) — the standard collocation / word-association
+    signal: pmi(a,b) = ln( c_ab · N / (c_a · c_b) ) over document
+    containment counts.
+
+    Scale design: the text is tokenized and deduplicated WITHIN each row
+    (``array_distinct`` — no shuffle), exploded once to (doc, token), and
+    the token vocabulary is pruned to ``df >= min_count`` BEFORE pair
+    generation (a pair needs c_ab >= min_count, which implies both members
+    pass, so the prune is lossless).  Pairs then come from a self-join on
+    the doc key — blowup is per-doc-distinct-tokens², never vocabulary².
+    One aggregate on the pair key + a global top-k sort over the
+    (already count-filtered, small) collocation table finish the job.
+    ln() is applied to an exact integer ratio and rounded to 6 dp, so any
+    libm reproduces the doubles.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col))))
+        .alias("_t"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
+    cnt = (toks.groupBy("_t")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+           .filter(F.col("_c") >= min_count))
+    pruned = toks.join(cnt, "_t")
+    x = pruned.select(F.col("_d"), F.col("_t").alias("a"),
+                      F.col("_c").alias("ca"))
+    y = pruned.select(F.col("_d"), F.col("_t").alias("b"),
+                      F.col("_c").alias("cb"))
+    pairs = (x.join(y, "_d")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "ca", "cb")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+             .filter(F.col("cab") >= min_count))
+    return (pairs.crossJoin(F.broadcast(n_docs))
+            .select(
+                "a", "b", "ca", "cb", "cab",
+                F.round(F.log(F.col("cab").cast("double") * F.col("_nd")
+                              / (F.col("ca") * F.col("cb"))), 6)
+                .alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "a", "b")
+            .limit(top_k))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1079,6 +1130,8 @@ TextReadability = _mk("text.readability", with_readability,
                       "Flesch reading-ease score (vowel-group syllables)")
 TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
                     "BPE round-1 merge candidates over the word-freq dict")
+TextCooccurrencePmi = _mk("text.cooccurrence_pmi", cooccurrence_pmi,
+                          "top-k token collocations by document-level PMI")
 
 
 class TextCleanC4(KiaraModule):
@@ -1106,7 +1159,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4, TextReadability, TextBpeMerges]
+           TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1114,6 +1167,8 @@ OPERATIONS = [
               doc="C4 line-level cleaning + document verdict"),
     Operation("text.readability", "text.readability",
               doc="Flesch reading-ease readability score"),
+    Operation("text.cooccurrence_pmi", "text.cooccurrence_pmi",
+              doc="top-k token collocations by document-level PMI"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

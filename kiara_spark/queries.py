@@ -10075,6 +10075,44 @@ def quality_expectations_orders(spark, sf_dir):
     ])
 
 
+# --- token collocations: document-level PMI --------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS d, t.tok FROM documents,
+    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS t(tok)
+), n AS (SELECT count(*) AS nd FROM documents),
+cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok HAVING count(*) >= 25
+),
+pairs AS (
+  SELECT x.tok AS a, y.tok AS b, cx.c AS ca, cy.c AS cb, count(*) AS cab
+  FROM toks x
+  JOIN toks y ON x.d = y.d AND x.tok < y.tok
+  JOIN cnt cx ON cx.tok = x.tok
+  JOIN cnt cy ON cy.tok = y.tok
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 25
+)
+SELECT a, b, ca, cb, cab,
+       ROUND(ln(CAST(cab AS DOUBLE) * nd / (ca * cb)), 6) AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, a, b LIMIT 40
+"""
+
+
+@query("text_cooccurrence_pmi", _PMI_ORACLE)
+def text_cooccurrence_pmi_q(spark, sf_dir):
+    """Top-40 token collocations by document-level PMI.  Vocabulary is
+    pruned to df >= 25 BEFORE the doc-key self-join (lossless: a pair
+    needs c_ab >= 25 which implies both members pass), so the pair space
+    is per-doc-distinct² of frequent tokens, never vocabulary²."""
+    from .operators.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(_t(spark, sf_dir, "documents"),
+                            min_count=25, top_k=40)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -472,3 +472,29 @@ def test_bpe_merge_candidates_weighted_counts(spark):
     assert got["aa"] == (1, 6)
     assert got["ab"] == (2, 4)
     assert "b" not in got  # single chars produce no pair
+
+
+def test_cooccurrence_pmi_collocation(spark):
+    import math
+
+    from kiara_spark.operators.text import cooccurrence_pmi
+
+    # "alpha beta" always together (perfect collocation); "noise" everywhere.
+    rows = [(i, "alpha beta noise") for i in range(6)] \
+        + [(i + 10, "noise only filler") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.a, r.b): r for r in
+           cooccurrence_pmi(df, min_count=3, top_k=10).collect()}
+    ab = out[("alpha", "beta")]
+    assert ab.cab == 6 and ab.ca == 6 and ab.cb == 6
+    # pmi(alpha,beta) = ln(6*12/(6*6)) = ln(2)
+    assert abs(ab.pmi - round(math.log(2), 6)) < 1e-9
+    # alpha-noise co-occurs only as often as chance predicts a subset:
+    # pmi = ln(6*12/(6*12)) = 0
+    assert out[("alpha", "noise")].pmi == 0.0
+    # rare pairs below min_count are absent
+    assert ("only", "alpha") not in out
+
+
+def test_cooccurrence_pmi_registered(ctx):
+    assert ctx.operation_registry.resolve("text.cooccurrence_pmi") is not None
