@@ -1031,6 +1031,37 @@ def random_walks(
              "node")
 
 
+def walk_skipgram_pairs(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs from the deterministic
+    random-walk corpus — DeepWalk round 2 (Perozzi et al. 2014 §4.2): every
+    node pair within ``window`` positions of each other in the same walk
+    becomes one co-occurrence credit, aggregated to (center, context,
+    n_pairs) — exactly the input word2vec's sampling tables consume.
+
+    Plan: the long-form walk table (see :func:`random_walks` — hub-safe,
+    indexed adjacency) self-joins on the (start, walk) key with the
+    |Δstep| <= window predicate — the blowup is walk_length × window per
+    walk, a constant — then ONE (center, context) hash aggregate.  No
+    per-walk arrays, no driver state; everything shuffles on walk and
+    pair keys only."""
+    walks = random_walks(edges, walk_length=walk_length,
+                         walks_per_node=walks_per_node)
+    a = walks.select("start", "walk", F.col("step").alias("_sa"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", "walk", F.col("step").alias("_sb"),
+                     F.col("node").alias("context"))
+    return (a.join(b, ["start", "walk"])
+            .filter((F.abs(F.col("_sb") - F.col("_sa")) <= window)
+                    & (F.col("_sa") != F.col("_sb")))
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+
+
 def condensation_layers(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Condensation + topological layering of a directed graph: contract
     each strongly connected component to one super-node (the condensation
@@ -1118,6 +1149,26 @@ class GraphRandomWalks(KiaraModule):
             inputs["graph"].data["edges"],
             walk_length=self.config.get("walk_length", 4),
             walks_per_node=self.config.get("walks_per_node", 2))}
+
+
+class GraphWalkSkipgramPairs(KiaraModule):
+    """Skip-gram (center, context) pair counts from the walk corpus (see
+    walk_skipgram_pairs)."""
+
+    _module_type_name = "network_graph.walk_skipgram_pairs"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": walk_skipgram_pairs(
+            inputs["graph"].data["edges"],
+            walk_length=self.config.get("walk_length", 4),
+            walks_per_node=self.config.get("walks_per_node", 2),
+            window=self.config.get("window", 2))}
 
 
 # -- database namespace ops -------------------------------------------------
@@ -1435,7 +1486,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphLabelPropagation, GraphShortestPathsWeighted, GraphKCore,
            GraphPersonalizedPagerank, GraphSCC, GraphHITS,
            GraphNodeSimilarity, GraphRandomWalks,
-           GraphCondensationLayers]
+           GraphCondensationLayers, GraphWalkSkipgramPairs]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1461,6 +1512,8 @@ OPERATIONS = [
     Operation("network_graph.hits", "network_graph.hits"),
     Operation("network_graph.node_similarity", "network_graph.node_similarity"),
     Operation("network_graph.random_walks", "network_graph.random_walks"),
+    Operation("network_graph.walk_skipgram_pairs",
+              "network_graph.walk_skipgram_pairs"),
     Operation("network_graph.condensation_layers",
               "network_graph.condensation_layers"),
 ]

@@ -10113,6 +10113,52 @@ def text_cooccurrence_pmi_q(spark, sf_dir):
                             min_count=25, top_k=40)
 
 
+# --- skip-gram pairs from the walk corpus (DeepWalk round 2) ---------------
+
+
+@query(
+    "graph_walk_skipgram_pairs",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    rw_adj AS (SELECT src AS v, dst AS nb,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                           AS BIGINT) AS idx
+               FROM und),
+    rw_deg AS (SELECT v, MAX(idx) AS deg FROM rw_adj GROUP BY v),
+    s0 AS (SELECT v AS start, CAST(w AS BIGINT) AS walk, v AS node
+           FROM rw_deg CROSS JOIN (SELECT unnest([0, 1]) AS w)),
+    s1 AS ({_rw_step_sql('s0', 1)}),
+    s2 AS ({_rw_step_sql('s1', 2)}),
+    s3 AS ({_rw_step_sql('s2', 3)}),
+    w AS (
+      SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM s0
+      UNION ALL SELECT start, walk, 1, node FROM s1
+      UNION ALL SELECT start, walk, 2, node FROM s2
+      UNION ALL SELECT start, walk, 3, node FROM s3
+    )
+    SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+    FROM w a JOIN w b
+      ON a.start = b.start AND a.walk = b.walk
+     AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+    GROUP BY 1, 2
+    """,
+)
+def graph_walk_skipgram_q(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the deterministic walk
+    corpus (window=2) — the word2vec-ready DeepWalk artifact.  The walk
+    self-join blows up by walk_length x window per walk (a constant), then
+    one pair-key aggregate; verified against the unrolled walk SQL plus
+    the same windowed join in DuckDB."""
+    from .operators import graph as G
+
+    return G.walk_skipgram_pairs(_copurchase_edges(spark, sf_dir),
+                                 walk_length=4, walks_per_node=2, window=2)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

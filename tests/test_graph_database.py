@@ -602,3 +602,27 @@ def test_condensation_layers_dag_and_cycles(spark):
 def test_condensation_op_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.condensation_layers") is not None
+
+
+def test_walk_skipgram_pairs_symmetry_and_totals(spark):
+    from kiara_spark.operators.graph import random_walks, walk_skipgram_pairs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long")
+    L, W, win = 4, 2, 2
+    pairs = walk_skipgram_pairs(edges, walk_length=L, walks_per_node=W,
+                                window=win).collect()
+    # (center, context) and (context, center) counts are mirror images
+    m = {(r.center, r.context): r.n_pairs for r in pairs}
+    assert all(m[(a, b)] == m[(b, a)] for (a, b) in m)
+    # total credits = per-walk windowed pair count summed over all walks:
+    # each walk of length L contributes 2*sum_{d=1..win} (L-d) ordered pairs
+    n_walks = random_walks(edges, walk_length=L, walks_per_node=W) \
+        .select("start", "walk").distinct().count()
+    per_walk = 2 * sum(L - d for d in range(1, win + 1))
+    assert sum(m.values()) == n_walks * per_walk
+
+
+def test_walk_skipgram_registered(ctx):
+    assert ctx.operation_registry.resolve(
+        "network_graph.walk_skipgram_pairs") is not None
