@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "events_gap_interpolate_hourly",
     "anonymize_customers",
     "privacy_k_anonymity_customers",
+    "privacy_l_diversity_customers",
+    "ml_target_encode_orders",
     "graph_pagerank_personalized",
     "events_cusum_changepoint",
     "rolling_features_battery",

@@ -1116,6 +1116,93 @@ def k_anonymity_report(
             .withColumn("violates_k", F.col("group_size") < k))
 
 
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 — the standard name of the parameter
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the follow-up to
+    k-anonymity: a k-anonymous class is still leaky if every member shares
+    the same sensitive value, so each quasi-identifier equivalence class
+    must contain at least ``l`` DISTINCT sensitive values.
+
+    ONE aggregate on the quasi-identifier tuple computing group size and
+    exact distinct-sensitive count (Spark's two-phase distinct expansion —
+    map-side partials, no second scan).  Returns one row per equivalence
+    class with ``violates_l`` as the release gate."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"),
+                 F.count_distinct(F.col(sensitive_col)).cast("bigint")
+                 .alias("n_sensitive_values"))
+            .withColumn("violates_l", F.col("n_sensitive_values") < l))
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding — the classic high-cardinality
+    categorical feature (Micci-Barreca 2001):
+
+        enc(c) = (sum_target(c) + prior_mean * m) / (count(c) + m)
+
+    with ``m = smoothing``.  The shrinkage pulls rare categories toward
+    the global prior so they don't memorize noise.
+
+    Scale design: one category-key aggregate over the heavy table (sums
+    accumulated as DECIMAL(38,6) — exact and partition-order-invariant —
+    then cast to double so the closed form runs in IEEE arithmetic with a
+    fixed operation order, reproducible on any engine), one 1-row
+    broadcast for the prior, and one broadcast-eligible join back onto
+    the input.  The heavy table shuffles once on the category key; the
+    mapping table is |categories| rows.  Returns the input plus
+    ``<cat_col>_enc`` (6 dp)."""
+    dsum6 = lambda c: F.sum(  # noqa: E731
+        F.col(c).cast("decimal(38,6)")).cast("double")
+    g = df.agg(
+        dsum6(target_col).alias("_gs"),
+        F.count(F.col(target_col)).cast("double").alias("_gn"))
+    per_cat = (df.groupBy(F.col(cat_col))
+               .agg(dsum6(target_col).alias("_s"),
+                    F.count(F.col(target_col)).cast("double").alias("_n")))
+    m = F.lit(float(smoothing))
+    enc = F.round(
+        (F.col("_s") + F.col("_gs") / F.col("_gn") * m)
+        / (F.col("_n") + m), 6)
+    mapping = (per_cat.crossJoin(F.broadcast(g))
+               .select(F.col(cat_col),
+                       enc.alias(f"{cat_col}_enc")))
+    return df.join(F.broadcast(mapping), cat_col, "left")
+
+
+TableLDiversity = _simple_module(
+    "table.privacy.l_diversity",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": l_diversity_report(
+        im["table"].data, self.config["quasi_columns"],
+        self.config["sensitive_column"],
+        l=self.config.get("l", 2))},
+    doc="l-diversity audit: distinct sensitive values per "
+        "quasi-identifier class + violation flags.",
+)
+
+TableTargetEncode = _simple_module(
+    "table.ml.target_encode",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": target_encode(
+        im["table"].data, self.config["category_column"],
+        self.config["target_column"],
+        smoothing=self.config.get("smoothing", 10.0))},
+    doc="Smoothed target encoding for high-cardinality categoricals "
+        "(decimal-exact, one category-key aggregate + broadcast join).",
+)
+
+
 TableKAnonymity = _simple_module(
     "table.privacy.k_anonymity",
     {"table": TABLE},
@@ -1139,6 +1226,7 @@ TableScaleFeatures = _simple_module(
 )
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
+           TableLDiversity, TableTargetEncode,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1148,6 +1236,10 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
 OPERATIONS = [
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.privacy.l_diversity", "table.privacy.l_diversity",
+              doc="l-diversity audit over quasi-identifier classes"),
+    Operation("table.ml.target_encode", "table.ml.target_encode",
+              doc="smoothed target encoding (decimal-exact)"),
     Operation("table.privacy.k_anonymity", "table.privacy.k_anonymity",
               doc="k-anonymity equivalence-class audit"),
     Operation("table.merge.upsert", "table.merge.upsert",

@@ -10159,6 +10159,63 @@ def graph_walk_skipgram_q(spark, sf_dir):
                                  walk_length=4, walks_per_node=2, window=2)
 
 
+# --- l-diversity audit + smoothed target encoding --------------------------
+
+
+@query(
+    "privacy_l_diversity_customers",
+    """
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           count(*) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+             AS n_sensitive_values,
+           count(DISTINCT c_mktsegment) < 5 AS violates_l
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def privacy_l_diversity_q(spark, sf_dir):
+    """l-diversity release gate: per nation (quasi-identifier), the number
+    of distinct market segments (sensitive attribute) — classes with < 5
+    distinct values are flagged.  One aggregate, two-phase exact
+    distinct."""
+    from .operators.quality import l_diversity_report
+
+    return l_diversity_report(_t(spark, sf_dir, "customer"),
+                              ["c_nationkey"], "c_mktsegment", l=5)
+
+
+_TENC_ORACLE = """
+WITH g AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS gs,
+         CAST(COUNT(o_totalprice) AS DOUBLE) AS gn
+  FROM orders
+), p AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(COUNT(o_totalprice) AS DOUBLE) AS n
+  FROM orders GROUP BY o_orderpriority
+), m AS (
+  SELECT o_orderpriority,
+         ROUND((s + gs / gn * 10.0) / (n + 10.0), 6) AS enc
+  FROM p, g
+)
+SELECT o.o_orderkey, o.o_orderpriority, m.enc AS o_orderpriority_enc
+FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+"""
+
+
+@query("ml_target_encode_orders", _TENC_ORACLE)
+def ml_target_encode_q(spark, sf_dir):
+    """Smoothed target encoding of order priority by mean total price
+    (m=10): exact decimal component sums cast to double, closed form in
+    fixed-order IEEE arithmetic, broadcast mapping join back."""
+    from .operators.quality import target_encode
+
+    out = target_encode(_t(spark, sf_dir, "orders"),
+                        "o_orderpriority", "o_totalprice", smoothing=10.0)
+    return out.select("o_orderkey", "o_orderpriority", "o_orderpriority_enc")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

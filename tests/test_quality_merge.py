@@ -531,3 +531,36 @@ def test_quality_expectations_unknown_kind_raises(spark):
 def test_quality_expectations_registered(ctx):
     assert ctx.operation_registry.resolve(
         "table.quality.expectations") is not None
+
+
+def test_l_diversity_flags(spark, ctx):
+    from kiara_spark.operators.quality import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("a", "flu"), ("a", "flu"), ("a", "cold"),
+         ("b", "flu"), ("b", "flu")],
+        "zip string, disease string")
+    out = {r.zip: r for r in
+           l_diversity_report(df, ["zip"], "disease", l=2).collect()}
+    assert out["a"].n_sensitive_values == 2 and not out["a"].violates_l
+    # class "b" is 2-anonymous but NOT 2-diverse: everyone has flu
+    assert out["b"].n_sensitive_values == 1 and out["b"].violates_l
+    assert ctx.operation_registry.resolve(
+        "table.privacy.l_diversity") is not None
+
+
+def test_target_encode_shrinks_rare_categories(spark, ctx):
+    from kiara_spark.operators.quality import target_encode
+
+    rows = [("big", 10.0)] * 50 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r.cat: r.cat_enc for r in
+           target_encode(df, "cat", "y", smoothing=10.0)
+           .select("cat", "cat_enc").distinct().collect()}
+    prior = (50 * 10.0 + 100.0) / 51
+    # big category barely moves; rare category shrinks hard toward prior
+    assert abs(out["big"] - 10.0) < 0.5
+    expected_rare = (100.0 + prior * 10.0) / 11
+    assert abs(out["rare"] - expected_rare) < 1e-6
+    assert ctx.operation_registry.resolve(
+        "table.ml.target_encode") is not None
