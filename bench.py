@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "quality_gopher_rules",
     "quality_expectations_orders",
+    "quality_benford_totalprice",
     "text_readability_flesch",
     "text_bpe_merge_candidates",
     "text_cooccurrence_pmi",

@@ -143,6 +143,43 @@ def quality_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
                     "_e.threshold", "_e.passed"))
 
 
+def benford_report(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938; the
+    standard forensic screen for fabricated numeric data): the leading
+    significant digit of naturally-occurring amounts follows
+    P(d) = log10(1 + 1/d); large deviations flag manufactured values.
+
+    Portability note: the value is first fixed-pointed to an integer
+    (``floor(abs(x) * scale)``, exact IEEE ops) and the leading digit
+    taken from the INTEGER's string form — integers print identically on
+    every engine, where double formatting (shortest-repr vs. %g) does
+    not.  Plan: one map + one 9-bucket hash aggregate + a broadcast
+    1-row total joined onto a literal digit grid (digits with zero rows
+    still appear).  Returns (digit, n, observed_freq, expected_freq,
+    abs_deviation), frequencies at 6 dp."""
+    v = F.floor(F.abs(F.col(col)) * F.lit(scale)).cast("bigint")
+    digits = (df.select(v.alias("_v"))
+              .filter(F.col("_v") > 0)
+              .select(F.substring(F.col("_v").cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = digits.agg(F.sum("n").cast("bigint").alias("_t"))
+    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int")
+                                               .alias("digit"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (grid.join(digits, "digit", "left")
+            .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.col("digit").cast("bigint").alias("digit"), "n",
+                F.round(F.col("n") / F.col("_t"), 6).alias("observed_freq"),
+                F.round(expected, 6).alias("expected_freq"),
+                F.round(F.abs(F.col("n") / F.col("_t") - expected), 6)
+                .alias("abs_deviation"))
+            .orderBy("digit"))
+
+
 def referential_orphans(child: DataFrame, parent: DataFrame,
                         child_key: str, parent_key: str) -> DataFrame:
     """Rows of ``child`` whose key has no match in ``parent`` (FK violation
@@ -1178,6 +1215,17 @@ def target_encode(
     return df.join(F.broadcast(mapping), cat_col, "left")
 
 
+TableBenford = _simple_module(
+    "table.quality.benford",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": benford_report(
+        im["table"].data, self.config["column"],
+        scale=self.config.get("scale", 100))},
+    doc="Benford first-digit audit: observed vs log10(1+1/d) expected "
+        "frequencies per leading digit (fabrication screen).",
+)
+
 TableLDiversity = _simple_module(
     "table.privacy.l_diversity",
     {"table": TABLE},
@@ -1226,7 +1274,7 @@ TableScaleFeatures = _simple_module(
 )
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
-           TableLDiversity, TableTargetEncode,
+           TableLDiversity, TableTargetEncode, TableBenford,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1236,6 +1284,8 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
 OPERATIONS = [
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.quality.benford", "table.quality.benford",
+              doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",
               doc="l-diversity audit over quasi-identifier classes"),
     Operation("table.ml.target_encode", "table.ml.target_encode",

@@ -10216,6 +10216,43 @@ def ml_target_encode_q(spark, sf_dir):
     return out.select("o_orderkey", "o_orderpriority", "o_orderpriority_enc")
 
 
+# --- Benford first-digit audit ----------------------------------------------
+
+
+@query(
+    "quality_benford_totalprice",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice) * 100)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders
+      WHERE CAST(floor(abs(o_totalprice) * 100) AS BIGINT) > 0
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS tot FROM c),
+    grid AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT CAST(grid.digit AS BIGINT) AS digit,
+           COALESCE(c.n, 0) AS n,
+           ROUND(COALESCE(c.n, 0) / CAST(tot AS DOUBLE), 6)
+             AS observed_freq,
+           ROUND(log10(1.0 + 1.0 / grid.digit), 6) AS expected_freq,
+           ROUND(ABS(COALESCE(c.n, 0) / CAST(tot AS DOUBLE)
+                     - log10(1.0 + 1.0 / grid.digit)), 6) AS abs_deviation
+    FROM grid LEFT JOIN c ON grid.digit = c.digit CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def quality_benford_q(spark, sf_dir):
+    """Benford's-law screen over order amounts (integer cents leading
+    digit): one map + 9-bucket aggregate + broadcast total onto the digit
+    grid.  The leading digit comes from the INTEGER's string form —
+    portable where double formatting is not."""
+    from .operators.quality import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -564,3 +564,23 @@ def test_target_encode_shrinks_rare_categories(spark, ctx):
     assert abs(out["rare"] - expected_rare) < 1e-6
     assert ctx.operation_registry.resolve(
         "table.ml.target_encode") is not None
+
+
+def test_benford_exact_fractions(spark, ctx):
+    import math
+
+    from kiara_spark.operators.quality import benford_report
+
+    # values whose integer-cents leading digits are 1,1,2,9 (+ one zero
+    # and one NULL row that must be ignored)
+    df = spark.createDataFrame(
+        [(1.23,), (150.0,), (0.25,), (9.99,), (0.0,), (None,)],
+        "x double")
+    out = {r.digit: r for r in benford_report(df, "x").collect()}
+    assert len(out) == 9  # full digit grid, zero-count digits included
+    assert out[1].n == 2 and out[2].n == 1 and out[9].n == 1
+    assert out[3].n == 0 and out[3].observed_freq == 0.0
+    assert out[1].observed_freq == 0.5
+    assert out[1].expected_freq == round(math.log10(2), 6)
+    assert ctx.operation_registry.resolve(
+        "table.quality.benford") is not None
