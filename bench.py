@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_readability_flesch",
     "text_bpe_merge_candidates",
     "text_cooccurrence_pmi",
+    "ml_chi2_feature_select",
     "clean_c4_documents",
     "quality_perplexity_buckets",
     "sample_dsir_documents",

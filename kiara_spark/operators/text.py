@@ -275,6 +275,63 @@ def cooccurrence_pmi(
             .limit(top_k))
 
 
+def chi2_feature_select(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    min_df: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Chi-square feature selection: for every (label, token) pair, the
+    2x2 chi-square statistic of token presence vs class membership —
+    the standard supervised vocabulary ranking (Yang & Pedersen 1997).
+
+    With a = docs of the label containing the token, b = other docs of
+    the label, c = docs of other labels with the token, d = the rest:
+
+        chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    Scale design: one (doc, token) distinct explode (dedup inside the
+    row via array_distinct — no extra shuffle), ONE (token, label)
+    aggregate, two tiny side aggregates (per-token and per-label doc
+    counts, broadcast back), and a per-label top-k window over the
+    already-filtered candidate table.  The counts are exact integers;
+    the statistic is assembled in fixed-order IEEE double arithmetic
+    (deterministic on any engine) and rounded to 6 dp.  Tokens rarer
+    than ``min_df`` docs or present in every doc are excluded."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col))))
+        .alias("token"))
+    tl = toks.groupBy("token", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"))
+    tok_tot = (tl.groupBy("token")
+               .agg(F.sum("a").cast("bigint").alias("tt"))
+               .filter(F.col("tt") >= min_df))
+    lab_tot = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("lt"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    cand = (tl.join(tok_tot, "token")
+            .join(F.broadcast(lab_tot), "label")
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("tt") < F.col("nn")))  # universal tokens carry no signal
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a, tt, lt, nn = d("a"), d("tt"), d("lt"), d("nn")
+    b = lt - a
+    c = tt - a
+    dd = nn - lt - tt + a
+    diff = a * dd - b * c
+    denom = (a + b) * (c + dd) * (a + c) * (b + dd)
+    chi2 = F.when(denom > 0,
+                  F.round(nn * diff * diff / denom, 6)).otherwise(F.lit(0.0))
+    scored = cand.select("label", "token", F.col("a").alias("n_with_token"),
+                         chi2.alias("chi2"))
+    w = Window.partitionBy("label").orderBy(F.col("chi2").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= top_k)
+            .select("label", "rank", "token", "n_with_token", "chi2"))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1132,6 +1189,8 @@ TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
                     "BPE round-1 merge candidates over the word-freq dict")
 TextCooccurrencePmi = _mk("text.cooccurrence_pmi", cooccurrence_pmi,
                           "top-k token collocations by document-level PMI")
+TextChi2Select = _mk("text.chi2_feature_select", chi2_feature_select,
+                     "per-label top-k tokens by 2x2 chi-square")
 
 
 class TextCleanC4(KiaraModule):
@@ -1159,7 +1218,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi]
+           TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
+           TextChi2Select]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1169,6 +1229,8 @@ OPERATIONS = [
               doc="Flesch reading-ease readability score"),
     Operation("text.cooccurrence_pmi", "text.cooccurrence_pmi",
               doc="top-k token collocations by document-level PMI"),
+    Operation("text.chi2_feature_select", "text.chi2_feature_select",
+              doc="per-label top-k tokens by 2x2 chi-square"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

@@ -10253,6 +10253,68 @@ def quality_benford_q(spark, sf_dir):
     return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+# --- chi-square feature selection ------------------------------------------
+
+_CHI2_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang AS label, t.tok AS token FROM documents,
+    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS t(tok)
+), tl AS (
+  SELECT token, label, count(*) AS a FROM toks GROUP BY 1, 2
+), tok_tot AS (
+  SELECT token, CAST(SUM(a) AS BIGINT) AS tt FROM tl GROUP BY 1
+  HAVING SUM(a) >= 5
+), lab_tot AS (
+  SELECT lang AS label, count(*) AS lt FROM documents GROUP BY 1
+), n AS (SELECT count(*) AS nn FROM documents),
+vars AS (
+  SELECT tl.label, tl.token, tl.a,
+         CAST(tl.a AS DOUBLE) AS ad, CAST(tok_tot.tt AS DOUBLE) AS ttd,
+         CAST(lab_tot.lt AS DOUBLE) AS ltd, CAST(n.nn AS DOUBLE) AS nnd
+  FROM tl
+  JOIN tok_tot ON tl.token = tok_tot.token
+  JOIN lab_tot ON tl.label = lab_tot.label
+  CROSS JOIN n
+  WHERE tok_tot.tt < n.nn
+), s1 AS (
+  SELECT label, token, a, ad, nnd,
+         ltd - ad AS b, ttd - ad AS c, nnd - ltd - ttd + ad AS dd
+  FROM vars
+), s2 AS (
+  SELECT label, token, a,
+         ad * dd - b * c AS diff,
+         (ad + b) * (c + dd) * (ad + c) * (b + dd) AS denom, nnd
+  FROM s1
+), scored AS (
+  SELECT label, token, a AS n_with_token,
+         CASE WHEN denom > 0
+              THEN ROUND(nnd * diff * diff / denom, 6)
+              ELSE 0.0 END AS chi2
+  FROM s2
+)
+SELECT label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY chi2 DESC, token) AS BIGINT) AS rank,
+       token, n_with_token, chi2
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@query("ml_chi2_feature_select", _CHI2_ORACLE)
+def ml_chi2_feature_select_q(spark, sf_dir):
+    """Per-language top-10 tokens by 2x2 chi-square (token presence vs
+    class) — supervised vocabulary ranking.  Exact integer contingency
+    counts from ONE (token, label) aggregate + broadcast margins; the
+    statistic is fixed-order IEEE double arithmetic, identical on both
+    engines."""
+    from .operators.text import chi2_feature_select
+
+    return chi2_feature_select(_t(spark, sf_dir, "documents"),
+                               min_df=5, top_k=10)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -498,3 +498,27 @@ def test_cooccurrence_pmi_collocation(spark):
 
 def test_cooccurrence_pmi_registered(ctx):
     assert ctx.operation_registry.resolve("text.cooccurrence_pmi") is not None
+
+
+def test_chi2_feature_select_discriminative_token(spark, ctx):
+    from kiara_spark.operators.text import chi2_feature_select
+
+    # "uniq" appears in every 'en' doc and no 'fr' doc: maximal chi2;
+    # "shared" appears everywhere: excluded (tt == N); "mid" is mixed.
+    rows = [(i, "uniq shared mid" if i % 2 else "uniq shared", "en")
+            for i in range(10)] \
+        + [(i + 100, "shared autre mid" if i % 2 else "shared autre", "fr")
+           for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_feature_select(df, min_df=3, top_k=3).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    # top-1 for 'en' is the perfectly discriminative token, chi2 = N = 20
+    top_en = sorted(by_label["en"], key=lambda r: r.rank)[0]
+    assert top_en.token in ("uniq", "autre")
+    assert top_en.chi2 == 20.0
+    # universal token never appears
+    assert all(r.token != "shared" for r in out)
+    assert ctx.operation_registry.resolve(
+        "text.chi2_feature_select") is not None
