@@ -732,6 +732,59 @@ def quantile_bins(df: DataFrame, col: str, n_bins: int = 10,
     ).drop("_bnds")
 
 
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lift / gains table — the standard model-evaluation readout: rows are
+    bucketed into equal-frequency score bins (via :func:`quantile_bins` —
+    one broadcast percentile-bounds aggregate, NO global sort window), and
+    each bucket reports its positive rate, lift over the base rate, and
+    the cumulative gain when targeting the top buckets first.
+
+    ``bucket`` 1 is the highest-score bin.  All ratios are fixed-order
+    IEEE double arithmetic rounded to 6 dp.  The heavy table is touched
+    twice (bounds + one n_bins-row aggregate); every window runs over
+    <= n_bins rows.  ``outcome_col`` must be 0/1-valued (cast yourself
+    for booleans)."""
+    from pyspark.sql.window import Window
+
+    binned = quantile_bins(df, score_col, n_bins, out_col="_bin")
+    per = (binned.filter(F.col("_bin").isNotNull())
+           .groupBy("_bin")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col(outcome_col).cast("int")).cast("bigint")
+                .alias("n_pos")))
+    tot = per.agg(F.sum("n").cast("bigint").alias("_tn"),
+                  F.sum("n_pos").cast("bigint").alias("_tp"))
+    w = (Window.orderBy(F.col("_bin").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = per.select(
+        "_bin", "n", "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"))
+    base = F.col("_tp").cast("double") / F.col("_tn")
+    return (c.crossJoin(F.broadcast(tot))
+            .select(
+                (F.lit(n_bins) - F.col("_bin")).cast("bigint").alias("bucket"),
+                "n", "n_pos",
+                F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+                .alias("pos_rate"),
+                F.when(F.col("_tp") > 0, F.round(
+                    F.col("n_pos").cast("double") / F.col("n") / base, 6))
+                .alias("lift"),
+                "cum_n", "cum_pos",
+                F.when(F.col("_tp") > 0, F.round(
+                    F.col("cum_pos").cast("double") / F.col("_tp"), 6))
+                .alias("cum_gain"),
+                F.when(F.col("_tp") > 0, F.round(
+                    F.col("cum_pos").cast("double") / F.col("cum_n") / base, 6))
+                .alias("cum_lift"))
+            .orderBy("bucket"))
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -1215,6 +1268,18 @@ def target_encode(
     return df.join(F.broadcast(mapping), cat_col, "left")
 
 
+TableLiftTable = _simple_module(
+    "table.ml.lift_table",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": lift_table(
+        im["table"].data, self.config["score_column"],
+        self.config["outcome_column"],
+        n_bins=self.config.get("n_bins", 10))},
+    doc="Lift/gains table over equal-frequency score bins (no global "
+        "sort; broadcast percentile bounds + one n_bins-row aggregate).",
+)
+
 TableBenford = _simple_module(
     "table.quality.benford",
     {"table": TABLE},
@@ -1274,7 +1339,7 @@ TableScaleFeatures = _simple_module(
 )
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
-           TableLDiversity, TableTargetEncode, TableBenford,
+           TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1284,6 +1349,8 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
 OPERATIONS = [
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.ml.lift_table", "table.ml.lift_table",
+              doc="lift/gains model-evaluation table"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

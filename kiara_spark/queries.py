@@ -10315,6 +10315,61 @@ def ml_chi2_feature_select_q(spark, sf_dir):
                                min_df=5, top_k=10)
 
 
+# --- lift / gains table -----------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH b AS (
+  SELECT [QUANTILE_CONT(o_totalprice, 0.1), QUANTILE_CONT(o_totalprice, 0.2),
+          QUANTILE_CONT(o_totalprice, 0.3), QUANTILE_CONT(o_totalprice, 0.4),
+          QUANTILE_CONT(o_totalprice, 0.5), QUANTILE_CONT(o_totalprice, 0.6),
+          QUANTILE_CONT(o_totalprice, 0.7), QUANTILE_CONT(o_totalprice, 0.8),
+          QUANTILE_CONT(o_totalprice, 0.9)] AS bnds
+  FROM orders
+), r AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         CAST(list_sum(list_transform(bnds,
+              x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)) AS INT)
+           AS bin
+  FROM orders CROSS JOIN b
+), p AS (
+  SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM r GROUP BY bin
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp
+  FROM p
+), c AS (
+  SELECT bin, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos
+  FROM p
+)
+SELECT CAST(10 - bin AS BIGINT) AS bucket, n, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       CASE WHEN tp > 0 THEN
+         ROUND(CAST(n_pos AS DOUBLE) / n / (CAST(tp AS DOUBLE) / tn), 6)
+       END AS lift,
+       cum_n, cum_pos,
+       CASE WHEN tp > 0 THEN
+         ROUND(CAST(cum_pos AS DOUBLE) / tp, 6) END AS cum_gain,
+       CASE WHEN tp > 0 THEN
+         ROUND(CAST(cum_pos AS DOUBLE) / cum_n
+               / (CAST(tp AS DOUBLE) / tn), 6) END AS cum_lift
+FROM c CROSS JOIN t ORDER BY bucket
+"""
+
+
+@query("ml_lift_table_orders", _LIFT_ORACLE)
+def ml_lift_table_q(spark, sf_dir):
+    """Decile lift/gains table: score = order price, outcome = finished
+    status.  Equal-frequency bins from broadcast percentile bounds (no
+    global sort), one 10-row aggregate, fixed-order IEEE ratios."""
+    from .operators.quality import lift_table
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    return lift_table(o, "o_totalprice", "y", n_bins=10)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

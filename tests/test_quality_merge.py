@@ -584,3 +584,21 @@ def test_benford_exact_fractions(spark, ctx):
     assert out[1].expected_freq == round(math.log10(2), 6)
     assert ctx.operation_registry.resolve(
         "table.quality.benford") is not None
+
+
+def test_lift_table_perfect_model(spark, ctx):
+    from kiara_spark.operators.quality import lift_table
+
+    # perfect separation: top-half scores are all positive
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bucket: r for r in lift_table(df, "score", "y", n_bins=4)
+           .collect()}
+    assert [out[b].n for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    assert out[1].pos_rate == 1.0 and out[2].pos_rate == 1.0
+    assert out[3].pos_rate == 0.0 and out[4].pos_rate == 0.0
+    # base rate .5 -> top-bucket lift 2.0; full-population cum_lift 1.0
+    assert out[1].lift == 2.0
+    assert out[4].cum_lift == 1.0
+    assert out[2].cum_gain == 1.0  # top half captures every positive
+    assert ctx.operation_registry.resolve("table.ml.lift_table") is not None
