@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "graph_hits_hubs_authorities",
     "graph_random_walks",
     "graph_walk_skipgram_pairs",
+    "graph_bipartite_butterflies",
     "graph_condensation_layers",
     "graph_node_similarity_jaccard",
     "text_term_freq_histogram",

@@ -10370,6 +10370,35 @@ def ml_lift_table_q(spark, sf_dir):
     return lift_table(o, "o_totalprice", "y", n_bins=10)
 
 
+# --- bipartite butterfly counting -------------------------------------------
+
+
+@query(
+    "graph_bipartite_butterflies",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    w AS (
+      SELECT a.src AS l1, b.src AS l2, count(*) AS m
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    p AS (SELECT l1, l2, CAST(m * (m - 1) / 2 AS BIGINT) AS b FROM w),
+    u AS (SELECT l1 AS id, b FROM p UNION ALL SELECT l2, b FROM p)
+    SELECT id, CAST(SUM(b) AS BIGINT) AS n_butterflies
+    FROM u GROUP BY id
+    """,
+)
+def graph_butterflies_q(spark, sf_dir):
+    """Per-customer butterfly counts in the customer-supplier bipartite
+    graph: one right-key wedge self-join (each wedge once via l1 < l2),
+    C(m,2) per co-neighbor pair credited to both endpoints, one id-key
+    aggregate.  Shuffle volume O(wedges); max_right_degree guards hub
+    skew at catalog scale."""
+    from .operators import graph as G
+
+    return G.bipartite_butterflies(_copurchase_edges(spark, sf_dir))
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

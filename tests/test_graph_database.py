@@ -626,3 +626,27 @@ def test_walk_skipgram_pairs_symmetry_and_totals(spark):
 def test_walk_skipgram_registered(ctx):
     assert ctx.operation_registry.resolve(
         "network_graph.walk_skipgram_pairs") is not None
+
+
+def test_bipartite_butterflies_square_and_guard(spark, ctx):
+    from kiara_spark.operators.graph import bipartite_butterflies
+
+    # one perfect butterfly: u1,u2 both linked to i1,i2; u3 is a spectator
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 101)],
+        "src long, dst long")
+    out = {r.id: r.n_butterflies
+           for r in bipartite_butterflies(edges).collect()}
+    assert out == {1: 1, 2: 1}
+    # K(3,2): every pair of the 3 left nodes forms C(2,2)=1 butterfly per
+    # right-pair -> each node in 2 pairs x 1 = 2 butterflies
+    k32 = spark.createDataFrame(
+        [(u, i) for u in (1, 2, 3) for i in (101, 102)], "src long, dst long")
+    out2 = {r.id: r.n_butterflies
+            for r in bipartite_butterflies(k32).collect()}
+    assert out2 == {1: 2, 2: 2, 3: 2}
+    # hub guard: capping right-degree at 2 removes the shared hubs
+    out3 = bipartite_butterflies(k32, max_right_degree=2).collect()
+    assert out3 == []
+    assert ctx.operation_registry.resolve(
+        "network_graph.bipartite_butterflies") is not None
