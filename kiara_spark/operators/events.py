@@ -536,6 +536,50 @@ def autocorrelation(
             .orderBy("lag"))
 
 
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key: overlapping (or touching)
+    intervals are merged into maximal islands and each key reports its
+    island count and total covered duration — the canonical "how long was
+    this user actually active" / machine-uptime / SLA-coverage reduction,
+    where naively summing interval lengths double-counts overlap.
+
+    Plan: ONE shuffle on the key; the island assignment is the classic
+    running-max trick (an interval starts a new island iff its start
+    exceeds the max end of every earlier interval — two window functions
+    over the same (key, start, end) sort), then two hash aggregates.
+    Start/end must be numeric (use epoch micros for timestamps — exact
+    integer durations; see events_interval_coverage).  Touching intervals
+    (start == previous end) merge."""
+    w = Window.partitionBy(key_col).orderBy(F.col(start_col),
+                                            F.col(end_col))
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.select(
+        F.col(key_col), F.col(start_col), F.col(end_col),
+        F.when(prev_max_end.isNull()
+               | (F.col(start_col) > prev_max_end), 1)
+        .otherwise(0).alias("_ni"))
+    islands = flagged.select(
+        key_col, start_col, end_col,
+        F.sum("_ni").over(
+            Window.partitionBy(key_col)
+            .orderBy(F.col(start_col), F.col(end_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_island"))
+    per_island = (islands.groupBy(key_col, "_island")
+                  .agg(F.min(start_col).alias("_st"),
+                       F.max(end_col).alias("_en")))
+    return (per_island.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+                 F.sum(F.col("_en") - F.col("_st")).cast("bigint")
+                 .alias("covered")))
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -657,6 +701,19 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsIntervalCoverage = _simple_module(
+    "events.interval_coverage",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": interval_coverage(
+        im["table"].data,
+        key_col=self.config.get("key_column", "user_id"),
+        start_col=self.config["start_column"],
+        end_col=self.config["end_column"])},
+    doc="union-of-intervals coverage per key (merged islands + total "
+        "covered duration, one key shuffle)",
+)
+
 EventsFunnel = _simple_module(
     "events.funnel",
     {"table": TABLE},
@@ -710,8 +767,11 @@ EventsSeasonalDecompose = _simple_module(
 MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
            EventsCappedBalance, EventsSeasonalDecompose,
-           EventsAutocorrelation, EventsFunnel, EventsCohortRetention]
+           EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
+           EventsIntervalCoverage]
 OPERATIONS = [
+    Operation("events.interval_coverage", "events.interval_coverage",
+              doc="union-of-intervals coverage per key"),
     Operation("events.funnel", "events.funnel",
               doc="ordered conversion funnel (strict progression)"),
     Operation("events.cohort_retention", "events.cohort_retention",

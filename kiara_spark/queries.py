@@ -10399,6 +10399,55 @@ def graph_butterflies_q(spark, sf_dir):
     return G.bipartite_butterflies(_copurchase_edges(spark, sf_dir))
 
 
+# --- union-of-intervals coverage --------------------------------------------
+
+
+@query(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id AS u, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), m AS (
+      SELECT u, s, e,
+             MAX(e) OVER (PARTITION BY u ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    ), f AS (
+      SELECT u, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+      FROM m
+    ), g AS (
+      SELECT u, s, e,
+             SUM(ni) OVER (PARTITION BY u ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM f
+    ), isl AS (
+      SELECT u, island, MIN(s) AS st, MAX(e) AS en FROM g GROUP BY 1, 2
+    )
+    SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered
+    FROM isl GROUP BY u
+    """,
+)
+def events_interval_coverage_q(spark, sf_dir):
+    """True per-user active time: each event opens a 5-minute activity
+    interval; overlaps merge via the running-max island trick (one user
+    shuffle, two windows over the same sort) so coverage never
+    double-counts.  Exact integer micros end-to-end."""
+    from .operators.events import interval_coverage
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"))
+    return interval_coverage(ev, "user_id", "s", "e") \
+        .withColumnRenamed("n_islands", "n_islands")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -309,3 +309,21 @@ def test_cohort_retention_offsets(spark, ctx):
     assert ("2024-01-01", 2) not in cells
     assert ctx.operation_registry.resolve(
         "events.cohort_retention") is not None
+
+
+def test_interval_coverage_merges_overlaps(spark, ctx):
+    from kiara_spark.operators.events import interval_coverage
+
+    rows = [
+        # user 1: [0,10) + [5,15) merge; [20,30) separate; [30,40) touches
+        (1, 0, 10), (1, 5, 15), (1, 20, 30), (1, 30, 40),
+        # user 2: nested interval fully inside another
+        (2, 0, 100), (2, 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "u long, s long, e long")
+    out = {r.u: r for r in interval_coverage(df, "u", "s", "e").collect()}
+    assert out[1].n_islands == 2           # [0,15) and [20,40)
+    assert out[1].covered == 15 + 20
+    assert out[2].n_islands == 1 and out[2].covered == 100
+    assert ctx.operation_registry.resolve(
+        "events.interval_coverage") is not None
