@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_funnel_signup_purchase",
     "events_cohort_retention_weekly",
     "events_interval_coverage",
+    "events_rfm_segments",
     "events_gap_fill_hourly",
     "events_seasonal_decompose",
     "events_autocorrelation",

@@ -580,6 +580,68 @@ def interval_coverage(
                  .alias("covered")))
 
 
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM scoring: each user's three metrics are quantile-scored
+    1..n_bins (n_bins = best) and mapped to a named segment.
+
+    Determinism + scale: ONE user-key aggregate collapses the log to
+    per-user metrics (recency in exact integer micros against the
+    table-max timestamp — a pure function of the data, not wall clock;
+    monetary as a decimal-exact sum); score bounds come from one
+    3-percentile aggregate over the per-user table (broadcast, the
+    :func:`~kiara_spark.operators.quality.quantile_bins` pattern — no
+    global sort windows); scoring is a codegen comparison fold.  Returns
+    (user, recency_us, frequency, monetary, r_score, f_score, m_score,
+    segment)."""
+    ref = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_ref"))
+    per_user = (df.crossJoin(F.broadcast(ref))
+                .groupBy(F.col(user_col))
+                .agg((F.first("_ref")
+                      - F.max(F.unix_micros(F.col(ts_col))))
+                     .cast("bigint").alias("recency_us"),
+                     F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                     F.round(F.sum(F.col(value_col).cast("decimal(38,6)")),
+                             4).cast("double").alias("monetary")))
+    ps = [i / n_bins for i in range(1, n_bins)]
+    arr = ", ".join(map(repr, ps))
+    bounds = per_user.agg(
+        F.expr(f"percentile(recency_us, array({arr}))").alias("_rb"),
+        F.expr(f"percentile(frequency, array({arr}))").alias("_fb"),
+        F.expr(f"percentile(monetary, array({arr}))").alias("_mb"))
+
+    def _bin(col, bnds):
+        return F.aggregate(
+            F.col(bnds), F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0))
+
+    scored = (per_user.crossJoin(F.broadcast(bounds))
+              .select(
+                  user_col, "recency_us", "frequency", "monetary",
+                  # low recency is GOOD: invert the ascending bin index
+                  (F.lit(n_bins) - _bin("recency_us", "_rb"))
+                  .cast("int").alias("r_score"),
+                  (_bin("frequency", "_fb") + 1).cast("int")
+                  .alias("f_score"),
+                  (_bin("monetary", "_mb") + 1).cast("int")
+                  .alias("m_score")))
+    hi = n_bins - 1  # "high" threshold: top two bins
+    seg = (F.when((F.col("r_score") >= hi) & (F.col("f_score") >= hi)
+                  & (F.col("m_score") >= hi), "champion")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") >= hi),
+                 "at_risk")
+           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+                 "hibernating")
+           .otherwise("regular"))
+    return scored.withColumn("segment", seg)
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -701,6 +763,20 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsRfmSegments = _simple_module(
+    "events.rfm_segments",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": rfm_segments(
+        im["table"].data,
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column", "value"),
+        n_bins=self.config.get("n_bins", 5))},
+    doc="RFM quantile scoring + named segments (one user aggregate + "
+        "broadcast percentile bounds)",
+)
+
 EventsIntervalCoverage = _simple_module(
     "events.interval_coverage",
     {"table": TABLE},
@@ -768,8 +844,10 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
            EventsCappedBalance, EventsSeasonalDecompose,
            EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
-           EventsIntervalCoverage]
+           EventsIntervalCoverage, EventsRfmSegments]
 OPERATIONS = [
+    Operation("events.rfm_segments", "events.rfm_segments",
+              doc="RFM quantile scoring + named segments"),
     Operation("events.interval_coverage", "events.interval_coverage",
               doc="union-of-intervals coverage per key"),
     Operation("events.funnel", "events.funnel",

@@ -327,3 +327,29 @@ def test_interval_coverage_merges_overlaps(spark, ctx):
     assert out[2].n_islands == 1 and out[2].covered == 100
     assert ctx.operation_registry.resolve(
         "events.interval_coverage") is not None
+
+
+def test_rfm_segments_scores(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import rfm_segments
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: recent + frequent + big spender -> champion
+    for i in range(20):
+        rows.append((1, t0 + datetime.timedelta(days=29, minutes=i), 100.0))
+    # user 2: long-gone, single tiny purchase -> hibernating
+    rows.append((2, t0, 1.0))
+    # middling users to populate the quantile grid
+    for u in range(3, 8):
+        for i in range(u):
+            rows.append((u, t0 + datetime.timedelta(days=u * 3), 10.0 * u))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.user_id: r for r in rfm_segments(df).collect()}
+    assert out[1].segment == "champion"
+    assert out[1].r_score == 5 and out[1].f_score == 5 and out[1].m_score == 5
+    assert out[2].segment == "hibernating"
+    assert out[2].recency_us == 29 * 86400 * 10**6 + 19 * 60 * 10**6
+    assert out[1].monetary == 2000.0
+    assert ctx.operation_registry.resolve("events.rfm_segments") is not None
