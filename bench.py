@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "text_bpe_merge_candidates",
     "text_cooccurrence_pmi",
     "ml_chi2_feature_select",
+    "text_textrank_keywords",
     "clean_c4_documents",
     "quality_perplexity_buckets",
     "sample_dsir_documents",

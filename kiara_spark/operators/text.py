@@ -332,6 +332,45 @@ def chi2_feature_select(
             .select("label", "rank", "token", "n_with_token", "chi2"))
 
 
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    corpus word co-occurrence graph (tokens within ``window`` positions of
+    each other in a document, undirected, unweighted — the paper's
+    construction) and rank words by fixed-iteration PageRank.
+
+    Composition showcase: the graph construction is one positional
+    self-join on the doc key (blowup = tokens x window per doc, a
+    constant), and the ranking reuses the engine's bit-stable
+    :func:`~kiara_spark.operators.graph.pagerank` (decimal-exact
+    contribution sums — so even this two-operator composition hash-matches
+    a SQL twin).  Returns the global top-``top_k`` (keyword, rank)."""
+    from .graph import pagerank
+
+    pos = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("_p", "_t"))
+    a = pos.select("_d", F.col("_p").alias("_pa"), F.col("_t").alias("src"))
+    b = pos.select("_d", F.col("_p").alias("_pb"), F.col("_t").alias("dst"))
+    pairs = (a.join(b, "_d")
+             .filter((F.col("_pb") - F.col("_pa")).between(1, window)
+                     & (F.col("src") != F.col("dst")))
+             .select("src", "dst").distinct())
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct()
+    ranks = pagerank(und, iterations=iterations, damping=0.85)
+    return (ranks.select(F.col("id").alias("keyword"), "rank")
+            .orderBy(F.col("rank").desc(), "keyword")
+            .limit(top_k))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1191,6 +1230,8 @@ TextCooccurrencePmi = _mk("text.cooccurrence_pmi", cooccurrence_pmi,
                           "top-k token collocations by document-level PMI")
 TextChi2Select = _mk("text.chi2_feature_select", chi2_feature_select,
                      "per-label top-k tokens by 2x2 chi-square")
+TextRankKeywords = _mk("text.textrank_keywords", textrank_keywords,
+                       "TextRank keywords: co-occurrence graph + PageRank")
 
 
 class TextCleanC4(KiaraModule):
@@ -1219,7 +1260,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
-           TextChi2Select]
+           TextChi2Select, TextRankKeywords]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1231,6 +1272,8 @@ OPERATIONS = [
               doc="top-k token collocations by document-level PMI"),
     Operation("text.chi2_feature_select", "text.chi2_feature_select",
               doc="per-label top-k tokens by 2x2 chi-square"),
+    Operation("text.textrank_keywords", "text.textrank_keywords",
+              doc="TextRank keywords (co-occurrence graph + PageRank)"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

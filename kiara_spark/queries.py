@@ -10503,6 +10503,50 @@ def events_rfm_segments_q(spark, sf_dir):
     return rfm_segments(_t(spark, sf_dir, "events"))
 
 
+# --- TextRank keywords ------------------------------------------------------
+
+
+@query(
+    "text_textrank_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i.i AS p, ws[i.i] AS tok
+      FROM toks, UNNEST(range(1, len(ws) + 1)) AS i(i)
+    ), pairs AS (
+      SELECT DISTINCT a.tok AS src, b.tok AS dst
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       AND b.p - a.p BETWEEN 1 AND 2 AND a.tok <> b.tok
+    ),
+    e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src),
+    r0 AS (SELECT id, n, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+    r1 AS ({_pr_iter_sql('r0')}),
+    r2 AS ({_pr_iter_sql('r1')}),
+    r3 AS ({_pr_iter_sql('r2')})
+    SELECT id AS keyword, rank FROM r3
+    ORDER BY rank DESC, keyword LIMIT 20
+    """,
+)
+def text_textrank_q(spark, sf_dir):
+    """TextRank keywords over the corpus: word co-occurrence graph
+    (window 2, one positional self-join on the doc key) ranked by the
+    engine's bit-stable PageRank — a two-operator composition that still
+    hash-matches its full SQL twin (unrolled 3-iteration PageRank over
+    the same graph CTEs)."""
+    from .operators.text import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"),
+                             window=2, iterations=3, top_k=20)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -522,3 +522,16 @@ def test_chi2_feature_select_discriminative_token(spark, ctx):
     assert all(r.token != "shared" for r in out)
     assert ctx.operation_registry.resolve(
         "text.chi2_feature_select") is not None
+
+
+def test_textrank_hub_word_wins(spark, ctx):
+    from kiara_spark.operators.text import textrank_keywords
+
+    # "core" neighbors every other word; satellites only touch "core"
+    rows = [(1, "core alpha"), (2, "core beta"), (3, "core gamma"),
+            (4, "core delta"), (5, "core epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(df, window=2, iterations=3, top_k=3).collect()
+    assert out[0].keyword == "core"
+    assert out[0].rank > out[1].rank
+    assert ctx.operation_registry.resolve("text.textrank_keywords") is not None
