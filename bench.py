@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "privacy_l_diversity_customers",
     "ml_target_encode_orders",
     "ml_lift_table_orders",
+    "ml_auc_roc_orders",
     "graph_pagerank_personalized",
     "events_cusum_changepoint",
     "rolling_features_battery",

@@ -785,6 +785,48 @@ def lift_table(
             .orderBy("bucket"))
 
 
+def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank statistic with midrank tie
+    handling — the textbook definition, not a binned approximation:
+
+        AUC = (Σ_pos avg_rank - P(P+1)/2) / (P · N₋)
+
+    Scale design: the heavy table collapses to ONE row per DISTINCT score
+    (hash aggregate with per-score positive counts) — ties are handled in
+    aggregate, so the only ordered state is the distinct-score table (for
+    a real model's calibrated scores this is thousands of rows, not the
+    row count; a truly continuous 100 TB score column should be
+    pre-rounded/binned — documented trade-off).  Doubling the midranks
+    keeps everything in EXACT integer algebra (npos·(2·cum_prev + n + 1)
+    summed as DECIMAL(38,0)); only the final ratio is floating point,
+    fixed-order IEEE, rounded to 6 dp.  Returns one row: (n, n_pos,
+    n_neg, auc)."""
+    from pyspark.sql.window import Window
+
+    s = (df.groupBy(F.col(score_col).alias("_sc"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+              F.sum(F.col(label_col).cast("int")).cast("bigint")
+              .alias("_npos")))
+    w = (Window.orderBy("_sc")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = s.select(
+        "_n", "_npos",
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("bigint")
+        .alias("_cp"))
+    t = c.agg(
+        F.sum(F.col("_npos").cast("decimal(38,0)")
+              * (2 * F.col("_cp") + F.col("_n") + 1)).alias("_s2"),
+        F.sum("_npos").cast("bigint").alias("_tp"),
+        F.sum("_n").cast("bigint").alias("_tn"))
+    tp, tn = F.col("_tp"), F.col("_tn")
+    num = (F.col("_s2") - tp.cast("decimal(38,0)") * (tp + 1)).cast("double")
+    return t.select(
+        tn.alias("n"), tp.alias("n_pos"), (tn - tp).alias("n_neg"),
+        F.when((tp > 0) & (tn - tp > 0),
+               F.round(num / (F.lit(2.0) * tp * (tn - tp)), 6))
+        .alias("auc"))
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -1268,6 +1310,17 @@ def target_encode(
     return df.join(F.broadcast(mapping), cat_col, "left")
 
 
+TableAucRoc = _simple_module(
+    "table.ml.auc_roc",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": auc_roc(
+        im["table"].data, self.config["score_column"],
+        self.config["outcome_column"])},
+    doc="Exact ROC AUC (Mann-Whitney midrank statistic; distinct-score "
+        "aggregation, exact integer algebra).",
+)
+
 TableLiftTable = _simple_module(
     "table.ml.lift_table",
     {"table": TABLE},
@@ -1340,6 +1393,7 @@ TableScaleFeatures = _simple_module(
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
+           TableAucRoc,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1351,6 +1405,8 @@ OPERATIONS = [
               doc="min-max / z-score feature scaling"),
     Operation("table.ml.lift_table", "table.ml.lift_table",
               doc="lift/gains model-evaluation table"),
+    Operation("table.ml.auc_roc", "table.ml.auc_roc",
+              doc="exact ROC AUC via midrank statistic"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

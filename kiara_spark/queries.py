@@ -10547,6 +10547,48 @@ def text_textrank_q(spark, sf_dir):
                              window=2, iterations=3, top_k=20)
 
 
+# --- exact ROC AUC ----------------------------------------------------------
+
+
+@query(
+    "ml_auc_roc_orders",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS sc, count(*) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npos
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT n, npos,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY sc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cp
+      FROM s
+    ), t AS (
+      SELECT SUM(CAST(npos AS DECIMAL(38,0)) * (2 * cp + n + 1)) AS s2,
+             CAST(SUM(npos) AS BIGINT) AS tp,
+             CAST(SUM(n) AS BIGINT) AS tn
+      FROM c
+    )
+    SELECT tn AS n, tp AS n_pos, tn - tp AS n_neg,
+           CASE WHEN tp > 0 AND tn - tp > 0 THEN
+             ROUND(CAST(s2 - CAST(tp AS DECIMAL(38,0)) * (tp + 1) AS DOUBLE)
+                   / (2.0 * tp * (tn - tp)), 6)
+           END AS auc
+    FROM t
+    """,
+)
+def ml_auc_roc_q(spark, sf_dir):
+    """Exact ROC AUC of price-predicts-finished-status: Mann-Whitney
+    midrank statistic over the distinct-score aggregate, exact integer
+    algebra until the final fixed-order double ratio."""
+    from .operators.quality import auc_roc
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    return auc_roc(o, "o_totalprice", "y")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -602,3 +602,28 @@ def test_lift_table_perfect_model(spark, ctx):
     assert out[4].cum_lift == 1.0
     assert out[2].cum_gain == 1.0  # top half captures every positive
     assert ctx.operation_registry.resolve("table.ml.lift_table") is not None
+
+
+def test_auc_roc_known_values(spark, ctx):
+    from kiara_spark.operators.quality import auc_roc
+
+    # perfect separation -> AUC 1.0
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "score double, y int")
+    assert auc_roc(perfect, "score", "y").collect()[0].auc == 1.0
+    # all scores tied -> midranks make AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(10)], "score double, y int")
+    assert auc_roc(tied, "score", "y").collect()[0].auc == 0.5
+    # hand-checked small case: scores 1,2,3,4; labels 0,1,0,1
+    # pos ranks 2+4=6; auc=(6-3)/(2*2)=0.75
+    small = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)], "score double, y int")
+    r = auc_roc(small, "score", "y").collect()[0]
+    assert r.auc == 0.75 and r.n == 4 and r.n_pos == 2 and r.n_neg == 2
+    # degenerate single-class input -> NULL auc, not a crash
+    one_class = spark.createDataFrame([(1.0, 1), (2.0, 1)],
+                                      "score double, y int")
+    assert auc_roc(one_class, "score", "y").collect()[0].auc is None
+    assert ctx.operation_registry.resolve("table.ml.auc_roc") is not None
