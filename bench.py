@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "row_ids_orders",
     "kth_smallest_totalprice",
     "basket_association_parts",
+    "basket_association_triples",
     "forecast_linear_next_day",
     "events_gap_interpolate_hourly",
     "anonymize_customers",

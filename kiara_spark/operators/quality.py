@@ -420,6 +420,73 @@ def association_pairs(
         F.round(lift, 6).alias("lift"))
 
 
+def association_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent-triple mining — Apriori level 3 (Agrawal & Srikant 1994):
+    itemsets {a,b,c} with support >= ``min_support``, plus the
+    confidence of the ab -> c rule and the three-way lift.
+
+    The Apriori anti-monotone prune is applied IN THE PLAN: baskets first
+    join their own (a < b) pairs against the frequent-pair set, and the
+    third item (c > b) must itself form frequent pairs with BOTH a and b
+    before the triple is ever counted — so the enumeration blowup is
+    bounded by frequent-pairs-per-basket x basket size, not basket
+    size³.  (The prune provably drops nothing: support is anti-monotone,
+    every frequent triple's sub-pairs are frequent.)  All joins are keyed
+    on the basket or on the (small) frequent-pair set; one final triple
+    aggregate.  Doubles round to 6 dp."""
+    bi = df.select(F.col(basket_col).alias("_b"),
+                   F.col(item_col).alias("_i")).distinct()
+    n_baskets = bi.select("_b").distinct().count()
+    item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_n"))
+    a = bi.select("_b", F.col("_i").alias("item_a"))
+    b = bi.select("_b", F.col("_i").alias("item_b"))
+    c = bi.select("_b", F.col("_i").alias("item_c"))
+    pairs = (a.join(b, "_b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
+             .filter(F.col("pair_support") >= min_support))
+    fp = pairs.select("item_a", "item_b")
+    basket_pairs = (a.join(b, "_b")
+                    .filter(F.col("item_a") < F.col("item_b"))
+                    .join(fp, ["item_a", "item_b"]))
+    fp_ac = fp.select(F.col("item_a"), F.col("item_b").alias("item_c"))
+    fp_bc = fp.select(F.col("item_a").alias("item_b"),
+                      F.col("item_b").alias("item_c"))
+    triples = (basket_pairs.join(c, "_b")
+               .filter(F.col("item_c") > F.col("item_b"))
+               .join(fp_ac, ["item_a", "item_c"])
+               .join(fp_bc, ["item_b", "item_c"])
+               .groupBy("item_a", "item_b", "item_c")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+               .filter(F.col("support") >= min_support))
+    out = (triples
+           .join(pairs, ["item_a", "item_b"])
+           .join(F.broadcast(item_counts.select(
+               F.col("item").alias("item_a"),
+               F.col("item_n").alias("_na"))), "item_a")
+           .join(F.broadcast(item_counts.select(
+               F.col("item").alias("item_b"),
+               F.col("item_n").alias("_nb"))), "item_b")
+           .join(F.broadcast(item_counts.select(
+               F.col("item").alias("item_c"),
+               F.col("item_n").alias("_nc"))), "item_c"))
+    nb = F.lit(float(n_baskets))
+    return out.select(
+        "item_a", "item_b", "item_c", "support",
+        F.round(F.col("support") / F.col("pair_support"), 6)
+        .alias("confidence_ab_to_c"),
+        F.round(F.col("support") * nb * nb
+                / (F.col("_na").cast("double") * F.col("_nb")
+                   * F.col("_nc")), 6).alias("lift"))
+
+
 def winsorize(df: DataFrame, cols: list[str], lower: float = 0.01,
               upper: float = 0.99) -> DataFrame:
     """Percentile clipping (winsorization) — the standard outlier cap before
@@ -1095,6 +1162,18 @@ TableAssociationPairs = _simple_module(
         "keyed self-join (config: basket_column, item_column, min_support).",
 )
 
+TableAssociationTriples = _simple_module(
+    "table.association.triples",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": association_triples(
+        im["table"].data, self.config["basket_column"],
+        self.config["item_column"],
+        min_support=self.config.get("min_support", 2))},
+    doc="Apriori level-3 frequent triples with in-plan anti-monotone "
+        "pruning (config: basket_column, item_column, min_support).",
+)
+
 TableKthSmallest = _simple_module(
     "table.kth_smallest",
     {"table": TABLE},
@@ -1399,6 +1478,7 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
            TableIncrementalAgg, TableDriftPsi, TableChecksumRanges,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
+           TableAssociationTriples,
            TableProfile]
 OPERATIONS = [
     Operation("table.ml.scale_features", "table.ml.scale_features",
@@ -1449,6 +1529,8 @@ OPERATIONS = [
               doc="per-group OLS slope/intercept/r2 in one pass"),
     Operation("table.kth_smallest", "table.kth_smallest",
               doc="exact order statistic by distributed selection"),
+    Operation("table.association.triples", "table.association.triples",
+              doc="Apriori level-3 frequent triples"),
     Operation("table.association.pairs", "table.association.pairs",
               doc="market-basket support/confidence/lift pairs"),
     Operation("table.profile", "table.profile",

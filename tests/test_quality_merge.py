@@ -627,3 +627,26 @@ def test_auc_roc_known_values(spark, ctx):
                                       "score double, y int")
     assert auc_roc(one_class, "score", "y").collect()[0].auc is None
     assert ctx.operation_registry.resolve("table.ml.auc_roc") is not None
+
+
+def test_association_triples_counts_and_prune(spark, ctx):
+    from kiara_spark.operators.quality import association_triples
+
+    # baskets: {1,2,3} x3, {1,2} x1, {4,5,6} x1 (infrequent triple)
+    rows = []
+    for b in range(3):
+        rows += [(b, 1), (b, 2), (b, 3)]
+    rows += [(10, 1), (10, 2)]
+    rows += [(20, 4), (20, 5), (20, 6)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = association_triples(df, "basket", "item", min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.item_c) == (1, 2, 3)
+    assert r.support == 3
+    # pair {1,2} appears 4x -> confidence 3/4
+    assert r.confidence_ab_to_c == 0.75
+    # lift = s * N^2 / (na*nb*nc) = 3*25/(4*4*3)
+    assert abs(r.lift - round(3 * 25 / 48, 6)) < 1e-9
+    assert ctx.operation_registry.resolve(
+        "table.association.triples") is not None
