@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "interval_overlap_orders",
     "winsorize_order_prices",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "dedup_keep_longest_per_cluster",
     "sample_per_group_documents",
     "agg_percentile_approx",

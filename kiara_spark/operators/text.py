@@ -371,6 +371,54 @@ def textrank_keywords(
             .limit(top_k))
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained bigram language-model scoring with add-1 smoothing —
+    the next step up from the unigram perplexity stand-in (the CCNet-style
+    quality signal with real context):
+
+        score(doc) = mean over bigrams of  -ln( (c(w1,w2)+1) / (c(w1)+V) )
+
+    where c(w1) counts bigram starts and V is the unigram vocabulary.
+
+    Scale design: bigrams come from an index transform over the token
+    array (map-only — no positional self-join), ONE (w1,w2) aggregate
+    trains the model, the start counts derive from it by a second tiny
+    aggregate, and scoring joins each doc bigram against the model on the
+    bigram key.  Per-term logs are rounded to 9 dp and summed as
+    DECIMAL(38,12) (the BM25 pattern) so the per-doc mean is
+    partition-order-invariant and engine-exact at 6 dp.  Docs with fewer
+    than 2 tokens have no bigrams and are absent."""
+    ws = tokens_col(F.col(text_col))
+    big = df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(ws) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2"))))
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("_b")
+    ).select(id_col, "_b.w1", "_b.w2")
+    c2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = (df.select(F.explode(ws).alias("_t")).agg(
+        F.count_distinct(F.col("_t")).cast("bigint").alias("v")))
+    term = F.round(-F.log((F.col("c2") + 1)
+                          / (F.col("c1") + F.col("v")).cast("double")), 9) \
+        .cast("decimal(38,12)")
+    return (big.join(c2, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.sum(term).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1232,6 +1280,8 @@ TextChi2Select = _mk("text.chi2_feature_select", chi2_feature_select,
                      "per-label top-k tokens by 2x2 chi-square")
 TextRankKeywords = _mk("text.textrank_keywords", textrank_keywords,
                        "TextRank keywords: co-occurrence graph + PageRank")
+TextBigramLogprob = _mk("text.bigram_logprob", bigram_logprob,
+                        "self-trained add-1 bigram LM per-doc score")
 
 
 class TextCleanC4(KiaraModule):
@@ -1260,7 +1310,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
-           TextChi2Select, TextRankKeywords]
+           TextChi2Select, TextRankKeywords, TextBigramLogprob]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1274,6 +1324,8 @@ OPERATIONS = [
               doc="per-label top-k tokens by 2x2 chi-square"),
     Operation("text.textrank_keywords", "text.textrank_keywords",
               doc="TextRank keywords (co-occurrence graph + PageRank)"),
+    Operation("text.bigram_logprob", "text.bigram_logprob",
+              doc="self-trained add-1 bigram LM per-doc score"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

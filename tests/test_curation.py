@@ -535,3 +535,19 @@ def test_textrank_hub_word_wins(spark, ctx):
     assert out[0].keyword == "core"
     assert out[0].rank > out[1].rank
     assert ctx.operation_registry.resolve("text.textrank_keywords") is not None
+
+
+def test_bigram_logprob_rare_sequence_scores_higher(spark, ctx):
+    from kiara_spark.operators.text import bigram_logprob
+
+    # doc 99 uses a bigram seen nowhere else; docs 1-10 repeat "a b"
+    rows = [(i, "a b") for i in range(10)] + [(99, "zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[1].n_bigrams == 1
+    assert out[99].avg_neg_logprob > out[1].avg_neg_logprob
+    # single-token / empty docs produce no bigrams
+    short = spark.createDataFrame([(1, "solo"), (2, "")],
+                                  "doc_id long, text string")
+    assert bigram_logprob(short).collect() == []
+    assert ctx.operation_registry.resolve("text.bigram_logprob") is not None
