@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_cohort_retention_weekly",
     "events_interval_coverage",
     "events_rfm_segments",
+    "events_survival_kaplan_meier",
     "events_gap_fill_hourly",
     "events_seasonal_decompose",
     "events_autocorrelation",

@@ -580,6 +580,64 @@ def interval_coverage(
                  .alias("covered")))
 
 
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) — the standard
+    time-to-event estimator under right censoring (churn/conversion
+    latency with users who never converted):
+
+        S(t) = Π_{tᵢ <= t} (1 - dᵢ / nᵢ)
+
+    over distinct observed-event times tᵢ with dᵢ deaths and nᵢ at risk.
+
+    Scale design: the subject table collapses to ONE row per distinct
+    duration (hash aggregate: deaths + censorings per time), at-risk
+    counts come from a cumulative sum over that (small) time grid, and
+    the running product is computed as exp(Σ ln(factor)) with each ln
+    rounded to 9 dp and summed as DECIMAL(38,12) — partition-invariant
+    and engine-exact at the final 6 dp round.  A zero factor (everyone
+    at risk dies) forces survival to exactly 0 from that time on
+    (tracked by a cumulative zero counter — never fed to ln).  The only
+    ordered state is the distinct-duration grid.  Returns
+    (t, n_risk, n_events, n_censored, survival) for event times only."""
+    per_t = (df.groupBy(F.col(duration_col).alias("t"))
+             .agg(F.sum(F.col(event_col).cast("int")).cast("bigint")
+                  .alias("n_events"),
+                  F.sum(1 - F.col(event_col).cast("int")).cast("bigint")
+                  .alias("n_censored")))
+    total = per_t.agg((F.sum("n_events") + F.sum("n_censored"))
+                      .cast("bigint").alias("_tot"))
+    w_prev = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (per_t.crossJoin(F.broadcast(total))
+         .select("t", "n_events", "n_censored",
+                 (F.col("_tot")
+                  - F.coalesce(F.sum(F.col("n_events")
+                                     + F.col("n_censored")).over(w_prev),
+                               F.lit(0))).cast("bigint").alias("n_risk")))
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_risk").cast("double")
+    ln_term = F.when(F.col("n_events") < F.col("n_risk"),
+                     F.round(F.log(factor), 9).cast("decimal(38,12)")) \
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+    zero = F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    curve = g.select(
+        "t", "n_risk", "n_events", "n_censored",
+        F.sum(ln_term).over(w_cum).alias("_lnsum"),
+        F.sum(zero).over(w_cum).alias("_nzero"))
+    return (curve.filter(F.col("n_events") > 0)
+            .select("t", "n_risk", "n_events", "n_censored",
+                    F.when(F.col("_nzero") > 0, F.lit(0.0))
+                    .otherwise(F.round(F.exp(
+                        F.col("_lnsum").cast("double")), 6))
+                    .alias("survival"))
+            .orderBy("t"))
+
+
 def rfm_segments(
     df: DataFrame,
     user_col: str = "user_id",
@@ -763,6 +821,18 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsKaplanMeier = _simple_module(
+    "events.survival.kaplan_meier",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": kaplan_meier(
+        im["table"].data,
+        duration_col=self.config["duration_column"],
+        event_col=self.config["event_column"])},
+    doc="Kaplan-Meier survival curve under right censoring (distinct-"
+        "duration aggregate + decimal-exact log-sum product)",
+)
+
 EventsRfmSegments = _simple_module(
     "events.rfm_segments",
     {"table": TABLE},
@@ -844,8 +914,10 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
            EventsCappedBalance, EventsSeasonalDecompose,
            EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
-           EventsIntervalCoverage, EventsRfmSegments]
+           EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier]
 OPERATIONS = [
+    Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
+              doc="Kaplan-Meier survival curve under right censoring"),
     Operation("events.rfm_segments", "events.rfm_segments",
               doc="RFM quantile scoring + named segments"),
     Operation("events.interval_coverage", "events.interval_coverage",

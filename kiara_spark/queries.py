@@ -10682,6 +10682,81 @@ def text_bigram_logprob_q(spark, sf_dir):
     return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# --- Kaplan-Meier survival --------------------------------------------------
+
+_KM_ORACLE = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p FROM events e
+  JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.s GROUP BY 1
+), subj AS (
+  SELECT su.user_id,
+         CASE WHEN pu.p IS NOT NULL THEN pu.p - su.s ELSE m - su.s END AS dur,
+         CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+), per_t AS (
+  SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_events) + SUM(n_censored) AS BIGINT) AS tt FROM per_t
+), g AS (
+  SELECT t, n_events, n_censored,
+         CAST(tt - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_t CROSS JOIN tot
+), c AS (
+  SELECT t, n_risk, n_events, n_censored,
+         SUM(CASE WHEN n_events < n_risk
+             THEN CAST(ROUND(ln(1.0 - n_events / CAST(n_risk AS DOUBLE)), 9)
+                       AS DECIMAL(38,12))
+             ELSE CAST(0 AS DECIMAL(38,12)) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS lnsum,
+         SUM(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS nzero
+  FROM g
+)
+SELECT t, n_risk, n_events, n_censored,
+       CASE WHEN nzero > 0 THEN 0.0
+            ELSE ROUND(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM c WHERE n_events > 0 ORDER BY t
+"""
+
+
+@query("events_survival_kaplan_meier", _KM_ORACLE)
+def events_km_q(spark, sf_dir):
+    """Signup-to-purchase survival curve with right censoring: users who
+    never purchased are censored at the corpus horizon.  Distinct-duration
+    aggregate + decimal-exact log-sum running product (`events.survival.
+    kaplan_meier`); zero factors force exact 0 survival."""
+    from .operators.events import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("_m"))
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_s")))
+    pu = (ev.join(su, "user_id")
+          .filter((F.col("event_type") == "purchase")
+                  & (F.unix_micros("ts") > F.col("_s")))
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_p")))
+    subj = (su.join(pu, "user_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                F.when(F.col("_p").isNotNull(), F.col("_p") - F.col("_s"))
+                .otherwise(F.col("_m") - F.col("_s")).alias("dur"),
+                F.when(F.col("_p").isNotNull(), 1).otherwise(0).alias("ev")))
+    return kaplan_meier(subj, "dur", "ev")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -353,3 +353,21 @@ def test_rfm_segments_scores(spark, ctx):
     assert out[2].recency_us == 29 * 86400 * 10**6 + 19 * 60 * 10**6
     assert out[1].monetary == 2000.0
     assert ctx.operation_registry.resolve("events.rfm_segments") is not None
+
+
+def test_kaplan_meier_textbook_case(spark, ctx):
+    from kiara_spark.operators.events import kaplan_meier
+
+    # classic toy: deaths at t=1 (n=5), t=3 (n=3); censored at t=2, t=4;
+    # last subject dies at t=5 -> survival hits exactly 0
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(out) == {1, 3, 5}  # censor-only times not in the curve
+    assert out[1].n_risk == 5 and out[1].n_events == 1
+    assert abs(out[1].survival - 0.8) < 1e-6
+    assert out[3].n_risk == 3
+    assert abs(out[3].survival - 0.8 * (2 / 3)) < 1e-5
+    assert out[5].n_risk == 1 and out[5].survival == 0.0
+    assert ctx.operation_registry.resolve(
+        "events.survival.kaplan_meier") is not None
