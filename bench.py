@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "scalar_calendar_battery",
     "row_ids_orders",
     "kth_smallest_totalprice",
+    "weighted_percentile_lineitem",
     "basket_association_parts",
     "basket_association_triples",
     "forecast_linear_next_day",

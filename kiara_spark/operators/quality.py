@@ -852,6 +852,46 @@ def lift_table(
             .orderBy("bucket"))
 
 
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """Exact weighted percentiles (lower-edge / step-function definition):
+    for each requested p, the smallest value whose cumulative weight
+    reaches p · W — the estimator every weighted-quantile monitoring job
+    wants (e.g. price percentiles weighted by quantity, latency
+    percentiles weighted by request count).
+
+    Scale design: the table collapses to ONE row per distinct value (hash
+    aggregate summing weights — exact decimal accumulation), cumulative
+    weights come from a window over that distinct-value grid, and each
+    percentile is answered by a min-aggregate over the qualifying rows —
+    no global row sort of the raw table, no per-row rank.  Thresholds
+    p · W are computed in exact decimal so boundary rows can't flip on
+    engine arithmetic.  Returns (p, value)."""
+    from pyspark.sql.window import Window
+
+    per_v = (df.groupBy(F.col(value_col).alias("_v"))
+             .agg(F.sum(F.col(weight_col).cast("decimal(38,6)"))
+                  .alias("_w")))
+    w_cum = (Window.orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select(
+        "_v", F.sum("_w").over(w_cum).cast("decimal(38,6)").alias("_cw"))
+    tot = per_v.agg(F.sum("_w").cast("decimal(38,6)").alias("_tw"))
+    grid = df.sparkSession.createDataFrame(
+        [(float(p),) for p in percentiles], "p double")
+    joined = (cum.crossJoin(F.broadcast(tot))
+              .join(F.broadcast(grid),
+                    F.col("_cw")
+                    >= F.col("p").cast("decimal(38,6)") * F.col("_tw")))
+    return (joined.groupBy("p")
+            .agg(F.min("_v").alias("value"))
+            .orderBy("p"))
+
+
 def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC AUC via the Mann-Whitney rank statistic with midrank tie
     handling — the textbook definition, not a binned approximation:
@@ -1389,6 +1429,18 @@ def target_encode(
     return df.join(F.broadcast(mapping), cat_col, "left")
 
 
+TableWeightedPercentile = _simple_module(
+    "table.weighted_percentile",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": weighted_percentile(
+        im["table"].data, self.config["value_column"],
+        self.config["weight_column"],
+        percentiles=self.config.get("percentiles", [0.5, 0.9, 0.99]))},
+    doc="Exact weighted percentiles over the distinct-value grid "
+        "(decimal-exact cumulative weights, no raw-row sort).",
+)
+
 TableAucRoc = _simple_module(
     "table.ml.auc_roc",
     {"table": TABLE},
@@ -1472,7 +1524,7 @@ TableScaleFeatures = _simple_module(
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
-           TableAucRoc,
+           TableAucRoc, TableWeightedPercentile,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1487,6 +1539,8 @@ OPERATIONS = [
               doc="lift/gains model-evaluation table"),
     Operation("table.ml.auc_roc", "table.ml.auc_roc",
               doc="exact ROC AUC via midrank statistic"),
+    Operation("table.weighted_percentile", "table.weighted_percentile",
+              doc="exact weighted percentiles (distinct-value grid)"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

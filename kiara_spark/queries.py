@@ -10757,6 +10757,41 @@ def events_km_q(spark, sf_dir):
     return kaplan_meier(subj, "dur", "ev")
 
 
+# --- exact weighted percentiles ---------------------------------------------
+
+
+@query(
+    "weighted_percentile_lineitem",
+    """
+    WITH pv AS (
+      SELECT l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, CAST(SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,6)) AS cw
+      FROM pv
+    ), tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM pv),
+    grid AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+    SELECT p, MIN(v) AS value
+    FROM cum CROSS JOIN tot JOIN grid
+      ON cw >= CAST(p AS DECIMAL(38,6)) * tw
+    GROUP BY p ORDER BY p
+    """,
+)
+def weighted_percentile_q(spark, sf_dir):
+    """Quantity-weighted price percentiles (p50/p90/p99): distinct-value
+    aggregate + decimal-exact cumulative weights; the threshold compare
+    stays in full-precision decimal so boundary rows can't flip between
+    engines.  No raw-row sort anywhere."""
+    from .operators.quality import weighted_percentile
+
+    return weighted_percentile(_t(spark, sf_dir, "lineitem"),
+                               "l_extendedprice", "l_quantity",
+                               [0.5, 0.9, 0.99])
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -650,3 +650,25 @@ def test_association_triples_counts_and_prune(spark, ctx):
     assert abs(r.lift - round(3 * 25 / 48, 6)) < 1e-9
     assert ctx.operation_registry.resolve(
         "table.association.triples") is not None
+
+
+def test_weighted_percentile_exact(spark, ctx):
+    from kiara_spark.operators.quality import weighted_percentile
+
+    # values 1..4 with weights 1,1,1,7 -> total 10:
+    # p50 -> first value with cum >= 5 is 4; p30 -> cum >= 3 is 3
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)],
+        "v double, w double")
+    out = {r.p: r.value for r in
+           weighted_percentile(df, "v", "w", [0.3, 0.5, 1.0]).collect()}
+    assert out[0.3] == 3.0
+    assert out[0.5] == 4.0
+    assert out[1.0] == 4.0
+    # boundary: cum weight EXACTLY equals p*W -> that value qualifies
+    df2 = spark.createDataFrame([(1.0, 1.0), (2.0, 1.0)], "v double, w double")
+    out2 = {r.p: r.value for r in
+            weighted_percentile(df2, "v", "w", [0.5]).collect()}
+    assert out2[0.5] == 1.0
+    assert ctx.operation_registry.resolve(
+        "table.weighted_percentile") is not None
