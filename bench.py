@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "ml_scale_features_orders",
     "scalar_variant_battery",
     "events_transition_matrix",
+    "events_markov_stationary",
     "entity_resolution_parts",
     "text_normalize_battery",
     "join_null_safe_counts",

@@ -580,6 +580,56 @@ def interval_coverage(
                  .alias("covered")))
 
 
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: estimate
+    the per-user transition matrix from consecutive event pairs, then
+    power-iterate π' = πP from uniform for a fixed number of rounds —
+    the long-run "where do users spend their sessions" readout that
+    completes the transition-matrix story.
+
+    Cross-engine bit-stability (the PageRank recipe): transition
+    probabilities are double divisions of exact counts; each π·p
+    contribution is cast to DECIMAL(38,18) before summation (exact,
+    order-invariant), cast back to double once per round.  States with
+    no outgoing transitions drop their mass (the simple variant, same
+    choice as the engine's PageRank — documented).  Plan: one user-key
+    window for pairs, one 25-cell matrix aggregate, then ``iterations``
+    tiny join+agg rounds.  Returns (state, prob)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(tiebreak_col))
+    pairs = (df.withColumn("_prev", F.lag(type_col).over(w))
+             .filter(F.col("_prev").isNotNull())
+             .groupBy(F.col("_prev"), F.col(type_col).alias("_next"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    totals = pairs.groupBy("_prev").agg(F.sum("_n").cast("bigint")
+                                        .alias("_ni"))
+    p = (pairs.join(totals, "_prev")
+         .select("_prev", "_next",
+                 (F.col("_n") / F.col("_ni").cast("double")).alias("_p")))
+    states = df.select(F.col(type_col).alias("state")).distinct()
+    ns = states.count()
+    pi = states.select("state", (F.lit(1.0) / F.lit(float(ns)))
+                       .alias("prob"))
+    for _ in range(iterations):
+        contribs = (p.join(pi.select(F.col("state").alias("_prev"), "prob"),
+                           "_prev")
+                    .select(F.col("_next").alias("state"),
+                            (F.col("prob") * F.col("_p"))
+                            .cast("decimal(38,18)").alias("_c")))
+        sums = contribs.groupBy("state").agg(F.sum("_c").alias("_s"))
+        pi = states.join(sums, "state", "left").select(
+            "state",
+            F.coalesce(F.col("_s").cast("double"), F.lit(0.0)).alias("prob"))
+    return pi.select("state", F.round(F.col("prob"), 9).alias("prob"))
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
@@ -821,6 +871,20 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsMarkovStationary = _simple_module(
+    "events.markov_stationary",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": markov_stationary(
+        im["table"].data,
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"),
+        iterations=self.config.get("iterations", 3))},
+    doc="stationary distribution of the behavioral Markov chain "
+        "(decimal-exact power iteration)",
+)
+
 EventsKaplanMeier = _simple_module(
     "events.survival.kaplan_meier",
     {"table": TABLE},
@@ -914,10 +978,13 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsAttribution, TableGapsIslands, EventsEwma, EventsPathNgrams,
            EventsCappedBalance, EventsSeasonalDecompose,
            EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
-           EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier]
+           EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
+           EventsMarkovStationary]
 OPERATIONS = [
     Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
               doc="Kaplan-Meier survival curve under right censoring"),
+    Operation("events.markov_stationary", "events.markov_stationary",
+              doc="stationary distribution of the behavioral Markov chain"),
     Operation("events.rfm_segments", "events.rfm_segments",
               doc="RFM quantile scoring + named segments"),
     Operation("events.interval_coverage", "events.interval_coverage",

@@ -371,3 +371,29 @@ def test_kaplan_meier_textbook_case(spark, ctx):
     assert out[5].n_risk == 1 and out[5].survival == 0.0
     assert ctx.operation_registry.resolve(
         "events.survival.kaplan_meier") is not None
+
+
+def test_markov_stationary_absorbing_pull(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import markov_stationary
+
+    # chain a -> b -> b -> b ... : b absorbs mass round after round
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        seq = ["a", "b", "b", "b", "b"]
+        for i, ty in enumerate(seq):
+            rows.append((eid, u, t0 + datetime.timedelta(minutes=i), ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.state: r.prob for r in
+           markov_stationary(df, iterations=3).collect()}
+    # P(a->b)=1, P(b->b)=1: after >=1 round all of a's mass sits on b
+    assert out["b"] == 1.0 and out["a"] == 0.0
+    # probabilities stay a distribution when the chain has no dangling state
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert ctx.operation_registry.resolve(
+        "events.markov_stationary") is not None
