@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "drift_psi_orders",
     "checksum_ranges_orders",
     "kmeans_embeddings",
+    "embedding_pca_top_component",
     "cms_user_event_frequency",
     "graph_label_propagation",
     "window_share_battery",

@@ -789,6 +789,75 @@ def embedding_centroids(
     )
 
 
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding column by power iteration
+    over the EXACT sample covariance matrix — PCA round 1, the whitening/
+    compression primitive every embedding pipeline eventually needs.
+
+    Scale design: the covariance is accumulated in long form — posexplode
+    to (id, dim, centered value), one self-join on the row id (d² terms
+    per row, collapsed by map-side partial aggregation so only d² cells
+    per partition ever shuffle), per-cell products rounded to 9 dp and
+    summed as DECIMAL(38,12) (partition-order-invariant); the d² cell
+    table is tiny and every matvec round is one join + one decimal-exact
+    aggregate (the PageRank recipe), so the whole computation is
+    ``iterations`` + 2 shuffles and nothing touches the driver.  Floats
+    enter decimals through their shortest string repr (see
+    embedding_centroids).  Returns (pos, loading) with the final vector
+    L2-normalized (no sign convention applied — the iteration is fully
+    deterministic)."""
+    x = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_vf"))
+    x = x.select(
+        "_id", F.col("pos").cast("bigint").alias("pos"),
+        F.col("_vf").cast("double").alias("_v"),
+        F.col("_vf").cast("string").cast("decimal(38,10)").alias("_vd"))
+    # NOTE: the sum/count division is left UNROUNDED — both engines divide
+    # identical operands (exact decimal sum cast to double, same count), so
+    # the quotient is bit-identical; a ROUND(x, 9) here would *create*
+    # divergence at half-ulp ties (Spark rounds via exact BigDecimal
+    # expansion, DuckDB via multiply-round-divide).
+    mu = (x.groupBy("pos")
+          .agg((F.sum("_vd").cast("double")
+                / F.count(F.lit(1))).alias("_mu")))
+    cgrid = x.join(mu, "pos").select(
+        "_id", "pos", (F.col("_v") - F.col("_mu")).alias("_c"))
+    nv = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    a = cgrid.select("_id", F.col("pos").alias("i"), F.col("_c").alias("_ci"))
+    b = cgrid.select("_id", F.col("pos").alias("j"), F.col("_c").alias("_cj"))
+    cov = (a.join(b, "_id")
+           .groupBy("i", "j")
+           .agg(F.sum(F.round(F.col("_ci") * F.col("_cj"), 9)
+                      .cast("decimal(38,12)")).alias("_s"))
+           .crossJoin(F.broadcast(nv))
+           .select("i", "j",
+                   (F.col("_s").cast("double")
+                    / (F.col("_n") - 1)).alias("_cv")))
+    v = x.select("pos").distinct().select(
+        "pos", F.lit(1.0).alias("val"))
+    for _ in range(iterations):
+        v = (cov.join(v.withColumnRenamed("pos", "j"), "j")
+             .groupBy(F.col("i").alias("pos"))
+             .agg(F.sum((F.col("_cv") * F.col("val"))
+                        .cast("decimal(38,18)")).cast("double")
+                  .alias("val")))
+    nrm = v.agg(F.sqrt(F.sum(F.round(F.col("val") * F.col("val"), 12)
+                             .cast("decimal(38,18)")).cast("double"))
+                .alias("_nrm"))
+    return (v.crossJoin(F.broadcast(nrm))
+            .select("pos",
+                    F.when(F.col("_nrm") > 0,
+                           F.round(F.col("val") / F.col("_nrm"), 6))
+                    .alias("loading"))
+            .orderBy("pos"))
+
+
 class EmbeddingCentroids(KiaraModule):
     _module_type_name = "embedding.centroids"
 
@@ -1091,9 +1160,27 @@ class EmbeddingPQTopK(KiaraModule):
             k=self.config.get("k", 5), vec_col=vec_col, id_col=id_col)}
 
 
+class EmbeddingPcaTop(KiaraModule):
+    _module_type_name = "embedding.pca_top_component"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"component": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"component": pca_top_component(
+            inputs["table"].data,
+            vec_col=self.config.get("vector_column", "embedding"),
+            id_col=self.config.get("id_column", "vec_id"),
+            iterations=self.config.get("iterations", 3))}
+
+
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
-           EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup]
+           EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
+           EmbeddingPcaTop]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1105,4 +1192,5 @@ OPERATIONS = [
     Operation("embedding.centroids", "embedding.centroids"),
     Operation("embedding.kmeans", "embedding.kmeans"),
     Operation("table.dedup.semantic", "table.dedup.semantic"),
+    Operation("embedding.pca_top_component", "embedding.pca_top_component"),
 ]

@@ -621,3 +621,32 @@ def test_minhash_index_text_col_guard_and_no_stale_cache(ctx, spark, tmp_path):
     assert m.characteristics.is_idempotent is False
     m2 = ctx.create_module("table.dedup.minhash_incremental")
     assert m2.characteristics.is_idempotent is True
+
+
+def test_pca_top_component_recovers_dominant_axis(spark, ctx):
+    import math
+
+    from kiara_spark.operators.similarity import pca_top_component
+
+    # variance lives on dims 0 and 1 with a 2:1 ratio along (1,1)/sqrt(2)
+    # plus tiny noise elsewhere -> top PC concentrates on dims 0+1 equally
+    rows = []
+    for i in range(40):
+        s = 1.0 if i % 2 else -1.0
+        v = [s * 5.0, s * 5.0] + [((i * 7 + d) % 3 - 1) * 0.01
+                                  for d in range(2, 8)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.pos: r.loading for r in
+           pca_top_component(df, iterations=3).collect()}
+    assert len(out) == 8
+    # unit norm
+    assert abs(sum(x * x for x in out.values()) - 1.0) < 1e-6
+    # dominant axis: both leading dims ~ +-1/sqrt(2), same sign
+    expected = 1 / math.sqrt(2)
+    assert abs(abs(out[0]) - expected) < 0.01
+    assert abs(abs(out[1]) - expected) < 0.01
+    assert out[0] * out[1] > 0
+    assert all(abs(out[d]) < 0.05 for d in range(2, 8))
+    assert ctx.operation_registry.resolve(
+        "embedding.pca_top_component") is not None
