@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "events_cumulative_distinct_users",
     "events_ohlc_hourly",
     "events_attribution_last_touch",
+    "events_attribution_position_based",
     "gaps_islands_user_days",
     "bloom_prefilter_lineitem",
     "drift_psi_orders",

@@ -580,6 +580,55 @@ def interval_coverage(
                  .alias("covered")))
 
 
+def position_based_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    standard middle ground between last-touch (all credit to one event)
+    and linear (flat) models: for each conversion, its strictly-earlier
+    touches get 40% first / 40% last / 20% split across the middle
+    (100% for a single touch, 50/50 for two).
+
+    Plan: one user-key join pairs each conversion with its prior touches,
+    one window over each conversion's touch list assigns positions, and
+    per-touch credits are rounded to 9 dp and summed as DECIMAL(38,12)
+    (partition-order-invariant).  Shuffles on the user key and the
+    conversion key only.  Returns (touch_type, n_touches, credit)."""
+    conv = (df.filter(F.col(type_col) == conversion_type)
+            .select(F.col(user_col).alias("_u"),
+                    F.col(ts_col).alias("_cts"),
+                    F.col(tiebreak_col).alias("_cid")))
+    touch = (df.filter(F.col(type_col).isin(list(touch_types)))
+             .select(F.col(user_col).alias("_u"),
+                     F.col(ts_col).alias("_tts"),
+                     F.col(type_col).alias("touch_type"),
+                     F.col(tiebreak_col).alias("_tid")))
+    j = touch.join(conv, "_u").filter(F.col("_tts") < F.col("_cts"))
+    w = Window.partitionBy("_cid").orderBy(F.col("_tts"), F.col("_tid"))
+    wc = Window.partitionBy("_cid")
+    pos = j.select(
+        "touch_type",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_n"))
+    credit = (F.when(F.col("_n") == 1, F.lit(1.0))
+              .when(F.col("_n") == 2, F.lit(0.5))
+              .when(F.col("_rn") == 1, F.lit(0.4))
+              .when(F.col("_rn") == F.col("_n"), F.lit(0.4))
+              .otherwise(F.lit(0.2) / (F.col("_n") - 2)))
+    return (pos.select("touch_type",
+                       F.round(credit, 9).cast("decimal(38,12)")
+                       .alias("_c"))
+            .groupBy("touch_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+                 F.round(F.sum("_c").cast("double"), 6).alias("credit")))
+
+
 def markov_stationary(
     df: DataFrame,
     user_col: str = "user_id",
@@ -871,6 +920,21 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsPositionAttribution = _simple_module(
+    "events.attribution.position_based",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": position_based_attribution(
+        im["table"].data,
+        touch_types=self.config["touch_types"],
+        conversion_type=self.config.get("conversion_type", "purchase"),
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"))},
+    doc="U-shaped 40/20/40 multi-touch attribution (decimal-exact "
+        "credit sums)",
+)
+
 EventsMarkovStationary = _simple_module(
     "events.markov_stationary",
     {"table": TABLE},
@@ -979,12 +1043,15 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsCappedBalance, EventsSeasonalDecompose,
            EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
            EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
-           EventsMarkovStationary]
+           EventsMarkovStationary, EventsPositionAttribution]
 OPERATIONS = [
     Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
               doc="Kaplan-Meier survival curve under right censoring"),
     Operation("events.markov_stationary", "events.markov_stationary",
               doc="stationary distribution of the behavioral Markov chain"),
+    Operation("events.attribution.position_based",
+              "events.attribution.position_based",
+              doc="U-shaped 40/20/40 multi-touch attribution"),
     Operation("events.rfm_segments", "events.rfm_segments",
               doc="RFM quantile scoring + named segments"),
     Operation("events.interval_coverage", "events.interval_coverage",

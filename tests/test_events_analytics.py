@@ -397,3 +397,33 @@ def test_markov_stationary_absorbing_pull(spark, ctx):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     assert ctx.operation_registry.resolve(
         "events.markov_stationary") is not None
+
+
+def test_position_based_attribution_credits(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import position_based_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minute, ty):
+        return (eid, uid, t0 + datetime.timedelta(minutes=minute), ty)
+
+    rows = [
+        # user 1: click, view, view, click -> purchase (4 touches):
+        # first click 0.4, last click 0.4, two middle views 0.1 each
+        ev(1, 1, 0, "click"), ev(2, 1, 1, "view"), ev(3, 1, 2, "view"),
+        ev(4, 1, 3, "click"), ev(5, 1, 4, "purchase"),
+        # user 2: single view -> purchase: view gets 1.0
+        ev(6, 2, 0, "view"), ev(7, 2, 1, "purchase"),
+        # user 3: touches AFTER purchase get nothing
+        ev(8, 3, 5, "purchase"), ev(9, 3, 6, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.touch_type: r for r in position_based_attribution(
+        df, touch_types=["click", "view"]).collect()}
+    assert out["click"].credit == 0.8 and out["click"].n_touches == 2
+    assert out["view"].credit == 1.2 and out["view"].n_touches == 3
+    assert ctx.operation_registry.resolve(
+        "events.attribution.position_based") is not None
