@@ -1309,15 +1309,18 @@ def scale_features(
     methods: tuple = ("minmax", "zscore"),
 ) -> DataFrame:
     """Feature scaling for ML pipelines: append ``<col>_minmax``
-    ((x−min)/(max−min), 0 when constant) and/or ``<col>_z``
-    ((x−mean)/σ_pop, 0 when constant) per requested column.
+    ((x−min)/(max−min), 0 when constant), ``<col>_z``
+    ((x−mean)/σ_pop, 0 when constant), and/or ``<col>_robust``
+    ((x−median)/IQR — sklearn's RobustScaler, outlier-resistant) per
+    requested column.
 
     ONE aggregate pass computes every column's min/max/sum/sum-of-squares
     (decimal-exact sums — order-independent, so mean and population σ are
-    bit-stable doubles), broadcast as a 1-row frame onto the scan; the
-    scaled values are then a pure map.  Two passes over the data total —
-    the same shape MLlib's StandardScaler/MinMaxScaler fit+transform
-    uses.  Outputs round to 6 dp."""
+    bit-stable doubles) plus exact p25/p50/p75 when robust scaling is
+    requested, broadcast as a 1-row frame onto the scan; the scaled
+    values are then a pure map.  Two passes over the data total — the
+    same shape MLlib's StandardScaler/MinMaxScaler fit+transform uses.
+    Outputs round to 6 dp."""
     dec = lambda c: F.sum(c.cast("decimal(38,10)")).cast("double")  # noqa: E731
     aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
     for c in cols:
@@ -1325,6 +1328,10 @@ def scale_features(
                  F.max(c).cast("double").alias(f"_mx_{c}"),
                  dec(F.col(c)).alias(f"_s_{c}"),
                  dec(F.col(c) * F.col(c)).alias(f"_q_{c}")]
+        if "robust" in methods:
+            aggs.append(F.expr(
+                f"percentile({c}, array(0.25, 0.5, 0.75))")
+                .alias(f"_pq_{c}"))
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
     for c in cols:
@@ -1342,8 +1349,46 @@ def scale_features(
                 f"{c}_z",
                 F.round(F.when(var > 0, (x - mean) / F.sqrt(var))
                         .otherwise(F.lit(0.0)), 6))
-    return out.drop("_n", *[f"_{p}_{c}" for c in cols
-                            for p in ("mn", "mx", "s", "q")])
+        if "robust" in methods:
+            med = F.element_at(F.col(f"_pq_{c}"), 2)
+            iqr = (F.element_at(F.col(f"_pq_{c}"), 3)
+                   - F.element_at(F.col(f"_pq_{c}"), 1))
+            out = out.withColumn(
+                f"{c}_robust",
+                F.round(F.when(iqr > 0, (x - med) / iqr)
+                        .otherwise(F.lit(0.0)), 6))
+    drops = ["_n"] + [f"_{p}_{c}" for c in cols for p in ("mn", "mx", "s", "q")]
+    if "robust" in methods:
+        drops += [f"_pq_{c}" for c in cols]
+    return out.drop(*drops)
+
+
+def one_hot_encode(
+    df: DataFrame,
+    col: str,
+    values: list | None = None,
+) -> DataFrame:
+    """One-hot encoding of a low-cardinality categorical: appends one 0/1
+    integer column ``<col>_<value>`` per category (the MLlib
+    OneHotEncoder surface, kept dense and readable).
+
+    ``values`` pins the category vocabulary (the production shape — the
+    encoder must be FIT once and applied to any split with a stable
+    schema); when omitted it is derived from the data with one distinct
+    aggregate (driver transfer bounded by the cardinality, which is the
+    point of one-hot).  Unknown values encode as all-zeros.  Map-only —
+    no shuffle, no UDFs."""
+    if values is None:
+        values = [r[0] for r in
+                  df.select(col).distinct().orderBy(col).collect()
+                  if r[0] is not None]
+    out = df
+    for v in values:
+        safe = str(v).replace(" ", "_")
+        out = out.withColumn(
+            f"{col}_{safe}",
+            F.when(F.col(col) == v, 1).otherwise(0).cast("int"))
+    return out
 
 
 def k_anonymity_report(
@@ -1428,6 +1473,17 @@ def target_encode(
                        enc.alias(f"{cat_col}_enc")))
     return df.join(F.broadcast(mapping), cat_col, "left")
 
+
+TableOneHot = _simple_module(
+    "table.ml.one_hot",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": one_hot_encode(
+        im["table"].data, self.config["column"],
+        values=self.config.get("values"))},
+    doc="One-hot encoding of a low-cardinality categorical (map-only; "
+        "pin `values` for a stable fitted schema).",
+)
 
 TableWeightedPercentile = _simple_module(
     "table.weighted_percentile",
@@ -1524,7 +1580,7 @@ TableScaleFeatures = _simple_module(
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
-           TableAucRoc, TableWeightedPercentile,
+           TableAucRoc, TableWeightedPercentile, TableOneHot,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1541,6 +1597,8 @@ OPERATIONS = [
               doc="exact ROC AUC via midrank statistic"),
     Operation("table.weighted_percentile", "table.weighted_percentile",
               doc="exact weighted percentiles (distinct-value grid)"),
+    Operation("table.ml.one_hot", "table.ml.one_hot",
+              doc="one-hot encoding (map-only, pinnable vocabulary)"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

@@ -10943,6 +10943,61 @@ def events_position_attr_q(spark, sf_dir):
         _t(spark, sf_dir, "events"), touch_types=["click", "view"])
 
 
+# --- one-hot + robust scaling -----------------------------------------------
+
+
+@query(
+    "ml_one_hot_orderstatus",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT)
+             AS o_orderstatus_F,
+           CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS INT)
+             AS o_orderstatus_O,
+           CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS INT)
+             AS o_orderstatus_P
+    FROM orders
+    """,
+)
+def ml_one_hot_q(spark, sf_dir):
+    """One-hot encoding with a PINNED vocabulary (the fitted-encoder
+    shape): map-only 0/1 flags, stable schema on any split."""
+    from .operators.quality import one_hot_encode
+
+    out = one_hot_encode(_t(spark, sf_dir, "orders"), "o_orderstatus",
+                         values=["F", "O", "P"])
+    return out.select("o_orderkey", "o_orderstatus_F",
+                      "o_orderstatus_O", "o_orderstatus_P")
+
+
+@query(
+    "ml_robust_scale_orders",
+    """
+    WITH b AS (
+      SELECT QUANTILE_CONT(o_totalprice, 0.25) AS q1,
+             QUANTILE_CONT(o_totalprice, 0.5) AS med,
+             QUANTILE_CONT(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN q3 - q1 > 0
+                THEN ROUND((CAST(o_totalprice AS DOUBLE) - med)
+                           / (q3 - q1), 6)
+                ELSE 0.0 END AS o_totalprice_robust
+    FROM orders CROSS JOIN b
+    """,
+)
+def ml_robust_scale_q(spark, sf_dir):
+    """RobustScaler ((x - median)/IQR) over order prices: exact
+    percentile bounds broadcast from one aggregate, outlier-resistant
+    map-only transform."""
+    from .operators.quality import scale_features
+
+    out = scale_features(_t(spark, sf_dir, "orders"), ["o_totalprice"],
+                         methods=("robust",))
+    return out.select("o_orderkey", "o_totalprice_robust")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

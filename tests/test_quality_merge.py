@@ -672,3 +672,33 @@ def test_weighted_percentile_exact(spark, ctx):
     assert out2[0.5] == 1.0
     assert ctx.operation_registry.resolve(
         "table.weighted_percentile") is not None
+
+
+def test_one_hot_pinned_vocab_and_unknowns(spark, ctx):
+    from kiara_spark.operators.quality import one_hot_encode
+
+    df = spark.createDataFrame([("a",), ("b",), ("zz",)], "cat string")
+    out = one_hot_encode(df, "cat", values=["a", "b", "c"]).collect()
+    rows = {r.cat: (r.cat_a, r.cat_b, r.cat_c) for r in out}
+    assert rows["a"] == (1, 0, 0) and rows["b"] == (0, 1, 0)
+    assert rows["zz"] == (0, 0, 0)  # unknown -> all zeros, schema stable
+    # derived vocabulary path
+    out2 = one_hot_encode(df, "cat")
+    assert {"cat_a", "cat_b", "cat_zz"} <= set(out2.columns)
+    assert ctx.operation_registry.resolve("table.ml.one_hot") is not None
+
+
+def test_robust_scaling_outlier_resistance(spark):
+    from kiara_spark.operators.quality import scale_features
+
+    # median 3, IQR = Q3-Q1 = 4-2 = 2; the 1000.0 outlier barely moves it
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (1000.0,)], "x double")
+    out = {r.x: r.x_robust for r in
+           scale_features(df, ["x"], methods=("robust",)).collect()}
+    assert out[3.0] == 0.0
+    assert out[1.0] == -1.0 and out[4.0] == 0.5
+    # constant column -> 0, not NaN
+    dfc = spark.createDataFrame([(5.0,)] * 4, "x double")
+    outc = scale_features(dfc, ["x"], methods=("robust",)).collect()
+    assert all(r.x_robust == 0.0 for r in outc)
