@@ -1098,8 +1098,9 @@ def bipartite_butterflies(
              .agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
              .filter(F.col("_m") >= 2)
              .select("_l1", "_l2",
-                     (F.col("_m") * (F.col("_m") - 1) / 2).cast("bigint")
-                     .alias("_b")))
+                     # integer `div`, not `/`: the double quotient loses
+                     # exactness past 2^53 (m ~ 1e8 co-neighbors)
+                     F.expr("(_m * (_m - 1)) div 2").alias("_b")))
     per_node = pairs.select(F.col("_l1").alias("id"), "_b").unionAll(
         pairs.select(F.col("_l2").alias("id"), "_b"))
     return (per_node.groupBy("id")

@@ -1471,7 +1471,10 @@ def target_encode(
     mapping = (per_cat.crossJoin(F.broadcast(g))
                .select(F.col(cat_col),
                        enc.alias(f"{cat_col}_enc")))
-    return df.join(F.broadcast(mapping), cat_col, "left")
+    # NOT force-broadcast: the whole point of target encoding is HIGH
+    # cardinality — a forced broadcast of millions of categories would
+    # OOM the driver.  AQE broadcasts small mappings on its own.
+    return df.join(mapping, cat_col, "left")
 
 
 TableOneHot = _simple_module(

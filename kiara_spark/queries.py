@@ -10382,7 +10382,7 @@ def ml_lift_table_q(spark, sf_dir):
       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    p AS (SELECT l1, l2, CAST(m * (m - 1) / 2 AS BIGINT) AS b FROM w),
+    p AS (SELECT l1, l2, CAST(m * (m - 1) // 2 AS BIGINT) AS b FROM w),
     u AS (SELECT l1 AS id, b FROM p UNION ALL SELECT l2, b FROM p)
     SELECT id, CAST(SUM(b) AS BIGINT) AS n_butterflies
     FROM u GROUP BY id
