@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "ml_auc_roc_orders",
     "graph_pagerank_personalized",
     "events_cusum_changepoint",
+    "events_changepoint_binseg",
     "rolling_features_battery",
     "setop_all_variants",
     "profile_orders_columns",

@@ -580,6 +580,60 @@ def interval_coverage(
                  .alias("covered")))
 
 
+def changepoint_binseg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Single change-point detection by binary segmentation (Scott &
+    Knott 1974 / the first split of ruptures' binseg): over the bucketed
+    count series, pick the split k maximizing the scaled mean shift
+
+        T(k) = sqrt(k·(N−k)/N) · |mean_left − mean_right|
+
+    — the standard CUSUM-equivalent statistic for a level change.
+
+    Determinism: bucket counts are exact integers, the statistic is
+    fixed-order IEEE double arithmetic from identical integer operands
+    (bit-identical on any engine; no rounding needed for a stable
+    argmax), ties break on the earlier split.  Plan: one bucket
+    aggregate over the raw log (the only heavy pass), cumulative sums
+    over the tiny series grid, a row_number argmax.  Returns ONE row:
+    (split_bucket, n_left, n_right, mean_left, mean_right, stat),
+    means rounded to 6 dp for display."""
+    b = (df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = Window.orderBy("_b")
+    g = b.select(
+        "_b", "_c",
+        F.row_number().over(w).cast("bigint").alias("_k"),
+        F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow))
+        .cast("bigint").alias("_sl"))
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                F.sum("_c").cast("bigint").alias("_s"))
+    k, n = F.col("_k").cast("double"), F.col("_n").cast("double")
+    sl, s = F.col("_sl").cast("double"), F.col("_s").cast("double")
+    ml = sl / k
+    mr = (s - sl) / (n - k)
+    stat = F.sqrt(k * (n - k) / n) * F.abs(ml - mr)
+    cand = (g.crossJoin(F.broadcast(tot))
+            .filter(F.col("_k") < F.col("_n"))
+            .select(F.date_format("_b", "yyyy-MM-dd HH:mm:ss")
+                    .alias("split_bucket"),
+                    F.col("_k").alias("n_left"),
+                    (F.col("_n") - F.col("_k")).alias("n_right"),
+                    F.round(ml, 6).alias("mean_left"),
+                    F.round(mr, 6).alias("mean_right"),
+                    stat.alias("_stat")))
+    wr = Window.orderBy(F.col("_stat").desc(), F.col("split_bucket"))
+    return (cand.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .select("split_bucket", "n_left", "n_right",
+                    "mean_left", "mean_right",
+                    F.round(F.col("_stat"), 6).alias("stat")))
+
+
 def position_based_attribution(
     df: DataFrame,
     touch_types: list[str],
@@ -920,6 +974,18 @@ def cohort_retention(
         .orderBy("cohort_week", "week_offset"))
 
 
+EventsChangepointBinseg = _simple_module(
+    "events.changepoint.binseg",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": changepoint_binseg(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        bucket=self.config.get("bucket", "day"))},
+    doc="single change-point by binary segmentation over the bucketed "
+        "count series (exact-integer inputs, deterministic argmax)",
+)
+
 EventsPositionAttribution = _simple_module(
     "events.attribution.position_based",
     {"table": TABLE},
@@ -1043,7 +1109,8 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsCappedBalance, EventsSeasonalDecompose,
            EventsAutocorrelation, EventsFunnel, EventsCohortRetention,
            EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
-           EventsMarkovStationary, EventsPositionAttribution]
+           EventsMarkovStationary, EventsPositionAttribution,
+           EventsChangepointBinseg]
 OPERATIONS = [
     Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
               doc="Kaplan-Meier survival curve under right censoring"),
@@ -1052,6 +1119,8 @@ OPERATIONS = [
     Operation("events.attribution.position_based",
               "events.attribution.position_based",
               doc="U-shaped 40/20/40 multi-touch attribution"),
+    Operation("events.changepoint.binseg", "events.changepoint.binseg",
+              doc="binary-segmentation change-point over bucketed counts"),
     Operation("events.rfm_segments", "events.rfm_segments",
               doc="RFM quantile scoring + named segments"),
     Operation("events.interval_coverage", "events.interval_coverage",

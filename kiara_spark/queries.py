@@ -10998,6 +10998,52 @@ def ml_robust_scale_q(spark, sf_dir):
     return out.select("o_orderkey", "o_totalprice_robust")
 
 
+# --- binseg change-point -----------------------------------------------------
+
+
+@query(
+    "events_changepoint_binseg",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS bk, count(*) AS c
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT bk, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY bk) AS BIGINT) AS k,
+             CAST(SUM(c) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+      FROM b
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM b
+    ), cand AS (
+      SELECT strftime(bk, '%Y-%m-%d %H:%M:%S') AS split_bucket,
+             k AS n_left, n - k AS n_right,
+             ROUND(CAST(sl AS DOUBLE) / k, 6) AS mean_left,
+             ROUND((CAST(s AS DOUBLE) - sl) / (CAST(n AS DOUBLE) - k), 6)
+               AS mean_right,
+             sqrt(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) - k)
+                  / CAST(n AS DOUBLE))
+               * abs(CAST(sl AS DOUBLE) / k
+                     - (CAST(s AS DOUBLE) - sl)
+                       / (CAST(n AS DOUBLE) - k)) AS stat
+      FROM g CROSS JOIN tot WHERE k < n
+    )
+    SELECT split_bucket, n_left, n_right, mean_left, mean_right,
+           ROUND(stat, 6) AS stat
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (ORDER BY stat DESC, split_bucket) = 1
+    """,
+)
+def events_changepoint_binseg_q(spark, sf_dir):
+    """Strongest single level-shift in the daily event-count series by
+    binary segmentation: exact integer inputs, bit-identical fixed-order
+    statistic, deterministic argmax."""
+    from .operators.events import changepoint_binseg
+
+    return changepoint_binseg(_t(spark, sf_dir, "events"))
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

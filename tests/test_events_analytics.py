@@ -427,3 +427,24 @@ def test_position_based_attribution_credits(spark, ctx):
     assert out["view"].credit == 1.2 and out["view"].n_touches == 3
     assert ctx.operation_registry.resolve(
         "events.attribution.position_based") is not None
+
+
+def test_changepoint_binseg_finds_level_shift(spark, ctx):
+    import datetime
+
+    from kiara_spark.operators.events import changepoint_binseg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 10 days at ~5/day, then 10 days at ~20/day: split after day 10
+    for d in range(20):
+        for _ in range(5 if d < 10 else 20):
+            rows.append((eid, t0 + datetime.timedelta(days=d, hours=1)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    r = changepoint_binseg(df).collect()[0]
+    assert r.split_bucket == "2024-01-10 00:00:00"
+    assert r.n_left == 10 and r.n_right == 10
+    assert r.mean_left == 5.0 and r.mean_right == 20.0
+    assert ctx.operation_registry.resolve(
+        "events.changepoint.binseg") is not None
