@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "events_changepoint_binseg",
     "rolling_features_battery",
+    "rolling_median_battery",
     "setop_all_variants",
     "profile_orders_columns",
     "multimodal_crossmodal_topk",

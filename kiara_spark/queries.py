@@ -11044,6 +11044,44 @@ def events_changepoint_binseg_q(spark, sf_dir):
     return changepoint_binseg(_t(spark, sf_dir, "events"))
 
 
+# --- rolling median (robust window feature) ---------------------------------
+
+
+@query(
+    "rolling_median_battery",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS d,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT key, strftime(d, '%Y-%m-%d') AS day,
+           CAST(QUANTILE_CONT(c, 0.5) OVER w7 AS DOUBLE) AS roll_median_7,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS roll_n_7
+    FROM daily
+    WINDOW w7 AS (PARTITION BY key ORDER BY d
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_median_q(spark, sf_dir):
+    """Trailing-7-row exact rolling MEDIAN per key over the daily count
+    series — the outlier-robust companion to the rolling-mean battery
+    (Spark evaluates `percentile` as a true window aggregate; the frame
+    holds <= 7 integer counts, so the interpolated median is exact and
+    engine-identical).  One key shuffle serves the whole feature."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("day", "ts").alias("_d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w7 = Window.partitionBy("key").orderBy("_d").rowsBetween(-6, 0)
+    return daily.select(
+        "key", F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.expr("percentile(c, 0.5)").over(w7).cast("double")
+        .alias("roll_median_7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("roll_n_7"))
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now
