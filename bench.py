@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "dq_audit_orders_lineitem",
     "events_session_paths",
     "timeseries_mom_growth",
+    "variance_price_volume_mix",
     "fuzzy_part_name_pairs",
     "events_anomaly_hourly",
     "weighted_sample_documents",

@@ -892,6 +892,53 @@ def weighted_percentile(
             .orderBy("p"))
 
 
+def price_volume_mix(
+    df: DataFrame,
+    group_cols: list[str],
+    revenue_col: str,
+    volume_col: str,
+    period_col: str = "period",
+) -> DataFrame:
+    """Price-volume-mix variance decomposition — the standard FP&A bridge
+    between two periods: per group,
+
+        Δrevenue = Δprice·vol_A  +  Δvol·price_A  +  Δprice·Δvol
+                   (price effect)   (volume effect)   (mix/joint effect)
+
+    with price = revenue/volume per period.  ``period_col`` must hold
+    'A' (baseline) and 'B' (comparison).
+
+    ONE conditional aggregate computes both periods' revenue and volume
+    per group in a single scan (decimal-exact sums cast to double), the
+    effects are fixed-order IEEE arithmetic rounded to 6 dp, and groups
+    missing a period report NULL effects (a zero-volume period has no
+    price).  Returns (group..., revenue_a, revenue_b, volume_a,
+    volume_b, delta_revenue, price_effect, volume_effect, mix_effect).
+    """
+    dsum6 = lambda c, p: F.sum(  # noqa: E731
+        F.when(F.col(period_col) == p, F.col(c).cast("decimal(38,6)"))
+        .otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double")
+    g = df.groupBy(*group_cols).agg(
+        dsum6(revenue_col, "A").alias("revenue_a"),
+        dsum6(revenue_col, "B").alias("revenue_b"),
+        dsum6(volume_col, "A").alias("volume_a"),
+        dsum6(volume_col, "B").alias("volume_b"))
+    ra, rb = F.col("revenue_a"), F.col("revenue_b")
+    va, vb = F.col("volume_a"), F.col("volume_b")
+    ok = (va > 0) & (vb > 0)
+    pa, pb = ra / va, rb / vb
+    return g.select(
+        *group_cols,
+        F.round(ra, 6).alias("revenue_a"),
+        F.round(rb, 6).alias("revenue_b"),
+        F.round(va, 6).alias("volume_a"),
+        F.round(vb, 6).alias("volume_b"),
+        F.round(rb - ra, 6).alias("delta_revenue"),
+        F.when(ok, F.round((pb - pa) * va, 6)).alias("price_effect"),
+        F.when(ok, F.round((vb - va) * pa, 6)).alias("volume_effect"),
+        F.when(ok, F.round((pb - pa) * (vb - va), 6)).alias("mix_effect"))
+
+
 def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """Exact ROC AUC via the Mann-Whitney rank statistic with midrank tie
     handling — the textbook definition, not a binned approximation:
@@ -1477,6 +1524,18 @@ def target_encode(
     return df.join(mapping, cat_col, "left")
 
 
+TablePriceVolumeMix = _simple_module(
+    "table.variance.price_volume_mix",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": price_volume_mix(
+        im["table"].data, self.config["group_columns"],
+        self.config["revenue_column"], self.config["volume_column"],
+        period_col=self.config.get("period_column", "period"))},
+    doc="Price-volume-mix variance bridge between two periods (one "
+        "conditional aggregate, decimal-exact sums).",
+)
+
 TableOneHot = _simple_module(
     "table.ml.one_hot",
     {"table": TABLE},
@@ -1584,6 +1643,7 @@ TableScaleFeatures = _simple_module(
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
+           TablePriceVolumeMix,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1602,6 +1662,9 @@ OPERATIONS = [
               doc="exact weighted percentiles (distinct-value grid)"),
     Operation("table.ml.one_hot", "table.ml.one_hot",
               doc="one-hot encoding (map-only, pinnable vocabulary)"),
+    Operation("table.variance.price_volume_mix",
+              "table.variance.price_volume_mix",
+              doc="price-volume-mix variance bridge between two periods"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

@@ -11082,6 +11082,69 @@ def rolling_median_q(spark, sf_dir):
         F.count(F.lit(1)).over(w7).cast("bigint").alias("roll_n_7"))
 
 
+# --- price-volume-mix bridge -------------------------------------------------
+
+
+@query(
+    "variance_price_volume_mix",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01' THEN 'A'
+                  WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01' THEN 'B'
+             END AS period,
+             l_extendedprice, l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ), g AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN period = 'A'
+                  THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS ra,
+             CAST(SUM(CASE WHEN period = 'B'
+                  THEN CAST(l_extendedprice AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS rb,
+             CAST(SUM(CASE WHEN period = 'A'
+                  THEN CAST(l_quantity AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS va,
+             CAST(SUM(CASE WHEN period = 'B'
+                  THEN CAST(l_quantity AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS vb
+      FROM base GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(ra, 6) AS revenue_a, ROUND(rb, 6) AS revenue_b,
+           ROUND(va, 6) AS volume_a, ROUND(vb, 6) AS volume_b,
+           ROUND(rb - ra, 6) AS delta_revenue,
+           CASE WHEN va > 0 AND vb > 0
+                THEN ROUND((rb / vb - ra / va) * va, 6) END AS price_effect,
+           CASE WHEN va > 0 AND vb > 0
+                THEN ROUND((vb - va) * (ra / va), 6) END AS volume_effect,
+           CASE WHEN va > 0 AND vb > 0
+                THEN ROUND((rb / vb - ra / va) * (vb - va), 6)
+           END AS mix_effect
+    FROM g
+    """,
+)
+def variance_pvm_q(spark, sf_dir):
+    """FP&A revenue bridge 1996 -> 1997 per return flag: price, volume,
+    and mix effects from ONE conditional aggregate (decimal-exact sums,
+    fixed-order IEEE effects)."""
+    from .operators.quality import price_volume_mix
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    li = li.withColumn(
+        "period",
+        F.when(F.col("l_shipdate") < "1997-01-01", "A").otherwise("B"))
+    return price_volume_mix(li, ["l_returnflag"],
+                            "l_extendedprice", "l_quantity")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -702,3 +702,25 @@ def test_robust_scaling_outlier_resistance(spark):
     dfc = spark.createDataFrame([(5.0,)] * 4, "x double")
     outc = scale_features(dfc, ["x"], methods=("robust",)).collect()
     assert all(r.x_robust == 0.0 for r in outc)
+
+
+def test_price_volume_mix_bridge_balances(spark, ctx):
+    from kiara_spark.operators.quality import price_volume_mix
+
+    # group g: A = 10 units @ 2.0 (rev 20); B = 15 units @ 3.0 (rev 45)
+    rows = [("g", "A", 20.0, 10.0), ("g", "B", 45.0, 15.0),
+            # group h only in A -> NULL effects
+            ("h", "A", 5.0, 1.0)]
+    df = spark.createDataFrame(rows,
+                               "grp string, period string, rev double, vol double")
+    out = {r.grp: r for r in price_volume_mix(
+        df, ["grp"], "rev", "vol").collect()}
+    g = out["g"]
+    # price effect (3-2)*10=10; volume (15-10)*2=10; mix (3-2)*(15-10)=5
+    assert g.price_effect == 10.0 and g.volume_effect == 10.0
+    assert g.mix_effect == 5.0
+    assert g.delta_revenue == g.price_effect + g.volume_effect + g.mix_effect
+    h = out["h"]
+    assert h.price_effect is None and h.delta_revenue == -5.0
+    assert ctx.operation_registry.resolve(
+        "table.variance.price_volume_mix") is not None
