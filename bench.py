@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "graph_walk_skipgram_pairs",
     "graph_bipartite_butterflies",
+    "graph_degree_assortativity",
     "graph_condensation_layers",
     "graph_node_similarity_jaccard",
     "text_term_freq_histogram",

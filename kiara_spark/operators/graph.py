@@ -1107,6 +1107,44 @@ def bipartite_butterflies(
             .agg(F.sum("_b").cast("bigint").alias("n_butterflies")))
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list — one
+    number summarizing whether hubs attach to hubs (> 0, social networks)
+    or to leaves (< 0, infrastructure/biology).
+
+    Plan: degrees from one aggregate, joined onto the directed-both-ways
+    edge list (so each undirected edge contributes both orderings — the
+    standard symmetrized estimator), then the correlation's five
+    component sums in ONE aggregate with decimal-exact accumulation
+    (per-term products are exact integers); the final ratio is
+    fixed-order IEEE.  Returns one row (n_edge_ends, assortativity)."""
+    und = undirected_edges(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("_d"))
+    pairs = (und
+             .join(deg.select(F.col("src").alias("src"),
+                              F.col("_d").alias("_dx")), "src")
+             .join(deg.select(F.col("src").alias("dst"),
+                              F.col("_d").alias("_dy")), "dst"))
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+    t = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        dec(F.col("_dx")).alias("_sx"),
+        dec(F.col("_dy")).alias("_sy"),
+        dec(F.col("_dx") * F.col("_dy")).alias("_sxy"),
+        dec(F.col("_dx") * F.col("_dx")).alias("_sxx"),
+        dec(F.col("_dy") * F.col("_dy")).alias("_syy"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("_n")
+    num = n * d("_sxy") - d("_sx") * d("_sy")
+    den = F.sqrt(n * d("_sxx") - d("_sx") * d("_sx")) \
+        * F.sqrt(n * d("_syy") - d("_sy") * d("_sy"))
+    return t.select(
+        F.col("_n").alias("n_edge_ends"),
+        F.when(den > 0, F.round(num / den, 6)).alias("assortativity"))
+
+
 def condensation_layers(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Condensation + topological layering of a directed graph: contract
     each strongly connected component to one super-node (the condensation
@@ -1194,6 +1232,22 @@ class GraphRandomWalks(KiaraModule):
             inputs["graph"].data["edges"],
             walk_length=self.config.get("walk_length", 4),
             walks_per_node=self.config.get("walks_per_node", 2))}
+
+
+class GraphDegreeAssortativity(KiaraModule):
+    """Degree assortativity coefficient (see degree_assortativity)."""
+
+    _module_type_name = "network_graph.degree_assortativity"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": degree_assortativity(
+            inputs["graph"].data["edges"])}
 
 
 class GraphBipartiteButterflies(KiaraModule):
@@ -1550,7 +1604,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphPersonalizedPagerank, GraphSCC, GraphHITS,
            GraphNodeSimilarity, GraphRandomWalks,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
-           GraphBipartiteButterflies]
+           GraphBipartiteButterflies, GraphDegreeAssortativity]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1580,6 +1634,8 @@ OPERATIONS = [
               "network_graph.walk_skipgram_pairs"),
     Operation("network_graph.bipartite_butterflies",
               "network_graph.bipartite_butterflies"),
+    Operation("network_graph.degree_assortativity",
+              "network_graph.degree_assortativity"),
     Operation("network_graph.condensation_layers",
               "network_graph.condensation_layers"),
 ]

@@ -650,3 +650,22 @@ def test_bipartite_butterflies_square_and_guard(spark, ctx):
     assert out3 == []
     assert ctx.operation_registry.resolve(
         "network_graph.bipartite_butterflies") is not None
+
+
+def test_degree_assortativity_signs(spark, ctx):
+    from kiara_spark.operators.graph import degree_assortativity
+
+    # star graph: hub (deg 4) only touches leaves (deg 1) -> perfectly
+    # disassortative (-1)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long")
+    r = degree_assortativity(star).collect()[0]
+    assert r.assortativity == -1.0
+    assert r.n_edge_ends == 8
+    # regular ring: every degree equal -> zero variance -> NULL (undefined)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    r2 = degree_assortativity(ring).collect()[0]
+    assert r2.assortativity is None
+    assert ctx.operation_registry.resolve(
+        "network_graph.degree_assortativity") is not None
