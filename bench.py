@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ml_feature_hash_documents",
     "ml_split_by_group_users",
     "ml_scale_features_orders",
+    "ml_classification_report_orders",
     "ml_one_hot_orderstatus",
     "ml_robust_scale_orders",
     "scalar_variant_battery",

@@ -892,6 +892,43 @@ def weighted_percentile(
             .orderBy("p"))
 
 
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    prediction_col: str,
+) -> DataFrame:
+    """Binary classification report: confusion matrix plus precision,
+    recall, F1 and accuracy in ONE conditional-aggregation scan — the
+    eval companion to :func:`auc_roc` (threshold-free) and
+    :func:`lift_table` (ranking view).  Label and prediction must be
+    0/1-valued.
+
+    Ratios are fixed-order IEEE doubles rounded to 6 dp; degenerate
+    denominators (no predicted/actual positives) yield NULL rather than
+    a poisoned 0.  Returns one row: (tp, fp, fn, tn, precision, recall,
+    f1, accuracy)."""
+    y = F.col(label_col).cast("int")
+    p = F.col(prediction_col).cast("int")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)) \
+        .cast("bigint")  # noqa: E731
+    t = df.agg(
+        cnt((y == 1) & (p == 1)).alias("tp"),
+        cnt((y == 0) & (p == 1)).alias("fp"),
+        cnt((y == 1) & (p == 0)).alias("fn"),
+        cnt((y == 0) & (p == 0)).alias("tn"))
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return t.select(
+        "tp", "fp", "fn", "tn",
+        F.when(tp + fp > 0, F.round(prec, 6)).alias("precision"),
+        F.when(tp + fn > 0, F.round(rec, 6)).alias("recall"),
+        F.when((tp + fp > 0) & (tp + fn > 0) & (prec + rec > 0),
+               F.round(2 * prec * rec / (prec + rec), 6)).alias("f1"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"))
+
+
 def price_volume_mix(
     df: DataFrame,
     group_cols: list[str],
@@ -1524,6 +1561,17 @@ def target_encode(
     return df.join(mapping, cat_col, "left")
 
 
+TableClassificationReport = _simple_module(
+    "table.ml.classification_report",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": classification_report(
+        im["table"].data, self.config["label_column"],
+        self.config["prediction_column"])},
+    doc="Binary confusion matrix + precision/recall/F1/accuracy in one "
+        "scan.",
+)
+
 TablePriceVolumeMix = _simple_module(
     "table.variance.price_volume_mix",
     {"table": TABLE},
@@ -1643,7 +1691,7 @@ TableScaleFeatures = _simple_module(
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
-           TablePriceVolumeMix,
+           TablePriceVolumeMix, TableClassificationReport,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1665,6 +1713,9 @@ OPERATIONS = [
     Operation("table.variance.price_volume_mix",
               "table.variance.price_volume_mix",
               doc="price-volume-mix variance bridge between two periods"),
+    Operation("table.ml.classification_report",
+              "table.ml.classification_report",
+              doc="confusion matrix + precision/recall/F1 in one scan"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

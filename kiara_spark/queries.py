@@ -11196,6 +11196,60 @@ def graph_assortativity_q(spark, sf_dir):
     return G.degree_assortativity(_copurchase_edges(spark, sf_dir))
 
 
+# --- classification report ----------------------------------------------------
+
+
+@query(
+    "ml_classification_report_orders",
+    """
+    WITH t AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 50000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice > 50000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice <= 50000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN o_orderstatus <> 'F' AND o_totalprice <= 50000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM orders
+    )
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0
+           THEN ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                + CAST(fp AS DOUBLE)), 6) END AS precision,
+      CASE WHEN tp + fn > 0
+           THEN ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                + CAST(fn AS DOUBLE)), 6) END AS recall,
+      CASE WHEN tp + fp > 0 AND tp + fn > 0
+            AND CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+              + CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+              > 0
+           THEN ROUND(2 * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                  + CAST(fp AS DOUBLE)))
+                * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                   + CAST(fn AS DOUBLE)))
+                / ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                    + CAST(fp AS DOUBLE)))
+                   + (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)
+                      + CAST(fn AS DOUBLE)))), 6) END AS f1,
+      ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+            / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)), 6) AS accuracy
+    FROM t
+    """,
+)
+def ml_classification_report_q(spark, sf_dir):
+    """Eval the 'price > 50k predicts finished status' rule: confusion
+    matrix + precision/recall/F1/accuracy from one conditional scan."""
+    from .operators.quality import classification_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        (F.col("o_totalprice") > 50000).cast("int").alias("pred"))
+    return classification_report(o, "y", "pred")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

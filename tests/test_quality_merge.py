@@ -724,3 +724,22 @@ def test_price_volume_mix_bridge_balances(spark, ctx):
     assert h.price_effect is None and h.delta_revenue == -5.0
     assert ctx.operation_registry.resolve(
         "table.variance.price_volume_mix") is not None
+
+
+def test_classification_report_values(spark, ctx):
+    from kiara_spark.operators.quality import classification_report
+
+    # tp=2 fp=1 fn=1 tn=2 -> P=2/3, R=2/3, F1=2/3, acc=4/6
+    rows = [(1, 1), (1, 1), (0, 1), (1, 0), (0, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "y int, pred int")
+    r = classification_report(df, "y", "pred").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 2)
+    assert r.precision == round(2 / 3, 6) == r.recall == r.f1
+    assert r.accuracy == round(4 / 6, 6)
+    # degenerate: no predicted positives -> NULL precision/f1, not crash
+    r2 = classification_report(
+        spark.createDataFrame([(1, 0), (0, 0)], "y int, pred int"),
+        "y", "pred").collect()[0]
+    assert r2.precision is None and r2.f1 is None and r2.recall == 0.0
+    assert ctx.operation_registry.resolve(
+        "table.ml.classification_report") is not None

@@ -42,6 +42,21 @@ INTENTIONAL_CROSS = {
     "sample_dsir_documents",       # 1-row corpus-total broadcasts (R and T)
     "events_autocorrelation",      # 1-row global N/S/Q broadcast
     "ml_scale_features_orders",    # 1-row stats broadcast feeds the scaling map
+    # round-6 continuation: every entry below is a 1-row (or d-row)
+    # broadcast of a global total/bound onto the scan — the intended shape
+    "text_cooccurrence_pmi",       # 1-row corpus-doc-count broadcast
+    "ml_chi2_feature_select",      # 1-row N broadcast joins the margins
+    "ml_target_encode_orders",     # 1-row prior (global mean) broadcast
+    "ml_lift_table_orders",        # 1-row totals broadcast onto 10 bins
+    "ml_robust_scale_orders",      # 1-row percentile-bounds broadcast
+    "quality_benford_totalprice",  # 1-row digit-total broadcast onto grid
+    "weighted_percentile_lineitem",  # 1-row total-weight broadcast
+    "events_rfm_segments",         # 1-row ref-ts + bounds broadcasts
+    "events_survival_kaplan_meier",  # 1-row at-risk-total broadcast
+    "events_changepoint_binseg",   # 1-row N/S broadcast onto the series
+    "text_bigram_logprob",         # 1-row vocabulary-size broadcast
+    "text_textrank_keywords",      # 1-row node-count rides the pagerank
+    "embedding_pca_top_component",  # 1-row vector-count broadcast (cov / n-1)
 }
 
 
