@@ -69,6 +69,18 @@ PROBE_QUERIES = [
     "graph_hits_hubs_authorities",
     "graph_random_walks",
     "sample_dsir_documents",
+    # round-6 continuation: the heaviest new plans must hold shape at 10x —
+    # wedge-join butterflies (O(wedges)), the single-shuffle funnel fold,
+    # PMI's pruned pair join, TextRank's positional join + pagerank,
+    # skip-gram's windowed self-join, triples' pruned enumeration, and
+    # PCA's long-form covariance (d² cells, map-side combined)
+    "graph_bipartite_butterflies",
+    "events_funnel_signup_purchase",
+    "text_cooccurrence_pmi",
+    "text_textrank_keywords",
+    "graph_walk_skipgram_pairs",
+    "basket_association_triples",
+    "embedding_pca_top_component",
 ]
 
 EXCLUDED = {
