@@ -716,10 +716,16 @@ def markov_stationary(
     p = (pairs.join(totals, "_prev")
          .select("_prev", "_next",
                  (F.col("_n") / F.col("_ni").cast("double")).alias("_p")))
-    states = df.select(F.col(type_col).alias("state")).distinct()
-    ns = states.count()
-    pi = states.select("state", (F.lit(1.0) / F.lit(float(ns)))
-                       .alias("prob"))
+    from ..io import cut_lineage
+
+    states = cut_lineage(
+        df.select(F.col(type_col).alias("state")).distinct())
+    # state count rides along as a broadcast 1-row frame (the pagerank
+    # shape) — no eager .count() job at plan-construction time
+    nsv = states.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
+    pi = (states.crossJoin(F.broadcast(nsv))
+          .select("state",
+                  (F.lit(1.0) / F.col("_ns").cast("double")).alias("prob")))
     for _ in range(iterations):
         contribs = (p.join(pi.select(F.col("state").alias("_prev"), "prob"),
                            "_prev")
@@ -842,12 +848,18 @@ def rfm_segments(
                   .alias("f_score"),
                   (_bin("monetary", "_mb") + 1).cast("int")
                   .alias("m_score")))
-    hi = n_bins - 1  # "high" threshold: top two bins
+    # segment thresholds scale with n_bins (for the default 5 they are the
+    # classic hi=4 / lo=2 quintile rules); hardcoded literals would label
+    # every user "champion" at n_bins=2
+    import math
+
+    hi = max(2, math.ceil(0.8 * n_bins))
+    lo = max(0, math.floor(0.4 * n_bins))
     seg = (F.when((F.col("r_score") >= hi) & (F.col("f_score") >= hi)
                   & (F.col("m_score") >= hi), "champion")
-           .when((F.col("r_score") <= 2) & (F.col("f_score") >= hi),
+           .when((F.col("r_score") <= lo) & (F.col("f_score") >= hi),
                  "at_risk")
-           .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+           .when((F.col("r_score") <= lo) & (F.col("f_score") <= lo),
                  "hibernating")
            .otherwise("regular"))
     return scored.withColumn("segment", seg)

@@ -74,7 +74,8 @@ def quality_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
       - ``uniqueness``:   distinct/total fraction    >= ``min_ratio``
       - ``min``:          column minimum             >= ``at_least``
       - ``max``:          column maximum             <= ``at_most``
-      - ``accepted_values``: fraction of non-null values in ``values``
+      - ``accepted_values``: fraction of ALL rows whose value is in
+                             ``values`` (a NULL counts as a miss)
                                                      >= ``min_ratio`` (def 1)
       - ``row_count``:    table row count            >= ``at_least``
 
@@ -868,9 +869,14 @@ def weighted_percentile(
     aggregate summing weights — exact decimal accumulation), cumulative
     weights come from a window over that distinct-value grid, and each
     percentile is answered by a min-aggregate over the qualifying rows —
-    no global row sort of the raw table, no per-row rank.  Thresholds
-    p · W are computed in exact decimal so boundary rows can't flip on
-    engine arithmetic.  Returns (p, value)."""
+    no global row sort of the raw table, no per-row rank.  The boundary
+    compare is cross-multiplied into scale-6 decimals (cw·10⁶ >= P·W
+    with P = round(p·10⁶)) — NO decimal×decimal product whose scale an
+    engine could round (Spark's allowPrecisionLoss rule rounds a
+    (38,6)×(38,6) product back to scale 6; the cross-multiplied form
+    never grows the scale), so boundary rows can't flip on engine
+    arithmetic.  Percentiles are quantized to 1e-6.  Returns (p, value).
+    """
     from pyspark.sql.window import Window
 
     per_v = (df.groupBy(F.col(value_col).alias("_v"))
@@ -882,11 +888,12 @@ def weighted_percentile(
         "_v", F.sum("_w").over(w_cum).cast("decimal(38,6)").alias("_cw"))
     tot = per_v.agg(F.sum("_w").cast("decimal(38,6)").alias("_tw"))
     grid = df.sparkSession.createDataFrame(
-        [(float(p),) for p in percentiles], "p double")
+        [(float(p), int(round(p * 1_000_000))) for p in percentiles],
+        "p double, p_ppm long")
     joined = (cum.crossJoin(F.broadcast(tot))
               .join(F.broadcast(grid),
-                    F.col("_cw")
-                    >= F.col("p").cast("decimal(38,6)") * F.col("_tw")))
+                    F.col("_cw") * F.lit(1_000_000)
+                    >= F.col("p_ppm") * F.col("_tw")))
     return (joined.groupBy("p")
             .agg(F.min("_v").alias("value"))
             .orderBy("p"))
@@ -991,9 +998,12 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     keeps everything in EXACT integer algebra (npos·(2·cum_prev + n + 1)
     summed as DECIMAL(38,0)); only the final ratio is floating point,
     fixed-order IEEE, rounded to 6 dp.  Returns one row: (n, n_pos,
-    n_neg, auc)."""
+    n_neg, auc).  NULL scores are EXCLUDED (an unscored row has no rank;
+    silently ranking NULLs would also diverge between engines' nulls-
+    first vs nulls-last window orders)."""
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(score_col).isNotNull())
     s = (df.groupBy(F.col(score_col).alias("_sc"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
               F.sum(F.col(label_col).cast("int")).cast("bigint")
@@ -1467,11 +1477,15 @@ def one_hot_encode(
                   df.select(col).distinct().orderBy(col).collect()
                   if r[0] is not None]
     out = df
-    for v in values:
-        safe = str(v).replace(" ", "_")
+    names = [f"{col}_{str(v).replace(' ', '_')}" for v in values]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"one_hot_encode: categories collide after sanitizing "
+            f"(duplicate output columns among {names}); rename the "
+            f"values or pass a disambiguated `values` list")
+    for v, name in zip(values, names):
         out = out.withColumn(
-            f"{col}_{safe}",
-            F.when(F.col(col) == v, 1).otherwise(0).cast("int"))
+            name, F.when(F.col(col) == v, 1).otherwise(0).cast("int"))
     return out
 
 

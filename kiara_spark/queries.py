@@ -10444,8 +10444,7 @@ def events_interval_coverage_q(spark, sf_dir):
         "user_id",
         F.unix_micros(F.col("ts")).alias("s"),
         (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"))
-    return interval_coverage(ev, "user_id", "s", "e") \
-        .withColumnRenamed("n_islands", "n_islands")
+    return interval_coverage(ev, "user_id", "s", "e")
 
 
 # --- RFM segmentation -------------------------------------------------------
@@ -10557,7 +10556,7 @@ def text_textrank_q(spark, sf_dir):
       SELECT o_totalprice AS sc, count(*) AS n,
              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                   AS BIGINT) AS npos
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ), c AS (
       SELECT n, npos,
              CAST(COALESCE(SUM(n) OVER (ORDER BY sc
@@ -10773,10 +10772,11 @@ def events_km_q(spark, sf_dir):
                AS DECIMAL(38,6)) AS cw
       FROM pv
     ), tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS tw FROM pv),
-    grid AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+    grid AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p,
+                    unnest([500000, 900000, 990000]) AS p_ppm)
     SELECT p, MIN(v) AS value
     FROM cum CROSS JOIN tot JOIN grid
-      ON cw >= CAST(p AS DECIMAL(38,6)) * tw
+      ON cw * 1000000 >= p_ppm * tw
     GROUP BY p ORDER BY p
     """,
 )

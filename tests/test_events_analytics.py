@@ -448,3 +448,20 @@ def test_changepoint_binseg_finds_level_shift(spark, ctx):
     assert r.mean_left == 5.0 and r.mean_right == 20.0
     assert ctx.operation_registry.resolve(
         "events.changepoint.binseg") is not None
+
+
+def test_rfm_thresholds_scale_with_bins(spark):
+    import datetime
+
+    from kiara_spark.operators.events import rfm_segments
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(1, 7):
+        for i in range(u):
+            rows.append((u, t0 + datetime.timedelta(days=u), float(u)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rfm_segments(df, n_bins=2).collect()
+    # with 2 bins not everyone can be champion (the hardcoded-threshold bug)
+    segs = {r.segment for r in out}
+    assert segs != {"champion"}

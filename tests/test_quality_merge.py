@@ -743,3 +743,34 @@ def test_classification_report_values(spark, ctx):
     assert r2.precision is None and r2.f1 is None and r2.recall == 0.0
     assert ctx.operation_registry.resolve(
         "table.ml.classification_report") is not None
+
+
+def test_one_hot_collision_raises(spark):
+    import pytest as _pytest
+
+    from kiara_spark.operators.quality import one_hot_encode
+
+    df = spark.createDataFrame([("a b",), ("a_b",)], "cat string")
+    with _pytest.raises(ValueError, match="collide"):
+        one_hot_encode(df, "cat", values=["a b", "a_b"])
+
+
+def test_auc_roc_null_scores_excluded(spark):
+    from kiara_spark.operators.quality import auc_roc
+
+    df = spark.createDataFrame(
+        [(None, 0), (1.0, 0), (2.0, 1)], "score double, y int")
+    r = auc_roc(df, "score", "y").collect()[0]
+    assert r.n == 2 and r.auc == 1.0
+
+
+def test_weighted_percentile_fractional_weights_boundary(spark):
+    from kiara_spark.operators.quality import weighted_percentile
+
+    # exact threshold needs scale-12 precision: total 5.000002, p=0.2 ->
+    # threshold 1.0000004; cum(v=1)=1.000000 must NOT qualify
+    df = spark.createDataFrame(
+        [(1.0, 1.000000), (2.0, 4.000002)], "v double, w double")
+    out = {r.p: r.value for r in
+           weighted_percentile(df, "v", "w", [0.2]).collect()}
+    assert out[0.2] == 2.0
