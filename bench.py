@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "events_markov_stationary",
     "entity_resolution_parts",
     "text_normalize_battery",
+    "text_kwic_window",
+    "text_remove_stopwords",
+    "text_term_trends",
     "join_null_safe_counts",
     "scalar_higher_order_battery",
     "scalar_map_battery",

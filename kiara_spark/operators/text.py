@@ -419,6 +419,104 @@ def bigram_logprob(
                          / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
 
 
+def kwic_concordance(
+    df: DataFrame,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Keyword-in-context concordance (the classic Digital-Humanities
+    view the reference's language-processing plugin family serves): every
+    occurrence of ``term`` with ``window`` tokens of left/right context.
+
+    Map-only: posexplode the token array, filter to the term, and slice
+    the context windows straight out of the SAME array with ``slice`` —
+    no self-join, no second scan; the text column never shuffles.
+    Returns (doc_id, position, left_context, term, right_context) with
+    contexts as space-joined strings (1-based position).  Reference
+    parity: kiara_plugin.language_processing's corpus exploration ops."""
+    ws = tokens_col(F.col(text_col))
+    pos = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.posexplode(ws).alias("_p0", "_t"))
+    hits = pos.filter(F.col("_t") == term.lower()).select(
+        id_col,
+        (F.col("_p0") + 1).cast("bigint").alias("position"),
+        F.col("_ws"))
+    left_start = F.greatest(F.lit(1), F.col("position") - window)
+    left_len = F.col("position") - left_start
+    return hits.select(
+        id_col, "position",
+        F.concat_ws(" ", F.slice(F.col("_ws"),
+                                 left_start.cast("int"),
+                                 left_len.cast("int")))
+        .alias("left_context"),
+        F.lit(term.lower()).alias("term"),
+        F.concat_ws(" ", F.slice(F.col("_ws"),
+                                 (F.col("position") + 1).cast("int"),
+                                 window)).alias("right_context"))
+
+
+def remove_stopwords(
+    df: DataFrame,
+    stopwords: list[str] | None = None,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Stopword removal (the language-processing preprocessing staple):
+    appends ``<text_col>_content`` holding the token stream with the
+    stopword vocabulary dropped, plus ``n_removed``.  Map-only — the
+    stopword set is a plan literal (array_contains over a literal array),
+    so nothing broadcasts and nothing shuffles."""
+    sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
+    out_col = out_col or f"{text_col}_content"
+    sw_lit = F.array(*[F.lit(w) for w in sw])
+    ws = tokens_col(F.col(text_col))
+    kept = F.filter(ws, lambda t: ~F.array_contains(sw_lit, t))
+    return (df.withColumn(out_col, F.concat_ws(" ", kept))
+            .withColumn("n_removed",
+                        (F.size(ws) - F.size(kept)).cast("bigint")))
+
+
+def term_trends(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Term usage trends (the n-gram-viewer readout): for each tracked
+    term and group (time bucket, source, …), the occurrence count and its
+    frequency per 1000 corpus tokens in that group — the comparable-
+    across-groups normalization.
+
+    One explode + two hash aggregates (per-(group, term) counts and
+    per-group token totals, joined back — the totals table is
+    |groups|-sized).  Zero cells are preserved via the group x term grid
+    so trend lines don't silently skip buckets.  Frequencies round to
+    6 dp."""
+    terms_l = [t.lower() for t in terms]
+    toks = df.select(F.col(group_col).alias("grp"),
+                     F.explode(tokens_col(F.col(text_col))).alias("_t"))
+    totals = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tot"))
+    counts = (toks.filter(F.col("_t").isin(terms_l))
+              .groupBy("grp", F.col("_t").alias("term"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    grid = totals.select("grp").crossJoin(
+        df.sparkSession.createDataFrame([(t,) for t in terms_l],
+                                        "term string"))
+    return (grid.join(counts, ["grp", "term"], "left")
+            .join(totals, "grp")
+            .select(F.col("grp").alias(group_col), "term",
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+                    F.round(F.coalesce("n", F.lit(0))
+                            * F.lit(1000.0) / F.col("_tot"), 6)
+                    .alias("per_1000_tokens"))
+            .orderBy(group_col, "term"))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1282,6 +1380,46 @@ TextRankKeywords = _mk("text.textrank_keywords", textrank_keywords,
                        "TextRank keywords: co-occurrence graph + PageRank")
 TextBigramLogprob = _mk("text.bigram_logprob", bigram_logprob,
                         "self-trained add-1 bigram LM per-doc score")
+TextRemoveStopwords = _mk("text.remove_stopwords", remove_stopwords,
+                          "stopword removal (literal vocabulary, map-only)")
+
+
+class TextKwic(KiaraModule):
+    """Keyword-in-context concordance (see kwic_concordance)."""
+
+    _module_type_name = "text.kwic"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"},
+                "term": {"type": "string"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": kwic_concordance(
+            inputs["table"].data, inputs["term"].data,
+            text_col=self.config.get("text_column", "text"),
+            id_col=self.config.get("id_column", "doc_id"),
+            window=self.config.get("window", 3))}
+
+
+class TextTermTrends(KiaraModule):
+    """Term usage trends per group (see term_trends)."""
+
+    _module_type_name = "text.term_trends"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": term_trends(
+            inputs["table"].data, self.config["terms"],
+            text_col=self.config.get("text_column", "text"),
+            group_col=self.config.get("group_column", "source"))}
 
 
 class TextCleanC4(KiaraModule):
@@ -1310,7 +1448,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
-           TextChi2Select, TextRankKeywords, TextBigramLogprob]
+           TextChi2Select, TextRankKeywords, TextBigramLogprob,
+           TextRemoveStopwords, TextKwic, TextTermTrends]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1326,6 +1465,12 @@ OPERATIONS = [
               doc="TextRank keywords (co-occurrence graph + PageRank)"),
     Operation("text.bigram_logprob", "text.bigram_logprob",
               doc="self-trained add-1 bigram LM per-doc score"),
+    Operation("text.kwic", "text.kwic",
+              doc="keyword-in-context concordance (map-only)"),
+    Operation("text.remove_stopwords", "text.remove_stopwords",
+              doc="stopword removal (literal vocabulary, map-only)"),
+    Operation("text.term_trends", "text.term_trends",
+              doc="term usage per group, per-1000-token normalized"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

@@ -11250,6 +11250,98 @@ def ml_classification_report_q(spark, sf_dir):
     return classification_report(o, "y", "pred")
 
 
+# --- DH corpus exploration: KWIC, stopwords, term trends ---------------------
+
+
+@query(
+    "text_kwic_window",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), pos AS (
+      SELECT doc_id, i.i AS p, ws, ws[i.i] AS tok
+      FROM toks, UNNEST(range(1, len(ws) + 1)) AS i(i)
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS position,
+           COALESCE(array_to_string(ws[GREATEST(1, p - 3):p - 1], ' '), '')
+             AS left_context,
+           'window' AS term,
+           COALESCE(array_to_string(ws[p + 1:LEAST(len(ws), p + 3)], ' '),
+                    '') AS right_context
+    FROM pos WHERE tok = 'window'
+    """,
+)
+def text_kwic_q(spark, sf_dir):
+    """Keyword-in-context concordance for 'window' (±3 tokens): map-only
+    posexplode + in-array slice — no self-join, text never shuffles."""
+    from .operators.text import kwic_concordance
+
+    return kwic_concordance(_t(spark, sf_dir, "documents"), "window",
+                            window=3)
+
+
+_SW_SQL = "['the','of','and','to','in','is','that','with','a','an','it','for','on','as','are','be']"
+
+
+@query(
+    "text_remove_stopwords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), f AS (
+      SELECT doc_id, ws,
+             list_filter(ws, t -> NOT list_contains({_SW_SQL}, t)) AS kept
+      FROM toks
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS text_content,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
+    FROM f
+    """,
+)
+def text_remove_stopwords_q(spark, sf_dir):
+    """Stopword removal over the corpus (literal vocabulary, map-only) —
+    the language-processing preprocessing staple."""
+    from .operators.text import remove_stopwords
+
+    out = remove_stopwords(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "text_content", "n_removed")
+
+
+@query(
+    "text_term_trends",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, t.tok AS tok FROM documents,
+        UNNEST({_TOKS}) AS t(tok)
+    ), totals AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS tot FROM toks GROUP BY grp
+    ), counts AS (
+      SELECT grp, tok AS term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE tok IN ('scan', 'window', 'sort') GROUP BY 1, 2
+    ), grid AS (
+      SELECT totals.grp, g.term FROM totals
+      CROSS JOIN (SELECT unnest(['scan', 'window', 'sort']) AS term) g
+    )
+    SELECT grid.grp AS source, grid.term AS term,
+           COALESCE(counts.n, 0) AS n,
+           ROUND(COALESCE(counts.n, 0) * CAST(1000.0 AS DOUBLE) / totals.tot, 6)
+             AS per_1000_tokens
+    FROM grid
+    LEFT JOIN counts ON grid.grp = counts.grp AND grid.term = counts.term
+    JOIN totals ON grid.grp = totals.grp
+    ORDER BY source, grid.term
+    """,
+)
+def text_term_trends_q(spark, sf_dir):
+    """Per-source usage of tracked terms, normalized per 1000 tokens (the
+    n-gram-viewer readout); the group x term grid preserves zero cells."""
+    from .operators.text import term_trends
+
+    return term_trends(_t(spark, sf_dir, "documents"),
+                       ["scan", "window", "sort"])
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

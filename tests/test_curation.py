@@ -551,3 +551,43 @@ def test_bigram_logprob_rare_sequence_scores_higher(spark, ctx):
                                   "doc_id long, text string")
     assert bigram_logprob(short).collect() == []
     assert ctx.operation_registry.resolve("text.bigram_logprob") is not None
+
+
+def test_kwic_concordance_edges(spark, ctx):
+    from kiara_spark.operators.text import kwic_concordance
+
+    df = spark.createDataFrame(
+        [(1, "Target at start and target at the very end target")],
+        "doc_id long, text string")
+    out = sorted(kwic_concordance(df, "Target", window=2).collect(),
+                 key=lambda r: r.position)
+    assert [r.position for r in out] == [1, 5, 10]
+    # doc-start occurrence has empty left context
+    assert out[0].left_context == "" and out[0].right_context == "at start"
+    # mid-doc gets both sides
+    assert out[1].left_context == "start and"
+    assert out[1].right_context == "at the"
+    # doc-end occurrence has empty right context
+    assert out[2].right_context == "" and out[2].left_context == "very end"
+    assert out[0].term == "target"  # matching is case-folded
+    assert ctx.operation_registry.resolve("text.kwic") is not None
+
+
+def test_remove_stopwords_and_trends(spark, ctx):
+    from kiara_spark.operators.text import remove_stopwords, term_trends
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat", "a"), (2, "cat cat dog", "b")],
+        "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in remove_stopwords(df).collect()}
+    assert out[1].text_content == "cat hat" and out[1].n_removed == 3
+    assert out[2].n_removed == 0
+    tr = {(r.source, r.term): r for r in
+          term_trends(df, ["cat", "zebra"], group_col="source").collect()}
+    assert tr[("a", "cat")].n == 1
+    assert tr[("a", "cat")].per_1000_tokens == 200.0  # 1 of 5 tokens
+    assert tr[("b", "cat")].per_1000_tokens == round(2000 / 3, 6)
+    assert tr[("b", "zebra")].n == 0  # zero cells preserved
+    assert ctx.operation_registry.resolve(
+        "text.remove_stopwords") is not None
+    assert ctx.operation_registry.resolve("text.term_trends") is not None
