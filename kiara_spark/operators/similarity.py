@@ -826,8 +826,12 @@ def pca_top_component(
     mu = (x.groupBy("pos")
           .agg((F.sum("_vd").cast("double")
                 / F.count(F.lit(1))).alias("_mu")))
-    cgrid = x.join(mu, "pos").select(
-        "_id", "pos", (F.col("_v") - F.col("_mu")).alias("_c"))
+    from ..io import cut_lineage
+
+    # materialize the centered long form once — BOTH self-join sides read
+    # it (without the cut, the explode + mean aggregate runs twice)
+    cgrid = cut_lineage(x.join(mu, "pos").select(
+        "_id", "pos", (F.col("_v") - F.col("_mu")).alias("_c")))
     nv = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     a = cgrid.select("_id", F.col("pos").alias("i"), F.col("_c").alias("_ci"))
     b = cgrid.select("_id", F.col("pos").alias("j"), F.col("_c").alias("_cj"))
@@ -839,14 +843,19 @@ def pca_top_component(
            .select("i", "j",
                    (F.col("_s").cast("double")
                     / (F.col("_n") - 1)).alias("_cv")))
+    # the covariance scan is the only heavy stage — cut its lineage so the
+    # matvec rounds (and the final norm + output passes) reuse the d² cell
+    # table instead of re-running the self-join once per downstream branch
+    cov = cut_lineage(cov)
     v = x.select("pos").distinct().select(
         "pos", F.lit(1.0).alias("val"))
     for _ in range(iterations):
-        v = (cov.join(v.withColumnRenamed("pos", "j"), "j")
-             .groupBy(F.col("i").alias("pos"))
-             .agg(F.sum((F.col("_cv") * F.col("val"))
-                        .cast("decimal(38,18)")).cast("double")
-                  .alias("val")))
+        v = cut_lineage(
+            cov.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum((F.col("_cv") * F.col("val"))
+                       .cast("decimal(38,18)")).cast("double")
+                 .alias("val")))
     nrm = v.agg(F.sqrt(F.sum(F.round(F.col("val") * F.col("val"), 12)
                              .cast("decimal(38,18)")).cast("double"))
                 .alias("_nrm"))
