@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "entity_resolution_parts",
     "text_normalize_battery",
     "text_kwic_window",
+    "text_stem_sstemmer",
     "text_remove_stopwords",
     "text_term_trends",
     "join_null_safe_counts",
@@ -221,6 +222,7 @@ BENCH_QUERIES = [
     "graph_walk_skipgram_pairs",
     "graph_bipartite_butterflies",
     "graph_degree_assortativity",
+    "graph_bipartite_project",
     "graph_condensation_layers",
     "graph_node_similarity_jaccard",
     "text_term_freq_histogram",

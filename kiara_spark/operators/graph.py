@@ -1107,6 +1107,42 @@ def bipartite_butterflies(
             .agg(F.sum("_b").cast("bigint").alias("n_butterflies")))
 
 
+def bipartite_project(
+    edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    min_weight: int = 1,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph: left nodes are
+    connected with weight = number of shared right neighbors — the
+    co-authorship / co-purchase / co-occurrence network construction that
+    every DH network-analysis pipeline starts from (the reference's
+    network_analysis plugin surface).
+
+    Same wedge engine as :func:`bipartite_butterflies`: ONE self-join on
+    the right key emits each unordered pair once (l1 < l2), a pair-key
+    aggregate counts shared neighbors, ``min_weight`` prunes the long
+    tail, and ``max_right_degree`` optionally drops super-hub right
+    nodes whose deg² wedge blowup would dominate (the standard guard —
+    a right node shared by everyone carries no community signal anyway).
+    Returns (src, dst, weight) with src < dst."""
+    e = edges.select(F.col(left_col).alias("_l"),
+                     F.col(right_col).alias("_r")).distinct()
+    if max_right_degree is not None:
+        rdeg = (e.groupBy("_r")
+                .agg(F.count(F.lit(1)).alias("_rd"))
+                .filter(F.col("_rd") <= max_right_degree))
+        e = e.join(rdeg.select("_r"), "_r")
+    a = e.select(F.col("_l").alias("src"), "_r")
+    b = e.select(F.col("_l").alias("dst"), "_r")
+    return (a.join(b, "_r")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+            .filter(F.col("weight") >= min_weight))
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation of endpoint degrees over the undirected edge list — one
@@ -1232,6 +1268,25 @@ class GraphRandomWalks(KiaraModule):
             inputs["graph"].data["edges"],
             walk_length=self.config.get("walk_length", 4),
             walks_per_node=self.config.get("walks_per_node", 2))}
+
+
+class GraphBipartiteProject(KiaraModule):
+    """Weighted one-mode projection of a bipartite graph (see
+    bipartite_project)."""
+
+    _module_type_name = "network_graph.bipartite_project"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"graph": {"edges": bipartite_project(
+            inputs["graph"].data["edges"],
+            min_weight=self.config.get("min_weight", 1),
+            max_right_degree=self.config.get("max_right_degree"))}}
 
 
 class GraphDegreeAssortativity(KiaraModule):
@@ -1604,7 +1659,8 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphPersonalizedPagerank, GraphSCC, GraphHITS,
            GraphNodeSimilarity, GraphRandomWalks,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
-           GraphBipartiteButterflies, GraphDegreeAssortativity]
+           GraphBipartiteButterflies, GraphDegreeAssortativity,
+           GraphBipartiteProject]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1636,6 +1692,8 @@ OPERATIONS = [
               "network_graph.bipartite_butterflies"),
     Operation("network_graph.degree_assortativity",
               "network_graph.degree_assortativity"),
+    Operation("network_graph.bipartite_project",
+              "network_graph.bipartite_project"),
     Operation("network_graph.condensation_layers",
               "network_graph.condensation_layers"),
 ]

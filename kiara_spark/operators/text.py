@@ -517,6 +517,48 @@ def term_trends(
             .orderBy(group_col, "term"))
 
 
+def _sstem_word(w):
+    """Harman (1991) S-stemmer rules for one token column — the
+    deterministic, dictionary-free plural stripper (the honest relational
+    stand-in for the reference language-processing plugin's
+    spacy/nltk lemmatizers, which need models this container lacks):
+    -ies → -y (except -eies/-aies), -es → -e (except -aes/-ees/-oes),
+    -s dropped (except -us/-ss)."""
+    # each rule's exceptions TERMINATE (leave the word unchanged) rather
+    # than falling through to a later rule — per Harman, 'goes'/'trees'
+    # stay intact instead of losing their final 's'
+    return (
+        F.when(w.endswith("ies"),
+               F.when(w.endswith("eies") | w.endswith("aies"), w)
+               .otherwise(F.regexp_replace(w, "ies$", "y")))
+        .when(w.endswith("es"),
+              F.when(w.endswith("aes") | w.endswith("ees")
+                     | w.endswith("oes"), w)
+              .otherwise(F.regexp_replace(w, "es$", "e")))
+        .when(w.endswith("s"),
+              F.when(w.endswith("us") | w.endswith("ss"), w)
+              .otherwise(F.regexp_replace(w, "s$", "")))
+        .otherwise(w))
+
+
+def stem_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """S-stemmer pass over the token stream: appends
+    ``<text_col>_stemmed`` (space-joined stemmed tokens) and
+    ``n_changed``.  Map-only — one ``transform`` over the token array,
+    whole-stage codegen, nothing shuffles."""
+    out_col = out_col or f"{text_col}_stemmed"
+    ws = tokens_col(F.col(text_col))
+    stemmed = F.transform(ws, _sstem_word)
+    changed = F.size(F.filter(
+        F.zip_with(ws, stemmed, lambda a, b: a != b), lambda x: x))
+    return (df.withColumn(out_col, F.concat_ws(" ", stemmed))
+            .withColumn("n_changed", changed.cast("bigint")))
+
+
 def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Flesch reading-ease score (Flesch 1948 — the standard readability
     quality signal; higher = easier):
@@ -1382,6 +1424,8 @@ TextBigramLogprob = _mk("text.bigram_logprob", bigram_logprob,
                         "self-trained add-1 bigram LM per-doc score")
 TextRemoveStopwords = _mk("text.remove_stopwords", remove_stopwords,
                           "stopword removal (literal vocabulary, map-only)")
+TextStem = _mk("text.stem", stem_tokens,
+               "S-stemmer plural stripping (deterministic, map-only)")
 
 
 class TextKwic(KiaraModule):
@@ -1449,7 +1493,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob,
-           TextRemoveStopwords, TextKwic, TextTermTrends]
+           TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -1471,6 +1515,8 @@ OPERATIONS = [
               doc="stopword removal (literal vocabulary, map-only)"),
     Operation("text.term_trends", "text.term_trends",
               doc="term usage per group, per-1000-token normalized"),
+    Operation("text.stem", "text.stem",
+              doc="S-stemmer plural stripping (deterministic, map-only)"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

@@ -591,3 +591,19 @@ def test_remove_stopwords_and_trends(spark, ctx):
     assert ctx.operation_registry.resolve(
         "text.remove_stopwords") is not None
     assert ctx.operation_registry.resolve("text.term_trends") is not None
+
+
+def test_sstemmer_rules(spark, ctx):
+    from kiara_spark.operators.text import stem_tokens
+
+    df = spark.createDataFrame(
+        [(1, "ponies horses classes buses bus glass goes trees dogs")],
+        "doc_id long, text string")
+    r = stem_tokens(df).collect()[0]
+    # ponies->pony (ies->y), horses->horse (es->e), classes->classe,
+    # buses->buse, bus stays (-us), glass stays (-ss), goes stays (-oes),
+    # trees stays (-ees), dogs->dog (-s)
+    assert r.text_stemmed == \
+        "pony horse classe buse bus glass goes trees dog"
+    assert r.n_changed == 5
+    assert ctx.operation_registry.resolve("text.stem") is not None

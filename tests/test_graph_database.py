@@ -669,3 +669,21 @@ def test_degree_assortativity_signs(spark, ctx):
     assert r2.assortativity is None
     assert ctx.operation_registry.resolve(
         "network_graph.degree_assortativity") is not None
+
+
+def test_bipartite_project_weights(spark, ctx):
+    from kiara_spark.operators.graph import bipartite_project
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 102), (3, 103)],
+        "src long, dst long")
+    out = {(r.src, r.dst): r.weight
+           for r in bipartite_project(edges).collect()}
+    assert out[(1, 2)] == 2       # share 101 and 102
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    # min_weight prunes the tail
+    out2 = {(r.src, r.dst): r.weight
+            for r in bipartite_project(edges, min_weight=2).collect()}
+    assert list(out2) == [(1, 2)]
+    assert ctx.operation_registry.resolve(
+        "network_graph.bipartite_project") is not None
