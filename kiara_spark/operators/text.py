@@ -461,8 +461,8 @@ def kwic_concordance(
 
 def remove_stopwords(
     df: DataFrame,
-    stopwords: list[str] | None = None,
     text_col: str = "text",
+    stopwords: list[str] | None = None,
     out_col: str | None = None,
 ) -> DataFrame:
     """Stopword removal (the language-processing preprocessing staple):

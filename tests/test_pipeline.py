@@ -580,3 +580,26 @@ def test_pretraining_curation_example_pipeline(spark, tmp_path):
     readability = out["readability_report"].data.collect()
     assert len(readability) == 6
     assert all(r["flesch_score"] is not None for r in readability)
+
+
+def test_dh_corpus_analysis_example_pipeline(spark, tmp_path):
+    """examples/dh_corpus_analysis.json end-to-end: stopwords -> stem ->
+    TextRank keywords + term trends + KWIC concordance."""
+    from kiara_spark.context import KiaraContext
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "home"))
+    out = ctx.run_pipeline(
+        "examples/dh_corpus_analysis.json",
+        {"path": "/root/testdata/sf0.001/documents.parquet",
+         "term": "window"})
+    kws = out["keywords"].data.collect()
+    assert 0 < len(kws) <= 20
+    # stopwords were stripped before the keyword graph was built
+    assert all(r["keyword"] not in ("the", "and", "of") for r in kws)
+    trends = out["term_trends"].data.collect()
+    assert len(trends) == 20 * 3  # 20 sources x 3 tracked terms
+    conc = out["concordance"].data.collect()
+    assert len(conc) > 0
+    assert all(r["term"] == "window" for r in conc)
+    prepared = out["prepared_corpus"].data.columns
+    assert "text_stemmed" in prepared and "n_changed" in prepared
