@@ -57,6 +57,8 @@ INTENTIONAL_CROSS = {
     "text_bigram_logprob",         # 1-row vocabulary-size broadcast
     "text_textrank_keywords",      # 1-row node-count rides the pagerank
     "embedding_pca_top_component",  # 1-row vector-count broadcast (cov / n-1)
+    "text_term_trends",            # |groups|-row grid x tracked-term literals
+    "events_markov_stationary",    # 1-row state-count broadcast seeds pi0
 }
 
 
