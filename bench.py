@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "text_chunk_sentences",
     "impute_nulls_lineitem",
     "skew_report_orders",
+    "concentration_gini_totalprice",
+    "concentration_hhi_orders",
+    "concentration_entropy_events",
     "sim_topk_ivf_pandas",
     "multimodal_frame_sample",
     "multimodal_resize_dims",

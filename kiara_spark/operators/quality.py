@@ -899,6 +899,113 @@ def weighted_percentile(
             .orderBy("p"))
 
 
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value column — the
+    standard concentration/inequality readout (revenue concentration,
+    token-budget skew, datacenter hot-keys):
+
+        G = Σᵢⱼ |xᵢ − xⱼ| / (2 n Σx)
+
+    Scale design: the table collapses to ONE row per distinct value
+    (counts + decimal-exact per-value sums), and the pairwise
+    |difference| total folds into a single pass over the sorted distinct
+    grid via exclusive prefix counts/sums:
+    Σ|diffs| = 2·Σ_v c_v·(v·N_<v − S_<v).  Everything stays exact
+    decimal until the final fixed-order double ratio (6 dp).  The only
+    ordered state is the distinct-value grid (the AUC shape).  Returns
+    one row (n, total, gini)."""
+    from pyspark.sql.window import Window
+
+    per_v = (df.groupBy(F.col(value_col).cast("decimal(38,6)").alias("_v"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    g = per_v.select(
+        "_v", "_c",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint")
+        .alias("_nlt"),
+        F.coalesce(F.sum(F.col("_v") * F.col("_c")).over(w),
+                   F.lit(0).cast("decimal(38,6)")).cast("decimal(38,6)")
+        .alias("_slt"))
+    t = g.agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.sum(F.col("_v") * F.col("_c")).cast("decimal(38,6)").alias("_s"),
+        F.sum(F.col("_c").cast("decimal(38,0)")
+              * (F.col("_v") * F.col("_nlt") - F.col("_slt")))
+        .alias("_absdiff_half"))
+    n, s = F.col("_n").cast("double"), F.col("_s").cast("double")
+    total_absdiff = F.lit(2.0) * F.col("_absdiff_half").cast("double")
+    return t.select(
+        F.col("_n").alias("n"),
+        F.round(s, 6).alias("total"),
+        F.when((F.col("_n") > 0) & (s > 0),
+               F.round(total_absdiff / (F.lit(2.0) * n * s), 6))
+        .alias("gini"))
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: the sum of
+    squared entity shares of the group total (the antitrust/market-
+    concentration statistic; 1/HHI is the "effective number" of
+    entities).  Two hash aggregates — (group, entity) value sums, then
+    the per-group Σshare² assembled from decimal-exact sums with the
+    final ratio in fixed-order doubles (6 dp).  Returns
+    (group..., n_entities, hhi, effective_n)."""
+    per_e = (df.groupBy(*group_cols, F.col(entity_col).alias("_e"))
+             .agg(F.sum(F.col(value_col).cast("decimal(38,6)"))
+                  .alias("_r")))
+    # squares go through DECIMAL(18,6) factors: (18,6)x(18,6) -> (37,12)
+    # stays under Spark's 38-digit cap, so the product is EXACT (a
+    # (38,6)x(38,6) square would trip allowPrecisionLoss and round back
+    # to scale 6 — the weighted_percentile lesson)
+    r18 = F.col("_r").cast("decimal(18,6)")
+    t = (per_e.groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+              F.sum("_r").cast("decimal(38,6)").alias("_tot"),
+              F.sum((r18 * r18).cast("decimal(38,12)")).alias("_sq")))
+    tot = F.col("_tot").cast("double")
+    hhi = F.col("_sq").cast("double") / (tot * tot)
+    return t.select(
+        *group_cols, "n_entities",
+        F.when(tot > 0, F.round(hhi, 6)).alias("hhi"),
+        F.when(tot > 0, F.round(F.lit(1.0) / hhi, 6)).alias("effective_n"))
+
+
+def shannon_entropy(
+    df: DataFrame,
+    cat_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column, optionally per
+    group — the diversity/profiling statistic (label balance, source
+    mixture health):  H = ln N − (Σ c·ln c)/N.
+
+    One hash aggregate on (group, category), then a tiny per-group
+    rollup; the c·ln(c) terms are rounded to 9 dp and summed as
+    DECIMAL(38,12) (the BM25 recipe) so H is partition-order-invariant
+    and engine-exact at 6 dp.  Returns (group..., n, n_categories,
+    entropy)."""
+    gcols = list(group_cols or [])
+    per_c = (df.groupBy(*gcols, F.col(cat_col).alias("_cat"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    term = F.round(F.col("_c") * F.log(F.col("_c").cast("double")), 9) \
+        .cast("decimal(38,12)")
+    t = (per_c.groupBy(*gcols)
+         .agg(F.sum("_c").cast("bigint").alias("n"),
+              F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+              F.sum(term).alias("_clnc")))
+    n = F.col("n").cast("double")
+    return t.select(
+        *gcols, "n", "n_categories",
+        F.when(F.col("n") > 0,
+               F.round(F.log(n) - F.col("_clnc").cast("double") / n, 6))
+        .alias("entropy"))
+
+
 def classification_report(
     df: DataFrame,
     label_col: str,
@@ -1575,6 +1682,38 @@ def target_encode(
     return df.join(mapping, cat_col, "left")
 
 
+TableGini = _simple_module(
+    "table.concentration.gini",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": gini_coefficient(
+        im["table"].data, self.config["value_column"])},
+    doc="Exact Gini coefficient over the distinct-value grid "
+        "(decimal-exact prefix algebra).",
+)
+
+TableHhi = _simple_module(
+    "table.concentration.hhi",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": hhi_concentration(
+        im["table"].data, self.config["group_columns"],
+        self.config["entity_column"], self.config["value_column"])},
+    doc="Herfindahl-Hirschman concentration per group (+ effective "
+        "entity count).",
+)
+
+TableEntropy = _simple_module(
+    "table.concentration.entropy",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": shannon_entropy(
+        im["table"].data, self.config["category_column"],
+        group_cols=self.config.get("group_columns"))},
+    doc="Shannon entropy (nats) of a categorical column, optionally "
+        "per group.",
+)
+
 TableClassificationReport = _simple_module(
     "table.ml.classification_report",
     {"table": TABLE},
@@ -1706,6 +1845,7 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
            TablePriceVolumeMix, TableClassificationReport,
+           TableGini, TableHhi, TableEntropy,
            TableMergeUpsert, TableQualityAudit, TableScd2, TableValidateSchema,
            TableDiff, TableWinsorize, TableApplyChanges, TableQuantileBins,
            TableCorrMatrix, TableImputeNulls, TableSkewReport,
@@ -1730,6 +1870,12 @@ OPERATIONS = [
     Operation("table.ml.classification_report",
               "table.ml.classification_report",
               doc="confusion matrix + precision/recall/F1 in one scan"),
+    Operation("table.concentration.gini", "table.concentration.gini",
+              doc="exact Gini coefficient (distinct-value prefix algebra)"),
+    Operation("table.concentration.hhi", "table.concentration.hhi",
+              doc="Herfindahl-Hirschman index per group"),
+    Operation("table.concentration.entropy", "table.concentration.entropy",
+              doc="Shannon entropy of a categorical column"),
     Operation("table.quality.benford", "table.quality.benford",
               doc="Benford first-digit fabrication screen"),
     Operation("table.privacy.l_diversity", "table.privacy.l_diversity",

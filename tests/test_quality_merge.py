@@ -774,3 +774,48 @@ def test_weighted_percentile_fractional_weights_boundary(spark):
     out = {r.p: r.value for r in
            weighted_percentile(df, "v", "w", [0.2]).collect()}
     assert out[0.2] == 2.0
+
+
+def test_gini_known_distributions(spark, ctx):
+    from kiara_spark.operators.quality import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(10.0,)] * 8, "x double")
+    assert gini_coefficient(eq, "x").collect()[0].gini == 0.0
+    # one entity holds everything among n=4 -> G = (n-1)/n = 0.75
+    solo = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (100.0,)],
+                                 "x double")
+    assert gini_coefficient(solo, "x").collect()[0].gini == 0.75
+    # hand case: [1, 3]: sum|diffs|=2*2=4, G = 4/(2*2*4) = 0.25
+    two = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    r = gini_coefficient(two, "x").collect()[0]
+    assert r.gini == 0.25 and r.n == 2 and r.total == 4.0
+    assert ctx.operation_registry.resolve(
+        "table.concentration.gini") is not None
+
+
+def test_hhi_and_entropy(spark, ctx):
+    import math
+
+    from kiara_spark.operators.quality import (hhi_concentration,
+                                               shannon_entropy)
+
+    # market g: shares 0.5/0.5 -> HHI 0.5, effective 2
+    rows = [("g", 1, 50.0), ("g", 2, 50.0), ("h", 1, 100.0)]
+    df = spark.createDataFrame(rows, "mkt string, ent long, rev double")
+    out = {r.mkt: r for r in
+           hhi_concentration(df, ["mkt"], "ent", "rev").collect()}
+    assert out["g"].hhi == 0.5 and out["g"].effective_n == 2.0
+    assert out["h"].hhi == 1.0 and out["h"].n_entities == 1
+    # entropy: uniform over 4 categories -> ln 4; single category -> 0
+    ev = spark.createDataFrame(
+        [(1, c) for c in "abcd"] + [(2, "a"), (2, "a")],
+        "user_id long, cat string")
+    ent = {r.user_id: r for r in
+           shannon_entropy(ev, "cat", group_cols=["user_id"]).collect()}
+    assert abs(ent[1].entropy - round(math.log(4), 6)) < 2e-6
+    assert ent[2].entropy == 0.0 and ent[2].n_categories == 1
+    assert ctx.operation_registry.resolve(
+        "table.concentration.hhi") is not None
+    assert ctx.operation_registry.resolve(
+        "table.concentration.entropy") is not None
