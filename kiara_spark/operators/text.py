@@ -1523,6 +1523,12 @@ OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
     Operation("table.sample.temperature", "table.sample.temperature"),
+    # class-balanced downsampling IS temperature sampling at alpha=0
+    # (rate_g = n_min/n_g: every class kept at the minority class's size)
+    Operation("table.sample.balanced", "table.sample.temperature",
+              {"alpha": 0.0},
+              doc="deterministic class-balanced downsample to the "
+                  "minority group size"),
     Operation("table.cap.token_budget", "table.cap.token_budget"),
     Operation("table.encode.dictionary", "table.encode.dictionary"),
     Operation("table.split.by_group", "table.split.by_group"),

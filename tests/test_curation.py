@@ -607,3 +607,21 @@ def test_sstemmer_rules(spark, ctx):
         "pony horse classe buse bus glass goes trees dog"
     assert r.n_changed == 5
     assert ctx.operation_registry.resolve("text.stem") is not None
+
+
+def test_balanced_sample_operation(spark, ctx):
+    import pandas as pd
+
+    # majority class 40 rows, minority 5: balanced keeps minority whole
+    # and downsamples the majority toward ~5
+    pdf = pd.DataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(5)],
+        columns=["doc_id", "lang"])
+    df = spark.createDataFrame(pdf)
+    tbl = ctx.register_table(df)
+    out = ctx.run_job("table.sample.balanced", {"table": tbl},
+                      operation_config={"group_column": "lang"})
+    got = out["table"].data.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert counts.get("small", 0) == 5          # minority kept whole
+    assert 0 < counts.get("big", 0) <= 14       # majority ~n_min (hash noise)
