@@ -981,6 +981,81 @@ def temperature_sample(
     return _keep_by_group_rate(df, rates, group_col, id_col)
 
 
+def unimax_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    max_epochs: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): split a total token ``budget`` across
+    groups (languages/domains) as UNIFORMLY as possible, subject to each
+    group's availability cap of ``max_epochs`` x its total tokens — the
+    closed-form water-filling solution: alloc_g = min(cap_g, theta) with
+    theta the water level where sum_g alloc_g = budget (theta = +inf, i.e.
+    alloc = cap, when the budget exceeds total availability).
+
+    Water level in one window pass over the K group rows (caps ascending,
+    prefix sums): the first row whose uniform-share candidate
+    (budget - prefix)/(K - rn + 1) fits under its own cap yields theta.
+    All arithmetic is integer-valued doubles + one IEEE division, so the
+    level is bit-identical across engines and partitionings.
+
+    Within each group, documents are kept in deterministic hash-of-id order
+    while the exclusive running token count stays under the group's
+    allocation — UniMax's uniform-within-language sample, made
+    partition/retry/rerun invariant.
+
+    Scale: one map-side token count, one K-row aggregate (window over K
+    rows), broadcast of the K-row allocation table, one window pass per
+    group for the running sum — the same single-shuffle shape as
+    ``token_budget_cap``.
+    """
+    t = df.withColumn(
+        "_ntok", F.size(tokens_col(F.col(text_col))).cast("bigint"))
+    cnt = t.groupBy(group_col).agg(
+        F.sum("_ntok").cast("double").alias("_tok"))
+    # cap rounds to 4 dp so a fractional max_epochs cannot introduce
+    # cross-engine ulp noise; with max_epochs=1.0 it is exact by identity
+    cap = F.round(F.col("_tok") * F.lit(float(max_epochs)), 4)
+    # the windows run over the K group rows only; partitionBy(lit(1))
+    # documents the intentional single partition (and silences WindowExec's
+    # move-all-data warning, which is aimed at row-scale windows)
+    wo = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_cap").asc(), F.col(group_col).asc())
+    whole = Window.partitionBy(F.lit(1))
+    c2 = (cnt.withColumn("_cap", cap)
+          .withColumn("_rn", F.row_number().over(wo))
+          .withColumn("_prefix", F.coalesce(
+              F.sum("_cap").over(
+                  wo.rowsBetween(Window.unboundedPreceding, -1)),
+              F.lit(0.0)))
+          .withColumn("_k", F.count(F.lit(1)).over(whole)))
+    theta_i = (F.lit(float(budget)) - F.col("_prefix")) / \
+        (F.col("_k") - F.col("_rn") + 1)
+    c3 = c2.withColumn("_theta_i", theta_i)
+    first_valid = F.min(
+        F.when(F.col("_theta_i") <= F.col("_cap"), F.col("_rn"))).over(whole)
+    theta = F.max(
+        F.when(F.col("_rn") == first_valid, F.col("_theta_i"))).over(whole)
+    alloc = F.floor(F.round(
+        F.when(theta.isNull(), F.col("_cap"))
+        .otherwise(F.least(F.col("_cap"), theta)), 4)).cast("bigint")
+    rates = c3.select(F.col(group_col), alloc.alias("_alloc_tok"))
+    u = base_hash32(F.col(id_col).cast("string"))
+    wk = (Window.partitionBy(group_col)
+          .orderBy(u.asc(), F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (t.join(F.broadcast(rates), group_col)
+            .withColumn("_excl", F.coalesce(F.sum("_ntok").over(wk),
+                                            F.lit(0).cast("bigint")))
+            .filter(F.col("_excl") < F.col("_alloc_tok"))
+            .withColumnRenamed("_ntok", "n_tokens")
+            .drop("_excl", "_alloc_tok"))
+
+
 def token_budget_cap(
     df: DataFrame,
     group_col: str,
@@ -1334,6 +1409,27 @@ class TableTokenBudgetCap(KiaraModule):
             text_col=self.config.get("text_column", "text"))}
 
 
+class TableUnimaxSample(KiaraModule):
+    """UniMax water-filling token-budget sampler (see unimax_sample)."""
+
+    _module_type_name = "table.sample.unimax"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": unimax_sample(
+            inputs["table"].data,
+            group_col=self.config["group_column"],
+            budget=self.config["budget"],
+            max_epochs=self.config.get("max_epochs", 1.0),
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"))}
+
+
 class TableDictEncode(KiaraModule):
     """Dictionary encoding of a categorical column (broadcast dict join)."""
 
@@ -1489,6 +1585,7 @@ class TextCleanC4(KiaraModule):
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
+           TableUnimaxSample,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
@@ -1523,6 +1620,8 @@ OPERATIONS = [
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
     Operation("table.sample.temperature", "table.sample.temperature"),
+    Operation("table.sample.unimax", "table.sample.unimax",
+              doc="UniMax water-filling token-budget allocation across groups"),
     # class-balanced downsampling IS temperature sampling at alpha=0
     # (rate_g = n_min/n_g: every class kept at the minority class's size)
     Operation("table.sample.balanced", "table.sample.temperature",

@@ -4285,6 +4285,57 @@ def temperature_sample_sources_q(spark, sf_dir):
 
 
 @query(
+    "unimax_sample_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cnt AS (SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS tok
+            FROM t GROUP BY lang),
+    c2 AS (SELECT lang, ROUND(tok * 1.0, 4) AS cap FROM cnt),
+    c3 AS (SELECT lang, cap,
+                  ROW_NUMBER() OVER (ORDER BY cap, lang) AS rn,
+                  COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS pfx,
+                  COUNT(*) OVER () AS k
+           FROM c2),
+    c4 AS (SELECT *, (18000.0 - pfx) / (k - rn + 1) AS theta_i FROM c3),
+    th AS (SELECT theta_i FROM c4 WHERE theta_i <= cap ORDER BY rn LIMIT 1),
+    r AS (SELECT lang,
+                 CAST(FLOOR(ROUND(CASE
+                      WHEN NOT EXISTS (SELECT 1 FROM th) THEN cap
+                      ELSE LEAST(cap, (SELECT theta_i FROM th)) END,
+                      4)) AS BIGINT) AS alloc
+          FROM c4),
+    kept AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, r.alloc,
+             COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.lang
+               ORDER BY {_H0_DOCID}, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t JOIN r USING (lang))
+    SELECT doc_id, lang, n_tokens FROM kept WHERE excl < alloc
+    """,
+)
+def unimax_sample_documents_q(spark, sf_dir):
+    """UniMax language sampling (`table.sample.unimax`, Chung et al. 2023):
+    an 18k-token budget splits as uniformly as possible across languages,
+    capped at each language's availability (max_epochs=1) — the closed-form
+    water-filling level found in one window pass over the K language rows.
+    At sf0.01 the smallest language (de) is capped while the rest share the
+    leftover uniformly, so BOTH allocation regimes are hash-verified.
+    Within a language, docs are kept in deterministic hash-of-id order
+    until the allocation is exhausted (uniform-within-language sample,
+    partition/retry invariant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.unimax_sample(docs, "lang", budget=18000,
+                           max_epochs=1.0).select(
+        "doc_id", "lang", "n_tokens")
+
+
+@query(
     "token_budget_cap_per_lang",
     """
     WITH t AS (

@@ -650,3 +650,31 @@ def test_pca_top_component_recovers_dominant_axis(spark, ctx):
     assert all(abs(out[d]) < 0.05 for d in range(2, 8))
     assert ctx.operation_registry.resolve(
         "embedding.pca_top_component") is not None
+
+
+def test_unimax_sample_water_filling(ctx, spark):
+    """UniMax (Chung et al. 2023) water-filling: caps [20, 100, 300] with a
+    240-token budget -> a and b are capped (20/100), c gets the leftover
+    water level 120; an over-budget call keeps everything; max_epochs
+    scales the caps; reruns are identical (hash-order keeps)."""
+    rows = ([(i, "a", "w " * 10) for i in range(2)]
+            + [(100 + i, "b", "w " * 10) for i in range(10)]
+            + [(200 + i, "c", "w " * 10) for i in range(30)])
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    out = X.unimax_sample(df, "lang", budget=240)
+    by = {r["lang"]: r["count"]
+          for r in out.groupBy("lang").count().collect()}
+    assert by == {"a": 2, "b": 10, "c": 12}
+    assert out.select("n_tokens").distinct().collect()[0][0] == 10
+    # budget above total availability: alloc = cap, everything kept
+    assert X.unimax_sample(df, "lang", budget=10_000).count() == 42
+    # epoch cap halves availability: caps [10, 50, 150], all capped
+    by2 = {r["lang"]: r["count"]
+           for r in X.unimax_sample(df, "lang", budget=240, max_epochs=0.5)
+           .groupBy("lang").count().collect()}
+    assert by2 == {"a": 1, "b": 5, "c": 15}
+    # deterministic rerun
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"]
+               for r in X.unimax_sample(df, "lang", budget=240).collect())
+    assert ctx.operation_registry.resolve("table.sample.unimax") is not None
