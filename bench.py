@@ -309,6 +309,8 @@ BENCH_QUERIES = [
     "dedup_minhash_incremental_indexed",
     "temperature_sample_sources",
     "graph_strongly_connected_components",
+    "unimax_sample_documents",
+    "training_shuffle_documents",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

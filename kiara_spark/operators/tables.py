@@ -466,6 +466,43 @@ def zorder_key(
     return t.withColumn(out_col, z).drop(*binned)
 
 
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training data: every row gets a
+    ``shard_id`` and a ``shard_pos`` that together define a reproducible
+    random total order over the corpus — the step between curation and
+    `export.table.sharded` that decorrelates document order from crawl/
+    source order (contiguous same-domain runs are poison for LM training).
+
+    Both coordinates are pure functions of the id (md5-derived, engine-
+    portable): shard = h('s|'salt|id) % n_shards, position = rank of
+    h('p|'salt|id) within the shard.  Independent salts keep shard choice
+    and in-shard order uncorrelated; a new epoch is a new ``salt``, giving
+    a fresh permutation with zero RNG state.  Rerun/retry/partitioning
+    invariant, so a resumed export reproduces byte-identical shards.
+
+    Scale: ONE shuffle (hash-partition on the shard key) + a per-shard
+    sort — the same physical work the sharded write itself needs, so the
+    assignment is free at write time; no global sort, no driver state.
+    With n_shards sized so a shard fits an executor (e.g. 100 TB / 10k
+    shards = 10 GB), the per-shard window never spills."""
+    from .text import base_hash32
+
+    ids = F.col(id_col).cast("string")
+    shard = (base_hash32(F.concat(F.lit(f"s|{salt}|"), ids))
+             % F.lit(n_shards)).cast("bigint")
+    order = base_hash32(F.concat(F.lit(f"p|{salt}|"), ids))
+    w = Window.partitionBy("shard_id").orderBy(order.asc(),
+                                               F.col(id_col).asc())
+    return (df.withColumn("shard_id", shard)
+            .withColumn("shard_pos",
+                        F.row_number().over(w).cast("bigint")))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -1219,6 +1256,18 @@ TableFileStats = _simple_module(
         "report; config: columns).",
 )
 
+TableTrainingShuffle = _simple_module(
+    "table.shuffle.training",
+    {"table": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": training_shuffle(
+        im["table"].data,
+        n_shards=self.config.get("n_shards", 16),
+        id_col=self.config.get("id_column", "doc_id"),
+        salt=self.config.get("salt", ""))},
+    doc="Deterministic global training shuffle: reproducible (shard_id, "
+        "shard_pos) random total order (config: n_shards, id_column, salt).",
+)
+
 TableZorderKey = _simple_module(
     "table.layout.zorder_key",
     {"table": TABLE}, {"table": TABLE},
@@ -1235,6 +1284,7 @@ MODULES = [
     TableStratifiedSample, TableSamplePerGroup, TablePivot, TableUnpivot, TableExplode, TableJoin,
     TableGroupBy, TableWindow, TableUnion, TableIntersect, TableExcept,
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
+    TableTrainingShuffle,
     TableFileStats, ExportSharded, TableTimeTravel, TableBackfill,
     TableAddRowIds, TablePlanStats, TableAnonymize,
 ]
@@ -1248,6 +1298,8 @@ OPERATIONS = [
     Operation("query.table", "table.query.sql", doc="SQL over table views"),
     Operation("table.sample.per_group", "table.sample.per_group",
               doc="deterministic fixed-size per-group sample"),
+    Operation("table.shuffle.training", "table.shuffle.training",
+              doc="reproducible global shuffle -> (shard_id, shard_pos)"),
     Operation("table.layout.zorder_key", "table.layout.zorder_key",
               doc="Morton key for Z-order clustered layout"),
     Operation("table.vacuum.snapshots", "table.vacuum.snapshots",

@@ -4284,6 +4284,34 @@ def temperature_sample_sources_q(spark, sf_dir):
         "doc_id", "lang")
 
 
+_H0_SHARD = _H0.replace("{s}", "'s||' || CAST(doc_id AS VARCHAR)")
+_H0_POS = _H0.replace("{s}", "'p||' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "training_shuffle_documents",
+    f"""
+    SELECT doc_id, lang,
+           CAST({_H0_SHARD} % 8 AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY {_H0_SHARD} % 8
+                  ORDER BY {_H0_POS}, doc_id) AS BIGINT) AS shard_pos
+    FROM documents
+    """,
+)
+def training_shuffle_documents_q(spark, sf_dir):
+    """Deterministic global training shuffle (`table.shuffle.training`):
+    every document gets a reproducible (shard_id, shard_pos) — a random
+    total order that decorrelates training order from crawl/source order,
+    byte-identical under rerun/retry/any partitioning.  One shuffle on the
+    shard key + a per-shard sort (the same physical work the sharded write
+    needs); independent md5-derived salts keep shard choice and in-shard
+    order uncorrelated."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.training_shuffle(docs, n_shards=8, id_col="doc_id").select(
+        "doc_id", "lang", "shard_id", "shard_pos")
+
+
 @query(
     "unimax_sample_documents",
     f"""

@@ -474,3 +474,24 @@ def test_backfill_reports_forced_partition_missing_from_source(spark, tmp_path):
     assert r1["missing_in_source"] == []
     r2 = backfill_by_partition(df, out, "day", overwrite_partitions=["9"])
     assert r2["missing_in_source"] == ["9"] and r2["written"] == []
+
+
+def test_training_shuffle_deterministic_total_order(spark):
+    """Global training shuffle: every shard's positions are contiguous
+    1..n, the full assignment is a permutation (unique (shard, pos)),
+    reruns are byte-identical, and a different salt yields a different
+    permutation of the SAME rows."""
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = T.training_shuffle(df, n_shards=4).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = T.training_shuffle(df, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = T.training_shuffle(df, n_shards=4, salt="epoch1").collect()
+    assert {r.doc_id for r in other} == {r.doc_id for r in out}
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
