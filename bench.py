@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "graph_strongly_connected_components",
     "unimax_sample_documents",
     "training_shuffle_documents",
+    "ml_calibration_bins_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -853,6 +853,55 @@ def lift_table(
             .orderBy("bucket"))
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram (calibration) bins — the model-evaluation readout
+    next to :func:`lift_table` and :func:`auc_roc`: scores are min-max
+    normalized to [0,1] (bounds from ONE broadcast aggregate row, no global
+    sort), bucketed into ``n_bins`` equal-WIDTH bins (the reliability-diagram
+    convention; equal-frequency is what lift_table does), and each bin
+    reports mean predicted probability vs observed positive rate, their
+    absolute gap, and the bin's ECE contribution (n_bin/N x gap — summing
+    the column gives expected calibration error).
+
+    Determinism: normalization and ratios are fixed-shape IEEE double ops;
+    the per-bin score sum accumulates as exact decimal and rounds at 4 dp
+    while still decimal (the dsum rule), so bins hash-match the SQL twin.
+    Scale: one bounds aggregate + one n_bins-row hash aggregate — two scans,
+    both map-side combined; the 1-row totals join broadcasts."""
+    x = F.col(score_col).cast("double")
+    src = df.filter(x.isNotNull())
+    bounds = src.agg(F.min(x).alias("_mn"), F.max(x).alias("_mx"))
+    t = src.crossJoin(F.broadcast(bounds))
+    p = F.when(F.col("_mx") > F.col("_mn"),
+               (x - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+               ).otherwise(F.lit(0.0))
+    b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("bigint")
+    per = (t.withColumn("_p", p).withColumn("bin", b)
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col(outcome_col).cast("int")).cast("bigint")
+                .alias("n_pos"),
+                F.round(F.sum(F.col("_p").cast("decimal(38,10)")), 4)
+                .cast("double").alias("_sp")))
+    tot = per.agg(F.sum("n").cast("bigint").alias("_tn"))
+    mean_pred = F.col("_sp") / F.col("n")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    gap = F.abs(mean_pred - pos_rate)
+    return (per.crossJoin(F.broadcast(tot))
+            .select("bin", "n", "n_pos",
+                    F.round(mean_pred, 6).alias("mean_pred"),
+                    F.round(pos_rate, 6).alias("pos_rate"),
+                    F.round(gap, 6).alias("gap"),
+                    F.round(F.col("n").cast("double") / F.col("_tn") * gap, 6)
+                    .alias("ece_contrib"))
+            .orderBy("bin"))
+
+
 def weighted_percentile(
     df: DataFrame,
     value_col: str,
@@ -1783,6 +1832,19 @@ TableLiftTable = _simple_module(
         "sort; broadcast percentile bounds + one n_bins-row aggregate).",
 )
 
+TableCalibrationBins = _simple_module(
+    "table.ml.calibration_bins",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": calibration_bins(
+        im["table"].data, self.config["score_column"],
+        self.config["outcome_column"],
+        n_bins=self.config.get("n_bins", 10))},
+    doc="Reliability-diagram bins: mean predicted vs observed rate per "
+        "equal-width score bin + ECE contributions (two map-side-combined "
+        "scans, broadcast bounds).",
+)
+
 TableBenford = _simple_module(
     "table.quality.benford",
     {"table": TABLE},
@@ -1843,6 +1905,7 @@ TableScaleFeatures = _simple_module(
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
+           TableCalibrationBins,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
            TablePriceVolumeMix, TableClassificationReport,
            TableGini, TableHhi, TableEntropy,
@@ -1860,6 +1923,8 @@ OPERATIONS = [
               doc="lift/gains model-evaluation table"),
     Operation("table.ml.auc_roc", "table.ml.auc_roc",
               doc="exact ROC AUC via midrank statistic"),
+    Operation("table.ml.calibration_bins", "table.ml.calibration_bins",
+              doc="reliability-diagram bins + ECE contributions"),
     Operation("table.weighted_percentile", "table.weighted_percentile",
               doc="exact weighted percentiles (distinct-value grid)"),
     Operation("table.ml.one_hot", "table.ml.one_hot",

@@ -10667,6 +10667,49 @@ def ml_auc_roc_q(spark, sf_dir):
     return auc_roc(o, "o_totalprice", "y")
 
 
+@query(
+    "ml_calibration_bins_orders",
+    """
+    WITH b AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+                      MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    t AS (SELECT CASE WHEN mx > mn
+                      THEN (CAST(o_totalprice AS DOUBLE) - mn) / (mx - mn)
+                      ELSE 0.0 END AS p,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders, b WHERE o_totalprice IS NOT NULL),
+    g AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(ROUND(SUM(CAST(p AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS sp
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM g)
+    SELECT bin, n, n_pos,
+           ROUND(sp / n, 6) AS mean_pred,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+           ROUND(ABS(sp / n - CAST(n_pos AS DOUBLE) / n), 6) AS gap,
+           ROUND(CAST(n AS DOUBLE) / tn
+                 * ABS(sp / n - CAST(n_pos AS DOUBLE) / n), 6)
+             AS ece_contrib
+    FROM g, tot
+    ORDER BY bin
+    """,
+)
+def ml_calibration_bins_q(spark, sf_dir):
+    """Reliability-diagram calibration bins (`table.ml.calibration_bins`):
+    is price-as-probability-of-finished calibrated?  Min-max-normalized
+    scores fall into 10 equal-width bins; each reports mean predicted vs
+    observed positive rate, the gap, and its ECE contribution.  Two
+    map-side-combined scans (bounds + bin aggregate), broadcast joins only
+    — no global sort at any scale."""
+    from .operators.quality import calibration_bins
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    return calibration_bins(o, "o_totalprice", "y", n_bins=10)
+
+
 # --- Apriori frequent triples -----------------------------------------------
 
 

@@ -819,3 +819,40 @@ def test_hhi_and_entropy(spark, ctx):
         "table.concentration.hhi") is not None
     assert ctx.operation_registry.resolve(
         "table.concentration.entropy") is not None
+
+
+def test_calibration_bins_perfect_and_miscalibrated(ctx, spark):
+    """Perfectly calibrated synthetic scores -> gap 0 in every bin and
+    ECE ~0; a constant-overconfident model shows the exact gap.  Bins are
+    equal-width over the min-max-normalized score, positions 0..9."""
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.quality import calibration_bins
+
+    # 10 score levels 0.05..0.95 normalized to p in [0,1]; within each
+    # level, exactly round(p*n) positives -> observed rate == mean score
+    rows = []
+    for lvl in range(10):
+        p = (lvl + 0.5) / 10
+        for i in range(40):
+            rows.append((lvl * 40 + i, lvl / 9.0, 1 if i < round(p * 40) else 0))
+    # normalized score (x - mn)/(mx - mn) = lvl/9 -> bin = floor(lvl/9*10)
+    df = spark.createDataFrame(rows, "id int, score double, y int")
+    out = calibration_bins(df, "score", "y", n_bins=10).collect()
+    assert len(out) == 10
+    assert [r.bin for r in out] == sorted(r.bin for r in out)
+    assert sum(r.n for r in out) == 400
+    # every bin holds one 40-row level except bin 9's two (lvl 8 ->
+    # 8/9*10=8.88 -> bin 8; lvl 9 -> bin 9): check totals + ECE bound
+    ece = sum(r.ece_contrib for r in out)
+    assert ece < 0.12  # near-calibrated by construction
+    # fully miscalibrated: every prediction identical, outcomes half/half
+    flat = spark.createDataFrame(
+        [(i, 0.0 if i < 200 else 1.0, i % 2) for i in range(400)],
+        "id int, score double, y int")
+    out2 = calibration_bins(flat, "score", "y", n_bins=10).collect()
+    gaps = {r.bin: r.gap for r in out2}
+    assert gaps == {0: 0.5, 9: 0.5}
+    assert abs(sum(r.ece_contrib for r in out2) - 0.5) < 1e-9
+    assert ctx.operation_registry.resolve(
+        "table.ml.calibration_bins") is not None

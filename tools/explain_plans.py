@@ -59,6 +59,7 @@ INTENTIONAL_CROSS = {
     "embedding_pca_top_component",  # 1-row vector-count broadcast (cov / n-1)
     "text_term_trends",            # |groups|-row grid x tracked-term literals
     "events_markov_stationary",    # 1-row state-count broadcast seeds pi0
+    "ml_calibration_bins_orders",  # 1-row bounds + 1-row total broadcasts
 }
 
 
