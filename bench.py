@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "unimax_sample_documents",
     "training_shuffle_documents",
     "ml_calibration_bins_orders",
+    "graph_modularity_by_nation",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

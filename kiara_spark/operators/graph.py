@@ -1181,6 +1181,56 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.when(den > 0, F.round(num / den, 6)).alias("assortativity"))
 
 
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a GIVEN partition: per-community contributions
+    Q_c = L_c/m - (D_c/2m)^2 over the undirected simple graph, where L_c
+    is the community's intra-edge count, D_c its degree sum, and m the
+    total edge count — summing the ``contribution`` column gives Q, the
+    number every community-detection result (label propagation, Louvain,
+    attribute blocking) is judged by.
+
+    Nodes without a community row are excluded (their edges drop from m
+    too, keeping the estimator consistent on the covered subgraph).
+
+    Plan: symmetrize + dedup (one shuffle, shared), two broadcast-friendly
+    joins to stamp endpoint communities, then two hash aggregates (degree
+    sums, intra counts) over community keys — everything integer-exact
+    until the final fixed-shape double ratios.  No iteration, no driver
+    state; at 100 TB this is two shuffles on the community key."""
+    comm = communities.select(F.col(id_col).alias("_id"),
+                              F.col(comm_col).alias("_c"))
+    und = undirected_edges(edges)
+    j = (und.join(comm.select(F.col("_id").alias("src"),
+                              F.col("_c").alias("_ca")), "src")
+         .join(comm.select(F.col("_id").alias("dst"),
+                           F.col("_c").alias("_cb")), "dst"))
+    # T = directed-both-ways edge-end count = 2m on the covered subgraph
+    tot = j.agg(F.count(F.lit(1)).cast("double").alias("_t2"))
+    deg = j.groupBy(F.col("src").alias("_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_d"))
+    dc = (deg.join(comm, "_id")
+          .groupBy(F.col("_c").alias("community"))
+          .agg(F.sum("_d").cast("bigint").alias("degree_sum"),
+               F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    ic = (j.filter(F.col("_ca") == F.col("_cb"))
+          .groupBy(F.col("_ca").alias("community"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_intra2")))
+    intra2 = F.coalesce(F.col("_intra2"), F.lit(0).cast("bigint"))
+    frac = intra2.cast("double") / F.col("_t2")
+    dfrac = F.col("degree_sum").cast("double") / F.col("_t2")
+    return (dc.join(ic, "community", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("community", "n_nodes",
+                    (intra2 / 2).cast("bigint").alias("intra_edges"),
+                    "degree_sum",
+                    F.round(frac - dfrac * dfrac, 6).alias("contribution")))
+
+
 def condensation_layers(edges: DataFrame, max_rounds: int = 100) -> DataFrame:
     """Condensation + topological layering of a directed graph: contract
     each strongly connected component to one super-node (the condensation
@@ -1303,6 +1353,26 @@ class GraphDegreeAssortativity(KiaraModule):
     def process(self, inputs: ValueMap, context):
         return {"table": degree_assortativity(
             inputs["graph"].data["edges"])}
+
+
+class GraphModularity(KiaraModule):
+    """Newman modularity of a given node partition (see modularity)."""
+
+    _module_type_name = "network_graph.modularity"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"},
+                "communities": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": modularity(
+            inputs["graph"].data["edges"],
+            inputs["communities"].data,
+            id_col=self.config.get("id_column", "id"),
+            comm_col=self.config.get("community_column", "community"))}
 
 
 class GraphBipartiteButterflies(KiaraModule):
@@ -1660,7 +1730,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphNodeSimilarity, GraphRandomWalks,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
            GraphBipartiteButterflies, GraphDegreeAssortativity,
-           GraphBipartiteProject]
+           GraphBipartiteProject, GraphModularity]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1696,4 +1766,5 @@ OPERATIONS = [
               "network_graph.bipartite_project"),
     Operation("network_graph.condensation_layers",
               "network_graph.condensation_layers"),
+    Operation("network_graph.modularity", "network_graph.modularity"),
 ]

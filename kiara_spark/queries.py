@@ -11271,6 +11271,61 @@ def variance_pvm_q(spark, sf_dir):
 
 
 @query(
+    "graph_modularity_by_nation",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    comm AS (
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS community
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS id, CAST(s_nationkey AS BIGINT)
+      FROM supplier
+    ),
+    j AS (
+      SELECT u.src, u.dst, cs.community AS ca, cd.community AS cb
+      FROM und u JOIN comm cs ON u.src = cs.id
+                 JOIN comm cd ON u.dst = cd.id),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t2 FROM j),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM j GROUP BY 1),
+    dc AS (SELECT c.community, CAST(SUM(d) AS BIGINT) AS degree_sum,
+                  CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM deg JOIN comm c ON deg.id = c.id GROUP BY 1),
+    ic AS (SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS intra2
+           FROM j WHERE ca = cb GROUP BY 1)
+    SELECT dc.community, dc.n_nodes,
+           CAST(COALESCE(ic.intra2, 0) / 2 AS BIGINT) AS intra_edges,
+           dc.degree_sum,
+           ROUND(CAST(COALESCE(ic.intra2, 0) AS DOUBLE) / t2
+                 - (CAST(dc.degree_sum AS DOUBLE) / t2)
+                   * (CAST(dc.degree_sum AS DOUBLE) / t2), 6)
+             AS contribution
+    FROM dc LEFT JOIN ic ON dc.community = ic.community, tot
+    """,
+)
+def graph_modularity_q(spark, sf_dir):
+    """Modularity of the nation partition over the co-purchase graph
+    (`network_graph.modularity`): per-community Q_c = L_c/m - (D_c/2m)^2;
+    summing `contribution` gives Newman's Q — the score every community
+    detection is judged by.  Two community-key aggregates, integer-exact
+    until the final fixed-shape ratios."""
+    from .operators import graph as G
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("bigint").alias("community"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1000000).alias("id"),
+        F.col("s_nationkey").cast("bigint").alias("community"))
+    return G.modularity(_copurchase_edges(spark, sf_dir),
+                        cust.unionByName(supp))
+
+
+@query(
     "graph_degree_assortativity",
     f"""
     WITH e AS ({_EDGES_SQL}),

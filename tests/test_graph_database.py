@@ -687,3 +687,30 @@ def test_bipartite_project_weights(spark, ctx):
     assert list(out2) == [(1, 2)]
     assert ctx.operation_registry.resolve(
         "network_graph.bipartite_project") is not None
+
+
+def test_modularity_two_triangles_and_degenerate(ctx, spark):
+    """Barbell of two triangles joined by one bridge edge: the triangle
+    partition scores the textbook Q = 2*(3/7 - (7/14)^2) = 0.357143; the
+    everyone-in-one-community partition scores exactly 0."""
+    from kiara_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long")
+    comm = spark.createDataFrame(
+        [(n, 0 if n <= 3 else 1) for n in range(1, 7)],
+        "id long, community long")
+    out = {r.community: r for r in modularity(edges, comm).collect()}
+    assert set(out) == {0, 1}
+    for c in (0, 1):
+        assert out[c].n_nodes == 3
+        assert out[c].intra_edges == 3
+        assert out[c].degree_sum == 7
+        assert abs(out[c].contribution - (3 / 7 - 0.25)) < 1e-6
+    assert abs(sum(r.contribution for r in out.values()) - 0.357143) < 1e-5
+    one = comm.withColumn("community", comm.community * 0)
+    flat = modularity(edges, one).collect()
+    assert len(flat) == 1 and abs(flat[0].contribution) < 1e-12
+    assert ctx.operation_registry.resolve(
+        "network_graph.modularity") is not None

@@ -60,6 +60,7 @@ INTENTIONAL_CROSS = {
     "text_term_trends",            # |groups|-row grid x tracked-term literals
     "events_markov_stationary",    # 1-row state-count broadcast seeds pi0
     "ml_calibration_bins_orders",  # 1-row bounds + 1-row total broadcasts
+    "graph_modularity_by_nation",  # 1-row 2m-total broadcast onto K communities
 }
 
 
