@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "training_shuffle_documents",
     "ml_calibration_bins_orders",
     "graph_modularity_by_nation",
+    "dedup_ngram_containment_pairs",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -437,6 +437,62 @@ def ngram_jaccard_pairs_lsh(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT (overlap
+    coefficient |A∩B| / min(|A|,|B|)) — the measure Jaccard dedup is blind
+    to: a short document quoted wholesale inside a much longer one has
+    Jaccard ~|A|/|B| (tiny) but containment ~1.  The standard screen for
+    quote-inclusion, boilerplate wrappers, and doc-inside-doc republishing.
+
+    Candidates come from the same banded-minhash machinery as
+    :func:`ngram_jaccard_pairs_lsh` (uniform buckets, no natural-key skew);
+    the verify stage computes the exact hashed-shingle overlap coefficient
+    on candidate pairs only.  LSH recall follows the Jaccard S-curve, so
+    EXTREME size ratios (a tweet inside a book) can slip past the bands —
+    for guaranteed substring recall use `table.dedup.ngram_spans`
+    (ExactSubstr); this op is the set-containment complement at near-equal
+    cost to a Jaccard pass.
+
+    Output: (id_a, id_b, containment, jaccard), id_a < id_b, thresholded
+    on containment."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k,
+                             "char")
+    cand = cut_lineage(cand)
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh_col = F.array_distinct(F.transform(
+        shingles_col(F.col(text_col), k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")))
+    cand_ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+                .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col), sh_col.alias("_sh")))
+    sh = cut_lineage(sh)
+    joined = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "sh_a"}),
+                  "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "sh_b"}), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    mn = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") \
+        - inter
+    containment = F.when(mn > 0, inter / mn).otherwise(F.lit(0.0))
+    return (joined
+            .withColumn("containment", containment)
+            .filter(F.col("containment") >= F.lit(threshold))
+            .select("id_a", "id_b",
+                    F.round("containment", 6).alias("containment"),
+                    F.round(F.when(union > 0, inter / union)
+                            .otherwise(F.lit(0.0)), 6).alias("jaccard")))
+
+
 def minhash_dedup_verified(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1084,6 +1140,29 @@ class DedupNgramJaccard(KiaraModule):
         )}
 
 
+class DedupNgramContainment(KiaraModule):
+    """Asymmetric containment near-dup pairs (see ngram_containment_pairs)."""
+
+    _module_type_name = "table.dedup.ngram_containment"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"pairs": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"pairs": ngram_containment_pairs(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("threshold", 0.8),
+            self.config.get("shingle_k", 5),
+            self.config.get("num_hashes", 16),
+            self.config.get("bands", 4),
+        )}
+
+
 class DedupFuzzyLevenshtein(KiaraModule):
     _module_type_name = "table.dedup.fuzzy_levenshtein"
 
@@ -1106,12 +1185,13 @@ class DedupFuzzyLevenshtein(KiaraModule):
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
            DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans,
            DedupMinhashIncremental, DedupParagraphs,
-           DedupMinhashIndexBuild]
+           DedupMinhashIndexBuild, DedupNgramContainment]
 OPERATIONS = [
     Operation("table.dedup.exact", "table.dedup.exact"),
     Operation("table.dedup.minhash", "table.dedup.minhash"),
     Operation("table.dedup.simhash", "table.dedup.simhash"),
     Operation("table.dedup.ngram_jaccard", "table.dedup.ngram_jaccard"),
+    Operation("table.dedup.ngram_containment", "table.dedup.ngram_containment"),
     Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
     Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
     Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),

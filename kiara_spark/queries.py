@@ -1071,6 +1071,52 @@ def dedup_jaccard_lsh_q(spark, sf_dir):
 
 
 @query(
+    "dedup_ngram_containment_pairs",
+    f"""
+    WITH sh_t AS ({_SH_T_CHAR_HASHED}),
+    h_t AS (SELECT doc_id,
+                   list_transform(shs, s -> {_H0.format(s='s')}) AS h0s,
+                   list_distinct(list_transform(shs,
+                     s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)))
+                     AS sh
+            FROM sh_t),
+    sig AS (SELECT doc_id, {_SIG_SQL} FROM h_t),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    m AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+             CAST(LEAST(len(sa.sh), len(sb.sh)) AS DOUBLE) AS mn,
+             CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS un
+      FROM cand JOIN h_t sa ON cand.id_a = sa.doc_id
+                JOIN h_t sb ON cand.id_b = sb.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN mn > 0 THEN inter / mn ELSE 0 END, 6)
+             AS containment,
+           ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0 END, 6) AS jaccard
+    FROM m
+    WHERE (CASE WHEN mn > 0 THEN inter / mn ELSE 0 END) >= 0.6
+    """,
+)
+def dedup_containment_q(spark, sf_dir):
+    """Asymmetric containment near-dup pairs
+    (`table.dedup.ngram_containment`): overlap coefficient
+    |A∩B|/min(|A|,|B|) over hashed char-5-gram sets — catches a short doc
+    quoted inside a long one, which Jaccard scores near |A|/|B| and
+    misses.  Candidates from the same uniform minhash-band blocking as the
+    LSH Jaccard path; verify restricted to candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, threshold=0.6, k=SHINGLE_K,
+                                     num_hashes=NUM_HASHES, bands=BANDS)
+
+
+@query(
     "dedup_paragraphs_boilerplate",
     """
     WITH docs2 AS (

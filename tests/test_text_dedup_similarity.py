@@ -678,3 +678,26 @@ def test_unimax_sample_water_filling(ctx, spark):
         sorted(r["doc_id"]
                for r in X.unimax_sample(df, "lang", budget=240).collect())
     assert ctx.operation_registry.resolve("table.sample.unimax") is not None
+
+
+def test_ngram_containment_catches_quote_inclusion(ctx, spark):
+    """A short doc quoted wholesale inside a longer one: containment ~1
+    while Jaccard sits well below — the pair passes a 0.95 containment
+    threshold that a 0.95 Jaccard dedup would miss.  Unrelated docs
+    produce no pair."""
+    from kiara_spark.operators.dedup import ngram_containment_pairs
+
+    core = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    wrapper = core + " with an extended editorial commentary appended"
+    other = ("completely different material about maritime navigation "
+             "charts and the history of lighthouse construction")
+    df = spark.createDataFrame(
+        [(1, core), (2, wrapper), (3, other)], "doc_id long, text string")
+    out = ngram_containment_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r.containment >= 0.99
+    assert r.jaccard < 0.9  # the asymmetry Jaccard-only dedup misses
+    assert ctx.operation_registry.resolve(
+        "table.dedup.ngram_containment") is not None
