@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "ml_calibration_bins_orders",
     "graph_modularity_by_nation",
     "dedup_ngram_containment_pairs",
+    "text_span_corruption",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -856,6 +856,79 @@ def token_dropout(
     })
 
 
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    block_len: int = 20,
+    out_prefix: str = "corrupted",
+) -> DataFrame:
+    """T5-style span-corruption prep (Raffel et al. 2020): mask one
+    ``span_len``-token span per ``block_len``-token block, emitting the
+    sentinel-joined (inputs, targets) pair an encoder-decoder LM trains on
+    — mask ratio = span_len/block_len (defaults: 15%, mean span 3).
+
+    Deterministic blocked placement instead of RNG: the document splits
+    into fixed ``block_len`` blocks and the span's offset inside block b is
+    ``hash32(id||'#'||b) % (blocklen - span_len + 1)`` — spans can never
+    overlap, the ratio is exact (partial trailing blocks shorter than
+    ``span_len`` are left unmasked), and re-runs/retries/partitionings
+    produce the SAME pairs; a new epoch is a salt in the id.  Sentinels
+    are numbered by block index (``<extra_id_b>``), ascending in document
+    order like T5's.
+
+    Map-only array expressions end to end (one per-position span-membership
+    probe, O(tokens x spans/doc) inside codegen) — corruption runs at scan
+    throughput; no shuffle, no UDF."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(block_len)).cast("int")
+    blocks = F.when(nb > 0, F.sequence(F.lit(0), nb - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    S = F.lit(span_len)
+
+    def span_of(b: Column) -> Column:
+        p0 = b * block_len + 1
+        blen = F.least(F.lit(block_len), n - b * block_len)
+        h = base_hash32(F.concat_ws(
+            "#", F.col(id_col).cast("string"), b.cast("string")))
+        off = h % (blen - S + 1)
+        return F.when(blen >= S, F.struct(
+            b.alias("b"), (p0 + off).alias("s"),
+            (p0 + off + S - 1).alias("e")))
+
+    spans = F.filter(F.transform(blocks, span_of), lambda x: x.isNotNull())
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def piece(pos: Column) -> Column:
+        starting = F.filter(spans, lambda sp: sp["s"] == pos)
+        inside = F.exists(
+            spans, lambda sp: (pos >= sp["s"]) & (pos <= sp["e"]))
+        return (F.when(F.size(starting) > 0,
+                       F.concat(F.lit("<extra_id_"),
+                                F.element_at(starting, 1)["b"].cast("string"),
+                                F.lit(">")))
+                .when(inside, F.lit(None))
+                .otherwise(F.element_at(toks, pos)))
+
+    inputs = F.concat_ws(" ", F.filter(F.transform(idx, piece),
+                                       lambda x: x.isNotNull()))
+    targets = F.concat_ws(" ", F.flatten(F.transform(
+        spans,
+        lambda sp: F.concat(
+            F.array(F.concat(F.lit("<extra_id_"), sp["b"].cast("string"),
+                             F.lit(">"))),
+            F.slice(toks, sp["s"], span_len)))))
+    return df.withColumns({
+        f"{out_prefix}_inputs": inputs,
+        f"{out_prefix}_targets": targets,
+        "n_tokens": n.cast("bigint"),
+        "n_masked": (F.size(spans) * span_len).cast("bigint"),
+    })
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text normalization for dedup/fingerprint pre-processing:
     lowercase, collapse all whitespace runs to single spaces, strip ASCII
@@ -1409,6 +1482,27 @@ class TableTokenBudgetCap(KiaraModule):
             text_col=self.config.get("text_column", "text"))}
 
 
+class TextSpanCorruption(KiaraModule):
+    """T5-style deterministic span-corruption pair prep (see
+    span_corruption)."""
+
+    _module_type_name = "text.augment.span_corruption"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": span_corruption(
+            inputs["table"].data,
+            id_col=self.config.get("id_column", "doc_id"),
+            text_col=self.config.get("text_column", "text"),
+            span_len=self.config.get("span_len", 3),
+            block_len=self.config.get("block_len", 20))}
+
+
 class TableUnimaxSample(KiaraModule):
     """UniMax water-filling token-budget sampler (see unimax_sample)."""
 
@@ -1585,7 +1679,7 @@ class TextCleanC4(KiaraModule):
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
-           TableUnimaxSample,
+           TableUnimaxSample, TextSpanCorruption,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
@@ -1617,6 +1711,8 @@ OPERATIONS = [
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),
+    Operation("text.augment.span_corruption", "text.augment.span_corruption",
+              doc="T5-style sentinel span masking -> (inputs, targets) pairs"),
     Operation("table.sample.weighted", "table.sample.weighted"),
     Operation("table.sample.mixture", "table.sample.mixture"),
     Operation("table.sample.temperature", "table.sample.temperature"),

@@ -4358,6 +4358,67 @@ def training_shuffle_documents_q(spark, sf_dir):
         "doc_id", "lang", "shard_id", "shard_pos")
 
 
+_H0_SPANB = _H0.replace(
+    "{s}", "CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")
+
+@query(
+    "text_span_corruption",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    nt AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    sp AS (
+      SELECT doc_id, toks, n,
+        list_filter(
+          list_transform(range(0, CAST(CEIL(n / 20.0) AS BIGINT)),
+            b -> CASE WHEN LEAST(20, n - b*20) >= 3 THEN
+              struct_pack(
+                bb := b,
+                ss := b*20 + 1 + ({_H0_SPANB}
+                       % (LEAST(20, n - b*20) - 2)))
+              END),
+          x -> x IS NOT NULL) AS spans
+      FROM nt)
+    SELECT doc_id,
+      array_to_string(
+        list_filter(
+          list_transform(range(1, n + 1), pos ->
+            CASE
+              WHEN len(list_filter(spans, s2 -> s2.ss = pos)) > 0
+                THEN '<extra_id_' || CAST(
+                  list_filter(spans, s2 -> s2.ss = pos)[1].bb AS VARCHAR)
+                  || '>'
+              WHEN len(list_filter(spans,
+                     s2 -> pos >= s2.ss AND pos <= s2.ss + 2)) > 0
+                THEN NULL
+              ELSE toks[CAST(pos AS INT)] END),
+          x -> x IS NOT NULL), ' ') AS corrupted_inputs,
+      array_to_string(
+        flatten(list_transform(spans, s2 ->
+          list_concat(['<extra_id_' || CAST(s2.bb AS VARCHAR) || '>'],
+                      list_slice(toks, s2.ss, s2.ss + 2)))), ' ')
+        AS corrupted_targets,
+      CAST(n AS BIGINT) AS n_tokens,
+      CAST(len(spans) * 3 AS BIGINT) AS n_masked
+    FROM sp
+    """,
+)
+def text_span_corruption_q(spark, sf_dir):
+    """T5-style span corruption (`text.augment.span_corruption`): one
+    3-token span per 20-token block (15% mask ratio), offsets a pure
+    function of (doc_id, block) — deterministic blocked placement, no
+    RNG, no overlap by construction.  Sentinel-joined (inputs, targets)
+    strings verified byte-for-byte against the SQL twin.  Map-only array
+    expressions: corruption at scan throughput."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.span_corruption(docs, span_len=3, block_len=20).select(
+        "doc_id", "corrupted_inputs", "corrupted_targets",
+        "n_tokens", "n_masked")
+
+
 @query(
     "unimax_sample_documents",
     f"""

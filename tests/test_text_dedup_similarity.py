@@ -701,3 +701,36 @@ def test_ngram_containment_catches_quote_inclusion(ctx, spark):
     assert r.jaccard < 0.9  # the asymmetry Jaccard-only dedup misses
     assert ctx.operation_registry.resolve(
         "table.dedup.ngram_containment") is not None
+
+
+def test_span_corruption_roundtrip_and_ratio(ctx, spark):
+    """Span corruption is lossless: splicing each sentinel's target span
+    back into the inputs reconstructs the original token stream.  One
+    3-token span per full 20-token block; short docs (<3 tokens) are
+    untouched; reruns identical."""
+    import re
+
+    text = " ".join(f"w{i:02d}" for i in range(1, 26))  # 25 tokens
+    df = spark.createDataFrame(
+        [(7, text), (8, "only two"), (9, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in X.span_corruption(df).collect()}
+    r = out[7]
+    assert r.n_tokens == 25 and r.n_masked == 6  # blocks of 20 and 5
+    # reconstruct: sentinel k in inputs <- the 3 tokens after sentinel k
+    # in targets
+    tgt = {}
+    parts = re.split(r"(<extra_id_\d+>)", r.corrupted_targets)
+    for i in range(1, len(parts), 2):
+        tgt[parts[i]] = parts[i + 1].strip()
+    rebuilt = re.sub(r"<extra_id_\d+>", lambda m: tgt[m.group(0)],
+                     r.corrupted_inputs)
+    assert re.sub(r"\s+", " ", rebuilt).strip() == text
+    assert set(tgt) == {"<extra_id_0>", "<extra_id_1>"}
+    # short and empty docs: nothing masked
+    assert out[8].n_masked == 0 and out[8].corrupted_inputs == "only two"
+    assert out[9].n_masked == 0 and out[9].corrupted_inputs == ""
+    again = {r.doc_id: r for r in X.span_corruption(df).collect()}
+    assert again[7].corrupted_inputs == r.corrupted_inputs
+    assert ctx.operation_registry.resolve(
+        "text.augment.span_corruption") is not None
