@@ -315,11 +315,17 @@ BENCH_QUERIES = [
     "graph_modularity_by_nation",
     "dedup_ngram_containment_pairs",
     "text_span_corruption",
+    "text_bpe_train_merges",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
 # alone doesn't carry.
 BENCH_NOTES = {
+    "text_bpe_train_merges":
+        "r6: 6 full BPE training rounds; each is one pair-count aggregate "
+        "+ one checkpointed merge pass over the vocabulary-sized word "
+        "dict, so wall time is ~12 tiny jobs of scheduling overhead — "
+        "corpus size only affects the single up-front word aggregate.",
     "basket_association_triples":
         "r6: at sf0.1 the order baskets are too sparse for any triple to "
         "reach min_support=2, so the query legitimately returns 0 rows — "

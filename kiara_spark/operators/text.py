@@ -224,6 +224,77 @@ def bpe_merge_candidates(
             .select("rank", "pair", "n_occurrences"))
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016) — the
+    multi-round extension of :func:`bpe_merge_candidates`: each round
+    counts adjacent symbol pairs across the word-frequency dictionary,
+    merges the most frequent pair (ties broken lexicographically) in every
+    word left-to-right non-overlapping, and repeats until ``n_merges``
+    merges are learned or no pair reaches ``min_pair_count``.
+
+    Scale design (why this survives 100 TB): the corpus feeds exactly ONE
+    (word)-key aggregate; all training rounds run on the distinct-word
+    dictionary (vocabulary-sized, corpus-size-independent), checkpointed so
+    round r never rescans the corpus or replays rounds 1..r-1.  Per round:
+    one pair-count aggregate with a 1-ROW argmax collect (the merge
+    decision is the only driver state) and one map-only fold that applies
+    the merge inside array expressions (``F.aggregate`` left-fold — L2R
+    non-overlapping, the reference BPE semantics).  No UDFs anywhere.
+
+    No end-of-word marker is appended (merges can span the whole word);
+    callers wanting GPT-2-style word boundaries can pre-suffix tokens.
+
+    Returns the learned merge table (rank, left, right, merged,
+    n_occurrences) — the artifact a BPE encoder consumes."""
+    from ..io import cut_lineage
+
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
+             .groupBy("_w")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_wc")))
+    chars = F.transform(F.sequence(F.lit(1), F.length("_w")),
+                        lambda i: F.col("_w").substr(i, F.lit(1)))
+    cur = cut_lineage(words.select("_wc", chars.alias("_seq")))
+
+    merges = []
+    for r in range(n_merges):
+        adj = F.when(
+            F.size("_seq") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("_seq") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_seq"), i).alias("l"),
+                            F.element_at(F.col("_seq"), i + 1).alias("r")))
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (cur.select("_wc", F.explode(adj).alias("_p"))
+                .groupBy(F.col("_p.l").alias("_l"), F.col("_p.r").alias("_r"))
+                .agg(F.sum("_wc").cast("bigint").alias("_n"))
+                .orderBy(F.col("_n").desc(), "_l", "_r")
+                .limit(1).collect())
+        if not best or best[0]._n < min_pair_count:
+            break
+        a, b, cnt = best[0]._l, best[0]._r, best[0]._n
+        la, lb = F.lit(a), F.lit(b)
+        fold = F.aggregate(
+            F.col("_seq"), F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        cur = cut_lineage(cur.withColumn("_seq", fold))
+        merges.append((r + 1, a, b, a + b, int(cnt)))
+    return spark.createDataFrame(
+        merges or [],
+        "rank bigint, left string, right string, merged string, "
+        "n_occurrences bigint")
+
+
 def cooccurrence_pmi(
     df: DataFrame,
     text_col: str = "text",
@@ -1604,6 +1675,25 @@ TextReadability = _mk("text.readability", with_readability,
                       "Flesch reading-ease score (vowel-group syllables)")
 TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
                     "BPE round-1 merge candidates over the word-freq dict")
+
+
+class TextBpeTrain(KiaraModule):
+    """Iterative BPE tokenizer training (see bpe_train)."""
+
+    _module_type_name = "text.bpe_train"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": bpe_train(
+            inputs["table"].data,
+            text_col=self.config.get("text_column", "text"),
+            n_merges=self.config.get("n_merges", 10),
+            min_pair_count=self.config.get("min_pair_count", 2))}
 TextCooccurrencePmi = _mk("text.cooccurrence_pmi", cooccurrence_pmi,
                           "top-k token collocations by document-level PMI")
 TextChi2Select = _mk("text.chi2_feature_select", chi2_feature_select,
@@ -1682,7 +1772,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableUnimaxSample, TextSpanCorruption,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4, TextReadability, TextBpeMerges, TextCooccurrencePmi,
+           TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain,
+           TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
 OPERATIONS = [
@@ -1708,6 +1799,9 @@ OPERATIONS = [
               doc="term usage per group, per-1000-token normalized"),
     Operation("text.stem", "text.stem",
               doc="S-stemmer plural stripping (deterministic, map-only)"),
+    Operation("text.bpe_train", "text.bpe_train",
+              doc="iterative BPE training: learned merge table over the "
+                  "word-frequency dictionary"),
     Operation("text.bpe_merge_candidates", "text.bpe_merge_candidates",
               doc="adjacent-char-pair merge candidates (BPE round 1)"),
     Operation("text.augment.token_dropout", "text.augment.token_dropout"),

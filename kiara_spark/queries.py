@@ -4358,6 +4358,20 @@ def training_shuffle_documents_q(spark, sf_dir):
         "doc_id", "lang", "shard_id", "shard_pos")
 
 
+@query("text_bpe_train_merges")
+def text_bpe_train_q(spark, sf_dir):
+    """Iterative BPE training (`text.bpe_train`): 6 merge rounds over the
+    corpus word-frequency dictionary.  Genuinely iterative (each round's
+    pair counts depend on the previous merge), so there is no single-SQL
+    oracle — correctness is pinned by the merge-for-merge equivalence test
+    against an independent pure-Python BPE
+    (tests/test_text_dedup_similarity.py).  The corpus feeds ONE word
+    aggregate; rounds run on the checkpointed vocabulary-sized dict with a
+    1-row argmax collect per round."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bpe_train(docs, n_merges=6)
+
+
 _H0_SPANB = _H0.replace(
     "{s}", "CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")
 

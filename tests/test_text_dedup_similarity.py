@@ -734,3 +734,53 @@ def test_span_corruption_roundtrip_and_ratio(ctx, spark):
     assert again[7].corrupted_inputs == r.corrupted_inputs
     assert ctx.operation_registry.resolve(
         "text.augment.span_corruption") is not None
+
+
+def _naive_bpe(word_freqs, n_merges, min_pair_count=2):
+    """Independent reference BPE (pure Python): argmax pair by (count desc,
+    pair lexicographic), L2R non-overlapping merge."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        if counts[best] < min_pair_count:
+            break
+        a, b = best
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        merges.append((rank, a, b, a + b, counts[best]))
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(ctx, spark):
+    """The distributed trainer reproduces an independent pure-Python BPE
+    on the classic low/lower/newest/widest corpus, merge for merge."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = " ".join(w for w, f in freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    got = [(r.rank, r.left, r.right, r.merged, r.n_occurrences)
+           for r in X.bpe_train(df, n_merges=8).orderBy("rank").collect()]
+    assert got == _naive_bpe(freqs, 8)
+    assert len(got) == 8
+    # min_pair_count stops training when pairs get rare
+    short = [(r.rank, r.left, r.right, r.merged, r.n_occurrences)
+             for r in X.bpe_train(df, n_merges=50, min_pair_count=5)
+             .orderBy("rank").collect()]
+    assert short == _naive_bpe(freqs, 50, min_pair_count=5)
+    assert 0 < len(short) < 50
+    assert ctx.operation_registry.resolve("text.bpe_train") is not None
