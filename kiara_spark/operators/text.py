@@ -416,23 +416,32 @@ def textrank_keywords(
     each other in a document, undirected, unweighted — the paper's
     construction) and rank words by fixed-iteration PageRank.
 
-    Composition showcase: the graph construction is one positional
-    self-join on the doc key (blowup = tokens x window per doc, a
-    constant), and the ranking reuses the engine's bit-stable
+    Composition showcase: co-occurring pairs are generated MAP-SIDE from
+    the token array (per position, the <= ``window`` following tokens —
+    tokens x window rows, no positional self-join: the previous self-join
+    on the doc key materialized the full per-doc token cartesian before
+    the window filter, O(doc_len^2) rows per document), and the ranking
+    reuses the engine's bit-stable
     :func:`~kiara_spark.operators.graph.pagerank` (decimal-exact
     contribution sums — so even this two-operator composition hash-matches
     a SQL twin).  Returns the global top-``top_k`` (keyword, rank)."""
     from .graph import pagerank
 
-    pos = df.select(
-        F.col(id_col).alias("_d"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("_p", "_t"))
-    a = pos.select("_d", F.col("_p").alias("_pa"), F.col("_t").alias("src"))
-    b = pos.select("_d", F.col("_p").alias("_pb"), F.col("_t").alias("dst"))
-    pairs = (a.join(b, "_d")
-             .filter((F.col("_pb") - F.col("_pa")).between(1, window)
-                     & (F.col("src") != F.col("dst")))
-             .select("src", "dst").distinct())
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    win_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
+            lambda o: F.struct(
+                F.element_at(toks, i).alias("src"),
+                F.element_at(toks, i + o).alias("dst")))))
+    pairs = (df.select(F.explode(
+        F.when(n >= 2, win_pairs)
+        .otherwise(F.array().cast(
+            "array<struct<src:string,dst:string>>"))).alias("_e"))
+        .select("_e.src", "_e.dst")
+        .filter(F.col("src") != F.col("dst")).distinct())
     und = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"))).distinct()
