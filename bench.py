@@ -316,6 +316,9 @@ BENCH_QUERIES = [
     "dedup_ngram_containment_pairs",
     "text_span_corruption",
     "text_bpe_train_merges",
+    # round 7: distributed ML fits
+    "ml_linreg_normal_lineitem",
+    "ml_logreg_gd_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -1731,6 +1731,162 @@ def target_encode(
     return df.join(mapping, cat_col, "left")
 
 
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant with a FIXED expansion order (first-row cofactors,
+    products left-to-right) — both engines must evaluate the identical
+    IEEE-double expression tree, so the formula is written once here and
+    mirrored verbatim in the SQL oracle."""
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def linear_regression_normal(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+) -> DataFrame:
+    """Multiple linear regression by DISTRIBUTED NORMAL EQUATIONS — the
+    exact OLS fit (intercept + 2 features) in two passes, no iteration:
+
+        w = (XᵀX)⁻¹ Xᵀy
+
+    Pass 1 accumulates the Gram sums n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂²,
+    Σy, Σx₁y, Σx₂y in ONE map-side-combined aggregate (per-row products
+    rounded to 9 dp and summed as DECIMAL(38,12) — exact, partition-order
+    invariant); the 3×3 system is then solved IN-PLAN by Cramer's rule on
+    the broadcast 1-row sums frame (fixed IEEE expression order — bit
+    reproducible).  Pass 2 re-scans with the coefficients (rounded 8 dp)
+    broadcast to accumulate SSE/SST for R².
+
+    Scale shape: the heavy table shuffles NOTHING — both passes are full
+    scans collapsed map-side to one row; only 12 numbers ever move.  For
+    d features the same pattern accumulates the (d+1)² Gram cells long-form
+    and solves the tiny system on the driver (bounded d² collect) — this
+    entry keeps d=2 so the solve itself stays in-plan and oracle-checkable.
+
+    Reference parity: the regression companion to
+    ``table.regression.by_group`` (per-group simple OLS) — this is the
+    multi-feature global fit.  Returns 1 row:
+    (n, intercept, coef_<x1>, coef_<x2>, r2)."""
+    if len(x_cols) != 2:
+        raise ValueError("linear_regression_normal: exactly 2 features "
+                         "(see docstring for the general-d pattern)")
+    x1c, x2c = x_cols
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1c).cast("double")
+    x2 = F.col(x2c).cast("double")
+    dsq = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    sums = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dsq(x1).alias("_sx1"), dsq(x2).alias("_sx2"),
+        dsq(x1 * x1).alias("_s11"), dsq(x1 * x2).alias("_s12"),
+        dsq(x2 * x2).alias("_s22"),
+        dsq(y).alias("_sy"), dsq(x1 * y).alias("_s1y"),
+        dsq(x2 * y).alias("_s2y"))
+    n_, sx1, sx2 = F.col("_n"), F.col("_sx1"), F.col("_sx2")
+    s11, s12, s22 = F.col("_s11"), F.col("_s12"), F.col("_s22")
+    sy, s1y, s2y = F.col("_sy"), F.col("_s1y"), F.col("_s2y")
+    det = _det3(n_, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    det0 = _det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    det1 = _det3(n_, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    det2 = _det3(n_, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    coefs = sums.select(
+        n_.cast("bigint").alias("n"),
+        F.round(det0 / det, 8).alias("_b0"),
+        F.round(det1 / det, 8).alias("_b1"),
+        F.round(det2 / det, 8).alias("_b2"),
+        (sy / n_).alias("_ybar"))
+    fit = df.crossJoin(F.broadcast(coefs))
+    resid = y - (F.col("_b0") + F.col("_b1") * x1 + F.col("_b2") * x2)
+    dev = y - F.col("_ybar")
+    r2 = fit.groupBy("n", "_b0", "_b1", "_b2").agg(
+        dsq(resid * resid).alias("_sse"),
+        dsq(dev * dev).alias("_sst"))
+    return r2.select(
+        "n",
+        F.round(F.col("_b0"), 6).alias("intercept"),
+        F.round(F.col("_b1"), 6).alias(f"coef_{x1c}"),
+        F.round(F.col("_b2"), 6).alias(f"coef_{x2c}"),
+        F.when(F.col("_sst") > 0,
+               F.round(1.0 - F.col("_sse") / F.col("_sst"), 6))
+        .alias("r2"))
+
+
+def logistic_regression_gd(
+    df: DataFrame,
+    label_col: str,
+    x_cols: list[str],
+    iterations: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Binary logistic regression by full-batch GRADIENT DESCENT — the
+    distributed-ML iteration pattern (one aggregate per step, weights as a
+    broadcast 1-row frame, nothing on the driver):
+
+        w⁽ᵗ⁺¹⁾ = w⁽ᵗ⁾ − lr · (1/n) Σᵢ (σ(w·xᵢ) − yᵢ) xᵢ
+
+    Each step is ONE map-side-combined aggregate over the (lineage-cut)
+    feature frame with the current weights cross-joined as a broadcast
+    1-row literal; gradient components accumulate decimal-exact
+    (round 9 dp → DECIMAL(38,12) sums).  Weights round to 12 dp per step
+    and σ(z) to 9 dp so the transcendental never decides a hash: both
+    engines agree on every operand bit.  Cost = ``iterations`` scans of
+    the cached feature projection, zero shuffles (the map-side combine
+    collapses every partition to d+1 numbers).
+
+    At 100 TB this is exactly MLlib's LogisticRegression treeAggregate
+    shape — per-executor partial gradients, one tiny reduce per epoch.
+    Returns 1 row: (n, w0, w_<x1>, w_<x2>, log_loss) with the final
+    clamped-σ train loss."""
+    if len(x_cols) != 2:
+        raise ValueError("logistic_regression_gd: exactly 2 features")
+    from ..io import cut_lineage
+
+    x1c, x2c = x_cols
+    feat = cut_lineage(df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(x1c).cast("double").alias("_x1"),
+        F.col(x2c).cast("double").alias("_x2")))
+    dsq = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    spark = df.sparkSession
+    w = spark.range(1).select(
+        F.lit(0.0).alias("_w0"), F.lit(0.0).alias("_w1"),
+        F.lit(0.0).alias("_w2"))
+    for _ in range(iterations):
+        z = (F.col("_w0") + F.col("_w1") * F.col("_x1")
+             + F.col("_w2") * F.col("_x2"))
+        s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        err = s - F.col("_y")
+        g = feat.crossJoin(F.broadcast(w)).groupBy("_w0", "_w1", "_w2").agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dsq(err).alias("_g0"),
+            dsq(err * F.col("_x1")).alias("_g1"),
+            dsq(err * F.col("_x2")).alias("_g2"))
+        w = g.select(
+            F.round(F.col("_w0") - lr * F.col("_g0") / F.col("_n"), 12)
+            .alias("_w0"),
+            F.round(F.col("_w1") - lr * F.col("_g1") / F.col("_n"), 12)
+            .alias("_w1"),
+            F.round(F.col("_w2") - lr * F.col("_g2") / F.col("_n"), 12)
+            .alias("_w2"))
+    zf = (F.col("_w0") + F.col("_w1") * F.col("_x1")
+          + F.col("_w2") * F.col("_x2"))
+    sf_ = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 9)
+    sc = F.least(F.greatest(sf_, F.lit(1e-9)), F.lit(1.0 - 1e-9))
+    ll_term = -(F.col("_y") * F.log(sc)
+                + (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - sc))
+    out = feat.crossJoin(F.broadcast(w)).groupBy("_w0", "_w1", "_w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsq(ll_term).alias("_sll"))
+    return out.select(
+        "n",
+        F.round(F.col("_w0"), 6).alias("w0"),
+        F.round(F.col("_w1"), 6).alias(f"w_{x1c}"),
+        F.round(F.col("_w2"), 6).alias(f"w_{x2c}"),
+        F.round(F.col("_sll") / F.col("n"), 6).alias("log_loss"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -1916,7 +2072,35 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
            TableAssociationTriples,
            TableProfile]
+TableLinRegNormal = _simple_module(
+    "table.ml.linear_regression",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": linear_regression_normal(
+        im["table"].data, self.config["target_column"],
+        self.config["feature_columns"])},
+    doc="Exact OLS (intercept + 2 features) by distributed normal "
+        "equations — one Gram aggregate, in-plan Cramer solve, R² pass.",
+)
+
+TableLogRegGd = _simple_module(
+    "table.ml.logistic_regression",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": logistic_regression_gd(
+        im["table"].data, self.config["label_column"],
+        self.config["feature_columns"],
+        iterations=self.config.get("iterations", 3),
+        lr=self.config.get("learning_rate", 1.0))},
+    doc="Binary logistic regression by full-batch gradient descent — "
+        "one decimal-exact aggregate per epoch, broadcast weight row.",
+)
+
 OPERATIONS = [
+    Operation("table.ml.linear_regression", "table.ml.linear_regression",
+              doc="multi-feature OLS via distributed normal equations"),
+    Operation("table.ml.logistic_regression", "table.ml.logistic_regression",
+              doc="full-batch gradient-descent logistic regression"),
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
     Operation("table.ml.lift_table", "table.ml.lift_table",

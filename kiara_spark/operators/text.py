@@ -429,22 +429,32 @@ def textrank_keywords(
 
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
+    # canonicalize (least, greatest) INSIDE the per-doc pair array and
+    # array_distinct it map-side, so the global edge-set distinct shuffles
+    # each undirected edge once per doc at most (the previous directed
+    # distinct + union-swapped + second distinct shuffled the full pair
+    # stream twice at double width)
     win_pairs = F.flatten(F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.transform(
             F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
             lambda o: F.struct(
-                F.element_at(toks, i).alias("src"),
-                F.element_at(toks, i + o).alias("dst")))))
-    pairs = (df.select(F.explode(
+                F.least(F.element_at(toks, i),
+                        F.element_at(toks, i + o)).alias("src"),
+                F.greatest(F.element_at(toks, i),
+                           F.element_at(toks, i + o)).alias("dst")))))
+    canon = (df.select(F.explode(F.array_distinct(
         F.when(n >= 2, win_pairs)
         .otherwise(F.array().cast(
-            "array<struct<src:string,dst:string>>"))).alias("_e"))
+            "array<struct<src:string,dst:string>>")))).alias("_e"))
         .select("_e.src", "_e.dst")
         .filter(F.col("src") != F.col("dst")).distinct())
-    und = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"),
-                     F.col("src").alias("dst"))).distinct()
+    # src < dst and distinct => both emitted directions are distinct too
+    und = canon.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"),
+                 F.col("src").alias("dst")))).alias("_e")) \
+        .select("_e.src", "_e.dst")
     ranks = pagerank(und, iterations=iterations, damping=0.85)
     return (ranks.select(F.col("id").alias("keyword"), "rank")
             .orderBy(F.col("rank").desc(), "keyword")

@@ -11805,6 +11805,121 @@ def concentration_entropy_q(spark, sf_dir):
                            group_cols=["user_id"])
 
 
+@query(
+    "ml_linreg_normal_lineitem",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(ROUND(l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(ROUND(l_quantity * l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(ROUND(l_discount * l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(ROUND(l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+      FROM lineitem
+    ), c AS (
+      SELECT CAST(n AS BIGINT) AS n_out,
+             ROUND((sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b0,
+             ROUND((n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b1,
+             ROUND((n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b2,
+             sy / n AS ybar
+      FROM s
+    ), e AS (
+      SELECT n_out, b0, b1, b2,
+             CAST(SUM(CAST(ROUND((l_extendedprice - (b0 + b1*l_quantity + b2*l_discount))
+                                 * (l_extendedprice - (b0 + b1*l_quantity + b2*l_discount)), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+             CAST(SUM(CAST(ROUND((l_extendedprice - ybar) * (l_extendedprice - ybar), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sst
+      FROM lineitem CROSS JOIN c GROUP BY 1, 2, 3, 4
+    )
+    SELECT n_out AS n, ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS coef_l_quantity, ROUND(b2, 6) AS coef_l_discount,
+           CASE WHEN sst > 0 THEN ROUND(1.0 - sse / sst, 6) END AS r2
+    FROM e
+    """,
+)
+def ml_linreg_normal_q(spark, sf_dir):
+    """Exact multi-feature OLS by distributed normal equations: ONE
+    map-side-combined Gram aggregate (9 decimal-exact sums), in-plan
+    Cramer solve on the broadcast 1-row sums frame, one residual pass
+    for R² — extendedprice ~ quantity + discount, zero shuffles.
+    Reference parity: global companion of `table.regression.by_group`."""
+    from .operators.quality import linear_regression_normal
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return linear_regression_normal(
+        li, "l_extendedprice", ["l_quantity", "l_discount"])
+
+
+_LR_SIG = "ROUND(1.0/(1.0 + EXP(-(w0 + w1*x1 + w2*x2))), 9)"
+_LR_DSQ = "CAST(SUM(CAST(ROUND({e}, 9) AS DECIMAL(38,12))) AS DOUBLE)"
+_LR_STEP = """
+    g{k} AS (
+      SELECT w0, w1, w2, CAST(COUNT(*) AS DOUBLE) AS n,
+             {g0} AS g0, {g1} AS g1, {g2} AS g2
+      FROM feat CROSS JOIN w{p} GROUP BY w0, w1, w2
+    ), w{k} AS (
+      SELECT ROUND(w0 - 1.0*g0/n, 12) AS w0,
+             ROUND(w1 - 1.0*g1/n, 12) AS w1,
+             ROUND(w2 - 1.0*g2/n, 12) AS w2
+      FROM g{k}
+    )""".format
+
+
+@query(
+    "ml_logreg_gd_orders",
+    """
+    WITH feat AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(o_totalprice AS DOUBLE)/600000.0 AS x1,
+             CAST(o_orderkey % 100 AS DOUBLE)/100.0 AS x2
+      FROM orders
+    ), w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    """
+    + ",".join(
+        _LR_STEP(k=k, p=("0s" if k == 1 else k - 1),
+                 g0=_LR_DSQ.format(e=f"{_LR_SIG} - y"),
+                 g1=_LR_DSQ.format(e=f"({_LR_SIG} - y) * x1"),
+                 g2=_LR_DSQ.format(e=f"({_LR_SIG} - y) * x2"))
+        for k in (1, 2, 3))
+    + """,
+    loss AS (
+      SELECT w0, w1, w2, CAST(COUNT(*) AS BIGINT) AS n,
+             """
+    + _LR_DSQ.format(
+        e="-(y * LN(LEAST(GREATEST(" + _LR_SIG + ", 0.000000001), 0.999999999))"
+          " + (1.0 - y) * LN(1.0 - LEAST(GREATEST(" + _LR_SIG
+          + ", 0.000000001), 0.999999999)))")
+    + """ AS sll
+      FROM feat CROSS JOIN w3 GROUP BY 1, 2, 3
+    )
+    SELECT n, ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w_x1,
+           ROUND(w2, 6) AS w_x2, ROUND(sll / n, 6) AS log_loss
+    FROM loss
+    """,
+)
+def ml_logreg_gd_q(spark, sf_dir):
+    """Full-batch gradient-descent logistic regression (finished-status ~
+    scaled price + key bucket): each epoch is ONE decimal-exact aggregate
+    with the weight vector as a broadcast 1-row frame — MLlib's
+    treeAggregate shape, nothing driver-side; σ rounds to 9 dp so the
+    transcendental never decides the hash.  Oracle is the SAME three
+    epochs unrolled as SQL CTEs."""
+    from .operators.quality import logistic_regression_gd
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") / 600000.0).alias("x1"),
+        ((F.col("o_orderkey") % 100).cast("double") / 100.0).alias("x2"))
+    return logistic_regression_gd(o, "y", ["x1", "x2"], iterations=3, lr=1.0)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now
