@@ -267,6 +267,52 @@ def event_path_ngrams(
     )
 
 
+def sequence_pattern(
+    df: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each key's
+    time-ordered event sequence (SQL:2016 row-pattern recognition, the
+    Flink CEP / Trino MATCH_RECOGNIZE capability, reduced to its portable
+    core).  Each event becomes its type's first letter; the per-user
+    letter string is matched with non-overlapping leftmost regex
+    semantics (identical in Java regex and RE2 for class-based patterns —
+    keep the terminator OUT of the repeated class, e.g. ``s[cv]*p`` =
+    "signup, then clicks/views only, then purchase", so greedy-vs-longest
+    ambiguity cannot arise).
+
+    Plan: ONE hash aggregate builds the ordered sequence per key
+    (``array_sort(collect_list(struct(ts, tiebreak, initial)))`` — no
+    window sort pass), then pure map-side regex.  Per-key state is that
+    key's event count: at 100 TB sessionize first or cap the horizon so
+    sequences stay bounded (same contract as ``events.session_paths``).
+    Returns one row per key: (user, seq_len, n_matches, first_match,
+    first_len); keys with zero matches are KEPT (n_matches = 0) so the
+    result doubles as the funnel-coverage audit."""
+    ini = F.substring(F.col(type_col), 1, 1)
+    seq = df.groupBy(F.col(user_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(ts_col).alias("_ts"),
+                             F.col(tiebreak_col).alias("_tb"),
+                             ini.alias("_i")))),
+                lambda x: x["_i"]), "").alias("_seq"))
+    ms = F.expr(f"regexp_extract_all(_seq, '{pattern}', 0)")
+    has = F.size(ms) > 0
+    return seq.select(
+        F.col(user_col),
+        F.length("_seq").cast("bigint").alias("seq_len"),
+        F.size(ms).cast("bigint").alias("n_matches"),
+        F.when(has, F.element_at(ms, 1)).alias("first_match"),
+        F.when(has, F.length(F.element_at(ms, 1)).cast("bigint"))
+        .alias("first_len"))
+
+
 def capped_running_balance(
     df: DataFrame,
     key_col: str = "event_type",
@@ -1123,7 +1169,22 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
            EventsMarkovStationary, EventsPositionAttribution,
            EventsChangepointBinseg]
+EventsSequencePattern = _simple_module(
+    "events.sequence_pattern",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": sequence_pattern(
+        im["table"].data, self.config["pattern"],
+        user_col=self.config.get("user_column", "user_id"),
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"))},
+    doc="MATCH_RECOGNIZE-lite regex matching over per-key ordered "
+        "event sequences",
+)
+
 OPERATIONS = [
+    Operation("events.sequence_pattern", "events.sequence_pattern",
+              doc="row-pattern recognition (regex CEP) per key"),
     Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
               doc="Kaplan-Meier survival curve under right censoring"),
     Operation("events.markov_stationary", "events.markov_stationary",

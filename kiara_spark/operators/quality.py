@@ -1731,6 +1731,67 @@ def target_encode(
     return df.join(mapping, cat_col, "left")
 
 
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — the nonparametric
+    companion to :func:`drift_psi` (no binning choice to defend):
+
+        KS = sup_x |F_ref(x) − F_cur(x)|
+
+    Scale design: both samples collapse to ONE row per DISTINCT value with
+    per-sample counts (hash aggregate — the AUC/Gini shape), cumulative
+    counts run over the sorted distinct grid, and the sup is found in
+    EXACT integer algebra — |cum_ref·n_cur − cum_cur·n_ref| as
+    DECIMAL(38,0), so no float comparison ever picks the argmax; ties on
+    the max pick the smallest value (deterministic).  Only the final
+    KS ratio and the 3-term asymptotic p-value (2Σ(−1)^{k−1}e^{−2k²λ²},
+    λ = KS·√(n₁n₂/(n₁+n₂))) are floating point, fixed-order, rounded 6 dp.
+    The only ordered state is the distinct-value grid (documented
+    trade-off: pre-round a truly continuous 100 TB column).  Returns one
+    row: (n_ref, n_cur, ks, ks_at, p_value)."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("decimal(38,6)")
+    tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
+              .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
+              .filter(F.col("_v").isNotNull()))
+    per_v = tagged.groupBy("_v").agg(
+        F.sum("_r").cast("bigint").alias("_c1"),
+        F.sum(1 - F.col("_r")).cast("bigint").alias("_c2"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "_v",
+        F.sum("_c1").over(w).cast("decimal(38,0)").alias("_f1"),
+        F.sum("_c2").over(w).cast("decimal(38,0)").alias("_f2"))
+    tot = per_v.agg(F.sum("_c1").cast("decimal(38,0)").alias("_n1"),
+                    F.sum("_c2").cast("decimal(38,0)").alias("_n2"))
+    num = cum.crossJoin(F.broadcast(tot)).select(
+        "_v", "_n1", "_n2",
+        F.abs(F.col("_f1") * F.col("_n2")
+              - F.col("_f2") * F.col("_n1")).alias("_num"))
+    mx = num.groupBy("_n1", "_n2").agg(F.max("_num").alias("_mx"))
+    at = (num.join(F.broadcast(mx.select("_mx")), num["_num"] == F.col("_mx"))
+          .groupBy("_n1", "_n2", "_mx")
+          .agg(F.min("_v").alias("_at")))
+    n1d = F.col("_n1").cast("double")
+    n2d = F.col("_n2").cast("double")
+    ks = F.col("_mx").cast("double") / (n1d * n2d)
+    lam = ks * F.sqrt(n1d * n2d / (n1d + n2d))
+    p = (F.lit(2.0) * (F.exp(F.lit(-2.0) * lam * lam)
+                       - F.exp(F.lit(-8.0) * lam * lam)
+                       + F.exp(F.lit(-18.0) * lam * lam)))
+    return at.select(
+        F.col("_n1").cast("bigint").alias("n_ref"),
+        F.col("_n2").cast("bigint").alias("n_cur"),
+        F.round(ks, 6).alias("ks"),
+        F.col("_at").cast("double").alias("ks_at"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6)
+        .alias("p_value"))
+
+
 def _det3(a, b, c, d, e, f, g, h, i):
     """3x3 determinant with a FIXED expansion order (first-row cofactors,
     products left-to-right) — both engines must evaluate the identical
@@ -2072,6 +2133,17 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
            TableAssociationTriples,
            TableProfile]
+TableKsDrift = _simple_module(
+    "table.drift.ks",
+    {"reference": TABLE, "current": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": ks_statistic(
+        im["reference"].data, im["current"].data,
+        self.config["value_column"])},
+    doc="Two-sample Kolmogorov-Smirnov drift test over the distinct-value "
+        "grid — exact integer sup, asymptotic p-value.",
+)
+
 TableLinRegNormal = _simple_module(
     "table.ml.linear_regression",
     {"table": TABLE},
@@ -2097,6 +2169,8 @@ TableLogRegGd = _simple_module(
 )
 
 OPERATIONS = [
+    Operation("table.drift.ks", "table.drift.ks",
+              doc="two-sample Kolmogorov-Smirnov drift test"),
     Operation("table.ml.linear_regression", "table.ml.linear_regression",
               doc="multi-feature OLS via distributed normal equations"),
     Operation("table.ml.logistic_regression", "table.ml.logistic_regression",

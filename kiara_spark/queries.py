@@ -11857,6 +11857,93 @@ def ml_linreg_normal_q(spark, sf_dir):
         li, "l_extendedprice", ["l_quantity", "l_discount"])
 
 
+@query(
+    "events_sequence_pattern",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT user_id, seq, regexp_extract_all(seq, 's[cv]*p') AS ms FROM s
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(ms) AS BIGINT) AS n_matches,
+           CASE WHEN len(ms) > 0 THEN ms[1] END AS first_match,
+           CASE WHEN len(ms) > 0 THEN CAST(length(ms[1]) AS BIGINT) END
+             AS first_len
+    FROM m
+    """,
+)
+def events_sequence_pattern_q(spark, sf_dir):
+    """Row-pattern recognition (MATCH_RECOGNIZE-lite): per-user funnel
+    'signup, then only clicks/views, then purchase' (`s[cv]*p`) matched
+    as a regex over the time-ordered event-initial string — Flink-CEP
+    capability as one hash aggregate + map-side regex."""
+    from .operators.events import sequence_pattern
+
+    return sequence_pattern(_t(spark, sf_dir, "events"), "s[cv]*p")
+
+
+@query(
+    "drift_ks_orders",
+    """
+    WITH tagged AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,6)) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS r
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), per_v AS (
+      SELECT v, CAST(SUM(r) AS BIGINT) AS c1,
+             CAST(SUM(1 - r) AS BIGINT) AS c2
+      FROM tagged GROUP BY v
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DECIMAL(38,0)) AS f1,
+             CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DECIMAL(38,0)) AS f2
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS DECIMAL(38,0)) AS n1,
+             CAST(SUM(c2) AS DECIMAL(38,0)) AS n2
+      FROM per_v
+    ), nm AS (
+      SELECT v, n1, n2, ABS(f1*n2 - f2*n1) AS num FROM cum CROSS JOIN tot
+    ), mx AS (SELECT n1, n2, MAX(num) AS m FROM nm GROUP BY 1, 2),
+    at AS (
+      SELECT nm.n1, nm.n2, m, MIN(v) AS atv
+      FROM nm JOIN mx ON nm.num = mx.m GROUP BY 1, 2, 3
+    ), sel AS (
+      SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+             CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ksr,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(atv AS DOUBLE) AS ks_at
+      FROM at
+    )
+    SELECT n_ref, n_cur, ROUND(ksr, 6) AS ks, ks_at,
+           ROUND(LEAST(GREATEST(
+             2.0 * (EXP(-2.0 * (ksr * SQRT(n1d * n2d / (n1d + n2d)))
+                               * (ksr * SQRT(n1d * n2d / (n1d + n2d))))
+                    - EXP(-8.0 * (ksr * SQRT(n1d * n2d / (n1d + n2d)))
+                                * (ksr * SQRT(n1d * n2d / (n1d + n2d))))
+                    + EXP(-18.0 * (ksr * SQRT(n1d * n2d / (n1d + n2d)))
+                                 * (ksr * SQRT(n1d * n2d / (n1d + n2d))))),
+             0.0), 1.0), 6) AS p_value
+    FROM sel
+    """,
+)
+def drift_ks_q(spark, sf_dir):
+    """Two-sample KS drift: early-period (pre-1996) vs late-period order
+    totals — distinct-value grid, exact-integer sup |F₁−F₂|, asymptotic
+    3-term p-value; the binning-free companion of `drift_psi_orders`."""
+    from .operators.quality import ks_statistic
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    return ks_statistic(o.filter(split), o.filter(~split), "o_totalprice")
+
+
 _LR_SIG = "ROUND(1.0/(1.0 + EXP(-(w0 + w1*x1 + w2*x2))), 9)"
 _LR_DSQ = "CAST(SUM(CAST(ROUND({e}, 9) AS DECIMAL(38,12))) AS DOUBLE)"
 _LR_STEP = """
