@@ -452,6 +452,68 @@ def bfs_hops(
     return visited
 
 
+def landmark_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Landmark-based closeness + harmonic centrality — the scalable
+    estimator for the classically O(n·m) centralities (pick k landmarks,
+    run ONE multi-source BFS carrying the landmark id, aggregate distances
+    per node; Potamias et al. 2009's sketch, here with the deterministic
+    landmark set supplied by the caller).
+
+    Per-round work is the frontier's edge boundary per landmark (the
+    ``bfs_hops`` shape with a composite (landmark, node) visited key);
+    k · |V| state upper-bounds the whole run, so k is the accuracy/cost
+    dial — at 100 TB pick k ~ hundreds, never all-pairs.  Distances cap at
+    ``max_hops`` (the oracle-checkable horizon; unreached pairs simply
+    don't contribute, exactly like the recursive-SQL twin).
+
+    Returns per reachable node (self-distances excluded):
+    (id, n_reached, sum_dist, closeness = n/Σd, harmonic = Σ 1/d) — the
+    harmonic sum accumulates round-9 decimal terms so both engines agree
+    bit-for-bit.  Reference parity: network_graph centrality surface
+    (degrees/PageRank/HITS exist; this adds the distance-based pair)."""
+    from ..io import cut_lineage
+
+    und = undirected_edges(edges)
+    if checkpoint:
+        und = cut_lineage(und)
+    visited = (landmarks.select(F.col(landmarks.columns[0]).alias("lm"))
+               .distinct()
+               .select("lm", F.col("lm").alias("id"),
+                       F.lit(0).cast("bigint").alias("hops")))
+    if checkpoint:
+        visited = cut_lineage(visited)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier, und.src == frontier.id)
+            .select("lm", F.col("dst").alias("id")).distinct()
+            .join(visited, ["lm", "id"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+        )
+        if checkpoint:
+            nxt = cut_lineage(nxt)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = cut_lineage(visited)
+        frontier = nxt
+    f = visited.filter(F.col("hops") > 0)
+    return f.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum("hops").cast("bigint").alias("sum_dist"),
+        F.round(F.count(F.lit(1)).cast("double")
+                / F.sum("hops").cast("double"), 6).alias("closeness"),
+        F.round(F.sum(F.round(F.lit(1.0) / F.col("hops").cast("double"), 9)
+                      .cast("decimal(38,12)")).cast("double"), 6)
+        .alias("harmonic"))
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 2,
@@ -1630,6 +1692,25 @@ class GraphBfsHops(KiaraModule):
             max_hops=self.config.get("max_hops", 4))}
 
 
+class GraphLandmarkCentrality(KiaraModule):
+    """Landmark-sampled closeness + harmonic centrality (one tagged BFS)."""
+
+    _module_type_name = "network_graph.landmark_centrality"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"},
+                "landmarks": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": landmark_centrality(
+            inputs["graph"].data["edges"],
+            inputs["landmarks"].data,
+            max_hops=self.config.get("max_hops", 3))}
+
+
 class GraphPersonalizedPagerank(KiaraModule):
     """Personalized (seed-teleport) PageRank, fixed iterations."""
 
@@ -1730,7 +1811,8 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphNodeSimilarity, GraphRandomWalks,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
            GraphBipartiteButterflies, GraphDegreeAssortativity,
-           GraphBipartiteProject, GraphModularity]
+           GraphBipartiteProject, GraphModularity,
+           GraphLandmarkCentrality]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1767,4 +1849,6 @@ OPERATIONS = [
     Operation("network_graph.condensation_layers",
               "network_graph.condensation_layers"),
     Operation("network_graph.modularity", "network_graph.modularity"),
+    Operation("network_graph.landmark_centrality",
+              "network_graph.landmark_centrality"),
 ]

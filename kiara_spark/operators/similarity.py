@@ -91,6 +91,43 @@ def cosine_topk_bruteforce(
     )
 
 
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact ground
+    truth — the eval harness that gates every ANN index rollout (FAISS /
+    ScaNN benchmark methodology, distributed):
+
+        recall(q) = |approx_topk(q) ∩ exact_topk(q)| / |exact_topk(q)|
+
+    Both inputs are (query_id, neighbor_id, ...) frames as produced by the
+    ``cosine_topk_*`` family.  Three hash aggregates keyed on query_id +
+    one (query, neighbor) equi-join — every shuffle is on the query key,
+    output is one row per query, so the harness costs a rounding error
+    next to the searches it evaluates.  The denominator is the EXACT
+    list's size, so truncated ground truth (< k candidates) scores
+    correctly.  Returns (query_id, n_exact, n_approx, n_hit, recall)."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    e = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    a = ap.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx"))
+    h = (ex.join(ap, ["query_id", "neighbor_id"])
+         .groupBy("query_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    return (e.join(a, "query_id", "left")
+            .join(h, "query_id", "left")
+            .select(
+                "query_id", "n_exact",
+                F.coalesce("n_approx", F.lit(0)).cast("bigint")
+                .alias("n_approx"),
+                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+                F.round(F.coalesce("n_hit", F.lit(0)).cast("double")
+                        / F.col("n_exact"), 6).alias("recall")))
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1186,10 +1223,26 @@ class EmbeddingPcaTop(KiaraModule):
             iterations=self.config.get("iterations", 3))}
 
 
+class EmbeddingTopkRecall(KiaraModule):
+    """Recall@k of an approximate top-k result vs exact ground truth."""
+
+    _module_type_name = "embedding.topk_recall"
+
+    def create_inputs_schema(self):
+        return {"exact": {"type": "table"}, "approx": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": topk_recall(
+            inputs["exact"].data, inputs["approx"].data)}
+
+
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
            EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
-           EmbeddingPcaTop]
+           EmbeddingPcaTop, EmbeddingTopkRecall]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1202,4 +1255,5 @@ OPERATIONS = [
     Operation("embedding.kmeans", "embedding.kmeans"),
     Operation("table.dedup.semantic", "table.dedup.semantic"),
     Operation("embedding.pca_top_component", "embedding.pca_top_component"),
+    Operation("embedding.topk_recall", "embedding.topk_recall"),
 ]

@@ -11858,6 +11858,108 @@ def ml_linreg_normal_q(spark, sf_dir):
 
 
 @query(
+    "sim_recall_eval_ivf",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings),
+    sb AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {{QN}} * {{CN}} > 0
+                   THEN {{DT}} / ({{QN}} * {{CN}}) ELSE 0.0 END, 8) AS cs
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    ),
+    topb AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id) AS rnk FROM sb)
+      WHERE rnk <= 5
+    ),
+    si AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {{QN}} * {{CN}} > 0
+                   THEN {{DT}} / ({{QN}} * {{CN}}) ELSE 0.0 END, 8) AS cs
+      FROM c JOIN q ON c.label = q.label WHERE c.neighbor_id <> q.query_id
+    ),
+    topi AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id) AS rnk FROM si)
+      WHERE rnk <= 5
+    ),
+    e AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM topb GROUP BY 1),
+    a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+          FROM topi GROUP BY 1),
+    h AS (SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM topb b JOIN topi i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY 1)
+    SELECT e.query_id, e.n_exact,
+           COALESCE(a.n_approx, 0) AS n_approx,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / e.n_exact, 6)
+             AS recall
+    FROM e LEFT JOIN a ON e.query_id = a.query_id
+           LEFT JOIN h ON e.query_id = h.query_id
+    """.format(QN=_QNORM, CN=_CNORM, DT=_DOT),
+)
+def sim_recall_eval_q(spark, sf_dir):
+    """ANN quality harness: recall@5 of the IVF (label-bucket) index
+    against the exact brute-force ground truth, per query — the eval loop
+    every production ANN deployment runs before trusting an index.  Both
+    rankings are the engine's own oracle-verified operators; the recall
+    join is (query, neighbor)-keyed and the denominator is the exact
+    list's size (robust when a query has < k candidates)."""
+    from .operators.similarity import topk_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = S.cosine_topk_ivf(emb, queries, k=5, bucket_col="label")
+    return topk_recall(exact, approx)
+
+
+@query(
+    "graph_landmark_centrality",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    lms AS (SELECT DISTINCT src AS lm FROM und WHERE src % 200 = 0),
+    walk(lm, id, hops) AS (
+      SELECT lm, lm, 0 FROM lms
+      UNION
+      SELECT w.lm, u.dst, w.hops + 1
+      FROM walk w JOIN und u ON u.src = w.id
+      WHERE w.hops < 3
+    ),
+    d AS (SELECT lm, id, CAST(MIN(hops) AS BIGINT) AS dist
+          FROM walk GROUP BY 1, 2),
+    f AS (SELECT id, dist FROM d WHERE dist > 0)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)
+             AS closeness,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(dist AS DOUBLE), 9)
+                                AS DECIMAL(38,12))) AS DOUBLE), 6) AS harmonic
+    FROM f GROUP BY id
+    """,
+)
+def graph_landmark_centrality_q(spark, sf_dir):
+    """Landmark closeness + harmonic centrality: ~|V|/200 deterministic
+    landmark customers, ONE landmark-tagged multi-source BFS (3-hop
+    horizon) over the co-purchase graph, per-node distance aggregate —
+    the O(k·m) estimator for the O(n·m) exact centralities."""
+    from .operators import graph as G
+
+    edges = _copurchase_edges(spark, sf_dir)
+    und = G.undirected_edges(edges)
+    lms = und.select("src").filter(F.col("src") % 200 == 0).distinct()
+    return G.landmark_centrality(edges, lms, max_hops=3)
+
+
+@query(
     "events_sequence_pattern",
     """
     WITH s AS (
