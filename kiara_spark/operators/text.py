@@ -461,6 +461,58 @@ def textrank_keywords(
             .limit(top_k))
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train`'s artifact) to
+    the corpus — the ENCODE half of the tokenizer, entirely in JVM string
+    expressions (no UDF):
+
+    Each word becomes a delimiter-wrapped symbol string ``(h)(e)(l)(l)(o)``
+    and every merge (a, b)→ab is ONE ``replace('(a)(b)' → '(ab)')`` —
+    left-to-right non-overlapping, exactly the trainer's fold semantics,
+    and the per-symbol wrapping makes a cross-symbol match impossible
+    (``(t)(he)`` can never match pattern ``(t)(h)``; tokens are [a-z0-9]+
+    so the parens are safe).  The merge list rides into the plan as ONE
+    broadcast array (a tokenizer model is a bounded artifact) and the
+    merges apply as an ``F.aggregate`` left-fold — no driver loop, no
+    Python.  One corpus scan, one hash aggregate on the doc key.
+
+    Returns per doc: (id, n_words, n_chars, n_symbols, compression =
+    chars/symbols) — the token-budget readout a data pipeline needs from
+    its tokenizer."""
+    marr = merges.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("rank").alias("k"), F.col("left").alias("l"),
+        F.col("right").alias("r"), F.col("merged").alias("m"))))
+        .alias("_ms"))
+    words = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_w"))
+    chars = F.transform(F.sequence(F.lit(1), F.length("_w")),
+                        lambda i: F.col("_w").substr(i, F.lit(1)))
+    wrapped = F.concat(F.lit("("), F.array_join(chars, ")("), F.lit(")"))
+    enc = F.aggregate(
+        F.col("_ms"), wrapped,
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit("("), m["l"], F.lit(")("), m["r"], F.lit(")")),
+            F.concat(F.lit("("), m["m"], F.lit(")"))))
+    n_sym = (F.length(enc)
+             - F.length(F.replace(enc, F.lit("("), F.lit(""))))
+    return (words.crossJoin(F.broadcast(marr))
+            .select(F.col(id_col), F.length("_w").alias("_nc"),
+                    n_sym.alias("_ns"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("_nc").cast("bigint").alias("n_chars"),
+                 F.sum("_ns").cast("bigint").alias("n_symbols"),
+                 F.round(F.sum("_nc").cast("double")
+                         / F.sum("_ns").cast("double"), 6)
+                 .alias("compression")))
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -1713,6 +1765,24 @@ class TextBpeTrain(KiaraModule):
             text_col=self.config.get("text_column", "text"),
             n_merges=self.config.get("n_merges", 10),
             min_pair_count=self.config.get("min_pair_count", 2))}
+class TextBpeEncode(KiaraModule):
+    """BPE encode: apply a trained merge table (broadcast fold, no UDF)."""
+
+    _module_type_name = "text.bpe_encode"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}, "merges": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": bpe_encode(
+            inputs["table"].data, inputs["merges"].data,
+            text_col=self.config.get("text_column", "text"),
+            id_col=self.config.get("id_column", "doc_id"))}
+
+
 TextCooccurrencePmi = _mk("text.cooccurrence_pmi", cooccurrence_pmi,
                           "top-k token collocations by document-level PMI")
 TextChi2Select = _mk("text.chi2_feature_select", chi2_feature_select,
@@ -1791,7 +1861,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableUnimaxSample, TextSpanCorruption,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain,
+           TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
@@ -1818,6 +1888,8 @@ OPERATIONS = [
               doc="term usage per group, per-1000-token normalized"),
     Operation("text.stem", "text.stem",
               doc="S-stemmer plural stripping (deterministic, map-only)"),
+    Operation("text.bpe_encode", "text.bpe_encode",
+              doc="apply a trained BPE merge table (broadcast fold encode)"),
     Operation("text.bpe_train", "text.bpe_train",
               doc="iterative BPE training: learned merge table over the "
                   "word-frequency dictionary"),

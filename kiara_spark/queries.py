@@ -11858,6 +11858,53 @@ def ml_linreg_normal_q(spark, sf_dir):
 
 
 @query(
+    "text_bpe_encode_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             '(' || array_to_string(list_transform(
+                 range(1, length(w) + 1), i -> substring(w, i, 1)), ')(')
+                 || ')' AS w0
+      FROM w
+    ), e AS (
+      SELECT doc_id, length(w) AS nc,
+             replace(replace(replace(replace(replace(replace(w0,
+               '(t)(h)', '(th)'), '(th)(e)', '(the)'), '(i)(n)', '(in)'),
+               '(e)(r)', '(er)'), '(a)(n)', '(an)'), '(o)(n)', '(on)') AS enc
+      FROM s
+    ), c AS (
+      SELECT doc_id, nc,
+             length(enc) - length(replace(enc, '(', '')) AS ns
+      FROM e
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(ns) AS BIGINT) AS n_symbols,
+           ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE), 6)
+             AS compression
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_bpe_encode_q(spark, sf_dir):
+    """BPE ENCODE (the serving half of text.bpe_train): a pinned 6-merge
+    table — th, the, in, er, an, on — applied as a broadcast
+    replace-fold over delimiter-wrapped symbol strings; per-doc token
+    budget + compression readout.  The oracle re-applies the identical
+    merges as nested REPLACE calls (same L2R non-overlapping semantics);
+    composition with LIVE trained merges is pytest-covered (train →
+    encode round trip)."""
+    from .operators.text import bpe_encode
+
+    merges = spark.createDataFrame(
+        [(1, "t", "h", "th"), (2, "th", "e", "the"), (3, "i", "n", "in"),
+         (4, "e", "r", "er"), (5, "a", "n", "an"), (6, "o", "n", "on")],
+        "rank bigint, left string, right string, merged string")
+    return bpe_encode(_t(spark, sf_dir, "documents"), merges)
+
+
+@query(
     "sim_recall_eval_ivf",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label

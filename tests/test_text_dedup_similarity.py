@@ -784,3 +784,36 @@ def test_bpe_train_matches_reference_implementation(ctx, spark):
     assert short == _naive_bpe(freqs, 50, min_pair_count=5)
     assert 0 < len(short) < 50
     assert ctx.operation_registry.resolve("text.bpe_train") is not None
+
+
+def test_bpe_encode_round_trip_with_trained_merges(ctx, spark):
+    """bpe_encode applied to bpe_train's own merge table reproduces the
+    naive Python encoder's symbol counts (train -> encode composition)."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = " ".join(w for w, f in freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges_df = X.bpe_train(df, n_merges=5)
+    merges = [(r.left, r.right) for r in merges_df.orderBy("rank").collect()]
+
+    def encode(word):
+        s = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    want_symbols = sum(len(encode(w)) * f for w, f in freqs.items())
+    want_chars = sum(len(w) * f for w, f in freqs.items())
+    row = X.bpe_encode(df, merges_df).collect()[0]
+    assert row.n_words == sum(freqs.values())
+    assert row.n_chars == want_chars
+    assert row.n_symbols == want_symbols
+    assert row.compression == round(want_chars / want_symbols, 6)
+    assert ctx.operation_registry.resolve("text.bpe_encode") is not None
