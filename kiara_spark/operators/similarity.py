@@ -1023,6 +1023,25 @@ def kmeans_lloyd(
     Each iteration = one scan + one (cluster, dim)-key aggregate; lineage
     never grows because centroids re-enter as literals.  Returns
     (id, cluster, dist_sq) for the final assignment."""
+    _, assign = _kmeans_fit(df, k, n_iter, id_col, vec_col)
+    out = assign(df)
+    return out.select(
+        F.col(id_col), "cluster",
+        F.round(F.col("_dist"), 6).cast("double").alias("dist_sq"))
+
+
+def _kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared Lloyd training loop (see :func:`kmeans_lloyd` for the full
+    design notes).  Returns (centroids, assign) where ``assign`` maps a
+    frame to itself + (cluster, _dist) columns and also exposes the
+    all-centroid candidate array builder as ``assign.cands`` for
+    consumers that need every distance (silhouette)."""
     init = (df.orderBy(id_col).limit(k)
             .select(id_col, vec_col).collect())
     if len(init) < k:
@@ -1052,16 +1071,20 @@ def kmeans_lloyd(
             lambda acc, x: (acc + x).cast("decimal(30,10)")
         ).cast("decimal(38,10)")
 
-    def assign(data: DataFrame) -> DataFrame:
-        cands = F.array(*[
+    def cands_expr():
+        return F.array(*[
             F.struct(dist_expr(c).alias("dist"), F.lit(j).alias("cid"))
             for j, c in enumerate(centroids)
         ])
-        best = F.array_min(cands)
+
+    def assign(data: DataFrame) -> DataFrame:
+        best = F.array_min(cands_expr())
         return data.withColumn("_best", best).select(
             *data.columns,
             F.col("_best.cid").alias("cluster"),
             F.col("_best.dist").alias("_dist"))
+
+    assign.cands = cands_expr
 
     for _ in range(n_iter):
         assigned = assign(df)
@@ -1081,10 +1104,45 @@ def kmeans_lloyd(
             for j in range(k)
         ]
 
-    out = assign(df)
-    return out.select(
-        F.col(id_col), "cluster",
-        F.round(F.col("_dist"), 6).cast("double").alias("dist_sq"))
+    return centroids, assign
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SIMPLIFIED silhouette score for the deterministic Lloyd fit — the
+    clustering-quality readout (Hruschka et al.'s simplified variant:
+    distances to CENTROIDS, not all points, so it stays O(n·k) and
+    distributes as a pure map where the classical silhouette is O(n²)):
+
+        s(x) = (b − a) / max(a, b),   a = ‖x − c_own‖, b = min_{j≠own} ‖x − c_j‖
+
+    One extra map-only pass after training: the k candidate distances are
+    already literal-centroid expressions, ``array_sort`` picks nearest +
+    second-nearest in-plan (sqrt is IEEE-correctly-rounded, so even it is
+    bit-portable), per-point s rounds to 9 dp and cluster means accumulate
+    decimal-exact.  Returns per cluster: (cluster, n, mean_sil, min_sil,
+    max_sil)."""
+    _, assign = _kmeans_fit(df, k, n_iter, id_col, vec_col)
+    ranked = F.array_sort(assign.cands())
+    a2 = F.element_at(ranked, 1)
+    b2 = F.element_at(ranked, 2)
+    av = F.sqrt(a2["dist"].cast("double"))
+    bv = F.sqrt(b2["dist"].cast("double"))
+    s = F.when(F.greatest(av, bv) > 0,
+               F.round((bv - av) / F.greatest(av, bv), 9)) \
+        .otherwise(F.lit(0.0))
+    pts = df.select(a2["cid"].alias("cluster"), s.alias("_s"))
+    return pts.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("_s").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_sil"),
+        F.round(F.min("_s"), 6).alias("min_sil"),
+        F.round(F.max("_s"), 6).alias("max_sil"))
 
 
 class EmbeddingKMeans(KiaraModule):
@@ -1223,6 +1281,26 @@ class EmbeddingPcaTop(KiaraModule):
             iterations=self.config.get("iterations", 3))}
 
 
+class EmbeddingKMeansSilhouette(KiaraModule):
+    """Simplified (centroid-based) silhouette for the Lloyd fit."""
+
+    _module_type_name = "embedding.kmeans_silhouette"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": kmeans_silhouette(
+            inputs["table"].data,
+            k=self.config.get("k", 4),
+            n_iter=self.config.get("n_iter", 2),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"))}
+
+
 class EmbeddingTopkRecall(KiaraModule):
     """Recall@k of an approximate top-k result vs exact ground truth."""
 
@@ -1242,7 +1320,7 @@ class EmbeddingTopkRecall(KiaraModule):
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
            EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
-           EmbeddingPcaTop, EmbeddingTopkRecall]
+           EmbeddingPcaTop, EmbeddingTopkRecall, EmbeddingKMeansSilhouette]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1256,4 +1334,6 @@ OPERATIONS = [
     Operation("table.dedup.semantic", "table.dedup.semantic"),
     Operation("embedding.pca_top_component", "embedding.pca_top_component"),
     Operation("embedding.topk_recall", "embedding.topk_recall"),
+    Operation("embedding.kmeans_silhouette",
+              "embedding.kmeans_silhouette"),
 ]

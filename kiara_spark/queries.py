@@ -7119,6 +7119,43 @@ def kmeans_q(spark, sf_dir):
     return S.kmeans_lloyd(emb, k=4, n_iter=2)
 
 
+@query(
+    "kmeans_silhouette_embeddings",
+    f"""
+    WITH {_KMEANS_CTES},
+    r AS (SELECT vec_id, cid, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM a3),
+    ab AS (SELECT a.vec_id, a.cid AS cluster,
+                  SQRT(CAST(a.dist AS DOUBLE)) AS av,
+                  SQRT(CAST(b.dist AS DOUBLE)) AS bv
+           FROM r a JOIN r b ON a.vec_id = b.vec_id
+                            AND a.rn = 1 AND b.rn = 2),
+    s AS (SELECT cluster,
+                 CASE WHEN GREATEST(av, bv) > 0
+                      THEN ROUND((bv - av) / GREATEST(av, bv), 9)
+                      ELSE 0.0 END AS s
+          FROM ab)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_sil,
+           ROUND(MIN(s), 6) AS min_sil,
+           ROUND(MAX(s), 6) AS max_sil
+    FROM s GROUP BY cluster
+    """,
+)
+def kmeans_silhouette_q(spark, sf_dir):
+    """Simplified silhouette (centroid-based, O(n·k) not O(n²)) for the
+    deterministic k=4 Lloyd fit: one extra MAP-ONLY pass — nearest and
+    second-nearest centroid come from one in-plan array_sort of the
+    literal-centroid distance candidates; IEEE sqrt is correctly rounded
+    so even the distances are bit-portable.  Per-cluster quality readout
+    (n, mean/min/max silhouette)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_silhouette(emb, k=4, n_iter=2)
+
+
 _SEM_COS = (f"ROUND(CASE WHEN {_PAIR_ANORM} * {_PAIR_BNORM} > 0 "
             f"THEN {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) "
             f"ELSE 0.0 END, 8)")
