@@ -409,6 +409,40 @@ def frame_sample_stub(df: DataFrame, binary_col: str = "media",
         schema=f"{id_col} long, frame_idx int, frame_offset long, frame_len long")
 
 
+def scene_cuts_stub(
+    frames: DataFrame,
+    id_col: str = "id",
+    threshold: int = 500,
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over a sampled-frame table —
+    the standard video-curation step after ``media.frame_sample``: compute
+    a per-frame feature, compare consecutive frames per video, and flag a
+    cut where the feature jumps past ``threshold``.
+
+    The per-frame "feature" here is deterministic arithmetic on the frame
+    descriptor ((id·7919 + idx·104729 + len) mod 997 — the container has
+    no codecs), but the PLUMBING is the production shape and fully real:
+    one window-lag pass partitioned on the video key (single shuffle,
+    state = one previous frame per partition stream) + one per-video
+    aggregate.  Swap the feature expression for a decoded-frame histogram
+    distance on a cluster with codecs; the plan is unchanged.  Returns
+    (id, n_frames, n_cuts, first_cut_idx)."""
+    from pyspark.sql.window import Window
+
+    feat = ((F.col(id_col) * 7919 + F.col("frame_idx") * 104729
+             + F.col("frame_len")) % 997).cast("bigint")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag(feat).over(w)
+    cut = (prev.isNotNull()
+           & (F.abs(feat - prev) > threshold)).cast("int")
+    per = frames.select(F.col(id_col), F.col("frame_idx"), cut.alias("_cut"))
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("_cut").cast("bigint").alias("n_cuts"),
+        F.min(F.when(F.col("_cut") == 1, F.col("frame_idx")))
+        .cast("bigint").alias("first_cut_idx"))
+
+
 def decode_audio_stub(df: DataFrame, binary_col: str = "media",
                       passthrough: tuple = ()):
     """Audio decode -> features, as ``mapInPandas`` (completes the
@@ -567,6 +601,22 @@ class MediaFrameSample(KiaraModule):
             max_frames=self.config.get("max_frames", 8))}
 
 
+class MediaSceneCuts(KiaraModule):
+    _module_type_name = "media.scene_cuts"
+
+    def create_inputs_schema(self):
+        return {"frames": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": scene_cuts_stub(
+            inputs["frames"].data,
+            id_col=self.config.get("id_column", "id"),
+            threshold=self.config.get("threshold", 500))}
+
+
 class MediaAttachMetadata(KiaraModule):
     _module_type_name = "media.attach_metadata"
 
@@ -633,6 +683,7 @@ MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
     RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
     MediaDecodeAudio, MediaFrameSample, MediaResizeImage, MediaEmbed,
+    MediaSceneCuts,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
@@ -647,4 +698,5 @@ OPERATIONS = [
     Operation("media.frame_sample", "media.frame_sample"),
     Operation("media.resize_image", "media.resize_image"),
     Operation("media.embed", "media.embed"),
+    Operation("media.scene_cuts", "media.scene_cuts"),
 ]

@@ -561,6 +561,66 @@ def bigram_logprob(
                          / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
 
 
+def kneser_ney_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the real-LM step past
+    add-1 smoothing (:func:`bigram_logprob`), the smoothing SOTA n-gram
+    LMs actually ship (Kneser & Ney 1995; Chen & Goodman 1999):
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                   + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    — absolute discounting plus the continuation-probability backoff
+    (how many CONTEXTS a word follows, not how often it occurs: the
+    "San Francisco" fix).
+
+    Scale design is the bigram_logprob recipe: map-only bigram expansion
+    from the token array, ONE (w₁,w₂) aggregate trains every statistic —
+    c(w₁w₂); c(w₁·) and N₁₊(w₁·) by a second tiny rollup; N₁₊(·w₂) by a
+    third; N₁₊(··) broadcast as one row — then scoring joins doc bigrams
+    against the model on the bigram key.  All counts are exact integers;
+    P evaluates in fixed-order IEEE doubles, −ln P rounds to 9 dp and
+    sums as DECIMAL(38,12).  Returns (id, n_bigrams, avg_neg_logprob_kn);
+    docs with < 2 tokens are absent."""
+    ws = tokens_col(F.col(text_col))
+    big = df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(ws) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2"))))
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("_b")
+    ).select(id_col, "_b.w1", "_b.w2")
+    c2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("contw"))
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    d_ = F.lit(float(discount))
+    p = (F.greatest(F.col("c2").cast("double") - d_, F.lit(0.0))
+         / F.col("c1").cast("double")
+         + d_ * F.col("n1p").cast("double") / F.col("c1").cast("double")
+         * (F.col("contw").cast("double") / F.col("tt").cast("double")))
+    term = F.round(-F.log(p), 9).cast("decimal(38,12)")
+    return (big.join(c2, ["w1", "w2"])
+            .join(c1, "w1")
+            .join(cont, "w2")
+            .crossJoin(F.broadcast(tt))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.sum(term).cast("double")
+                         / F.count(F.lit(1)), 6)
+                 .alias("avg_neg_logprob_kn")))
+
+
 def kwic_concordance(
     df: DataFrame,
     term: str,
@@ -1791,6 +1851,8 @@ TextRankKeywords = _mk("text.textrank_keywords", textrank_keywords,
                        "TextRank keywords: co-occurrence graph + PageRank")
 TextBigramLogprob = _mk("text.bigram_logprob", bigram_logprob,
                         "self-trained add-1 bigram LM per-doc score")
+TextKneserNey = _mk("text.kneser_ney_bigram", kneser_ney_bigram_logprob,
+                    "interpolated Kneser-Ney bigram LM per-doc score")
 TextRemoveStopwords = _mk("text.remove_stopwords", remove_stopwords,
                           "stopword removal (literal vocabulary, map-only)")
 TextStem = _mk("text.stem", stem_tokens,
@@ -1863,7 +1925,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
-           TextChi2Select, TextRankKeywords, TextBigramLogprob,
+           TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
@@ -1878,6 +1940,8 @@ OPERATIONS = [
               doc="per-label top-k tokens by 2x2 chi-square"),
     Operation("text.textrank_keywords", "text.textrank_keywords",
               doc="TextRank keywords (co-occurrence graph + PageRank)"),
+    Operation("text.kneser_ney_bigram", "text.kneser_ney_bigram",
+              doc="interpolated Kneser-Ney bigram LM per-doc score"),
     Operation("text.bigram_logprob", "text.bigram_logprob",
               doc="self-trained add-1 bigram LM per-doc score"),
     Operation("text.kwic", "text.kwic",

@@ -6323,6 +6323,52 @@ def multimodal_frame_sample_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_scene_cuts",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, octet_length(encode(text)) AS n FROM documents
+    ), fr AS (
+      SELECT id, CAST(i AS INT) AS frame_idx,
+             CAST(LEAST(1000, n - i * 1000) AS BIGINT) AS frame_len
+      FROM m, UNNEST(range(0, CASE WHEN n > 0
+                      THEN LEAST(8, n // 1000 + 1) ELSE 0 END)) AS r(i)
+    ), f AS (
+      SELECT id, frame_idx,
+             CAST((id * 7919 + frame_idx * 104729 + frame_len) % 997
+                  AS BIGINT) AS ft
+      FROM fr
+    ), l AS (
+      SELECT id, frame_idx, ft,
+             LAG(ft) OVER (PARTITION BY id ORDER BY frame_idx) AS pf
+      FROM f
+    ), c AS (
+      SELECT id, frame_idx,
+             CASE WHEN pf IS NOT NULL AND ABS(ft - pf) > 500
+                  THEN 1 ELSE 0 END AS cut
+      FROM l
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(cut) AS BIGINT) AS n_cuts,
+           CAST(MIN(CASE WHEN cut = 1 THEN frame_idx END) AS BIGINT)
+             AS first_cut_idx
+    FROM c GROUP BY id
+    """,
+)
+def multimodal_scene_cuts_q(spark, sf_dir):
+    """Shot-boundary detection over sampled frames (`media.scene_cuts`):
+    frame_sample (mapInPandas 1->N fan-out) -> per-video window-lag
+    feature diff -> cut flags + per-video summary.  The frame feature is
+    the deterministic stub (no codecs here); the window/aggregate
+    plumbing is the production plan."""
+    from .operators import misc as M
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    frames = M.frame_sample_stub(docs, "media", id_col="id")
+    return M.scene_cuts_stub(frames, id_col="id", threshold=500)
+
+
+@query(
     "sim_topk_ivf_pandas",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id % 50 = 0),
@@ -10959,6 +11005,49 @@ def text_bigram_logprob_q(spark, sf_dir):
     from .operators.text import bigram_logprob
 
     return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_kneser_ney_bigram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), big AS (
+      SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS i(i)
+      WHERE len(ws) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p
+      FROM c2 GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS contw FROM c2 GROUP BY 1
+    ), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(-ln(
+                 GREATEST(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0)
+                   / CAST(c1.c1 AS DOUBLE)
+                 + 0.75 * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                   * (CAST(cont.contw AS DOUBLE) / CAST(tt.tt AS DOUBLE))
+                 ), 9) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_neg_logprob_kn
+    FROM big
+    JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+    JOIN c1 ON big.w1 = c1.w1
+    JOIN cont ON big.w2 = cont.w2
+    CROSS JOIN tt
+    GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (absolute discount 0.75 +
+    continuation-probability backoff) — the real-LM smoothing, trained
+    and applied in three tiny rollups off ONE (w1,w2) aggregate."""
+    from .operators.text import kneser_ney_bigram_logprob
+
+    return kneser_ney_bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
 # --- Kaplan-Meier survival --------------------------------------------------
