@@ -316,9 +316,18 @@ BENCH_QUERIES = [
     "dedup_ngram_containment_pairs",
     "text_span_corruption",
     "text_bpe_train_merges",
-    # round 7: distributed ML fits
+    # round 7: distributed ML fits, drift, CEP, centrality, tokenizer,
+    # clustering QA, LM smoothing, video curation, ANN eval
     "ml_linreg_normal_lineitem",
     "ml_logreg_gd_orders",
+    "drift_ks_orders",
+    "events_sequence_pattern",
+    "graph_landmark_centrality",
+    "sim_recall_eval_ivf",
+    "text_bpe_encode_stats",
+    "kmeans_silhouette_embeddings",
+    "text_kneser_ney_bigram",
+    "multimodal_scene_cuts",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

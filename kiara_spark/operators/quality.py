@@ -1688,6 +1688,53 @@ def l_diversity_report(
             .withColumn("violates_l", F.col("n_sensitive_values") < l))
 
 
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the release-gate ladder after k-anonymity and l-diversity: an
+    equivalence class leaks if the DISTRIBUTION of its sensitive values
+    strays from the global distribution, measured here by total variation
+    distance (the categorical-attribute instantiation):
+
+        TVD(class) = ½ Σ_v |p_class(v) − p_global(v)|
+
+    EXACT integer algebra throughout: |p_c − p_g| = |cnt_cv·N − cnt_v·n_c|
+    / (n_c·N), so the sum accumulates DECIMAL(38,0) integer numerators and
+    divides ONCE at the end — no float comparison ever decides a
+    violation.  Cost: one (quasi, sensitive) aggregate + two tiny rollups
+    + a classes × |sensitive domain| grid (the sensitive domain is bounded
+    — segments, diagnoses, brackets — so the grid is classes-sized).
+    Returns per class: (quasi…, group_size, tvd, violates_t)."""
+    ccv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cv"))
+    cls = ccv.groupBy(*quasi_cols).agg(
+        F.sum("_cv").cast("decimal(38,0)").alias("_nc"))
+    gv = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_nv"))
+    tot = df.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"))
+    grid = (cls.crossJoin(F.broadcast(gv))
+            .join(ccv, [*quasi_cols, sensitive_col], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(*quasi_cols, "_nc", "_n",
+                    F.abs(F.coalesce(F.col("_cv"),
+                                     F.lit(0).cast("decimal(38,0)"))
+                          * F.col("_n") - F.col("_nv") * F.col("_nc"))
+                    .alias("_num")))
+    return (grid.groupBy(*quasi_cols, "_nc", "_n")
+            .agg(F.sum("_num").alias("_s"))
+            .select(*quasi_cols,
+                    F.col("_nc").cast("bigint").alias("group_size"),
+                    F.round(F.col("_s").cast("double")
+                            / (F.lit(2.0) * F.col("_nc").cast("double")
+                               * F.col("_n").cast("double")), 6)
+                    .alias("tvd"))
+            .withColumn("violates_t", F.col("tvd") > float(t)))
+
+
 def target_encode(
     df: DataFrame,
     cat_col: str,
@@ -1790,6 +1837,68 @@ def ks_statistic(
         F.col("_at").cast("double").alias("ks_at"),
         F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6)
         .alias("p_value"))
+
+
+def regression_stump(
+    df: DataFrame,
+    feature_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Exact best-split search for a depth-1 regression tree (CART node) —
+    the inner loop of every GBDT/random-forest trainer, distributed:
+
+        split* = argmax_v  S_L²/n_L + S_R²/n_R   over x ≤ v partitions
+        (equivalent to argmin SSE_L + SSE_R — variance reduction)
+
+    Scale design is the AUC/Gini distinct-value-grid shape: ONE hash
+    aggregate collapses the table to (distinct feature value → count,
+    decimal-exact Σy), a cumulative pass over the sorted grid yields every
+    candidate split's left/right sufficient statistics simultaneously
+    (XGBoost's exact greedy algorithm), and the argmax is one struct-min
+    with round-6 scores and smallest-value tie-break.  The only ordered
+    state is the distinct-value grid; for truly continuous 100 TB features
+    pre-bin to quantile candidates (the approx mode every GBDT uses).
+    Returns 1 row: (split_value, n_left, n_right, mean_left, mean_right,
+    score, gain) with gain = score − S²/N ≥ 0."""
+    from pyspark.sql.window import Window
+
+    v = F.col(feature_col).cast("decimal(38,6)")
+    y = F.col(target_col).cast("decimal(38,10)")
+    per_v = (df.filter(v.isNotNull() & y.isNotNull())
+             .groupBy(v.alias("_v"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c"),
+                  F.sum(y).cast("decimal(38,10)").alias("_s")))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "_v",
+        F.sum("_c").over(w).cast("bigint").alias("_nl"),
+        F.sum("_s").over(w).cast("decimal(38,10)").alias("_sl"))
+    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_n"),
+                    F.sum("_s").cast("decimal(38,10)").alias("_st"))
+    cand = (cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("_nl") < F.col("_n")))
+    nl = F.col("_nl").cast("double")
+    nr = (F.col("_n") - F.col("_nl")).cast("double")
+    sl = F.col("_sl").cast("double")
+    sr = (F.col("_st") - F.col("_sl")).cast("double")
+    score = F.round(sl * sl / nl + sr * sr / nr, 6)
+    best = cand.groupBy("_n", "_st").agg(
+        F.min(F.struct((-score).alias("ns"), F.col("_v").alias("v"),
+                       score.alias("sc"), F.col("_nl").alias("nl"),
+                       F.col("_sl").alias("sl"))).alias("_b"))
+    stot = F.col("_st").cast("double")
+    ntot = F.col("_n").cast("double")
+    return best.select(
+        F.col("_b.v").cast("double").alias("split_value"),
+        F.col("_b.nl").alias("n_left"),
+        (F.col("_n") - F.col("_b.nl")).cast("bigint").alias("n_right"),
+        F.round(F.col("_b.sl").cast("double")
+                / F.col("_b.nl").cast("double"), 6).alias("mean_left"),
+        F.round((F.col("_st") - F.col("_b.sl")).cast("double")
+                / (F.col("_n") - F.col("_b.nl")).cast("double"), 6)
+        .alias("mean_right"),
+        F.col("_b.sc").alias("score"),
+        F.round(F.col("_b.sc") - stot * stot / ntot, 6).alias("gain"))
 
 
 def _det3(a, b, c, d, e, f, g, h, i):
@@ -2133,6 +2242,29 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
            TableAssociationTriples,
            TableProfile]
+TableRegressionStump = _simple_module(
+    "table.ml.regression_stump",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": regression_stump(
+        im["table"].data, self.config["feature_column"],
+        self.config["target_column"])},
+    doc="Exact CART best-split search (variance reduction) over the "
+        "distinct-value grid — the GBDT inner loop.",
+)
+
+TableTCloseness = _simple_module(
+    "table.privacy.t_closeness",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": t_closeness_report(
+        im["table"].data, self.config["quasi_columns"],
+        self.config["sensitive_column"],
+        t=self.config.get("t", 0.2))},
+    doc="t-closeness audit: per-class total-variation distance of the "
+        "sensitive distribution vs global (exact integer algebra).",
+)
+
 TableKsDrift = _simple_module(
     "table.drift.ks",
     {"reference": TABLE, "current": TABLE},
@@ -2169,6 +2301,10 @@ TableLogRegGd = _simple_module(
 )
 
 OPERATIONS = [
+    Operation("table.ml.regression_stump", "table.ml.regression_stump",
+              doc="exact CART split search (GBDT inner loop)"),
+    Operation("table.privacy.t_closeness", "table.privacy.t_closeness",
+              doc="t-closeness distribution-distance release gate"),
     Operation("table.drift.ks", "table.drift.ks",
               doc="two-sample Kolmogorov-Smirnov drift test"),
     Operation("table.ml.linear_regression", "table.ml.linear_regression",

@@ -621,6 +621,70 @@ def kneser_ney_bigram_logprob(
                  .alias("avg_neg_logprob_kn")))
 
 
+def naive_bayes_classify(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied in-engine (add-1
+    smoothing) — the classic bag-of-words classifier (the fastText-style
+    quality/language-filter stand-in every corpus pipeline runs):
+
+        score(doc, c) = ln P(c) + Σ_w ln ((count(w,c)+1) / (count(c)+V))
+
+    Scale design: training is ONE (word, class) aggregate + two tiny
+    rollups (class token totals, priors, vocabulary size); scoring joins
+    each doc token against the class-conditional table for ALL classes
+    (token × |classes| fan-out — classes are bounded: languages, quality
+    buckets) with a LEFT join so unseen (w, c) pairs fall back to the
+    smoothing floor.  Per-token logs round to 9 dp and sum as
+    DECIMAL(38,12) (partition-order invariant); argmax per doc rounds the
+    total to 6 dp and tie-breaks on class name, so both engines pick the
+    same winner bit-for-bit.  Self-training on the scored corpus keeps
+    the demo closed; split train/apply frames for real use.
+
+    Returns (id, actual, predicted, correct, score)."""
+    toks = df.select(F.col(id_col), F.col(label_col).alias("_c"),
+                     F.explode(tokens_col(F.col(text_col))).alias("_w"))
+    wc = toks.groupBy("_w", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cwc"))
+    ctot = wc.groupBy("_c").agg(F.sum("_cwc").cast("bigint").alias("_cc"))
+    vocab = wc.select("_w").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_v"))
+    ndocs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
+    prior = (df.groupBy(F.col(label_col).alias("_c"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_dc")))
+    classes = ctot.select("_c", "_cc")
+    grid = (toks.select(id_col, F.col("_c").alias("_actual"), "_w")
+            .crossJoin(F.broadcast(classes))
+            .join(wc, ["_w", "_c"], "left")
+            .crossJoin(F.broadcast(vocab)))
+    term = F.round(F.log(
+        (F.coalesce(F.col("_cwc"), F.lit(0)) + 1).cast("double")
+        / (F.col("_cc") + F.col("_v")).cast("double")), 9) \
+        .cast("decimal(38,12)")
+    per_class = (grid.groupBy(id_col, "_actual", "_c")
+                 .agg(F.sum(term).alias("_lsum"))
+                 .join(F.broadcast(prior), "_c")
+                 .crossJoin(F.broadcast(ndocs)))
+    total = F.round(
+        F.col("_lsum").cast("double")
+        + F.round(F.log(F.col("_dc").cast("double") / F.col("_nd")), 9), 6)
+    # argmax(score) with smallest-class-name tie-break, as ONE struct-min
+    # aggregate: min over (-score, class, score) maximizes score, then
+    # takes the lexicographically first class on exact ties
+    agg = per_class.groupBy(id_col, "_actual").agg(
+        F.min(F.struct((-total).alias("ns"),
+                       F.col("_c").alias("c"),
+                       total.alias("s"))).alias("_b"))
+    return agg.select(
+        F.col(id_col), F.col("_actual").alias("actual"),
+        F.col("_b.c").alias("predicted"),
+        (F.col("_b.c") == F.col("_actual")).alias("correct"),
+        F.col("_b.s").alias("score"))
+
+
 def kwic_concordance(
     df: DataFrame,
     term: str,
@@ -1853,6 +1917,23 @@ TextBigramLogprob = _mk("text.bigram_logprob", bigram_logprob,
                         "self-trained add-1 bigram LM per-doc score")
 TextKneserNey = _mk("text.kneser_ney_bigram", kneser_ney_bigram_logprob,
                     "interpolated Kneser-Ney bigram LM per-doc score")
+class TextNaiveBayes(KiaraModule):
+    """In-engine multinomial Naive Bayes: train + score in one plan."""
+
+    _module_type_name = "text.naive_bayes_classify"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": naive_bayes_classify(
+            inputs["table"].data,
+            label_col=self.config.get("label_column", "lang"),
+            text_col=self.config.get("text_column", "text"),
+            id_col=self.config.get("id_column", "doc_id"))}
 TextRemoveStopwords = _mk("text.remove_stopwords", remove_stopwords,
                           "stopword removal (literal vocabulary, map-only)")
 TextStem = _mk("text.stem", stem_tokens,
@@ -1925,7 +2006,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
            TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
-           TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey,
+           TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
@@ -1940,6 +2021,8 @@ OPERATIONS = [
               doc="per-label top-k tokens by 2x2 chi-square"),
     Operation("text.textrank_keywords", "text.textrank_keywords",
               doc="TextRank keywords (co-occurrence graph + PageRank)"),
+    Operation("text.naive_bayes_classify", "text.naive_bayes_classify",
+              doc="in-engine multinomial Naive Bayes train+score"),
     Operation("text.kneser_ney_bigram", "text.kneser_ney_bigram",
               doc="interpolated Kneser-Ney bigram LM per-doc score"),
     Operation("text.bigram_logprob", "text.bigram_logprob",

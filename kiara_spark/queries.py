@@ -10467,6 +10467,52 @@ def privacy_l_diversity_q(spark, sf_dir):
                               ["c_nationkey"], "c_mktsegment", l=5)
 
 
+@query(
+    "privacy_t_closeness_customers",
+    """
+    WITH ccv AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS cv
+      FROM customer GROUP BY 1, 2
+    ), cls AS (
+      SELECT c_nationkey, CAST(SUM(cv) AS DECIMAL(38,0)) AS nc
+      FROM ccv GROUP BY 1
+    ), gv AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS DECIMAL(38,0)) AS nv
+      FROM customer GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n FROM customer),
+    grid AS (
+      SELECT cls.c_nationkey, cls.nc, tot.n,
+             ABS(COALESCE(ccv.cv, 0) * tot.n - gv.nv * cls.nc) AS num
+      FROM cls CROSS JOIN gv
+      LEFT JOIN ccv ON cls.c_nationkey = ccv.c_nationkey
+                   AND gv.c_mktsegment = ccv.c_mktsegment
+      CROSS JOIN tot
+    ), agg AS (
+      SELECT c_nationkey, nc, n, SUM(num) AS s FROM grid GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(nc AS BIGINT) AS group_size,
+           ROUND(CAST(s AS DOUBLE)
+                 / (2.0 * CAST(nc AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS tvd,
+           ROUND(CAST(s AS DOUBLE)
+                 / (2.0 * CAST(nc AS DOUBLE) * CAST(n AS DOUBLE)), 6) > 0.05
+             AS violates_t
+    FROM agg
+    """,
+)
+def privacy_t_closeness_q(spark, sf_dir):
+    """t-closeness release gate: per-nation total-variation distance of
+    the market-segment distribution vs the global mix (exact integer
+    numerators, one terminal division) — completes the
+    k-anonymity / l-diversity / t-closeness audit ladder."""
+    from .operators.quality import t_closeness_report
+
+    return t_closeness_report(_t(spark, sf_dir, "customer"),
+                              ["c_nationkey"], "c_mktsegment", t=0.05)
+
+
 _TENC_ORACLE = """
 WITH g AS (
   SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS gs,
@@ -11005,6 +11051,111 @@ def text_bigram_logprob_q(spark, sf_dir):
     from .operators.text import bigram_logprob
 
     return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ml_regression_stump_lineitem",
+    """
+    WITH per_v AS (
+      SELECT CAST(l_quantity AS DECIMAL(38,6)) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                  AS DECIMAL(38,10)) AS s
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS nl,
+             CAST(SUM(s) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DECIMAL(38,10)) AS slv
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(s) AS DECIMAL(38,10)) AS st
+      FROM per_v
+    ), cand AS (
+      SELECT v, nl, slv, n, st,
+             ROUND(CAST(slv AS DOUBLE) * CAST(slv AS DOUBLE)
+                     / CAST(nl AS DOUBLE)
+                   + CAST(st - slv AS DOUBLE) * CAST(st - slv AS DOUBLE)
+                     / CAST(n - nl AS DOUBLE), 6) AS sc
+      FROM cum CROSS JOIN tot WHERE nl < n
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY sc DESC, v) AS rn FROM cand
+    )
+    SELECT CAST(v AS DOUBLE) AS split_value, nl AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           ROUND(CAST(slv AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS mean_left,
+           ROUND(CAST(st - slv AS DOUBLE) / CAST(n - nl AS DOUBLE), 6)
+             AS mean_right,
+           sc AS score,
+           ROUND(sc - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                        / CAST(n AS DOUBLE), 6) AS gain
+    FROM rk WHERE rn = 1
+    """,
+)
+def ml_regression_stump_q(spark, sf_dir):
+    """Exact CART best-split (the GBDT inner loop): extendedprice variance
+    reduction over l_quantity — distinct-value grid + cumulative
+    sufficient statistics, every candidate split evaluated in one pass,
+    struct-min argmax."""
+    from .operators.quality import regression_stump
+
+    return regression_stump(_t(spark, sf_dir, "lineitem", parallelize=True),
+                            "l_quantity", "l_extendedprice")
+
+
+@query(
+    "ml_naive_bayes_lang",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS c, unnest({_TOKS}) AS w FROM documents
+    ), wc AS (
+      SELECT w, c, CAST(COUNT(*) AS BIGINT) AS cwc FROM toks GROUP BY 1, 2
+    ), ctot AS (
+      SELECT c, CAST(SUM(cwc) AS BIGINT) AS cc FROM wc GROUP BY 1
+    ), vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM wc),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    prior AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM documents GROUP BY 1
+    ), grid AS (
+      SELECT t.doc_id, t.c AS actual, k.c AS cls, k.cc, wc.cwc
+      FROM toks t CROSS JOIN ctot k
+      LEFT JOIN wc ON t.w = wc.w AND k.c = wc.c
+    ), per AS (
+      SELECT doc_id, actual, cls,
+             SUM(CAST(ROUND(ln(CAST(COALESCE(cwc, 0) + 1 AS DOUBLE)
+                               / CAST(cc + v AS DOUBLE)), 9)
+                      AS DECIMAL(38,12))) AS lsum
+      FROM grid CROSS JOIN vocab GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, actual, cls,
+             ROUND(CAST(lsum AS DOUBLE)
+                   + ROUND(ln(CAST(dc AS DOUBLE) / nd), 9), 6) AS s
+      FROM per JOIN prior ON per.cls = prior.c CROSS JOIN nd
+    ), rk AS (
+      SELECT doc_id, actual, cls, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, cls) AS rn
+      FROM tot
+    )
+    SELECT doc_id, actual, cls AS predicted, cls = actual AS correct,
+           s AS score
+    FROM rk WHERE rn = 1
+    """,
+)
+def ml_naive_bayes_q(spark, sf_dir):
+    """Multinomial Naive Bayes trained and applied in-engine (add-1
+    smoothing, language labels): one (word, class) training aggregate,
+    token × class scoring join with smoothing-floor fallback, decimal-
+    exact log sums, struct-min argmax — the fastText-style corpus
+    classifier as a pure DataFrame plan."""
+    from .operators.text import naive_bayes_classify
+
+    return naive_bayes_classify(_t(spark, sf_dir, "documents"))
 
 
 @query(
