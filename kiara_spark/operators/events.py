@@ -267,6 +267,61 @@ def event_path_ngrams(
     )
 
 
+def holt_linear_forecast(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over the daily
+    series — the standard short-horizon forecaster one step past the EWMA
+    (``events.ewma``):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        x̂_{T+h} = l_T + h·b_T
+
+    The recursion is inherently sequential, so it runs where sequential
+    work belongs: the raw log collapses to ONE row per day (hash
+    aggregate, decimal-exact sums — the only data-sized stage), the tiny
+    daily series collects into a single sorted array, and the recursion is
+    an ``F.aggregate`` left-fold over it — map-side, one row, no window,
+    no driver loop.  State per step rounds to 9 dp so the fold and the
+    oracle's recursive CTE agree bit-for-bit.  Init: l₀ = x₀, b₀ = 0.
+    Returns 1 row: (n_days, level, trend, forecast_1, forecast_h)."""
+    la, loma = F.lit(float(alpha)), F.lit(float(1.0 - alpha))
+    lb, lomb = F.lit(float(beta)), F.lit(float(1.0 - beta))
+    daily = (df.groupBy(F.date_trunc("day", F.col(ts_col)).alias("_d"))
+             .agg(F.round(F.sum(F.col(value_col).cast("decimal(38,10)")), 4)
+                  .cast("double").alias("_x")))
+    arr = daily.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("_d").alias("d"), F.col("_x").alias("x"))))
+        .alias("_s"))
+    a = F.col("_s")
+    x0 = F.element_at(a, 1)["x"]
+    rest = F.when(F.size(a) >= 2, F.slice(a, 2, F.size(a) - 1)) \
+        .otherwise(F.array().cast(
+            "array<struct<d:timestamp,x:double>>"))
+
+    def _step(acc, e):
+        lnew = F.round(la * e["x"] + loma * (acc["l"] + acc["b"]), 9)
+        return F.struct(
+            lnew.alias("l"),
+            F.round(lb * (lnew - acc["l"]) + lomb * acc["b"], 9).alias("b"))
+
+    fold = F.aggregate(
+        rest, F.struct(x0.alias("l"), F.lit(0.0).alias("b")), _step)
+    return arr.select(
+        F.size(a).cast("bigint").alias("n_days"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast_1"),
+        F.round(fold["l"] + F.lit(float(horizon)) * fold["b"], 6)
+        .alias("forecast_h"))
+
+
 def sequence_pattern(
     df: DataFrame,
     pattern: str,
@@ -1169,6 +1224,21 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
            EventsMarkovStationary, EventsPositionAttribution,
            EventsChangepointBinseg]
+EventsHoltForecast = _simple_module(
+    "events.holt_forecast",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": holt_linear_forecast(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column", "value"),
+        alpha=self.config.get("alpha", 0.5),
+        beta=self.config.get("beta", 0.3),
+        horizon=self.config.get("horizon", 7))},
+    doc="Holt double exponential smoothing forecast (daily aggregate + "
+        "in-plan array-fold recursion)",
+)
+
 EventsSequencePattern = _simple_module(
     "events.sequence_pattern",
     {"table": TABLE},
@@ -1185,6 +1255,8 @@ EventsSequencePattern = _simple_module(
 OPERATIONS = [
     Operation("events.sequence_pattern", "events.sequence_pattern",
               doc="row-pattern recognition (regex CEP) per key"),
+    Operation("events.holt_forecast", "events.holt_forecast",
+              doc="Holt linear-trend forecast over the daily series"),
     Operation("events.survival.kaplan_meier", "events.survival.kaplan_meier",
               doc="Kaplan-Meier survival curve under right censoring"),
     Operation("events.markov_stationary", "events.markov_stationary",

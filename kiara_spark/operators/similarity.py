@@ -128,6 +128,45 @@ def topk_recall(
                         / F.col("n_exact"), 6).alias("recall")))
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification over an embedding column: exact cosine top-k
+    (the oracle-verified :func:`cosine_topk_bruteforce` plan — broadcast
+    queries, no corpus shuffle) + per-query MAJORITY VOTE with
+    deterministic tie-breaks (more votes → higher best similarity →
+    smaller label).  The label lookup is a broadcast-eligible join on the
+    neighbor id; the vote is two tiny hash aggregates keyed on the query.
+    Swap the brute-force stage for any ``cosine_topk_*`` index at scale —
+    the vote is index-agnostic.  Returns (query_id, actual, predicted,
+    correct, n_votes)."""
+    nbrs = cosine_topk_bruteforce(corpus, queries, k=k,
+                                  id_col=id_col, vec_col=vec_col)
+    lab = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("_nl"))
+    qlab = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(label_col).alias("actual"))
+    votes = (nbrs.join(lab, "neighbor_id")
+             .groupBy("query_id", "_nl")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_nv"),
+                  F.max("cosine_sim").alias("_best")))
+    best = votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("_nv")).alias("nn"),
+                       (-F.col("_best")).alias("nb"),
+                       F.col("_nl").alias("l"),
+                       F.col("_nv").alias("v"))).alias("_b"))
+    return (best.join(F.broadcast(qlab), "query_id")
+            .select("query_id", "actual",
+                    F.col("_b.l").alias("predicted"),
+                    (F.col("_b.l") == F.col("actual")).alias("correct"),
+                    F.col("_b.v").alias("n_votes")))
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1301,6 +1340,26 @@ class EmbeddingKMeansSilhouette(KiaraModule):
             vec_col=self.config.get("vector_column", "embedding"))}
 
 
+class EmbeddingKnnClassify(KiaraModule):
+    """k-NN majority-vote classification over embeddings."""
+
+    _module_type_name = "embedding.knn_classify"
+
+    def create_inputs_schema(self):
+        return {"corpus": {"type": "table"}, "queries": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": knn_classify(
+            inputs["corpus"].data, inputs["queries"].data,
+            k=self.config.get("k", 5),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"),
+            label_col=self.config.get("label_column", "label"))}
+
+
 class EmbeddingTopkRecall(KiaraModule):
     """Recall@k of an approximate top-k result vs exact ground truth."""
 
@@ -1320,7 +1379,8 @@ class EmbeddingTopkRecall(KiaraModule):
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
            EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
-           EmbeddingPcaTop, EmbeddingTopkRecall, EmbeddingKMeansSilhouette]
+           EmbeddingPcaTop, EmbeddingTopkRecall, EmbeddingKMeansSilhouette,
+           EmbeddingKnnClassify]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1336,4 +1396,5 @@ OPERATIONS = [
     Operation("embedding.topk_recall", "embedding.topk_recall"),
     Operation("embedding.kmeans_silhouette",
               "embedding.kmeans_silhouette"),
+    Operation("embedding.knn_classify", "embedding.knn_classify"),
 ]

@@ -11054,6 +11054,91 @@ def text_bigram_logprob_q(spark, sf_dir):
 
 
 @query(
+    "events_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+               AS x
+      FROM events GROUP BY 1
+    ), series AS (
+      SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+      FROM daily
+    ), n AS (SELECT CAST(MAX(rn) AS BIGINT) AS nd FROM series),
+    rec(rn, l, b) AS (
+      SELECT rn, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.rn,
+             ROUND(0.5 * s.x + 0.5 * (r.l + r.b), 9),
+             ROUND(0.3 * (ROUND(0.5 * s.x + 0.5 * (r.l + r.b), 9) - r.l)
+                   + 0.7 * r.b, 9)
+      FROM rec r JOIN series s ON s.rn = r.rn + 1
+    )
+    SELECT n.nd AS n_days, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_1,
+           ROUND(l + 7.0 * b, 6) AS forecast_h
+    FROM rec CROSS JOIN n WHERE rec.rn = n.nd
+    """,
+)
+def events_holt_forecast_q(spark, sf_dir):
+    """Holt double exponential smoothing (α=0.5, β=0.3) over the daily
+    event-value series: one data-sized hash aggregate, then the
+    inherently-sequential recursion as an in-plan array fold (vs the
+    oracle's recursive CTE) — 7-day-ahead linear-trend forecast."""
+    from .operators.events import holt_linear_forecast
+
+    return holt_linear_forecast(_t(spark, sf_dir, "events"),
+                                alpha=0.5, beta=0.3, horizon=7)
+
+
+@query(
+    "ml_knn_classify_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, c.label AS nl,
+             ROUND(CASE WHEN {{QN}} * {{CN}} > 0
+                   THEN {{DT}} / ({{QN}} * {{CN}}) ELSE 0.0 END, 8) AS cs
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, nl, cs
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+      WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS nv,
+             MAX(cs) AS best
+      FROM topk GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT query_id, nl, nv,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY nv DESC, best DESC, nl) AS rn
+      FROM votes
+    )
+    SELECT rk.query_id, q.label AS actual, rk.nl AS predicted,
+           rk.nl = q.label AS correct, rk.nv AS n_votes
+    FROM rk JOIN q ON rk.query_id = q.query_id WHERE rn = 1
+    """.format(QN=_QNORM, CN=_CNORM, DT=_DOT),
+)
+def ml_knn_classify_q(spark, sf_dir):
+    """k-NN classification (k=5 majority vote over exact cosine
+    neighbors, tie-breaks votes → best similarity → smallest label) —
+    the composition of the oracle-verified top-k search with a
+    query-keyed vote aggregate."""
+    from .operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, emb.filter("vec_id % 50 = 0"), k=5)
+
+
+@query(
     "ml_regression_stump_lineitem",
     """
     WITH per_v AS (
