@@ -328,6 +328,11 @@ BENCH_QUERIES = [
     "kmeans_silhouette_embeddings",
     "text_kneser_ney_bigram",
     "multimodal_scene_cuts",
+    "privacy_t_closeness_customers",
+    "ml_naive_bayes_lang",
+    "ml_regression_stump_lineitem",
+    "ml_knn_classify_embeddings",
+    "events_holt_forecast",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
