@@ -61,6 +61,18 @@ INTENTIONAL_CROSS = {
     "events_markov_stationary",    # 1-row state-count broadcast seeds pi0
     "ml_calibration_bins_orders",  # 1-row bounds + 1-row total broadcasts
     "graph_modularity_by_nation",  # 1-row 2m-total broadcast onto K communities
+    # round 7
+    "ml_linreg_normal_lineitem",   # 1-row Gram-sums broadcast (Cramer solve + R² pass)
+    "ml_logreg_gd_orders",         # 1-row weight vector broadcast per epoch
+    "drift_ks_orders",             # 1-row sample totals broadcast onto the grid
+    "privacy_t_closeness_customers",  # |sensitive|-row global mix + 1-row N broadcasts
+    "ml_naive_bayes_lang",         # |classes|-row model + 1-row vocab/prior broadcasts
+    "ml_regression_stump_lineitem",  # 1-row totals broadcast onto the split grid
+    "ml_knn_classify_embeddings",  # bounded broadcast query set (knn baseline)
+    "sim_recall_eval_ivf",         # bounded broadcast query set (both rankings)
+    "text_bpe_encode_stats",       # 1-row merge-table array broadcast (tokenizer model)
+    "kmeans_silhouette_embeddings",  # literal-centroid map (kmeans shape)
+    "text_kneser_ney_bigram",      # 1-row bigram-type-total broadcast
 }
 
 
