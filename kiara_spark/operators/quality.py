@@ -1184,6 +1184,52 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         .alias("auc"))
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) — the ranking metric that matters when positives are
+    rare and ROC AUC flatters (Davis & Goadrich 2006):
+
+        AP = Σ_g pos_g · precision(cum through g) / P
+        (groups = DISTINCT scores descending; ties scored as one block)
+
+    Same scale shape as :func:`auc_roc`: the table collapses to one row
+    per distinct score (hash aggregate), cumulative counts run over the
+    sorted score grid, per-block precision is a fixed-order double
+    rounded to 9 dp and weighted-summed as DECIMAL(38,12).  NULL scores
+    are excluded (unscored rows have no rank).  Returns one row:
+    (n, n_pos, average_precision)."""
+    from pyspark.sql.window import Window
+
+    df = df.filter(F.col(score_col).isNotNull())
+    s = (df.groupBy(F.col(score_col).alias("_sc"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+              F.sum(F.col(label_col).cast("int")).cast("bigint")
+              .alias("_npos")))
+    w = (Window.orderBy(F.col("_sc").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = s.select(
+        "_n", "_npos",
+        F.sum("_n").over(w).cast("bigint").alias("_cn"),
+        F.sum("_npos").over(w).cast("bigint").alias("_cp"))
+    term = F.round(F.col("_npos").cast("double")
+                   * (F.col("_cp").cast("double")
+                      / F.col("_cn").cast("double")), 9) \
+        .cast("decimal(38,12)")
+    t = c.agg(F.sum(term).alias("_s"),
+              F.sum("_n").cast("bigint").alias("_tn"),
+              F.sum("_npos").cast("bigint").alias("_tp"))
+    return t.select(
+        F.col("_tn").alias("n"), F.col("_tp").alias("n_pos"),
+        F.when(F.col("_tp") > 0,
+               F.round(F.col("_s").cast("double")
+                       / F.col("_tp").cast("double"), 6))
+        .alias("average_precision"))
+
+
 def drift_psi(
     ref: DataFrame,
     cur: DataFrame,
@@ -2242,6 +2288,17 @@ MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableRegressionByGroup, TableKthSmallest, TableAssociationPairs,
            TableAssociationTriples,
            TableProfile]
+TableAveragePrecision = _simple_module(
+    "table.ml.average_precision",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": average_precision(
+        im["table"].data, self.config["score_column"],
+        self.config["label_column"])},
+    doc="Average precision (PR-AUC, step interpolation) over the "
+        "distinct-score grid — the rare-positive ranking metric.",
+)
+
 TableRegressionStump = _simple_module(
     "table.ml.regression_stump",
     {"table": TABLE},
@@ -2301,6 +2358,8 @@ TableLogRegGd = _simple_module(
 )
 
 OPERATIONS = [
+    Operation("table.ml.average_precision", "table.ml.average_precision",
+              doc="average precision / PR-AUC ranking metric"),
     Operation("table.ml.regression_stump", "table.ml.regression_stump",
               doc="exact CART split search (GBDT inner loop)"),
     Operation("table.privacy.t_closeness", "table.privacy.t_closeness",

@@ -11054,6 +11054,46 @@ def text_bigram_logprob_q(spark, sf_dir):
 
 
 @query(
+    "ml_average_precision_orders",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS sc, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS npos
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT n, npos,
+             CAST(SUM(n) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(SUM(npos) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      FROM s
+    ), t AS (
+      SELECT CAST(SUM(CAST(ROUND(CAST(npos AS DOUBLE)
+                                 * (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE)),
+                                 9) AS DECIMAL(38,12))) AS DOUBLE) AS sap,
+             CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(npos) AS BIGINT) AS tp
+      FROM c
+    )
+    SELECT tn AS n, tp AS n_pos,
+           CASE WHEN tp > 0
+                THEN ROUND(sap / CAST(tp AS DOUBLE), 6) END
+             AS average_precision
+    FROM t
+    """,
+)
+def ml_average_precision_q(spark, sf_dir):
+    """Average precision (PR-AUC) of price-predicts-finished-status:
+    distinct-score grid, descending cumulative counts, tie-blocks scored
+    once — the rare-positive companion to `ml_auc_roc_orders`."""
+    from .operators.quality import average_precision
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    return average_precision(o, "o_totalprice", "y")
+
+
+@query(
     "events_holt_forecast",
     """
     WITH RECURSIVE daily AS (
