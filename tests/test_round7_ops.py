@@ -1,0 +1,296 @@
+"""Round-7 operator unit tests: distributed ML fits, drift, CEP,
+centrality, tokenizer encode, clustering QA, LM smoothing, video curation,
+ANN eval — each against a hand-computable fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_linear_regression_recovers_exact_plane(spark):
+    """y = 2 + 3·x1 − 0.5·x2 exactly -> coefficients recovered, R² = 1."""
+    from kiara_spark.operators.quality import linear_regression_normal
+
+    rows = [(float(i % 7), float((i * 3) % 5),
+             2.0 + 3.0 * (i % 7) - 0.5 * ((i * 3) % 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = linear_regression_normal(df, "y", ["x1", "x2"]).collect()[0]
+    assert r.n == 60
+    assert r.intercept == pytest.approx(2.0, abs=1e-5)
+    assert r.coef_x1 == pytest.approx(3.0, abs=1e-5)
+    assert r.coef_x2 == pytest.approx(-0.5, abs=1e-5)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_linear_regression_requires_two_features(spark):
+    from kiara_spark.operators.quality import linear_regression_normal
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        linear_regression_normal(df, "y", ["x"])
+
+
+def test_logistic_gd_learns_separable_sign(spark):
+    """Positively separable feature -> positive weight, loss below ln 2
+    (the all-zero-weights loss)."""
+    from kiara_spark.operators.quality import logistic_regression_gd
+
+    rows = [(1.0, 1.0, 0.0) for _ in range(30)] + \
+           [(0.0, -1.0, 0.0) for _ in range(30)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    r = logistic_regression_gd(df, "y", ["x1", "x2"],
+                               iterations=3, lr=1.0).collect()[0]
+    assert r.n == 60
+    assert r.w_x1 > 0.5
+    assert abs(r.w_x2) < 1e-9  # constant feature gets no gradient
+    assert r.log_loss < math.log(2.0)
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from kiara_spark.operators.quality import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    same = ks_statistic(a, b, "v").collect()[0]
+    assert same.ks == 0.0 and same.p_value == pytest.approx(1.0, abs=1e-6)
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    hi = spark.createDataFrame([(float(i + 1000),) for i in range(50)],
+                               "v double")
+    far = ks_statistic(lo, hi, "v").collect()[0]
+    assert far.ks == 1.0 and far.ks_at == 49.0  # sup at the ref max
+    assert far.p_value < 1e-6
+
+
+def test_sequence_pattern_counts_and_coverage(spark):
+    from kiara_spark.operators.events import sequence_pattern
+
+    rows = [
+        # user 1: signup click view purchase  -> one match 'scvp'
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "view"), (1, 4, "purchase"),
+        # user 2: signup error purchase -> NO match (error breaks [cv]*)
+        (2, 1, "signup"), (2, 2, "error"), (2, 3, "purchase"),
+        # user 3: two disjoint matches 'sp' 'scp'
+        (3, 1, "signup"), (3, 2, "purchase"),
+        (3, 3, "signup"), (3, 4, "click"), (3, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, tsf double, event_type string").select(
+        "user_id", F.timestamp_seconds("tsf").alias("ts"), "event_type",
+        F.monotonically_increasing_id().alias("event_id"))
+    out = {r.user_id: r for r in
+           sequence_pattern(df, "s[cv]*p").collect()}
+    assert out[1].n_matches == 1 and out[1].first_match == "scvp"
+    assert out[2].n_matches == 0 and out[2].first_match is None
+    assert out[3].n_matches == 2 and out[3].first_match == "sp"
+    assert out[2].seq_len == 3  # zero-match keys kept for coverage audit
+
+
+def test_landmark_centrality_on_path_graph(spark):
+    """Path 1-2-3-4-5, landmark {1}: closeness/harmonic hand-check."""
+    from kiara_spark.operators.graph import landmark_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    lms = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r for r in
+           landmark_centrality(edges, lms, max_hops=4).collect()}
+    assert set(got) == {2, 3, 4, 5}  # landmark itself excluded (d=0 only)
+    assert got[2].sum_dist == 1 and got[2].closeness == 1.0
+    assert got[5].sum_dist == 4 and got[5].closeness == 0.25
+    assert got[3].harmonic == pytest.approx(0.5, abs=1e-9)
+
+
+def test_topk_recall_hand_case(spark):
+    from kiara_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 33), (2, 44)],
+        "query_id long, neighbor_id long")
+    got = {r.query_id: r for r in topk_recall(exact, approx).collect()}
+    assert got[1].n_hit == 2 and got[1].recall == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2].n_hit == 0 and got[2].recall == 0.0
+
+
+def test_knn_classify_separable_clusters(spark):
+    from kiara_spark.operators.similarity import knn_classify
+
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 1) % 8] = eps
+        return v
+
+    rows = ([(i, vec(0, 0.01 * i), 0) for i in range(1, 7)]
+            + [(10 + i, vec(4, 0.01 * i), 1) for i in range(1, 7)])
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    out = knn_classify(emb, emb, k=3).collect()
+    assert len(out) == 12
+    assert all(r.correct for r in out)
+    assert all(r.n_votes == 3 for r in out)
+
+
+def test_regression_stump_finds_step(spark):
+    """y jumps from 0 to 10 at x > 5 -> split at 5, means exact."""
+    from kiara_spark.operators.quality import regression_stump
+
+    rows = [(float(x), 0.0 if x <= 5 else 10.0)
+            for x in range(1, 11) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = regression_stump(df, "x", "y").collect()[0]
+    assert r.split_value == 5.0
+    assert r.n_left == 15 and r.n_right == 15
+    assert r.mean_left == 0.0 and r.mean_right == 10.0
+    assert r.gain > 0
+
+
+def test_average_precision_perfect_and_random(spark):
+    from kiara_spark.operators.quality import average_precision
+
+    perfect = spark.createDataFrame(
+        [(float(10 + i), 1) for i in range(5)]
+        + [(float(i), 0) for i in range(5)], "s double, y int")
+    r = average_precision(perfect, "s", "y").collect()[0]
+    assert r.average_precision == 1.0 and r.n_pos == 5
+    const = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)], "s double, y int")
+    r2 = average_precision(const, "s", "y").collect()[0]
+    assert r2.average_precision == 0.5  # one tie-block: precision = base rate
+
+
+def test_t_closeness_uniform_is_zero(spark):
+    from kiara_spark.operators.quality import t_closeness_report
+
+    rows = [(g, s) for g in ("a", "b") for s in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = t_closeness_report(df, ["g"], "s", t=0.1).collect()
+    assert all(r.tvd == 0.0 and not r.violates_t for r in out)
+    skewed = spark.createDataFrame(
+        [("a", "x")] * 9 + [("a", "y")] + [("b", "x")] + [("b", "y")] * 9,
+        "g string, s string")
+    out2 = {r.g: r for r in
+            t_closeness_report(skewed, ["g"], "s", t=0.1).collect()}
+    assert out2["a"].tvd == 0.4 and out2["a"].violates_t
+
+
+def test_holt_forecast_matches_python_recursion(spark):
+    from kiara_spark.operators.events import holt_linear_forecast
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x, n):
+        # Spark ROUND = HALF_UP over BigDecimal.valueOf(double), which is
+        # the shortest decimal repr — Python round() is half-even
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-n), ROUND_HALF_UP))
+
+    xs = [10.0, 12.0, 15.0, 13.0, 18.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, value double").select(
+        F.timestamp_seconds(F.col("d") * 86400).alias("ts"), "value")
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        ln = rnd(0.5 * x + 0.5 * (l + b), 9)
+        b = rnd(0.3 * (ln - l) + 0.7 * b, 9)
+        l = ln
+    r = holt_linear_forecast(df, alpha=0.5, beta=0.3, horizon=7).collect()[0]
+    assert r.n_days == 5
+    assert r.level == rnd(l, 6) and r.trend == rnd(b, 6)
+    assert r.forecast_1 == rnd(l + b, 6)
+    assert r.forecast_h == rnd(l + 7.0 * b, 6)
+
+
+def test_naive_bayes_separable_vocab(spark):
+    from kiara_spark.operators.text import naive_bayes_classify
+
+    rows = ([(i, "aaa bbb aaa", "en") for i in range(5)]
+            + [(10 + i, "zzz yyy zzz", "de") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_classify(df).collect()
+    assert len(out) == 10
+    assert all(r.correct for r in out)
+
+
+def test_scene_cuts_hand_case(spark):
+    from kiara_spark.operators.misc import scene_cuts_stub
+
+    # feature(id=0) = (idx*104729 + len) % 997 — hand-pick lens so frame 1
+    # jumps past the threshold and frame 2 does not
+    frames = spark.createDataFrame(
+        [(0, 0, 0, 10), (0, 1, 10, 10), (0, 2, 20, 10)],
+        "id long, frame_idx int, frame_offset long, frame_len long")
+    f = [(i * 104729 + 10) % 997 for i in range(3)]
+    expect_cuts = sum(1 for a, b in zip(f, f[1:]) if abs(b - a) > 500)
+    r = scene_cuts_stub(frames, threshold=500).collect()[0]
+    assert r.n_frames == 3 and r.n_cuts == expect_cuts
+
+
+def test_kmeans_silhouette_separated_clusters(spark):
+    from kiara_spark.operators.similarity import kmeans_silhouette
+
+    def vec(axis, i):
+        v = [0.0] * 4
+        v[axis] = 10.0 + 0.1 * i
+        return v
+
+    rows = [(i, vec(i % 2, i)) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(emb, k=2, n_iter=2).collect()
+    assert sum(r.n for r in out) == 12
+    assert all(r.mean_sil > 0.5 for r in out)  # well-separated axes
+    assert all(r.min_sil <= r.mean_sil <= r.max_sil for r in out)
+
+
+def test_kneser_ney_prefers_seen_bigrams(spark):
+    from kiara_spark.operators.text import kneser_ney_bigram_logprob
+
+    docs = {1: "the cat sat", 2: "the cat ran", 3: "dog the cat"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_bigram_logprob(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.n_bigrams == 2 for r in out.values())
+
+    # independent pure-Python KN reference over the same corpus
+    bigrams = [(w1, w2) for t in docs.values()
+               for w1, w2 in zip(t.split(), t.split()[1:])]
+    c2 = {}
+    for bg in bigrams:
+        c2[bg] = c2.get(bg, 0) + 1
+    c1 = {}
+    n1p = {}
+    cont = {}
+    for (w1, w2), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    tt = len(c2)
+
+    def p_kn(w1, w2):
+        return (max(c2[(w1, w2)] - 0.75, 0.0) / c1[w1]
+                + 0.75 * n1p[w1] / c1[w1] * (cont[w2] / tt))
+
+    for did, text in docs.items():
+        ws = text.split()
+        terms = [round(-math.log(p_kn(a, b)), 9)
+                 for a, b in zip(ws, ws[1:])]
+        want = round(sum(terms) / len(terms), 6)
+        assert out[did].avg_neg_logprob_kn == pytest.approx(want, abs=2e-6)
+
+
+def test_round7_operations_registered(ctx):
+    reg = ctx.operation_registry
+    for op in ["table.drift.ks", "table.ml.linear_regression",
+               "table.ml.logistic_regression", "table.ml.regression_stump",
+               "table.ml.average_precision", "table.privacy.t_closeness",
+               "events.sequence_pattern", "events.holt_forecast",
+               "network_graph.landmark_centrality", "embedding.topk_recall",
+               "embedding.kmeans_silhouette", "embedding.knn_classify",
+               "text.bpe_encode", "text.kneser_ney_bigram",
+               "text.naive_bayes_classify", "media.scene_cuts"]:
+        assert reg.resolve(op) is not None, op

@@ -81,6 +81,16 @@ PROBE_QUERIES = [
     "graph_walk_skipgram_pairs",
     "basket_association_triples",
     "embedding_pca_top_component",
+    # round 7: the new heaviest plans — NB's token×class scoring join,
+    # landmark-tagged BFS, KN's model joins, the BPE replace-fold, the
+    # stump's distinct-value grid, and the CEP per-key sequence build —
+    # must hold near-linear shape at 10x
+    "ml_naive_bayes_lang",
+    "graph_landmark_centrality",
+    "text_kneser_ney_bigram",
+    "text_bpe_encode_stats",
+    "ml_regression_stump_lineitem",
+    "events_sequence_pattern",
 ]
 
 EXCLUDED = {
