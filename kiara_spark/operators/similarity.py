@@ -925,13 +925,18 @@ def pca_top_component(
     cov = cut_lineage(cov)
     v = x.select("pos").distinct().select(
         "pos", F.lit(1.0).alias("val"))
+    # matvec rounds compose LAZILY on the checkpointed d² cell table: each
+    # round is one broadcast-size join + aggregate over ≤ d² rows, so three
+    # nested rounds are a trivial plan — per-round localCheckpoints here
+    # only added eager job barriers (r7: 3 fewer jobs, same hashes; the
+    # final-branch double-execution of the last matvec costs ~d² rows,
+    # orders of magnitude under one checkpoint's materialization)
     for _ in range(iterations):
-        v = cut_lineage(
-            cov.join(v.withColumnRenamed("pos", "j"), "j")
-            .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum((F.col("_cv") * F.col("val"))
-                       .cast("decimal(38,18)")).cast("double")
-                 .alias("val")))
+        v = (cov.join(v.withColumnRenamed("pos", "j"), "j")
+             .groupBy(F.col("i").alias("pos"))
+             .agg(F.sum((F.col("_cv") * F.col("val"))
+                        .cast("decimal(38,18)")).cast("double")
+                  .alias("val")))
     nrm = v.agg(F.sqrt(F.sum(F.round(F.col("val") * F.col("val"), 12)
                              .cast("decimal(38,18)")).cast("double"))
                 .alias("_nrm"))
