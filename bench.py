@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "ml_regression_stump_lineitem",
     "ml_knn_classify_embeddings",
     "events_holt_forecast",
+    "ml_average_precision_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -1224,6 +1224,7 @@ MODULES = [EventsDebounce, EventsCumulativeDistinct, EventsResampleOhlc,
            EventsIntervalCoverage, EventsRfmSegments, EventsKaplanMeier,
            EventsMarkovStationary, EventsPositionAttribution,
            EventsChangepointBinseg]
+# extended below once the remaining module classes are defined
 EventsHoltForecast = _simple_module(
     "events.holt_forecast",
     {"table": TABLE},
@@ -1295,3 +1296,5 @@ OPERATIONS = [
     Operation("table.gaps_islands", "table.gaps_islands",
               doc="gaps-and-islands run collapse"),
 ]
+
+MODULES += [EventsHoltForecast, EventsSequencePattern]

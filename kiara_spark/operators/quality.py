@@ -2357,6 +2357,9 @@ TableLogRegGd = _simple_module(
         "one decimal-exact aggregate per epoch, broadcast weight row.",
 )
 
+MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
+            TableKsDrift, TableLinRegNormal, TableLogRegGd]
+
 OPERATIONS = [
     Operation("table.ml.average_precision", "table.ml.average_precision",
               doc="average precision / PR-AUC ranking metric"),

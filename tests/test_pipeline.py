@@ -603,3 +603,21 @@ def test_dh_corpus_analysis_example_pipeline(spark, tmp_path):
     assert all(r["term"] == "window" for r in conc)
     prepared = out["prepared_corpus"].data.columns
     assert "text_stemmed" in prepared and "n_changed" in prepared
+
+
+def test_model_eval_suite_example_pipeline(ctx):
+    """examples/model_eval_suite.json: one scored frame fanned into four
+    metric branches (AUC, AP, calibration, confusion report)."""
+    out = ctx.run_pipeline("examples/model_eval_suite.json", {
+        "orders_path": "/root/testdata/sf0.001/orders.parquet"})
+    auc = out["roc_auc"].data.collect()[0]
+    ap = out["average_precision"].data.collect()[0]
+    assert 0.0 <= auc.auc <= 1.0
+    assert 0.0 <= ap.average_precision <= 1.0
+    assert ap.n_pos == auc.n_pos
+    bins = out["calibration_bins"].data.collect()
+    assert 1 <= len(bins) <= 10
+    rep = {r.metric: r.value for r in out["classification_report"].data
+           .select("metric", "value").collect()} if \
+        "metric" in out["classification_report"].data.columns else None
+    assert out["classification_report"].data.count() >= 1
