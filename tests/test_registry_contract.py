@@ -127,3 +127,21 @@ def test_query_order_rotates_by_recorded_history():
     first50 = names[:50]
     assert all(counts.get(n, 0) == min(counts.get(m, 0) for m in names)
                for n in first50)
+
+
+def test_every_operation_module_type_is_instantiable(ctx):
+    """Every registered Operation must point at a module type the
+    ModuleRegistry can actually create — a module class defined but never
+    appended to its file's MODULES list resolves as an operation yet
+    fails at run time (the round-7 events.sequence_pattern bug class)."""
+    reg = ctx.module_registry
+    ops = ctx.operation_registry
+    ids = (ops.operation_ids if hasattr(ops, "operation_ids")
+           else ops.list_operations())
+    bad = []
+    for op_id in ids:
+        op = ops.resolve(op_id)
+        mt = getattr(op, "module_type", None) or op_id
+        if mt not in reg:
+            bad.append((op_id, mt))
+    assert not bad, f"operations without instantiable modules: {bad}"
