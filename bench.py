@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "ml_knn_classify_embeddings",
     "events_holt_forecast",
     "ml_average_precision_orders",
+    "graph_diameter_estimate",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -514,6 +514,45 @@ def landmark_centrality(
         .alias("harmonic"))
 
 
+def diameter_double_sweep(
+    edges: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Graph diameter LOWER BOUND by the classic double-sweep heuristic
+    (Magnien et al. 2009 — typically exact or near-exact on real-world
+    graphs, at the cost of TWO BFS runs instead of all-pairs):
+
+    sweep 1: BFS from the minimum node id; take the farthest reached node
+    (max distance, min id tie-break).  sweep 2: BFS from that node; its
+    eccentricity is the bound.
+
+    Both sweeps are the engine's frontier-only BFS; the sweep-1 argmax
+    stays IN-PLAN as a 1-row frame that seeds sweep 2 (nothing collects to
+    the driver).  Distances cap at ``max_hops`` — if the bound equals the
+    cap the true diameter may exceed it (flagged in the output).  Returns
+    1 row: (start_node, far_node, diameter_lb, capped)."""
+    und = undirected_edges(edges)
+    start = und.agg(F.min("src").alias("id"))
+    d1 = bfs_hops(edges, start, max_hops=max_hops)
+    far = d1.groupBy().agg(
+        F.min(F.struct((-F.col("hops")).alias("nh"),
+                       F.col("id").alias("i"),
+                       F.col("hops").alias("h"))).alias("_f")) \
+        .select(F.col("_f.i").alias("id"))
+    d2 = bfs_hops(edges, far, max_hops=max_hops)
+    ecc = d2.groupBy().agg(
+        F.min(F.struct((-F.col("hops")).alias("nh"),
+                       F.col("id").alias("i"),
+                       F.col("hops").alias("h"))).alias("_e"))
+    return (start.withColumnRenamed("id", "start_node")
+            .crossJoin(F.broadcast(far.withColumnRenamed("id", "far_node")))
+            .crossJoin(F.broadcast(ecc))
+            .select(F.col("start_node").cast("bigint"),
+                    F.col("far_node").cast("bigint"),
+                    F.col("_e.h").cast("bigint").alias("diameter_lb"),
+                    (F.col("_e.h") >= max_hops).alias("capped")))
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 2,
@@ -1711,6 +1750,23 @@ class GraphLandmarkCentrality(KiaraModule):
             max_hops=self.config.get("max_hops", 3))}
 
 
+class GraphDiameterEstimate(KiaraModule):
+    """Double-sweep BFS diameter lower bound (two frontier BFS runs)."""
+
+    _module_type_name = "network_graph.diameter_estimate"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": diameter_double_sweep(
+            inputs["graph"].data["edges"],
+            max_hops=self.config.get("max_hops", 6))}
+
+
 class GraphPersonalizedPagerank(KiaraModule):
     """Personalized (seed-teleport) PageRank, fixed iterations."""
 
@@ -1812,7 +1868,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
            GraphBipartiteButterflies, GraphDegreeAssortativity,
            GraphBipartiteProject, GraphModularity,
-           GraphLandmarkCentrality]
+           GraphLandmarkCentrality, GraphDiameterEstimate]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1851,4 +1907,6 @@ OPERATIONS = [
     Operation("network_graph.modularity", "network_graph.modularity"),
     Operation("network_graph.landmark_centrality",
               "network_graph.landmark_centrality"),
+    Operation("network_graph.diameter_estimate",
+              "network_graph.diameter_estimate"),
 ]

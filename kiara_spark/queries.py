@@ -12409,6 +12409,46 @@ def graph_landmark_centrality_q(spark, sf_dir):
 
 
 @query(
+    "graph_diameter_estimate",
+    f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    st AS (SELECT MIN(src) AS s FROM und),
+    w1(id, hops) AS (
+      SELECT s, 0 FROM st
+      UNION
+      SELECT u.dst, w.hops + 1 FROM w1 w JOIN und u ON u.src = w.id
+      WHERE w.hops < 6
+    ),
+    d1 AS (SELECT id, MIN(hops) AS h FROM w1 GROUP BY id),
+    far AS (SELECT id FROM d1 ORDER BY h DESC, id LIMIT 1),
+    w2(id, hops) AS (
+      SELECT id, 0 FROM far
+      UNION
+      SELECT u.dst, w.hops + 1 FROM w2 w JOIN und u ON u.src = w.id
+      WHERE w.hops < 6
+    ),
+    d2 AS (SELECT id, CAST(MIN(hops) AS BIGINT) AS h FROM w2 GROUP BY id),
+    ecc AS (SELECT h, id FROM d2 ORDER BY h DESC, id LIMIT 1)
+    SELECT CAST(st.s AS BIGINT) AS start_node,
+           CAST(far.id AS BIGINT) AS far_node,
+           ecc.h AS diameter_lb,
+           ecc.h >= 6 AS capped
+    FROM st, far, ecc
+    """,
+)
+def graph_diameter_estimate_q(spark, sf_dir):
+    """Double-sweep diameter lower bound on the co-purchase graph: BFS
+    from the min node, BFS again from its farthest node (argmax stays
+    in-plan as a 1-row seed frame) — two frontier BFS runs instead of
+    all-pairs."""
+    from .operators import graph as G
+
+    return G.diameter_double_sweep(_copurchase_edges(spark, sf_dir),
+                                   max_hops=6)
+
+
+@query(
     "events_sequence_pattern",
     """
     WITH s AS (
