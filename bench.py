@@ -335,6 +335,8 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "ml_average_precision_orders",
     "graph_diameter_estimate",
+    "sql_recursive_bom_rollup",
+    "dedup_jaro_winkler_pairs",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

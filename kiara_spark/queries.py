@@ -12598,6 +12598,72 @@ def ml_logreg_gd_q(spark, sf_dir):
     return logistic_regression_gd(o, "y", ["x1", "x2"], iterations=3, lr=1.0)
 
 
+_RCTE_BOM = """
+WITH RECURSIVE anc(pk, node, depth) AS (
+  SELECT p_partkey, p_partkey {div} 10, 1 FROM part WHERE p_partkey >= 10
+  UNION ALL
+  SELECT a.pk, a.node {div} 10, a.depth + 1 FROM anc a WHERE a.node >= 10
+)
+SELECT CAST(a.node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(MAX(a.depth) AS BIGINT) AS max_depth,
+       CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+         AS subtree_price
+FROM anc a JOIN part p ON p.p_partkey = a.pk
+GROUP BY a.node
+"""
+
+
+@query("sql_recursive_bom_rollup", _RCTE_BOM.format(div="//"))
+def sql_recursive_bom_rollup(spark, sf_dir):
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) BOM-style subtree rollup:
+    every part's ancestor chain under the decimal trie parent = key DIV 10,
+    then descendant count / max depth / subtree price per internal node.
+    Depth is O(log10 N) so the recursion runs ~7 rounds even at 100 TB;
+    each round is one self-join the optimizer plans like any other, and the
+    final rollup is a single hash aggregate.  The reference reaches
+    recursion only through its generic SQL module (`table.query.sql`,
+    reference src/kiara/modules/included_core_modules) — here it is native
+    Catalyst (UnionLoop), same text DuckDB runs modulo the `//` vs `DIV`
+    integer-division token."""
+    from .operators import tables as T
+
+    part = _t(spark, sf_dir, "part")
+    return T.sql_query(spark, _RCTE_BOM.format(div="DIV"), tables={"part": part})
+
+
+@query(
+    "dedup_jaro_winkler_pairs",
+    """
+    WITH t AS (
+      SELECT p_partkey AS id, lower(p_name || ' ' || p_type) AS s,
+             p_name AS b
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+    FROM t a JOIN t b ON a.b = b.b AND a.id < b.id
+    WHERE ROUND(jaro_winkler_similarity(a.s, b.s), 6) >= 0.93
+    """,
+)
+def dedup_jaro_winkler_pairs_q(spark, sf_dir):
+    """Jaro-Winkler record linkage over the product catalog (name+type
+    strings, exact-name blocking): transposition-tolerant similarity for
+    short entity strings where edit distance over-penalizes and shingles
+    under-discriminate.  The kernel matches DuckDB's builtin to 1e-12, so
+    the oracle is exact.  Scale note: the quadratic lives entirely inside
+    blocks — with a low-cardinality block key pass minhash LSH band keys
+    as `block_column` instead (any Column is accepted), same as
+    `dedup_ngram_jaccard_lsh_blocked`."""
+    part = _t(spark, sf_dir, "part")
+    prepared = part.select(
+        F.col("p_partkey").alias("id"),
+        F.lower(F.concat_ws(" ", "p_name", "p_type")).alias("txt"),
+        F.col("p_name").alias("blk"))
+    return D.jaro_winkler_pairs(prepared, id_col="id", text_col="txt",
+                                block_col="blk", threshold=0.93)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

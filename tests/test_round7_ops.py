@@ -294,3 +294,87 @@ def test_round7_operations_registered(ctx):
                "text.bpe_encode", "text.kneser_ney_bigram",
                "text.naive_bayes_classify", "media.scene_cuts"]:
         assert reg.resolve(op) is not None, op
+
+
+def test_jaro_winkler_kernel_matches_duckdb():
+    """Kernel parity on the textbook pairs + edge cases — same values
+    DuckDB's jaro_winkler_similarity returns."""
+    import duckdb
+
+    from kiara_spark.operators.dedup import _jaro_winkler_py
+
+    con = duckdb.connect()
+    cases = [("martha", "marhta"), ("dwayne", "duane"), ("abc", "abc"),
+             ("abc", ""), ("", ""), ("aaaaaaaaaa", "aaaaaaaaab"),
+             ("prefix common tail x", "prefix common tail y"),
+             ("a", "b"), ("ab", "ba"), ("jellyfish", "smellyfish")]
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_pairs_blocked(spark):
+    """Blocking + threshold semantics: only same-block pairs surface,
+    ordered id_a < id_b, jw rounded to 6dp; the length band never drops a
+    qualifying pair (2x length ratio is the admissibility boundary)."""
+    from kiara_spark.operators.dedup import (_jaro_winkler_py,
+                                             jaro_winkler_pairs)
+
+    rows = [
+        (1, "martha stewart", "m"),
+        (2, "marhta stewart", "m"),
+        (3, "martha stewartstewartstewart xx", "m"),  # >2x longer than #1
+        (4, "martha stewart", "other-block"),
+        (5, "zzzz yyyy", "m"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, txt string, blk string")
+    got = {(r.id_a, r.id_b): r.jw
+           for r in jaro_winkler_pairs(df, "id", "txt", "blk", 0.9).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] == pytest.approx(
+        round(_jaro_winkler_py("martha stewart", "marhta stewart"), 6))
+    # cross-block identical text must NOT pair
+    assert not any(4 in p for p in got)
+    # dissimilar same-block text filtered by threshold
+    assert not any(5 in p for p in got)
+    # every surviving pair is ordered and above threshold
+    assert all(a < b for a, b in got)
+    assert all(v >= 0.9 for v in got.values())
+
+
+def test_jaro_winkler_band_admissibility(spark):
+    """Pairs within the 2x length-ratio bound survive the log2 banding even
+    when they straddle a bucket boundary (len 15 vs 17 -> buckets 4 vs 5)."""
+    from kiara_spark.operators.dedup import jaro_winkler_pairs
+
+    a = "abcdefghijklmno"          # len 15 (bucket 4)
+    b = "abcdefghijklmnopq"        # len 17 (bucket 5)
+    df = spark.createDataFrame([(1, a, "x"), (2, b, "x")],
+                               "id bigint, txt string, blk string")
+    got = jaro_winkler_pairs(df, "id", "txt", "blk", 0.9).collect()
+    assert len(got) == 1 and got[0].jw > 0.9
+
+
+def test_recursive_cte_subtree_rollup(spark):
+    """WITH RECURSIVE decimal-trie rollup on a hand data set: node 1 has
+    descendants {10..12, 100} (depths 1 and 2)."""
+    from kiara_spark.operators.tables import sql_query
+
+    keys = [1, 10, 11, 12, 100]
+    df = spark.createDataFrame([(k, 1.0) for k in keys],
+                               "p_partkey bigint, p_retailprice double")
+    sql = """
+    WITH RECURSIVE anc(pk, node, depth) AS (
+      SELECT p_partkey, p_partkey DIV 10, 1 FROM part WHERE p_partkey >= 10
+      UNION ALL
+      SELECT a.pk, a.node DIV 10, a.depth + 1 FROM anc a WHERE a.node >= 10
+    )
+    SELECT a.node, COUNT(*) AS n_desc, MAX(a.depth) AS max_depth
+    FROM anc a JOIN part p ON p.p_partkey = a.pk
+    GROUP BY a.node
+    """
+    got = {r.node: (r.n_desc, r.max_depth)
+           for r in sql_query(spark, sql, tables={"part": df}).collect()}
+    assert got[1] == (4, 2)    # 10,11,12 at depth 1 + 100 at depth 2
+    assert got[10] == (1, 1)   # 100 only
