@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "graph_diameter_estimate",
     "sql_recursive_bom_rollup",
     "dedup_jaro_winkler_pairs",
+    "events_dft_periodogram",
+    "events_cross_correlation",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -637,6 +637,119 @@ def autocorrelation(
             .orderBy("lag"))
 
 
+def dft_periodogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    min_period: int = 2,
+    max_period: int = 14,
+) -> DataFrame:
+    """Single-frequency DFT power (Goertzel-style periodogram) of the daily
+    event-count series at candidate periods ``min_period..max_period`` days
+    — the cycle detector (is there a weekly rhythm?) that complements
+    :func:`autocorrelation`'s persistence view.
+
+    For period p with day index t and span n: a = Σ(c_t−μ)·cos(2πt/p)/1,
+    b = likewise with sin, power = a² + b² — mean removal done EXACTLY as
+    a_num = n·Σc·cos − S·Σcos so no float μ enters the sums.  The cos/sin
+    factors round to 9dp and enter DECIMAL algebra (the repo's round-9
+    pattern: a ≤2-ulp libm disagreement between engines cannot flip a 9dp
+    rounding except with ~1e-7 probability per term), so the aggregate is
+    order-independent and both engines assemble identical doubles at the
+    single terminal division.  Plan: one day aggregate over the raw log
+    (the only big-data pass), explode to (max_period−min_period+1)
+    period-tagged rows, one (period) aggregate + broadcast 1-row global.
+    Returns (period, a, b, power)."""
+    import math
+
+    daily = (df.groupBy(F.date_trunc("day", F.col(ts_col)).alias("_d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    g = daily.agg(
+        F.min("_d").alias("_d0"),
+        (F.datediff(F.max("_d"), F.min("_d")) + 1).cast("bigint").alias("_n"),
+        F.sum("_c").cast("decimal(38,0)").alias("_s"))
+    t = (daily.crossJoin(F.broadcast(g))
+         .select(F.datediff(F.col("_d"), F.col("_d0")).cast("bigint")
+                 .alias("_t"), "_c", "_n", "_s"))
+    b = t.select(
+        F.explode(F.sequence(F.lit(min_period), F.lit(max_period)))
+        .alias("_p"), "_t", "_c", "_n", "_s"
+    ).withColumn("period", F.col("_p").cast("bigint"))
+    ang = (F.lit(2.0 * math.pi) * F.col("_t").cast("double")
+           / F.col("period").cast("double"))
+    dec9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
+    cd = F.col("_c").cast("decimal(18,0)")
+    per = (b.groupBy("period")
+           .agg(F.max("_n").alias("_n"), F.max("_s").alias("_s"),
+                F.sum(dec9(F.cos(ang)) * cd).alias("_ac"),
+                F.sum(dec9(F.sin(ang)) * cd).alias("_as"),
+                F.sum(dec9(F.cos(ang))).alias("_cc"),
+                F.sum(dec9(F.sin(ang))).alias("_cs")))
+    nd = F.col("_n").cast("decimal(38,0)")
+    a_num = (nd * F.col("_ac") - F.col("_s") * F.col("_cc")).cast("double")
+    b_num = (nd * F.col("_as") - F.col("_s") * F.col("_cs")).cast("double")
+    a = F.round(a_num / F.col("_n").cast("double"), 6)
+    bb = F.round(b_num / F.col("_n").cast("double"), 6)
+    return (per.select("period", a.alias("a"), bb.alias("b"))
+            .withColumn("power", F.round(F.col("a") * F.col("a")
+                                         + F.col("b") * F.col("b"), 4))
+            .orderBy("period"))
+
+
+def cross_correlation(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two event types' daily
+    count series — the lead/lag detector ("do clicks predict purchases N
+    days out?").  For lag ℓ the pairs are (x on day d, y on day d+ℓ),
+    lags −max_lag..+max_lag, inner-joined on calendar day so gaps drop out
+    of both sides symmetrically.
+
+    EXACT integer algebra: counts are BIGINTs, so n, Σx, Σy, Σx², Σy², Σxy
+    accumulate exactly (DECIMAL(38,0) products) and
+    r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) touches floating
+    point only in the terminal sqrt/divide — both engines reproduce the
+    double bit-for-bit.  Plan: one day×type aggregate over the raw log,
+    explode the x side by (2·max_lag+1) lag offsets, one day-keyed join of
+    two tiny series, one (lag) aggregate.  Returns (lag, n_days, r)."""
+    daily = (df.filter(F.col(type_col).isin([type_a, type_b]))
+             .groupBy(F.to_date(F.col(ts_col)).alias("_d"),
+                      F.col(type_col).alias("_ty"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    x = daily.filter(F.col("_ty") == type_a).select(
+        "_d", F.col("_c").alias("_x"))
+    y = daily.filter(F.col("_ty") == type_b).select(
+        "_d", F.col("_c").alias("_y"))
+    xl = x.select(
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+        .alias("_l"), "_d", "_x"
+    ).select(F.col("_l").cast("bigint").alias("lag"),
+             F.date_add(F.col("_d"), F.col("_l")).alias("_d"), "_x")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (xl.join(y, "_d")
+           .groupBy("lag")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                F.sum("_x").cast("bigint").alias("_sx"),
+                F.sum("_y").cast("bigint").alias("_sy"),
+                F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x"))
+                .cast("decimal(38,0)").alias("_sxx"),
+                F.sum(F.col("_y").cast("decimal(38,0)") * F.col("_y"))
+                .cast("decimal(38,0)").alias("_syy"),
+                F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y"))
+                .cast("decimal(38,0)").alias("_sxy")))
+    n = dec("n_days")
+    num = (n * F.col("_sxy") - dec("_sx") * dec("_sy")).cast("double")
+    vx = (n * F.col("_sxx") - dec("_sx") * dec("_sx")).cast("double")
+    vy = (n * F.col("_syy") - dec("_sy") * dec("_sy")).cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
+    return agg.select("lag", "n_days", r.alias("r")).orderBy("lag")
+
+
 def interval_coverage(
     df: DataFrame,
     key_col: str,
@@ -1253,7 +1366,38 @@ EventsSequencePattern = _simple_module(
         "event sequences",
 )
 
+EventsDftPeriodogram = _simple_module(
+    "events.dft_periodogram",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": dft_periodogram(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        min_period=self.config.get("min_period", 2),
+        max_period=self.config.get("max_period", 14))},
+    doc="Goertzel-style DFT power at candidate day periods (cycle "
+        "detection over the daily count series)",
+)
+
+EventsCrossCorrelation = _simple_module(
+    "events.cross_correlation",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cross_correlation(
+        im["table"].data,
+        self.config["type_a"], self.config["type_b"],
+        ts_col=self.config.get("ts_column", "ts"),
+        type_col=self.config.get("type_column", "event_type"),
+        max_lag=self.config.get("max_lag", 3))},
+    doc="lagged Pearson cross-correlation between two event types' "
+        "daily series (lead/lag detection)",
+)
+
 OPERATIONS = [
+    Operation("events.dft_periodogram", "events.dft_periodogram",
+              doc="DFT periodogram over the daily count series"),
+    Operation("events.cross_correlation", "events.cross_correlation",
+              doc="lagged cross-correlation between two event-type series"),
     Operation("events.sequence_pattern", "events.sequence_pattern",
               doc="row-pattern recognition (regex CEP) per key"),
     Operation("events.holt_forecast", "events.holt_forecast",
@@ -1297,4 +1441,5 @@ OPERATIONS = [
               doc="gaps-and-islands run collapse"),
 ]
 
-MODULES += [EventsHoltForecast, EventsSequencePattern]
+MODULES += [EventsHoltForecast, EventsSequencePattern,
+            EventsDftPeriodogram, EventsCrossCorrelation]

@@ -378,3 +378,54 @@ def test_recursive_cte_subtree_rollup(spark):
            for r in sql_query(spark, sql, tables={"part": df}).collect()}
     assert got[1] == (4, 2)    # 10,11,12 at depth 1 + 100 at depth 2
     assert got[10] == (1, 1)   # 100 only
+
+
+def _day_events(spec, ty="click"):
+    """[(day_offset, count)] -> rows (event_id, ts, user_id, event_type)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for d, c in spec:
+        for k in range(c):
+            rows.append((i, base + datetime.timedelta(days=d, minutes=k),
+                         k, ty))
+            i += 1
+    return rows
+
+
+def test_dft_periodogram_finds_planted_period(spark):
+    """Daily counts 10 + 6·(t mod 4 == 0) have a strong 4-day cycle: power
+    at period 4 dominates periods 3/5/6/7."""
+    from kiara_spark.operators.events import dft_periodogram
+
+    spec = [(t, 16 if t % 4 == 0 else 10) for t in range(28)]
+    df = spark.createDataFrame(
+        _day_events(spec), "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string")
+    out = {r.period: r.power
+           for r in dft_periodogram(df, "ts", 2, 7).collect()}
+    assert out[4] == max(out.values())
+    assert out[4] > 5 * max(v for p, v in out.items() if p not in (2, 4))
+
+
+def test_cross_correlation_finds_planted_lag(spark):
+    """y is x shifted 2 days -> r = 1.0 exactly at lag +2, lower elsewhere."""
+    from kiara_spark.operators.events import cross_correlation
+
+    xspec = [(t, 5 + (t * 7) % 11) for t in range(30)]
+    yspec = [(t + 2, c) for t, c in xspec]
+    rows = (_day_events(xspec, "click") +
+            [(10_000 + i, ts, u, ty) for i, (_, ts, u, _unused)
+             in enumerate(_day_events(yspec, "x"))
+             for ty in ["purchase"]])
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string")
+    out = {r.lag: r for r in
+           cross_correlation(df, "click", "purchase", max_lag=3).collect()}
+    assert out[2].r == pytest.approx(1.0, abs=1e-9)
+    assert all(abs(v.r) < 0.9 for k, v in out.items()
+               if k != 2 and v.r is not None)
+    assert out[2].n_days == 30
