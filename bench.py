@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     "dedup_jaro_winkler_pairs",
     "events_dft_periodogram",
     "events_cross_correlation",
+    "privacy_dp_noisy_counts",
+    "text_js_divergence_langs",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

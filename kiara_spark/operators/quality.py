@@ -1712,6 +1712,40 @@ def k_anonymity_report(
             .withColumn("violates_k", F.col("group_size") < k))
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private release of a group-by count histogram via the
+    Laplace mechanism (Dwork et al. 2006): count + Lap(1/ε) per cell —
+    counting queries have sensitivity 1, so ε-DP needs scale b = 1/ε.
+
+    Noise is DERIVED, not drawn: u = md5(cell-key ‖ salt) as 60 bits →
+    [0,1), then the inverse-CDF transform −b·sign(u−½)·ln(1−2|u−½|).  That
+    makes the release reproducible across runs/retries/engines (the oracle
+    computes the identical noise), which is what the tests need; a real
+    release keeps ``salt`` secret — a public salt would let anyone
+    re-derive and subtract the noise.  The true count never leaves the
+    plan.  ONE hash aggregate + map-only noise; the 1e-18 floor keeps the
+    ln argument positive at the (probability 2⁻⁶⁰) u=0 corner."""
+    key = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in group_cols], F.lit(salt))
+    u = (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+         .cast("double") / F.lit(1152921504606846976.0))
+    v = u - F.lit(0.5)
+    noise = (F.lit(-1.0 / epsilon) * F.signum(v)
+             * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(v),
+                                F.lit(1e-18))))
+    return (df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+            .select(*group_cols,
+                    F.round(F.col("_c") + F.round(noise, 6), 6)
+                    .alias("noisy_count"),
+                    F.lit(float(epsilon)).alias("epsilon")))
+
+
 def l_diversity_report(
     df: DataFrame,
     quasi_cols: list[str],
@@ -2357,10 +2391,26 @@ TableLogRegGd = _simple_module(
         "one decimal-exact aggregate per epoch, broadcast weight row.",
 )
 
+TableDpNoisyCounts = _simple_module(
+    "table.privacy.dp_noisy_counts",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": dp_noisy_counts(
+        im["table"].data, self.config["group_columns"],
+        epsilon=self.config.get("epsilon", 1.0),
+        salt=self.config.get("salt", "dp"))},
+    doc="ε-DP Laplace-mechanism count histogram with derived "
+        "(reproducible) noise — keep the salt secret in a real release.",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
-            TableKsDrift, TableLinRegNormal, TableLogRegGd]
+            TableKsDrift, TableLinRegNormal, TableLogRegGd,
+            TableDpNoisyCounts]
 
 OPERATIONS = [
+    Operation("table.privacy.dp_noisy_counts",
+              "table.privacy.dp_noisy_counts",
+              doc="Laplace-mechanism DP count release (derived noise)"),
     Operation("table.ml.average_precision", "table.ml.average_precision",
               doc="average precision / PR-AUC ranking metric"),
     Operation("table.ml.regression_stump", "table.ml.regression_stump",

@@ -1572,6 +1572,76 @@ def split_by_group(
         .otherwise(F.lit("test")))
 
 
+def token_distribution_divergence(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group unigram token
+    distributions — the standard corpus-drift / domain-shift measure (are
+    two language/source slices lexically close?).  Distributions live over
+    the GLOBAL top-``top_k`` vocabulary plus one OOV bucket holding each
+    group's remaining mass, so every distribution sums to 1 and the pair
+    matrix is exact, not sampled.
+
+    JSD(P,Q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(q+p)) in nats; each term's
+    ln-argument assembles from integer counts cast to double in a fixed
+    order ((2·c₁·n₂)/(c₁·n₂+c₂·n₁) — no float probabilities enter the
+    ratio), rounds to 9dp into decimal-exact sums (the repo's round-9
+    pattern), one terminal ×½ + round-6.
+
+    Plan: one (group, token) aggregate over the corpus — the only pass
+    over text; top-k via distributed ORDER BY ... LIMIT (count then token
+    tie-break, deterministic); the grid / OOV / pair joins all act on
+    O(groups × top_k) rows.  Scale: groups² × top_k pair cells — at 100 TB
+    that is still thousands of rows.  Returns
+    (group_a, group_b, n_a, n_b, jsd)."""
+    counts = (df.select(F.col(group_col).alias("_g"),
+                        F.explode(tokens_col(F.col(text_col))).alias("_w"))
+              .groupBy("_g", "_w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    totals = counts.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_n"))
+    top = (counts.groupBy("_w")
+           .agg(F.sum("_c").cast("bigint").alias("_tc"))
+           .orderBy(F.col("_tc").desc(), F.col("_w"))
+           .limit(top_k)
+           .select("_w"))
+    grid = totals.crossJoin(F.broadcast(top))
+    cells = (grid.join(counts, ["_g", "_w"], "left")
+             .select("_g", "_w", F.coalesce(F.col("_c"), F.lit(0))
+                     .cast("bigint").alias("_c"), "_n"))
+    in_top = (counts.join(F.broadcast(top), "_w", "left_semi")
+              .groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_ct")))
+    oov = (totals.join(in_top, "_g", "left")
+           .select("_g", F.lit("<OOV>").alias("_w"),
+                   (F.col("_n") - F.coalesce(F.col("_ct"), F.lit(0)))
+                   .cast("bigint").alias("_c"), "_n"))
+    cells = cells.unionByName(oov)
+    a = cells.select(F.col("_g").alias("group_a"), "_w",
+                     F.col("_c").alias("_c1"), F.col("_n").alias("n_a"))
+    b = cells.select(F.col("_g").alias("group_b"), "_w",
+                     F.col("_c").alias("_c2"), F.col("_n").alias("n_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _term(c_self, n_self, c_other, n_other):
+        arg = ((F.lit(2.0) * d(c_self) * d(n_other))
+               / (d(c_self) * d(n_other) + d(c_other) * d(n_self)))
+        return F.when(
+            F.col(c_self) > 0,
+            F.round((d(c_self) / d(n_self)) * F.log(arg), 9)
+            .cast("decimal(20,9)")).otherwise(F.lit(0).cast("decimal(20,9)"))
+
+    pairs = (a.join(b, "_w").filter(F.col("group_a") < F.col("group_b"))
+             .groupBy("group_a", "group_b")
+             .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                  F.sum(_term("_c1", "n_a", "_c2", "n_b")
+                        + _term("_c2", "n_b", "_c1", "n_a")).alias("_s")))
+    return pairs.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(F.lit(0.5) * F.col("_s").cast("double"), 6).alias("jsd"))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -1993,6 +2063,26 @@ class TextTermTrends(KiaraModule):
             group_col=self.config.get("group_column", "source"))}
 
 
+class TextJsDivergence(KiaraModule):
+    """Pairwise Jensen-Shannon divergence between per-group token
+    distributions (see token_distribution_divergence)."""
+
+    _module_type_name = "text.js_divergence"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": token_distribution_divergence(
+            inputs["table"].data,
+            group_col=self.config.get("group_column", "lang"),
+            text_col=self.config.get("text_column", "text"),
+            top_k=self.config.get("top_k", 200))}
+
+
 class TextCleanC4(KiaraModule):
     """C4-style line-level cleaning (see clean_c4)."""
 
@@ -2022,7 +2112,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
-           TextRemoveStopwords, TextKwic, TextTermTrends, TextStem]
+           TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
+           TextJsDivergence]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2048,6 +2139,9 @@ OPERATIONS = [
               doc="stopword removal (literal vocabulary, map-only)"),
     Operation("text.term_trends", "text.term_trends",
               doc="term usage per group, per-1000-token normalized"),
+    Operation("text.js_divergence", "text.js_divergence",
+              doc="pairwise JS divergence between per-group token "
+                  "distributions (corpus drift)"),
     Operation("text.stem", "text.stem",
               doc="S-stemmer plural stripping (deterministic, map-only)"),
     Operation("text.bpe_encode", "text.bpe_encode",

@@ -12756,6 +12756,101 @@ def events_cross_correlation_q(spark, sf_dir):
                              "click", "purchase", max_lag=3)
 
 
+@query(
+    "privacy_dp_noisy_counts",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), n AS (
+      SELECT o_orderpriority, o_orderstatus, c,
+             CAST(CAST('0x' || substr(md5(concat_ws('#', o_orderpriority,
+                    o_orderstatus, 'dp')), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM agg
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           ROUND(c + ROUND(-1.0 * sign(u - 0.5)
+                 * ln(GREATEST(1.0 - 2.0 * abs(u - 0.5), 1e-18)), 6), 6)
+             AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM n
+    """,
+)
+def privacy_dp_noisy_counts_q(spark, sf_dir):
+    """ε-DP Laplace-mechanism release of the (priority, status) order
+    histogram with derived (hash-seeded, reproducible) noise — completes
+    the privacy ladder (k-anon → l-div → t-close → DP release).  The true
+    counts never appear in the output."""
+    from .operators.quality import dp_noisy_counts
+
+    return dp_noisy_counts(_t(spark, sf_dir, "orders"),
+                           ["o_orderpriority", "o_orderstatus"],
+                           epsilon=1.0, salt="dp")
+
+
+_JSD_TERM = """CASE WHEN {c1} > 0 THEN CAST(ROUND(
+      (CAST({c1} AS DOUBLE) / CAST({n1} AS DOUBLE))
+      * ln((2.0 * CAST({c1} AS DOUBLE) * CAST({n2} AS DOUBLE))
+           / (CAST({c1} AS DOUBLE) * CAST({n2} AS DOUBLE)
+              + CAST({c2} AS DOUBLE) * CAST({n1} AS DOUBLE))), 9)
+      AS DECIMAL(20,9)) ELSE CAST(0 AS DECIMAL(20,9)) END"""
+
+
+@query(
+    "text_js_divergence_langs",
+    """
+    WITH counts AS (
+      SELECT g, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang AS g,
+                   UNNEST(list_filter(string_split_regex(lower(text),
+                          '[^a-z0-9]+'), t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ), totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY g),
+    top AS (
+      SELECT w FROM (SELECT w, SUM(c) AS tc FROM counts GROUP BY w)
+      ORDER BY tc DESC, w LIMIT 200
+    ),
+    cells AS (
+      SELECT grid.g, grid.w, COALESCE(counts.c, 0) AS c, grid.n
+      FROM (SELECT g, n, w FROM totals CROSS JOIN top) grid
+      LEFT JOIN counts ON counts.g = grid.g AND counts.w = grid.w
+    ),
+    intop AS (
+      SELECT g, SUM(c) AS ct FROM counts
+      WHERE w IN (SELECT w FROM top) GROUP BY g
+    ),
+    oov AS (
+      SELECT totals.g, '<OOV>' AS w,
+             CAST(n - COALESCE(ct, 0) AS BIGINT) AS c, n
+      FROM totals LEFT JOIN intop ON intop.g = totals.g
+    ),
+    allc AS (SELECT * FROM cells UNION ALL SELECT * FROM oov),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.c AS c1, a.n AS n1,
+             b.c AS c2, b.n AS n2
+      FROM allc a JOIN allc b ON a.w = b.w AND a.g < b.g
+    )
+    SELECT group_a, group_b, CAST(MAX(n1) AS BIGINT) AS n_a,
+           CAST(MAX(n2) AS BIGINT) AS n_b,
+           ROUND(0.5 * CAST(SUM({t1} + {t2}) AS DOUBLE), 6) AS jsd
+    FROM pairs GROUP BY 1, 2
+    """.format(t1=_JSD_TERM.format(c1="c1", n1="n1", c2="c2", n2="n2"),
+               t2=_JSD_TERM.format(c1="c2", n1="n2", c2="c1", n2="n1")),
+)
+def text_js_divergence_langs_q(spark, sf_dir):
+    """Corpus drift between language slices: pairwise Jensen-Shannon
+    divergence over each language's unigram distribution on the global
+    top-200 vocabulary + OOV bucket — one text pass, round-9 decimal term
+    sums, pair matrix is O(langs² × 200) rows at any corpus size."""
+    from .operators.text import token_distribution_divergence
+
+    return token_distribution_divergence(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        text_col="text", top_k=200)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -429,3 +429,38 @@ def test_cross_correlation_finds_planted_lag(spark):
     assert all(abs(v.r) < 0.9 for k, v in out.items()
                if k != 2 and v.r is not None)
     assert out[2].n_days == 30
+
+
+def test_dp_noisy_counts_deterministic_and_salted(spark):
+    from kiara_spark.operators.quality import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(g, i) for g in "abc" for i in range(10 + ord(g) % 3)],
+        "g string, i bigint")
+    r1 = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    r2 = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert r1 == r2                      # derived noise is reproducible
+    r3 = {r.g: r.noisy_count
+          for r in dp_noisy_counts(df, ["g"], salt="other").collect()}
+    assert r1 != r3                      # new salt -> new noise draw
+    # Laplace(1) noise: |noise| < 20 with overwhelming probability, and the
+    # noisy values should stay near the true counts (10..12 here)
+    assert all(abs(v - 11) < 25 for v in r1.values())
+    assert any(v != int(v) for v in r1.values())   # noise actually applied
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """Two identical corpora -> jsd 0; disjoint vocabularies -> ln 2."""
+    import math
+
+    from kiara_spark.operators.text import token_distribution_divergence
+
+    rows = [("a", "alpha beta gamma alpha"), ("b", "alpha beta gamma alpha"),
+            ("c", "delta epsilon zeta delta")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {(r.group_a, r.group_b): r.jsd
+           for r in token_distribution_divergence(df, "lang", "text",
+                                                  top_k=50).collect()}
+    assert out[("a", "b")] == pytest.approx(0.0, abs=1e-9)
+    assert out[("a", "c")] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[("b", "c")] == pytest.approx(math.log(2), abs=1e-6)
