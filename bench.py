@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "events_cross_correlation",
     "privacy_dp_noisy_counts",
     "text_js_divergence_langs",
+    "sample_weighted_topk_documents",
+    "graph_ktruss_suppliers",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

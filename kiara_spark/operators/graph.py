@@ -592,6 +592,59 @@ def kcore_peel(
     return alive_degrees(alive)
 
 
+def _edge_support(oriented: DataFrame) -> DataFrame:
+    """(src, dst, support) = triangles through each oriented (src<dst)
+    edge.  One oriented double-join enumerates each triangle once (a<b<c),
+    then each triangle credits its three edges via union+count — an
+    O(triangles) shuffle.  Edges in no triangle are absent (support 0)."""
+    ab = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, on="b").join(ac, on=["a", "c"])
+    pairs = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst"))))
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"))
+
+
+def ktruss_prune(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Iterative k-truss prune (Cohen 2008): repeatedly drop edges in
+    fewer than ``k−2`` triangles (support counted within the surviving
+    subgraph) for ``rounds`` rounds, then return survivors with their
+    in-truss support — the edge-level cohesive-subgraph filter (stricter
+    than k-core: cores bound degree, trusses bound *shared* neighbors, so
+    trusses reject hub-spoke spam that cores admit).
+
+    Like :func:`kcore_peel`, the round count is FIXED so the result is a
+    pure function of the graph (converging to the true k-truss as rounds
+    grow) and an unrolled SQL twin verifies it exactly.  Per round: one
+    oriented triangle enumeration + one edge-keyed aggregate + one inner
+    join — all shuffles on edge keys, edge set only shrinks, lineage cut
+    per round (reliable checkpoint when KIARA_SPARK_CHECKPOINT_DIR is
+    set).  Returns (src, dst, support), src < dst."""
+    e = undirected_edges(edges).filter(F.col("src") < F.col("dst"))
+    if checkpoint:
+        e = cut_lineage(e)
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (e.join(sup, ["src", "dst"])
+             .filter(F.col("support") >= k - 2)
+             .select("src", "dst"))
+        if checkpoint:
+            e = cut_lineage(e)
+    return (e.join(_edge_support(e), ["src", "dst"], "left")
+            .select("src", "dst",
+                    F.coalesce("support", F.lit(0)).cast("bigint")
+                    .alias("support")))
+
+
 def shortest_paths_weighted(
     edges: DataFrame,
     sources: DataFrame,
@@ -1804,6 +1857,25 @@ class GraphKCore(KiaraModule):
             rounds=self.config.get("rounds", 3))}
 
 
+class GraphKTruss(KiaraModule):
+    """Fixed-round k-truss edge prune (support-< k−2 removal, see
+    ktruss_prune)."""
+
+    _module_type_name = "network_graph.ktruss"
+
+    def create_inputs_schema(self):
+        return {"graph": {"type": "network_graph"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": ktruss_prune(
+            inputs["graph"].data["edges"],
+            k=self.config.get("k", 4),
+            rounds=self.config.get("rounds", 3))}
+
+
 class GraphShortestPathsWeighted(KiaraModule):
     """Weighted shortest distances (Bellman-Ford rounds) from a source set."""
 
@@ -1868,7 +1940,7 @@ MODULES = [CreateDatabaseFromFolder, DatabaseQuery, DatabasePickTable,
            GraphCondensationLayers, GraphWalkSkipgramPairs,
            GraphBipartiteButterflies, GraphDegreeAssortativity,
            GraphBipartiteProject, GraphModularity,
-           GraphLandmarkCentrality, GraphDiameterEstimate]
+           GraphLandmarkCentrality, GraphDiameterEstimate, GraphKTruss]
 OPERATIONS = [
     Operation("create.database.from.folder", "create.database.from.folder",
               operation_type="create_from"),
@@ -1889,6 +1961,8 @@ OPERATIONS = [
     Operation("network_graph.shortest_paths_weighted",
               "network_graph.shortest_paths_weighted"),
     Operation("network_graph.kcore", "network_graph.kcore"),
+    Operation("network_graph.ktruss", "network_graph.ktruss",
+              doc="fixed-round k-truss edge prune (cohesive subgraph)"),
     Operation("network_graph.pagerank_personalized",
               "network_graph.pagerank_personalized"),
     Operation("network_graph.hits", "network_graph.hits"),

@@ -1086,6 +1086,44 @@ def weighted_sample(df: DataFrame, weight_col, id_col: str = "doc_id") -> DataFr
     return df.filter(u < w)
 
 
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col,
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "aes",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws key = ln(u)/w for a
+    uniform u and the k LARGEST keys win — inclusion probability is
+    proportional to weight, exactly the reservoir semantics, but as a pure
+    top-k instead of sequential reservoir state.  Complements
+    :func:`weighted_sample` (Bernoulli, variable size) with the
+    fixed-budget variant a training-mix pipeline needs ("give me exactly
+    100k docs, weighted by quality").
+
+    u derives from md5(id ‖ salt) (epoch = new salt), so the sample is
+    reproducible across runs/retries/partitionings/engines; keys round to
+    9dp with an id tie-break so both engines make the same rank-k boundary
+    call.  Plan: map-only key computation + TakeOrderedAndProject (each
+    partition keeps its local top-k, driver merges k·P rows) — no global
+    sort, no shuffle of the payload.  Rows with weight <= 0 can never win
+    and are pre-filtered."""
+    w = (weight_col if isinstance(weight_col, Column)
+         else F.col(weight_col)).cast("double")
+    u = F.greatest(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16, 10).cast("bigint").cast("double")
+        / F.lit(1152921504606846976.0),
+        F.lit(1e-18))
+    key = F.round(F.log(u) / w, 9)
+    return (df.filter(w > 0)
+            .withColumn("wkey", key)
+            .orderBy(F.col("wkey").desc(), F.col(id_col))
+            .limit(k))
+
+
 def token_dropout(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2063,6 +2101,25 @@ class TextTermTrends(KiaraModule):
             group_col=self.config.get("group_column", "source"))}
 
 
+class TableWeightedReservoirTopk(KiaraModule):
+    """Fixed-size weighted sample without replacement (A-ES top-k)."""
+
+    _module_type_name = "table.sample.weighted_topk"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": weighted_reservoir_topk(
+            inputs["table"].data, self.config["weight_column"],
+            k=self.config.get("k", 100),
+            id_col=self.config.get("id_column", "doc_id"),
+            salt=self.config.get("salt", "aes"))}
+
+
 class TextJsDivergence(KiaraModule):
     """Pairwise Jensen-Shannon divergence between per-group token
     distributions (see token_distribution_divergence)."""
@@ -2113,7 +2170,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
-           TextJsDivergence]
+           TextJsDivergence, TableWeightedReservoirTopk]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2139,6 +2196,8 @@ OPERATIONS = [
               doc="stopword removal (literal vocabulary, map-only)"),
     Operation("text.term_trends", "text.term_trends",
               doc="term usage per group, per-1000-token normalized"),
+    Operation("table.sample.weighted_topk", "table.sample.weighted_topk",
+              doc="exact-k weighted sample without replacement (A-ES)"),
     Operation("text.js_divergence", "text.js_divergence",
               doc="pairwise JS divergence between per-group token "
                   "distributions (corpus drift)"),

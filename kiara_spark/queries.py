@@ -12851,6 +12851,100 @@ def text_js_divergence_langs_q(spark, sf_dir):
         text_col="text", top_k=200)
 
 
+@query(
+    "sample_weighted_topk_documents",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(ln(GREATEST(
+                     CAST(CAST('0x' || substr(md5(concat_ws('#',
+                            CAST(doc_id AS VARCHAR), 'aes')), 1, 15)
+                          AS BIGINT) AS DOUBLE) / 1152921504606846976.0,
+                     1e-18))
+                   / CAST(n_chars AS DOUBLE), 9) AS wkey
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT doc_id, lang, n_chars, wkey
+    FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_topk_documents_q(spark, sf_dir):
+    """Exactly-100 quality-weighted corpus sample without replacement
+    (A-ES): inclusion ∝ n_chars, reproducible across engines, map-only
+    keys + distributed top-k (no global sort)."""
+    from .operators.text import weighted_reservoir_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_reservoir_topk(docs, "n_chars", k=100,
+                                   id_col="doc_id", salt="aes")
+
+
+_KTRUSS_ROUND = """
+    tri{r} AS MATERIALIZED (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e{p} ab JOIN e{p} bc ON ab.dst = bc.src
+      JOIN e{p} ac ON ab.src = ac.src AND bc.dst = ac.dst
+    ), sup{r} AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS src, b AS dst FROM tri{r}
+        UNION ALL SELECT b, c FROM tri{r}
+        UNION ALL SELECT a, c FROM tri{r}) u
+      GROUP BY 1, 2
+    ), e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{p} e JOIN sup{r} s
+        ON s.src = e.src AND s.dst = e.dst
+      WHERE s.support >= 2
+    )""".format
+
+
+@query(
+    "graph_ktruss_suppliers",
+    """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      WHERE l1.l_quantity > 45 AND l2.l_quantity > 45
+    ),"""
+    + ",".join(_KTRUSS_ROUND(r=r, p=r - 1) for r in (1, 2, 3))
+    + """,
+    trif AS MATERIALIZED (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM e3 ab JOIN e3 bc ON ab.dst = bc.src
+      JOIN e3 ac ON ab.src = ac.src AND bc.dst = ac.dst
+    ), supf AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS src, b AS dst FROM trif
+        UNION ALL SELECT b, c FROM trif
+        UNION ALL SELECT a, c FROM trif) u
+      GROUP BY 1, 2
+    )
+    SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+           CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+    FROM e3 e LEFT JOIN supf s ON s.src = e.src AND s.dst = e.dst
+    """,
+)
+def graph_ktruss_suppliers_q(spark, sf_dir):
+    """4-truss of the supplier co-occurrence graph (suppliers sharing an
+    order, qty > 45): every surviving edge sits in ≥ 2 triangles within
+    the surviving subgraph — the edge-level cohesive-community filter
+    (rejects hub-spoke structures k-core admits).  3 fixed prune rounds
+    (fixpoint at this fixture: 1066 → 1025 → 1016 → 1015 edges), oracle
+    is the same rounds unrolled as SQL CTEs."""
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    l2 = li.select(F.col("l_orderkey").alias("ok2"),
+                   F.col("l_suppkey").alias("dst"))
+    edges = (li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+             .join(l2, F.col("l_orderkey") == F.col("ok2"))
+             .filter(F.col("src") < F.col("dst"))
+             .select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+             .distinct())
+    return G.ktruss_prune(edges, k=4, rounds=3)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

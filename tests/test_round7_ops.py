@@ -464,3 +464,45 @@ def test_js_divergence_identical_and_disjoint(spark):
     assert out[("a", "b")] == pytest.approx(0.0, abs=1e-9)
     assert out[("a", "c")] == pytest.approx(math.log(2), abs=1e-6)
     assert out[("b", "c")] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_ktruss_k4_keeps_clique_prunes_triangle(spark):
+    """K4 survives a 4-truss (every edge in 2 triangles); a lone triangle
+    (support 1) and a pendant edge (support 0) are pruned."""
+    from kiara_spark.operators.graph import ktruss_prune
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(5, 6), (6, 7), (5, 7), (7, 8)]
+    df = spark.createDataFrame(k4 + extra, "src bigint, dst bigint")
+    out = {(r.src, r.dst): r.support
+           for r in ktruss_prune(df, k=4, rounds=2).collect()}
+    assert set(out) == set(k4)
+    assert all(v == 2 for v in out.values())
+    out3 = {(r.src, r.dst): r.support
+            for r in ktruss_prune(df, k=3, rounds=2).collect()}
+    assert set(out3) == set(k4) | {(5, 6), (6, 7), (5, 7)}
+    assert out3[(5, 6)] == 1
+    assert (7, 8) not in out3
+
+
+def test_weighted_reservoir_topk_exact_k_and_bias(spark):
+    """Returns exactly k rows, reproducibly; heavy-weight rows dominate the
+    selection (expected inclusion ~ proportional to weight)."""
+    from kiara_spark.operators.text import weighted_reservoir_topk
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = weighted_reservoir_topk(df, "w", k=60, id_col="doc_id").collect()
+    assert len(got) == 60
+    heavy = sum(1 for r in got if r.doc_id < 50)
+    assert heavy >= 45          # nearly every heavy row selected
+    again = weighted_reservoir_topk(df, "w", k=60, id_col="doc_id").collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in again]
+    other = weighted_reservoir_topk(df, "w", k=60, id_col="doc_id",
+                                    salt="ep2").collect()
+    assert [r.doc_id for r in got] != [r.doc_id for r in other]
+    # zero/negative weights can never be selected
+    df2 = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)],
+                                "doc_id bigint, w double")
+    got2 = weighted_reservoir_topk(df2, "w", k=3, id_col="doc_id").collect()
+    assert [r.doc_id for r in got2] == [3]
