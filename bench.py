@@ -343,6 +343,8 @@ BENCH_QUERIES = [
     "text_js_divergence_langs",
     "sample_weighted_topk_documents",
     "graph_ktruss_suppliers",
+    "text_zipf_fit",
+    "stats_bootstrap_ci_mean",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

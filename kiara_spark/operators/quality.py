@@ -21,6 +21,8 @@ Scale notes: both operators are pure built-in-function DataFrame plans
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1746,6 +1748,81 @@ def dp_noisy_counts(
                     F.lit(float(epsilon)).alias("epsilon")))
 
 
+# Poisson(1) inverse CDF thresholds (P(X<=k), k=0..4); weights cap at 5.
+# Shared literals with the SQL twin — both engines binary-search the same
+# constants, so resample weights match exactly.
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+                0.9810118431238462, 0.9963401531726563)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b_resamples: int = 100,
+    level: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile confidence interval for the mean via the POISSON
+    bootstrap (Chamandy et al. 2012) — the resampling scheme that actually
+    distributes: classic bootstrap indexes n draws into the full dataset
+    (impossible shuffle at 100 TB), Poisson bootstrap gives each row an
+    iid Poisson(1) multiplicity per resample, so resampling becomes a
+    map-side weight and ALL ``b_resamples`` resample means come out of ONE
+    aggregate (explode feeds the partial agg, so the shuffle is B rows per
+    partition, not B× the data; CPU is B× the scan, the stated budget).
+
+    Weights derive from md5(id ‖ b ‖ salt) against the shared Poisson(1)
+    CDF literals — reproducible across runs/engines.  Per-resample sums
+    are round-9 decimal-exact; the percentile CI picks ranks
+    ceil(α/2·B) / ceil((1−α/2)·B) over the B means (mean then resample-id
+    tie-break).  Returns one row
+    (b_resamples, n_rows, point_mean, ci_lo, ci_hi)."""
+    alpha = 1.0 - level
+    lo_rank = max(1, math.ceil(alpha / 2 * b_resamples))
+    hi_rank = min(b_resamples, math.ceil((1 - alpha / 2) * b_resamples))
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,12)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("_b").cast("string"),
+        F.lit(salt))), 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(1152921504606846976.0))
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+
+    exploded = (df.select(F.col(id_col), x.alias("_x"),
+                          F.explode(F.sequence(F.lit(1),
+                                               F.lit(b_resamples)))
+                          .alias("_b"))
+                .select("_b", "_x", w.cast("bigint").alias("_w")))
+    per_b = (exploded.groupBy("_b")
+             .agg(F.sum(d9(F.col("_w").cast("double") * F.col("_x")))
+                  .alias("_s"),
+                  F.sum("_w").cast("bigint").alias("_n")))
+    means = per_b.select(
+        "_b",
+        F.round(F.col("_s").cast("double") / F.col("_n").cast("double"), 9)
+        .alias("_m"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = means.select(
+        "_m", F.row_number().over(_W.orderBy(F.col("_m"), F.col("_b")))
+        .alias("_r"))
+    point = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(d9(x)).cast("double")
+                / F.count(F.lit(1)).cast("double"), 9).alias("point_mean"))
+    lo = ranked.filter(F.col("_r") == lo_rank).select(
+        F.col("_m").alias("ci_lo"))
+    hi = ranked.filter(F.col("_r") == hi_rank).select(
+        F.col("_m").alias("ci_hi"))
+    return (point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .select(F.lit(b_resamples).cast("bigint").alias("b_resamples"),
+                    "n_rows", "point_mean", "ci_lo", "ci_hi"))
+
+
 def l_diversity_report(
     df: DataFrame,
     quasi_cols: list[str],
@@ -2403,14 +2480,30 @@ TableDpNoisyCounts = _simple_module(
         "(reproducible) noise — keep the salt secret in a real release.",
 )
 
+TableBootstrapCi = _simple_module(
+    "table.stats.bootstrap_ci",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": bootstrap_ci_mean(
+        im["table"].data, self.config["value_column"],
+        self.config["id_column"],
+        b_resamples=self.config.get("b_resamples", 100),
+        level=self.config.get("level", 0.95),
+        salt=self.config.get("salt", "boot"))},
+    doc="Poisson-bootstrap percentile CI for the mean — all B resamples "
+        "from ONE aggregate (map-side Poisson(1) weights).",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
-            TableDpNoisyCounts]
+            TableDpNoisyCounts, TableBootstrapCi]
 
 OPERATIONS = [
     Operation("table.privacy.dp_noisy_counts",
               "table.privacy.dp_noisy_counts",
               doc="Laplace-mechanism DP count release (derived noise)"),
+    Operation("table.stats.bootstrap_ci", "table.stats.bootstrap_ci",
+              doc="Poisson-bootstrap percentile CI for the mean"),
     Operation("table.ml.average_precision", "table.ml.average_precision",
               doc="average precision / PR-AUC ranking metric"),
     Operation("table.ml.regression_stump", "table.ml.regression_stump",

@@ -1680,6 +1680,59 @@ def token_distribution_divergence(
         F.round(F.lit(0.5) * F.col("_s").cast("double"), 6).alias("jsd"))
 
 
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram frequencies: OLS of ln(freq)
+    on ln(rank) for the top-``top_n`` tokens — the one-row lexical health
+    check (natural text slopes ≈ −1; templated/generated corpora flatten
+    or steepen, so the slope is a cheap synthetic-data / boilerplate
+    detector alongside `text.repetition_stats`).
+
+    Ranks are deterministic (count desc, token tie-break).  ln(rank) and
+    ln(freq) round to 9dp into decimal-exact OLS sums, so both engines
+    assemble identical slope/intercept/R² doubles from the same closed
+    form.  Plan: one token aggregate (the only corpus pass), distributed
+    top-n, then a top_n-row regression.  Returns one row
+    (n_tokens, slope, intercept, r2)."""
+    counts = (df.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
+              .groupBy("_w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+              .orderBy(F.col("_c").desc(), F.col("_w"))
+              .limit(top_n))
+    ranked = counts.select(
+        "_c", F.row_number().over(
+            Window.orderBy(F.col("_c").desc(), F.col("_w")))
+        .cast("bigint").alias("_r"))
+    # round-9 doubles into decimal-exact sums (the LR-oracle pattern), then
+    # the closed form in IEEE doubles with a fixed expansion order — both
+    # engines assemble identical results from identical sums.
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,12)")  # noqa: E731
+    x = F.round(F.log(F.col("_r").cast("double")), 9)
+    y = F.round(F.log(F.col("_c").cast("double")), 9)
+    pts = ranked.select(x.alias("_x"), y.alias("_y"))
+    g = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(d9(F.col("_x"))).alias("_sx"),
+        F.sum(d9(F.col("_y"))).alias("_sy"),
+        F.sum(d9(F.col("_x") * F.col("_x"))).alias("_sxx"),
+        F.sum(d9(F.col("_y") * F.col("_y"))).alias("_syy"),
+        F.sum(d9(F.col("_x") * F.col("_y"))).alias("_sxy"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = dbl("n_tokens")
+    num = n * dbl("_sxy") - dbl("_sx") * dbl("_sy")
+    vx = n * dbl("_sxx") - dbl("_sx") * dbl("_sx")
+    vy = n * dbl("_syy") - dbl("_sy") * dbl("_sy")
+    slope = num / vx
+    intercept = (dbl("_sy") - slope * dbl("_sx")) / n
+    return g.select(
+        "n_tokens", F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round((num / vx) * (num / vy), 6).alias("r2"))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -1710,6 +1763,9 @@ TextFingerprint = _mk("text.fingerprint", with_fingerprint, "min-k md5 shingle f
 TextTokenCount = _mk("text.token_count", token_count_bpeish, "ws + BPE-ish token counts")
 TextExtractHtml = _mk("text.extract_html", with_extracted_html,
                       "HTML -> visible text (tags/scripts/entities stripped)")
+TextZipfFit = _mk("text.zipf_fit", zipf_fit,
+                  "Zipf's-law OLS fit over top-token frequencies "
+                  "(lexical health / synthetic-text detector)")
 
 class TextChunk(KiaraModule):
     """Fixed-size overlapping character chunks (pre-embedding splitter)."""
@@ -2170,7 +2226,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
-           TextJsDivergence, TableWeightedReservoirTopk]
+           TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2198,6 +2254,8 @@ OPERATIONS = [
               doc="term usage per group, per-1000-token normalized"),
     Operation("table.sample.weighted_topk", "table.sample.weighted_topk",
               doc="exact-k weighted sample without replacement (A-ES)"),
+    Operation("text.zipf_fit", "text.zipf_fit",
+              doc="Zipf's-law slope/R² over top-token frequencies"),
     Operation("text.js_divergence", "text.js_divergence",
               doc="pairwise JS divergence between per-group token "
                   "distributions (corpus drift)"),

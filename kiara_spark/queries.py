@@ -12945,6 +12945,108 @@ def graph_ktruss_suppliers_q(spark, sf_dir):
     return G.ktruss_prune(edges, k=4, rounds=3)
 
 
+@query(
+    "text_zipf_fit",
+    """
+    WITH counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), t -> t <> '')) AS w FROM documents)
+      GROUP BY w ORDER BY c DESC, w LIMIT 100
+    ), ranked AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+      FROM counts
+    ), pts AS (
+      SELECT ROUND(ln(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x*x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM pts
+    ), v AS (
+      SELECT n_tokens, CAST(n_tokens AS DOUBLE) AS n, sx, sy,
+             CAST(n_tokens AS DOUBLE)*sxy - sx*sy AS num,
+             CAST(n_tokens AS DOUBLE)*sxx - sx*sx AS vx,
+             CAST(n_tokens AS DOUBLE)*syy - sy*sy AS vy
+      FROM g
+    )
+    SELECT n_tokens, ROUND(num/vx, 6) AS slope,
+           ROUND((sy - (num/vx)*sx)/n, 6) AS intercept,
+           ROUND((num/vx)*(num/vy), 6) AS r2
+    FROM v
+    """,
+)
+def text_zipf_fit_q(spark, sf_dir):
+    """Zipf's-law fit over the corpus: OLS of ln(freq) on ln(rank) for the
+    top-100 tokens — natural text slopes ≈ −1; a flat or steep slope flags
+    templated/synthetic corpora.  One token aggregate + a 100-row
+    regression with decimal-exact sums."""
+    from .operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", top_n=100)
+
+
+_P1 = ("0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+       "0.9810118431238462", "0.9963401531726563")
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    f"""
+    WITH e AS (
+      SELECT b, CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(CAST('0x' || substr(md5(concat_ws('#',
+                    CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR),
+                    'boot')), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM orders CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS b) g
+    ), w AS (
+      SELECT b, x,
+             CASE WHEN u < {_P1[0]} THEN 0 WHEN u < {_P1[1]} THEN 1
+                  WHEN u < {_P1[2]} THEN 2 WHEN u < {_P1[3]} THEN 3
+                  WHEN u < {_P1[4]} THEN 4 ELSE 5 END AS wt
+      FROM e
+    ), per_b AS (
+      SELECT b,
+             SUM(CAST(ROUND(CAST(wt AS DOUBLE) * x, 9) AS DECIMAL(38,12)))
+               AS s,
+             CAST(SUM(wt) AS BIGINT) AS n
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS m
+      FROM per_b
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM means
+    ), pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 9)
+                   AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 9) AS point_mean
+      FROM orders
+    )
+    SELECT CAST(100 AS BIGINT) AS b_resamples, n_rows, point_mean,
+           (SELECT m FROM ranked WHERE r = 3) AS ci_lo,
+           (SELECT m FROM ranked WHERE r = 98) AS ci_hi
+    FROM pt
+    """,
+)
+def stats_bootstrap_ci_mean_q(spark, sf_dir):
+    """95% percentile CI for the mean order price via the POISSON
+    bootstrap — 100 resamples as map-side Poisson(1) weights feeding ONE
+    aggregate (the distributed-bootstrap formulation; classic index-based
+    resampling cannot shuffle at 100 TB)."""
+    from .operators.quality import bootstrap_ci_mean
+
+    return bootstrap_ci_mean(_t(spark, sf_dir, "orders"), "o_totalprice",
+                             "o_orderkey", b_resamples=100, level=0.95,
+                             salt="boot")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -506,3 +506,38 @@ def test_weighted_reservoir_topk_exact_k_and_bias(spark):
                                 "doc_id bigint, w double")
     got2 = weighted_reservoir_topk(df2, "w", k=3, id_col="doc_id").collect()
     assert [r.doc_id for r in got2] == [3]
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """Frequencies c = round(1000/r) follow ln c = ln 1000 - ln r ->
+    slope ~ -1, r2 ~ 1."""
+    from kiara_spark.operators.text import zipf_fit
+
+    rows = []
+    for r in range(1, 31):
+        w = f"w{r:03d}"
+        rows.extend((w,) for _ in range(round(1000 / r)))
+    df = spark.createDataFrame([(" ".join(x[0] for x in [row]),)
+                                for row in rows], "text string")
+    out = zipf_fit(df, "text", top_n=30).collect()[0]
+    assert out.n_tokens == 30
+    assert out.slope == pytest.approx(-1.0, abs=0.02)
+    assert out.r2 > 0.999
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """CI brackets the true mean; point estimate is the exact mean; wider
+    level -> narrower interval nesting."""
+    from kiara_spark.operators.quality import bootstrap_ci_mean
+
+    rows = [(i, float(100 + (i * 17) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    true_mean = sum(v for _, v in rows) / 500
+    r = bootstrap_ci_mean(df, "v", "id", b_resamples=100).collect()[0]
+    assert r.n_rows == 500 and r.b_resamples == 100
+    assert r.point_mean == pytest.approx(true_mean, abs=1e-6)
+    assert r.ci_lo < true_mean < r.ci_hi
+    assert r.ci_hi - r.ci_lo < 10      # ~2*1.96*sd/sqrt(n) ballpark
+    r80 = bootstrap_ci_mean(df, "v", "id", b_resamples=100,
+                            level=0.80).collect()[0]
+    assert r.ci_lo <= r80.ci_lo and r80.ci_hi <= r.ci_hi
