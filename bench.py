@@ -345,6 +345,7 @@ BENCH_QUERIES = [
     "graph_ktruss_suppliers",
     "text_zipf_fit",
     "stats_bootstrap_ci_mean",
+    "graph_link_prediction",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

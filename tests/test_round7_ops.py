@@ -541,3 +541,22 @@ def test_bootstrap_ci_brackets_mean(spark):
     r80 = bootstrap_ci_mean(df, "v", "id", b_resamples=100,
                             level=0.80).collect()[0]
     assert r.ci_lo <= r80.ci_lo and r80.ci_hi <= r.ci_hi
+
+
+def test_link_prediction_square_graph(spark):
+    """4-cycle a-b-c-d: the two diagonals are the only candidates, each
+    with 2 common neighbors of degree 2 -> adamic_adar = 2/ln 2; existing
+    edges never appear."""
+    import math
+
+    from kiara_spark.operators.graph import link_prediction
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                               "src bigint, dst bigint")
+    out = {(r.src, r.dst): r for r in link_prediction(df, top_k=10,
+                                                      min_common=2).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r.common_neighbors == 2
+        assert r.adamic_adar == pytest.approx(2 / math.log(2), abs=1e-5)
+        assert r.pref_attachment == 4
