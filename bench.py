@@ -346,6 +346,7 @@ BENCH_QUERIES = [
     "text_zipf_fit",
     "stats_bootstrap_ci_mean",
     "graph_link_prediction",
+    "ml_gmm_em_totalprice",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

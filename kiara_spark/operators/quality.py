@@ -2214,6 +2214,97 @@ def logistic_regression_gd(
         F.round(F.col("_sll") / F.col("n"), 6).alias("log_loss"))
 
 
+_SQRT_2PI = 2.5066282746310002  # shared literal with the SQL twin
+
+
+def gmm_em_1d(
+    df: DataFrame,
+    value_col: str,
+    iterations: int = 2,
+    init: tuple = (0.5, 4.0, 1.0, 1.0, 0.5),
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture by EM — the distributed
+    unsupervised-fit pattern on top of :func:`logistic_regression_gd`'s
+    machinery: parameters live in a broadcast 1-row frame, each EM round
+    is ONE map-side-combined aggregate over the lineage-cut value frame
+    (responsibilities never materialize), so at 100 TB this is the MLlib
+    treeAggregate shape with 5 numbers per partition per round.
+
+    Determinism contract (both engines bit-agree): responsibilities and
+    every summed term round to 9 dp into DECIMAL(38,12) sums; component-2
+    statistics derive by EXACT decimal subtraction (Σ(1−r)x = Σx − Σrx, no
+    second pass); parameters round to 12 dp per round; φ and all
+    assemblies use a fixed IEEE expansion order with √(2π) as a shared
+    literal.  ``init`` = (μ₁, μ₂, σ₁, σ₂, π₁) — data-independent by design
+    so the unrolled SQL twin starts identically.  Returns 1 row:
+    (n, pi1, mu1, sigma1, mu2, sigma2, avg_loglik)."""
+    from ..io import cut_lineage
+
+    feat = cut_lineage(df.select(F.col(value_col).cast("double").alias("_x")))
+    dec = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)"))
+    spark = df.sparkSession
+    w = spark.range(1).select(
+        F.lit(float(init[0])).alias("_mu1"), F.lit(float(init[1])).alias("_mu2"),
+        F.lit(float(init[2])).alias("_s1"), F.lit(float(init[3])).alias("_s2"),
+        F.lit(float(init[4])).alias("_p1"))
+
+    def _phi(m, s):
+        x = F.col("_x")
+        return (F.exp(-((x - F.col(m)) * (x - F.col(m)))
+                      / (F.lit(2.0) * F.col(s) * F.col(s)))
+                / (F.col(s) * F.lit(_SQRT_2PI)))
+
+    def _lik():
+        l1 = F.col("_p1") * _phi("_mu1", "_s1")
+        l2 = (F.lit(1.0) - F.col("_p1")) * _phi("_mu2", "_s2")
+        return l1, l2
+
+    wcols = ["_mu1", "_mu2", "_s1", "_s2", "_p1"]
+    for _ in range(iterations):
+        l1, l2 = _lik()
+        r = F.when(l1 + l2 > 0, F.round(l1 / (l1 + l2), 9)) \
+            .otherwise(F.lit(0.5))
+        x = F.col("_x")
+        g = (feat.crossJoin(F.broadcast(w)).groupBy(*wcols)
+             .agg(F.count(F.lit(1)).cast("decimal(38,12)").alias("_nn"),
+                  dec(r).alias("_sr"), dec(r * x).alias("_srx"),
+                  dec(r * x * x).alias("_srxx"),
+                  dec(x).alias("_sx"), dec(x * x).alias("_sxx")))
+        dbl = lambda c: c.cast("double")  # noqa: E731
+        m = g.select(
+            "_nn", "_sr", "_srx", "_srxx", "_sx", "_sxx",
+            F.round(dbl(F.col("_srx")) / dbl(F.col("_sr")), 12).alias("_mu1"),
+            F.round(dbl(F.col("_sx") - F.col("_srx"))
+                    / dbl(F.col("_nn") - F.col("_sr")), 12).alias("_mu2"),
+            F.round(dbl(F.col("_sr")) / dbl(F.col("_nn")), 12).alias("_p1"))
+        w = m.select(
+            "_mu1", "_mu2", "_p1",
+            F.round(F.sqrt(F.greatest(
+                dbl(F.col("_srxx")) / dbl(F.col("_sr"))
+                - F.col("_mu1") * F.col("_mu1"), F.lit(1e-12))), 12)
+            .alias("_s1"),
+            F.round(F.sqrt(F.greatest(
+                dbl(F.col("_sxx") - F.col("_srxx"))
+                / dbl(F.col("_nn") - F.col("_sr"))
+                - F.col("_mu2") * F.col("_mu2"), F.lit(1e-12))), 12)
+            .alias("_s2"))
+    l1, l2 = _lik()
+    ll = F.round(F.log(F.greatest(l1 + l2, F.lit(1e-300))), 9)
+    out = (feat.crossJoin(F.broadcast(w)).groupBy(*wcols)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(ll, 9).cast("decimal(38,12)"))
+                .cast("double").alias("_sll")))
+    return out.select(
+        "n", F.round(F.col("_p1"), 6).alias("pi1"),
+        F.round(F.col("_mu1"), 6).alias("mu1"),
+        F.round(F.col("_s1"), 6).alias("sigma1"),
+        F.round(F.col("_mu2"), 6).alias("mu2"),
+        F.round(F.col("_s2"), 6).alias("sigma2"),
+        F.round(F.col("_sll") / F.col("n").cast("double"), 6)
+        .alias("avg_loglik"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -2494,9 +2585,21 @@ TableBootstrapCi = _simple_module(
         "from ONE aggregate (map-side Poisson(1) weights).",
 )
 
+TableGmmEm = _simple_module(
+    "table.ml.gmm_em",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": gmm_em_1d(
+        im["table"].data, self.config["value_column"],
+        iterations=self.config.get("iterations", 2),
+        init=tuple(self.config.get("init", (0.5, 4.0, 1.0, 1.0, 0.5))))},
+    doc="Two-component 1-D Gaussian mixture by EM — one decimal-exact "
+        "aggregate per round, broadcast parameter row.",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
-            TableDpNoisyCounts, TableBootstrapCi]
+            TableDpNoisyCounts, TableBootstrapCi, TableGmmEm]
 
 OPERATIONS = [
     Operation("table.privacy.dp_noisy_counts",
@@ -2504,6 +2607,8 @@ OPERATIONS = [
               doc="Laplace-mechanism DP count release (derived noise)"),
     Operation("table.stats.bootstrap_ci", "table.stats.bootstrap_ci",
               doc="Poisson-bootstrap percentile CI for the mean"),
+    Operation("table.ml.gmm_em", "table.ml.gmm_em",
+              doc="1-D two-component Gaussian mixture fit by EM"),
     Operation("table.ml.average_precision", "table.ml.average_precision",
               doc="average precision / PR-AUC ranking metric"),
     Operation("table.ml.regression_stump", "table.ml.regression_stump",

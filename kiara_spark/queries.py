@@ -13099,6 +13099,80 @@ def graph_link_prediction_q(spark, sf_dir):
     return G.link_prediction(edges, top_k=100, min_common=2)
 
 
+_GMM_PHI = ("(exp(-((x - {m})*(x - {m}))/(2.0*{s}*{s}))"
+            "/({s}*2.5066282746310002))")
+_GMM_L1 = "(p1 * " + _GMM_PHI.format(m="mu1", s="s1") + ")"
+_GMM_L2 = "((1.0 - p1) * " + _GMM_PHI.format(m="mu2", s="s2") + ")"
+_GMM_STEP = ("""
+    resp{k} AS (
+      SELECT x, CASE WHEN ({l1} + {l2}) > 0
+                     THEN ROUND({l1} / ({l1} + {l2}), 9) ELSE 0.5 END AS r
+      FROM feat CROSS JOIN w{p}
+    ), g{k} AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,12)) AS nn,
+        SUM(CAST(ROUND(r, 9) AS DECIMAL(38,12))) AS sr,
+        SUM(CAST(ROUND(r * x, 9) AS DECIMAL(38,12))) AS srx,
+        SUM(CAST(ROUND(r * x * x, 9) AS DECIMAL(38,12))) AS srxx,
+        SUM(CAST(ROUND(x, 9) AS DECIMAL(38,12))) AS sx,
+        SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,12))) AS sxx
+      FROM resp{k}
+    ), m{k} AS (
+      SELECT nn, sr, srx, srxx, sx, sxx,
+        ROUND(CAST(srx AS DOUBLE)/CAST(sr AS DOUBLE), 12) AS mu1,
+        ROUND(CAST(sx - srx AS DOUBLE)/CAST(nn - sr AS DOUBLE), 12) AS mu2,
+        ROUND(CAST(sr AS DOUBLE)/CAST(nn AS DOUBLE), 12) AS p1
+      FROM g{k}
+    ), w{k} AS (
+      SELECT mu1, mu2, p1,
+        ROUND(sqrt(GREATEST(CAST(srxx AS DOUBLE)/CAST(sr AS DOUBLE)
+              - mu1*mu1, 1e-12)), 12) AS s1,
+        ROUND(sqrt(GREATEST(CAST(sxx - srxx AS DOUBLE)
+              /CAST(nn - sr AS DOUBLE) - mu2*mu2, 1e-12)), 12) AS s2
+      FROM m{k}
+    )""").format
+
+
+@query(
+    "ml_gmm_em_totalprice",
+    """
+    WITH feat AS (
+      SELECT CAST(o_totalprice AS DOUBLE) / 100000.0 AS x FROM orders
+    ), w0 AS (
+      SELECT CAST(0.5 AS DOUBLE) AS mu1, CAST(4.0 AS DOUBLE) AS mu2,
+             CAST(1.0 AS DOUBLE) AS s1, CAST(1.0 AS DOUBLE) AS s2,
+             CAST(0.5 AS DOUBLE) AS p1
+    ),"""
+    + ",".join(_GMM_STEP(k=k, p=k - 1, l1=_GMM_L1, l2=_GMM_L2)
+               for k in (1, 2))
+    + f""",
+    respf AS (
+      SELECT ROUND(ln(GREATEST({_GMM_L1} + {_GMM_L2}, 1e-300)), 9) AS ll
+      FROM feat CROSS JOIN w2
+    ), outt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(ll, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sll
+      FROM respf
+    )
+    SELECT n, ROUND(p1, 6) AS pi1, ROUND(mu1, 6) AS mu1,
+           ROUND(s1, 6) AS sigma1, ROUND(mu2, 6) AS mu2,
+           ROUND(s2, 6) AS sigma2,
+           ROUND(sll / CAST(n AS DOUBLE), 6) AS avg_loglik
+    FROM outt CROSS JOIN w2
+    """,
+)
+def ml_gmm_em_totalprice_q(spark, sf_dir):
+    """Unsupervised 2-component Gaussian mixture over scaled order totals
+    (2 EM rounds, fixed data-independent init): each round is ONE
+    decimal-exact aggregate with the parameters as a broadcast 1-row
+    frame — the treeAggregate EM shape; oracle is the SAME rounds
+    unrolled as SQL CTEs."""
+    from .operators.quality import gmm_em_1d
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"))
+    return gmm_em_1d(o, "x", iterations=2, init=(0.5, 4.0, 1.0, 1.0, 0.5))
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

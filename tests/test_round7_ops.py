@@ -560,3 +560,24 @@ def test_link_prediction_square_graph(spark):
         assert r.common_neighbors == 2
         assert r.adamic_adar == pytest.approx(2 / math.log(2), abs=1e-5)
         assert r.pref_attachment == 4
+
+
+def test_gmm_em_separates_bimodal(spark):
+    """Two well-separated clumps (around 1.0 and 5.0) -> component means
+    land near the clumps, mixing weight near 0.5, loglik improves over
+    a single round."""
+    from kiara_spark.operators.quality import gmm_em_1d
+
+    rows = [(1.0 + 0.01 * (i % 10),) for i in range(200)] + \
+           [(5.0 + 0.01 * (i % 10),) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double")
+    r = gmm_em_1d(df, "x", iterations=3,
+                  init=(0.5, 4.0, 1.0, 1.0, 0.5)).collect()[0]
+    assert r.n == 400
+    assert r.mu1 == pytest.approx(1.045, abs=0.1)
+    assert r.mu2 == pytest.approx(5.045, abs=0.1)
+    assert r.pi1 == pytest.approx(0.5, abs=0.05)
+    assert r.sigma1 < 0.5 and r.sigma2 < 0.5
+    r1 = gmm_em_1d(df, "x", iterations=1,
+                   init=(0.5, 4.0, 1.0, 1.0, 0.5)).collect()[0]
+    assert r.avg_loglik > r1.avg_loglik
