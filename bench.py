@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "stats_bootstrap_ci_mean",
     "graph_link_prediction",
     "ml_gmm_em_totalprice",
+    "ml_ndcg_customer_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

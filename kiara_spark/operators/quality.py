@@ -2305,6 +2305,64 @@ def gmm_em_1d(
         .alias("avg_loglik"))
 
 
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """NDCG@k and MRR@k per query group — the ranking-quality metrics a
+    recommender/search eval needs beyond AUC/AP (graded relevance,
+    position discounting).  DCG = Σ_{i≤k} (2^rel−1)/log2(i+1) over the
+    score-ranked list (unique-id tie-break); IDCG re-ranks by relevance
+    itself (best possible ordering); NDCG = DCG/IDCG (0 when the query
+    has no relevant items); MRR = 1/rank of the first relevant item.
+
+    Per-term values round to 9dp into decimal-exact sums so both engines
+    agree.  Plan: two windows over the same (query) partitioning (Catalyst
+    shares the exchange) + one query-keyed aggregate — shuffle is the
+    query key only.  Returns (query, n_items, dcg, idcg, ndcg, mrr)."""
+    from pyspark.sql.window import Window as _W
+
+    q, s, r, i = (F.col(query_col), F.col(score_col), F.col(rel_col),
+                  F.col(id_col))
+    base = df.select(q.alias("_q"), s.alias("_s"),
+                     r.cast("double").alias("_r"), i.alias("_i"))
+    by_score = _W.partitionBy("_q").orderBy(F.col("_s").desc(),
+                                            F.col("_i"))
+    by_rel = _W.partitionBy("_q").orderBy(F.col("_r").desc(), F.col("_i"))
+    ranked = base.select(
+        "_q", "_r",
+        F.row_number().over(by_score).alias("_rk"),
+        F.row_number().over(by_rel).alias("_irk"))
+    gain = F.pow(F.lit(2.0), F.col("_r")) - F.lit(1.0)
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    dcg_t = F.when(F.col("_rk") <= k,
+                   d9(gain / F.log2(F.col("_rk").cast("double") + 1.0))) \
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+    idcg_t = F.when(F.col("_irk") <= k,
+                    d9(gain / F.log2(F.col("_irk").cast("double") + 1.0))) \
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+    agg = (ranked.groupBy(F.col("_q").alias(query_col))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(dcg_t).cast("double").alias("_dcg"),
+                F.sum(idcg_t).cast("double").alias("_idcg"),
+                F.min(F.when((F.col("_r") > 0) & (F.col("_rk") <= k),
+                             F.col("_rk"))).alias("_fr")))
+    return agg.select(
+        query_col, "n_items",
+        F.round(F.col("_dcg"), 6).alias("dcg"),
+        F.round(F.col("_idcg"), 6).alias("idcg"),
+        F.round(F.when(F.col("_idcg") > 0,
+                       F.col("_dcg") / F.col("_idcg"))
+                .otherwise(F.lit(0.0)), 6).alias("ndcg"),
+        F.round(F.when(F.col("_fr").isNotNull(),
+                       F.lit(1.0) / F.col("_fr").cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("mrr"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -2597,9 +2655,21 @@ TableGmmEm = _simple_module(
         "aggregate per round, broadcast parameter row.",
 )
 
+TableNdcg = _simple_module(
+    "table.ml.ndcg",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": ndcg_at_k(
+        im["table"].data, self.config["query_column"],
+        self.config["score_column"], self.config["relevance_column"],
+        self.config["id_column"], k=self.config.get("k", 5))},
+    doc="NDCG@k + MRR@k per query group (graded-relevance ranking "
+        "quality).",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
-            TableDpNoisyCounts, TableBootstrapCi, TableGmmEm]
+            TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg]
 
 OPERATIONS = [
     Operation("table.privacy.dp_noisy_counts",
@@ -2609,6 +2679,8 @@ OPERATIONS = [
               doc="Poisson-bootstrap percentile CI for the mean"),
     Operation("table.ml.gmm_em", "table.ml.gmm_em",
               doc="1-D two-component Gaussian mixture fit by EM"),
+    Operation("table.ml.ndcg", "table.ml.ndcg",
+              doc="NDCG@k + MRR ranking metrics per query"),
     Operation("table.ml.average_precision", "table.ml.average_precision",
               doc="average precision / PR-AUC ranking metric"),
     Operation("table.ml.regression_stump", "table.ml.regression_stump",

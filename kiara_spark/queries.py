@@ -13173,6 +13173,57 @@ def ml_gmm_em_totalprice_q(spark, sf_dir):
     return gmm_em_1d(o, "x", iterations=2, init=(0.5, 4.0, 1.0, 1.0, 0.5))
 
 
+_NDCG_TERM = ("CASE WHEN {rk} <= 5 THEN CAST(ROUND((pow(2.0, r) - 1.0)"
+              " / log2(CAST({rk} AS DOUBLE) + 1.0), 9) AS DECIMAL(38,12))"
+              " ELSE CAST(0 AS DECIMAL(38,12)) END")
+
+
+@query(
+    "ml_ndcg_customer_orders",
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS q, o_totalprice AS s,
+             CAST(CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1
+                  ELSE 0 END AS DOUBLE) AS r,
+             o_orderkey AS i
+      FROM orders
+    ), ranked AS (
+      SELECT q, r,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, i) AS rk,
+        ROW_NUMBER() OVER (PARTITION BY q ORDER BY r DESC, i) AS irk
+      FROM base
+    ), agg AS (
+      SELECT q AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM({_NDCG_TERM.format(rk="rk")}) AS DOUBLE) AS dcgd,
+        CAST(SUM({_NDCG_TERM.format(rk="irk")}) AS DOUBLE) AS idcgd,
+        MIN(CASE WHEN r > 0 AND rk <= 5 THEN rk END) AS fr
+      FROM ranked GROUP BY q
+    )
+    SELECT o_custkey, n_items, ROUND(dcgd, 6) AS dcg,
+           ROUND(idcgd, 6) AS idcg,
+           ROUND(CASE WHEN idcgd > 0 THEN dcgd / idcgd ELSE 0.0 END, 6)
+             AS ndcg,
+           ROUND(CASE WHEN fr IS NOT NULL THEN 1.0 / CAST(fr AS DOUBLE)
+                 ELSE 0.0 END, 6) AS mrr
+    FROM agg
+    """,
+)
+def ml_ndcg_customer_orders_q(spark, sf_dir):
+    """Ranking-quality eval: NDCG@5 + MRR per customer, treating the
+    price-ranked order list as the model ranking and order status as
+    graded relevance (F=2, P=1, O=0) — completes the eval ladder beyond
+    AUC/average-precision with position-discounted graded metrics."""
+    from .operators.quality import ndcg_at_k
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 2)
+        .when(F.col("o_orderstatus") == "P", 1)
+        .otherwise(0).alias("rel"))
+    return ndcg_at_k(o, "o_custkey", "o_totalprice", "rel", "o_orderkey",
+                     k=5)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -581,3 +581,29 @@ def test_gmm_em_separates_bimodal(spark):
     r1 = gmm_em_1d(df, "x", iterations=1,
                    init=(0.5, 4.0, 1.0, 1.0, 0.5)).collect()[0]
     assert r.avg_loglik > r1.avg_loglik
+
+
+def test_ndcg_hand_computed(spark):
+    """Perfect ranking -> ndcg 1; inverted ranking -> hand-computed value;
+    no relevant items -> ndcg/mrr 0."""
+    import math
+
+    from kiara_spark.operators.quality import ndcg_at_k
+
+    rows = [
+        # q1: perfect (scores align with relevance 2,1,0)
+        ("q1", 9.0, 2, 1), ("q1", 5.0, 1, 2), ("q1", 1.0, 0, 3),
+        # q2: inverted (most relevant last)
+        ("q2", 1.0, 2, 4), ("q2", 5.0, 1, 5), ("q2", 9.0, 0, 6),
+        # q3: nothing relevant
+        ("q3", 9.0, 0, 7), ("q3", 5.0, 0, 8),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, rel int, i bigint")
+    out = {r.q: r for r in ndcg_at_k(df, "q", "s", "rel", "i", k=5).collect()}
+    assert out["q1"].ndcg == pytest.approx(1.0, abs=1e-9)
+    assert out["q1"].mrr == pytest.approx(1.0)
+    dcg2 = 1 / math.log2(3) + 3 / math.log2(4)   # rel 1 at rank 2, rel 2 at 3
+    idcg = 3 / math.log2(2) + 1 / math.log2(3)
+    assert out["q2"].ndcg == pytest.approx(dcg2 / idcg, abs=1e-5)
+    assert out["q2"].mrr == pytest.approx(0.5)   # first relevant at rank 2
+    assert out["q3"].ndcg == 0.0 and out["q3"].mrr == 0.0
