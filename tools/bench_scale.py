@@ -91,6 +91,17 @@ PROBE_QUERIES = [
     "text_bpe_encode_stats",
     "ml_regression_stump_lineitem",
     "events_sequence_pattern",
+    # round-7 continuation: the recursion (O(log N) rounds), the blocked
+    # JW pandas-UDF kernel, triangle-support prune rounds, the wedge-join
+    # link scorer, the B-weighted bootstrap aggregate, the per-epoch GMM
+    # aggregate, and the pairwise JSD grid must all hold shape at 10x
+    "sql_recursive_bom_rollup",
+    "dedup_jaro_winkler_pairs",
+    "graph_ktruss_suppliers",
+    "graph_link_prediction",
+    "stats_bootstrap_ci_mean",
+    "ml_gmm_em_totalprice",
+    "text_js_divergence_langs",
 ]
 
 EXCLUDED = {

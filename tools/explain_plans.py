@@ -73,6 +73,11 @@ INTENTIONAL_CROSS = {
     "text_bpe_encode_stats",       # 1-row merge-table array broadcast (tokenizer model)
     "kmeans_silhouette_embeddings",  # literal-centroid map (kmeans shape)
     "text_kneser_ney_bigram",      # 1-row bigram-type-total broadcast
+    # round-7 continuation: 1-row / K-row broadcasts by design
+    "events_dft_periodogram",      # 1-row global (d0, n, S) broadcast
+    "stats_bootstrap_ci_mean",     # 1-row point/lo/hi broadcasts assemble the CI
+    "ml_gmm_em_totalprice",        # 1-row parameter broadcast per EM epoch
+    "text_js_divergence_langs",    # top-K vocab broadcast forms the group grid
 }
 
 
