@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "graph_link_prediction",
     "ml_gmm_em_totalprice",
     "ml_ndcg_customer_orders",
+    "text_collocations_llr",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -561,6 +561,63 @@ def bigram_logprob(
                          / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
 
 
+def collocations_llr(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_count: int = 3,
+) -> DataFrame:
+    """Collocation detection by Dunning's log-likelihood ratio (G², 1993)
+    — the statistically-sound complement to PMI (PMI over-ranks rare
+    pairs; G² weights evidence by count, the standard phrase detector
+    feeding tokenizer vocab and query suggestion).
+
+    For each consecutive bigram (w1,w2) the 2×2 contingency vs the corpus:
+    k11 = c(w1 w2), row/col margins from the unigram-start/-end counts,
+    G² = 2·(Σ O·lnO − Σ margins·ln margins + N·lnN) with the xlnx terms
+    assembled in a FIXED IEEE order from exact integer counts (ln of an
+    integer is engine-stable; final round-6 decides the hash and the
+    ``top_k`` order uses the rounded value + bigram tie-break).
+
+    Plan: bigrams from an index transform over the token array (map-only,
+    no positional self-join), ONE (w1,w2) aggregate, two tiny margin
+    rollups broadcast back onto it, distributed top-k.  Returns
+    (w1, w2, k11, g2)."""
+    ws = tokens_col(F.col(text_col))
+    big = df.select(
+        F.explode(F.when(F.size(ws) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2"))))
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("_b"))
+    pair = (big.select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k11")))
+    r1 = pair.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("_r1"))
+    c1 = pair.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("_c1"))
+    n = pair.agg(F.sum("k11").cast("bigint").alias("_n"))
+    j = (pair.join(F.broadcast(r1), "w1").join(F.broadcast(c1), "w2")
+         .crossJoin(F.broadcast(n))
+         .filter(F.col("k11") >= min_count))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    k11, k12 = d("k11"), (d("_r1") - d("k11"))
+    k21, k22 = (d("_c1") - d("k11")), \
+        (d("_n") - d("_r1") - d("_c1") + d("k11"))
+
+    def xlnx(v):
+        return F.when(v > 0, v * F.log(v)).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        F.lit(2.0) * (xlnx(k11) + xlnx(k12) + xlnx(k21) + xlnx(k22)
+                      - xlnx(d("_r1")) - xlnx(d("_n") - d("_r1"))
+                      - xlnx(d("_c1")) - xlnx(d("_n") - d("_c1"))
+                      + xlnx(d("_n"))), 6)
+    return (j.select("w1", "w2", "k11", g2.alias("g2"))
+            .orderBy(F.col("g2").desc(), "w1", "w2")
+            .limit(top_k))
+
+
 def kneser_ney_bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -1766,6 +1823,9 @@ TextExtractHtml = _mk("text.extract_html", with_extracted_html,
 TextZipfFit = _mk("text.zipf_fit", zipf_fit,
                   "Zipf's-law OLS fit over top-token frequencies "
                   "(lexical health / synthetic-text detector)")
+TextCollocationsLlr = _mk("text.collocations_llr", collocations_llr,
+                          "Dunning G² log-likelihood-ratio collocation "
+                          "detection over consecutive bigrams")
 
 class TextChunk(KiaraModule):
     """Fixed-size overlapping character chunks (pre-embedding splitter)."""
@@ -2226,7 +2286,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
-           TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit]
+           TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit,
+           TextCollocationsLlr]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2256,6 +2317,8 @@ OPERATIONS = [
               doc="exact-k weighted sample without replacement (A-ES)"),
     Operation("text.zipf_fit", "text.zipf_fit",
               doc="Zipf's-law slope/R² over top-token frequencies"),
+    Operation("text.collocations_llr", "text.collocations_llr",
+              doc="Dunning G² collocation/phrase detection"),
     Operation("text.js_divergence", "text.js_divergence",
               doc="pairwise JS divergence between per-group token "
                   "distributions (corpus drift)"),

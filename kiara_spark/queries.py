@@ -13224,6 +13224,52 @@ def ml_ndcg_customer_orders_q(spark, sf_dir):
                      k=5)
 
 
+_XLNX = "(CASE WHEN {v} > 0 THEN ({v}) * ln({v}) ELSE 0.0 END)"
+_X = lambda v: _XLNX.format(v=v)  # noqa: E731
+
+
+@query(
+    "text_collocations_llr",
+    f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS ws FROM documents
+    ), big AS (
+      SELECT ws[i.i] AS w1, ws[i.i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS i(i)
+      WHERE len(ws) >= 2
+    ), pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11 FROM big GROUP BY 1, 2
+    ), r1 AS (
+      SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM pair GROUP BY 1
+    ), c1 AS (
+      SELECT w2, CAST(SUM(k11) AS BIGINT) AS c1 FROM pair GROUP BY 1
+    ), nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM pair),
+    j AS (
+      SELECT p.w1, p.w2, p.k11, CAST(p.k11 AS DOUBLE) AS a,
+             CAST(r1.r1 AS DOUBLE) AS rr, CAST(c1.c1 AS DOUBLE) AS cc,
+             CAST(nn.n AS DOUBLE) AS n
+      FROM pair p JOIN r1 ON p.w1 = r1.w1 JOIN c1 ON p.w2 = c1.w2
+      CROSS JOIN nn
+      WHERE p.k11 >= 3
+    )
+    SELECT w1, w2, k11,
+           ROUND(2.0 * ({_X('a')} + {_X('rr - a')} + {_X('cc - a')}
+                 + {_X('n - rr - cc + a')} - {_X('rr')} - {_X('n - rr')}
+                 - {_X('cc')} - {_X('n - cc')} + {_X('n')}), 6) AS g2
+    FROM j ORDER BY g2 DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_collocations_llr_q(spark, sf_dir):
+    """Phrase/collocation mining: top-50 consecutive bigrams by Dunning's
+    G² log-likelihood ratio — the count-weighted collocation statistic
+    (PMI's rare-pair bias fixed), feeding tokenizer vocab construction.
+    One bigram aggregate + two margin rollups broadcast back."""
+    from .operators.text import collocations_llr
+
+    return collocations_llr(_t(spark, sf_dir, "documents"), "text",
+                            top_k=50, min_count=3)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -607,3 +607,21 @@ def test_ndcg_hand_computed(spark):
     assert out["q2"].ndcg == pytest.approx(dcg2 / idcg, abs=1e-5)
     assert out["q2"].mrr == pytest.approx(0.5)   # first relevant at rank 2
     assert out["q3"].ndcg == 0.0 and out["q3"].mrr == 0.0
+
+
+def test_collocations_llr_detects_fixed_phrase(spark):
+    """A bigram that always co-occurs ('new york') scores far above a
+    frequent-but-independent pair."""
+    from kiara_spark.operators.text import collocations_llr
+
+    fill = ["alpha", "beta", "gamma", "delta"]
+    docs = []
+    for i in range(40):
+        docs.append(f"{fill[i % 4]} new york {fill[(i + 1) % 4]} "
+                    f"{fill[(i + 2) % 4]} {fill[(i + 3) % 4]}")
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = collocations_llr(df, "text", top_k=10, min_count=3).collect()
+    assert (out[0].w1, out[0].w2) == ("new", "york")
+    g2 = {(r.w1, r.w2): r.g2 for r in out}
+    indep = [v for kk, v in g2.items() if kk != ("new", "york")]
+    assert not indep or g2[("new", "york")] > 3 * max(indep)
