@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     "ml_gmm_em_totalprice",
     "ml_ndcg_customer_orders",
     "text_collocations_llr",
+    "skyline_cheap_small_parts",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

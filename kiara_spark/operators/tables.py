@@ -313,6 +313,43 @@ def window_function(
     return out
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. 2001): rows no other
+    row dominates, minimizing both columns — "cheapest AND smallest"
+    multi-criteria shortlists without collapsing to a weighted score.
+    Duplicates of a frontier point all survive (neither strictly better).
+
+    Distributed shape: the quadratic NOT-EXISTS never forms.  Dominance
+    against the running y-minimum decides everything:
+      (1) y > min y over x' ≤ x  ⇒ dominated (strict y);
+      (2) else y ties that min: dominated iff min y over x' < x is ≤ y.
+    Both minima compute on the DISTINCT-x frame (one hash aggregate, then
+    two windows over |distinct x| rows — the only serial stretch; the raw
+    data never sorts globally) and broadcast back onto the scan by x.
+    Returns the input columns of the frontier rows."""
+    from pyspark.sql.window import Window as _W
+
+    x, y = F.col(x_col), F.col(y_col)
+    per_x = (df.groupBy(x.alias("_sx"))
+             .agg(F.min(y).alias("_xmin")))
+    w_all = _W.orderBy("_sx").rowsBetween(_W.unboundedPreceding, 0)
+    w_prev = _W.orderBy("_sx").rowsBetween(_W.unboundedPreceding, -1)
+    mins = per_x.select(
+        "_sx",
+        F.min("_xmin").over(w_all).alias("_min_le"),
+        F.min("_xmin").over(w_prev).alias("_min_lt"))
+    # no broadcast hint: |distinct x| can be large — AQE picks the strategy
+    j = df.join(mins, x == F.col("_sx"))
+    dominated = (y > F.col("_min_le")) | (
+        (y == F.col("_min_le"))
+        & F.col("_min_lt").isNotNull() & (F.col("_min_lt") <= y))
+    return j.filter(~dominated).drop("_sx", "_min_le", "_min_lt")
+
+
 def union_tables(a: DataFrame, b: DataFrame, by_name: bool = True, distinct: bool = False,
                  allow_missing_columns: bool = False) -> DataFrame:
     """``allow_missing_columns``: schema-evolution union — columns present in
@@ -1268,6 +1305,16 @@ TableTrainingShuffle = _simple_module(
         "shard_pos) random total order (config: n_shards, id_column, salt).",
 )
 
+TableSkyline = _simple_module(
+    "table.skyline",
+    {"table": TABLE}, {"table": TABLE},
+    lambda self, im, ctx: {"table": skyline_2d(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"])},
+    doc="2-D skyline / Pareto frontier (minimize both columns) without "
+        "the quadratic dominance join.",
+)
+
 TableZorderKey = _simple_module(
     "table.layout.zorder_key",
     {"table": TABLE}, {"table": TABLE},
@@ -1286,7 +1333,7 @@ MODULES = [
     TableQuerySql, TableMapPandas, ExportTable, TableZorderKey, TableVacuum,
     TableTrainingShuffle,
     TableFileStats, ExportSharded, TableTimeTravel, TableBackfill,
-    TableAddRowIds, TablePlanStats, TableAnonymize,
+    TableAddRowIds, TablePlanStats, TableAnonymize, TableSkyline,
 ]
 
 OPERATIONS = [
@@ -1319,6 +1366,8 @@ OPERATIONS = [
               doc="optimizer size/row estimates without execution"),
     Operation("table.anonymize", "table.anonymize",
               doc="salted-hash pseudonymization for data sharing"),
+    Operation("table.skyline", "table.skyline",
+              doc="2-D Pareto frontier (skyline query)"),
     Operation("export.table.as.parquet", "export.table.as.file", {"file_format": "parquet"},
               operation_type="export_as"),
     Operation("export.table.as.csv", "export.table.as.file", {"file_format": "csv"},

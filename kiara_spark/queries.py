@@ -13270,6 +13270,31 @@ def text_collocations_llr_q(spark, sf_dir):
                             top_k=50, min_count=3)
 
 
+@query(
+    "skyline_cheap_small_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_cheap_small_parts_q(spark, sf_dir):
+    """Pareto frontier of the catalog — parts no other part beats on both
+    price and size.  The oracle is the SEMANTIC quadratic NOT-EXISTS; the
+    engine's plan is the running-minimum formulation (one distinct-x
+    aggregate + two tiny windows + an x-keyed join back, never O(n²)) —
+    so this verifies the algebra, not a mirrored float recipe."""
+    from .operators.tables import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size")
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

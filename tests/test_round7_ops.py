@@ -625,3 +625,23 @@ def test_collocations_llr_detects_fixed_phrase(spark):
     g2 = {(r.w1, r.w2): r.g2 for r in out}
     indep = [v for kk, v in g2.items() if kk != ("new", "york")]
     assert not indep or g2[("new", "york")] > 3 * max(indep)
+
+
+def test_skyline_hand_cases(spark):
+    """Frontier with ties and duplicates: duplicates of a frontier point
+    both survive; a point tied on one axis but worse on the other is
+    dominated."""
+    from kiara_spark.operators.tables import skyline_2d
+
+    rows = [
+        (1, 1.0, 9),   # frontier (cheapest)
+        (2, 3.0, 5),   # frontier
+        (3, 3.0, 5),   # duplicate of #2 -> also survives
+        (4, 3.0, 7),   # same price as #2, bigger -> dominated
+        (5, 8.0, 2),   # frontier (smallest)
+        (6, 9.0, 2),   # same size as #5, pricier -> dominated
+        (7, 9.0, 9),   # dominated by everything on the frontier
+    ]
+    df = spark.createDataFrame(rows, "id bigint, price double, size int")
+    got = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
+    assert got == [1, 2, 3, 5]
