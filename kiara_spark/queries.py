@@ -12637,7 +12637,7 @@ def sql_recursive_bom_rollup(spark, sf_dir):
     """
     WITH t AS (
       SELECT p_partkey AS id, lower(p_name || ' ' || p_type) AS s,
-             p_name AS b
+             p_name || '#' || CAST(p_size AS VARCHAR) AS b
       FROM part
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -12648,18 +12648,21 @@ def sql_recursive_bom_rollup(spark, sf_dir):
 )
 def dedup_jaro_winkler_pairs_q(spark, sf_dir):
     """Jaro-Winkler record linkage over the product catalog (name+type
-    strings, exact-name blocking): transposition-tolerant similarity for
-    short entity strings where edit distance over-penalizes and shingles
-    under-discriminate.  The kernel matches DuckDB's builtin to 1e-12, so
-    the oracle is exact.  Scale note: the quadratic lives entirely inside
-    blocks — with a low-cardinality block key pass minhash LSH band keys
-    as `block_column` instead (any Column is accepted), same as
-    `dedup_ngram_jaccard_lsh_blocked`."""
+    strings): transposition-tolerant similarity for short entity strings
+    where edit distance over-penalizes and shingles under-discriminate.
+    The kernel matches DuckDB's builtin to 1e-12, so the oracle is exact.
+    Blocking key is (name, size) — the `entity_resolution_parts`
+    convention: the quadratic lives entirely inside blocks, and a
+    composite key keeps them O(1) as the catalog grows (name-only blocks
+    grow linearly with the catalog → quadratic verify; with a genuinely
+    low-cardinality key pass minhash LSH band keys as `block_column`,
+    same as `dedup_ngram_jaccard_lsh_blocked`)."""
     part = _t(spark, sf_dir, "part")
     prepared = part.select(
         F.col("p_partkey").alias("id"),
         F.lower(F.concat_ws(" ", "p_name", "p_type")).alias("txt"),
-        F.col("p_name").alias("blk"))
+        F.concat_ws("#", "p_name",
+                    F.col("p_size").cast("string")).alias("blk"))
     return D.jaro_winkler_pairs(prepared, id_col="id", text_col="txt",
                                 block_col="blk", threshold=0.93)
 
