@@ -355,6 +355,17 @@ BENCH_QUERIES = [
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
 # alone doesn't carry.
 BENCH_NOTES = {
+    "stats_bootstrap_ci_mean":
+        "r7: B=100 Poisson-bootstrap resamples = 100x the scan CPU by "
+        "construction (15M md5-derived weights at sf0.1); rows repartition "
+        "BEFORE the explode so the B x N work spreads across cores, and "
+        "the B-row means frame is checkpointed so the CI branches don't "
+        "re-run the pipeline. Cost is linear in B.",
+    "ml_gmm_em_totalprice":
+        "r7: 2 EM epochs + 1 loglik pass = 3 full scans of the cached "
+        "value frame by construction (one decimal-exact aggregate each); "
+        "per-epoch cost is scan-bound, parameters are a broadcast 1-row "
+        "frame.",
     "text_bpe_train_merges":
         "r6: 6 full BPE training rounds; each is one pair-count aggregate "
         "+ one checkpointed merge pass over the vocabulary-sized word "
