@@ -350,6 +350,8 @@ BENCH_QUERIES = [
     "ml_ndcg_customer_orders",
     "text_collocations_llr",
     "skyline_cheap_small_parts",
+    "events_active_users_dau_wau_mau",
+    "text_lexical_richness_by_lang",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

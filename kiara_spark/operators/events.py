@@ -750,6 +750,46 @@ def cross_correlation(
     return agg.select("lag", "n_days", r.alias("r")).orderBy("lag")
 
 
+def active_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    windows: tuple = (1, 7, 30),
+) -> DataFrame:
+    """DAU / WAU / MAU — distinct active users per calendar day over
+    trailing 1/7/30-day windows, the product-analytics staple that
+    ``COUNT(DISTINCT) OVER (RANGE 30 days)`` cannot express at scale (the
+    window would hold every id in state).
+
+    Scale shape: the raw log first collapses to DISTINCT (user, day) — the
+    only pass over the events — then each user-day row fans out to the
+    (window, day) pairs it keeps the user active for (Σwindows ≈ 38 rows
+    per user-day, all map-side) and ONE exact distinct-count aggregate per
+    (window, day) finishes it.  Days with no activity in the trailing
+    window are absent (standard dashboards join a calendar spine).
+    Returns (day, active_1d, active_7d, active_30d)."""
+    ud = (df.select(F.to_date(F.col(ts_col)).alias("_d"),
+                    F.col(user_col).alias("_u"))
+          .distinct())
+    w_arr = F.array(*[F.lit(int(w)) for w in windows])
+    fan = ud.select(
+        "_u", F.explode(w_arr).alias("_w"), "_d"
+    ).select(
+        "_u", "_w",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.col("_w") - 1),
+            lambda i: F.date_add(F.col("_d"), i))).alias("day"))
+    agg = (fan.groupBy("day", "_w")
+           .agg(F.count_distinct(F.col("_u")).cast("bigint").alias("_n")))
+    pivoted = (agg.groupBy("day")
+               .pivot("_w", [int(w) for w in windows])
+               .sum("_n"))
+    out = pivoted.select(
+        "day", *[F.coalesce(F.col(str(int(w))), F.lit(0)).cast("bigint")
+                 .alias(f"active_{int(w)}d") for w in windows])
+    return out.orderBy("day")
+
+
 def interval_coverage(
     df: DataFrame,
     key_col: str,
@@ -1393,7 +1433,22 @@ EventsCrossCorrelation = _simple_module(
         "daily series (lead/lag detection)",
 )
 
+EventsActiveUsers = _simple_module(
+    "events.active_users",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": active_users(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        user_col=self.config.get("user_column", "user_id"),
+        windows=tuple(self.config.get("windows", (1, 7, 30))))},
+    doc="DAU/WAU/MAU trailing-window distinct actives via user-day "
+        "fan-out (never COUNT(DISTINCT) OVER RANGE)",
+)
+
 OPERATIONS = [
+    Operation("events.active_users", "events.active_users",
+              doc="DAU/WAU/MAU trailing distinct-active counts"),
     Operation("events.dft_periodogram", "events.dft_periodogram",
               doc="DFT periodogram over the daily count series"),
     Operation("events.cross_correlation", "events.cross_correlation",
@@ -1442,4 +1497,5 @@ OPERATIONS = [
 ]
 
 MODULES += [EventsHoltForecast, EventsSequencePattern,
-            EventsDftPeriodogram, EventsCrossCorrelation]
+            EventsDftPeriodogram, EventsCrossCorrelation,
+            EventsActiveUsers]

@@ -1790,6 +1790,37 @@ def zipf_fit(
         F.round((num / vx) * (num / vy), 6).alias("r2"))
 
 
+def lexical_richness(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level lexical-richness profile per group: token count N,
+    vocabulary V, type-token ratio V/N, hapax ratio V₁/V (words seen
+    once), and Herdan's C = lnV/lnN (the length-robust richness index) —
+    the slice-level companion to per-doc `text.token_stats` and the
+    `text.zipf_fit` slope for spotting templated/duplicated slices.
+
+    ONE (group, word) aggregate over the corpus (the only text pass),
+    then a group-keyed rollup — counts are exact integers; the three
+    ratios are single terminal divisions (round-6)."""
+    counts = (df.select(F.col(group_col).alias("_g"),
+                        F.explode(tokens_col(F.col(text_col))).alias("_w"))
+              .groupBy("_g", "_w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    g = (counts.groupBy(F.col("_g").alias(group_col))
+         .agg(F.sum("_c").cast("bigint").alias("n_tokens"),
+              F.count(F.lit(1)).cast("bigint").alias("vocab"),
+              F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+              .cast("bigint").alias("hapax")))
+    n, v = F.col("n_tokens").cast("double"), F.col("vocab").cast("double")
+    return g.select(
+        group_col, "n_tokens", "vocab", "hapax",
+        F.round(v / n, 6).alias("ttr"),
+        F.round(F.col("hapax").cast("double") / v, 6).alias("hapax_ratio"),
+        F.round(F.log(v) / F.log(n), 6).alias("herdan_c"))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -1826,6 +1857,24 @@ TextZipfFit = _mk("text.zipf_fit", zipf_fit,
 TextCollocationsLlr = _mk("text.collocations_llr", collocations_llr,
                           "Dunning G² log-likelihood-ratio collocation "
                           "detection over consecutive bigrams")
+
+
+class TextLexicalRichness(KiaraModule):
+    """Per-group lexical-richness profile (see lexical_richness)."""
+
+    _module_type_name = "text.lexical_richness"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": lexical_richness(
+            inputs["table"].data,
+            group_col=self.config.get("group_column", "lang"),
+            text_col=self.config.get("text_column", "text"))}
 
 class TextChunk(KiaraModule):
     """Fixed-size overlapping character chunks (pre-embedding splitter)."""
@@ -2287,7 +2336,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
            TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit,
-           TextCollocationsLlr]
+           TextCollocationsLlr, TextLexicalRichness]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2319,6 +2368,8 @@ OPERATIONS = [
               doc="Zipf's-law slope/R² over top-token frequencies"),
     Operation("text.collocations_llr", "text.collocations_llr",
               doc="Dunning G² collocation/phrase detection"),
+    Operation("text.lexical_richness", "text.lexical_richness",
+              doc="per-group TTR / hapax ratio / Herdan's C profile"),
     Operation("text.js_divergence", "text.js_divergence",
               doc="pairwise JS divergence between per-group token "
                   "distributions (corpus drift)"),

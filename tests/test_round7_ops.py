@@ -645,3 +645,42 @@ def test_skyline_hand_cases(spark):
     df = spark.createDataFrame(rows, "id bigint, price double, size int")
     got = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
     assert got == [1, 2, 3, 5]
+
+
+def test_active_users_hand_windows(spark):
+    """3 users on day0, 1 on day3: DAU exact per day; WAU(7) carries day0
+    users through day6; a user active twice one day counts once."""
+    import datetime
+
+    from kiara_spark.operators.events import active_users
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(1, base, 10), (2, base, 11), (3, base, 12),
+            (4, base + datetime.timedelta(hours=2), 10),   # dup user-day
+            (5, base + datetime.timedelta(days=3), 99)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = {str(r.day): r for r in
+           active_users(df, "ts", "user_id", windows=(1, 7, 30)).collect()}
+    assert out["2024-03-01"].active_1d == 3
+    assert out["2024-03-01"].active_7d == 3
+    assert out["2024-03-03"].active_1d == 0
+    assert out["2024-03-03"].active_7d == 3
+    assert out["2024-03-04"].active_1d == 1
+    assert out["2024-03-04"].active_7d == 4
+    assert out["2024-03-07"].active_7d == 4      # day0 still inside 7d
+    assert out["2024-03-08"].active_7d == 1      # day0 aged out
+    assert out["2024-03-08"].active_30d == 4
+
+
+def test_lexical_richness_hand(spark):
+    """'a a b' -> N=3 V=2 hapax=1; richer text scores higher TTR."""
+    from kiara_spark.operators.text import lexical_richness
+
+    df = spark.createDataFrame(
+        [("x", "a a b"), ("y", "one two three four")],
+        "lang string, text string")
+    out = {r.lang: r for r in lexical_richness(df, "lang", "text").collect()}
+    assert (out["x"].n_tokens, out["x"].vocab, out["x"].hapax) == (3, 2, 1)
+    assert out["x"].ttr == pytest.approx(2 / 3, abs=1e-6)
+    assert out["y"].ttr == 1.0 and out["y"].hapax_ratio == 1.0
