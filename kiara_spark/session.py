@@ -53,6 +53,9 @@ def build_spark(
         # becomes a bloom filter applied to the fact scan — at 100 TB this
         # skips whole row groups before the shuffle
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # WITH RECURSIVE working-set cap: the 1M default trips a BOM-depth
+        # rollup at ~100k base rows; depth stays O(log N), rows O(N·depth)
+        .config("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/kiara_spark_sql_warehouse"))
@@ -79,6 +82,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.cteRecursionRowLimit": str(2_000_000_000),
     }.items():
         try:
             spark.conf.set(k, v)
