@@ -427,8 +427,13 @@ def textrank_keywords(
     a SQL twin).  Returns the global top-``top_k`` (keyword, rank)."""
     from .graph import pagerank
 
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
+    # Stage the token array as a COLUMN before the nested pair lambdas
+    # reference it — inlined, every element_at would re-embed the tokenize
+    # subtree (the span_corruption lesson; CollapseProject keeps the stage
+    # because the alias is non-cheap and multiply referenced).
+    staged = (df.select(tokens_col(F.col(text_col)).alias("_tr_toks"))
+              .withColumn("_tr_n", F.size("_tr_toks")))
+    toks, n = F.col("_tr_toks"), F.col("_tr_n")
     # canonicalize (least, greatest) INSIDE the per-doc pair array and
     # array_distinct it map-side, so the global edge-set distinct shuffles
     # each undirected edge once per doc at most (the previous directed
@@ -443,7 +448,7 @@ def textrank_keywords(
                         F.element_at(toks, i + o)).alias("src"),
                 F.greatest(F.element_at(toks, i),
                            F.element_at(toks, i + o)).alias("dst")))))
-    canon = (df.select(F.explode(F.array_distinct(
+    canon = (staged.select(F.explode(F.array_distinct(
         F.when(n >= 2, win_pairs)
         .otherwise(F.array().cast(
             "array<struct<src:string,dst:string>>")))).alias("_e"))
