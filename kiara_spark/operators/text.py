@@ -518,6 +518,25 @@ def bpe_encode(
                  .alias("compression")))
 
 
+def _bigram_rows(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """(keep_cols..., w1, w2) consecutive-bigram rows.  The token array
+    stages as a COLUMN before the pair lambda references it — inlined,
+    every element_at re-embeds the tokenize subtree (the span-corruption
+    lesson; shared by the bigram LM, Kneser-Ney, and G² collocations)."""
+    staged = df.select(*keep_cols,
+                       tokens_col(F.col(text_col)).alias("_bg_ws"))
+    ws = F.col("_bg_ws")
+    return (staged.select(
+        *keep_cols,
+        F.explode(F.when(F.size(ws) >= 2, F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2"))))
+            .otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("_b"))
+        .select(*keep_cols, "_b.w1", "_b.w2"))
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -540,15 +559,7 @@ def bigram_logprob(
     partition-order-invariant and engine-exact at 6 dp.  Docs with fewer
     than 2 tokens have no bigrams and are absent."""
     ws = tokens_col(F.col(text_col))
-    big = df.select(
-        F.col(id_col),
-        F.explode(F.when(F.size(ws) >= 2, F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2"))))
-            .otherwise(F.array().cast(
-                "array<struct<w1:string,w2:string>>"))).alias("_b")
-    ).select(id_col, "_b.w1", "_b.w2")
+    big = _bigram_rows(df, text_col, id_col)
     c2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
@@ -588,16 +599,8 @@ def collocations_llr(
     no positional self-join), ONE (w1,w2) aggregate, two tiny margin
     rollups broadcast back onto it, distributed top-k.  Returns
     (w1, w2, k11, g2)."""
-    ws = tokens_col(F.col(text_col))
-    big = df.select(
-        F.explode(F.when(F.size(ws) >= 2, F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2"))))
-            .otherwise(F.array().cast(
-                "array<struct<w1:string,w2:string>>"))).alias("_b"))
-    pair = (big.select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
-            .groupBy("w1", "w2")
+    big = _bigram_rows(df, text_col)
+    pair = (big.groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("bigint").alias("k11")))
     r1 = pair.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("_r1"))
     c1 = pair.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("_c1"))
@@ -648,16 +651,7 @@ def kneser_ney_bigram_logprob(
     P evaluates in fixed-order IEEE doubles, −ln P rounds to 9 dp and
     sums as DECIMAL(38,12).  Returns (id, n_bigrams, avg_neg_logprob_kn);
     docs with < 2 tokens are absent."""
-    ws = tokens_col(F.col(text_col))
-    big = df.select(
-        F.col(id_col),
-        F.explode(F.when(F.size(ws) >= 2, F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2"))))
-            .otherwise(F.array().cast(
-                "array<struct<w1:string,w2:string>>"))).alias("_b")
-    ).select(id_col, "_b.w1", "_b.w2")
+    big = _bigram_rows(df, text_col, id_col)
     c2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2"))
     c1 = c2.groupBy("w1").agg(
