@@ -273,7 +273,6 @@ BENCH_QUERIES = [
     "case_when_price_buckets",
     "correlated_above_avg_orders",
     "dedup_minhash_clusters",
-    "dedup_ngram_jaccard_blocked",
     "dedup_simhash",
     "deterministic_sample_split",
     "having_frequent_customers",
@@ -404,11 +403,6 @@ BENCH_NOTES = {
         "repartitioned after scan (measured ~2x loss for join-light "
         "queries, io.py CPU_HEAVY_TABLES), so the delta is scan-task "
         "scheduling noise, not a plan regression.",
-    "dedup_ngram_jaccard_blocked":
-        "exact all-pairs verify within (lang) blocks - quadratic in block "
-        "size BY DESIGN (the corpus-scale candidate path is minhash). "
-        "r3: shingles hashed to 48-bit md5-prefix longs before the per-"
-        "pair set ops (34.6s -> ~13s at sf0.1), oracle updated in step.",
     "dedup_minhash_clusters":
         "timing is dominated by iterative connected-components driver "
         "rounds with eager localCheckpoints; run-to-run variance is ~2x "

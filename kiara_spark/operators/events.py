@@ -357,7 +357,12 @@ def sequence_pattern(
                              F.col(tiebreak_col).alias("_tb"),
                              ini.alias("_i")))),
                 lambda x: x["_i"]), "").alias("_seq"))
-    ms = F.expr(f"regexp_extract_all(_seq, '{pattern}', 0)")
+    # Column-API call with the pattern as a LITERAL column (not an f-string
+    # spliced into F.expr): a pattern containing a quote cannot break out of
+    # the expression, and backslash classes like \d reach the Java regex
+    # engine verbatim instead of being eaten by Spark's SQL string-literal
+    # escape processing (round-7 ADVICE, same convention as text.py).
+    ms = F.regexp_extract_all(F.col("_seq"), F.lit(pattern), F.lit(0))
     has = F.size(ms) > 0
     return seq.select(
         F.col(user_col),
@@ -656,8 +661,13 @@ def dft_periodogram(
     rounding except with ~1e-7 probability per term), so the aggregate is
     order-independent and both engines assemble identical doubles at the
     single terminal division.  Plan: one day aggregate over the raw log
-    (the only big-data pass), explode to (max_period−min_period+1)
-    period-tagged rows, one (period) aggregate + broadcast 1-row global.
+    (the only big-data pass), DENSIFY to the full 0..n−1 day grid
+    (missing days are c=0 — without them the Σcos/Σsin mean-removal
+    margins would cover only observed days while n spans the calendar
+    range, making the exact-mean-removal identity wrong on gapped series;
+    round-7 ADVICE), explode to (max_period−min_period+1) period-tagged
+    rows, one (period) aggregate + broadcast 1-row global.  The grid is
+    bounded by the calendar span in days, never by the event volume.
     Returns (period, a, b, power)."""
     import math
 
@@ -667,9 +677,15 @@ def dft_periodogram(
         F.min("_d").alias("_d0"),
         (F.datediff(F.max("_d"), F.min("_d")) + 1).cast("bigint").alias("_n"),
         F.sum("_c").cast("decimal(38,0)").alias("_s"))
-    t = (daily.crossJoin(F.broadcast(g))
-         .select(F.datediff(F.col("_d"), F.col("_d0")).cast("bigint")
-                 .alias("_t"), "_c", "_n", "_s"))
+    obs = (daily.crossJoin(F.broadcast(g))
+           .select(F.datediff(F.col("_d"), F.col("_d0")).cast("bigint")
+                   .alias("_t"), "_c"))
+    grid = g.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n") - 1))
+        .alias("_t"), "_n", "_s")
+    t = (grid.join(obs, "_t", "left")
+         .select("_t", F.coalesce(F.col("_c"), F.lit(0)).cast("bigint")
+                 .alias("_c"), "_n", "_s"))
     b = t.select(
         F.explode(F.sequence(F.lit(min_period), F.lit(max_period)))
         .alias("_p"), "_t", "_c", "_n", "_s"
@@ -766,19 +782,25 @@ def active_users(
     (window, day) pairs it keeps the user active for (Σwindows ≈ 38 rows
     per user-day, all map-side) and ONE exact distinct-count aggregate per
     (window, day) finishes it.  Days with no activity in the trailing
-    window are absent (standard dashboards join a calendar spine).
+    window are absent (standard dashboards join a calendar spine), and the
+    fan-out is CAPPED at the max observed day (broadcast 1-row max-date
+    frame) so the output never shows phantom decaying 7d/30d actives for
+    days past the end of the data (round-7 ADVICE).
     Returns (day, active_1d, active_7d, active_30d)."""
     ud = (df.select(F.to_date(F.col(ts_col)).alias("_d"),
                     F.col(user_col).alias("_u"))
           .distinct())
+    maxd = ud.agg(F.max("_d").alias("_maxd"))
     w_arr = F.array(*[F.lit(int(w)) for w in windows])
-    fan = ud.select(
-        "_u", F.explode(w_arr).alias("_w"), "_d"
+    fan = ud.crossJoin(F.broadcast(maxd)).select(
+        "_u", F.explode(w_arr).alias("_w"), "_d", "_maxd"
     ).select(
         "_u", "_w",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.col("_w") - 1),
-            lambda i: F.date_add(F.col("_d"), i))).alias("day"))
+        F.explode(F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_w") - 1),
+                lambda i: F.date_add(F.col("_d"), i)),
+            lambda d: d <= F.col("_maxd"))).alias("day"))
     agg = (fan.groupBy("day", "_w")
            .agg(F.count_distinct(F.col("_u")).cast("bigint").alias("_n")))
     pivoted = (agg.groupBy("day")

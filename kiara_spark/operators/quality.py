@@ -1776,7 +1776,8 @@ def bootstrap_ci_mean(
     CDF literals — reproducible across runs/engines.  Per-resample sums
     are round-9 decimal-exact; the percentile CI picks ranks
     ceil(α/2·B) / ceil((1−α/2)·B) over the B means (mean then resample-id
-    tie-break).  Returns one row
+    tie-break).  NULL values are excluded rows (they count in no
+    denominator).  Returns one row
     (b_resamples, n_rows, point_mean, ci_lo, ci_hi)."""
     alpha = 1.0 - level
     lo_rank = max(1, math.ceil(alpha / 2 * b_resamples))
@@ -1792,11 +1793,17 @@ def bootstrap_ci_mean(
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
 
+    # NULL values are EXCLUDED rows (round-7 ADVICE): without the filter
+    # the decimal sums skip NULLs while the count/Σw denominators include
+    # them, biasing both the point estimate and every resample mean
+    # downward.  Filter once, up front, so every denominator below agrees
+    # (same convention as average_precision / ks_statistic).
+    nn = df.filter(x.isNotNull())
     # Spread the rows BEFORE the B× explode: a small input often arrives as
     # one split, and exploding inside that task would put all B×N weight
     # evaluations on one core (measured 34s -> 3s at sf0.1/B=100).  The
     # pre-explode shuffle moves only the raw rows, never the B× volume.
-    base = df.select(F.col(id_col), x.alias("_x")).repartition(
+    base = nn.select(F.col(id_col), x.alias("_x")).repartition(
         df.sparkSession.sparkContext.defaultParallelism)
     exploded = (base.select(F.col(id_col), "_x",
                             F.explode(F.sequence(F.lit(1),
@@ -1824,7 +1831,7 @@ def bootstrap_ci_mean(
     ci = ranked.agg(
         F.min(F.when(F.col("_r") == lo_rank, F.col("_m"))).alias("ci_lo"),
         F.min(F.when(F.col("_r") == hi_rank, F.col("_m"))).alias("ci_hi"))
-    point = df.agg(
+    point = nn.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum(d9(x)).cast("double")
                 / F.count(F.lit(1)).cast("double"), 9).alias("point_mean"))
@@ -2103,7 +2110,9 @@ def linear_regression_normal(
     Reference parity: the regression companion to
     ``table.regression.by_group`` (per-group simple OLS) — this is the
     multi-feature global fit.  Returns 1 row:
-    (n, intercept, coef_<x1>, coef_<x2>, r2)."""
+    (n, intercept, coef_<x1>, coef_<x2>, r2).  A degenerate design matrix
+    (collinear or constant features, |det| ≈ 0) returns NULL coefficients
+    and NULL r2 by contract rather than silent NULL/Inf arithmetic."""
     if len(x_cols) != 2:
         raise ValueError("linear_regression_normal: exactly 2 features "
                          "(see docstring for the general-d pattern)")
@@ -2127,11 +2136,21 @@ def linear_regression_normal(
     det0 = _det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
     det1 = _det3(n_, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
     det2 = _det3(n_, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    # Singular-matrix guard (round-7 ADVICE): a degenerate design matrix
+    # (collinear or constant features) gives det ≈ 0; under non-ANSI Spark
+    # the division would yield NULL/Inf silently.  Gate on |det| relative
+    # to the Gram magnitude so the degenerate case returns NULL
+    # coefficients and NULL r2 BY CONTRACT (documented) rather than by
+    # accident.  Non-degenerate fits are untouched (the oracle shares the
+    # ungated formula; it only diverges on inputs that are out of
+    # contract anyway).
+    scale = F.greatest(F.abs(n_), F.abs(s11), F.abs(s22), F.lit(1.0))
+    ok = F.abs(det) > scale * F.lit(1e-12)
     coefs = sums.select(
         n_.cast("bigint").alias("n"),
-        F.round(det0 / det, 8).alias("_b0"),
-        F.round(det1 / det, 8).alias("_b1"),
-        F.round(det2 / det, 8).alias("_b2"),
+        F.when(ok, F.round(det0 / det, 8)).alias("_b0"),
+        F.when(ok, F.round(det1 / det, 8)).alias("_b1"),
+        F.when(ok, F.round(det2 / det, 8)).alias("_b2"),
         (sy / n_).alias("_ybar"))
     fit = df.crossJoin(F.broadcast(coefs))
     resid = y - (F.col("_b0") + F.col("_b1") * x1 + F.col("_b2") * x2)

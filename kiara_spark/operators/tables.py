@@ -327,21 +327,49 @@ def skyline_2d(
     against the running y-minimum decides everything:
       (1) y > min y over x' ≤ x  ⇒ dominated (strict y);
       (2) else y ties that min: dominated iff min y over x' < x is ≤ y.
-    Both minima compute on the DISTINCT-x frame (one hash aggregate, then
-    two windows over |distinct x| rows — the only serial stretch; the raw
-    data never sorts globally) and broadcast back onto the scan by x.
+    Both minima compute on the DISTINCT-x frame as a RANGE-PARTITIONED
+    prefix-min (r7 verdict item 4 — previously two unpartitioned windows
+    serialized |distinct x| rows through one task): repartitionByRange on
+    x, a per-partition running min (WindowExec keyed by the partition id —
+    parallel), then each partition folds in the broadcast prefix-min of
+    all earlier ranges (one P-row frame).  The only serial window left
+    runs over the P partition-boundary rows, a constant.  The minima
+    broadcast back onto the scan by x; the raw data never sorts globally.
     Returns the input columns of the frontier rows."""
     from pyspark.sql.window import Window as _W
+
+    from ..io import cut_lineage
 
     x, y = F.col(x_col), F.col(y_col)
     per_x = (df.groupBy(x.alias("_sx"))
              .agg(F.min(y).alias("_xmin")))
-    w_all = _W.orderBy("_sx").rowsBetween(_W.unboundedPreceding, 0)
-    w_prev = _W.orderBy("_sx").rowsBetween(_W.unboundedPreceding, -1)
-    mins = per_x.select(
-        "_sx",
-        F.min("_xmin").over(w_all).alias("_min_le"),
-        F.min("_xmin").over(w_prev).alias("_min_lt"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    # materialize the pid tagging: both branches below reuse it, and the
+    # tag must be IDENTICAL across them (a re-executed range shuffle may
+    # re-sample boundaries)
+    tagged = cut_lineage(
+        per_x.repartitionByRange(p, F.col("_sx"))
+        .withColumn("_pid", F.spark_partition_id()))
+    w_all = (_W.partitionBy("_pid").orderBy("_sx")
+             .rowsBetween(_W.unboundedPreceding, 0))
+    w_prev = (_W.partitionBy("_pid").orderBy("_sx")
+              .rowsBetween(_W.unboundedPreceding, -1))
+    local = tagged.select(
+        "_sx", "_pid",
+        F.min("_xmin").over(w_all).alias("_lmin_le"),
+        F.min("_xmin").over(w_prev).alias("_lmin_lt"))
+    # prefix-min of every EARLIER range partition: P rows, bounded by the
+    # parallelism constant — the one remaining unpartitioned window
+    wb = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+    prefix = (tagged.groupBy("_pid").agg(F.min("_xmin").alias("_pmin"))
+              .select("_pid", F.min("_pmin").over(wb).alias("_prefix")))
+    # least() skips NULLs: _prefix is NULL in the first partition and
+    # _lmin_lt is NULL on each partition's first row — exactly the
+    # "no earlier value" cases of the unpartitioned running min
+    mins = (local.join(F.broadcast(prefix), "_pid")
+            .select("_sx",
+                    F.least("_lmin_le", "_prefix").alias("_min_le"),
+                    F.least("_lmin_lt", "_prefix").alias("_min_lt")))
     # no broadcast hint: |distinct x| can be large — AQE picks the strategy
     j = df.join(mins, x == F.col("_sx"))
     dominated = (y > F.col("_min_le")) | (

@@ -995,9 +995,16 @@ def dedup_minhash_incremental_indexed_q(spark, sf_dir):
         shingle_k=SHINGLE_WORDS, shingle_unit="word", corpus_bands=cb)
 
 
-@query(
-    "dedup_ngram_jaccard_blocked",
-    f"""
+# `dedup_ngram_jaccard_blocked` (natural-key lang-blocked exact Jaccard)
+# was DEMOTED from the battery in round 8 (round-7 verdict item 2): its
+# within-block self-join is O((N/20)^2) by definition — the exact verify
+# for BOUNDED blocks, never a corpus-scale path — and benchmarking it only
+# re-measured that definition (16.5s at sf0.1, the battery's #2 cost).
+# The scale-safe twin `dedup_ngram_jaccard_lsh_blocked` (below) stays the
+# benchmarked headline; the natural-key variant keeps its exact-verify
+# oracle as a pytest (tests/test_text_dedup_similarity.py::
+# test_ngram_jaccard_blocked_matches_duckdb_oracle), using this SQL:
+NGRAM_JACCARD_BLOCKED_ORACLE = f"""
     WITH sh_t AS (SELECT doc_id, lang,
                          list_distinct(list_transform({_SHINGLES},
                            s -> CAST(('0x' || substring(md5(s), 1, 12)) AS BIGINT)))
@@ -1009,13 +1016,15 @@ def dedup_minhash_incremental_indexed_q(spark, sf_dir):
     FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-    """,
-)
-def dedup_jaccard_q(spark, sf_dir):
-    """Blocked exact n-gram Jaccard: quadratic within the block BY DESIGN
-    (it is the exact verify for bounded blocks; the corpus-scale candidate
-    path is minhash).  Shingles are 48-bit md5-prefix longs on both
-    engines — see ngram_jaccard_pairs(hash_shingles=True)."""
+    """
+
+
+def dedup_jaccard_blocked_pytest_only(spark, sf_dir):
+    """Blocked exact n-gram Jaccard (pytest-only, see note above):
+    quadratic within the block BY DESIGN — the exact verify for bounded
+    blocks; the corpus-scale candidate path is minhash.  Shingles are
+    48-bit md5-prefix longs on both engines — see
+    ngram_jaccard_pairs(hash_shingles=True)."""
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.5, k=SHINGLE_K,
                                  block_col="lang",
@@ -1061,10 +1070,10 @@ _SH_T_CHAR_HASHED = (
 def dedup_jaccard_lsh_q(spark, sf_dir):
     """De-skewed n-gram Jaccard (`ngram_jaccard_pairs_lsh`): minhash BAND
     keys replace the natural blocking column, so candidate buckets stay
-    uniform at any corpus size — the 100-TB-safe form of
-    `dedup_ngram_jaccard_blocked`, whose `lang` blocks grow O(corpus/20)
-    and go quadratic.  Verify stage is identical hashed-shingle Jaccard,
-    restricted to LSH candidates."""
+    uniform at any corpus size — the 100-TB-safe form of the natural-key
+    lang-blocked variant (pytest-only since r8), whose `lang` blocks grow
+    O(corpus/20) and go quadratic.  Verify stage is identical
+    hashed-shingle Jaccard, restricted to LSH candidates."""
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs_lsh(docs, threshold=0.5, k=SHINGLE_K,
                                      num_hashes=NUM_HASHES, bands=BANDS)
@@ -12679,8 +12688,13 @@ def dedup_jaro_winkler_pairs_q(spark, sf_dir):
              CAST(SUM(c) AS DECIMAL(38,0)) AS s
       FROM daily
     ), t AS (
-      SELECT CAST(date_diff('day', g.d0, daily.d) AS BIGINT) AS t, c, n, s
-      FROM daily CROSS JOIN g
+      -- densified 0..n-1 day grid: missing days enter as c=0 so the
+      -- mean-removal margins cover every t (mirrors the engine)
+      SELECT gs.t, COALESCE(o.c, 0) AS c, gs.n, gs.s
+      FROM (SELECT UNNEST(range(0, CAST(n AS BIGINT))) AS t, n, s FROM g) gs
+      LEFT JOIN (SELECT CAST(date_diff('day', g.d0, daily.d) AS BIGINT) AS t,
+                        c
+                 FROM daily CROSS JOIN g) o USING (t)
     ), b AS (
       SELECT p.period, t.t, t.c, t.n, t.s
       FROM t CROSS JOIN (SELECT UNNEST(generate_series(2, 14)) AS period) p
@@ -13008,6 +13022,7 @@ _P1 = ("0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
                     'boot')), 1, 15) AS BIGINT) AS DOUBLE)
                / 1152921504606846976.0 AS u
       FROM orders CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS b) g
+      WHERE o_totalprice IS NOT NULL
     ), w AS (
       SELECT b, x,
              CASE WHEN u < {_P1[0]} THEN 0 WHEN u < {_P1[1]} THEN 1
@@ -13030,7 +13045,7 @@ _P1 = ("0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
              ROUND(CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 9)
                    AS DECIMAL(38,12))) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE), 9) AS point_mean
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT CAST(100 AS BIGINT) AS b_resamples, n_rows, point_mean,
            (SELECT m FROM ranked WHERE r = 3) AS ci_lo,
@@ -13307,6 +13322,7 @@ def skyline_cheap_small_parts_q(spark, sf_dir):
     ), spine AS (
       SELECT DISTINCT d + CAST(o.o AS INTEGER) AS day
       FROM ud CROSS JOIN (SELECT UNNEST(range(0, 30)) AS o) o
+      WHERE d + CAST(o.o AS INTEGER) <= (SELECT MAX(d) FROM ud)
     )
     SELECT s.day,
       CAST(COUNT(DISTINCT CASE WHEN ud.d = s.day THEN ud.u END) AS BIGINT)
@@ -13324,7 +13340,8 @@ def events_active_users_q(spark, sf_dir):
     fan-out (log collapses to distinct user-days first, each fans to the
     ~38 (window, day) cells it keeps the user active for, one exact
     distinct aggregate) — COUNT(DISTINCT) OVER RANGE would hold every id
-    in window state and cannot scale."""
+    in window state and cannot scale.  Both sides cap the spine at the
+    max observed day (no phantom trailing-decay days past the data)."""
     from .operators.events import active_users
 
     return active_users(_t(spark, sf_dir, "events"), "ts", "user_id",
@@ -13393,8 +13410,14 @@ def _recorded_counts() -> dict[str, int]:
 
 
 def _reorder() -> None:
+    # Oracle-less (approx-sketch) queries sort LAST unconditionally: the
+    # driver's recorded-50 slice must contain only hash-checkable queries,
+    # and once fewer than 50 never-recorded oracle-backed entries remain,
+    # a count-first key would pull the sketch queries into the slice
+    # (round-7 verdict item 1).  Within the oracle-backed block the
+    # fewest-recorded-first rotation is unchanged.
     counts = _recorded_counts()
-    ordered = sorted(QUERIES, key=lambda n: (counts.get(n, 0), n not in ORACLE))
+    ordered = sorted(QUERIES, key=lambda n: (n not in ORACLE, counts.get(n, 0)))
     for d in (QUERIES, ORACLE):
         snapshot = dict(d)
         d.clear()

@@ -86,6 +86,15 @@ def test_sequence_pattern_counts_and_coverage(spark):
     assert out[2].n_matches == 0 and out[2].first_match is None
     assert out[3].n_matches == 2 and out[3].first_match == "sp"
     assert out[2].seq_len == 3  # zero-match keys kept for coverage audit
+    # r8 regression (ADVICE): quote-bearing and backslash-class patterns
+    # must reach the regex engine verbatim — the literal-column call path
+    # (not f-string splicing into F.expr) makes both safe.
+    quoted = {r.user_id: r for r in
+              sequence_pattern(df, "s'|s[cv]*p").collect()}
+    assert quoted[1].n_matches == 1  # no SQL-parse blowup, same match
+    bs = {r.user_id: r for r in
+          sequence_pattern(df, r"s\w*?p").collect()}
+    assert bs[1].first_match == "scvp" and bs[3].n_matches == 2
 
 
 def test_landmark_centrality_on_path_graph(spark):
@@ -649,7 +658,9 @@ def test_skyline_hand_cases(spark):
 
 def test_active_users_hand_windows(spark):
     """3 users on day0, 1 on day3: DAU exact per day; WAU(7) carries day0
-    users through day6; a user active twice one day counts once."""
+    users forward; a user active twice one day counts once; the output
+    STOPS at the last observed day (r8: no phantom trailing-decay days —
+    round-7 ADVICE)."""
     import datetime
 
     from kiara_spark.operators.events import active_users
@@ -668,9 +679,8 @@ def test_active_users_hand_windows(spark):
     assert out["2024-03-03"].active_7d == 3
     assert out["2024-03-04"].active_1d == 1
     assert out["2024-03-04"].active_7d == 4
-    assert out["2024-03-07"].active_7d == 4      # day0 still inside 7d
-    assert out["2024-03-08"].active_7d == 1      # day0 aged out
-    assert out["2024-03-08"].active_30d == 4
+    assert out["2024-03-04"].active_30d == 4
+    assert max(out) == "2024-03-04"   # capped at the max observed day
 
 
 def test_lexical_richness_hand(spark):

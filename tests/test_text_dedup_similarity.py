@@ -469,6 +469,29 @@ def test_ngram_jaccard_lsh_matches_unblocked_on_caught_pairs(spark):
         assert exact[pair] == j  # LSH output is a subset with equal values
 
 
+def test_ngram_jaccard_blocked_matches_duckdb_oracle(spark):
+    """Exact-verify for the DEMOTED `dedup_ngram_jaccard_blocked` battery
+    entry (r7 verdict item 2: the natural-key lang-blocked all-pairs query
+    is O((N/20)^2) by definition, so it left the bench; its oracle lives
+    on here).  Spark's blocked pairs at sf0.001 must hash-match DuckDB's
+    quadratic SQL twin pair-for-pair."""
+    import duckdb
+
+    from kiara_spark.queries import (NGRAM_JACCARD_BLOCKED_ORACLE,
+                                     dedup_jaccard_blocked_pytest_only)
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_jaccard_blocked_pytest_only(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(map(tuple,
+                      con.execute(NGRAM_JACCARD_BLOCKED_ORACLE).fetchall()))
+    assert got == want and len(got) > 0
+
+
 def test_ngram_jaccard_hash_shingles_configurable(ctx):
     """r3 ADVICE: hash_shingles must be a module config so callers needing
     string-exact Jaccard can disable the 48-bit hashed fast path."""

@@ -105,11 +105,6 @@ PROBE_QUERIES = [
 ]
 
 EXCLUDED = {
-    "dedup_ngram_jaccard_blocked":
-        "provably quadratic within (lang) blocks by design — the exact "
-        "verify for bounded blocks, not a corpus-scale path (see "
-        "bench.BENCH_NOTES); at 10x it is 100x pair verifications by "
-        "construction, so the probe would only re-measure the definition.",
     "dedup_semantic_semdedup":
         "the demo config pins k=4, so at 10x data each kmeans cluster is "
         "10x larger and the within-cluster cosine check is ~100x pairs by "
