@@ -18,6 +18,8 @@ it builds a fresh local context.
     python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
     python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
+    python -m kiara_spark.cli render <item> as <html|markdown> [key=value ...] [--output path]
+    python -m kiara_spark.cli render list-renderers
     python -m kiara_spark.cli context info
     python -m kiara_spark.cli context list | context explain [name ...]
     python -m kiara_spark.cli context delete <name> | context delete --all
@@ -25,7 +27,7 @@ it builds a fresh local context.
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
     python -m kiara_spark.cli archive explain <path>
     python -m kiara_spark.cli workflow list | workflow explain <alias>
-    python -m kiara_spark.cli pipeline explain <file.json>
+    python -m kiara_spark.cli pipeline list | pipeline explain <file.json>
 
 Named contexts persist under $KIARA_SPARK_CONTEXTS (default
 ~/.local/share/kiara_spark/contexts), one directory per context — the
@@ -184,30 +186,46 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if cmd == "operation" and argv[:1] == ["explain"]:
+        # typed doc model (doc.operation_doc — the reference's
+        # OperationInfo pages): identity, docstring split, per-field
+        # type/optional/default/constant/doc
+        from .doc import operation_doc
+
         ctx = KiaraContext()
         op = ctx.operation_registry.resolve(argv[1])
-        module = ctx.create_module(op.module_type, dict(op.module_config))
-        print(f"operation: {argv[1]}")
-        print(f"module:    {op.module_type}")
-        if op.module_config:
-            print(f"config:    {op.module_config}")
-        from .doc import extract_doc
-
-        doc = extract_doc(module.__class__)
-        if doc["description"]:
-            print(f"doc:       {doc['description']}")
-        if doc["doc"]:
+        d = operation_doc(ctx, op)
+        print(f"operation: {d['operation_id']}")
+        print(f"type:      {d['operation_type']}")
+        print(f"module:    {d['module_type']}")
+        if d["module_config"]:
+            print(f"config:    {d['module_config']}")
+        if d["description"]:
+            print(f"doc:       {d['description']}")
+        ch = d["characteristics"]
+        flags = [k for k, v in ch.items() if v]
+        if flags:
+            print(f"traits:    {', '.join(flags)}")
+        if d["doc"]:
             print()
-            for line in doc["doc"].splitlines():
+            for line in d["doc"].splitlines():
                 print(f"    {line}")
             print()
-        print("inputs:")
-        for name, schema in module.inputs_schema.items():
-            opt = " (optional)" if schema.optional or schema.default is not None else ""
-            print(f"  {name:20s} {schema.type}{opt}")
-        print("outputs:")
-        for name, schema in module.outputs_schema.items():
-            print(f"  {name:20s} {schema.type}")
+
+        def _fields(title, fields):
+            print(f"{title}:")
+            for f in fields:
+                bits = [f["type"]]
+                if f["is_constant"]:
+                    bits.append(f"constant={f['default']!r}")
+                elif f["default"] is not None:
+                    bits.append(f"default={f['default']!r}")
+                elif f["optional"]:
+                    bits.append("optional")
+                desc = f"  — {f['doc']}" if f["doc"] else ""
+                print(f"  {f['name']:20s} {', '.join(bits)}{desc}")
+
+        _fields("inputs", d["inputs"])
+        _fields("outputs", d["outputs"])
         return 0
 
     if cmd == "module" and argv[:1] == ["list"]:
@@ -273,8 +291,54 @@ def main(argv: list[str] | None = None) -> int:
 
     if cmd == "render":
         if not argv:
-            raise SystemExit("render: missing value ref (alias:x / value:uuid)")
+            raise SystemExit(
+                "render: usage `render <ref> [as <target>] [key=value ...] "
+                "[--output path]` or `render list-renderers`")
+        if argv[0] == "list-renderers":
+            ctx = KiaraContext()
+            for info in ctx.render_registry.renderer_infos():
+                print(f"{info['renderer_name']:22s} "
+                      f"{info['source_type']:>9s} -> {info['target_type']:<9s} "
+                      f"{info['doc']}")
+            return 0
         ref = argv.pop(0)
+        output = None
+        if "--output" in argv:
+            i = argv.index("--output")
+            try:
+                output = argv[i + 1]
+            except IndexError:
+                raise SystemExit("--output requires a path") from None
+            del argv[i:i + 2]
+        if argv[:1] == ["as"]:
+            # template renderer path (reference `kiara render ... item`):
+            # `render <item> as <target>` routes through the RenderRegistry
+            if len(argv) < 2:
+                raise SystemExit("render: `as` requires a target type "
+                                 "(html / markdown)")
+            target = argv[1]
+            cfg = _parse_inputs(argv[2:])
+            ctx = KiaraContext()
+            if ref.endswith((".json", ".yaml", ".yml")):
+                source_type, source = "pipeline", ref
+            elif ref.startswith(("alias:", "value:")):
+                source_type, source = "value", ctx.get_value(ref)
+            elif ref in ctx.operations or ref in ctx.modules:
+                source_type, source = "op", ref
+            else:
+                raise SystemExit(
+                    f"render: can't infer a source type for {ref!r} "
+                    f"(want a pipeline file, alias:/value: ref, or "
+                    f"operation id)")
+            rendered = ctx.render_registry.render(
+                source_type, target, source, **cfg)
+            if output:
+                with open(output, "w") as f:
+                    f.write(rendered)
+                print(f"wrote {output}")
+            else:
+                print(rendered)
+            return 0
         cfg = _parse_inputs(argv)
         ctx = KiaraContext()
         v = ctx.get_value(ref)
@@ -527,6 +591,47 @@ def main(argv: list[str] | None = None) -> int:
         print(f"shuffle.partitions: "
               f"{spark.conf.get('spark.sql.shuffle.partitions')}")
         print(f"adaptive:   {spark.conf.get('spark.sql.adaptive.enabled')}")
+        return 0
+
+    if cmd == "pipeline" and argv[:1] == ["list"]:
+        # reference `kiara pipeline list`
+        # (interfaces/cli/pipeline/commands.py:30): every discoverable
+        # pipeline with its doc line.  Discovery: $KIARA_SPARK_PIPELINES
+        # (colon-separated dirs) + ./pipelines + ./examples, without
+        # starting Spark — listing only parses configs.
+        from .pipeline import PipelineConfig
+
+        search: list[str] = []
+        env_dirs = os.environ.get("KIARA_SPARK_PIPELINES", "")
+        search += [d for d in env_dirs.split(":") if d]
+        search += ["pipelines", "examples"]
+        seen: set[str] = set()
+        rows = []
+        for d in search:
+            if not os.path.isdir(d):
+                continue
+            for entry in sorted(os.scandir(d), key=lambda e: e.name):
+                if not entry.name.endswith((".json", ".yaml", ".yml")):
+                    continue
+                path = os.path.abspath(entry.path)
+                if path in seen:
+                    continue
+                seen.add(path)
+                try:
+                    cfg = PipelineConfig.from_file(path)
+                except (ValueError, KeyError, OSError) as exc:
+                    rows.append((entry.path, "<invalid>", 0,
+                                 f"parse error: {exc}"))
+                    continue
+                doc = (cfg.doc or "").strip().splitlines()
+                rows.append((entry.path, cfg.pipeline_name, len(cfg.steps),
+                             doc[0] if doc else ""))
+        if not rows:
+            print("no pipelines found (searched: " + ", ".join(search) + ")")
+            return 0
+        for path, name, n_steps, doc in rows:
+            print(f"{name:28s} {n_steps:2d} steps  {path}"
+                  + (f"  — {doc}" if doc else ""))
         return 0
 
     if cmd == "pipeline" and argv[:1] == ["explain"]:

@@ -56,6 +56,18 @@ class KiaraContext:
         from .plugins import discover_entry_point_plugins
 
         self.plugin_infos = discover_entry_point_plugins(self)
+        self._render_registry = None
+
+    @property
+    def render_registry(self):
+        """Template renderers (pipeline/value/operation -> html/markdown),
+        built lazily — reference RenderRegistry
+        (``src/kiara/registries/rendering/__init__.py``)."""
+        if self._render_registry is None:
+            from .renderers import RenderRegistry
+
+            self._render_registry = RenderRegistry(self)
+        return self._render_registry
 
     # -- input binding (reference analyze/bind phase, base_api queue_manifest) --
     def _bind_inputs(self, module: KiaraModule, inputs: Mapping[str, Any]) -> ValueMap:

@@ -173,6 +173,42 @@ class RenderValue(KiaraModule):
         return {"render_value_result": result}
 
 
+class RenderItem(KiaraModule):
+    """Template rendering as an operation: routes through the context's
+    RenderRegistry (renderers.py — the reference's jinja renderer stack,
+    ``src/kiara/renderers/``), minted per (source, target) combination as
+    ``render.<source>.as.<target>`` operations.  For table values the
+    renderer pushes offset/limit into the Spark plan — one page of rows
+    crosses to the driver, never the table."""
+
+    _module_type_name = "render.item"
+    _characteristics = ModuleCharacteristics(is_internal=True)
+
+    def create_inputs_schema(self):
+        return {"item": {"type": "any"},
+                "render_config": {"type": "dict", "optional": True}}
+
+    def create_outputs_schema(self):
+        return {"rendered": {"type": "string"}}
+
+    def process(self, inputs: ValueMap, context):
+        from ..values import Value
+
+        source_type = self.config["source_type"]
+        target_type = self.config["target_type"]
+        cfg = dict(self.config.get("render_config", {}))
+        if "render_config" in inputs:
+            cfg.update(inputs["render_config"].data or {})
+        item = inputs["item"]
+        # value renderers consume the Value wrapper (id + type travel into
+        # the page); everything else unwraps to the raw payload
+        source = item if source_type == "value" and isinstance(item, Value) \
+            else item.data
+        rendered = context.render_registry.render(
+            source_type, target_type, source, **cfg)
+        return {"rendered": rendered}
+
+
 class ExtractMetadata(KiaraModule):
     """Reference metadata.py:26-88 — profiling as a distributed job.
 
@@ -681,14 +717,32 @@ class MediaEmbed(KiaraModule):
 
 MODULES = [
     LogicAnd, LogicOr, LogicXor, LogicNot, MockModule, PrettyPrintValue,
-    RenderValue, ExtractMetadata, MediaAttachMetadata, MediaDecodeImage,
-    MediaDecodeAudio, MediaFrameSample, MediaResizeImage, MediaEmbed,
-    MediaSceneCuts,
+    RenderValue, RenderItem, ExtractMetadata, MediaAttachMetadata,
+    MediaDecodeImage, MediaDecodeAudio, MediaFrameSample, MediaResizeImage,
+    MediaEmbed, MediaSceneCuts,
 ]
 OPERATIONS = [
     Operation("pretty_print.table.as.string", "pretty_print.value",
               operation_type="pretty_print"),
     Operation("render.table.as.table_page", "render.value",
+              operation_type="render_value"),
+    # template renderer family (renderers.py; reference included_renderers)
+    Operation("render.pipeline.as.html", "render.item",
+              {"source_type": "pipeline", "target_type": "html"},
+              doc="Render a pipeline (file/config) as a static html page.",
+              operation_type="render_value"),
+    Operation("render.pipeline.as.markdown", "render.item",
+              {"source_type": "pipeline", "target_type": "markdown"},
+              doc="Render a pipeline (file/config) as a markdown document.",
+              operation_type="render_value"),
+    Operation("render.value.as.html", "render.item",
+              {"source_type": "value", "target_type": "html"},
+              doc="Render a table value as one html page "
+                  "(offset/limit pushed into the plan).",
+              operation_type="render_value"),
+    Operation("render.operation.as.markdown", "render.item",
+              {"source_type": "op", "target_type": "markdown"},
+              doc="Render an operation's typed documentation as markdown.",
               operation_type="render_value"),
     Operation("extract.table.metadata", "value.extract_metadata",
               operation_type="extract_metadata"),

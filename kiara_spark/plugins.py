@@ -21,6 +21,10 @@ module is the Spark engine's equivalent.  Recognized groups:
 ``kiara_spark.plugin``
     value = a callable ``register(context)`` for plugins that need full
     control (the reference's ``kiara.plugin`` group of ``find_*`` hooks).
+``kiara_spark.renderers``
+    value = a :class:`kiara_spark.renderers.Renderer` subclass; loaded
+    lazily by the RenderRegistry (renderers.py), the analog of the
+    reference's ``find_all_kiara_renderers``.
 
 Failures are isolated per entry point: a broken plugin records an error in
 its plugin info and never prevents context creation (the reference logs and
@@ -41,6 +45,7 @@ ENTRY_POINT_GROUPS = (
     "kiara_spark.data_types",
     "kiara_spark.operations",
     "kiara_spark.plugin",
+    "kiara_spark.renderers",  # consumed lazily in renderers.RenderRegistry
 )
 
 

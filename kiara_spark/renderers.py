@@ -1,0 +1,267 @@
+"""Template renderer framework + registry.
+
+Re-expresses the reference's renderer stack — ``KiaraRenderer`` /
+``SourceTransformer`` (``src/kiara/renderers/__init__.py:47-200``), the
+jinja-backed included renderers
+(``src/kiara/renderers/included_renderers/{pipeline,value}.py``) and the
+``RenderRegistry`` (``src/kiara/registries/rendering/__init__.py:60-200``)
+— as one lean module: a renderer declares (source_type, target_type),
+transforms an accepted source object into its canonical model, and renders
+a jinja template from ``kiara_spark/templates/``.
+
+Spark stance: rendering a table value never materializes the table — the
+renderer pushes offset/limit into the plan exactly like the ``render.value``
+table_page module (operators/misc.py:131), so only one page of rows crosses
+to the driver regardless of table size.
+
+Extension: plugins register renderer classes through the
+``kiara_spark.renderers`` entry-point group (plugins.py), the analog of the
+reference's ``find_all_kiara_renderers`` class loading.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from .context import KiaraContext
+
+_TEMPLATE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "templates")
+
+
+def _jinja_env():
+    from jinja2 import Environment, FileSystemLoader
+
+    return Environment(
+        loader=FileSystemLoader(_TEMPLATE_DIR),
+        # escape ONLY html targets — markdown must keep quotes/backticks
+        # verbatim (select_autoescape matches the trailing .j2 for every
+        # template, so match the full double extension instead)
+        autoescape=lambda name: bool(name) and name.endswith(".html.j2"),
+        trim_blocks=True,
+        lstrip_blocks=True,
+    )
+
+
+class Renderer:
+    """Base renderer: ``(source_type, target_type)`` + template.
+
+    ``transform_source`` accepts the renderer's supported Python inputs
+    (paths, refs, model objects — the reference's SourceTransformer chain
+    collapsed to one method) and returns the template model; ``render``
+    produces the target document string."""
+
+    _renderer_name: str = "renderer"
+    source_type: str = "any"
+    target_type: str = "string"
+    template: str | None = None
+
+    def __init__(self, context: "KiaraContext"):
+        self._context = context
+
+    @property
+    def doc(self) -> str:
+        from .doc import extract_doc
+
+        return extract_doc(type(self))["description"]
+
+    def transform_source(self, source: Any, render_config: dict) -> Any:
+        return source
+
+    def render(self, source: Any, **render_config: Any) -> str:
+        model = self.transform_source(source, render_config)
+        if model is None:
+            raise ValueError(
+                f"renderer {self._renderer_name!r} can't transform source "
+                f"object of type {type(source).__name__}")
+        env = _jinja_env()
+        template = env.get_template(self.template)
+        return template.render(**{self.source_type: model})
+
+
+class _PipelineRendererBase(Renderer):
+    source_type = "pipeline"
+
+    def transform_source(self, source: Any, render_config: dict):
+        """Accepts a pipeline file path, a config mapping, a PipelineConfig
+        or a PipelineStructure (reference PipelineTransformer,
+        included_renderers/pipeline.py:36-58)."""
+        from .pipeline import PipelineConfig, PipelineStructure
+
+        if isinstance(source, PipelineStructure):
+            structure = source
+        else:
+            if isinstance(source, str):
+                config = PipelineConfig.from_file(source)
+            elif isinstance(source, PipelineConfig):
+                config = source
+            elif isinstance(source, dict):
+                config = PipelineConfig.from_config(source)
+            else:
+                return None
+            structure = PipelineStructure(
+                config, self._context.module_registry)
+        cfg = structure.config
+        return {
+            "name": cfg.pipeline_name,
+            "doc": cfg.doc,
+            "stages": structure.stages,
+            "steps": [{
+                "step_id": s.step_id,
+                "module_type": s.module_type,
+                "links": {f: [f"{r.step_id}.{r.value_name}" for r in refs]
+                          for f, refs in s.input_links.items()},
+            } for s in cfg.steps],
+            "inputs": structure.pipeline_inputs,
+            "outputs": structure.pipeline_outputs,
+        }
+
+
+class PipelineHtmlRenderer(_PipelineRendererBase):
+    """Renders a pipeline structure as a static html page (reference
+    PipelineRendererHtml, included_renderers/pipeline.py:61)."""
+
+    _renderer_name = "pipeline_html"
+    target_type = "html"
+    template = "pipeline.html.j2"
+
+
+class PipelineMarkdownRenderer(_PipelineRendererBase):
+    """Renders a pipeline structure as a markdown document (reference
+    PipelineRendererMarkdown, included_renderers/pipeline.py)."""
+
+    _renderer_name = "pipeline_markdown"
+    target_type = "markdown"
+    template = "pipeline.md.j2"
+
+
+class ValueHtmlRenderer(Renderer):
+    """Renders a table value as an html page — ONE offset/limit slice
+    pushed into the Spark plan, so only the page's rows ever reach the
+    driver (reference ValueRenderer, included_renderers/value.py)."""
+
+    _renderer_name = "value_html"
+    source_type = "value"
+    target_type = "html"
+    template = "value.html.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        from pyspark.sql import DataFrame
+
+        from .values import Value
+
+        alias = None
+        if isinstance(source, str):
+            alias = source.split(":", 1)[-1]
+            source = self._context.get_value(source)
+        if isinstance(source, Value):
+            value_id, data = str(source.value_id), source.data
+            vtype = source.schema.type
+        elif isinstance(source, DataFrame):
+            value_id, data, vtype = "<unregistered>", source, "table"
+        else:
+            return None
+        offset = int(render_config.get("offset", 0))
+        limit = int(render_config.get("limit", 20))
+        if isinstance(data, DataFrame):
+            rows = [r.asDict(recursive=True)
+                    for r in data.offset(offset).limit(limit).collect()]
+            return {"value_id": value_id, "type": vtype, "alias": alias,
+                    "columns": data.columns, "offset": offset,
+                    "rows": [{k: (str(v) if v is not None else None)
+                              for k, v in r.items()} for r in rows]}
+        return {"value_id": value_id, "type": vtype, "alias": alias,
+                "columns": ["value"], "offset": 0,
+                "rows": [{"value": repr(data)}]}
+
+
+class OperationMarkdownRenderer(Renderer):
+    """Renders a registered operation's typed documentation (inputs,
+    outputs, characteristics) as markdown — the generated-info-page analog
+    (reference src/kiara/doc/gen_info_pages.py), fed by
+    doc.operation_doc's structured model."""
+
+    _renderer_name = "operation_markdown"
+    source_type = "op"
+    target_type = "markdown"
+    template = "operation.md.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        from .doc import operation_doc
+        from .operations import Operation
+
+        if isinstance(source, str):
+            source = self._context.operation_registry.resolve(source)
+        if not isinstance(source, Operation):
+            return None
+        return operation_doc(self._context, source)
+
+
+INCLUDED_RENDERERS: list[type[Renderer]] = [
+    PipelineHtmlRenderer, PipelineMarkdownRenderer, ValueHtmlRenderer,
+    OperationMarkdownRenderer,
+]
+
+
+class RenderRegistry:
+    """All renderers available to a context, addressable by name or by
+    (source_type, target_type) — reference
+    ``registries/rendering/__init__.py:60``."""
+
+    def __init__(self, context: "KiaraContext"):
+        self._context = context
+        self._renderers: dict[str, Renderer] = {}
+        for cls in INCLUDED_RENDERERS:
+            self.register(cls)
+        # plugin seam: the kiara_spark.renderers entry-point group
+        from importlib.metadata import entry_points
+
+        for ep in entry_points(group="kiara_spark.renderers"):
+            try:
+                cls = ep.load()
+                if not (isinstance(cls, type) and issubclass(cls, Renderer)):
+                    raise TypeError(f"{ep.value} is not a Renderer subclass")
+                self.register(cls)
+            except Exception:  # noqa: BLE001 — isolate faulty plugins
+                continue
+
+    def register(self, renderer_cls: type[Renderer]) -> None:
+        inst = renderer_cls(self._context)
+        self._renderers[renderer_cls._renderer_name] = inst
+
+    @property
+    def renderer_names(self) -> list[str]:
+        return sorted(self._renderers)
+
+    def get_renderer(self, name: str) -> Renderer:
+        if name not in self._renderers:
+            raise KeyError(f"no renderer named {name!r}; available: "
+                           + ", ".join(self.renderer_names))
+        return self._renderers[name]
+
+    def renderers_for(self, source_type: str | None = None,
+                      target_type: str | None = None) -> list[Renderer]:
+        return [r for r in self._renderers.values()
+                if (source_type is None or r.source_type == source_type)
+                and (target_type is None or r.target_type == target_type)]
+
+    def renderer_infos(self) -> list[dict]:
+        return [{"renderer_name": n,
+                 "source_type": r.source_type,
+                 "target_type": r.target_type,
+                 "doc": r.doc}
+                for n, r in sorted(self._renderers.items())]
+
+    def render(self, source_type: str, target_type: str, source: Any,
+               **render_config: Any) -> str:
+        matches = self.renderers_for(source_type, target_type)
+        if not matches:
+            combos = ", ".join(
+                f"{r.source_type}->{r.target_type}"
+                for r in self._renderers.values())
+            raise KeyError(
+                f"no renderer for {source_type!r} -> {target_type!r}; "
+                f"available: {combos}")
+        return matches[0].render(source, **render_config)

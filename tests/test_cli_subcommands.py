@@ -125,3 +125,20 @@ def test_operation_explain_extracts_doc_body(capsys, spark):
     assert main(["operation", "explain", "table.dedup.minhash_incremental"]) == 0
     out = capsys.readouterr().out
     assert "doc:" in out and "inputs:" in out
+
+
+def test_operation_explain_shows_typed_field_docs(capsys, spark):
+    """r8 (r7 verdict item 8): explain renders the structured doc model —
+    operation type, module type, typed inputs/outputs with
+    optional/default/constant annotations — for a family-minted op."""
+    from kiara_spark.cli import main
+
+    assert main(["operation", "explain", "render.value.as.html"]) == 0
+    out = capsys.readouterr().out
+    assert "type:      render_value" in out
+    assert "module:    render.item" in out
+    assert "traits:" in out and "is_internal" in out
+    # typed input rows: item is required 'any', render_config optional dict
+    assert "item" in out and "any" in out
+    assert "render_config" in out and "dict, optional" in out
+    assert "rendered" in out and "string" in out

