@@ -351,6 +351,12 @@ BENCH_QUERIES = [
     "skyline_cheap_small_parts",
     "events_active_users_dau_wau_mau",
     "text_lexical_richness_by_lang",
+    # round 8
+    "ml_ridge_normal_lineitem",
+    "ml_kfold_cv_ols_lineitem",
+    "stats_cuped_views_purchases",
+    "stats_bootstrap_ab_diff",
+    "sim_recall_truncated_dims",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
@@ -415,6 +421,20 @@ BENCH_NOTES = {
 # time is micro-batch choreography (file triggers driving watermarks), not
 # operator throughput, so they run under a SEPARATE budget line — the
 # headline total stays comparable across rounds.
+# CPU-bound Arrow/mapInPandas queries whose single-shot timing is the most
+# machine-sensitive class in the battery (r7: +3.3s dhash delta with zero
+# code change).  These run 3x; the MEDIAN lands in the timing map (and the
+# per-run samples in detail["noise_class_runs"]) so a round-over-round diff
+# is attributable without a machine-noise caveat (r7 verdict item 9).
+NOISE_CLASS = {
+    "multimodal_media_features",
+    "multimodal_image_real_decode",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup_pairs",
+    "multimodal_audio_real_decode",
+    "multimodal_scene_cuts",
+}
+
 STREAMING_EXTRA_QUERIES = [
     "streaming_tumbling_demo",
     "streaming_sliding_demo",
@@ -450,25 +470,35 @@ def main():
     else:
         spark.range(1).count()
 
+    noise_runs: dict[str, list[float]] = {}
+
     def run_list(names):
         import gc
+        import statistics
 
         timings: dict[str, float] = {}
         total = 0.0
         for i, name in enumerate(names):
             fn = QUERIES[name]
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
+            reps = 3 if name in NOISE_CLASS else 1
+            samples = []
+            for _ in range(reps):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.monotonic() - t0)
+                del df
+            dt = statistics.median(samples)
+            if reps > 1:
+                noise_runs[name] = [round(s, 3) for s in samples]
             timings[name] = round(dt, 3)
             total += dt
-            # drop Python-side DataFrame refs so ContextCleaner can release
-            # localCheckpoint RDD blocks — without this ~200 queries' worth
-            # of checkpoint blocks accumulate in storage memory and the
-            # tail of the run measures eviction pressure, not the query
-            # (r3: dedup_minhash_clusters 24s in-run vs 3.8s isolated)
-            del df
+            # DataFrame refs are dropped per rep (del in the loop) so
+            # ContextCleaner can release localCheckpoint RDD blocks —
+            # without this ~200 queries' worth of checkpoint blocks
+            # accumulate in storage memory and the tail of the run measures
+            # eviction pressure, not the query (r3: dedup_minhash_clusters
+            # 24s in-run vs 3.8s isolated)
             gc.collect()
             if (i + 1) % 20 == 0:
                 spark.sparkContext._jvm.System.gc()
@@ -485,6 +515,9 @@ def main():
         "queries": timings,
         "streaming_extra_sec": round(streaming_total, 3),
         "streaming_extra_queries": streaming_timings,
+        # CPU-bound mapInPandas queries run 3x, median recorded above;
+        # raw samples here so a delta is attributable to plan vs machine
+        "noise_class_runs": noise_runs,
         "notes": BENCH_NOTES,
         "sf": sf,
     }, indent=1))

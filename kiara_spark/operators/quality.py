@@ -1840,6 +1840,101 @@ def bootstrap_ci_mean(
                     "n_rows", "point_mean", "ci_lo", "ci_hi"))
 
 
+def bootstrap_ab_diff(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    b_resamples: int = 100,
+    level: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile CI for the DIFFERENCE in group means — the A/B-test
+    uplift interval, via the same Poisson bootstrap as
+    :func:`bootstrap_ci_mean` (Chamandy et al. 2012): each row draws an
+    iid Poisson(1) weight per resample from md5(id ‖ b ‖ salt), so ALL
+    ``b_resamples`` resampled (group, mean) pairs come out of ONE
+    (resample, group) aggregate; the B diffs then rank on a B-row frame.
+    Resampling is per-row within each group — the two groups resample
+    independently, the standard two-sample bootstrap.
+
+    Pairs with :func:`cuped_adjustment` as the experimentation readout:
+    CUPED says how much variance the covariate removes, this says whether
+    the uplift's interval clears zero.  NULL metric values are excluded
+    rows.  Returns 1 row: (b_resamples, n_a, n_b, mean_a, mean_b, diff,
+    ci_lo, ci_hi)."""
+    alpha = 1.0 - level
+    lo_rank = max(1, math.ceil(alpha / 2 * b_resamples))
+    hi_rank = min(b_resamples, math.ceil((1 - alpha / 2) * b_resamples))
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,12)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+
+    nn = df.filter(x.isNotNull() & g.isin([group_a, group_b]))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("_b").cast("string"),
+        F.lit(salt))), 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(1152921504606846976.0))
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+
+    base = nn.select(F.col(id_col), x.alias("_x"),
+                     (g == F.lit(group_a)).alias("_is_a")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
+    exploded = (base.select(F.col(id_col), "_x", "_is_a",
+                            F.explode(F.sequence(F.lit(1),
+                                                 F.lit(b_resamples)))
+                            .alias("_b"))
+                .select("_b", "_x", "_is_a", w.cast("bigint").alias("_w")))
+    per_bg = (exploded.groupBy("_b", "_is_a")
+              .agg(F.sum(d9(F.col("_w").cast("double") * F.col("_x")))
+                   .alias("_s"),
+                   F.sum("_w").cast("bigint").alias("_n")))
+    from ..io import cut_lineage
+
+    # 2B-row frame; materialize so the a/b split + rank don't re-run the
+    # exploded B×N pipeline (same reason as bootstrap_ci_mean)
+    # NO round on the means/diff: the decimal sums and bigint counts are
+    # identical across engines, so the double division and subtraction are
+    # bit-identical — while ROUND(double, 9) is the one step where engine
+    # tie-breaking can diverge by 1e-9 (observed on this op's ci_hi)
+    per_bg = cut_lineage(per_bg.select(
+        "_b", "_is_a",
+        (F.col("_s").cast("double") / F.col("_n").cast("double"))
+        .alias("_m")))
+    a_side = per_bg.filter(F.col("_is_a")).select("_b",
+                                                  F.col("_m").alias("_ma"))
+    b_side = per_bg.filter(~F.col("_is_a")).select("_b",
+                                                   F.col("_m").alias("_mb"))
+    diffs = a_side.join(b_side, "_b").select(
+        "_b", (F.col("_ma") - F.col("_mb")).alias("_d"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = diffs.select(
+        "_d", F.row_number().over(_W.orderBy(F.col("_d"), F.col("_b")))
+        .alias("_r"))
+    ci = ranked.agg(
+        F.min(F.when(F.col("_r") == lo_rank, F.col("_d"))).alias("ci_lo"),
+        F.min(F.when(F.col("_r") == hi_rank, F.col("_d"))).alias("ci_hi"))
+    point = cut_lineage(nn.groupBy(
+        (g == F.lit(group_a)).alias("_ga")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_pn"),
+        (F.sum(d9(x)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("_pm")))
+    a_pt = point.filter(F.col("_ga")).select(
+        F.col("_pn").alias("n_a"), F.col("_pm").alias("mean_a"))
+    b_pt = point.filter(~F.col("_ga")).select(
+        F.col("_pn").alias("n_b"), F.col("_pm").alias("mean_b"))
+    return (a_pt.crossJoin(b_pt).crossJoin(F.broadcast(ci))
+            .select(F.lit(b_resamples).cast("bigint").alias("b_resamples"),
+                    "n_a", "n_b", "mean_a", "mean_b",
+                    (F.col("mean_a") - F.col("mean_b")).alias("diff"),
+                    "ci_lo", "ci_hi"))
+
+
 def l_diversity_report(
     df: DataFrame,
     quasi_cols: list[str],
@@ -2166,6 +2261,218 @@ def linear_regression_normal(
         F.when(F.col("_sst") > 0,
                F.round(1.0 - F.col("_sse") / F.col("_sst"), 6))
         .alias("r2"))
+
+
+def ridge_regression_normal(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    lam: float = 1.0,
+) -> DataFrame:
+    """Ridge regression (L2-regularized OLS) by distributed normal
+    equations — the same two-pass shape as
+    :func:`linear_regression_normal` with the penalized system
+
+        w = (XᵀX + λ·diag(0, 1, 1))⁻¹ Xᵀy
+
+    (the intercept is unpenalized, the standard convention).  λ > 0 makes
+    the system nonsingular even for collinear features — ridge is the
+    production answer to the OLS singular-design contract.  Identical
+    scale shape: one map-side-combined Gram aggregate, in-plan Cramer
+    solve on the broadcast 1-row sums frame, one residual pass for R²
+    (vs the unregularized SST, so r2 is comparable with the OLS fit).
+    Returns 1 row: (n, lambda, intercept, coef_<x1>, coef_<x2>, r2)."""
+    if len(x_cols) != 2:
+        raise ValueError("ridge_regression_normal: exactly 2 features "
+                         "(see linear_regression_normal for the "
+                         "general-d pattern)")
+    x1c, x2c = x_cols
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1c).cast("double")
+    x2 = F.col(x2c).cast("double")
+    dsq = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    sums = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        dsq(x1).alias("_sx1"), dsq(x2).alias("_sx2"),
+        dsq(x1 * x1).alias("_s11"), dsq(x1 * x2).alias("_s12"),
+        dsq(x2 * x2).alias("_s22"),
+        dsq(y).alias("_sy"), dsq(x1 * y).alias("_s1y"),
+        dsq(x2 * y).alias("_s2y"))
+    n_, sx1, sx2 = F.col("_n"), F.col("_sx1"), F.col("_sx2")
+    s11 = F.col("_s11") + F.lit(float(lam))
+    s12 = F.col("_s12")
+    s22 = F.col("_s22") + F.lit(float(lam))
+    sy, s1y, s2y = F.col("_sy"), F.col("_s1y"), F.col("_s2y")
+    det = _det3(n_, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    det0 = _det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    det1 = _det3(n_, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    det2 = _det3(n_, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    coefs = sums.select(
+        n_.cast("bigint").alias("n"),
+        F.round(det0 / det, 8).alias("_b0"),
+        F.round(det1 / det, 8).alias("_b1"),
+        F.round(det2 / det, 8).alias("_b2"),
+        (sy / n_).alias("_ybar"))
+    fit = df.crossJoin(F.broadcast(coefs))
+    resid = y - (F.col("_b0") + F.col("_b1") * x1 + F.col("_b2") * x2)
+    dev = y - F.col("_ybar")
+    r2 = fit.groupBy("n", "_b0", "_b1", "_b2").agg(
+        dsq(resid * resid).alias("_sse"),
+        dsq(dev * dev).alias("_sst"))
+    return r2.select(
+        "n",
+        F.lit(float(lam)).alias("lambda"),
+        F.round(F.col("_b0"), 6).alias("intercept"),
+        F.round(F.col("_b1"), 6).alias(f"coef_{x1c}"),
+        F.round(F.col("_b2"), 6).alias(f"coef_{x2c}"),
+        F.when(F.col("_sst") > 0,
+               F.round(1.0 - F.col("_sse") / F.col("_sst"), 6))
+        .alias("r2"))
+
+
+def kfold_cv_ols(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """K-fold cross-validated OLS from ONE Gram aggregate — the
+    distributed trick that makes CV nearly free for linear models: the
+    Gram matrix is additive over rows, so
+
+        Gram(train fold i) = Gram(all) − Gram(fold i)
+
+    and every per-fold sum comes out of a single groupBy(fold) aggregate.
+    The data is scanned twice TOTAL (Gram pass + scoring pass) instead of
+    2k times; all k Cramer solves happen in-plan on the k-row fold frame.
+    Folds are ``pmod(id, k)`` — deterministic and portable, so a SQL twin
+    reproduces the assignment exactly.
+
+    Scale shape: the heavy table shuffles nothing (both passes collapse
+    map-side — pass 1 to k Gram rows, pass 2 to k metric rows after a
+    broadcast join with the k coefficient rows).  Returns one row per
+    fold: (fold, n_train, n_test, intercept, coef_<x1>, coef_<x2>,
+    rmse, r2) with test-set metrics — the honest generalization numbers,
+    not the train fit."""
+    if len(x_cols) != 2:
+        raise ValueError("kfold_cv_ols: exactly 2 features")
+    x1c, x2c = x_cols
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1c).cast("double")
+    x2 = F.col(x2c).cast("double")
+    fold = F.pmod(F.col(id_col).cast("bigint"), F.lit(int(k)))
+    dsum = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)"))
+    from ..io import cut_lineage
+
+    # materialize the k-row Gram frame: it feeds BOTH the totals aggregate
+    # and the train-side subtraction — without the cut each branch re-runs
+    # the full Gram scan (Spark has no cross-branch plan CSE), making the
+    # "one aggregate" claim a three-scan plan
+    per_fold = cut_lineage(df.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_fn"),
+        dsum(x1).alias("_fx1"), dsum(x2).alias("_fx2"),
+        dsum(x1 * x1).alias("_f11"), dsum(x1 * x2).alias("_f12"),
+        dsum(x2 * x2).alias("_f22"),
+        dsum(y).alias("_fy"), dsum(x1 * y).alias("_f1y"),
+        dsum(x2 * y).alias("_f2y")))
+    tot = per_fold.agg(
+        F.sum("_fn").cast("bigint").alias("_tn"),
+        *[F.sum(c).alias("_t" + c[2:])
+          for c in ("_fx1", "_fx2", "_f11", "_f12", "_f22",
+                    "_fy", "_f1y", "_f2y")])
+    tr = per_fold.crossJoin(F.broadcast(tot))
+    # train-side sums: total minus the held-out fold — DECIMAL subtraction,
+    # exact regardless of partitioning; cast to double only for the solve
+    d = lambda t, f: (F.col(t) - F.col(f)).cast("double")  # noqa: E731
+    n_ = (F.col("_tn") - F.col("_fn")).cast("double")
+    sx1, sx2 = d("_tx1", "_fx1"), d("_tx2", "_fx2")
+    s11, s12, s22 = d("_t11", "_f11"), d("_t12", "_f12"), d("_t22", "_f22")
+    sy, s1y, s2y = d("_ty", "_fy"), d("_t1y", "_f1y"), d("_t2y", "_f2y")
+    det = _det3(n_, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    det0 = _det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    det1 = _det3(n_, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    det2 = _det3(n_, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    scale = F.greatest(F.abs(n_), F.abs(s11), F.abs(s22), F.lit(1.0))
+    ok = F.abs(det) > scale * F.lit(1e-12)
+    coefs = tr.select(
+        "fold",
+        n_.cast("bigint").alias("n_train"),
+        F.col("_fn").alias("n_test"),
+        # held-out fold's test-y mean from the SAME aggregate — exact
+        (F.col("_fy").cast("double") / F.col("_fn").cast("double"))
+        .alias("_ybar_test"),
+        F.when(ok, F.round(det0 / det, 8)).alias("_b0"),
+        F.when(ok, F.round(det1 / det, 8)).alias("_b1"),
+        F.when(ok, F.round(det2 / det, 8)).alias("_b2"))
+    scored = df.select(fold.alias("fold"), y.alias("_y"),
+                       x1.alias("_x1"), x2.alias("_x2")) \
+        .join(F.broadcast(coefs), "fold")
+    resid = (F.col("_y") - (F.col("_b0") + F.col("_b1") * F.col("_x1")
+                            + F.col("_b2") * F.col("_x2")))
+    dev = F.col("_y") - F.col("_ybar_test")
+    per = scored.groupBy("fold", "n_train", "n_test",
+                         "_b0", "_b1", "_b2").agg(
+        dsum(resid * resid).cast("double").alias("_sse"),
+        dsum(dev * dev).cast("double").alias("_sst"))
+    return per.select(
+        "fold", "n_train", "n_test",
+        F.round(F.col("_b0"), 6).alias("intercept"),
+        F.round(F.col("_b1"), 6).alias(f"coef_{x1c}"),
+        F.round(F.col("_b2"), 6).alias(f"coef_{x2c}"),
+        F.round(F.sqrt(F.col("_sse") / F.col("n_test").cast("double")), 6)
+        .alias("rmse"),
+        F.when(F.col("_sst") > 0,
+               F.round(1.0 - F.col("_sse") / F.col("_sst"), 6))
+        .alias("r2")).orderBy("fold")
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the industry-standard
+    A/B-test accelerator): using a pre-experiment covariate x per unit,
+    the adjusted metric  y' = y − θ(x − x̄)  with θ = cov(x,y)/var(x)
+    keeps the same mean but shrinks variance by the factor (1 − ρ²) —
+    the experiment reaches significance  1/(1−ρ²)×  faster.
+
+    ONE map-side-combined aggregate computes n, Σx, Σy, Σx², Σxy, Σy²
+    (round-9 decimal-exact sums, partition-order invariant); θ and both
+    variances assemble driver-free from those six numbers in a fixed
+    IEEE expression order, so a SQL twin reproduces every double
+    bit-for-bit.  Sample (n−1) variances.  Returns 1 row:
+    (n, theta, corr, var_metric, var_adjusted, variance_reduction_pct)."""
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    dsq = lambda e: F.sum(  # noqa: E731
+        F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    sums = df.filter(x.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsq(x).alias("_sx"), dsq(y).alias("_sy"),
+        dsq(x * x).alias("_sxx"), dsq(x * y).alias("_sxy"),
+        dsq(y * y).alias("_syy"))
+    nd = F.col("n").cast("double")
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd) / (nd - 1.0)
+    var_x = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / (nd - 1.0)
+    var_y = (F.col("_syy") - F.col("_sy") * F.col("_sy") / nd) / (nd - 1.0)
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    # var(y − θx) = var_y − θ·cov  (since θ = cov/var_x)
+    var_adj = var_y - theta * cov
+    corr = F.when((var_x > 0) & (var_y > 0),
+                  cov / (F.sqrt(var_x) * F.sqrt(var_y)))
+    return sums.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(corr, 6).alias("corr"),
+        F.round(var_y, 6).alias("var_metric"),
+        F.round(var_adj, 6).alias("var_adjusted"),
+        F.when(var_y > 0,
+               F.round((F.lit(1.0) - var_adj / var_y) * 100.0, 4))
+        .alias("variance_reduction_pct"))
 
 
 def logistic_regression_gd(
@@ -2696,11 +3003,73 @@ TableNdcg = _simple_module(
         "quality).",
 )
 
+TableRidgeNormal = _simple_module(
+    "table.ml.ridge_regression",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": ridge_regression_normal(
+        im["table"].data, self.config["target_column"],
+        self.config["feature_columns"],
+        lam=self.config.get("lambda", 1.0))},
+    doc="Ridge (L2) regression by distributed normal equations — the "
+        "same one-aggregate Gram shape as OLS, nonsingular for any λ>0.",
+)
+
+TableKfoldCvOls = _simple_module(
+    "table.ml.kfold_cv",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": kfold_cv_ols(
+        im["table"].data, self.config["target_column"],
+        self.config["feature_columns"], self.config["id_column"],
+        k=self.config.get("k", 5))},
+    doc="K-fold cross-validated OLS from ONE Gram aggregate "
+        "(train Gram = total − fold); per-fold test RMSE/R².",
+)
+
+TableBootstrapAbDiff = _simple_module(
+    "table.stats.bootstrap_ab_diff",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": bootstrap_ab_diff(
+        im["table"].data, self.config["value_column"],
+        self.config["id_column"], self.config["group_column"],
+        self.config["group_a"], self.config["group_b"],
+        b_resamples=self.config.get("b_resamples", 100),
+        level=self.config.get("level", 0.95),
+        salt=self.config.get("salt", "boot"))},
+    doc="Poisson-bootstrap percentile CI for the A/B difference in "
+        "means — all B resampled diffs from one (resample, group) "
+        "aggregate.",
+)
+
+TableCuped = _simple_module(
+    "table.stats.cuped",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cuped_adjustment(
+        im["table"].data, self.config["metric_column"],
+        self.config["covariate_column"])},
+    doc="CUPED variance reduction for experiment metrics — θ, correlation "
+        "and the variance-reduction factor from one aggregate.",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
-            TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg]
+            TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg,
+            TableRidgeNormal, TableKfoldCvOls, TableCuped,
+            TableBootstrapAbDiff]
 
 OPERATIONS = [
+    Operation("table.ml.ridge_regression", "table.ml.ridge_regression",
+              doc="L2-regularized OLS via penalized normal equations"),
+    Operation("table.ml.kfold_cv", "table.ml.kfold_cv",
+              doc="k-fold CV OLS from one Gram aggregate (Gram subtraction)"),
+    Operation("table.stats.cuped", "table.stats.cuped",
+              doc="CUPED covariate variance reduction for experiments"),
+    Operation("table.stats.bootstrap_ab_diff",
+              "table.stats.bootstrap_ab_diff",
+              doc="Poisson-bootstrap CI for the A/B uplift (diff in means)"),
     Operation("table.privacy.dp_noisy_counts",
               "table.privacy.dp_noisy_counts",
               doc="Laplace-mechanism DP count release (derived noise)"),

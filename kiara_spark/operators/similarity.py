@@ -128,6 +128,42 @@ def topk_recall(
                         / F.col("n_exact"), 6).alias("recall")))
 
 
+def truncated_dim_recall(
+    emb: DataFrame,
+    dims: int,
+    k: int = 5,
+    query_filter: str = "vec_id % 50 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-ablation recall — the Matryoshka-representation eval
+    (Kusupati et al. 2022): how much exact top-k quality survives when
+    search uses only the FIRST ``dims`` components of each embedding?
+    The production question behind MRL truncation and two-stage retrieval
+    (search on a short prefix, rerank on full vectors): if prefix recall
+    is high, the index stores ``dims/D`` of the bytes and the ANN probe
+    moves ``dims/D`` of the vector traffic.
+
+    Plan: two brute-force exact top-k passes (full-dim ground truth vs
+    ``F.slice``-truncated vectors — the slice is map-side, no copy of the
+    full table) composed with :func:`topk_recall`; every shuffle keys on
+    the query id.  Scale: the eval is meant for a SAMPLED query set (the
+    default keeps 1/50) against a corpus scan — the same cost class as
+    :func:`cosine_topk_bruteforce`, the gate-keeping eval, not the
+    serving path.  Returns (query_id, n_exact, n_approx, n_hit, recall)
+    with the full-dim ranking as the denominator."""
+    queries = emb.filter(query_filter)
+    exact = cosine_topk_bruteforce(emb, queries, k=k,
+                                   id_col=id_col, vec_col=vec_col)
+    t_corpus = emb.select(F.col(id_col),
+                          F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    t_queries = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col))
+    approx = cosine_topk_bruteforce(t_corpus, t_queries, k=k,
+                                    id_col=id_col, vec_col=vec_col)
+    return topk_recall(exact, approx)
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1381,11 +1417,34 @@ class EmbeddingTopkRecall(KiaraModule):
             inputs["exact"].data, inputs["approx"].data)}
 
 
+class EmbeddingTruncatedDimRecall(KiaraModule):
+    """Matryoshka dimension-ablation eval: recall@k of first-``dims``
+    prefix search against full-dimension exact top-k."""
+
+    _module_type_name = "embedding.truncated_dim_recall"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": truncated_dim_recall(
+            inputs["table"].data,
+            dims=self.config.get("dims", 16),
+            k=self.config.get("k", 5),
+            query_filter=self.config.get("query_filter",
+                                         "vec_id % 50 = 0"),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"))}
+
+
 MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
            EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
            EmbeddingPcaTop, EmbeddingTopkRecall, EmbeddingKMeansSilhouette,
-           EmbeddingKnnClassify]
+           EmbeddingKnnClassify, EmbeddingTruncatedDimRecall]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1402,4 +1461,7 @@ OPERATIONS = [
     Operation("embedding.kmeans_silhouette",
               "embedding.kmeans_silhouette"),
     Operation("embedding.knn_classify", "embedding.knn_classify"),
+    Operation("embedding.truncated_dim_recall",
+              "embedding.truncated_dim_recall",
+              doc="Matryoshka prefix-dimension recall@k ablation"),
 ]

@@ -13380,6 +13380,331 @@ def text_lexical_richness_q(spark, sf_dir):
     return lexical_richness(_t(spark, sf_dir, "documents"), "lang", "text")
 
 
+# ---------------------------------------------------------------------------
+# round 8: regularized / cross-validated regression, experiment
+# acceleration, embedding dimension-ablation
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_ridge_normal_lineitem",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(ROUND(l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 9) AS DECIMAL(38,12))) AS DOUBLE) + 1000.0 AS s11,
+             CAST(SUM(CAST(ROUND(l_quantity * l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(ROUND(l_discount * l_discount, 9) AS DECIMAL(38,12))) AS DOUBLE) + 1000.0 AS s22,
+             CAST(SUM(CAST(ROUND(l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+      FROM lineitem
+    ), c AS (
+      SELECT CAST(n AS BIGINT) AS n_out,
+             ROUND((sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b0,
+             ROUND((n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b1,
+             ROUND((n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b2,
+             sy / n AS ybar
+      FROM s
+    ), e AS (
+      SELECT n_out, b0, b1, b2,
+             CAST(SUM(CAST(ROUND((l_extendedprice - (b0 + b1*l_quantity + b2*l_discount))
+                                 * (l_extendedprice - (b0 + b1*l_quantity + b2*l_discount)), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+             CAST(SUM(CAST(ROUND((l_extendedprice - ybar) * (l_extendedprice - ybar), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sst
+      FROM lineitem CROSS JOIN c GROUP BY 1, 2, 3, 4
+    )
+    SELECT n_out AS n, CAST(1000.0 AS DOUBLE) AS lambda,
+           ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS coef_l_quantity, ROUND(b2, 6) AS coef_l_discount,
+           CASE WHEN sst > 0 THEN ROUND(1.0 - sse / sst, 6) END AS r2
+    FROM e
+    """,
+)
+def ml_ridge_normal_q(spark, sf_dir):
+    """Ridge (L2) regression by penalized normal equations: the OLS Gram
+    aggregate with λ added to the non-intercept diagonal — nonsingular
+    for any λ>0 (the production answer to collinear features), identical
+    one-aggregate + in-plan-Cramer scale shape, zero extra passes."""
+    from .operators.quality import ridge_regression_normal
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return ridge_regression_normal(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], lam=1000.0)
+
+
+@query(
+    "ml_kfold_cv_ols_lineitem",
+    """
+    WITH pf AS (
+      SELECT l_orderkey % 5 AS fold,
+             CAST(COUNT(*) AS BIGINT) AS fn,
+             SUM(CAST(ROUND(l_quantity, 9) AS DECIMAL(38,12))) AS fx1,
+             SUM(CAST(ROUND(l_discount, 9) AS DECIMAL(38,12))) AS fx2,
+             SUM(CAST(ROUND(l_quantity * l_quantity, 9) AS DECIMAL(38,12))) AS f11,
+             SUM(CAST(ROUND(l_quantity * l_discount, 9) AS DECIMAL(38,12))) AS f12,
+             SUM(CAST(ROUND(l_discount * l_discount, 9) AS DECIMAL(38,12))) AS f22,
+             SUM(CAST(ROUND(l_extendedprice, 9) AS DECIMAL(38,12))) AS fy,
+             SUM(CAST(ROUND(l_quantity * l_extendedprice, 9) AS DECIMAL(38,12))) AS f1y,
+             SUM(CAST(ROUND(l_discount * l_extendedprice, 9) AS DECIMAL(38,12))) AS f2y
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(fn) AS BIGINT) AS tn, SUM(fx1) AS tx1, SUM(fx2) AS tx2,
+             SUM(f11) AS t11, SUM(f12) AS t12, SUM(f22) AS t22,
+             SUM(fy) AS ty, SUM(f1y) AS t1y, SUM(f2y) AS t2y
+      FROM pf
+    ), tr AS (
+      -- train Gram = total - held-out fold (decimal-exact subtraction)
+      SELECT fold, fn, CAST(tn - fn AS DOUBLE) AS n,
+             CAST(fy AS DOUBLE) / CAST(fn AS DOUBLE) AS ybar_test,
+             CAST(tx1 - fx1 AS DOUBLE) AS sx1, CAST(tx2 - fx2 AS DOUBLE) AS sx2,
+             CAST(t11 - f11 AS DOUBLE) AS s11, CAST(t12 - f12 AS DOUBLE) AS s12,
+             CAST(t22 - f22 AS DOUBLE) AS s22,
+             CAST(ty - fy AS DOUBLE) AS sy, CAST(t1y - f1y AS DOUBLE) AS s1y,
+             CAST(t2y - f2y AS DOUBLE) AS s2y
+      FROM pf CROSS JOIN tot
+    ), c AS (
+      SELECT fold, CAST(n AS BIGINT) AS n_train, fn AS n_test, ybar_test,
+             ROUND((sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b0,
+             ROUND((n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b1,
+             ROUND((n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+                   / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 8) AS b2
+      FROM tr
+    ), sc AS (
+      SELECT c.fold, c.n_train, c.n_test, c.b0, c.b1, c.b2,
+             CAST(SUM(CAST(ROUND((l_extendedprice - (b0 + b1*l_quantity + b2*l_discount))
+                                 * (l_extendedprice - (b0 + b1*l_quantity + b2*l_discount)), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+             CAST(SUM(CAST(ROUND((l_extendedprice - ybar_test) * (l_extendedprice - ybar_test), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sst
+      FROM lineitem JOIN c ON l_orderkey % 5 = c.fold
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT fold, n_train, n_test,
+           ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS coef_l_quantity, ROUND(b2, 6) AS coef_l_discount,
+           ROUND(SQRT(sse / CAST(n_test AS DOUBLE)), 6) AS rmse,
+           CASE WHEN sst > 0 THEN ROUND(1.0 - sse / sst, 6) END AS r2
+    FROM sc
+    """,
+)
+def ml_kfold_cv_ols_q(spark, sf_dir):
+    """K-fold cross-validated OLS from ONE Gram aggregate — the Gram
+    matrix is additive over rows, so train-fold Gram = total − held-out
+    fold and all 5 models come out of a single groupBy(fold) pass; a
+    second (broadcast-joined) pass scores each fold's TEST rows.  Two
+    scans total instead of 2k; every solve happens in-plan on the 5-row
+    fold frame."""
+    from .operators.quality import kfold_cv_ols
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return kfold_cv_ols(li, "l_extendedprice",
+                        ["l_quantity", "l_discount"], "l_orderkey", k=5)
+
+
+@query(
+    "stats_cuped_views_purchases",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM u
+    ), d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cov,
+             (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_x,
+             (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_y
+      FROM s
+    ), t AS (
+      SELECT n, var_y, cov, var_x,
+             CASE WHEN var_x > 0 THEN cov / var_x ELSE 0.0 END AS theta
+      FROM d
+    )
+    SELECT n,
+           ROUND(theta, 6) AS theta,
+           CASE WHEN var_x > 0 AND var_y > 0
+                THEN ROUND(cov / (SQRT(var_x) * SQRT(var_y)), 6) END AS corr,
+           ROUND(var_y, 6) AS var_metric,
+           ROUND(var_y - theta * cov, 6) AS var_adjusted,
+           CASE WHEN var_y > 0
+                THEN ROUND((1.0 - (var_y - theta * cov) / var_y) * 100.0, 4)
+           END AS variance_reduction_pct
+    FROM t
+    """,
+)
+def stats_cuped_q(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013): per-user view count as
+    the pre-experiment covariate for the purchase-count metric — θ,
+    correlation, and the variance-reduction factor the experiment platform
+    reports, all from one user aggregate + one 6-number Gram aggregate."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        FF.sum(FF.when(FF.col("event_type") == "view", 1).otherwise(0))
+        .cast("double").alias("x"),
+        FF.sum(FF.when(FF.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double").alias("y"))
+    return cuped_adjustment(per_user, metric_col="y", covariate_col="x")
+
+
+_DOT16 = ("list_reduce(list_transform(range(1, 17), "
+          "i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)")
+_QNORM16 = ("sqrt(list_reduce(list_transform(range(1, 17), "
+            "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))")
+_CNORM16 = ("sqrt(list_reduce(list_transform(range(1, 17), "
+            "i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y))")
+
+@query(
+    "sim_recall_truncated_dims",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    sb AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {{QN}} * {{CN}} > 0
+                   THEN {{DT}} / ({{QN}} * {{CN}}) ELSE 0.0 END, 8) AS cs
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    ),
+    topf AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id) AS rnk FROM sb)
+      WHERE rnk <= 5
+    ),
+    st AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(CASE WHEN {{QN16}} * {{CN16}} > 0
+                   THEN {{DT16}} / ({{QN16}} * {{CN16}}) ELSE 0.0 END, 8) AS cs
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    ),
+    topt AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cs DESC, neighbor_id) AS rnk FROM st)
+      WHERE rnk <= 5
+    ),
+    e AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM topf GROUP BY 1),
+    a AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+          FROM topt GROUP BY 1),
+    h AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM topf f JOIN topt t
+            ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+          GROUP BY 1)
+    SELECT e.query_id, e.n_exact,
+           COALESCE(a.n_approx, 0) AS n_approx,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / e.n_exact, 6)
+             AS recall
+    FROM e LEFT JOIN a ON e.query_id = a.query_id
+           LEFT JOIN h ON e.query_id = h.query_id
+    """.format(QN=_QNORM, CN=_CNORM, DT=_DOT,
+               QN16=_QNORM16, CN16=_CNORM16, DT16=_DOT16),
+)
+def sim_recall_truncated_dims_q(spark, sf_dir):
+    """Matryoshka dimension-ablation eval: recall@5 of first-16-of-64
+    prefix search against the full-dimension exact top-k — the storage/
+    traffic trade every MRL-truncated index deployment measures (prefix
+    index = 1/4 the bytes; this query says what it costs in recall)."""
+    from .operators.similarity import truncated_dim_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return truncated_dim_recall(emb, dims=16, k=5)
+
+
+@query(
+    "stats_bootstrap_ab_diff",
+    f"""
+    WITH e AS (
+      SELECT b, CAST(o_totalprice AS DOUBLE) AS x,
+             (o_custkey % 2 = 0) AS ga,
+             CAST(CAST('0x' || substr(md5(concat_ws('#',
+                    CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR),
+                    'boot')), 1, 15) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM orders CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS b) g
+      WHERE o_totalprice IS NOT NULL
+    ), w AS (
+      SELECT b, x, ga,
+             CASE WHEN u < {_P1[0]} THEN 0 WHEN u < {_P1[1]} THEN 1
+                  WHEN u < {_P1[2]} THEN 2 WHEN u < {_P1[3]} THEN 3
+                  WHEN u < {_P1[4]} THEN 4 ELSE 5 END AS wt
+      FROM e
+    ), per_bg AS (
+      SELECT b, ga,
+             SUM(CAST(ROUND(CAST(wt AS DOUBLE) * x, 9) AS DECIMAL(38,12)))
+               AS s,
+             CAST(SUM(wt) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2
+    ), m AS (
+      -- no ROUND: identical decimal/bigint operands make the division
+      -- bit-identical; ROUND(double, 9) is where engines can diverge
+      SELECT b, ga, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn
+      FROM per_bg
+    ), diffs AS (
+      SELECT ma.b, ma.mn - mb.mn AS dv
+      FROM (SELECT b, mn FROM m WHERE ga) ma
+      JOIN (SELECT b, mn FROM m WHERE NOT ga) mb USING (b)
+    ), ranked AS (
+      SELECT dv, ROW_NUMBER() OVER (ORDER BY dv, b) AS r FROM diffs
+    ), pt AS (
+      SELECT (o_custkey % 2 = 0) AS ga,
+             CAST(COUNT(*) AS BIGINT) AS pn,
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 9)
+                   AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS pm
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(100 AS BIGINT) AS b_resamples,
+           (SELECT pn FROM pt WHERE ga) AS n_a,
+           (SELECT pn FROM pt WHERE NOT ga) AS n_b,
+           (SELECT pm FROM pt WHERE ga) AS mean_a,
+           (SELECT pm FROM pt WHERE NOT ga) AS mean_b,
+           (SELECT pm FROM pt WHERE ga)
+             - (SELECT pm FROM pt WHERE NOT ga) AS diff,
+           (SELECT dv FROM ranked WHERE r = 3) AS ci_lo,
+           (SELECT dv FROM ranked WHERE r = 98) AS ci_hi
+    """,
+)
+def stats_bootstrap_ab_diff_q(spark, sf_dir):
+    """A/B uplift interval: 95% Poisson-bootstrap percentile CI for the
+    difference in mean order price between the even-custkey and
+    odd-custkey assignment buckets (the standard hash-bucketed experiment
+    split) — all 100 resampled diffs from ONE (resample, group)
+    aggregate; pairs with `stats_cuped_views_purchases` as the
+    experimentation readout."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import bootstrap_ab_diff
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "grp", FF.when(FF.col("o_custkey") % 2 == 0, "A").otherwise("B"))
+    return bootstrap_ab_diff(orders, "o_totalprice", "o_orderkey",
+                             "grp", "A", "B", b_resamples=100, level=0.95,
+                             salt="boot")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

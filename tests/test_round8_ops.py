@@ -95,6 +95,121 @@ def test_active_users_capped_at_max_observed_day(spark):
     assert d2.active_1d == 1 and d2.active_7d == 3 and d2.active_30d == 3
 
 
+def test_ridge_shrinks_toward_zero_and_matches_ols_at_tiny_lambda(spark):
+    """y = 2 + 3·x1 − 0.5·x2 exactly: λ≈0 recovers the OLS plane; a huge λ
+    shrinks both slopes toward 0 while the intercept absorbs the mean."""
+    from kiara_spark.operators.quality import (linear_regression_normal,
+                                               ridge_regression_normal)
+
+    rows = [(float(i % 7), float((i * 3) % 5),
+             2.0 + 3.0 * (i % 7) - 0.5 * ((i * 3) % 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    ols = linear_regression_normal(df, "y", ["x1", "x2"]).collect()[0]
+    tiny = ridge_regression_normal(df, "y", ["x1", "x2"],
+                                   lam=1e-9).collect()[0]
+    assert tiny.coef_x1 == pytest.approx(ols.coef_x1, abs=1e-5)
+    assert tiny.coef_x2 == pytest.approx(ols.coef_x2, abs=1e-5)
+    assert tiny.r2 == pytest.approx(1.0, abs=1e-5)
+    huge = ridge_regression_normal(df, "y", ["x1", "x2"],
+                                   lam=1e9).collect()[0]
+    assert abs(huge.coef_x1) < 1e-3 and abs(huge.coef_x2) < 1e-3
+    # ridge is defined on collinear designs where OLS is NULL by contract
+    col_rows = [(float(i), 2.0 * i, float(i + 1)) for i in range(20)]
+    cdf = spark.createDataFrame(col_rows, "x1 double, x2 double, y double")
+    r = ridge_regression_normal(cdf, "y", ["x1", "x2"], lam=1.0).collect()[0]
+    assert r.intercept is not None and r.r2 is not None
+
+
+def test_kfold_cv_ols_recovers_exact_plane_per_fold(spark):
+    """Noise-free plane: every fold's train solve recovers (2, 3, −0.5)
+    and scores its test fold perfectly (rmse 0, r2 1); fold sizes
+    partition the data."""
+    from kiara_spark.operators.quality import kfold_cv_ols
+
+    rows = [(i, float(i % 7), float((i * 3) % 5),
+             2.0 + 3.0 * (i % 7) - 0.5 * ((i * 3) % 5))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, x1 double, x2 double,"
+                               " y double")
+    out = kfold_cv_ols(df, "y", ["x1", "x2"], "id", k=5).collect()
+    assert len(out) == 5 and sorted(r.fold for r in out) == [0, 1, 2, 3, 4]
+    assert sum(r.n_test for r in out) == 100
+    for r in out:
+        assert r.n_train == 100 - r.n_test
+        assert r.intercept == pytest.approx(2.0, abs=1e-4)
+        assert r.coef_x1 == pytest.approx(3.0, abs=1e-4)
+        assert r.coef_x2 == pytest.approx(-0.5, abs=1e-4)
+        assert r.rmse == pytest.approx(0.0, abs=1e-4)
+        assert r.r2 == pytest.approx(1.0, abs=1e-4)
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    """y = 2x exactly: corr = 1, adjusted variance 0, reduction 100%;
+    an independent covariate reduces (almost) nothing."""
+    from kiara_spark.operators.quality import cuped_adjustment
+
+    rows = [(float(i % 10), 2.0 * (i % 10)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = cuped_adjustment(df, "y", "x").collect()[0]
+    assert r.corr == pytest.approx(1.0, abs=1e-6)
+    assert r.theta == pytest.approx(2.0, abs=1e-6)
+    assert r.var_adjusted == pytest.approx(0.0, abs=1e-6)
+    assert r.variance_reduction_pct == pytest.approx(100.0, abs=1e-4)
+    ind = [(float(i % 2), float((i // 2) % 5)) for i in range(40)]
+    df2 = spark.createDataFrame(ind, "x double, y double")
+    r2 = cuped_adjustment(df2, "y", "x").collect()[0]
+    assert abs(r2.variance_reduction_pct) < 5.0
+
+
+def test_truncated_dim_recall_prefix_informative_vs_not(spark):
+    """Vectors whose identity lives in the FIRST dims keep recall 1 under
+    truncation; vectors identical in the prefix and distinct only in the
+    tail lose ranking power (recall < 1 for some query)."""
+    from kiara_spark.operators.similarity import truncated_dim_recall
+
+    # info in first 2 dims, tail ZERO -> truncation to 2 dims is exactly
+    # lossless (dot products and norms unchanged, so identical ranking)
+    rows = [(i, [1.0 + float(i % 5), float((i * 7) % 11)] + [0.0] * 6)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    good = truncated_dim_recall(df, dims=2, k=3,
+                                query_filter="vec_id % 4 = 0").collect()
+    assert good and all(r.recall == 1.0 for r in good)
+    # constant prefix, info only in the tail -> truncated ranking is a tie
+    # broken by id, which cannot track the true neighbors for all queries
+    rows2 = [(i, [1.0, 1.0] + [float((i * 13) % 17), float(i % 7),
+                               float((i * 5) % 9), 1.0, 0.5, 2.0])
+             for i in range(20)]
+    df2 = spark.createDataFrame(rows2,
+                                "vec_id bigint, embedding array<double>")
+    bad = truncated_dim_recall(df2, dims=2, k=3,
+                               query_filter="vec_id % 4 = 0").collect()
+    assert min(r.recall for r in bad) < 1.0
+
+
+def test_bootstrap_ab_diff_brackets_true_uplift(spark):
+    """Group A = B-values shifted by exactly +10: the point diff is 10 and
+    the bootstrap CI brackets it; identical groups give a CI around 0."""
+    from kiara_spark.operators.quality import bootstrap_ab_diff
+
+    rows = ([(i, "A", 10.0 + 50.0 + (i * 17) % 40) for i in range(250)]
+            + [(1000 + i, "B", 50.0 + (i * 17) % 40) for i in range(250)])
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    r = bootstrap_ab_diff(df, "v", "id", "grp", "A", "B",
+                          b_resamples=60).collect()[0]
+    assert r.n_a == 250 and r.n_b == 250
+    assert r.diff == pytest.approx(10.0, abs=1e-9)
+    assert r.ci_lo < 10.0 < r.ci_hi
+    assert r.ci_hi - r.ci_lo < 10     # sane interval width
+    null_rows = rows + [(5000, "A", None), (5001, "C", 1e9)]
+    df2 = spark.createDataFrame(null_rows, "id bigint, grp string, v double")
+    r2 = bootstrap_ab_diff(df2, "v", "id", "grp", "A", "B",
+                           b_resamples=60).collect()[0]
+    # NULL metric and out-of-test groups are excluded rows
+    assert (r2.n_a, r2.n_b, r2.diff) == (r.n_a, r.n_b, r.diff)
+
+
 def test_bootstrap_ci_excludes_null_values(spark):
     """NULL values are excluded rows: results must equal the NULL-free
     frame exactly (round-7 ADVICE — previously NULLs inflated the count

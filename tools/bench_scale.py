@@ -102,9 +102,18 @@ PROBE_QUERIES = [
     "stats_bootstrap_ci_mean",
     "ml_gmm_em_totalprice",
     "text_js_divergence_langs",
+    # round 8: the single-Gram-aggregate CV (two scans regardless of k)
+    # and the fold-broadcast scoring join must hold linear shape at 10x
+    "ml_kfold_cv_ols_lineitem",
 ]
 
 EXCLUDED = {
+    "sim_recall_truncated_dims":
+        "brute-force eval harness by definition (full-dim AND prefix exact "
+        "top-k over the whole corpus for a sampled query set): at 10x data "
+        "the pair count is 100x by construction, like the other "
+        "cosine_topk_bruteforce evals — the probe would re-measure the "
+        "definition, not a scaling property.",
     "dedup_semantic_semdedup":
         "the demo config pins k=4, so at 10x data each kmeans cluster is "
         "10x larger and the within-cluster cosine check is ~100x pairs by "
