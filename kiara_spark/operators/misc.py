@@ -744,6 +744,11 @@ OPERATIONS = [
               {"source_type": "op", "target_type": "markdown"},
               doc="Render an operation's typed documentation as markdown.",
               operation_type="render_value"),
+    Operation("render.job.as.markdown", "render.item",
+              {"source_type": "job", "target_type": "markdown"},
+              doc="Render a job record (manifest, value ids, runtime env) "
+                  "as markdown.",
+              operation_type="render_value"),
     Operation("extract.table.metadata", "value.extract_metadata",
               operation_type="extract_metadata"),
     Operation("media.attach_metadata", "media.attach_metadata"),

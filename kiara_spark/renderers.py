@@ -199,9 +199,45 @@ class OperationMarkdownRenderer(Renderer):
         return operation_doc(self._context, source)
 
 
+class JobMarkdownRenderer(Renderer):
+    """Renders a job record — manifest, input/output value ids, runtime
+    environment fingerprint — as markdown (reference
+    included_renderers/job.py).  Metadata-only: never touches the job's
+    DataFrames."""
+
+    _renderer_name = "job_markdown"
+    source_type = "job"
+    target_type = "markdown"
+    template = "job.md.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        if isinstance(source, str):
+            matches = [r for r in self._context.job_registry.history
+                       if r.job_id == source or r.job_hash == source]
+            if not matches:
+                raise KeyError(f"no job record with id/hash {source!r}")
+            source = matches[-1]
+        env = source.environment or {}
+        flat_env = {k: v for k, v in env.items()
+                    if not isinstance(v, (dict, list))}
+        return {
+            "job_id": source.job_id,
+            "job_hash": source.job_hash,
+            "module_type": source.module_type,
+            "module_config": source.module_config,
+            "runtime_sec": source.runtime_sec,
+            "cache_hit": source.cache_hit,
+            "inputs": source.input_ids,
+            "outputs": [{"name": n, "type": v.schema.type,
+                         "value_id": str(v.value_id)}
+                        for n, v in source.outputs.items()],
+            "environment": flat_env,
+        }
+
+
 INCLUDED_RENDERERS: list[type[Renderer]] = [
     PipelineHtmlRenderer, PipelineMarkdownRenderer, ValueHtmlRenderer,
-    OperationMarkdownRenderer,
+    OperationMarkdownRenderer, JobMarkdownRenderer,
 ]
 
 

@@ -112,6 +112,23 @@ def test_operation_doc_model_typed(ctx):
     assert d["characteristics"]["is_internal"] is True
 
 
+def test_job_markdown_renderer(ctx):
+    """A run job renders to a metadata-only markdown page: manifest,
+    input/output value ids, runtime environment rows."""
+    out = ctx.run_job("logic.and", {"a": True, "b": False})
+    rec = ctx.job_registry.history[-1]
+    md = ctx.render_registry.render("job", "markdown", rec.job_id)
+    assert f"# Job `{rec.job_id}`" in md
+    assert "`logic.and`" in md
+    assert "## Inputs" in md and "## Outputs" in md
+    assert str(out["y"].value_id) in md
+    # direct record object works too; unknown id raises
+    assert ctx.render_registry.render("job", "markdown", rec) == md
+    with pytest.raises(KeyError):
+        ctx.render_registry.render("job", "markdown", "job-nope")
+    assert "render.job.as.markdown" in ctx.operation_registry.operation_ids
+
+
 def test_cli_render_as_html_golden_and_output(tmp_path, capsys, spark):
     import json
 

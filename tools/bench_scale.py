@@ -103,8 +103,11 @@ PROBE_QUERIES = [
     "ml_gmm_em_totalprice",
     "text_js_divergence_langs",
     # round 8: the single-Gram-aggregate CV (two scans regardless of k)
-    # and the fold-broadcast scoring join must hold linear shape at 10x
+    # and the fold-broadcast scoring join must hold linear shape at 10x;
+    # the range-partitioned skyline prefix-min (r7 verdict item 4) must
+    # show no single-partition serialization as distinct-x grows 10x
     "ml_kfold_cv_ols_lineitem",
+    "skyline_cheap_small_parts",
 ]
 
 EXCLUDED = {
