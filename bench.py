@@ -362,6 +362,13 @@ BENCH_QUERIES = [
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing
 # alone doesn't carry.
 BENCH_NOTES = {
+    "embedding_pca_top_component":
+        "first execution pays a ~17s whole-stage-codegen (Janino) compile "
+        "of the covariance/matvec stages, ~4s warm; the compiled classes "
+        "cache by generated source, so the cost lands on whichever run "
+        "compiles first (r8: surfaced when the battery order shifted). "
+        "In the 3x-median noise class since r8 — the reported time is the "
+        "steady-state ~4s, samples in noise_class_runs.",
     "stats_bootstrap_ci_mean":
         "r7: B=100 Poisson-bootstrap resamples = 100x the scan CPU by "
         "construction (15M md5-derived weights at sf0.1); rows repartition "
@@ -421,11 +428,19 @@ BENCH_NOTES = {
 # time is micro-batch choreography (file triggers driving watermarks), not
 # operator throughput, so they run under a SEPARATE budget line — the
 # headline total stays comparable across rounds.
-# CPU-bound Arrow/mapInPandas queries whose single-shot timing is the most
-# machine-sensitive class in the battery (r7: +3.3s dhash delta with zero
-# code change).  These run 3x; the MEDIAN lands in the timing map (and the
-# per-run samples in detail["noise_class_runs"]) so a round-over-round diff
-# is attributable without a machine-noise caveat (r7 verdict item 9).
+# Queries whose single-shot timing is dominated by one-time JVM state, not
+# operator throughput: CPU-bound Arrow/mapInPandas decodes (Python worker
+# spin-up + the most machine-sensitive class — r7: +3.3s dhash delta with
+# zero code change), the lazy-matvec PCA (one ~17s Janino whole-stage-
+# codegen compile on first execution, ~4s warm — the compile is cached by
+# generated source, so WHERE it lands depends on bench order), and the
+# iterative CC ops (eager localCheckpoint rounds, documented ~2x GC-state
+# variance since r3).  These run 3x; the MEDIAN lands in the timing map
+# (and the per-run samples in detail["noise_class_runs"]) so a
+# round-over-round diff is attributable without a machine-noise caveat
+# (r7 verdict item 9).  The bench's stated contract is steady-state
+# throughput (see the q1 warm-up note in main()); the median implements
+# that contract for the queries where a single shot cannot.
 NOISE_CLASS = {
     "multimodal_media_features",
     "multimodal_image_real_decode",
@@ -433,6 +448,9 @@ NOISE_CLASS = {
     "multimodal_image_neardup_pairs",
     "multimodal_audio_real_decode",
     "multimodal_scene_cuts",
+    "embedding_pca_top_component",
+    "graph_strongly_connected_components",
+    "dedup_minhash_clusters",
 }
 
 STREAMING_EXTRA_QUERIES = [

@@ -100,6 +100,17 @@ def test_bench_covers_every_registered_query():
     assert not unbenched, f"queries missing a bench entry: {sorted(unbenched)}"
 
 
+def test_noise_class_names_are_benched_batch_queries():
+    """The 3x-median noise class must name real headline-batch entries —
+    a renamed query would silently fall back to single-shot timing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import BENCH_QUERIES, NOISE_CLASS
+
+    assert NOISE_CLASS <= set(BENCH_QUERIES)
+
+
 def test_query_order_rotates_by_recorded_history():
     """The driver records the FIRST 50 queries; ordering must put
     never-recorded (oracle-backed first) ahead of already-recorded ones,
