@@ -325,11 +325,19 @@ def main(argv: list[str] | None = None) -> int:
                 source_type, source = "value", ctx.get_value(ref)
             elif ref in ctx.operations or ref in ctx.modules:
                 source_type, source = "op", ref
+            elif ref.startswith("job-") or (
+                    len(ref) >= 12
+                    and all(c in "0123456789abcdef" for c in ref)):
+                # job id ("job-N") or job hash: the job renderer resolves
+                # it against this context's history (service contexts keep
+                # history across invocations; a fresh CLI context reports
+                # an unknown id)
+                source_type, source = "job", ref
             else:
                 raise SystemExit(
                     f"render: can't infer a source type for {ref!r} "
-                    f"(want a pipeline file, alias:/value: ref, or "
-                    f"operation id)")
+                    f"(want a pipeline file, alias:/value: ref, "
+                    f"operation id, or job id/hash)")
             rendered = ctx.render_registry.render(
                 source_type, target, source, **cfg)
             if output:
@@ -346,13 +354,23 @@ def main(argv: list[str] | None = None) -> int:
         result = out["render_value_result"].data
         if result.get("kind") == "table_page":
             cols = result["columns"]
-            print(" | ".join(cols))
-            for row in result["rows"]:
-                print(" | ".join(str(row.get(c)) for c in cols))
-            print(f"[offset={result['offset']} limit={result['limit']} "
-                  f"next={result['related_scenes']['next']['offset']}]")
+            lines = [" | ".join(cols)]
+            lines += [" | ".join(str(row.get(c)) for c in cols)
+                      for row in result["rows"]]
+            lines.append(
+                f"[offset={result['offset']} limit={result['limit']} "
+                f"next={result['related_scenes']['next']['offset']}]")
+            text = "\n".join(lines)
         else:
-            print(result.get("rendered", result))
+            text = str(result.get("rendered", result))
+        # --output is honored on BOTH render paths (previously parsed but
+        # silently swallowed here)
+        if output:
+            with open(output, "w") as f:
+                f.write(text + "\n")
+            print(f"wrote {output}")
+        else:
+            print(text)
         return 0
 
     if cmd == "context" and argv[:1] == ["list"]:
@@ -619,7 +637,9 @@ def main(argv: list[str] | None = None) -> int:
                 seen.add(path)
                 try:
                     cfg = PipelineConfig.from_file(path)
-                except (ValueError, KeyError, OSError) as exc:
+                except Exception as exc:  # noqa: BLE001 — resilient
+                    # listing: ONE malformed file (bad YAML, non-dict
+                    # JSON, ...) must not hide every other pipeline
                     rows.append((entry.path, "<invalid>", 0,
                                  f"parse error: {exc}"))
                     continue

@@ -31,6 +31,21 @@ _MIN_PARALLEL_BYTES = 256 << 10
 CPU_HEAVY_TABLES = {"documents", "embeddings"}
 
 
+def collect_table_page(df: DataFrame, offset: int, limit: int) -> dict:
+    """One offset/limit page of a table for a renderer: the slice is
+    pushed INTO the plan (``offset().limit()``) so only the page's rows
+    ever cross to the driver; values stringify None-preserving.  Shared
+    by ``render.value`` (operators/misc.py) and the html value renderer
+    (renderers.py) so the paging contract lives in one place."""
+    page = df.offset(offset).limit(limit).collect()
+    rows = [r.asDict(recursive=True) for r in page]
+    return {
+        "columns": df.columns,
+        "rows": [{k: (str(v) if v is not None else None)
+                  for k, v in r.items()} for r in rows],
+    }
+
+
 def cut_lineage(df: DataFrame) -> DataFrame:
     """Truncate plan lineage for iterative/reused intermediates.
 

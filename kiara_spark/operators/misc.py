@@ -152,13 +152,13 @@ class RenderValue(KiaraModule):
         limit = int(cfg.get("limit", 20))
         data = inputs["value"].data
         if isinstance(data, DataFrame):
-            page = data.offset(offset).limit(limit).collect()
-            rows = [r.asDict(recursive=True) for r in page]
+            from ..io import collect_table_page
+
+            page = collect_table_page(data, offset, limit)
             result = {
                 "kind": "table_page",
-                "columns": data.columns,
-                "rows": [{k: (str(v) if v is not None else None) for k, v in r.items()}
-                         for r in rows],
+                "columns": page["columns"],
+                "rows": page["rows"],
                 "offset": offset,
                 "limit": limit,
                 "related_scenes": {

@@ -1919,16 +1919,19 @@ def bootstrap_ab_diff(
     ci = ranked.agg(
         F.min(F.when(F.col("_r") == lo_rank, F.col("_d"))).alias("ci_lo"),
         F.min(F.when(F.col("_r") == hi_rank, F.col("_d"))).alias("ci_hi"))
-    point = cut_lineage(nn.groupBy(
-        (g == F.lit(group_a)).alias("_ga")).agg(
+    # assemble via conditional aggregation, NOT per-group filters joined
+    # together: an empty group (typo'd label, empty arm) then yields ONE
+    # row with NULL n/mean/diff on the missing side instead of a silent
+    # empty frame (r8 review) — matching the SQL twin's scalar subqueries
+    pt = nn.groupBy((g == F.lit(group_a)).alias("_ga")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_pn"),
         (F.sum(d9(x)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("_pm")))
-    a_pt = point.filter(F.col("_ga")).select(
-        F.col("_pn").alias("n_a"), F.col("_pm").alias("mean_a"))
-    b_pt = point.filter(~F.col("_ga")).select(
-        F.col("_pn").alias("n_b"), F.col("_pm").alias("mean_b"))
-    return (a_pt.crossJoin(b_pt).crossJoin(F.broadcast(ci))
+         / F.count(F.lit(1)).cast("double")).alias("_pm")).agg(
+        F.max(F.when(F.col("_ga"), F.col("_pn"))).alias("n_a"),
+        F.max(F.when(~F.col("_ga"), F.col("_pn"))).alias("n_b"),
+        F.max(F.when(F.col("_ga"), F.col("_pm"))).alias("mean_a"),
+        F.max(F.when(~F.col("_ga"), F.col("_pm"))).alias("mean_b"))
+    return (pt.crossJoin(F.broadcast(ci))
             .select(F.lit(b_resamples).cast("bigint").alias("b_resamples"),
                     "n_a", "n_b", "mean_a", "mean_b",
                     (F.col("mean_a") - F.col("mean_b")).alias("diff"),
@@ -2217,6 +2220,11 @@ def linear_regression_normal(
     x2 = F.col(x2c).cast("double")
     dsq = lambda e: F.sum(  # noqa: E731
         F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    # rows with a NULL target or feature are EXCLUDED rows — without the
+    # filter F.count counts them while the decimal sums skip them, and the
+    # normal equations solve with an inflated n (r8 review; same contract
+    # as bootstrap_ci_mean)
+    df = df.filter(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
     sums = df.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         dsq(x1).alias("_sx1"), dsq(x2).alias("_sx2"),
@@ -2292,6 +2300,8 @@ def ridge_regression_normal(
     x2 = F.col(x2c).cast("double")
     dsq = lambda e: F.sum(  # noqa: E731
         F.round(e, 9).cast("decimal(38,12)")).cast("double")
+    # NULL target/feature rows are excluded (same contract as OLS)
+    df = df.filter(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
     sums = df.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         dsq(x1).alias("_sx1"), dsq(x2).alias("_sx2"),
@@ -2308,11 +2318,17 @@ def ridge_regression_normal(
     det0 = _det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
     det1 = _det3(n_, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
     det2 = _det3(n_, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    # lam=0 (or a pathological design) degenerates to the unguarded OLS
+    # division — keep the same relative-|det| gate as
+    # linear_regression_normal so the degenerate case returns NULLs by
+    # contract instead of NULL/Inf arithmetic (r8 review)
+    scale = F.greatest(F.abs(n_), F.abs(s11), F.abs(s22), F.lit(1.0))
+    ok = F.abs(det) > scale * F.lit(1e-12)
     coefs = sums.select(
         n_.cast("bigint").alias("n"),
-        F.round(det0 / det, 8).alias("_b0"),
-        F.round(det1 / det, 8).alias("_b1"),
-        F.round(det2 / det, 8).alias("_b2"),
+        F.when(ok, F.round(det0 / det, 8)).alias("_b0"),
+        F.when(ok, F.round(det1 / det, 8)).alias("_b1"),
+        F.when(ok, F.round(det2 / det, 8)).alias("_b2"),
         (sy / n_).alias("_ybar"))
     fit = df.crossJoin(F.broadcast(coefs))
     resid = y - (F.col("_b0") + F.col("_b1") * x1 + F.col("_b2") * x2)
@@ -2363,6 +2379,9 @@ def kfold_cv_ols(
     x1 = F.col(x1c).cast("double")
     x2 = F.col(x2c).cast("double")
     fold = F.pmod(F.col(id_col).cast("bigint"), F.lit(int(k)))
+    # NULL target/feature rows are excluded (same contract as OLS); the
+    # filter must run before BOTH passes so fold sizes and scoring agree
+    df = df.filter(y.isNotNull() & x1.isNotNull() & x2.isNotNull())
     dsum = lambda e: F.sum(  # noqa: E731
         F.round(e, 9).cast("decimal(38,12)"))
     from ..io import cut_lineage

@@ -132,7 +132,7 @@ def truncated_dim_recall(
     emb: DataFrame,
     dims: int,
     k: int = 5,
-    query_filter: str = "vec_id % 50 = 0",
+    query_filter: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -151,7 +151,12 @@ def truncated_dim_recall(
     default keeps 1/50) against a corpus scan — the same cost class as
     :func:`cosine_topk_bruteforce`, the gate-keeping eval, not the
     serving path.  Returns (query_id, n_exact, n_approx, n_hit, recall)
-    with the full-dim ranking as the denominator."""
+    with the full-dim ranking as the denominator.  ``query_filter``
+    defaults to a 1-in-50 sample keyed on ``id_col`` (derived, so a
+    custom id column never leaves the default filter pointing at a
+    nonexistent ``vec_id``)."""
+    if query_filter is None:
+        query_filter = f"{id_col} % 50 = 0"
     queries = emb.filter(query_filter)
     exact = cosine_topk_bruteforce(emb, queries, k=k,
                                    id_col=id_col, vec_col=vec_col)
@@ -1434,8 +1439,7 @@ class EmbeddingTruncatedDimRecall(KiaraModule):
             inputs["table"].data,
             dims=self.config.get("dims", 16),
             k=self.config.get("k", 5),
-            query_filter=self.config.get("query_filter",
-                                         "vec_id % 50 = 0"),
+            query_filter=self.config.get("query_filter"),
             id_col=self.config.get("id_column", "vec_id"),
             vec_col=self.config.get("vector_column", "embedding"))}
 

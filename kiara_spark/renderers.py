@@ -31,18 +31,28 @@ _TEMPLATE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "templates")
 
 
-def _jinja_env():
-    from jinja2 import Environment, FileSystemLoader
+_ENV = None
 
-    return Environment(
-        loader=FileSystemLoader(_TEMPLATE_DIR),
-        # escape ONLY html targets — markdown must keep quotes/backticks
-        # verbatim (select_autoescape matches the trailing .j2 for every
-        # template, so match the full double extension instead)
-        autoescape=lambda name: bool(name) and name.endswith(".html.j2"),
-        trim_blocks=True,
-        lstrip_blocks=True,
-    )
+
+def _jinja_env():
+    # one Environment per process: jinja caches compiled templates on the
+    # Environment, so rebuilding it per render() would recompile the
+    # template every call (r8 review)
+    global _ENV
+    if _ENV is None:
+        from jinja2 import Environment, FileSystemLoader
+
+        _ENV = Environment(
+            loader=FileSystemLoader(_TEMPLATE_DIR),
+            # escape ONLY html targets — markdown must keep quotes/
+            # backticks verbatim (select_autoescape matches the trailing
+            # .j2 for every template, so match the full double extension)
+            autoescape=lambda name: bool(name)
+            and name.endswith(".html.j2"),
+            trim_blocks=True,
+            lstrip_blocks=True,
+        )
+    return _ENV
 
 
 class Renderer:
@@ -166,12 +176,12 @@ class ValueHtmlRenderer(Renderer):
         offset = int(render_config.get("offset", 0))
         limit = int(render_config.get("limit", 20))
         if isinstance(data, DataFrame):
-            rows = [r.asDict(recursive=True)
-                    for r in data.offset(offset).limit(limit).collect()]
+            from .io import collect_table_page
+
+            page = collect_table_page(data, offset, limit)
             return {"value_id": value_id, "type": vtype, "alias": alias,
-                    "columns": data.columns, "offset": offset,
-                    "rows": [{k: (str(v) if v is not None else None)
-                              for k, v in r.items()} for r in rows]}
+                    "columns": page["columns"], "offset": offset,
+                    "rows": page["rows"]}
         return {"value_id": value_id, "type": vtype, "alias": alias,
                 "columns": ["value"], "offset": 0,
                 "rows": [{"value": repr(data)}]}

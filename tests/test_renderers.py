@@ -169,12 +169,16 @@ def test_cli_pipeline_list(tmp_path, monkeypatch, capsys):
     pdir.mkdir()
     (pdir / "logic_2.json").write_text(json.dumps(LOGIC_2))
     (pdir / "broken.json").write_text("{not json")
+    (pdir / "broken.yaml").write_text("pipeline_name: [unclosed")
+    (pdir / "listy.json").write_text("[1, 2]")   # valid JSON, wrong shape
     monkeypatch.setenv("KIARA_SPARK_PIPELINES", str(pdir))
     assert main(["pipeline", "list"]) == 0
     out = capsys.readouterr().out
     assert "logic_2" in out and "2 steps" in out
     assert "Two chained ANDs." in out          # doc line shown
-    assert "<invalid>" in out                  # broken file surfaced, not fatal
+    # every malformed file (bad JSON, bad YAML, non-dict JSON) is surfaced
+    # as <invalid> without hiding the valid pipeline (r8 review)
+    assert out.count("<invalid>") == 3
 
 
 def test_cli_pipeline_list_finds_examples_dir(capsys, monkeypatch):

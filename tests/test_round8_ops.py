@@ -144,6 +144,80 @@ def test_kfold_cv_ols_recovers_exact_plane_per_fold(spark):
         assert r.r2 == pytest.approx(1.0, abs=1e-4)
 
 
+def test_regressions_exclude_null_rows(spark):
+    """OLS / ridge / k-fold CV: rows with a NULL target or feature are
+    excluded rows — results must equal the NULL-free frame exactly
+    (r8 review: previously the count denominators included them while
+    the decimal sums skipped them)."""
+    from kiara_spark.operators.quality import (kfold_cv_ols,
+                                               linear_regression_normal,
+                                               ridge_regression_normal)
+
+    clean = [(i, float(i % 7), float((i * 3) % 5),
+              2.0 + 3.0 * (i % 7) - 0.5 * ((i * 3) % 5))
+             for i in range(60)]
+    dirty = clean + [(100, None, 1.0, 5.0), (101, 2.0, None, 5.0),
+                     (102, 2.0, 1.0, None)]
+    dfc = spark.createDataFrame(clean, "id bigint, x1 double, x2 double,"
+                                " y double")
+    dfd = spark.createDataFrame(dirty, "id bigint, x1 double, x2 double,"
+                                " y double")
+    oc = linear_regression_normal(dfc, "y", ["x1", "x2"]).collect()[0]
+    od = linear_regression_normal(dfd, "y", ["x1", "x2"]).collect()[0]
+    assert od == oc and od.n == 60
+    rc = ridge_regression_normal(dfc, "y", ["x1", "x2"], 1.0).collect()[0]
+    rd = ridge_regression_normal(dfd, "y", ["x1", "x2"], 1.0).collect()[0]
+    assert rd == rc
+    kc = sorted(map(tuple, kfold_cv_ols(dfc, "y", ["x1", "x2"], "id",
+                                        k=3).collect()))
+    kd = sorted(map(tuple, kfold_cv_ols(dfd, "y", ["x1", "x2"], "id",
+                                        k=3).collect()))
+    assert kd == kc
+
+
+def test_ridge_lam_zero_collinear_returns_nulls(spark):
+    """lam=0 on a collinear design degenerates to the singular OLS case:
+    the guard must return NULL coefficients, not NULL/Inf arithmetic."""
+    from kiara_spark.operators.quality import ridge_regression_normal
+
+    rows = [(float(i), 2.0 * i, float(i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = ridge_regression_normal(df, "y", ["x1", "x2"], lam=0.0).collect()[0]
+    assert r.intercept is None and r.r2 is None
+
+
+def test_bootstrap_ab_diff_empty_group_yields_null_side(spark):
+    """A group label matching zero rows must yield ONE row with NULLs on
+    the missing side (matching the SQL twin's scalar subqueries), never a
+    silent empty frame (r8 review)."""
+    from kiara_spark.operators.quality import bootstrap_ab_diff
+
+    rows = [(i, "B", 50.0 + i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = bootstrap_ab_diff(df, "v", "id", "grp", "A", "B",
+                            b_resamples=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_a is None and r.mean_a is None and r.diff is None
+    assert r.n_b == 40 and r.mean_b is not None
+
+
+def test_truncated_dim_recall_custom_id_column(spark):
+    """The default query filter derives from id_col — a custom id column
+    must not leave the filter pointing at a nonexistent vec_id."""
+    from kiara_spark.operators.similarity import truncated_dim_recall
+
+    rows = [(i, [1.0 + i % 5, float(i % 3)] + [0.0] * 4)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    out = truncated_dim_recall(df, dims=2, k=2, id_col="doc_id",
+                               query_filter="doc_id % 3 = 0").collect()
+    assert out  # runs against the custom column
+    out2 = truncated_dim_recall(df.filter("doc_id % 1 = 0"), dims=2, k=2,
+                                id_col="doc_id").collect()
+    assert out2  # derived default filter uses doc_id
+
+
 def test_cuped_perfect_covariate_removes_all_variance(spark):
     """y = 2x exactly: corr = 1, adjusted variance 0, reduction 100%;
     an independent covariate reduces (almost) nothing."""
