@@ -284,6 +284,26 @@ def test_bootstrap_ab_diff_brackets_true_uplift(spark):
     assert (r2.n_a, r2.n_b, r2.diff) == (r.n_a, r.n_b, r.diff)
 
 
+def test_experiment_readout_example_pipeline(ctx):
+    """examples/experiment_readout.json: event log -> per-user covariate/
+    metric aggregate -> CUPED variance reduction + A/B bootstrap uplift CI
+    — the round-8 experimentation family composed through the pipeline
+    surface, per-user frame computed once."""
+    import os
+
+    os.chdir("/root/repo")
+    out = ctx.run_pipeline("examples/experiment_readout.json", {
+        "path": "/root/testdata/sf0.001/events.parquet",
+    })
+    cuped = out["cuped_readout"].data.collect()[0]
+    uplift = out["uplift_ci"].data.collect()[0]
+    assert cuped.n > 0 and cuped.var_metric is not None
+    assert -100.0 <= (cuped.variance_reduction_pct or 0.0) <= 100.0
+    assert uplift.n_a > 0 and uplift.n_b > 0
+    assert uplift.ci_lo <= uplift.ci_hi
+    assert uplift.b_resamples == 100
+
+
 def test_bootstrap_ci_excludes_null_values(spark):
     """NULL values are excluded rows: results must equal the NULL-free
     frame exactly (round-7 ADVICE — previously NULLs inflated the count
