@@ -8,6 +8,7 @@ Usage:
     python -m kiara_spark.cli module list | type list
     python -m kiara_spark.cli plugin list | plugin explain <name>
     python -m kiara_spark.cli info
+    python -m kiara_spark.cli doc generate <dir>
     python -m kiara_spark.cli service start [--socket P] [--daemon]
     python -m kiara_spark.cli service status | service stop
 
@@ -565,6 +566,37 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"  {n}")
         for e in i.get("errors", []):
             print(f"ERROR: {e}")
+        return 0
+
+    if cmd == "doc" and argv[:1] == ["generate"]:
+        # generated info pages (reference src/kiara/doc/gen_info_pages.py):
+        # one markdown page per registered operation via the operation
+        # renderer, plus an index — the mkdocs-ready docs tree
+        if len(argv) < 2:
+            raise SystemExit("doc generate: missing output directory")
+        out_dir = argv[1]
+        os.makedirs(out_dir, exist_ok=True)
+        ctx = KiaraContext()
+        rr = ctx.render_registry
+        index = []
+        n_fail = 0
+        for op_id in ctx.operations:
+            try:
+                md = rr.render("op", "markdown", op_id)
+            except Exception as exc:  # noqa: BLE001 — keep generating
+                print(f"skip {op_id}: {exc}", file=sys.stderr)
+                n_fail += 1
+                continue
+            fname = op_id.replace(".", "_") + ".md"
+            with open(os.path.join(out_dir, fname), "w") as f:
+                f.write(md)
+            op = ctx.operation_registry.resolve(op_id)
+            index.append(f"- [`{op_id}`]({fname})"
+                         + (f" — {op.doc}" if op.doc else ""))
+        with open(os.path.join(out_dir, "index.md"), "w") as f:
+            f.write("# Operations\n\n" + "\n".join(index) + "\n")
+        print(f"wrote {len(index)} operation pages + index.md to {out_dir}"
+              + (f" ({n_fail} skipped)" if n_fail else ""))
         return 0
 
     if cmd == "info":

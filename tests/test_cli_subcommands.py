@@ -127,6 +127,23 @@ def test_operation_explain_extracts_doc_body(capsys, spark):
     assert "doc:" in out and "inputs:" in out
 
 
+def test_doc_generate_writes_operation_pages(tmp_path, capsys, spark):
+    """r8: `doc generate <dir>` emits one markdown page per operation +
+    an index (reference gen_info_pages analog), every page from the
+    typed operation-doc renderer."""
+    from kiara_spark.cli import main
+
+    out = tmp_path / "docs"
+    assert main(["doc", "generate", str(out)]) == 0
+    msg = capsys.readouterr().out
+    assert "operation pages" in msg and "skipped" not in msg
+    idx = (out / "index.md").read_text()
+    assert "`table.ml.kfold_cv`" in idx
+    page = (out / "table_ml_kfold_cv.md").read_text()
+    assert "# Operation `table.ml.kfold_cv`" in page
+    assert "## Inputs" in page and "## Outputs" in page
+
+
 def test_operation_explain_shows_typed_field_docs(capsys, spark):
     """r8 (r7 verdict item 8): explain renders the structured doc model —
     operation type, module type, typed inputs/outputs with
