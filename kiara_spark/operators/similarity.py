@@ -952,10 +952,19 @@ def pca_top_component(
     nv = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     a = cgrid.select("_id", F.col("pos").alias("i"), F.col("_c").alias("_ci"))
     b = cgrid.select("_id", F.col("pos").alias("j"), F.col("_c").alias("_cj"))
-    cov = (a.join(b, "_id")
-           .groupBy("i", "j")
-           .agg(F.sum(F.round(F.col("_ci") * F.col("_cj"), 9)
-                      .cast("decimal(38,12)")).alias("_s"))
+    # the covariance matrix is SYMMETRIC: accumulate only the upper
+    # triangle i <= j (halves the dominant d²-per-row pair stream) and
+    # mirror the strict cells afterward — cell (j,i) is the identical
+    # decimal sum, so the matvec sees the same full matrix bit-for-bit
+    upper = (a.join(b, "_id")
+             .filter(F.col("i") <= F.col("j"))
+             .groupBy("i", "j")
+             .agg(F.sum(F.round(F.col("_ci") * F.col("_cj"), 9)
+                        .cast("decimal(38,12)")).alias("_s")))
+    full = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "_s"))
+    cov = (full
            .crossJoin(F.broadcast(nv))
            .select("i", "j",
                    (F.col("_s").cast("double")
