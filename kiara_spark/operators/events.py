@@ -693,21 +693,34 @@ def dft_periodogram(
     ang = (F.lit(2.0 * math.pi) * F.col("_t").cast("double")
            / F.col("period").cast("double"))
     dec9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
-    cd = F.col("_c").cast("decimal(18,0)")
+    # decimal(17,0): the per-term product (20,9)x(17,0) needs exactly 38
+    # digits, so BOTH engines compute it exactly — at (18,0) Spark's rule
+    # (p1+p2+1 = 39 > 38) silently rounds the scale down a digit while
+    # DuckDB (w1+w2 = 38) stays exact, and the sums drift ~1e-8
+    cd = F.col("_c").cast("decimal(17,0)")
     per = (b.groupBy("period")
            .agg(F.max("_n").alias("_n"), F.max("_s").alias("_s"),
                 F.sum(dec9(F.cos(ang)) * cd).alias("_ac"),
                 F.sum(dec9(F.sin(ang)) * cd).alias("_as"),
                 F.sum(dec9(F.cos(ang))).alias("_cc"),
                 F.sum(dec9(F.sin(ang))).alias("_cs")))
-    nd = F.col("_n").cast("decimal(38,0)")
-    a_num = (nd * F.col("_ac") - F.col("_s") * F.col("_cc")).cast("double")
-    b_num = (nd * F.col("_as") - F.col("_s") * F.col("_cs")).cast("double")
-    a = F.round(a_num / F.col("_n").cast("double"), 6)
-    bb = F.round(b_num / F.col("_n").cast("double"), 6)
+    # assemble a/b in DOUBLE from the exact decimal sums: each sum casts
+    # to the identical double on both engines, and the fixed-order double
+    # expression n·Σc·cos − S·Σcos is then bit-identical — whereas the
+    # former decimal(38,0)×decimal(38,9) product OVERFLOWS 38 digits and
+    # each engine reduces precision by its own rounding rule (observed
+    # 1e-8 drift at sf0.1), and a final ROUND(double, k) diverges at
+    # half-ulp ties.  No rounding anywhere downstream of the sums.
+    n_d = F.col("_n").cast("double")
+    a = ((n_d * F.col("_ac").cast("double")
+          - F.col("_s").cast("double") * F.col("_cc").cast("double"))
+         / n_d)
+    bb = ((n_d * F.col("_as").cast("double")
+           - F.col("_s").cast("double") * F.col("_cs").cast("double"))
+          / n_d)
     return (per.select("period", a.alias("a"), bb.alias("b"))
-            .withColumn("power", F.round(F.col("a") * F.col("a")
-                                         + F.col("b") * F.col("b"), 4))
+            .withColumn("power", F.col("a") * F.col("a")
+                        + F.col("b") * F.col("b"))
             .orderBy("period"))
 
 

@@ -2443,8 +2443,11 @@ def kfold_cv_ols(
         F.round(F.col("_b2"), 6).alias(f"coef_{x2c}"),
         F.round(F.sqrt(F.col("_sse") / F.col("n_test").cast("double")), 6)
         .alias("rmse"),
+        # + 0.0 normalizes IEEE -0.0 (a fold with r2 rounding to -0.000000
+        # reprs as -0.0 in engines that keep the sign but 0.0 through
+        # Java's BigDecimal — observed at sf0.1); mirrored in the oracle
         F.when(F.col("_sst") > 0,
-               F.round(1.0 - F.col("_sse") / F.col("_sst"), 6))
+               F.round(1.0 - F.col("_sse") / F.col("_sst"), 6) + 0.0)
         .alias("r2")).orderBy("fold")
 
 

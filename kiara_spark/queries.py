@@ -12701,9 +12701,9 @@ def dedup_jaro_winkler_pairs_q(spark, sf_dir):
     ), per AS (
       SELECT period, MAX(n) AS n, MAX(s) AS s,
         SUM(CAST(ROUND(cos(2*pi()*CAST(t AS DOUBLE)/CAST(period AS DOUBLE)), 9)
-                 AS DECIMAL(20,9)) * CAST(c AS DECIMAL(18,0))) AS ac,
+                 AS DECIMAL(20,9)) * CAST(c AS DECIMAL(17,0))) AS ac,
         SUM(CAST(ROUND(sin(2*pi()*CAST(t AS DOUBLE)/CAST(period AS DOUBLE)), 9)
-                 AS DECIMAL(20,9)) * CAST(c AS DECIMAL(18,0))) AS asum,
+                 AS DECIMAL(20,9)) * CAST(c AS DECIMAL(17,0))) AS asum,
         SUM(CAST(ROUND(cos(2*pi()*CAST(t AS DOUBLE)/CAST(period AS DOUBLE)), 9)
                  AS DECIMAL(20,9))) AS cc,
         SUM(CAST(ROUND(sin(2*pi()*CAST(t AS DOUBLE)/CAST(period AS DOUBLE)), 9)
@@ -12711,11 +12711,14 @@ def dedup_jaro_winkler_pairs_q(spark, sf_dir):
       FROM b GROUP BY period
     )
     SELECT CAST(period AS BIGINT) AS period,
-           ROUND(CAST(CAST(n AS DECIMAL(38,0))*ac - s*cc AS DOUBLE)
-                 / CAST(n AS DOUBLE), 6) AS a,
-           ROUND(CAST(CAST(n AS DECIMAL(38,0))*asum - s*cs AS DOUBLE)
-                 / CAST(n AS DOUBLE), 6) AS b,
-           ROUND(a*a + b*b, 4) AS power
+           -- double-assembled from exact decimal sums, no rounds
+           -- (mirrors the engine: decimal x decimal would overflow 38
+           -- digits and each engine reduces precision differently)
+           (CAST(n AS DOUBLE)*CAST(ac AS DOUBLE)
+            - CAST(s AS DOUBLE)*CAST(cc AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+           (CAST(n AS DOUBLE)*CAST(asum AS DOUBLE)
+            - CAST(s AS DOUBLE)*CAST(cs AS DOUBLE)) / CAST(n AS DOUBLE) AS b,
+           a*a + b*b AS power
     FROM per
     """,
 )
@@ -13490,7 +13493,8 @@ def ml_ridge_normal_q(spark, sf_dir):
            ROUND(b0, 6) AS intercept,
            ROUND(b1, 6) AS coef_l_quantity, ROUND(b2, 6) AS coef_l_discount,
            ROUND(SQRT(sse / CAST(n_test AS DOUBLE)), 6) AS rmse,
-           CASE WHEN sst > 0 THEN ROUND(1.0 - sse / sst, 6) END AS r2
+           -- + 0.0 normalizes -0.0 (mirrors the engine)
+           CASE WHEN sst > 0 THEN ROUND(1.0 - sse / sst, 6) + 0.0 END AS r2
     FROM sc
     """,
 )
