@@ -2151,22 +2151,27 @@ def regression_stump(
             .filter(F.col("_nl") < F.col("_n")))
     nl = F.col("_nl").cast("double")
     nr = (F.col("_n") - F.col("_nl")).cast("double")
-    sl = F.col("_sl").cast("double")
-    sr = (F.col("_st") - F.col("_sl")).cast("double")
+    # round-4 WHILE DECIMAL before every double cast: the sums carry 2-dp
+    # price values, so 4 dp is lossless — but it caps the scaled int128
+    # magnitude under 2^53, where DuckDB's decimal->double cast is exact;
+    # at scale 10 the cast drifts 1 ulp per engine and the st^2/n
+    # subtraction amplifies it ~1e6x (observed +0.25 on gain at sf0.1)
+    sl = F.round(F.col("_sl"), 4).cast("double")
+    sr = F.round(F.col("_st") - F.col("_sl"), 4).cast("double")
     score = F.round(sl * sl / nl + sr * sr / nr, 6)
     best = cand.groupBy("_n", "_st").agg(
         F.min(F.struct((-score).alias("ns"), F.col("_v").alias("v"),
                        score.alias("sc"), F.col("_nl").alias("nl"),
                        F.col("_sl").alias("sl"))).alias("_b"))
-    stot = F.col("_st").cast("double")
+    stot = F.round(F.col("_st"), 4).cast("double")
     ntot = F.col("_n").cast("double")
     return best.select(
         F.col("_b.v").cast("double").alias("split_value"),
         F.col("_b.nl").alias("n_left"),
         (F.col("_n") - F.col("_b.nl")).cast("bigint").alias("n_right"),
-        F.round(F.col("_b.sl").cast("double")
+        F.round(F.round(F.col("_b.sl"), 4).cast("double")
                 / F.col("_b.nl").cast("double"), 6).alias("mean_left"),
-        F.round((F.col("_st") - F.col("_b.sl")).cast("double")
+        F.round(F.round(F.col("_st") - F.col("_b.sl"), 4).cast("double")
                 / (F.col("_n") - F.col("_b.nl")).cast("double"), 6)
         .alias("mean_right"),
         F.col("_b.sc").alias("score"),
@@ -2719,6 +2724,320 @@ def ndcg_at_k(
         F.round(F.when(F.col("_fr").isNotNull(),
                        F.lit(1.0) / F.col("_fr").cast("double"))
                 .otherwise(F.lit(0.0)), 6).alias("mrr"))
+
+
+def _erfc_as(x: Column) -> Column:
+    """erfc(x) for x >= 0 via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7):
+    fixed-order IEEE polynomial + one exp — the only transcendental, same
+    closed form mirrored into the DuckDB oracles (the KS p-value recipe)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = ((((F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+              + F.lit(1.421413741)) * t - F.lit(0.284496736)) * t
+            + F.lit(0.254829592)) * t
+    return poly * F.exp(-x * x)
+
+
+def mann_whitney_u(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (the nonparametric location companion
+    to :func:`ks_statistic` — "did the median shift?" without normality).
+
+    Scale design: both samples collapse to ONE row per DISTINCT value with
+    per-sample counts; midranks over the sorted grid are kept EXACT by
+    doubling (2·rank is always integer: 2·prev + t + 1), so the rank sum
+    R₁, U₁ = R₁ − n₁(n₁+1)/2, and the tie correction T = Σ(t³−t) are all
+    exact DECIMAL(38,0) algebra — no float ever decides them.  Only the
+    terminal z = (U₁ − n₁n₂/2)/σ (tie-corrected σ² = n₁n₂/12·((n+1) −
+    T/(n(n−1)))) and the two-sided normal p = erfc(|z|/√2) are floating
+    point (A&S erfc, no continuity correction — contract documented).
+    Returns one row: (n_ref, n_cur, u_ref, u_cur, z, p_value)."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("decimal(38,6)")
+    tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
+              .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
+              .filter(F.col("_v").isNotNull()))
+    per_v = tagged.groupBy("_v").agg(
+        F.sum("_r").cast("decimal(38,0)").alias("_c1"),
+        F.sum(1 - F.col("_r")).cast("decimal(38,0)").alias("_c2"))
+    w = (Window.orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t_ = (F.col("_c1") + F.col("_c2"))
+    grid = per_v.select(
+        "_c1", "_c2", t_.alias("_t"),
+        F.coalesce(F.sum(t_).over(w), F.lit(0)).cast("decimal(38,0)")
+        .alias("_prev"))
+    # 2·midrank of every tied row at this value (exact integer)
+    rank2 = F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1)
+    agg = grid.agg(
+        F.sum("_c1").cast("decimal(38,0)").alias("_n1"),
+        F.sum("_c2").cast("decimal(38,0)").alias("_n2"),
+        F.sum(F.col("_c1") * rank2).cast("decimal(38,0)").alias("_r1x2"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("decimal(38,0)").alias("_tcorr"))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    n = n1 + n2
+    # doubled exact numerator: 2·(U1 − n1·n2/2) = (R1x2 − 2·n1(n1+1)/2) − n1·n2
+    u1x2 = F.col("_r1x2") - n1 * (n1 + F.lit(1))
+    numx2 = u1x2 - n1 * n2
+    n1d, n2d, nd = (n1.cast("double"), n2.cast("double"), n.cast("double"))
+    sigma2 = (n1d * n2d / F.lit(12.0)
+              * ((nd + F.lit(1.0))
+                 - F.col("_tcorr").cast("double") / (nd * (nd - F.lit(1.0)))))
+    z = numx2.cast("double") / (F.lit(2.0) * F.sqrt(sigma2))
+    p = _erfc_as(F.abs(z) / F.sqrt(F.lit(2.0)))
+    return agg.select(
+        n1.cast("bigint").alias("n_ref"),
+        n2.cast("bigint").alias("n_cur"),
+        (u1x2.cast("double") / F.lit(2.0)).alias("u_ref"),
+        ((n1 * n2).cast("double") - u1x2.cast("double") / F.lit(2.0))
+        .alias("u_cur"),
+        F.round(z, 6).alias("z"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the parametric A/B
+    companion to :func:`bootstrap_ab_diff` (closed form, no resamples).
+
+    Scale design: ONE conditional-aggregation pass computes per-group
+    (n, Σx, Σx²) with values rounded 9 dp into DECIMAL(38,12) sums
+    (partition-order invariant); variance = (Σx² − (Σx)²/n)/(n−1) and
+    t = (m_a−m_b)/√(v_a/n_a + v_b/n_b) with the Welch–Satterthwaite df
+    are terminal fixed-order doubles.  Returns one row:
+    (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df)."""
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+    agg = base.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
+        F.sum(F.when(in_a, d9(x)).otherwise(F.lit(0).cast("decimal(38,12)")))
+        .alias("_sa"),
+        F.sum(F.when(in_b, d9(x)).otherwise(F.lit(0).cast("decimal(38,12)")))
+        .alias("_sb"),
+        F.sum(F.when(in_a, d9(x * x))
+              .otherwise(F.lit(0).cast("decimal(38,12)"))).alias("_qa"),
+        F.sum(F.when(in_b, d9(x * x))
+              .otherwise(F.lit(0).cast("decimal(38,12)"))).alias("_qb"))
+    nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    ma, mb = sa / nad, sb / nbd
+    va = (qa - sa * sa / nad) / (nad - F.lit(1.0))
+    vb = (qb - sb * sb / nbd) / (nbd - F.lit(1.0))
+    sea, seb = va / nad, vb / nbd
+    tstat = (ma - mb) / F.sqrt(sea + seb)
+    dfw = ((sea + seb) * (sea + seb)
+           / (sea * sea / (nad - F.lit(1.0))
+              + seb * seb / (nbd - F.lit(1.0))))
+    return agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"), F.round(vb, 6).alias("var_b"),
+        F.round(tstat, 6).alias("t_stat"), F.round(dfw, 6).alias("df"))
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, via Pearson on midranks)
+    — the monotonic-association metric the linear `table.corr_matrix`
+    can't see.
+
+    Scale design: midranks are assigned on each column's DISTINCT-value
+    grid (2·midrank = 2·prev + t + 1 is always integer, so ranks are
+    EXACT), joined back to rows by value (two value-keyed shuffles — the
+    grid side is the distinct frame, tiny after aggregation), and the
+    Pearson sufficient statistics over doubled ranks are exact
+    DECIMAL(38,0) sums; the doubling cancels in ρ.  Only the terminal
+    ratio/√ is floating point.  Returns (n, rho)."""
+    from pyspark.sql.window import Window
+
+    base = (df.select(F.col(x_col).cast("decimal(38,6)").alias("_x"),
+                      F.col(y_col).cast("decimal(38,6)").alias("_y"))
+            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+
+    def rank2_grid(col: str, out: str):
+        per_v = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per_v.select(
+            col,
+            (F.lit(2) * F.coalesce(F.sum("_t").over(w),
+                                   F.lit(0)).cast("decimal(38,0)")
+             + F.col("_t") + F.lit(1)).alias(out))
+
+    ranked = (base
+              .join(rank2_grid("_x", "_rx"), "_x")
+              .join(rank2_grid("_y", "_ry"), "_y"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_rx").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_ry").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).cast("decimal(38,0)").alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).cast("decimal(38,0)").alias("_sxy"))
+    n = F.col("_n")
+    cov = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        F.round(F.when((vx > 0) & (vy > 0),
+                       cov / F.sqrt(vx) / F.sqrt(vy)), 6).alias("rho"))
+
+
+def crosstab_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Categorical-association profile between two columns: Pearson χ²,
+    Cramér's V (bias-uncorrected), and mutual information in nats — the
+    feature-redundancy / leakage screen one_hot + corr_matrix can't do.
+
+    Scale design: ONE (a,b) hash aggregate over the table; margins are
+    rollups OF THE CELL FRAME (already tiny) broadcast back by key.  Zero
+    cells contribute only their expected count, folded in algebraically:
+    χ² = Σ_obs[(o−e)²/e − e] + n, so no dense grid is materialized.
+    Per-cell χ²/MI terms are exact-integer-derived doubles rounded 9 dp
+    into decimal sums (partition-order invariant); ln is the only
+    transcendental.  Returns (n, card_a, card_b, dof, chi2, cramers_v,
+    mutual_info)."""
+    cells = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_o")))
+    ma = cells.groupBy("_a").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_nb"))
+    tot = cells.agg(F.sum("_o").cast("decimal(38,0)").alias("_n"),
+                    F.countDistinct("_a").cast("bigint").alias("_ca"),
+                    F.countDistinct("_b").cast("bigint").alias("_cb"))
+    joined = (cells.join(F.broadcast(ma), "_a")
+              .join(F.broadcast(mb), "_b")
+              .crossJoin(F.broadcast(tot)))
+    o = F.col("_o").cast("double")
+    e = (F.col("_na") * F.col("_nb")).cast("double") / F.col("_n").cast("double")
+    d9 = lambda x: F.round(x, 9).cast("decimal(38,12)")  # noqa: E731
+    chi_term = d9((o - e) * (o - e) / e - e)
+    mi_term = d9(o / F.col("_n").cast("double")
+                 * F.log((F.col("_o") * F.col("_n")).cast("double")
+                         / (F.col("_na") * F.col("_nb")).cast("double")))
+    agg = joined.groupBy("_n", "_ca", "_cb").agg(
+        F.sum(chi_term).cast("double").alias("_chi_adj"),
+        F.sum(mi_term).cast("double").alias("_mi"))
+    nd = F.col("_n").cast("double")
+    chi2 = F.col("_chi_adj") + nd
+    dof = (F.col("_ca") - 1) * (F.col("_cb") - 1)
+    vmin = F.least(F.col("_ca"), F.col("_cb")).cast("double") - F.lit(1.0)
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_ca").alias("card_a"), F.col("_cb").alias("card_b"),
+        dof.cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.when(vmin > 0, F.sqrt(F.greatest(chi2, F.lit(0.0))
+                                        / (nd * vmin)))
+                .otherwise(F.lit(0.0)), 6).alias("cramers_v"),
+        F.round(F.greatest(F.col("_mi"), F.lit(0.0)), 6).alias("mutual_info"))
+
+
+def chi2_gof_bh(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group χ² goodness-of-fit vs the POOLED category distribution,
+    with Benjamini–Hochberg FDR adjustment across groups — the multiple-
+    testing-safe "which segments deviate?" screen (running m raw tests at
+    α inflates false positives; BH controls the false-discovery rate).
+
+    Scale design: ONE (group, cat) aggregate; expected counts come from
+    the two margin rollups of the cell frame (broadcast back).  Zero
+    cells fold in algebraically (χ²_g = Σ_obs[(o−e)²/e − e] + n_g).  The
+    upper-tail p-value uses the EXACT even-df closed form
+    Q(x) = e^{−x/2}·Σ_{i<df/2}(x/2)^i/i! evaluated as an in-plan
+    `aggregate(sequence(...))` fold (NULL for odd df — documented; the
+    category count fixes the parity).  BH: rank p ascending, adjusted
+    p = min_{j≥rank}(p_j·m/j) as a reverse running-min window over the m
+    group rows (bounded by group cardinality — the B-row bootstrap-window
+    class).  Returns per group: (group, n, chi2, dof, p_value,
+    p_adjusted, significant)."""
+    from pyspark.sql.window import Window
+
+    cells = (df.filter(F.col(group_col).isNotNull()
+                       & F.col(cat_col).isNotNull())
+             .groupBy(F.col(group_col).alias("_g"),
+                      F.col(cat_col).alias("_c"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_o")))
+    mg = cells.groupBy("_g").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_ng"))
+    mc = cells.groupBy("_c").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_nc"))
+    tot = cells.agg(F.sum("_o").cast("decimal(38,0)").alias("_n"),
+                    F.countDistinct("_c").cast("bigint").alias("_cc"))
+    joined = (cells.join(F.broadcast(mg), "_g")
+              .join(F.broadcast(mc), "_c")
+              .crossJoin(F.broadcast(tot)))
+    o = F.col("_o").cast("double")
+    e = ((F.col("_ng") * F.col("_nc")).cast("double")
+         / F.col("_n").cast("double"))
+    d9 = lambda x: F.round(x, 9).cast("decimal(38,12)")  # noqa: E731
+    per_g = joined.groupBy("_g", "_ng", "_cc").agg(
+        F.sum(d9((o - e) * (o - e) / e - e)).cast("double").alias("_adj"))
+    chi2 = F.round(F.col("_adj") + F.col("_ng").cast("double"), 9)
+    dof = F.col("_cc") - F.lit(1)
+    # exact even-df upper tail: e^{-x/2} * sum_{i=0}^{df/2-1} (x/2)^i / i!
+    # via an in-plan fold carrying (sum, term): term_i = term_{i-1}*(x/2)/i
+    halves = F.expr(
+        "aggregate(sequence(1, int(_dof/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / double(i), "
+        "'t', acc.t * (_chi/2.0d) / double(i)), acc -> acc.s)")
+    staged = per_g.select(
+        F.col("_g"), F.col("_ng"), chi2.alias("_chi"), dof.alias("_dof"))
+    pval = F.when(F.col("_dof") % 2 == 0,
+                  F.when(F.col("_dof") == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    withp = staged.select("_g", "_ng", "_chi", "_dof",
+                          F.round(pval, 9).alias("_p"))
+    m = Window.orderBy(F.lit(1))
+    asc = Window.orderBy(F.col("_p").asc(), F.col("_g").asc())
+    rev = (Window.orderBy(F.col("_p").asc(), F.col("_g").asc())
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    bh = withp.select(
+        "_g", "_ng", "_chi", "_dof", "_p",
+        F.count(F.lit(1)).over(m).cast("double").alias("_m"),
+        F.row_number().over(asc).cast("double").alias("_rk"))
+    bh = bh.select(
+        "_g", "_ng", "_chi", "_dof", "_p",
+        F.least(F.min(F.round(F.col("_p") * F.col("_m") / F.col("_rk"), 9))
+                .over(rev), F.lit(1.0)).alias("_padj"))
+    return bh.select(
+        F.col("_g").alias(group_col),
+        F.col("_ng").cast("bigint").alias("n"),
+        F.round(F.col("_chi"), 6).alias("chi2"),
+        F.col("_dof").alias("dof"),
+        F.round(F.col("_p"), 6).alias("p_value"),
+        F.round(F.col("_padj"), 6).alias("p_adjusted"),
+        (F.col("_padj") <= F.lit(alpha)).alias("significant"))
 
 
 TableGini = _simple_module(

@@ -2959,20 +2959,23 @@ def streaming_dedup_demo(spark, sf_dir):
     event_id) arriving inside the watermark horizon are dropped with BOUNDED
     state — the 100TB-stream answer to exact dedup, where a plain
     dropDuplicates would grow state forever.  Oracle-checkable because the
-    availableNow run ingests the (doubled) corpus in one batch, so the
-    complete-mode counts equal the batch distinct counts.  NOTE: the oracle
-    holds at sf<=0.01 where the whole table fits under the demo's
-    limit(20000); the driver's correctness gate runs at sf0.01."""
+    availableNow run ingests the (doubled) corpus in ONE batch (single
+    parquet file), so every duplicate lands inside the watermark horizon
+    and the complete-mode counts equal the batch distinct counts at ANY
+    sf (r8: the former limit(20000) + multi-file write let late-batch
+    duplicates slip past the advanced watermark at sf0.1)."""
     import tempfile
     import uuid
 
     from .streaming.windows import read_parquet_stream, run_stream_to_memory
 
-    ev = _t(spark, sf_dir, "events").limit(20000)
-    # duplicate every event once to give the dedup real work
+    ev = _t(spark, sf_dir, "events")
+    # duplicate every event once to give the dedup real work; ONE file ->
+    # one availableNow micro-batch -> no duplicate can arrive after the
+    # watermark advanced past its horizon
     doubled = ev.unionByName(ev)
     tmp = tempfile.mkdtemp(prefix="kiara_stream_dedup_")
-    doubled.write.mode("overwrite").parquet(tmp)
+    doubled.coalesce(1).write.mode("overwrite").parquet(tmp)
     stream = read_parquet_stream(spark, tmp)
     result = (
         stream.withWatermark("ts", "2 hours")
@@ -3007,15 +3010,16 @@ def streaming_join_demo(spark, sf_dir):
     can arrive.  This is the streaming twin of the batch as-of/range joins
     (operators/joins.py).  Oracle-checkable: the availableNow run ingests
     everything in one batch (4 files < maxFilesPerTrigger), so every match
-    is emitted before any state eviction; holds at sf<=0.01 where the
-    click+purchase subset fits under limit(8000)."""
+    is emitted before any state eviction — exact at ANY sf (r8: the
+    former limit(8000) made the engine join an arbitrary subset the
+    oracle could not mirror above sf0.01)."""
     import tempfile
     import uuid
 
     from .streaming.windows import read_parquet_stream, run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events") \
-        .filter(F.col("event_type").isin("click", "purchase")).limit(8000)
+        .filter(F.col("event_type").isin("click", "purchase"))
     tmp = tempfile.mkdtemp(prefix="kiara_stream_join_")
     ev.coalesce(4).write.mode("overwrite").parquet(tmp)
     stream = read_parquet_stream(spark, tmp)
@@ -11211,9 +11215,11 @@ def ml_knn_classify_q(spark, sf_dir):
       FROM per_v
     ), cand AS (
       SELECT v, nl, slv, n, st,
-             ROUND(CAST(slv AS DOUBLE) * CAST(slv AS DOUBLE)
+             -- ROUND(...,4) while decimal before the double cast:
+             -- exact cast on both engines (mirrors the engine)
+             ROUND(CAST(ROUND(slv, 4) AS DOUBLE) * CAST(ROUND(slv, 4) AS DOUBLE)
                      / CAST(nl AS DOUBLE)
-                   + CAST(st - slv AS DOUBLE) * CAST(st - slv AS DOUBLE)
+                   + CAST(ROUND(st - slv, 4) AS DOUBLE) * CAST(ROUND(st - slv, 4) AS DOUBLE)
                      / CAST(n - nl AS DOUBLE), 6) AS sc
       FROM cum CROSS JOIN tot WHERE nl < n
     ), rk AS (
@@ -11221,11 +11227,12 @@ def ml_knn_classify_q(spark, sf_dir):
     )
     SELECT CAST(v AS DOUBLE) AS split_value, nl AS n_left,
            CAST(n - nl AS BIGINT) AS n_right,
-           ROUND(CAST(slv AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS mean_left,
-           ROUND(CAST(st - slv AS DOUBLE) / CAST(n - nl AS DOUBLE), 6)
-             AS mean_right,
+           ROUND(CAST(ROUND(slv, 4) AS DOUBLE) / CAST(nl AS DOUBLE), 6)
+             AS mean_left,
+           ROUND(CAST(ROUND(st - slv, 4) AS DOUBLE)
+                 / CAST(n - nl AS DOUBLE), 6) AS mean_right,
            sc AS score,
-           ROUND(sc - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+           ROUND(sc - CAST(ROUND(st, 4) AS DOUBLE) * CAST(ROUND(st, 4) AS DOUBLE)
                         / CAST(n AS DOUBLE), 6) AS gain
     FROM rk WHERE rn = 1
     """,
