@@ -357,6 +357,13 @@ BENCH_QUERIES = [
     "stats_cuped_views_purchases",
     "stats_bootstrap_ab_diff",
     "sim_recall_truncated_dims",
+    # round 8b: classical-stats battery
+    "stats_mann_whitney_orders",
+    "stats_welch_ttest_orders",
+    "stats_spearman_lineitem",
+    "stats_cramers_v_orders",
+    "stats_chi2_bh_documents",
+    "text_good_turing_bigrams",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

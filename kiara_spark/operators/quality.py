@@ -2726,6 +2726,20 @@ def ndcg_at_k(
                 .otherwise(F.lit(0.0)), 6).alias("mrr"))
 
 
+def _split_cast(c: Column) -> Column:
+    """DECIMAL → DOUBLE that both engines compute bit-identically even
+    past 2^53: cast the integer part and the sub-1 fraction separately
+    (each cast is a single correctly-rounded operation at its magnitude)
+    and add once in IEEE double.  A straight decimal(38,s)→double cast of
+    a >2^53 scaled value is implementation-defined (hugeint paths double-
+    round) — the regression-stump divergence.  Bit-exact while the
+    integer part stays under 2^53 (~9·10¹⁵ — covers the bench SFs with
+    wide margin); beyond that only the fraction-free hugeint conversion
+    remains exposed (document per-operator envelopes)."""
+    i = F.floor(c).cast("decimal(38,0)")
+    return i.cast("double") + (c - i).cast("double")
+
+
 def _erfc_as(x: Column) -> Column:
     """erfc(x) for x >= 0 via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7):
     fixed-order IEEE polynomial + one exp — the only transcendental, same
@@ -2810,12 +2824,18 @@ def welch_ttest(
     companion to :func:`bootstrap_ab_diff` (closed form, no resamples).
 
     Scale design: ONE conditional-aggregation pass computes per-group
-    (n, Σx, Σx²) with values rounded 9 dp into DECIMAL(38,12) sums
-    (partition-order invariant); variance = (Σx² − (Σx)²/n)/(n−1) and
+    (n, Σx, Σx²) as EXACT decimal sums at the values' natural scale
+    (2-dp currency → Σx exact at scale 2, Σx² at scale 4; callers with
+    finer values pre-round); variance = (Σx² − (Σx)²/n)/(n−1) and
     t = (m_a−m_b)/√(v_a/n_a + v_b/n_b) with the Welch–Satterthwaite df
-    are terminal fixed-order doubles.  Returns one row:
+    are terminal fixed-order doubles.  The Σx² sums exceed 2^53, where
+    a straight decimal→double cast is implementation-defined (engines
+    drift ulps — the regression-stump lesson); :func:`_split_cast`
+    converts via exactly-castable integer + fraction parts instead, so
+    both engines see bit-identical doubles.  Returns one row:
     (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df)."""
-    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
+    d4 = lambda e: F.round(e, 4).cast("decimal(38,4)")  # noqa: E731
     x = F.col(value_col).cast("double")
     in_a = F.col(group_col) == group_a
     in_b = F.col(group_col) == group_b
@@ -2823,17 +2843,17 @@ def welch_ttest(
     agg = base.agg(
         F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
         F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
-        F.sum(F.when(in_a, d9(x)).otherwise(F.lit(0).cast("decimal(38,12)")))
+        F.sum(F.when(in_a, d2(x)).otherwise(F.lit(0).cast("decimal(38,2)")))
         .alias("_sa"),
-        F.sum(F.when(in_b, d9(x)).otherwise(F.lit(0).cast("decimal(38,12)")))
+        F.sum(F.when(in_b, d2(x)).otherwise(F.lit(0).cast("decimal(38,2)")))
         .alias("_sb"),
-        F.sum(F.when(in_a, d9(x * x))
-              .otherwise(F.lit(0).cast("decimal(38,12)"))).alias("_qa"),
-        F.sum(F.when(in_b, d9(x * x))
-              .otherwise(F.lit(0).cast("decimal(38,12)"))).alias("_qb"))
+        F.sum(F.when(in_a, d4(x * x))
+              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qa"),
+        F.sum(F.when(in_b, d4(x * x))
+              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qb"))
     nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
-    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
-    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    sa, sb = _split_cast(F.col("_sa")), _split_cast(F.col("_sb"))
+    qa, qb = _split_cast(F.col("_qa")), _split_cast(F.col("_qb"))
     ma, mb = sa / nad, sb / nbd
     va = (qa - sa * sa / nad) / (nad - F.lit(1.0))
     vb = (qb - sb * sb / nbd) / (nbd - F.lit(1.0))
@@ -3004,12 +3024,15 @@ def chi2_gof_bh(
     dof = F.col("_cc") - F.lit(1)
     # exact even-df upper tail: e^{-x/2} * sum_{i=0}^{df/2-1} (x/2)^i / i!
     # via an in-plan fold carrying (sum, term): term_i = term_{i-1}*(x/2)/i
+    # sequence(1, 0) is DESCENDING in Spark, not empty — df=2 (a single
+    # i=0 term, sum = 1) must bypass the fold explicitly
     halves = F.expr(
+        "CASE WHEN _dof < 4 THEN 1.0d ELSE "
         "aggregate(sequence(1, int(_dof/2) - 1), "
         "named_struct('s', 1.0d, 't', 1.0d), "
         "(acc, i) -> named_struct("
-        "'s', acc.s + acc.t * (_chi/2.0d) / double(i), "
-        "'t', acc.t * (_chi/2.0d) / double(i)), acc -> acc.s)")
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
     staged = per_g.select(
         F.col("_g"), F.col("_ng"), chi2.alias("_chi"), dof.alias("_dof"))
     pval = F.when(F.col("_dof") % 2 == 0,
@@ -3395,13 +3418,84 @@ TableCuped = _simple_module(
         "and the variance-reduction factor from one aggregate.",
 )
 
+TableMannWhitney = _simple_module(
+    "table.drift.mann_whitney",
+    {"reference": TABLE, "current": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": mann_whitney_u(
+        im["reference"].data, im["current"].data,
+        self.config["value_column"])},
+    doc="Mann-Whitney U rank-sum test over the distinct-value grid — "
+        "exact doubled midranks, tie-corrected normal z, A&S p-value.",
+)
+
+TableWelchTtest = _simple_module(
+    "table.stats.welch_ttest",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": welch_ttest(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"], self.config["group_a"],
+        self.config["group_b"])},
+    doc="Welch's unequal-variance two-sample t-test from one "
+        "conditional-aggregation pass (decimal-exact sufficient stats).",
+)
+
+TableSpearman = _simple_module(
+    "table.stats.spearman",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": spearman_correlation(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"])},
+    doc="Spearman rank correlation via exact doubled midranks on the "
+        "distinct-value grids (tie-corrected, Pearson-on-ranks).",
+)
+
+TableCrosstabAssoc = _simple_module(
+    "table.stats.crosstab_association",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": crosstab_association(
+        im["table"].data, self.config["column_a"],
+        self.config["column_b"])},
+    doc="Categorical association: Pearson chi2, Cramér's V and mutual "
+        "information from one (a,b) aggregate + margin rollups.",
+)
+
+TableChi2Bh = _simple_module(
+    "table.stats.chi2_gof_bh",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": chi2_gof_bh(
+        im["table"].data, self.config["group_column"],
+        self.config["category_column"],
+        alpha=self.config.get("alpha", 0.05))},
+    doc="Per-group chi2 goodness-of-fit vs the pooled distribution with "
+        "Benjamini-Hochberg FDR adjustment across groups.",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
             TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg,
             TableRidgeNormal, TableKfoldCvOls, TableCuped,
-            TableBootstrapAbDiff]
+            TableBootstrapAbDiff,
+            TableMannWhitney, TableWelchTtest, TableSpearman,
+            TableCrosstabAssoc, TableChi2Bh]
 
 OPERATIONS = [
+    Operation("table.drift.mann_whitney", "table.drift.mann_whitney",
+              doc="Mann-Whitney U rank-sum location test (tie-corrected)"),
+    Operation("table.stats.welch_ttest", "table.stats.welch_ttest",
+              doc="Welch's unequal-variance two-sample t-test"),
+    Operation("table.stats.spearman", "table.stats.spearman",
+              doc="Spearman rank correlation (exact midranks)"),
+    Operation("table.stats.crosstab_association",
+              "table.stats.crosstab_association",
+              doc="chi2 / Cramér's V / mutual information between "
+                  "two categorical columns"),
+    Operation("table.stats.chi2_gof_bh", "table.stats.chi2_gof_bh",
+              doc="per-group chi2 GOF screen with Benjamini-Hochberg FDR"),
     Operation("table.ml.ridge_regression", "table.ml.ridge_regression",
               doc="L2-regularized OLS via penalized normal equations"),
     Operation("table.ml.kfold_cv", "table.ml.kfold_cv",

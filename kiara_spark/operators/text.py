@@ -1820,6 +1820,53 @@ def lexical_richness(
         F.round(F.log(v) / F.log(n), 6).alias("herdan_c"))
 
 
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over the corpus
+    vocabulary: N_r = #words occurring exactly r times, the smoothed
+    count r* = (r+1)·N_{r+1}/N_r, and the GT probability p = r*/N — the
+    classical unseen-mass estimator underneath Kneser-Ney (`N_1/N` is the
+    probability mass of words never seen; r* discounts low counts).
+
+    Scale design: ONE (gram) hash aggregate over the corpus (the only
+    text pass — same shape as :func:`lexical_richness`), then a
+    count-of-counts aggregate whose output is at most |distinct r| rows
+    (≈√V — tiny), self-joined on r+1.  Exact integers throughout;
+    r*/p are terminal divisions.  Rows with no N_{r+1} bucket keep NULL
+    r*/p (the raw-count fallback — documented contract).
+    ``ngram_n=2`` smooths consecutive-bigram counts (the usual LM
+    setting — bigram tables are where the rare-count tail lives).
+    Returns (r, n_r, r_star, p_gt) for r ≤ max_r."""
+    if ngram_n == 2:
+        grams = (_bigram_rows(df, text_col)
+                 .select(F.concat_ws(" ", "w1", "w2").alias("_w")))
+    else:
+        grams = df.select(F.explode(tokens_col(F.col(text_col)))
+                          .alias("_w"))
+    counts = (grams.groupBy("_w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("_r")))
+    freq = (counts.groupBy("_r")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_nr")))
+    tot = counts.agg(
+        F.sum(F.col("_r").cast("decimal(38,0)")).cast("bigint").alias("_n"))
+    nxt = freq.select((F.col("_r") - 1).alias("_r"),
+                      F.col("_nr").alias("_nr1"))
+    out = (freq.join(nxt, "_r", "left")
+           .crossJoin(F.broadcast(tot))
+           .filter(F.col("_r") <= max_r))
+    rstar = ((F.col("_r") + 1).cast("double") * F.col("_nr1").cast("double")
+             / F.col("_nr").cast("double"))
+    return out.select(
+        F.col("_r").alias("r"),
+        F.col("_nr").alias("n_r"),
+        F.round(rstar, 6).alias("r_star"),
+        F.round(rstar / F.col("_n").cast("double"), 9).alias("p_gt"))
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -2324,6 +2371,10 @@ class TextCleanC4(KiaraModule):
             min_sentences=self.config.get("min_sentences", 3))}
 
 
+TextGoodTuring = _mk("text.good_turing", good_turing,
+                     "Good-Turing frequency-of-frequencies table "
+                     "(N_r, r*, GT probabilities)")
+
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
            TextPackTokenBudget, TextPackConcat, TableMixtureSample, TableTokenBudgetCap,
@@ -2335,7 +2386,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
            TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit,
-           TextCollocationsLlr, TextLexicalRichness]
+           TextCollocationsLlr, TextLexicalRichness, TextGoodTuring]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2367,6 +2418,8 @@ OPERATIONS = [
               doc="Zipf's-law slope/R² over top-token frequencies"),
     Operation("text.collocations_llr", "text.collocations_llr",
               doc="Dunning G² collocation/phrase detection"),
+    Operation("text.good_turing", "text.good_turing",
+              doc="Good-Turing frequency-of-frequencies smoothing table"),
     Operation("text.lexical_richness", "text.lexical_richness",
               doc="per-group TTR / hapax ratio / Herdan's C profile"),
     Operation("text.js_divergence", "text.js_divergence",

@@ -13716,6 +13716,355 @@ def stats_bootstrap_ab_diff_q(spark, sf_dir):
                              salt="boot")
 
 
+# ---------------------------------------------------------------------------
+# round 8b: classical-stats battery — rank tests, Welch, categorical
+# association, FDR-adjusted segment screening, Good-Turing smoothing
+# ---------------------------------------------------------------------------
+
+# A&S 7.1.26 erfc mirrored verbatim into SQL (same fixed IEEE order as
+# operators/quality.py:_erfc_as); {x} is the erfc argument expression
+_ERFC = ("((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t}"
+         " - 0.284496736) * {t} + 0.254829592) * {t} * EXP(-({x}) * ({x}))")
+
+
+def _erfc_sql(x: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    return _ERFC.format(t=t, x=x)
+
+
+@query(
+    "stats_mann_whitney_orders",
+    f"""
+    WITH tagged AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,6)) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END AS r
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), per_v AS (
+      SELECT v, CAST(SUM(r) AS DECIMAL(38,0)) AS c1,
+             CAST(SUM(1 - r) AS DECIMAL(38,0)) AS c2
+      FROM tagged GROUP BY v
+    ), grid AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS DECIMAL(38,0)) AS prev
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS DECIMAL(38,0)) AS n1,
+             CAST(SUM(c2) AS DECIMAL(38,0)) AS n2,
+             CAST(SUM(c1 * (2*prev + t + 1)) AS DECIMAL(38,0)) AS r1x2,
+             CAST(SUM(t*t*t - t) AS DECIMAL(38,0)) AS tc
+      FROM grid
+    ), fin AS (
+      SELECT n1, n2, r1x2 - n1*(n1+1) AS u1x2, tc FROM agg
+    ), zz AS (
+      SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+             CAST(u1x2 AS DOUBLE) / 2.0 AS u_ref,
+             CAST(n1*n2 AS DOUBLE) - CAST(u1x2 AS DOUBLE) / 2.0 AS u_cur,
+             CAST(u1x2 - n1*n2 AS DOUBLE)
+               / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                  * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                     - CAST(tc AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE)
+                          * (CAST(n1 + n2 AS DOUBLE) - 1.0))))) AS zv
+      FROM fin
+    )
+    SELECT n_ref, n_cur, u_ref, u_cur, ROUND(zv, 6) AS z,
+           ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 6)
+             AS p_value
+    FROM zz
+    """,
+)
+def stats_mann_whitney_q(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: did the pre-1996 vs post-1996 order
+    price DISTRIBUTION shift in location? (the nonparametric twin of the
+    same split's `drift_ks_orders`).  Exact doubled midranks over the
+    distinct-value grid, exact DECIMAL(38,0) tie correction, terminal
+    tie-corrected z + A&S-erfc two-sided p."""
+    from .operators.quality import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    return mann_whitney_u(o.filter(split), o.filter(~split), "o_totalprice")
+
+
+@query(
+    "stats_welch_ttest_orders",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        SUM(CASE WHEN g = 'O' THEN CAST(ROUND(x, 2) AS DECIMAL(38,2))
+                 ELSE CAST(0 AS DECIMAL(38,2)) END) AS sa,
+        SUM(CASE WHEN g = 'F' THEN CAST(ROUND(x, 2) AS DECIMAL(38,2))
+                 ELSE CAST(0 AS DECIMAL(38,2)) END) AS sb,
+        SUM(CASE WHEN g = 'O' THEN CAST(ROUND(x * x, 4) AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
+        SUM(CASE WHEN g = 'F' THEN CAST(ROUND(x * x, 4) AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS qb
+      FROM base
+    ), d AS (
+      -- split-cast: integer + fraction parts each cast exactly, so both
+      -- engines see bit-identical doubles past 2^53 (stump lesson)
+      SELECT na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(FLOOR(sa) AS DOUBLE) + CAST(sa - FLOOR(sa) AS DOUBLE)
+               AS sad,
+             CAST(FLOOR(sb) AS DOUBLE) + CAST(sb - FLOOR(sb) AS DOUBLE)
+               AS sbd,
+             CAST(FLOOR(qa) AS DOUBLE) + CAST(qa - FLOOR(qa) AS DOUBLE)
+               AS qad,
+             CAST(FLOOR(qb) AS DOUBLE) + CAST(qb - FLOOR(qb) AS DOUBLE)
+               AS qbd
+      FROM agg
+    ), v AS (
+      SELECT na, nb, nad, nbd,
+             sad / nad AS ma, sbd / nbd AS mb,
+             (qad - sad * sad / nad) / (nad - 1.0) AS va,
+             (qbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+      FROM d
+    ), se AS (
+      SELECT na, nb, ma, mb, va, vb, nad, nbd,
+             va / nad AS sea, vb / nbd AS seb
+      FROM v
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+           ROUND((ma - mb) / SQRT(sea + seb), 6) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)), 6)
+             AS df
+    FROM se
+    """,
+)
+def stats_welch_ttest_q(spark, sf_dir):
+    """Welch's unequal-variance t-test: open ('O') vs fulfilled ('F')
+    order totals — one conditional-aggregation pass (decimal-exact
+    sufficient statistics), closed-form t + Welch-Satterthwaite df; the
+    parametric companion to `stats_bootstrap_ab_diff`."""
+    from .operators.quality import welch_ttest
+
+    return welch_ttest(_t(spark, sf_dir, "orders"), "o_orderstatus",
+                       "o_totalprice", "O", "F")
+
+
+@query(
+    "stats_spearman_lineitem",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS DECIMAL(38,6)) AS x,
+             CAST(l_extendedprice AS DECIMAL(38,6)) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), gx AS (
+      SELECT x, CAST(2 AS DECIMAL(38,0)) * CAST(COALESCE(SUM(t) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS DECIMAL(38,0)) + t + 1 AS rx
+      FROM (SELECT x, CAST(COUNT(*) AS DECIMAL(38,0)) AS t
+            FROM base GROUP BY x)
+    ), gy AS (
+      SELECT y, CAST(2 AS DECIMAL(38,0)) * CAST(COALESCE(SUM(t) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS DECIMAL(38,0)) + t + 1 AS ry
+      FROM (SELECT y, CAST(COUNT(*) AS DECIMAL(38,0)) AS t
+            FROM base GROUP BY y)
+    ), ranked AS (
+      SELECT rx, ry FROM base JOIN gx USING (x) JOIN gy USING (y)
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                       AND CAST(n*syy - sy*sy AS DOUBLE) > 0
+                 THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                      / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                      / SQRT(CAST(n*syy - sy*sy AS DOUBLE)) END, 6) AS rho
+    FROM agg
+    """,
+)
+def stats_spearman_q(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price —
+    exact doubled midranks on each column's distinct-value grid (ties
+    exact, no float rank), exact DECIMAL(38,0) Pearson sufficient
+    statistics over the ranks, one terminal ratio."""
+    from .operators.quality import spearman_correlation
+
+    return spearman_correlation(_t(spark, sf_dir, "lineitem"),
+                                "l_quantity", "l_extendedprice")
+
+
+@query(
+    "stats_cramers_v_orders",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ), ma AS (SELECT a, CAST(SUM(o) AS DECIMAL(38,0)) AS na
+              FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(o) AS DECIMAL(38,0)) AS nb
+           FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS DECIMAL(38,0)) AS n,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS ca,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS cb
+            FROM cells),
+    j AS (
+      SELECT o, na, nb, n, ca, cb,
+             CAST(na * nb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    ), terms AS (
+      SELECT n, ca, cb,
+             CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - e)
+                                 * (CAST(o AS DOUBLE) - e) / e - e, 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS chi_adj,
+             CAST(SUM(CAST(ROUND(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * LN(CAST(o * n AS DOUBLE)
+                                      / CAST(na * nb AS DOUBLE)), 9)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS mi
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n, ca AS card_a, cb AS card_b,
+           CAST((ca - 1) * (cb - 1) AS BIGINT) AS dof,
+           ROUND(chi_adj + CAST(n AS DOUBLE), 6) AS chi2,
+           ROUND(CASE WHEN LEAST(ca, cb) > 1
+                 THEN SQRT(GREATEST(chi_adj + CAST(n AS DOUBLE), 0.0)
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(LEAST(ca, cb) AS DOUBLE) - 1.0)))
+                 ELSE 0.0 END, 6) AS cramers_v,
+           ROUND(GREATEST(mi, 0.0), 6) AS mutual_info
+    FROM terms
+    """,
+)
+def stats_cramers_v_q(spark, sf_dir):
+    """Categorical association between order priority and order status:
+    Pearson χ², Cramér's V and mutual information from ONE (a,b) cell
+    aggregate + margin rollups — zero cells folded in algebraically
+    (χ² = Σ_obs[(o−e)²/e − e] + n), round-9 decimal term sums."""
+    from .operators.quality import crosstab_association
+
+    return crosstab_association(_t(spark, sf_dir, "orders"),
+                                "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "stats_chi2_bh_documents",
+    """
+    WITH cells AS (
+      SELECT source AS g, lang AS c,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ), mg AS (SELECT g, CAST(SUM(o) AS DECIMAL(38,0)) AS ng
+              FROM cells GROUP BY g),
+    mc AS (SELECT c, CAST(SUM(o) AS DECIMAL(38,0)) AS nc
+           FROM cells GROUP BY c),
+    tot AS (SELECT CAST(SUM(o) AS DECIMAL(38,0)) AS n,
+                   CAST(COUNT(DISTINCT c) AS BIGINT) AS cc
+            FROM cells),
+    j AS (
+      SELECT g, ng, cc, o,
+             CAST(ng * nc AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM cells JOIN mg USING (g) JOIN mc USING (c) CROSS JOIN tot
+    ), per_g AS (
+      SELECT g, ng, cc,
+             ROUND(CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - e)
+                                       * (CAST(o AS DOUBLE) - e) / e
+                                       - e, 9) AS DECIMAL(38,12)))
+                        AS DOUBLE) + CAST(ng AS DOUBLE), 9) AS chi
+      FROM j GROUP BY 1, 2, 3
+    ), withp AS (
+      -- df = 4 (5 langs): exact even-df tail e^{-x/2}*(1 + x/2)
+      SELECT g, ng, chi, cc - 1 AS dof,
+             ROUND(LEAST(EXP(-chi / 2.0) * (1.0 + chi / 2.0), 1.0), 9) AS p
+      FROM per_g
+    ), bh AS (
+      SELECT g, ng, chi, dof, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, g) AS DOUBLE) AS rk,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS m
+      FROM withp
+    ), adj AS (
+      SELECT g, ng, chi, dof, p,
+             LEAST(MIN(ROUND(p * m / rk, 9)) OVER (ORDER BY p, g
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                   1.0) AS padj
+      FROM bh
+    )
+    SELECT g AS source, CAST(ng AS BIGINT) AS n,
+           ROUND(chi, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
+           ROUND(p, 6) AS p_value, ROUND(padj, 6) AS p_adjusted,
+           padj <= 0.05 AS significant
+    FROM adj
+    """,
+)
+def stats_chi2_bh_q(spark, sf_dir):
+    """Which corpus sources deviate from the pooled language mix?
+    Per-source χ² goodness-of-fit vs the pooled lang distribution with
+    Benjamini-Hochberg FDR adjustment across the 20 sources — exact
+    even-df closed-form p (df=4 → e^{−χ²/2}(1+χ²/2), the in-plan
+    sequence-fold path), reverse-running-min BH window over the bounded
+    group frame; the multiple-testing-safe contamination screen for a
+    training-data mixture."""
+    from .operators.quality import chi2_gof_bh
+
+    return chi2_gof_bh(_t(spark, sf_dir, "documents"),
+                       "source", "lang", alpha=0.05)
+
+
+@query(
+    "text_good_turing_bigrams",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS w
+      FROM toks, UNNEST(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2
+    ), wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM bg GROUP BY w
+    ), freq AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM wc GROUP BY r
+    ), tot AS (
+      SELECT CAST(SUM(CAST(r AS DECIMAL(38,0))) AS BIGINT) AS n FROM wc
+    )
+    SELECT f.r, f.nr AS n_r,
+           ROUND(CAST(f.r + 1 AS DOUBLE) * CAST(g.nr AS DOUBLE)
+                 / CAST(f.nr AS DOUBLE), 6) AS r_star,
+           ROUND(CAST(f.r + 1 AS DOUBLE) * CAST(g.nr AS DOUBLE)
+                 / CAST(f.nr AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_gt
+    FROM freq f LEFT JOIN freq g ON g.r = f.r + 1 CROSS JOIN tot
+    WHERE f.r <= 10
+    """,
+)
+def text_good_turing_q(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies over the corpus BIGRAM table
+    (where the rare-count tail lives): N_r (how many bigrams occur
+    exactly r times), the smoothed count r* = (r+1)·N_{r+1}/N_r, and the
+    GT probability r*/N for r ≤ 10 — the classical unseen-mass /
+    discounting estimator underneath the Kneser-Ney LM.  One bigram
+    aggregate (the only text pass), a count-of-counts aggregate (~√V
+    rows), and a self-join on r+1 of that tiny frame; exact integers,
+    terminal divisions."""
+    from .operators.text import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"), "text",
+                       max_r=10, ngram_n=2)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

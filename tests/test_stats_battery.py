@@ -1,0 +1,280 @@
+"""Classical-statistics battery (round 8b): Mann-Whitney U, Welch's
+t-test, Spearman rank correlation, crosstab association (chi2 / Cramér's
+V / mutual information), per-group chi2 GOF with Benjamini-Hochberg FDR,
+and Good-Turing smoothing — hand-computed oracles on tiny frames."""
+
+import math
+
+import pytest
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_separated_samples(spark):
+    """ref strictly below cur: U_ref = 0, U_cur = n1*n2, z < 0."""
+    from kiara_spark.operators.quality import mann_whitney_u
+
+    ref = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    cur = spark.createDataFrame([(4.0,), (5.0,), (6.0,)], "v double")
+    r = _one(mann_whitney_u(ref, cur, "v"))
+    assert (r.n_ref, r.n_cur) == (3, 3)
+    assert r.u_ref == 0.0 and r.u_cur == 9.0
+    assert r.z < 0
+
+
+def test_mann_whitney_midranks_and_tie_correction(spark):
+    """ref=[1,2,2], cur=[2,3]: the three 2s share midrank (2+3+4)/3 = 3.
+    R1 = 1 + 3 + 3 = 7, U1 = 7 - 6 = 1; T = 3^3 - 3 = 24.
+    sigma^2 = (6/12)*((5+1) - 24/(5*4)) = 2.4; z = (1-3)/sqrt(2.4)."""
+    from kiara_spark.operators.quality import mann_whitney_u
+
+    ref = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    cur = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = _one(mann_whitney_u(ref, cur, "v"))
+    assert r.u_ref == 1.0 and r.u_cur == 5.0
+    assert r.z == pytest.approx(-2.0 / math.sqrt(2.4), abs=1e-6)
+    # two-sided p = erfc(|z|/sqrt(2)), A&S approx good to ~1.5e-7
+    z = 2.0 / math.sqrt(2.4)
+    assert r.p_value == pytest.approx(math.erfc(z / math.sqrt(2)), abs=1e-6)
+
+
+def test_mann_whitney_identical_samples_centered(spark):
+    from kiara_spark.operators.quality import mann_whitney_u
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = _one(mann_whitney_u(a, a, "v"))
+    assert r.u_ref == r.u_cur == 50.0
+    assert r.z == 0.0 and r.p_value == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test
+# ---------------------------------------------------------------------------
+
+def test_welch_matches_hand_computation(spark):
+    from kiara_spark.operators.quality import welch_ttest
+
+    xs = [1.25, 2.50, 3.75, 8.00]
+    ys = [2.00, 4.00, 9.00]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = _one(welch_ttest(df, "g", "v", "a", "b"))
+
+    def mv(s):
+        m = sum(s) / len(s)
+        return m, sum((x - m) ** 2 for x in s) / (len(s) - 1)
+
+    ma, va = mv(xs)
+    mb, vb = mv(ys)
+    sea, seb = va / len(xs), vb / len(ys)
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dfw = (sea + seb) ** 2 / (sea ** 2 / (len(xs) - 1)
+                              + seb ** 2 / (len(ys) - 1))
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.mean_a == pytest.approx(ma, abs=1e-6)
+    assert r.var_a == pytest.approx(va, abs=1e-6)
+    assert r.var_b == pytest.approx(vb, abs=1e-6)
+    assert r.t_stat == pytest.approx(t, abs=1e-6)
+    assert r.df == pytest.approx(dfw, abs=1e-6)
+
+
+def test_welch_ignores_nulls_and_foreign_groups(spark):
+    from kiara_spark.operators.quality import welch_ttest
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", None), ("b", 2.0), ("b", 6.0),
+            ("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = _one(welch_ttest(df, "g", "v", "a", "b"))
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.mean_a == 2.0 and r.mean_b == 4.0
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+# ---------------------------------------------------------------------------
+
+def test_spearman_perfect_monotone(spark):
+    from kiara_spark.operators.quality import spearman_correlation
+
+    rows = [(float(i), float(i * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert _one(spearman_correlation(df, "x", "y")).rho == 1.0
+    rows = [(float(i), float(-i * i * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert _one(spearman_correlation(df, "x", "y")).rho == -1.0
+
+
+def test_spearman_ties_match_pearson_on_midranks(spark):
+    from kiara_spark.operators.quality import spearman_correlation
+
+    xs = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 5.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 5.0, 9.0]
+
+    def midranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(below + (ties + 1) / 2.0)
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = ((n * sxy - sx * sy)
+           / math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy))
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = _one(spearman_correlation(df, "x", "y"))
+    assert r.n == 7
+    assert r.rho == pytest.approx(rho, abs=1e-6)
+
+
+def test_spearman_constant_column_is_null(spark):
+    from kiara_spark.operators.quality import spearman_correlation
+
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+                               "x double, y double")
+    assert _one(spearman_correlation(df, "x", "y")).rho is None
+
+
+# ---------------------------------------------------------------------------
+# Crosstab association
+# ---------------------------------------------------------------------------
+
+def test_crosstab_independent_is_zero(spark):
+    """A 2x2 product distribution: chi2 = 0, V = 0, MI = 0 exactly."""
+    from kiara_spark.operators.quality import crosstab_association
+
+    rows = ([("x", "p")] * 6 + [("x", "q")] * 2
+            + [("y", "p")] * 3 + [("y", "q")] * 1)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _one(crosstab_association(df, "a", "b"))
+    assert (r.n, r.card_a, r.card_b, r.dof) == (12, 2, 2, 1)
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.cramers_v == pytest.approx(0.0, abs=1e-6)
+    assert r.mutual_info == pytest.approx(0.0, abs=1e-6)
+
+
+def test_crosstab_perfect_dependence(spark):
+    """b == a over k=3 uniform classes: V = 1, MI = ln 3, chi2 = n*(k-1)."""
+    from kiara_spark.operators.quality import crosstab_association
+
+    rows = [(c, c) for c in ("x", "y", "z") for _ in range(4)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = _one(crosstab_association(df, "a", "b"))
+    assert r.chi2 == pytest.approx(12 * 2, abs=1e-6)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+    assert r.mutual_info == pytest.approx(math.log(3), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# chi2 GOF + BH
+# ---------------------------------------------------------------------------
+
+def test_chi2_bh_uniform_groups_not_significant(spark):
+    """Every group shares the pooled mix exactly: chi2 = 0, p = 1."""
+    from kiara_spark.operators.quality import chi2_gof_bh
+
+    rows = [(g, c) for g in ("g1", "g2", "g3")
+            for c in ("a", "b", "c") for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.g: r for r in chi2_gof_bh(df, "g", "c").collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+        assert r.dof == 2
+        assert r.p_value == pytest.approx(1.0, abs=1e-6)
+        assert r.p_adjusted == pytest.approx(1.0, abs=1e-6)
+        assert not r.significant
+
+
+def test_chi2_bh_skewed_group_detected_and_df2_closed_form(spark):
+    """One group heavily skewed: its p = exp(-chi2/2) (df=2), BH keeps
+    adjusted p monotone in raw p and the skewed group significant."""
+    from kiara_spark.operators.quality import chi2_gof_bh
+
+    rows = ([("even", c) for c in ("a", "b", "c") for _ in range(20)]
+            + [("skew", "a")] * 55 + [("skew", "b")] * 4
+            + [("skew", "c")] * 1)
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.g: r for r in chi2_gof_bh(df, "g", "c").collect()}
+    skew = out["skew"]
+    assert skew.p_value == pytest.approx(
+        min(math.exp(-skew.chi2 / 2), 1.0), abs=1e-5)
+    assert skew.significant
+    assert out["even"].p_value >= skew.p_value
+    assert out["even"].p_adjusted >= skew.p_adjusted
+
+
+def test_chi2_bh_even_df4_uses_two_term_tail(spark):
+    """5 categories -> df = 4: p = e^{-x/2}(1 + x/2) (the fold path)."""
+    from kiara_spark.operators.quality import chi2_gof_bh
+
+    cats = ["a", "b", "c", "d", "e"]
+    rows = ([("u", c) for c in cats for _ in range(10)]
+            + [("v", "a")] * 30 + [("v", c) for c in cats[1:]
+                                   for _ in range(5)])
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r.g: r for r in chi2_gof_bh(df, "g", "c").collect()}
+    v = out["v"]
+    assert v.dof == 4
+    expect = math.exp(-v.chi2 / 2) * (1 + v.chi2 / 2)
+    assert v.p_value == pytest.approx(min(expect, 1.0), abs=1e-5)
+
+
+def test_chi2_bh_odd_df_p_is_null(spark):
+    """Even-df closed form only: 2 categories -> df = 1 -> NULL p."""
+    from kiara_spark.operators.quality import chi2_gof_bh
+
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 5 + [("g2", "a")] * 9 \
+        + [("g2", "b")] * 1
+    df = spark.createDataFrame(rows, "g string, c string")
+    for r in chi2_gof_bh(df, "g", "c").collect():
+        assert r.dof == 1
+        assert r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing
+# ---------------------------------------------------------------------------
+
+def test_good_turing_textbook_counts(spark):
+    """Counts {a,b,c:1, d,e:2, f:3} -> N1=3, N2=2, N3=1, N=10:
+    r*(1) = 2*2/3, r*(2) = 3*1/2, r*(3) = NULL (no N4 bucket)."""
+    from kiara_spark.operators.text import good_turing
+
+    df = spark.createDataFrame([("a b c d d e e f f f",)], "text string")
+    out = {r.r: r for r in good_turing(df, "text").collect()}
+    assert out[1].n_r == 3 and out[2].n_r == 2 and out[3].n_r == 1
+    assert out[1].r_star == pytest.approx(4.0 / 3.0, abs=1e-6)
+    assert out[2].r_star == pytest.approx(1.5, abs=1e-6)
+    assert out[3].r_star is None and out[3].p_gt is None
+    assert out[1].p_gt == pytest.approx(4.0 / 3.0 / 10.0, abs=1e-9)
+
+
+def test_good_turing_bigrams_and_max_r(spark):
+    """ngram_n=2 counts consecutive bigrams; max_r filters the table but
+    the r+1 bucket still feeds r_star at the boundary."""
+    from kiara_spark.operators.text import good_turing
+
+    # bigrams: "a b" x2 ("a b a b" has ["a b","b a","a b"]... use 2 docs)
+    df = spark.createDataFrame([("a b c",), ("a b d",)], "text string")
+    # bigrams: (a,b) x2, (b,c) x1, (b,d) x1 -> N1=2, N2=1
+    out = {r.r: r for r in good_turing(df, "text", ngram_n=2).collect()}
+    assert out[1].n_r == 2 and out[2].n_r == 1
+    assert out[1].r_star == pytest.approx(2 * 1 / 2.0, abs=1e-6)
+    out1 = {r.r: r for r in
+            good_turing(df, "text", max_r=1, ngram_n=2).collect()}
+    assert list(out1) == [1]
+    assert out1[1].r_star == pytest.approx(1.0, abs=1e-6)
