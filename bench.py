@@ -364,6 +364,10 @@ BENCH_QUERIES = [
     "stats_cramers_v_orders",
     "stats_chi2_bh_documents",
     "text_good_turing_bigrams",
+    "stats_anova_orderpriority",
+    "stats_cohens_kappa_orders",
+    "stats_levene_bf_orders",
+    "stats_kendall_tau_lineitem",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

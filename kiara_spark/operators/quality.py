@@ -3063,6 +3063,220 @@ def chi2_gof_bh(
         (F.col("_padj") <= F.lit(alpha)).alias("significant"))
 
 
+def _group_sums(df: DataFrame, group_col: str, value_col: str):
+    """Per-group (n, Σx@2dp, Σx²@4dp) — the shared exact-sufficient-stats
+    aggregate under ANOVA / Brown-Forsythe (natural 2-dp-currency scale,
+    lossless; see :func:`welch_ttest`)."""
+    d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
+    d4 = lambda e: F.round(e, 4).cast("decimal(38,4)")  # noqa: E731
+    x = F.col(value_col).cast("double")
+    return (df.filter(F.col(group_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .groupBy(F.col(group_col).alias("_g"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                 F.sum(d2(x)).alias("_s"),
+                 F.sum(d4(x * x)).alias("_q")))
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test — does the group mean differ ANYWHERE across
+    k groups? (the k-group generalization of :func:`welch_ttest`, equal-
+    variance form) plus the η² effect size.
+
+        SSB = Σ_g s_g²/n_g − S²/N     SSW = Σx² − Σ_g s_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    Scale design: ONE (group) hash aggregate of exact decimal sufficient
+    statistics (2-dp natural scale, split-cast to double — the Welch
+    recipe), then a k-row rollup whose float terms round to 9 dp into
+    decimal sums (partition-order invariant).  Returns one row:
+    (k, n, ss_between, ss_within, df_between, df_within, f_stat,
+    eta_sq)."""
+    g = _group_sums(df, group_col, value_col)
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    sd, qd = _split_cast(F.col("_s")), _split_cast(F.col("_q"))
+    nd = F.col("_n").cast("double")
+    per_g = g.select(
+        F.col("_n"),
+        d9(sd * sd / nd).alias("_m2"),   # s_g^2 / n_g
+        F.col("_s"), F.col("_q"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_m2").alias("_sm2d"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"))
+    ntot = F.col("n").cast("double")
+    sm2 = _split_cast(F.col("_sm2d"))
+    st, qt = _split_cast(F.col("_st")), _split_cast(F.col("_qt"))
+    ssb = sm2 - st * st / ntot
+    ssw = qt - sm2
+    dfb = (F.col("k") - 1).cast("bigint")
+    dfw = (F.col("n") - F.col("k")).cast("bigint")
+    fstat = (ssb / dfb.cast("double")) / (ssw / dfw.cast("double"))
+    return agg.select(
+        "k", "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        dfb.alias("df_between"), dfw.alias("df_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"))
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement — observed agreement corrected
+    for chance:  κ = (p_o − p_e)/(1 − p_e), p_e = Σ_c p_a(c)·p_b(c).
+    The label-classifier QA metric `classification_report` doesn't carry.
+
+    Scale design: ONE (a,b) cell aggregate; the diagonal sum and the
+    margin cross-products are EXACT integers, and κ reduces to a single
+    exact-integer ratio (p_o·n² − p_e·n² over n² − p_e·n²) — κ is exact
+    to the terminal division, no float sum ever crosses partitions.
+    Returns one row: (n, po, pe, kappa)."""
+    cells = (df.filter(F.col(rater_a_col).isNotNull()
+                       & F.col(rater_b_col).isNotNull())
+             .groupBy(F.col(rater_a_col).alias("_a"),
+                      F.col(rater_b_col).alias("_b"))
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_o")))
+    ma = cells.groupBy("_a").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_o").cast("decimal(38,0)")
+                                 .alias("_nb"))
+    # pe numerator: join margins on the LABEL (a-label == b-label)
+    pe = (ma.join(mb, ma["_a"] == mb["_b"])
+          .agg(F.sum(F.col("_na") * F.col("_nb")).cast("decimal(38,0)")
+               .alias("_pe_num")))
+    agg = cells.agg(
+        F.sum("_o").cast("decimal(38,0)").alias("_nn"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_o"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("_diag"))
+    j = agg.crossJoin(F.broadcast(pe))
+    n, diag, pen = F.col("_nn"), F.col("_diag"), F.col("_pe_num")
+    # kappa = (diag*n - pe_num) / (n*n - pe_num): exact integer numerator
+    # and denominator, two split-casts, one terminal division
+    return j.select(
+        n.cast("bigint").alias("n"),
+        F.round(diag.cast("double") / n.cast("double"), 6).alias("po"),
+        F.round(_split_cast(pen) / _split_cast(n * n), 6).alias("pe"),
+        F.round(_split_cast(diag * n - pen)
+                / _split_cast(n * n - pen), 6).alias("kappa"))
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity test:
+    ANOVA F on z_ij = |x_ij − median_g| — "are the group SPREADS equal?",
+    the assumption check in front of plain ANOVA.
+
+    Scale design: group medians are the LOWER MEDIAN picked exactly on
+    each group's distinct-value grid (min v with 2·cum ≥ n — exact
+    integer comparison, no interpolation to diverge on), broadcast back
+    by group; z is exact at the values' 2-dp scale, and the F on z
+    follows the :func:`anova_oneway` recipe (exact decimal sums,
+    split-cast, round-9 k-row rollup).  Returns one row:
+    (k, n, f_stat, df_between, df_within)."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("decimal(38,2)")
+    base = (df.filter(F.col(group_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), v.alias("_v")))
+    per_v = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w = (Window.partitionBy("_g").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_v.select(
+        "_g", "_v",
+        F.sum("_c").over(w).cast("bigint").alias("_cum"))
+    tot = per_v.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_ng"))
+    med = (cum.join(tot, "_g")
+           .filter(F.col("_cum") * 2 >= F.col("_ng"))
+           .groupBy("_g").agg(F.min("_v").alias("_med")))
+    z = (base.join(F.broadcast(med), "_g")
+         .select("_g", F.abs(F.col("_v") - F.col("_med"))
+                 .cast("double").alias("_z")))
+    out = anova_oneway(z, "_g", "_z")
+    return out.select("k", "n", "f_stat", "df_between", "df_within")
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation (tie-adjusted) — the
+    concordant-vs-discordant companion to :func:`spearman_correlation`
+    (robust to rank-preserving transforms AND interpretable as a
+    probability of concordance).
+
+        τ_b = (C − D) / √((n0 − n1)(n0 − n2)),  n0 = n(n−1)/2
+
+    Scale design: rows collapse to the JOINT distinct grid (x, y, count)
+    — the only corpus pass — and C/D come from a cell×cell self-join
+    with strict inequalities: O(cells²) pairs, independent of row count
+    (DISCRETE columns; pre-round truly continuous ones — the KS grid
+    caveat).  All counts are exact DECIMAL(38,0); τ is one terminal
+    ratio of split-cast exact integers.  Returns (n, n_pairs,
+    concordant, discordant, tau_b)."""
+    cells = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+             .select(F.col(x_col).cast("decimal(38,6)").alias("_x"),
+                     F.col(y_col).cast("decimal(38,6)").alias("_y"))
+             .groupBy("_x", "_y")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+    a = cells.select(F.col("_x").alias("_x1"), F.col("_y").alias("_y1"),
+                     F.col("_c").alias("_c1"))
+    b = cells.select(F.col("_x").alias("_x2"), F.col("_y").alias("_y2"),
+                     F.col("_c").alias("_c2"))
+    pairs = a.join(b, (F.col("_x1") < F.col("_x2")))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("_y1") < F.col("_y2"),
+                     F.col("_c1") * F.col("_c2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("_conc"),
+        F.sum(F.when(F.col("_y1") > F.col("_y2"),
+                     F.col("_c1") * F.col("_c2"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").alias("_disc"))
+    # tie terms from the margins of the same cell frame, all in DOUBLED
+    # form (t(t−1), n(n−1)) — exact decimals with no division anywhere
+    # (decimal÷int silently becomes double in some engines):
+    # τ_b = 2(C−D)/√((n(n−1)−Σtx(tx−1))·(n(n−1)−Σty(ty−1)))
+    tx = (cells.groupBy("_x").agg(F.sum("_c").alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1))
+               .cast("decimal(38,0)").alias("_n1x2"),
+               F.sum("_t").cast("decimal(38,0)").alias("_n")))
+    ty = (cells.groupBy("_y").agg(F.sum("_c").alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1))
+               .cast("decimal(38,0)").alias("_n2x2")))
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("_n")
+    n0x2 = (n * (n - 1)).cast("decimal(38,0)")
+    num = (F.col("_conc") - F.col("_disc")).cast("decimal(38,0)")
+    den = F.sqrt(_split_cast((n0x2 - F.col("_n1x2")).cast("decimal(38,0)"))
+                 * _split_cast((n0x2 - F.col("_n2x2")).cast("decimal(38,0)")))
+    half = F.floor(n0x2 / 2).cast("bigint")  # n(n-1) is even: exact
+    return j.select(
+        n.cast("bigint").alias("n"),
+        half.alias("n_pairs"),
+        F.col("_conc").cast("bigint").alias("concordant"),
+        F.col("_disc").cast("bigint").alias("discordant"),
+        F.round(F.when(den > 0,
+                       F.lit(2.0) * _split_cast(num) / den), 6)
+        .alias("tau_b"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -3475,15 +3689,69 @@ TableChi2Bh = _simple_module(
         "Benjamini-Hochberg FDR adjustment across groups.",
 )
 
+TableAnovaOneway = _simple_module(
+    "table.stats.anova",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": anova_oneway(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"])},
+    doc="One-way ANOVA F-test + eta-squared from one per-group "
+        "sufficient-statistics aggregate (exact decimal sums).",
+)
+
+TableCohensKappa = _simple_module(
+    "table.stats.cohens_kappa",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cohens_kappa(
+        im["table"].data, self.config["rater_a_column"],
+        self.config["rater_b_column"])},
+    doc="Cohen's kappa inter-rater agreement — exact-integer chance "
+        "correction from one (a,b) cell aggregate.",
+)
+
+TableLeveneBf = _simple_module(
+    "table.stats.levene_bf",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": levene_bf(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"])},
+    doc="Brown-Forsythe (median-centered Levene) variance-homogeneity "
+        "F-test: exact lower medians + ANOVA on |x - median|.",
+)
+
+TableKendallTau = _simple_module(
+    "table.stats.kendall_tau",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": kendall_tau_b(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"])},
+    doc="Kendall's tau-b rank correlation over the joint distinct grid "
+        "(cell-pair concordance, exact integers).",
+)
+
 MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKsDrift, TableLinRegNormal, TableLogRegGd,
             TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg,
             TableRidgeNormal, TableKfoldCvOls, TableCuped,
             TableBootstrapAbDiff,
             TableMannWhitney, TableWelchTtest, TableSpearman,
-            TableCrosstabAssoc, TableChi2Bh]
+            TableCrosstabAssoc, TableChi2Bh,
+            TableAnovaOneway, TableCohensKappa, TableLeveneBf,
+            TableKendallTau]
 
 OPERATIONS = [
+    Operation("table.stats.anova", "table.stats.anova",
+              doc="one-way ANOVA F-test + eta-squared effect size"),
+    Operation("table.stats.cohens_kappa", "table.stats.cohens_kappa",
+              doc="Cohen's kappa inter-rater agreement"),
+    Operation("table.stats.levene_bf", "table.stats.levene_bf",
+              doc="Brown-Forsythe variance-homogeneity F-test"),
+    Operation("table.stats.kendall_tau", "table.stats.kendall_tau",
+              doc="Kendall's tau-b rank correlation (tie-adjusted)"),
     Operation("table.drift.mann_whitney", "table.drift.mann_whitney",
               doc="Mann-Whitney U rank-sum location test (tie-corrected)"),
     Operation("table.stats.welch_ttest", "table.stats.welch_ttest",

@@ -14065,6 +14065,234 @@ def text_good_turing_q(spark, sf_dir):
                        max_r=10, ngram_n=2)
 
 
+# split-cast mirrored verbatim into SQL (operators/quality.py:_split_cast):
+# integer + fraction parts each cast exactly, added once in IEEE double —
+# a straight >2^53 decimal→double cast is implementation-defined
+def _sc(e: str) -> str:
+    return (f"(CAST(FLOOR({e}) AS DOUBLE) "
+            f"+ CAST(({e}) - FLOOR({e}) AS DOUBLE))")
+
+
+@query(
+    "stats_anova_orderpriority",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority AS gg, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2)
+                      AS DECIMAL(38,2))) AS s,
+             SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE)
+                            * CAST(o_totalprice AS DOUBLE), 4)
+                      AS DECIMAL(38,4))) AS q
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), per_g AS (
+      SELECT n, s, q,
+             CAST(ROUND({_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE), 9)
+                  AS DECIMAL(38,12)) AS m2
+      FROM g
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+             SUM(m2) AS sm2d, SUM(s) AS st, SUM(q) AS qt
+      FROM per_g
+    ), f AS (
+      SELECT k, n, {_sc('sm2d')} AS sm2, {_sc('st')} AS std,
+             {_sc('qt')} AS qtd, CAST(n AS DOUBLE) AS ntot
+      FROM agg
+    ), ss AS (
+      SELECT k, n, sm2 - std * std / ntot AS ssb, qtd - sm2 AS ssw,
+             CAST(k - 1 AS BIGINT) AS dfb, CAST(n - k AS BIGINT) AS dfw
+      FROM f
+    )
+    SELECT k, n, ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
+           dfb AS df_between, dfw AS df_within,
+           ROUND((ssb / CAST(dfb AS DOUBLE))
+                 / (ssw / CAST(dfw AS DOUBLE)), 6) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM ss
+    """,
+)
+def stats_anova_q(spark, sf_dir):
+    """One-way ANOVA: does mean order price differ across the 5 order
+    priorities?  One per-group sufficient-statistics aggregate (exact
+    2-dp/4-dp decimal sums, split-cast), a 5-row round-9 rollup, F and
+    η² as terminal doubles — the k-group generalization of
+    `stats_welch_ttest_orders`."""
+    from .operators.quality import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "orders"),
+                        "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "stats_cohens_kappa_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus AS a,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-06-17'
+                  THEN 'F' ELSE 'O' END AS b
+      FROM orders WHERE o_orderstatus IS NOT NULL
+    ), cells AS (
+      SELECT a, b, CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+      FROM base GROUP BY 1, 2
+    ), ma AS (SELECT a, CAST(SUM(o) AS DECIMAL(38,0)) AS na
+              FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(SUM(o) AS DECIMAL(38,0)) AS nb
+           FROM cells GROUP BY b),
+    pe AS (SELECT CAST(SUM(na * nb) AS DECIMAL(38,0)) AS pen
+           FROM ma JOIN mb ON ma.a = mb.b),
+    agg AS (
+      SELECT CAST(SUM(o) AS DECIMAL(38,0)) AS nn,
+             CAST(SUM(CASE WHEN a = b THEN o
+                           ELSE CAST(0 AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS diag
+      FROM cells
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+           ROUND({_sc('pen')} / {_sc('nn * nn')}, 6) AS pe,
+           ROUND({_sc('diag * nn - pen')} / {_sc('nn * nn - pen')}, 6)
+             AS kappa
+    FROM agg CROSS JOIN pe
+    """,
+)
+def stats_cohens_kappa_q(spark, sf_dir):
+    """Cohen's kappa: chance-corrected agreement between the actual order
+    status and a naive calendar-cutoff predictor (orders before
+    1995-06-17 guessed 'F') — one (a,b) cell aggregate, exact-integer
+    p_o/p_e numerators, κ as a single exact-integer ratio."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import cohens_kappa
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "pred", FF.when(
+            FF.col("o_orderdate") < FF.lit("1995-06-17").cast("timestamp"),
+            "F").otherwise("O"))
+    return cohens_kappa(o, "o_orderstatus", "pred")
+
+
+@query(
+    "stats_levene_bf_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus AS g, CAST(o_totalprice AS DECIMAL(38,2)) AS v
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ), per_v AS (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cm
+      FROM per_v
+    ), tot AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM per_v GROUP BY g
+    ), med AS (
+      SELECT g, MIN(v) AS med
+      FROM cum JOIN tot USING (g) WHERE cm * 2 >= ng GROUP BY g
+    ), z AS (
+      SELECT b.g AS gg, CAST(ABS(b.v - m.med) AS DOUBLE) AS z
+      FROM base b JOIN med m ON b.g = m.g
+    ), gr AS (
+      SELECT gg, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(z, 2) AS DECIMAL(38,2))) AS s,
+             SUM(CAST(ROUND(z * z, 4) AS DECIMAL(38,4))) AS q
+      FROM z GROUP BY 1
+    ), per_g AS (
+      SELECT n, s, q,
+             CAST(ROUND({_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE), 9)
+                  AS DECIMAL(38,12)) AS m2
+      FROM gr
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+             SUM(m2) AS sm2d, SUM(s) AS st, SUM(q) AS qt
+      FROM per_g
+    ), f AS (
+      SELECT k, n, {_sc('sm2d')} AS sm2, {_sc('st')} AS std,
+             {_sc('qt')} AS qtd, CAST(n AS DOUBLE) AS ntot
+      FROM agg
+    ), ss AS (
+      SELECT k, n, sm2 - std * std / ntot AS ssb, qtd - sm2 AS ssw,
+             CAST(k - 1 AS BIGINT) AS dfb, CAST(n - k AS BIGINT) AS dfw
+      FROM f
+    )
+    SELECT k, n,
+           ROUND((ssb / CAST(dfb AS DOUBLE))
+                 / (ssw / CAST(dfw AS DOUBLE)), 6) AS f_stat,
+           dfb AS df_between, dfw AS df_within
+    FROM ss
+    """,
+)
+def stats_levene_bf_q(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test: are order-price SPREADS
+    equal across order statuses?  Exact lower medians per group on the
+    distinct-value grid (no interpolation), |x−median| exact at 2 dp,
+    then the ANOVA recipe on the deviations — the assumption check in
+    front of `stats_anova_orderpriority`."""
+    from .operators.quality import levene_bf
+
+    return levene_bf(_t(spark, sf_dir, "orders"),
+                     "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "stats_kendall_tau_lineitem",
+    f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS DECIMAL(38,6)) AS x,
+             CAST(l_discount AS DECIMAL(38,6)) AS y,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      GROUP BY 1, 2
+    ), cd AS (
+      SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c
+                           ELSE CAST(0 AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS conc,
+             CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c
+                           ELSE CAST(0 AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS disc
+      FROM cells a JOIN cells b ON a.x < b.x
+    ), tx AS (
+      SELECT CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS n1x2,
+             CAST(SUM(t) AS DECIMAL(38,0)) AS n
+      FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS t
+            FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS n2x2
+      FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS t
+            FROM cells GROUP BY y)
+    ), j AS (
+      SELECT conc, disc, n, CAST(n * (n - 1) AS DECIMAL(38,0)) AS n0x2,
+             n1x2, n2x2
+      FROM cd CROSS JOIN tx CROSS JOIN ty
+    ), d AS (
+      SELECT n, n0x2, conc, disc,
+             SQRT({_sc('n0x2 - n1x2')} * {_sc('n0x2 - n2x2')}) AS den
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n0x2 AS BIGINT) // 2 AS n_pairs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND(CASE WHEN den > 0
+                 THEN 2.0 * {_sc('conc - disc')} / den END, 6) AS tau_b
+    FROM d
+    """,
+)
+def stats_kendall_tau_q(spark, sf_dir):
+    """Kendall's τ-b between quantity and discount: rows collapse to the
+    joint distinct grid (50×11 cells), concordant/discordant pair counts
+    from a cell×cell inequality join (O(cells²), row-count independent),
+    tie adjustment from the grid margins — exact DECIMAL(38,0) all the
+    way to one terminal ratio."""
+    from .operators.quality import kendall_tau_b
+
+    return kendall_tau_b(_t(spark, sf_dir, "lineitem"),
+                         "l_quantity", "l_discount")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

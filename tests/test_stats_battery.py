@@ -278,3 +278,168 @@ def test_good_turing_bigrams_and_max_r(spark):
             good_turing(df, "text", max_r=1, ngram_n=2).collect()}
     assert list(out1) == [1]
     assert out1[1].r_star == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA
+# ---------------------------------------------------------------------------
+
+def test_anova_matches_hand_computation(spark):
+    from kiara_spark.operators.quality import anova_oneway
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0, 8.0],
+              "c": [10.0, 12.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = df.transform(lambda d: anova_oneway(d, "g", "v")).collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2
+              for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in groups.values() for v in vs)
+    k, n = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.k, r.n) == (k, n)
+    assert r.ss_between == pytest.approx(ssb, abs=1e-3)
+    assert r.ss_within == pytest.approx(ssw, abs=1e-3)
+    assert r.f_stat == pytest.approx(f, abs=1e-5)
+    assert r.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-5)
+
+
+def test_anova_identical_groups_zero_f(spark):
+    from kiara_spark.operators.quality import anova_oneway
+
+    rows = [(g, v) for g in ("a", "b") for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r.ss_between == pytest.approx(0.0, abs=1e-6)
+    assert r.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from kiara_spark.operators.quality import cohens_kappa
+
+    rows = [(c, c) for c in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.po == 1.0 and r.kappa == 1.0
+
+    # independent raters at 50/50: po = pe = 0.5 -> kappa = 0
+    rows = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.po == pytest.approx(0.5, abs=1e-6)
+    assert r.pe == pytest.approx(0.5, abs=1e-6)
+    assert r.kappa == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cohens_kappa_textbook_2x2(spark):
+    """Classic 2x2: diag 20+15, off-diag 5+10, n=50:
+    po = 0.7, pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4."""
+    from kiara_spark.operators.quality import cohens_kappa
+
+    rows = ([("yes", "yes")] * 20 + [("yes", "no")] * 5
+            + [("no", "yes")] * 10 + [("no", "no")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 50
+    assert r.po == pytest.approx(0.7, abs=1e-6)
+    assert r.pe == pytest.approx(0.5, abs=1e-6)
+    assert r.kappa == pytest.approx(0.4, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+def test_levene_bf_equal_spreads_small_f(spark):
+    """Same distribution shifted: |x - median| identical -> F = 0."""
+    from kiara_spark.operators.quality import levene_bf
+
+    base = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [("a", v) for v in base] + [("b", v + 100) for v in base]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "g", "v").collect()[0]
+    assert (r.k, r.n) == (2, 10)
+    assert r.f_stat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_levene_bf_detects_spread_difference(spark):
+    from kiara_spark.operators.quality import levene_bf
+
+    rows = ([("tight", 10.0 + d) for d in (-0.1, -0.05, 0.0, 0.05, 0.1)]
+            + [("wide", 10.0 + d) for d in (-30.0, -15.0, 0.0, 15.0, 30.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_bf(df, "g", "v").collect()[0]
+    assert r.f_stat > 10
+
+
+def test_levene_bf_uses_lower_median(spark):
+    """Even n: the LOWER median by contract (exact order statistic).
+    Group [1,2,3,4]: median 2, z = [1,0,1,2]."""
+    from kiara_spark.operators.quality import levene_bf
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] \
+        + [("b", float(v)) for v in (1, 2, 3, 4)]
+    r = levene_bf(spark.createDataFrame(rows, "g string, v double"),
+                  "g", "v").collect()[0]
+    assert r.f_stat == pytest.approx(0.0, abs=1e-6)  # identical groups
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+def test_kendall_perfect_and_reversed(spark):
+    from kiara_spark.operators.quality import kendall_tau_b
+
+    rows = [(float(i), float(i * i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r.n == 8 and r.n_pairs == 28
+    assert r.concordant == 28 and r.discordant == 0
+    assert r.tau_b == 1.0
+    rows = [(float(i), float(-i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert kendall_tau_b(df, "x", "y").collect()[0].tau_b == -1.0
+
+
+def test_kendall_ties_match_hand_formula(spark):
+    from kiara_spark.operators.quality import kendall_tau_b
+
+    xs = [1.0, 1.0, 2.0, 2.0, 3.0, 4.0]
+    ys = [2.0, 3.0, 3.0, 5.0, 1.0, 5.0]
+    c = d = 0
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    n = len(xs)
+    n0 = n * (n - 1) / 2
+
+    def ties(vals):
+        from collections import Counter
+        return sum(t * (t - 1) / 2 for t in Counter(vals).values())
+
+    tau = (c - d) / math.sqrt((n0 - ties(xs)) * (n0 - ties(ys)))
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert (r.concordant, r.discordant) == (c, d)
+    assert r.tau_b == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_constant_column_null(spark):
+    from kiara_spark.operators.quality import kendall_tau_b
+
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)],
+                               "x double, y double")
+    assert kendall_tau_b(df, "x", "y").collect()[0].tau_b is None

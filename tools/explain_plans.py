@@ -90,6 +90,13 @@ INTENTIONAL_CROSS = {
     "graph_diameter_estimate",     # 1-row sweep-1 argmax seed broadcast
     "text_collocations_llr",       # 1-row corpus-total broadcast onto pairs
     "events_active_users_dau_wau_mau",  # 1-row max-date cap broadcast (r8)
+    # round-8b stats battery: 1-row global-totals broadcasts by design
+    "stats_mann_whitney_orders",   # 1-row sample-totals broadcast onto grid
+    "stats_cramers_v_orders",      # 1-row (n, card_a, card_b) broadcast onto cells
+    "stats_chi2_bh_documents",     # 1-row (n, |cats|) broadcast onto cells
+    "text_good_turing_bigrams",    # 1-row corpus-token-total broadcast
+    "stats_cohens_kappa_orders",   # 1-row p_e-numerator broadcast
+    "stats_kendall_tau_lineitem",  # cell-grid inequality join + 1-row tie totals
 }
 
 
