@@ -368,6 +368,9 @@ BENCH_QUERIES = [
     "stats_cohens_kappa_orders",
     "stats_levene_bf_orders",
     "stats_kendall_tau_lineitem",
+    "events_sprt_monitor",
+    "events_page_hinkley",
+    "stats_srm_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

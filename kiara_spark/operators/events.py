@@ -1534,3 +1534,140 @@ OPERATIONS = [
 MODULES += [EventsHoltForecast, EventsSequencePattern,
             EventsDftPeriodogram, EventsCrossCorrelation,
             EventsActiveUsers]
+
+
+def sprt_monitor(
+    df: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    event_type_col: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the daily conversion
+    stream — the "peek every day without inflating α" experiment monitor
+    (fixed-horizon tests like `stats_welch_ttest_orders` forbid early
+    stopping; SPRT's boundaries A = ln((1−β)/α), B = ln(β/(1−α)) make
+    daily peeking valid).
+
+        LLR_t = Σ_{d≤t} [ c_d·ln(p1/p0) + (n_d−c_d)·ln((1−p1)/(1−p0)) ]
+
+    with n_d = distinct active users, c_d = distinct converting users on
+    day d.  Scale design: ONE daily distinct aggregate over the raw log
+    (the only heavy pass); the cumulative LLR and decisions run over the
+    bounded day series (ordered window — deterministic float order).
+    The ln() factors are plan-time literals.  Returns per day:
+    (day, trials, conversions, llr, decision)."""
+    import math as _m
+
+    la = _m.log(p1 / p0)
+    lb = _m.log((1.0 - p1) / (1.0 - p0))
+    upper = _m.log((1.0 - beta) / alpha)
+    lower = _m.log(beta / (1.0 - alpha))
+    daily = (df.groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.countDistinct(F.col(user_col)).cast("bigint")
+                  .alias("_n"),
+                  F.countDistinct(
+                      F.when(F.col(event_type_col) == conversion_type,
+                             F.col(user_col))).cast("bigint").alias("_c")))
+    term = (F.col("_c").cast("double") * F.lit(la)
+            + (F.col("_n") - F.col("_c")).cast("double") * F.lit(lb))
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    llr = F.sum(F.round(term, 9)).over(w)
+    out = daily.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("_n").alias("trials"),
+        F.col("_c").alias("conversions"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= upper, F.lit("accept_h1"))
+        .when(llr <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"))
+    return out
+
+
+def page_hinkley(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    delta: float = 0.1,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Page-Hinkley mean-drift detector over the daily-mean series — the
+    streaming-monitoring companion to the offline
+    `events_changepoint_binseg` (PH is the sequential test; binseg is
+    the retrospective search).
+
+        m_t  = Σ_{d≤t} (x_d − x̄_d − δ)    (x̄_d = running mean up to d)
+        PH_t = m_t − min_{s≤t} m_s         (alarm when PH_t > λ)
+
+    Scale design: daily means come from ONE exact 2-dp decimal-sum
+    aggregate over the raw log (the only heavy pass; split-cast to
+    double); every cumulative (sum, running mean, running min) is an
+    ordered window over the bounded day series — deterministic float
+    order, identical on both engines.  Returns per day:
+    (day, n, day_mean, m_t, ph, alarm)."""
+    d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
+    from .quality import _split_cast
+
+    x = F.col(value_col).cast("double")
+    daily = (df.filter(x.isNotNull())
+             .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
+                  F.sum(d2(x)).alias("_s")))
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    xd = F.round(_split_cast(F.col("_s")) / F.col("_n").cast("double"), 9)
+    staged = daily.select(
+        "_d", "_n", xd.alias("_x"),
+        F.sum(F.round(xd, 9)).over(w).alias("_cs"),
+        F.count(F.lit(1)).over(w).cast("double").alias("_t"))
+    term = F.round(F.col("_x") - F.col("_cs") / F.col("_t")
+                   - F.lit(delta), 9)
+    w2 = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    m_t = F.sum(term).over(w2)
+    staged2 = staged.select("_d", "_n", "_x", m_t.alias("_m"))
+    ph = F.col("_m") - F.min("_m").over(w2)
+    return staged2.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("_n").alias("n"),
+        F.round(F.col("_x"), 6).alias("day_mean"),
+        F.round(F.col("_m"), 6).alias("m_t"),
+        F.round(ph, 6).alias("ph"),
+        (ph > threshold).alias("alarm"))
+
+
+EventsSprtMonitor = _simple_module(
+    "events.sprt_monitor",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": sprt_monitor(
+        im["table"].data, self.config["p0"], self.config["p1"],
+        alpha=self.config.get("alpha", 0.05),
+        beta=self.config.get("beta", 0.2),
+        conversion_type=self.config.get("conversion_type", "purchase"))},
+    doc="Wald SPRT daily experiment monitor: cumulative conversion LLR "
+        "vs ln boundaries (valid daily peeking).",
+)
+
+EventsPageHinkley = _simple_module(
+    "events.page_hinkley",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": page_hinkley(
+        im["table"].data,
+        value_col=self.config.get("value_column", "value"),
+        delta=self.config.get("delta", 0.1),
+        threshold=self.config.get("threshold", 5.0))},
+    doc="Page-Hinkley sequential mean-drift detector over daily means.",
+)
+
+OPERATIONS += [
+    Operation("events.sprt_monitor", "events.sprt_monitor",
+              doc="SPRT sequential experiment monitor (daily LLR)"),
+    Operation("events.page_hinkley", "events.page_hinkley",
+              doc="Page-Hinkley sequential mean-drift detector"),
+]
+
+MODULES += [EventsSprtMonitor, EventsPageHinkley]

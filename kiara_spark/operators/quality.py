@@ -3277,6 +3277,68 @@ def kendall_tau_b(
         .alias("tau_b"))
 
 
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first A/B-test health gate: do
+    assignment counts match the designed split?  (A biased randomizer
+    invalidates every downstream metric; the standard gate is a χ²
+    goodness-of-fit at a strict α like 0.001.)
+
+        χ² = Σ_g (o_g − n·r_g)² / (n·r_g)
+
+    Scale design: ONE conditional-count aggregate over the table (counts
+    exact bigint; groups outside ``expected`` are ignored by contract);
+    the χ² is a fixed-order double expression of exact integers and
+    literal ratios.  p-value: df=1 → exact erfc(√(χ²/2)) (A&S); even
+    df → the e^{−x/2}Σ(x/2)^i/i! closed form; other df → NULL
+    (documented).  Returns one row:
+    (n, k, chi2, dof, p_value, srm_detected)."""
+    groups = sorted(expected)
+    k = len(groups)
+    counts = df.agg(*[
+        F.sum(F.when(F.col(group_col) == g, 1).otherwise(0))
+        .cast("bigint").alias(f"_c{i}") for i, g in enumerate(groups)])
+    n = sum((F.col(f"_c{i}") for i in range(1, k)), F.col("_c0"))
+    nd = n.cast("double")
+    chi = None
+    for i, g in enumerate(groups):
+        e = nd * F.lit(float(expected[g]))
+        od = F.col(f"_c{i}").cast("double")
+        t = (od - e) * (od - e) / e
+        chi = t if chi is None else chi + t
+    chi = F.round(chi, 9)
+    dof = k - 1
+    staged = counts.select(n.cast("bigint").alias("n"),
+                           F.lit(k).cast("bigint").alias("k"),
+                           chi.alias("_chi"))
+    if dof == 1:
+        p = F.round(F.least(_erfc_as(F.sqrt(F.col("_chi") / 2)),
+                            F.lit(1.0)), 9)
+    elif dof % 2 == 0:
+        halves = F.expr(
+            f"CASE WHEN {dof} < 4 THEN 1.0d ELSE "
+            f"aggregate(sequence(1, {dof // 2 - 1}), "
+            "named_struct('s', 1.0d, 't', 1.0d), "
+            "(acc, i) -> named_struct("
+            "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+            "'t', acc.t * (_chi/2.0d) / cast(i as double)), "
+            "acc -> acc.s) END")
+        p = F.round(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                            F.lit(1.0)), 9)
+    else:
+        p = F.lit(None).cast("double")
+    return staged.select(
+        "n", "k",
+        F.round(F.col("_chi"), 6).alias("chi2"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        F.round(p, 6).alias("p_value"),
+        (p <= F.lit(alpha)).alias("srm_detected"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -3722,6 +3784,18 @@ TableLeveneBf = _simple_module(
         "F-test: exact lower medians + ANOVA on |x - median|.",
 )
 
+TableSrmCheck = _simple_module(
+    "table.stats.srm_check",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": srm_check(
+        im["table"].data, self.config["group_column"],
+        self.config["expected"],
+        alpha=self.config.get("alpha", 0.001))},
+    doc="Sample-ratio-mismatch gate: chi2 GOF of assignment counts vs "
+        "the designed split (df=1 exact erfc p).",
+)
+
 TableKendallTau = _simple_module(
     "table.stats.kendall_tau",
     {"table": TABLE},
@@ -3741,9 +3815,11 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableMannWhitney, TableWelchTtest, TableSpearman,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
-            TableKendallTau]
+            TableKendallTau, TableSrmCheck]
 
 OPERATIONS = [
+    Operation("table.stats.srm_check", "table.stats.srm_check",
+              doc="sample-ratio-mismatch chi2 gate for A/B assignments"),
     Operation("table.stats.anova", "table.stats.anova",
               doc="one-way ANOVA F-test + eta-squared effect size"),
     Operation("table.stats.cohens_kappa", "table.stats.cohens_kappa",

@@ -14293,6 +14293,141 @@ def stats_kendall_tau_q(spark, sf_dir):
                          "l_quantity", "l_discount")
 
 
+_SPRT_P0, _SPRT_P1 = 0.4, 0.5
+_SPRT_LA = __import__("math").log(_SPRT_P1 / _SPRT_P0)
+_SPRT_LB = __import__("math").log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+_SPRT_UP = __import__("math").log((1 - 0.2) / 0.05)
+_SPRT_LO = __import__("math").log(0.2 / (1 - 0.05))
+
+
+@query(
+    "events_sprt_monitor",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT d, n, c,
+             SUM(ROUND(CAST(c AS DOUBLE) * {_SPRT_LA!r}
+                       + CAST(n - c AS DOUBLE) * {_SPRT_LB!r}, 9))
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS llr
+      FROM daily
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, n AS trials,
+           c AS conversions, ROUND(llr, 6) AS llr,
+           CASE WHEN llr >= {_SPRT_UP!r} THEN 'accept_h1'
+                WHEN llr <= {_SPRT_LO!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM t
+    """,
+)
+def events_sprt_monitor_q(spark, sf_dir):
+    """Wald SPRT experiment monitor: daily distinct-user purchase
+    conversion tested sequentially at H0 p=0.4 vs H1 p=0.5 (α=.05,
+    β=.2) — the valid-daily-peeking companion to the fixed-horizon
+    `stats_welch_ttest_orders`/`stats_bootstrap_ab_diff`.  One daily
+    distinct aggregate; cumulative LLR over the bounded day series."""
+    from .operators.events import sprt_monitor
+
+    return sprt_monitor(_t(spark, sf_dir, "events"),
+                        _SPRT_P0, _SPRT_P1, alpha=0.05, beta=0.2)
+
+
+@query(
+    "events_page_hinkley",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE), 2)
+                      AS DECIMAL(38,2))) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), staged AS (
+      SELECT d, n,
+             ROUND({_sc('s')} / CAST(n AS DOUBLE), 9) AS x
+      FROM daily
+    ), cum AS (
+      SELECT d, n, x,
+             SUM(ROUND(x, 9)) OVER w AS cs,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS t
+      FROM staged
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), m AS (
+      SELECT d, n, x,
+             SUM(ROUND(x - cs / t - 0.1, 9)) OVER w AS mt
+      FROM cum
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), phx AS (
+      SELECT d, n, x, mt, mt - MIN(mt) OVER w AS phv
+      FROM m
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, n, ROUND(x, 6) AS day_mean,
+           ROUND(mt, 6) AS m_t, ROUND(phv, 6) AS ph, phv > 5.0 AS alarm
+    FROM phx
+    """,
+)
+def events_page_hinkley_q(spark, sf_dir):
+    """Page-Hinkley sequential mean-drift detector over the daily mean
+    event value (δ=0.1, λ=5) — the streaming monitor whose offline twin
+    is `events_changepoint_binseg`.  One exact 2-dp decimal daily
+    aggregate (split-cast), then running sum/mean/min windows over the
+    bounded day series."""
+    from .operators.events import page_hinkley
+
+    return page_hinkley(_t(spark, sf_dir, "events"),
+                        "value", "ts", delta=0.1, threshold=5.0)
+
+
+@query(
+    "stats_srm_orders",
+    f"""
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM orders
+    ), s AS (
+      SELECT c0 + c1 AS n,
+             ROUND((CAST(c0 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) * 0.5)
+                   * (CAST(c0 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) * 0.5)
+                   / (CAST(c0 + c1 AS DOUBLE) * 0.5)
+                   + (CAST(c1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) * 0.5)
+                   * (CAST(c1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) * 0.5)
+                   / (CAST(c0 + c1 AS DOUBLE) * 0.5), 9) AS chi
+      FROM c
+    ), p AS (
+      SELECT n, chi,
+             ROUND(LEAST({_erfc_sql("SQRT(chi / 2)")}, 1.0), 9) AS pv
+      FROM s
+    )
+    SELECT n, CAST(2 AS BIGINT) AS k, ROUND(chi, 6) AS chi2,
+           CAST(1 AS BIGINT) AS dof, ROUND(pv, 6) AS p_value,
+           pv <= 0.001 AS srm_detected
+    FROM p
+    """,
+)
+def stats_srm_q(spark, sf_dir):
+    """Sample-ratio-mismatch gate on the even/odd-custkey experiment
+    split used by `stats_bootstrap_ab_diff`: χ² GOF of the two
+    assignment counts vs the designed 50/50 at α=0.001 — df=1, exact
+    erfc(√(χ²/2)) p-value.  One conditional-count scan."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import srm_check
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "variant", (FF.col("o_custkey") % 2).cast("string"))
+    return srm_check(o, "variant", {"0": 0.5, "1": 0.5}, alpha=0.001)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -443,3 +443,127 @@ def test_kendall_constant_column_null(spark):
     df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)],
                                "x double, y double")
     assert kendall_tau_b(df, "x", "y").collect()[0].tau_b is None
+
+
+# ---------------------------------------------------------------------------
+# SPRT / Page-Hinkley / SRM (sequential experiment monitoring)
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, day_users):
+    """[(day, [(user, type), ...])] -> events frame."""
+    import datetime
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    i = 0
+    for day, evs in day_users:
+        for u, ty in evs:
+            rows.append((i, base + datetime.timedelta(days=day, minutes=u),
+                         u, ty, 1.0))
+            i += 1
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+
+
+def test_sprt_llr_accumulates_and_decides(spark):
+    """3 days, 10 users/day, all converting: LLR_t = t*10*ln(p1/p0);
+    with p0=.4, p1=.5 that's +2.23/day -> crosses ln(.8/.05)=2.77 on
+    day 2."""
+    from kiara_spark.operators.events import sprt_monitor
+
+    days = [(d, [(u, "purchase") for u in range(10)]) for d in range(3)]
+    df = _mk_events(spark, days)
+    out = sorted(sprt_monitor(df, 0.4, 0.5).collect(), key=lambda r: r.day)
+    la = math.log(0.5 / 0.4)
+    for t, r in enumerate(out, start=1):
+        assert (r.trials, r.conversions) == (10, 10)
+        assert r.llr == pytest.approx(t * 10 * la, abs=1e-5)
+    assert out[0].decision == "continue"
+    assert out[1].decision == "accept_h1"
+
+
+def test_sprt_no_conversions_accepts_h0(spark):
+    from kiara_spark.operators.events import sprt_monitor
+
+    days = [(d, [(u, "click") for u in range(10)]) for d in range(3)]
+    out = sorted(sprt_monitor(_mk_events(spark, days), 0.4, 0.5).collect(),
+                 key=lambda r: r.day)
+    lb = math.log(0.5 / 0.6)
+    assert out[0].llr == pytest.approx(10 * lb, abs=1e-5)
+    assert out[-1].decision == "accept_h0"
+
+
+def test_page_hinkley_flat_series_no_alarm(spark):
+    from kiara_spark.operators.events import page_hinkley
+
+    days = [(d, [(u, "click") for u in range(5)]) for d in range(10)]
+    out = page_hinkley(_mk_events(spark, days), "value", "ts",
+                       delta=0.1, threshold=1.0).collect()
+    assert len(out) == 10
+    assert not any(r.alarm for r in out)
+    # constant mean: m_t = -t*delta, running min is m_t itself -> ph = 0
+    for r in out:
+        assert r.ph == pytest.approx(0.0, abs=1e-6)
+
+
+def test_page_hinkley_level_shift_alarms(spark):
+    """Mean jumps 1.0 -> 100.0 at day 5: PH must alarm after the jump."""
+    import datetime
+    from kiara_spark.operators.events import page_hinkley
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    i = 0
+    for d in range(10):
+        v = 1.0 if d < 5 else 100.0
+        for u in range(5):
+            rows.append((i, base + datetime.timedelta(days=d, minutes=u),
+                         u, "click", v))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    out = sorted(page_hinkley(df, "value", "ts", delta=0.1,
+                              threshold=5.0).collect(),
+                 key=lambda r: r.day)
+    assert not any(r.alarm for r in out[:5])
+    assert any(r.alarm for r in out[5:])
+
+
+def test_srm_balanced_and_biased(spark):
+    from kiara_spark.operators.quality import srm_check
+
+    rows = [("a",)] * 500 + [("b",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    r = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert (r.n, r.k, r.dof) == (1000, 2, 1)
+    assert r.chi2 == 0.0 and r.p_value == 1.0 and not r.srm_detected
+
+    rows = [("a",)] * 600 + [("b",)] * 400
+    df = spark.createDataFrame(rows, "v string")
+    r = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
+    # chi2 = (100^2/500)*2 = 40 -> p ~ 2.5e-10
+    assert r.chi2 == pytest.approx(40.0, abs=1e-6)
+    assert r.p_value == pytest.approx(math.erfc(math.sqrt(20)), abs=1e-6)
+    assert r.srm_detected
+
+
+def test_srm_even_df_closed_form(spark):
+    """Three variants (df=2): p = exp(-chi2/2)."""
+    from kiara_spark.operators.quality import srm_check
+
+    rows = [("a",)] * 40 + [("b",)] * 30 + [("c",)] * 30
+    df = spark.createDataFrame(rows, "v string")
+    r = srm_check(df, "v", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}).collect()[0]
+    assert r.dof == 2
+    assert r.p_value == pytest.approx(
+        min(math.exp(-r.chi2 / 2), 1.0), abs=1e-5)
+
+
+def test_srm_ignores_foreign_groups(spark):
+    from kiara_spark.operators.quality import srm_check
+
+    rows = [("a",)] * 10 + [("b",)] * 10 + [("zzz",)] * 99
+    df = spark.createDataFrame(rows, "v string")
+    r = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert r.n == 20 and r.chi2 == 0.0
