@@ -371,6 +371,10 @@ BENCH_QUERIES = [
     "events_sprt_monitor",
     "events_page_hinkley",
     "stats_srm_orders",
+    "stats_mood_median_orders",
+    "stats_two_prop_z_orders",
+    "text_heaps_law_by_lang",
+    "text_term_burstiness",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

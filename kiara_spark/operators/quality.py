@@ -3339,6 +3339,119 @@ def srm_check(
         (p <= F.lit(alpha)).alias("srm_detected"))
 
 
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — do the k groups share a common median?
+    (the cruder-but-assumption-free cousin of ANOVA/Kruskal: only counts
+    above/below the POOLED median are used, so outliers cannot move it.)
+
+    Scale design: the pooled LOWER median comes exactly off the global
+    distinct-value grid (integer comparison, the `levene_bf` recipe);
+    one conditional (group) aggregate counts above/≤; the 2×k χ² is
+    computed over the k-row frame with round-9 decimal term sums.
+    df = k−1; even df gets the exact closed-form tail, odd df NULL
+    (the `chi2_gof_bh` contract).  Returns one row:
+    (k, n, pooled_median, chi2, dof, p_value)."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("decimal(38,6)")
+    base = (df.filter(F.col(group_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), v.alias("_v")))
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select("_v", F.sum("_c").over(w).cast("bigint").alias("_cm"))
+    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_nn"))
+    med = (cum.crossJoin(F.broadcast(tot))
+           .filter(F.col("_cm") * 2 >= F.col("_nn"))
+           .agg(F.min("_v").alias("_med")))
+    per_g = (base.crossJoin(F.broadcast(med))
+             .groupBy("_g")
+             .agg(F.sum(F.when(F.col("_v") > F.col("_med"), 1)
+                        .otherwise(0)).cast("bigint").alias("_a"),
+                  F.sum(F.when(F.col("_v") <= F.col("_med"), 1)
+                        .otherwise(0)).cast("bigint").alias("_b"),
+                  F.min("_med").alias("_med")))
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    tots = per_g.agg(F.sum("_a").cast("bigint").alias("_ta"),
+                     F.sum("_b").cast("bigint").alias("_tb"))
+    j = per_g.crossJoin(F.broadcast(tots))
+    ng = (F.col("_a") + F.col("_b")).cast("double")
+    nn = (F.col("_ta") + F.col("_tb")).cast("double")
+    ea = ng * F.col("_ta").cast("double") / nn
+    eb = ng * F.col("_tb").cast("double") / nn
+    ad, bd = F.col("_a").cast("double"), F.col("_b").cast("double")
+    term = d9((ad - ea) * (ad - ea) / ea + (bd - eb) * (bd - eb) / eb)
+    agg = j.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                F.sum(F.col("_a") + F.col("_b")).cast("bigint").alias("n"),
+                F.min("_med").alias("_med"),
+                F.round(F.sum(term).cast("double"), 9).alias("_chi"))
+    dof = F.col("k") - 1
+    halves = F.expr(
+        "CASE WHEN (k - 1) < 4 THEN 1.0d ELSE "
+        "aggregate(sequence(1, int((k - 1)/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
+    pval = F.when(dof % 2 == 0,
+                  F.when(dof == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    return agg.select(
+        "k", "n",
+        F.col("_med").cast("double").alias("pooled_median"),
+        F.round(F.col("_chi"), 6).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(pval, 6).alias("p_value"))
+
+
+def two_proportion_z(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled variance) — "did the conversion RATE
+    differ?", the categorical twin of :func:`welch_ttest`.
+
+        z = (p̂_a − p̂_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) )
+
+    Scale design: ONE conditional-count scan (exact bigints); z and the
+    two-sided erfc p-value are terminal fixed-order doubles of exact
+    integer casts.  ``flag_col`` is a boolean column or Column
+    expression.  Returns one row:
+    (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z, p_value)."""
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.filter(in_a | in_b).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
+        F.sum(F.when(in_a & flag, 1).otherwise(0)).cast("bigint")
+        .alias("_ca"),
+        F.sum(F.when(in_b & flag, 1).otherwise(0)).cast("bigint")
+        .alias("_cb"))
+    nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    cad, cbd = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    pa, pb = cad / nad, cbd / nbd
+    pp = (cad + cbd) / (nad + nbd)
+    z = (pa - pb) / F.sqrt(pp * (F.lit(1.0) - pp)
+                           * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
+    p = _erfc_as(F.abs(z) / F.sqrt(F.lit(2.0)))
+    return agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.col("_ca").alias("conv_a"), F.col("_cb").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"), F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -3784,6 +3897,29 @@ TableLeveneBf = _simple_module(
         "F-test: exact lower medians + ANOVA on |x - median|.",
 )
 
+TableMoodMedian = _simple_module(
+    "table.stats.mood_median",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": mood_median_test(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"])},
+    doc="Mood's median test: above/below-pooled-median chi2 across "
+        "groups (outlier-immune location screen).",
+)
+
+TableTwoPropZ = _simple_module(
+    "table.stats.two_proportion_z",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": two_proportion_z(
+        im["table"].data, self.config["group_column"],
+        self.config["flag_column"], self.config["group_a"],
+        self.config["group_b"])},
+    doc="Two-proportion z-test (pooled variance) with exact erfc "
+        "p-value from one conditional-count scan.",
+)
+
 TableSrmCheck = _simple_module(
     "table.stats.srm_check",
     {"table": TABLE},
@@ -3815,11 +3951,17 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableMannWhitney, TableWelchTtest, TableSpearman,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
-            TableKendallTau, TableSrmCheck]
+            TableKendallTau, TableSrmCheck, TableMoodMedian,
+            TableTwoPropZ]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
               doc="sample-ratio-mismatch chi2 gate for A/B assignments"),
+    Operation("table.stats.mood_median", "table.stats.mood_median",
+              doc="Mood's median test (pooled-median 2xk chi2)"),
+    Operation("table.stats.two_proportion_z",
+              "table.stats.two_proportion_z",
+              doc="two-proportion z-test with erfc p-value"),
     Operation("table.stats.anova", "table.stats.anova",
               doc="one-way ANOVA F-test + eta-squared effect size"),
     Operation("table.stats.cohens_kappa", "table.stats.cohens_kappa",

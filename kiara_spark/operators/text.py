@@ -1867,6 +1867,109 @@ def good_turing(
         F.round(rstar / F.col("_n").cast("double"), 9).alias("p_gt"))
 
 
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = None,
+) -> DataFrame:
+    """Heaps'-law fit V = K·N^β across documents: OLS of ln V_d on
+    ln N_d over per-doc (token count, distinct count) — the vocabulary-
+    growth exponent; templated/duplicated slices show β far below the
+    natural-language ~0.5 band, the doc-level companion to the corpus
+    `text.zipf_fit` slope.
+
+    Scale design: ONE map-only pass computes per-doc (N, V) from the
+    token array (no shuffle before the aggregate); the four OLS sums
+    take round-9 ln terms into decimal-exact accumulators; slope /
+    intercept / R² are terminal fixed-order doubles.  Optional grouping
+    fits per slice.  Returns (group?, n_docs, beta, ln_k, k_coef, r2)."""
+    toks = tokens_col(F.col(text_col))
+    keys = [F.col(group_col).alias("_g")] if group_col else []
+    staged = df.select(*keys, toks.alias("_ws"))
+    nv = staged.select(
+        *(["_g"] if group_col else []),
+        F.size("_ws").cast("double").alias("_n"),
+        F.size(F.array_distinct("_ws")).cast("double").alias("_v")) \
+        .filter((F.col("_n") >= 2) & (F.col("_v") >= 1))
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    lx, ly = F.log(F.col("_n")), F.log(F.col("_v"))
+    gb = nv.groupBy("_g") if group_col else nv.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(d9(lx)).alias("_sx"), F.sum(d9(ly)).alias("_sy"),
+        F.sum(d9(lx * lx)).alias("_sxx"), F.sum(d9(lx * ly)).alias("_sxy"),
+        F.sum(d9(ly * ly)).alias("_syy"))
+    nd = F.col("n_docs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    beta = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    lnk = (sy - beta * sx) / nd
+    r2num = (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+    r2den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    cols = ([F.col("_g").alias(group_col)] if group_col else [])
+    return agg.select(
+        *cols, "n_docs",
+        F.round(beta, 6).alias("beta"),
+        F.round(lnk, 6).alias("ln_k"),
+        F.round(F.exp(lnk), 6).alias("k_coef"),
+        F.round(F.when(r2den > 0, r2num / r2den), 6).alias("r2"))
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term burstiness via the variance-to-mean ratio of per-document
+    counts (Church & Gale dispersion): content words CLUMP (VMR >> 1),
+    function words spread evenly (VMR ≈ 1 — Poisson) — the classic
+    topical-term / boilerplate discriminator for curation.
+
+    Scale design: one (doc, word) aggregate, then a (word) rollup of
+    exact integer (Σc, Σc², docs-present); absent-doc zeros fold in
+    ALGEBRAICALLY (mean & variance over all D docs use Σc, Σc², D — no
+    dense doc×term grid); the 1-row corpus doc-count broadcasts; top-k
+    by total count is a distributed TakeOrdered.  Returns top-k rows:
+    (word, total_count, docs_present, mean_per_doc, vmr)."""
+    per_doc = (df.select(F.col(id_col).alias("_id"),
+                         tokens_col(F.col(text_col)).alias("_ws"))
+               .select("_id", F.explode("_ws").alias("_w"))
+               .groupBy("_id", "_w")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    d_tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("_dd"))
+    per_w = per_doc.groupBy("_w").agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_sc"),
+        F.sum(F.col("_c") * F.col("_c")).cast("decimal(38,0)").alias("_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("_dp"))
+    j = per_w.crossJoin(F.broadcast(d_tot))
+    dd = F.col("_dd").cast("double")
+    sc = _split_cast_dec(F.col("_sc"))
+    sq = _split_cast_dec(F.col("_sq"))
+    mean = sc / dd
+    var = (sq - sc * sc / dd) / (dd - F.lit(1.0))
+    ranked = j.select(
+        F.col("_w").alias("word"),
+        F.col("_sc").cast("bigint").alias("total_count"),
+        F.col("_dp").alias("docs_present"),
+        F.round(mean, 9).alias("mean_per_doc"),
+        # dd > 1 guard: a 1-doc corpus has no between-doc variance
+        # (ANSI divide-by-zero otherwise); NULL vmr by contract
+        F.round(F.when((mean > 0) & (dd > F.lit(1.0)), var / mean), 6)
+        .alias("vmr"))
+    return (ranked.orderBy(F.col("total_count").desc(), F.col("word"))
+            .limit(top_k))
+
+
+def _split_cast_dec(c: Column) -> Column:
+    """DECIMAL → DOUBLE via exactly-castable integer + fraction parts
+    (both-engine bit agreement past 2^53; see quality._split_cast)."""
+    i = F.floor(c).cast("decimal(38,0)")
+    return i.cast("double") + (c - i).cast("double")
+
+
 def _mk(name, fn, doc=""):
     class _Mod(KiaraModule):
         _module_type_name = name
@@ -2374,6 +2477,12 @@ class TextCleanC4(KiaraModule):
 TextGoodTuring = _mk("text.good_turing", good_turing,
                      "Good-Turing frequency-of-frequencies table "
                      "(N_r, r*, GT probabilities)")
+TextHeapsLaw = _mk("text.heaps_law_fit", heaps_law_fit,
+                   "Heaps'-law vocabulary-growth fit V = K*N^beta "
+                   "(templated-slice detector)")
+TextBurstiness = _mk("text.term_burstiness", term_burstiness,
+                     "term burstiness: variance-to-mean ratio of "
+                     "per-doc counts (topical vs function words)")
 
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
@@ -2386,7 +2495,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
            TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit,
-           TextCollocationsLlr, TextLexicalRichness, TextGoodTuring]
+           TextCollocationsLlr, TextLexicalRichness, TextGoodTuring,
+           TextHeapsLaw, TextBurstiness]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2420,6 +2530,10 @@ OPERATIONS = [
               doc="Dunning G² collocation/phrase detection"),
     Operation("text.good_turing", "text.good_turing",
               doc="Good-Turing frequency-of-frequencies smoothing table"),
+    Operation("text.heaps_law_fit", "text.heaps_law_fit",
+              doc="Heaps'-law vocabulary-growth exponent fit"),
+    Operation("text.term_burstiness", "text.term_burstiness",
+              doc="per-doc-count variance-to-mean burstiness ranking"),
     Operation("text.lexical_richness", "text.lexical_richness",
               doc="per-group TTR / hapax ratio / Herdan's C profile"),
     Operation("text.js_divergence", "text.js_divergence",

@@ -567,3 +567,130 @@ def test_srm_ignores_foreign_groups(spark):
     df = spark.createDataFrame(rows, "v string")
     r = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
     assert r.n == 20 and r.chi2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Mood's median / two-proportion z / Heaps / burstiness
+# ---------------------------------------------------------------------------
+
+def test_mood_median_identical_groups(spark):
+    from kiara_spark.operators.quality import mood_median_test
+
+    rows = [(g, float(v)) for g in ("a", "b", "c")
+            for v in (1, 2, 3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "g", "v").collect()[0]
+    assert (r.k, r.n) == (3, 18)
+    assert r.pooled_median == 3.0  # lower median of 1..6
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.dof == 2
+    assert r.p_value == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mood_median_shifted_group_detected(spark):
+    from kiara_spark.operators.quality import mood_median_test
+
+    rows = ([("lo", float(v)) for v in range(1, 21)]
+            + [("hi", float(v)) for v in range(100, 120)]
+            + [("mid", float(v)) for v in range(10, 110, 5)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "g", "v").collect()[0]
+    assert r.chi2 > 20
+    assert r.p_value == pytest.approx(
+        min(math.exp(-r.chi2 / 2), 1.0), abs=1e-5)
+
+
+def test_two_prop_z_hand_computed(spark):
+    """a: 30/100, b: 20/100 -> pooled p=0.25,
+    z = 0.1/sqrt(0.25*0.75*0.02)."""
+    from kiara_spark.operators.quality import two_proportion_z
+    from pyspark.sql import functions as F
+
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 20 + [("b", 0)] * 80)
+    df = spark.createDataFrame(rows, "g string, f int")
+    r = two_proportion_z(df, "g", F.col("f") == 1, "a", "b").collect()[0]
+    z = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (100, 100, 30, 20)
+    assert r.rate_a == 0.3 and r.rate_b == 0.2
+    assert r.z == pytest.approx(z, abs=1e-6)
+    assert r.p_value == pytest.approx(math.erfc(z / math.sqrt(2)),
+                                      abs=1e-6)
+
+
+def test_two_prop_z_equal_rates_p_one(spark):
+    from kiara_spark.operators.quality import two_proportion_z
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 10 + [("a", 0)] * 10 \
+        + [("b", 1)] * 10 + [("b", 0)] * 10
+    df = spark.createDataFrame(rows, "g string, f int")
+    r = two_proportion_z(df, "g", F.col("f") == 1, "a", "b").collect()[0]
+    assert r.z == 0.0 and r.p_value == 1.0
+
+
+def test_heaps_law_recovers_exact_power_law(spark):
+    """Docs engineered so V = 2 * N^0.5 exactly at N in {4,16,64}:
+    log-log OLS must recover beta=0.5, K=2, r2=1."""
+    from kiara_spark.operators.text import heaps_law_fit
+
+    docs = []
+    for n, v in ((4, 4), (16, 8), (64, 16)):
+        # v distinct words, each repeated n/v times -> N=n, V=v
+        words = [f"w{i}" for i in range(v)] * (n // v)
+        docs.append((" ".join(words),))
+    df = spark.createDataFrame(docs, "text string")
+    r = heaps_law_fit(df, "text").collect()[0]
+    assert r.n_docs == 3
+    assert r.beta == pytest.approx(0.5, abs=1e-4)
+    assert r.k_coef == pytest.approx(2.0, abs=1e-3)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_heaps_law_grouped_and_filters_short_docs(spark):
+    from kiara_spark.operators.text import heaps_law_fit
+
+    docs = [("en", "a b c d"), ("en", "a a b b c c d d"),
+            ("en", "a b a b a b a b a b a b a b a b"),
+            ("de", "x"),  # 1 token: filtered
+            ("de", "x y x y"), ("de", "x y z w x y z w")]
+    df = spark.createDataFrame(docs, "lang string, text string")
+    out = {r.lang: r for r in
+           heaps_law_fit(df, "text", group_col="lang").collect()}
+    assert out["en"].n_docs == 3
+    assert out["de"].n_docs == 2
+
+
+def test_term_burstiness_bursty_vs_uniform(spark):
+    """'uni' appears once in every doc (VMR -> 0 over identical counts);
+    'burst' clumps all its mass in one doc (VMR >> 1)."""
+    from kiara_spark.operators.text import term_burstiness
+
+    docs = [(0, "uni " + "burst " * 9), (1, "uni"), (2, "uni"), (3, "uni")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.word: r for r in term_burstiness(df, "text", top_k=5).collect()}
+    assert out["uni"].docs_present == 4
+    assert out["uni"].vmr == pytest.approx(0.0, abs=1e-6)
+    assert out["burst"].docs_present == 1
+    # mean 9/4, var = (81 - 81/4)/3 = 20.25 -> vmr = 9
+    assert out["burst"].vmr == pytest.approx(9.0, abs=1e-6)
+    assert out["burst"].total_count == 9
+
+
+def test_term_burstiness_topk_by_total(spark):
+    from kiara_spark.operators.text import term_burstiness
+
+    docs = [(0, "a a a b b c"), (1, "c")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = term_burstiness(df, "text", top_k=2).collect()
+    assert [r.word for r in out] == ["a", "b"]
+
+
+def test_term_burstiness_single_doc_null_vmr(spark):
+    from kiara_spark.operators.text import term_burstiness
+
+    docs = [(0, "a a a b b c")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = term_burstiness(df, "text", top_k=2).collect()
+    assert [r.word for r in out] == ["a", "b"]
+    assert all(r.vmr is None for r in out)

@@ -97,6 +97,8 @@ INTENTIONAL_CROSS = {
     "text_good_turing_bigrams",    # 1-row corpus-token-total broadcast
     "stats_cohens_kappa_orders",   # 1-row p_e-numerator broadcast
     "stats_kendall_tau_lineitem",  # cell-grid inequality join + 1-row tie totals
+    "stats_mood_median_orders",    # 1-row pooled-median + totals broadcasts
+    "text_term_burstiness",        # 1-row corpus-doc-count broadcast
 }
 
 
