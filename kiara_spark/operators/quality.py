@@ -928,15 +928,14 @@ def weighted_percentile(
     never grows the scale), so boundary rows can't flip on engine
     arithmetic.  Percentiles are quantized to 1e-6.  Returns (p, value).
     """
-    from pyspark.sql.window import Window
-
     per_v = (df.groupBy(F.col(value_col).alias("_v"))
              .agg(F.sum(F.col(weight_col).cast("decimal(38,6)"))
                   .alias("_w")))
-    w_cum = (Window.orderBy("_v")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = per_v.select(
-        "_v", F.sum("_w").over(w_cum).cast("decimal(38,6)").alias("_cw"))
+    # r8: range-partitioned prefix (was one unpartitioned window over the
+    # distinct grid — the skyline-class serial stretch)
+    cum = (_prefix_sums(per_v, "_v",
+                        [("_w", "_cw", "decimal(38,6)")], inclusive=True)
+           .select("_v", "_cw"))
     tot = per_v.agg(F.sum("_w").cast("decimal(38,6)").alias("_tw"))
     grid = df.sparkSession.createDataFrame(
         [(float(p), int(round(p * 1_000_000))) for p in percentiles],
@@ -962,21 +961,18 @@ def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
     |difference| total folds into a single pass over the sorted distinct
     grid via exclusive prefix counts/sums:
     Σ|diffs| = 2·Σ_v c_v·(v·N_<v − S_<v).  Everything stays exact
-    decimal until the final fixed-order double ratio (6 dp).  The only
-    ordered state is the distinct-value grid (the AUC shape).  Returns
+    decimal until the final fixed-order double ratio (6 dp).  The grid
+    prefixes run as the range-partitioned :func:`_prefix_sums` (r8 —
+    no serial window over the distinct grid).  Returns
     one row (n, total, gini)."""
-    from pyspark.sql.window import Window
-
     per_v = (df.groupBy(F.col(value_col).cast("decimal(38,6)").alias("_v"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    g = per_v.select(
-        "_v", "_c",
-        F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint")
-        .alias("_nlt"),
-        F.coalesce(F.sum(F.col("_v") * F.col("_c")).over(w),
-                   F.lit(0).cast("decimal(38,6)")).cast("decimal(38,6)")
-        .alias("_slt"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+             .withColumn("_vc", (F.col("_v") * F.col("_c"))
+                         .cast("decimal(38,6)")))
+    g = (_prefix_sums(per_v, "_v",
+                      [("_c", "_nlt0"), ("_vc", "_slt", "decimal(38,6)")])
+         .select("_v", "_c", F.col("_nlt0").cast("bigint").alias("_nlt"),
+                 "_slt"))
     t = g.agg(
         F.sum("_c").cast("bigint").alias("_n"),
         F.sum(F.col("_v") * F.col("_c")).cast("decimal(38,6)").alias("_s"),
@@ -1159,19 +1155,14 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     n_neg, auc).  NULL scores are EXCLUDED (an unscored row has no rank;
     silently ranking NULLs would also diverge between engines' nulls-
     first vs nulls-last window orders)."""
-    from pyspark.sql.window import Window
-
     df = df.filter(F.col(score_col).isNotNull())
     s = (df.groupBy(F.col(score_col).alias("_sc"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
               F.sum(F.col(label_col).cast("int")).cast("bigint")
               .alias("_npos")))
-    w = (Window.orderBy("_sc")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    c = s.select(
-        "_n", "_npos",
-        F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("bigint")
-        .alias("_cp"))
+    # r8: range-partitioned prefix over the score grid (_prefix_sums)
+    c = (_prefix_sums(s, "_sc", [("_n", "_cp0")])
+         .select("_n", "_npos", F.col("_cp0").cast("bigint").alias("_cp")))
     t = c.agg(
         F.sum(F.col("_npos").cast("decimal(38,0)")
               * (2 * F.col("_cp") + F.col("_n") + 1)).alias("_s2"),
@@ -1204,19 +1195,17 @@ def average_precision(
     rounded to 9 dp and weighted-summed as DECIMAL(38,12).  NULL scores
     are excluded (unscored rows have no rank).  Returns one row:
     (n, n_pos, average_precision)."""
-    from pyspark.sql.window import Window
-
     df = df.filter(F.col(score_col).isNotNull())
     s = (df.groupBy(F.col(score_col).alias("_sc"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
               F.sum(F.col(label_col).cast("int")).cast("bigint")
               .alias("_npos")))
-    w = (Window.orderBy(F.col("_sc").desc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    c = s.select(
-        "_n", "_npos",
-        F.sum("_n").over(w).cast("bigint").alias("_cn"),
-        F.sum("_npos").over(w).cast("bigint").alias("_cp"))
+    # r8: range-partitioned DESCENDING prefix over the score grid
+    c = (_prefix_sums(s, "_sc", [("_n", "_cn0"), ("_npos", "_cp0")],
+                      inclusive=True, descending=True)
+         .select("_n", "_npos",
+                 F.col("_cn0").cast("bigint").alias("_cn"),
+                 F.col("_cp0").cast("bigint").alias("_cp")))
     term = F.round(F.col("_npos").cast("double")
                    * (F.col("_cp").cast("double")
                       / F.col("_cn").cast("double")), 9) \
@@ -2068,23 +2057,21 @@ def ks_statistic(
     the max pick the smallest value (deterministic).  Only the final
     KS ratio and the 3-term asymptotic p-value (2Σ(−1)^{k−1}e^{−2k²λ²},
     λ = KS·√(n₁n₂/(n₁+n₂))) are floating point, fixed-order, rounded 6 dp.
-    The only ordered state is the distinct-value grid (documented
-    trade-off: pre-round a truly continuous 100 TB column).  Returns one
+    The grid CDFs run as the range-partitioned :func:`_prefix_sums`
+    (r8: previously one unpartitioned window over the distinct grid —
+    the skyline-class serial stretch; pre-round a truly continuous
+    100 TB column to bound the grid itself).  Returns one
     row: (n_ref, n_cur, ks, ks_at, p_value)."""
-    from pyspark.sql.window import Window
-
     v = F.col(value_col).cast("decimal(38,6)")
     tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
               .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
               .filter(F.col("_v").isNotNull()))
     per_v = tagged.groupBy("_v").agg(
-        F.sum("_r").cast("bigint").alias("_c1"),
-        F.sum(1 - F.col("_r")).cast("bigint").alias("_c2"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "_v",
-        F.sum("_c1").over(w).cast("decimal(38,0)").alias("_f1"),
-        F.sum("_c2").over(w).cast("decimal(38,0)").alias("_f2"))
+        F.sum("_r").cast("decimal(38,0)").alias("_c1"),
+        F.sum(1 - F.col("_r")).cast("decimal(38,0)").alias("_c2"))
+    cum = (_prefix_sums(per_v, "_v",
+                        [("_c1", "_f1"), ("_c2", "_f2")], inclusive=True)
+           .select("_v", "_f1", "_f2"))
     tot = per_v.agg(F.sum("_c1").cast("decimal(38,0)").alias("_n1"),
                     F.sum("_c2").cast("decimal(38,0)").alias("_n2"))
     num = cum.crossJoin(F.broadcast(tot)).select(
@@ -2132,19 +2119,17 @@ def regression_stump(
     pre-bin to quantile candidates (the approx mode every GBDT uses).
     Returns 1 row: (split_value, n_left, n_right, mean_left, mean_right,
     score, gain) with gain = score − S²/N ≥ 0."""
-    from pyspark.sql.window import Window
-
     v = F.col(feature_col).cast("decimal(38,6)")
     y = F.col(target_col).cast("decimal(38,10)")
     per_v = (df.filter(v.isNotNull() & y.isNotNull())
              .groupBy(v.alias("_v"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("_c"),
                   F.sum(y).cast("decimal(38,10)").alias("_s")))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "_v",
-        F.sum("_c").over(w).cast("bigint").alias("_nl"),
-        F.sum("_s").over(w).cast("decimal(38,10)").alias("_sl"))
+    # r8: range-partitioned prefix over the split-candidate grid
+    cum = (_prefix_sums(per_v, "_v",
+                        [("_c", "_nl0"), ("_s", "_sl", "decimal(38,10)")],
+                        inclusive=True)
+           .select("_v", F.col("_nl0").cast("bigint").alias("_nl"), "_sl"))
     tot = per_v.agg(F.sum("_c").cast("bigint").alias("_n"),
                     F.sum("_s").cast("decimal(38,10)").alias("_st"))
     cand = (cum.crossJoin(F.broadcast(tot))
@@ -2740,6 +2725,61 @@ def _split_cast(c: Column) -> Column:
     return i.cast("double") + (c - i).cast("double")
 
 
+def _prefix_sums(
+    grid: DataFrame,
+    v_col: str,
+    sums: list,
+    inclusive: bool = False,
+    descending: bool = False,
+) -> DataFrame:
+    """Range-partitioned prefix sums over a sorted grid — the skyline
+    recipe (tables.skyline_2d, r7 verdict item 4) generalized from min
+    to sum: an unpartitioned ``SUM() OVER (ORDER BY v)`` serializes the
+    whole grid through one task; instead repartitionByRange on v, run
+    the per-partition window (parallel), and fold in the broadcast
+    prefix-total of all EARLIER range partitions (a P-row frame — the
+    only serial window left is over the parallelism constant).
+
+    ``sums`` is a list of (count_col, out_col) or (count_col, out_col,
+    out_type — default decimal(38,0)); each out_col is the exclusive
+    (or inclusive) prefix sum of count_col in v-order (descending when
+    ``descending``).  Exact decimal/integer arithmetic — bit-identical
+    to the single-window plan, so DuckDB oracles mirroring a plain
+    window need no change."""
+    from pyspark.sql.window import Window as _W
+
+    from ..io import cut_lineage
+
+    sums = [(s[0], s[1], s[2] if len(s) > 2 else "decimal(38,0)")
+            for s in sums]
+    order = F.col(v_col).desc() if descending else F.col(v_col)
+    p = grid.sparkSession.sparkContext.defaultParallelism
+    tagged = cut_lineage(
+        grid.repartitionByRange(p, order)
+        .withColumn("_pp", F.spark_partition_id()))
+    end = 0 if inclusive else -1
+    w_loc = (_W.partitionBy("_pp").orderBy(order)
+             .rowsBetween(_W.unboundedPreceding, end))
+    local = tagged
+    for cnt, out, ty in sums:
+        local = local.withColumn(
+            out + "_l",
+            F.coalesce(F.sum(cnt).over(w_loc), F.lit(0).cast(ty)))
+    wb = _W.orderBy("_pp").rowsBetween(_W.unboundedPreceding, -1)
+    prefix = tagged.groupBy("_pp").agg(
+        *[F.sum(cnt).alias(out + "_p") for cnt, out, _ in sums])
+    prefix = prefix.select(
+        "_pp", *[F.coalesce(F.sum(out + "_p").over(wb),
+                            F.lit(0).cast(ty)).alias(out + "_b")
+                 for _, out, ty in sums])
+    joined = local.join(F.broadcast(prefix), "_pp")
+    for _, out, ty in sums:
+        joined = joined.withColumn(
+            out, (F.col(out + "_l") + F.col(out + "_b")).cast(ty))
+    drop = ["_pp"] + [out + s for _, out, _ in sums for s in ("_l", "_b")]
+    return joined.drop(*drop)
+
+
 def _erfc_as(x: Column) -> Column:
     """erfc(x) for x >= 0 via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7):
     fixed-order IEEE polynomial + one exp — the only transcendental, same
@@ -2767,9 +2807,9 @@ def mann_whitney_u(
     terminal z = (U₁ − n₁n₂/2)/σ (tie-corrected σ² = n₁n₂/12·((n+1) −
     T/(n(n−1)))) and the two-sided normal p = erfc(|z|/√2) are floating
     point (A&S erfc, no continuity correction — contract documented).
+    The midrank prefix runs as the range-partitioned :func:`_prefix_sums`
+    (no unpartitioned window even for a near-unique value grid).
     Returns one row: (n_ref, n_cur, u_ref, u_cur, z, p_value)."""
-    from pyspark.sql.window import Window
-
     v = F.col(value_col).cast("decimal(38,6)")
     tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
               .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
@@ -2777,13 +2817,10 @@ def mann_whitney_u(
     per_v = tagged.groupBy("_v").agg(
         F.sum("_r").cast("decimal(38,0)").alias("_c1"),
         F.sum(1 - F.col("_r")).cast("decimal(38,0)").alias("_c2"))
-    w = (Window.orderBy("_v")
-         .rowsBetween(Window.unboundedPreceding, -1))
     t_ = (F.col("_c1") + F.col("_c2"))
-    grid = per_v.select(
-        "_c1", "_c2", t_.alias("_t"),
-        F.coalesce(F.sum(t_).over(w), F.lit(0)).cast("decimal(38,0)")
-        .alias("_prev"))
+    grid = _prefix_sums(per_v.withColumn("_t", t_.cast("decimal(38,0)")),
+                        "_v", [("_t", "_prev")]) \
+        .select("_c1", "_c2", "_t", "_prev")
     # 2·midrank of every tied row at this value (exact integer)
     rank2 = F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1)
     agg = grid.agg(
@@ -2884,9 +2921,9 @@ def spearman_correlation(
     grid side is the distinct frame, tiny after aggregation), and the
     Pearson sufficient statistics over doubled ranks are exact
     DECIMAL(38,0) sums; the doubling cancels in ρ.  Only the terminal
-    ratio/√ is floating point.  Returns (n, rho)."""
-    from pyspark.sql.window import Window
-
+    ratio/√ is floating point.  Each midrank prefix runs as the range-
+    partitioned :func:`_prefix_sums` (near-unique grids never serialize
+    through one window task).  Returns (n, rho)."""
     base = (df.select(F.col(x_col).cast("decimal(38,6)").alias("_x"),
                       F.col(y_col).cast("decimal(38,6)").alias("_y"))
             .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
@@ -2894,12 +2931,11 @@ def spearman_correlation(
     def rank2_grid(col: str, out: str):
         per_v = base.groupBy(col).agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return per_v.select(
+        pre = _prefix_sums(per_v, col, [("_t", "_prev")])
+        return pre.select(
             col,
-            (F.lit(2) * F.coalesce(F.sum("_t").over(w),
-                                   F.lit(0)).cast("decimal(38,0)")
-             + F.col("_t") + F.lit(1)).alias(out))
+            (F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1))
+            .alias(out))
 
     ranked = (base
               .join(rank2_grid("_x", "_rx"), "_x")
@@ -3353,18 +3389,17 @@ def mood_median_test(
     one conditional (group) aggregate counts above/≤; the 2×k χ² is
     computed over the k-row frame with round-9 decimal term sums.
     df = k−1; even df gets the exact closed-form tail, odd df NULL
-    (the `chi2_gof_bh` contract).  Returns one row:
+    (the `chi2_gof_bh` contract).  The median prefix runs as the range-
+    partitioned :func:`_prefix_sums`.  Returns one row:
     (k, n, pooled_median, chi2, dof, p_value)."""
-    from pyspark.sql.window import Window
-
     v = F.col(value_col).cast("decimal(38,6)")
     base = (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), v.alias("_v")))
     per_v = base.groupBy("_v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c"))
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select("_v", F.sum("_c").over(w).cast("bigint").alias("_cm"))
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    cum = (_prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
+           .select("_v", F.col("_cm").cast("bigint").alias("_cm")))
     tot = per_v.agg(F.sum("_c").cast("bigint").alias("_nn"))
     med = (cum.crossJoin(F.broadcast(tot))
            .filter(F.col("_cm") * 2 >= F.col("_nn"))
