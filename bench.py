@@ -375,6 +375,8 @@ BENCH_QUERIES = [
     "stats_two_prop_z_orders",
     "text_heaps_law_by_lang",
     "text_term_burstiness",
+    "stats_mcnemar_orders",
+    "stats_ccc_documents",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

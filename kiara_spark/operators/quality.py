@@ -3487,6 +3487,98 @@ def two_proportion_z(
         F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"))
 
 
+def mcnemar_test(
+    df: DataFrame,
+    a_flag,
+    b_flag,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did the flag flip
+    asymmetrically between two conditions on the SAME rows? (the paired
+    companion to :func:`two_proportion_z`, which assumes independent
+    groups; classic for before/after model comparisons on one eval set).
+
+        χ² = (n01 − n10)² / (n01 + n10)   (no continuity correction —
+                                            documented contract)
+
+    Scale design: ONE conditional-count scan; χ² is exact-integer-derived
+    and the df=1 p-value is the exact erfc(√(χ²/2)).  ``a_flag``/
+    ``b_flag`` are boolean Columns or column names.  Returns one row:
+    (n, n_both, n_only_a, n_only_b, n_neither, chi2, p_value)."""
+    a = F.col(a_flag) if isinstance(a_flag, str) else a_flag
+    b = F.col(b_flag) if isinstance(b_flag, str) else b_flag
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("_nb"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("bigint").alias("_n01"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("bigint").alias("_n10"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("bigint")
+        .alias("_nn"))
+    d01, d10 = F.col("_n01").cast("double"), F.col("_n10").cast("double")
+    chi = F.when(F.col("_n01") + F.col("_n10") > 0,
+                 (d01 - d10) * (d01 - d10) / (d01 + d10))
+    # least() SKIPS NULLs in both engines — guard so a NULL chi2 (no
+    # discordant pairs) yields NULL p, not least(NULL, 1.0) = 1.0
+    p = F.when(chi.isNotNull(),
+               F.round(F.least(_erfc_as(F.sqrt(chi / 2)),
+                               F.lit(1.0)), 9))
+    return agg.select(
+        F.col("_n").alias("n"), F.col("_nb").alias("n_both"),
+        F.col("_n01").alias("n_only_a"), F.col("_n10").alias("n_only_b"),
+        F.col("_nn").alias("n_neither"),
+        F.round(chi, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"))
+
+
+def concordance_ccc(
+    df: DataFrame,
+    x_col,
+    y_col,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — AGREEMENT between two
+    same-scale measurements (Pearson r measures linearity; CCC also
+    punishes scale and location bias — the metric for "does the cheap
+    proxy reproduce the expensive measurement?"):
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)   (population moments)
+
+    Scale design: ONE aggregate of exact decimal sufficient statistics
+    at ``value_scale`` (the Welch recipe: natural-scale sums,
+    :func:`_split_cast` to double); CCC / Pearson r / the bias factor
+    are terminal fixed-order doubles.  Returns one row:
+    (n, mean_x, mean_y, pearson_r, bias_factor, ccc)."""
+    xs = F.col(x_col) if isinstance(x_col, str) else x_col
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    s, s2 = value_scale, value_scale * 2
+    dv = lambda e, sc: F.round(e, sc).cast(f"decimal(38,{sc})")  # noqa: E731
+    x, y = xs.cast("double"), ys.cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(dv(x, s)).alias("_sx"), F.sum(dv(y, s)).alias("_sy"),
+        F.sum(dv(x * x, s2)).alias("_sxx"),
+        F.sum(dv(y * y, s2)).alias("_syy"),
+        F.sum(dv(x * y, s2)).alias("_sxy"))
+    nd = F.col("_n").cast("double")
+    sx, sy = _split_cast(F.col("_sx")), _split_cast(F.col("_sy"))
+    sxx, syy = _split_cast(F.col("_sxx")), _split_cast(F.col("_syy"))
+    sxy = _split_cast(F.col("_sxy"))
+    mx, my = sx / nd, sy / nd
+    vx = sxx / nd - mx * mx
+    vy = syy / nd - my * my
+    cov = sxy / nd - mx * my
+    ccc = (F.lit(2.0) * cov
+           / (vx + vy + (mx - my) * (mx - my)))
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.round(mx, 6).alias("mean_x"), F.round(my, 6).alias("mean_y"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(F.when(r.isNotNull() & (F.abs(r) > 0), ccc / r), 6)
+        .alias("bias_factor"),
+        F.round(ccc, 6).alias("ccc"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -3932,6 +4024,29 @@ TableLeveneBf = _simple_module(
         "F-test: exact lower medians + ANOVA on |x - median|.",
 )
 
+TableMcnemar = _simple_module(
+    "table.stats.mcnemar",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": mcnemar_test(
+        im["table"].data, self.config["a_column"],
+        self.config["b_column"])},
+    doc="McNemar's paired-binary test: off-diagonal flip chi2 with "
+        "exact erfc p (before/after model comparison).",
+)
+
+TableCcc = _simple_module(
+    "table.stats.concordance_ccc",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": concordance_ccc(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Lin's concordance correlation (agreement incl. scale/location "
+        "bias) from one exact-decimal aggregate.",
+)
+
 TableMoodMedian = _simple_module(
     "table.stats.mood_median",
     {"table": TABLE},
@@ -3987,13 +4102,18 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ]
+            TableTwoPropZ, TableMcnemar, TableCcc]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
               doc="sample-ratio-mismatch chi2 gate for A/B assignments"),
     Operation("table.stats.mood_median", "table.stats.mood_median",
               doc="Mood's median test (pooled-median 2xk chi2)"),
+    Operation("table.stats.mcnemar", "table.stats.mcnemar",
+              doc="McNemar's paired-binary flip test"),
+    Operation("table.stats.concordance_ccc",
+              "table.stats.concordance_ccc",
+              doc="Lin's concordance correlation coefficient"),
     Operation("table.stats.two_proportion_z",
               "table.stats.two_proportion_z",
               doc="two-proportion z-test with erfc p-value"),

@@ -14638,6 +14638,117 @@ def text_term_burstiness_q(spark, sf_dir):
                            top_k=20)
 
 
+@query(
+    "stats_mcnemar_orders",
+    f"""
+    WITH c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       AND o_orderdate < TIMESTAMP '1995-06-17'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       AND NOT (o_orderdate < TIMESTAMP '1995-06-17')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN o_orderstatus <> 'F'
+                       AND o_orderdate < TIMESTAMP '1995-06-17'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN o_orderstatus <> 'F'
+                       AND NOT (o_orderdate < TIMESTAMP '1995-06-17')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM orders
+    ), s AS (
+      SELECT n, nb, n01, n10, nn,
+             CASE WHEN n01 + n10 > 0 THEN
+               (CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+               * (CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+               / (CAST(n01 AS DOUBLE) + CAST(n10 AS DOUBLE)) END AS chi
+      FROM c
+    )
+    SELECT n, nb AS n_both, n01 AS n_only_a, n10 AS n_only_b,
+           nn AS n_neither, ROUND(chi, 6) AS chi2,
+           -- LEAST skips NULLs in both engines: guard the no-discordant
+           -- case so p mirrors the engine's NULL contract
+           ROUND(CASE WHEN chi IS NOT NULL THEN
+             ROUND(LEAST({_erfc_sql("SQRT(chi / 2)")}, 1.0), 9) END, 6)
+             AS p_value
+    FROM s
+    """,
+)
+def stats_mcnemar_q(spark, sf_dir):
+    """McNemar's paired test: does "status is F" flip asymmetrically
+    against the calendar-cutoff predictor on the SAME orders?  (The
+    paired companion to `stats_cohens_kappa_orders` on the identical
+    rater pair.)  One conditional-count scan; (n01−n10)²/(n01+n10) with
+    exact erfc(√(χ²/2)) p."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders")
+    return mcnemar_test(
+        o, FF.col("o_orderstatus") == "F",
+        FF.col("o_orderdate") < FF.lit("1995-06-17").cast("timestamp"))
+
+
+@query(
+    "stats_ccc_documents",
+    f"""
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) AS x,
+             6.0 * CAST(len({_TOKS}) AS DOUBLE) AS y
+      FROM documents WHERE n_chars IS NOT NULL
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(x, 2) AS DECIMAL(38,2))) AS sx,
+             SUM(CAST(ROUND(y, 2) AS DECIMAL(38,2))) AS sy,
+             SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS sxx,
+             SUM(CAST(ROUND(y * y, 4) AS DECIMAL(38,4))) AS syy,
+             SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4))) AS sxy
+      FROM base
+    ), d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             {_sc('sx')} AS sxd, {_sc('sy')} AS syd,
+             {_sc('sxx')} AS sxxd, {_sc('syy')} AS syyd,
+             {_sc('sxy')} AS sxyd
+      FROM agg
+    ), m AS (
+      SELECT n, nd, sxd / nd AS mx, syd / nd AS my,
+             sxxd / nd - (sxd / nd) * (sxd / nd) AS vx,
+             syyd / nd - (syd / nd) * (syd / nd) AS vy,
+             sxyd / nd - (sxd / nd) * (syd / nd) AS cov
+      FROM d
+    ), f AS (
+      SELECT n, mx, my,
+             CASE WHEN vx > 0 AND vy > 0
+                  THEN cov / SQRT(vx) / SQRT(vy) END AS r,
+             2.0 * cov / (vx + vy + (mx - my) * (mx - my)) AS ccc
+      FROM m
+    )
+    SELECT n, ROUND(mx, 6) AS mean_x, ROUND(my, 6) AS mean_y,
+           ROUND(r, 6) AS pearson_r,
+           ROUND(CASE WHEN r IS NOT NULL AND ABS(r) > 0
+                 THEN ccc / r END, 6) AS bias_factor,
+           ROUND(ccc, 6) AS ccc
+    FROM f
+    """,
+)
+def stats_ccc_q(spark, sf_dir):
+    """Lin's concordance correlation between the stored character count
+    and the cheap 6-chars-per-token length estimate — "does the proxy
+    REPRODUCE the measurement?" (CCC punishes the scale/location bias
+    Pearson r forgives; bias_factor = CCC/r isolates it).  One exact
+    2-dp/4-dp decimal aggregate, split-cast, terminal doubles."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import concordance_ccc
+    from .operators.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "est_len",
+        FF.lit(6.0) * FF.size(tokens_col(FF.col("text"))).cast("double"))
+    return concordance_ccc(d, "n_chars", "est_len", value_scale=2)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

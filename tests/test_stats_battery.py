@@ -694,3 +694,71 @@ def test_term_burstiness_single_doc_null_vmr(spark):
     out = term_burstiness(df, "text", top_k=2).collect()
     assert [r.word for r in out] == ["a", "b"]
     assert all(r.vmr is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# McNemar / Lin's CCC
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_textbook(spark):
+    """n01=15, n10=5: chi2 = 100/20 = 5, p = erfc(sqrt(2.5))."""
+    from kiara_spark.operators.quality import mcnemar_test
+    from pyspark.sql import functions as F
+
+    rows = ([(1, 1)] * 30 + [(1, 0)] * 15 + [(0, 1)] * 5 + [(0, 0)] * 50)
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert (r.n, r.n_both, r.n_only_a, r.n_only_b, r.n_neither) == \
+        (100, 30, 15, 5, 50)
+    assert r.chi2 == pytest.approx(5.0, abs=1e-6)
+    assert r.p_value == pytest.approx(math.erfc(math.sqrt(2.5)), abs=1e-6)
+
+
+def test_mcnemar_symmetric_flips_p_one(spark):
+    from kiara_spark.operators.quality import mcnemar_test
+    from pyspark.sql import functions as F
+
+    rows = [(1, 0)] * 7 + [(0, 1)] * 7
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert r.chi2 == 0.0 and r.p_value == 1.0
+
+
+def test_mcnemar_no_discordant_null(spark):
+    from kiara_spark.operators.quality import mcnemar_test
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1)] * 5 + [(0, 0)] * 5
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, F.col("a") == 1, F.col("b") == 1).collect()[0]
+    assert r.chi2 is None and r.p_value is None
+
+
+def test_ccc_perfect_agreement(spark):
+    from kiara_spark.operators.quality import concordance_ccc
+
+    rows = [(float(v), float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = concordance_ccc(df, "x", "y").collect()[0]
+    assert r.pearson_r == 1.0 and r.ccc == 1.0 and r.bias_factor == 1.0
+
+
+def test_ccc_punishes_scale_bias_r_does_not(spark):
+    """y = 2x: r = 1 but CCC = 2*cov/(vx+vy) = 2*2v/(v+4v) = 0.8 for
+    centered... compute exactly from population moments."""
+    from kiara_spark.operators.quality import concordance_ccc
+
+    xs = [float(v) for v in range(1, 11)]
+    ys = [2.0 * v for v in xs]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum(x * x for x in xs) / n - mx * mx
+    vy = sum(y * y for y in ys) / n - my * my
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    ccc = 2 * cov / (vx + vy + (mx - my) ** 2)
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = concordance_ccc(df, "x", "y").collect()[0]
+    assert r.pearson_r == 1.0
+    assert r.ccc == pytest.approx(ccc, abs=1e-6)
+    assert r.ccc < 0.6  # heavy scale bias on this range
+    assert r.bias_factor == pytest.approx(ccc, abs=1e-6)  # r = 1

@@ -108,6 +108,16 @@ PROBE_QUERIES = [
     # show no single-partition serialization as distinct-x grows 10x
     "ml_kfold_cv_ols_lineitem",
     "skyline_cheap_small_parts",
+    # round 8b: the rank/grid statistics must hold their range-partitioned
+    # prefix shape at 10x (near-unique value grids are where the old
+    # single-window plan serialized); the bigram GT table and the
+    # (doc,word) burstiness rollup must stay linear
+    "stats_mann_whitney_orders",
+    "stats_spearman_lineitem",
+    "stats_kendall_tau_lineitem",
+    "text_good_turing_bigrams",
+    "text_term_burstiness",
+    "text_heaps_law_by_lang",
 ]
 
 EXCLUDED = {
