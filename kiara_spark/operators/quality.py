@@ -2807,9 +2807,13 @@ def mann_whitney_u(
     terminal z = (U₁ − n₁n₂/2)/σ (tie-corrected σ² = n₁n₂/12·((n+1) −
     T/(n(n−1)))) and the two-sided normal p = erfc(|z|/√2) are floating
     point (A&S erfc, no continuity correction — contract documented).
+    Cliff's δ = (#(ref>cur) − #(ref<cur))/(n₁n₂) = (2U₁ − n₁n₂)/(n₁n₂)
+    falls out of the same exact algebra (ties cancel) — the
+    sample-size-free ordinal effect size alongside the p-value.
     The midrank prefix runs as the range-partitioned :func:`_prefix_sums`
     (no unpartitioned window even for a near-unique value grid).
-    Returns one row: (n_ref, n_cur, u_ref, u_cur, z, p_value)."""
+    Returns one row: (n_ref, n_cur, u_ref, u_cur, z, p_value,
+    cliffs_delta)."""
     v = F.col(value_col).cast("decimal(38,6)")
     tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
               .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
@@ -2847,7 +2851,9 @@ def mann_whitney_u(
         ((n1 * n2).cast("double") - u1x2.cast("double") / F.lit(2.0))
         .alias("u_cur"),
         F.round(z, 6).alias("z"),
-        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"))
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+        F.round(numx2.cast("double") / (n1 * n2).cast("double"), 6)
+        .alias("cliffs_delta"))
 
 
 def welch_ttest(

@@ -13762,6 +13762,8 @@ def _erfc_sql(x: str) -> str:
       SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
              CAST(u1x2 AS DOUBLE) / 2.0 AS u_ref,
              CAST(n1*n2 AS DOUBLE) - CAST(u1x2 AS DOUBLE) / 2.0 AS u_cur,
+             CAST(u1x2 - n1*n2 AS DOUBLE) AS dnum,
+             CAST(n1*n2 AS DOUBLE) AS dden,
              CAST(u1x2 - n1*n2 AS DOUBLE)
                / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
                   * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
@@ -13772,7 +13774,8 @@ def _erfc_sql(x: str) -> str:
     )
     SELECT n_ref, n_cur, u_ref, u_cur, ROUND(zv, 6) AS z,
            ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 6)
-             AS p_value
+             AS p_value,
+           ROUND(dnum / dden, 6) AS cliffs_delta
     FROM zz
     """,
 )

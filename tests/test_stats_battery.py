@@ -28,6 +28,7 @@ def test_mann_whitney_separated_samples(spark):
     assert (r.n_ref, r.n_cur) == (3, 3)
     assert r.u_ref == 0.0 and r.u_cur == 9.0
     assert r.z < 0
+    assert r.cliffs_delta == -1.0  # every ref below every cur
 
 
 def test_mann_whitney_midranks_and_tie_correction(spark):
@@ -53,6 +54,7 @@ def test_mann_whitney_identical_samples_centered(spark):
     r = _one(mann_whitney_u(a, a, "v"))
     assert r.u_ref == r.u_cur == 50.0
     assert r.z == 0.0 and r.p_value == 1.0
+    assert r.cliffs_delta == 0.0
 
 
 # ---------------------------------------------------------------------------
