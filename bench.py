@@ -377,6 +377,7 @@ BENCH_QUERIES = [
     "text_term_burstiness",
     "stats_mcnemar_orders",
     "stats_ccc_documents",
+    "stats_yuen_ttest_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -3585,6 +3585,115 @@ def concordance_ccc(
         F.round(ccc, 6).alias("ccc"))
 
 
+def _winsor_stats(df_vals: DataFrame, trim: float):
+    """(n, h, Σw@2dp, Σw²@4dp) of the winsorized sample for ONE group
+    whose values sit in ``_v`` (decimal(38,2)) — the shared kernel under
+    :func:`yuen_trimmed_ttest`.  k = floor(trim·n) values at each end
+    are replaced by the boundary order statistics v_(k+1) / v_(n−k);
+    everything is exact: grid counts, rank-overlap arithmetic, decimal
+    value sums.  Returns a 1-row frame."""
+    per_v = df_vals.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    cum = _prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
+    tot = per_v.agg(F.sum("_c").cast("decimal(38,0)").alias("_n"))
+    g = cum.crossJoin(F.broadcast(tot))
+    k = F.floor(F.col("_n").cast("double") * F.lit(trim)).cast("bigint")
+    n = F.col("_n").cast("bigint")
+    lo_rank, hi_rank = k + 1, n - k
+    # boundary order statistics: min v whose inclusive cum reaches rank
+    vlow = (g.filter(F.col("_cm") >= lo_rank.cast("decimal(38,0)"))
+            .agg(F.min("_v").alias("_vlow")))
+    vhigh = (g.filter(F.col("_cm") >= hi_rank.cast("decimal(38,0)"))
+             .agg(F.min("_v").alias("_vhigh")))
+    # middle-rank overlap per distinct value: ranks (prev+1 .. cum)
+    prev = (F.col("_cm") - F.col("_c")).cast("bigint")
+    ov = (F.least(F.col("_cm").cast("bigint"), hi_rank)
+          - F.greatest(prev + 1, lo_rank) + 1)
+    ovc = F.greatest(ov, F.lit(0)).cast("decimal(38,0)")
+    mid = g.agg(
+        F.sum(F.col("_v") * ovc).cast("decimal(38,2)").alias("_ms"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,4)") * ovc)
+        .cast("decimal(38,4)").alias("_mq"),
+        F.min(k.cast("bigint")).alias("_k"),
+        F.min(n).alias("_nn"))
+    j = (mid.crossJoin(F.broadcast(vlow))
+         .crossJoin(F.broadcast(vhigh)))
+    kd = F.col("_k").cast("decimal(38,0)")
+    sw = (F.col("_ms") + (kd * F.col("_vlow")).cast("decimal(38,2)")
+          + (kd * F.col("_vhigh")).cast("decimal(38,2)"))
+    sq = (F.col("_mq")
+          + (kd * (F.col("_vlow") * F.col("_vlow")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)")
+          + (kd * (F.col("_vhigh") * F.col("_vhigh")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)"))
+    return j.select(
+        F.col("_nn").alias("_n"),
+        (F.col("_nn") - 2 * F.col("_k")).alias("_h"),
+        sw.cast("decimal(38,2)").alias("_sw"),
+        sq.cast("decimal(38,4)").alias("_sq"),
+        F.col("_ms").alias("_trim_sum"))
+
+
+def yuen_trimmed_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean t-test — the OUTLIER-ROBUST two-sample
+    location test (:func:`welch_ttest` on heavy-tailed data chases the
+    tails; Yuen compares 20%-trimmed means with winsorized variances):
+
+        t = (x̄t_a − x̄t_b) / √(d_a + d_b),
+        d_g = s²w_g (n_g−1) / (h_g (h_g−1)),  h_g = n_g − 2k_g
+
+    Scale design: per group, ONE distinct-value grid with range-
+    partitioned prefix counts (:func:`_prefix_sums`); the trimmed sum is
+    exact rank-overlap × value decimal algebra (no row-level sort), the
+    winsorized moments add k copies of the exact boundary order
+    statistics, and the Welch-style df is a terminal fixed-order double.
+    Returns one row: (n_a, n_b, h_a, h_b, trimmed_mean_a,
+    trimmed_mean_b, t_stat, df)."""
+    v = F.col(value_col).cast("decimal(38,2)")
+    base = df.filter(F.col(value_col).isNotNull())
+
+    def side(gval):
+        vals = base.filter(F.col(group_col) == gval).select(v.alias("_v"))
+        return _winsor_stats(vals, trim)
+
+    a = side(group_a).select(*[F.col(c).alias(c + "a") for c in
+                               ("_n", "_h", "_sw", "_sq", "_trim_sum")])
+    b = side(group_b).select(*[F.col(c).alias(c + "b") for c in
+                               ("_n", "_h", "_sw", "_sq", "_trim_sum")])
+    j = a.crossJoin(F.broadcast(b))
+
+    def stats(sfx):
+        nd = F.col("_n" + sfx).cast("double")
+        hd = F.col("_h" + sfx).cast("double")
+        sw = _split_cast(F.col("_sw" + sfx))
+        sq = _split_cast(F.col("_sq" + sfx))
+        ts = _split_cast(F.col("_trim_sum" + sfx))
+        xt = ts / hd
+        s2w = (sq - sw * sw / nd) / (nd - F.lit(1.0))
+        d = s2w * (nd - F.lit(1.0)) / (hd * (hd - F.lit(1.0)))
+        return xt, d, hd
+
+    xta, da, ha = stats("a")
+    xtb, dbv, hb = stats("b")
+    t = (xta - xtb) / F.sqrt(da + dbv)
+    dfw = ((da + dbv) * (da + dbv)
+           / (da * da / (ha - F.lit(1.0)) + dbv * dbv / (hb - F.lit(1.0))))
+    return j.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.col("_ha").alias("h_a"), F.col("_hb").alias("h_b"),
+        F.round(xta, 6).alias("trimmed_mean_a"),
+        F.round(xtb, 6).alias("trimmed_mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df"))
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -4030,6 +4139,19 @@ TableLeveneBf = _simple_module(
         "F-test: exact lower medians + ANOVA on |x - median|.",
 )
 
+TableYuenTtest = _simple_module(
+    "table.stats.yuen_ttest",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": yuen_trimmed_ttest(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"], self.config["group_a"],
+        self.config["group_b"],
+        trim=self.config.get("trim", 0.2))},
+    doc="Yuen's trimmed-mean t-test: outlier-robust two-sample location "
+        "comparison (exact grid trimming + winsorized variances).",
+)
+
 TableMcnemar = _simple_module(
     "table.stats.mcnemar",
     {"table": TABLE},
@@ -4108,7 +4230,7 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ, TableMcnemar, TableCcc]
+            TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4117,6 +4239,8 @@ OPERATIONS = [
               doc="Mood's median test (pooled-median 2xk chi2)"),
     Operation("table.stats.mcnemar", "table.stats.mcnemar",
               doc="McNemar's paired-binary flip test"),
+    Operation("table.stats.yuen_ttest", "table.stats.yuen_ttest",
+              doc="Yuen's trimmed-mean robust t-test"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

@@ -14752,6 +14752,110 @@ def stats_ccc_q(spark, sf_dir):
     return concordance_ccc(d, "n_chars", "est_len", value_scale=2)
 
 
+def _yuen_side_sql(gval: str, sfx: str) -> str:
+    """Per-group winsorized-moment CTE chain mirroring
+    operators/quality.py:_winsor_stats (trim = 0.2)."""
+    return f"""
+    pv{sfx} AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,2)) AS v,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM orders
+      WHERE o_orderstatus = '{gval}' AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), cm{sfx} AS (
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cm
+      FROM pv{sfx}
+    ), t{sfx} AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM pv{sfx}),
+    k{sfx} AS (
+      SELECT n, CAST(FLOOR(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS k
+      FROM t{sfx}
+    ), vl{sfx} AS (
+      SELECT MIN(v) AS vlow FROM cm{sfx} CROSS JOIN k{sfx}
+      WHERE cm >= CAST(k + 1 AS DECIMAL(38,0))
+    ), vh{sfx} AS (
+      SELECT MIN(v) AS vhigh FROM cm{sfx} CROSS JOIN k{sfx}
+      WHERE cm >= CAST(CAST(n AS BIGINT) - k AS DECIMAL(38,0))
+    ), mid{sfx} AS (
+      SELECT CAST(SUM(v * ov) AS DECIMAL(38,2)) AS ms,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,4)) * ov)
+                  AS DECIMAL(38,4)) AS mq,
+             MIN(k) AS k, MIN(CAST(n AS BIGINT)) AS nn
+      FROM (
+        SELECT v, c, cm, k, n,
+               CAST(GREATEST(
+                 LEAST(CAST(cm AS BIGINT), CAST(n AS BIGINT) - k)
+                 - GREATEST(CAST(cm - c AS BIGINT) + 1, k + 1) + 1, 0)
+                 AS DECIMAL(38,0)) AS ov
+        FROM cm{sfx} CROSS JOIN k{sfx}
+      )
+    ), s{sfx} AS (
+      SELECT nn AS n, nn - 2 * k AS h, ms AS trim_sum,
+             CAST(ms + CAST(CAST(k AS DECIMAL(38,0)) * vlow
+                            AS DECIMAL(38,2))
+                     + CAST(CAST(k AS DECIMAL(38,0)) * vhigh
+                            AS DECIMAL(38,2)) AS DECIMAL(38,2)) AS sw,
+             CAST(mq + CAST(CAST(k AS DECIMAL(38,0))
+                            * CAST(vlow * vlow AS DECIMAL(38,4))
+                            AS DECIMAL(38,4))
+                     + CAST(CAST(k AS DECIMAL(38,0))
+                            * CAST(vhigh * vhigh AS DECIMAL(38,4))
+                            AS DECIMAL(38,4)) AS DECIMAL(38,4)) AS sq
+      FROM mid{sfx} CROSS JOIN vl{sfx} CROSS JOIN vh{sfx}
+    )"""
+
+
+_YUEN_D = ("(((({sq} - {sw} * {sw} / {n}) / ({n} - 1.0))"
+           " * ({n} - 1.0)) / ({h} * ({h} - 1.0)))")
+
+
+@query(
+    "stats_yuen_ttest_orders",
+    f"""
+    WITH {_yuen_side_sql('O', 'a')}, {_yuen_side_sql('F', 'b')},
+    j AS (
+      SELECT sa.n AS na, sa.h AS ha, sb.n AS nb, sb.h AS hb,
+             {_sc('sa.sw')} AS swa, {_sc('sa.sq')} AS sqa,
+             {_sc('sa.trim_sum')} AS tsa,
+             {_sc('sb.sw')} AS swb, {_sc('sb.sq')} AS sqb,
+             {_sc('sb.trim_sum')} AS tsb
+      FROM sa CROSS JOIN sb
+    ), d AS (
+      SELECT na, nb, ha, hb,
+             tsa / CAST(ha AS DOUBLE) AS xta,
+             tsb / CAST(hb AS DOUBLE) AS xtb,
+             {_YUEN_D.format(sq='sqa', sw='swa',
+                             n='CAST(na AS DOUBLE)',
+                             h='CAST(ha AS DOUBLE)')} AS da,
+             {_YUEN_D.format(sq='sqb', sw='swb',
+                             n='CAST(nb AS DOUBLE)',
+                             h='CAST(hb AS DOUBLE)')} AS db
+      FROM j
+    )
+    SELECT na AS n_a, nb AS n_b, ha AS h_a, hb AS h_b,
+           ROUND(xta, 6) AS trimmed_mean_a,
+           ROUND(xtb, 6) AS trimmed_mean_b,
+           ROUND((xta - xtb) / SQRT(da + db), 6) AS t_stat,
+           ROUND((da + db) * (da + db)
+                 / (da * da / (CAST(ha AS DOUBLE) - 1.0)
+                    + db * db / (CAST(hb AS DOUBLE) - 1.0)), 6) AS df
+    FROM d
+    """,
+)
+def stats_yuen_ttest_q(spark, sf_dir):
+    """Yuen's 20%-trimmed robust t-test: open vs fulfilled order totals
+    compared on trimmed means with winsorized variances — the
+    heavy-tail-immune twin of `stats_welch_ttest_orders`.  Per group:
+    one distinct-value grid with range-partitioned prefix counts, exact
+    rank-overlap trimming (no row sort), exact decimal winsorized
+    moments."""
+    from .operators.quality import yuen_trimmed_ttest
+
+    return yuen_trimmed_ttest(_t(spark, sf_dir, "orders"),
+                              "o_orderstatus", "o_totalprice",
+                              "O", "F", trim=0.2)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

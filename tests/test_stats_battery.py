@@ -764,3 +764,77 @@ def test_ccc_punishes_scale_bias_r_does_not(spark):
     assert r.ccc == pytest.approx(ccc, abs=1e-6)
     assert r.ccc < 0.6  # heavy scale bias on this range
     assert r.bias_factor == pytest.approx(ccc, abs=1e-6)  # r = 1
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed t-test
+# ---------------------------------------------------------------------------
+
+def _yuen_hand(xs, ys, trim=0.2):
+    def side(s):
+        s = sorted(s)
+        n = len(s)
+        k = int(math.floor(n * trim))
+        mid = s[k:n - k]
+        h = n - 2 * k
+        wins = [s[k]] * k + mid + [s[n - k - 1]] * k
+        mw = sum(wins) / n
+        s2w = sum((w - mw) ** 2 for w in wins) / (n - 1)
+        xt = sum(mid) / h
+        d = s2w * (n - 1) / (h * (h - 1))
+        return xt, d, h
+    xta, da, ha = side(xs)
+    xtb, db, hb = side(ys)
+    t = (xta - xtb) / math.sqrt(da + db)
+    dfw = (da + db) ** 2 / (da ** 2 / (ha - 1) + db ** 2 / (hb - 1))
+    return xta, xtb, t, dfw
+
+
+def test_yuen_matches_hand_computation(spark):
+    from kiara_spark.operators.quality import yuen_trimmed_ttest
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    ys = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 500.0]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_trimmed_ttest(df, "g", "v", "a", "b", trim=0.2).collect()[0]
+    xta, xtb, t, dfw = _yuen_hand(xs, ys)
+    assert (r.n_a, r.n_b, r.h_a, r.h_b) == (10, 10, 6, 6)
+    assert r.trimmed_mean_a == pytest.approx(xta, abs=1e-6)
+    assert r.trimmed_mean_b == pytest.approx(xtb, abs=1e-6)
+    assert r.t_stat == pytest.approx(t, abs=1e-5)
+    assert r.df == pytest.approx(dfw, abs=1e-4)
+
+
+def test_yuen_outlier_immune_where_welch_is_not(spark):
+    """A single huge outlier shifts Welch's mean but not the trimmed
+    mean: Yuen's |t| stays large, flagging the genuine shift."""
+    from kiara_spark.operators.quality import (welch_ttest,
+                                               yuen_trimmed_ttest)
+
+    xs = [float(v) for v in range(1, 21)]            # mean 10.5
+    ys = [v + 10.0 for v in xs[:-1]] + [-5000.0]     # shifted +10, 1 outlier
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    y = yuen_trimmed_ttest(df, "g", "v", "a", "b").collect()[0]
+    # Welch can't see the shift through the outlier's variance
+    assert abs(w.t_stat) < 2
+    assert abs(y.t_stat) > 3
+    assert y.trimmed_mean_b > y.trimmed_mean_a + 8
+
+
+def test_yuen_ties_and_duplicate_boundaries(spark):
+    """Heavy ties across the trim boundary exercise the rank-overlap
+    algebra (values spanning k and n-k ranks split exactly)."""
+    from kiara_spark.operators.quality import yuen_trimmed_ttest
+
+    xs = [1.0] * 4 + [2.0] * 4 + [3.0] * 2
+    ys = [1.0] * 2 + [2.0] * 6 + [3.0] * 2
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_trimmed_ttest(df, "g", "v", "a", "b", trim=0.2).collect()[0]
+    xta, xtb, t, dfw = _yuen_hand(xs, ys)
+    assert r.trimmed_mean_a == pytest.approx(xta, abs=1e-6)
+    assert r.trimmed_mean_b == pytest.approx(xtb, abs=1e-6)
+    assert r.t_stat == pytest.approx(t, abs=1e-5)

@@ -99,6 +99,7 @@ INTENTIONAL_CROSS = {
     "stats_kendall_tau_lineitem",  # cell-grid inequality join + 1-row tie totals
     "stats_mood_median_orders",    # 1-row pooled-median + totals broadcasts
     "text_term_burstiness",        # 1-row corpus-doc-count broadcast
+    "stats_yuen_ttest_orders",     # 1-row per-group winsorized-moment broadcasts
 }
 
 
