@@ -3480,17 +3480,24 @@ def two_proportion_z(
         .alias("_cb"))
     nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
     cad, cbd = F.col("_ca").cast("double"), F.col("_cb").cast("double")
-    pa, pb = cad / nad, cbd / nbd
+    pa = F.when(F.col("_na") > 0, cad / nad)
+    pb = F.when(F.col("_nb") > 0, cbd / nbd)
     pp = (cad + cbd) / (nad + nbd)
-    z = (pa - pb) / F.sqrt(pp * (F.lit(1.0) - pp)
-                           * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
-    p = _erfc_as(F.abs(z) / F.sqrt(F.lit(2.0)))
+    # degenerate pooled rate (all or none converted) has zero variance:
+    # z/p are NULL by contract (ANSI divide-by-zero otherwise)
+    z = F.when((pp > 0) & (pp < 1),
+               (pa - pb) / F.sqrt(pp * (F.lit(1.0) - pp)
+                                  * (F.lit(1.0) / nad
+                                     + F.lit(1.0) / nbd)))
+    p = F.when(z.isNotNull(),
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
     return agg.select(
         F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
         F.col("_ca").alias("conv_a"), F.col("_cb").alias("conv_b"),
         F.round(pa, 6).alias("rate_a"), F.round(pb, 6).alias("rate_b"),
         F.round(z, 6).alias("z"),
-        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"))
+        F.round(p, 6).alias("p_value"))
 
 
 def mcnemar_test(

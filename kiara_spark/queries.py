@@ -14518,16 +14518,18 @@ def stats_mood_median_q(spark, sf_dir):
       FROM c
     ), zz AS (
       SELECT na, nb, ca, cb, pa, pb,
-             (pa - pb) / SQRT(pp * (1.0 - pp)
-                              * (1.0 / CAST(na AS DOUBLE)
-                                 + 1.0 / CAST(nb AS DOUBLE))) AS zv
+             CASE WHEN pp > 0 AND pp < 1 THEN
+               (pa - pb) / SQRT(pp * (1.0 - pp)
+                                * (1.0 / CAST(na AS DOUBLE)
+                                   + 1.0 / CAST(nb AS DOUBLE))) END AS zv
       FROM z
     )
     SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
            ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
            ROUND(zv, 6) AS z,
-           ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 6)
-             AS p_value
+           ROUND(CASE WHEN zv IS NOT NULL THEN
+             ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 9)
+           END, 6) AS p_value
     FROM zz
     """,
 )

@@ -838,3 +838,42 @@ def test_yuen_ties_and_duplicate_boundaries(spark):
     assert r.trimmed_mean_a == pytest.approx(xta, abs=1e-6)
     assert r.trimmed_mean_b == pytest.approx(xtb, abs=1e-6)
     assert r.t_stat == pytest.approx(t, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# experiment_guardrails example pipeline
+# ---------------------------------------------------------------------------
+
+def test_experiment_guardrails_example_pipeline(ctx):
+    """examples/experiment_guardrails.json: event log -> per-user frame
+    (computed once) -> SRM chi2 gate + two-proportion conversion z +
+    Yuen robust uplift — the pre-readout health battery composed through
+    the pipeline surface."""
+    import os
+
+    os.chdir("/root/repo")
+    out = ctx.run_pipeline("examples/experiment_guardrails.json", {
+        "path": "/root/testdata/sf0.001/events.parquet",
+    })
+    srm = out["srm_gate"].data.collect()[0]
+    conv = out["conversion_z"].data.collect()[0]
+    robust = out["robust_uplift"].data.collect()[0]
+    assert srm.n > 0 and srm.dof == 1
+    assert 0.0 <= srm.p_value <= 1.0
+    assert conv.n_a + conv.n_b == srm.n
+    assert 0.0 <= conv.rate_a <= 1.0 and 0.0 <= conv.rate_b <= 1.0
+    assert robust.h_a <= robust.n_a and robust.h_b <= robust.n_b
+    assert robust.df is not None
+
+
+def test_two_prop_z_degenerate_pooled_rate_null(spark):
+    """All (or no) conversions leave zero pooled variance: z and p are
+    NULL by contract rather than an ANSI divide-by-zero."""
+    from kiara_spark.operators.quality import two_proportion_z
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, f int")
+    r = two_proportion_z(df, "g", F.col("f") == 1, "a", "b").collect()[0]
+    assert r.rate_a == 1.0 and r.rate_b == 1.0
+    assert r.z is None and r.p_value is None
