@@ -877,3 +877,23 @@ def test_two_prop_z_degenerate_pooled_rate_null(spark):
     r = two_proportion_z(df, "g", F.col("f") == 1, "a", "b").collect()[0]
     assert r.rate_a == 1.0 and r.rate_b == 1.0
     assert r.z is None and r.p_value is None
+
+
+def test_corpus_health_example_pipeline(ctx):
+    """examples/corpus_health.json: documents -> Heaps fit + Good-Turing
+    table + burstiness ranking — the statistical-law corpus report
+    through the pipeline surface."""
+    import os
+
+    os.chdir("/root/repo")
+    out = ctx.run_pipeline("examples/corpus_health.json", {
+        "path": "/root/testdata/sf0.001/documents.parquet",
+    })
+    heaps = out["heaps_fit"].data.collect()
+    gt = out["good_turing_table"].data.collect()
+    bursty = out["bursty_terms"].data.collect()
+    assert len(heaps) == 1  # ungrouped fit (module default)
+    assert heaps[0].n_docs > 0 and heaps[0].beta is not None
+    assert all(r.n_r > 0 for r in gt)
+    assert 0 < len(bursty) <= 20
+    assert all(r.total_count >= 1 for r in bursty)
