@@ -897,3 +897,61 @@ def test_corpus_health_example_pipeline(ctx):
     assert all(r.n_r > 0 for r in gt)
     assert 0 < len(bursty) <= 20
     assert all(r.total_count >= 1 for r in bursty)
+
+
+# ---------------------------------------------------------------------------
+# _prefix_sums helper (the range-partitioned prefix recipe)
+# ---------------------------------------------------------------------------
+
+def test_prefix_sums_matches_single_window_reference(spark):
+    """Exclusive + inclusive + descending prefix sums over a grid wide
+    enough to span many range partitions must equal the plain
+    single-window computation exactly (the boundary fold is the part a
+    tiny one-partition frame never exercises)."""
+    from kiara_spark.operators.quality import _prefix_sums
+    from pyspark.sql import functions as F
+
+    rows = [(float(v), (v * 7) % 5 + 1) for v in range(1, 2001)]
+    grid = (spark.createDataFrame(rows, "v double, c int")
+            .select(F.col("v").cast("decimal(38,6)").alias("v"),
+                    F.col("c").cast("decimal(38,0)").alias("c")))
+
+    def reference(desc, inclusive):
+        out = {}
+        acc = 0
+        for v, c in sorted(rows, key=lambda r: -r[0] if desc else r[0]):
+            if inclusive:
+                acc += c
+                out[v] = acc
+            else:
+                out[v] = acc
+                acc += c
+        return out
+
+    for desc in (False, True):
+        for inc in (False, True):
+            got = {float(r["v"]): int(r["p"]) for r in
+                   _prefix_sums(grid, "v", [("c", "p")],
+                                inclusive=inc, descending=desc).collect()}
+            assert got == reference(desc, inc), (desc, inc)
+
+
+def test_prefix_sums_multiple_typed_columns(spark):
+    from kiara_spark.operators.quality import _prefix_sums
+    from pyspark.sql import functions as F
+
+    rows = [(float(v), 1, round(v * 0.5, 2)) for v in range(1, 501)]
+    grid = (spark.createDataFrame(rows, "v double, c int, w double")
+            .select(F.col("v").cast("decimal(38,6)").alias("v"),
+                    F.col("c").cast("decimal(38,0)").alias("c"),
+                    F.col("w").cast("decimal(38,2)").alias("w")))
+    out = _prefix_sums(grid, "v",
+                       [("c", "pc"), ("w", "pw", "decimal(38,2)")],
+                       inclusive=True).collect()
+    by_v = {float(r["v"]): r for r in out}
+    accc, accw = 0, 0.0
+    for v, c, w in sorted(rows):
+        accc += c
+        accw = round(accw + w, 2)
+        assert int(by_v[v]["pc"]) == accc
+        assert float(by_v[v]["pw"]) == pytest.approx(accw, abs=1e-9)
