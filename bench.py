@@ -378,6 +378,7 @@ BENCH_QUERIES = [
     "stats_mcnemar_orders",
     "stats_ccc_documents",
     "stats_yuen_ttest_orders",
+    "ml_quantile_normalize_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -2780,6 +2780,45 @@ def _prefix_sums(
     return joined.drop(*drop)
 
 
+def _prefix_last(
+    grid: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Range-partitioned running LAST-non-NULL of ``value_col`` over rows
+    sorted by ``order_exprs`` — the merge-scan carry under as-of-style
+    lookups, same recipe as :func:`_prefix_sums` (per-partition window
+    keyed by partition id + a P-row boundary fold; no unpartitioned
+    window over the data).  ``order_exprs`` are Column sort expressions
+    (e.g. ``[F.col("k").desc(), F.col("tie")]``)."""
+    from pyspark.sql.window import Window as _W
+
+    from ..io import cut_lineage
+
+    p = grid.sparkSession.sparkContext.defaultParallelism
+    tagged = cut_lineage(
+        grid.repartitionByRange(p, *order_exprs)
+        .withColumn("_pp", F.spark_partition_id()))
+    w_loc = (_W.partitionBy("_pp").orderBy(*order_exprs)
+             .rowsBetween(_W.unboundedPreceding, 0))
+    local = tagged.withColumn(
+        "_ll", F.last(value_col, ignorenulls=True).over(w_loc))
+    # each partition's FINAL carry = the last row's running value
+    w_all = (_W.partitionBy("_pp").orderBy(*order_exprs)
+             .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+    plast = (tagged.withColumn(
+        "_pl", F.last(value_col, ignorenulls=True).over(w_all))
+        .groupBy("_pp").agg(F.first("_pl").alias("_pl")))
+    wb = _W.orderBy("_pp").rowsBetween(_W.unboundedPreceding, -1)
+    boundary = plast.select(
+        "_pp", F.last("_pl", ignorenulls=True).over(wb).alias("_bb"))
+    out = (local.join(F.broadcast(boundary), "_pp")
+           .withColumn(out_col, F.coalesce(F.col("_ll"), F.col("_bb")))
+           .drop("_pp", "_ll", "_bb"))
+    return out
+
+
 def _erfc_as(x: Column) -> Column:
     """erfc(x) for x >= 0 via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7):
     fixed-order IEEE polynomial + one exp — the only transcendental, same
@@ -3701,6 +3740,97 @@ def yuen_trimmed_ttest(
         F.round(dfw, 6).alias("df"))
 
 
+def quantile_normalize_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+    target_group: str,
+) -> DataFrame:
+    """Quantile-normalization mapping: re-express the TARGET group's
+    values on the REFERENCE group's distribution (x at quantile q ↦
+    F_ref⁻¹(q)) — the batch-effect / feature-alignment classic (scores
+    from two models, sensors, or annotation batches become comparable).
+
+    Mapping rule on exact grids: a target value spanning midrank
+    quantile q = (2·prev + c) / (2·n_t) maps to the smallest reference
+    value whose inclusive cumulative count reaches q — decided by the
+    cross-multiplied EXACT integer comparison
+    2·n_t·cum_ref ≥ (2·prev_t + c_t)·n_ref (the weighted-percentile
+    trick: no fraction is ever materialized, so boundary rows can't
+    flip engines).
+
+    Scale design: both groups collapse to distinct-value grids with
+    range-partitioned prefix counts (:func:`_prefix_sums`); the lookup
+    "smallest reference value whose cumulative reaches the target's
+    quantile" runs as a MERGE SCAN — both grids keyed by the exact
+    integer 2·n_t·cum_ref vs (2·prev_t+c_t)·n_ref, unioned, and swept
+    once with the range-partitioned running-last carry
+    (:func:`_prefix_last`) — O((|grid_t|+|grid_r|) log) total, never the
+    |grid_t|×|grid_r| inequality join.  Output is the mapping TABLE
+    (value, n_rows, quantile, mapped_value), |distinct target| rows —
+    join it back by value to normalize the raw table map-side."""
+    v = F.col(value_col).cast("decimal(38,6)")
+    base = df.filter(F.col(value_col).isNotNull())
+
+    def grid(gval):
+        per_v = (base.filter(F.col(group_col) == gval)
+                 .groupBy(v.alias("_v"))
+                 .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+        return _prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
+
+    tgt = grid(target_group).select(
+        "_v", "_c", (F.col("_cm") - F.col("_c")).alias("_prev"))
+    ref = grid(ref_group).select(F.col("_v").alias("_rv"),
+                                 F.col("_cm").alias("_rcm"))
+    nt = tgt.agg(F.sum("_c").cast("decimal(38,0)").alias("_nt"))
+    nr = ref.agg(F.max("_rcm").cast("decimal(38,0)").alias("_nr"))
+    qnum = (F.lit(2) * F.col("_prev") + F.col("_c"))
+    # exact shared key: target k = (2 prev + c)·n_r, ref k = 2 n_t·cum;
+    # the mapping is the smallest-k ref row with k_ref >= k_tgt — i.e.
+    # the last ref row seen when sweeping k DESC (ref before target at
+    # ties so an equal-k ref qualifies)
+    t_rows = (tgt.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+              .select((qnum * F.col("_nr")).cast("decimal(38,0)")
+                      .alias("_k"),
+                      F.lit(1).alias("_tie"),
+                      F.lit(None).cast("decimal(38,6)").alias("_refv"),
+                      "_v", "_c", qnum.alias("_qn"), "_nt"))
+    r_rows = (ref.crossJoin(F.broadcast(nt))
+              .select((F.lit(2) * F.col("_nt") * F.col("_rcm"))
+                      .cast("decimal(38,0)").alias("_k"),
+                      F.lit(0).alias("_tie"),
+                      F.col("_rv").alias("_refv"),
+                      F.lit(None).cast("decimal(38,6)").alias("_v"),
+                      F.lit(None).cast("decimal(38,0)").alias("_c"),
+                      F.lit(None).cast("decimal(38,0)").alias("_qn"),
+                      F.lit(None).cast("decimal(38,0)").alias("_nt")))
+    swept = _prefix_last(
+        r_rows.unionByName(t_rows),
+        [F.col("_k").desc(), F.col("_tie")], "_refv", "_mapped")
+    out = swept.filter(F.col("_tie") == 1)
+    return out.select(
+        F.col("_v").cast("double").alias("value"),
+        F.col("_c").cast("bigint").alias("n_rows"),
+        F.round(F.col("_qn").cast("double")
+                / (F.lit(2.0) * F.col("_nt").cast("double")), 9)
+        .alias("quantile"),
+        F.col("_mapped").cast("double").alias("mapped_value"))
+
+
+TableQuantileNormalize = _simple_module(
+    "table.ml.quantile_normalize",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": quantile_normalize_map(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"], self.config["ref_group"],
+        self.config["target_group"])},
+    doc="Quantile-normalization mapping table: target values re-expressed "
+        "on the reference group's distribution (exact grid algebra).",
+)
+
+
 TableGini = _simple_module(
     "table.concentration.gini",
     {"table": TABLE},
@@ -4237,7 +4367,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest]
+            TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
+            TableQuantileNormalize]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4248,6 +4379,8 @@ OPERATIONS = [
               doc="McNemar's paired-binary flip test"),
     Operation("table.stats.yuen_ttest", "table.stats.yuen_ttest",
               doc="Yuen's trimmed-mean robust t-test"),
+    Operation("table.ml.quantile_normalize", "table.ml.quantile_normalize",
+              doc="quantile-normalization mapping onto a reference group"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

@@ -14858,6 +14858,61 @@ def stats_yuen_ttest_q(spark, sf_dir):
                               "O", "F", trim=0.2)
 
 
+@query(
+    "ml_quantile_normalize_orders",
+    """
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,6)) AS v,
+             o_custkey % 2 = 0 AS is_ref
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), tg AS (
+      SELECT v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM base WHERE NOT is_ref GROUP BY v
+    ), tcum AS (
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cm
+      FROM tg
+    ), tgt AS (SELECT v, c, cm - c AS prev FROM tcum),
+    rg AS (
+      SELECT v AS rv, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM base WHERE is_ref GROUP BY v
+    ), rcum AS (
+      SELECT rv, CAST(SUM(c) OVER (ORDER BY rv ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS rcm
+      FROM rg
+    ), nt AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS ntv FROM tg),
+    nr AS (SELECT CAST(MAX(rcm) AS DECIMAL(38,0)) AS nrv FROM rcum),
+    j AS (
+      SELECT t.v, t.c, t.prev, ntv, MIN(r.rv) AS mapped
+      FROM tgt t CROSS JOIN nt CROSS JOIN nr
+      JOIN rcum r ON 2 * ntv * r.rcm >= (2 * t.prev + t.c) * nrv
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(v AS DOUBLE) AS value, CAST(c AS BIGINT) AS n_rows,
+           ROUND(CAST(2 * prev + c AS DOUBLE)
+                 / (2.0 * CAST(ntv AS DOUBLE)), 9) AS quantile,
+           CAST(mapped AS DOUBLE) AS mapped_value
+    FROM j
+    """,
+)
+def ml_quantile_normalize_q(spark, sf_dir):
+    """Quantile-normalization mapping: odd-custkey order prices
+    re-expressed on the even-custkey arm's distribution — the
+    batch-effect/score-alignment classic.  Two distinct-value grids with
+    range-partitioned prefix counts; the mapping decided by the EXACT
+    cross-multiplied integer comparison (weighted-percentile trick),
+    reference grid broadcast."""
+    from .operators.quality import quantile_normalize_map
+
+    from pyspark.sql import functions as FF
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "arm", FF.when(FF.col("o_custkey") % 2 == 0, "ref")
+        .otherwise("target"))
+    return quantile_normalize_map(o, "arm", "o_totalprice",
+                                  "ref", "target")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -955,3 +955,55 @@ def test_prefix_sums_multiple_typed_columns(spark):
         accw = round(accw + w, 2)
         assert int(by_v[v]["pc"]) == accc
         assert float(by_v[v]["pw"]) == pytest.approx(accw, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_identical_groups_identity(spark):
+    """Target distribution == reference distribution: every value maps
+    to itself."""
+    from kiara_spark.operators.quality import quantile_normalize_map
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [("ref", v) for v in vals] + [("t", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize_map(df, "g", "v", "ref", "t").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.mapped_value == r.value
+
+
+def test_quantile_normalize_shift_and_scale(spark):
+    """Target = 2*ref + 100 rank-for-rank: the mapping must recover the
+    reference values exactly (same shapes, different scale/location)."""
+    from kiara_spark.operators.quality import quantile_normalize_map
+
+    ref = [float(v) for v in range(1, 11)]
+    tgt = [2.0 * v + 100.0 for v in ref]
+    rows = [("ref", v) for v in ref] + [("t", v) for v in tgt]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.value: r.mapped_value for r in
+           quantile_normalize_map(df, "g", "v", "ref", "t").collect()}
+    for rv, tv in zip(ref, tgt):
+        assert out[tv] == rv
+
+
+def test_quantile_normalize_midrank_quantiles_and_ties(spark):
+    """Duplicated target values share one mapping row with the midrank
+    quantile; quantile = (2*prev + c)/(2*n)."""
+    from kiara_spark.operators.quality import quantile_normalize_map
+
+    rows = ([("ref", float(v)) for v in range(1, 101)]
+            + [("t", 5.0)] * 4 + [("t", 9.0)] * 6)
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.value: r for r in
+           quantile_normalize_map(df, "g", "v", "ref", "t").collect()}
+    assert len(out) == 2
+    assert out[5.0].n_rows == 4
+    assert out[5.0].quantile == pytest.approx(4 / 20, abs=1e-9)
+    # q=0.2 over ref 1..100 -> smallest cum/100 >= 0.2 -> value 20
+    assert out[5.0].mapped_value == 20.0
+    assert out[9.0].quantile == pytest.approx((8 + 6) / 20, abs=1e-9)
+    assert out[9.0].mapped_value == 70.0

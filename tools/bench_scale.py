@@ -118,6 +118,10 @@ PROBE_QUERIES = [
     "text_good_turing_bigrams",
     "text_term_burstiness",
     "text_heaps_law_by_lang",
+    # round-8b continuation: the quantile-normalize merge scan must stay
+    # O((gt+gr) log) at 10x grids (the inequality-join shape it replaced
+    # was quadratic)
+    "ml_quantile_normalize_orders",
 ]
 
 EXCLUDED = {

@@ -100,6 +100,7 @@ INTENTIONAL_CROSS = {
     "stats_mood_median_orders",    # 1-row pooled-median + totals broadcasts
     "text_term_burstiness",        # 1-row corpus-doc-count broadcast
     "stats_yuen_ttest_orders",     # 1-row per-group winsorized-moment broadcasts
+    "ml_quantile_normalize_orders",  # 1-row n_t/n_r total broadcasts key the merge
 }
 
 
