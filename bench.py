@@ -379,6 +379,7 @@ BENCH_QUERIES = [
     "stats_ccc_documents",
     "stats_yuen_ttest_orders",
     "ml_quantile_normalize_orders",
+    "stats_kruskal_wallis_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

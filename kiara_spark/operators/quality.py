@@ -3490,6 +3490,81 @@ def mood_median_test(
         F.round(pval, 6).alias("p_value"))
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group rank ANOVA (does ANY group's
+    distribution sit higher?), the nonparametric umbrella over
+    :func:`mann_whitney_u` (k=2) next to the parametric
+    :func:`anova_oneway`:
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),  tie-corrected by
+        C = 1 − Σ(t³−t)/(N³−N)
+
+    Scale design: one (group, value) aggregate + the GLOBAL distinct
+    grid with range-partitioned prefix counts; doubled midranks keep
+    every rank sum R_g and the tie term exact DECIMAL(38,0) (the
+    Mann-Whitney recipe); only the k-row H assembly is floating point
+    (round-9 decimal term sums).  df = k−1; even df → exact closed-form
+    tail, odd df → NULL (the family contract).  Returns one row:
+    (k, n, h_stat, dof, p_value)."""
+    v = F.col(value_col).cast("decimal(38,6)")
+    base = (df.filter(F.col(group_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), v.alias("_v")))
+    per_gv = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cgv"))
+    per_v = per_gv.groupBy("_v").agg(
+        F.sum("_cgv").cast("decimal(38,0)").alias("_cv"))
+    grid = _prefix_sums(per_v, "_v", [("_cv", "_prev")])
+    rank2 = F.lit(2) * F.col("_prev") + F.col("_cv") + F.lit(1)
+    joined = per_gv.join(grid.select("_v", rank2.alias("_r2")), "_v")
+    per_g = joined.groupBy("_g").agg(
+        F.sum("_cgv").cast("decimal(38,0)").alias("_ng"),
+        F.sum(F.col("_cgv") * F.col("_r2")).cast("decimal(38,0)")
+        .alias("_r2g"))
+    ties = per_v.agg(
+        F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv"))
+        .cast("decimal(38,0)").alias("_tcorr"))
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    # R_g^2/n_g with R_g = R2_g/2: (R2_g)^2 / (4 n_g), exact decimal
+    # square split-cast before the division
+    term = d9(_split_cast(F.col("_r2g") * F.col("_r2g"))
+              / (F.lit(4.0) * F.col("_ng").cast("double")))
+    agg = (per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_ng").cast("decimal(38,0)").alias("_n"),
+        F.sum(term).alias("_sr"))
+        .crossJoin(F.broadcast(ties)))
+    nd = F.col("_n").cast("double")
+    h = (F.lit(12.0) * _split_cast(F.col("_sr")) / (nd * (nd + F.lit(1.0)))
+         - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = (F.lit(1.0)
+            - _split_cast(F.col("_tcorr")) / (nd * nd * nd - nd))
+    hc = F.round(F.when(corr > 0, h / corr), 9)
+    staged = agg.select(
+        "k", F.col("_n").cast("bigint").alias("n"), hc.alias("_chi"))
+    halves = F.expr(
+        "CASE WHEN (k - 1) < 4 THEN 1.0d ELSE "
+        "aggregate(sequence(1, int((k - 1)/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
+    dof = F.col("k") - 1
+    pval = F.when(dof % 2 == 0,
+                  F.when(dof == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    return staged.select(
+        "k", "n",
+        F.round(F.col("_chi"), 6).alias("h_stat"),
+        dof.cast("bigint").alias("dof"),
+        F.round(pval, 6).alias("p_value"))
+
+
 def two_proportion_z(
     df: DataFrame,
     group_col: str,
@@ -4289,6 +4364,17 @@ TableYuenTtest = _simple_module(
         "comparison (exact grid trimming + winsorized variances).",
 )
 
+TableKruskalWallis = _simple_module(
+    "table.stats.kruskal_wallis",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": kruskal_wallis(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"])},
+    doc="Kruskal-Wallis H: k-group rank ANOVA on exact doubled midranks "
+        "with tie correction (even-df closed-form p).",
+)
+
 TableMcnemar = _simple_module(
     "table.stats.mcnemar",
     {"table": TABLE},
@@ -4368,7 +4454,7 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
             TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
-            TableQuantileNormalize]
+            TableQuantileNormalize, TableKruskalWallis]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4381,6 +4467,8 @@ OPERATIONS = [
               doc="Yuen's trimmed-mean robust t-test"),
     Operation("table.ml.quantile_normalize", "table.ml.quantile_normalize",
               doc="quantile-normalization mapping onto a reference group"),
+    Operation("table.stats.kruskal_wallis", "table.stats.kruskal_wallis",
+              doc="Kruskal-Wallis k-group rank ANOVA (tie-corrected)"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

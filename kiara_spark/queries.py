@@ -14913,6 +14913,71 @@ def ml_quantile_normalize_q(spark, sf_dir):
                                   "ref", "target")
 
 
+@query(
+    "stats_kruskal_wallis_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus AS g, CAST(o_totalprice AS DECIMAL(38,6)) AS v
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ), per_gv AS (
+      SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS cgv
+      FROM base GROUP BY 1, 2
+    ), per_v AS (
+      SELECT v, CAST(SUM(cgv) AS DECIMAL(38,0)) AS cv FROM per_gv GROUP BY v
+    ), grid AS (
+      SELECT v, cv, CAST(COALESCE(SUM(cv) OVER (ORDER BY v ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS DECIMAL(38,0)) AS prev
+      FROM per_v
+    ), jj AS (
+      SELECT gv.g, gv.cgv, 2 * grid.prev + grid.cv + 1 AS r2
+      FROM per_gv gv JOIN grid ON gv.v = grid.v
+    ), per_g AS (
+      SELECT g, CAST(SUM(cgv) AS DECIMAL(38,0)) AS ng,
+             CAST(SUM(cgv * r2) AS DECIMAL(38,0)) AS r2g
+      FROM jj GROUP BY g
+    ), ties AS (
+      SELECT CAST(SUM(cv * cv * cv - cv) AS DECIMAL(38,0)) AS tc
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(ROUND({_sc('r2g * r2g')}
+                            / (4.0 * CAST(ng AS DOUBLE)), 9)
+                      AS DECIMAL(38,12))) AS sr
+      FROM per_g
+    ), hh AS (
+      SELECT k, n, CAST(n AS DOUBLE) AS nd, sr, tc
+      FROM agg CROSS JOIN ties
+    ), hc AS (
+      SELECT k, n,
+             ROUND(CASE WHEN 1.0 - {_sc('tc')} / (nd * nd * nd - nd) > 0
+               THEN (12.0 * {_sc('sr')} / (nd * (nd + 1.0))
+                     - 3.0 * (nd + 1.0))
+                    / (1.0 - {_sc('tc')} / (nd * nd * nd - nd)) END, 9)
+               AS chi
+      FROM hh
+    )
+    SELECT k, CAST(n AS BIGINT) AS n, ROUND(chi, 6) AS h_stat,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ROUND(LEAST(EXP(-chi / 2.0) * 1.0, 1.0), 6) AS p_value
+    FROM hc
+    """,
+)
+def stats_kruskal_wallis_q(spark, sf_dir):
+    """Kruskal-Wallis H: do the three order statuses differ in price
+    distribution RANK?  (the k-group umbrella over
+    `stats_mann_whitney_orders`, nonparametric twin of
+    `stats_anova_orderpriority`.)  One (group, value) aggregate + the
+    global distinct grid with range-partitioned prefix counts; exact
+    doubled-midrank rank sums and tie correction; df=2 → p = e^{−H/2}."""
+    from .operators.quality import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "orders"),
+                          "o_orderstatus", "o_totalprice")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

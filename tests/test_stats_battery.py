@@ -1007,3 +1007,61 @@ def test_quantile_normalize_midrank_quantiles_and_ties(spark):
     assert out[5.0].mapped_value == 20.0
     assert out[9.0].quantile == pytest.approx((8 + 6) / 20, abs=1e-9)
     assert out[9.0].mapped_value == 70.0
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+def _kw_hand(groups):
+    """scipy-free Kruskal-Wallis with midranks and tie correction."""
+    allv = [(v, g) for g, vs in groups.items() for v in vs]
+    n = len(allv)
+    vals = [v for v, _ in allv]
+
+    def midrank(v):
+        below = sum(1 for u in vals if u < v)
+        ties = sum(1 for u in vals if u == v)
+        return below + (ties + 1) / 2.0
+
+    rsum = {g: sum(midrank(v) for v in vs) for g, vs in groups.items()}
+    h = (12.0 / (n * (n + 1))
+         * sum(r * r / len(groups[g]) for g, r in rsum.items())
+         - 3 * (n + 1))
+    from collections import Counter
+    t = sum(c ** 3 - c for c in Counter(vals).values())
+    return h / (1 - t / (n ** 3 - n))
+
+
+def test_kruskal_wallis_matches_hand_formula(spark):
+    from kiara_spark.operators.quality import kruskal_wallis
+
+    groups = {"a": [1.0, 3.0, 5.0, 7.0], "b": [2.0, 4.0, 6.0, 8.0],
+              "c": [20.0, 21.0, 22.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r.k, r.n, r.dof) == (3, 11, 2)
+    assert r.h_stat == pytest.approx(_kw_hand(groups), abs=1e-5)
+    assert r.p_value == pytest.approx(
+        min(math.exp(-r.h_stat / 2), 1.0), abs=1e-5)
+
+
+def test_kruskal_wallis_ties_and_identical_groups(spark):
+    from kiara_spark.operators.quality import kruskal_wallis
+
+    groups = {"a": [1.0, 2.0, 2.0, 3.0], "b": [1.0, 2.0, 2.0, 3.0],
+              "c": [1.0, 2.0, 2.0, 3.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.h_stat == pytest.approx(0.0, abs=1e-6)
+    assert r.p_value == pytest.approx(1.0, abs=1e-6)
+    # tie-corrected hand value on a tied, shifted configuration
+    groups2 = {"a": [1.0, 1.0, 2.0], "b": [2.0, 3.0, 3.0],
+               "c": [4.0, 4.0, 5.0]}
+    rows2 = [(g, v) for g, vs in groups2.items() for v in vs]
+    r2 = kruskal_wallis(
+        spark.createDataFrame(rows2, "g string, v double"),
+        "g", "v").collect()[0]
+    assert r2.h_stat == pytest.approx(_kw_hand(groups2), abs=1e-5)

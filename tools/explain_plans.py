@@ -101,6 +101,7 @@ INTENTIONAL_CROSS = {
     "text_term_burstiness",        # 1-row corpus-doc-count broadcast
     "stats_yuen_ttest_orders",     # 1-row per-group winsorized-moment broadcasts
     "ml_quantile_normalize_orders",  # 1-row n_t/n_r total broadcasts key the merge
+    "stats_kruskal_wallis_orders",   # 1-row tie-correction total broadcast
 }
 
 
