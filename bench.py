@@ -380,6 +380,8 @@ BENCH_QUERIES = [
     "stats_yuen_ttest_orders",
     "ml_quantile_normalize_orders",
     "stats_kruskal_wallis_orders",
+    "events_survival_nelson_aalen",
+    "events_survival_logrank",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

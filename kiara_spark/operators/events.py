@@ -1536,6 +1536,134 @@ MODULES += [EventsHoltForecast, EventsSequencePattern,
             EventsActiveUsers]
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive companion
+    to :func:`kaplan_meier` (H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ; hazard is what Cox
+    models and competing-risk analyses consume; Ŝ(t) = e^{−H(t)} is the
+    Fleming-Harrington survival variant):
+
+        H(t) = Σ dᵢ/nᵢ,   Var(H) = Σ dᵢ(nᵢ−dᵢ)/nᵢ³
+
+    Scale design: identical grid to KM — one distinct-duration hash
+    aggregate; at-risk counts and the two cumulative hazard sums run as
+    the range-partitioned :func:`quality._prefix_sums` (round-9 decimal
+    terms, partition-invariant; no unpartitioned window even for
+    near-unique durations).  Returns event-time rows:
+    (t, n_risk, n_events, cum_hazard, var_hazard, survival_fh)."""
+    from .quality import _prefix_sums, _split_cast
+
+    per_t = (df.groupBy(F.col(duration_col).alias("t"))
+             .agg(F.sum(F.col(event_col).cast("int")).cast("bigint")
+                  .alias("n_events"),
+                  F.sum(1 - F.col(event_col).cast("int")).cast("bigint")
+                  .alias("n_censored")))
+    total = per_t.agg((F.sum("n_events") + F.sum("n_censored"))
+                      .cast("decimal(38,0)").alias("_tot"))
+    staged = per_t.withColumn(
+        "_at", (F.col("n_events") + F.col("n_censored"))
+        .cast("decimal(38,0)"))
+    pre = _prefix_sums(staged, "t", [("_at", "_seen")])
+    g = (pre.crossJoin(F.broadcast(total))
+         .select("t", "n_events", "n_censored",
+                 (F.col("_tot") - F.col("_seen")).cast("bigint")
+                 .alias("n_risk")))
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    h_term = F.round(d / n, 9).cast("decimal(38,12)")
+    v_term = F.round(d * (n - d) / (n * n * n), 9).cast("decimal(38,12)")
+    terms = g.select("t", "n_risk", "n_events",
+                     h_term.alias("_h"), v_term.alias("_v"))
+    cum = _prefix_sums(terms, "t",
+                       [("_h", "_hc", "decimal(38,12)"),
+                        ("_v", "_vc", "decimal(38,12)")], inclusive=True)
+    return (cum.filter(F.col("n_events") > 0)
+            .select("t", "n_risk", "n_events",
+                    F.round(_split_cast(F.col("_hc")), 6)
+                    .alias("cum_hazard"),
+                    F.round(_split_cast(F.col("_vc")), 9)
+                    .alias("var_hazard"),
+                    F.round(F.exp(-_split_cast(F.col("_hc"))), 6)
+                    .alias("survival_fh"))
+            .orderBy("t"))
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Log-rank test — do two survival curves differ?  (the standard
+    A/B readout for time-to-event metrics: churn, conversion latency;
+    a mean comparison is WRONG under censoring, this is the right test.)
+
+        U = Σ_t (d_a − n_a·d/n),
+        V = Σ_t n_a n_b d (n−d) / (n² (n−1)),   χ² = U²/V  (df = 1)
+
+    Scale design: one (duration) hash aggregate with per-group death /
+    censor counts; per-group at-risk counts come from ONE range-
+    partitioned prefix pass over the time grid
+    (:func:`quality._prefix_sums`, two sums); the O−E and variance terms
+    are round-9 decimal sums; p = exact erfc(√(χ²/2)).  Returns one
+    row: (n_a, n_b, events_a, events_b, o_minus_e, variance, chi2,
+    p_value)."""
+    from .quality import _erfc_as, _prefix_sums, _split_cast
+
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    ev = F.col(event_col).cast("int")
+    base = df.filter(in_a | in_b)
+    per_t = (base.groupBy(F.col(duration_col).alias("t"))
+             .agg(F.sum(F.when(in_a, ev).otherwise(0)).cast("bigint")
+                  .alias("_da"),
+                  F.sum(F.when(in_b, ev).otherwise(0)).cast("bigint")
+                  .alias("_db"),
+                  F.sum(F.when(in_a, 1).otherwise(0))
+                  .cast("decimal(38,0)").alias("_ta"),
+                  F.sum(F.when(in_b, 1).otherwise(0))
+                  .cast("decimal(38,0)").alias("_tb")))
+    tot = per_t.agg(F.sum("_ta").cast("decimal(38,0)").alias("_na"),
+                    F.sum("_tb").cast("decimal(38,0)").alias("_nb"))
+    pre = _prefix_sums(per_t, "t", [("_ta", "_sa"), ("_tb", "_sb")])
+    g = (pre.crossJoin(F.broadcast(tot))
+         .select("t", "_da", "_db",
+                 (F.col("_na") - F.col("_sa")).cast("bigint").alias("_ra"),
+                 (F.col("_nb") - F.col("_sb")).cast("bigint").alias("_rb")))
+    da = F.col("_da").cast("double")
+    dd = (F.col("_da") + F.col("_db")).cast("double")
+    ra, rb = F.col("_ra").cast("double"), F.col("_rb").cast("double")
+    nn = ra + rb
+    u_term = F.round(da - ra * dd / nn, 9).cast("decimal(38,12)")
+    v_term = F.when(
+        F.col("_ra") + F.col("_rb") > 1,
+        F.round(ra * rb * dd * (nn - dd) / (nn * nn * (nn - F.lit(1.0))),
+                9).cast("decimal(38,12)")) \
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+    agg = (g.filter(F.col("_da") + F.col("_db") > 0)
+           .agg(F.sum(F.col("_da")).cast("bigint").alias("events_a"),
+                F.sum(F.col("_db")).cast("bigint").alias("events_b"),
+                F.sum(u_term).alias("_u"), F.sum(v_term).alias("_v"))
+           .crossJoin(F.broadcast(tot)))
+    u, vv = _split_cast(F.col("_u")), _split_cast(F.col("_v"))
+    chi = F.when(vv > 0, u * u / vv)
+    p = F.when(chi.isNotNull(),
+               F.round(F.least(_erfc_as(F.sqrt(chi / 2)), F.lit(1.0)), 9))
+    return agg.select(
+        F.col("_na").cast("bigint").alias("n_a"),
+        F.col("_nb").cast("bigint").alias("n_b"),
+        "events_a", "events_b",
+        F.round(u, 6).alias("o_minus_e"),
+        F.round(vv, 6).alias("variance"),
+        F.round(chi, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"))
+
+
 def sprt_monitor(
     df: DataFrame,
     p0: float,
@@ -1663,11 +1791,40 @@ EventsPageHinkley = _simple_module(
     doc="Page-Hinkley sequential mean-drift detector over daily means.",
 )
 
+EventsNelsonAalen = _simple_module(
+    "events.survival.nelson_aalen",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": nelson_aalen(
+        im["table"].data, self.config["duration_column"],
+        self.config["event_column"])},
+    doc="Nelson-Aalen cumulative hazard + Fleming-Harrington survival "
+        "(the additive companion to Kaplan-Meier).",
+)
+
+EventsLogrank = _simple_module(
+    "events.survival.logrank",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": logrank_test(
+        im["table"].data, self.config["duration_column"],
+        self.config["event_column"], self.config["group_column"],
+        self.config["group_a"], self.config["group_b"])},
+    doc="Log-rank test: do two censored survival curves differ? "
+        "(O-E chi2 over event times, exact erfc p).",
+)
+
 OPERATIONS += [
     Operation("events.sprt_monitor", "events.sprt_monitor",
               doc="SPRT sequential experiment monitor (daily LLR)"),
     Operation("events.page_hinkley", "events.page_hinkley",
               doc="Page-Hinkley sequential mean-drift detector"),
+    Operation("events.survival.nelson_aalen",
+              "events.survival.nelson_aalen",
+              doc="Nelson-Aalen cumulative-hazard estimator"),
+    Operation("events.survival.logrank", "events.survival.logrank",
+              doc="log-rank two-curve survival test"),
 ]
 
-MODULES += [EventsSprtMonitor, EventsPageHinkley]
+MODULES += [EventsSprtMonitor, EventsPageHinkley, EventsNelsonAalen,
+            EventsLogrank]

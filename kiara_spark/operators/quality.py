@@ -2720,9 +2720,20 @@ def _split_cast(c: Column) -> Column:
     round) — the regression-stump divergence.  Bit-exact while the
     integer part stays under 2^53 (~9·10¹⁵ — covers the bench SFs with
     wide margin); beyond that only the fraction-free hugeint conversion
-    remains exposed (document per-operator envelopes)."""
-    i = F.floor(c).cast("decimal(38,0)")
-    return i.cast("double") + (c - i).cast("double")
+    remains exposed (document per-operator envelopes).
+
+    The fraction is extracted with ``% 1``, NOT ``c − floor(c)``:
+    Spark's decimal-subtraction precision-loss rule truncates a
+    (38,12)−(38,0) result to scale 6 (MINIMUM_ADJUSTED_SCALE), silently
+    destroying fraction digits 7–12 (caught by Nelson-Aalen's small
+    hazards); ``%`` keeps the dividend's scale without overflowing
+    precision.  Sign is handled on the magnitude (IEEE negation is
+    exact and symmetric, so the result still bit-matches the oracle's
+    FLOOR-subtract form)."""
+    a = F.abs(c)
+    i = F.floor(a).cast("decimal(38,0)")
+    val = i.cast("double") + (a % F.lit(1)).cast("double")
+    return F.when(c < 0, -val).otherwise(val)
 
 
 def _prefix_sums(

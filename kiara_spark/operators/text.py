@@ -1965,9 +1965,13 @@ def term_burstiness(
 
 def _split_cast_dec(c: Column) -> Column:
     """DECIMAL → DOUBLE via exactly-castable integer + fraction parts
-    (both-engine bit agreement past 2^53; see quality._split_cast)."""
-    i = F.floor(c).cast("decimal(38,0)")
-    return i.cast("double") + (c - i).cast("double")
+    (both-engine bit agreement past 2^53; see quality._split_cast —
+    fraction via %1, never decimal subtraction, whose precision-loss
+    rule truncates high scales to 6)."""
+    a = F.abs(c)
+    i = F.floor(a).cast("decimal(38,0)")
+    val = i.cast("double") + (a % F.lit(1)).cast("double")
+    return F.when(c < 0, -val).otherwise(val)
 
 
 def _mk(name, fn, doc=""):

@@ -14978,6 +14978,193 @@ def stats_kruskal_wallis_q(spark, sf_dir):
                           "o_orderstatus", "o_totalprice")
 
 
+_SURV_SUBJ = """
+mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p FROM events e
+  JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.s GROUP BY 1
+), subj AS (
+  SELECT su.user_id,
+         CASE WHEN pu.p IS NOT NULL THEN pu.p - su.s ELSE m - su.s END AS dur,
+         CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+)"""
+
+
+@query(
+    "events_survival_nelson_aalen",
+    f"""
+    WITH {_SURV_SUBJ},
+    per_t AS (
+      SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_events) + SUM(n_censored) AS BIGINT) AS tt
+      FROM per_t
+    ), g AS (
+      SELECT t, n_events,
+             CAST(tt - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM per_t CROSS JOIN tot
+    ), c AS (
+      SELECT t, n_risk, n_events,
+             SUM(CAST(ROUND(CAST(n_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE), 9)
+                      AS DECIMAL(38,12)))
+               OVER w AS hc,
+             SUM(CAST(ROUND(CAST(n_events AS DOUBLE)
+                            * (CAST(n_risk AS DOUBLE)
+                               - CAST(n_events AS DOUBLE))
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk AS DOUBLE)), 9)
+                      AS DECIMAL(38,12)))
+               OVER w AS vc
+      FROM g
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT t, n_risk, n_events,
+           ROUND({_sc('hc')}, 6) AS cum_hazard,
+           ROUND({_sc('vc')}, 9) AS var_hazard,
+           ROUND(EXP(-{_sc('hc')}), 6) AS survival_fh
+    FROM c WHERE n_events > 0 ORDER BY t
+    """,
+)
+def events_nelson_aalen_q(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard for signup→purchase latency (same
+    right-censored subjects as `events_survival_kaplan_meier`): H(t) =
+    Σd/n with the Σd(n−d)/n³ variance and the Fleming-Harrington
+    e^{−H} survival — the additive estimator hazard models consume.
+    Range-partitioned prefix sums over the duration grid."""
+    from .operators.events import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("_m"))
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_s")))
+    pu = (ev.join(su, "user_id")
+          .filter((F.col("event_type") == "purchase")
+                  & (F.unix_micros("ts") > F.col("_s")))
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_p")))
+    subj = (su.join(pu, "user_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                F.when(F.col("_p").isNotNull(), F.col("_p") - F.col("_s"))
+                .otherwise(F.col("_m") - F.col("_s")).alias("dur"),
+                F.when(F.col("_p").isNotNull(), 1).otherwise(0)
+                .alias("ev")))
+    return nelson_aalen(subj, "dur", "ev")
+
+
+@query(
+    "events_survival_logrank",
+    f"""
+    WITH {_SURV_SUBJ},
+    gsubj AS (
+      SELECT dur, ev,
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+      FROM subj
+    ), per_t AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN grp = 'even' THEN ev ELSE 0 END)
+                  AS BIGINT) AS da,
+             CAST(SUM(CASE WHEN grp = 'odd' THEN ev ELSE 0 END)
+                  AS BIGINT) AS db,
+             CAST(SUM(CASE WHEN grp = 'even' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS ta,
+             CAST(SUM(CASE WHEN grp = 'odd' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS tb
+      FROM gsubj GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(ta) AS DECIMAL(38,0)) AS na,
+             CAST(SUM(tb) AS DECIMAL(38,0)) AS nb
+      FROM per_t
+    ), g AS (
+      SELECT t, da, db,
+             CAST(na - COALESCE(SUM(ta) OVER (ORDER BY t ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS ra,
+             CAST(nb - COALESCE(SUM(tb) OVER (ORDER BY t ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS rb
+      FROM per_t CROSS JOIN tot
+    ), terms AS (
+      SELECT
+        CAST(SUM(da) AS BIGINT) AS events_a,
+        CAST(SUM(db) AS BIGINT) AS events_b,
+        SUM(CAST(ROUND(CAST(da AS DOUBLE)
+                       - CAST(ra AS DOUBLE) * CAST(da + db AS DOUBLE)
+                         / (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)), 9)
+                 AS DECIMAL(38,12))) AS u,
+        SUM(CASE WHEN ra + rb > 1 THEN
+              CAST(ROUND(CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+                         * CAST(da + db AS DOUBLE)
+                         * ((CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE))
+                            - CAST(da + db AS DOUBLE))
+                         / ((CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE))
+                            * (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE))
+                            * ((CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE))
+                               - 1.0)), 9) AS DECIMAL(38,12))
+            ELSE CAST(0 AS DECIMAL(38,12)) END) AS v
+      FROM g WHERE da + db > 0
+    ), fin AS (
+      SELECT events_a, events_b, {_sc('u')} AS ud, {_sc('v')} AS vd,
+             na, nb
+      FROM terms CROSS JOIN tot
+    ), chi AS (
+      SELECT events_a, events_b, ud, vd, na, nb,
+             CASE WHEN vd > 0 THEN ud * ud / vd END AS ch
+      FROM fin
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           events_a, events_b,
+           ROUND(ud, 6) AS o_minus_e, ROUND(vd, 6) AS variance,
+           ROUND(ch, 6) AS chi2,
+           ROUND(CASE WHEN ch IS NOT NULL THEN
+             ROUND(LEAST({_erfc_sql("SQRT(ch / 2)")}, 1.0), 9) END, 6)
+             AS p_value
+    FROM chi
+    """,
+)
+def events_logrank_q(spark, sf_dir):
+    """Log-rank test: do even- and odd-user-id signup cohorts differ in
+    signup→purchase survival?  The right test for censored A/B
+    time-to-event metrics (a mean comparison is biased by censoring).
+    One duration-grid aggregate with per-group at-risk prefix counts,
+    round-9 decimal O−E / variance sums, exact erfc p."""
+    from .operators.events import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("_m"))
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_s")))
+    pu = (ev.join(su, "user_id")
+          .filter((F.col("event_type") == "purchase")
+                  & (F.unix_micros("ts") > F.col("_s")))
+          .groupBy("user_id")
+          .agg(F.min(F.unix_micros("ts")).alias("_p")))
+    subj = (su.join(pu, "user_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                F.when(F.col("user_id") % 2 == 0, "even")
+                .otherwise("odd").alias("grp"),
+                F.when(F.col("_p").isNotNull(), F.col("_p") - F.col("_s"))
+                .otherwise(F.col("_m") - F.col("_s")).alias("dur"),
+                F.when(F.col("_p").isNotNull(), 1).otherwise(0)
+                .alias("ev")))
+    return logrank_test(subj, "dur", "ev", "grp", "even", "odd")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -1065,3 +1065,61 @@ def test_kruskal_wallis_ties_and_identical_groups(spark):
         spark.createDataFrame(rows2, "g string, v double"),
         "g", "v").collect()[0]
     assert r2.h_stat == pytest.approx(_kw_hand(groups2), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen / log-rank survival
+# ---------------------------------------------------------------------------
+
+def test_nelson_aalen_textbook(spark):
+    """5 subjects, deaths at 1,2,3 and censorings at 2.5, 4:
+    H(1)=1/5, H(2)=1/5+1/4, H(3)=1/5+1/4+1/2."""
+    from kiara_spark.operators.events import nelson_aalen
+
+    rows = [(1.0, 1), (2.0, 1), (2.5, 0), (3.0, 1), (4.0, 0)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    out = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert list(sorted(out)) == [1.0, 2.0, 3.0]
+    assert out[1.0].n_risk == 5
+    assert out[1.0].cum_hazard == pytest.approx(0.2, abs=1e-6)
+    assert out[2.0].cum_hazard == pytest.approx(0.45, abs=1e-6)
+    assert out[3.0].cum_hazard == pytest.approx(0.95, abs=1e-6)
+    assert out[1.0].var_hazard == pytest.approx(4 / 125, abs=1e-6)
+    assert out[3.0].survival_fh == pytest.approx(math.exp(-0.95), abs=1e-5)
+
+
+def test_logrank_identical_curves_p_near_one(spark):
+    from kiara_spark.operators.events import logrank_test
+
+    rows = [(g, float(t), 1) for g in ("a", "b") for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    r = logrank_test(df, "dur", "ev", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.events_a, r.events_b) == (10, 10, 10, 10)
+    assert abs(r.o_minus_e) < 1e-6
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.p_value == pytest.approx(1.0, abs=1e-5)
+
+
+def test_logrank_separated_curves_significant(spark):
+    """Group a all dies early, group b all dies late: strongly
+    significant."""
+    from kiara_spark.operators.events import logrank_test
+
+    rows = ([("a", float(t), 1) for t in range(1, 11)]
+            + [("b", float(t), 1) for t in range(100, 110)])
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    r = logrank_test(df, "dur", "ev", "g", "a", "b").collect()[0]
+    assert r.chi2 > 10
+    assert r.p_value < 0.01
+
+
+def test_logrank_censoring_respected(spark):
+    """Censored subjects leave the risk set without counting as events."""
+    from kiara_spark.operators.events import logrank_test
+
+    rows = ([("a", 1.0, 1), ("a", 2.0, 0), ("a", 3.0, 1)]
+            + [("b", 1.5, 0), ("b", 2.5, 1), ("b", 4.0, 1)])
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    r = logrank_test(df, "dur", "ev", "g", "a", "b").collect()[0]
+    assert (r.events_a, r.events_b) == (2, 2)
+    assert r.variance > 0

@@ -102,6 +102,8 @@ INTENTIONAL_CROSS = {
     "stats_yuen_ttest_orders",     # 1-row per-group winsorized-moment broadcasts
     "ml_quantile_normalize_orders",  # 1-row n_t/n_r total broadcasts key the merge
     "stats_kruskal_wallis_orders",   # 1-row tie-correction total broadcast
+    "events_survival_nelson_aalen",  # 1-row at-risk-total broadcast (KM shape)
+    "events_survival_logrank",       # 1-row per-group totals broadcast
 }
 
 
