@@ -382,6 +382,7 @@ BENCH_QUERIES = [
     "stats_kruskal_wallis_orders",
     "events_survival_nelson_aalen",
     "events_survival_logrank",
+    "events_mann_kendall_trend",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

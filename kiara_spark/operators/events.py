@@ -1664,6 +1664,90 @@ def logrank_test(
         F.round(p, 6).alias("p_value"))
 
 
+def mann_kendall_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope over the bucketed series —
+    the standard nonparametric "is this metric drifting?" monitor
+    (monotonic trend without assuming linearity or normality; Sen's
+    slope is the robust rate estimate a single spike can't bend):
+
+        S = Σ_{i<j} sign(x_j − x_i),
+        Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)] / 18,
+        z = (S∓1)/√Var,   slope = median{(x_j−x_i)/(j−i)}
+
+    Scale design: the raw log collapses to ONE bucket aggregate (counts,
+    or exact 2-dp sums of ``value_col``); everything pairwise runs on
+    the BOUNDED bucket grid (days² pairs — a constant, the
+    changepoint/binseg class).  S and the tie term are exact integers;
+    z and the erfc p are terminal fixed-order doubles; Sen's slope is
+    the exact lower median picked by rank (deterministic (i,j)
+    tie-break).  Returns one row:
+    (n_buckets, s_stat, var_s, z, p_value, sen_slope)."""
+    from .quality import _erfc_as, _split_cast
+
+    if value_col:
+        d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
+        x = F.col(value_col).cast("double")
+        daily = (df.filter(x.isNotNull())
+                 .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+                 .agg(F.sum(d2(x)).alias("_sv"),
+                      F.count(F.lit(1)).cast("bigint").alias("_n")))
+        val = F.round(_split_cast(F.col("_sv"))
+                      / F.col("_n").cast("double"), 9)
+    else:
+        daily = (df.groupBy(F.date_trunc(bucket, F.col(ts_col))
+                            .alias("_b"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+        val = F.col("_n").cast("double")
+    w = Window.orderBy("_b")
+    ser = daily.select(F.row_number().over(w).cast("bigint").alias("_i"),
+                       F.round(val, 9).alias("_x"))
+    a = ser.select(F.col("_i").alias("_i1"), F.col("_x").alias("_x1"))
+    b = ser.select(F.col("_i").alias("_i2"), F.col("_x").alias("_x2"))
+    pairs = a.join(b, F.col("_i1") < F.col("_i2"))
+    sgn = F.signum(F.col("_x2") - F.col("_x1")).cast("bigint")
+    slope = ((F.col("_x2") - F.col("_x1"))
+             / (F.col("_i2") - F.col("_i1")).cast("double"))
+    stats = pairs.agg(
+        F.sum(sgn).cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_np"))
+    ties = (ser.groupBy("_x").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("_t"))
+            .agg(F.sum(F.col("_t") * (F.col("_t") - 1)
+                       * (2 * F.col("_t") + 5)).cast("bigint")
+                 .alias("_tc"),
+                 F.sum("_t").cast("bigint").alias("_nb")))
+    ws = Window.orderBy(F.col("_sl"), F.col("_i1"), F.col("_i2"))
+    med = (pairs.select(slope.alias("_sl"), "_i1", "_i2")
+           .withColumn("_rk", F.row_number().over(ws)))
+    medv = (med.crossJoin(F.broadcast(stats.select("_np")))
+            .filter(F.col("_rk") * 2 >= F.col("_np"))
+            .agg(F.min("_sl").alias("_sen")))
+    j = (stats.crossJoin(F.broadcast(ties))
+         .crossJoin(F.broadcast(medv)))
+    nb = F.col("_nb").cast("double")
+    var_s = ((nb * (nb - 1) * (2 * nb + 5)
+              - F.col("_tc").cast("double")) / F.lit(18.0))
+    s = F.col("_s").cast("double")
+    z = F.when(F.col("_s") > 0, (s - 1) / F.sqrt(var_s)) \
+        .when(F.col("_s") < 0, (s + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    p = F.when(var_s > 0,
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    return j.select(
+        F.col("_nb").alias("n_buckets"),
+        F.col("_s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.round(F.col("_sen"), 6).alias("sen_slope"))
+
+
 def sprt_monitor(
     df: DataFrame,
     p0: float,
@@ -1814,7 +1898,22 @@ EventsLogrank = _simple_module(
         "(O-E chi2 over event times, exact erfc p).",
 )
 
+EventsMannKendall = _simple_module(
+    "events.mann_kendall_trend",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": mann_kendall_trend(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column"),
+        bucket=self.config.get("bucket", "day"))},
+    doc="Mann-Kendall monotonic-trend test + Sen's robust slope over "
+        "the bucketed series (exact pairwise signs on the bounded grid).",
+)
+
 OPERATIONS += [
+    Operation("events.mann_kendall_trend", "events.mann_kendall_trend",
+              doc="Mann-Kendall trend test + Sen's slope"),
     Operation("events.sprt_monitor", "events.sprt_monitor",
               doc="SPRT sequential experiment monitor (daily LLR)"),
     Operation("events.page_hinkley", "events.page_hinkley",
@@ -1827,4 +1926,4 @@ OPERATIONS += [
 ]
 
 MODULES += [EventsSprtMonitor, EventsPageHinkley, EventsNelsonAalen,
-            EventsLogrank]
+            EventsLogrank, EventsMannKendall]

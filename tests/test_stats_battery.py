@@ -1123,3 +1123,70 @@ def test_logrank_censoring_respected(spark):
     r = logrank_test(df, "dur", "ev", "g", "a", "b").collect()[0]
     assert (r.events_a, r.events_b) == (2, 2)
     assert r.variance > 0
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend + Sen's slope
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly rising daily means: S = n(n-1)/2, Sen's slope = the
+    common difference, p small."""
+    import datetime
+    from kiara_spark.operators.events import mann_kendall_trend
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    i = 0
+    for d in range(12):
+        for u in range(3):
+            rows.append((i, base + datetime.timedelta(days=d, minutes=u),
+                         u, "click", 10.0 + 2.0 * d))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    r = mann_kendall_trend(df, "ts", "value").collect()[0]
+    assert r.n_buckets == 12
+    assert r.s_stat == 12 * 11 // 2
+    assert r.sen_slope == pytest.approx(2.0, abs=1e-6)
+    assert r.p_value < 0.01
+
+
+def test_mann_kendall_flat_series_no_trend(spark):
+    import datetime
+    from kiara_spark.operators.events import mann_kendall_trend
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [(d, base + datetime.timedelta(days=d), 1, "click", 7.0)
+            for d in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    r = mann_kendall_trend(df, "ts", "value").collect()[0]
+    assert r.s_stat == 0 and r.z == 0.0
+    assert r.var_s == 0.0 and r.p_value is None  # all tied: no variance
+    assert r.sen_slope == 0.0
+
+
+def test_mann_kendall_count_mode_and_outlier_robust_slope(spark):
+    """value_col=None trends the daily COUNT; one spike day cannot bend
+    Sen's slope away from the underlying +1/day."""
+    import datetime
+    from kiara_spark.operators.events import mann_kendall_trend
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    i = 0
+    for d in range(11):
+        cnt = 1000 if d == 5 else 5 + d
+        for k in range(cnt):
+            rows.append((i, base + datetime.timedelta(days=d, seconds=k),
+                         k, "click", 1.0))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    r = mann_kendall_trend(df, "ts").collect()[0]
+    assert r.n_buckets == 11
+    assert r.sen_slope == pytest.approx(1.0, abs=0.3)
