@@ -1190,3 +1190,31 @@ def test_mann_kendall_count_mode_and_outlier_robust_slope(spark):
     r = mann_kendall_trend(df, "ts").collect()[0]
     assert r.n_buckets == 11
     assert r.sen_slope == pytest.approx(1.0, abs=0.3)
+
+
+def test_split_cast_bit_exact_vs_python_reference(spark):
+    """_split_cast(decimal) must equal Python's correctly-rounded
+    float(Decimal) BIT-EXACTLY while the integer part is < 2^53 —
+    including scale-12 values whose naive c - floor(c) extraction loses
+    digits 7-12 to Spark's precision-loss rule, and negatives."""
+    import decimal as pydec
+    import random
+
+    from kiara_spark.operators.quality import _split_cast
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    vals = []
+    for _ in range(200):
+        intpart = rng.randint(0, 9_000_000_000_000_000)  # < 2^53
+        frac = rng.randint(0, 999_999_999_999)
+        sign = rng.choice(("", "-"))
+        vals.append(pydec.Decimal(f"{sign}{intpart}.{frac:012d}"))
+    vals += [pydec.Decimal("0"), pydec.Decimal("-0.000000000001"),
+             pydec.Decimal("0.004737609"), pydec.Decimal("-2.5")]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+    out = df.select(
+        "s", _split_cast(F.col("s").cast("decimal(38,12)")).alias("d")
+    ).collect()
+    for r in out:
+        assert r.d == float(pydec.Decimal(r.s)), r.s
