@@ -2927,22 +2927,22 @@ def welch_ttest(
     converts via exactly-castable integer + fraction parts instead, so
     both engines see bit-identical doubles.  Returns one row:
     (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df)."""
-    d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
-    d4 = lambda e: F.round(e, 4).cast("decimal(38,4)")  # noqa: E731
     x = F.col(value_col).cast("double")
+    xd = F.round(x, 2).cast("decimal(18,2)")
+    xsq = (xd * xd).cast("decimal(38,4)")  # exact decimal square
     in_a = F.col(group_col) == group_a
     in_b = F.col(group_col) == group_b
     base = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
     agg = base.agg(
         F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
         F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
-        F.sum(F.when(in_a, d2(x)).otherwise(F.lit(0).cast("decimal(38,2)")))
-        .alias("_sa"),
-        F.sum(F.when(in_b, d2(x)).otherwise(F.lit(0).cast("decimal(38,2)")))
-        .alias("_sb"),
-        F.sum(F.when(in_a, d4(x * x))
+        F.sum(F.when(in_a, xd).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(38,2)").alias("_sa"),
+        F.sum(F.when(in_b, xd).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(38,2)").alias("_sb"),
+        F.sum(F.when(in_a, xsq)
               .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qa"),
-        F.sum(F.when(in_b, d4(x * x))
+        F.sum(F.when(in_b, xsq)
               .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qb"))
     nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
     sa, sb = _split_cast(F.col("_sa")), _split_cast(F.col("_sb"))
@@ -3158,16 +3158,37 @@ def chi2_gof_bh(
 def _group_sums(df: DataFrame, group_col: str, value_col: str):
     """Per-group (n, Σx@2dp, Σx²@4dp) — the shared exact-sufficient-stats
     aggregate under ANOVA / Brown-Forsythe (natural 2-dp-currency scale,
-    lossless; see :func:`welch_ttest`)."""
-    d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
-    d4 = lambda e: F.round(e, 4).cast("decimal(38,4)")  # noqa: E731
+    lossless; see :func:`welch_ttest`).
+
+    The square is an EXACT DECIMAL PRODUCT (xd², (18,2)×(18,2) →
+    (37,4)), never ROUND(x², 4) of a double: rounding a double to 4 dp
+    at ≥1e9 magnitudes is engine-divergent (the scaled-multiply round
+    path loses the grid — caught by the sf0.001 ANOVA hash)."""
     x = F.col(value_col).cast("double")
+    xd = F.round(x, 2).cast("decimal(18,2)")
     return (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .groupBy(F.col(group_col).alias("_g"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("_n"),
-                 F.sum(d2(x)).alias("_s"),
-                 F.sum(d4(x * x)).alias("_q")))
+                 F.sum(xd).cast("decimal(38,2)").alias("_s"),
+                 F.sum((xd * xd).cast("decimal(38,4)")).alias("_q")))
+
+
+def _ordered_fold(order_col, value_expr):
+    """(collect → sort by key → left-fold) — sums a BOUNDED per-group
+    frame of doubles in DETERMINISTIC key order, so no round-to-9dp of
+    potentially-huge terms is ever needed (ROUND(double, 9) above ~1e8
+    is ambiguous and engine-divergent).  Mirrors DuckDB's
+    list_reduce(list_transform(list_sort(LIST({'g','v'})), x -> x.v),
+    (a, b) -> a + b) — both are the exact left fold v₁+v₂+… in key
+    order.  Returns (array_agg_expression, fold_expression(name))."""
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col(order_col).cast("string").alias("_g"),
+        value_expr.alias("_v"))))
+    def fold(name):
+        return F.expr(
+            f"aggregate({name}, 0.0d, (acc, s) -> acc + s._v)")
+    return arr, fold
 
 
 def anova_oneway(
@@ -3183,27 +3204,25 @@ def anova_oneway(
         F   = (SSB/(k−1)) / (SSW/(N−k))
 
     Scale design: ONE (group) hash aggregate of exact decimal sufficient
-    statistics (2-dp natural scale, split-cast to double — the Welch
-    recipe), then a k-row rollup whose float terms round to 9 dp into
-    decimal sums (partition-order invariant).  Returns one row:
+    statistics (2-dp natural scale, exact decimal squares, split-cast to
+    double — the Welch recipe), then a k-row rollup whose s_g²/n_g terms
+    sum as a DETERMINISTIC key-ordered fold (:func:`_ordered_fold` —
+    these terms are too large for a stable round-9; the fold needs no
+    rounding at all).  Returns one row:
     (k, n, ss_between, ss_within, df_between, df_within, f_stat,
     eta_sq)."""
     g = _group_sums(df, group_col, value_col)
-    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
-    sd, qd = _split_cast(F.col("_s")), _split_cast(F.col("_q"))
+    sd = _split_cast(F.col("_s"))
     nd = F.col("_n").cast("double")
-    per_g = g.select(
-        F.col("_n"),
-        d9(sd * sd / nd).alias("_m2"),   # s_g^2 / n_g
-        F.col("_s"), F.col("_q"))
-    agg = per_g.agg(
+    arr, fold = _ordered_fold("_g", sd * sd / nd)
+    agg = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("_n").cast("bigint").alias("n"),
-        F.sum("_m2").alias("_sm2d"),
+        arr.alias("_arr"),
         F.sum("_s").alias("_st"),
         F.sum("_q").alias("_qt"))
     ntot = F.col("n").cast("double")
-    sm2 = _split_cast(F.col("_sm2d"))
+    sm2 = fold("_arr")
     st, qt = _split_cast(F.col("_st")), _split_cast(F.col("_qt"))
     ssb = sm2 - st * st / ntot
     ssw = qt - sm2
@@ -3539,18 +3558,18 @@ def kruskal_wallis(
     ties = per_v.agg(
         F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv"))
         .cast("decimal(38,0)").alias("_tcorr"))
-    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
-    # R_g^2/n_g with R_g = R2_g/2: (R2_g)^2 / (4 n_g), exact decimal
-    # square split-cast before the division
-    term = d9(_split_cast(F.col("_r2g") * F.col("_r2g"))
-              / (F.lit(4.0) * F.col("_ng").cast("double")))
+    # R_g^2/n_g with R_g = R2_g/2: (R2_g)^2/(4 n_g) — terms too large for
+    # a stable round-9; sum the k of them in deterministic key order
+    term = (_split_cast(F.col("_r2g") * F.col("_r2g"))
+            / (F.lit(4.0) * F.col("_ng").cast("double")))
+    arr, fold = _ordered_fold("_g", term)
     agg = (per_g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("_ng").cast("decimal(38,0)").alias("_n"),
-        F.sum(term).alias("_sr"))
+        arr.alias("_arr"))
         .crossJoin(F.broadcast(ties)))
     nd = F.col("_n").cast("double")
-    h = (F.lit(12.0) * _split_cast(F.col("_sr")) / (nd * (nd + F.lit(1.0)))
+    h = (F.lit(12.0) * fold("_arr") / (nd * (nd + F.lit(1.0)))
          - F.lit(3.0) * (nd + F.lit(1.0)))
     corr = (F.lit(1.0)
             - _split_cast(F.col("_tcorr")) / (nd * nd * nd - nd))
@@ -3688,15 +3707,18 @@ def concordance_ccc(
     xs = F.col(x_col) if isinstance(x_col, str) else x_col
     ys = F.col(y_col) if isinstance(y_col, str) else y_col
     s, s2 = value_scale, value_scale * 2
-    dv = lambda e, sc: F.round(e, sc).cast(f"decimal(38,{sc})")  # noqa: E731
     x, y = xs.cast("double"), ys.cast("double")
+    # exact decimal products — never ROUND(x*y, 2s) of a double
+    xd = F.round(x, s).cast(f"decimal(18,{s})")
+    yd = F.round(y, s).cast(f"decimal(18,{s})")
     base = df.filter(x.isNotNull() & y.isNotNull())
     agg = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum(dv(x, s)).alias("_sx"), F.sum(dv(y, s)).alias("_sy"),
-        F.sum(dv(x * x, s2)).alias("_sxx"),
-        F.sum(dv(y * y, s2)).alias("_syy"),
-        F.sum(dv(x * y, s2)).alias("_sxy"))
+        F.sum(xd).cast(f"decimal(38,{s})").alias("_sx"),
+        F.sum(yd).cast(f"decimal(38,{s})").alias("_sy"),
+        F.sum((xd * xd).cast(f"decimal(38,{s2})")).alias("_sxx"),
+        F.sum((yd * yd).cast(f"decimal(38,{s2})")).alias("_syy"),
+        F.sum((xd * yd).cast(f"decimal(38,{s2})")).alias("_sxy"))
     nd = F.col("_n").cast("double")
     sx, sy = _split_cast(F.col("_sx")), _split_cast(F.col("_sy"))
     sxx, syy = _split_cast(F.col("_sxx")), _split_cast(F.col("_syy"))

@@ -13803,13 +13803,21 @@ def stats_mann_whitney_q(spark, sf_dir):
       SELECT
         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        SUM(CASE WHEN g = 'O' THEN CAST(ROUND(x, 2) AS DECIMAL(38,2))
-                 ELSE CAST(0 AS DECIMAL(38,2)) END) AS sa,
-        SUM(CASE WHEN g = 'F' THEN CAST(ROUND(x, 2) AS DECIMAL(38,2))
-                 ELSE CAST(0 AS DECIMAL(38,2)) END) AS sb,
-        SUM(CASE WHEN g = 'O' THEN CAST(ROUND(x * x, 4) AS DECIMAL(38,4))
+        CAST(SUM(CASE WHEN g = 'O'
+                 THEN CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2)) AS sa,
+        CAST(SUM(CASE WHEN g = 'F'
+                 THEN CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2)) AS sb,
+        SUM(CASE WHEN g = 'O'
+                 THEN CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           * CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           AS DECIMAL(38,4))
                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
-        SUM(CASE WHEN g = 'F' THEN CAST(ROUND(x * x, 4) AS DECIMAL(38,4))
+        SUM(CASE WHEN g = 'F'
+                 THEN CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           * CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           AS DECIMAL(38,4))
                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS qb
       FROM base
     ), d AS (
@@ -14081,25 +14089,21 @@ def _sc(e: str) -> str:
     f"""
     WITH g AS (
       SELECT o_orderpriority AS gg, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2)
-                      AS DECIMAL(38,2))) AS s,
-             SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE)
-                            * CAST(o_totalprice AS DOUBLE), 4)
-                      AS DECIMAL(38,4))) AS q
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS s,
+             SUM(CAST(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(19,2)) * CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q
       FROM orders
       WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
-    ), per_g AS (
-      SELECT n, s, q,
-             CAST(ROUND({_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE), 9)
-                  AS DECIMAL(38,12)) AS m2
-      FROM g
     ), agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
-             SUM(m2) AS sm2d, SUM(s) AS st, SUM(q) AS qt
-      FROM per_g
+             list_reduce(list_transform(list_sort(LIST(
+               {{'g': gg,
+                 'v': {_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE)}})),
+               x -> x.v), (a, b) -> a + b) AS sm2,
+             SUM(s) AS st, SUM(q) AS qt
+      FROM g
     ), f AS (
-      SELECT k, n, {_sc('sm2d')} AS sm2, {_sc('st')} AS std,
+      SELECT k, n, sm2, {_sc('st')} AS std,
              {_sc('qt')} AS qtd, CAST(n AS DOUBLE) AS ntot
       FROM agg
     ), ss AS (
@@ -14199,20 +14203,19 @@ def stats_cohens_kappa_q(spark, sf_dir):
       FROM base b JOIN med m ON b.g = m.g
     ), gr AS (
       SELECT gg, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(ROUND(z, 2) AS DECIMAL(38,2))) AS s,
-             SUM(CAST(ROUND(z * z, 4) AS DECIMAL(38,4))) AS q
+             CAST(SUM(CAST(ROUND(z, 2) AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS s,
+             SUM(CAST(CAST(ROUND(z, 2) AS DECIMAL(19,2)) * CAST(ROUND(z, 2) AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS q
       FROM z GROUP BY 1
-    ), per_g AS (
-      SELECT n, s, q,
-             CAST(ROUND({_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE), 9)
-                  AS DECIMAL(38,12)) AS m2
-      FROM gr
     ), agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
-             SUM(m2) AS sm2d, SUM(s) AS st, SUM(q) AS qt
-      FROM per_g
+             list_reduce(list_transform(list_sort(LIST(
+               {{'g': gg,
+                 'v': {_sc('s')} * {_sc('s')} / CAST(n AS DOUBLE)}})),
+               x -> x.v), (a, b) -> a + b) AS sm2,
+             SUM(s) AS st, SUM(q) AS qt
+      FROM gr
     ), f AS (
-      SELECT k, n, {_sc('sm2d')} AS sm2, {_sc('st')} AS std,
+      SELECT k, n, sm2, {_sc('st')} AS std,
              {_sc('qt')} AS qtd, CAST(n AS DOUBLE) AS ntot
       FROM agg
     ), ss AS (
@@ -14704,11 +14707,19 @@ def stats_mcnemar_q(spark, sf_dir):
       FROM documents WHERE n_chars IS NOT NULL
     ), agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(ROUND(x, 2) AS DECIMAL(38,2))) AS sx,
-             SUM(CAST(ROUND(y, 2) AS DECIMAL(38,2))) AS sy,
-             SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS sxx,
-             SUM(CAST(ROUND(y * y, 4) AS DECIMAL(38,4))) AS syy,
-             SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4))) AS sxy
+             CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(19,2)))
+                  AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(19,2)))
+                  AS DECIMAL(38,2)) AS sy,
+             SUM(CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                      * CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                      AS DECIMAL(38,4))) AS sxx,
+             SUM(CAST(CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                      * CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                      AS DECIMAL(38,4))) AS syy,
+             SUM(CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                      * CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                      AS DECIMAL(38,4))) AS sxy
       FROM base
     ), d AS (
       SELECT n, CAST(n AS DOUBLE) AS nd,
@@ -14943,9 +14954,11 @@ def ml_quantile_normalize_q(spark, sf_dir):
     ), agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(ng) AS DECIMAL(38,0)) AS n,
-             SUM(CAST(ROUND({_sc('r2g * r2g')}
-                            / (4.0 * CAST(ng AS DOUBLE)), 9)
-                      AS DECIMAL(38,12))) AS sr
+             list_reduce(list_transform(list_sort(LIST(
+               {{'g': g,
+                 'v': {_sc('r2g * r2g')}
+                      / (4.0 * CAST(ng AS DOUBLE))}})),
+               x -> x.v), (a, b) -> a + b) AS sr
       FROM per_g
     ), hh AS (
       SELECT k, n, CAST(n AS DOUBLE) AS nd, sr, tc
@@ -14953,7 +14966,7 @@ def ml_quantile_normalize_q(spark, sf_dir):
     ), hc AS (
       SELECT k, n,
              ROUND(CASE WHEN 1.0 - {_sc('tc')} / (nd * nd * nd - nd) > 0
-               THEN (12.0 * {_sc('sr')} / (nd * (nd + 1.0))
+               THEN (12.0 * sr / (nd * (nd + 1.0))
                      - 3.0 * (nd + 1.0))
                     / (1.0 - {_sc('tc')} / (nd * nd * nd - nd)) END, 9)
                AS chi
