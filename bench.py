@@ -383,6 +383,7 @@ BENCH_QUERIES = [
     "events_survival_nelson_aalen",
     "events_survival_logrank",
     "events_mann_kendall_trend",
+    "stats_wilcoxon_signed_rank_docs",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

@@ -3595,6 +3595,64 @@ def kruskal_wallis(
         F.round(pval, 6).alias("p_value"))
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED measurements — "does x
+    systematically exceed y on the same rows?" (the rank-robust twin of
+    a paired t-test; the paired complement to :func:`mann_whitney_u`):
+
+        W⁺ = Σ ranks of |x−y| over positive differences (zeros dropped),
+        z  = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    Scale design: nonzero differences collapse to the |d| distinct grid
+    with range-partitioned prefix counts; doubled midranks keep W⁺, the
+    expectation and the tie term in EXACT quadrupled-integer algebra
+    (num×4 = 2·W⁺ₓ₂ − n(n+1), var×48 = 2n(n+1)(2n+1) − Σ(t³−t)); only
+    the terminal z (÷4√(S₄₈/48)) and the A&S-erfc p are floating point.
+    Returns one row: (n_nonzero, w_plus, w_minus, z, p_value)."""
+    xs = F.col(x_col) if isinstance(x_col, str) else x_col
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    d = (F.round(xs.cast("double"), 2).cast("decimal(18,2)")
+         - F.round(ys.cast("double"), 2).cast("decimal(18,2)"))
+    base = (df.filter(xs.isNotNull() & ys.isNotNull())
+            .select(d.alias("_d"))
+            .filter(F.col("_d") != 0)
+            .select(F.abs(F.col("_d")).alias("_a"),
+                    F.when(F.col("_d") > 0, 1).otherwise(0).alias("_p")))
+    per_a = base.groupBy("_a").agg(
+        F.sum("_p").cast("decimal(38,0)").alias("_cp"),
+        F.sum(1 - F.col("_p")).cast("decimal(38,0)").alias("_cn"))
+    t_ = F.col("_cp") + F.col("_cn")
+    grid = _prefix_sums(per_a.withColumn("_t", t_.cast("decimal(38,0)")),
+                        "_a", [("_t", "_prev")])
+    rank2 = F.lit(2) * F.col("_prev") + F.col("_t") + F.lit(1)
+    agg = grid.agg(
+        F.sum(t_).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_cp") * rank2).cast("decimal(38,0)").alias("_wpx2"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("decimal(38,0)").alias("_tc"))
+    n = F.col("_n")
+    num4 = (F.lit(2) * F.col("_wpx2") - n * (n + 1)).cast("decimal(38,0)")
+    s48 = (F.lit(2) * n * (n + 1) * (2 * n + 1) - F.col("_tc")) \
+        .cast("decimal(38,0)")
+    z = (_split_cast(num4)
+         / (F.lit(4.0) * F.sqrt(_split_cast(s48) / F.lit(48.0))))
+    p = F.when(s48 > 0,
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    wtotx2 = n * (n + 1)  # 2*(W+ + W-) = n(n+1)
+    return agg.select(
+        n.cast("bigint").alias("n_nonzero"),
+        (_split_cast(F.col("_wpx2")) / F.lit(2.0)).alias("w_plus"),
+        ((_split_cast(wtotx2.cast("decimal(38,0)"))
+          - _split_cast(F.col("_wpx2"))) / F.lit(2.0)).alias("w_minus"),
+        F.round(F.when(s48 > 0, z), 6).alias("z"),
+        F.round(p, 6).alias("p_value"))
+
+
 def two_proportion_z(
     df: DataFrame,
     group_col: str,
@@ -4397,6 +4455,17 @@ TableYuenTtest = _simple_module(
         "comparison (exact grid trimming + winsorized variances).",
 )
 
+TableWilcoxonSignedRank = _simple_module(
+    "table.stats.wilcoxon_signed_rank",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": wilcoxon_signed_rank(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"])},
+    doc="Wilcoxon signed-rank paired test on exact doubled midranks of "
+        "|x - y| (rank-robust paired comparison).",
+)
+
 TableKruskalWallis = _simple_module(
     "table.stats.kruskal_wallis",
     {"table": TABLE},
@@ -4487,7 +4556,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
             TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
-            TableQuantileNormalize, TableKruskalWallis]
+            TableQuantileNormalize, TableKruskalWallis,
+            TableWilcoxonSignedRank]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4502,6 +4572,9 @@ OPERATIONS = [
               doc="quantile-normalization mapping onto a reference group"),
     Operation("table.stats.kruskal_wallis", "table.stats.kruskal_wallis",
               doc="Kruskal-Wallis k-group rank ANOVA (tie-corrected)"),
+    Operation("table.stats.wilcoxon_signed_rank",
+              "table.stats.wilcoxon_signed_rank",
+              doc="Wilcoxon signed-rank paired test"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

@@ -15243,6 +15243,72 @@ def events_mann_kendall_q(spark, sf_dir):
                               "ts", "value", bucket="day")
 
 
+@query(
+    "stats_wilcoxon_signed_rank_docs",
+    f"""
+    WITH base AS (
+      SELECT CAST(ROUND(CAST(n_chars AS DOUBLE), 2) AS DECIMAL(18,2))
+             - CAST(ROUND(6.0 * CAST(len({_TOKS}) AS DOUBLE), 2)
+                    AS DECIMAL(18,2)) AS d
+      FROM documents WHERE n_chars IS NOT NULL
+    ), nz AS (
+      SELECT ABS(d) AS a, CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+      FROM base WHERE d <> 0
+    ), per_a AS (
+      SELECT a, CAST(SUM(p) AS DECIMAL(38,0)) AS cp,
+             CAST(SUM(1 - p) AS DECIMAL(38,0)) AS cn
+      FROM nz GROUP BY a
+    ), grid AS (
+      SELECT cp, cn, cp + cn AS t,
+             CAST(COALESCE(SUM(cp + cn) OVER (ORDER BY a ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS DECIMAL(38,0)) AS prev
+      FROM per_a
+    ), agg AS (
+      SELECT CAST(SUM(cp + cn) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(cp * (2*prev + t + 1)) AS DECIMAL(38,0)) AS wpx2,
+             CAST(SUM(t*t*t - t) AS DECIMAL(38,0)) AS tc
+      FROM grid
+    ), fin AS (
+      SELECT n, wpx2,
+             CAST(2*wpx2 - n*(n+1) AS DECIMAL(38,0)) AS num4,
+             CAST(2*n*(n+1)*(2*n+1) - tc AS DECIMAL(38,0)) AS s48
+      FROM agg
+    ), zz AS (
+      SELECT n, wpx2, num4, s48,
+             {_sc('num4')} / (4.0 * SQRT({_sc('s48')} / 48.0)) AS zv
+      FROM fin
+    )
+    SELECT CAST(n AS BIGINT) AS n_nonzero,
+           {_sc('wpx2')} / 2.0 AS w_plus,
+           ({_sc('CAST(n*(n+1) AS DECIMAL(38,0))')} - {_sc('wpx2')}) / 2.0
+             AS w_minus,
+           ROUND(CASE WHEN s48 > 0 THEN zv END, 6) AS z,
+           ROUND(CASE WHEN s48 > 0 THEN
+             ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 9)
+           END, 6) AS p_value
+    FROM zz
+    """,
+)
+def stats_wilcoxon_q(spark, sf_dir):
+    """Wilcoxon signed-rank: does the 6-chars-per-token length estimate
+    systematically over/undershoot the stored character count on the
+    SAME documents?  (The rank-robust paired test behind
+    `stats_ccc_documents`'s agreement readout — sign direction without
+    trusting magnitudes.)  |d| distinct grid with range-partitioned
+    prefix counts, exact quadrupled-integer W⁺/variance algebra, A&S
+    erfc p."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import wilcoxon_signed_rank
+    from .operators.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "est_len",
+        FF.lit(6.0) * FF.size(tokens_col(FF.col("text"))).cast("double"))
+    return wilcoxon_signed_rank(d, "n_chars", "est_len")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -1218,3 +1218,43 @@ def test_split_cast_bit_exact_vs_python_reference(spark):
     ).collect()
     for r in out:
         assert r.d == float(pydec.Decimal(r.s)), r.s
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank
+# ---------------------------------------------------------------------------
+
+def test_wilcoxon_textbook_and_zero_drop(spark):
+    """Pairs with diffs [+1,+2,+3,-1,0]: zero dropped, |d| grid
+    {1:2, 2:1, 3:1}; midranks: |1| -> 1.5, |2| -> 3, |3| -> 4.
+    W+ = 1.5+3+4 = 8.5, W- = 1.5, n=4, W+ + W- = 10."""
+    from kiara_spark.operators.quality import wilcoxon_signed_rank
+
+    pairs = [(10.0, 9.0), (10.0, 8.0), (10.0, 7.0), (9.0, 10.0),
+             (5.0, 5.0)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r.n_nonzero == 4
+    assert r.w_plus == pytest.approx(8.5, abs=1e-9)
+    assert r.w_minus == pytest.approx(1.5, abs=1e-9)
+    assert r.w_plus + r.w_minus == pytest.approx(10.0, abs=1e-9)
+
+
+def test_wilcoxon_symmetric_diffs_z_zero(spark):
+    from kiara_spark.operators.quality import wilcoxon_signed_rank
+
+    pairs = [(1.0, 0.0), (0.0, 1.0), (2.0, 0.0), (0.0, 2.0)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r.w_plus == r.w_minus
+    assert r.z == 0.0 and r.p_value == 1.0
+
+
+def test_wilcoxon_one_sided_dominance(spark):
+    from kiara_spark.operators.quality import wilcoxon_signed_rank
+
+    pairs = [(float(10 + i), float(i)) for i in range(15)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r.w_minus == 0.0
+    assert r.z > 3 and r.p_value < 0.01
