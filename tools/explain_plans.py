@@ -104,6 +104,9 @@ INTENTIONAL_CROSS = {
     "stats_kruskal_wallis_orders",   # 1-row tie-correction total broadcast
     "events_survival_nelson_aalen",  # 1-row at-risk-total broadcast (KM shape)
     "events_survival_logrank",       # 1-row per-group totals broadcast
+    "events_mann_kendall_trend",     # bounded day-grid pairwise join (days², the
+                                     # changepoint class) + 1-row totals broadcasts
+    "stats_wilcoxon_signed_rank_docs",  # 1-row totals broadcast onto the |d| grid
 }
 
 
