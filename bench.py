@@ -384,6 +384,7 @@ BENCH_QUERIES = [
     "events_survival_logrank",
     "events_mann_kendall_trend",
     "stats_wilcoxon_signed_rank_docs",
+    "stats_friedman_orders",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

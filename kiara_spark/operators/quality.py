@@ -3653,6 +3653,99 @@ def wilcoxon_signed_rank(
         F.round(p, 6).alias("p_value"))
 
 
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — the repeated-measures rank ANOVA: do k treatments
+    differ when every BLOCK (user, day, machine) sees all of them?
+    (between-block variation cancels by ranking WITHIN each block — the
+    blocked companion to :func:`kruskal_wallis`):
+
+        χ²_F = 12/(nk(k+1)) Σ_j R_j² − 3n(k+1)
+        (tie-corrected denominator 1 − ΣΣ(t³−t)/(nk(k²−1)))
+
+    Scale design: within-block midranks come from a window PARTITIONED
+    BY BLOCK (frames are k rows — parallel across blocks, never global);
+    doubled midranks keep every rank sum and the tie term exact
+    DECIMAL(38,0); the k-column R_j² assembly folds in deterministic
+    treatment order (:func:`_ordered_fold`).  Blocks missing a
+    treatment are dropped (complete-block contract, documented).
+    Returns one row: (n_blocks, k, chi2_f, dof, p_value)."""
+    from pyspark.sql.window import Window as _W
+
+    v = F.col(value_col).cast("decimal(38,6)")
+    base = (df.filter(F.col(block_col).isNotNull()
+                      & F.col(treatment_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(F.col(block_col).alias("_b"),
+                    F.col(treatment_col).alias("_t"), v.alias("_v")))
+    # complete blocks only: every treatment present exactly once
+    kk = base.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
+    cnt = base.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cb"),
+        F.countDistinct("_t").cast("bigint").alias("_tb"))
+    complete = (cnt.crossJoin(F.broadcast(kk))
+                .filter((F.col("_cb") == F.col("_k"))
+                        & (F.col("_tb") == F.col("_k")))
+                .select("_b"))
+    rows = base.join(complete, "_b")
+    # doubled midrank within block: 2*(#smaller) + (#tied+1); rank()-1
+    # counts strict-smaller exactly, a (block,value) partition counts ties
+    smaller = (F.rank().over(_W.partitionBy("_b").orderBy("_v"))
+               - F.lit(1)).cast("bigint")
+    tied = F.count(F.lit(1)).over(_W.partitionBy("_b", "_v")) \
+        .cast("bigint")
+    ranked = rows.select(
+        "_b", "_t",
+        (F.lit(2) * smaller + tied + 1).cast("decimal(38,0)")
+        .alias("_r2"),
+        tied.cast("bigint").alias("_tie"))
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("_r2").cast("decimal(38,0)").alias("_rj2"))
+    # tie term: sum over (block, tied-group) of t^3 - t; each row of a
+    # tied group of size t contributes (t^3 - t)/t = t^2 - 1 exactly
+    ties = ranked.agg(
+        F.sum(F.col("_tie") * F.col("_tie") - 1).cast("decimal(38,0)")
+        .alias("_tc"))
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    term = _split_cast(F.col("_rj2") * F.col("_rj2"))
+    arr, fold = _ordered_fold("_t", term)
+    agg = (per_t.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                     arr.alias("_arr"))
+           .crossJoin(F.broadcast(nb))
+           .crossJoin(F.broadcast(ties)))
+    nd, kd = F.col("_n").cast("double"), F.col("k").cast("double")
+    # R_j are doubled: Σ(R_j2)^2 = 4 ΣR_j^2
+    sr = fold("_arr") / F.lit(4.0)
+    chi_u = (F.lit(12.0) * sr / (nd * kd * (kd + F.lit(1.0)))
+             - F.lit(3.0) * nd * (kd + F.lit(1.0)))
+    corr = (F.lit(1.0) - _split_cast(F.col("_tc"))
+            / (nd * kd * (kd * kd - F.lit(1.0))))
+    chi = F.round(F.when(corr > 0, chi_u / corr), 9)
+    staged = agg.select(F.col("_n").alias("n_blocks"), "k",
+                        chi.alias("_chi"))
+    halves = F.expr(
+        "CASE WHEN (k - 1) < 4 THEN 1.0d ELSE "
+        "aggregate(sequence(1, int((k - 1)/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
+    dof = F.col("k") - 1
+    pval = F.when(dof % 2 == 0,
+                  F.when(dof == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    return staged.select(
+        "n_blocks", "k",
+        F.round(F.col("_chi"), 6).alias("chi2_f"),
+        dof.cast("bigint").alias("dof"),
+        F.round(pval, 6).alias("p_value"))
+
+
 def two_proportion_z(
     df: DataFrame,
     group_col: str,
@@ -4455,6 +4548,17 @@ TableYuenTtest = _simple_module(
         "comparison (exact grid trimming + winsorized variances).",
 )
 
+TableFriedman = _simple_module(
+    "table.stats.friedman",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": friedman_test(
+        im["table"].data, self.config["block_column"],
+        self.config["treatment_column"], self.config["value_column"])},
+    doc="Friedman repeated-measures rank test: k treatments ranked "
+        "within each block (between-block variation cancels).",
+)
+
 TableWilcoxonSignedRank = _simple_module(
     "table.stats.wilcoxon_signed_rank",
     {"table": TABLE},
@@ -4557,7 +4661,7 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
             TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
-            TableWilcoxonSignedRank]
+            TableWilcoxonSignedRank, TableFriedman]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4575,6 +4679,8 @@ OPERATIONS = [
     Operation("table.stats.wilcoxon_signed_rank",
               "table.stats.wilcoxon_signed_rank",
               doc="Wilcoxon signed-rank paired test"),
+    Operation("table.stats.friedman", "table.stats.friedman",
+              doc="Friedman blocked k-treatment rank test"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

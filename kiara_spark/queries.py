@@ -15309,6 +15309,88 @@ def stats_wilcoxon_q(spark, sf_dir):
     return wilcoxon_signed_rank(d, "n_chars", "est_len")
 
 
+@query(
+    "stats_friedman_orders",
+    f"""
+    WITH cells AS (
+      SELECT DATE_TRUNC('week', o_orderdate) AS b, o_orderpriority AS t,
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2)
+                           AS DECIMAL(19,2))) AS DECIMAL(38,2)) AS v0
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), vv AS (SELECT b, t, CAST(v0 AS DECIMAL(38,6)) AS v FROM cells),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM vv),
+    cnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cb,
+             CAST(COUNT(DISTINCT t) AS BIGINT) AS tb
+      FROM vv GROUP BY b
+    ), complete AS (
+      SELECT b FROM cnt CROSS JOIN kk WHERE cb = k AND tb = k
+    ), rows_ AS (SELECT vv.* FROM vv JOIN complete USING (b)),
+    ranked AS (
+      SELECT b, t,
+             CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY v) - 1)
+                  + COUNT(*) OVER (PARTITION BY b, v) + 1
+                  AS DECIMAL(38,0)) AS r2,
+             CAST(COUNT(*) OVER (PARTITION BY b, v) AS BIGINT) AS tie
+      FROM rows_
+    ), per_t AS (
+      SELECT t, CAST(SUM(r2) AS DECIMAL(38,0)) AS rj2
+      FROM ranked GROUP BY t
+    ), ties AS (
+      SELECT CAST(SUM(tie * tie - 1) AS DECIMAL(38,0)) AS tc FROM ranked
+    ), nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_transform(list_sort(LIST(
+               {{'g': t, 'v': {_sc('rj2 * rj2')}}})),
+               x -> x.v), (a, b) -> a + b) AS srx4
+      FROM per_t
+    ), f AS (
+      SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+             srx4 / 4.0 AS sr, tc
+      FROM agg CROSS JOIN nb CROSS JOIN ties
+    ), hc AS (
+      SELECT n, k,
+             ROUND(CASE WHEN 1.0 - {_sc('tc')}
+                             / (nd * kd * (kd * kd - 1.0)) > 0
+               THEN (12.0 * sr / (nd * kd * (kd + 1.0))
+                     - 3.0 * nd * (kd + 1.0))
+                    / (1.0 - {_sc('tc')}
+                       / (nd * kd * (kd * kd - 1.0))) END, 9) AS chi
+      FROM f
+    )
+    SELECT n AS n_blocks, k, ROUND(chi, 6) AS chi2_f,
+           CAST(k - 1 AS BIGINT) AS dof,
+           ROUND(LEAST(EXP(-chi / 2.0) * (1.0 + chi / 2.0), 1.0), 6)
+             AS p_value
+    FROM hc
+    """,
+)
+def stats_friedman_q(spark, sf_dir):
+    """Friedman test: do the 5 order priorities rank consistently by
+    WEEKLY revenue?  Each week is a block; revenue totals (exact
+    DECIMAL(38,2), no division) are ranked within the week so week-to-
+    week seasonality cancels — the repeated-measures companion to
+    `stats_kruskal_wallis_orders`.  df=4 → the even-df fold tail."""
+    from pyspark.sql import functions as FF
+
+    from .operators.quality import friedman_test
+
+    xd = FF.round(FF.col("o_totalprice").cast("double"), 2) \
+        .cast("decimal(18,2)")
+    cells = (_t(spark, sf_dir, "orders")
+             .filter(FF.col("o_orderpriority").isNotNull()
+                     & FF.col("o_totalprice").isNotNull())
+             .groupBy(FF.date_trunc("week", FF.col("o_orderdate"))
+                      .alias("wk"),
+                      FF.col("o_orderpriority").alias("prio"))
+             .agg(FF.sum(xd).cast("decimal(38,2)").alias("revenue")))
+    return friedman_test(cells, "wk", "prio", "revenue")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -1258,3 +1258,63 @@ def test_wilcoxon_one_sided_dominance(spark):
     r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
     assert r.w_minus == 0.0
     assert r.z > 3 and r.p_value < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Friedman test
+# ---------------------------------------------------------------------------
+
+def test_friedman_textbook_hand_formula(spark):
+    """3 treatments over 4 blocks, no ties: chi2_F from the hand
+    formula (scipy-free)."""
+    from kiara_spark.operators.quality import friedman_test
+
+    data = {  # block -> {treatment: value}
+        1: {"a": 1.0, "b": 2.0, "c": 3.0},
+        2: {"a": 1.0, "b": 3.0, "c": 2.0},
+        3: {"a": 1.0, "b": 2.0, "c": 3.0},
+        4: {"a": 2.0, "b": 1.0, "c": 3.0},
+    }
+    rows = [(b, t, v) for b, tv in data.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    # within-block ranks -> R_a=5, R_b=8, R_c=11; n=4, k=3
+    n, k = 4, 3
+    chi = (12.0 / (n * k * (k + 1))) * (25 + 64 + 121) - 3 * n * (k + 1)
+    assert (r.n_blocks, r.k, r.dof) == (4, 3, 2)
+    assert r.chi2_f == pytest.approx(chi, abs=1e-6)
+    assert r.p_value == pytest.approx(min(math.exp(-chi / 2), 1.0),
+                                      abs=1e-5)
+
+
+def test_friedman_identical_rankings_max_chi(spark):
+    """Every block ranks a<b<c identically: chi2 = n(k-1) max... and
+    incomplete blocks are dropped."""
+    from kiara_spark.operators.quality import friedman_test
+
+    rows = [(b, t, v) for b in range(1, 7)
+            for t, v in (("a", 1.0), ("b", 2.0), ("c", 3.0))]
+    rows += [(99, "a", 1.0)]  # incomplete block: dropped
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r.n_blocks == 6
+    n, k = 6, 3
+    chi = (12.0 / (n * k * (k + 1))) * (n * n * (1 + 4 + 9)) \
+        - 3 * n * (k + 1)
+    assert r.chi2_f == pytest.approx(chi, abs=1e-6)
+
+
+def test_friedman_within_block_ties_midranked(spark):
+    """A block with two tied values gives both the midrank and feeds
+    the tie correction."""
+    from kiara_spark.operators.quality import friedman_test
+
+    rows = [(1, "a", 1.0), (1, "b", 2.0), (1, "c", 2.0),
+            (2, "a", 1.0), (2, "b", 2.0), (2, "c", 3.0)]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    # block1 ranks: a=1, b=c=2.5; block2: 1,2,3
+    # R_a=2, R_b=4.5, R_c=5.5; chi_u = (12/(2*3*4))*(4+20.25+30.25) - 24
+    chi_u = (12.0 / 24.0) * (4 + 20.25 + 30.25) - 24
+    corr = 1 - (2 ** 3 - 2) / (2 * 3 * 8)
+    assert r.chi2_f == pytest.approx(chi_u / corr, abs=1e-5)

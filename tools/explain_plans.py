@@ -107,6 +107,7 @@ INTENTIONAL_CROSS = {
     "events_mann_kendall_trend",     # bounded day-grid pairwise join (days², the
                                      # changepoint class) + 1-row totals broadcasts
     "stats_wilcoxon_signed_rank_docs",  # 1-row totals broadcast onto the |d| grid
+    "stats_friedman_orders",         # 1-row k/n/tie totals broadcasts
 }
 
 
