@@ -385,6 +385,10 @@ BENCH_QUERIES = [
     "events_mann_kendall_trend",
     "stats_wilcoxon_signed_rank_docs",
     "stats_friedman_orders",
+    "stats_jarque_bera_orders",
+    "stats_cochrans_q_events",
+    "stats_bartlett_orders",
+    "events_durbin_watson",
 ]
 
 # Per-query notes surfaced in BENCH_DETAIL.json — explanations the timing

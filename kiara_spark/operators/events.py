@@ -1748,6 +1748,82 @@ def mann_kendall_trend(
         F.round(F.col("_sen"), 6).alias("sen_slope"))
 
 
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Durbin-Watson statistic of the detrended bucketed series — "are
+    the residuals of the daily trend AUTOCORRELATED?" (DW ≈ 2 means
+    independent residuals; « 2 means positive autocorrelation — the
+    diagnostic that says whether day-level observations can be treated
+    as independent by the other tests):
+
+        e_t = y_t − (a + b·t)   (OLS on the bucket index),
+        DW  = Σ(e_t − e_{t−1})² / Σe_t²
+
+    Scale design: one bucket aggregate (counts or exact 2-dp means,
+    split-cast); the OLS fit uses exact integer index sums and round-9
+    y-terms over the BOUNDED bucket series; residual lags are an
+    ordered window over the same bounded series.  Returns one row:
+    (n_buckets, slope, intercept, dw, rho_approx)."""
+    from .quality import _split_cast
+
+    if value_col:
+        d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
+        x = F.col(value_col).cast("double")
+        daily = (df.filter(x.isNotNull())
+                 .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("_b"))
+                 .agg(F.sum(d2(x)).alias("_sv"),
+                      F.count(F.lit(1)).cast("bigint").alias("_n")))
+        val = F.round(_split_cast(F.col("_sv"))
+                      / F.col("_n").cast("double"), 9)
+    else:
+        daily = (df.groupBy(F.date_trunc(bucket, F.col(ts_col))
+                            .alias("_b"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+        val = F.col("_n").cast("double")
+    w = Window.orderBy("_b")
+    ser = daily.select(F.row_number().over(w).cast("bigint").alias("_i"),
+                       F.round(val, 9).alias("_y"))
+    td = F.col("_i").cast("double")
+    fit = ser.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nb"),
+        F.sum("_i").cast("decimal(38,0)").alias("_st"),
+        F.sum(F.col("_i") * F.col("_i")).cast("decimal(38,0)").alias("_stt"),
+        F.sum(F.round(F.col("_y"), 9).cast("decimal(38,12)")).alias("_sy"),
+        F.sum(F.round(td * F.col("_y"), 9).cast("decimal(38,12)"))
+        .alias("_sty"))
+    nb = F.col("_nb").cast("double")
+    st, stt = _split_cast(F.col("_st")), _split_cast(F.col("_stt"))
+    sy, sty = _split_cast(F.col("_sy")), _split_cast(F.col("_sty"))
+    slope = (nb * sty - st * sy) / (nb * stt - st * st)
+    icept = (sy - slope * st) / nb
+    params = fit.select(F.col("_nb"), slope.alias("_sl"),
+                        icept.alias("_ic"))
+    resid = (ser.crossJoin(F.broadcast(params))
+             .select("_i", "_nb", "_sl", "_ic",
+                     (F.col("_y") - (F.col("_ic")
+                                     + F.col("_sl") * td)).alias("_e")))
+    lag = F.lag("_e").over(Window.orderBy("_i"))
+    d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    agg = (resid.select("_nb", "_sl", "_ic", "_e",
+                        (F.col("_e") - lag).alias("_de"))
+           .agg(F.min("_nb").alias("n_buckets"),
+                F.min("_sl").alias("_slo"), F.min("_ic").alias("_icp"),
+                F.sum(d9(F.col("_e") * F.col("_e"))).alias("_se2"),
+                F.sum(d9(F.col("_de") * F.col("_de"))).alias("_sd2")))
+    se2 = F.col("_se2").cast("double")
+    dw = F.when(se2 > 0, F.col("_sd2").cast("double") / se2)
+    return agg.select(
+        "n_buckets",
+        F.round(F.col("_slo"), 6).alias("slope"),
+        F.round(F.col("_icp"), 6).alias("intercept"),
+        F.round(dw, 6).alias("dw"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_approx"))
+
+
 def sprt_monitor(
     df: DataFrame,
     p0: float,
@@ -1898,6 +1974,19 @@ EventsLogrank = _simple_module(
         "(O-E chi2 over event times, exact erfc p).",
 )
 
+EventsDurbinWatson = _simple_module(
+    "events.durbin_watson",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": durbin_watson(
+        im["table"].data,
+        ts_col=self.config.get("ts_column", "ts"),
+        value_col=self.config.get("value_column"),
+        bucket=self.config.get("bucket", "day"))},
+    doc="Durbin-Watson residual-autocorrelation diagnostic of the "
+        "detrended bucketed series.",
+)
+
 EventsMannKendall = _simple_module(
     "events.mann_kendall_trend",
     {"table": TABLE},
@@ -1914,6 +2003,8 @@ EventsMannKendall = _simple_module(
 OPERATIONS += [
     Operation("events.mann_kendall_trend", "events.mann_kendall_trend",
               doc="Mann-Kendall trend test + Sen's slope"),
+    Operation("events.durbin_watson", "events.durbin_watson",
+              doc="Durbin-Watson residual autocorrelation diagnostic"),
     Operation("events.sprt_monitor", "events.sprt_monitor",
               doc="SPRT sequential experiment monitor (daily LLR)"),
     Operation("events.page_hinkley", "events.page_hinkley",
@@ -1926,4 +2017,4 @@ OPERATIONS += [
 ]
 
 MODULES += [EventsSprtMonitor, EventsPageHinkley, EventsNelsonAalen,
-            EventsLogrank, EventsMannKendall]
+            EventsLogrank, EventsMannKendall, EventsDurbinWatson]

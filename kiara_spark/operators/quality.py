@@ -3746,6 +3746,187 @@ def friedman_test(
         F.round(pval, 6).alias("p_value"))
 
 
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Jarque-Bera normality test — "can I even use the parametric
+    tests?" (the gate in front of Welch/ANOVA; JB measures how far
+    skewness and excess kurtosis sit from a Gaussian's 0/0):
+
+        JB = n/6 · (S² + K²/4),  S = m₃/m₂^{3/2},  K = m₄/m₂² − 3
+
+    Scale design: ONE aggregate of EXACT raw decimal moments — x, x²,
+    x³, x⁴ of the 2-dp value as chained exact decimal products (scales
+    2/4/6/8, never a double ROUND) — split-cast to doubles; central
+    moments, S, K, JB are terminal fixed-order expressions; df=2 →
+    exact p = e^{−JB/2}.  Returns one row:
+    (n, skewness, ex_kurtosis, jb_stat, p_value)."""
+    x = F.col(value_col).cast("double")
+    x1 = F.round(x, 2).cast("decimal(18,2)")
+    x2 = (x1 * x1).cast("decimal(18,4)")         # exact (<= 14 int digits)
+    x3 = (x2 * x1).cast("decimal(38,6)")
+    x4 = (x2 * x2).cast("decimal(38,8)")
+    base = df.filter(x.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(x1).cast("decimal(38,2)").alias("_s1"),
+        F.sum(x2).cast("decimal(38,4)").alias("_s2"),
+        F.sum(x3).alias("_s3"), F.sum(x4).alias("_s4"))
+    nd = F.col("_n").cast("double")
+    s1, s2 = _split_cast(F.col("_s1")), _split_cast(F.col("_s2"))
+    s3, s4 = _split_cast(F.col("_s3")), _split_cast(F.col("_s4"))
+    mu = s1 / nd
+    m2 = s2 / nd - mu * mu
+    m3 = s3 / nd - F.lit(3.0) * mu * (s2 / nd) + F.lit(2.0) * mu * mu * mu
+    m4 = (s4 / nd - F.lit(4.0) * mu * (s3 / nd)
+          + F.lit(6.0) * mu * mu * (s2 / nd)
+          - F.lit(3.0) * mu * mu * mu * mu)
+    skew = F.when(m2 > 0, m3 / F.sqrt(m2) / m2)
+    exk = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    jb = nd / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.round(F.when(jb.isNotNull(),
+                       F.least(F.exp(-jb / 2), F.lit(1.0))), 6)
+        .alias("p_value"))
+
+
+def cochrans_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    flag_col,
+) -> DataFrame:
+    """Cochran's Q — the blocked k-treatment test for BINARY outcomes
+    (did k classifiers/variants succeed on the same items at different
+    rates?  the binary Friedman / k-treatment McNemar):
+
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+
+    with C_j = per-treatment successes, R_i = per-block successes,
+    T = total.  Scale design: complete blocks only (the Friedman
+    contract); every sufficient statistic is an EXACT integer
+    (decimal(38,0) sums of counts and squares), so Q is exact up to one
+    terminal division of split-cast integers; df = k−1, even df →
+    closed-form p.  Returns one row: (n_blocks, k, q_stat, dof,
+    p_value)."""
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    base = (df.filter(F.col(block_col).isNotNull()
+                      & F.col(treatment_col).isNotNull())
+            .select(F.col(block_col).alias("_b"),
+                    F.col(treatment_col).alias("_t"),
+                    F.when(flag, 1).otherwise(0).alias("_f")))
+    kk = base.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
+    cnt = base.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cb"),
+        F.countDistinct("_t").cast("bigint").alias("_tb"))
+    complete = (cnt.crossJoin(F.broadcast(kk))
+                .filter((F.col("_cb") == F.col("_k"))
+                        & (F.col("_tb") == F.col("_k")))
+                .select("_b"))
+    rows = base.join(complete, "_b")
+    per_t = rows.groupBy("_t").agg(
+        F.sum("_f").cast("decimal(38,0)").alias("_cj"))
+    per_b = rows.groupBy("_b").agg(
+        F.sum("_f").cast("decimal(38,0)").alias("_ri"))
+    ct = per_t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_cj").cast("decimal(38,0)").alias("_tt"),
+        F.sum(F.col("_cj") * F.col("_cj")).cast("decimal(38,0)")
+        .alias("_sc2"))
+    rt = per_b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_ri") * F.col("_ri")).cast("decimal(38,0)")
+        .alias("_sr2"))
+    j = ct.crossJoin(F.broadcast(rt))
+    kd = F.col("k").cast("decimal(38,0)")
+    num = (kd * F.col("_sc2") - F.col("_tt") * F.col("_tt")) \
+        .cast("decimal(38,0)")
+    den = (kd * F.col("_tt") - F.col("_sr2")).cast("decimal(38,0)")
+    q = F.when(den > 0,
+               F.round((F.col("k") - 1).cast("double")
+                       * _split_cast(num) / _split_cast(den), 9))
+    staged = j.select("n_blocks", "k", q.alias("_chi"))
+    halves = F.expr(
+        "CASE WHEN (k - 1) < 4 THEN 1.0d ELSE "
+        "aggregate(sequence(1, int((k - 1)/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
+    dof = F.col("k") - 1
+    pval = F.when(F.col("_chi").isNotNull() & (dof % 2 == 0),
+                  F.when(dof == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    return staged.select(
+        "n_blocks", "k",
+        F.round(F.col("_chi"), 6).alias("q_stat"),
+        dof.cast("bigint").alias("dof"),
+        F.round(pval, 6).alias("p_value"))
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test — the parametric variance-homogeneity companion
+    to :func:`levene_bf` (sharper under normality, fragile otherwise —
+    run :func:`jarque_bera` first):
+
+        χ² = [(N−k)·ln S²_p − Σ(nᵢ−1)·ln S²ᵢ] / C,
+        C  = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+
+    Scale design: the :func:`_group_sums` exact decimal sufficient
+    statistics give every S²ᵢ as a fixed-order double; the three k-row
+    reductions (Σ(nᵢ−1)S²ᵢ, Σ(nᵢ−1)ln S²ᵢ, Σ1/(nᵢ−1)) fold in
+    deterministic key order (:func:`_ordered_fold`).  Returns one row:
+    (k, n, chi2, dof, p_value)."""
+    g = _group_sums(df, group_col, value_col)
+    nd = F.col("_n").cast("double")
+    sd, qd = _split_cast(F.col("_s")), _split_cast(F.col("_q"))
+    ss = qd - sd * sd / nd                      # (n_i - 1) * S_i^2
+    var_i = ss / (nd - F.lit(1.0))
+    a1, f1 = _ordered_fold("_g", ss)
+    a2, f2 = _ordered_fold("_g", (nd - F.lit(1.0)) * F.log(var_i))
+    a3, f3 = _ordered_fold("_g", F.lit(1.0) / (nd - F.lit(1.0)))
+    agg = g.filter(F.col("_n") > 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_n").cast("bigint").alias("n"),
+        a1.alias("_a1"), a2.alias("_a2"), a3.alias("_a3"))
+    ntot, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    nk = ntot - kd
+    sp2 = f1("_a1") / nk
+    chi_u = nk * F.log(sp2) - f2("_a2")
+    cfac = (F.lit(1.0)
+            + (f3("_a3") - F.lit(1.0) / nk)
+            / (F.lit(3.0) * (kd - F.lit(1.0))))
+    chi = F.round(F.when((F.col("k") > 1) & (nk > 0), chi_u / cfac), 9)
+    staged = agg.select("k", "n", chi.alias("_chi"))
+    halves = F.expr(
+        "CASE WHEN (k - 1) < 4 THEN 1.0d ELSE "
+        "aggregate(sequence(1, int((k - 1)/2) - 1), "
+        "named_struct('s', 1.0d, 't', 1.0d), "
+        "(acc, i) -> named_struct("
+        "'s', acc.s + acc.t * (_chi/2.0d) / cast(i as double), "
+        "'t', acc.t * (_chi/2.0d) / cast(i as double)), acc -> acc.s) END")
+    dof = F.col("k") - 1
+    pval = F.when(F.col("_chi").isNotNull() & (dof % 2 == 0),
+                  F.when(dof == 0, F.lit(1.0))
+                  .otherwise(F.least(F.exp(-F.col("_chi") / 2) * halves,
+                                     F.lit(1.0))))
+    return staged.select(
+        "k", "n",
+        F.round(F.col("_chi"), 6).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(pval, 6).alias("p_value"))
+
+
 def two_proportion_z(
     df: DataFrame,
     group_col: str,
@@ -4548,6 +4729,38 @@ TableYuenTtest = _simple_module(
         "comparison (exact grid trimming + winsorized variances).",
 )
 
+TableJarqueBera = _simple_module(
+    "table.stats.jarque_bera",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": jarque_bera(
+        im["table"].data, self.config["value_column"])},
+    doc="Jarque-Bera normality test from exact decimal raw moments "
+        "(skewness + excess kurtosis, exact df=2 p).",
+)
+
+TableCochransQ = _simple_module(
+    "table.stats.cochrans_q",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cochrans_q(
+        im["table"].data, self.config["block_column"],
+        self.config["treatment_column"], self.config["flag_column"])},
+    doc="Cochran's Q: blocked k-treatment binary-outcome test "
+        "(exact-integer sufficient statistics).",
+)
+
+TableBartlett = _simple_module(
+    "table.stats.bartlett",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": bartlett_test(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"])},
+    doc="Bartlett's parametric variance-homogeneity test "
+        "(key-ordered ln-variance folds).",
+)
+
 TableFriedman = _simple_module(
     "table.stats.friedman",
     {"table": TABLE},
@@ -4661,7 +4874,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
             TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
-            TableWilcoxonSignedRank, TableFriedman]
+            TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
+            TableCochransQ, TableBartlett]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -4681,6 +4895,12 @@ OPERATIONS = [
               doc="Wilcoxon signed-rank paired test"),
     Operation("table.stats.friedman", "table.stats.friedman",
               doc="Friedman blocked k-treatment rank test"),
+    Operation("table.stats.jarque_bera", "table.stats.jarque_bera",
+              doc="Jarque-Bera normality test"),
+    Operation("table.stats.cochrans_q", "table.stats.cochrans_q",
+              doc="Cochran's Q blocked binary-outcome test"),
+    Operation("table.stats.bartlett", "table.stats.bartlett",
+              doc="Bartlett's variance-homogeneity test"),
     Operation("table.stats.concordance_ccc",
               "table.stats.concordance_ccc",
               doc="Lin's concordance correlation coefficient"),

@@ -1318,3 +1318,137 @@ def test_friedman_within_block_ties_midranked(spark):
     chi_u = (12.0 / 24.0) * (4 + 20.25 + 30.25) - 24
     corr = 1 - (2 ** 3 - 2) / (2 * 3 * 8)
     assert r.chi2_f == pytest.approx(chi_u / corr, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera / Cochran's Q / Bartlett / Durbin-Watson
+# ---------------------------------------------------------------------------
+
+def test_jarque_bera_symmetric_flat_distribution(spark):
+    """A symmetric distribution has skew ~ 0; a uniform one has excess
+    kurtosis ~ -1.2 — JB flags it as non-normal."""
+    from kiara_spark.operators.quality import jarque_bera
+
+    rows = [(float(v),) for v in range(1, 1001)]
+    df = spark.createDataFrame(rows, "v double")
+    r = jarque_bera(df, "v").collect()[0]
+    assert r.n == 1000
+    assert r.skewness == pytest.approx(0.0, abs=1e-6)
+    assert r.ex_kurtosis == pytest.approx(-1.2, abs=0.01)
+    assert r.jb_stat > 10 and r.p_value < 0.01
+
+
+def test_jarque_bera_matches_hand_moments(spark):
+    from kiara_spark.operators.quality import jarque_bera
+
+    vals = [1.25, 2.5, 2.5, 3.0, 7.75, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = jarque_bera(df, "v").collect()[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    skew, exk = m3 / m2 ** 1.5, m4 / m2 ** 2 - 3
+    jb = n / 6.0 * (skew ** 2 + exk ** 2 / 4)
+    assert r.skewness == pytest.approx(skew, abs=1e-5)
+    assert r.ex_kurtosis == pytest.approx(exk, abs=1e-5)
+    assert r.jb_stat == pytest.approx(jb, abs=1e-4)
+
+
+def test_cochrans_q_textbook(spark):
+    """3 treatments x 4 blocks of binary outcomes, hand Q."""
+    from kiara_spark.operators.quality import cochrans_q
+    from pyspark.sql import functions as F
+
+    data = [  # (block, [t1, t2, t3])
+        (1, [1, 1, 0]), (2, [1, 0, 0]), (3, [1, 1, 1]), (4, [1, 0, 0]),
+    ]
+    rows = [(b, f"t{j}", f) for b, fs in data for j, f in enumerate(fs)]
+    df = spark.createDataFrame(rows, "b int, t string, f int")
+    r = cochrans_q(df, "b", "t", F.col("f") == 1).collect()[0]
+    cj = [4, 2, 1]
+    ri = [2, 1, 3, 1]
+    k, tt = 3, sum(cj)
+    q = (k - 1) * (k * sum(c * c for c in cj) - tt * tt) \
+        / (k * tt - sum(x * x for x in ri))
+    assert (r.n_blocks, r.k, r.dof) == (4, 3, 2)
+    assert r.q_stat == pytest.approx(q, abs=1e-6)
+    assert r.p_value == pytest.approx(min(math.exp(-q / 2), 1.0),
+                                      abs=1e-5)
+
+
+def test_cochrans_q_identical_treatments_null_or_zero(spark):
+    """All treatments identical per block: denominator k*T - sum(R^2)
+    is 0 -> Q NULL by contract."""
+    from kiara_spark.operators.quality import cochrans_q
+    from pyspark.sql import functions as F
+
+    rows = [(b, t, 1) for b in (1, 2) for t in ("x", "y", "z")]
+    df = spark.createDataFrame(rows, "b int, t string, f int")
+    r = cochrans_q(df, "b", "t", F.col("f") == 1).collect()[0]
+    assert r.q_stat is None and r.p_value is None
+
+
+def test_bartlett_equal_variances_small_chi(spark):
+    from kiara_spark.operators.quality import bartlett_test
+
+    base = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in base] + [("b", v + 50) for v in base] \
+        + [("c", v + 100) for v in base]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    assert (r.k, r.n, r.dof) == (3, 18, 2)
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.p_value == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bartlett_matches_hand_formula(spark):
+    from kiara_spark.operators.quality import bartlett_test
+
+    groups = {"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 20.0, 30.0, 40.0],
+              "c": [1.0, 1.5, 2.0, 2.5, 3.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = bartlett_test(df, "g", "v").collect()[0]
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+
+    def var(s):
+        m = sum(s) / len(s)
+        return sum((x - m) ** 2 for x in s) / (len(s) - 1)
+
+    sp2 = sum((len(v) - 1) * var(v) for v in groups.values()) / (n - k)
+    chi_u = (n - k) * math.log(sp2) \
+        - sum((len(v) - 1) * math.log(var(v)) for v in groups.values())
+    c = 1 + (sum(1 / (len(v) - 1) for v in groups.values())
+             - 1 / (n - k)) / (3 * (k - 1))
+    assert r.chi2 == pytest.approx(chi_u / c, abs=1e-4)
+
+
+def test_durbin_watson_alternating_vs_trending(spark):
+    """Alternating residuals give DW ~ 4 (negative autocorrelation);
+    a pure linear trend has ~0 residuals."""
+    import datetime
+    from kiara_spark.operators.events import durbin_watson
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [(d, base + datetime.timedelta(days=d), 1, "click",
+             10.0 + (1.0 if d % 2 == 0 else -1.0))
+            for d in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    r = durbin_watson(df, "ts", "value").collect()[0]
+    assert r.n_buckets == 20
+    assert r.dw > 3.4  # alternating -> near 4
+    assert r.rho_approx < -0.7
+
+    rows2 = [(d, base + datetime.timedelta(days=d), 1, "click",
+              5.0 + 2.0 * d) for d in range(20)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double")
+    r2 = durbin_watson(df2, "ts", "value").collect()[0]
+    assert r2.slope == pytest.approx(2.0, abs=1e-6)
+    assert r2.dw is None  # zero residuals -> se2 = 0 -> NULL contract

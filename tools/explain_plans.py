@@ -108,6 +108,8 @@ INTENTIONAL_CROSS = {
                                      # changepoint class) + 1-row totals broadcasts
     "stats_wilcoxon_signed_rank_docs",  # 1-row totals broadcast onto the |d| grid
     "stats_friedman_orders",         # 1-row k/n/tie totals broadcasts
+    "stats_cochrans_q_events",       # 1-row per-treatment/per-block totals
+    "events_durbin_watson",          # 1-row OLS-params broadcast onto the series
 }
 
 
