@@ -1452,3 +1452,28 @@ def test_durbin_watson_alternating_vs_trending(spark):
     r2 = durbin_watson(df2, "ts", "value").collect()[0]
     assert r2.slope == pytest.approx(2.0, abs=1e-6)
     assert r2.dw is None  # zero residuals -> se2 = 0 -> NULL contract
+
+
+def test_distribution_diagnostics_example_pipeline(ctx):
+    """examples/distribution_diagnostics.json: one table fanned into the
+    test-selection battery (JB gate, Bartlett + Brown-Forsythe variance
+    checks, ANOVA + Kruskal-Wallis readouts) through the pipeline
+    surface."""
+    import os
+
+    os.chdir("/root/repo")
+    out = ctx.run_pipeline("examples/distribution_diagnostics.json", {
+        "path": "/root/testdata/sf0.001/orders.parquet",
+    })
+    jb = out["normality_gate"].data.collect()[0]
+    ba = out["bartlett"].data.collect()[0]
+    bf = out["brown_forsythe"].data.collect()[0]
+    an = out["anova"].data.collect()[0]
+    kw = out["kruskal_wallis"].data.collect()[0]
+    assert jb.n == an.n == kw.n > 0
+    assert ba.k == bf.k == an.k == kw.k == 3
+    assert jb.jb_stat is not None
+    for r in (ba, kw):
+        assert r.p_value is None or 0.0 <= r.p_value <= 1.0
+    assert bf.f_stat is not None and an.f_stat is not None
+    assert an.eta_sq is not None
