@@ -82,6 +82,12 @@ class KiaraContext:
                 raw = schema.default
             elif field_name in inputs:
                 raw = inputs[field_name]
+                # an explicit None for an OPTIONAL field means "not set"
+                # (reference SpecialValue semantics, utils/rendering.py:38-40
+                # — rendered scripts bind None for unset optional inputs);
+                # required fields keep the missing-required error path
+                if raw is None and schema.optional:
+                    continue
             elif schema.default is not None:
                 raw = schema.default
             else:

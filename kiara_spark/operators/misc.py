@@ -735,6 +735,11 @@ OPERATIONS = [
               {"source_type": "pipeline", "target_type": "markdown"},
               doc="Render a pipeline (file/config) as a markdown document.",
               operation_type="render_value"),
+    Operation("render.pipeline.as.python_script", "render.item",
+              {"source_type": "pipeline", "target_type": "python_script"},
+              doc="Render a pipeline (file/config) as a standalone runnable "
+                  "python script (reference pipeline_to_python_script).",
+              operation_type="render_value"),
     Operation("render.value.as.html", "render.item",
               {"source_type": "value", "target_type": "html"},
               doc="Render a table value as one html page "

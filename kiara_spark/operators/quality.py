@@ -2912,6 +2912,7 @@ def welch_ttest(
     value_col: str,
     group_a: str,
     group_b: str,
+    value_scale: int = 2,
 ) -> DataFrame:
     """Welch's unequal-variance two-sample t-test — the parametric A/B
     companion to :func:`bootstrap_ab_diff` (closed form, no resamples).
@@ -2925,36 +2926,54 @@ def welch_ttest(
     a straight decimal→double cast is implementation-defined (engines
     drift ulps — the regression-stump lesson); :func:`_split_cast`
     converts via exactly-castable integer + fraction parts instead, so
-    both engines see bit-identical doubles.  Returns one row:
+    both engines see bit-identical doubles.
+
+    Quantization + magnitude contract (r8 ADVICE): values are rounded
+    to ``value_scale`` decimal places (default 2 — the currency grid)
+    before summing; finer-scale metrics (sub-cent rates, second-level
+    latencies) must pass a larger ``value_scale``.  The decimal(18,s)
+    sufficient statistics hold |x| < 10^(18−s) (~1e16 at the default);
+    beyond that the cast overflows to NULL under non-ANSI Spark and the
+    row silently leaves the sums — keep magnitudes inside the envelope
+    or lower ``value_scale``.  Degenerate contract: a single-row group
+    (n=1) has no variance — var/t/df are NULL, not ±Inf; identical
+    constant groups (zero pooled SE) make t/df NULL.  Returns one row:
     (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df)."""
+    s = value_scale
     x = F.col(value_col).cast("double")
-    xd = F.round(x, 2).cast("decimal(18,2)")
-    xsq = (xd * xd).cast("decimal(38,4)")  # exact decimal square
+    xd = F.round(x, s).cast(f"decimal(18,{s})")
+    xsq = (xd * xd).cast(f"decimal(38,{2 * s})")  # exact decimal square
     in_a = F.col(group_col) == group_a
     in_b = F.col(group_col) == group_b
     base = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
     agg = base.agg(
         F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
         F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
-        F.sum(F.when(in_a, xd).otherwise(F.lit(0).cast("decimal(18,2)")))
-        .cast("decimal(38,2)").alias("_sa"),
-        F.sum(F.when(in_b, xd).otherwise(F.lit(0).cast("decimal(18,2)")))
-        .cast("decimal(38,2)").alias("_sb"),
+        F.sum(F.when(in_a, xd).otherwise(F.lit(0).cast(f"decimal(18,{s})")))
+        .cast(f"decimal(38,{s})").alias("_sa"),
+        F.sum(F.when(in_b, xd).otherwise(F.lit(0).cast(f"decimal(18,{s})")))
+        .cast(f"decimal(38,{s})").alias("_sb"),
         F.sum(F.when(in_a, xsq)
-              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qa"),
+              .otherwise(F.lit(0).cast(f"decimal(38,{2 * s})"))).alias("_qa"),
         F.sum(F.when(in_b, xsq)
-              .otherwise(F.lit(0).cast("decimal(38,4)"))).alias("_qb"))
+              .otherwise(F.lit(0).cast(f"decimal(38,{2 * s})"))).alias("_qb"))
     nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
     sa, sb = _split_cast(F.col("_sa")), _split_cast(F.col("_sb"))
     qa, qb = _split_cast(F.col("_qa")), _split_cast(F.col("_qb"))
-    ma, mb = sa / nad, sb / nbd
-    va = (qa - sa * sa / nad) / (nad - F.lit(1.0))
-    vb = (qb - sb * sb / nbd) / (nbd - F.lit(1.0))
+    # empty group -> mean undefined -> NULL (ANSI: bare /0 would throw)
+    ma = F.when(F.col("_na") > 0, sa / nad)
+    mb = F.when(F.col("_nb") > 0, sb / nbd)
+    # n=1 group -> variance undefined -> NULL (propagates to t/df)
+    va = F.when(F.col("_na") > 1,
+                (qa - sa * sa / nad) / (nad - F.lit(1.0)))
+    vb = F.when(F.col("_nb") > 1,
+                (qb - sb * sb / nbd) / (nbd - F.lit(1.0)))
     sea, seb = va / nad, vb / nbd
-    tstat = (ma - mb) / F.sqrt(sea + seb)
-    dfw = ((sea + seb) * (sea + seb)
-           / (sea * sea / (nad - F.lit(1.0))
-              + seb * seb / (nbd - F.lit(1.0))))
+    # zero pooled SE (two identical constant groups) -> t/df NULL, not Inf
+    tstat = F.when(sea + seb > 0, (ma - mb) / F.sqrt(sea + seb))
+    dfw_den = (sea * sea / (nad - F.lit(1.0))
+               + seb * seb / (nbd - F.lit(1.0)))
+    dfw = F.when(dfw_den > 0, (sea + seb) * (sea + seb) / dfw_den)
     return agg.select(
         F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
         F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
@@ -3163,7 +3182,13 @@ def _group_sums(df: DataFrame, group_col: str, value_col: str):
     The square is an EXACT DECIMAL PRODUCT (xd², (18,2)×(18,2) →
     (37,4)), never ROUND(x², 4) of a double: rounding a double to 4 dp
     at ≥1e9 magnitudes is engine-divergent (the scaled-multiply round
-    path loses the grid — caught by the sf0.001 ANOVA hash)."""
+    path loses the grid — caught by the sf0.001 ANOVA hash).
+
+    Magnitude envelope (r8 ADVICE): decimal(18,2) holds |x| < 1e16;
+    beyond it the cast overflows to NULL under non-ANSI Spark and rows
+    silently leave Σx/Σx² while the count keeps them — callers own
+    keeping values inside the envelope (the :func:`welch_ttest`
+    contract)."""
     x = F.col(value_col).cast("double")
     xd = F.round(x, 2).cast("decimal(18,2)")
     return (df.filter(F.col(group_col).isNotNull()
@@ -3251,7 +3276,11 @@ def cohens_kappa(
     margin cross-products are EXACT integers, and κ reduces to a single
     exact-integer ratio (p_o·n² − p_e·n² over n² − p_e·n²) — κ is exact
     to the terminal division, no float sum ever crosses partitions.
-    Returns one row: (n, po, pe, kappa)."""
+    Degenerate contract (r8 ADVICE): perfect chance agreement
+    (p_e = 1, e.g. both raters always emit one identical label) makes
+    κ's denominator n² − p_e·n² = 0 — κ is NULL by contract, like the
+    sibling tests' guarded denominators; empty input yields NULL
+    po/pe/kappa.  Returns one row: (n, po, pe, kappa)."""
     cells = (df.filter(F.col(rater_a_col).isNotNull()
                        & F.col(rater_b_col).isNotNull())
              .groupBy(F.col(rater_a_col).alias("_a"),
@@ -3276,10 +3305,13 @@ def cohens_kappa(
     # and denominator, two split-casts, one terminal division
     return j.select(
         n.cast("bigint").alias("n"),
-        F.round(diag.cast("double") / n.cast("double"), 6).alias("po"),
-        F.round(_split_cast(pen) / _split_cast(n * n), 6).alias("pe"),
-        F.round(_split_cast(diag * n - pen)
-                / _split_cast(n * n - pen), 6).alias("kappa"))
+        F.round(F.when(n > 0, diag.cast("double") / n.cast("double")), 6)
+        .alias("po"),
+        F.round(F.when(n > 0, _split_cast(pen) / _split_cast(n * n)), 6)
+        .alias("pe"),
+        F.round(F.when(n * n - pen > 0,
+                       _split_cast(diag * n - pen)
+                       / _split_cast(n * n - pen)), 6).alias("kappa"))
 
 
 def levene_bf(
@@ -3599,6 +3631,7 @@ def wilcoxon_signed_rank(
     df: DataFrame,
     x_col,
     y_col,
+    value_scale: int = 2,
 ) -> DataFrame:
     """Wilcoxon signed-rank test for PAIRED measurements — "does x
     systematically exceed y on the same rows?" (the rank-robust twin of
@@ -3612,11 +3645,20 @@ def wilcoxon_signed_rank(
     expectation and the tie term in EXACT quadrupled-integer algebra
     (num×4 = 2·W⁺ₓ₂ − n(n+1), var×48 = 2n(n+1)(2n+1) − Σ(t³−t)); only
     the terminal z (÷4√(S₄₈/48)) and the A&S-erfc p are floating point.
+
+    Quantization contract (r8 ADVICE): x and y are rounded to
+    ``value_scale`` decimal places (default 2) BEFORE differencing, so
+    paired differences below 0.5·10^−value_scale collapse to zero and
+    are dropped as ties (they leave n_nonzero and W⁺).  Fine-scale
+    metrics — rates, latencies in seconds — must pass a larger
+    ``value_scale`` (values must stay inside the decimal(18,s) envelope
+    |x| < 10^(18−s), the :func:`welch_ttest` contract).
     Returns one row: (n_nonzero, w_plus, w_minus, z, p_value)."""
+    s = value_scale
     xs = F.col(x_col) if isinstance(x_col, str) else x_col
     ys = F.col(y_col) if isinstance(y_col, str) else y_col
-    d = (F.round(xs.cast("double"), 2).cast("decimal(18,2)")
-         - F.round(ys.cast("double"), 2).cast("decimal(18,2)"))
+    d = (F.round(xs.cast("double"), s).cast(f"decimal(18,{s})")
+         - F.round(ys.cast("double"), s).cast(f"decimal(18,{s})"))
     base = (df.filter(xs.isNotNull() & ys.isNotNull())
             .select(d.alias("_d"))
             .filter(F.col("_d") != 0)
@@ -3644,11 +3686,15 @@ def wilcoxon_signed_rank(
                F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
                                F.lit(1.0)), 9))
     wtotx2 = n * (n + 1)  # 2*(W+ + W-) = n(n+1)
+    # all-tied input (every pair collapses to d=0 at value_scale) leaves
+    # an EMPTY grid: sums are NULL -> report n_nonzero=0, W=0, z/p NULL
     return agg.select(
-        n.cast("bigint").alias("n_nonzero"),
-        (_split_cast(F.col("_wpx2")) / F.lit(2.0)).alias("w_plus"),
-        ((_split_cast(wtotx2.cast("decimal(38,0)"))
-          - _split_cast(F.col("_wpx2"))) / F.lit(2.0)).alias("w_minus"),
+        F.coalesce(n.cast("bigint"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(_split_cast(F.col("_wpx2")) / F.lit(2.0),
+                   F.lit(0.0)).alias("w_plus"),
+        F.coalesce((_split_cast(wtotx2.cast("decimal(38,0)"))
+                    - _split_cast(F.col("_wpx2"))) / F.lit(2.0),
+                   F.lit(0.0)).alias("w_minus"),
         F.round(F.when(s48 > 0, z), 6).alias("z"),
         F.round(p, 6).alias("p_value"))
 
@@ -3760,8 +3806,13 @@ def jarque_bera(
     x³, x⁴ of the 2-dp value as chained exact decimal products (scales
     2/4/6/8, never a double ROUND) — split-cast to doubles; central
     moments, S, K, JB are terminal fixed-order expressions; df=2 →
-    exact p = e^{−JB/2}.  Returns one row:
-    (n, skewness, ex_kurtosis, jb_stat, p_value)."""
+    exact p = e^{−JB/2}.  Magnitude envelope (r8 ADVICE): the chained
+    decimal powers bound |x| < 10^7 for the x⁴ term at scale 8
+    (decimal(38,8) holds 30 integer digits / four 7-digit factors) and
+    |x| < 10^16 for x itself — currency/metric magnitudes fit, but
+    values past the envelope overflow-to-NULL under non-ANSI Spark and
+    silently leave the moment sums (the :func:`welch_ttest` contract).
+    Returns one row: (n, skewness, ex_kurtosis, jb_stat, p_value)."""
     x = F.col(value_col).cast("double")
     x1 = F.round(x, 2).cast("decimal(18,2)")
     x2 = (x1 * x1).cast("decimal(18,4)")         # exact (<= 14 int digits)
@@ -4059,8 +4110,10 @@ def concordance_ccc(
     vx = sxx / nd - mx * mx
     vy = syy / nd - my * my
     cov = sxy / nd - mx * my
-    ccc = (F.lit(2.0) * cov
-           / (vx + vy + (mx - my) * (mx - my)))
+    # degenerate contract (r8 ADVICE): two constant, equal columns make
+    # the denominator 0 -> CCC is NULL by contract, not 0/0 NaN
+    ccc_den = vx + vy + (mx - my) * (mx - my)
+    ccc = F.when(ccc_den > 0, F.lit(2.0) * cov / ccc_den)
     r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
     return agg.select(
         F.col("_n").alias("n"),

@@ -115,6 +115,7 @@ class _PipelineRendererBase(Renderer):
                 config, self._context.module_registry)
         cfg = structure.config
         return {
+            "_structure": structure,
             "name": cfg.pipeline_name,
             "doc": cfg.doc,
             "stages": structure.stages,
@@ -145,6 +146,97 @@ class PipelineMarkdownRenderer(_PipelineRendererBase):
     _renderer_name = "pipeline_markdown"
     target_type = "markdown"
     template = "pipeline.md.j2"
+
+
+class PipelinePythonScriptRenderer(_PipelineRendererBase):
+    """Renders a pipeline into a standalone, runnable python script
+    (reference ``PipelinePythonScriptRenderer``,
+    ``included_renderers/pipeline.py:235-292`` + template
+    ``pipeline/python_script.py.j2`` and input resolution in
+    ``utils/rendering.py:create_pipeline_render_inputs``): one editable
+    inputs block at the top, one ``api.run_job`` call per step in stage
+    order, pipeline outputs printed at the end.
+
+    Pass ``inputs={...}`` in the render config to pre-fill pipeline
+    inputs (validated against the pipeline's input aliases — unknown
+    names raise, like the reference's ``KiaraException``); inputs left
+    unset fall back to the module field's default, then to the literal
+    ``<TODO_SET_INPUT>`` marker, which is intentionally not valid python
+    so the user must edit it before running."""
+
+    _renderer_name = "pipeline_python_script"
+    target_type = "python_script"
+    template = "pipeline.py.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        model = super().transform_source(source, render_config)
+        if model is None:
+            return None
+        structure = model.pop("_structure")
+
+        user_inputs = dict(render_config.get("inputs") or {})
+        aliases = [pi.alias for pi in structure.pipeline_inputs]
+        unknown = sorted(set(user_inputs) - set(aliases))
+        if unknown:
+            raise ValueError(
+                f"invalid pipeline inputs: {', '.join(unknown)}; "
+                f"valid inputs: {', '.join(aliases)}")
+
+        inputs = []
+        for pi in structure.pipeline_inputs:
+            schema = structure.module_for(pi.step_id).inputs_schema[
+                pi.field_name]
+            if pi.alias in user_inputs:
+                literal = repr(user_inputs[pi.alias])
+            elif schema.default is not None:
+                literal = repr(schema.default)
+            elif schema.optional:
+                literal = "None"
+            else:
+                # intentionally invalid python — the reference emits the
+                # same bare marker so an un-edited script fails loudly
+                literal = "<TODO_SET_INPUT>"
+            inputs.append({"alias": pi.alias, "step_id": pi.step_id,
+                           "field_name": pi.field_name,
+                           "doc": schema.doc, "literal": literal})
+
+        alias_of = {(pi.step_id, pi.field_name): pi.alias
+                    for pi in structure.pipeline_inputs}
+        stages = []
+        for stage in structure.stages:
+            stage_steps = []
+            for step_id in stage:
+                step = structure.step(step_id)
+                bindings = []
+                for field_name in structure.module_for(step_id).inputs_schema:
+                    if field_name in step.input_links:
+                        refs = step.input_links[field_name]
+                        if len(refs) == 1:
+                            expr = (f"results_{refs[0].step_id}"
+                                    f"[{refs[0].value_name!r}]")
+                        else:
+                            # list-valued links bind the producers' DATA
+                            # list, mirroring runner.py:195
+                            expr = ("[" + ", ".join(
+                                f"results_{r.step_id}[{r.value_name!r}].data"
+                                for r in refs) + "]")
+                    elif (step_id, field_name) in alias_of:
+                        expr = f"pipeline_input_{alias_of[step_id, field_name]}"
+                    else:
+                        continue  # bound by module_config / constant
+                    bindings.append({"field": field_name, "expr": expr})
+                stage_steps.append({
+                    "step_id": step_id,
+                    "module_type": step.module_type,
+                    "module_config": (repr(dict(step.module_config))
+                                      if step.module_config else None),
+                    "bindings": bindings,
+                })
+            stages.append(stage_steps)
+
+        model["inputs"] = inputs
+        model["stages"] = stages
+        return model
 
 
 class ValueHtmlRenderer(Renderer):
@@ -246,7 +338,8 @@ class JobMarkdownRenderer(Renderer):
 
 
 INCLUDED_RENDERERS: list[type[Renderer]] = [
-    PipelineHtmlRenderer, PipelineMarkdownRenderer, ValueHtmlRenderer,
+    PipelineHtmlRenderer, PipelineMarkdownRenderer,
+    PipelinePythonScriptRenderer, ValueHtmlRenderer,
     OperationMarkdownRenderer, JobMarkdownRenderer,
 ]
 

@@ -80,6 +80,7 @@ def test_operation_markdown_has_typed_field_docs(ctx):
 def test_render_operations_are_minted(ctx):
     ops = ctx.operation_registry.operation_ids
     for op_id in ("render.pipeline.as.html", "render.pipeline.as.markdown",
+                  "render.pipeline.as.python_script",
                   "render.value.as.html", "render.operation.as.markdown"):
         assert op_id in ops
         assert ctx.operation_registry.resolve(op_id).operation_type == \
@@ -187,3 +188,59 @@ def test_cli_pipeline_list_finds_examples_dir(capsys, monkeypatch):
     assert main(["pipeline", "list"]) == 0
     out = capsys.readouterr().out
     assert "llm_data_prep" in out
+
+
+def test_pipeline_python_script_matches_golden(ctx):
+    """Golden-file render of the python-script target (reference
+    PipelinePythonScriptRenderer + pipeline/python_script.py.j2)."""
+    got = ctx.render_registry.render(
+        "pipeline", "python_script", LOGIC_2,
+        inputs={"a": True, "b": True, "c": True})
+    want = (GOLDEN / "logic_pipeline.py").read_text()
+    assert got.strip() == want.strip()
+
+
+def test_pipeline_python_script_marker_defaults_and_validation(ctx):
+    """Unset required inputs render the (intentionally non-python)
+    <TODO_SET_INPUT> marker; module_config defaults render as literals;
+    module_config renders an operation_config run_job call; unknown
+    render-config input names raise (reference
+    utils/rendering.py:create_pipeline_render_inputs)."""
+    s = ctx.render_registry.render("pipeline", "python_script", LOGIC_2)
+    assert "pipeline_input_a = <TODO_SET_INPUT>" in s
+    with pytest.raises(ValueError, match="invalid pipeline inputs: zz"):
+        ctx.render_registry.render(
+            "pipeline", "python_script", LOGIC_2, inputs={"zz": 1})
+    cfg_pipe = {
+        "pipeline_name": "cfg_demo",
+        "steps": [{"module_type": "logic.and", "step_id": "s",
+                   "module_config": {"defaults": {"b": True}}}],
+    }
+    s2 = ctx.render_registry.render("pipeline", "python_script", cfg_pipe,
+                                    inputs={"s__a": False})
+    assert "pipeline_input_s__b = True" in s2       # default -> literal
+    assert "config_s = {'defaults': {'b': True}}" in s2
+    assert "operation_config=config_s" in s2
+
+
+def test_pipeline_python_script_executes_llm_data_prep(ctx, monkeypatch):
+    """The rendered script for examples/llm_data_prep.json actually RUNS:
+    exec'ing it builds a KiaraAPI, executes every step through run_job in
+    stage order, and binds pipeline_result_* values (reference workflow:
+    `kiara render ... > script.py && python script.py`)."""
+    monkeypatch.chdir("/root/repo")
+    script = ctx.render_registry.render(
+        "pipeline", "python_script", "examples/llm_data_prep.json",
+        inputs={
+            "path": "/root/testdata/sf0.001/documents.parquet",
+            "min_quality": "quality_score >= 0.3",
+            "summary_query": (
+                "select lang, count(*) as n_docs, sum(num_tokens) as "
+                "total_tokens from data group by lang"),
+        })
+    ns = {"__name__": "__main__"}
+    exec(compile(script, "rendered_llm_data_prep.py", "exec"), ns)
+    clean = ns["pipeline_result_clean_corpus"].data
+    summary = ns["pipeline_result_corpus_summary"].data
+    assert clean.count() > 0
+    assert set(summary.columns) == {"lang", "n_docs", "total_tokens"}

@@ -1477,3 +1477,58 @@ def test_distribution_diagnostics_example_pipeline(ctx):
         assert r.p_value is None or 0.0 <= r.p_value <= 1.0
     assert bf.f_stat is not None and an.f_stat is not None
     assert an.eta_sq is not None
+
+# ---------------------------------------------------------------------------
+# Degenerate-input contracts (r8 ADVICE): NULL by contract, never NaN/Inf
+# (and under ANSI Spark, never a DIVIDE_BY_ZERO throw)
+# ---------------------------------------------------------------------------
+
+def test_cohens_kappa_degenerate_single_label_null(spark):
+    """Both raters always emit the same single label: pe = 1, kappa's
+    denominator n^2 - pe*n^2 = 0 -> kappa NULL by contract (po/pe fine)."""
+    from kiara_spark.operators.quality import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 7, "a string, b string")
+    r = _one(cohens_kappa(df, "a", "b"))
+    assert r.po == 1.0 and r.pe == 1.0
+    assert r.kappa is None
+
+
+def test_welch_degenerate_n1_and_constant_groups(spark):
+    """n=1 group -> var/t/df NULL; two identical constant groups (zero
+    pooled SE) -> t/df NULL; neither throws under ANSI."""
+    from kiara_spark.operators.quality import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double")
+    r = _one(welch_ttest(df, "g", "v", "a", "b"))
+    assert r.n_a == 1 and r.mean_a == 1.0
+    assert r.var_a is None and r.t_stat is None and r.df is None
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double")
+    r = _one(welch_ttest(df, "g", "v", "a", "b"))
+    assert r.var_a == 0.0 and r.var_b == 0.0
+    assert r.t_stat is None and r.df is None
+
+
+def test_ccc_degenerate_constant_equal_columns_null(spark):
+    """Two constant, equal columns: CCC's denominator 0 -> NULL, not NaN."""
+    from kiara_spark.operators.quality import concordance_ccc
+
+    df = spark.createDataFrame([(2.0, 2.0)] * 5, "x double, y double")
+    r = _one(concordance_ccc(df, "x", "y"))
+    assert r.ccc is None and r.pearson_r is None
+
+
+def test_wilcoxon_value_scale_preserves_fine_differences(spark):
+    """Default 2-dp quantization drops sub-0.005 paired differences as
+    ties (documented contract); value_scale=4 keeps them."""
+    from kiara_spark.operators.quality import wilcoxon_signed_rank
+
+    rows = [(1.0001, 1.0), (2.0002, 2.0), (3.0003, 3.0), (4.0004, 4.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = _one(wilcoxon_signed_rank(df, "x", "y"))
+    assert r.n_nonzero == 0                      # all collapse at 2 dp
+    r4 = _one(wilcoxon_signed_rank(df, "x", "y", value_scale=4))
+    assert r4.n_nonzero == 4 and r4.w_plus == 10.0 and r4.w_minus == 0.0
