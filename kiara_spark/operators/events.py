@@ -1669,6 +1669,7 @@ def mann_kendall_trend(
     ts_col: str = "ts",
     value_col: str = None,
     bucket: str = "day",
+    max_buckets: int | None = 5000,
 ) -> DataFrame:
     """Mann-Kendall trend test + Sen's slope over the bucketed series —
     the standard nonparametric "is this metric drifting?" monitor
@@ -1681,13 +1682,23 @@ def mann_kendall_trend(
 
     Scale design: the raw log collapses to ONE bucket aggregate (counts,
     or exact 2-dp sums of ``value_col``); everything pairwise runs on
-    the BOUNDED bucket grid (days² pairs — a constant, the
-    changepoint/binseg class).  S and the tie term are exact integers;
+    the BOUNDED bucket grid.  S and the tie term are exact integers;
     z and the erfc p are terminal fixed-order doubles; Sen's slope is
-    the exact lower median picked by rank (deterministic (i,j)
-    tie-break).  Returns one row:
-    (n_buckets, s_stat, var_s, z, p_value, sen_slope)."""
-    from .quality import _erfc_as, _split_cast
+    the exact lower median of the slope multiset, picked on the
+    DISTINCT-slope grid via range-partitioned prefix counts
+    (:func:`~.quality._prefix_sums`) — no unpartitioned global-order
+    window anywhere (r8 ADVICE).
+
+    Bucket-count envelope (r8 VERDICT item 5): the pair join is
+    O(buckets²) — bounded by the CALENDAR HORIZON, not data volume
+    (10y daily ≈ 3.65k buckets → 6.6M pairs, fine; a multi-year
+    MINUTE-bucket call is millions of buckets → 10^12 pairs, a plan
+    that must not be built).  ``max_buckets`` (default 5000 ≈ 12.5M
+    pairs) counts the grid first and raises past the envelope —
+    coarsen ``bucket`` or raise ``max_buckets`` explicitly, the
+    :func:`~.dedup.ngram_jaccard_pairs` ``max_block_size`` convention.
+    Returns one row: (n_buckets, s_stat, var_s, z, p_value, sen_slope)."""
+    from .quality import _erfc_as, _prefix_sums, _split_cast
 
     if value_col:
         d2 = lambda e: F.round(e, 2).cast("decimal(38,2)")  # noqa: E731
@@ -1703,6 +1714,15 @@ def mann_kendall_trend(
                             .alias("_b"))
                  .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
         val = F.col("_n").cast("double")
+    if max_buckets is not None:
+        nb_actual = daily.count()
+        if nb_actual > max_buckets:
+            raise ValueError(
+                f"mann_kendall_trend: {nb_actual} {bucket!r} buckets exceed "
+                f"max_buckets={max_buckets}; the S statistic is O(buckets²) "
+                f"pairwise ({nb_actual * (nb_actual - 1) // 2} pairs) - use a "
+                f"coarser bucket ('day'/'week'/'month') or raise max_buckets "
+                f"explicitly")
     w = Window.orderBy("_b")
     ser = daily.select(F.row_number().over(w).cast("bigint").alias("_i"),
                        F.round(val, 9).alias("_x"))
@@ -1721,11 +1741,15 @@ def mann_kendall_trend(
                        * (2 * F.col("_t") + 5)).cast("bigint")
                  .alias("_tc"),
                  F.sum("_t").cast("bigint").alias("_nb")))
-    ws = Window.orderBy(F.col("_sl"), F.col("_i1"), F.col("_i2"))
-    med = (pairs.select(slope.alias("_sl"), "_i1", "_i2")
-           .withColumn("_rk", F.row_number().over(ws)))
-    medv = (med.crossJoin(F.broadcast(stats.select("_np")))
-            .filter(F.col("_rk") * 2 >= F.col("_np"))
+    # lower median on the DISTINCT-slope grid: min slope whose inclusive
+    # cumulative pair count reaches half - identical value to ranking
+    # every pair, but the prefix is range-partitioned instead of one
+    # serial O(pairs) window task (r8 ADVICE)
+    per_sl = (pairs.groupBy(slope.alias("_sl"))
+              .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+    cum = _prefix_sums(per_sl, "_sl", [("_c", "_cm")], inclusive=True)
+    medv = (cum.crossJoin(F.broadcast(stats.select("_np")))
+            .filter(F.col("_cm").cast("bigint") * 2 >= F.col("_np"))
             .agg(F.min("_sl").alias("_sen")))
     j = (stats.crossJoin(F.broadcast(ties))
          .crossJoin(F.broadcast(medv)))

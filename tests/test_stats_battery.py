@@ -1532,3 +1532,29 @@ def test_wilcoxon_value_scale_preserves_fine_differences(spark):
     assert r.n_nonzero == 0                      # all collapse at 2 dp
     r4 = _one(wilcoxon_signed_rank(df, "x", "y", value_scale=4))
     assert r4.n_nonzero == 4 and r4.w_plus == 10.0 and r4.w_minus == 0.0
+
+def test_mann_kendall_max_buckets_guard_trips(spark):
+    """The O(buckets²) envelope guard (r8 VERDICT item 5): a minute-bucket
+    call over a long horizon counts the grid FIRST and raises before the
+    quadratic pair join is ever built; a coarser bucket on the same data
+    passes, and an explicit max_buckets raise opts in."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kiara_spark.operators.events import mann_kendall_trend
+
+    # 6 days of minute-level points -> 8640 minute buckets (> 5000)
+    df = (spark.range(8640)
+          .select((F.lit("2024-01-01 00:00:00").cast("timestamp")
+                   + F.make_interval(mins=F.col("id").cast("int")))
+                  .alias("ts"),
+                  (F.col("id") % 7).cast("double").alias("value")))
+    with _pytest.raises(ValueError, match=r"8640 'minute' buckets exceed"):
+        mann_kendall_trend(df, "ts", "value", bucket="minute")
+    # same data, day buckets: 6 buckets, runs fine
+    r = mann_kendall_trend(df, "ts", "value", bucket="day").collect()[0]
+    assert r.n_buckets == 6
+    # explicit opt-in raises the envelope
+    r2 = mann_kendall_trend(df, "ts", "value", bucket="minute",
+                            max_buckets=10000).collect()[0]
+    assert r2.n_buckets == 8640
