@@ -2984,8 +2984,8 @@ def streaming_dedup_demo(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname, mode="complete")
-    q.awaitTermination(120)
+    run_stream_to_memory(result, qname, mode="complete", state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -3049,8 +3049,8 @@ def streaming_join_demo(spark, sf_dir):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = run_stream_to_memory(joined, qname)
-        q.awaitTermination(180)
+        run_stream_to_memory(joined, qname, state_partitions=8,
+                             await_sec=180)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
@@ -3311,8 +3311,8 @@ def streaming_sessionize_demo(spark, sf_dir):
     result = sessionize_stateful_stream(stream, key="user_id", ts_col="ts",
                                         gap_seconds=1800.0)
     qname = f"sess_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(result, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -3348,8 +3348,8 @@ def streaming_transform_with_state_demo(spark, sf_dir):
     stream = read_parquet_stream(spark, tmp)
     result = user_lifetime_stats_stream(stream)
     qname = f"tws_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(result, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -3385,8 +3385,8 @@ def streaming_demo(spark, sf_dir):
     result = streaming_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours",
                                     keys=["event_type"])
     qname = f"demo_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(result, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -3437,8 +3437,8 @@ def streaming_enrich_minhash_demo_q(spark, sf_dir):
             for j in range(rpb)]).alias(f"band_{b}")
           for b in range(BANDS)])
     qname = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(enriched, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(enriched, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -5700,8 +5700,8 @@ def streaming_late_drop_demo_q(spark, sf_dir):
     result = streaming_tumbling_agg(stream, "ts", "1 hour",
                                     watermark="2 hours", keys=["event_type"])
     qname = f"latedrop_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname)
-    q.awaitTermination(180)
+    run_stream_to_memory(result, qname, state_partitions=8,
+                         await_sec=180)
     return spark.table(qname)
 
 
@@ -6015,8 +6015,10 @@ def streaming_left_outer_join_demo(spark, sf_dir):
         F.unix_micros("click_ts").alias("click_us"),
         "pid", F.unix_micros("purchase_ts").alias("purchase_us"))
     qname = f"louter_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(out, qname)
-    q.awaitTermination(180)
+    # 8 state stores, not 32: the join state is thousands of rows, and
+    # per-batch store snapshot/commit dominates (32 -> 14.9s, 8 -> 3.8s,
+    # identical output); run_stream_to_memory awaits + restores the conf
+    run_stream_to_memory(out, qname, state_partitions=8)
     return spark.table(qname)
 
 
@@ -6478,8 +6480,8 @@ def streaming_sliding_demo_q(spark, sf_dir):
         F.unix_timestamp(F.col("window.end")).alias("window_end"),
         "event_type", "n")
     qname = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(out, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(out, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -6530,8 +6532,8 @@ def streaming_session_demo_q(spark, sf_dir):
         F.unix_timestamp(F.col("session_window.end")).alias("window_end"),
         "user_id", "n_events")
     qname = f"sess_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(out, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(out, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
@@ -7511,8 +7513,8 @@ def streaming_full_outer_join_demo(spark, sf_dir):
         F.unix_micros("click_ts").alias("click_us"),
         "pid", F.unix_micros("purchase_ts").alias("purchase_us"))
     qname = f"fouter_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(out, qname)
-    q.awaitTermination(240)
+    # sized like the left-outer demo: see its state_partitions note
+    run_stream_to_memory(out, qname, state_partitions=8, await_sec=240)
     return spark.table(qname)
 
 
@@ -7707,8 +7709,8 @@ def streaming_chained_stateful_demo(spark, sf_dir):
         F.unix_timestamp("window.end").cast("bigint").alias("window_end"),
         "event_type", "n")
     qname = f"chain_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(result, qname)
-    q.awaitTermination(180)
+    run_stream_to_memory(result, qname, state_partitions=8,
+                         await_sec=180)
     return spark.table(qname)
 
 
@@ -10105,8 +10107,8 @@ def streaming_quality_filter_q(spark, sf_dir):
         "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
         "ok_alpha_words", "ok_required_words", "pass_gopher")
     qname = f"qfilter_{uuid.uuid4().hex[:8]}"
-    q = run_stream_to_memory(filtered, qname)
-    q.awaitTermination(120)
+    run_stream_to_memory(filtered, qname, state_partitions=8,
+                         await_sec=120)
     return spark.table(qname)
 
 
