@@ -57,16 +57,20 @@ class KiaraAPI:
 
     @property
     def context(self) -> KiaraContext:
+        """The active KiaraContext instance."""
         return self._contexts[self._current]
 
     def get_current_context_name(self) -> str:
+        """Name of the active context."""
         return self._current
 
     def list_context_names(self) -> list[str]:
+        """All context names registered on this API instance."""
         return sorted(self._contexts)
 
     def create_new_context(self, context_name: str,
                            set_active: bool = True) -> str:
+        """Create (and optionally activate) a fresh context sharing the Spark session."""
         if context_name in self._contexts:
             raise ValueError(f"context {context_name!r} already exists")
         self._contexts[context_name] = KiaraContext(
@@ -77,6 +81,7 @@ class KiaraAPI:
 
     def set_active_context(self, context_name: str,
                            create: bool = False) -> None:
+        """Switch the active context (``create=True`` makes a missing one)."""
         if context_name not in self._contexts:
             if not create:
                 raise KeyError(f"unknown context: {context_name!r}")
@@ -85,6 +90,7 @@ class KiaraAPI:
         self._current = context_name
 
     def get_context_info(self) -> dict:
+        """Value/alias/job/operation counts for the active context."""
         ctx = self.context
         return {
             "context_name": self._current,
@@ -97,6 +103,7 @@ class KiaraAPI:
         }
 
     def retrieve_context_infos(self) -> dict:
+        """get_context_info for every registered context."""
         cur = self._current
         out = {}
         try:
@@ -118,23 +125,28 @@ class KiaraAPI:
     # -- data types ---------------------------------------------------------
 
     def list_data_type_names(self) -> list[str]:
+        """All registered data type names."""
         return sorted(self.context.type_registry._types)
 
     def retrieve_data_type_info(self, data_type: str) -> dict:
+        """Typed doc record for one data type."""
         cls = self.context.type_registry._types[data_type]
         return {"type_name": data_type, "doc": (cls.__doc__ or "").strip(),
                 "python_class": cls.__name__}
 
     def retrieve_data_types_info(self) -> dict:
+        """Typed doc records for every data type."""
         return {n: self.retrieve_data_type_info(n)
                 for n in self.list_data_type_names()}
 
     # -- modules ------------------------------------------------------------
 
     def list_module_type_names(self) -> list[str]:
+        """All registered module type names."""
         return sorted(self.context.module_registry._modules)
 
     def retrieve_module_type_info(self, module_type: str) -> dict:
+        """Typed doc record (inputs/outputs/characteristics) for one module type."""
         from .doc import extract_doc
 
         cls = self.context.module_registry._modules[module_type]
@@ -149,6 +161,7 @@ class KiaraAPI:
         }
 
     def retrieve_module_types_info(self) -> dict:
+        """Typed doc records for every module type."""
         out = {}
         for n in self.list_module_type_names():
             try:
@@ -161,19 +174,23 @@ class KiaraAPI:
     # -- operations ----------------------------------------------------------
 
     def list_operation_ids(self, filter: str | None = None) -> list[str]:
+        """Registered operation ids, optionally substring-filtered."""
         ids = self.context.operation_registry.operation_ids
         if filter:
             ids = [i for i in ids if filter in i]
         return sorted(ids)
 
     def list_operations(self, filter: str | None = None) -> dict:
+        """Operation objects by id, optionally substring-filtered."""
         return {i: self.context.operation_registry.resolve(i)
                 for i in self.list_operation_ids(filter)}
 
     def get_operation(self, operation: str):
+        """Resolve an operation id to its Operation object."""
         return self.context.operation_registry.resolve(operation)
 
     def retrieve_operation_info(self, operation: str) -> dict:
+        """Typed doc record (inputs/outputs, module, doc) for one operation."""
         from .doc import extract_doc
 
         op = self.get_operation(operation)
@@ -191,6 +208,7 @@ class KiaraAPI:
                 "doc": doc}
 
     def retrieve_operations_info(self, filter: str | None = None) -> dict:
+        """Typed doc records for every (optionally filtered) operation."""
         return {i: self.retrieve_operation_info(i)
                 for i in self.list_operation_ids(filter)}
 
@@ -209,12 +227,14 @@ class KiaraAPI:
                 sketches, events, media_codecs]
 
     def list_available_plugin_names(self) -> list[str]:
+        """Entry-point plugin package names visible to this install."""
         builtin = {m.__name__.rsplit(".", 1)[-1]
                    for m in self._operator_modules()}
         discovered = set(getattr(self.context, "plugin_infos", {}))
         return sorted(builtin | discovered)
 
     def retrieve_plugin_info(self, plugin_name: str) -> dict:
+        """Metadata + contributed types/modules for one plugin."""
         # entry-point-discovered distributions first (the real plugin seam)
         info = getattr(self.context, "plugin_infos", {}).get(plugin_name)
         if info is not None:
@@ -239,12 +259,14 @@ class KiaraAPI:
         raise KeyError(f"unknown plugin: {plugin_name!r}")
 
     def retrieve_plugin_infos(self) -> dict:
+        """retrieve_plugin_info for every visible plugin."""
         return {n: self.retrieve_plugin_info(n)
                 for n in self.list_available_plugin_names()}
 
     # -- values --------------------------------------------------------------
 
     def get_value(self, value: Any) -> Value:
+        """Resolve a value/alias/id reference to a registered Value."""
         return self.context.get_value(value)
 
     def get_values(self, **values: Any) -> dict[str, Value]:
@@ -259,6 +281,7 @@ class KiaraAPI:
         return str(out["rendered_value"].data)
 
     def list_all_value_ids(self) -> list[str]:
+        """Every value id in the data registry (including internal)."""
         return sorted(self.context.data_registry._values)
 
     def list_value_ids(self) -> list[str]:
@@ -274,14 +297,17 @@ class KiaraAPI:
         return sorted(out)
 
     def list_all_values(self) -> dict[str, Value]:
+        """Every registered Value keyed by id."""
         return {i: self.get_value(i) for i in self.list_all_value_ids()}
 
     def list_values(self, **matcher) -> dict[str, Value]:
+        """Values matching the given matcher fields (alias/type/...)."""
         found = self.context.data_registry.find_values(
             has_alias=True, **matcher)
         return {v.value_id: v for v in found}
 
     def retrieve_value_info(self, value: Any) -> dict:
+        """Typed info record (schema, pedigree, properties) for one value."""
         v = self.get_value(value)
         reg = self.context.data_registry
         aliases = []
@@ -309,6 +335,7 @@ class KiaraAPI:
         }
 
     def retrieve_values_info(self, **matcher) -> dict:
+        """retrieve_value_info for every matcher hit."""
         return {vid: self.retrieve_value_info(vid)
                 for vid in (self.list_values(**matcher) if matcher
                             else self.list_value_ids())}
@@ -331,15 +358,19 @@ class KiaraAPI:
         return augment(tree)
 
     def register_value_alias(self, value: Any, alias: str) -> None:
+        """Attach an alias to a registered value."""
         self.context.data_registry.register_alias(alias, self.get_value(value))
 
     def list_aliases(self) -> dict[str, str]:
+        """alias -> value id for every registered alias."""
         return dict(sorted(self.context.data_registry.aliases.items()))
 
     def list_alias_names(self) -> list[str]:
+        """All registered alias names."""
         return sorted(self.context.data_registry.aliases)
 
     def retrieve_aliases_info(self) -> dict:
+        """Alias records with their target values' info inlined."""
         return {a: self.retrieve_value_info(ref)
                 for a, ref in self.list_aliases().items()
                 if self._alias_resolvable(a)}
@@ -352,9 +383,11 @@ class KiaraAPI:
             return False
 
     def store_value(self, value: Any, alias: str | None = None) -> str:
+        """Persist a value (and optional alias) to the context warehouse."""
         return self.context.store_value(value, alias=alias)
 
     def store_values(self, values: Mapping[str, Any]) -> dict[str, str]:
+        """store_value for several name -> value pairs."""
         return {alias: self.store_value(v, alias=alias)
                 for alias, v in values.items()}
 
@@ -365,19 +398,23 @@ class KiaraAPI:
 
     def import_archive(self, archive_path: str,
                        alias_prefix: str = "") -> dict:
+        """Import a full archive (values + aliases + job records)."""
         return self.context.import_archive(archive_path,
                                            alias_prefix=alias_prefix)
 
     # reference export_values/import_values: alias-set <-> archive sugar
     def export_values(self, archive_path: str, values: list,
                       **kw) -> dict:
+        """Export the given values into a portable archive."""
         return self.export_archive(values, archive_path, **kw)
 
     def import_values(self, archive_path: str,
                       alias_prefix: str = "") -> dict:
+        """Import values from a portable archive into this context."""
         return self.import_archive(archive_path, alias_prefix=alias_prefix)
 
     def retrieve_archive_info(self, archive_path: str) -> dict:
+        """Manifest/content summary of an archive without importing it."""
         from .archive import MANIFEST_NAME
 
         with open(os.path.join(archive_path, MANIFEST_NAME)) as f:
@@ -396,6 +433,7 @@ class KiaraAPI:
                 operation_config: dict | None = None,
                 save: str | None = None,
                 comment: str | None = None) -> ValueMap:
+        """Resolve an operation, bind inputs, execute (cache-aware); returns outputs."""
         out = self.context.run_job(operation, inputs,
                                    operation_config=operation_config,
                                    save=save)
@@ -408,35 +446,44 @@ class KiaraAPI:
                   inputs: Mapping[str, Any] | None = None,
                   operation_config: dict | None = None,
                   comment: str | None = None) -> str:
+        """run_job + return the job id (execution is lazy Spark composition)."""
         self.run_job(operation, inputs, operation_config=operation_config,
                      comment=comment)
         return self.context.job_registry.history[-1].job_id
 
     def get_job(self, job_id: str):
+        """Job record by id (alias of get_job_record)."""
         return self.get_job_record(job_id)
 
     def get_job_record(self, job_id: str):
+        """Full job record (manifest, inputs, outputs, runtime) by id."""
         for rec in self.context.job_registry.history:
             if rec.job_id == job_id:
                 return rec
         raise KeyError(f"unknown job id: {job_id!r}")
 
     def get_job_result(self, job_id: str) -> ValueMap:
+        """Output ValueMap of a past job."""
         return self.get_job_record(job_id).outputs
 
     def list_job_record_ids(self) -> list[str]:
+        """Ids of every job in this context's history."""
         return [r.job_id for r in self.context.job_registry.history]
 
     def list_all_job_record_ids(self) -> list[str]:
+        """Ids across active + archived job records."""
         return self.list_job_record_ids()
 
     def list_job_records(self) -> dict:
+        """Job records by id for this context."""
         return {r.job_id: r for r in self.context.job_registry.history}
 
     def list_all_job_records(self) -> dict:
+        """Job records by id across active + archived."""
         return self.list_job_records()
 
     def retrieve_job_info(self, job_id: str) -> dict:
+        """Typed info record for one job."""
         r = self.get_job_record(job_id)
         return {
             "job_id": r.job_id, "module_type": r.module_type,
@@ -447,13 +494,16 @@ class KiaraAPI:
         }
 
     def retrieve_jobs_info(self) -> dict:
+        """Typed info records for every job."""
         return {jid: self.retrieve_job_info(jid)
                 for jid in self.list_job_record_ids()}
 
     def get_all_jobs_info_data(self) -> list[dict]:
+        """Flat list of job info records (the CLI 'job list' feed)."""
         return [self.retrieve_job_info(j) for j in self.list_job_record_ids()]
 
     def print_all_jobs_info_data(self) -> None:
+        """Print the job-list table to stdout (CLI convenience)."""
         for info in self.get_all_jobs_info_data():
             line = (f"{info['job_id'][:8]}  {info['module_type']:<40} "
                     f"{info['runtime_sec']:.2f}s "
@@ -475,6 +525,7 @@ class KiaraAPI:
             self._comments = {}
 
     def set_job_comment(self, job_id: str, comment: str) -> None:
+        """Attach/replace the user comment on a job."""
         self.get_job_record(job_id)  # validate
         self._comments[job_id] = comment
         try:
@@ -484,4 +535,5 @@ class KiaraAPI:
             pass
 
     def get_job_comment(self, job_id: str) -> str | None:
+        """User comment attached to a job, if any."""
         return self._comments.get(job_id)

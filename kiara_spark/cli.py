@@ -322,6 +322,8 @@ def main(argv: list[str] | None = None) -> int:
             ctx = KiaraContext()
             if ref.endswith((".json", ".yaml", ".yml")):
                 source_type, source = "pipeline", ref
+            elif ref in ("api", "kiara_api"):
+                source_type, source = "api", ref
             elif ref.startswith(("alias:", "value:")):
                 source_type, source = "value", ctx.get_value(ref)
             elif ref in ctx.operations or ref in ctx.modules:
@@ -342,9 +344,15 @@ def main(argv: list[str] | None = None) -> int:
             rendered = ctx.render_registry.render(
                 source_type, target, source, **cfg)
             if output:
-                with open(output, "w") as f:
+                # binary targets (png) return bytes - write them as such
+                mode = "wb" if isinstance(rendered, bytes) else "w"
+                with open(output, mode) as f:
                     f.write(rendered)
                 print(f"wrote {output}")
+            elif isinstance(rendered, bytes):
+                raise SystemExit(
+                    f"render: target {target!r} produces binary output - "
+                    f"pass --output <path>")
             else:
                 print(rendered)
             return 0

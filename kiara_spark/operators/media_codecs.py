@@ -76,6 +76,30 @@ def encode_bmp(px: bytes, width: int, height: int) -> bytes:
     return header + info + bytes(body)
 
 
+def encode_png(px: bytes, width: int, height: int) -> bytes:
+    """Write top-down row-major RGB pixels as an 8-bit/channel truecolor
+    PNG (one zlib-deflated IDAT, filter 0 per scanline) — stdlib-only,
+    the encoder twin of :func:`decode_bmp`'s codec family.  Used by the
+    pipeline PNG renderer (reference ``PipelineRendererPng`` shells out
+    to graphviz; this container has no raster backend, so the repo
+    carries its own encoder)."""
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    row_bytes = width * 3
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00" + px[y * row_bytes:(y + 1) * row_bytes]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
 def synth_ppm(seed: int, width: int, height: int) -> bytes:
     """P6 binary PPM of the synth_pixels image (header + raw RGB)."""
     return encode_ppm(synth_pixels(seed, width, height), width, height)

@@ -740,6 +740,16 @@ OPERATIONS = [
               doc="Render a pipeline (file/config) as a standalone runnable "
                   "python script (reference pipeline_to_python_script).",
               operation_type="render_value"),
+    Operation("render.pipeline.as.png", "render.item",
+              {"source_type": "pipeline", "target_type": "png"},
+              doc="Render the pipeline execution DAG as a PNG image "
+                  "(dependency-free rasterizer + stdlib PNG encoder).",
+              operation_type="render_value"),
+    Operation("render.api.as.markdown", "render.item",
+              {"source_type": "api", "target_type": "markdown"},
+              doc="Render the public KiaraAPI surface (live inspect "
+                  "signatures + summaries) as one markdown doc page.",
+              operation_type="render_value"),
     Operation("render.value.as.html", "render.item",
               {"source_type": "value", "target_type": "html"},
               doc="Render a table value as one html page "

@@ -239,6 +239,76 @@ class PipelinePythonScriptRenderer(_PipelineRendererBase):
         return model
 
 
+class PipelinePngRenderer(_PipelineRendererBase):
+    """Renders the pipeline execution graph as a PNG image (reference
+    ``PipelineRendererPng``, ``included_renderers/pipeline.py:122-196``
+    — graphviz there; a dependency-free stage-column rasterizer +
+    stdlib PNG encoder here, see ``rasterize.py``).  ``render`` returns
+    BYTES for this target — callers writing to disk must open binary."""
+
+    _renderer_name = "pipeline_png"
+    target_type = "png"
+    template = None
+
+    def render(self, source: Any, **render_config: Any) -> bytes:
+        from .rasterize import pipeline_dag_png
+
+        model = self.transform_source(source, render_config)
+        if model is None:
+            raise ValueError(
+                f"renderer {self._renderer_name!r} can't transform source "
+                f"object of type {type(source).__name__}")
+        steps = {
+            s["step_id"]: {
+                "module_type": s["module_type"],
+                "links": sorted({r.split(".", 1)[0]
+                                 for refs in s["links"].values()
+                                 for r in refs}),
+            }
+            for s in model["steps"]
+        }
+        return pipeline_dag_png(model["name"], model["stages"], steps)
+
+
+class ApiDocMarkdownRenderer(Renderer):
+    """Renders the public ``KiaraAPI`` surface as one markdown doc page —
+    method signatures grouped by doc section with first-line summaries
+    (reference ``included_renderers/api/base_api.py:94``, which renders
+    the BaseAPI source through a jinja template; here the page is built
+    from live ``inspect`` signatures so it can never drift from the
+    code)."""
+
+    _renderer_name = "api_markdown"
+    source_type = "api"
+    target_type = "markdown"
+    template = "api.md.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        import inspect
+
+        from .api import KiaraAPI
+
+        if source not in ("api", "kiara_api", KiaraAPI):
+            return None
+        from .context import KiaraContext
+
+        methods = []
+        for name, fn in inspect.getmembers(KiaraAPI,
+                                           predicate=inspect.isfunction):
+            if name.startswith("_"):
+                continue
+            sig = str(inspect.signature(fn)).replace("self, ", "").replace(
+                "(self)", "()")
+            # thin delegating methods inherit the context method's doc
+            doc = (inspect.getdoc(fn)
+                   or inspect.getdoc(getattr(KiaraContext, name, None))
+                   or "")
+            methods.append({"name": name, "signature": sig,
+                            "summary": doc.splitlines()[0] if doc else ""})
+        return {"class_doc": inspect.getdoc(KiaraAPI) or "",
+                "methods": sorted(methods, key=lambda m: m["name"])}
+
+
 class ValueHtmlRenderer(Renderer):
     """Renders a table value as an html page — ONE offset/limit slice
     pushed into the Spark plan, so only the page's rows ever reach the
@@ -339,8 +409,8 @@ class JobMarkdownRenderer(Renderer):
 
 INCLUDED_RENDERERS: list[type[Renderer]] = [
     PipelineHtmlRenderer, PipelineMarkdownRenderer,
-    PipelinePythonScriptRenderer, ValueHtmlRenderer,
-    OperationMarkdownRenderer, JobMarkdownRenderer,
+    PipelinePythonScriptRenderer, PipelinePngRenderer, ValueHtmlRenderer,
+    OperationMarkdownRenderer, JobMarkdownRenderer, ApiDocMarkdownRenderer,
 ]
 
 

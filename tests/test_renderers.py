@@ -244,3 +244,62 @@ def test_pipeline_python_script_executes_llm_data_prep(ctx, monkeypatch):
     summary = ns["pipeline_result_corpus_summary"].data
     assert clean.count() > 0
     assert set(summary.columns) == {"lang", "n_docs", "total_tokens"}
+
+
+def test_pipeline_png_renderer_valid_image(ctx, tmp_path):
+    """render.pipeline.as.png emits a structurally valid, non-blank PNG:
+    signature, CRC-checked chunks, scanline count matching IHDR dims, and
+    actual dark pixels (boxes/text/edges) on the white canvas — verified
+    by an independent stdlib decode, not the encoder's own claims."""
+    import struct
+    import zlib
+
+    data = ctx.render_registry.render("pipeline", "png", LOGIC_2)
+    assert isinstance(data, bytes)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert w > 100 and h > 50
+    i, chunks = 8, {}
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i:i + 4])
+        tag, payload = data[i + 4:i + 8], data[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", data[i + 8 + ln:i + 12 + ln])
+        assert zlib.crc32(tag + payload) == crc
+        chunks[tag] = chunks.get(tag, b"") + payload
+        i += 12 + ln
+    raw = zlib.decompress(chunks[b"IDAT"])
+    assert len(raw) == h * (1 + 3 * w)           # filter byte + RGB rows
+    assert any(b < 255 for b in raw)             # not a blank canvas
+    # CLI path writes binary with --output and refuses stdout
+    import json as _json
+
+    p = tmp_path / "logic_2.json"
+    p.write_text(_json.dumps(LOGIC_2))
+    out = tmp_path / "dag.png"
+    assert main(["render", str(p), "as", "png", "--output", str(out)]) == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(SystemExit, match="binary"):
+        main(["render", str(p), "as", "png"])
+
+
+def test_api_doc_markdown_renderer(ctx):
+    """render.api.as.markdown: every public KiaraAPI method appears with
+    its live signature and a non-empty summary (docstring or the
+    delegated context method's)."""
+    import inspect
+
+    from kiara_spark.api import KiaraAPI
+
+    md = ctx.render_registry.render("api", "markdown", "api")
+    assert "# `KiaraAPI`" in md
+    public = [n for n, _ in inspect.getmembers(KiaraAPI,
+                                               predicate=inspect.isfunction)
+              if not n.startswith("_")]
+    for name in public:
+        assert f"`{name}" in md, name
+    # no empty summary cells: every row carries a doc line
+    rows = [ln for ln in md.splitlines() if ln.startswith("| `")]
+    assert len(rows) == len(public)
+    assert all(ln.rsplit("|", 2)[-2].strip() for ln in rows)
+    assert "render.api.as.markdown" in ctx.operation_registry.operation_ids
+    assert "render.pipeline.as.png" in ctx.operation_registry.operation_ids
