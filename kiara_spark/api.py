@@ -280,6 +280,65 @@ class KiaraAPI:
         out = self.context.run_job("pretty_print.value", {"value": v})
         return str(out["rendered_value"].data)
 
+    # -- rendering -------------------------------------------------------
+
+    def render(self, item: Any, source_type: str, target_type: str,
+               render_config: Mapping[str, Any] | None = None):
+        """Render an item (pipeline file/config, job description, archive
+        path, value ref, operation id, 'api') to a target document via the
+        render registry — reference ``BaseAPI.render``
+        (``interfaces/python_api/base_api.py``; e.g.
+        ``kiara.render(job, source_type='job_desc',
+        target_type='python_script')``).  Returns str, or bytes for binary
+        targets (png)."""
+        return self.context.render_registry.render(
+            source_type, target_type, item, **dict(render_config or {}))
+
+    def list_renderer_names(self) -> list[str]:
+        """Names of every registered renderer (reference
+        ``retrieve_renderer_infos``)."""
+        return self.context.render_registry.renderer_names
+
+    def retrieve_renderer_infos(self) -> list[dict]:
+        """(name, source_type, target_type, doc) for every renderer."""
+        return self.context.render_registry.renderer_infos()
+
+    def run_job_desc(self, job_desc: Any,
+                     inputs: Mapping[str, Any] | None = None) -> ValueMap:
+        """Execute a job description (path / mapping / JobDesc): run its
+        operation with the described inputs (optionally overridden), then
+        store outputs named in its ``save`` map under their aliases —
+        reference ``BaseAPI.run_job(operation=JobDesc)``."""
+        from collections.abc import Mapping as _Mapping
+
+        from .registries.jobs import JobDesc
+
+        if isinstance(job_desc, str):
+            job_desc = JobDesc.create_from_file(job_desc)
+        elif isinstance(job_desc, _Mapping):
+            job_desc = JobDesc.create_from_data(job_desc)
+        if not isinstance(job_desc, JobDesc):
+            raise TypeError(
+                f"expected a JobDesc / path / mapping, got "
+                f"{type(job_desc).__name__}")
+        merged = dict(job_desc.inputs)
+        merged.update(inputs or {})
+        outputs = self.context.run_job(
+            job_desc.operation, merged,
+            operation_config=job_desc.module_config)
+        for f_name, alias in sorted(job_desc.save.items()):
+            if f_name not in outputs:
+                raise KeyError(
+                    f"job save target {f_name!r} is not an output field "
+                    f"(outputs: {', '.join(outputs)})")
+            if hasattr(outputs[f_name].data, "write"):
+                self.context.store_value(outputs[f_name], alias=alias)
+            else:
+                # non-table outputs still get the alias (no warehouse write)
+                self.context.data_registry.register_alias(
+                    alias, outputs[f_name].value_id)
+        return outputs
+
     def list_all_value_ids(self) -> list[str]:
         """Every value id in the data registry (including internal)."""
         return sorted(self.context.data_registry._values)

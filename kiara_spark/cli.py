@@ -3,7 +3,7 @@
 pipeline explain.
 
 Usage:
-    python -m kiara_spark.cli run <operation> [key=value ...] [--save alias] [--explain]
+    python -m kiara_spark.cli run <operation|pipeline.json|job_desc.json> [key=value ...] [--save alias] [--explain]
     python -m kiara_spark.cli operation list | operation explain <op_id>
     python -m kiara_spark.cli module list | type list
     python -m kiara_spark.cli plugin list | plugin explain <name>
@@ -19,7 +19,9 @@ it builds a fresh local context.
     python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
     python -m kiara_spark.cli data explain <ref>
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
-    python -m kiara_spark.cli render <item> as <html|markdown> [key=value ...] [--output path]
+    python -m kiara_spark.cli render <item> as <html|markdown|python_script|png> [key=value ...] [--output path]
+      <item>: pipeline file, job description file, archive dir, alias:/value:
+      ref, operation id, job id/hash, or `api`
     python -m kiara_spark.cli render list-renderers
     python -m kiara_spark.cli context info
     python -m kiara_spark.cli context list | context explain [name ...]
@@ -65,6 +67,27 @@ def _parse_inputs(args: list[str]) -> dict:
     return out
 
 
+def _is_job_desc_file(path: str) -> bool:
+    """True when a json/yaml file is a job description (top-level
+    ``operation`` key) rather than a pipeline config (``steps``) — the
+    reference separates the two via ``--source-type``/file conventions
+    (``models/job.py:66``); content-sniffing keeps this CLI's one `run`
+    verb."""
+    try:
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            data = yaml.safe_load(text)
+        else:
+            data = json.loads(text)
+    except (OSError, ValueError):
+        return False
+    return isinstance(data, dict) and "operation" in data and (
+        "steps" not in data)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -92,9 +115,14 @@ def main(argv: list[str] | None = None) -> int:
             del argv[i:i + 2]
         inputs = _parse_inputs(argv)
         # service routing: a live daemon answers without paying Spark
-        # startup (pipelines route too — save is local-context only)
-        is_pipeline = op.endswith((".json", ".yaml", ".yml"))
-        if not explain and not (is_pipeline and save):
+        # startup (pipelines route too — save is local-context only).
+        # Job description files (reference `kiara run job.yaml`,
+        # models/job.py:24) run locally: their save map is a per-output
+        # alias dict the service protocol doesn't carry.
+        is_file = op.endswith((".json", ".yaml", ".yml"))
+        is_job_desc = is_file and _is_job_desc_file(op)
+        is_pipeline = is_file and not is_job_desc
+        if not explain and not (is_pipeline and save) and not is_job_desc:
             from . import service as _svc
 
             if os.environ.get("KIARA_SPARK_SERVICE") and _svc.is_running():
@@ -133,7 +161,27 @@ def main(argv: list[str] | None = None) -> int:
                 print("(service unreachable — running locally)",
                       file=sys.stderr)
         ctx = KiaraContext()
-        if op.endswith((".json", ".yaml", ".yml")):
+        if is_job_desc:
+            from .registries.jobs import JobDesc
+
+            jd = JobDesc.create_from_file(op)
+            merged = dict(jd.inputs)
+            merged.update(inputs)  # CLI key=value overrides the file
+            outputs = ctx.run_job(jd.operation, merged,
+                                  operation_config=jd.module_config,
+                                  save=save)
+            for f_name, alias in sorted(jd.save.items()):
+                if f_name not in outputs:
+                    raise SystemExit(
+                        f"run: job save target {f_name!r} is not an output "
+                        f"field (outputs: {', '.join(outputs)})")
+                if hasattr(outputs[f_name].data, "write"):
+                    ctx.store_value(outputs[f_name], alias=alias)
+                else:
+                    ctx.data_registry.register_alias(
+                        alias, outputs[f_name].value_id)
+                print(f"saved {alias}")
+        elif is_pipeline:
             outputs = ctx.run_pipeline(op, inputs)
             if save:
                 for n, v in outputs.items():
@@ -320,8 +368,18 @@ def main(argv: list[str] | None = None) -> int:
             target = argv[1]
             cfg = _parse_inputs(argv[2:])
             ctx = KiaraContext()
-            if ref.endswith((".json", ".yaml", ".yml")):
-                source_type, source = "pipeline", ref
+            if os.path.isdir(ref) and os.path.isfile(
+                    os.path.join(ref, "manifest.json")):
+                # a value archive directory (reference `--source-type
+                # archive`; here inferred from the manifest)
+                source_type, source = "archive", ref
+            elif ref.endswith((".json", ".yaml", ".yml")):
+                # job descriptions and pipelines share the file extensions;
+                # the reference disambiguates via --source-type, here by
+                # content: a job desc has `operation`, a pipeline `steps`
+                source_type = ("job_desc" if _is_job_desc_file(ref)
+                               else "pipeline")
+                source = ref
             elif ref in ("api", "kiara_api"):
                 source_type, source = "api", ref
             elif ref.startswith(("alias:", "value:")):

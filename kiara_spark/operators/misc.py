@@ -764,6 +764,17 @@ OPERATIONS = [
               doc="Render a job record (manifest, value ids, runtime env) "
                   "as markdown.",
               operation_type="render_value"),
+    Operation("render.job_desc.as.python_script", "render.item",
+              {"source_type": "job_desc", "target_type": "python_script"},
+              doc="Render a job description (operation + inputs + save "
+                  "aliases) as a standalone runnable python script "
+                  "(reference job_to_python_script).",
+              operation_type="render_value"),
+    Operation("render.archive.as.html", "render.item",
+              {"source_type": "archive", "target_type": "html"},
+              doc="Render a value archive's manifest (aliases, shipped "
+                  "datasets, lineage) as a static html page.",
+              operation_type="render_value"),
     Operation("extract.table.metadata", "value.extract_metadata",
               operation_type="extract_metadata"),
     Operation("media.attach_metadata", "media.attach_metadata"),

@@ -18,6 +18,7 @@ ValueMap without touching Spark executors at all.
 from __future__ import annotations
 
 import time
+from collections.abc import Mapping
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
@@ -319,3 +320,83 @@ class JobRegistry:
     @property
     def history(self) -> list[JobRecord]:
         return list(self._history)
+
+
+def _replace_vars(obj, repl: Mapping[str, str]):
+    """Recursive ``${var}`` substitution inside strings — the reference's
+    ``replace_var_names_in_obj`` (``utils/__init__.py``), used so a job
+    description file can reference paths relative to its own location via
+    ``${this_dir}`` (``models/job.py:46``)."""
+    if isinstance(obj, str):
+        for k, v in repl.items():
+            obj = obj.replace("${" + k + "}", v)
+        return obj
+    if isinstance(obj, Mapping):
+        return {k: _replace_vars(v, repl) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_replace_vars(v, repl) for v in obj]
+    return obj
+
+
+@dataclass
+class JobDesc:
+    """A declarative, file-storable run specification — operation + inputs
+    (+ optional per-output save aliases), the reference's ``JobDesc``
+    (``src/kiara/interfaces/python_api/models/job.py:24-106``).  A job
+    description is how reference users persist and share a single run:
+    ``kiara run job.yaml`` executes it, ``kiara render --source-type
+    job_desc --target-type python_script`` turns it into a script.
+
+    ``save`` maps output field name -> alias (reference ``models/job.py:103``);
+    string inputs may use ``${this_dir}`` to reference files relative to the
+    description file itself."""
+
+    operation: str
+    inputs: dict = field(default_factory=dict)
+    module_config: dict | None = None
+    doc: str = ""
+    save: dict = field(default_factory=dict)
+    job_alias: str = "default"
+
+    @classmethod
+    def create_from_data(cls, data: Mapping, alias: str | None = None,
+                         this_dir: str | None = None) -> "JobDesc":
+        if not isinstance(data, Mapping):
+            raise ValueError("job description data is not a mapping")
+        if "operation" not in data:
+            raise ValueError("job description is missing the 'operation' key")
+        if this_dir:
+            data = _replace_vars(data, {"this_dir": this_dir})
+        known = {"operation", "inputs", "module_config", "doc", "save",
+                 "job_alias"}
+        unknown = sorted(set(data) - known)
+        if unknown:
+            raise ValueError(
+                f"unknown job description keys: {', '.join(unknown)}")
+        kw = {k: v for k, v in data.items() if k in known}
+        if alias and "job_alias" not in kw:
+            kw["job_alias"] = alias
+        doc = kw.get("doc")
+        if isinstance(doc, Mapping):  # reference DocumentationMetadataModel
+            kw["doc"] = str(doc.get("description") or "")
+        return cls(**kw)
+
+    @classmethod
+    def create_from_file(cls, path: str) -> "JobDesc":
+        import json as _json
+        import os as _os
+
+        if not _os.path.isfile(path):
+            raise ValueError(f"not a job description file: {path!r}")
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml as _yaml
+
+            data = _yaml.safe_load(text)
+        else:
+            data = _json.loads(text)
+        stem = _os.path.splitext(_os.path.basename(path))[0]
+        return cls.create_from_data(
+            data, alias=stem,
+            this_dir=_os.path.dirname(_os.path.abspath(path)))

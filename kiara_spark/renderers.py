@@ -67,6 +67,9 @@ class Renderer:
     source_type: str = "any"
     target_type: str = "string"
     template: str | None = None
+    # template variable the model binds to; defaults to source_type (a
+    # renderer that delegates to another source's template overrides it)
+    template_var: str | None = None
 
     def __init__(self, context: "KiaraContext"):
         self._context = context
@@ -88,7 +91,8 @@ class Renderer:
                 f"object of type {type(source).__name__}")
         env = _jinja_env()
         template = env.get_template(self.template)
-        return template.render(**{self.source_type: model})
+        var = self.template_var or self.source_type
+        return template.render(**{var: model})
 
 
 class _PipelineRendererBase(Renderer):
@@ -270,6 +274,123 @@ class PipelinePngRenderer(_PipelineRendererBase):
         return pipeline_dag_png(model["name"], model["stages"], steps)
 
 
+class JobDescPythonScriptRenderer(Renderer):
+    """Renders a job description (a file-storable run spec: operation +
+    inputs + save aliases) into a standalone runnable python script —
+    reference ``JobDescPythonScriptRenderer``
+    (``included_renderers/job.py:56-119``), which wraps the job's operation
+    as a pipeline and re-renders it through the pipeline python-script
+    template with the job's inputs pre-filled; same composition here.
+
+    Accepts a :class:`~kiara_spark.registries.jobs.JobDesc`, a job
+    description file path (json/yaml with an ``operation`` key), or a
+    mapping.  When the job's ``operation`` is itself a pipeline file, the
+    pipeline is rendered directly; otherwise the operation becomes a
+    single-step pipeline whose input aliases are the operation's own open
+    field names, so the emitted script reads like a hand-written run."""
+
+    _renderer_name = "job_to_python_script"
+    source_type = "job_desc"
+    target_type = "python_script"
+    template = "pipeline.py.j2"
+    template_var = "pipeline"  # delegates to the pipeline script template
+
+    def transform_source(self, source: Any, render_config: dict):
+        from collections.abc import Mapping as _Mapping
+
+        from .registries.jobs import JobDesc
+
+        if isinstance(source, str):
+            source = JobDesc.create_from_file(source)
+        elif isinstance(source, _Mapping):
+            source = JobDesc.create_from_data(source)
+        if not isinstance(source, JobDesc):
+            return None
+
+        if source.operation.endswith((".json", ".yaml", ".yml")):
+            pipeline_source: Any = source.operation
+        else:
+            op = self._context.operation_registry.resolve(source.operation)
+            config = dict(op.module_config)
+            if source.module_config:
+                config.update(source.module_config)
+            step_id = source.job_alias.replace("-", "_").replace(".", "_")
+            module = self._context.module_registry.create_module(
+                op.module_type, config)
+            # open fields (not bound by module_config) surface under their
+            # own names, like the reference's operation-as-pipeline wrap
+            pipeline_source = {
+                "pipeline_name": source.job_alias,
+                "doc": source.doc,
+                "steps": [{"step_id": step_id,
+                           "module_type": op.module_type,
+                           **({"module_config": config} if config else {})}],
+                "input_aliases": {
+                    f"{step_id}.{f}": f
+                    for f in module.inputs_schema
+                    if f not in config},
+            }
+        delegate = PipelinePythonScriptRenderer(self._context)
+        cfg = dict(render_config)
+        merged = dict(source.inputs)
+        merged.update(cfg.get("inputs") or {})
+        cfg["inputs"] = merged
+        return delegate.transform_source(pipeline_source, cfg)
+
+
+class ArchiveHtmlRenderer(Renderer):
+    """Renders a value archive's manifest — aliases, shipped datasets,
+    lineage nodes — as a static html page (reference ``ArchiveRendererHtml``,
+    ``included_renderers/archive.py:55-90``; its shipped template is a
+    placeholder page, so this page's content is this engine's own design).
+    Metadata-only: reads ``manifest.json``, never opens the Parquet."""
+
+    _renderer_name = "archive_html"
+    source_type = "archive"
+    target_type = "html"
+    template = "archive.html.j2"
+
+    def transform_source(self, source: Any, render_config: dict):
+        import json
+
+        from .archive import MANIFEST_NAME
+
+        path = None
+        if isinstance(source, str):
+            path = source
+            manifest_path = (source if source.endswith(".json")
+                             else os.path.join(source, MANIFEST_NAME))
+            if not os.path.isfile(manifest_path):
+                raise ValueError(f"no archive manifest at {manifest_path!r}")
+            with open(manifest_path) as f:
+                source = json.load(f)
+        if not isinstance(source, dict) or "values" not in source:
+            return None
+        alias_of = {vid: a for a, vid in source.get("aliases", {}).items()}
+        values = []
+        for vid, node in sorted(source["values"].items()):
+            ped = node.get("pedigree") or {}
+            fields = ((node.get("spark_schema") or {}).get("fields") or [])
+            values.append({
+                "value_id": vid,
+                "alias": alias_of.get(vid, ""),
+                "type": node.get("type", ""),
+                "has_data": bool(node.get("has_data")),
+                "module_type": ped.get("module_type", ""),
+                "n_columns": len(fields),
+                "columns": ", ".join(f.get("name", "") for f in fields[:12]),
+            })
+        return {
+            "path": path or "<manifest>",
+            "format_version": source.get("format_version"),
+            "aliases": sorted(source.get("aliases", {}).items()),
+            # "value_nodes", not "values": jinja attribute lookup on a dict
+            # would resolve dict.values first
+            "value_nodes": values,
+            "n_shipped": sum(1 for v in values if v["has_data"]),
+        }
+
+
 class ApiDocMarkdownRenderer(Renderer):
     """Renders the public ``KiaraAPI`` surface as one markdown doc page —
     method signatures grouped by doc section with first-line summaries
@@ -411,6 +532,7 @@ INCLUDED_RENDERERS: list[type[Renderer]] = [
     PipelineHtmlRenderer, PipelineMarkdownRenderer,
     PipelinePythonScriptRenderer, PipelinePngRenderer, ValueHtmlRenderer,
     OperationMarkdownRenderer, JobMarkdownRenderer, ApiDocMarkdownRenderer,
+    JobDescPythonScriptRenderer, ArchiveHtmlRenderer,
 ]
 
 

@@ -303,3 +303,125 @@ def test_api_doc_markdown_renderer(ctx):
     assert all(ln.rsplit("|", 2)[-2].strip() for ln in rows)
     assert "render.api.as.markdown" in ctx.operation_registry.operation_ids
     assert "render.pipeline.as.png" in ctx.operation_registry.operation_ids
+
+
+def test_job_desc_python_script_renderer(ctx, tmp_path):
+    """job_desc -> python_script (reference JobDescPythonScriptRenderer,
+    included_renderers/job.py:56-119): the operation is wrapped as a
+    single-step pipeline and rendered through the pipeline script
+    template with the job's inputs pre-filled; file sources get the file
+    stem as job alias and ${this_dir} substitution."""
+    import json
+
+    jd = {"operation": "logic.and", "inputs": {"a": True},
+          "doc": "demo run", "job_alias": "my_and"}
+    s = ctx.render_registry.render("job_desc", "python_script", jd)
+    assert "pipeline_input_a = True" in s            # file input pre-filled
+    assert "pipeline_input_b = <TODO_SET_INPUT>" in s  # unset -> marker
+    assert '"logic.and"' in s and "results_my_and" in s
+    assert "demo run" in s
+
+    p = tmp_path / "and_job.json"
+    p.write_text(json.dumps({"operation": "logic.and",
+                             "inputs": {"a": True, "b": False}}))
+    s2 = ctx.render_registry.render("job_desc", "python_script", str(p))
+    assert "results_and_job" in s2                   # alias = file stem
+    assert "pipeline_input_b = False" in s2
+    # the rendered script EXECUTES (same contract as the pipeline test)
+    ns = {"__name__": "__rendered_job__"}
+    exec(compile(s2, "and_job.py", "exec"), ns)
+    assert ns["pipeline_result_and_job__y"].data is False
+
+    # ${this_dir} resolves relative to the description file
+    p3 = tmp_path / "file_job.json"
+    p3.write_text(json.dumps({
+        "operation": "import.local.file",
+        "inputs": {"path": "${this_dir}/and_job.json"}}))
+    s3 = ctx.render_registry.render("job_desc", "python_script", str(p3))
+    assert str(tmp_path / "and_job.json") in s3
+    assert "render.job_desc.as.python_script" in \
+        ctx.operation_registry.operation_ids
+
+
+def test_job_desc_model_validation(ctx):
+    from kiara_spark.registries.jobs import JobDesc
+
+    with pytest.raises(ValueError, match="operation"):
+        JobDesc.create_from_data({"inputs": {}})
+    with pytest.raises(ValueError, match="unknown job description keys"):
+        JobDesc.create_from_data({"operation": "x", "nope": 1})
+    jd = JobDesc.create_from_data(
+        {"operation": "logic.and", "doc": {"description": "d"}}, alias="a1")
+    assert jd.job_alias == "a1" and jd.doc == "d" and jd.inputs == {}
+
+
+def test_api_run_job_desc_saves_aliases(ctx, tmp_path):
+    """api.run_job_desc executes the description and registers its save
+    map (field -> alias); table outputs persist, scalar outputs alias."""
+    from kiara_spark.api import KiaraAPI
+
+    api = KiaraAPI(ctx)
+    out = api.run_job_desc({"operation": "logic.and",
+                            "inputs": {"a": True},
+                            "save": {"y": "jd_and_out"}},
+                           inputs={"b": True})
+    assert out["y"].data is True
+    assert "jd_and_out" in ctx.data_registry.aliases
+    with pytest.raises(KeyError, match="not an output field"):
+        api.run_job_desc({"operation": "logic.and",
+                          "inputs": {"a": True, "b": True},
+                          "save": {"nope": "x"}})
+
+
+def test_archive_html_renderer(ctx, tmp_path):
+    """archive -> html (reference ArchiveRendererHtml,
+    included_renderers/archive.py:55 — whose shipped template is a
+    placeholder; this page lists aliases + shipped/lineage-only values).
+    Metadata-only: rendering must not open the Parquet."""
+    from kiara_spark.archive import export_archive
+
+    df = ctx.spark.createDataFrame([(1, "x"), (2, "y")],
+                                   "id int, txt string")
+    ctx.register_table(df, alias="arch_src")
+    out = ctx.run_job("table.filter.rows",
+                      {"table": "alias:arch_src", "where": "id > 1"},
+                      save="arch_filtered")
+    arch = str(tmp_path / "arch")
+    export_archive(ctx, ["arch_filtered"], arch)
+
+    html = ctx.render_registry.render("archive", "html", arch)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "arch_filtered" in html
+    assert "shipped" in html and "table.filter.rows" in html
+    assert "id, txt" in html                        # column list rendered
+    # manifest dict source works too; junk raises
+    import json
+
+    manifest = json.load(open(f"{arch}/manifest.json"))
+    from_dict = ctx.render_registry.render("archive", "html", manifest)
+    # only the title path differs between the two sources
+    assert from_dict.replace("&lt;manifest&gt;", "") == \
+        html.replace(arch, "")
+    with pytest.raises(ValueError, match="manifest"):
+        ctx.render_registry.render("archive", "html",
+                                   str(tmp_path / "nope"))
+    assert "render.archive.as.html" in ctx.operation_registry.operation_ids
+
+
+def test_cli_run_job_desc_and_render_inference(tmp_path, capsys, spark):
+    """CLI: `run job.json` executes a job description (reference
+    `kiara run job.yaml`); `render job.json as python_script` and
+    `render <archive_dir> as html` infer their source types."""
+    import json
+
+    jd = tmp_path / "and_run.json"
+    jd.write_text(json.dumps({"operation": "logic.and",
+                              "inputs": {"a": True, "b": True},
+                              "save": {"y": "cli_and_y"}}))
+    assert main(["run", str(jd)]) == 0
+    out = capsys.readouterr().out
+    assert "saved cli_and_y" in out and "-- y (boolean)" in out
+
+    assert main(["render", str(jd), "as", "python_script"]) == 0
+    script = capsys.readouterr().out
+    assert "pipeline_input_a = True" in script and "logic.and" in script
