@@ -46,6 +46,8 @@ class KiaraAPI:
             self._contexts[context_name] = KiaraContext()
         self._comments: dict[str, str] = {}
         self._load_comments()
+        # registered-archive names (reference register_archive)
+        self._archives: dict[str, str] = {}
 
     # -- instance / context management (kiara_api.py:instance, context) ----
 
@@ -596,3 +598,499 @@ class KiaraAPI:
     def get_job_comment(self, job_id: str) -> str | None:
         """User comment attached to a job, if any."""
         return self._comments.get(job_id)
+
+    # -- runtime / documentation (reference BaseAPI parity, round 9) ---------
+
+    def doc(self) -> str:
+        """The full API documentation page (markdown) — reference
+        ``BaseAPI.doc`` (``base_api.py``), here generated live from
+        ``inspect`` signatures so it never drifts from the code."""
+        return self.context.render_registry.render("api", "markdown", "api")
+
+    def get_runtime_config(self) -> dict:
+        """Current runtime configuration — reference
+        ``BaseAPI.get_runtime_config`` (returns the kiara runtime config
+        model; here: job-cache strategy, context base path, and the active
+        Spark session's scale knobs).  Never STARTS a Spark session: when
+        none is active yet the spark section reports ``not_started``."""
+        from pyspark.sql import SparkSession
+
+        cfg: dict = {
+            "job_cache": self.context.job_registry.strategy,
+            "base_path": self.context.base_path,
+        }
+        active = SparkSession.getActiveSession()
+        if active is None:
+            cfg["spark"] = "not_started"
+        else:
+            cfg["spark"] = {
+                k: active.conf.get(k, None)
+                for k in ("spark.master", "spark.sql.shuffle.partitions",
+                          "spark.sql.adaptive.enabled",
+                          "spark.sql.session.timeZone")}
+        return cfg
+
+    def ensure_plugin_packages(self, *package_names: str) -> dict:
+        """Check that plugin packages are importable — reference
+        ``BaseAPI.ensure_plugin_packages`` pip-installs missing ones; this
+        environment forbids installation, so missing packages raise with
+        the canonical message instead of silently degrading."""
+        import importlib.util
+
+        status = {n: importlib.util.find_spec(n.replace("-", "_")) is not None
+                  for n in package_names}
+        missing = sorted(n for n, ok in status.items() if not ok)
+        if missing:
+            raise RuntimeError(
+                f"plugin packages not installed: {', '.join(missing)} "
+                f"(package installation is not available in this runtime)")
+        return status
+
+    def is_internal_data_type(self, data_type_name: str) -> bool:
+        """Whether a data type is predominantly engine-internal (reference
+        ``BaseAPI.is_internal_data_type`` via type characteristics).
+        Unknown names raise, like the reference's KiaraException."""
+        if data_type_name not in self.context.type_registry._types:
+            raise KeyError(f"unknown data type: {data_type_name!r}")
+        return data_type_name in ("none", "any")
+
+    # -- operation types / manifests ------------------------------------
+
+    def create_operation(self, module_type: str,
+                         module_config: Mapping[str, Any] | None = None,
+                         operation_id: str | None = None):
+        """Build (and register) an Operation for a module type + config —
+        reference ``BaseAPI.create_operation``.  Validates the module type
+        and config by instantiating the module once."""
+        from .operations import Operation
+
+        self.context.module_registry.create_module(
+            module_type, dict(module_config or {}))  # validates
+        op = Operation(operation_id or module_type, module_type,
+                       dict(module_config or {}))
+        if operation_id:
+            self.context.operation_registry.register(op)
+        return op
+
+    def find_operation_id(self, module_type: str,
+                          module_config: Mapping[str, Any] | None = None
+                          ) -> str | None:
+        """Registered operation id for a module type + config, or None —
+        reference ``BaseAPI.find_operation_id``."""
+        want = dict(module_config or {})
+        for op_id in self.context.operation_registry.operation_ids:
+            op = self.context.operation_registry.resolve(op_id)
+            if op.module_type == module_type and dict(op.module_config) == want:
+                return op_id
+        return None
+
+    def get_operation_type(self, op_type: str) -> list:
+        """All operations minted under one operation type (reference
+        ``BaseAPI.get_operation_type`` returns the type's management
+        object; here the type IS its operation list)."""
+        from .operations import OPERATION_TYPE_DOCS
+
+        if op_type not in OPERATION_TYPE_DOCS:
+            raise KeyError(
+                f"unknown operation type {op_type!r}; available: "
+                + ", ".join(sorted(OPERATION_TYPE_DOCS)))
+        return self.context.operation_registry.by_type(op_type)
+
+    def retrieve_operation_type_info(self, op_type: str) -> dict:
+        """Doc + member operation ids for one operation type — reference
+        ``BaseAPI.retrieve_operation_type_info``."""
+        from .operations import OPERATION_TYPE_DOCS
+
+        ops = self.get_operation_type(op_type)
+        return {"type_name": op_type, "doc": OPERATION_TYPE_DOCS[op_type],
+                "operation_ids": sorted(o.operation_id for o in ops)}
+
+    def list_operation_type_names(self) -> list[str]:
+        """Names of all operation types (minting conventions)."""
+        from .operations import OPERATION_TYPE_DOCS
+
+        return sorted(OPERATION_TYPE_DOCS)
+
+    def run_manifest(self, manifest: Mapping[str, Any],
+                     inputs: Mapping[str, Any] | None = None) -> ValueMap:
+        """Run a job from a raw manifest (``module_type`` +
+        ``module_config``) — reference ``BaseAPI.run_manifest``.  The
+        lowest-level run surface: no operation resolution, just the module."""
+        if "module_type" not in manifest:
+            raise ValueError("manifest is missing 'module_type'")
+        return self.context.run_job(
+            manifest["module_type"], inputs,
+            operation_config=dict(manifest.get("module_config") or {}))
+
+    def queue_manifest(self, manifest: Mapping[str, Any],
+                       inputs: Mapping[str, Any] | None = None) -> str:
+        """run_manifest + return the job id (execution is lazy Spark
+        composition) — reference ``BaseAPI.queue_manifest``."""
+        self.run_manifest(manifest, inputs)
+        return self.context.job_registry.history[-1].job_id
+
+    # -- pipelines as operations ------------------------------------------
+
+    def register_pipeline(self, data: Any,
+                          operation_id: str | None = None):
+        """Register a pipeline (file path / config dict) as a runnable
+        operation — reference ``BaseAPI.register_pipeline``.  The minted
+        operation runs the pipeline as one job (module ``pipeline``,
+        pipeline/runner.py PipelineModule)."""
+        from .operations import Operation
+        from .pipeline import PipelineConfig, PipelineStructure
+
+        if isinstance(data, str):
+            cfg = PipelineConfig.from_file(data)
+        elif isinstance(data, Mapping):
+            cfg = PipelineConfig.from_config(dict(data))
+        else:
+            raise TypeError(
+                f"expected a pipeline file path or config mapping, got "
+                f"{type(data).__name__}")
+        PipelineStructure(cfg, self.context.module_registry)  # validates
+        op_id = operation_id or cfg.pipeline_name
+        if op_id == "pipeline":
+            raise ValueError(
+                "pipeline has no name: pass operation_id or set "
+                "pipeline_name in the config")
+        op = Operation(op_id, "pipeline", {"pipeline": cfg.to_config()},
+                       doc=cfg.doc, operation_type="pipeline")
+        self.context.operation_registry.register(op)
+        return op
+
+    def register_pipelines(self, *paths: str) -> list:
+        """Register every pipeline json/yaml found in the given files/dirs
+        — reference ``BaseAPI.register_pipelines``."""
+        import glob as _glob
+
+        ops = []
+        for p in paths:
+            files = ([p] if os.path.isfile(p) else
+                     sorted(_glob.glob(os.path.join(p, "*.json"))
+                            + _glob.glob(os.path.join(p, "*.yaml"))
+                            + _glob.glob(os.path.join(p, "*.yml"))))
+            for f in files:
+                try:
+                    ops.append(self.register_pipeline(f))
+                except (ValueError, KeyError, TypeError):
+                    continue  # not a pipeline config — skip, like the CLI
+        return ops
+
+    def list_pipeline_ids(self) -> list[str]:
+        """Operation ids of all registered pipeline operations."""
+        return sorted(o.operation_id for o in
+                      self.context.operation_registry.by_type("pipeline"))
+
+    def list_pipelines(self) -> dict:
+        """id -> Operation for all registered pipeline operations."""
+        return {o.operation_id: o for o in
+                self.context.operation_registry.by_type("pipeline")}
+
+    def get_pipeline_structure(self, pipeline: Any):
+        """The PipelineStructure for a registered pipeline operation id, a
+        pipeline file path, or a config mapping — reference
+        ``BaseAPI.get_pipeline_structure``."""
+        from .pipeline import PipelineConfig, PipelineStructure
+
+        if isinstance(pipeline, str) and not os.path.isfile(pipeline):
+            op = self.context.operation_registry.resolve(pipeline)
+            if op.operation_type != "pipeline":
+                raise ValueError(
+                    f"operation {pipeline!r} is not a pipeline")
+            cfg = PipelineConfig.from_config(op.module_config["pipeline"])
+        elif isinstance(pipeline, str):
+            cfg = PipelineConfig.from_file(pipeline)
+        else:
+            cfg = PipelineConfig.from_config(dict(pipeline))
+        return PipelineStructure(cfg, self.context.module_registry)
+
+    def retrieve_pipeline_info(self, pipeline: Any) -> dict:
+        """Structured info for one pipeline: doc, steps per stage, open
+        inputs and outputs — reference ``BaseAPI.retrieve_pipeline_info``."""
+        s = self.get_pipeline_structure(pipeline)
+        return {
+            "pipeline_name": s.config.pipeline_name,
+            "doc": s.config.doc,
+            "stages": s.stages,
+            "steps": sorted(st.step_id for st in s.config.steps),
+            "inputs": [{"alias": i.alias, "step_id": i.step_id,
+                        "field": i.field_name} for i in s.pipeline_inputs],
+            "outputs": [{"alias": o.alias, "step_id": o.step_id,
+                         "field": o.field_name}
+                        for o in s.pipeline_outputs],
+        }
+
+    def retrieve_pipelines_info(self) -> dict:
+        """retrieve_pipeline_info for every registered pipeline operation."""
+        return {pid: self.retrieve_pipeline_info(pid)
+                for pid in self.list_pipeline_ids()}
+
+    # -- values (parity fills) ---------------------------------------------
+
+    def register_data(self, data: Any, data_type: str = "table",
+                      alias: str | None = None) -> Value:
+        """Register raw data (DataFrame / scalar / dict / bytes) as a new
+        value, optionally aliased — reference ``BaseAPI.register_data``."""
+        v = self.context.data_registry.register_data(data,
+                                                     data_type=data_type)
+        if alias:
+            self.context.data_registry.register_alias(alias, v.value_id)
+        return v
+
+    def assemble_value_map(self, values: Mapping[str, Any],
+                           register_data: bool = False) -> ValueMap:
+        """field -> ref/raw mapping resolved into a ValueMap — reference
+        ``BaseAPI.assemble_value_map``.  With ``register_data`` raw
+        non-reference inputs are registered as new values (type inferred
+        as table for DataFrames, any otherwise)."""
+        from pyspark.sql import DataFrame as _DF
+
+        out = {}
+        for name, ref in values.items():
+            if isinstance(ref, Value):
+                out[name] = ref
+            elif isinstance(ref, str):
+                out[name] = self.get_value(ref)
+            elif register_data:
+                dtype = "table" if isinstance(ref, _DF) else "any"
+                out[name] = self.context.data_registry.register_data(
+                    ref, data_type=dtype)
+            else:
+                raise TypeError(
+                    f"value for {name!r} is not a reference "
+                    f"(pass register_data=True to register raw data)")
+        return ValueMap(out)
+
+    def query_value(self, value: Any, query_path: str = "") -> Any:
+        """Dotted-path attribute query against a value — reference
+        ``BaseAPI.query_value`` (e.g. ``query_value("alias:orders",
+        "properties.rows")``).  Segments: ``data`` (payload), ``schema``
+        (Spark schema for tables), ``columns``, ``properties`` (profile
+        dict), ``type``, ``value_id``; dict payloads walk by key."""
+        v = self.get_value(value)
+        cur: Any = v
+        for seg in [s for s in query_path.split(".") if s]:
+            if isinstance(cur, Value):
+                if seg == "data":
+                    cur = cur.data
+                elif seg == "type":
+                    cur = cur.schema.type
+                elif seg == "value_id":
+                    cur = cur.value_id
+                elif seg == "properties":
+                    cur = self.retrieve_value_info(cur.value_id).get(
+                        "properties", {})
+                elif seg == "columns" and hasattr(cur.data, "columns"):
+                    cur = cur.data.columns
+                elif seg == "schema" and hasattr(cur.data, "schema"):
+                    cur = cur.data.schema
+                else:
+                    raise KeyError(
+                        f"unknown value query segment {seg!r} (want data/"
+                        f"type/value_id/properties/columns/schema)")
+            elif isinstance(cur, Mapping):
+                if seg not in cur:
+                    raise KeyError(f"no key {seg!r} in {sorted(cur)}")
+                cur = cur[seg]
+            elif hasattr(cur, seg):
+                cur = getattr(cur, seg)
+            else:
+                raise KeyError(
+                    f"can't descend into {type(cur).__name__} via {seg!r}")
+        return cur
+
+    # -- renderers (parity fills) -------------------------------------------
+
+    def retrieve_renderers_for(self, source_type: str) -> list:
+        """Renderer instances accepting a source type — reference
+        ``BaseAPI.retrieve_renderers_for``."""
+        return self.context.render_registry.renderers_for(
+            source_type=source_type)
+
+    def render_value(self, value: Any, target_format: str = "string",
+                     render_config: Mapping[str, Any] | None = None) -> Any:
+        """Render a VALUE into a target format — reference
+        ``BaseAPI.render_value``.  ``string`` routes through
+        pretty_print.value, ``html`` through the value html renderer,
+        ``table_page`` through render.value (offset/limit pushed into the
+        Spark plan)."""
+        v = self.get_value(value)
+        cfg = dict(render_config or {})
+        if target_format == "string":
+            return self.get_value_str(v)
+        if target_format == "html":
+            return self.context.render_registry.render(
+                "value", "html", v, **cfg)
+        if target_format == "table_page":
+            out = self.context.run_job(
+                "render.value", {"value": v, "render_config": cfg})
+            return out["render_value_result"].data
+        raise ValueError(
+            f"unsupported render_value target {target_format!r} "
+            f"(want string / html / table_page)")
+
+    # -- archives (parity fills) ----------------------------------------
+
+    def register_archive(self, archive_path: str,
+                         registered_name: str | None = None) -> str:
+        """Register an archive directory under a short name for later
+        import/copy calls — reference ``BaseAPI.register_archive``."""
+        from .archive import MANIFEST_NAME
+
+        if not os.path.isfile(os.path.join(archive_path, MANIFEST_NAME)):
+            raise ValueError(f"no archive manifest in {archive_path!r}")
+        name = registered_name or os.path.basename(
+            os.path.normpath(archive_path))
+        self._archives[name] = os.path.abspath(archive_path)
+        return name
+
+    def copy_archive(self, source_archive: str, target_archive: str) -> dict:
+        """Copy an archive (path or registered name) to a new directory —
+        reference ``BaseAPI.copy_archive``.  File-level copy: the archive
+        IS a directory of Parquet datasets + manifest."""
+        import shutil
+
+        src = self._archives.get(source_archive, source_archive)
+        from .archive import MANIFEST_NAME
+
+        if not os.path.isfile(os.path.join(src, MANIFEST_NAME)):
+            raise ValueError(f"no archive manifest in {src!r}")
+        if os.path.exists(target_archive):
+            raise ValueError(f"target exists: {target_archive!r}")
+        shutil.copytree(src, target_archive)
+        with open(os.path.join(target_archive, MANIFEST_NAME)) as f:
+            return json.load(f)
+
+    def set_archive_metadata_value(self, archive: str, key: str,
+                                   value: Any) -> None:
+        """Attach a metadata entry to an archive's manifest — reference
+        ``BaseAPI.set_archive_metadata_value``."""
+        from .archive import MANIFEST_NAME
+
+        path = os.path.join(self._archives.get(archive, archive),
+                            MANIFEST_NAME)
+        with open(path) as f:
+            manifest = json.load(f)
+        manifest.setdefault("metadata", {})[key] = value
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+    # -- metadata items ---------------------------------------------------
+
+    def register_metadata_item(self, key: str, value: Any) -> str:
+        """Store a metadata item (comment, annotation, provenance note) in
+        the context's metadata store — reference
+        ``BaseAPI.register_metadata_item``.  Returns the item id."""
+        items = self._load_metadata_items()
+        item_id = f"md-{len(items)}"
+        items.append({"item_id": item_id, "key": key, "value": value})
+        with open(self._metadata_items_file(), "w") as f:
+            json.dump(items, f, indent=1, default=str)
+        return item_id
+
+    def find_metadata_items(self, key: str | None = None) -> list[dict]:
+        """Metadata items, optionally filtered by key — reference
+        ``BaseAPI.find_metadata_items``."""
+        items = self._load_metadata_items()
+        return [i for i in items if key is None or i["key"] == key]
+
+    def _metadata_items_file(self) -> str:
+        return os.path.join(self.context.base_path, "metadata_items.json")
+
+    def _load_metadata_items(self) -> list[dict]:
+        try:
+            with open(self._metadata_items_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return []
+
+    # -- workflows (reference workflow session surface) --------------------
+
+    def create_workflow(self, workflow_alias: str,
+                        initial_pipeline: Any | None = None,
+                        initial_inputs: Mapping[str, Any] | None = None):
+        """Create a workflow session, optionally seeded from a pipeline
+        config — reference ``BaseAPI.create_workflow``."""
+        from .pipeline import PipelineConfig
+        from .workflow import Workflow
+
+        wf = Workflow(self.context, workflow_alias)
+        if initial_pipeline is not None:
+            cfg = (PipelineConfig.from_file(initial_pipeline)
+                   if isinstance(initial_pipeline, str)
+                   else PipelineConfig.from_config(dict(initial_pipeline)))
+            for step in cfg.steps:
+                links = {}
+                for f, refs in step.input_links.items():
+                    if len(refs) > 1:
+                        raise ValueError(
+                            f"workflow seeding does not support list-valued "
+                            f"links (step {step.step_id!r} field {f!r})")
+                    links[f] = f"{refs[0].step_id}.{refs[0].value_name}"
+                wf.add_step(step.module_type, step_id=step.step_id,
+                            module_config=dict(step.module_config),
+                            input_links=links)
+            for key, alias in cfg.input_aliases.items():
+                wf.alias_input(key, alias)
+            for key, alias in cfg.output_aliases.items():
+                wf.alias_output(key, alias)
+        if initial_inputs:
+            wf.set_inputs(**dict(initial_inputs))
+        return wf
+
+    def get_workflow(self, workflow: str, create_if_necessary: bool = False):
+        """Load a workflow session by alias (persisted snapshots restore) —
+        reference ``BaseAPI.get_workflow``."""
+        from .workflow import Workflow
+
+        path = os.path.join(self.context.base_path, "workflows",
+                            f"{workflow}.json")
+        if not os.path.isfile(path) and not create_if_necessary:
+            raise KeyError(f"no workflow with alias {workflow!r}")
+        return Workflow(self.context, workflow)
+
+    def list_workflow_alias_names(self) -> list[str]:
+        """Aliases of all persisted workflows — reference
+        ``BaseAPI.list_workflow_alias_names``.  (Workflows here are
+        alias-addressed: the alias IS the id.)"""
+        wdir = os.path.join(self.context.base_path, "workflows")
+        if not os.path.isdir(wdir):
+            return []
+        return sorted(os.path.splitext(f)[0] for f in os.listdir(wdir)
+                      if f.endswith(".json"))
+
+    def list_workflow_ids(self) -> list[str]:
+        """Workflow ids (== aliases in this engine) — reference
+        ``BaseAPI.list_workflow_ids``."""
+        return self.list_workflow_alias_names()
+
+    def list_workflows(self) -> dict:
+        """alias -> Workflow for every persisted workflow — reference
+        ``BaseAPI.list_workflows``."""
+        return {a: self.get_workflow(a)
+                for a in self.list_workflow_alias_names()}
+
+    def list_workflow_aliases(self) -> dict:
+        """Alias-indexed workflow map (same as list_workflows here)."""
+        return self.list_workflows()
+
+    def retrieve_workflow_info(self, workflow: str) -> dict:
+        """Structured info for one workflow: steps, snapshot/state history
+        — reference ``BaseAPI.retrieve_workflow_info``."""
+        wf = self.get_workflow(workflow)
+        return {
+            "alias": wf.alias,
+            "steps": [s["step_id"] for s in wf.pipeline_config["steps"]],
+            "n_snapshots": len(wf.snapshots),
+            "state_ids": wf.all_state_ids,
+        }
+
+    def retrieve_workflows_info(self) -> dict:
+        """retrieve_workflow_info for every persisted workflow."""
+        return {a: self.retrieve_workflow_info(a)
+                for a in self.list_workflow_alias_names()}
+
+    def retrieve_workflow_aliases_info(self) -> dict:
+        """Alias-indexed workflow info map (aliases are ids here)."""
+        return self.retrieve_workflows_info()

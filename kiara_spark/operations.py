@@ -50,3 +50,25 @@ class OperationRegistry:
 
     def by_type(self, operation_type: str) -> list[Operation]:
         return [o for o in self._operations.values() if o.operation_type == operation_type]
+
+
+# The minting conventions — reference operation types
+# (``src/kiara/operations/included_core_operations/`` + ``pipeline.py``),
+# each with the id pattern its operations follow.
+OPERATION_TYPE_DOCS: dict[str, str] = {
+    "custom_module": "A module run under its own name, no id convention.",
+    "pipeline": "A pipeline config registered as a runnable operation.",
+    "deserialize": "Load persisted/serialized data: `deserialize.<type>.to"
+                   "__<profile>` / `load.*`.",
+    "extract_metadata": "Profile a value into a metadata dict: "
+                        "`extract.<type>.metadata`.",
+    "pretty_print": "Human-readable rendering: `pretty_print.<src>.as."
+                    "<target>`.",
+    "create_from": "Type conversion imports: `create.<tgt>.from.<src>`.",
+    "import_data": "Onboard external data: `import.local.file` / "
+                   "`import.local.file_bundle`.",
+    "export_as": "Persist values to external formats: `export.<src>.as."
+                 "<profile>`.",
+    "render_value": "Template rendering: `render.<src>.as.<tgt>`.",
+    "filter": "Value-preserving row/column filters: `<type>_filter.<name>`.",
+}

@@ -133,3 +133,193 @@ def test_singleton_instance():
     import tests.conftest  # noqa: F401
     a = KiaraAPI.instance.__func__  # bound check only; no heavy init here
     assert callable(a)
+
+
+PIPE_2AND = {
+    "pipeline_name": "and_twice",
+    "doc": "two chained ands",
+    "steps": [
+        {"module_type": "logic.and", "step_id": "s1"},
+        {"module_type": "logic.and", "step_id": "s2",
+         "input_links": {"a": "s1.y"}},
+    ],
+    "input_aliases": {"s1.a": "a", "s1.b": "b", "s2.b": "c"},
+    "output_aliases": {"s2.y": "y"},
+}
+
+
+def test_runtime_config_and_operation_types(api):
+    """get_runtime_config + the operation-type surface (reference
+    BaseAPI.get_runtime_config / get_operation_type /
+    retrieve_operation_type_info / find_operation_id)."""
+    rc = api.get_runtime_config()
+    assert rc["job_cache"] == "value_id" and rc["base_path"]
+
+    names = api.list_operation_type_names()
+    assert {"custom_module", "pipeline", "filter", "render_value",
+            "create_from", "export_as"} <= set(names)
+    info = api.retrieve_operation_type_info("render_value")
+    assert "render.pipeline.as.html" in info["operation_ids"]
+    assert info["doc"]
+    with pytest.raises(KeyError, match="unknown operation type"):
+        api.get_operation_type("nope")
+
+    assert api.find_operation_id(
+        "render.item",
+        {"source_type": "archive", "target_type": "html"}) == \
+        "render.archive.as.html"
+    assert api.find_operation_id("render.item", {"source_type": "zz"}) is None
+
+    op = api.create_operation("logic.and", operation_id="test.my_and")
+    assert op.module_type == "logic.and"
+    assert "test.my_and" in api.list_operation_ids()
+    with pytest.raises(KeyError):
+        api.create_operation("no.such.module")
+
+
+def test_manifest_execution(api):
+    """run_manifest / queue_manifest: the lowest-level run surface —
+    module_type + module_config, no operation resolution (reference
+    BaseAPI.run_manifest)."""
+    out = api.run_manifest({"module_type": "logic.and"},
+                           {"a": True, "b": True})
+    assert out["y"].data is True
+    job_id = api.queue_manifest({"module_type": "logic.and"},
+                                {"a": True, "b": False})
+    assert api.get_job_result(job_id)["y"].data is False
+    with pytest.raises(ValueError, match="module_type"):
+        api.run_manifest({"inputs": {}})
+
+
+def test_register_pipeline_as_operation(api):
+    """register_pipeline mints a runnable operation (reference
+    BaseAPI.register_pipeline): run_job by id executes the whole pipeline
+    through the PipelineModule; list/info surfaces see it."""
+    op = api.register_pipeline(PIPE_2AND)
+    assert op.operation_type == "pipeline"
+    assert api.list_pipeline_ids() == ["and_twice"]
+    out = api.run_job("and_twice", {"a": True, "b": True, "c": True})
+    assert out["y"].data is True
+
+    info = api.retrieve_pipeline_info("and_twice")
+    assert info["stages"] == [["s1"], ["s2"]]
+    assert [i["alias"] for i in info["inputs"]] == ["a", "b", "c"]
+    assert info["doc"] == "two chained ands"
+    assert "and_twice" in api.retrieve_pipelines_info()
+    s = api.get_pipeline_structure("and_twice")
+    assert [st.step_id for st in s.config.steps] == ["s1", "s2"]
+    # anonymous pipelines need an explicit id
+    with pytest.raises(ValueError, match="no name"):
+        api.register_pipeline({"steps": PIPE_2AND["steps"]})
+
+
+def test_register_pipelines_scans_dir(api, tmp_path):
+    import json
+
+    (tmp_path / "p1.json").write_text(json.dumps(PIPE_2AND))
+    (tmp_path / "notes.json").write_text(json.dumps({"just": "data"}))
+    ops = api.register_pipelines(str(tmp_path))
+    assert [o.operation_id for o in ops] == ["and_twice"]
+
+
+def test_register_data_value_map_query(api, spark):
+    """register_data / assemble_value_map / query_value (reference
+    BaseAPI parity)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, txt string")
+    v = api.register_data(df, alias="api_q")
+    assert api.get_value("alias:api_q").value_id == v.value_id
+
+    vm = api.assemble_value_map({"t": "alias:api_q", "n": 7},
+                                register_data=True)
+    assert vm["t"].schema.type == "table" and vm["n"].data == 7
+    with pytest.raises(TypeError, match="register_data"):
+        api.assemble_value_map({"n": 7})
+
+    assert api.query_value(v, "columns") == ["id", "txt"]
+    assert api.query_value("alias:api_q", "type") == "table"
+    assert api.query_value(v, "value_id") == v.value_id
+    with pytest.raises(KeyError):
+        api.query_value(v, "nope")
+
+
+def test_render_value_formats(api, spark):
+    df = spark.createDataFrame([(1, "<b>x</b>")], "id int, txt string")
+    api.register_data(df, alias="api_rv")
+    s = api.render_value("alias:api_rv")
+    assert "id" in s and "txt" in s
+    html = api.render_value("alias:api_rv", "html")
+    assert html.startswith("<!DOCTYPE html>") and "&lt;b&gt;" in html
+    page = api.render_value("alias:api_rv", "table_page", {"limit": 1})
+    assert page["kind"] == "table_page" and len(page["rows"]) == 1
+    with pytest.raises(ValueError, match="unsupported"):
+        api.render_value("alias:api_rv", "pdf")
+
+
+def test_archive_register_copy_metadata(api, spark, tmp_path):
+    """register_archive / copy_archive / set_archive_metadata_value
+    (reference BaseAPI archive management)."""
+    from kiara_spark.archive import export_archive
+
+    df = spark.createDataFrame([(1,)], "id int")
+    api.register_data(df, alias="arch_v")
+    src = str(tmp_path / "a1")
+    export_archive(api.context, ["arch_v"], src)
+
+    name = api.register_archive(src, "demo_arch")
+    assert name == "demo_arch"
+    api.set_archive_metadata_value("demo_arch", "owner", "me")
+    dst = str(tmp_path / "a2")
+    manifest = api.copy_archive("demo_arch", dst)
+    assert manifest["metadata"] == {"owner": "me"}
+    assert (tmp_path / "a2" / "manifest.json").is_file()
+    with pytest.raises(ValueError, match="target exists"):
+        api.copy_archive("demo_arch", dst)
+    with pytest.raises(ValueError, match="manifest"):
+        api.register_archive(str(tmp_path / "empty"))
+
+
+def test_metadata_items_store(api):
+    i1 = api.register_metadata_item("note", "hello")
+    i2 = api.register_metadata_item("note", "world")
+    api.register_metadata_item("tag", "v1")
+    notes = api.find_metadata_items("note")
+    assert [n["item_id"] for n in notes] == [i1, i2]
+    assert len(api.find_metadata_items()) == 3
+
+
+def test_workflow_session_surface(api):
+    """create_workflow seeded from a pipeline + the list/info family
+    (reference BaseAPI.create_workflow / get_workflow /
+    list_workflow_aliases / retrieve_workflow_info)."""
+    wf = api.create_workflow("api_wf", initial_pipeline=PIPE_2AND,
+                             initial_inputs={"a": True, "b": True,
+                                             "c": True})
+    out = wf.process()
+    assert out["y"].data is True
+    wf.snapshot()
+
+    assert "api_wf" in api.list_workflow_alias_names()
+    assert api.list_workflow_ids() == api.list_workflow_alias_names()
+    info = api.retrieve_workflow_info("api_wf")
+    assert info["steps"] == ["s1", "s2"] and info["n_snapshots"] == 1
+    assert "api_wf" in api.retrieve_workflows_info()
+    wf2 = api.get_workflow("api_wf")
+    assert [s["step_id"] for s in wf2.pipeline_config["steps"]] == \
+        ["s1", "s2"]
+    with pytest.raises(KeyError):
+        api.get_workflow("ghost_wf")
+    assert api.get_workflow("fresh_wf", create_if_necessary=True).alias == \
+        "fresh_wf"
+
+
+def test_misc_parity_fills(api):
+    assert api.is_internal_data_type("any") is True
+    assert api.is_internal_data_type("table") is False
+    with pytest.raises(KeyError):
+        api.is_internal_data_type("nope")
+    assert api.ensure_plugin_packages("json") == {"json": True}
+    with pytest.raises(RuntimeError, match="not installed"):
+        api.ensure_plugin_packages("definitely_not_a_package_xyz")
+    assert api.doc().startswith("# `KiaraAPI`")
+    assert any(r.source_type == "pipeline"
+               for r in api.retrieve_renderers_for("pipeline"))
