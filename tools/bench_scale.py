@@ -122,6 +122,13 @@ PROBE_QUERIES = [
     # O((gt+gr) log) at 10x grids (the inequality-join shape it replaced
     # was quadratic)
     "ml_quantile_normalize_orders",
+    # round 9: Sen's slope now takes the exact lower median on the
+    # DISTINCT-slope grid via range-partitioned prefix counts (no
+    # unpartitioned row_number window); the day-bucket grid is bounded by
+    # the calendar horizon, so 10x rows must NOT grow the pair join —
+    # expect a near-1x ratio, and any blow-up means the bucket envelope
+    # guard regressed
+    "events_mann_kendall_trend",
 ]
 
 EXCLUDED = {
