@@ -30,6 +30,11 @@ it builds a fresh local context.
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
     python -m kiara_spark.cli archive explain <path>
     python -m kiara_spark.cli workflow list | workflow explain <alias>
+    python -m kiara_spark.cli workflow create <alias> [--pipeline file] [key=value ...]
+    python -m kiara_spark.cli workflow set-input <alias> key=value ... [--process]
+    python -m kiara_spark.cli workflow states <alias>
+    python -m kiara_spark.cli workflow rollback <alias> [state_id]
+    python -m kiara_spark.cli workflow diff <alias> <state_a> <state_b>
     python -m kiara_spark.cli pipeline list | pipeline explain <file.json>
 
 Named contexts persist under $KIARA_SPARK_CONTEXTS (default
@@ -566,6 +571,105 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in sorted(aliases.items()):
                     print(f"  {k} -> {v}")
         print(f"snapshots: {len(wf.snapshots)}")
+        if wf.all_state_ids:
+            print(f"states: {', '.join(wf.all_state_ids)}")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["create"]:
+        # reference `kiara workflow create <alias> [--pipeline file]`
+        # (interfaces/cli/workflow/commands.py:64)
+        argv.pop(0)
+        if not argv:
+            raise SystemExit("workflow create: missing alias")
+        alias = argv.pop(0)
+        pipeline = None
+        if "--pipeline" in argv:
+            i = argv.index("--pipeline")
+            try:
+                pipeline = argv[i + 1]
+            except IndexError:
+                raise SystemExit("--pipeline requires a file") from None
+            del argv[i:i + 2]
+        inputs = _parse_inputs(argv)
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        wf = api.create_workflow(alias, initial_pipeline=pipeline,
+                                 initial_inputs=inputs)
+        snap = wf.snapshot()
+        print(f"created workflow {alias!r}: "
+              f"{len(wf.pipeline_config['steps'])} step(s), "
+              f"state {snap['state_id']}")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["set-input"]:
+        # reference `kiara workflow set-input <alias> key=value [--process]`
+        # (interfaces/cli/workflow/commands.py:122)
+        argv.pop(0)
+        if not argv:
+            raise SystemExit("workflow set-input: missing workflow alias")
+        alias = argv.pop(0)
+        process = "--process" in argv
+        if process:
+            argv.remove("--process")
+        inputs = _parse_inputs(argv)
+        from .workflow import Workflow
+
+        ctx = KiaraContext()
+        wf = Workflow(ctx, alias)
+        wf.set_inputs(**inputs)
+        if process:
+            outputs = wf.process()
+            for name, value in outputs.items():
+                print(f"-- {name} ({value.schema.type})")
+                data = value.data
+                print(data._show_string(20, 40, False)
+                      if hasattr(data, "_show_string") else repr(data))
+        snap = wf.snapshot()
+        print(f"state {snap['state_id']}")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["states"]:
+        argv.pop(0)
+        if not argv:
+            raise SystemExit("workflow states: missing workflow alias")
+        from .workflow import Workflow
+
+        wf = Workflow(KiaraContext(), argv[0])
+        for s in wf.snapshots:
+            print(f"{s['state_id']}  {len(s.get('steps', []))} step(s)  "
+                  f"inputs={sorted(s.get('inputs', {}))}")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["rollback"]:
+        # restore a saved state into the live workflow (round-9
+        # load_state); re-persists so the rollback survives this process
+        argv.pop(0)
+        if not argv:
+            raise SystemExit("workflow rollback: missing workflow alias")
+        alias = argv.pop(0)
+        state_id = argv.pop(0) if argv else None
+        from .workflow import Workflow
+
+        wf = Workflow(KiaraContext(), alias)
+        snap = wf.load_state(state_id)
+        if snap is None:
+            raise SystemExit(f"workflow {alias!r} has no snapshots")
+        wf.snapshot()
+        print(f"restored state {snap['state_id']} "
+              f"({len(snap.get('steps', []))} step(s))")
+        return 0
+
+    if cmd == "workflow" and argv[:1] == ["diff"]:
+        argv.pop(0)
+        if len(argv) < 3:
+            raise SystemExit(
+                "workflow diff: usage `workflow diff <alias> <state_a> "
+                "<state_b>`")
+        from .workflow import Workflow
+
+        wf = Workflow(KiaraContext(), argv[0])
+        print(json.dumps(wf.diff_states(argv[1], argv[2]), indent=1))
         return 0
 
     if cmd == "service":

@@ -159,3 +159,58 @@ def test_operation_explain_shows_typed_field_docs(capsys, spark):
     assert "item" in out and "any" in out
     assert "render_config" in out and "dict, optional" in out
     assert "rendered" in out and "string" in out
+
+
+def test_workflow_create_set_input_rollback_diff(tmp_path, monkeypatch,
+                                                 capsys, spark):
+    """The full workflow CLI session (reference
+    interfaces/cli/workflow/commands.py: create/set-input; plus the
+    round-9 state surface: states/rollback/diff).  Each command is a
+    fresh CLI context — durability comes from KIARA_SPARK_HOME."""
+    import json as _json
+
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "wcli"))
+    pipe = tmp_path / "twice.json"
+    pipe.write_text(_json.dumps({
+        "pipeline_name": "twice",
+        "steps": [
+            {"module_type": "logic.and", "step_id": "s1"},
+            {"module_type": "logic.and", "step_id": "s2",
+             "input_links": {"a": "s1.y"}},
+        ],
+        "input_aliases": {"s1.a": "a", "s1.b": "b", "s2.b": "c"},
+        "output_aliases": {"s2.y": "y"},
+    }))
+    assert main(["workflow", "create", "cli_flow",
+                 "--pipeline", str(pipe), "a=true", "b=true"]) == 0
+    out = capsys.readouterr().out
+    assert "created workflow 'cli_flow': 2 step(s)" in out
+    state_1 = out.strip().rsplit(" ", 1)[-1]
+
+    # set-input + process runs through a FRESH process-level context
+    assert main(["workflow", "set-input", "cli_flow", "c=true",
+                 "--process"]) == 0
+    out = capsys.readouterr().out
+    assert "-- y (boolean)" in out and "True" in out
+    state_2 = out.strip().splitlines()[-1].rsplit(" ", 1)[-1]
+    assert state_2 != state_1
+
+    assert main(["workflow", "states", "cli_flow"]) == 0
+    out = capsys.readouterr().out
+    assert state_1 in out and state_2 in out
+
+    assert main(["workflow", "diff", "cli_flow", state_1, state_2]) == 0
+    diff = _json.loads(capsys.readouterr().out)
+    assert diff["inputs_changed"] == {"c": {"a": None, "b": True}}
+    assert diff["steps_added"] == []
+
+    # rollback to the pre-set-input state and verify the live workflow
+    assert main(["workflow", "rollback", "cli_flow", state_1]) == 0
+    assert f"restored state {state_1}" in capsys.readouterr().out
+    assert main(["workflow", "explain", "cli_flow"]) == 0
+    out = capsys.readouterr().out
+    assert "snapshots: 3" in out  # create + set-input + rollback re-record
+
+    # unknown state id fails loudly
+    with pytest.raises(SystemExit):
+        main(["workflow", "rollback"])
