@@ -1094,3 +1094,51 @@ class KiaraAPI:
     def retrieve_workflow_aliases_info(self) -> dict:
         """Alias-indexed workflow info map (aliases are ids here)."""
         return self.retrieve_workflows_info()
+
+    def assemble_filter_pipeline_config(
+            self, data_type: str, filters: list[str]) -> dict:
+        """Chain ``<type>_filter.<name>`` operations into one pipeline
+        config — reference ``BaseAPI.assemble_filter_pipeline_config``
+        (``base_api.py``): the value field threads step-to-step; each
+        filter's other open fields surface as pipeline inputs (bare field
+        name when unique across the chain, ``<step>__<field>`` otherwise).
+        Run the result with ``run_pipeline`` or register it via
+        ``register_pipeline``."""
+        if not filters:
+            raise ValueError("filters must name at least one filter")
+        steps, aliases = [], {}
+        # count field collisions first so aliasing is stable
+        field_owners: dict[str, list[str]] = {}
+        resolved = []
+        for i, name in enumerate(filters):
+            op = self.context.operation_registry.resolve(
+                f"{data_type}_filter.{name}")
+            step_id = f"{name}_{i}"
+            module = self.context.module_registry.create_module(
+                op.module_type, dict(op.module_config))
+            open_fields = [f for f in module.inputs_schema
+                           if f != data_type and f not in op.module_config]
+            resolved.append((step_id, op, open_fields))
+            for f in open_fields:
+                field_owners.setdefault(f, []).append(step_id)
+        prev = None
+        for step_id, op, open_fields in resolved:
+            step = {"step_id": step_id, "module_type": op.module_type}
+            if op.module_config:
+                step["module_config"] = dict(op.module_config)
+            if prev:
+                step["input_links"] = {data_type: f"{prev}.{data_type}"}
+            steps.append(step)
+            for f in open_fields:
+                unique = len(field_owners[f]) == 1
+                aliases[f"{step_id}.{f}"] = f if unique \
+                    else f"{step_id}__{f}"
+            prev = step_id
+        aliases[f"{steps[0]['step_id']}.{data_type}"] = data_type
+        return {
+            "pipeline_name": f"filter_{data_type}",
+            "doc": f"{data_type} filter chain: {', '.join(filters)}",
+            "steps": steps,
+            "input_aliases": aliases,
+            "output_aliases": {f"{prev}.{data_type}": data_type},
+        }

@@ -18,6 +18,8 @@ cache across invocations — the reference's ZMQ service model); otherwise
 it builds a fresh local context.
     python -m kiara_spark.cli data list [--type T] [--alias GLOB] [--min-size N]
     python -m kiara_spark.cli data explain <ref>
+    python -m kiara_spark.cli data load <ref>
+    python -m kiara_spark.cli data filter <ref> <f1>[,<f2>...] [key=value ...] [--save alias]
     python -m kiara_spark.cli render <ref> [offset=N limit=N]
     python -m kiara_spark.cli render <item> as <html|markdown|python_script|png> [key=value ...] [--output path]
       <item>: pipeline file, job description file, archive dir, alias:/value:
@@ -230,6 +232,58 @@ def main(argv: list[str] | None = None) -> int:
             print(f"destinies: {', '.join(destinies)}")
         print("lineage:")
         print(_json.dumps(ctx.data_registry.lineage(v), indent=2))
+        return 0
+
+    if cmd == "data" and argv[:1] == ["load"]:
+        # reference `kiara data load <value>` (cli/data/commands.py:312):
+        # print the value's data — one page of rows for tables, repr
+        # otherwise
+        if len(argv) < 2:
+            raise SystemExit("data load: missing value ref")
+        ctx = KiaraContext()
+        v = ctx.get_value(argv[1])
+        data = v.data
+        if hasattr(data, "_show_string"):
+            print(data._show_string(20, 40, False))
+        else:
+            print(repr(data))
+        return 0
+
+    if cmd == "data" and argv[:1] == ["filter"]:
+        # reference `kiara data filter <value> <f1>,<f2> ...`
+        # (cli/data/commands.py:361): chain <type>_filter.* operations;
+        # filter inputs pass as key=value (field name, or step__field when
+        # a field repeats across the chain)
+        if len(argv) < 3:
+            raise SystemExit(
+                "data filter: usage `data filter <ref> <f1>[,<f2>...] "
+                "[key=value ...] [--save alias]`")
+        argv.pop(0)
+        ref = argv.pop(0)
+        filters = [f for f in argv.pop(0).split(",") if f]
+        save = None
+        if "--save" in argv:
+            i = argv.index("--save")
+            try:
+                save = argv[i + 1]
+            except IndexError:
+                raise SystemExit("--save requires an alias name") from None
+            del argv[i:i + 2]
+        inputs = _parse_inputs(argv)
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        ctx = api.context
+        v = ctx.get_value(ref)
+        cfg = api.assemble_filter_pipeline_config(v.schema.type, filters)
+        inputs[v.schema.type] = v
+        outputs = ctx.run_pipeline(cfg, inputs)
+        out = outputs[v.schema.type]
+        if save:
+            print(f"saved {save} -> {ctx.store_value(out, alias=save)}")
+        data = out.data
+        print(data._show_string(20, 40, False)
+              if hasattr(data, "_show_string") else repr(data))
         return 0
 
     if cmd == "operation" and argv[:1] == ["list"]:

@@ -214,3 +214,55 @@ def test_workflow_create_set_input_rollback_diff(tmp_path, monkeypatch,
     # unknown state id fails loudly
     with pytest.raises(SystemExit):
         main(["workflow", "rollback"])
+
+
+def test_data_load_and_filter_chain(tmp_path, monkeypatch, capsys, spark):
+    """`data load` prints a value's rows; `data filter` chains
+    <type>_filter.* operations with inputs and --save (reference
+    cli/data/commands.py:312,361)."""
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "dhome"))
+    assert main(["run", "create.table.from.file",
+                 "path=/root/testdata/sf0.001/region.parquet",
+                 "--save", "regions"]) == 0
+    capsys.readouterr()
+    assert main(["data", "load", "alias:regions"]) == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "AFRICA" in out
+
+    assert main(["data", "filter", "alias:regions", "rows,select_columns",
+                 "where=r_regionkey > 1", 'columns=["r_name"]',
+                 "--save", "small"]) == 0
+    out = capsys.readouterr().out
+    assert "saved small" in out
+    assert "ASIA" in out and "AFRICA" not in out
+    assert "r_regionkey" not in out.split("saved")[-1]
+    # the saved alias round-trips through a fresh context
+    assert main(["data", "load", "alias:small"]) == 0
+    assert "EUROPE" in capsys.readouterr().out
+
+
+def test_assemble_filter_pipeline_config(spark):
+    """The filter-chain assembler (reference
+    BaseAPI.assemble_filter_pipeline_config): value field threads
+    step-to-step, other open fields surface as bare-name pipeline inputs
+    when unique, step-prefixed when repeated."""
+    from kiara_spark.api import KiaraAPI
+    from kiara_spark.context import KiaraContext
+
+    api = KiaraAPI(context=KiaraContext(spark=spark))
+    cfg = api.assemble_filter_pipeline_config(
+        "table", ["rows", "select_columns"])
+    assert [s["step_id"] for s in cfg["steps"]] == ["rows_0",
+                                                    "select_columns_1"]
+    assert cfg["steps"][1]["input_links"] == {"table": "rows_0.table"}
+    assert cfg["input_aliases"]["rows_0.where"] == "where"
+    assert cfg["input_aliases"]["rows_0.table"] == "table"
+    assert cfg["output_aliases"] == {"select_columns_1.table": "table"}
+    # a repeated filter disambiguates its fields by step id
+    cfg2 = api.assemble_filter_pipeline_config("table", ["rows", "rows"])
+    assert cfg2["input_aliases"]["rows_0.where"] == "rows_0__where"
+    assert cfg2["input_aliases"]["rows_1.where"] == "rows_1__where"
+    with pytest.raises(ValueError, match="at least one"):
+        api.assemble_filter_pipeline_config("table", [])
+    with pytest.raises(KeyError):
+        api.assemble_filter_pipeline_config("table", ["nope"])
