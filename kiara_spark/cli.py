@@ -5,7 +5,8 @@ pipeline explain.
 Usage:
     python -m kiara_spark.cli run <operation|pipeline.json|job_desc.json> [key=value ...] [--save alias] [--explain]
     python -m kiara_spark.cli operation list | operation explain <op_id>
-    python -m kiara_spark.cli module list | type list
+    python -m kiara_spark.cli module list | module explain <module_type>
+    python -m kiara_spark.cli type list | type explain <name> | type hierarchy
     python -m kiara_spark.cli plugin list | plugin explain <name>
     python -m kiara_spark.cli info
     python -m kiara_spark.cli doc generate <dir>
@@ -340,6 +341,76 @@ def main(argv: list[str] | None = None) -> int:
         ctx = KiaraContext()
         for name in ctx.modules:
             print(name)
+        return 0
+
+    if cmd == "module" and argv[:1] == ["explain"]:
+        # reference `kiara module explain <module_type>`
+        # (interfaces/cli/module/commands.py:70)
+        if len(argv) < 2:
+            raise SystemExit("module explain: missing module type")
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        try:
+            info = api.retrieve_module_type_info(argv[1])
+        except KeyError:
+            raise SystemExit(f"unknown module type: {argv[1]!r}") from None
+        print(f"module type: {info['module_type']}")
+        print(f"doc: {info['description']}")
+        if info["inputs"]:
+            print("inputs:")
+            for fname, schema in info["inputs"].items():
+                if isinstance(schema, dict):
+                    ty = schema.get("type", "any")
+                    opt = ", optional" if schema.get("optional") else ""
+                    print(f"  {fname:24s} {ty}{opt}")
+                else:
+                    print(f"  {fname}")
+        if info["outputs"]:
+            print("outputs:")
+            for fname in info["outputs"]:
+                print(f"  {fname}")
+        return 0
+
+    if cmd == "type" and argv[:1] == ["explain"]:
+        # reference `kiara type explain <name>`
+        # (interfaces/cli/type/commands.py:108)
+        if len(argv) < 2:
+            raise SystemExit("type explain: missing data type name")
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        try:
+            info = api.retrieve_data_type_info(argv[1])
+        except KeyError:
+            raise SystemExit(f"unknown data type: {argv[1]!r}") from None
+        print(f"data type: {info['type_name']}")
+        print(f"python class: {info['python_class']}")
+        print(f"internal: {api.is_internal_data_type(argv[1])}")
+        print(f"doc: {info['doc']}")
+        return 0
+
+    if cmd == "type" and argv[:1] == ["hierarchy"]:
+        # reference `kiara type hierarchy`
+        # (interfaces/cli/type/commands.py:83): the DataType class tree
+        from .datatypes import DataType
+
+        ctx = KiaraContext()
+        by_name = {cls.name: cls
+                   for cls in ctx.type_registry._types.values()}
+
+        def _children(parent):
+            return sorted(
+                (n for n, c in by_name.items()
+                 if c.__bases__[0] is parent), key=str)
+
+        def _walk(parent, depth):
+            for n in _children(parent):
+                print("  " * depth + n)
+                _walk(by_name[n], depth + 1)
+
+        print("any (root)")
+        _walk(DataType, 1)
         return 0
 
     if cmd == "data" and argv[:1] == ["list"]:

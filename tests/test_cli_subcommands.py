@@ -266,3 +266,26 @@ def test_assemble_filter_pipeline_config(spark):
         api.assemble_filter_pipeline_config("table", [])
     with pytest.raises(KeyError):
         api.assemble_filter_pipeline_config("table", ["nope"])
+
+
+def test_module_and_type_explain_hierarchy(capsys, spark):
+    """`module explain`, `type explain`, `type hierarchy` (reference
+    cli/module/commands.py:70, cli/type/commands.py:83,108)."""
+    assert main(["module", "explain", "table.query.sql"]) == 0
+    out = capsys.readouterr().out
+    assert "module type: table.query.sql" in out
+    assert "query" in out and "table, optional" in out
+    with pytest.raises(SystemExit):
+        main(["module", "explain", "no.such"])
+
+    assert main(["type", "explain", "table"]) == 0
+    out = capsys.readouterr().out
+    assert "python class: TableType" in out and "internal: False" in out
+    assert main(["type", "explain", "any"]) == 0
+    assert "internal: True" in capsys.readouterr().out
+
+    assert main(["type", "hierarchy"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0] == "any (root)"
+    assert "  table" in lines
+    assert "    array" in lines  # array subclasses table
