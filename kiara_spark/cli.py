@@ -39,6 +39,7 @@ it builds a fresh local context.
     python -m kiara_spark.cli workflow rollback <alias> [state_id]
     python -m kiara_spark.cli workflow diff <alias> <state_a> <state_b>
     python -m kiara_spark.cli pipeline list | pipeline explain <file.json>
+    python -m kiara_spark.cli pipeline explain-stages|execution-graph|data-flow-graph <file.json>
 
 Named contexts persist under $KIARA_SPARK_CONTEXTS (default
 ~/.local/share/kiara_spark/contexts), one directory per context — the
@@ -992,6 +993,43 @@ def main(argv: list[str] | None = None) -> int:
             print(f"  stage {i}: {', '.join(stage)}")
         print("  inputs: ", ", ".join(pi.alias for pi in st.pipeline_inputs))
         print("  outputs:", ", ".join(po.alias for po in st.pipeline_outputs))
+        return 0
+
+    if cmd == "pipeline" and argv[:1] in (["execution-graph"],
+                                          ["data-flow-graph"],
+                                          ["explain-stages"]):
+        # reference `kiara pipeline execution-graph / data-flow-graph /
+        # explain-stages` (interfaces/cli/pipeline/commands.py:107-200):
+        # terminal renderings of the step DAG / dataflow edges / stages
+        sub = argv.pop(0)
+        if not argv:
+            raise SystemExit(f"pipeline {sub}: missing pipeline file")
+        from .pipeline import PipelineConfig, PipelineStructure
+
+        ctx = KiaraContext()
+        cfg = PipelineConfig.from_file(argv[0])
+        st = PipelineStructure(cfg, ctx.module_registry)
+        print(f"pipeline: {cfg.pipeline_name}")
+        if sub == "explain-stages":
+            for i, stage in enumerate(st.stages):
+                print(f"stage {i}:")
+                for sid in stage:
+                    print(f"  {sid} ({st.step(sid).module_type})")
+        elif sub == "execution-graph":
+            for sid, downstream in st.execution_graph.items():
+                arrow = f" -> {', '.join(downstream)}" if downstream else ""
+                print(f"  {sid}{arrow}")
+        else:  # data-flow-graph: input -> step.field edges + outputs
+            for pi in st.pipeline_inputs:
+                print(f"  input:{pi.alias} -> {pi.step_id}.{pi.field_name}")
+            for s in cfg.steps:
+                for f, refs in s.input_links.items():
+                    for r in refs:
+                        print(f"  {r.step_id}.{r.value_name} -> "
+                              f"{s.step_id}.{f}")
+            for po in st.pipeline_outputs:
+                print(f"  {po.step_id}.{po.field_name} -> "
+                      f"output:{po.alias}")
         return 0
 
     print(__doc__)

@@ -289,3 +289,26 @@ def test_module_and_type_explain_hierarchy(capsys, spark):
     assert lines[0] == "any (root)"
     assert "  table" in lines
     assert "    array" in lines  # array subclasses table
+
+
+def test_pipeline_graph_subcommands(capsys, monkeypatch, spark):
+    """`pipeline explain-stages / execution-graph / data-flow-graph`
+    (reference cli/pipeline/commands.py:107-200)."""
+    monkeypatch.chdir("/root/repo")
+    assert main(["pipeline", "explain-stages",
+                 "examples/llm_data_prep.json"]) == 0
+    out = capsys.readouterr().out
+    assert "stage 0:" in out and "load (create.table.from.file)" in out
+
+    assert main(["pipeline", "execution-graph",
+                 "examples/llm_data_prep.json"]) == 0
+    out = capsys.readouterr().out
+    assert "load -> quality" in out and "stats -> summary" in out
+
+    assert main(["pipeline", "data-flow-graph",
+                 "examples/llm_data_prep.json"]) == 0
+    out = capsys.readouterr().out
+    assert "input:path -> load.path" in out
+    assert "dedup.table -> output:clean_corpus" in out
+    with pytest.raises(SystemExit):
+        main(["pipeline", "execution-graph"])
