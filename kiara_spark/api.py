@@ -1142,3 +1142,44 @@ class KiaraAPI:
             "input_aliases": aliases,
             "output_aliases": {f"{prev}.{data_type}": data_type},
         }
+
+    def assemble_render_pipeline(
+            self, data_type: str, target_format: str = "string",
+            filters: list[str] | None = None) -> dict:
+        """Pipeline config that filters a value and renders the result —
+        reference ``BaseAPI.assemble_render_pipeline`` (``base_api.py``;
+        there a manifest wiring the render operation behind optional
+        filters).  ``string`` renders via pretty_print.value; ``table_page``
+        via render.value (offset/limit pushed into the plan).  Run with
+        ``run_pipeline``, input field = ``data_type``."""
+        if target_format == "string":
+            render_module, in_field, out_field = (
+                "pretty_print.value", "value", "rendered_value")
+        elif target_format == "table_page":
+            render_module, in_field, out_field = (
+                "render.value", "value", "render_value_result")
+        else:
+            raise ValueError(
+                f"unsupported render target {target_format!r} "
+                f"(want string / table_page)")
+        if filters:
+            cfg = self.assemble_filter_pipeline_config(data_type, filters)
+            last = cfg["steps"][-1]["step_id"]
+            cfg["steps"].append({
+                "step_id": "render",
+                "module_type": render_module,
+                "input_links": {in_field: f"{last}.{data_type}"}})
+            cfg["output_aliases"] = {f"render.{out_field}": "rendered"}
+        else:
+            cfg = {
+                "pipeline_name": f"render_{data_type}",
+                "steps": [{"step_id": "render",
+                           "module_type": render_module}],
+                "input_aliases": {f"render.{in_field}": data_type},
+                "output_aliases": {f"render.{out_field}": "rendered"},
+            }
+        cfg["doc"] = (f"render a {data_type} as {target_format}"
+                      + (f" after filters: {', '.join(filters)}"
+                         if filters else ""))
+        cfg["pipeline_name"] = f"render_{data_type}"
+        return cfg

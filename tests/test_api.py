@@ -323,3 +323,25 @@ def test_misc_parity_fills(api):
     assert api.doc().startswith("# `KiaraAPI`")
     assert any(r.source_type == "pipeline"
                for r in api.retrieve_renderers_for("pipeline"))
+
+
+def test_assemble_render_pipeline(api, spark):
+    """assemble_render_pipeline: optional filter chain + a render step
+    (reference BaseAPI.assemble_render_pipeline)."""
+    df = spark.createDataFrame([(1, "keep"), (2, "drop")],
+                               "id int, tag string")
+    api.register_data(df, alias="arp_demo")
+    cfg = api.assemble_render_pipeline("table", "string",
+                                       filters=["rows"])
+    out = api.context.run_pipeline(
+        cfg, {"table": api.get_value("alias:arp_demo"),
+              "where": "tag = 'keep'"})
+    s = out["rendered"].data
+    assert "keep" in s and "drop" not in s
+
+    page = api.context.run_pipeline(
+        api.assemble_render_pipeline("table", "table_page"),
+        {"table": api.get_value("alias:arp_demo")})["rendered"].data
+    assert page["kind"] == "table_page" and len(page["rows"]) == 2
+    with pytest.raises(ValueError, match="unsupported render target"):
+        api.assemble_render_pipeline("table", "pdf")
