@@ -425,3 +425,16 @@ def test_cli_run_job_desc_and_render_inference(tmp_path, capsys, spark):
     assert main(["render", str(jd), "as", "python_script"]) == 0
     script = capsys.readouterr().out
     assert "pipeline_input_a = True" in script and "logic.and" in script
+
+
+def test_docs_api_page_in_sync(ctx):
+    """docs/API.md is the COMMITTED render of the live api-doc renderer
+    (the reference ships generated API doc pages).  When this fails the
+    page is stale — regenerate with:
+    python -c "from kiara_spark.api import KiaraAPI; \
+        open('docs/API.md','w').write(KiaraAPI().doc())"
+    """
+    got = ctx.render_registry.render("api", "markdown", "api")
+    want = (Path(__file__).parent.parent / "docs" / "API.md").read_text()
+    assert got == want, (
+        "docs/API.md is stale — regenerate it (see this test's docstring)")
