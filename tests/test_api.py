@@ -345,3 +345,23 @@ def test_assemble_render_pipeline(api, spark):
     assert page["kind"] == "table_page" and len(page["rows"]) == 2
     with pytest.raises(ValueError, match="unsupported render target"):
         api.assemble_render_pipeline("table", "pdf")
+
+
+def test_example_job_descs_run_end_to_end(api, tmp_path, monkeypatch):
+    """The examples/jobs/ descriptions run as a chained session
+    (reference examples/jobs/init.yaml pattern): the import job saves
+    `docs`, the summary job reads it by alias and saves
+    `corpus_summary`."""
+    api.run_job_desc("/root/repo/examples/jobs/import_documents.json")
+    assert "docs" in api.context.data_registry.aliases
+    out = api.run_job_desc(
+        "/root/repo/examples/jobs/corpus_summary.json",
+        inputs={"table": "alias:docs"})
+    rows = out["table"].data.collect()
+    assert {r.lang for r in rows} and all(r.n_docs > 0 for r in rows)
+    assert all(r.total_chars > 0 for r in rows)
+    assert "corpus_summary" in api.context.data_registry.aliases
+    # the summary job also renders to a runnable script
+    s = api.render("/root/repo/examples/jobs/corpus_summary.json",
+                   "job_desc", "python_script")
+    assert "table.query.sql" in s and "GROUP BY lang" in s
