@@ -124,20 +124,24 @@ def main(argv: list[str] | None = None) -> int:
             del argv[i:i + 2]
         inputs = _parse_inputs(argv)
         # service routing: a live daemon answers without paying Spark
-        # startup (pipelines route too — save is local-context only).
-        # Job description files (reference `kiara run job.yaml`,
-        # models/job.py:24) run locally: their save map is a per-output
-        # alias dict the service protocol doesn't carry.
+        # startup (pipelines and job descriptions route too — the
+        # daemon's persistent context applies a job description's save
+        # map, so its aliases survive across invocations; the --save
+        # FLAG stays local-context only, like pipelines).
         is_file = op.endswith((".json", ".yaml", ".yml"))
         is_job_desc = is_file and _is_job_desc_file(op)
         is_pipeline = is_file and not is_job_desc
-        if not explain and not (is_pipeline and save) and not is_job_desc:
+        if not explain and not (is_file and save):
             from . import service as _svc
 
             if os.environ.get("KIARA_SPARK_SERVICE") and _svc.is_running():
                 if is_pipeline:
                     payload = {"cmd": "run_pipeline",
                                "pipeline": os.path.abspath(op),
+                               "inputs": inputs}
+                elif is_job_desc:
+                    payload = {"cmd": "run_job_desc",
+                               "job_desc": os.path.abspath(op),
                                "inputs": inputs}
                 else:
                     payload = {"cmd": "run", "operation": op,

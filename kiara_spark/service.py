@@ -140,6 +140,20 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
         return {"ok": True,
                 "cache_hit": bool(hist and hist[-1].cache_hit),
                 "outputs": _render_outputs(outputs)}, True
+    if cmd == "run_job_desc":
+        # job description files run INSIDE the daemon's persistent context
+        # so the description's save map lands in the long-lived alias
+        # registry (round 9; the CLI routes `run job.json` here when a
+        # service is live)
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=ctx)
+        outputs = api.run_job_desc(req["job_desc"],
+                                   inputs=req.get("inputs") or {})
+        hist = ctx.job_registry.history
+        return {"ok": True,
+                "cache_hit": bool(hist and hist[-1].cache_hit),
+                "outputs": _render_outputs(outputs)}, True
     return {"ok": False, "error": f"unknown cmd {cmd!r}"}, True
 
 

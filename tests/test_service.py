@@ -137,3 +137,21 @@ def test_daemon_survives_client_disconnect(service):
     import time as _time
     _time.sleep(1.0)
     assert svc.is_running(service)
+
+
+def test_job_desc_routes_through_service(service, monkeypatch, capsys):
+    """Job description files route through the daemon (round 9): the
+    description's save map lands in the daemon's PERSISTENT alias
+    registry, so a later service `run` can read the alias."""
+    from kiara_spark.cli import main
+
+    monkeypatch.setenv("KIARA_SPARK_SERVICE", service)
+    monkeypatch.chdir("/root/repo")
+    assert main(["run", "examples/jobs/import_documents.json"]) == 0
+    out = capsys.readouterr().out
+    assert "-- table (table)" in out and "doc_id" in out
+    # the daemon kept the `docs` alias: the summary job reads it by ref
+    assert main(["run", "examples/jobs/corpus_summary.json",
+                 "table=alias:docs"]) == 0
+    out = capsys.readouterr().out
+    assert "n_docs" in out and "total_chars" in out
