@@ -648,11 +648,17 @@ class KiaraAPI:
 
     def is_internal_data_type(self, data_type_name: str) -> bool:
         """Whether a data type is predominantly engine-internal (reference
-        ``BaseAPI.is_internal_data_type`` via type characteristics).
-        Unknown names raise, like the reference's KiaraException."""
-        if data_type_name not in self.context.type_registry._types:
+        ``BaseAPI.is_internal_data_type`` via type characteristics):
+        none/any plus the whole InternalType family (internal_model, doc,
+        render_scene, ...).  Unknown names raise, like the reference's
+        KiaraException."""
+        from .datatypes import InternalType
+
+        cls = self.context.type_registry._types.get(data_type_name)
+        if cls is None:
             raise KeyError(f"unknown data type: {data_type_name!r}")
-        return data_type_name in ("none", "any")
+        return data_type_name in ("none", "any") or (
+            isinstance(cls, type) and issubclass(cls, InternalType))
 
     # -- operation types / manifests ------------------------------------
 

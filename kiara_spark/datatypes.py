@@ -48,6 +48,46 @@ class AnyType(DataType):
     name = "any"
 
 
+class InternalType(DataType):
+    """Root of the engine-internal family (reference
+    ``data_types/included_core_types/internal/__init__.py`` — types
+    "predominantly used internally", excluded from user-facing listings by
+    default).  ``KiaraAPI.is_internal_data_type`` keys off this class."""
+
+    name = "internal"
+
+
+class InternalModelType(InternalType):
+    """A registered internal model payload (reference ``internal_model``)."""
+
+    name = "internal_model"
+
+
+class DocType(InternalType):
+    """Documentation metadata attached to items (reference ``doc``)."""
+
+    name = "doc"
+
+
+class RenderSceneType(InternalType):
+    """A render-scene instruction tree (reference ``render_scene``)."""
+
+    name = "render_scene"
+
+
+class RenderValueResultType(InternalType):
+    """The result payload of a render_value operation (reference
+    ``render_value_result`` — here the table_page/related_scenes dict)."""
+
+    name = "render_value_result"
+
+
+class TerminalRenderableType(InternalType):
+    """A terminal-renderable payload (reference ``terminal_renderable``)."""
+
+    name = "terminal_renderable"
+
+
 class StringType(DataType):
     name = "string"
 
@@ -217,6 +257,8 @@ class TypeRegistry:
             NoneType, AnyType, StringType, BooleanType, IntegerType, FloatType,
             BytesType, DictType, TableType, ArrayType, FileType, FileBundleType,
             DatabaseType, NetworkGraphType,
+            InternalType, InternalModelType, DocType, RenderSceneType,
+            RenderValueResultType, TerminalRenderableType,
         ):
             self.register(cls)
 

@@ -365,3 +365,18 @@ def test_example_job_descs_run_end_to_end(api, tmp_path, monkeypatch):
     s = api.render("/root/repo/examples/jobs/corpus_summary.json",
                    "job_desc", "python_script")
     assert "table.query.sql" in s and "GROUP BY lang" in s
+
+
+def test_internal_data_type_family(api, capsys):
+    """The reference's internal data-type family registers and reports
+    internal=True (reference included_core_types/internal/)."""
+    names = api.list_data_type_names()
+    for n in ("internal", "internal_model", "doc", "render_scene",
+              "render_value_result", "terminal_renderable"):
+        assert n in names
+        assert api.is_internal_data_type(n) is True
+    assert api.is_internal_data_type("table") is False
+    from kiara_spark.cli import main
+
+    assert main(["type", "explain", "internal_model"]) == 0
+    assert "internal: True" in capsys.readouterr().out
