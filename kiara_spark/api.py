@@ -175,17 +175,60 @@ class KiaraAPI:
 
     # -- operations ----------------------------------------------------------
 
-    def list_operation_ids(self, filter: str | None = None) -> list[str]:
-        """Registered operation ids, optionally substring-filtered."""
-        ids = self.context.operation_registry.operation_ids
-        if filter:
-            ids = [i for i in ids if filter in i]
-        return sorted(ids)
+    def list_operation_ids(self, filter: str | None = None,
+                           input_types: list[str] | None = None,
+                           output_types: list[str] | None = None,
+                           operation_types: list[str] | None = None,
+                           include_internal: bool = True) -> list[str]:
+        """Registered operation ids, filtered — reference
+        ``BaseAPI.list_operation_ids(filter, input_types, output_types,
+        operation_types, include_internal)``: substring on the id,
+        required input/output field types (an operation matches when it
+        has at least one field of EVERY requested type), operation-type
+        membership, and internal-module exclusion."""
+        return sorted(self.list_operations(
+            filter, input_types=input_types, output_types=output_types,
+            operation_types=operation_types,
+            include_internal=include_internal))
 
-    def list_operations(self, filter: str | None = None) -> dict:
-        """Operation objects by id, optionally substring-filtered."""
-        return {i: self.context.operation_registry.resolve(i)
-                for i in self.list_operation_ids(filter)}
+    def _operation_io_types(self, op) -> tuple[set, set]:
+        module = self.context.module_registry.create_module(
+            op.module_type, dict(op.module_config))
+        return ({s.type for s in module.inputs_schema.values()},
+                {s.type for s in module.outputs_schema.values()})
+
+    def list_operations(self, filter: str | None = None,
+                        input_types: list[str] | None = None,
+                        output_types: list[str] | None = None,
+                        operation_types: list[str] | None = None,
+                        include_internal: bool = True) -> dict:
+        """Operation objects by id, filtered (same contract as
+        ``list_operation_ids``)."""
+        out = {}
+        for op_id in self.context.operation_registry.operation_ids:
+            if filter and filter not in op_id:
+                continue
+            op = self.context.operation_registry.resolve(op_id)
+            if operation_types and op.operation_type not in operation_types:
+                continue
+            if input_types or output_types or not include_internal:
+                try:
+                    module = self.context.module_registry.create_module(
+                        op.module_type, dict(op.module_config))
+                except Exception:  # config-required module: can't inspect
+                    continue
+                if not include_internal and getattr(
+                        module, "characteristics",
+                        None) and module.characteristics.is_internal:
+                    continue
+                in_t = {s.type for s in module.inputs_schema.values()}
+                out_t = {s.type for s in module.outputs_schema.values()}
+                if input_types and not set(input_types) <= in_t:
+                    continue
+                if output_types and not set(output_types) <= out_t:
+                    continue
+            out[op_id] = op
+        return out
 
     def get_operation(self, operation: str):
         """Resolve an operation id to its Operation object."""

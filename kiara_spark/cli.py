@@ -293,9 +293,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if cmd == "operation" and argv[:1] == ["list"]:
-        ctx = KiaraContext()
-        for op_id in ctx.operations:
-            op = ctx.operation_registry.resolve(op_id)
+        # reference `kiara operation list [filter] --input-type T
+        # --output-type T --operation-type T --no-internal`
+        argv.pop(0)
+        flt = None
+        kwargs: dict = {}
+        while argv:
+            a = argv.pop(0)
+            if a == "--input-type":
+                kwargs.setdefault("input_types", []).append(argv.pop(0))
+            elif a == "--output-type":
+                kwargs.setdefault("output_types", []).append(argv.pop(0))
+            elif a == "--operation-type":
+                kwargs.setdefault("operation_types", []).append(argv.pop(0))
+            elif a == "--no-internal":
+                kwargs["include_internal"] = False
+            elif a.startswith("--"):
+                raise SystemExit(f"operation list: unknown flag {a!r}")
+            else:
+                flt = a
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        for op_id, op in sorted(api.list_operations(flt, **kwargs).items()):
             print(f"{op_id:45s} -> {op.module_type} {op.module_config or ''}")
         return 0
 

@@ -380,3 +380,27 @@ def test_internal_data_type_family(api, capsys):
 
     assert main(["type", "explain", "internal_model"]) == 0
     assert "internal: True" in capsys.readouterr().out
+
+
+def test_list_operations_filters(api, capsys):
+    """Filtered operation listings (reference BaseAPI.list_operations:
+    input/output types, operation types, internal exclusion)."""
+    ids = api.list_operation_ids(operation_types=["filter"])
+    assert ids == ["table_filter.drop_duplicates", "table_filter.rows",
+                   "table_filter.select_columns"]
+    graph_ops = api.list_operation_ids(input_types=["network_graph"])
+    assert "network_graph.pagerank" in graph_ops
+    assert all("graph" in i or "network" in i for i in graph_ops[:5])
+    str_out = api.list_operation_ids(filter="render",
+                                     output_types=["string"])
+    assert "render.api.as.markdown" in str_out
+    # internal modules drop out with include_internal=False
+    full = set(api.list_operation_ids())
+    public = set(api.list_operation_ids(include_internal=False))
+    assert public < full
+    assert "render.value.as.html" in full - public  # render.item internal
+    from kiara_spark.cli import main
+
+    assert main(["operation", "list", "--operation-type", "filter"]) == 0
+    out = capsys.readouterr().out
+    assert "table_filter.rows" in out and "query.table" not in out
