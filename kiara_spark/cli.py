@@ -104,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     cmd = argv.pop(0)
 
+    if cmd in ("--version", "version"):
+        import pyspark
+
+        from . import __version__
+
+        print(f"kiara_spark {__version__} (pyspark {pyspark.__version__})")
+        return 0
+
     from .context import KiaraContext
 
     if cmd == "run":

@@ -312,3 +312,9 @@ def test_pipeline_graph_subcommands(capsys, monkeypatch, spark):
     assert "dedup.table -> output:clean_corpus" in out
     with pytest.raises(SystemExit):
         main(["pipeline", "execution-graph"])
+
+
+def test_version_flag(capsys):
+    assert main(["--version"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("kiara_spark 0.") and "pyspark" in out
