@@ -61,6 +61,21 @@ def create_table_from_file(
         return spark.read.options(**options).parquet(path)
     if fmt == "orc":
         return spark.read.options(**options).orc(path)
+    if fmt in ("txt", "text"):
+        # one row per line, column `value` (Spark's native text source)
+        return spark.read.options(**options).text(path)
+    if fmt == "xml":
+        # Spark 4 native XML source; rowTag defaults to "row" like the
+        # reference tabular importers' record convention
+        opts = {"rowTag": "row", **options}
+        reader = spark.read.format("xml").options(**opts)
+        return reader.load(path, schema=schema) if schema \
+            else reader.load(path)
+    if fmt in ("bin", "binary", "binaryfile"):
+        # (path, modificationTime, length, content) — the opaque-binary
+        # ingest for media pipelines (pair with media.attach_metadata)
+        return (spark.read.format("binaryFile").options(**options)
+                .load(path))
     raise ValueError(f"unsupported table file format: {fmt!r}")
 
 
@@ -1366,7 +1381,7 @@ MODULES = [
 
 OPERATIONS = [
     Operation("create.table.from.file", "create.table.from.file", operation_type="create_from",
-              doc="csv/json/parquet/orc file -> table"),
+              doc="csv/tsv/json/parquet/orc/text/xml/binary file -> table"),
     Operation("table_filter.rows", "table.filter.rows", operation_type="filter"),
     Operation("table_filter.select_columns", "table.filter.select_columns", operation_type="filter"),
     Operation("table_filter.drop_duplicates", "table.filter.drop_duplicates", operation_type="filter"),

@@ -495,3 +495,28 @@ def test_training_shuffle_deterministic_total_order(spark):
     other = T.training_shuffle(df, n_shards=4, salt="epoch1").collect()
     assert {r.doc_id for r in other} == {r.doc_id for r in out}
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_create_table_from_text_xml_binary(ctx, tmp_path):
+    """Round 9: the remaining native Spark sources — text (one row per
+    line), Spark 4 native XML (rowTag records), and binaryFile (opaque
+    content + file metadata, the media-ingest front door)."""
+    p_txt = tmp_path / "lines.txt"
+    p_txt.write_text("alpha\nbeta\ngamma\n")
+    t = ctx.run_job("create.table.from.file",
+                    {"path": str(p_txt)})["table"].data
+    assert t.columns == ["value"] and t.count() == 3
+
+    p_xml = tmp_path / "recs.xml"
+    p_xml.write_text("<rows><row><id>1</id><name>a</name></row>"
+                     "<row><id>2</id><name>b</name></row></rows>")
+    x = ctx.run_job("create.table.from.file",
+                    {"path": str(p_xml)})["table"].data
+    assert {r.id for r in x.collect()} == {1, 2}
+
+    b = ctx.run_job("create.table.from.file",
+                    {"path": str(p_txt), "file_format": "binary"}
+                    )["table"].data
+    row = b.collect()[0]
+    assert row.length == 17 and bytes(row.content).startswith(b"alpha")
+    assert "modificationTime" in b.columns
