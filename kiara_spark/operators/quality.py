@@ -2906,6 +2906,89 @@ def mann_whitney_u(
         .alias("cliffs_delta"))
 
 
+def cramer_von_mises(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Cramér-von Mises two-sample test — the integrated-squared-ECDF
+    companion to :func:`ks_statistic` (KS reacts to the single largest
+    gap; CvM accumulates EVERY gap, so it catches broad shape drift a
+    one-point KS misses):
+
+        T = m·n/N² · Σ over pooled points (F_m(x) − G_n(x))²
+
+    Scale design (the :func:`mann_whitney_u` recipe): both samples
+    collapse to ONE row per DISTINCT value with per-sample counts;
+    inclusive cumulative counts come from the range-partitioned
+    :func:`_prefix_sums` (no unpartitioned window); per-value
+    d = n·C1 − m·C2 and the statistic core S = Σ t·d² are EXACT
+    decimal(38,0) integer algebra — T = S/(N²·m·n) only becomes a
+    double at the very end, via a two-piece 10¹⁵ split of S (each piece
+    < 2⁵³ casts exactly; one fixed-order IEEE multiply-add per engine),
+    so both engines produce bit-identical doubles.  Decision flags test
+    the EXACT integer inequality 1000·S ≷ c·N²mn against the limiting
+    ω² critical values (c = 347/461/743 at 10/5/1% — Anderson &
+    Darling 1952), so no float ever decides a rejection.
+
+    Magnitude envelope: S ≤ N·(m·n)² must stay under 10³⁴ (the flag
+    product re-cast) — safe to ~10⁷ pooled rows; past that,
+    pre-quantize the value (coarser cast) or pre-aggregate, like the
+    other exact-decimal stats.  Returns one row: (n_ref, n_cur, t_stat,
+    t_expected, reject_10, reject_05, reject_01)."""
+    v = F.col(value_col).cast("decimal(38,6)")
+    tagged = (ref.select(v.alias("_v"), F.lit(1).alias("_r"))
+              .unionByName(cur.select(v.alias("_v"), F.lit(0).alias("_r")))
+              .filter(F.col("_v").isNotNull()))
+    per_v = tagged.groupBy("_v").agg(
+        F.sum("_r").cast("decimal(38,0)").alias("_c1"),
+        F.sum(1 - F.col("_r")).cast("decimal(38,0)").alias("_c2"))
+    totals = per_v.agg(
+        F.sum("_c1").cast("decimal(18,0)").alias("_m"),
+        F.sum("_c2").cast("decimal(18,0)").alias("_n"))
+    grid = _prefix_sums(per_v, "_v", [("_c1", "_cum1"), ("_c2", "_cum2")],
+                        inclusive=True)         .crossJoin(F.broadcast(totals))
+    # staged casts keep every decimal product inside BOTH engines'
+    # 38-digit exact-arithmetic window (DuckDB silently promotes past
+    # 38 combined digits to double — the exact-products gotcha)
+    d = (F.col("_n") * F.col("_cum1").cast("decimal(18,0)")
+         - F.col("_m") * F.col("_cum2").cast("decimal(18,0)")
+         ).cast("decimal(19,0)")
+    d2 = (d * d).cast("decimal(26,0)")
+    t_ = (F.col("_c1") + F.col("_c2")).cast("decimal(12,0)")
+    agg = grid.agg(
+        F.max("_m").alias("_m"), F.max("_n").alias("_n"),
+        F.sum(t_ * d2).cast("decimal(38,0)").alias("_s"))
+    m, n = F.col("_m"), F.col("_n")
+    n2 = ((m + n) * (m + n)).cast("decimal(14,0)")
+    mn = (m * n).cast("decimal(13,0)")
+    big_d = (n2 * mn).cast("decimal(25,0)")
+    s34 = F.col("_s").cast("decimal(34,0)")
+    thousand = F.lit(1000).cast("decimal(4,0)")
+    # two-piece exact split of S: hi,lo < 2^53 cast exactly; the
+    # hi*1e15+lo recombination and the (N*N)*(m*n) denominator are
+    # fixed-order single-rounding IEEE ops, identical across engines
+    split = F.lit(10 ** 15).cast("decimal(16,0)")
+    hi = ((F.col("_s") - F.col("_s") % split) / split).cast("decimal(20,0)")
+    lo = F.col("_s") % split
+    nd, md, n_d = ((m + n).cast("double"), m.cast("double"), n.cast("double"))
+    num = hi.cast("double") * F.lit(1.0e15) + lo.cast("double")
+    den = (nd * nd) * (md * n_d)
+    t_stat = num / den
+    return agg.select(
+        m.cast("bigint").alias("n_ref"),
+        n.cast("bigint").alias("n_cur"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round((F.lit(1.0) + F.lit(1.0) / nd) / F.lit(6.0), 6)
+        .alias("t_expected"),
+        (s34 * thousand > F.lit(347).cast("decimal(4,0)") * big_d)
+        .alias("reject_10"),
+        (s34 * thousand > F.lit(461).cast("decimal(4,0)") * big_d)
+        .alias("reject_05"),
+        (s34 * thousand > F.lit(743).cast("decimal(4,0)") * big_d)
+        .alias("reject_01"))
+
+
 def welch_ttest(
     df: DataFrame,
     group_col: str,
@@ -4679,6 +4762,18 @@ TableCuped = _simple_module(
         "and the variance-reduction factor from one aggregate.",
 )
 
+TableCramerVonMises = _simple_module(
+    "table.drift.cramer_von_mises",
+    {"reference": TABLE, "current": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cramer_von_mises(
+        im["reference"].data, im["current"].data,
+        self.config["value_column"])},
+    doc="Cramér-von Mises two-sample drift test — integrated-squared-"
+        "ECDF over the distinct-value grid, exact integer rejection "
+        "flags vs the limiting omega-squared critical values.",
+)
+
 TableMannWhitney = _simple_module(
     "table.drift.mann_whitney",
     {"reference": TABLE, "current": TABLE},
@@ -4921,6 +5016,7 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableDpNoisyCounts, TableBootstrapCi, TableGmmEm, TableNdcg,
             TableRidgeNormal, TableKfoldCvOls, TableCuped,
             TableBootstrapAbDiff,
+            TableCramerVonMises,
             TableMannWhitney, TableWelchTtest, TableSpearman,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
@@ -4970,6 +5066,10 @@ OPERATIONS = [
               doc="Kendall's tau-b rank correlation (tie-adjusted)"),
     Operation("table.drift.mann_whitney", "table.drift.mann_whitney",
               doc="Mann-Whitney U rank-sum location test (tie-corrected)"),
+    Operation("table.drift.cramer_von_mises",
+              "table.drift.cramer_von_mises",
+              doc="Cramér-von Mises integrated-ECDF drift test "
+                  "(exact-integer rejection flags)"),
     Operation("table.stats.welch_ttest", "table.stats.welch_ttest",
               doc="Welch's unequal-variance two-sample t-test"),
     Operation("table.stats.spearman", "table.stats.spearman",

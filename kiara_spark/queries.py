@@ -13795,6 +13795,82 @@ def stats_mann_whitney_q(spark, sf_dir):
 
 
 @query(
+    "stats_cvm_orders",
+    """
+    WITH tagged AS (
+      SELECT CAST(o_totalprice AS DECIMAL(38,6)) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END AS r
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), per_v AS (
+      SELECT v, CAST(SUM(r) AS DECIMAL(38,0)) AS c1,
+             CAST(SUM(1 - r) AS DECIMAL(38,0)) AS c2
+      FROM tagged GROUP BY v
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS DECIMAL(18,0)) AS m,
+             CAST(SUM(c2) AS DECIMAL(18,0)) AS n
+      FROM per_v
+    ), grid AS (
+      SELECT c1, c2,
+             -- width 19 forces DuckDB's int128 multiply (18x18 runs in
+             -- int64 and overflows past ~9e18 products)
+             CAST(SUM(c1) OVER (ORDER BY v) AS DECIMAL(19,0)) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS DECIMAL(19,0)) AS cum2
+      FROM per_v
+    ), s AS (
+      -- staged casts keep every product inside DuckDB's 38-digit exact
+      -- window (past 38 combined digits decimals silently promote to
+      -- double); same staging as the engine
+      SELECT CAST(SUM(
+               CAST(c1 + c2 AS DECIMAL(12,0))
+               * CAST(CAST(n*cum1 - m*cum2 AS DECIMAL(19,0))
+                      * CAST(n*cum1 - m*cum2 AS DECIMAL(19,0))
+                      AS DECIMAL(26,0))
+             ) AS DECIMAL(38,0)) AS s_stat
+      FROM grid, tot
+    ), fin AS (
+      SELECT m, n,
+             CAST(CAST(s_stat AS HUGEINT)
+                  // 1000000000000000 AS DOUBLE) AS hi,
+             CAST(CAST(s_stat AS HUGEINT)
+                  % 1000000000000000 AS DOUBLE) AS lo,
+             CAST(s_stat AS DECIMAL(34,0)) AS s34,
+             CAST(CAST((m+n)*(m+n) AS DECIMAL(19,0))
+                  * CAST(m*n AS DECIMAL(13,0)) AS DECIMAL(25,0)) AS big_d
+      FROM s, tot
+    )
+    SELECT CAST(m AS BIGINT) AS n_ref, CAST(n AS BIGINT) AS n_cur,
+           ROUND((hi * 1e15 + lo)
+                 / ((CAST(m+n AS DOUBLE) * CAST(m+n AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+             AS t_stat,
+           ROUND((1.0 + 1.0 / CAST(m+n AS DOUBLE)) / 6.0, 6) AS t_expected,
+           s34 * CAST(1000 AS DECIMAL(4,0))
+             > CAST(347 AS DECIMAL(4,0)) * big_d AS reject_10,
+           s34 * CAST(1000 AS DECIMAL(4,0))
+             > CAST(461 AS DECIMAL(4,0)) * big_d AS reject_05,
+           s34 * CAST(1000 AS DECIMAL(4,0))
+             > CAST(743 AS DECIMAL(4,0)) * big_d AS reject_01
+    FROM fin
+    """,
+)
+def stats_cvm_orders_q(spark, sf_dir):
+    """Cramér-von Mises two-sample test on the same pre/post-1996 price
+    split as `drift_ks_orders` / `stats_mann_whitney_orders` — the
+    integrated-squared-ECDF drift test that accumulates EVERY gap
+    instead of KS's single largest one.  Exact decimal(38,0) statistic
+    core over the distinct-value grid (range-partitioned prefix sums),
+    exact integer rejection flags vs the limiting omega-squared critical
+    values, terminal double via a two-piece 2^53-safe split."""
+    from .operators.quality import cramer_von_mises
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    return cramer_von_mises(o.filter(split), o.filter(~split),
+                            "o_totalprice")
+
+
+@query(
     "stats_welch_ttest_orders",
     """
     WITH base AS (

@@ -1558,3 +1558,46 @@ def test_mann_kendall_max_buckets_guard_trips(spark):
     r2 = mann_kendall_trend(df, "ts", "value", bucket="minute",
                             max_buckets=10000).collect()[0]
     assert r2.n_buckets == 8640
+
+
+def test_cramer_von_mises_matches_bruteforce(spark):
+    """Round 9: CvM two-sample — engine statistic equals the O(N) ECDF
+    brute force; flags follow the limiting omega-squared critical
+    values via exact integer comparisons."""
+    import bisect
+    import random
+
+    from kiara_spark.operators.quality import cramer_von_mises
+
+    random.seed(11)
+    a = [round(random.gauss(10, 2), 2) for _ in range(250)]
+    b = [round(random.gauss(10.8, 2.6), 2) for _ in range(180)]
+    ref = spark.createDataFrame([(x,) for x in a], "v double")
+    cur = spark.createDataFrame([(x,) for x in b], "v double")
+    r = cramer_von_mises(ref, cur, "v").collect()[0]
+
+    m, n = len(a), len(b)
+    sa, sb = sorted(a), sorted(b)
+    t = sum((bisect.bisect_right(sa, x) / m
+             - bisect.bisect_right(sb, x) / n) ** 2
+            for x in sorted(a + b)) * m * n / (m + n) ** 2
+    assert abs(r.t_stat - t) < 1e-6
+    assert r.n_ref == m and r.n_cur == n
+    assert r.reject_01 == (t > 0.743)
+    assert r.reject_05 == (t > 0.461)
+    assert r.reject_10 == (t > 0.347)
+    # identical samples: statistic ~ expected magnitude, no rejection
+    same = cramer_von_mises(ref, ref, "v").collect()[0]
+    assert same.reject_10 is False and same.t_stat < same.t_expected
+
+
+def test_cvm_operation_minted(ctx, spark):
+    df_a = spark.createDataFrame([(float(i),) for i in range(50)],
+                                 "x double")
+    df_b = spark.createDataFrame([(float(i) + 30,) for i in range(50)],
+                                 "x double")
+    out = ctx.run_job("table.drift.cramer_von_mises",
+                      {"reference": df_a, "current": df_b},
+                      operation_config={"value_column": "x"})
+    row = out["table"].data.collect()[0]
+    assert row.reject_01  # disjoint-ish distributions reject hard
