@@ -51,6 +51,7 @@ INTENTIONAL_CROSS = {
     "ml_robust_scale_orders",      # 1-row percentile-bounds broadcast
     "quality_benford_totalprice",  # 1-row digit-total broadcast onto grid
     "weighted_percentile_lineitem",  # 1-row total-weight broadcast
+    "stats_cvm_orders",            # 1-row (m, n) totals broadcast onto the grid
     "events_rfm_segments",         # 1-row ref-ts + bounds broadcasts
     "events_survival_kaplan_meier",  # 1-row at-risk-total broadcast
     "events_changepoint_binseg",   # 1-row N/S broadcast onto the series
