@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "sim_recall_truncated_dims",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
+    "stats_cvm_orders",
     "stats_welch_ttest_orders",
     "stats_spearman_lineitem",
     "stats_cramers_v_orders",
