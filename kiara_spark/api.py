@@ -289,6 +289,7 @@ class KiaraAPI:
                 "module_types": sorted(info["modules"]),
                 "operations": sorted(info["operations"]),
                 "data_types": sorted(info["data_types"]),
+                "cli_subcommands": sorted(info.get("cli_subcommands", [])),
                 "errors": list(info["errors"]),
             }
         for m in self._operator_modules():

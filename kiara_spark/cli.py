@@ -8,6 +8,9 @@ Usage:
     python -m kiara_spark.cli module list | module explain <module_type>
     python -m kiara_spark.cli type list | type explain <name> | type hierarchy
     python -m kiara_spark.cli plugin list | plugin explain <name>
+    python -m kiara_spark.cli <plugin-command> [...]   (entry point group
+      `kiara_spark.cli_subcommands`; discovered commands are listed under
+      "Plugin commands" in this help)
     python -m kiara_spark.cli info
     python -m kiara_spark.cli doc generate <dir>
     python -m kiara_spark.cli service start [--socket P] [--daemon]
@@ -887,7 +890,8 @@ def main(argv: list[str] | None = None) -> int:
         i = api.retrieve_plugin_info(argv[1])
         print(f"plugin: {i['plugin_name']}")
         print(f"doc:    {i['doc']}")
-        for key in ("module_types", "operations", "data_types"):
+        for key in ("module_types", "operations", "data_types",
+                    "cli_subcommands"):
             if i.get(key):
                 print(f"{key}:")
                 for n in i[key]:
@@ -1064,7 +1068,24 @@ def main(argv: list[str] | None = None) -> int:
                       f"output:{po.alias}")
         return 0
 
+    # Plugin-contributed command groups (reference parity: the CLI
+    # assembles itself from `kiara.cli_subcommands` entry points —
+    # find_all_cli_subcommands in utils/class_loading.py:659, wired at
+    # interfaces/cli/__init__.py:187).  Checked only after every built-in
+    # branch has declined, so plugins extend but never shadow the core.
+    from .plugins import find_cli_subcommands
+
+    subcommands = find_cli_subcommands()
+    if cmd in subcommands:
+        return int(subcommands[cmd].handler(argv) or 0)
+
     print(__doc__)
+    if subcommands:
+        print("Plugin commands:")
+        for name, sc in sorted(subcommands.items()):
+            suffix = f"  # {sc.doc}" if sc.doc else ""
+            print(f"    python -m kiara_spark.cli {name} ..."
+                  f"{suffix} [{sc.distribution}]")
     return 1
 
 

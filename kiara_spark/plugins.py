@@ -25,6 +25,17 @@ module is the Spark engine's equivalent.  Recognized groups:
     value = a :class:`kiara_spark.renderers.Renderer` subclass; loaded
     lazily by the RenderRegistry (renderers.py), the analog of the
     reference's ``find_all_kiara_renderers``.
+``kiara_spark.cli_subcommands``
+    entry point name = command name, value = a callable
+    ``handler(argv: list[str]) -> int | None`` — a third-party
+    distribution contributes a whole ``kiara_spark <name> ...`` command
+    group, the analog of the reference's CLI assembling itself from
+    entry points (``find_all_cli_subcommands``,
+    ``src/kiara/utils/class_loading.py:659``, wired in
+    ``src/kiara/interfaces/cli/__init__.py:187`` and mirrored by the
+    proxied CLI in ``interfaces/cli/proxy_cli.py:38``).  Loaded at CLI
+    dispatch time (not per-context); built-in commands always win, so a
+    plugin can extend but never shadow the core surface.
 
 Failures are isolated per entry point: a broken plugin records an error in
 its plugin info and never prevents context creation (the reference logs and
@@ -46,14 +57,52 @@ ENTRY_POINT_GROUPS = (
     "kiara_spark.operations",
     "kiara_spark.plugin",
     "kiara_spark.renderers",  # consumed lazily in renderers.RenderRegistry
+    "kiara_spark.cli_subcommands",  # consumed by cli.main at dispatch time
 )
+
+
+class CliSubcommand:
+    """A plugin-contributed CLI command: ``handler(argv) -> int | None``."""
+
+    __slots__ = ("name", "handler", "doc", "distribution")
+
+    def __init__(self, name: str, handler, doc: str, distribution: str):
+        self.name = name
+        self.handler = handler
+        self.doc = doc
+        self.distribution = distribution
+
+
+def find_cli_subcommands() -> dict[str, "CliSubcommand"]:
+    """Discover ``kiara_spark.cli_subcommands`` entry points (reference:
+    ``find_all_cli_subcommands``).  Faulty plugins are skipped with a
+    one-line stderr note — a broken distribution must never take down the
+    core CLI (the reference's stevedore manager logs and continues)."""
+    import sys
+    from importlib.metadata import entry_points
+
+    out: dict[str, CliSubcommand] = {}
+    for ep in entry_points(group="kiara_spark.cli_subcommands"):
+        dist = getattr(getattr(ep, "dist", None), "name", None) or "<unknown>"
+        try:
+            handler = ep.load()
+            if not callable(handler):
+                raise TypeError(f"{ep.value} is not callable")
+        except Exception as exc:  # noqa: BLE001 — isolate faulty plugins
+            print(f"warning: skipping CLI subcommand {ep.name!r} "
+                  f"from {dist}: {exc}", file=sys.stderr)
+            continue
+        doc = (handler.__doc__ or "").strip().split("\n")[0]
+        out[ep.name] = CliSubcommand(ep.name, handler, doc, dist)
+    return out
 
 
 def _plugin_record(plugins: dict[str, dict], ep) -> dict:
     dist = getattr(getattr(ep, "dist", None), "name", None) or "<unknown>"
     return plugins.setdefault(dist, {
         "distribution": dist,
-        "modules": [], "operations": [], "data_types": [], "errors": [],
+        "modules": [], "operations": [], "data_types": [],
+        "cli_subcommands": [], "errors": [],
     })
 
 
@@ -122,6 +171,17 @@ def discover_entry_point_plugins(context: "KiaraContext") -> dict[str, dict]:
             _register_operation_obj(context, ep.load(), rec)
         except Exception as exc:  # noqa: BLE001
             rec["errors"].append(f"operations:{ep.name}: {exc}")
+
+    for ep in entry_points(group="kiara_spark.cli_subcommands"):
+        # dispatch happens CLI-side (find_cli_subcommands); here the entry
+        # point is only validated and surfaced in the plugin info
+        rec = _plugin_record(plugins, ep)
+        try:
+            if not callable(ep.load()):
+                raise TypeError(f"{ep.value} is not callable")
+            rec["cli_subcommands"].append(ep.name)
+        except Exception as exc:  # noqa: BLE001
+            rec["errors"].append(f"cli_subcommands:{ep.name}: {exc}")
 
     for ep in entry_points(group="kiara_spark.plugin"):
         rec = _plugin_record(plugins, ep)
