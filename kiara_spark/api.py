@@ -538,13 +538,29 @@ class KiaraAPI:
                 operation_config: dict | None = None,
                 save: str | None = None,
                 comment: str | None = None) -> ValueMap:
-        """Resolve an operation, bind inputs, execute (cache-aware); returns outputs."""
+        """Resolve an operation, bind inputs, execute (cache-aware); returns
+        outputs.  Under the ``dharpa`` runtime profile a non-empty
+        ``comment`` is mandatory and outputs are force-persisted even
+        without a ``save`` alias — reference ``base_api.py:2923-2934``
+        (comment check + ``save_values=True``) with
+        ``context/runtime_config.py:35-38``."""
+        profile = getattr(self.context, "runtime_profile", "default")
+        if profile == "dharpa" and not (comment and str(comment).strip()):
+            # the reference's exact message (KiaraException in queue_job)
+            raise ValueError("You need to provide a 'comment' for the job.")
         out = self.context.run_job(operation, inputs,
                                    operation_config=operation_config,
                                    save=save)
+        record = self.context.job_registry.history[-1]
         if comment is not None:
-            self.set_job_comment(self.context.job_registry.history[-1].job_id,
-                                 comment)
+            self.set_job_comment(record.job_id, comment)
+        if profile == "dharpa" and save is None:
+            # forced auto-save: archive the job record and persist table
+            # outputs by value id (no alias), the save_values=True analog
+            self.context.job_registry.persist_record(record)
+            for v in record.outputs.values():
+                if hasattr(v.data, "write"):
+                    self.context.data_registry.store_value(v)
         return out
 
     def queue_job(self, operation: str,
@@ -661,6 +677,8 @@ class KiaraAPI:
 
         cfg: dict = {
             "job_cache": self.context.job_registry.strategy,
+            "runtime_profile": getattr(self.context, "runtime_profile",
+                                       "default"),
             "base_path": self.context.base_path,
         }
         active = SparkSession.getActiveSession()

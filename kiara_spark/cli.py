@@ -3,7 +3,7 @@
 pipeline explain.
 
 Usage:
-    python -m kiara_spark.cli run <operation|pipeline.json|job_desc.json> [key=value ...] [--save alias] [--explain]
+    python -m kiara_spark.cli run <operation|pipeline.json|job_desc.json> [key=value ...] [--save alias] [--comment TEXT] [--explain]
     python -m kiara_spark.cli operation list | operation explain <op_id>
     python -m kiara_spark.cli module list | module explain <module_type>
     python -m kiara_spark.cli type list | type explain <name> | type hierarchy
@@ -122,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("run: missing operation name (or pipeline file)")
         op = argv.pop(0)
         save = None
+        comment = None
         explain = False
         if "--explain" in argv:
             explain = True
@@ -133,6 +134,17 @@ def main(argv: list[str] | None = None) -> int:
             except IndexError:
                 raise SystemExit("--save requires an alias name") from None
             del argv[i:i + 2]
+        for flag in ("--comment", "-c"):
+            # reference `kiara run --comment/-c` (interfaces/cli/run.py:48);
+            # mandatory under the dharpa runtime profile
+            if flag in argv:
+                i = argv.index(flag)
+                try:
+                    comment = argv[i + 1]
+                except IndexError:
+                    raise SystemExit(
+                        f"{flag} requires a comment string") from None
+                del argv[i:i + 2]
         inputs = _parse_inputs(argv)
         # service routing: a live daemon answers without paying Spark
         # startup (pipelines and job descriptions route too — the
@@ -156,7 +168,8 @@ def main(argv: list[str] | None = None) -> int:
                                "inputs": inputs}
                 else:
                     payload = {"cmd": "run", "operation": op,
-                               "inputs": inputs, "save": save}
+                               "inputs": inputs, "save": save,
+                               "comment": comment}
                 try:
                     resp = _svc.request(payload)
                 except _svc.ServiceMidFlightError as e:
@@ -213,7 +226,13 @@ def main(argv: list[str] | None = None) -> int:
                         alias = save if len(outputs) == 1 else f"{save}.{n}"
                         print(f"saved {alias} -> {ctx.store_value(v, alias=alias)}")
         else:
-            outputs = ctx.run_job(op, inputs, save=save)
+            # through the API so the runtime profile's comment/auto-save
+            # discipline applies to CLI runs too (reference: the CLI ends
+            # in BaseAPI.queue_job, where the dharpa check lives)
+            from .api import KiaraAPI
+
+            outputs = KiaraAPI(context=ctx).run_job(op, inputs, save=save,
+                                                    comment=comment)
             hist = ctx.job_registry.history
             if hist and hist[-1].cache_hit:
                 print("(cache hit — loaded stored outputs, no execution)")

@@ -30,9 +30,25 @@ class KiaraContext:
         spark: SparkSession | None = None,
         base_path: str | None = None,
         cache_strategy: str | None = None,
+        runtime_profile: str | None = None,
     ):
         cache_strategy = (cache_strategy
                           or os.environ.get("KIARA_SPARK_CACHE", "value_id"))
+        # Runtime profile (reference KiaraRuntimeConfig.runtime_profile,
+        # context/runtime_config.py:35-38): under "dharpa" the API requires
+        # a job comment and force-persists outputs (base_api.py:2923-2934)
+        # — the DH provenance discipline.  Deliberate deviation: the
+        # reference DEFAULTS to "dharpa"; here the default is "default"
+        # (opt in via KIARA_SPARK_RUNTIME_PROFILE=dharpa) so programmatic
+        # engine use is not comment-gated.
+        runtime_profile = (runtime_profile
+                           or os.environ.get("KIARA_SPARK_RUNTIME_PROFILE")
+                           or "default")
+        if runtime_profile not in ("default", "dharpa"):
+            raise ValueError(
+                f"unknown runtime profile {runtime_profile!r} "
+                f"(expected 'default' or 'dharpa')")
+        self.runtime_profile = runtime_profile
         self.spark = configure_existing(spark) if spark else build_spark()
         # KIARA_SPARK_HOME makes contexts durable across processes (the
         # reference's context directory); default is an ephemeral tempdir.

@@ -126,10 +126,14 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
                 "aliases": len(ctx.data_registry.aliases),
                 "jobs_run": len(ctx.job_registry.history)}, True
     if cmd == "run":
-        outputs = ctx.run_job(
+        from .api import KiaraAPI
+
+        # through the API: the daemon context's runtime profile applies
+        # (comment requirement + forced auto-save under "dharpa")
+        outputs = KiaraAPI(context=ctx).run_job(
             req["operation"], req.get("inputs") or {},
             operation_config=req.get("operation_config"),
-            save=req.get("save"))
+            save=req.get("save"), comment=req.get("comment"))
         hist = ctx.job_registry.history
         return {"ok": True,
                 "cache_hit": bool(hist and hist[-1].cache_hit),
