@@ -12,6 +12,7 @@ Usage:
       `kiara_spark.cli_subcommands`; discovered commands are listed under
       "Plugin commands" in this help)
     python -m kiara_spark.cli info
+    python -m kiara_spark.cli info config print [--format json]
     python -m kiara_spark.cli doc generate <dir>
     python -m kiara_spark.cli service start [--socket P] [--daemon]
     python -m kiara_spark.cli service status | service stop
@@ -98,6 +99,59 @@ def _is_job_desc_file(path: str) -> bool:
         return False
     return isinstance(data, dict) and "operation" in data and (
         "steps" not in data)
+
+
+def _config_report() -> dict:
+    """Merged engine configuration with per-key provenance — the data
+    behind `info config print` (reference `kiara info config print`,
+    interfaces/cli/info/commands.py:23-30).  Spark-free: resolves exactly
+    what a fresh KiaraContext would use; the spark section reflects an
+    already-active session only."""
+    def ent(env_var: str, default, unset_value=None):
+        raw = os.environ.get(env_var)
+        if raw is not None:
+            return {"value": raw, "source": f"env:{env_var}"}
+        return {"value": default if unset_value is None else unset_value,
+                "source": "default"}
+
+    report = {
+        "runtime": {
+            "job_cache": ent("KIARA_SPARK_CACHE", "value_id"),
+            "runtime_profile": ent("KIARA_SPARK_RUNTIME_PROFILE", "default"),
+            "base_path": ent("KIARA_SPARK_HOME",
+                             "<ephemeral tempdir per context>"),
+            "contexts_root": {
+                "value": _contexts_root(),
+                "source": ("env:KIARA_SPARK_CONTEXTS"
+                           if os.environ.get("KIARA_SPARK_CONTEXTS")
+                           else "default")},
+            "pipelines_path": ent("KIARA_SPARK_PIPELINES", "<unset>"),
+            "service_socket": ent("KIARA_SPARK_SERVICE", "<unset>"),
+        },
+        "scale": {
+            "broadcast_cap_bytes": ent("KIARA_SPARK_BROADCAST_CAP_BYTES",
+                                       32 << 20),
+            "checkpoint_dir": ent("KIARA_SPARK_CHECKPOINT_DIR",
+                                  "<local tempdir; set for reliable "
+                                  "cluster checkpoints>"),
+            "rocksdb_state": ent("KIARA_SPARK_ROCKSDB_STATE", "<unset>"),
+        },
+    }
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+    except Exception:  # noqa: BLE001 — config print must never fail
+        active = None
+    if active is None:
+        report["spark"] = {"session": "not_started"}
+    else:
+        report["spark"] = {
+            k: {"value": active.conf.get(k, None), "source": "session"}
+            for k in ("spark.master", "spark.sql.shuffle.partitions",
+                      "spark.sql.adaptive.enabled",
+                      "spark.sql.session.timeZone")}
+    return report
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -948,6 +1002,36 @@ def main(argv: list[str] | None = None) -> int:
             f.write("# Operations\n\n" + "\n".join(index) + "\n")
         print(f"wrote {len(index)} operation pages + index.md to {out_dir}"
               + (f" ({n_fail} skipped)" if n_fail else ""))
+        return 0
+
+    if cmd == "info" and argv[:2] == ["config", "print"]:
+        # reference `kiara info config print`
+        # (interfaces/cli/info/commands.py:23-30: terminal_print_model of
+        # the merged KiaraConfig).  Spark-free by design: reports the
+        # values a fresh context WOULD resolve, each key marked with its
+        # provenance (env var vs built-in default), plus the active Spark
+        # session's scale knobs when one exists in this process.
+        fmt = "text"
+        rest = argv[2:]
+        if "--format" in rest:
+            i = rest.index("--format")
+            try:
+                fmt = rest[i + 1]
+            except IndexError:
+                raise SystemExit("--format requires a value") from None
+        doc = _config_report()
+        if fmt == "json":
+            print(json.dumps(doc, indent=2))
+        else:
+            print("-- kiara_spark config (merged; source per key)")
+            for section, entries in doc.items():
+                print(f"[{section}]")
+                for key, ent in entries.items():
+                    if isinstance(ent, dict):
+                        print(f"  {key:24s} = {ent['value']!s:32s} "
+                              f"({ent['source']})")
+                    else:
+                        print(f"  {key:24s} = {ent}")
         return 0
 
     if cmd == "info":
