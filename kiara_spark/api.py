@@ -179,53 +179,58 @@ class KiaraAPI:
                            input_types: list[str] | None = None,
                            output_types: list[str] | None = None,
                            operation_types: list[str] | None = None,
-                           include_internal: bool = True) -> list[str]:
+                           include_internal: bool = False) -> list[str]:
         """Registered operation ids, filtered — reference
-        ``BaseAPI.list_operation_ids(filter, input_types, output_types,
-        operation_types, include_internal)``: substring on the id,
-        required input/output field types (an operation matches when it
-        has at least one field of EVERY requested type), operation-type
-        membership, and internal-module exclusion."""
+        ``BaseAPI.list_operation_ids`` semantics (``base_api.py:758``):
+        case-insensitive substring filter(s) that must ALL match,
+        input/output types matching when ANY requested type appears among
+        the fields, operation-type membership, and internal operations
+        excluded by default (``include_internal=False``, like the
+        reference)."""
         return sorted(self.list_operations(
             filter, input_types=input_types, output_types=output_types,
             operation_types=operation_types,
             include_internal=include_internal))
 
-    def _operation_io_types(self, op) -> tuple[set, set]:
-        module = self.context.module_registry.create_module(
-            op.module_type, dict(op.module_config))
-        return ({s.type for s in module.inputs_schema.values()},
-                {s.type for s in module.outputs_schema.values()})
-
-    def list_operations(self, filter: str | None = None,
+    def list_operations(self, filter=None,
                         input_types: list[str] | None = None,
                         output_types: list[str] | None = None,
                         operation_types: list[str] | None = None,
-                        include_internal: bool = True) -> dict:
+                        include_internal: bool = False) -> dict:
         """Operation objects by id, filtered (same contract as
-        ``list_operation_ids``)."""
+        ``list_operation_ids``; reference ``BaseAPI.list_operations``,
+        ``base_api.py:894``).  ``filter`` is a string or an iterable of
+        strings — an id matches when it contains EVERY filter,
+        case-insensitively.  Internality is read from the module class's
+        characteristics (no instantiation), so operations whose modules
+        require config still list; only input/output-type filtering needs
+        schema introspection and skips modules that cannot be instantiated
+        without config."""
+        filters = [filter] if isinstance(filter, str) else list(filter or [])
+        filters = [f.lower() for f in filters if f]
         out = {}
         for op_id in self.context.operation_registry.operation_ids:
-            if filter and filter not in op_id:
+            if filters and any(f not in op_id.lower() for f in filters):
                 continue
             op = self.context.operation_registry.resolve(op_id)
             if operation_types and op.operation_type not in operation_types:
                 continue
-            if input_types or output_types or not include_internal:
+            if not include_internal:
+                cls = self.context.module_registry._modules.get(
+                    op.module_type)
+                if cls is not None and cls._characteristics.is_internal:
+                    continue
+            if input_types or output_types:
                 try:
                     module = self.context.module_registry.create_module(
                         op.module_type, dict(op.module_config))
                 except Exception:  # config-required module: can't inspect
                     continue
-                if not include_internal and getattr(
-                        module, "characteristics",
-                        None) and module.characteristics.is_internal:
-                    continue
                 in_t = {s.type for s in module.inputs_schema.values()}
                 out_t = {s.type for s in module.outputs_schema.values()}
-                if input_types and not set(input_types) <= in_t:
+                if input_types and not set(input_types) & in_t:
                     continue
-                if output_types and not set(output_types) <= out_t:
+                if output_types and not set(output_types) & out_t:
                     continue
             out[op_id] = op
         return out

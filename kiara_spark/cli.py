@@ -378,7 +378,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if cmd == "operation" and argv[:1] == ["list"]:
         # reference `kiara operation list [filter] --input-type T
-        # --output-type T --operation-type T --no-internal`
+        # --output-type T --operation-type T --include-internal`
         argv.pop(0)
         flt = None
         kwargs: dict = {}
@@ -390,8 +390,13 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs.setdefault("output_types", []).append(argv.pop(0))
             elif a == "--operation-type":
                 kwargs.setdefault("operation_types", []).append(argv.pop(0))
+            elif a == "--include-internal":
+                # reference `operation list --include-internal`
+                # (interfaces/cli/operation/commands.py:97); internal
+                # operations are hidden by default like the reference
+                kwargs["include_internal"] = True
             elif a == "--no-internal":
-                kwargs["include_internal"] = False
+                kwargs["include_internal"] = False  # back-compat (pre-r10)
             elif a.startswith("--"):
                 raise SystemExit(f"operation list: unknown flag {a!r}")
             else:

@@ -392,15 +392,32 @@ def test_list_operations_filters(api, capsys):
     assert "network_graph.pagerank" in graph_ops
     assert all("graph" in i or "network" in i for i in graph_ops[:5])
     str_out = api.list_operation_ids(filter="render",
-                                     output_types=["string"])
+                                     output_types=["string"],
+                                     include_internal=True)
     assert "render.api.as.markdown" in str_out
-    # internal modules drop out with include_internal=False
-    full = set(api.list_operation_ids())
-    public = set(api.list_operation_ids(include_internal=False))
+    # internal operations are hidden BY DEFAULT (reference:
+    # include_internal=False, base_api.py:899)
+    full = set(api.list_operation_ids(include_internal=True))
+    public = set(api.list_operation_ids())
     assert public < full
     assert "render.value.as.html" in full - public  # render.item internal
+    # input/output types match ANY requested type (reference semantics),
+    # not all of them
+    either = api.list_operation_ids(
+        input_types=["network_graph", "table"], include_internal=True)
+    assert "network_graph.pagerank" in either
+    assert "table_filter.rows" in either
+    # filter: iterable = every term must match, case-insensitively
+    assert api.list_operation_ids(filter=["TABLE", "bm25"]) == \
+        ["table.bm25_score"]
     from kiara_spark.cli import main
 
     assert main(["operation", "list", "--operation-type", "filter"]) == 0
     out = capsys.readouterr().out
     assert "table_filter.rows" in out and "query.table" not in out
+    # CLI hides internal ops unless --include-internal (reference flag)
+    assert main(["operation", "list", "render.value"]) == 0
+    assert "render.value.as.html" not in capsys.readouterr().out
+    assert main(["operation", "list", "render.value",
+                 "--include-internal"]) == 0
+    assert "render.value.as.html" in capsys.readouterr().out
