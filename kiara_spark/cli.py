@@ -507,7 +507,7 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "type" and argv[:1] == ["hierarchy"]:
         # reference `kiara type hierarchy`
         # (interfaces/cli/type/commands.py:83): the DataType class tree
-        from .datatypes import DataType
+        from .datatypes import AnyType, DataType
 
         ctx = KiaraContext()
         by_name = {cls.name: cls
@@ -523,8 +523,16 @@ def main(argv: list[str] | None = None) -> int:
                 print("  " * depth + n)
                 _walk(by_name[n], depth + 1)
 
+        # 'any' is the printed root (the reference's conceptual lineage
+        # root), excluded from the child walk so it never appears twice;
+        # the other direct DataType subclasses print as its children,
+        # merged with any real AnyType subclasses.
         print("any (root)")
-        _walk(DataType, 1)
+        top = sorted(set(_children(DataType)) - {AnyType.name}
+                     | set(_children(AnyType)))
+        for n in top:
+            print("  " + n)
+            _walk(by_name[n], 2)
         return 0
 
     if cmd == "data" and argv[:1] == ["list"]:

@@ -2965,9 +2965,14 @@ def cramer_von_mises(
     big_d = (n2 * mn).cast("decimal(25,0)")
     s34 = F.col("_s").cast("decimal(34,0)")
     thousand = F.lit(1000).cast("decimal(4,0)")
-    # two-piece exact split of S: hi,lo < 2^53 cast exactly; the
-    # hi*1e15+lo recombination and the (N*N)*(m*n) denominator are
-    # fixed-order single-rounding IEEE ops, identical across engines
+    # two-piece split of S: lo < 10^15 < 2^53 always casts exactly; hi is
+    # exact only while S < 2^53*10^15 (~9e30) — within the documented
+    # S < 1e34 envelope hi can reach ~1e19 > 2^53, where BOTH engines
+    # round the same integer to the same nearest double (bit-identical
+    # cross-engine, just no longer exact).  The hi*1e15+lo recombination
+    # and the (N*N)*(m*n) denominator are fixed-order single-rounding
+    # IEEE ops, identical across engines either way; the 6-dp-rounded
+    # t_stat is unaffected.
     split = F.lit(10 ** 15).cast("decimal(16,0)")
     hi = ((F.col("_s") - F.col("_s") % split) / split).cast("decimal(20,0)")
     lo = F.col("_s") % split

@@ -374,7 +374,10 @@ class JobDesc:
             raise ValueError(
                 f"unknown job description keys: {', '.join(unknown)}")
         kw = {k: v for k, v in data.items() if k in known}
-        if alias and "job_alias" not in kw:
+        if alias:
+            # the alias argument OVERRIDES a data-supplied job_alias —
+            # reference ``parse_data`` (models/job.py:76-77) assigns it
+            # unconditionally, so a file load's filename stem always wins
             kw["job_alias"] = alias
         doc = kw.get("doc")
         if isinstance(doc, Mapping):  # reference DocumentationMetadataModel

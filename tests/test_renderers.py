@@ -353,6 +353,11 @@ def test_job_desc_model_validation(ctx):
     jd = JobDesc.create_from_data(
         {"operation": "logic.and", "doc": {"description": "d"}}, alias="a1")
     assert jd.job_alias == "a1" and jd.doc == "d" and jd.inputs == {}
+    # the alias argument overrides a data-supplied job_alias (reference
+    # parse_data assigns unconditionally, models/job.py:76-77)
+    jd2 = JobDesc.create_from_data(
+        {"operation": "logic.and", "job_alias": "from_file"}, alias="stem")
+    assert jd2.job_alias == "stem"
 
 
 def test_api_run_job_desc_saves_aliases(ctx, tmp_path):
