@@ -3460,8 +3460,10 @@ def streaming_enrich_minhash_demo_q(spark, sf_dir):
             for j in range(rpb)]).alias(f"band_{b}")
           for b in range(BANDS)])
     qname = f"enrich_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(enriched, qname, state_partitions=8,
-                         await_sec=120)
+    # stateless map-only plan: no state stores exist, so no
+    # state_partitions sizing — plain availableNow + await
+    q = run_stream_to_memory(enriched, qname)
+    q.awaitTermination(120)
     return spark.table(qname)
 
 

@@ -7,7 +7,9 @@ Replication is content-perturbing so the probe measures scaling, not
 artifact inflation: ids shift by copy*100M (joins stay within-copy), text
 is alphabet-rotated per copy (no cross-copy near-duplicates), embedding
 vectors are dimension-rotated per copy (cross-copy cosine decorrelates).
-Dim tables (region/nation/supplier) stay verbatim.
+Fixed-cardinality dims (region/nation) stay verbatim; supplier replicates
+with shifted keys since r10 so the TPC-H probes' supplier joins stay
+within-copy.
 
 A query is flagged when its time ratio exceeds FLAG_RATIO (15x at 10x
 data) AND the growth is not explained by output size (time_ratio >
@@ -129,6 +131,17 @@ PROBE_QUERIES = [
     # expect a near-1x ratio, and any blow-up means the bucket envelope
     # guard regressed
     "events_mann_kendall_trend",
+    # round 10 (r9 verdict item 6): TPC-H joins the probe — q8/q12/q21 are
+    # the former forced-broadcast class (now size-gated maybe_broadcast:
+    # at pseudo-sf1 the slices still hint-broadcast, far past the cap AQE
+    # takes over), q9/q18 are the heaviest multi-join aggregates.  All
+    # five must scale near-linearly; a blow-up here means a broadcast
+    # frame outgrew its gate or a join lost its co-located shuffle.
+    "q8_market_share",
+    "q9_nation_profit",
+    "q12_late_shipments",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 ]
 
 EXCLUDED = {
@@ -175,6 +188,12 @@ def build_scaled(spark, dst: str) -> None:
     shifts = {
         "customer": ["c_custkey"],
         "part": ["p_partkey"],
+        # r10: supplier replicates too (shifted like the other fact-side
+        # keys) so s_suppkey joins match lineitem's shifted l_suppkey in
+        # every copy — required by the TPC-H probes (q8/q9/q21 join
+        # supplier); no pre-r10 probe query reads the supplier table, so
+        # prior ratios are unaffected.  Only region/nation stay verbatim.
+        "supplier": ["s_suppkey"],
         "orders": ["o_orderkey", "o_custkey"],
         "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
         "events": ["event_id", "user_id"],
@@ -186,7 +205,7 @@ def build_scaled(spark, dst: str) -> None:
         "part": ("p_name", _rot_text),
         "embeddings": ("embedding", _rot_vec),
     }
-    for name in ("region", "nation", "supplier", *shifts):
+    for name in ("region", "nation", *shifts):
         out = os.path.join(dst, f"{name}.parquet")
         if os.path.exists(out):
             continue
