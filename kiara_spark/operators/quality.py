@@ -4212,6 +4212,121 @@ def concordance_ccc(
         F.round(ccc, 6).alias("ccc"))
 
 
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    group_a: str,
+    group_b: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments by
+    Utilizing Pre-Experiment Data") — the standard tool the SRM /
+    two-proportion / bootstrap family was missing: shrink metric variance
+    with a pre-period covariate so the same experiment detects smaller
+    effects.
+
+        θ  = cov(X, Y) / var(X)      (POOLED population moments)
+        Ŷᵢ = Yᵢ − θ·(Xᵢ − X̄)
+        varŶ = varY·(1 − ρ²)  ⇒  variance_reduction_pct = 100·ρ²
+
+    The adjusted arm difference is tested with a Welch-style z from
+    per-arm SAMPLE variances of Ŷ (NULL when an arm has <2 units or the
+    pooled var(X) is 0 — no covariate signal, nothing to adjust).
+
+    Scale design: ONE conditional-sum scan of exact decimal sufficient
+    statistics per arm (the CCC recipe — ``value_scale``-dp decimal
+    values, exact double-scale decimal products, :func:`_split_cast` to
+    double); θ, the adjusted means, variances, z and the A&S-erfc
+    p-value are terminal fixed-order doubles.  Returns one row:
+    (n_a, n_b, theta, mean_y_a, mean_y_b, adj_mean_a, adj_mean_b,
+    diff_raw, diff_adj, var_reduction_pct, z, p_value).
+    """
+    s, s2 = value_scale, value_scale * 2
+    xs = F.col(x_col) if isinstance(x_col, str) else x_col
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    xd = F.round(xs.cast("double"), s).cast(f"decimal(18,{s})")
+    yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & xs.isNotNull() & ys.isNotNull())
+
+    def arm(g, tag):
+        return [
+            F.sum(F.when(g, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(g, xd)).cast(f"decimal(38,{s})")
+            .alias(f"_sx{tag}"),
+            F.sum(F.when(g, yd)).cast(f"decimal(38,{s})")
+            .alias(f"_sy{tag}"),
+            F.sum(F.when(g, (xd * xd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_sxx{tag}"),
+            F.sum(F.when(g, (yd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_syy{tag}"),
+            F.sum(F.when(g, (xd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_sxy{tag}"),
+        ]
+
+    agg = base.agg(*arm(in_a, "a"), *arm(in_b, "b"))
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    nd = nad + nbd
+    # pooled sums: decimal addition is exact; ONE split-cast per sum
+    sx = _split_cast(F.col("_sxa") + F.col("_sxb"))
+    sy = _split_cast(F.col("_sya") + F.col("_syb"))
+    sxx = _split_cast(F.col("_sxxa") + F.col("_sxxb"))
+    syy = _split_cast(F.col("_syya") + F.col("_syyb"))
+    sxy = _split_cast(F.col("_sxya") + F.col("_sxyb"))
+    sxa, sya = _split_cast(F.col("_sxa")), _split_cast(F.col("_sya"))
+    sxb, syb = _split_cast(F.col("_sxb")), _split_cast(F.col("_syb"))
+    sxxa, syya = _split_cast(F.col("_sxxa")), _split_cast(F.col("_syya"))
+    sxxb, syyb = _split_cast(F.col("_sxxb")), _split_cast(F.col("_syyb"))
+    sxya, sxyb = _split_cast(F.col("_sxya")), _split_cast(F.col("_sxyb"))
+    mx = sx / nd
+    vx = sxx / nd - mx * mx
+    vy = syy / nd - (sy / nd) * (sy / nd)
+    cov = sxy / nd - mx * (sy / nd)
+    theta = F.when(vx > 0, cov / vx)
+    mya, myb = sya / nad, syb / nbd
+    adj_a = mya - theta * (sxa / nad - mx)
+    adj_b = myb - theta * (sxb / nbd - mx)
+    rho2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    # per-arm centered sums of squares for the sample variance of Ŷ
+    ssy_a = syya - sya * sya / nad
+    ssx_a = sxxa - sxa * sxa / nad
+    ssxy_a = sxya - sxa * sya / nad
+    ssy_b = syyb - syb * syb / nbd
+    ssx_b = sxxb - sxb * sxb / nbd
+    ssxy_b = sxyb - sxb * syb / nbd
+    ssadj_a = F.greatest(
+        ssy_a - F.lit(2.0) * theta * ssxy_a + theta * theta * ssx_a,
+        F.lit(0.0))
+    ssadj_b = F.greatest(
+        ssy_b - F.lit(2.0) * theta * ssxy_b + theta * theta * ssx_b,
+        F.lit(0.0))
+    var_a = F.when(F.col("_na") > 1, ssadj_a / (nad - F.lit(1.0)))
+    var_b = F.when(F.col("_nb") > 1, ssadj_b / (nbd - F.lit(1.0)))
+    se = F.sqrt(var_a / nad + var_b / nbd)
+    z = F.when(se > 0, (adj_a - adj_b) / se)
+    p = F.when(z.isNotNull(),
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    return agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mya, 6).alias("mean_y_a"),
+        F.round(myb, 6).alias("mean_y_b"),
+        F.round(adj_a, 6).alias("adj_mean_a"),
+        F.round(adj_b, 6).alias("adj_mean_b"),
+        F.round(mya - myb, 6).alias("diff_raw"),
+        F.round(adj_a - adj_b, 6).alias("diff_adj"),
+        F.round(F.lit(100.0) * rho2, 6).alias("var_reduction_pct"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"))
+
+
 def _winsor_stats(df_vals: DataFrame, trim: float):
     """(n, h, Σw@2dp, Σw²@4dp) of the winsorized sample for ONE group
     whose values sit in ``_v`` (decimal(38,2)) — the shared kernel under
@@ -4993,6 +5108,20 @@ TableTwoPropZ = _simple_module(
         "p-value from one conditional-count scan.",
 )
 
+TableCuped = _simple_module(
+    "table.stats.cuped",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": cuped_adjust(
+        im["table"].data, self.config["group_column"],
+        self.config["x_column"], self.config["y_column"],
+        self.config["group_a"], self.config["group_b"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013): "
+        "pre-period covariate adjustment, adjusted-diff z, 100*rho^2 "
+        "variance reduction from one exact-decimal conditional scan.",
+)
+
 TableSrmCheck = _simple_module(
     "table.stats.srm_check",
     {"table": TABLE},
@@ -5026,7 +5155,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ, TableMcnemar, TableCcc, TableYuenTtest,
+            TableTwoPropZ, TableCuped, TableMcnemar, TableCcc,
+            TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
             TableCochransQ, TableBartlett]
@@ -5061,6 +5191,9 @@ OPERATIONS = [
     Operation("table.stats.two_proportion_z",
               "table.stats.two_proportion_z",
               doc="two-proportion z-test with erfc p-value"),
+    Operation("table.stats.cuped", "table.stats.cuped",
+              doc="CUPED pre-period covariate adjustment "
+                  "(variance-reduced experiment readout)"),
     Operation("table.stats.anova", "table.stats.anova",
               doc="one-way ANOVA F-test + eta-squared effect size"),
     Operation("table.stats.cohens_kappa", "table.stats.cohens_kappa",

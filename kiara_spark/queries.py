@@ -15766,6 +15766,147 @@ def events_durbin_watson_q(spark, sf_dir):
                          bucket="day")
 
 
+@query(
+    "stats_cuped_events",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(38,10)) END),
+                   CAST(0 AS DECIMAL(38,10))) AS DOUBLE) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(38,10)) END),
+                   CAST(0 AS DECIMAL(38,10))) AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ), units AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS variant,
+             CAST(ROUND(x, 2) AS DECIMAL(19,2)) AS xd,
+             CAST(ROUND(y, 2) AS DECIMAL(19,2)) AS yd
+      FROM per_user
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN variant = 'treat' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN variant = 'control' THEN xd END)
+             AS DECIMAL(38,2)) AS sxa,
+        CAST(SUM(CASE WHEN variant = 'control' THEN yd END)
+             AS DECIMAL(38,2)) AS sya,
+        CAST(SUM(CASE WHEN variant = 'control'
+             THEN CAST(xd * xd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS sxxa,
+        CAST(SUM(CASE WHEN variant = 'control'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syya,
+        CAST(SUM(CASE WHEN variant = 'control'
+             THEN CAST(xd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS sxya,
+        CAST(SUM(CASE WHEN variant = 'treat' THEN xd END)
+             AS DECIMAL(38,2)) AS sxb,
+        CAST(SUM(CASE WHEN variant = 'treat' THEN yd END)
+             AS DECIMAL(38,2)) AS syb,
+        CAST(SUM(CASE WHEN variant = 'treat'
+             THEN CAST(xd * xd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS sxxb,
+        CAST(SUM(CASE WHEN variant = 'treat'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syyb,
+        CAST(SUM(CASE WHEN variant = 'treat'
+             THEN CAST(xd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS sxyb
+      FROM units
+    ), d AS (
+      SELECT na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+             {_sc('(sxa + sxb)')} AS sx, {_sc('(sya + syb)')} AS sy,
+             {_sc('(sxxa + sxxb)')} AS sxx, {_sc('(syya + syyb)')} AS syy,
+             {_sc('(sxya + sxyb)')} AS sxy,
+             {_sc('sxa')} AS sxad, {_sc('sya')} AS syad,
+             {_sc('sxb')} AS sxbd, {_sc('syb')} AS sybd,
+             {_sc('sxxa')} AS sxxad, {_sc('syya')} AS syyad,
+             {_sc('sxxb')} AS sxxbd, {_sc('syyb')} AS syybd,
+             {_sc('sxya')} AS sxyad, {_sc('sxyb')} AS sxybd
+      FROM agg
+    ), m AS (
+      SELECT *,
+             sx / nd AS mx,
+             sxx / nd - (sx / nd) * (sx / nd) AS vx,
+             syy / nd - (sy / nd) * (sy / nd) AS vy,
+             sxy / nd - (sx / nd) * (sy / nd) AS cov
+      FROM d
+    ), t AS (
+      SELECT *,
+             CASE WHEN vx > 0 THEN cov / vx END AS theta,
+             syad / nad AS mya, sybd / nbd AS myb,
+             CASE WHEN vx > 0 AND vy > 0
+                  THEN cov * cov / (vx * vy) END AS rho2
+      FROM m
+    ), v AS (
+      SELECT *,
+             mya - theta * (sxad / nad - mx) AS adj_a,
+             myb - theta * (sxbd / nbd - mx) AS adj_b,
+             CASE WHEN na > 1 THEN GREATEST(
+               (syyad - syad * syad / nad)
+               - 2.0 * theta * (sxyad - sxad * syad / nad)
+               + theta * theta * (sxxad - sxad * sxad / nad), 0.0)
+               / (nad - 1.0) END AS var_a,
+             CASE WHEN nb > 1 THEN GREATEST(
+               (syybd - sybd * sybd / nbd)
+               - 2.0 * theta * (sxybd - sxbd * sybd / nbd)
+               + theta * theta * (sxxbd - sxbd * sxbd / nbd), 0.0)
+               / (nbd - 1.0) END AS var_b
+      FROM t
+    ), zf AS (
+      SELECT *,
+             CASE WHEN SQRT(var_a / nad + var_b / nbd) > 0
+                  THEN (adj_a - adj_b) / SQRT(var_a / nad + var_b / nbd)
+             END AS zv
+      FROM v
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(theta, 6) AS theta,
+           ROUND(mya, 6) AS mean_y_a, ROUND(myb, 6) AS mean_y_b,
+           ROUND(adj_a, 6) AS adj_mean_a, ROUND(adj_b, 6) AS adj_mean_b,
+           ROUND(mya - myb, 6) AS diff_raw,
+           ROUND(adj_a - adj_b, 6) AS diff_adj,
+           ROUND(100.0 * rho2, 6) AS var_reduction_pct,
+           ROUND(zv, 6) AS z,
+           ROUND(CASE WHEN zv IS NOT NULL THEN
+                 ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 9)
+                 END, 6) AS p_value
+    FROM zf
+    """,
+)
+def stats_cuped_events_q(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (`table.stats.cuped`,
+    Deng et al. 2013) on the events fixture: per-user pre-period
+    (Jan 1-15) value sum as the covariate X, post-period (Jan 16+) sum
+    as the metric Y, variant = user_id parity.  One grouped scan builds
+    the unit frame, then ONE conditional exact-decimal aggregate yields
+    θ = cov/var, the adjusted arm means, the Welch-style z on per-arm
+    sample variances of Ŷ, and the 100·ρ² variance-reduction identity —
+    all terminal fixed-order doubles over split-cast decimal sums (the
+    CCC recipe)."""
+    from .operators.quality import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast("decimal(38,10)")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, F.col("value").cast("decimal(38,10)"))),
+                   zero).cast("double").alias("x"),
+        F.coalesce(F.sum(F.when(~pre, F.col("value").cast("decimal(38,10)"))),
+                   zero).cast("double").alias("y"))
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treat")).alias("variant"),
+        "x", "y")
+    return cuped_adjust(units, "variant", "x", "y", "control", "treat")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

@@ -1601,3 +1601,91 @@ def test_cvm_operation_minted(ctx, spark):
                       operation_config={"value_column": "x"})
     row = out["table"].data.collect()[0]
     assert row.reject_01  # disjoint-ish distributions reject hard
+
+
+# -- CUPED (round 10) -------------------------------------------------------
+
+def _cuped_frame(spark, rows):
+    return spark.createDataFrame(rows, "variant string, x double, y double")
+
+
+def test_cuped_textbook_theta_and_reduction(spark):
+    """y = 2x + arm effect: the covariate explains ALL within-arm
+    variance, so theta = 2, rho^2 ~ 1, the adjusted variance collapses,
+    and the adjusted diff equals the designed effect exactly."""
+    from kiara_spark.operators.quality import cuped_adjust
+
+    rows = ([("control", float(v), 2.0 * v) for v in range(1, 11)]
+            + [("treat", float(v), 2.0 * v + 5.0) for v in range(1, 11)])
+    r = cuped_adjust(_cuped_frame(spark, rows), "variant", "x", "y",
+                     "control", "treat").collect()[0]
+    assert r.n_a == 10 and r.n_b == 10
+    assert r.theta == pytest.approx(2.0, abs=1e-6)
+    assert r.diff_raw == pytest.approx(-5.0, abs=1e-6)
+    assert r.diff_adj == pytest.approx(-5.0, abs=1e-6)
+    # identical X distributions across arms: adjustment preserves diff,
+    # and the covariate soaks up most of the pooled variance
+    assert r.var_reduction_pct > 75.0
+    # the adjusted per-arm variance is exactly 0 -> z undefined by the
+    # se > 0 guard
+    assert r.z is None and r.p_value is None
+
+
+def test_cuped_no_covariate_signal_null_theta(spark):
+    """Constant X: var(X) = 0, theta/adjustment NULL by contract, raw
+    diff still reported."""
+    from kiara_spark.operators.quality import cuped_adjust
+
+    rows = ([("control", 1.0, float(v)) for v in range(1, 6)]
+            + [("treat", 1.0, float(v) + 3) for v in range(1, 6)])
+    r = cuped_adjust(_cuped_frame(spark, rows), "variant", "x", "y",
+                     "control", "treat").collect()[0]
+    assert r.theta is None and r.adj_mean_a is None and r.z is None
+    assert r.diff_raw == pytest.approx(-3.0, abs=1e-6)
+
+
+def test_cuped_reduces_variance_vs_plain_diff(spark):
+    """Noisy metric with a strong pre-period covariate: CUPED's z must
+    detect the effect more sharply than the raw diff suggests, and the
+    reduction equals 100*rho^2 from hand-computed pooled moments."""
+    from kiara_spark.operators.quality import cuped_adjust
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        x = rng.uniform(10, 100)
+        noise = rng.gauss(0, 2)
+        arm = "control" if i % 2 == 0 else "treat"
+        eff = 0.0 if arm == "control" else 4.0
+        rows.append((arm, x, 3.0 * x + noise + eff))
+    r = cuped_adjust(_cuped_frame(spark, rows), "variant", "x", "y",
+                     "control", "treat").collect()[0]
+    # hand pooled moments on the 2-dp-rounded values the operator uses
+    xs = [round(x, 2) for _, x, _ in rows]
+    ys = [round(y, 2) for _, _, y in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum(v * v for v in xs) / n - mx * mx
+    vy = sum(v * v for v in ys) / n - my * my
+    cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * my
+    assert r.theta == pytest.approx(cov / vx, abs=1e-4)
+    assert r.var_reduction_pct == pytest.approx(
+        100.0 * cov * cov / (vx * vy), abs=1e-2)
+    assert r.var_reduction_pct > 95.0
+    assert r.z is not None and abs(r.z) > 3.0  # effect detected
+    assert r.p_value < 0.01
+
+
+def test_cuped_operation_minted(ctx, spark):
+    rows = ([("a", float(v), float(v) + 1) for v in range(1, 8)]
+            + [("b", float(v), float(v) + 3) for v in range(1, 8)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = ctx.run_job("table.stats.cuped", {"table": df},
+                      operation_config={"group_column": "g",
+                                        "x_column": "x", "y_column": "y",
+                                        "group_a": "a", "group_b": "b"})
+    row = out["table"].data.collect()[0]
+    assert row.n_a == 7 and row.n_b == 7
+    assert row.theta == pytest.approx(1.0, abs=1e-6)
+    assert row.diff_adj == pytest.approx(-2.0, abs=1e-6)
