@@ -2305,8 +2305,87 @@ class TextTokenDropout(KiaraModule):
             out_col=self.config.get("output_column", "augmented_text"))}
 
 
+# Fixed keyword vocabulary for the code detector — literal tokens, no
+# regex, so the Spark filter and the DuckDB list_filter agree exactly.
+CODE_KEYWORDS = ["def", "return", "import", "class", "function", "var",
+                 "const", "void", "int", "public", "static", "print"]
+_CODE_SYMBOLS = "{}()[];=<>"
+
+
+def with_code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-vs-prose detection for corpus curation — route source code
+    out of prose corpora (or into a code pipeline) BEFORE quality
+    filters built for natural language mangle it (the C4/Gopher rules
+    reject most code as 'low quality'; a curation pipeline needs to
+    know it is looking at code first).
+
+    Four exact per-doc signals, no regex (identical semantics in Spark
+    and the DuckDB oracle):
+
+    - ``punct_line_ratio``: lines whose last non-space char is ``;``
+      ``{`` or ``}`` (statement terminators / block delimiters)
+    - ``indent_line_ratio``: lines starting with 4 spaces or a tab
+    - ``symbol_density``: chars from ``{}()[];=<>`` per char
+    - ``kw_ratio``: whitespace tokens that lowercase-equal a fixed
+      12-keyword vocabulary (def/return/import/...), per token
+
+    ``code_score`` is the fixed-order weighted sum
+    ``0.35·punct + 0.25·indent + 0.25·min(10·sym, 1) +
+    0.15·min(5·kw, 1)`` and ``is_code`` = score ≥ 0.3 (compared on the
+    UNROUNDED score).  Map-only: every signal is codegen arithmetic on
+    the scan — at 100 TB this runs at scan throughput with zero
+    shuffle."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    words = F.filter(F.split(text, "\\s+"), lambda w: w != F.lit(""))
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+
+    def _last_char(ln):
+        r = F.rtrim(ln)
+        return F.substring(r, F.length(r), F.lit(1))
+
+    punct_lines = F.size(F.filter(
+        lines, lambda ln: _last_char(ln).isin(";", "{", "}")))
+    indent_lines = F.size(F.filter(
+        lines, lambda ln: (F.substring(ln, 1, 4) == "    ")
+        | (F.substring(ln, 1, 1) == "\t")))
+    n_sym = n_chars - F.length(F.translate(text, _CODE_SYMBOLS, ""))
+    kw_hits = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*CODE_KEYWORDS)))
+    punct_ratio = F.when(
+        n_lines > 0,
+        punct_lines.cast("double") / n_lines.cast("double")).otherwise(0.0)
+    indent_ratio = F.when(
+        n_lines > 0,
+        indent_lines.cast("double") / n_lines.cast("double")).otherwise(0.0)
+    sym_density = F.when(
+        n_chars > 0,
+        n_sym.cast("double") / n_chars.cast("double")).otherwise(0.0)
+    kw_ratio = F.when(
+        n_words > 0,
+        kw_hits.cast("double") / n_words.cast("double")).otherwise(0.0)
+    score = (F.lit(0.35) * punct_ratio + F.lit(0.25) * indent_ratio
+             + F.lit(0.25) * F.least(F.lit(10.0) * sym_density, F.lit(1.0))
+             + F.lit(0.15) * F.least(F.lit(5.0) * kw_ratio, F.lit(1.0)))
+    return df.select(
+        "*",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(punct_ratio, 6).alias("punct_line_ratio"),
+        F.round(indent_ratio, 6).alias("indent_line_ratio"),
+        F.round(sym_density, 6).alias("symbol_density"),
+        kw_hits.cast("bigint").alias("kw_hits"),
+        F.round(score, 6).alias("code_score"),
+        (score >= F.lit(0.3)).alias("is_code"))
+
+
 TextGopherRules = _mk("text.quality.gopher", with_gopher_rules,
                       "the Gopher (Rae et al. 2021) quality-rule battery")
+TextCodeDetect = _mk("text.quality.code_detect", with_code_signals,
+                     "code-vs-prose detection (terminator/indent/symbol/"
+                     "keyword signals, map-only)")
 TextReadability = _mk("text.readability", with_readability,
                       "Flesch reading-ease score (vowel-group syllables)")
 TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
@@ -2494,6 +2573,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableUnimaxSample, TextSpanCorruption,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
+           TextCodeDetect,
            TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
@@ -2504,6 +2584,8 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
+    Operation("text.quality.code_detect", "text.quality.code_detect",
+              doc="code-vs-prose detection for corpus routing"),
     Operation("text.clean.c4", "text.clean.c4",
               doc="C4 line-level cleaning + document verdict"),
     Operation("text.readability", "text.readability",

@@ -15766,6 +15766,99 @@ def events_durbin_watson_q(spark, sf_dir):
                          bucket="day")
 
 
+_CODE_KW_SQL = ("('def','return','import','class','function','var',"
+                "'const','void','int','public','static','print')")
+
+_CODE_RICH_SQL = """
+      CASE WHEN doc_id % 7 = 0 THEN
+        'def f(x):' || chr(10)
+        || '    y = (x + ' || CAST(doc_id % 97 AS VARCHAR) || ');'
+        || chr(10) || '    return [y];' || chr(10) || 'import os;'
+        || chr(10)
+        || COALESCE(array_to_string(
+               list_slice(string_split(text, ' '), 1, 8), ' '), '')
+      ELSE text END
+"""
+
+
+@query(
+    "text_code_detect",
+    f"""
+    WITH rt AS (SELECT doc_id, {_CODE_RICH_SQL} AS t FROM documents),
+    sig AS (
+      SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), l -> trim(l) <> '')
+               AS lines,
+             list_filter(string_split_regex(t, '\\s+'), w -> w <> '')
+               AS words
+      FROM rt),
+    feat AS (
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+                 l -> substr(rtrim(l), length(rtrim(l)), 1)
+                      IN (';', '{{', '}}'))) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+                 l -> substr(l, 1, 4) = '    '
+                      OR substr(l, 1, 1) = chr(9))) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS indent_ratio,
+        CASE WHEN length(t) > 0 THEN
+          CAST(length(t) - length(translate(t, '{{}}()[];=<>', ''))
+               AS DOUBLE)
+            / CAST(length(t) AS DOUBLE) ELSE 0.0 END AS sym_density,
+        CAST(len(list_filter(words, w -> lower(w) IN {_CODE_KW_SQL}))
+             AS BIGINT) AS kw_hits,
+        CAST(len(words) AS BIGINT) AS n_words
+      FROM sig),
+    sc AS (
+      SELECT doc_id, n_lines, punct_ratio, indent_ratio, sym_density,
+             kw_hits,
+             0.35 * punct_ratio + 0.25 * indent_ratio
+             + 0.25 * LEAST(10.0 * sym_density, 1.0)
+             + 0.15 * LEAST(5.0 * (CASE WHEN n_words > 0
+                   THEN CAST(kw_hits AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   ELSE 0.0 END), 1.0) AS score
+      FROM feat)
+    SELECT doc_id, n_lines,
+           ROUND(punct_ratio, 6) AS punct_line_ratio,
+           ROUND(indent_ratio, 6) AS indent_line_ratio,
+           ROUND(sym_density, 6) AS symbol_density,
+           kw_hits,
+           ROUND(score, 6) AS code_score,
+           score >= 0.3 AS is_code
+    FROM sc
+    """,
+)
+def text_code_detect_q(spark, sf_dir):
+    """Code-vs-prose routing (`text.quality.code_detect`): every 7th doc
+    is deterministically rewritten as a small code listing (def/indent/
+    terminators, same synthesis in both engines — the fixture corpus is
+    all prose, so the detector needs positives to separate); the
+    detector's four exact signals and the fixed-order weighted score
+    flag them while the prose stays below threshold.  Map-only — scan
+    throughput at 100 TB."""
+    from .operators.text import with_code_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    code_text = F.concat(
+        F.lit("def f(x):\n    y = (x + "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(");\n    return [y];\nimport os;\n"),
+        F.coalesce(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+            F.lit("")))
+    rich = F.when(F.col("doc_id") % 7 == 0, code_text) \
+        .otherwise(F.col("text"))
+    rt = docs.select("doc_id", rich.alias("text"))
+    out = with_code_signals(rt)
+    return out.select("doc_id", "n_lines", "punct_line_ratio",
+                      "indent_line_ratio", "symbol_density", "kw_hits",
+                      "code_score", "is_code")
+
+
 @query(
     "stats_cuped_events",
     f"""

@@ -625,3 +625,49 @@ def test_balanced_sample_operation(spark, ctx):
     counts = {r["lang"]: r["count"] for r in got}
     assert counts.get("small", 0) == 5          # minority kept whole
     assert 0 < counts.get("big", 0) <= 14       # majority ~n_min (hash noise)
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    from kiara_spark.operators.text import with_code_signals
+
+    code = ("def add(a, b):\n"
+            "    total = (a + b);\n"
+            "    return total;\n"
+            "import os\n"
+            "class Greeter:\n"
+            "    def hello(self):\n"
+            "        print('hi');\n")
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was the best of times, it was the worst of times. "
+             "Call me Ishmael. Some years ago, never mind how long "
+             "precisely, I went to sea.")
+    df = spark.createDataFrame([(1, code), (2, prose)],
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r for r in with_code_signals(df).collect()}
+    assert got[1].is_code is True
+    assert got[2].is_code is False
+    assert got[1].code_score > 0.3 > got[2].code_score
+    assert got[1].indent_line_ratio > 0.4  # 4 of 7 lines indented
+    assert got[1].punct_line_ratio > 0.4   # ;-terminated lines
+    assert got[1].kw_hits >= 4             # def/return/import/class/print
+    assert got[2].kw_hits == 0 and got[2].symbol_density == 0.0
+
+
+def test_code_detect_empty_and_guards(spark):
+    from kiara_spark.operators.text import with_code_signals
+
+    df = spark.createDataFrame([(1, ""), (2, "   \n  \n")],
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r for r in with_code_signals(df).collect()}
+    for r in got.values():
+        assert r.n_lines == 0 and r.code_score == 0.0
+        assert r.is_code is False
+
+
+def test_code_detect_operation_minted(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "x = 1;\ny = 2;\nreturn x;\n")],
+        "doc_id bigint, text string")
+    out = ctx.run_job("text.quality.code_detect", {"table": df})
+    row = out["table"].data.collect()[0]
+    assert row.is_code is True and row.punct_line_ratio == 1.0
