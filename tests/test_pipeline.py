@@ -549,30 +549,43 @@ def test_dir_fingerprint_sees_renames(tmp_path):
 
 
 def test_pretraining_curation_example_pipeline(spark, tmp_path):
-    """examples/pretraining_curation.json end-to-end: Gopher rules ->
-    filter -> C4 clean -> filter -> perplexity tiles + readability."""
+    """examples/pretraining_curation.json end-to-end: code routing ->
+    Gopher rules -> filter -> C4 clean -> filter -> perplexity tiles +
+    readability."""
     import pandas as pd
 
     from kiara_spark.context import KiaraContext
 
     good_line = ("The quick brown fox jumps over the lazy dog and runs far "
                  "away to be safe today.")
+    code_doc = ("def main():\n"
+                "    x = load();\n"
+                "    y = (x + 1);\n"
+                "    return y;\n"
+                "import sys\n"
+                "print(main());\n")
     rows = []
-    for i in range(9):
+    for i in range(10):
         if i < 6:  # passes Gopher (50+ words) and C4 (punctuated lines)
             rows.append((i, "\n".join([good_line] * 7)))
         elif i < 8:  # fails Gopher: too short
             rows.append((i, "tiny fragment"))
-        else:  # passes Gopher, killed by C4 doc rule (brace)
+        elif i == 8:  # passes Gopher, killed by C4 doc rule (brace)
             rows.append((i, "\n".join([good_line] * 7) + "\n{ code }"))
+        else:  # source code: routed out by the detector BEFORE Gopher
+            rows.append((i, code_doc))
     src = str(tmp_path / "docs.parquet")
     pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(src)
 
     ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "home"))
     out = ctx.run_pipeline("examples/pretraining_curation.json",
                            {"path": src})
+    code = {r["doc_id"]: r["is_code"]
+            for r in out["code_verdicts"].data.collect()}
+    assert code[9] is True and not any(code[i] for i in range(9))
     verdicts = {r["doc_id"]: r for r in out["c4_verdicts"].data.collect()}
-    assert set(verdicts) == {0, 1, 2, 3, 4, 5, 8}  # gopher dropped 6, 7
+    # gopher dropped 6, 7; the code router already removed 9
+    assert set(verdicts) == {0, 1, 2, 3, 4, 5, 8}
     assert not verdicts[8]["kept_doc"]  # brace kills doc 8 at the C4 stage
     tiles = {r["doc_id"]: r for r in out["perplexity_tiles"].data.collect()}
     assert set(tiles) == {0, 1, 2, 3, 4, 5}

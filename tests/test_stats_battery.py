@@ -864,6 +864,15 @@ def test_experiment_guardrails_example_pipeline(ctx):
     assert 0.0 <= conv.rate_a <= 1.0 and 0.0 <= conv.rate_b <= 1.0
     assert robust.h_a <= robust.n_a and robust.h_b <= robust.n_b
     assert robust.df is not None
+    # round 10: the CUPED variance-reduced readout rides the same
+    # per-user frame (pre-period purchase count as the covariate)
+    cuped = out["cuped_readout"].data.collect()[0]
+    assert cuped.n_a + cuped.n_b == srm.n
+    if cuped.theta is not None:
+        assert cuped.var_reduction_pct >= 0.0
+        assert cuped.adj_mean_a is not None
+    if cuped.p_value is not None:
+        assert 0.0 <= cuped.p_value <= 1.0
 
 
 def test_two_prop_z_degenerate_pooled_rate_null(spark):
