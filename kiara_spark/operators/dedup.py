@@ -1094,6 +1094,85 @@ def duplicate_ngram_spans(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's word
+    n-gram OCCURRENCES whose gram appears in no other document.  The
+    corpus-level templating/boilerplate detector (RefinedWeb-style
+    analysis): novelty ≈ 1 means unique content, ≈ 0 means the document
+    is assembled from corpus-repeated grams — the scoring complement of
+    :func:`duplicate_ngram_spans` (which emits clip POSITIONS; this
+    emits a rankable per-doc score for budget/threshold decisions).
+
+    Plan shape (all linear, no self-join): tokenize + explode
+    (doc, gram-hash) once — only 8-byte xxhash64 values shuffle; one
+    (doc, gram) hash aggregate; a (gram) doc-frequency rollup joined
+    back ON THE SAME gram key (both sides already sit on the g-shuffle,
+    AQE reuses it); one final per-doc aggregate.  At 100 TB: the scan +
+    three linear shuffles.
+
+    Documents with fewer than ``n`` tokens emit no grams and are absent
+    from the output (documented contract — there is no n-gram evidence
+    to score).  Returns (id, n_grams, n_distinct_grams, n_novel,
+    novelty)."""
+    from .text import tokens_col
+
+    toks = df.select(F.col(id_col).alias("_id"),
+                     tokens_col(F.col(text_col)).alias("_t"))
+    nw = F.size("_t")
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.when(nw >= n, F.sequence(F.lit(0), nw - n))
+            .otherwise(F.expr("array()"))).alias("_p"),
+        "_t",
+    ).select(
+        "_id",
+        F.xxhash64(F.concat_ws("\x1f", F.slice("_t", F.col("_p") + 1, n)))
+        .alias("_g"))
+    per_doc_gram = grams.groupBy("_id", "_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c_dg"))
+    per_gram = per_doc_gram.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs_g"))
+    joined = per_doc_gram.join(per_gram, "_g")
+    return (
+        joined.groupBy("_id")
+        .agg(F.sum("_c_dg").cast("bigint").alias("n_grams"),
+             F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+             F.sum(F.when(F.col("_n_docs_g") == 1, F.col("_c_dg"))
+                   .otherwise(0)).cast("bigint").alias("n_novel"))
+        .select(F.col("_id").alias(id_col),
+                "n_grams", "n_distinct_grams", "n_novel",
+                F.round(F.col("n_novel").cast("double")
+                        / F.col("n_grams").cast("double"), 6)
+                .alias("novelty"))
+    )
+
+
+class DedupNgramNovelty(KiaraModule):
+    """Per-document corpus n-gram novelty score (templating detector)."""
+
+    _module_type_name = "table.dedup.ngram_novelty"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": ngram_novelty(
+            inputs["table"].data,
+            self.config.get("id_column", "doc_id"),
+            self.config.get("text_column", "text"),
+            self.config.get("n", 5),
+        )}
+
+
 def clip_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1315,7 +1394,8 @@ class DedupJaroWinkler(KiaraModule):
 MODULES = [DedupExact, DedupMinhash, DedupSimhash, DedupNgramJaccard,
            DedupFuzzyLevenshtein, DedupDuplicateNgramSpans, DedupClipSpans,
            DedupMinhashIncremental, DedupParagraphs,
-           DedupMinhashIndexBuild, DedupNgramContainment, DedupJaroWinkler]
+           DedupMinhashIndexBuild, DedupNgramContainment, DedupJaroWinkler,
+           DedupNgramNovelty]
 OPERATIONS = [
     Operation("table.dedup.jaro_winkler", "table.dedup.jaro_winkler",
               doc="blocked Jaro-Winkler record-linkage pairs"),
@@ -1327,6 +1407,9 @@ OPERATIONS = [
     Operation("table.dedup.fuzzy_levenshtein", "table.dedup.fuzzy_levenshtein"),
     Operation("table.dedup.ngram_spans", "table.dedup.ngram_spans"),
     Operation("table.dedup.clip_spans", "table.dedup.clip_spans"),
+    Operation("table.dedup.ngram_novelty", "table.dedup.ngram_novelty",
+              doc="per-doc corpus n-gram novelty score "
+                  "(templating/boilerplate detector)"),
     Operation("table.dedup.minhash_incremental", "table.dedup.minhash_incremental"),
     Operation("table.dedup.paragraphs", "table.dedup.paragraphs"),
     Operation("table.dedup.minhash_index.build", "table.dedup.minhash_index.build"),

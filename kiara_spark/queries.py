@@ -15766,6 +15766,47 @@ def events_durbin_watson_q(spark, sf_dir):
                          bucket="day")
 
 
+@query(
+    "dedup_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(len(w) - 5 + 1, 0))) AS p
+      FROM toks),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, CAST(p + 1 AS BIGINT),
+                                        CAST(p + 5 AS BIGINT)), chr(31)) AS g
+      FROM pos),
+    pdg AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    pg AS (SELECT g, COUNT(*) AS ndocs FROM pdg GROUP BY g)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN ndocs = 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN ndocs = 1 THEN c ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS novelty
+    FROM pdg JOIN pg USING (g)
+    GROUP BY doc_id
+    """,
+)
+def dedup_ngram_novelty_q(spark, sf_dir):
+    """Per-document corpus 5-gram novelty (`table.dedup.ngram_novelty`):
+    the fraction of each document's word-gram occurrences found in no
+    other document — the rankable templating/boilerplate score beside
+    the ExactSubstr span clipper.  Explode 8-byte gram hashes once, two
+    hash aggregates + one co-located join on the gram key, final per-doc
+    rollup: linear at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_novelty(docs, n=5)
+
+
 _CODE_KW_SQL = ("('def','return','import','class','function','var',"
                 "'const','void','int','public','static','print')")
 

@@ -840,3 +840,43 @@ def test_bpe_encode_round_trip_with_trained_merges(ctx, spark):
     assert row.n_symbols == want_symbols
     assert row.compression == round(want_chars / want_symbols, 6)
     assert ctx.operation_registry.resolve("text.bpe_encode") is not None
+
+
+def test_ngram_novelty_scores(spark):
+    """Exact hand corpus: a duplicated doc pair scores 0 novelty, a
+    unique doc scores 1, a sub-n doc emits no grams (absent)."""
+    from kiara_spark.operators.dedup import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens -> 2 grams
+    unique = "red orange yellow green blue indigo violet"  # 3 grams
+    rows = [(1, shared), (2, shared), (3, unique), (4, "too short")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, n=5).collect()}
+    assert set(got) == {1, 2, 3}          # doc 4: < 5 tokens, no grams
+    assert got[1].n_grams == 2 and got[1].novelty == 0.0
+    assert got[2].novelty == 0.0          # every gram shared with doc 1
+    assert got[3].n_grams == 3 and got[3].novelty == 1.0
+    assert got[3].n_distinct_grams == 3 and got[3].n_novel == 3
+
+
+def test_ngram_novelty_within_doc_repeat_still_novel(spark):
+    """A gram repeated WITHIN one doc but in no other doc stays novel
+    (n_docs == 1), and occurrence accounting is exact."""
+    from kiara_spark.operators.dedup import ngram_novelty
+
+    rep = "a b c d e a b c d e"  # 10 tokens -> 6 grams; 'a b c d e' twice
+    df = spark.createDataFrame([(1, rep), (2, "p q r s t u")],
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, n=5).collect()}
+    assert got[1].n_grams == 6
+    assert got[1].n_distinct_grams == 5   # the repeated gram counts once
+    assert got[1].novelty == 1.0          # nothing shared across docs
+
+
+def test_ngram_novelty_operation_minted(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four five")],
+        "doc_id bigint, text string")
+    out = ctx.run_job("table.dedup.ngram_novelty", {"table": df})
+    rows = out["table"].data.collect()
+    assert all(r.novelty == 0.0 for r in rows) and len(rows) == 2
