@@ -2791,6 +2791,45 @@ def _prefix_sums(
     return joined.drop(*drop)
 
 
+def _prefix_min(
+    grid: DataFrame,
+    v_col: str,
+    value_col: str,
+    out_col: str,
+    descending: bool = False,
+) -> DataFrame:
+    """Range-partitioned INCLUSIVE running minimum of ``value_col`` in
+    ``v_col`` order — the :func:`_prefix_sums` architecture with MIN as
+    the fold (min is associative, so the per-partition window + the
+    broadcast prefix-min of earlier range partitions compose exactly):
+    bit-identical to an unpartitioned ``MIN() OVER (ORDER BY v ROWS
+    UNBOUNDED PRECEDING)``, without serializing the grid through one
+    task.  Used by BH-FDR's step-up (suffix min over ascending p ==
+    prefix min over descending p)."""
+    from pyspark.sql.window import Window as _W
+
+    from ..io import cut_lineage
+
+    order = F.col(v_col).desc() if descending else F.col(v_col)
+    p = grid.sparkSession.sparkContext.defaultParallelism
+    tagged = cut_lineage(
+        grid.repartitionByRange(p, order)
+        .withColumn("_pp", F.spark_partition_id()))
+    w_loc = (_W.partitionBy("_pp").orderBy(order)
+             .rowsBetween(_W.unboundedPreceding, 0))
+    local = tagged.withColumn("_min_l", F.min(value_col).over(w_loc))
+    wb = _W.orderBy("_pp").rowsBetween(_W.unboundedPreceding, -1)
+    prefix = (tagged.groupBy("_pp")
+              .agg(F.min(value_col).alias("_min_p"))
+              .select("_pp", F.min("_min_p").over(wb).alias("_min_b")))
+    joined = local.join(F.broadcast(prefix), "_pp")
+    return (joined.withColumn(
+        out_col,
+        F.when(F.col("_min_b").isNull(), F.col("_min_l"))
+        .otherwise(F.least(F.col("_min_l"), F.col("_min_b"))))
+        .drop("_pp", "_min_l", "_min_b"))
+
+
 def _prefix_last(
     grid: DataFrame,
     order_exprs: list,
@@ -4327,6 +4366,57 @@ def cuped_adjust(
         F.round(p, 6).alias("p_value"))
 
 
+def bh_fdr(
+    df: DataFrame,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over an ARBITRARY p-value
+    family: run a test per segment/metric/window, then control the
+    FALSE DISCOVERY RATE across the whole family instead of eyeballing
+    raw p-values (at 5% alpha, 1 in 20 segments "rejects" by chance).
+    :func:`chi2_gof_bh` inlines the same step-up for its own bounded
+    per-group screen (a window over m group rows); THIS operator is the
+    standalone, unbounded-m version — millions of hypotheses (one per
+    feature, per shard, per time bucket) without a single-task window.
+
+        p_adj(i) = min(1, min_{j >= i} p_(j) · m / j)     (step-up)
+        reject   = p_adj <= alpha                         (equivalent to
+                                                           the k* rule)
+
+    Scale design: ranks come from the DISTINCT-p grid with
+    :func:`_prefix_sums` inclusive counts (tied p-values share their
+    block's LARGEST rank — exactly what the suffix-min needs, so
+    distinct-granularity is exact), the suffix min is
+    :func:`_prefix_min` over descending p (range-partitioned, never a
+    single-task window), and the adjusted values join back on the p key
+    the rows already shuffle on.  NULL p-values pass through with NULL
+    p_adj and reject=false (no evidence, no decision).  Returns the
+    input columns + (p_adj, reject)."""
+    pc = F.col(p_col)
+    src = df
+    tot = (src.filter(pc.isNotNull())
+           .agg(F.count(F.lit(1)).cast("bigint").alias("_m")))
+    g = (src.filter(pc.isNotNull()).groupBy(pc.alias("_p"))
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+    ranked = _prefix_sums(g, "_p", [("_c", "_rk")], inclusive=True)
+    raw = (ranked.crossJoin(F.broadcast(tot))
+           .withColumn("_braw",
+                       F.col("_p") * F.col("_m").cast("double")
+                       / F.col("_rk").cast("double")))
+    adj = _prefix_min(raw, "_p", "_braw", "_adj", descending=True)
+    adj = adj.select(
+        "_p",
+        F.when(F.col("_adj") < 1.0, F.col("_adj")).otherwise(F.lit(1.0))
+        .alias("p_adj"))
+    out = src.join(adj, pc == F.col("_p"), "left").drop("_p")
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.round("p_adj", 9).alias("p_adj"),
+        F.coalesce(F.col("p_adj") <= F.lit(alpha), F.lit(False))
+        .alias("reject"))
+
+
 def _winsor_stats(df_vals: DataFrame, trim: float):
     """(n, h, Σw@2dp, Σw²@4dp) of the winsorized sample for ONE group
     whose values sit in ``_v`` (decimal(38,2)) — the shared kernel under
@@ -5108,8 +5198,21 @@ TableTwoPropZ = _simple_module(
         "p-value from one conditional-count scan.",
 )
 
-TableCuped = _simple_module(
-    "table.stats.cuped",
+TableBhFdr = _simple_module(
+    "table.stats.bh_fdr",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": bh_fdr(
+        im["table"].data,
+        self.config.get("p_column", "p_value"),
+        alpha=self.config.get("alpha", 0.05))},
+    doc="Benjamini-Hochberg FDR step-up over a family of p-values: "
+        "adjusted p + reject flags, range-partitioned rank/suffix-min "
+        "(no single-task window).",
+)
+
+TableCupedReadout = _simple_module(
+    "table.stats.cuped_readout",
     {"table": TABLE},
     {"table": TABLE},
     lambda self, im, ctx: {"table": cuped_adjust(
@@ -5117,9 +5220,10 @@ TableCuped = _simple_module(
         self.config["x_column"], self.config["y_column"],
         self.config["group_a"], self.config["group_b"],
         value_scale=self.config.get("value_scale", 2))},
-    doc="CUPED variance-reduced experiment readout (Deng et al. 2013): "
-        "pre-period covariate adjustment, adjusted-diff z, 100*rho^2 "
-        "variance reduction from one exact-decimal conditional scan.",
+    doc="CUPED variance-reduced A/B READOUT (Deng et al. 2013): per-arm "
+        "adjusted means, adjusted-diff z + erfc p, 100*rho^2 variance "
+        "reduction from one exact-decimal conditional scan (the decision "
+        "layer over table.stats.cuped's theta/variance-factor summary).",
 )
 
 TableSrmCheck = _simple_module(
@@ -5155,8 +5259,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ, TableCuped, TableMcnemar, TableCcc,
-            TableYuenTtest,
+            TableTwoPropZ, TableCupedReadout, TableBhFdr, TableMcnemar,
+            TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
             TableCochransQ, TableBartlett]
@@ -5194,6 +5298,9 @@ OPERATIONS = [
     Operation("table.stats.cuped", "table.stats.cuped",
               doc="CUPED pre-period covariate adjustment "
                   "(variance-reduced experiment readout)"),
+    Operation("table.stats.bh_fdr", "table.stats.bh_fdr",
+              doc="Benjamini-Hochberg FDR correction over a p-value "
+                  "family (adjusted p + reject flags)"),
     Operation("table.stats.anova", "table.stats.anova",
               doc="one-way ANOVA F-test + eta-squared effect size"),
     Operation("table.stats.cohens_kappa", "table.stats.cohens_kappa",

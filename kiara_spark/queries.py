@@ -15767,6 +15767,96 @@ def events_durbin_watson_q(spark, sf_dir):
 
 
 @query(
+    "stats_bh_fdr_daily_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS ndays,
+             CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      FROM daily GROUP BY 1
+    ), src AS (
+      SELECT d.event_type, d.day, d.n,
+             CASE WHEN ({_sc('s2')} / CAST(ndays AS DOUBLE)
+                        - ({_sc('s1')} / CAST(ndays AS DOUBLE))
+                          * ({_sc('s1')} / CAST(ndays AS DOUBLE))) > 0
+                  THEN ROUND(LEAST({_erfc_sql(
+                    "ABS((CAST(n AS DOUBLE) - " + _sc('s1')
+                    + " / CAST(ndays AS DOUBLE)) / SQRT(" + _sc('s2')
+                    + " / CAST(ndays AS DOUBLE) - (" + _sc('s1')
+                    + " / CAST(ndays AS DOUBLE)) * (" + _sc('s1')
+                    + " / CAST(ndays AS DOUBLE)))) / SQRT(2.0)")}, 1.0), 9)
+             END AS p_value
+      FROM daily d JOIN st USING (event_type)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM src
+      WHERE p_value IS NOT NULL
+    ), g AS (
+      SELECT p_value AS p, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM src WHERE p_value IS NOT NULL GROUP BY 1
+    ), r AS (
+      SELECT p, SUM(c) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+      FROM g
+    ), braw AS (
+      SELECT p, p * CAST(m AS DOUBLE) / CAST(rk AS DOUBLE) AS b
+      FROM r CROSS JOIN tot
+    ), adj AS (
+      SELECT p, MIN(b) OVER (ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      FROM braw
+    ), capped AS (
+      SELECT p, CASE WHEN a < 1.0 THEN a ELSE 1.0 END AS pa FROM adj
+    )
+    SELECT s.event_type, s.day, s.n, s.p_value,
+           ROUND(c.pa, 9) AS p_adj,
+           COALESCE(c.pa <= 0.05, false) AS reject
+    FROM src s LEFT JOIN capped c ON s.p_value = c.p
+    """,
+)
+def stats_bh_fdr_daily_anomalies_q(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the daily-volume anomaly family
+    (`table.stats.bh_fdr`): one p-value per (event_type, day) from the
+    exact-integer daily-count z-score, then the standalone step-up
+    controls the false-discovery rate across the whole family — the
+    multiple-testing closer for every per-segment screen.  Ranks come
+    from the distinct-p grid via range-partitioned prefix counts and
+    the suffix min via the range-partitioned running-min twin: no
+    single-task window at any family size."""
+    from .operators.quality import _erfc_as, _split_cast, bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ndays"),
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("_s1"),
+        F.sum((F.col("n").cast("decimal(19,0)")
+               * F.col("n").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("_s2"))
+    j = daily.join(F.broadcast(st), "event_type")
+    ndd = F.col("_ndays").cast("double")
+    mean = _split_cast(F.col("_s1")) / ndd
+    var = _split_cast(F.col("_s2")) / ndd - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    p = F.when(var > 0,
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    src = j.select(
+        "event_type",
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        "n", p.alias("p_value"))
+    return bh_fdr(src, "p_value", alpha=0.05)
+
+
+@query(
     "dedup_ngram_novelty",
     """
     WITH toks AS (

@@ -1698,3 +1698,71 @@ def test_cuped_operation_minted(ctx, spark):
     assert row.n_a == 7 and row.n_b == 7
     assert row.theta == pytest.approx(1.0, abs=1e-6)
     assert row.diff_adj == pytest.approx(-2.0, abs=1e-6)
+
+
+# -- Benjamini-Hochberg FDR (round 10) --------------------------------------
+
+def test_bh_fdr_textbook(spark):
+    from kiara_spark.operators.quality import bh_fdr
+
+    rows = [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)]
+    df = spark.createDataFrame(rows, "hyp string, p_value double")
+    got = {r.hyp: r for r in bh_fdr(df, alpha=0.05).collect()}
+    # raw = p*m/rank: [.02, .04, .04, .02]; suffix-min keeps them
+    assert got["d"].p_adj == pytest.approx(0.02, abs=1e-9)
+    assert got["a"].p_adj == pytest.approx(0.02, abs=1e-9)
+    assert got["c"].p_adj == pytest.approx(0.04, abs=1e-9)
+    assert got["b"].p_adj == pytest.approx(0.04, abs=1e-9)
+    assert all(r.reject for r in got.values())
+
+
+def test_bh_fdr_ties_and_cap(spark):
+    """Tied p-values share the block's LARGEST rank; adjusted p caps
+    at 1."""
+    from kiara_spark.operators.quality import bh_fdr
+
+    rows = [("a", 0.02), ("b", 0.02), ("c", 0.9)]
+    df = spark.createDataFrame(rows, "hyp string, p_value double")
+    got = {r.hyp: r for r in bh_fdr(df, alpha=0.05).collect()}
+    assert got["a"].p_adj == pytest.approx(0.03, abs=1e-9)  # 0.02*3/2
+    assert got["b"].p_adj == pytest.approx(0.03, abs=1e-9)
+    assert got["c"].p_adj == pytest.approx(0.9, abs=1e-9)
+    assert got["a"].reject and got["b"].reject and not got["c"].reject
+    # cap: a p of 0.8 at rank 1 of 3 would give 2.4 -> capped at 1
+    solo = bh_fdr(spark.createDataFrame([("x", 0.8)],
+                                        "hyp string, p_value double"))
+    assert solo.collect()[0].p_adj == pytest.approx(0.8, abs=1e-9)
+
+
+def test_bh_fdr_null_passthrough_and_reference(spark):
+    """NULL p rows keep NULL p_adj / reject=false; a 60-hypothesis
+    family matches a straight reference implementation."""
+    import random
+
+    from kiara_spark.operators.quality import bh_fdr
+
+    rng = random.Random(3)
+    ps = sorted(round(rng.random(), 6) for _ in range(60))
+    rows = [(f"h{i}", p) for i, p in enumerate(ps)] + [("hnull", None)]
+    df = spark.createDataFrame(rows, "hyp string, p_value double")
+    got = {r.hyp: r for r in bh_fdr(df, alpha=0.1).collect()}
+    assert got["hnull"].p_adj is None and got["hnull"].reject is False
+    m = len(ps)
+    raw = [p * m / (i + 1) for i, p in enumerate(ps)]
+    ref, cur = [], float("inf")
+    for v in reversed(raw):
+        cur = min(cur, v)
+        ref.append(min(cur, 1.0))
+    ref.reverse()
+    for i, p in enumerate(ps):
+        assert got[f"h{i}"].p_adj == pytest.approx(ref[i], abs=1e-9), i
+        assert got[f"h{i}"].reject == (ref[i] <= 0.1)
+
+
+def test_bh_fdr_operation_minted(ctx, spark):
+    df = spark.createDataFrame([("a", 0.001), ("b", 0.5)],
+                               "hyp string, p_value double")
+    out = ctx.run_job("table.stats.bh_fdr", {"table": df},
+                      operation_config={"alpha": 0.01})
+    got = {r.hyp: r for r in out["table"].data.collect()}
+    assert got["a"].reject and not got["b"].reject
