@@ -5295,9 +5295,9 @@ OPERATIONS = [
     Operation("table.stats.two_proportion_z",
               "table.stats.two_proportion_z",
               doc="two-proportion z-test with erfc p-value"),
-    Operation("table.stats.cuped", "table.stats.cuped",
-              doc="CUPED pre-period covariate adjustment "
-                  "(variance-reduced experiment readout)"),
+    Operation("table.stats.cuped_readout", "table.stats.cuped_readout",
+              doc="CUPED two-arm A/B readout: adjusted means, adjusted-"
+                  "diff z/p, variance reduction"),
     Operation("table.stats.bh_fdr", "table.stats.bh_fdr",
               doc="Benjamini-Hochberg FDR correction over a p-value "
                   "family (adjusted p + reject flags)"),

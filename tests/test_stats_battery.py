@@ -1690,7 +1690,7 @@ def test_cuped_operation_minted(ctx, spark):
     rows = ([("a", float(v), float(v) + 1) for v in range(1, 8)]
             + [("b", float(v), float(v) + 3) for v in range(1, 8)])
     df = spark.createDataFrame(rows, "g string, x double, y double")
-    out = ctx.run_job("table.stats.cuped", {"table": df},
+    out = ctx.run_job("table.stats.cuped_readout", {"table": df},
                       operation_config={"group_column": "g",
                                         "x_column": "x", "y_column": "y",
                                         "group_a": "a", "group_b": "b"})
