@@ -142,6 +142,12 @@ PROBE_QUERIES = [
     "q12_late_shipments",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    # round-10 additions: gram-novelty explodes one hash per word 5-gram
+    # (the spans-op shape — two aggregates + a co-located gram join) and
+    # BH-FDR's family grows with distinct (type, day) buckets — both must
+    # hold linear shape at 10x
+    "dedup_ngram_novelty",
+    "stats_bh_fdr_daily_anomalies",
 ]
 
 EXCLUDED = {
