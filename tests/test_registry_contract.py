@@ -134,13 +134,21 @@ def test_query_order_rotates_by_recorded_history():
     # unconditionally (they must never burn one of the driver's 50
     # recorded slots), and within the oracle-backed block counts are
     # non-decreasing (fewest-recorded first → the sample rotates).
+    from kiara_spark.queries import _PIN_FIRST
+
     names = list(QUERIES)
-    keys = [(n not in ORACLE, counts.get(n, 0)) for n in names]
+    # r10: explicitly pinned queries sit at the head ahead of the
+    # count-ordered block (their only driver rows were r04 comparator
+    # crashes); the rotation invariant applies to everything after them
+    assert names[:len(_PIN_FIRST)] == list(_PIN_FIRST)
+    rest = names[len(_PIN_FIRST):]
+    keys = [(n not in ORACLE, counts.get(n, 0)) for n in rest]
     assert keys == sorted(keys), "queries not ordered by (oracle, recorded)"
     first50 = names[:50]
     assert all(n in ORACLE for n in first50)
-    # every never-recorded oracle-backed query sits ahead of any recorded one
-    oracle_names = [n for n in names if n in ORACLE]
+    # every never-recorded oracle-backed query sits ahead of any recorded
+    # one (pins excluded: they are recorded by definition)
+    oracle_names = [n for n in rest if n in ORACLE]
     unrecorded = [n for n in oracle_names if counts.get(n, 0) == 0]
     if unrecorded:
         last_unrec = max(oracle_names.index(n) for n in unrecorded)
