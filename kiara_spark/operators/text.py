@@ -2305,6 +2305,77 @@ class TextTokenDropout(KiaraModule):
             out_col=self.config.get("output_column", "augmented_text"))}
 
 
+# Unicode script ranges for the script detector.  BMP-only blocks with
+# identical `[\x{...}-\x{...}]` character-class syntax in Java regex
+# (Spark) and RE2 (DuckDB); counting is length-difference after
+# regexp_replace removal — map-only, no per-char explode.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "hebrew": "\\x{0590}-\\x{05FF}",
+    "devanagari": "\\x{0900}-\\x{097F}",
+    "cjk": "\\x{4E00}-\\x{9FFF}",
+    "hangul": "\\x{AC00}-\\x{D7AF}",
+    "kana": "\\x{3040}-\\x{30FF}",
+}
+
+
+def with_script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script profile per document — the multilingual routing
+    signal BEFORE language ID (an n-gram language model is useless on
+    the wrong script, and mixed-script text is the classic spam /
+    homoglyph-obfuscation tell).
+
+    Counts characters in nine BMP script blocks by length difference
+    after ``regexp_replace`` removal (map-only, identical char-class
+    semantics in Spark's Java regex and DuckDB's RE2), then derives:
+
+    - per-script ratios over the total script-classified count
+    - ``dominant_script`` — the first script in a FIXED priority order
+      whose count equals the maximum ('none' when no script chars)
+    - ``n_scripts`` — scripts holding > 5% of the classified chars
+    - ``mixed_script`` — ``n_scripts >= 2``
+
+    All counts are exact integers; ratios are terminal fixed-order
+    doubles.  Scan throughput at 100 TB: nine regexp passes per row,
+    zero shuffles."""
+    text = F.col(text_col)
+    counts = {
+        name: (F.length(text)
+               - F.length(F.regexp_replace(text, f"[{rng}]", "")))
+        .cast("bigint")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    totd = total.cast("double")
+    max_c = F.greatest(*counts.values())
+    dominant = F.when(max_c == 0, F.lit("none"))
+    for name in SCRIPT_RANGES:  # fixed priority order = dict order
+        dominant = dominant.when(counts[name] == max_c, F.lit(name))
+    ratio = {n: F.when(total > 0, c.cast("double") / totd).otherwise(0.0)
+             for n, c in counts.items()}
+    n_scripts = None
+    for n, c in counts.items():
+        flag = F.when(
+            (total > 0)
+            & (c.cast("double") / totd > F.lit(0.05)), 1).otherwise(0)
+        n_scripts = flag if n_scripts is None else n_scripts + flag
+    return df.select(
+        "*",
+        total.alias("n_script_chars"),
+        F.round(ratio["latin"], 6).alias("latin_ratio"),
+        F.round(ratio["cyrillic"], 6).alias("cyrillic_ratio"),
+        F.round(ratio["cjk"], 6).alias("cjk_ratio"),
+        F.round(ratio["arabic"], 6).alias("arabic_ratio"),
+        dominant.alias("dominant_script"),
+        n_scripts.cast("bigint").alias("n_scripts"),
+        (n_scripts >= 2).alias("mixed_script"))
+
+
 # Fixed keyword vocabulary for the code detector — literal tokens, no
 # regex, so the Spark filter and the DuckDB list_filter agree exactly.
 CODE_KEYWORDS = ["def", "return", "import", "class", "function", "var",
@@ -2386,6 +2457,9 @@ TextGopherRules = _mk("text.quality.gopher", with_gopher_rules,
 TextCodeDetect = _mk("text.quality.code_detect", with_code_signals,
                      "code-vs-prose detection (terminator/indent/symbol/"
                      "keyword signals, map-only)")
+TextScriptDetect = _mk("text.script_detect", with_script_signals,
+                       "Unicode-script profile: per-script ratios, "
+                       "dominant script, mixed-script flag (map-only)")
 TextReadability = _mk("text.readability", with_readability,
                       "Flesch reading-ease score (vowel-group syllables)")
 TextBpeMerges = _mk("text.bpe_merge_candidates", bpe_merge_candidates,
@@ -2573,7 +2647,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TableUnimaxSample, TextSpanCorruption,
            TableDictEncode, TableSplitByGroup, TextFeatureHash, TextTokenDropout,
            TextExtractHtml, TableTemperatureSample, TextGopherRules,
-           TextCodeDetect,
+           TextCodeDetect, TextScriptDetect,
            TextCleanC4, TextReadability, TextBpeMerges, TextBpeTrain, TextBpeEncode,
            TextCooccurrencePmi,
            TextChi2Select, TextRankKeywords, TextBigramLogprob, TextKneserNey, TextNaiveBayes,
@@ -2586,6 +2660,9 @@ OPERATIONS = [
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
     Operation("text.quality.code_detect", "text.quality.code_detect",
               doc="code-vs-prose detection for corpus routing"),
+    Operation("text.script_detect", "text.script_detect",
+              doc="Unicode-script profile + mixed-script flag "
+                  "(multilingual routing / homoglyph tell)"),
     Operation("text.clean.c4", "text.clean.c4",
               doc="C4 line-level cleaning + document verdict"),
     Operation("text.readability", "text.readability",

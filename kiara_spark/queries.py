@@ -15766,6 +15766,84 @@ def events_durbin_watson_q(spark, sf_dir):
                          bucket="day")
 
 
+def _script_sql() -> str:
+    """Oracle twin of operators/text.py:with_script_signals over the
+    multilingual-synthesized corpus (DuckDB regexp_replace needs the 'g'
+    flag — Spark's replaces all matches by default)."""
+    from .operators.text import SCRIPT_RANGES
+
+    counts = ",\n             ".join(
+        f"length(t) - length(regexp_replace(t, '[{rng}]', '', 'g'))"
+        f" AS c_{name}"
+        for name, rng in SCRIPT_RANGES.items())
+    names = list(SCRIPT_RANGES)
+    total = " + ".join(f"c_{n}" for n in names)
+    max_c = "GREATEST(" + ", ".join(f"c_{n}" for n in names) + ")"
+    dom = "CASE WHEN mx = 0 THEN 'none' " + " ".join(
+        f"WHEN c_{n} = mx THEN '{n}'" for n in names) + " END"
+    nscripts = " + ".join(
+        f"(CASE WHEN tot > 0 AND CAST(c_{n} AS DOUBLE) / CAST(tot AS "
+        f"DOUBLE) > 0.05 THEN 1 ELSE 0 END)" for n in names)
+    ratio = {n: (f"CASE WHEN tot > 0 THEN CAST(c_{n} AS DOUBLE) "
+                 f"/ CAST(tot AS DOUBLE) ELSE 0.0 END") for n in names}
+    return f"""
+    WITH rt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN text || ' привет мир это тест'
+                  WHEN doc_id % 5 = 2 THEN text || ' 这是一个测试文本'
+                  WHEN doc_id % 5 = 3 THEN 'مرحبا بالعالم هذا اختبار'
+                  WHEN doc_id % 5 = 4
+                    THEN 'Пример mixed текст with латиница'
+                  ELSE text END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             {counts}
+      FROM rt
+    ), tt AS (
+      SELECT *, CAST({total} AS BIGINT) AS tot, {max_c} AS mx FROM c
+    )
+    SELECT doc_id,
+           tot AS n_script_chars,
+           ROUND({ratio['latin']}, 6) AS latin_ratio,
+           ROUND({ratio['cyrillic']}, 6) AS cyrillic_ratio,
+           ROUND({ratio['cjk']}, 6) AS cjk_ratio,
+           ROUND({ratio['arabic']}, 6) AS arabic_ratio,
+           {dom} AS dominant_script,
+           CAST({nscripts} AS BIGINT) AS n_scripts,
+           ({nscripts}) >= 2 AS mixed_script
+    FROM tt
+    """
+
+
+@query("text_script_detect", _script_sql())
+def text_script_detect_q(spark, sf_dir):
+    """Unicode-script routing (`text.script_detect`) over a
+    deterministically multilingual-synthesized corpus (the fixture is
+    ASCII prose, so Cyrillic/CJK/Arabic/mixed variants are injected by
+    doc_id residue — identical literals in both engines): nine
+    length-difference regexp counts, per-script ratios, fixed-priority
+    dominant script, and the mixed-script flag.  Map-only — scan
+    throughput at 100 TB."""
+    from .operators.text import with_script_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    t = (F.when(F.col("doc_id") % 5 == 1,
+                F.concat(F.col("text"), F.lit(" привет мир это тест")))
+         .when(F.col("doc_id") % 5 == 2,
+               F.concat(F.col("text"), F.lit(" 这是一个测试文本")))
+         .when(F.col("doc_id") % 5 == 3,
+               F.lit("مرحبا بالعالم هذا اختبار"))
+         .when(F.col("doc_id") % 5 == 4,
+               F.lit("Пример mixed текст with латиница"))
+         .otherwise(F.col("text")))
+    rt = docs.select("doc_id", t.alias("text"))
+    out = with_script_signals(rt)
+    return out.select("doc_id", "n_script_chars", "latin_ratio",
+                      "cyrillic_ratio", "cjk_ratio", "arabic_ratio",
+                      "dominant_script", "n_scripts", "mixed_script")
+
+
 @query(
     "stats_bh_fdr_daily_anomalies",
     f"""

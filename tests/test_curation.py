@@ -671,3 +671,48 @@ def test_code_detect_operation_minted(ctx, spark):
     out = ctx.run_job("text.quality.code_detect", {"table": df})
     row = out["table"].data.collect()[0]
     assert row.is_code is True and row.punct_line_ratio == 1.0
+
+
+def test_script_detect_dominant_and_mixed(spark):
+    from kiara_spark.operators.text import with_script_signals
+
+    rows = [
+        (1, "plain english text only"),
+        (2, "привет мир это тестовый текст"),            # cyrillic
+        (3, "这是一个测试文本没有别的"),                      # cjk
+        (4, "Пример mixed текст with латиница here"),    # cyr + latin
+        (5, "12345 ... !!!"),                            # no script chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in with_script_signals(df).collect()}
+    assert got[1].dominant_script == "latin" and not got[1].mixed_script
+    assert got[1].latin_ratio == 1.0
+    assert got[2].dominant_script == "cyrillic"
+    assert got[2].cyrillic_ratio == 1.0 and got[2].n_scripts == 1
+    assert got[3].dominant_script == "cjk" and got[3].cjk_ratio == 1.0
+    assert got[4].mixed_script and got[4].n_scripts == 2
+    assert got[4].cyrillic_ratio > 0.3 and got[4].latin_ratio > 0.3
+    assert got[5].dominant_script == "none"
+    assert got[5].n_script_chars == 0 and got[5].n_scripts == 0
+
+
+def test_script_detect_counts_exact(spark):
+    """Exact char accounting: 5 latin + 6 cyrillic (spaces/digits not
+    script-classified)."""
+    from kiara_spark.operators.text import with_script_signals
+
+    df = spark.createDataFrame([(1, "abcde привет 123")],
+                               "doc_id bigint, text string")
+    r = with_script_signals(df).collect()[0]
+    assert r.n_script_chars == 11
+    assert r.latin_ratio == pytest.approx(5 / 11, abs=1e-6)
+    assert r.cyrillic_ratio == pytest.approx(6 / 11, abs=1e-6)
+    assert r.dominant_script == "cyrillic"
+
+
+def test_script_detect_operation_minted(ctx, spark):
+    df = spark.createDataFrame([(1, "שלום עולם זה מבחן")],
+                               "doc_id bigint, text string")
+    out = ctx.run_job("text.script_detect", {"table": df})
+    r = out["table"].data.collect()[0]
+    assert r.dominant_script == "hebrew" and not r.mixed_script
