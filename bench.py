@@ -357,11 +357,13 @@ BENCH_QUERIES = [
     "stats_cuped_views_purchases",
     "stats_bootstrap_ab_diff",
     "sim_recall_truncated_dims",
-    # round 10: CUPED readout, BH-FDR family, code routing, gram novelty
+    # round 10: CUPED readout, BH-FDR family, code routing, gram novelty,
+    # Unicode-script routing
     "stats_cuped_events",
     "stats_bh_fdr_daily_anomalies",
     "text_code_detect",
     "dedup_ngram_novelty",
+    "text_script_detect",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",
