@@ -1572,7 +1572,7 @@ def multimodal_audio_features_q(spark, sf_dir):
                                 ORDER BY dist, j) AS rn
       FROM d)
     SELECT vec_id,
-           list(CAST(j AS BIGINT) ORDER BY s) AS codes,
+           string_agg(CAST(j AS VARCHAR), '-' ORDER BY s) AS codes,
            CAST(SUM(dist) AS BIGINT) AS recon_err_e9
     FROM best WHERE rn = 1 GROUP BY vec_id
     """,
@@ -1583,10 +1583,17 @@ def embedding_pq_codes_q(spark, sf_dir):
     vectors), the storage codec under IVF-PQ serving (64 floats -> 4
     bytes).  Encoding is MAP-ONLY against plan-literal codewords — zero
     shuffles at any corpus size; distances are decimal-exact so the
-    argmin assignment hash-matches the SQL twin bit-for-bit."""
+    argmin assignment hash-matches the SQL twin bit-for-bit.
+
+    Battery output contract (r11): the driver's comparator canonicalizes
+    with pandas sort_values, which cannot sort array columns — so the
+    internal array<bigint> ``codes`` is scalarized to a '-'-joined string
+    at the query boundary only (pq_topk_adc / embedding_pq_topk keep the
+    array on their internal path)."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = S.pq_seed_codebook(emb, m=4, k=16)
-    return S.pq_encode(emb, cb)
+    return S.pq_encode(emb, cb).withColumn(
+        "codes", F.concat_ws("-", F.col("codes").cast("array<string>")))
 
 
 @query(
@@ -1650,7 +1657,7 @@ def embedding_pq_codes_q(spark, sf_dir):
                                 ORDER BY dist, j) AS rn
       FROM d1)
     SELECT vec_id,
-           list(CAST(j AS BIGINT) ORDER BY s) AS codes,
+           string_agg(CAST(j AS VARCHAR), '-' ORDER BY s) AS codes,
            CAST(SUM(dist) AS BIGINT) AS recon_err_e9
     FROM best1 WHERE rn = 1 GROUP BY vec_id
     """,
@@ -1663,10 +1670,14 @@ def embedding_pq_trained_codes_q(spark, sf_dir):
     unrolled SQL twin reproduces the trained codewords AND the final codes
     bit-for-bit.  Seed -> trained typically cuts reconstruction error
     substantially (the oracle's recon_err_e9 proves it against the seed
-    query's)."""
+    query's).
+
+    Battery output contract (r11): ``codes`` scalarized to a '-'-joined
+    string at the query boundary (see embedding_pq_codes)."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = S.pq_train_codebook(emb, m=4, k=16, n_iter=1)
-    return S.pq_encode(emb, cb)
+    return S.pq_encode(emb, cb).withColumn(
+        "codes", F.concat_ws("-", F.col("codes").cast("array<string>")))
 
 
 @query(

@@ -157,6 +157,33 @@ def test_query_order_rotates_by_recorded_history():
         assert last_unrec < first_rec
 
 
+def test_battery_outputs_are_scalar_typed(spark):
+    """Battery output contract (r10 verdict item 1): every queries() entry
+    must emit only scalar-typed columns — the driver's comparator
+    canonicalizes with pandas sort_values, which crashes on array/map/
+    struct cells (TypeError: unhashable type 'numpy.ndarray'; the
+    embedding_pq_codes red rows of r04/r10).  Walking the registry at
+    sf0.001 builds each plan (cheap — no result collection beyond the
+    bounded plan-literal collects some builders do) and checks the output
+    schema, so any future complex-typed query fails here instead of
+    recording an unverifiable driver row."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, sf)
+        complex_cols = [f"{f.name}:{f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                        if isinstance(f.dataType,
+                                      (ArrayType, MapType, StructType))]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed battery outputs: {bad}"
+
+
 def test_every_operation_module_type_is_instantiable(ctx):
     """Every registered Operation must point at a module type the
     ModuleRegistry can actually create — a module class defined but never
