@@ -4309,59 +4309,106 @@ def cuped_adjust(
         ]
 
     agg = base.agg(*arm(in_a, "a"), *arm(in_b, "b"))
+    # The statistics are STAGED through selects with named intermediates
+    # (r10 verdict item 2): assembling everything in one terminal Project
+    # re-inlined each _split_cast CASE expansion into every consumer and
+    # the generated project_doConsume exceeded Janino's 64KB method limit
+    # ("Code grows beyond 64 KB"), forcing interpreted fallback on every
+    # executor.  Each stage below is a small codegen unit; the aliased
+    # non-cheap expressions are multiply-referenced downstream, which
+    # stops CollapseProject from re-merging the projections.  The IEEE
+    # operation order per statistic is UNCHANGED, so results stay
+    # bit-identical to the single-projection form (and the SQL twin).
     nad = F.col("_na").cast("double")
     nbd = F.col("_nb").cast("double")
-    nd = nad + nbd
-    # pooled sums: decimal addition is exact; ONE split-cast per sum
-    sx = _split_cast(F.col("_sxa") + F.col("_sxb"))
-    sy = _split_cast(F.col("_sya") + F.col("_syb"))
-    sxx = _split_cast(F.col("_sxxa") + F.col("_sxxb"))
-    syy = _split_cast(F.col("_syya") + F.col("_syyb"))
-    sxy = _split_cast(F.col("_sxya") + F.col("_sxyb"))
-    sxa, sya = _split_cast(F.col("_sxa")), _split_cast(F.col("_sya"))
-    sxb, syb = _split_cast(F.col("_sxb")), _split_cast(F.col("_syb"))
-    sxxa, syya = _split_cast(F.col("_sxxa")), _split_cast(F.col("_syya"))
-    sxxb, syyb = _split_cast(F.col("_sxxb")), _split_cast(F.col("_syyb"))
-    sxya, sxyb = _split_cast(F.col("_sxya")), _split_cast(F.col("_sxyb"))
+    # stage 1: every decimal sum split-cast ONCE into a named double
+    # (pooled sums add exactly in decimal first)
+    s1 = agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        nad.alias("_nad"), nbd.alias("_nbd"), (nad + nbd).alias("_nd"),
+        _split_cast(F.col("_sxa") + F.col("_sxb")).alias("_sx"),
+        _split_cast(F.col("_sya") + F.col("_syb")).alias("_sy"),
+        _split_cast(F.col("_sxxa") + F.col("_sxxb")).alias("_sxx"),
+        _split_cast(F.col("_syya") + F.col("_syyb")).alias("_syy"),
+        _split_cast(F.col("_sxya") + F.col("_sxyb")).alias("_sxy"),
+        _split_cast(F.col("_sxa")).alias("_dsxa"),
+        _split_cast(F.col("_sya")).alias("_dsya"),
+        _split_cast(F.col("_sxb")).alias("_dsxb"),
+        _split_cast(F.col("_syb")).alias("_dsyb"),
+        _split_cast(F.col("_sxxa")).alias("_dsxxa"),
+        _split_cast(F.col("_syya")).alias("_dsyya"),
+        _split_cast(F.col("_sxxb")).alias("_dsxxb"),
+        _split_cast(F.col("_syyb")).alias("_dsyyb"),
+        _split_cast(F.col("_sxya")).alias("_dsxya"),
+        _split_cast(F.col("_sxyb")).alias("_dsxyb"))
+    # stage 2: pooled moments, per-arm means/offsets, centered sums
+    nad, nbd, nd = F.col("_nad"), F.col("_nbd"), F.col("_nd")
+    sx, sy = F.col("_sx"), F.col("_sy")
     mx = sx / nd
-    vx = sxx / nd - mx * mx
-    vy = syy / nd - (sy / nd) * (sy / nd)
-    cov = sxy / nd - mx * (sy / nd)
-    theta = F.when(vx > 0, cov / vx)
-    mya, myb = sya / nad, syb / nbd
-    adj_a = mya - theta * (sxa / nad - mx)
-    adj_b = myb - theta * (sxb / nbd - mx)
-    rho2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
-    # per-arm centered sums of squares for the sample variance of Ŷ
-    ssy_a = syya - sya * sya / nad
-    ssx_a = sxxa - sxa * sxa / nad
-    ssxy_a = sxya - sxa * sya / nad
-    ssy_b = syyb - syb * syb / nbd
-    ssx_b = sxxb - sxb * sxb / nbd
-    ssxy_b = sxyb - sxb * syb / nbd
-    ssadj_a = F.greatest(
-        ssy_a - F.lit(2.0) * theta * ssxy_a + theta * theta * ssx_a,
-        F.lit(0.0))
-    ssadj_b = F.greatest(
-        ssy_b - F.lit(2.0) * theta * ssxy_b + theta * theta * ssx_b,
-        F.lit(0.0))
-    var_a = F.when(F.col("_na") > 1, ssadj_a / (nad - F.lit(1.0)))
-    var_b = F.when(F.col("_nb") > 1, ssadj_b / (nbd - F.lit(1.0)))
-    se = F.sqrt(var_a / nad + var_b / nbd)
-    z = F.when(se > 0, (adj_a - adj_b) / se)
+    sxa, sya = F.col("_dsxa"), F.col("_dsya")
+    sxb, syb = F.col("_dsxb"), F.col("_dsyb")
+    s2 = s1.select(
+        "n_a", "n_b", "_nad", "_nbd",
+        (F.col("_sxx") / nd - mx * mx).alias("_vx"),
+        (F.col("_syy") / nd - (sy / nd) * (sy / nd)).alias("_vy"),
+        (F.col("_sxy") / nd - mx * (sy / nd)).alias("_cov"),
+        (sya / nad).alias("_mya"), (syb / nbd).alias("_myb"),
+        (sxa / nad - mx).alias("_dxa"), (sxb / nbd - mx).alias("_dxb"),
+        (F.col("_dsyya") - sya * sya / nad).alias("_ssy_a"),
+        (F.col("_dsxxa") - sxa * sxa / nad).alias("_ssx_a"),
+        (F.col("_dsxya") - sxa * sya / nad).alias("_ssxy_a"),
+        (F.col("_dsyyb") - syb * syb / nbd).alias("_ssy_b"),
+        (F.col("_dsxxb") - sxb * sxb / nbd).alias("_ssx_b"),
+        (F.col("_dsxyb") - sxb * syb / nbd).alias("_ssxy_b"))
+    # stage 3: θ and ρ² from the named moments
+    vx, vy, cov = F.col("_vx"), F.col("_vy"), F.col("_cov")
+    s3 = s2.select(
+        "n_a", "n_b", "_nad", "_nbd", "_mya", "_myb", "_dxa", "_dxb",
+        "_ssy_a", "_ssx_a", "_ssxy_a", "_ssy_b", "_ssx_b", "_ssxy_b",
+        F.when(vx > 0, cov / vx).alias("_theta"),
+        F.when((vx > 0) & (vy > 0),
+               cov * cov / (vx * vy)).alias("_rho2"))
+    # stage 4: adjusted means + adjusted centered sums of squares
+    theta = F.col("_theta")
+    s4 = s3.select(
+        "n_a", "n_b", "_nad", "_nbd", "_mya", "_myb", "_theta", "_rho2",
+        (F.col("_mya") - theta * F.col("_dxa")).alias("_adj_a"),
+        (F.col("_myb") - theta * F.col("_dxb")).alias("_adj_b"),
+        F.greatest(
+            F.col("_ssy_a") - F.lit(2.0) * theta * F.col("_ssxy_a")
+            + theta * theta * F.col("_ssx_a"), F.lit(0.0))
+        .alias("_ssadj_a"),
+        F.greatest(
+            F.col("_ssy_b") - F.lit(2.0) * theta * F.col("_ssxy_b")
+            + theta * theta * F.col("_ssx_b"), F.lit(0.0))
+        .alias("_ssadj_b"))
+    # stage 5: Welch SE from per-arm sample variances of Ŷ
+    nad, nbd = F.col("_nad"), F.col("_nbd")
+    var_a = F.when(F.col("n_a") > 1, F.col("_ssadj_a") / (nad - F.lit(1.0)))
+    var_b = F.when(F.col("n_b") > 1, F.col("_ssadj_b") / (nbd - F.lit(1.0)))
+    s5 = s4.select(
+        "n_a", "n_b", "_mya", "_myb", "_theta", "_rho2", "_adj_a", "_adj_b",
+        F.sqrt(var_a / nad + var_b / nbd).alias("_se"))
+    # stage 6: z
+    se = F.col("_se")
+    s6 = s5.select(
+        "n_a", "n_b", "_mya", "_myb", "_theta", "_rho2", "_adj_a", "_adj_b",
+        F.when(se > 0, (F.col("_adj_a") - F.col("_adj_b")) / se).alias("_z"))
+    # stage 7: p-value + output rounding
+    z = F.col("_z")
     p = F.when(z.isNotNull(),
                F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
                                F.lit(1.0)), 9))
-    return agg.select(
-        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
-        F.round(theta, 6).alias("theta"),
-        F.round(mya, 6).alias("mean_y_a"),
-        F.round(myb, 6).alias("mean_y_b"),
-        F.round(adj_a, 6).alias("adj_mean_a"),
-        F.round(adj_b, 6).alias("adj_mean_b"),
-        F.round(mya - myb, 6).alias("diff_raw"),
-        F.round(adj_a - adj_b, 6).alias("diff_adj"),
-        F.round(F.lit(100.0) * rho2, 6).alias("var_reduction_pct"),
+    return s6.select(
+        "n_a", "n_b",
+        F.round(F.col("_theta"), 6).alias("theta"),
+        F.round(F.col("_mya"), 6).alias("mean_y_a"),
+        F.round(F.col("_myb"), 6).alias("mean_y_b"),
+        F.round(F.col("_adj_a"), 6).alias("adj_mean_a"),
+        F.round(F.col("_adj_b"), 6).alias("adj_mean_b"),
+        F.round(F.col("_mya") - F.col("_myb"), 6).alias("diff_raw"),
+        F.round(F.col("_adj_a") - F.col("_adj_b"), 6).alias("diff_adj"),
+        F.round(F.lit(100.0) * F.col("_rho2"), 6).alias("var_reduction_pct"),
         F.round(z, 6).alias("z"),
         F.round(p, 6).alias("p_value"))
 
