@@ -507,10 +507,10 @@ class KiaraAPI:
         return self.context.export_archive(refs, archive_path, **kw)
 
     def import_archive(self, archive_path: str,
-                       alias_prefix: str = "") -> dict:
+                       alias_prefix: str = "", **kw) -> dict:
         """Import a full archive (values + aliases + job records)."""
         return self.context.import_archive(archive_path,
-                                           alias_prefix=alias_prefix)
+                                           alias_prefix=alias_prefix, **kw)
 
     # reference export_values/import_values: alias-set <-> archive sugar
     def export_values(self, archive_path: str, values: list,
@@ -519,9 +519,18 @@ class KiaraAPI:
         return self.export_archive(values, archive_path, **kw)
 
     def import_values(self, archive_path: str,
+                      values: list | None = None,
+                      alias_map: bool = True,
                       alias_prefix: str = "") -> dict:
-        """Import values from a portable archive into this context."""
-        return self.import_archive(archive_path, alias_prefix=alias_prefix)
+        """Import values from a portable archive into this context.
+
+        Reference parity (base_api.py:2025 import_values): ``values``
+        selects specific archive aliases/value_ids (all when None);
+        ``alias_map=False`` skips alias restoration (the CLI's
+        ``--no-aliases``)."""
+        return self.import_archive(archive_path, alias_prefix=alias_prefix,
+                                   values=values,
+                                   restore_aliases=bool(alias_map))
 
     def retrieve_archive_info(self, archive_path: str) -> dict:
         """Manifest/content summary of an archive without importing it."""

@@ -37,23 +37,62 @@ MANIFEST_NAME = "manifest.json"
 ARCHIVE_FORMAT_VERSION = 1
 
 
+# reference `--compression` choices (interfaces/cli/data/commands.py:543)
+# mapped onto Parquet codecs; Parquet has no lzma, so that choice lands on
+# gzip — the closest ratio-over-speed codec — as a documented deviation.
+COMPRESSION_CODECS = {
+    "zstd": "zstd",
+    "lz4": "lz4",
+    "lzma": "gzip",
+    "none": "none",
+}
+
+
 def export_archive(
     context: "KiaraContext",
     refs: list[str] | dict[str, str],
     archive_path: str,
     include_ancestors: bool = True,
+    compression: str | None = None,
+    append: bool = False,
+    archive_name: str | None = None,
 ) -> dict:
     """Export values (by alias/uuid ref) into a portable archive directory.
 
     ``refs``: list of refs (aliases become archive aliases) or a mapping
     ``archive_alias -> ref``.  Returns the manifest dict.
-    """
-    if isinstance(refs, list):
-        refs = {r: r for r in refs}
+
+    Reference parity (interfaces/cli/data/commands.py:531 `data export`):
+    ``compression`` selects the in-archive codec (zstd/lz4/lzma/none —
+    Parquet column compression here, chunk compression there; lzma maps to
+    gzip), ``append`` merges into an existing archive (aliases already in
+    the target are overwritten, matching the reference's
+    allow_alias_overwrite=True), ``archive_name`` is the registered name
+    recorded in the manifest (reference target_registered_name)."""
+    if compression is not None and compression not in COMPRESSION_CODECS:
+        raise ValueError(
+            f"unsupported compression {compression!r} "
+            f"(one of {sorted(COMPRESSION_CODECS)})")
+    codec = COMPRESSION_CODECS.get(compression) if compression else None
     os.makedirs(os.path.join(archive_path, "values"), exist_ok=True)
 
     exported: dict[str, dict] = {}
     aliases: dict[str, str] = {}
+    if append:
+        manifest_path = os.path.join(archive_path, MANIFEST_NAME)
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            if prior.get("format_version") != ARCHIVE_FORMAT_VERSION:
+                raise ValueError(
+                    "cannot append to archive with format "
+                    f"{prior.get('format_version')!r}")
+            exported.update(prior.get("values", {}))
+            aliases.update(prior.get("aliases", {}))
+            if archive_name is None:
+                archive_name = prior.get("archive_name")
+    if isinstance(refs, list):
+        refs = {r: r for r in refs}
 
     def _export_value(value: Value, ship_data: bool) -> None:
         if value.value_id in exported:
@@ -70,7 +109,10 @@ def export_archive(
         }
         if ship_data and isinstance(value.data, DataFrame):
             dest = os.path.join(archive_path, "values", value.value_id)
-            value.data.write.mode("overwrite").parquet(dest)
+            writer = value.data.write.mode("overwrite")
+            if codec is not None:
+                writer = writer.option("compression", codec)
+            writer.parquet(dest)
             node["has_data"] = True
             node["spark_schema"] = value.data.schema.jsonValue()
         exported[value.value_id] = node
@@ -92,24 +134,51 @@ def export_archive(
         "aliases": aliases,
         "values": exported,
     }
+    if archive_name:
+        manifest["archive_name"] = archive_name
+    if compression:
+        manifest["compression"] = compression
     with open(os.path.join(archive_path, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
 
 
 def import_archive(context: "KiaraContext", archive_path: str,
-                   alias_prefix: str = "") -> dict[str, Value]:
+                   alias_prefix: str = "",
+                   values: list[str] | None = None,
+                   restore_aliases: bool = True) -> dict[str, Value]:
     """Import an archive: register every shipped dataset (lazy parquet scans)
-    and restore aliases (optionally prefixed).  Returns alias -> Value."""
+    and restore aliases (optionally prefixed).  Returns alias -> Value.
+
+    Reference parity (interfaces/cli/data/commands.py:699 `data import`):
+    ``values`` restricts the import to the named archive aliases/value_ids
+    (all shipped values when None); ``restore_aliases=False`` registers the
+    values without their aliases (the reference's ``--no-aliases``) — the
+    returned dict is then keyed by value_id."""
     with open(os.path.join(archive_path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     if manifest.get("format_version") != ARCHIVE_FORMAT_VERSION:
         raise ValueError(
             f"unsupported archive format {manifest.get('format_version')!r}")
 
+    wanted_ids: set[str] | None = None
+    if values is not None:
+        wanted_ids = set()
+        for ref in values:
+            if ref in manifest["aliases"]:
+                wanted_ids.add(manifest["aliases"][ref])
+            elif ref in manifest["values"]:
+                wanted_ids.add(ref)
+            else:
+                raise KeyError(
+                    f"archive has no alias or value_id {ref!r} "
+                    f"(aliases: {sorted(manifest['aliases'])})")
+
     loaded: dict[str, Value] = {}
     for value_id, node in manifest["values"].items():
         if not node.get("has_data"):
+            continue
+        if wanted_ids is not None and value_id not in wanted_ids:
             continue
         df = context.spark.read.parquet(
             os.path.join(archive_path, "values", value_id))
@@ -124,6 +193,8 @@ def import_archive(context: "KiaraContext", archive_path: str,
         context.data_registry.register_value(value)
         loaded[value_id] = value
 
+    if not restore_aliases:
+        return dict(loaded)
     out: dict[str, Value] = {}
     for alias, value_id in manifest["aliases"].items():
         if value_id in loaded:

@@ -36,6 +36,10 @@ it builds a fresh local context.
     python -m kiara_spark.cli metadata list | metadata explain <key>
     python -m kiara_spark.cli archive export <ref> <path> | archive import <path>
     python -m kiara_spark.cli archive explain <path>
+    python -m kiara_spark.cli data export [-A name] [-p path] [-c zstd|lz4|lzma|none]
+        [--append|--replace] <alias|uuid|old=new> ...
+    python -m kiara_spark.cli data import <archive> <value> ... [--no-aliases]
+    python -m kiara_spark.cli data write_value <ref> [-d dir] [-f]
     python -m kiara_spark.cli workflow list | workflow explain <alias>
     python -m kiara_spark.cli workflow create <alias> [--pipeline file] [key=value ...]
     python -m kiara_spark.cli workflow set-input <alias> key=value ... [--process]
@@ -78,6 +82,18 @@ def _parse_inputs(args: list[str]) -> dict:
         except json.JSONDecodeError:
             out[k] = v
     return out
+
+
+def _looks_like_uuid(s: str) -> bool:
+    """The reference disambiguates bare uuids from aliases by attempting
+    uuid.UUID(alias) (cli/data/commands.py:585)."""
+    import uuid
+
+    try:
+        uuid.UUID(s)
+        return True
+    except Exception:
+        return False
 
 
 def _is_job_desc_file(path: str) -> bool:
@@ -563,6 +579,165 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for alias, vid in sorted(ctx.data_registry.aliases.items()):
                 print(f"{alias:30s} {vid}")
+        return 0
+
+    if cmd == "data" and argv[:1] == ["export"]:
+        # reference `kiara data export [-A name] [-p path] [-c codec]
+        # [--append|--replace] ALIAS...` (cli/data/commands.py:531):
+        # multi-value export into one archive; each positional is an
+        # alias, a value uuid, or `old=new` (export under a new alias)
+        argv.pop(0)
+        archive_name = path = None
+        compression = "zstd"
+        append = replace = False
+        aliases: list[str] = []
+        while argv:
+            a = argv.pop(0)
+            if a in ("--archive-name", "-A"):
+                archive_name = argv.pop(0)
+            elif a in ("--path", "-p"):
+                path = argv.pop(0)
+            elif a in ("--compression", "-c"):
+                compression = argv.pop(0)
+                if compression not in ("zstd", "lz4", "lzma", "none"):
+                    raise SystemExit(
+                        f"data export: invalid compression {compression!r} "
+                        "(zstd/lz4/lzma/none)")
+            elif a in ("--append", "-a"):
+                append = True
+            elif a == "--replace":
+                replace = True
+            elif a.startswith("-"):
+                raise SystemExit(f"data export: unknown flag {a!r}")
+            else:
+                aliases.append(a)
+        if not aliases:
+            raise SystemExit("data export: at least one alias required")
+        ctx = KiaraContext()
+        refs: dict = {}
+        first_label = None
+        for a in aliases:
+            if "=" in a:
+                old, new = a.split("=", 1)
+            else:
+                old = a
+                # a bare uuid exports without an alias (reference keeps
+                # new_alias None there); bare aliases export as themselves
+                new = None if _looks_like_uuid(a) else a
+            v = ctx.get_value(old)
+            key = new if new else v.value_id
+            refs[key] = old
+            if first_label is None:
+                first_label = new or v.value_id
+        if not archive_name:
+            archive_name = first_label
+        if not path:
+            file_name = (archive_name if archive_name.endswith(".kiarchive")
+                         else f"{archive_name}.kiarchive")
+            full_path = file_name
+        else:
+            base, file_name = os.path.split(path)
+            if "." not in file_name:
+                file_name = f"{file_name}.kiarchive"
+            full_path = os.path.join(base, file_name)
+        if os.path.exists(full_path):
+            if append and replace:
+                raise SystemExit(
+                    "Error: Can't specify both '--append' and '--replace'.")
+            if not (append or replace):
+                raise SystemExit(
+                    f"Error: File '{full_path}' already exists and "
+                    "'--append' or '--replace' not specified.")
+            if replace:
+                import shutil
+
+                shutil.rmtree(full_path)
+            else:
+                print(f"Appending to existing data_store '{file_name}'...")
+        else:
+            print(f"Creating new data_store '{file_name}'...")
+        manifest = ctx.export_archive(
+            refs, full_path, compression=compression, append=append,
+            archive_name=archive_name)
+        print(f"exported {len(refs)} value(s) "
+              f"({len(manifest['values'])} in archive), aliases: "
+              f"{', '.join(sorted(manifest['aliases']))} -> {full_path}")
+        return 0
+
+    if cmd == "data" and argv[:1] == ["import"]:
+        # reference `kiara data import ARCHIVE VALUES... [--no-aliases]`
+        # (cli/data/commands.py:699): import named values from an archive
+        argv.pop(0)
+        no_aliases = False
+        pos: list[str] = []
+        for a in argv:
+            if a in ("--no-aliases", "-na"):
+                no_aliases = True
+            elif a.startswith("-"):
+                raise SystemExit(f"data import: unknown flag {a!r}")
+            else:
+                pos.append(a)
+        if len(pos) < 2:
+            raise SystemExit("data import: usage `data import <archive> "
+                             "<value> [<value> ...] [--no-aliases]`")
+        archive, values = pos[0], pos[1:]
+        if not os.path.exists(archive):
+            raise SystemExit(f"Error: Archive '{archive}' does not exist.")
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=KiaraContext())
+        loaded = api.import_values(archive, values=values,
+                                   alias_map=not no_aliases)
+        for key, v in sorted(loaded.items()):
+            print(f"{key:30s} {v.value_id} ({v.schema.type})")
+        print("Done.")
+        return 0
+
+    if cmd == "data" and argv[:1] == ["write_value"]:
+        # reference develop-mode `kiara data write_value <ref> [-d dir]
+        # [-f]` (cli/data/commands.py:726): dump a value's serialized
+        # form — here a parquet dataset per table (the engine's
+        # serialization profile), pickle bytes otherwise
+        argv.pop(0)
+        directory = "."
+        force = False
+        ref = None
+        while argv:
+            a = argv.pop(0)
+            if a in ("--directory", "-d"):
+                directory = argv.pop(0)
+            elif a in ("--force", "-f"):
+                force = True
+            elif a.startswith("-"):
+                raise SystemExit(f"data write_value: unknown flag {a!r}")
+            elif ref is None:
+                ref = a
+            else:
+                raise SystemExit("data write_value: one value ref only")
+        if ref is None:
+            raise SystemExit("data write_value: missing value ref")
+        ctx = KiaraContext()
+        v = ctx.get_value(ref)
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(v.data, _DF):
+            key_path = os.path.join(directory, "parquet")
+            if os.path.exists(key_path) and not force:
+                raise SystemExit(
+                    "Error writing file for 'parquet': file already exists.")
+            print("- writing file for: parquet")
+            v.data.write.mode("overwrite").parquet(key_path)
+        else:
+            import pickle
+
+            key_path = os.path.join(directory, "value.pickle")
+            if os.path.exists(key_path) and not force:
+                raise SystemExit("Error writing file for 'value.pickle': "
+                                 "file already exists.")
+            os.makedirs(directory, exist_ok=True)
+            print("- writing file for: value.pickle")
+            with open(key_path, "wb") as f:
+                pickle.dump(v.data, f)
         return 0
 
     if cmd == "archive" and argv[:1] == ["export"]:

@@ -206,10 +206,11 @@ class KiaraContext:
 
         return _export(self, refs, archive_path, **kw)
 
-    def import_archive(self, archive_path: str, alias_prefix: str = "") -> dict:
+    def import_archive(self, archive_path: str, alias_prefix: str = "",
+                       **kw) -> dict:
         from .archive import import_archive as _import
 
-        return _import(self, archive_path, alias_prefix=alias_prefix)
+        return _import(self, archive_path, alias_prefix=alias_prefix, **kw)
 
     @property
     def operations(self) -> list[str]:

@@ -318,3 +318,119 @@ def test_version_flag(capsys):
     assert main(["--version"]) == 0
     out = capsys.readouterr().out
     assert out.startswith("kiara_spark 0.") and "pyspark" in out
+
+
+def test_data_export_import_cli_round_trip(tmp_path, monkeypatch, capsys,
+                                           spark):
+    """r10 VERDICT item 4: reference `kiara data export` exports MULTIPLE
+    aliases into one .kiarchive with --compression; `kiara data import`
+    pulls named values back out (reference
+    interfaces/cli/data/commands.py:531,699)."""
+    home_a = tmp_path / "home_a"
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(home_a))
+    monkeypatch.chdir(tmp_path)
+    for alias, table in (("regions", "region"), ("nations", "nation")):
+        assert main(["run", "create.table.from.file",
+                     f"path=/root/testdata/sf0.001/{table}.parquet",
+                     "--save", alias]) == 0
+    capsys.readouterr()
+    arch = str(tmp_path / "multi")
+    assert main(["data", "export", "-c", "zstd", "-p", arch,
+                 "regions", "nations"]) == 0
+    out = capsys.readouterr().out
+    assert "Creating new data_store" in out
+    assert "exported 2 value(s)" in out
+    assert "nations" in out and "regions" in out
+    full = arch + ".kiarchive"
+    assert os.path.isdir(full)
+    import json as _json
+
+    manifest = _json.load(open(os.path.join(full, "manifest.json")))
+    assert set(manifest["aliases"]) == {"regions", "nations"}
+    assert manifest["compression"] == "zstd"
+    assert manifest["archive_name"] == "regions"
+
+    # exists without --append/--replace -> reference's hard error
+    with pytest.raises(SystemExit):
+        main(["data", "export", "-p", arch, "regions"])
+    capsys.readouterr()
+
+    # --append merges a renamed alias into the same archive
+    assert main(["data", "export", "-p", arch, "--append",
+                 "regions=regions_copy"]) == 0
+    out = capsys.readouterr().out
+    assert "Appending to existing data_store" in out
+    manifest = _json.load(open(os.path.join(full, "manifest.json")))
+    assert set(manifest["aliases"]) == {"regions", "nations", "regions_copy"}
+
+    # import SELECTED values into a FRESH context home
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home_b"))
+    assert main(["data", "import", full, "nations"]) == 0
+    out = capsys.readouterr().out
+    assert "nations" in out and "Done." in out
+    assert "regions " not in out
+    # a bogus value name is a hard error
+    with pytest.raises((SystemExit, KeyError)):
+        main(["data", "import", full, "nope"])
+    capsys.readouterr()
+
+    # --no-aliases registers the value without restoring the alias
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home_c"))
+    assert main(["data", "import", full, "regions", "--no-aliases"]) == 0
+    out = capsys.readouterr().out
+    assert "Done." in out
+    vid = manifest["aliases"]["regions"]
+    assert vid in out and "regions " not in out
+
+
+def test_data_export_replace_and_flag_errors(tmp_path, monkeypatch, capsys,
+                                             spark):
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home"))
+    monkeypatch.chdir(tmp_path)
+    assert main(["run", "create.table.from.file",
+                 "path=/root/testdata/sf0.001/region.parquet",
+                 "--save", "regions"]) == 0
+    capsys.readouterr()
+    arch = str(tmp_path / "arch")
+    assert main(["data", "export", "-p", arch, "regions"]) == 0
+    capsys.readouterr()
+    # --append + --replace together is the reference's hard error
+    with pytest.raises(SystemExit):
+        main(["data", "export", "-p", arch, "--append", "--replace",
+              "regions"])
+    capsys.readouterr()
+    # --replace rebuilds the archive from scratch
+    assert main(["data", "export", "-p", arch, "--replace",
+                 "regions=only"]) == 0
+    capsys.readouterr()
+    import json as _json
+
+    manifest = _json.load(open(os.path.join(arch + ".kiarchive",
+                                            "manifest.json")))
+    assert set(manifest["aliases"]) == {"only"}
+    # bad compression choice
+    with pytest.raises(SystemExit):
+        main(["data", "export", "-c", "brotli", "-p", str(tmp_path / "x"),
+              "regions"])
+
+
+def test_data_write_value_cli(tmp_path, monkeypatch, capsys, spark):
+    """reference develop-mode `kiara data write_value`
+    (interfaces/cli/data/commands.py:726): dump a value's serialized form."""
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home"))
+    assert main(["run", "create.table.from.file",
+                 "path=/root/testdata/sf0.001/region.parquet",
+                 "--save", "regions"]) == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "dump")
+    assert main(["data", "write_value", "regions", "-d", out_dir]) == 0
+    assert "- writing file for: parquet" in capsys.readouterr().out
+    pq = os.path.join(out_dir, "parquet")
+    assert os.path.isdir(pq) and any(
+        f.endswith(".parquet") for f in os.listdir(pq))
+    # second write without --force refuses; with --force overwrites
+    with pytest.raises(SystemExit):
+        main(["data", "write_value", "regions", "-d", out_dir])
+    capsys.readouterr()
+    assert main(["data", "write_value", "regions", "-d", out_dir,
+                 "-f"]) == 0
