@@ -355,11 +355,16 @@ class KiaraAPI:
         return self.context.render_registry.renderer_infos()
 
     def run_job_desc(self, job_desc: Any,
-                     inputs: Mapping[str, Any] | None = None) -> ValueMap:
+                     inputs: Mapping[str, Any] | None = None,
+                     save: str | None = None,
+                     comment: str | None = None) -> ValueMap:
         """Execute a job description (path / mapping / JobDesc): run its
         operation with the described inputs (optionally overridden), then
         store outputs named in its ``save`` map under their aliases —
-        reference ``BaseAPI.run_job(operation=JobDesc)``."""
+        reference ``BaseAPI.run_job(operation=JobDesc)``.  The runtime-
+        profile discipline (mandatory comment + forced persistence under
+        ``dharpa``) applies exactly as in :meth:`run_job` (r10 advice:
+        the CLI's job-desc branch previously bypassed the gate)."""
         from collections.abc import Mapping as _Mapping
 
         from .registries.jobs import JobDesc
@@ -372,11 +377,17 @@ class KiaraAPI:
             raise TypeError(
                 f"expected a JobDesc / path / mapping, got "
                 f"{type(job_desc).__name__}")
+        profile = self._profile_gate(comment)
         merged = dict(job_desc.inputs)
         merged.update(inputs or {})
         outputs = self.context.run_job(
             job_desc.operation, merged,
-            operation_config=job_desc.module_config)
+            operation_config=job_desc.module_config, save=save)
+        record = self.context.job_registry.history[-1]
+        if comment is not None:
+            self.set_job_comment(record.job_id, comment)
+        if profile == "dharpa":
+            self._profile_autosave([record])
         for f_name, alias in sorted(job_desc.save.items()):
             if f_name not in outputs:
                 raise KeyError(
@@ -547,21 +558,44 @@ class KiaraAPI:
 
     # -- jobs ----------------------------------------------------------------
 
+    def _profile_gate(self, comment: str | None) -> str:
+        """The runtime-profile admission check every API-level run shares
+        (run_job / run_job_desc / run_pipeline — reference: all CLI runs
+        end in ``BaseAPI.queue_job``, ``base_api.py:2923-2934``, so the
+        dharpa discipline applies to every run shape).  Returns the active
+        profile name.
+
+        Deliberate deviation: the reference's queue_job only checks that
+        the 'comment' KEY is present (an empty string passes there); this
+        engine requires a NON-BLANK comment — a present-but-empty comment
+        defeats the profile's auditability purpose, and the stricter
+        contract is pinned by tests/test_runtime_profile.py."""
+        profile = getattr(self.context, "runtime_profile", "default")
+        if profile == "dharpa" and not (comment and str(comment).strip()):
+            # the reference's message (KiaraException in queue_job)
+            raise ValueError("You need to provide a 'comment' for the job.")
+        return profile
+
+    def _profile_autosave(self, records) -> None:
+        """dharpa forced persistence (the reference's ``save_values=True``
+        analog): archive each job record — persist_record stores every
+        persistable output and the record itself."""
+        for record in records:
+            self.context.job_registry.persist_record(record)
+
     def run_job(self, operation: str,
                 inputs: Mapping[str, Any] | None = None,
                 operation_config: dict | None = None,
                 save: str | None = None,
                 comment: str | None = None) -> ValueMap:
         """Resolve an operation, bind inputs, execute (cache-aware); returns
-        outputs.  Under the ``dharpa`` runtime profile a non-empty
-        ``comment`` is mandatory and outputs are force-persisted even
-        without a ``save`` alias — reference ``base_api.py:2923-2934``
-        (comment check + ``save_values=True``) with
-        ``context/runtime_config.py:35-38``."""
-        profile = getattr(self.context, "runtime_profile", "default")
-        if profile == "dharpa" and not (comment and str(comment).strip()):
-            # the reference's exact message (KiaraException in queue_job)
-            raise ValueError("You need to provide a 'comment' for the job.")
+        outputs.  Under the ``dharpa`` runtime profile a non-blank
+        ``comment`` is mandatory (stricter than the reference's
+        key-presence check — see ``_profile_gate``) and outputs are
+        force-persisted even without a ``save`` alias — reference
+        ``base_api.py:2923-2934`` (comment check + ``save_values=True``)
+        with ``context/runtime_config.py:35-38``."""
+        profile = self._profile_gate(comment)
         out = self.context.run_job(operation, inputs,
                                    operation_config=operation_config,
                                    save=save)
@@ -569,12 +603,26 @@ class KiaraAPI:
         if comment is not None:
             self.set_job_comment(record.job_id, comment)
         if profile == "dharpa" and save is None:
-            # forced auto-save: archive the job record and persist table
-            # outputs by value id (no alias), the save_values=True analog
-            self.context.job_registry.persist_record(record)
-            for v in record.outputs.values():
-                if hasattr(v.data, "write"):
-                    self.context.data_registry.store_value(v)
+            self._profile_autosave([record])
+        return out
+
+    def run_pipeline(self, config,
+                     inputs: Mapping[str, Any] | None = None,
+                     comment: str | None = None) -> ValueMap:
+        """Execute a pipeline config/dict/file through the same runtime-
+        profile discipline as run_job: under ``dharpa`` the comment is
+        mandatory, it attaches to every step job the run created, and the
+        step records are force-persisted (r10 advice: the CLI's pipeline
+        branch previously bypassed the gate)."""
+        profile = self._profile_gate(comment)
+        n_before = len(self.context.job_registry.history)
+        out = self.context.run_pipeline(config, inputs)
+        new_records = self.context.job_registry.history[n_before:]
+        if comment is not None:
+            for record in new_records:
+                self.set_job_comment(record.job_id, comment)
+        if profile == "dharpa":
+            self._profile_autosave(new_records)
         return out
 
     def queue_job(self, operation: str,

@@ -268,41 +268,32 @@ def main(argv: list[str] | None = None) -> int:
                 print("(service unreachable — running locally)",
                       file=sys.stderr)
         ctx = KiaraContext()
+        # every run shape routes through the API layer so the runtime
+        # profile's comment/auto-save discipline applies uniformly
+        # (reference: all CLI runs end in BaseAPI.queue_job)
+        from .api import KiaraAPI
+
+        api = KiaraAPI(context=ctx)
         if is_job_desc:
             from .registries.jobs import JobDesc
 
             jd = JobDesc.create_from_file(op)
-            merged = dict(jd.inputs)
-            merged.update(inputs)  # CLI key=value overrides the file
-            outputs = ctx.run_job(jd.operation, merged,
-                                  operation_config=jd.module_config,
-                                  save=save)
+            try:
+                outputs = api.run_job_desc(jd, inputs, save=save,
+                                           comment=comment)
+            except KeyError as e:
+                raise SystemExit(f"run: {e.args[0]}") from None
             for f_name, alias in sorted(jd.save.items()):
-                if f_name not in outputs:
-                    raise SystemExit(
-                        f"run: job save target {f_name!r} is not an output "
-                        f"field (outputs: {', '.join(outputs)})")
-                if hasattr(outputs[f_name].data, "write"):
-                    ctx.store_value(outputs[f_name], alias=alias)
-                else:
-                    ctx.data_registry.register_alias(
-                        alias, outputs[f_name].value_id)
                 print(f"saved {alias}")
         elif is_pipeline:
-            outputs = ctx.run_pipeline(op, inputs)
+            outputs = api.run_pipeline(op, inputs, comment=comment)
             if save:
                 for n, v in outputs.items():
                     if hasattr(v.data, "write"):
                         alias = save if len(outputs) == 1 else f"{save}.{n}"
                         print(f"saved {alias} -> {ctx.store_value(v, alias=alias)}")
         else:
-            # through the API so the runtime profile's comment/auto-save
-            # discipline applies to CLI runs too (reference: the CLI ends
-            # in BaseAPI.queue_job, where the dharpa check lives)
-            from .api import KiaraAPI
-
-            outputs = KiaraAPI(context=ctx).run_job(op, inputs, save=save,
-                                                    comment=comment)
+            outputs = api.run_job(op, inputs, save=save, comment=comment)
             hist = ctx.job_registry.history
             if hist and hist[-1].cache_hit:
                 print("(cache hit — loaded stored outputs, no execution)")

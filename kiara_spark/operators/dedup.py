@@ -1118,7 +1118,18 @@ def ngram_novelty(
     Documents with fewer than ``n`` tokens emit no grams and are absent
     from the output (documented contract — there is no n-gram evidence
     to score).  Returns (id, n_grams, n_distinct_grams, n_novel,
-    novelty)."""
+    novelty).
+
+    Collision bound (r10 advice): grams are identified by ONE xxhash64 of
+    the joined tokens, so two distinct grams colliding would silently
+    merge (undercounting novelty).  Birthday bound: P(any collision) ≈
+    G²/2⁶⁵ for G distinct grams — ~3·10⁻⁸ at G=10⁹ and still only ~0.03%
+    at G=10¹¹ (a 100 TB-scale gram vocabulary), and a collision shifts
+    one document's ratio by at most 1/n_distinct_grams — a score
+    perturbation, not a dedup decision flip.  Where exactness matters at
+    scale, pair ``_g`` with a second independent hash (the
+    :func:`duplicate_ngram_spans` two-hash pattern) at the cost of
+    doubling the shuffled key width."""
     from .text import tokens_col
 
     toks = df.select(F.col(id_col).alias("_id"),

@@ -161,21 +161,29 @@ class JobRegistry:
 
     def persist_record(self, record: JobRecord) -> None:
         """Persist a job's outputs + record so the next context gets a cache
-        hit without executing (reference job archives)."""
+        hit without executing (reference job archives).
+
+        Non-persistable (non-table) outputs are SKIPPED, not fatal (r10
+        advice): a mixed-output job still stores its tables and archives
+        its record; the entry is marked incomplete so ``_probe_stored``
+        never serves it as a cache hit (a partial ValueMap would be
+        wrong), while the archived record keeps the job auditable."""
         import json
 
-        if not record.job_hash or self._store_file is None:
-            return
         paths = {}
+        skipped = []
         for field, value in record.outputs.items():
             try:
                 paths[field] = self._context.data_registry.store_value(value)
             except TypeError:
-                return  # non-table outputs aren't persistable yet
+                skipped.append(field)  # non-table outputs: no profile yet
+        if not record.job_hash or self._store_file is None:
+            return
         self._stored[record.job_hash] = {
             "module_type": record.module_type,
             "module_config": record.module_config,
             "outputs": paths,
+            "complete": not skipped,
         }
         with open(self._store_file, "w") as f:
             json.dump(self._stored, f, indent=1, sort_keys=True)
@@ -183,6 +191,10 @@ class JobRegistry:
     def _probe_stored(self, key: str) -> ValueMap | None:
         info = self._stored.get(key)
         if not info:
+            return None
+        if not info.get("complete", True):
+            # archived for auditability only: some output fields could not
+            # be persisted, so replaying it would return a partial ValueMap
             return None
         try:
             outputs = {

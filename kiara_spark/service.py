@@ -139,7 +139,13 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
                 "cache_hit": bool(hist and hist[-1].cache_hit),
                 "outputs": _render_outputs(outputs)}, True
     if cmd == "run_pipeline":
-        outputs = ctx.run_pipeline(req["pipeline"], req.get("inputs") or {})
+        from .api import KiaraAPI
+
+        # through the API: the runtime-profile discipline applies to the
+        # daemon's pipeline runs too (r10 advice)
+        outputs = KiaraAPI(context=ctx).run_pipeline(
+            req["pipeline"], req.get("inputs") or {},
+            comment=req.get("comment"))
         hist = ctx.job_registry.history
         return {"ok": True,
                 "cache_hit": bool(hist and hist[-1].cache_hit),
@@ -153,7 +159,8 @@ def _handle(ctx, req: dict) -> tuple[dict, bool]:
 
         api = KiaraAPI(context=ctx)
         outputs = api.run_job_desc(req["job_desc"],
-                                   inputs=req.get("inputs") or {})
+                                   inputs=req.get("inputs") or {},
+                                   comment=req.get("comment"))
         hist = ctx.job_registry.history
         return {"ok": True,
                 "cache_hit": bool(hist and hist[-1].cache_hit),

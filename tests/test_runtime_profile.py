@@ -81,3 +81,60 @@ def test_profile_from_env_and_validation(spark, tmp_path, monkeypatch):
 def _lineitem(ctx):
     ctx.load_tables("/root/testdata/sf0.001", ["lineitem"])
     return ctx.get_value("alias:lineitem")
+
+
+def test_dharpa_gates_pipeline_runs(dharpa_ctx):
+    """r10 advice: the pipeline run shape must pass the same comment gate
+    as single operations (reference: every CLI run ends in queue_job)."""
+    api = KiaraAPI(context=dharpa_ctx)
+    cfg = {
+        "pipeline_name": "gated",
+        "steps": [{"step_id": "gate", "module_type": "logic.and"}],
+    }
+    inputs = {"gate__a": True, "gate__b": True}
+    with pytest.raises(ValueError, match="provide a 'comment'"):
+        api.run_pipeline(cfg, inputs)
+    assert len(dharpa_ctx.job_registry.history) == 0
+    out = api.run_pipeline(cfg, inputs, comment="pipeline provenance")
+    assert out["gate__y"].data is True
+    # the comment attached to every step job the run created
+    for rec in dharpa_ctx.job_registry.history:
+        assert api.get_job_comment(rec.job_id) == "pipeline provenance"
+
+
+def test_dharpa_gates_job_desc_runs(dharpa_ctx, tmp_path):
+    import json
+
+    api = KiaraAPI(context=dharpa_ctx)
+    jd = tmp_path / "job.json"
+    jd.write_text(json.dumps({
+        "operation": "logic.and",
+        "inputs": {"a": True, "b": True},
+    }))
+    with pytest.raises(ValueError, match="provide a 'comment'"):
+        api.run_job_desc(str(jd))
+    assert len(dharpa_ctx.job_registry.history) == 0
+    out = api.run_job_desc(str(jd), comment="job-desc provenance")
+    assert out["y"].data is True
+    job_id = dharpa_ctx.job_registry.history[-1].job_id
+    assert api.get_job_comment(job_id) == "job-desc provenance"
+
+
+def test_mixed_output_job_archives_record_without_false_cache_hit(
+        spark, tmp_path):
+    """r10 advice: persist_record used to abort on the first non-table
+    output, leaving a mixed-output job with stored tables but no archived
+    record.  Now it stores the persistable subset and archives the record
+    marked incomplete — and an incomplete entry must never be served as a
+    cross-context cache hit (a partial ValueMap would be wrong)."""
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path))
+    out = ctx.run_job("logic.and", {"a": True, "b": True})
+    record = ctx.job_registry.history[-1]
+    ctx.job_registry.persist_record(record)
+    stored = ctx.job_registry._stored
+    assert record.job_hash in stored
+    entry = stored[record.job_hash]
+    # the boolean output has no persistence profile: skipped, not fatal
+    assert entry["complete"] is False and entry["outputs"] == {}
+    # an incomplete archive entry is a cache MISS, not a partial hit
+    assert ctx.job_registry._probe_stored(record.job_hash) is None
