@@ -56,11 +56,15 @@ def export_archive(
     compression: str | None = None,
     append: bool = False,
     archive_name: str | None = None,
+    unaliased_refs: list[str] | tuple[str, ...] = (),
 ) -> dict:
     """Export values (by alias/uuid ref) into a portable archive directory.
 
     ``refs``: list of refs (aliases become archive aliases) or a mapping
-    ``archive_alias -> ref``.  Returns the manifest dict.
+    ``archive_alias -> ref``; a mapping entry whose key is ``None``-like
+    is not allowed — use ``unaliased_refs`` for values that should ship
+    data without an archive alias (the reference's bare-uuid export,
+    where new_alias stays None).  Returns the manifest dict.
 
     Reference parity (interfaces/cli/data/commands.py:531 `data export`):
     ``compression`` selects the in-archive codec (zstd/lz4/lzma/none —
@@ -128,6 +132,8 @@ def export_archive(
         value = context.data_registry.get_value(ref)
         aliases[archive_alias] = value.value_id
         _export_value(value, ship_data=True)
+    for ref in unaliased_refs:
+        _export_value(context.data_registry.get_value(ref), ship_data=True)
 
     manifest = {
         "format_version": ARCHIVE_FORMAT_VERSION,

@@ -606,18 +606,22 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("data export: at least one alias required")
         ctx = KiaraContext()
         refs: dict = {}
+        unaliased: list = []
         first_label = None
         for a in aliases:
             if "=" in a:
                 old, new = a.split("=", 1)
             else:
                 old = a
-                # a bare uuid exports without an alias (reference keeps
-                # new_alias None there); bare aliases export as themselves
+                # a bare uuid exports data WITHOUT an archive alias
+                # (reference keeps new_alias None there); bare aliases
+                # export as themselves
                 new = None if _looks_like_uuid(a) else a
             v = ctx.get_value(old)
-            key = new if new else v.value_id
-            refs[key] = old
+            if new:
+                refs[new] = old
+            else:
+                unaliased.append(old)
             if first_label is None:
                 first_label = new or v.value_id
         if not archive_name:
@@ -649,8 +653,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Creating new data_store '{file_name}'...")
         manifest = ctx.export_archive(
             refs, full_path, compression=compression, append=append,
-            archive_name=archive_name)
-        print(f"exported {len(refs)} value(s) "
+            archive_name=archive_name, unaliased_refs=unaliased)
+        print(f"exported {len(refs) + len(unaliased)} value(s) "
               f"({len(manifest['values'])} in archive), aliases: "
               f"{', '.join(sorted(manifest['aliases']))} -> {full_path}")
         return 0

@@ -107,6 +107,14 @@ class DataRegistry:
         elif ref in self._aliases or ref in self._stored_aliases:
             ref = self._resolve_alias(ref)
         if ref not in self._values:
+            # cross-restart by-id resolution (reference: any stored value
+            # loads by uuid, alias or not — e.g. `data export <uuid>` in a
+            # fresh context): warehouse datasets are keyed by value_id
+            stored = os.path.join(self.warehouse_path, ref)
+            if os.path.isdir(stored):
+                value = self.load_value(stored)
+                self._values.setdefault(value.value_id, value)
+                return self._values[value.value_id]
             raise KeyError(f"no value for ref {ref!r}")
         return self._values[ref]
 

@@ -434,3 +434,37 @@ def test_data_write_value_cli(tmp_path, monkeypatch, capsys, spark):
     capsys.readouterr()
     assert main(["data", "write_value", "regions", "-d", out_dir,
                  "-f"]) == 0
+
+
+def test_data_export_bare_uuid_ships_without_alias(tmp_path, monkeypatch,
+                                                   capsys, spark):
+    """Reference parity: a bare uuid positional exports the value's data
+    with new_alias=None — no alias lands in the archive."""
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home"))
+    monkeypatch.chdir(tmp_path)
+    assert main(["run", "create.table.from.file",
+                 "path=/root/testdata/sf0.001/region.parquet",
+                 "--save", "regions"]) == 0
+    capsys.readouterr()
+    import json as _json
+
+    a1 = str(tmp_path / "a1")
+    assert main(["data", "export", "-p", a1, "regions"]) == 0
+    capsys.readouterr()
+    vid = _json.load(open(os.path.join(a1 + ".kiarchive",
+                                       "manifest.json")))["aliases"]["regions"]
+    a2 = str(tmp_path / "a2")
+    assert main(["data", "export", "-p", a2, vid]) == 0
+    out = capsys.readouterr().out
+    assert "exported 1 value(s)" in out
+    m2 = _json.load(open(os.path.join(a2 + ".kiarchive", "manifest.json")))
+    assert m2["aliases"] == {}
+    assert m2["values"][vid]["has_data"]
+    # archive_name falls back to the value_id (reference: first alias,
+    # else first value's uuid)
+    assert m2["archive_name"] == vid
+    # and import-by-value-id works on the alias-less archive
+    monkeypatch.setenv("KIARA_SPARK_HOME", str(tmp_path / "home2"))
+    assert main(["data", "import", a2 + ".kiarchive", vid,
+                 "--no-aliases"]) == 0
+    assert vid in capsys.readouterr().out
