@@ -591,6 +591,47 @@ def main():
                 spark.sparkContext._jvm.System.gc()
         return timings, total
 
+    # machine-speed canary (r11): fixed, data-free CPU work timed alongside
+    # the battery so cross-round bench deltas decompose into machine drift
+    # vs plan drift without a worktree bisect.  r9->r11 showed a diffuse
+    # ~1.2x total drift that took re-running the r9 commit to attribute to
+    # the host; dividing future totals by (canary_now / canary_then)
+    # answers it from the artifacts alone.  JVM side: whole-stage-codegen
+    # hash fold over a fixed range (no IO, no shuffle).  Python side: a
+    # fixed-size BLAS matmul (the Arrow/pandas-UDF substrate).
+    def machine_canary() -> dict:
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        # bit_xor fold: overflow-free under ANSI mode (a SUM of xxhash64
+        # longs overflows), same codegen-bound per-row cost.  min-of-3
+        # so a stray GC/scheduler blip doesn't poison the reading.
+        def jvm_once():
+            t0 = time.monotonic()
+            spark.range(2_000_000_000).select(
+                F.bit_xor(F.xxhash64("id"))).collect()
+            return time.monotonic() - t0
+
+        spark.range(200_000_000).select(
+            F.bit_xor(F.xxhash64("id"))).collect()  # unmeasured warm-up
+        jvm_sec = min(jvm_once() for _ in range(3))
+
+        # Python side: sha256 over fixed bytes — single-threaded C, no
+        # BLAS thread pool to contend with the executor threads (a numpy
+        # matmul canary swung 2x depending on JVM background activity)
+        blob = bytes(range(256)) * 1_000_000  # 256 MB, deterministic
+        def sha_once():
+            t0 = time.monotonic()
+            hashlib.sha256(blob).hexdigest()
+            return time.monotonic() - t0
+
+        sha_once()  # warm-up (page-in)
+        py_sec = min(sha_once() for _ in range(3))
+        return {"jvm_sec": round(jvm_sec, 3), "py_sha256_sec": round(py_sec, 3)}
+
+    canary = machine_canary()
+
     timings, total = run_list(BENCH_QUERIES)
     streaming_timings, streaming_total = run_list(STREAMING_EXTRA_QUERIES)
 
@@ -606,6 +647,7 @@ def main():
         # raw samples here so a delta is attributable to plan vs machine
         "noise_class_runs": noise_runs,
         "notes": BENCH_NOTES,
+        "machine_canary": canary,
         "sf": sf,
     }, indent=1))
 
@@ -619,6 +661,7 @@ def main():
         "n_queries": len(timings),
         "streaming_extra_sec": round(streaming_total, 3),
         "n_streaming_extra": len(streaming_timings),
+        "machine_canary": canary,
         "detail": "BENCH_DETAIL.json",
     }))
 
