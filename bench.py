@@ -513,6 +513,12 @@ NOISE_CLASS = {
     # per JVM on first execution, then run at 2.3s steady-state at sf0.1;
     # warm-rep timing measures the plan, not the compiler
     "stats_cuped_events",
+    # r11: the streaming pandas-on-Spark synth demo swings 5-9s between
+    # runs with zero code change (micro-batch scheduling + Arrow worker
+    # churn — the same class as its batch sibling pyds_synth_documents,
+    # a member since r9); single-shot timing was the largest per-query
+    # delta in the r11 drift analysis
+    "pyds_stream_synth_demo",
 }
 
 STREAMING_EXTRA_QUERIES = [
