@@ -364,6 +364,8 @@ BENCH_QUERIES = [
     "text_code_detect",
     "dedup_ngram_novelty",
     "text_script_detect",
+    # round 11: difference-in-differences rollout readout
+    "stats_diff_in_diff_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",
@@ -513,6 +515,9 @@ NOISE_CLASS = {
     # per JVM on first execution, then run at 2.3s steady-state at sf0.1;
     # warm-rep timing measures the plan, not the compiler
     "stats_cuped_events",
+    # r11: same compile-dominated staged-projection class as cuped
+    # (one-time ~7.5s codegen, ~1.9s steady-state at sf0.1)
+    "stats_diff_in_diff_events",
     # r11: the streaming pandas-on-Spark synth demo swings 5-9s between
     # runs with zero code change (micro-batch scheduling + Arrow worker
     # churn — the same class as its batch sibling pyds_synth_documents,

@@ -4413,6 +4413,130 @@ def cuped_adjust(
         F.round(p, 6).alias("p_value"))
 
 
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    y_col,
+    group_treat: str,
+    group_control: str,
+    period_pre: str,
+    period_post: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 design; the
+    standard quasi-experimental estimator for STAGED rollouts where
+    randomized assignment isn't available — the experimentation battery's
+    complement to :func:`cuped_adjust`, which needs a randomized A/B):
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_control,post − ȳ_control,pre)
+
+    i.e. the treatment-group shift net of the secular trend the control
+    group experienced.  Inference is the standard 4-cell large-sample z
+    (the 2×2 interaction contrast): SE² = Σ_cell s²_cell/n_cell over
+    SAMPLE variances, two-sided p from A&S erfc (NULL when any cell has
+    <2 units — no variance evidence).  Parallel-trends is the identifying
+    ASSUMPTION, not something the estimator can test; callers with >2
+    periods should plot pre-period diffs first.
+
+    Scale design (the CCC/CUPED recipe): ONE conditional exact-decimal
+    aggregate computes n, Σy, Σy² for the four (group, period) cells —
+    map-side combined, partition-order invariant; the estimate/SE/z/p
+    assemble from 12 numbers through staged fixed-order selects (each a
+    small codegen unit — the r11 Janino-64KB discipline), so a SQL twin
+    reproduces every double bit-for-bit.  Rows outside the two groups or
+    two periods are ignored.  Returns one row:
+    (n_treat_pre, n_treat_post, n_control_pre, n_control_post,
+    mean_treat_pre, mean_treat_post, mean_control_pre, mean_control_post,
+    diff_treat, diff_control, did, z, p_value)."""
+    s, s2 = value_scale, value_scale * 2
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
+    cells = {
+        "t0": (F.col(group_col) == group_treat)
+        & (F.col(period_col) == period_pre),
+        "t1": (F.col(group_col) == group_treat)
+        & (F.col(period_col) == period_post),
+        "c0": (F.col(group_col) == group_control)
+        & (F.col(period_col) == period_pre),
+        "c1": (F.col(group_col) == group_control)
+        & (F.col(period_col) == period_post),
+    }
+    base = df.filter(ys.isNotNull()
+                     & F.col(group_col).isin(group_treat, group_control)
+                     & F.col(period_col).isin(period_pre, period_post))
+    aggs = []
+    for tag, g in cells.items():
+        aggs += [
+            F.sum(F.when(g, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(g, yd)).cast(f"decimal(38,{s})")
+            .alias(f"_sy{tag}"),
+            F.sum(F.when(g, (yd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_syy{tag}"),
+        ]
+    agg = base.agg(*aggs)
+    # stage 1: counts as doubles + every decimal sum split-cast ONCE
+    s1 = agg.select(
+        *[F.col(f"_n{t}").alias(f"n_{t}") for t in cells],
+        *[F.col(f"_n{t}").cast("double").alias(f"_nd{t}") for t in cells],
+        *[_split_cast(F.col(f"_sy{t}")).alias(f"_dsy{t}") for t in cells],
+        *[_split_cast(F.col(f"_syy{t}")).alias(f"_dsyy{t}") for t in cells])
+    # stage 2: per-cell means + centered sums of squares
+    s2_cols = []
+    for t in cells:
+        nd, sy, syy = (F.col(f"_nd{t}"), F.col(f"_dsy{t}"),
+                       F.col(f"_dsyy{t}"))
+        s2_cols.append((sy / nd).alias(f"_m{t}"))
+        s2_cols.append((syy - sy * sy / nd).alias(f"_ss{t}"))
+    s2f = s1.select(
+        *[f"n_{t}" for t in cells], *[f"_nd{t}" for t in cells], *s2_cols)
+    # stage 3: arm diffs, DiD, per-cell sample variances
+    s3 = s2f.select(
+        *[f"n_{t}" for t in cells], *[f"_nd{t}" for t in cells],
+        *[f"_m{t}" for t in cells],
+        (F.col("_mt1") - F.col("_mt0")).alias("_diff_t"),
+        (F.col("_mc1") - F.col("_mc0")).alias("_diff_c"),
+        *[F.when(F.col(f"n_{t}") > 1,
+                 F.greatest(F.col(f"_ss{t}"), F.lit(0.0))
+                 / (F.col(f"_nd{t}") - F.lit(1.0))).alias(f"_var{t}")
+          for t in cells])
+    # stage 4: DiD + Welch-style SE over the four cells
+    se = F.sqrt(F.col("_vart0") / F.col("_ndt0")
+                + F.col("_vart1") / F.col("_ndt1")
+                + F.col("_varc0") / F.col("_ndc0")
+                + F.col("_varc1") / F.col("_ndc1"))
+    s4 = s3.select(
+        *[f"n_{t}" for t in cells], *[f"_m{t}" for t in cells],
+        "_diff_t", "_diff_c",
+        (F.col("_diff_t") - F.col("_diff_c")).alias("_did"),
+        se.alias("_se"))
+    # stage 5: z
+    s5 = s4.select(
+        *[f"n_{t}" for t in cells], *[f"_m{t}" for t in cells],
+        "_diff_t", "_diff_c", "_did",
+        F.when(F.col("_se") > 0, F.col("_did") / F.col("_se")).alias("_z"))
+    # stage 6: p-value + output rounding
+    z = F.col("_z")
+    p = F.when(z.isNotNull(),
+               F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    return s5.select(
+        F.col("n_t0").alias("n_treat_pre"),
+        F.col("n_t1").alias("n_treat_post"),
+        F.col("n_c0").alias("n_control_pre"),
+        F.col("n_c1").alias("n_control_post"),
+        F.round(F.col("_mt0"), 6).alias("mean_treat_pre"),
+        F.round(F.col("_mt1"), 6).alias("mean_treat_post"),
+        F.round(F.col("_mc0"), 6).alias("mean_control_pre"),
+        F.round(F.col("_mc1"), 6).alias("mean_control_post"),
+        F.round(F.col("_diff_t"), 6).alias("diff_treat"),
+        F.round(F.col("_diff_c"), 6).alias("diff_control"),
+        F.round(F.col("_did"), 6).alias("did"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"))
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str = "p_value",
@@ -5273,6 +5397,22 @@ TableCupedReadout = _simple_module(
         "layer over table.stats.cuped's theta/variance-factor summary).",
 )
 
+TableDiffInDiff = _simple_module(
+    "table.stats.diff_in_diff",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": diff_in_diff(
+        im["table"].data, self.config["group_column"],
+        self.config["period_column"], self.config["y_column"],
+        self.config["group_treat"], self.config["group_control"],
+        self.config["period_pre"], self.config["period_post"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Difference-in-differences readout for staged rollouts: the "
+        "treatment shift net of the control group's secular trend, with "
+        "the 4-cell large-sample z and erfc p from one exact-decimal "
+        "conditional scan (parallel-trends is the caller's assumption).",
+)
+
 TableSrmCheck = _simple_module(
     "table.stats.srm_check",
     {"table": TABLE},
@@ -5306,7 +5446,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCrosstabAssoc, TableChi2Bh,
             TableAnovaOneway, TableCohensKappa, TableLeveneBf,
             TableKendallTau, TableSrmCheck, TableMoodMedian,
-            TableTwoPropZ, TableCupedReadout, TableBhFdr, TableMcnemar,
+            TableTwoPropZ, TableCupedReadout, TableDiffInDiff,
+            TableBhFdr, TableMcnemar,
             TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,

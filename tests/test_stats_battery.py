@@ -1766,3 +1766,103 @@ def test_bh_fdr_operation_minted(ctx, spark):
                       operation_config={"alpha": 0.01})
     got = {r.hyp: r for r in out["table"].data.collect()}
     assert got["a"].reject and not got["b"].reject
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (r11)
+# ---------------------------------------------------------------------------
+
+def test_did_textbook_estimate(spark):
+    """Treat: pre mean 10, post mean 14 (diff +4); control: pre mean 10,
+    post mean 11 (diff +1) => DiD = +3.  Cell variances are all 2/1 = 2
+    (values mean±1 around each cell mean, n=2 per cell): SE =
+    sqrt(4 * 2/2) = 2, z = 1.5."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [
+        ("t", "pre", 9.0), ("t", "pre", 11.0),
+        ("t", "post", 13.0), ("t", "post", 15.0),
+        ("c", "pre", 9.0), ("c", "pre", 11.0),
+        ("c", "post", 10.0), ("c", "post", 12.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    r = _one(diff_in_diff(df, "g", "p", "y", "t", "c", "pre", "post"))
+    assert (r.n_treat_pre, r.n_treat_post,
+            r.n_control_pre, r.n_control_post) == (2, 2, 2, 2)
+    assert r.mean_treat_pre == 10.0 and r.mean_treat_post == 14.0
+    assert r.mean_control_pre == 10.0 and r.mean_control_post == 11.0
+    assert r.diff_treat == 4.0 and r.diff_control == 1.0
+    assert r.did == 3.0
+    assert r.z == pytest.approx(1.5, abs=1e-6)
+    # two-sided normal p for z=1.5 ~ 0.1336 (A&S erfc, |err| < 1.5e-7)
+    assert r.p_value == pytest.approx(0.133614, abs=1e-4)
+
+
+def test_did_single_unit_cell_null_inference(spark):
+    """A cell with one unit has no sample variance: estimate still
+    reported, z/p NULL."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [
+        ("t", "pre", 10.0),
+        ("t", "post", 13.0), ("t", "post", 15.0),
+        ("c", "pre", 9.0), ("c", "pre", 11.0),
+        ("c", "post", 10.0), ("c", "post", 12.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    r = _one(diff_in_diff(df, "g", "p", "y", "t", "c", "pre", "post"))
+    assert r.n_treat_pre == 1
+    assert r.did == 4.0 - 1.0
+    assert r.z is None and r.p_value is None
+
+
+def test_did_ignores_other_groups_and_periods(spark):
+    """Rows outside the named groups/periods (a third arm, a washout
+    period) must not contaminate the cells."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [
+        ("t", "pre", 9.0), ("t", "pre", 11.0),
+        ("t", "post", 13.0), ("t", "post", 15.0),
+        ("c", "pre", 9.0), ("c", "pre", 11.0),
+        ("c", "post", 10.0), ("c", "post", 12.0),
+        ("holdout", "pre", 999.0), ("t", "washout", 999.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    r = _one(diff_in_diff(df, "g", "p", "y", "t", "c", "pre", "post"))
+    assert r.did == 3.0
+    assert (r.n_treat_pre + r.n_treat_post
+            + r.n_control_pre + r.n_control_post) == 8
+
+
+def test_did_empty_cell_reports_null_estimate(spark):
+    """An entirely missing cell (no control-post units) yields NULL means
+    for that cell and a NULL DiD — never a crash or a silently-wrong 0."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [
+        ("t", "pre", 9.0), ("t", "pre", 11.0),
+        ("t", "post", 13.0), ("t", "post", 15.0),
+        ("c", "pre", 9.0), ("c", "pre", 11.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    r = _one(diff_in_diff(df, "g", "p", "y", "t", "c", "pre", "post"))
+    assert r.n_control_post == 0
+    assert r.mean_control_post is None
+    assert r.did is None and r.z is None and r.p_value is None
+
+
+def test_did_partition_invariance(spark):
+    """The conditional decimal aggregate is partition-order invariant:
+    1-partition and 7-partition runs must agree bit-for-bit."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [("t" if i % 2 else "c",
+             "post" if i % 3 == 0 else "pre",
+             float(i % 17) + 0.37 * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    a = _one(diff_in_diff(df.coalesce(1), "g", "p", "y",
+                          "t", "c", "pre", "post"))
+    b = _one(diff_in_diff(df.repartition(7), "g", "p", "y",
+                          "t", "c", "pre", "post"))
+    assert a == b

@@ -155,6 +155,9 @@ PROBE_QUERIES = [
     "stats_cuped_events",
     "text_script_detect",
     "text_code_detect",
+    # round 11: DiD is one conditional aggregate over a grouped unit
+    # frame — must stay flat-linear at 10x like its CUPED sibling
+    "stats_diff_in_diff_events",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
