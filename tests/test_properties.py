@@ -438,3 +438,51 @@ def test_pq_codes_partition_invariant(spark, seed):
     assert a == b
     for _, codes, err in a:
         assert err >= 0 and len(codes) == 2
+
+
+did_units = st.lists(
+    st.tuples(st.sampled_from(["t", "c"]),
+              st.sampled_from(["pre", "post"]),
+              st.floats(-1e4, 1e4, allow_nan=False)),
+    min_size=8, max_size=40,
+)
+
+
+@given(rows=did_units, shift=st.floats(-100, 100, allow_nan=False))
+@SET
+def test_did_cancels_common_period_shifts(spark, rows, shift):
+    """The defining DiD property: a secular shift applied to EVERY unit's
+    post-period outcome (both groups alike) must leave the estimate
+    unchanged — that is exactly the trend the control group nets out.
+    Compared at the op's own 6dp output rounding (the shift perturbs the
+    2dp unit quantization by at most an ulp-scale residual)."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    shift = round(shift, 2)  # survive the op's 2dp unit quantization
+    base = spark.createDataFrame(rows, "g string, p string, y double")
+    shifted = spark.createDataFrame(
+        [(g, p, y + shift if p == "post" else y) for g, p, y in rows],
+        "g string, p string, y double")
+    a = diff_in_diff(base, "g", "p", "y", "t", "c", "pre", "post").collect()[0]
+    b = diff_in_diff(shifted, "g", "p", "y",
+                     "t", "c", "pre", "post").collect()[0]
+    if a.did is None:
+        assert b.did is None
+    else:
+        assert b.did == pytest.approx(a.did, abs=2e-6)
+        # variances are shift-invariant too, so the z must match
+        if a.z is not None:
+            assert b.z == pytest.approx(a.z, abs=2e-4)
+
+
+@given(rows=did_units)
+@SET
+def test_did_partition_invariance_property(spark, rows):
+    from kiara_spark.operators.quality import diff_in_diff
+
+    df = spark.createDataFrame(rows, "g string, p string, y double")
+    a = diff_in_diff(df.coalesce(1), "g", "p", "y",
+                     "t", "c", "pre", "post").collect()
+    b = diff_in_diff(df.repartition(5), "g", "p", "y",
+                     "t", "c", "pre", "post").collect()
+    assert a == b
