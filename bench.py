@@ -364,8 +364,10 @@ BENCH_QUERIES = [
     "text_code_detect",
     "dedup_ngram_novelty",
     "text_script_detect",
-    # round 11: difference-in-differences rollout readout
+    # round 11: difference-in-differences rollout readout + the
+    # segmented (heterogeneous-effect) variant
     "stats_diff_in_diff_events",
+    "stats_did_segments_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",
@@ -518,6 +520,7 @@ NOISE_CLASS = {
     # r11: same compile-dominated staged-projection class as cuped
     # (one-time ~7.5s codegen, ~1.9s steady-state at sf0.1)
     "stats_diff_in_diff_events",
+    "stats_did_segments_events",
     # r11: the streaming pandas-on-Spark synth demo swings 5-9s between
     # runs with zero code change (micro-batch scheduling + Arrow worker
     # churn — the same class as its batch sibling pyds_synth_documents,

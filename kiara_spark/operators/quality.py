@@ -4423,6 +4423,7 @@ def diff_in_diff(
     period_pre: str,
     period_post: str,
     value_scale: int = 2,
+    segment_col: str | None = None,
 ) -> DataFrame:
     """Difference-in-differences readout (Card & Krueger 1994 design; the
     standard quasi-experimental estimator for STAGED rollouts where
@@ -4448,7 +4449,15 @@ def diff_in_diff(
     two periods are ignored.  Returns one row:
     (n_treat_pre, n_treat_post, n_control_pre, n_control_post,
     mean_treat_pre, mean_treat_post, mean_control_pre, mean_control_post,
-    diff_treat, diff_control, did, z, p_value)."""
+    diff_treat, diff_control, did, z, p_value).
+
+    ``segment_col`` turns the readout into a HETEROGENEOUS-effect table:
+    one independent DiD row per segment value (sorted), each estimated
+    from that segment's own 4 cells — the "which cohort actually moved"
+    question every rollout readout ends with.  Scale: the global
+    aggregate becomes ONE segment-keyed hash aggregate (map-side
+    combined); the staged statistics stay per-row projections, so the
+    plan is a single shuffle at any segment cardinality."""
     s, s2 = value_scale, value_scale * 2
     ys = F.col(y_col) if isinstance(y_col, str) else y_col
     yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
@@ -4475,9 +4484,15 @@ def diff_in_diff(
             F.sum(F.when(g, (yd * yd).cast(f"decimal(38,{s2})")))
             .cast(f"decimal(38,{s2})").alias(f"_syy{tag}"),
         ]
-    agg = base.agg(*aggs)
+    if segment_col is None:
+        agg = base.agg(*aggs)
+        keys: list[str] = []
+    else:
+        agg = base.groupBy(F.col(segment_col).alias("segment")).agg(*aggs)
+        keys = ["segment"]
     # stage 1: counts as doubles + every decimal sum split-cast ONCE
     s1 = agg.select(
+        *keys,
         *[F.col(f"_n{t}").alias(f"n_{t}") for t in cells],
         *[F.col(f"_n{t}").cast("double").alias(f"_nd{t}") for t in cells],
         *[_split_cast(F.col(f"_sy{t}")).alias(f"_dsy{t}") for t in cells],
@@ -4490,9 +4505,11 @@ def diff_in_diff(
         s2_cols.append((sy / nd).alias(f"_m{t}"))
         s2_cols.append((syy - sy * sy / nd).alias(f"_ss{t}"))
     s2f = s1.select(
+        *keys,
         *[f"n_{t}" for t in cells], *[f"_nd{t}" for t in cells], *s2_cols)
     # stage 3: arm diffs, DiD, per-cell sample variances
     s3 = s2f.select(
+        *keys,
         *[f"n_{t}" for t in cells], *[f"_nd{t}" for t in cells],
         *[f"_m{t}" for t in cells],
         (F.col("_mt1") - F.col("_mt0")).alias("_diff_t"),
@@ -4507,12 +4524,14 @@ def diff_in_diff(
                 + F.col("_varc0") / F.col("_ndc0")
                 + F.col("_varc1") / F.col("_ndc1"))
     s4 = s3.select(
+        *keys,
         *[f"n_{t}" for t in cells], *[f"_m{t}" for t in cells],
         "_diff_t", "_diff_c",
         (F.col("_diff_t") - F.col("_diff_c")).alias("_did"),
         se.alias("_se"))
     # stage 5: z
     s5 = s4.select(
+        *keys,
         *[f"n_{t}" for t in cells], *[f"_m{t}" for t in cells],
         "_diff_t", "_diff_c", "_did",
         F.when(F.col("_se") > 0, F.col("_did") / F.col("_se")).alias("_z"))
@@ -4521,7 +4540,8 @@ def diff_in_diff(
     p = F.when(z.isNotNull(),
                F.round(F.least(_erfc_as(F.abs(z) / F.sqrt(F.lit(2.0))),
                                F.lit(1.0)), 9))
-    return s5.select(
+    out = s5.select(
+        *keys,
         F.col("n_t0").alias("n_treat_pre"),
         F.col("n_t1").alias("n_treat_post"),
         F.col("n_c0").alias("n_control_pre"),
@@ -4535,6 +4555,7 @@ def diff_in_diff(
         F.round(F.col("_did"), 6).alias("did"),
         F.round(z, 6).alias("z"),
         F.round(p, 6).alias("p_value"))
+    return out.orderBy("segment") if keys else out
 
 
 def bh_fdr(
@@ -5406,7 +5427,8 @@ TableDiffInDiff = _simple_module(
         self.config["period_column"], self.config["y_column"],
         self.config["group_treat"], self.config["group_control"],
         self.config["period_pre"], self.config["period_post"],
-        value_scale=self.config.get("value_scale", 2))},
+        value_scale=self.config.get("value_scale", 2),
+        segment_col=self.config.get("segment_column"))},
     doc="Difference-in-differences readout for staged rollouts: the "
         "treatment shift net of the control group's secular trend, with "
         "the 4-cell large-sample z and erfc p from one exact-decimal "

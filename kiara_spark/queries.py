@@ -16348,6 +16348,135 @@ def stats_diff_in_diff_events_q(spark, sf_dir):
                         "treat", "control", "pre", "post")
 
 
+@query(
+    "stats_did_segments_events",
+    f"""
+    WITH units AS (
+      SELECT event_type AS seg,
+             CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS grp,
+             CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS y
+      FROM events
+      GROUP BY 1, 2, 3, user_id
+    ), u2 AS (
+      SELECT seg, grp, period, CAST(ROUND(y, 2) AS DECIMAL(19,2)) AS yd
+      FROM units WHERE y IS NOT NULL
+    ), agg AS (
+      SELECT seg,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'pre'
+             THEN 1 ELSE 0 END) AS BIGINT) AS nt0,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'
+             THEN 1 ELSE 0 END) AS BIGINT) AS nt1,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'pre'
+             THEN 1 ELSE 0 END) AS BIGINT) AS nc0,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'post'
+             THEN 1 ELSE 0 END) AS BIGINT) AS nc1,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'pre'
+             THEN yd END) AS DECIMAL(38,2)) AS syt0,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'
+             THEN yd END) AS DECIMAL(38,2)) AS syt1,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'pre'
+             THEN yd END) AS DECIMAL(38,2)) AS syc0,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'post'
+             THEN yd END) AS DECIMAL(38,2)) AS syc1,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'pre'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syyt0,
+        CAST(SUM(CASE WHEN grp = 'treat' AND period = 'post'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syyt1,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'pre'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syyc0,
+        CAST(SUM(CASE WHEN grp = 'control' AND period = 'post'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END)
+             AS DECIMAL(38,4)) AS syyc1
+      FROM u2 GROUP BY seg
+    ), d AS (
+      SELECT seg, nt0, nt1, nc0, nc1,
+             CAST(nt0 AS DOUBLE) AS ndt0, CAST(nt1 AS DOUBLE) AS ndt1,
+             CAST(nc0 AS DOUBLE) AS ndc0, CAST(nc1 AS DOUBLE) AS ndc1,
+             {_sc('syt0')} AS dsyt0, {_sc('syt1')} AS dsyt1,
+             {_sc('syc0')} AS dsyc0, {_sc('syc1')} AS dsyc1,
+             {_sc('syyt0')} AS dsyyt0, {_sc('syyt1')} AS dsyyt1,
+             {_sc('syyc0')} AS dsyyc0, {_sc('syyc1')} AS dsyyc1
+      FROM agg
+    ), m AS (
+      SELECT *,
+             dsyt0 / ndt0 AS mt0, dsyt1 / ndt1 AS mt1,
+             dsyc0 / ndc0 AS mc0, dsyc1 / ndc1 AS mc1,
+             dsyyt0 - dsyt0 * dsyt0 / ndt0 AS sst0,
+             dsyyt1 - dsyt1 * dsyt1 / ndt1 AS sst1,
+             dsyyc0 - dsyc0 * dsyc0 / ndc0 AS ssc0,
+             dsyyc1 - dsyc1 * dsyc1 / ndc1 AS ssc1
+      FROM d
+    ), v AS (
+      SELECT *,
+             mt1 - mt0 AS diff_t, mc1 - mc0 AS diff_c,
+             CASE WHEN nt0 > 1
+                  THEN GREATEST(sst0, 0.0) / (ndt0 - 1.0) END AS vart0,
+             CASE WHEN nt1 > 1
+                  THEN GREATEST(sst1, 0.0) / (ndt1 - 1.0) END AS vart1,
+             CASE WHEN nc0 > 1
+                  THEN GREATEST(ssc0, 0.0) / (ndc0 - 1.0) END AS varc0,
+             CASE WHEN nc1 > 1
+                  THEN GREATEST(ssc1, 0.0) / (ndc1 - 1.0) END AS varc1
+      FROM m
+    ), sfin AS (
+      SELECT *,
+             diff_t - diff_c AS did,
+             SQRT(vart0 / ndt0 + vart1 / ndt1
+                  + varc0 / ndc0 + varc1 / ndc1) AS sev
+      FROM v
+    ), zf AS (
+      SELECT *, CASE WHEN sev > 0 THEN did / sev END AS zv FROM sfin
+    )
+    SELECT seg AS segment,
+           nt0 AS n_treat_pre, nt1 AS n_treat_post,
+           nc0 AS n_control_pre, nc1 AS n_control_post,
+           ROUND(mt0, 6) AS mean_treat_pre,
+           ROUND(mt1, 6) AS mean_treat_post,
+           ROUND(mc0, 6) AS mean_control_pre,
+           ROUND(mc1, 6) AS mean_control_post,
+           ROUND(diff_t, 6) AS diff_treat,
+           ROUND(diff_c, 6) AS diff_control,
+           ROUND(did, 6) AS did,
+           ROUND(zv, 6) AS z,
+           ROUND(CASE WHEN zv IS NOT NULL THEN
+                 ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 9)
+                 END, 6) AS p_value
+    FROM zf ORDER BY segment
+    """,
+)
+def stats_did_segments_events_q(spark, sf_dir):
+    """Heterogeneous-effect (segmented) difference-in-differences
+    (`table.stats.diff_in_diff` with ``segment_column``): one independent
+    DiD row PER EVENT TYPE — "which cohort actually moved" — each
+    estimated from that segment's own (user, period) value-sum units.
+    Scale: the global conditional aggregate becomes ONE segment-keyed
+    hash aggregate (map-side combined) and the staged statistics are
+    per-row projections — a single shuffle at any segment cardinality."""
+    from .operators.quality import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    units = (
+        ev.groupBy(
+            F.col("event_type").alias("seg"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treat")).alias("grp"),
+            F.when(pre, F.lit("pre")).otherwise(F.lit("post"))
+            .alias("period"),
+            F.col("user_id"))
+        .agg(F.sum(F.col("value").cast("decimal(38,10)"))
+             .cast("double").alias("y")))
+    return diff_in_diff(units, "grp", "period", "y",
+                        "treat", "control", "pre", "post",
+                        segment_col="seg")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

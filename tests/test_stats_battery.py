@@ -1866,3 +1866,32 @@ def test_did_partition_invariance(spark):
     b = _one(diff_in_diff(df.repartition(7), "g", "p", "y",
                           "t", "c", "pre", "post"))
     assert a == b
+
+
+def test_did_segments_independent_per_segment(spark):
+    """segment_col: each segment's row must equal the global readout run
+    on that segment's rows alone — segments are fully independent."""
+    from kiara_spark.operators.quality import diff_in_diff
+
+    rows = [
+        ("t", "pre", "a", 9.0), ("t", "pre", "a", 11.0),
+        ("t", "post", "a", 13.0), ("t", "post", "a", 15.0),
+        ("c", "pre", "a", 9.0), ("c", "pre", "a", 11.0),
+        ("c", "post", "a", 10.0), ("c", "post", "a", 12.0),
+        ("t", "pre", "b", 1.0), ("t", "pre", "b", 3.0),
+        ("t", "post", "b", 9.0), ("t", "post", "b", 11.0),
+        ("c", "pre", "b", 2.0), ("c", "pre", "b", 4.0),
+        ("c", "post", "b", 2.5), ("c", "post", "b", 4.5),
+    ]
+    df = spark.createDataFrame(rows, "g string, p string, seg string, y double")
+    seg_rows = {r.segment: r for r in diff_in_diff(
+        df, "g", "p", "y", "t", "c", "pre", "post",
+        segment_col="seg").collect()}
+    assert list(seg_rows) == ["a", "b"]  # sorted output
+    for seg in ("a", "b"):
+        solo = diff_in_diff(df.filter(df.seg == seg), "g", "p", "y",
+                            "t", "c", "pre", "post").collect()[0]
+        combined = seg_rows[seg]
+        assert combined.did == solo.did
+        assert combined.z == solo.z and combined.p_value == solo.p_value
+    assert seg_rows["a"].did == 3.0 and seg_rows["b"].did == 7.5

@@ -156,8 +156,10 @@ PROBE_QUERIES = [
     "text_script_detect",
     "text_code_detect",
     # round 11: DiD is one conditional aggregate over a grouped unit
-    # frame — must stay flat-linear at 10x like its CUPED sibling
+    # frame — must stay flat-linear at 10x like its CUPED sibling; the
+    # segmented variant swaps it for one segment-keyed hash aggregate
     "stats_diff_in_diff_events",
+    "stats_did_segments_events",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
