@@ -386,7 +386,11 @@ class KiaraAPI:
         record = self.context.job_registry.history[-1]
         if comment is not None:
             self.set_job_comment(record.job_id, comment)
-        if profile == "dharpa":
+        # mirror run_job's guard: when --save already persists the outputs
+        # under an alias, forced persistence would only duplicate store work
+        # (the job-desc save MAP below may still persist a subset; dedup on
+        # store makes any overlap with autosave harmless)
+        if profile == "dharpa" and save is None:
             self._profile_autosave([record])
         for f_name, alias in sorted(job_desc.save.items()):
             if f_name not in outputs:
@@ -531,14 +535,17 @@ class KiaraAPI:
 
     def import_values(self, archive_path: str,
                       values: list | None = None,
-                      alias_map: bool = True,
+                      alias_map: bool = False,
                       alias_prefix: str = "") -> dict:
         """Import values from a portable archive into this context.
 
         Reference parity (base_api.py:2025 import_values): ``values``
         selects specific archive aliases/value_ids (all when None);
-        ``alias_map=False`` skips alias restoration (the CLI's
-        ``--no-aliases``)."""
+        ``alias_map`` defaults False like the reference — no aliases are
+        restored unless requested (the CLI's ``data import`` passes
+        ``alias_map=True`` unless ``--no-aliases``).  When ``values``
+        names specific aliases, only THOSE aliases are restored — sibling
+        aliases pointing at the same value_id are not dragged in."""
         return self.import_archive(archive_path, alias_prefix=alias_prefix,
                                    values=values,
                                    restore_aliases=bool(alias_map))

@@ -99,7 +99,22 @@ def export_archive(
         refs = {r: r for r in refs}
 
     def _export_value(value: Value, ship_data: bool) -> None:
-        if value.value_id in exported:
+        prior_node = exported.get(value.value_id)
+        if prior_node is not None:
+            # append mode can revisit a value the prior manifest recorded as
+            # metadata-only (exported earlier with include_ancestors=False,
+            # or as a non-table output).  If THIS pass ships data, upgrade
+            # the node in place — otherwise `data import <alias>` would
+            # resolve the alias to a dataless node and silently load nothing.
+            if (ship_data and not prior_node.get("has_data")
+                    and isinstance(value.data, DataFrame)):
+                dest = os.path.join(archive_path, "values", value.value_id)
+                writer = value.data.write.mode("overwrite")
+                if codec is not None:
+                    writer = writer.option("compression", codec)
+                writer.parquet(dest)
+                prior_node["has_data"] = True
+                prior_node["spark_schema"] = value.data.schema.jsonValue()
             return
         node = {
             "value_id": value.value_id,
@@ -168,13 +183,17 @@ def import_archive(context: "KiaraContext", archive_path: str,
             f"unsupported archive format {manifest.get('format_version')!r}")
 
     wanted_ids: set[str] | None = None
+    wanted_alias_names: set[str] = set()
+    wanted_id_refs: set[str] = set()
     if values is not None:
         wanted_ids = set()
         for ref in values:
             if ref in manifest["aliases"]:
                 wanted_ids.add(manifest["aliases"][ref])
+                wanted_alias_names.add(ref)
             elif ref in manifest["values"]:
                 wanted_ids.add(ref)
+                wanted_id_refs.add(ref)
             else:
                 raise KeyError(
                     f"archive has no alias or value_id {ref!r} "
@@ -203,8 +222,16 @@ def import_archive(context: "KiaraContext", archive_path: str,
         return dict(loaded)
     out: dict[str, Value] = {}
     for alias, value_id in manifest["aliases"].items():
-        if value_id in loaded:
-            name = f"{alias_prefix}{alias}"
-            context.data_registry.register_alias(name, value_id)
-            out[name] = loaded[value_id]
+        if value_id not in loaded:
+            continue
+        # when specific refs were requested, restore only the aliases the
+        # caller named (plus every alias of a value addressed by raw id) —
+        # importing one selected alias must not drag in sibling aliases
+        # that point at the same value_id
+        if values is not None and alias not in wanted_alias_names \
+                and value_id not in wanted_id_refs:
+            continue
+        name = f"{alias_prefix}{alias}"
+        context.data_registry.register_alias(name, value_id)
+        out[name] = loaded[value_id]
     return out

@@ -231,11 +231,13 @@ def main(argv: list[str] | None = None) -> int:
                 if is_pipeline:
                     payload = {"cmd": "run_pipeline",
                                "pipeline": os.path.abspath(op),
-                               "inputs": inputs}
+                               "inputs": inputs,
+                               "comment": comment}
                 elif is_job_desc:
                     payload = {"cmd": "run_job_desc",
                                "job_desc": os.path.abspath(op),
-                               "inputs": inputs}
+                               "inputs": inputs,
+                               "comment": comment}
                 else:
                     payload = {"cmd": "run", "operation": op,
                                "inputs": inputs, "save": save,

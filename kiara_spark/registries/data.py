@@ -29,6 +29,17 @@ if TYPE_CHECKING:
     from ..context import KiaraContext
 
 
+def _is_uuid_shaped(ref: str) -> bool:
+    """True when ``ref`` parses as a uuid (the reference's bare-uuid
+    disambiguation, cli/data/commands.py:585) — the only shape allowed to
+    probe the warehouse directory by path."""
+    try:
+        _uuid.UUID(ref)
+        return True
+    except Exception:
+        return False
+
+
 @dataclass
 class Destiny:
     """A deferred derived-value computation registered against a value
@@ -109,9 +120,12 @@ class DataRegistry:
         if ref not in self._values:
             # cross-restart by-id resolution (reference: any stored value
             # loads by uuid, alias or not — e.g. `data export <uuid>` in a
-            # fresh context): warehouse datasets are keyed by value_id
+            # fresh context): warehouse datasets are keyed by value_id.
+            # Only a uuid-SHAPED ref may probe the warehouse — an arbitrary
+            # ref containing separators ('../x', 'a/b') must not resolve
+            # outside it or load an unrelated parquet directory as a value.
             stored = os.path.join(self.warehouse_path, ref)
-            if os.path.isdir(stored):
+            if _is_uuid_shaped(ref) and os.path.isdir(stored):
                 value = self.load_value(stored)
                 self._values.setdefault(value.value_id, value)
                 return self._values[value.value_id]

@@ -121,7 +121,7 @@ def test_archive_roundtrip_via_api(api, spark, tmp_path):
     ainfo = api.retrieve_archive_info(arch)
     assert ainfo["n_values"] >= 1 and "to_ship" in ainfo["aliases"]
     api.create_new_context("importer")
-    out = api.import_values(arch, alias_prefix="in_")
+    out = api.import_values(arch, alias_map=True, alias_prefix="in_")
     assert any(a.startswith("in_") for a in api.list_alias_names())
     assert out
 

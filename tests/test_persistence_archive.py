@@ -76,3 +76,83 @@ def test_sessionize_module(ctx, tables):
     assert df.columns == ["user_id", "session_start_us", "session_end_us", "n_events"]
     total = df.agg({"n_events": "sum"}).collect()[0][0]
     assert total == tables["events"].data.count()
+
+
+def test_append_upgrades_metadata_only_node(spark, tmp_path, fresh_ctx):
+    """r12 advice: in append mode a value the prior manifest recorded as
+    metadata-only (exported as an un-shipped ancestor) must get its data
+    written — not early-returned — when appended explicitly; otherwise its
+    alias imports nothing."""
+    src = fresh_ctx.register_table(
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+    out = fresh_ctx.run_job("table.query.sql", {
+        "table": src,
+        "query": "select r_name from data order by r_name",
+    })
+    fresh_ctx.data_registry.register_alias("derived", out["table"])
+
+    archive = str(tmp_path / "arch")
+    # first export ships only the derived value; the ancestor lands as a
+    # metadata-only lineage node (has_data: False)
+    m1 = fresh_ctx.export_archive(["derived"], archive,
+                                  include_ancestors=False)
+    assert m1["values"][src.value_id]["has_data"] is False
+
+    fresh_ctx.data_registry.register_alias("ancestor", src)
+    m2 = fresh_ctx.export_archive(["ancestor"], archive, append=True)
+    node = m2["values"][src.value_id]
+    assert node["has_data"] is True and "spark_schema" in node
+    # the appended alias now round-trips with data
+    ctx2 = KiaraContext(spark=spark, base_path=str(tmp_path / "ctx2"))
+    loaded = ctx2.import_archive(archive, values=["ancestor"])
+    assert loaded["ancestor"].data.count() == 5
+
+
+def test_import_values_restores_only_requested_alias(spark, tmp_path,
+                                                     fresh_ctx):
+    """r12 advice: importing one selected alias must not drag in sibling
+    aliases pointing at the same value_id; and the API default matches the
+    reference (alias_map=False — no aliases unless asked)."""
+    from kiara_spark.api import KiaraAPI
+
+    v = fresh_ctx.register_table(
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+    fresh_ctx.data_registry.register_alias("main_name", v)
+    fresh_ctx.data_registry.register_alias("sibling_name", v)
+    archive = str(tmp_path / "arch2")
+    fresh_ctx.export_archive(["main_name", "sibling_name"], archive)
+
+    ctx2 = KiaraContext(spark=spark, base_path=str(tmp_path / "ctx2"))
+    api2 = KiaraAPI(context=ctx2)
+    out = api2.import_values(archive, values=["main_name"], alias_map=True)
+    assert set(out) == {"main_name"}
+    assert "sibling_name" not in ctx2.data_registry.aliases
+
+    # reference default: no aliases restored unless alias_map is set
+    ctx3 = KiaraContext(spark=spark, base_path=str(tmp_path / "ctx3"))
+    out3 = KiaraAPI(context=ctx3).import_values(archive)
+    assert set(out3) == {v.value_id}
+    assert "main_name" not in ctx3.data_registry.aliases
+
+
+def test_by_id_warehouse_fallback_requires_uuid_shape(spark, tmp_path):
+    """r12 advice: the cross-restart by-id fallback joins the ref onto the
+    warehouse path — a non-uuid ref with separators must never escape the
+    warehouse or load an arbitrary parquet directory as a value."""
+    import os
+
+    ctx = KiaraContext(spark=spark, base_path=str(tmp_path / "ctx"))
+    # a parquet dataset OUTSIDE the warehouse, reachable via '..'
+    evil = tmp_path / "evil"
+    spark.range(0, 3).write.parquet(str(evil))
+    wh = ctx.data_registry.warehouse_path
+    traversal = os.path.relpath(str(evil), wh)
+    assert os.path.isdir(os.path.join(wh, traversal))
+    with pytest.raises(KeyError, match="no value for ref"):
+        ctx.get_value(traversal)
+    # uuid-shaped refs still resolve cross-restart
+    v = ctx.register_table(
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet"))
+    ctx.data_registry.store_value(v)
+    ctx2 = KiaraContext(spark=spark, base_path=ctx.base_path)
+    assert ctx2.get_value(v.value_id).data.count() == 5

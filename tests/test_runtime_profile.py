@@ -138,3 +138,69 @@ def test_mixed_output_job_archives_record_without_false_cache_hit(
     assert entry["complete"] is False and entry["outputs"] == {}
     # an incomplete archive entry is a cache MISS, not a partial hit
     assert ctx.job_registry._probe_stored(record.job_hash) is None
+
+
+def test_service_payloads_carry_comment(tmp_path, monkeypatch, capsys):
+    """r12 advice: the CLI's service-routing payloads for pipeline and
+    job-desc runs must forward --comment (service.py passes
+    req.get('comment') through the dharpa gate; a dropped comment either
+    fails the gate or silently loses provenance)."""
+    import json
+
+    from kiara_spark import service as svc
+    from kiara_spark.cli import main
+
+    captured = []
+
+    def fake_request(payload, **kw):
+        captured.append(payload)
+        return {"ok": True, "outputs": {}}
+
+    monkeypatch.setenv("KIARA_SPARK_SERVICE", str(tmp_path / "sock"))
+    monkeypatch.setattr(svc, "is_running", lambda *a, **kw: True)
+    monkeypatch.setattr(svc, "request", fake_request)
+
+    pipe = tmp_path / "p.json"
+    pipe.write_text(json.dumps({
+        "pipeline_name": "p",
+        "steps": [{"step_id": "s", "module_type": "logic.and"}],
+    }))
+    assert main(["run", str(pipe), "s__a=true", "s__b=true",
+                 "--comment", "pipeline provenance"]) == 0
+    jd = tmp_path / "j.json"
+    jd.write_text(json.dumps({
+        "operation": "logic.and",
+        "inputs": {"a": True, "b": True},
+    }))
+    assert main(["run", str(jd), "--comment", "job provenance"]) == 0
+    assert main(["run", "logic.and", "a=true", "b=true",
+                 "--comment", "run provenance"]) == 0
+
+    by_cmd = {p["cmd"]: p for p in captured}
+    assert by_cmd["run_pipeline"]["comment"] == "pipeline provenance"
+    assert by_cmd["run_job_desc"]["comment"] == "job provenance"
+    assert by_cmd["run"]["comment"] == "run provenance"
+
+
+def test_job_desc_save_skips_forced_autosave(dharpa_ctx, tmp_path,
+                                             monkeypatch):
+    """r12 advice: run_job_desc mirrors run_job's `save is None` guard —
+    an explicit --save already persists the outputs under an alias, so
+    dharpa forced persistence must not re-store them."""
+    import json
+
+    from kiara_spark.api import KiaraAPI
+
+    api = KiaraAPI(context=dharpa_ctx)
+    calls = []
+    monkeypatch.setattr(api, "_profile_autosave",
+                        lambda records: calls.append(records))
+    jd = tmp_path / "job.json"
+    jd.write_text(json.dumps({
+        "operation": "logic.and",
+        "inputs": {"a": True, "b": True},
+    }))
+    api.run_job_desc(str(jd), save="kept", comment="c")
+    assert calls == []
+    api.run_job_desc(str(jd), comment="c")
+    assert len(calls) == 1
