@@ -1628,7 +1628,16 @@ def dict_encode(df: DataFrame, col: str, out_col: str | None = None) -> tuple[Da
     Ids are assigned by sort order over the distinct values (deterministic,
     engine-portable — no fit-time RNG).  At 100 TB: one distinct aggregate
     over the column (map-side combined), the dictionary is broadcast back —
-    the fact table never shuffles.  NULL encodes as NULL."""
+    the fact table never shuffles.  NULL encodes as NULL.
+
+    Scale contract: the ``dense_rank`` over the distinct values is a
+    single-task window by design — it runs on the DICTIONARY, not the fact
+    table, and the dictionary must broadcast anyway for the join-back (the
+    operator's own contract: categorical cardinality << fact rows).  If the
+    "dictionary" stops fitting one task, the right fix is not a partitioned
+    rank but feature_hash / the range-partitioned ``_prefix_sums`` rank
+    pattern (quality.py bh_fdr) — at that cardinality the column is an id,
+    not a category."""
     out_col = out_col or f"{col}_id"
     wd = Window.orderBy(F.col(col))
     dictionary = (df.select(col).filter(F.col(col).isNotNull()).distinct()

@@ -4407,16 +4407,62 @@ def training_shuffle_documents_q(spark, sf_dir):
         "doc_id", "lang", "shard_id", "shard_pos")
 
 
-@query("text_bpe_train_merges")
+def _bpe_oracle_sql(n_merges: int = 6, min_count: int = 2) -> str:
+    """Exact DuckDB twin of ``text.bpe_train``: the 6 training rounds are
+    UNROLLED into 6 chained CTE stages (pair-count aggregate → argmax with
+    the same (n DESC, l, r) tie-break → greedy left-to-right merge applied
+    as a ``list_reduce`` fold over the word-piece lists).  Iteration was
+    never the obstacle to an oracle — only unbounded iteration would be;
+    n_merges is a fixed literal, so the derivation is mechanical.  The
+    ``WHERE n >= min_count`` + ``LIMIT 1`` + null-guarded fold reproduce the
+    early-break contract (an empty round leaves the dict untouched, so every
+    later round is empty too — the same fixpoint Spark's break reaches)."""
+    sql = f"""
+    WITH s0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+             list_transform(range(1, len(t)+1), i -> t[i]) AS seq
+      FROM (SELECT UNNEST({_TOKS}) AS t FROM documents) GROUP BY t
+    )"""
+    for k in range(1, n_merges + 1):
+        sql += f""",
+    p{k} AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(SUM(wc) AS BIGINT) AS n
+      FROM (
+        SELECT wc, UNNEST(list_transform(range(1, len(seq)),
+                 i -> struct_pack(l := seq[i], r := seq[i+1]))) AS pr
+        FROM s{k-1} WHERE len(seq) >= 2)
+      GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT l, r, n FROM p{k} WHERE n >= {min_count}
+             ORDER BY n DESC, l, r LIMIT 1),
+    s{k} AS (
+      SELECT wc,
+        CASE WHEN b.l IS NULL THEN seq
+        ELSE list_reduce(list_transform(seq, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                      THEN list_concat(acc[1:-2], [b.l || b.r])
+                      ELSE list_concat(acc, x) END)
+        END AS seq
+      FROM s{k-1} LEFT JOIN b{k} b ON TRUE
+    )"""
+    parts = [
+        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, n AS n_occurrences FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@query("text_bpe_train_merges", _bpe_oracle_sql())
 def text_bpe_train_q(spark, sf_dir):
     """Iterative BPE training (`text.bpe_train`): 6 merge rounds over the
-    corpus word-frequency dictionary.  Genuinely iterative (each round's
-    pair counts depend on the previous merge), so there is no single-SQL
-    oracle — correctness is pinned by the merge-for-merge equivalence test
-    against an independent pure-Python BPE
-    (tests/test_text_dedup_similarity.py).  The corpus feeds ONE word
-    aggregate; rounds run on the checkpointed vocabulary-sized dict with a
-    1-row argmax collect per round."""
+    corpus word-frequency dictionary.  The corpus feeds ONE word aggregate;
+    rounds run on the checkpointed vocabulary-sized dict with a 1-row
+    argmax collect per round.  Exact-hash oracle: the DuckDB twin unrolls
+    the 6 rounds into chained CTEs with the identical argmax tie-break and
+    the identical greedy L2R fold (see ``_bpe_oracle_sql``) — verified
+    merge-for-merge at sf0.001 and sf0.01, on top of the pure-Python
+    equivalence test in tests/test_text_dedup_similarity.py."""
     docs = _t(spark, sf_dir, "documents")
     return X.bpe_train(docs, n_merges=6)
 
@@ -5412,38 +5458,105 @@ def diff_orders_versions_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# approximate-sketch twins of super-linear exact ops (rows-only: HLL++
-# estimates are implementation-specific, so no cross-engine value oracle —
-# the exact twins above stay the oracle-checked versions; tests bound the
-# relative error instead)
+# approximate-sketch twins of super-linear exact ops.  Oracle pattern
+# (driver-recordable despite engine-specific sketch internals): the Spark
+# plan computes BOTH the sketch estimate and its exact twin in the SAME
+# aggregate, and emits the exact values plus ONE `within_tol` boolean; the
+# DuckDB twin computes the exact values and a literal TRUE.  The hash
+# matches iff the sketch lands inside its error bound — turning the sketch's
+# accuracy contract itself into an exact-hash oracle.  Tolerances are set at
+# >= 5 sigma of the configured rsd (empirical max rel-err at sf0.01: HLL
+# rollup 0.0, sliding 1 abs, 2-hop 10.6% at rsd 5%, theta 0.0, approx_pct
+# 1.1%), and every estimator is a deterministic function of the data, so a
+# green check is stable, not a coin flip.
 # ---------------------------------------------------------------------------
 
 
-@query("events_sliding_distinct_users_approx")
+def _abs_within(est, exact, rel: float, abs_floor: int):
+    """|est - exact| <= max(abs_floor, rel * exact) as a Column — the
+    small-cardinality-safe sketch acceptance band (HLL/theta sketches are
+    exact in sparse mode, but an abs floor keeps tiny groups from flaking
+    on a 1-count wobble)."""
+    exact_c = F.col(exact) if isinstance(exact, str) else exact
+    est_c = F.col(est) if isinstance(est, str) else est
+    band = F.greatest(F.lit(float(abs_floor)),
+                      exact_c.cast("double") * F.lit(rel))
+    return F.abs(est_c.cast("double") - exact_c.cast("double")) <= band
+
+
+@query(
+    "events_sliding_distinct_users_approx",
+    """
+    SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 AS window_start,
+           (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - k)*900 + 3600 AS window_end,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_tol
+    FROM events, range(0, 4) t(k)
+    GROUP BY 1, 2, 3
+    """,
+)
 def events_sliding_distinct_users_approx_q(spark, sf_dir):
     """Sketch twin of events_sliding_distinct_users: 1h/15m sliding windows
     with approx_count_distinct (HLL++, rsd 2%).  The exact op's distinct
     state is O(users per window) held and shuffled per group; the sketch is
     constant-size per group with map-side merge — at 100 TB event streams
-    the concurrent-users metric runs at count-aggregate cost."""
+    the concurrent-users metric runs at count-aggregate cost.  Both states
+    are built in ONE aggregate here so the oracle can hash-check the sketch
+    against its error band (<= max(3, 5% of exact); empirical max abs err
+    at sf0.01 is 1)."""
     ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "1 hour", "15 minutes")
     return ev.groupBy(win, "event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("_ap"),
     ).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         F.unix_timestamp(F.col("window.end")).alias("window_end"),
-        "event_type", "n_users_approx")
+        "event_type", "n_users_exact",
+        _abs_within("_ap", "n_users_exact", 0.05, 3).alias("within_tol"))
 
 
-@query("graph_2hop_neighbors_approx")
+@query(
+    "graph_2hop_neighbors_approx",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e WHERE src <> dst
+      UNION SELECT dst, src FROM e WHERE src <> dst
+    ),
+    one AS (SELECT src AS id, dst AS nb FROM und),
+    two AS (SELECT a.id, e2.dst AS nb FROM one a JOIN und e2 ON a.nb = e2.src),
+    hops AS (SELECT id, nb FROM one UNION SELECT id, nb FROM two)
+    SELECT id, COUNT(*) AS n_neighbors_2hop, TRUE AS within_tol
+    FROM hops WHERE id <> nb GROUP BY id
+    """,
+)
 def graph_2hop_approx_q(spark, sf_dir):
     """Sketch twin of graph_2hop_neighbors (see
     operators.graph.neighbors_within_2_hops_approx): constant-size HLL++
-    state per node instead of an exact distinct set — the hub-node fix."""
+    state per node instead of an exact distinct set — the hub-node fix.
+    Here exact + sketch run in the SAME grouped aggregate (one shuffle of
+    the pair set feeds both states) so the driver hash-checks the sketch
+    against a 25% band (5 sigma at rsd 5%; empirical max 10.6% at sf0.01).
+    The pure-sketch operator stays the 100 TB path."""
     from .operators import graph as G
+    from .io import cut_lineage
 
-    return G.neighbors_within_2_hops_approx(_copurchase_edges(spark, sf_dir))
+    und = cut_lineage(G.undirected_edges(_copurchase_edges(spark, sf_dir)))
+    one = und.select(F.col("src").alias("id"), F.col("dst").alias("nb"))
+    two = (
+        one.alias("a")
+        .join(und.alias("e"), F.col("a.nb") == F.col("e.src"))
+        .select(F.col("a.id").alias("id"), F.col("e.dst").alias("nb"))
+    )
+    both = one.unionByName(two).filter(F.col("id") != F.col("nb"))
+    agg = both.groupBy("id").agg(
+        F.count_distinct("nb").cast("bigint").alias("n_neighbors_2hop"),
+        F.approx_count_distinct("nb", 0.05).alias("_ap"))
+    return agg.select(
+        "id", "n_neighbors_2hop",
+        _abs_within("_ap", "n_neighbors_2hop", 0.25, 8).alias("within_tol"))
 
 
 # ---------------------------------------------------------------------------
@@ -5491,30 +5604,102 @@ def bitmap_distinct_daily_rollup_q(spark, sf_dir):
     return per_type.join(totals, "event_type")
 
 
-@query("events_hll_daily_rollup")
+@query(
+    "events_hll_daily_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def events_hll_daily_rollup_q(spark, sf_dir):
     """Approximate twin of bitmap_distinct_daily_rollup for huge/sparse id
     spaces: per-(type, day) HLL++ sketches (constant 2^14-register state)
-    union-merged to per-type estimates.  Rows-only check: HLL register
-    layouts are engine-specific so no cross-engine value oracle; the pytest
-    bounds the estimate against the exact bitmap count instead."""
+    union-merged to per-type estimates — the partial-rollup path under
+    test reads ZERO fact rows after the partial build.  The oracle-checked
+    output joins the rolled-up estimate against the exact per-type distinct
+    and hashes the <= max(3, 5% of exact) acceptance band (lgK=14 rsd is
+    ~0.8%, so 5% is >6 sigma; empirically exact at sf0.01)."""
     from .operators import sketches as SK
 
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     partials = SK.hll_distinct_partials(ev, ["event_type", "day"], "user_id")
-    return SK.hll_distinct_rollup(partials, ["event_type"])
+    est = SK.hll_distinct_rollup(partials, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"))
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "n_users_exact",
+        _abs_within("n_distinct_est", "n_users_exact", 0.05, 3)
+        .alias("within_tol"))
 
 
-@query("theta_event_type_overlap")
+@query(
+    "theta_event_type_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    i AS (SELECT a.event_type AS ga, b.event_type AS gb,
+                 CAST(COUNT(*) AS BIGINT) AS ni
+          FROM d a JOIN d b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT ca.event_type AS group_a, cb.event_type AS group_b,
+           ca.n AS n_a, cb.n AS n_b,
+           COALESCE(i.ni, CAST(0 AS BIGINT)) AS n_intersection,
+           ca.n + cb.n - COALESCE(i.ni, CAST(0 AS BIGINT)) AS n_union,
+           TRUE AS within_tol
+    FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+    LEFT JOIN i ON i.ga = ca.event_type AND i.gb = cb.event_type
+    """,
+)
 def theta_event_type_overlap_q(spark, sf_dir):
     """Pairwise audience-overlap estimates (|A|, |B|, |A∩B|, |A∪B|) between
     event types via theta sketches — set algebra over user sets at kilobyte
-    cost, never materializing the sets.  Rows-only check (sketch internals
-    are engine-specific); pytest bounds the estimates against exact SQL."""
+    cost, never materializing the sets.  The oracle-checked output carries
+    the exact pair counts (one distinct (type,user) projection + a self-join
+    on user_id — fine at K=#types groups; the sketch path is what survives
+    when the sets don't fit) and hashes all four estimates against a
+    <= max(3, 5% of exact) band (lgK=14; empirically exact at sf0.01)."""
     from .operators import sketches as SK
 
     ev = _t(spark, sf_dir, "events")
-    return SK.theta_overlap_pairs(ev, "event_type", "user_id")
+    est = SK.theta_overlap_pairs(ev, "event_type", "user_id")
+    dx = ev.select("event_type", "user_id").distinct()
+    cnt = dx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        dx.alias("a")
+        .join(dx.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("group_a"),
+                 F.col("b.event_type").alias("group_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_ni")))
+    exact = (
+        cnt.select(F.col("event_type").alias("group_a"),
+                   F.col("n").alias("n_a"))
+        .join(F.broadcast(cnt.select(F.col("event_type").alias("group_b"),
+                                     F.col("n").alias("n_b"))),
+              F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(inter), ["group_a", "group_b"], "left")
+        .withColumn("n_intersection",
+                    F.coalesce(F.col("_ni"), F.lit(0).cast("bigint")))
+        .withColumn("n_union",
+                    F.col("n_a") + F.col("n_b") - F.col("n_intersection")))
+    ok = (
+        _abs_within("est_a", "n_a", 0.05, 3)
+        & _abs_within("est_b", "n_b", 0.05, 3)
+        & _abs_within("est_union", "n_union", 0.05, 3)
+        # intersection error is relative to the UNION size for theta set
+        # algebra, not to the (possibly tiny) intersection itself
+        & (F.abs(F.col("est_intersection").cast("double")
+                 - F.col("n_intersection").cast("double"))
+           <= F.greatest(F.lit(3.0),
+                         F.col("n_union").cast("double") * F.lit(0.05))))
+    return (exact.join(F.broadcast(est), ["group_a", "group_b"])
+            .select("group_a", "group_b", "n_a", "n_b",
+                    "n_intersection", "n_union", ok.alias("within_tol")))
 
 
 # ---------------------------------------------------------------------------
@@ -6814,23 +6999,43 @@ def cdc_apply_changes_q(spark, sf_dir):
         "o_orderpriority")
 
 
-@query("agg_percentile_approx")
+@query(
+    "agg_percentile_approx",
+    """
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25_exact,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 6) AS p50_exact,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS p75_exact,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def agg_percentile_approx_q(spark, sf_dir):
     """Sketch twin of agg_percentile_battery: approx_percentile (the
     KLL/GK-style constant-memory quantile sketch) — at 100 TB the exact
     percentile's per-group sorted state is unbounded while the sketch is
-    fixed-size with map-side merge.  Rows-only (sketch results are
-    engine-specific); a pytest bounds its error against the exact twin."""
+    fixed-size with map-side merge.  Exact and sketch quantiles come out of
+    ONE grouped aggregate; the oracle hashes the exact values plus a 5%
+    acceptance band on each sketch estimate (empirical max rel-err 1.1%
+    at sf0.01 with default accuracy 10000)."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.expr("approx_percentile(o_totalprice, 0.25)").alias("p25"),
-            F.expr("approx_percentile(o_totalprice, 0.50)").alias("p50"),
-            F.expr("approx_percentile(o_totalprice, 0.75)").alias("p75"),
-        )
-        .orderBy("o_orderpriority")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.25)").alias("_a25"),
+        F.expr("approx_percentile(o_totalprice, 0.50)").alias("_a50"),
+        F.expr("approx_percentile(o_totalprice, 0.75)").alias("_a75"),
     )
+    ok = (
+        (F.abs(F.col("_a25").cast("double") - F.col("p25_exact"))
+         <= F.col("p25_exact") * 0.05)
+        & (F.abs(F.col("_a50").cast("double") - F.col("p50_exact"))
+           <= F.col("p50_exact") * 0.05)
+        & (F.abs(F.col("_a75").cast("double") - F.col("p75_exact"))
+           <= F.col("p75_exact") * 0.05))
+    return agg.select("o_orderpriority", "p25_exact", "p50_exact",
+                      "p75_exact", ok.alias("within_tol"))
 
 
 @query(

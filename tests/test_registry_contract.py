@@ -11,26 +11,17 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q)
 
 
-def test_no_oracle_set_is_exactly_the_approximate_family():
-    """Only genuinely approximate operators (engine-specific sketch
-    estimates whose EXACT twins are oracle-checked) may lack an oracle —
-    a new query accidentally registered without one should fail here, not
-    silently weaken the correctness gate."""
+def test_no_oracle_set_is_empty():
+    """EVERY registered query carries an exact-hash oracle — including the
+    approximate-sketch family (their plans compute the exact twin alongside
+    the sketch and emit a `within_tol` boolean the DuckDB twin pins to
+    TRUE) and iterative BPE (6 rounds unrolled into chained DuckDB CTEs).
+    A new query registered without an oracle should fail here, not silently
+    weaken the correctness gate."""
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
-    missing = set(q) - set(o)
-    assert missing == {
-        "events_sliding_distinct_users_approx",
-        "graph_2hop_neighbors_approx",
-        "events_hll_daily_rollup",
-        "theta_event_type_overlap",
-        "agg_percentile_approx",
-        # genuinely iterative (no single-SQL twin): pinned instead by the
-        # merge-for-merge equivalence test vs an independent pure-Python
-        # BPE in tests/test_text_dedup_similarity.py
-        "text_bpe_train_merges",
-    }
+    assert set(q) - set(o) == set()
 
 
 def test_query_callables_take_spark_and_sfdir():

@@ -6,7 +6,16 @@ order-insensitive value hash (columns sorted by name, rows sorted by all
 columns as strings, doubles rounded to 9 significant-ish decimals only for
 display — the hash uses exact repr so any real drift fails).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--cap1] [--json PATH] [sf_dir] [query_name ...]
+
+``--cap1`` is the CLUSTER-REGIME sweep: it sets
+``KIARA_SPARK_BROADCAST_CAP_BYTES=1`` before any Spark import, so every
+size-gated broadcast hint in the repo drops out and AQE picks join
+strategies the way it would on a 1000-executor cluster where the "small"
+side no longer fits an executor broadcast.  A full-battery ``--cap1`` PASS
+is the standing evidence that correctness never depends on a broadcast
+hint; run it once per round and record the summary with ``--json``
+(see README "cluster-regime sweep").
 """
 
 from __future__ import annotations
@@ -99,8 +108,21 @@ def oracle_type_violations(con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import os
+
+    args = sys.argv[1:]
+    cap1 = "--cap1" in args
+    if cap1:
+        args.remove("--cap1")
+        # must land before kiara_spark.operators.joins reads it at call time
+        os.environ["KIARA_SPARK_BROADCAST_CAP_BYTES"] = "1"
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from kiara_spark.session import build_spark
@@ -110,6 +132,7 @@ def main():
     con = duck_con(sf_dir)
 
     n_pass = n_fail = 0
+    results: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -122,6 +145,7 @@ def main():
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=4)
             n_fail += 1
+            results[name] = "FAIL"
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(s_rows)} rows  ({time.monotonic()-t0:.1f}s)")
@@ -133,6 +157,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR {e}")
             n_fail += 1
+            results[name] = "FAIL"
             continue
         sh, sn = canon(s_rows, s_cols)
         dh, dn = canon(d_rows, d_cols)
@@ -142,6 +167,7 @@ def main():
             print(f"FAIL {name}: banned DuckDB result type {viol} "
                   "(exports as decimal128/float64 — CAST it)")
             n_fail += 1
+            results[name] = "FAIL"
             continue
         status = "PASS" if (sh == dh and ok_cols) else "FAIL"
         if status == "PASS":
@@ -156,7 +182,22 @@ def main():
         elif sh != dh:
             detail = " value-hash mismatch"
         print(f"{status} {name}: {sn} rows  ({time.monotonic()-t0:.1f}s){detail}")
-    print(f"\n{n_pass} passed, {n_fail} failed")
+        results[name] = status
+    print(f"\n{n_pass} passed, {n_fail} failed"
+          + (" [cluster regime: broadcast cap 1 byte]" if cap1 else ""))
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "regime": "broadcast_cap_1_byte" if cap1 else "default",
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "failed": sorted(n for n, s in results.items() if s != "PASS"),
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"summary -> {json_path}")
     return 1 if n_fail else 0
 
 
