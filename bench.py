@@ -645,6 +645,21 @@ def main():
         return {"jvm_sec": round(jvm_sec, 3), "py_sha256_sec": round(py_sec, 3)}
 
     canary = machine_canary()
+    # r12 (r11 verdict item 8): compare against the round-11 driver-run
+    # reference values IN-BAND, so a slow/fast host is flagged by the bench
+    # output itself instead of re-litigated from artifacts each round.
+    # ratio > 1 = this machine is SLOWER than the r11 baseline host.
+    _CANARY_R11 = {"jvm_sec": 0.523, "py_sha256_sec": 0.206}
+    _ratios = {k: round(canary[k] / _CANARY_R11[k], 3) for k in _CANARY_R11}
+    _worst = max(_ratios.values())
+    canary["vs_r11"] = _ratios
+    canary["machine_verdict"] = (
+        "slow_machine" if _worst > 1.3 else
+        "fast_machine" if min(_ratios.values()) < 0.7 else "comparable")
+    if canary["machine_verdict"] != "comparable":
+        print(f"# machine canary {canary['machine_verdict']}: "
+              f"{_ratios} vs r11 baseline — scale per-query deltas by "
+              "these ratios before calling plan drift", file=sys.stderr)
 
     timings, total = run_list(BENCH_QUERIES)
     streaming_timings, streaming_total = run_list(STREAMING_EXTRA_QUERIES)

@@ -421,3 +421,31 @@ def test_list_operations_filters(api, capsys):
     assert main(["operation", "list", "render.value",
                  "--include-internal"]) == 0
     assert "render.value.as.html" in capsys.readouterr().out
+
+
+def test_endpoint_tagging_and_discovery():
+    """Reference base_api.py:113-131 parity: the @tag decorator stamps
+    _tags, find_base_api_endpoints selects by label, and every public
+    KiaraAPI endpoint carries the curated 'kiara_api' tag."""
+    from kiara_spark.api import KiaraAPI, find_base_api_endpoints, tag
+
+    eps = find_base_api_endpoints(KiaraAPI, "kiara_api")
+    names = {e.__name__ for e in eps}
+    public = {n for n in dir(KiaraAPI)
+              if not n.startswith("_") and callable(getattr(KiaraAPI, n))}
+    assert public <= names
+    assert {"run_job", "get_value", "store_value", "instance"} <= names
+    # unknown labels select nothing; plugins can mint their own surfaces
+    assert find_base_api_endpoints(KiaraAPI, "nope") == []
+
+    @tag("my_surface", "beta")
+    def extension(self):
+        pass
+
+    assert extension._tags == ("my_surface", "beta")
+
+    class Extended(KiaraAPI):
+        custom = tag("custom_api")(lambda self: 42)
+
+    assert [e.__name__ for e in
+            find_base_api_endpoints(Extended, "custom_api")] == ["<lambda>"]

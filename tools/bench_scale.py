@@ -160,6 +160,21 @@ PROBE_QUERIES = [
     # segmented variant swaps it for one segment-keyed hash aggregate
     "stats_diff_in_diff_events",
     "stats_did_segments_events",
+    # round 12: scalar_map_battery joins the probe (r11 verdict item 3 —
+    # it was the only bench mover without probe coverage; map-only
+    # per-row map construction, must stay flat-linear), and the
+    # oracle-backed sketch twins re-probe under their NEW plans (each now
+    # computes exact + sketch in ONE aggregate; the exact side dominates
+    # — sliding-window distinct state is O(users/window), the 2-hop pair
+    # set is sum-of-squared-degrees — so these track their exact
+    # siblings' growth, not the sketch's constant state)
+    "scalar_map_battery",
+    "events_sliding_distinct_users_approx",
+    "graph_2hop_neighbors_approx",
+    "events_hll_daily_rollup",
+    "theta_event_type_overlap",
+    "agg_percentile_approx",
+    "text_bpe_train_merges",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
