@@ -368,6 +368,10 @@ BENCH_QUERIES = [
     # segmented (heterogeneous-effect) variant
     "stats_diff_in_diff_events",
     "stats_did_segments_events",
+    # round 12: experiment power/MDE planning + mSPRT always-valid
+    # sequential monitoring
+    "stats_power_mde_events",
+    "stats_msprt_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",

@@ -4558,6 +4558,257 @@ def diff_in_diff(
     return out.orderBy("segment") if keys else out
 
 
+#: two-sided normal quantiles z_{1-alpha/2} for the supported alpha grid.
+#: Literals (not a CDF inversion) so the Spark plan and the DuckDB oracle
+#: share them bit-for-bit; arbitrary alpha would need an inverse-normal
+#: approximation the SQL twin cannot mirror exactly.
+_Z_TWO_SIDED = {
+    0.01: 2.5758293035489004,
+    0.05: 1.9599639845400545,
+    0.10: 1.6448536269514722,
+}
+
+#: one-sided normal quantiles z_{power} for the supported power grid.
+_Z_POWER = {
+    0.80: 0.8416212335729143,
+    0.90: 1.2815515655446004,
+    0.95: 1.6448536269514722,
+}
+
+
+def power_mde(
+    df: DataFrame,
+    group_col: str,
+    y_col,
+    group_a: str,
+    group_b: str,
+    alpha: float = 0.05,
+    power: float = 0.80,
+    target_rel_effect: float = 0.10,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Experiment power / minimum-detectable-effect analysis — the
+    PLANNING half of the A/B family (SRM gates health, CUPED/DiD read
+    results; this answers "is the test big enough?").  Standard two-sample
+    normal-approximation design formulas (e.g. Kohavi et al., "Trustworthy
+    Online Controlled Experiments", ch. 17):
+
+        MDE_abs = (z_{1-α/2} + z_{power}) · SE,
+                  SE = sqrt(s²_a/n_a + s²_b/n_b)
+        n_req   = ceil( (z_{1-α/2}+z_{power})² · (s²_a+s²_b) / δ² )
+                  per arm, δ = target_rel_effect · |mean_b|
+
+    ``group_b`` is the control arm: relative effects are expressed against
+    its mean.  ``alpha`` ∈ {0.01, 0.05, 0.10} and ``power`` ∈ {0.80, 0.90,
+    0.95} by contract — the quantiles are shared literals (see
+    ``_Z_TWO_SIDED``), not a CDF inversion.  NULL contract: variance terms
+    need n ≥ 2 per arm; relative outputs need mean_b ≠ 0.
+
+    Scale design: ONE conditional exact-decimal aggregate over the unit
+    frame (the CUPED/DiD CCC recipe — ``value_scale``-dp decimal values,
+    exact double-scale decimal squares, :func:`_split_cast` to double);
+    everything after is fixed-order double arithmetic on one row.  The
+    formula uses only +,*,/ and IEEE-exact sqrt — no libm transcendentals
+    — so even ``ceil(n_req)`` is bit-identical across engines.  Returns
+    one row: (n_a, n_b, mean_a, mean_b, var_a, var_b, se, mde_abs,
+    mde_rel_pct, target_rel_effect_pct, n_per_arm_required)."""
+    if alpha not in _Z_TWO_SIDED:
+        raise ValueError(f"unsupported alpha {alpha!r}: "
+                         f"choose from {sorted(_Z_TWO_SIDED)}")
+    if power not in _Z_POWER:
+        raise ValueError(f"unsupported power {power!r}: "
+                         f"choose from {sorted(_Z_POWER)}")
+    s, s2 = value_scale, value_scale * 2
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & ys.isNotNull())
+
+    def arm(g, tag):
+        return [
+            F.sum(F.when(g, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(g, yd)).cast(f"decimal(38,{s})")
+            .alias(f"_sy{tag}"),
+            F.sum(F.when(g, (yd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_syy{tag}"),
+        ]
+
+    agg = base.agg(*arm(in_a, "a"), *arm(in_b, "b"))
+    # staged selects (the cuped_adjust Janino discipline): each stage is a
+    # small codegen unit with named multiply-referenced intermediates
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    s1 = agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        nad.alias("_nad"), nbd.alias("_nbd"),
+        _split_cast(F.col("_sya")).alias("_dsya"),
+        _split_cast(F.col("_syb")).alias("_dsyb"),
+        _split_cast(F.col("_syya")).alias("_dsyya"),
+        _split_cast(F.col("_syyb")).alias("_dsyyb"))
+    nad, nbd = F.col("_nad"), F.col("_nbd")
+    s2_ = s1.select(
+        "n_a", "n_b", "_nad", "_nbd",
+        (F.col("_dsya") / nad).alias("_ma"),
+        (F.col("_dsyb") / nbd).alias("_mb"),
+        F.when(F.col("n_a") > 1, F.greatest(
+            F.col("_dsyya") - F.col("_dsya") * F.col("_dsya") / nad,
+            F.lit(0.0)) / (nad - F.lit(1.0))).alias("_va"),
+        F.when(F.col("n_b") > 1, F.greatest(
+            F.col("_dsyyb") - F.col("_dsyb") * F.col("_dsyb") / nbd,
+            F.lit(0.0)) / (nbd - F.lit(1.0))).alias("_vb"))
+    zsum = F.lit(_Z_TWO_SIDED[alpha] + _Z_POWER[power])
+    se = F.sqrt(F.col("_va") / nad + F.col("_vb") / nbd)
+    s3 = s2_.select(
+        "n_a", "n_b", "_ma", "_mb", "_va", "_vb",
+        se.alias("_se"),
+        (zsum * se).alias("_mde_abs"),
+        F.when(F.col("_mb") != 0,
+               F.lit(float(target_rel_effect)) * F.abs(F.col("_mb")))
+        .alias("_delta"))
+    nreq = F.when(
+        F.col("_delta").isNotNull() & F.col("_va").isNotNull()
+        & F.col("_vb").isNotNull(),
+        F.ceil(zsum * zsum * (F.col("_va") + F.col("_vb"))
+               / (F.col("_delta") * F.col("_delta"))).cast("bigint"))
+    return s3.select(
+        "n_a", "n_b",
+        F.round(F.col("_ma"), 6).alias("mean_a"),
+        F.round(F.col("_mb"), 6).alias("mean_b"),
+        F.round(F.col("_va"), 6).alias("var_a"),
+        F.round(F.col("_vb"), 6).alias("var_b"),
+        F.round(F.col("_se"), 6).alias("se"),
+        F.round(F.col("_mde_abs"), 6).alias("mde_abs"),
+        F.when(F.col("_mb") != 0,
+               F.round(F.lit(100.0) * F.col("_mde_abs")
+                       / F.abs(F.col("_mb")), 6)).alias("mde_rel_pct"),
+        F.lit(round(target_rel_effect * 100.0, 6))
+        .alias("target_rel_effect_pct"),
+        nreq.alias("n_per_arm_required"))
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_col: str,
+    time_col,
+    y_col,
+    group_a: str,
+    group_b: str,
+    tau: float,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) with always-valid
+    p-values — the CONTINUOUS-MONITORING member of the A/B family (Johari,
+    Koomen, Pekelis & Walsh 2017, "Peeking at A/B Tests"): fixed-horizon
+    z/t readouts are only valid at one pre-committed look, while the mSPRT
+    p-value sequence is valid at EVERY look, so dashboards that refresh
+    daily can stop early without inflating false positives.
+
+    Per time bucket t (cumulative over buckets ≤ t), with θ̂ the mean
+    difference, V its squared standard error, and a N(0, τ²) mixing prior:
+
+        log Λ_t = ½·ln( V / (V+τ²) ) + θ̂²·τ² / (2·V·(V+τ²))
+        p_t     = min(1, exp(−max_{s≤t} log Λ_s))   (non-increasing)
+
+    ``tau`` sets the prior scale of detectable effects (a reasonable
+    default is the MDE you designed for — see :func:`power_mde`).
+
+    Scale design: the raw table feeds ONE (bucket)-keyed conditional
+    exact-decimal aggregate (per-arm n/Σy/Σy² per bucket — map-side
+    combined, one shuffle); the cumulative statistics run as plain windows
+    over the BUCKET GRID, which is bounded by the calendar horizon
+    (O(days) rows — the events_anomaly/seasonal family's documented
+    bounded-frame window shape, not a data-scaled one).  log-space Λ
+    avoids exp overflow as evidence accumulates (Λ grows without bound;
+    log Λ does so slowly and p = exp(−runmax) underflows gracefully to 0).
+    NULL contract: buckets before both arms have n ≥ 2 and pooled
+    variance > 0 report NULL log_lambda; the running max skips NULLs, so
+    p stays 1 until evidence exists.  Returns one row per bucket:
+    (bucket, n_a, n_b, theta, log_lambda, p_always_valid,
+    reject_at_05)."""
+    from pyspark.sql.window import Window
+
+    s, s2 = value_scale, value_scale * 2
+    ys = F.col(y_col) if isinstance(y_col, str) else y_col
+    tc = F.col(time_col) if isinstance(time_col, str) else time_col
+    yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & ys.isNotNull()).select(
+        tc.alias("bucket"), in_a.alias("_ia"), yd.alias("_y"))
+
+    def arm(g, tag):
+        return [
+            F.sum(F.when(g, 1).otherwise(0)).cast("bigint")
+            .alias(f"_bn{tag}"),
+            F.sum(F.when(g, F.col("_y"))).cast(f"decimal(38,{s})")
+            .alias(f"_bsy{tag}"),
+            F.sum(F.when(g, (F.col("_y") * F.col("_y"))
+                         .cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_bsyy{tag}"),
+        ]
+
+    daily = base.groupBy("bucket").agg(*arm(F.col("_ia"), "a"),
+                                       *arm(~F.col("_ia"), "b"))
+    # cumulative sufficient statistics over the bounded bucket grid —
+    # decimal sums stay EXACT through the window, split-cast after
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "bucket",
+        F.sum("_bna").over(w).alias("_cna"),
+        F.sum("_bnb").over(w).alias("_cnb"),
+        F.sum("_bsya").over(w).cast(f"decimal(38,{s})").alias("_csya"),
+        F.sum("_bsyb").over(w).cast(f"decimal(38,{s})").alias("_csyb"),
+        F.sum("_bsyya").over(w).cast(f"decimal(38,{s2})").alias("_csyya"),
+        F.sum("_bsyyb").over(w).cast(f"decimal(38,{s2})").alias("_csyyb"))
+    nad = F.col("_cna").cast("double")
+    nbd = F.col("_cnb").cast("double")
+    s1 = cum.select(
+        "bucket", F.col("_cna").alias("n_a"), F.col("_cnb").alias("n_b"),
+        nad.alias("_nad"), nbd.alias("_nbd"),
+        _split_cast(F.col("_csya")).alias("_dsya"),
+        _split_cast(F.col("_csyb")).alias("_dsyb"),
+        _split_cast(F.col("_csyya")).alias("_dsyya"),
+        _split_cast(F.col("_csyyb")).alias("_dsyyb"))
+    nad, nbd = F.col("_nad"), F.col("_nbd")
+    s2_ = s1.select(
+        "bucket", "n_a", "n_b", "_nad", "_nbd",
+        (F.col("_dsya") / nad - F.col("_dsyb") / nbd).alias("_theta"),
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1),
+            (F.greatest(F.col("_dsyya")
+                        - F.col("_dsya") * F.col("_dsya") / nad, F.lit(0.0))
+             + F.greatest(F.col("_dsyyb")
+                          - F.col("_dsyb") * F.col("_dsyb") / nbd,
+                          F.lit(0.0)))
+            / (nad + nbd - F.lit(2.0))).alias("_pvar"))
+    v = F.when(F.col("_pvar") > 0,
+               F.col("_pvar") * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
+    t2 = F.lit(float(tau) * float(tau))
+    s3 = s2_.select(
+        "bucket", "n_a", "n_b", "_theta", v.alias("_v"))
+    vv = F.col("_v")
+    log_lambda = (
+        F.lit(0.5) * F.log(vv / (vv + t2))
+        + F.col("_theta") * F.col("_theta") * t2
+        / (F.lit(2.0) * vv * (vv + t2)))
+    s4 = s3.select("bucket", "n_a", "n_b", "_theta",
+                   log_lambda.alias("_ll"))
+    runmax = F.max("_ll").over(w)  # max-over ignores NULLs in both engines
+    s5 = s4.select(
+        "bucket", "n_a", "n_b", "_theta", "_ll",
+        F.when(runmax.isNotNull(),
+               F.least(F.exp(-F.greatest(runmax, F.lit(0.0))), F.lit(1.0)))
+        .otherwise(F.lit(1.0)).alias("_p"))
+    return s5.select(
+        "bucket", "n_a", "n_b",
+        F.round(F.col("_theta"), 6).alias("theta"),
+        F.round(F.col("_ll"), 6).alias("log_lambda"),
+        F.round(F.col("_p"), 9).alias("p_always_valid"),
+        (F.col("_p") < 0.05).alias("reject_at_05"))
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str = "p_value",
@@ -5435,6 +5686,38 @@ TableDiffInDiff = _simple_module(
         "conditional scan (parallel-trends is the caller's assumption).",
 )
 
+TablePowerMde = _simple_module(
+    "table.stats.power_mde",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": power_mde(
+        im["table"].data, self.config["group_column"],
+        self.config["y_column"],
+        self.config["group_a"], self.config["group_b"],
+        alpha=self.config.get("alpha", 0.05),
+        power=self.config.get("power", 0.80),
+        target_rel_effect=self.config.get("target_rel_effect", 0.10),
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Experiment power/MDE planning: minimum detectable effect at the "
+        "current sample + required per-arm n for a target relative lift, "
+        "from one exact-decimal conditional scan (literal z quantiles).",
+)
+
+TableMsprt = _simple_module(
+    "table.stats.msprt",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": msprt_always_valid(
+        im["table"].data, self.config["group_column"],
+        self.config["time_column"], self.config["y_column"],
+        self.config["group_a"], self.config["group_b"],
+        tau=self.config["tau"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Mixture SPRT always-valid p-value sequence (Johari et al. 2017) "
+        "for continuously-monitored A/B tests: per-bucket cumulative "
+        "log-likelihood ratio + non-increasing p, safe at every look.",
+)
+
 TableSrmCheck = _simple_module(
     "table.stats.srm_check",
     {"table": TABLE},
@@ -5473,11 +5756,17 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
-            TableCochransQ, TableBartlett]
+            TableCochransQ, TableBartlett, TablePowerMde, TableMsprt]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
               doc="sample-ratio-mismatch chi2 gate for A/B assignments"),
+    Operation("table.stats.power_mde", "table.stats.power_mde",
+              doc="experiment power / minimum-detectable-effect planning "
+                  "(MDE at current n, required n for a target lift)"),
+    Operation("table.stats.msprt", "table.stats.msprt",
+              doc="mixture SPRT always-valid p-value sequence for "
+                  "continuously-monitored experiments"),
     Operation("table.stats.mood_median", "table.stats.mood_median",
               doc="Mood's median test (pooled-median 2xk chi2)"),
     Operation("table.stats.mcnemar", "table.stats.mcnemar",

@@ -16682,6 +16682,207 @@ def stats_did_segments_events_q(spark, sf_dir):
                         segment_col="seg")
 
 
+# z_{1-.05/2} + z_{.80} as ONE python-float literal, shared verbatim with
+# the Spark plan (operators/quality.py _Z_TWO_SIDED/_Z_POWER at the same
+# keys) so both engines multiply by the identical double
+_ZSUM_05_80 = repr(1.9599639845400545 + 0.8416212335729143)
+
+
+@query(
+    "stats_power_mde_events",
+    f"""
+    WITH units AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS grp,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, user_id
+    ), u2 AS (
+      SELECT grp, CAST(ROUND(y, 2) AS DECIMAL(19,2)) AS yd
+      FROM units WHERE y IS NOT NULL
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+          AS na,
+        CAST(SUM(CASE WHEN grp = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nb,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN yd END) AS DECIMAL(38,2))
+          AS sya,
+        CAST(SUM(CASE WHEN grp = 'control' THEN yd END) AS DECIMAL(38,2))
+          AS syb,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS syya,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS syyb
+      FROM u2
+    ), d AS (
+      SELECT na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             {{_sc_sya}} AS dsya, {{_sc_syb}} AS dsyb,
+             {{_sc_syya}} AS dsyya, {{_sc_syyb}} AS dsyyb
+      FROM agg
+    ), m AS (
+      SELECT *,
+             dsya / nad AS ma, dsyb / nbd AS mb,
+             CASE WHEN na > 1 THEN
+               GREATEST(dsyya - dsya * dsya / nad, 0.0) / (nad - 1.0)
+               END AS va,
+             CASE WHEN nb > 1 THEN
+               GREATEST(dsyyb - dsyb * dsyb / nbd, 0.0) / (nbd - 1.0)
+               END AS vb
+      FROM d
+    ), sfin AS (
+      SELECT *,
+             SQRT(va / nad + vb / nbd) AS sev,
+             {_ZSUM_05_80} * SQRT(va / nad + vb / nbd) AS mdea,
+             CASE WHEN mb <> 0 THEN 0.1 * ABS(mb) END AS delta
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+           ROUND(sev, 6) AS se,
+           ROUND(mdea, 6) AS mde_abs,
+           CASE WHEN mb <> 0
+                THEN ROUND(100.0 * mdea / ABS(mb), 6) END AS mde_rel_pct,
+           CAST(10.0 AS DOUBLE) AS target_rel_effect_pct,
+           CASE WHEN delta IS NOT NULL AND va IS NOT NULL
+                     AND vb IS NOT NULL
+                THEN CAST(CEIL({_ZSUM_05_80} * {_ZSUM_05_80} * (va + vb)
+                          / (delta * delta)) AS BIGINT)
+                END AS n_per_arm_required
+    FROM sfin
+    """.replace("{_sc_sya}", _sc("sya")).replace("{_sc_syb}", _sc("syb"))
+       .replace("{_sc_syya}", _sc("syya")).replace("{_sc_syyb}", _sc("syyb")),
+)
+def stats_power_mde_events_q(spark, sf_dir):
+    """Experiment power / MDE planning (`table.stats.power_mde`, Kohavi et
+    al. design formulas) on the events fixture: per-user value sums as
+    units, arms by user_id parity — the minimum detectable effect at the
+    current sample and the per-arm n required for a 10% lift over the
+    control mean at (α=0.05, power=0.80).  ONE conditional exact-decimal
+    aggregate; literal z quantiles shared with the SQL twin; only
+    +,*,/ and IEEE-exact sqrt downstream, so even CEIL(n_required) is
+    bit-identical across engines."""
+    from .operators.quality import power_mde
+
+    ev = _t(spark, sf_dir, "events")
+    units = (
+        ev.groupBy(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treat")).alias("grp"),
+            F.col("user_id"))
+        .agg(F.sum(F.col("value").cast("decimal(38,10)"))
+             .cast("double").alias("y")))
+    return power_mde(units, "grp", "y", "treat", "control",
+                     alpha=0.05, power=0.80, target_rel_effect=0.10)
+
+
+_MSPRT_T2 = repr(2.0 * 2.0)  # tau^2 literal shared with the Spark plan
+
+
+@query(
+    "stats_msprt_events",
+    f"""
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS grp,
+             CAST(ts AS DATE) AS bucket,
+             CAST(ROUND(CAST(value AS DOUBLE), 2) AS DECIMAL(19,2)) AS yd
+      FROM events WHERE value IS NOT NULL
+    ), daily AS (
+      SELECT bucket,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+          AS bna,
+        CAST(SUM(CASE WHEN grp = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS bnb,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN yd END) AS DECIMAL(38,2))
+          AS bsya,
+        CAST(SUM(CASE WHEN grp = 'control' THEN yd END) AS DECIMAL(38,2))
+          AS bsyb,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS bsyya,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS bsyyb
+      FROM obs GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+        CAST(SUM(bna) OVER w AS BIGINT) AS cna,
+        CAST(SUM(bnb) OVER w AS BIGINT) AS cnb,
+        CAST(SUM(bsya) OVER w AS DECIMAL(38,2)) AS csya,
+        CAST(SUM(bsyb) OVER w AS DECIMAL(38,2)) AS csyb,
+        CAST(SUM(bsyya) OVER w AS DECIMAL(38,4)) AS csyya,
+        CAST(SUM(bsyyb) OVER w AS DECIMAL(38,4)) AS csyyb
+      FROM daily
+      WINDOW w AS (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT bucket, cna AS n_a, cnb AS n_b,
+             CAST(cna AS DOUBLE) AS nad, CAST(cnb AS DOUBLE) AS nbd,
+             {{_sc_csya}} AS dsya, {{_sc_csyb}} AS dsyb,
+             {{_sc_csyya}} AS dsyya, {{_sc_csyyb}} AS dsyyb
+      FROM cum
+    ), m AS (
+      SELECT *,
+             dsya / nad - dsyb / nbd AS theta,
+             CASE WHEN n_a > 1 AND n_b > 1 THEN
+               (GREATEST(dsyya - dsya * dsya / nad, 0.0)
+                + GREATEST(dsyyb - dsyb * dsyb / nbd, 0.0))
+               / (nad + nbd - 2.0) END AS pvar
+      FROM d
+    ), v AS (
+      SELECT *, CASE WHEN pvar > 0
+                     THEN pvar * (1.0 / nad + 1.0 / nbd) END AS vv
+      FROM m
+    ), l AS (
+      SELECT *,
+             0.5 * LN(vv / (vv + {_MSPRT_T2}))
+             + theta * theta * {_MSPRT_T2}
+               / (2.0 * vv * (vv + {_MSPRT_T2})) AS ll
+      FROM v
+    ), r AS (
+      SELECT *, MAX(ll) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS rm
+      FROM l
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND(theta, 6) AS theta,
+           ROUND(ll, 6) AS log_lambda,
+           ROUND(CASE WHEN rm IS NOT NULL
+                 THEN LEAST(EXP(-GREATEST(rm, 0.0)), 1.0)
+                 ELSE 1.0 END, 9) AS p_always_valid,
+           (CASE WHEN rm IS NOT NULL
+                 THEN LEAST(EXP(-GREATEST(rm, 0.0)), 1.0)
+                 ELSE 1.0 END) < 0.05 AS reject_at_05
+    FROM r
+    """.replace("{_sc_csya}", _sc("csya")).replace("{_sc_csyb}", _sc("csyb"))
+       .replace("{_sc_csyya}", _sc("csyya"))
+       .replace("{_sc_csyyb}", _sc("csyyb")),
+)
+def stats_msprt_events_q(spark, sf_dir):
+    """Always-valid sequential A/B monitoring (`table.stats.msprt`, Johari
+    et al. 2017 "Peeking at A/B Tests") on the events fixture: per-day
+    cumulative mixture-SPRT log-likelihood ratio and the non-increasing
+    always-valid p-value for the raw-value arm difference (arms by user_id
+    parity, τ=2 — the effect scale power_mde reports as detectable).  The
+    raw table feeds ONE day-keyed conditional exact-decimal aggregate;
+    cumulatives are plain windows over the calendar-bounded day grid
+    (O(days) rows, the documented bounded-frame shape)."""
+    from .operators.quality import msprt_always_valid
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treat")).alias("grp"),
+        F.to_date("ts").alias("day"),
+        F.col("value"))
+    return msprt_always_valid(obs, "grp", "day", "value",
+                              "treat", "control", tau=2.0)
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now

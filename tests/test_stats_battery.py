@@ -1895,3 +1895,191 @@ def test_did_segments_independent_per_segment(spark):
         assert combined.did == solo.did
         assert combined.z == solo.z and combined.p_value == solo.p_value
     assert seg_rows["a"].did == 3.0 and seg_rows["b"].did == 7.5
+
+
+# ---------------------------------------------------------------------------
+# power / MDE planning (table.stats.power_mde, r12)
+# ---------------------------------------------------------------------------
+
+def _power_frame(spark, rows):
+    return spark.createDataFrame(rows, "variant string, y double")
+
+
+def test_power_mde_textbook(spark):
+    """Known means/variances: every output matches the hand formula
+    (z literals from the operator's own table; only +,*,/,sqrt so the
+    comparison is exact to double rounding)."""
+    import math
+
+    from kiara_spark.operators.quality import (
+        _Z_POWER, _Z_TWO_SIDED, power_mde)
+
+    a = [10.0, 12.0, 14.0, 16.0, 18.0]
+    b = [20.0, 22.0, 24.0, 26.0, 28.0]
+    rows = [("treat", v) for v in a] + [("control", v) for v in b]
+    r = power_mde(_power_frame(spark, rows), "variant", "y",
+                  "treat", "control").collect()[0]
+    va = vb = 10.0  # sample variance of both arithmetic sequences
+    zsum = _Z_TWO_SIDED[0.05] + _Z_POWER[0.80]
+    se = math.sqrt(va / 5 + vb / 5)
+    assert r.n_a == 5 and r.n_b == 5
+    assert r.mean_a == pytest.approx(14.0, abs=1e-9)
+    assert r.mean_b == pytest.approx(24.0, abs=1e-9)
+    assert r.var_a == pytest.approx(va, abs=1e-6)
+    assert r.var_b == pytest.approx(vb, abs=1e-6)
+    assert r.se == pytest.approx(se, abs=1e-6)
+    assert r.mde_abs == pytest.approx(zsum * se, abs=1e-6)
+    assert r.mde_rel_pct == pytest.approx(100 * zsum * se / 24.0, abs=1e-4)
+    delta = 0.10 * 24.0
+    assert r.n_per_arm_required == math.ceil(
+        zsum * zsum * (va + vb) / (delta * delta))
+
+
+def test_power_mde_null_contracts(spark):
+    """n=1 arms -> variance terms NULL; zero control mean -> relative
+    outputs NULL; unsupported alpha/power raise at call time."""
+    from kiara_spark.operators.quality import power_mde
+
+    r = power_mde(_power_frame(spark, [("a", 3.0), ("b", 5.0)]),
+                  "variant", "y", "a", "b").collect()[0]
+    assert r.var_a is None and r.se is None and r.mde_abs is None
+    assert r.n_per_arm_required is None
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", -1.0), ("b", 1.0)]
+    r2 = power_mde(_power_frame(spark, rows), "variant", "y",
+                   "a", "b").collect()[0]
+    assert r2.mean_b == pytest.approx(0.0)
+    assert r2.mde_rel_pct is None and r2.n_per_arm_required is None
+    assert r2.mde_abs is not None  # absolute MDE needs no control mean
+
+    with pytest.raises(ValueError):
+        power_mde(_power_frame(spark, rows), "variant", "y", "a", "b",
+                  alpha=0.042)
+    with pytest.raises(ValueError):
+        power_mde(_power_frame(spark, rows), "variant", "y", "a", "b",
+                  power=0.85)
+
+
+def test_power_mde_shrinks_with_sample_size(spark):
+    """4x the sample -> MDE halves, up to the sample-variance denominator
+    ((n-1) -> (4n-1) under duplication: exact factor sqrt(4(n-1)/(4n-1))),
+    while the required n for a fixed target only moves by that same
+    variance shrink (never up)."""
+    import math
+
+    from kiara_spark.operators.quality import power_mde
+
+    base = [float(v) for v in range(1, 9)]
+    rows1 = ([("a", v) for v in base] + [("b", v + 1) for v in base])
+    rows4 = rows1 * 4  # same units, 4x n
+    r1 = power_mde(_power_frame(spark, rows1), "variant", "y",
+                   "a", "b").collect()[0]
+    r4 = power_mde(_power_frame(spark, rows4), "variant", "y",
+                   "a", "b").collect()[0]
+    n = len(base)
+    shrink = math.sqrt(4 * (n - 1) / (4 * n - 1))
+    assert r4.mde_abs == pytest.approx(r1.mde_abs / 2.0 * shrink, rel=1e-3)
+    assert r1.n_per_arm_required >= r4.n_per_arm_required
+    assert r4.n_per_arm_required >= int(r1.n_per_arm_required
+                                        * shrink * shrink) - 1
+
+
+def test_power_mde_operation_minted(ctx, spark):
+    rows = ([("a", float(v)) for v in range(1, 8)]
+            + [("b", float(v) + 3) for v in range(1, 8)])
+    df = spark.createDataFrame(rows, "g string, y double")
+    out = ctx.run_job("table.stats.power_mde", {"table": df},
+                      operation_config={"group_column": "g",
+                                        "y_column": "y",
+                                        "group_a": "a", "group_b": "b"})
+    row = out["table"].data.collect()[0]
+    assert row.n_a == 7 and row.n_b == 7
+    assert row.mde_abs is not None and row.n_per_arm_required > 0
+
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid sequential monitoring (table.stats.msprt, r12)
+# ---------------------------------------------------------------------------
+
+def _msprt_frame(spark, rows):
+    return spark.createDataFrame(rows, "variant string, t int, y double")
+
+
+def test_msprt_null_effect_p_stays_one(spark):
+    """Identical arms: theta = 0 every bucket, log-lambda is the pure
+    mixture penalty (negative), so max(runmax, 0) = 0 and p = 1 at every
+    look — a null experiment is never rejected no matter how often you
+    peek."""
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    rows = []
+    for t in range(1, 6):
+        for v in (1.0, 3.0, 5.0):
+            rows += [("a", t, v), ("b", t, v)]
+    out = msprt_always_valid(_msprt_frame(spark, rows), "variant", "t",
+                             "y", "a", "b", tau=2.0)
+    got = sorted(out.collect(), key=lambda r: r.bucket)
+    assert len(got) == 5
+    for r in got:
+        assert r.theta == pytest.approx(0.0, abs=1e-9)
+        assert r.log_lambda is not None and r.log_lambda < 0
+        assert r.p_always_valid == pytest.approx(1.0)
+        assert r.reject_at_05 is False
+
+
+def test_msprt_strong_effect_hand_computed(spark):
+    """One bucket with hand-computable moments: log Λ matches the closed
+    form and the huge effect rejects immediately."""
+    import math
+
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    rows = ([("a", 1, v) for v in (1.0, 2.0, 3.0)]
+            + [("b", 1, v) for v in (10.0, 11.0, 12.0)])
+    r = msprt_always_valid(_msprt_frame(spark, rows), "variant", "t",
+                           "y", "a", "b", tau=2.0).collect()[0]
+    theta = 2.0 - 11.0
+    pvar = (2.0 + 2.0) / 4.0        # pooled: ss=2 each arm, n-2=4
+    v = pvar * (1 / 3 + 1 / 3)
+    t2 = 4.0
+    ll = 0.5 * math.log(v / (v + t2)) + theta**2 * t2 / (2 * v * (v + t2))
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.theta == pytest.approx(theta, abs=1e-6)
+    assert r.log_lambda == pytest.approx(ll, abs=1e-4)
+    assert r.p_always_valid == pytest.approx(math.exp(-ll), abs=1e-9)
+    assert r.reject_at_05 is True
+
+
+def test_msprt_p_non_increasing_and_insufficient_data(spark):
+    """The always-valid guarantee is structural: p is non-increasing in t.
+    Buckets before both arms have n >= 2 report NULL log-lambda and p=1."""
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    rows = [("a", 1, 5.0)]  # bucket 1: one arm only -> insufficient
+    for t in range(2, 8):
+        for i in range(4):
+            rows += [("a", t, 10.0 + i), ("b", t, 13.0 + i)]
+    out = msprt_always_valid(_msprt_frame(spark, rows), "variant", "t",
+                             "y", "a", "b", tau=1.0)
+    got = sorted(out.collect(), key=lambda r: r.bucket)
+    assert got[0].log_lambda is None
+    assert got[0].p_always_valid == pytest.approx(1.0)
+    ps = [r.p_always_valid for r in got]
+    assert all(ps[i + 1] <= ps[i] + 1e-12 for i in range(len(ps) - 1))
+    # a constant 3-unit shift accumulates evidence: the last look rejects
+    assert got[-1].reject_at_05 is True
+
+
+def test_msprt_operation_minted(ctx, spark):
+    rows = ([("a", t, 1.0 + t) for t in range(1, 5) for _ in range(3)]
+            + [("b", t, 6.0 + t) for t in range(1, 5) for _ in range(3)])
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = ctx.run_job("table.stats.msprt", {"table": df},
+                      operation_config={"group_column": "g",
+                                        "time_column": "t",
+                                        "y_column": "y",
+                                        "group_a": "a", "group_b": "b",
+                                        "tau": 2.0})
+    got = out["table"].data.collect()
+    assert len(got) == 4
+    assert all(r.p_always_valid is not None for r in got)

@@ -169,6 +169,11 @@ PROBE_QUERIES = [
     # set is sum-of-squared-degrees — so these track their exact
     # siblings' growth, not the sketch's constant state)
     "scalar_map_battery",
+    # round 12: power/MDE is one conditional aggregate (the CUPED shape);
+    # mSPRT is one day-keyed aggregate + O(days) bounded-grid windows —
+    # both must stay flat-linear at 10x
+    "stats_power_mde_events",
+    "stats_msprt_events",
     "events_sliding_distinct_users_approx",
     "graph_2hop_neighbors_approx",
     "events_hll_daily_rollup",
