@@ -369,9 +369,10 @@ BENCH_QUERIES = [
     "stats_diff_in_diff_events",
     "stats_did_segments_events",
     # round 12: experiment power/MDE planning + mSPRT always-valid
-    # sequential monitoring
+    # sequential monitoring + delta-method ratio metrics
     "stats_power_mde_events",
     "stats_msprt_events",
+    "stats_ratio_metric_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",

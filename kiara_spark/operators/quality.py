@@ -4809,6 +4809,138 @@ def msprt_always_valid(
         (F.col("_p") < 0.05).alias("reject_at_05"))
 
 
+def ratio_metric_delta(
+    df: DataFrame,
+    group_col: str,
+    num_col,
+    den_col,
+    group_a: str,
+    group_b: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Ratio-metric A/B inference via the delta method (Deng, Knoblich &
+    Lu 2018, "Applying the Delta Method in Metric Analytics") — the
+    missing-by-default tool for metrics that are RATIOS OF SUMS over a
+    randomization unit (revenue per session, clicks per view: the unit is
+    the user, the metric is Σx_i/Σy_i, and a naive t-test on per-user
+    ratios answers a different question while a row-level test ignores
+    within-user correlation).  Per arm, with X̄,Ȳ the per-unit means:
+
+        R = X̄/Ȳ,   var(R) ≈ (1/(n·Ȳ²))·( s²_x − 2R·s_xy + R²·s²_y )
+
+    then z = (R_a − R_b)/sqrt(var_a + var_b) with the A&S-erfc p.
+
+    NULL contract: an arm needs n ≥ 2 and Ȳ ≠ 0, and the variance sum
+    must be > 0, else ratio/z/p are NULL (reported counts remain).
+
+    Scale design: ONE conditional exact-decimal aggregate over the unit
+    frame (n, Σx, Σy, Σx², Σy², Σxy per arm — the CUPED/DiD CCC recipe:
+    ``value_scale``-dp decimal values, exact double-scale decimal
+    products, :func:`_split_cast` to double), then staged fixed-order
+    double selects (the Janino discipline).  Returns one row: (n_a, n_b,
+    ratio_a, ratio_b, diff, se, z, p_value)."""
+    s, s2 = value_scale, value_scale * 2
+    xs = F.col(num_col) if isinstance(num_col, str) else num_col
+    ys = F.col(den_col) if isinstance(den_col, str) else den_col
+    xd = F.round(xs.cast("double"), s).cast(f"decimal(18,{s})")
+    yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & xs.isNotNull() & ys.isNotNull())
+
+    def arm(g, tag):
+        return [
+            F.sum(F.when(g, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(g, xd)).cast(f"decimal(38,{s})")
+            .alias(f"_sx{tag}"),
+            F.sum(F.when(g, yd)).cast(f"decimal(38,{s})")
+            .alias(f"_sy{tag}"),
+            F.sum(F.when(g, (xd * xd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_sxx{tag}"),
+            F.sum(F.when(g, (yd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_syy{tag}"),
+            F.sum(F.when(g, (xd * yd).cast(f"decimal(38,{s2})")))
+            .cast(f"decimal(38,{s2})").alias(f"_sxy{tag}"),
+        ]
+
+    agg = base.agg(*arm(in_a, "a"), *arm(in_b, "b"))
+    s1 = agg.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.col("_na").cast("double").alias("_nad"),
+        F.col("_nb").cast("double").alias("_nbd"),
+        _split_cast(F.col("_sxa")).alias("_dsxa"),
+        _split_cast(F.col("_sya")).alias("_dsya"),
+        _split_cast(F.col("_sxxa")).alias("_dsxxa"),
+        _split_cast(F.col("_syya")).alias("_dsyya"),
+        _split_cast(F.col("_sxya")).alias("_dsxya"),
+        _split_cast(F.col("_sxb")).alias("_dsxb"),
+        _split_cast(F.col("_syb")).alias("_dsyb"),
+        _split_cast(F.col("_sxxb")).alias("_dsxxb"),
+        _split_cast(F.col("_syyb")).alias("_dsyyb"),
+        _split_cast(F.col("_sxyb")).alias("_dsxyb"))
+
+    nad, nbd = F.col("_nad"), F.col("_nbd")
+    s2_ = s1.select(
+        "n_a", "n_b", "_nad", "_nbd",
+        (F.col("_dsxa") / nad).alias("_mxa"),
+        (F.col("_dsya") / nad).alias("_mya"),
+        (F.col("_dsxb") / nbd).alias("_mxb"),
+        (F.col("_dsyb") / nbd).alias("_myb"),
+        F.when(F.col("n_a") > 1, F.greatest(
+            F.col("_dsxxa") - F.col("_dsxa") * F.col("_dsxa") / nad,
+            F.lit(0.0)) / (nad - F.lit(1.0))).alias("_vxa"),
+        F.when(F.col("n_a") > 1, F.greatest(
+            F.col("_dsyya") - F.col("_dsya") * F.col("_dsya") / nad,
+            F.lit(0.0)) / (nad - F.lit(1.0))).alias("_vya"),
+        F.when(F.col("n_a") > 1,
+               (F.col("_dsxya") - F.col("_dsxa") * F.col("_dsya") / nad)
+               / (nad - F.lit(1.0))).alias("_cva"),
+        F.when(F.col("n_b") > 1, F.greatest(
+            F.col("_dsxxb") - F.col("_dsxb") * F.col("_dsxb") / nbd,
+            F.lit(0.0)) / (nbd - F.lit(1.0))).alias("_vxb"),
+        F.when(F.col("n_b") > 1, F.greatest(
+            F.col("_dsyyb") - F.col("_dsyb") * F.col("_dsyb") / nbd,
+            F.lit(0.0)) / (nbd - F.lit(1.0))).alias("_vyb"),
+        F.when(F.col("n_b") > 1,
+               (F.col("_dsxyb") - F.col("_dsxb") * F.col("_dsyb") / nbd)
+               / (nbd - F.lit(1.0))).alias("_cvb"))
+    ra = F.when(F.col("_mya") != 0, F.col("_mxa") / F.col("_mya"))
+    rb = F.when(F.col("_myb") != 0, F.col("_mxb") / F.col("_myb"))
+    s3 = s2_.select(
+        "n_a", "n_b", "_nad", "_nbd",
+        "_vxa", "_vya", "_cva", "_vxb", "_vyb", "_cvb",
+        "_mya", "_myb", ra.alias("_ra"), rb.alias("_rb"))
+    var_a = (
+        (F.col("_vxa") - F.lit(2.0) * F.col("_ra") * F.col("_cva")
+         + F.col("_ra") * F.col("_ra") * F.col("_vya"))
+        / (F.col("_nad") * F.col("_mya") * F.col("_mya")))
+    var_b = (
+        (F.col("_vxb") - F.lit(2.0) * F.col("_rb") * F.col("_cvb")
+         + F.col("_rb") * F.col("_rb") * F.col("_vyb"))
+        / (F.col("_nbd") * F.col("_myb") * F.col("_myb")))
+    s4 = s3.select(
+        "n_a", "n_b", "_ra", "_rb",
+        (F.col("_ra") - F.col("_rb")).alias("_diff"),
+        F.when(var_a + var_b > 0,
+               F.sqrt(var_a + var_b)).alias("_se"))
+    z = F.when(F.col("_se").isNotNull(), F.col("_diff") / F.col("_se"))
+    s5 = s4.select("n_a", "n_b", "_ra", "_rb", "_diff", "_se",
+                   z.alias("_z"))
+    zc = F.col("_z")
+    p = F.when(zc.isNotNull(),
+               F.round(F.least(_erfc_as(F.abs(zc) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    return s5.select(
+        "n_a", "n_b",
+        F.round(F.col("_ra"), 6).alias("ratio_a"),
+        F.round(F.col("_rb"), 6).alias("ratio_b"),
+        F.round(F.col("_diff"), 6).alias("diff"),
+        F.round(F.col("_se"), 6).alias("se"),
+        F.round(zc, 6).alias("z"),
+        F.round(p, 6).alias("p_value"))
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str = "p_value",
@@ -5686,6 +5818,20 @@ TableDiffInDiff = _simple_module(
         "conditional scan (parallel-trends is the caller's assumption).",
 )
 
+TableRatioMetricDelta = _simple_module(
+    "table.stats.ratio_metric_delta",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": ratio_metric_delta(
+        im["table"].data, self.config["group_column"],
+        self.config["num_column"], self.config["den_column"],
+        self.config["group_a"], self.config["group_b"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Ratio-of-sums metric A/B test with delta-method variance (Deng "
+        "et al. 2018): per-arm ratio, SE, z and erfc p from one "
+        "exact-decimal conditional scan over the randomization units.",
+)
+
 TablePowerMde = _simple_module(
     "table.stats.power_mde",
     {"table": TABLE},
@@ -5756,7 +5902,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableCcc, TableYuenTtest,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
-            TableCochransQ, TableBartlett, TablePowerMde, TableMsprt]
+            TableCochransQ, TableBartlett, TablePowerMde, TableMsprt,
+            TableRatioMetricDelta]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -5767,6 +5914,10 @@ OPERATIONS = [
     Operation("table.stats.msprt", "table.stats.msprt",
               doc="mixture SPRT always-valid p-value sequence for "
                   "continuously-monitored experiments"),
+    Operation("table.stats.ratio_metric_delta",
+              "table.stats.ratio_metric_delta",
+              doc="delta-method A/B test for ratio-of-sums metrics "
+                  "(revenue/session-class, Deng et al. 2018)"),
     Operation("table.stats.mood_median", "table.stats.mood_median",
               doc="Mood's median test (pooled-median 2xk chi2)"),
     Operation("table.stats.mcnemar", "table.stats.mcnemar",

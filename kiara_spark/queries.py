@@ -16779,6 +16779,146 @@ def stats_power_mde_events_q(spark, sf_dir):
                      alpha=0.05, power=0.80, target_rel_effect=0.10)
 
 
+@query(
+    "stats_ratio_metric_events",
+    f"""
+    WITH units AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS grp,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(38,10))
+                  ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN 1 ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY 1, user_id
+    ), u2 AS (
+      SELECT grp, CAST(ROUND(x, 2) AS DECIMAL(19,2)) AS xd,
+             CAST(ROUND(y, 2) AS DECIMAL(19,2)) AS yd
+      FROM units WHERE x IS NOT NULL AND y IS NOT NULL
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+          AS na,
+        CAST(SUM(CASE WHEN grp = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nb,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN xd END) AS DECIMAL(38,2))
+          AS sxa,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN yd END) AS DECIMAL(38,2))
+          AS sya,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(xd * xd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS sxxa,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS syya,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(xd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS sxya,
+        CAST(SUM(CASE WHEN grp = 'control' THEN xd END) AS DECIMAL(38,2))
+          AS sxb,
+        CAST(SUM(CASE WHEN grp = 'control' THEN yd END) AS DECIMAL(38,2))
+          AS syb,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(xd * xd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS sxxb,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS syyb,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(xd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS sxyb
+      FROM u2
+    ), d AS (
+      SELECT na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             {{sc_sxa}} AS dsxa, {{sc_sya}} AS dsya,
+             {{sc_sxxa}} AS dsxxa, {{sc_syya}} AS dsyya,
+             {{sc_sxya}} AS dsxya,
+             {{sc_sxb}} AS dsxb, {{sc_syb}} AS dsyb,
+             {{sc_sxxb}} AS dsxxb, {{sc_syyb}} AS dsyyb,
+             {{sc_sxyb}} AS dsxyb
+      FROM agg
+    ), m AS (
+      SELECT na, nb, nad, nbd,
+             dsxa / nad AS mxa, dsya / nad AS mya,
+             dsxb / nbd AS mxb, dsyb / nbd AS myb,
+             CASE WHEN na > 1 THEN GREATEST(dsxxa - dsxa * dsxa / nad, 0.0)
+                  / (nad - 1.0) END AS vxa,
+             CASE WHEN na > 1 THEN GREATEST(dsyya - dsya * dsya / nad, 0.0)
+                  / (nad - 1.0) END AS vya,
+             CASE WHEN na > 1 THEN (dsxya - dsxa * dsya / nad)
+                  / (nad - 1.0) END AS cva,
+             CASE WHEN nb > 1 THEN GREATEST(dsxxb - dsxb * dsxb / nbd, 0.0)
+                  / (nbd - 1.0) END AS vxb,
+             CASE WHEN nb > 1 THEN GREATEST(dsyyb - dsyb * dsyb / nbd, 0.0)
+                  / (nbd - 1.0) END AS vyb,
+             CASE WHEN nb > 1 THEN (dsxyb - dsxb * dsyb / nbd)
+                  / (nbd - 1.0) END AS cvb
+      FROM d
+    ), rr AS (
+      SELECT *,
+             CASE WHEN mya <> 0 THEN mxa / mya END AS ra,
+             CASE WHEN myb <> 0 THEN mxb / myb END AS rb
+      FROM m
+    ), vv AS (
+      SELECT *,
+             (vxa - 2.0 * ra * cva + ra * ra * vya)
+               / (nad * mya * mya) AS va,
+             (vxb - 2.0 * rb * cvb + rb * rb * vyb)
+               / (nbd * myb * myb) AS vb
+      FROM rr
+    ), sfin AS (
+      SELECT *, ra - rb AS diffv,
+             CASE WHEN va + vb > 0 THEN SQRT(va + vb) END AS sev
+      FROM vv
+    ), zf AS (
+      SELECT *, CASE WHEN sev IS NOT NULL THEN diffv / sev END AS zv
+      FROM sfin
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ra, 6) AS ratio_a, ROUND(rb, 6) AS ratio_b,
+           ROUND(diffv, 6) AS diff, ROUND(sev, 6) AS se,
+           ROUND(zv, 6) AS z,
+           ROUND(CASE WHEN zv IS NOT NULL THEN
+                 ROUND(LEAST({_erfc_sql("ABS(zv) / SQRT(2.0)")}, 1.0), 9)
+                 END, 6) AS p_value
+    FROM zf
+    """.replace("{sc_sxa}", _sc("sxa")).replace("{sc_sya}", _sc("sya"))
+       .replace("{sc_sxxa}", _sc("sxxa")).replace("{sc_syya}", _sc("syya"))
+       .replace("{sc_sxya}", _sc("sxya"))
+       .replace("{sc_sxb}", _sc("sxb")).replace("{sc_syb}", _sc("syb"))
+       .replace("{sc_sxxb}", _sc("sxxb")).replace("{sc_syyb}", _sc("syyb"))
+       .replace("{sc_sxyb}", _sc("sxyb")),
+)
+def stats_ratio_metric_events_q(spark, sf_dir):
+    """Ratio-of-sums metric A/B test (`table.stats.ratio_metric_delta`,
+    Deng et al. 2018 delta method) on the events fixture: purchase value
+    per view (numerator = per-user purchase value, denominator = per-user
+    view count, randomization unit = user, arms by parity).  Unit-level
+    t-tests answer the wrong question for ratio metrics and row-level
+    tests ignore within-user correlation; the delta method is the
+    industry-standard fix.  One grouped scan builds the unit frame; ONE
+    conditional exact-decimal aggregate yields all 12 moments; staged
+    fixed-order selects assemble ratio/SE/z/erfc-p bit-identically to the
+    SQL twin."""
+    from .operators.quality import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    units = (
+        ev.groupBy(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treat")).alias("grp"),
+            F.col("user_id"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.col("value").cast("decimal(38,10)"))
+                  .otherwise(F.lit(0).cast("decimal(38,10)")))
+            .cast("double").alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("double").alias("y")))
+    return ratio_metric_delta(units, "grp", "x", "y", "treat", "control")
+
+
 _MSPRT_T2 = repr(2.0 * 2.0)  # tau^2 literal shared with the Spark plan
 
 

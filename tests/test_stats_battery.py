@@ -2083,3 +2083,86 @@ def test_msprt_operation_minted(ctx, spark):
     got = out["table"].data.collect()
     assert len(got) == 4
     assert all(r.p_always_valid is not None for r in got)
+
+
+# ---------------------------------------------------------------------------
+# delta-method ratio-metric test (table.stats.ratio_metric_delta, r12)
+# ---------------------------------------------------------------------------
+
+def _ratio_frame(spark, rows):
+    return spark.createDataFrame(rows, "variant string, x double, y double")
+
+
+def test_ratio_metric_textbook_hand_computed(spark):
+    """Hand-computable moments: ratio, delta-method variance, z and the
+    direction all match the closed form."""
+    import math
+
+    a = [(2.0, 1.0), (4.0, 2.0), (6.0, 3.0)]      # perfect ratio 2
+    b = [(1.0, 1.0), (3.0, 2.0), (2.0, 3.0)]      # ratio 6/6 = 1
+    rows = ([("t", x, y) for x, y in a] + [("c", x, y) for x, y in b])
+    from kiara_spark.operators.quality import ratio_metric_delta
+
+    r = ratio_metric_delta(_ratio_frame(spark, rows), "variant",
+                           "x", "y", "t", "c").collect()[0]
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.ratio_a == pytest.approx(2.0, abs=1e-9)
+    assert r.ratio_b == pytest.approx(1.0, abs=1e-9)
+    assert r.diff == pytest.approx(1.0, abs=1e-9)
+    # arm a is an exact ratio: vx - 2R cov + R^2 vy = 4 - 2*2*2 + 4*1 = 0,
+    # so ALL the SE comes from arm b's delta variance
+    vxb, vyb, cvb = 1.0, 1.0, 0.5   # sample moments of b
+    rb, myb, nb = 1.0, 2.0, 3.0
+    vb = (vxb - 2 * rb * cvb + rb * rb * vyb) / (nb * myb * myb)
+    assert r.se == pytest.approx(math.sqrt(vb), abs=1e-6)
+    assert r.z == pytest.approx(1.0 / math.sqrt(vb), abs=1e-4)
+    assert r.p_value is not None and 0.0 <= r.p_value <= 1.0
+
+
+def test_ratio_metric_null_contracts(spark):
+    """n=1 arms -> variance terms NULL -> se/z/p NULL; zero denominator
+    mean -> that arm's ratio NULL and everything downstream NULL."""
+    from kiara_spark.operators.quality import ratio_metric_delta
+
+    r = ratio_metric_delta(
+        _ratio_frame(spark, [("t", 2.0, 1.0), ("c", 3.0, 1.0)]),
+        "variant", "x", "y", "t", "c").collect()[0]
+    assert r.ratio_a == pytest.approx(2.0)
+    assert r.se is None and r.z is None and r.p_value is None
+
+    rows = [("t", 1.0, 1.0), ("t", 2.0, -1.0),   # mean y = 0
+            ("c", 1.0, 1.0), ("c", 2.0, 3.0)]
+    r2 = ratio_metric_delta(_ratio_frame(spark, rows), "variant",
+                            "x", "y", "t", "c").collect()[0]
+    assert r2.ratio_a is None and r2.diff is None and r2.z is None
+    assert r2.ratio_b is not None
+
+
+def test_ratio_metric_vs_naive_per_unit_mean(spark):
+    """The ratio-of-sums estimator weights units by denominator volume —
+    it must equal sum(x)/sum(y), NOT the mean of per-unit ratios (the
+    thing a naive t-test would estimate)."""
+    from kiara_spark.operators.quality import ratio_metric_delta
+
+    rows = [("t", 10.0, 10.0), ("t", 1.0, 1.0), ("t", 0.5, 1.0),
+            ("c", 1.0, 1.0), ("c", 1.0, 1.0), ("c", 1.0, 1.0)]
+    r = ratio_metric_delta(_ratio_frame(spark, rows), "variant",
+                           "x", "y", "t", "c").collect()[0]
+    assert r.ratio_a == pytest.approx(11.5 / 12.0, abs=1e-6)
+    naive = (1.0 + 1.0 + 0.5) / 3.0
+    assert abs(r.ratio_a - naive) > 0.05
+
+
+def test_ratio_metric_operation_minted(ctx, spark):
+    rows = ([("a", float(v) * 2, float(v)) for v in range(1, 8)]
+            + [("b", float(v) * 3, float(v)) for v in range(1, 8)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = ctx.run_job("table.stats.ratio_metric_delta", {"table": df},
+                      operation_config={"group_column": "g",
+                                        "num_column": "x",
+                                        "den_column": "y",
+                                        "group_a": "a", "group_b": "b"})
+    row = out["table"].data.collect()[0]
+    assert row.ratio_a == pytest.approx(2.0, abs=1e-6)
+    assert row.ratio_b == pytest.approx(3.0, abs=1e-6)
+    assert row.diff == pytest.approx(-1.0, abs=1e-6)

@@ -174,6 +174,7 @@ PROBE_QUERIES = [
     # both must stay flat-linear at 10x
     "stats_power_mde_events",
     "stats_msprt_events",
+    "stats_ratio_metric_events",
     "events_sliding_distinct_users_approx",
     "graph_2hop_neighbors_approx",
     "events_hll_daily_rollup",
