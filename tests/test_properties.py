@@ -486,3 +486,107 @@ def test_did_partition_invariance_property(spark, rows):
     b = diff_in_diff(df.repartition(5), "g", "p", "y",
                      "t", "c", "pre", "post").collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# r12 experimentation ops: mSPRT / ratio-metric delta invariances
+# ---------------------------------------------------------------------------
+
+msprt_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(1, 5),
+              st.floats(-1e3, 1e3, allow_nan=False)),
+    min_size=10, max_size=60,
+)
+
+
+@given(rows=msprt_rows, shift=st.floats(-50, 50, allow_nan=False))
+@SET
+def test_msprt_location_shift_invariance(spark, rows, shift):
+    """Shifting EVERY observation (both arms alike) by a constant leaves
+    theta (a difference of means), the pooled variance, and therefore the
+    whole log-lambda / p sequence unchanged — the mSPRT statistic is
+    location-free.  Compared at the op's own output rounding (the shift
+    perturbs the 2dp quantization by at most an ulp-scale residual)."""
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    shift = round(shift, 2)  # survive the op's 2dp value quantization
+    base = spark.createDataFrame(rows, "g string, t int, y double")
+    shifted = spark.createDataFrame(
+        [(g, t, y + shift) for g, t, y in rows],
+        "g string, t int, y double")
+    a = sorted(msprt_always_valid(base, "g", "t", "y", "a", "b",
+                                  tau=2.0).collect(),
+               key=lambda r: r.bucket)
+    b = sorted(msprt_always_valid(shifted, "g", "t", "y", "a", "b",
+                                  tau=2.0).collect(),
+               key=lambda r: r.bucket)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.n_a == rb.n_a and ra.n_b == rb.n_b
+        if ra.theta is None:
+            assert rb.theta is None
+            continue
+        assert rb.theta == pytest.approx(ra.theta, abs=2e-4)
+        if ra.log_lambda is not None and abs(ra.log_lambda) < 1e5:
+            assert rb.log_lambda == pytest.approx(ra.log_lambda,
+                                                  abs=2e-2, rel=1e-3)
+
+
+@given(rows=msprt_rows)
+@SET
+def test_msprt_partition_invariance(spark, rows):
+    """Exact-decimal sufficient statistics make the whole sequence a pure
+    function of the data — any partitioning yields identical rows."""
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    a = sorted(msprt_always_valid(df.coalesce(1), "g", "t", "y",
+                                  "a", "b", tau=1.5).collect())
+    b = sorted(msprt_always_valid(df.repartition(7), "g", "t", "y",
+                                  "a", "b", tau=1.5).collect())
+    assert a == b
+
+
+ratio_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.floats(-1e3, 1e3, allow_nan=False),
+              st.floats(0.5, 1e3, allow_nan=False)),
+    min_size=6, max_size=40,
+)
+
+
+@given(rows=ratio_rows, k=st.floats(0.5, 4.0, allow_nan=False))
+@SET
+def test_ratio_metric_denominator_scale_equivariance(spark, rows, k):
+    """Scaling every unit's denominator by k divides both ratios by k and
+    the SE by k (delta variance scales by 1/k²), leaving z and p EXACTLY
+    invariant — the scale-free property that makes ratio metrics
+    comparable across traffic volumes.  Tolerances sit above the op's 2dp
+    quantization of the scaled denominators."""
+    from kiara_spark.operators.quality import ratio_metric_delta
+
+    base = spark.createDataFrame(rows, "g string, x double, y double")
+    scaled = spark.createDataFrame(
+        [(g, x, y * k) for g, x, y in rows],
+        "g string, x double, y double")
+    a = ratio_metric_delta(base, "g", "x", "y", "a", "b").collect()[0]
+    b = ratio_metric_delta(scaled, "g", "x", "y", "a", "b").collect()[0]
+    if a.ratio_a is None or b.ratio_a is None:
+        return  # a 2dp-quantized denominator mean can hit exact zero
+    assert b.ratio_a == pytest.approx(a.ratio_a / k, rel=5e-2, abs=1e-3)
+    if a.z is not None and b.z is not None and abs(a.z) < 1e3:
+        assert b.z == pytest.approx(a.z, rel=5e-2, abs=1e-2)
+
+
+@given(rows=ratio_rows)
+@SET
+def test_ratio_metric_partition_invariance(spark, rows):
+    from kiara_spark.operators.quality import ratio_metric_delta
+
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = ratio_metric_delta(df.coalesce(1), "g", "x", "y",
+                           "a", "b").collect()
+    b = ratio_metric_delta(df.repartition(5), "g", "x", "y",
+                           "a", "b").collect()
+    assert a == b
