@@ -4724,9 +4724,12 @@ def msprt_always_valid(
     log Λ does so slowly and p = exp(−runmax) underflows gracefully to 0).
     NULL contract: buckets before both arms have n ≥ 2 and pooled
     variance > 0 report NULL log_lambda; the running max skips NULLs, so
-    p stays 1 until evidence exists.  Returns one row per bucket:
-    (bucket, n_a, n_b, theta, log_lambda, p_always_valid,
-    reject_at_05)."""
+    p stays 1 until evidence exists.  Rows with a NULL time bucket are
+    DROPPED (an un-bucketed observation has no position in the look
+    sequence, and Spark's NULLS FIRST vs SQL engines' NULLS LAST ordering
+    would otherwise make the cumulative sequence engine-dependent).
+    Returns one row per bucket: (bucket, n_a, n_b, theta, log_lambda,
+    p_always_valid, reject_at_05)."""
     from pyspark.sql.window import Window
 
     s, s2 = value_scale, value_scale * 2
@@ -4735,8 +4738,9 @@ def msprt_always_valid(
     yd = F.round(ys.cast("double"), s).cast(f"decimal(18,{s})")
     in_a = F.col(group_col) == group_a
     in_b = F.col(group_col) == group_b
-    base = df.filter((in_a | in_b) & ys.isNotNull()).select(
-        tc.alias("bucket"), in_a.alias("_ia"), yd.alias("_y"))
+    base = df.filter(
+        (in_a | in_b) & ys.isNotNull() & tc.isNotNull()
+    ).select(tc.alias("bucket"), in_a.alias("_ia"), yd.alias("_y"))
 
     def arm(g, tag):
         return [
@@ -4911,19 +4915,22 @@ def ratio_metric_delta(
         "n_a", "n_b", "_nad", "_nbd",
         "_vxa", "_vya", "_cva", "_vxb", "_vyb", "_cvb",
         "_mya", "_myb", ra.alias("_ra"), rb.alias("_rb"))
-    var_a = (
-        (F.col("_vxa") - F.lit(2.0) * F.col("_ra") * F.col("_cva")
-         + F.col("_ra") * F.col("_ra") * F.col("_vya"))
-        / (F.col("_nad") * F.col("_mya") * F.col("_mya")))
-    var_b = (
-        (F.col("_vxb") - F.lit(2.0) * F.col("_rb") * F.col("_cvb")
-         + F.col("_rb") * F.col("_rb") * F.col("_vyb"))
-        / (F.col("_nbd") * F.col("_myb") * F.col("_myb")))
-    s4 = s3.select(
+    # stage the delta variances as NAMED columns (the Janino discipline:
+    # the guard and the sqrt both reference them, and an inline form would
+    # instantiate each 6-term tree twice in one codegen unit)
+    s3v = s3.select(
+        "n_a", "n_b", "_ra", "_rb",
+        ((F.col("_vxa") - F.lit(2.0) * F.col("_ra") * F.col("_cva")
+          + F.col("_ra") * F.col("_ra") * F.col("_vya"))
+         / (F.col("_nad") * F.col("_mya") * F.col("_mya"))).alias("_va"),
+        ((F.col("_vxb") - F.lit(2.0) * F.col("_rb") * F.col("_cvb")
+          + F.col("_rb") * F.col("_rb") * F.col("_vyb"))
+         / (F.col("_nbd") * F.col("_myb") * F.col("_myb"))).alias("_vb"))
+    s4 = s3v.select(
         "n_a", "n_b", "_ra", "_rb",
         (F.col("_ra") - F.col("_rb")).alias("_diff"),
-        F.when(var_a + var_b > 0,
-               F.sqrt(var_a + var_b)).alias("_se"))
+        F.when(F.col("_va") + F.col("_vb") > 0,
+               F.sqrt(F.col("_va") + F.col("_vb"))).alias("_se"))
     z = F.when(F.col("_se").isNotNull(), F.col("_diff") / F.col("_se"))
     s5 = s4.select("n_a", "n_b", "_ra", "_rb", "_diff", "_se",
                    z.alias("_z"))

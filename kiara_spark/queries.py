@@ -5503,8 +5503,9 @@ def events_sliding_distinct_users_approx_q(spark, sf_dir):
     constant-size per group with map-side merge — at 100 TB event streams
     the concurrent-users metric runs at count-aggregate cost.  Both states
     are built in ONE aggregate here so the oracle can hash-check the sketch
-    against its error band (<= max(3, 5% of exact); empirical max abs err
-    at sf0.01 is 1)."""
+    against its error band (<= max(3, 10% of exact) — 5 sigma at rsd 2%,
+    sized for the dense-window regime where HLL++ leaves sparse/exact mode;
+    empirical max abs err at sf0.01 is 1)."""
     ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "1 hour", "15 minutes")
     return ev.groupBy(win, "event_type").agg(
@@ -5514,7 +5515,7 @@ def events_sliding_distinct_users_approx_q(spark, sf_dir):
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         F.unix_timestamp(F.col("window.end")).alias("window_end"),
         "event_type", "n_users_exact",
-        _abs_within("_ap", "n_users_exact", 0.05, 3).alias("within_tol"))
+        _abs_within("_ap", "n_users_exact", 0.10, 3).alias("within_tol"))
 
 
 @query(
@@ -16930,7 +16931,7 @@ _MSPRT_T2 = repr(2.0 * 2.0)  # tau^2 literal shared with the Spark plan
                AS grp,
              CAST(ts AS DATE) AS bucket,
              CAST(ROUND(CAST(value AS DOUBLE), 2) AS DECIMAL(19,2)) AS yd
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), daily AS (
       SELECT bucket,
         CAST(SUM(CASE WHEN grp = 'treat' THEN 1 ELSE 0 END) AS BIGINT)

@@ -2166,3 +2166,22 @@ def test_ratio_metric_operation_minted(ctx, spark):
     assert row.ratio_a == pytest.approx(2.0, abs=1e-6)
     assert row.ratio_b == pytest.approx(3.0, abs=1e-6)
     assert row.diff == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_msprt_null_bucket_rows_dropped(spark):
+    """Rows with a NULL time bucket are dropped by contract — an
+    un-bucketed observation has no position in the look sequence, and
+    NULLS FIRST (Spark) vs NULLS LAST (SQL engines) ordering would make
+    the cumulative statistics engine-dependent otherwise."""
+    from kiara_spark.operators.quality import msprt_always_valid
+
+    clean = [("a", 1, v) for v in (1.0, 2.0, 3.0)] \
+        + [("b", 1, v) for v in (2.0, 3.0, 4.0)]
+    noisy = clean + [("a", None, 99.0), ("b", None, -99.0)]
+    df_c = spark.createDataFrame(clean, "variant string, t int, y double")
+    df_n = spark.createDataFrame(noisy, "variant string, t int, y double")
+    a = msprt_always_valid(df_c, "variant", "t", "y", "a", "b",
+                           tau=1.0).collect()
+    b = msprt_always_valid(df_n, "variant", "t", "y", "a", "b",
+                           tau=1.0).collect()
+    assert a == b and len(a) == 1
