@@ -546,6 +546,9 @@ STREAMING_EXTRA_QUERIES = [
     "streaming_foreachbatch_upsert_demo",
     "streaming_enrich_minhash_demo",
     "streaming_quality_filter_demo",
+    # round 12: foreachBatch always-valid monitoring (one cumulative
+    # sufficient-statistic state per arm, one mSPRT look per micro-batch)
+    "streaming_msprt_demo",
 ]
 
 

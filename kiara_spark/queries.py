@@ -17024,6 +17024,192 @@ def stats_msprt_events_q(spark, sf_dir):
                               "treat", "control", tau=2.0)
 
 
+@query(
+    "streaming_msprt_demo",
+    f"""
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+               AS grp,
+             CAST(ts AS DATE) AS d,
+             CAST(ROUND(CAST(value AS DOUBLE), 2) AS DECIMAL(19,2)) AS yd
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), looks(look, cutoff) AS (
+      VALUES (CAST(1 AS BIGINT), DATE '2024-01-10'),
+             (CAST(2 AS BIGINT), DATE '2024-01-20'),
+             (CAST(3 AS BIGINT), DATE '9999-12-31')
+    ), cum AS (
+      SELECT look,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN grp = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN grp = 'treat' THEN yd END) AS DECIMAL(38,2))
+          AS csya,
+        CAST(SUM(CASE WHEN grp = 'control' THEN yd END) AS DECIMAL(38,2))
+          AS csyb,
+        CAST(SUM(CASE WHEN grp = 'treat'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS csyya,
+        CAST(SUM(CASE WHEN grp = 'control'
+             THEN CAST(yd * yd AS DECIMAL(38,4)) END) AS DECIMAL(38,4))
+          AS csyyb
+      FROM looks JOIN obs ON obs.d <= looks.cutoff
+      GROUP BY look
+    ), d AS (
+      SELECT look, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             {{_sc_csya}} AS dsya, {{_sc_csyb}} AS dsyb,
+             {{_sc_csyya}} AS dsyya, {{_sc_csyyb}} AS dsyyb
+      FROM cum
+    ), m AS (
+      SELECT *,
+             dsya / nad - dsyb / nbd AS theta,
+             CASE WHEN n_a > 1 AND n_b > 1 THEN
+               (GREATEST(dsyya - dsya * dsya / nad, 0.0)
+                + GREATEST(dsyyb - dsyb * dsyb / nbd, 0.0))
+               / (nad + nbd - 2.0) END AS pvar
+      FROM d
+    ), v AS (
+      SELECT *, CASE WHEN pvar > 0
+                     THEN pvar * (1.0 / nad + 1.0 / nbd) END AS vv
+      FROM m
+    ), l AS (
+      SELECT *,
+             0.5 * LN(vv / (vv + {_MSPRT_T2}))
+             + theta * theta * {_MSPRT_T2}
+               / (2.0 * vv * (vv + {_MSPRT_T2})) AS ll
+      FROM v
+    ), r AS (
+      SELECT *, MAX(ll) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS rm
+      FROM l
+    )
+    SELECT look, n_a, n_b,
+           ROUND(theta, 6) AS theta,
+           ROUND(ll, 6) AS log_lambda,
+           ROUND(CASE WHEN rm IS NOT NULL
+                 THEN LEAST(EXP(-GREATEST(rm, 0.0)), 1.0)
+                 ELSE 1.0 END, 9) AS p_always_valid,
+           (CASE WHEN rm IS NOT NULL
+                 THEN LEAST(EXP(-GREATEST(rm, 0.0)), 1.0)
+                 ELSE 1.0 END) < 0.05 AS reject_at_05
+    FROM r
+    """.replace("{_sc_csya}", _sc("csya")).replace("{_sc_csyb}", _sc("csyb"))
+       .replace("{_sc_csyya}", _sc("csyya"))
+       .replace("{_sc_csyyb}", _sc("csyyb")),
+)
+def streaming_msprt_demo_q(spark, sf_dir):
+    """Always-valid A/B monitoring ON A STREAM — the production shape of
+    `table.stats.msprt`: three mtime-ordered files process as separate
+    micro-batches (the experiment's first 10 days, the next 10, the rest),
+    and a foreachBatch monitor keeps ONE cumulative sufficient-statistic
+    state per arm (n, Σy, Σy² — exact decimals, merged from each batch's
+    Spark-side aggregate, never reprocessing earlier batches) and emits
+    one mSPRT look per batch.  This is what makes mSPRT the streaming
+    member of the stats family: the state is 6 numbers per arm however
+    much data has flowed, and the p-value sequence is valid at every look
+    by construction (Johari et al. 2017).  The driver-side look math is
+    the same fixed-order float expression as the batch operator (libm log
+    — identical in-band to DuckDB's), so the oracle reproduces the three
+    looks exactly in SQL."""
+    import math
+    import os
+    import tempfile
+    from decimal import Decimal
+
+    from .streaming.windows import read_parquet_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.to_date("ts")
+    parts = [
+        ev.filter(day <= F.lit("2024-01-10").cast("date")),
+        ev.filter((day > F.lit("2024-01-10").cast("date"))
+                  & (day <= F.lit("2024-01-20").cast("date"))),
+        ev.filter(day > F.lit("2024-01-20").cast("date")),
+    ]
+    tmp = tempfile.mkdtemp(prefix="kiara_msprt_stream_")
+    for i, df in enumerate(parts, 1):
+        dd = os.path.join(tmp, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(dd)
+        (part,) = [f for f in os.listdir(dd)
+                   if f.endswith(".parquet") and not f.startswith("_")]
+        os.utime(os.path.join(dd, part), (1_000_000_000 * i,) * 2)
+
+    t2 = 4.0  # tau = 2, matching stats_msprt_events
+    state = {"na": 0, "nb": 0, "sa": Decimal(0), "sb": Decimal(0),
+             "qa": Decimal(0), "qb": Decimal(0)}
+    looks: list[tuple] = []
+
+    def _sc_py(dec: Decimal) -> float:
+        # mirror of _split_cast / the SQL twin's {_sc}: integer and
+        # fraction parts cast exactly, added once in IEEE double
+        fl = Decimal(math.floor(dec))
+        return float(fl) + float(dec - fl)
+
+    def monitor(batch_df, batch_id):
+        ia = F.col("user_id") % 2 != 0  # treat
+        yd = F.round(F.col("value").cast("double"), 2).cast("decimal(18,2)")
+        yy = (yd * yd).cast("decimal(38,4)")
+        r = (batch_df
+             .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+             .agg(
+                 F.sum(F.when(ia, 1).otherwise(0)).cast("bigint"),
+                 F.sum(F.when(~ia, 1).otherwise(0)).cast("bigint"),
+                 F.sum(F.when(ia, yd)).cast("decimal(38,2)"),
+                 F.sum(F.when(~ia, yd)).cast("decimal(38,2)"),
+                 F.sum(F.when(ia, yy)).cast("decimal(38,4)"),
+                 F.sum(F.when(~ia, yy)).cast("decimal(38,4)"),
+             ).collect()[0])
+        state["na"] += r[0] or 0
+        state["nb"] += r[1] or 0
+        state["sa"] += r[2] or Decimal(0)
+        state["sb"] += r[3] or Decimal(0)
+        state["qa"] += r[4] or Decimal(0)
+        state["qb"] += r[5] or Decimal(0)
+        na, nb = state["na"], state["nb"]
+        theta = ll = None
+        if na > 0 and nb > 0:
+            nad, nbd = float(na), float(nb)
+            dsa, dsb = _sc_py(state["sa"]), _sc_py(state["sb"])
+            dqa, dqb = _sc_py(state["qa"]), _sc_py(state["qb"])
+            theta = dsa / nad - dsb / nbd
+            if na > 1 and nb > 1:
+                pvar = (max(dqa - dsa * dsa / nad, 0.0)
+                        + max(dqb - dsb * dsb / nbd, 0.0)) \
+                    / (nad + nbd - 2.0)
+                if pvar > 0:
+                    vv = pvar * (1.0 / nad + 1.0 / nbd)
+                    ll = (0.5 * math.log(vv / (vv + t2))
+                          + theta * theta * t2 / (2.0 * vv * (vv + t2)))
+        looks.append((len(looks) + 1, na, nb, theta, ll))
+
+    stream = read_parquet_stream(
+        spark, tmp, schema=ev.schema, options={
+            "maxFilesPerTrigger": "1", "recursiveFileLookup": "true"})
+    q = (stream.writeStream.foreachBatch(monitor)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="kiara_msprt_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+
+    rows, runmax = [], None
+    for look, na, nb, theta, ll in looks:
+        if ll is not None:
+            runmax = ll if runmax is None else max(runmax, ll)
+        p = (min(math.exp(-max(runmax, 0.0)), 1.0)
+             if runmax is not None else 1.0)
+        rows.append((
+            look, na, nb,
+            None if theta is None else round(theta, 6),
+            None if ll is None else round(ll, 6),
+            round(p, 9), p < 0.05))
+    return spark.createDataFrame(
+        rows,
+        "look bigint, n_a bigint, n_b bigint, theta double, "
+        "log_lambda double, p_always_valid double, reject_at_05 boolean")
+
+
 # r4 rotation policy (r3 VERDICT item 6): the driver records the FIRST 50
 # entries, and a static priority list left 145 of 234 queries without a
 # driver-recorded CORRECTNESS row after three rounds.  The order is now
