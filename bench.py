@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ml_chi2_feature_select",
     "text_textrank_keywords",
     "clean_c4_documents",
+    "quality_toxicity_wordlist",
     "quality_perplexity_buckets",
     "sample_dsir_documents",
     "text_fingerprint",

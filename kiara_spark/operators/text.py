@@ -962,6 +962,57 @@ def clean_c4(
         doc_ok.alias("kept_doc"))
 
 
+# Demo stand-in for a curated badword/toxicity list (the C4 pipeline's
+# "List of Dirty, Naughty, Obscene..." step, Raffel et al. 2020 §2.2 —
+# real deployments pass their environment's curated list; embedding one
+# here would be both useless against the synthetic corpus and gratuitous).
+# Drawn from the synthetic documents vocabulary so the demo scores are
+# non-degenerate.
+DEMO_WORDLIST = ("slow", "big", "merge", "hash")
+
+
+def with_wordlist_score(
+    df: DataFrame,
+    text_col: str = "text",
+    wordlist: tuple = DEMO_WORDLIST,
+    flag_threshold: float = 0.15,
+) -> DataFrame:
+    """Word-list content scoring — the C4 banned-word filter (Raffel et
+    al. 2020 §2.2: drop any page containing a word from a curated list)
+    generalized to an auditable per-document score: the fraction of word
+    tokens that hit ``wordlist``, plus a ``wl_flagged`` verdict at
+    ``flag_threshold`` (a fraction, not C4's any-hit, so borderline docs
+    are visible; pass ``flag_threshold=0`` semantics via a tiny epsilon
+    for strict C4 behavior).  Returns the input columns plus
+    (wl_n_tokens, wl_n_flagged, wl_flag_fraction, wl_flagged) — verdict,
+    not a silent drop (the clean_c4/dedup_paragraphs audit policy).
+
+    Pure map over one token split (codegen, no shuffle, no UDF); the
+    word list is inlined as a literal isin predicate, so it must stay
+    small — O(100) terms.  Larger lists (real blocklists run 100s-1000s
+    of terms) should explode tokens and broadcast-join the list table
+    instead; the literal path keeps the common case shuffle-free.
+
+    Rounding note: wl_flag_fraction = n_f/n_t rounded half-up at 6 dp is
+    tie-free — a tie needs the reduced denominator divisible by
+    2^7*5^6 = 2e6 > any realistic per-doc token count — so the rounded
+    value and the >= threshold verdict are engine-portable."""
+    toks = tokens_col(F.col(text_col))
+    flagged = F.filter(toks, lambda t: t.isin(*wordlist))
+    n_t = F.size(toks)
+    n_f = F.size(flagged)
+    frac = F.when(
+        n_t > 0,
+        F.round(n_f.cast("double") / n_t.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        n_t.cast("bigint").alias("wl_n_tokens"),
+        n_f.cast("bigint").alias("wl_n_flagged"),
+        frac.alias("wl_flag_fraction"),
+        (frac >= F.lit(float(flag_threshold))).alias("wl_flagged"))
+
+
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-membership language ID: score = count of tokens in each
     language's marker set; argmax wins (ties broken by language code order —
@@ -2649,6 +2700,9 @@ TextHeapsLaw = _mk("text.heaps_law_fit", heaps_law_fit,
 TextBurstiness = _mk("text.term_burstiness", term_burstiness,
                      "term burstiness: variance-to-mean ratio of "
                      "per-doc counts (topical vs function words)")
+TextWordlistScore = _mk("text.wordlist_score", with_wordlist_score,
+                        "word-list (badword/toxicity) hit fraction + "
+                        "per-doc flag verdict (C4 banned-word step)")
 
 MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, TextFingerprint,
            TextTokenCount, TextChunk, TextChunkSentences, TableWeightedSample,
@@ -2663,7 +2717,7 @@ MODULES = [TextNormalize, TextTokenStats, TextQualityScore, TextLanguageId, Text
            TextRemoveStopwords, TextKwic, TextTermTrends, TextStem,
            TextJsDivergence, TableWeightedReservoirTopk, TextZipfFit,
            TextCollocationsLlr, TextLexicalRichness, TextGoodTuring,
-           TextHeapsLaw, TextBurstiness]
+           TextHeapsLaw, TextBurstiness, TextWordlistScore]
 OPERATIONS = [
     Operation("text.quality.gopher", "text.quality.gopher",
               doc="Gopher quality-rule battery (word/line/symbol signals)"),
@@ -2674,6 +2728,8 @@ OPERATIONS = [
                   "(multilingual routing / homoglyph tell)"),
     Operation("text.clean.c4", "text.clean.c4",
               doc="C4 line-level cleaning + document verdict"),
+    Operation("text.wordlist_score", "text.wordlist_score",
+              doc="word-list (badword) hit fraction + flag verdict"),
     Operation("text.readability", "text.readability",
               doc="Flesch reading-ease readability score"),
     Operation("text.cooccurrence_pmi", "text.cooccurrence_pmi",

@@ -9884,6 +9884,42 @@ def clean_c4_q(spark, sf_dir):
 
 
 @query(
+    "quality_toxicity_wordlist",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS wl_n_tokens,
+             CAST(len(list_filter(toks,
+                    x -> list_contains(['slow','big','merge','hash'], x)))
+                  AS BIGINT) AS wl_n_flagged
+      FROM t)
+    SELECT doc_id, lang, wl_n_tokens, wl_n_flagged,
+           CASE WHEN wl_n_tokens > 0
+                THEN ROUND(CAST(wl_n_flagged AS DOUBLE) / wl_n_tokens, 6)
+                ELSE 0.0 END AS wl_flag_fraction,
+           (CASE WHEN wl_n_tokens > 0
+                 THEN ROUND(CAST(wl_n_flagged AS DOUBLE) / wl_n_tokens, 6)
+                 ELSE 0.0 END) >= 0.15 AS wl_flagged
+    FROM s
+    """,
+)
+def quality_toxicity_wordlist_q(spark, sf_dir):
+    """Word-list (badword/toxicity) scoring (`text.wordlist_score`, the
+    C4 banned-word step, Raffel et al. 2020 §2.2) over documents: per-doc
+    token count, word-list hit count, hit fraction, and a flag verdict at
+    fraction >= 0.15.  Map-only (one token split, no shuffle, no UDF);
+    the demo list stands in for the environment's curated blocklist."""
+    from .operators.text import with_wordlist_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (with_wordlist_score(docs)
+            .select("doc_id", "lang", "wl_n_tokens", "wl_n_flagged",
+                    "wl_flag_fraction", "wl_flagged"))
+
+
+@query(
     "quality_perplexity_buckets",
     f"""
     WITH toks AS (

@@ -405,6 +405,30 @@ def test_clean_c4_line_and_doc_rules(spark):
     assert not got[4].kept_doc  # lorem ipsum kills the whole doc
 
 
+def test_wordlist_score_fractions_and_verdict(spark):
+    from kiara_spark.operators.text import with_wordlist_score
+
+    rows = [
+        (1, "clean text with table and row words only"),   # 0 hits / 8
+        (2, "slow big merge hash"),                        # 4 hits / 4
+        (3, "one slow token among ten total words here ok x"),  # 1/10
+        (4, ""),                                           # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_wordlist_score(df).collect()}
+    assert got[1].wl_n_flagged == 0 and not got[1].wl_flagged
+    assert got[2].wl_flag_fraction == 1.0 and got[2].wl_flagged
+    assert got[3].wl_n_tokens == 10 and got[3].wl_n_flagged == 1
+    assert got[3].wl_flag_fraction == 0.1 and not got[3].wl_flagged
+    assert got[4].wl_n_tokens == 0 and got[4].wl_flag_fraction == 0.0
+    assert not got[4].wl_flagged
+    # custom list + threshold boundary: fraction == threshold flags
+    got2 = {r.doc_id: r for r in with_wordlist_score(
+        df, wordlist=("clean",), flag_threshold=0.125).collect()}
+    assert got2[1].wl_flag_fraction == 0.125 and got2[1].wl_flagged
+    assert got2[2].wl_n_flagged == 0 and not got2[2].wl_flagged
+
+
 def test_perplexity_buckets_orders_rare_docs_to_tail(spark):
     from kiara_spark.operators.curation import perplexity_buckets
 
