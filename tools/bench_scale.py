@@ -181,6 +181,10 @@ PROBE_QUERIES = [
     "theta_event_type_overlap",
     "agg_percentile_approx",
     "text_bpe_train_merges",
+    # round 12b: the word-list scorer is one token split + two array
+    # folds, map-only — must stay flat-linear at 10x like its clean_c4
+    # sibling
+    "quality_toxicity_wordlist",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
@@ -234,25 +238,37 @@ _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _rot_text(name: str, i: int):
-    """Alphabet rotation per copy: every word changes, so copies are not
+    """Keyed alphabet permutation per copy (r12: was a 26-rotation, which
+    repeats at copy 26 — the 100x curve probe needs any replica count):
+    every word changes deterministically per copy, so copies are not
     near-duplicates of each other (shingle/minhash sees fresh content)."""
     if i == 0:
         return F.col(name)
-    rot = _ALPHA[i:] + _ALPHA[:i]
-    return F.translate(F.col(name), _ALPHA, rot)
+    import random
+
+    perm = "".join(random.Random(i).sample(_ALPHA, len(_ALPHA)))
+    return F.translate(F.col(name), _ALPHA, perm)
 
 
 def _rot_vec(name: str, i: int):
-    """Dimension rotation per copy: preserves norms and within-copy
-    geometry exactly while decorrelating cross-copy cosine."""
+    """Orthogonal sign-flip per copy (r12: was a dimension rotation, which
+    repeats at copy = dim and breaks past it — dim is 64, the 100x curve
+    probe replicates 100x): multiplying every vector in a copy by the same
+    deterministic diagonal ±1 matrix preserves norms and ALL within-copy
+    inner products exactly while decorrelating cross-copy cosine."""
     if i == 0:
         return F.col(name)
+    import random
+
+    signs = [random.Random(i * 1000003 + j).choice((1.0, -1.0))
+             for j in range(256)]
+    arr = "array(" + ",".join(f"{s}" for s in signs) + ")"
     return F.expr(
-        f"concat(slice({name}, {i + 1}, size({name}) - {i}), "
-        f"slice({name}, 1, {i}))")
+        f"zip_with({name}, slice({arr}, 1, size({name})), (x, s) -> x * s)")
 
 
-def build_scaled(spark, dst: str) -> None:
+def build_scaled(spark, dst: str, src: str = SRC_DIR,
+                 replicas: int = REPLICAS) -> None:
     from kiara_spark.io import load_table
 
     os.makedirs(dst, exist_ok=True)
@@ -280,12 +296,12 @@ def build_scaled(spark, dst: str) -> None:
         out = os.path.join(dst, f"{name}.parquet")
         if os.path.exists(out):
             continue
-        base = load_table(spark, SRC_DIR, name, parallelize=False)
+        base = load_table(spark, src, name, parallelize=False)
         if name not in shifts:
             base.write.mode("overwrite").parquet(out)
             continue
         copies = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             c = base
             for key in shifts[name]:
                 c = c.withColumn(key, F.col(key) + F.lit(i * OFF))
@@ -297,7 +313,7 @@ def build_scaled(spark, dst: str) -> None:
         for c in copies[1:]:
             allc = allc.unionByName(c)
         allc.write.mode("overwrite").parquet(out)
-        print(f"built {name}: {REPLICAS}x", flush=True)
+        print(f"built {name}: {replicas}x", flush=True)
 
 
 def main() -> int:
@@ -316,14 +332,31 @@ def main() -> int:
     import gc
 
     def run(name: str, sf_dir: str) -> tuple[float, int]:
+        # r12: time construction + a noop-sink write, not count() —
+        # count() lets Catalyst prune a map-only projection down to a bare
+        # parquet count, so the probe's map-only entries (script/code
+        # detect, scalar batteries, the wordlist scorer) measured the
+        # scan, not the operator; construction stays inside the timer
+        # because iterative operators (CC, kmeans, pagerank) run eager
+        # actions while building the frame.  The noop sink materializes
+        # every output column; ratios stay comparable (both points use the
+        # same action).  Rows are counted untimed afterwards.
         t0 = time.monotonic()
-        n = QUERIES[name](spark, sf_dir).count()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
+        n = df.count()
         gc.collect()
         return dt, n
 
     results: dict[str, dict] = {}
     for name in PROBE_QUERIES:
+        # r12: one UNTIMED warm-up at sf0.1 first — the first execution
+        # of a plan pays its Janino codegen compile, which otherwise
+        # lands entirely on the small point and deflates the ratio
+        # (generated code depends on plan shape, not data, so the small
+        # run warms the big run's classes too).
+        run(name, SRC_DIR)
         t_small, n_small = run(name, SRC_DIR)
         t_big, n_big = run(name, dst)
         time_ratio = round(t_big / t_small, 2) if t_small > 0 else None
