@@ -374,6 +374,14 @@ BENCH_QUERIES = [
     "stats_power_mde_events",
     "stats_msprt_events",
     "stats_ratio_metric_events",
+    # round 12b: conformal intervals + subclassification ATE + isotonic
+    # + grid-blocked DBSCAN
+    "stats_conformal_interval_lineitem",
+    "stats_stratified_ate_events",
+    "ml_isotonic_calibration_orders",
+    "ml_dbscan_customers",
+    "events_attribution_shapley",
+    "ml_uplift_qini_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",

@@ -2042,3 +2042,112 @@ OPERATIONS += [
 
 MODULES += [EventsSprtMonitor, EventsPageHinkley, EventsNelsonAalen,
             EventsLogrank, EventsMannKendall, EventsDurbinWatson]
+
+
+def shapley_attribution(
+    df: DataFrame,
+    channels: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Shapley-value channel attribution (Zhao, Mahboobi & Manavoglu
+    2018; the game-theoretic member of the attribution family next to
+    :func:`last_touch_attribution`, :func:`position_based_attribution`
+    and :func:`markov_stationary`): the coalition value v(S) is the
+    observed conversion rate of users whose EXACT touched-channel set is
+    S, and each channel's credit is its average marginal contribution
+
+        φ(i) = Σ_{S ⊆ K∖{i}} |S|!·(k−|S|−1)!/k! · (v(S∪{i}) − v(S))
+
+    over the fixed channel vocabulary K (``channels`` — the bounded-
+    cardinality contract; |K| ≤ ~10 keeps the 2^k grid trivial).
+    Unobserved subsets take v = 0 and users touching no channel are
+    excluded (v(∅) = 0 baseline) — the standard practical conventions,
+    which preserve efficiency: Σ φ(i) = v(K).
+
+    Scale design: ONE user-keyed aggregate (collect_set over the
+    ≤k-channel vocabulary — bounded state), ONE subset-keyed hash
+    aggregate (≤2^k groups), then every join runs on broadcast literal
+    grids of ≤k·2^{k-1} rows.  Determinism: v = bigint/bigint doubles,
+    factorial weights are Python-double literals shared verbatim with
+    the SQL twin, marginal terms round-9 into exact decimal sums.
+    Returns per channel: (channel, n_users, n_conversions, shapley)."""
+    import math
+    from itertools import combinations
+
+    k = len(channels)
+    pairs = []
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        for r in range(k):
+            for s in combinations(others, r):
+                w = (math.factorial(r) * math.factorial(k - r - 1)
+                     / math.factorial(k))
+                pairs.append((ch, ",".join(sorted(s)),
+                              ",".join(sorted(s + (ch,))), w))
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        pairs, "channel string, s0 string, s1 string, w double")
+
+    per_user = (df.groupBy(user_col).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(
+            F.when(F.col(type_col).isin(channels), F.col(type_col))))
+        ).alias("_key"),
+        F.max((F.col(type_col) == conversion_type).cast("int"))
+        .alias("_conv")))
+    subsets = (per_user.filter(F.col("_key") != "")
+               .groupBy("_key")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_nu"),
+                    F.sum("_conv").cast("bigint").alias("_nc")))
+    v = subsets.select("_key",
+                       (F.col("_nc").cast("double") / F.col("_nu"))
+                       .alias("_v"))
+    joined = (grid
+              .join(F.broadcast(v.withColumnRenamed("_key", "s0")
+                                .withColumnRenamed("_v", "_v0")),
+                    "s0", "left")
+              .join(F.broadcast(v.withColumnRenamed("_key", "s1")
+                                .withColumnRenamed("_v", "_v1")),
+                    "s1", "left"))
+    contrib = (F.col("w") * (F.coalesce("_v1", F.lit(0.0))
+                             - F.coalesce("_v0", F.lit(0.0))))
+    shap = (joined.groupBy("channel")
+            .agg(F.sum(F.round(contrib, 9).cast("decimal(38,12)"))
+                 .cast("double").alias("_shap")))
+    touch = (subsets
+             .select(F.explode(F.split("_key", ",")).alias("channel"),
+                     "_nu", "_nc")
+             .groupBy("channel")
+             .agg(F.sum("_nu").cast("bigint").alias("n_users"),
+                  F.sum("_nc").cast("bigint").alias("n_conversions")))
+    return (shap.join(F.broadcast(touch), "channel", "left")
+            .select("channel",
+                    F.coalesce("n_users", F.lit(0)).cast("bigint")
+                    .alias("n_users"),
+                    F.coalesce("n_conversions", F.lit(0)).cast("bigint")
+                    .alias("n_conversions"),
+                    F.round(F.col("_shap"), 6).alias("shapley")))
+
+
+EventsShapleyAttribution = _simple_module(
+    "events.attribution.shapley",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": shapley_attribution(
+        im["table"].data, self.config["channels"],
+        user_col=self.config.get("user_column", "user_id"),
+        type_col=self.config.get("type_column", "event_type"),
+        conversion_type=self.config.get("conversion_type", "purchase"))},
+    doc="Shapley-value channel attribution over exact touched-channel "
+        "subsets (Zhao et al. 2018): average marginal conversion-rate "
+        "contribution per channel; efficiency holds by construction.",
+)
+
+OPERATIONS += [
+    Operation("events.attribution.shapley", "events.attribution.shapley",
+              doc="game-theoretic Shapley channel attribution "
+                  "(exact-subset coalition values)"),
+]
+
+MODULES += [EventsShapleyAttribution]

@@ -855,6 +855,85 @@ def lift_table(
             .orderBy("bucket"))
 
 
+def uplift_qini(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini / uplift curve (Radcliffe 2007; the uplift-modeling companion
+    of :func:`lift_table`): rank units by an uplift score, and at each
+    depth report the INCREMENTAL conversions the treatment earned over
+    control,
+
+        Qini(k) = Ct_k − Cc_k · (Nt_k / Nc_k)
+
+    (cumulative treated conversions minus control conversions scaled to
+    the treated exposure), plus each bin's raw uplift
+    (rate_t − rate_c) and the gain over the random-targeting diagonal
+    (``qini_gain`` — summing trapezoids of it gives the Qini
+    coefficient/AUUC).  ``bucket`` 1 is the highest-score bin.
+
+    Plan: equal-frequency bins via :func:`quantile_bins` (broadcast
+    percentile bounds — no global sort), ONE n_bins-row conditional hash
+    aggregate of the four cell counts, cumulative windows over the
+    ≤n_bins grid, broadcast 1-row totals.  Determinism: every statistic
+    is bigint-count arithmetic in fixed-order IEEE doubles, round-6 at
+    the boundary; empty-arm cells NULL out (no silent zeros).
+    ``treat_col``/``outcome_col`` must be 0/1-valued."""
+    from pyspark.sql.window import Window
+
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    binned = quantile_bins(df, score_col, n_bins, out_col="_bin")
+    per = (binned.filter(F.col("_bin").isNotNull())
+           .groupBy("_bin")
+           .agg(F.sum(t).cast("bigint").alias("_nt"),
+                F.sum(1 - t).cast("bigint").alias("_nc"),
+                F.sum(t * y).cast("bigint").alias("_ct"),
+                F.sum((1 - t) * y).cast("bigint").alias("_cc")))
+    w = (Window.orderBy(F.col("_bin").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = per.select(
+        "_bin", "_nt", "_nc", "_ct", "_cc",
+        F.sum("_nt").over(w).cast("bigint").alias("cum_treat"),
+        F.sum("_nc").over(w).cast("bigint").alias("cum_control"),
+        F.sum("_ct").over(w).cast("bigint").alias("cum_conv_treat"),
+        F.sum("_cc").over(w).cast("bigint").alias("cum_conv_control"))
+    tot = per.agg(F.sum("_nt").cast("bigint").alias("_tnt"),
+                  F.sum("_nc").cast("bigint").alias("_tnc"),
+                  F.sum("_ct").cast("bigint").alias("_tct"),
+                  F.sum("_cc").cast("bigint").alias("_tcc"))
+    qini = F.when(
+        F.col("cum_control") > 0,
+        F.col("cum_conv_treat")
+        - F.col("cum_conv_control")
+        * (F.col("cum_treat").cast("double") / F.col("cum_control")))
+    q_total = F.when(
+        F.col("_tnc") > 0,
+        F.col("_tct") - F.col("_tcc")
+        * (F.col("_tnt").cast("double") / F.col("_tnc")))
+    rand_q = q_total * (F.col("cum_treat") + F.col("cum_control")
+                        ).cast("double") / (F.col("_tnt") + F.col("_tnc"))
+    uplift = F.when(
+        (F.col("_nt") > 0) & (F.col("_nc") > 0),
+        F.col("_ct").cast("double") / F.col("_nt")
+        - F.col("_cc").cast("double") / F.col("_nc"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select(
+                (F.lit(n_bins) - F.col("_bin")).cast("bigint")
+                .alias("bucket"),
+                F.col("_nt").alias("n_treat"),
+                F.col("_nc").alias("n_control"),
+                F.round(uplift, 6).alias("uplift"),
+                "cum_treat", "cum_control",
+                "cum_conv_treat", "cum_conv_control",
+                F.round(qini, 6).alias("cum_qini"),
+                F.round(qini - rand_q, 6).alias("qini_gain"))
+            .orderBy("bucket"))
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -4948,6 +5027,262 @@ def ratio_metric_delta(
         F.round(p, 6).alias("p_value"))
 
 
+def conformal_interval(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str],
+    alpha: float = 0.1,
+    train_pct: int = 50,
+    cal_pct: int = 25,
+    salt: str = "conf",
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
+    2018 JASA) — distribution-free regression intervals with finite-sample
+    marginal coverage ≥ 1−α, no model assumptions: fit any point predictor
+    on a TRAIN split, take the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    residual q̂ on a disjoint CALIBRATION split, and ship prediction ± q̂.
+    The base predictor here is one-feature OLS (the repo's exact
+    normal-equation fit); the guarantee holds for any predictor.
+
+    Determinism: the 3-way split is a pure function of the row key
+    (portable md5 bucket in [0,100) — train / calibration / test at
+    ``train_pct`` / ``cal_pct`` / rest, retry- and partition-invariant);
+    slope/intercept come from round-9 → DECIMAL(38,12) exact sums
+    (the ml_linreg rule) rounded at 8 dp; residuals round at 6 dp, so q̂
+    — an order STATISTIC, tie-invariant by value — is the same double in
+    both engines, and the coverage compare ``r <= q̂`` runs on
+    identically-derived doubles.
+
+    Scale design: one map-only split tag; ONE train Gram aggregate (1-row
+    broadcast coefficient frame — no collect of data); q̂ by
+    :func:`kth_smallest_scalable` histogram refinement (O(log) aggregate
+    rounds, constant executor state — never a global residual sort); one
+    test-split coverage aggregate.  Driver-side state is two bounded
+    scalars (n_cal and q̂), the same contract as `table.kth_smallest`.
+    Returns ONE row: (n_train, n_cal, n_test, intercept, slope, qhat,
+    n_covered, coverage).  Requires a non-empty calibration split."""
+    import math
+
+    from .text import base_hash32
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    b = (base_hash32(F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)))
+        % 100)
+    tagged = df.select(x.alias("_x"), y.alias("_y"), b.alias("_b"))
+
+    def _dsum9(col):
+        return (F.sum(F.round(col, 9).cast("decimal(38,12)"))
+                .cast("double"))
+
+    xs, ys = F.col("_x"), F.col("_y")
+    s = (tagged.filter(F.col("_b") < train_pct)
+         .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+              _dsum9(xs).alias("_sx"), _dsum9(ys).alias("_sy"),
+              _dsum9(xs * xs).alias("_sxx"), _dsum9(xs * ys).alias("_sxy")))
+    b1 = F.round(
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")), 8)
+    # b0 uses the ROUNDED slope (same order of ops as the SQL twin)
+    c = (s.select("_n", "_sx", "_sy", b1.alias("_b1"))
+         .select(F.col("_n").cast("bigint").alias("n_train"),
+                 F.round((F.col("_sy") - F.col("_b1") * F.col("_sx"))
+                         / F.col("_n"), 8).alias("_b0"),
+                 F.col("_b1")))
+
+    resid = F.round(F.abs(F.col("_y")
+                          - (F.col("_b0") + F.col("_b1") * F.col("_x"))), 6)
+    # Materialize the calibration residual column once: the histogram
+    # refinement re-reads its input every round, and the residual is a
+    # computed column (no scan pushdown to win back) — at any scale this
+    # is ONE double per calibration row, the cheapest thing in the job.
+    cal = (tagged.filter((F.col("_b") >= train_pct)
+                         & (F.col("_b") < train_pct + cal_pct))
+           .crossJoin(F.broadcast(c))
+           .select(resid.alias("_r"))
+           .persist())
+    try:
+        n_cal = cal.count()
+        k = int(math.ceil(round((n_cal + 1) * (1.0 - alpha), 9)))
+        qhat = kth_smallest_scalable(cal, "_r", min(k, n_cal),
+                                     final_limit=20_000)
+    finally:
+        cal.unpersist()
+
+    t = (tagged.filter(F.col("_b") >= train_pct + cal_pct)
+         .crossJoin(F.broadcast(c))
+         .agg(F.first("n_train").alias("n_train"),
+              F.first("_b0").alias("_b0"), F.first("_b1").alias("_b1"),
+              F.count(F.lit(1)).cast("bigint").alias("n_test"),
+              F.sum((resid <= F.lit(float(qhat))).cast("int"))
+              .cast("bigint").alias("n_covered")))
+    return t.select(
+        "n_train", F.lit(n_cal).cast("bigint").alias("n_cal"), "n_test",
+        F.round(F.col("_b0"), 6).alias("intercept"),
+        F.round(F.col("_b1"), 6).alias("slope"),
+        F.lit(float(qhat)).alias("qhat"), "n_covered",
+        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+        .alias("coverage"))
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col,
+    y_col,
+    covariate_col,
+    n_strata: int = 5,
+) -> DataFrame:
+    """Average treatment effect by SUBCLASSIFICATION on a covariate
+    (Cochran 1968; Rosenbaum & Rubin 1984 — the propensity-stratification
+    estimator): bucket units into ``n_strata`` covariate strata, take the
+    treated−control mean difference WITHIN each stratum, and average the
+    per-stratum differences weighted by stratum size (ATE) or by treated
+    count (ATT).  This removes the confounding carried by the stratifier
+    — the causal-inference battery's observational companion to
+    :func:`diff_in_diff` (which needs a pre period) and
+    :func:`cuped_adjust` (which needs randomization).
+
+    Strata are equal-WIDTH over the covariate's [min, max] (bounds from
+    ONE broadcast aggregate row — the :func:`calibration_bins` rule; no
+    global sort/ntile).  Strata missing either arm are dropped and the
+    weights renormalize over the strata actually used (the standard
+    common-support trim); their count is reported.
+
+    Determinism: per-cell Σy accumulates round-9 → DECIMAL(38,12) exact;
+    per-stratum means/diffs are fixed-shape IEEE doubles; the ≤n_strata
+    weighted terms round at 9 dp into exact decimal sums (the repo's
+    round-9 rule), final readouts round-6.  Scale: one bounds aggregate +
+    ONE stratum-keyed conditional hash aggregate (map-side combined,
+    single shuffle of ≤n_strata groups); everything downstream acts on
+    the O(n_strata) grid.  Returns one row: (n, n_treat, n_control,
+    n_strata_used, n_strata_dropped, ate, att)."""
+    t = F.col(treat_col).cast("int") if isinstance(treat_col, str) else \
+        treat_col.cast("int")
+    y = F.col(y_col).cast("double") if isinstance(y_col, str) else \
+        y_col.cast("double")
+    c = F.col(covariate_col).cast("double") \
+        if isinstance(covariate_col, str) else covariate_col.cast("double")
+    src = (df.select(t.alias("_t"), y.alias("_y"), c.alias("_c"))
+           .filter(F.col("_t").isNotNull() & F.col("_y").isNotNull()
+                   & F.col("_c").isNotNull()))
+    bounds = src.agg(F.min("_c").alias("_mn"), F.max("_c").alias("_mx"))
+    p = F.when(F.col("_mx") > F.col("_mn"),
+               (F.col("_c") - F.col("_mn"))
+               / (F.col("_mx") - F.col("_mn"))).otherwise(F.lit(0.0))
+    s = F.least(F.floor(p * n_strata), F.lit(n_strata - 1)).cast("bigint")
+
+    def _cond_sum9(cond):
+        return (F.sum(F.when(cond, F.round(F.col("_y"), 9))
+                      .cast("decimal(38,12)")).cast("double"))
+
+    tr = F.col("_t") == 1
+    per = (src.crossJoin(F.broadcast(bounds))
+           .withColumn("_s", s)
+           .groupBy("_s")
+           .agg(F.sum(tr.cast("int")).cast("bigint").alias("_nt"),
+                F.sum((~tr).cast("int")).cast("bigint").alias("_nc"),
+                _cond_sum9(tr).alias("_syt"),
+                _cond_sum9(~tr).alias("_syc")))
+    inc = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    diff = (F.col("_syt") / F.col("_nt") - F.col("_syc") / F.col("_nc"))
+    g = per.select("_nt", "_nc",
+                   F.when(inc, diff).alias("_d"),
+                   inc.cast("int").alias("_inc"))
+    agg = g.agg(
+        (F.sum("_nt") + F.sum("_nc")).cast("bigint").alias("n"),
+        F.sum("_nt").cast("bigint").alias("n_treat"),
+        F.sum("_nc").cast("bigint").alias("n_control"),
+        F.sum("_inc").cast("bigint").alias("n_strata_used"),
+        (F.count(F.lit(1)) - F.sum("_inc")).cast("bigint")
+        .alias("n_strata_dropped"),
+        F.sum(F.when(F.col("_inc") == 1, F.col("_nt") + F.col("_nc")))
+        .cast("double").alias("_nu"),
+        F.sum(F.when(F.col("_inc") == 1, F.col("_nt")))
+        .cast("double").alias("_ntu"),
+        F.sum(F.round((F.col("_nt") + F.col("_nc")).cast("double")
+                      * F.col("_d"), 9).cast("decimal(38,12)"))
+        .cast("double").alias("_sa"),
+        F.sum(F.round(F.col("_nt").cast("double") * F.col("_d"), 9)
+              .cast("decimal(38,12)")).cast("double").alias("_st"))
+    return agg.select(
+        "n", "n_treat", "n_control", "n_strata_used", "n_strata_dropped",
+        F.round(F.col("_sa") / F.col("_nu"), 6).alias("ate"),
+        F.round(F.col("_st") / F.col("_ntu"), 6).alias("att"))
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone) probability calibration — the
+    pool-adjacent-violators fit (Ayer et al. 1955; Zadrozny & Elkan 2002)
+    that :func:`calibration_bins` diagnoses the need for: the
+    least-squares NON-DECREASING mapping from score to positive rate.
+    Computed by the minimax characterization of weighted-L2 isotonic
+    regression — fitted(i) = max_{j≤i} min_{k≥i} rate(j..k), the segment
+    rate over pooled bins j..k — which is PAV's closed form and needs no
+    sequential merge loop.
+
+    Scale design: the raw table collapses to ``n_bins`` equal-width score
+    bins in ONE map-side-combined aggregate (broadcast min/max bounds row,
+    the calibration_bins rule) — the only pass over data.  The minimax
+    then runs on the O(B) occupied-bin grid: prefix sums from a bounded
+    single-partition window (the documented O(groups) frame shape), a
+    j≤i≤k triple join of ≤B-row frames (≤B³ tiny rows, all broadcast),
+    min-then-max aggregates.  Determinism: segment rates are
+    bigint/bigint doubles, min/max are exact selections, round-6 at the
+    boundary — no accumulation-order float sums anywhere.
+
+    Returns one row per occupied bin, ordered: (bin, n, n_pos, pos_rate,
+    fitted) with ``fitted`` non-decreasing in ``bin`` — apply it as the
+    calibrated probability for scores landing in that bin."""
+    from pyspark.sql.window import Window
+
+    x = F.col(score_col).cast("double")
+    src = df.filter(x.isNotNull())
+    bounds = src.agg(F.min(x).alias("_mn"), F.max(x).alias("_mx"))
+    p = F.when(F.col("_mx") > F.col("_mn"),
+               (x - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+               ).otherwise(F.lit(0.0))
+    b = F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("bigint")
+    per = (src.crossJoin(F.broadcast(bounds))
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col(outcome_col).cast("int")).cast("bigint")
+                .alias("n_pos")))
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = per.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("_cn"),
+        F.sum("n_pos").over(w).cast("bigint").alias("_cp"))
+    a, bb, i = pre.alias("a"), pre.alias("b"), pre.alias("i")
+    pairs = (a.join(F.broadcast(bb),
+                    F.col("a.bin") <= F.col("b.bin"))
+             .select(F.col("a.bin").alias("_j"), F.col("b.bin").alias("_k"),
+                     ((F.col("b._cp") - F.col("a._cp") + F.col("a.n_pos"))
+                      .cast("double")
+                      / (F.col("b._cn") - F.col("a._cn") + F.col("a.n"))
+                      ).alias("_rate")))
+    triple = pairs.join(
+        F.broadcast(i.select(F.col("i.bin").alias("_i"))),
+        (F.col("_j") <= F.col("_i")) & (F.col("_i") <= F.col("_k")))
+    inner = (triple.groupBy("_i", "_j")
+             .agg(F.min("_rate").alias("_mn_rate")))
+    fit = (inner.groupBy("_i")
+           .agg(F.max("_mn_rate").alias("_fit")))
+    return (per.join(F.broadcast(fit), per.bin == F.col("_i"))
+            .select("bin", "n", "n_pos",
+                    F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+                    .alias("pos_rate"),
+                    F.round(F.col("_fit"), 6).alias("fitted"))
+            .orderBy("bin"))
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str = "p_value",
@@ -5300,6 +5635,19 @@ TableLiftTable = _simple_module(
         "sort; broadcast percentile bounds + one n_bins-row aggregate).",
 )
 
+TableUpliftQini = _simple_module(
+    "table.ml.uplift_qini",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": uplift_qini(
+        im["table"].data, self.config["score_column"],
+        self.config["treat_column"], self.config["outcome_column"],
+        n_bins=self.config.get("n_bins", 10))},
+    doc="Qini/uplift curve (Radcliffe 2007): per-depth incremental "
+        "conversions of treatment over exposure-scaled control, raw bin "
+        "uplift, and gain over the random-targeting diagonal.",
+)
+
 TableCalibrationBins = _simple_module(
     "table.ml.calibration_bins",
     {"table": TABLE},
@@ -5311,6 +5659,19 @@ TableCalibrationBins = _simple_module(
     doc="Reliability-diagram bins: mean predicted vs observed rate per "
         "equal-width score bin + ECE contributions (two map-side-combined "
         "scans, broadcast bounds).",
+)
+
+TableIsotonicCalibration = _simple_module(
+    "table.ml.isotonic_calibration",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": isotonic_calibration(
+        im["table"].data, self.config["score_column"],
+        self.config["outcome_column"],
+        n_bins=self.config.get("n_bins", 20))},
+    doc="Isotonic (PAV) probability calibration via the minimax closed "
+        "form on equal-width score bins: least-squares non-decreasing "
+        "score-to-rate mapping (Zadrozny & Elkan 2002).",
 )
 
 TableBenford = _simple_module(
@@ -5373,7 +5734,7 @@ TableScaleFeatures = _simple_module(
 
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
-           TableCalibrationBins,
+           TableCalibrationBins, TableIsotonicCalibration, TableUpliftQini,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
            TablePriceVolumeMix, TableClassificationReport,
            TableGini, TableHhi, TableEntropy,
@@ -5871,6 +6232,35 @@ TableMsprt = _simple_module(
         "log-likelihood ratio + non-increasing p, safe at every look.",
 )
 
+TableConformalInterval = _simple_module(
+    "table.stats.conformal_interval",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": conformal_interval(
+        im["table"].data, self.config["x_column"],
+        self.config["y_column"], self.config["key_columns"],
+        alpha=self.config.get("alpha", 0.1),
+        train_pct=self.config.get("train_pct", 50),
+        cal_pct=self.config.get("cal_pct", 25),
+        salt=self.config.get("salt", "conf"))},
+    doc="Split-conformal prediction interval (Lei et al. 2018): "
+        "distribution-free ±q-hat regression band with finite-sample "
+        ">=1-alpha coverage; OLS base fit, order-statistic calibration.",
+)
+
+TableStratifiedAte = _simple_module(
+    "table.stats.stratified_ate",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": stratified_ate(
+        im["table"].data, self.config["treat_column"],
+        self.config["y_column"], self.config["covariate_column"],
+        n_strata=self.config.get("n_strata", 5))},
+    doc="Subclassification ATE/ATT (Cochran 1968; Rosenbaum & Rubin "
+        "1984): within-stratum treated-control differences averaged "
+        "with size (ATE) / treated (ATT) weights; common-support drop.",
+)
+
 TableSrmCheck = _simple_module(
     "table.stats.srm_check",
     {"table": TABLE},
@@ -5910,7 +6300,8 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableQuantileNormalize, TableKruskalWallis,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
             TableCochransQ, TableBartlett, TablePowerMde, TableMsprt,
-            TableRatioMetricDelta]
+            TableRatioMetricDelta, TableConformalInterval,
+            TableStratifiedAte]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -5925,6 +6316,14 @@ OPERATIONS = [
               "table.stats.ratio_metric_delta",
               doc="delta-method A/B test for ratio-of-sums metrics "
                   "(revenue/session-class, Deng et al. 2018)"),
+    Operation("table.stats.conformal_interval",
+              "table.stats.conformal_interval",
+              doc="split-conformal prediction interval (distribution-free "
+                  "finite-sample coverage, Lei et al. 2018)"),
+    Operation("table.stats.stratified_ate", "table.stats.stratified_ate",
+              doc="subclassification ATE/ATT on a covariate (Cochran "
+                  "1968; Rosenbaum & Rubin 1984) with common-support "
+                  "stratum drop"),
     Operation("table.stats.mood_median", "table.stats.mood_median",
               doc="Mood's median test (pooled-median 2xk chi2)"),
     Operation("table.stats.mcnemar", "table.stats.mcnemar",
@@ -6014,12 +6413,19 @@ OPERATIONS = [
               doc="full-batch gradient-descent logistic regression"),
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.ml.uplift_qini", "table.ml.uplift_qini",
+              doc="Qini/uplift curve: incremental treated conversions "
+                  "by score depth + gain over random targeting"),
     Operation("table.ml.lift_table", "table.ml.lift_table",
               doc="lift/gains model-evaluation table"),
     Operation("table.ml.auc_roc", "table.ml.auc_roc",
               doc="exact ROC AUC via midrank statistic"),
     Operation("table.ml.calibration_bins", "table.ml.calibration_bins",
               doc="reliability-diagram bins + ECE contributions"),
+    Operation("table.ml.isotonic_calibration",
+              "table.ml.isotonic_calibration",
+              doc="isotonic (PAV) calibration by minimax closed form on "
+                  "the binned grid"),
     Operation("table.weighted_percentile", "table.weighted_percentile",
               doc="exact weighted percentiles (distinct-value grid)"),
     Operation("table.ml.one_hot", "table.ml.one_hot",

@@ -1239,6 +1239,131 @@ def kmeans_silhouette(
         F.round(F.max("_s"), 6).alias("max_sil"))
 
 
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact DBSCAN density clustering (Ester et al. 1996) — the
+    clustering family's density member next to :func:`kmeans_lloyd`
+    (centroid) and :func:`semantic_dedup` (threshold-graph): a point is
+    CORE when ≥ ``min_pts`` points (itself included) lie within ``eps``;
+    clusters are the connected components of the core-core ε-graph;
+    non-core points adopt the min-labeled core neighbor (BORDER) or stay
+    NOISE (cluster −1).
+
+    Scale design — the RDD-DBSCAN / MR-DBSCAN shape, no O(N²) pair space:
+    candidate pairs come from an ε-cell GRID on the first two vector
+    dims (each point joins only its 3×3 cell neighborhood — projection
+    distance lower-bounds full distance, so pruning is EXACT at any
+    dimensionality; the grid dims must carry locality for the pruning to
+    be effective, the caller's contract).  Distances accumulate as a
+    fixed-order fold over per-dim squared diffs (the `_PAIR_DOT`
+    portability rule — no sqrt: the compare is dist² ≤ eps²), neighbor
+    counts are one hash aggregate, and components run through
+    :func:`kiara_spark.operators.graph.connected_components` (driver
+    union-find under the gate, hash-min label propagation above it —
+    min-id labels either way).  Dense cliques materialize O(n_c²)
+    core-core edges per cluster — the standard exact-DBSCAN cost; cap
+    cluster density upstream (e.g. pre-dedup) when that bites.
+
+    Determinism: cell ids are exact floor arithmetic, dist² compares
+    identically-derived doubles against the literal eps², labels are
+    min-id selections — no accumulation-order float sums anywhere.
+    Returns (``id_col``, n_neighbors, is_core, cluster) with cluster =
+    min member id of the component, −1 for noise."""
+    from .graph import connected_components
+
+    e2 = float(eps) * float(eps)
+    pts = df.select(F.col(id_col).cast("bigint").alias("_id"),
+                    _to_double(F.col(vec_col)).alias("_v"))
+    cx = F.floor(F.element_at("_v", 1) / F.lit(float(eps))).cast("bigint")
+    cy = F.floor(F.element_at("_v", 2) / F.lit(float(eps))).cast("bigint")
+    cells = pts.select("_id", "_v", cx.alias("_cx"), cy.alias("_cy"))
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                 F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = (cells.select("_id", "_v",
+                          F.explode(offsets).alias("_o"),
+                          "_cx", "_cy")
+             .select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+                     (F.col("_cx") + F.col("_o.dx")).alias("_jx"),
+                     (F.col("_cy") + F.col("_o.dy")).alias("_jy")))
+    build = cells.select(F.col("_id").alias("_idb"),
+                         F.col("_v").alias("_vb"), "_cx", "_cy")
+    dist2 = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nb = (probe.join(build, (F.col("_jx") == F.col("_cx"))
+                     & (F.col("_jy") == F.col("_cy"))
+                     & (F.col("_ida") != F.col("_idb")))
+          .select("_ida", "_idb", dist2.alias("_d2"))
+          .filter(F.col("_d2") <= F.lit(e2))
+          .select("_ida", "_idb"))
+    counts = nb.groupBy("_ida").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    cores = (counts.filter(F.col("n_neighbors") >= min_pts - 1)
+             .select(F.col("_ida").alias("_core_id")))
+    core_edges = (nb
+                  .join(cores.withColumnRenamed("_core_id", "_ida"), "_ida")
+                  .join(cores.withColumnRenamed("_core_id", "_idb"), "_idb")
+                  .filter(F.col("_ida") < F.col("_idb"))
+                  .select(F.col("_ida").alias("src"),
+                          F.col("_idb").alias("dst")))
+    comp = connected_components(core_edges)
+    core_label = (cores
+                  .join(comp.withColumnRenamed("id", "_core_id"),
+                        "_core_id", "left")
+                  .select("_core_id",
+                          F.coalesce(F.col("component"), F.col("_core_id"))
+                          .alias("_label"),
+                          F.lit(1).alias("_is_core")))
+    border_label = (nb
+                    .join(core_label
+                          .select(F.col("_core_id").alias("_idb"),
+                                  F.col("_label")),
+                          "_idb")
+                    .groupBy("_ida")
+                    .agg(F.min("_label").alias("_blabel")))
+    return (pts.select("_id")
+            .join(counts.withColumnRenamed("_ida", "_id"), "_id", "left")
+            .join(core_label.withColumnRenamed("_core_id", "_id"),
+                  "_id", "left")
+            .join(border_label.withColumnRenamed("_ida", "_id"),
+                  "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_neighbors", F.lit(0)).cast("bigint")
+                .alias("n_neighbors"),
+                F.coalesce("_is_core", F.lit(0)).cast("int")
+                .alias("is_core"),
+                F.coalesce(F.when(F.col("_is_core") == 1, F.col("_label"))
+                           .otherwise(F.col("_blabel")),
+                           F.lit(-1)).cast("bigint").alias("cluster")))
+
+
+class EmbeddingDbscan(KiaraModule):
+    """Exact grid-blocked DBSCAN density clustering (see dbscan)."""
+
+    _module_type_name = "embedding.dbscan"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"assignments": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"assignments": dbscan(
+            inputs["table"].data,
+            eps=self.config["eps"],
+            min_pts=self.config.get("min_pts", 4),
+            id_col=self.config.get("id_column", "vec_id"),
+            vec_col=self.config.get("vector_column", "embedding"))}
+
+
 class EmbeddingKMeans(KiaraModule):
     """Fixed-iteration deterministic Lloyd k-means (see kmeans_lloyd)."""
 
@@ -1457,7 +1582,8 @@ MODULES = [SimilarityTopK, EmbeddingNearDup, EmbeddingCentroids,
            EmbeddingKMeans, EmbeddingNormalize, EmbeddingQuantizeInt8,
            EmbeddingPQEncode, EmbeddingPQTopK, EmbeddingSemanticDedup,
            EmbeddingPcaTop, EmbeddingTopkRecall, EmbeddingKMeansSilhouette,
-           EmbeddingKnnClassify, EmbeddingTruncatedDimRecall]
+           EmbeddingKnnClassify, EmbeddingTruncatedDimRecall,
+           EmbeddingDbscan]
 OPERATIONS = [
     Operation("embedding.similarity.topk", "embedding.similarity.topk"),
     Operation("embedding.pq_encode", "embedding.pq_encode"),
@@ -1477,4 +1603,8 @@ OPERATIONS = [
     Operation("embedding.truncated_dim_recall",
               "embedding.truncated_dim_recall",
               doc="Matryoshka prefix-dimension recall@k ablation"),
+    Operation("embedding.dbscan", "embedding.dbscan",
+              doc="exact grid-blocked DBSCAN density clustering "
+                  "(Ester et al. 1996): eps-cell candidate pruning, "
+                  "core/border/noise labels via connected components"),
 ]

@@ -17060,6 +17060,450 @@ def stats_msprt_events_q(spark, sf_dir):
                               "treat", "control", tau=2.0)
 
 
+_CONF_KEY = _h32_sql(
+    "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)"
+    " || '#conf'")
+
+@query(
+    "stats_conformal_interval_lineitem",
+    f"""
+    WITH t AS (
+      SELECT l_quantity AS x, l_extendedprice AS y,
+             {_CONF_KEY} % 100 AS b
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x*x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(x*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM t WHERE b < 50
+    ), c1 AS (
+      SELECT n, sx, sy,
+             ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 8) AS b1
+      FROM s
+    ), c AS (
+      SELECT CAST(n AS BIGINT) AS n_train,
+             ROUND((sy - b1*sx) / n, 8) AS b0, b1
+      FROM c1
+    ), cal AS (
+      SELECT ROUND(ABS(y - (b0 + b1*x)), 6) AS r
+      FROM t, c WHERE b >= 50 AND b < 75
+    ), kq AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS nc
+      FROM cal
+    ), q AS (
+      SELECT CAST(nc AS BIGINT) AS n_cal, r AS qhat FROM kq
+      WHERE rn = CAST(FLOOR(((nc + 1) * 9 + 9) / 10.0) AS BIGINT)
+    ), tst AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ROUND(ABS(y - (b0 + b1*x)), 6) <= qhat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM t, c, q WHERE b >= 75
+    )
+    SELECT c.n_train, q.n_cal, tst.n_test,
+           ROUND(c.b0, 6) AS intercept, ROUND(c.b1, 6) AS slope,
+           q.qhat, tst.n_covered,
+           ROUND(CAST(tst.n_covered AS DOUBLE) / tst.n_test, 6) AS coverage
+    FROM c, q, tst
+    """,
+)
+def stats_conformal_interval_q(spark, sf_dir):
+    """Split-conformal prediction interval
+    (`table.stats.conformal_interval`, Lei et al. 2018):
+    distribution-free ±q̂ band for extendedprice ~ quantity with
+    finite-sample ≥90% marginal coverage — md5-keyed 50/25/25
+    train/calibration/test split, exact-decimal OLS on train, q̂ = the
+    ⌈(n_cal+1)·0.9⌉-th smallest calibration residual by histogram-
+    refinement selection (never a global sort), one test coverage
+    aggregate.  The oracle's ROW_NUMBER selection is the fixture-scale
+    formulation of the same order statistic."""
+    from .operators.quality import conformal_interval
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return conformal_interval(
+        li, "l_quantity", "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], alpha=0.1)
+
+
+@query(
+    "stats_stratified_ate_events",
+    """
+    WITH src AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+             value AS y,
+             CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS c
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+    ), bounds AS (
+      SELECT MIN(c) AS mn, MAX(c) AS mx FROM src
+    ), tagged AS (
+      SELECT t, y,
+             CAST(LEAST(FLOOR(
+               (CASE WHEN mx > mn THEN (c - mn) / (mx - mn) ELSE 0.0 END)
+               * 5), 4) AS BIGINT) AS s
+      FROM src, bounds
+    ), per AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN t = 1
+                           THEN CAST(ROUND(y, 9) AS DECIMAL(38,12)) END)
+                  AS DOUBLE) AS syt,
+             CAST(SUM(CASE WHEN t = 0
+                           THEN CAST(ROUND(y, 9) AS DECIMAL(38,12)) END)
+                  AS DOUBLE) AS syc
+      FROM tagged GROUP BY s
+    ), g AS (
+      SELECT nt, nc,
+             CASE WHEN nt > 0 AND nc > 0
+                  THEN syt / nt - syc / nc END AS d,
+             CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END AS inc
+      FROM per
+    )
+    SELECT CAST(SUM(nt) + SUM(nc) AS BIGINT) AS n,
+           CAST(SUM(nt) AS BIGINT) AS n_treat,
+           CAST(SUM(nc) AS BIGINT) AS n_control,
+           CAST(SUM(inc) AS BIGINT) AS n_strata_used,
+           CAST(COUNT(*) - SUM(inc) AS BIGINT) AS n_strata_dropped,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(nt + nc AS DOUBLE) * d, 9)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN inc = 1 THEN nt + nc END) AS DOUBLE),
+                 6) AS ate,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(nt AS DOUBLE) * d, 9)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN inc = 1 THEN nt END) AS DOUBLE),
+                 6) AS att
+    FROM g
+    """,
+)
+def stats_stratified_ate_q(spark, sf_dir):
+    """Subclassification ATE/ATT (`table.stats.stratified_ate`, Cochran
+    1968; Rosenbaum & Rubin 1984) on the events fixture: treatment by
+    user_id parity, outcome = value, stratified into 5 equal-width
+    hour-of-day strata — within-stratum treated−control differences
+    averaged with size (ATE) / treated-count (ATT) weights, strata
+    missing an arm dropped with weights renormalized.  ONE broadcast
+    bounds row + ONE stratum-keyed conditional exact-decimal aggregate;
+    everything downstream acts on the 5-row grid."""
+    from .operators.quality import stratified_ate
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                    & F.col("user_id").isNotNull()).select(
+        F.when(F.col("user_id") % 2 == 1, F.lit(1))
+        .otherwise(F.lit(0)).alias("treat"),
+        F.col("value"),
+        F.hour("ts").cast("double").alias("cov"))
+    return stratified_ate(obs, "treat", "value", "cov", n_strata=5)
+
+
+@query(
+    "ml_isotonic_calibration_orders",
+    """
+    WITH b AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+                      MAX(CAST(o_totalprice AS DOUBLE)) AS mx
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    t AS (SELECT CASE WHEN mx > mn
+                      THEN (CAST(o_totalprice AS DOUBLE) - mn) / (mx - mn)
+                      ELSE 0.0 END AS p,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders, b WHERE o_totalprice IS NOT NULL),
+    g AS (SELECT LEAST(CAST(FLOOR(p * 12) AS BIGINT), 11) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM t GROUP BY 1),
+    pre AS (SELECT bin, n, n_pos,
+                   CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                   CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+            FROM g),
+    pairs AS (SELECT a.bin AS j, b2.bin AS k,
+                     CAST(b2.cp - a.cp + a.n_pos AS DOUBLE)
+                       / (b2.cn - a.cn + a.n) AS rate
+              FROM pre a JOIN pre b2 ON a.bin <= b2.bin),
+    tri AS (SELECT i.bin AS i, p2.j AS j, MIN(p2.rate) AS mnr
+            FROM pairs p2 JOIN pre i
+              ON p2.j <= i.bin AND i.bin <= p2.k
+            GROUP BY 1, 2),
+    fit AS (SELECT i AS bin, MAX(mnr) AS f FROM tri GROUP BY 1)
+    SELECT g.bin, g.n, g.n_pos,
+           ROUND(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS pos_rate,
+           ROUND(fit.f, 6) AS fitted
+    FROM g JOIN fit ON g.bin = fit.bin
+    ORDER BY g.bin
+    """,
+)
+def ml_isotonic_calibration_q(spark, sf_dir):
+    """Isotonic (PAV) probability calibration
+    (`table.ml.isotonic_calibration`, Zadrozny & Elkan 2002) of
+    price-as-score against the finished-order outcome: 12 equal-width
+    score bins from ONE map-side aggregate, then the minimax closed form
+    fitted(i) = max_{j≤i} min_{k≥i} pooled-rate(j..k) on the O(bins)
+    grid — the least-squares non-decreasing score→probability mapping,
+    no sequential merge loop, no per-row window."""
+    from .operators.quality import isotonic_calibration
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    return isotonic_calibration(o, "o_totalprice", "y", n_bins=12)
+
+
+_DB_HX = _h32_sql("CAST(c_custkey AS VARCHAR) || 'x'")
+_DB_HY = _h32_sql("CAST(c_custkey AS VARCHAR) || 'y'")
+_DB_SX = _h32_sql("CAST(c_custkey AS VARCHAR) || 'sx'")
+_DB_SY = _h32_sql("CAST(c_custkey AS VARCHAR) || 'sy'")
+
+@query(
+    "ml_dbscan_customers",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN CAST({_DB_SX} % 50000 AS DOUBLE) / 1000.0
+                  ELSE CAST(c_custkey % 5 AS DOUBLE) * 10.0
+                       + CAST({_DB_HX} % 1000 AS DOUBLE) / 1000.0 END AS x,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN CAST({_DB_SY} % 50000 AS DOUBLE) / 1000.0
+                  ELSE CAST(c_nationkey % 5 AS DOUBLE) * 10.0
+                       + CAST({_DB_HY} % 1000 AS DOUBLE) / 1000.0 END AS y
+      FROM customer WHERE c_custkey % 6 = 1
+    ), nb AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM pts a JOIN pts b
+        ON a.id <> b.id
+       AND (0.0 + (a.x - b.x) * (a.x - b.x))
+           + (a.y - b.y) * (a.y - b.y) <= 2.25
+    ), cnt AS (
+      SELECT ia, CAST(COUNT(*) AS BIGINT) AS n FROM nb GROUP BY ia
+    ), cores AS (
+      SELECT ia AS id FROM cnt WHERE n >= 3
+    ), ce AS (
+      SELECT n1.ia AS a, n1.ib AS b
+      FROM nb n1 JOIN cores c1 ON n1.ia = c1.id
+                 JOIN cores c2 ON n1.ib = c2.id
+    ), reach(id, comp) AS (
+      SELECT id, id FROM cores
+      UNION
+      SELECT ce.b, reach.comp FROM reach JOIN ce ON ce.a = reach.id
+      WHERE reach.comp < ce.b
+    ), lab AS (
+      SELECT id, MIN(comp) AS lbl FROM reach GROUP BY id
+    ), border AS (
+      SELECT nb.ia AS id, MIN(lab.lbl) AS blbl
+      FROM nb JOIN lab ON nb.ib = lab.id GROUP BY nb.ia
+    )
+    SELECT p.id AS vec_id,
+           COALESCE(cnt.n, 0) AS n_neighbors,
+           CASE WHEN lab.id IS NOT NULL THEN 1 ELSE 0 END AS is_core,
+           COALESCE(CASE WHEN lab.id IS NOT NULL THEN lab.lbl
+                         ELSE border.blbl END, -1) AS cluster
+    FROM pts p
+    LEFT JOIN cnt ON cnt.ia = p.id
+    LEFT JOIN lab ON lab.id = p.id
+    LEFT JOIN border ON border.id = p.id
+    """,
+)
+def ml_dbscan_q(spark, sf_dir):
+    """Exact grid-blocked DBSCAN (`embedding.dbscan`, Ester et al. 1996)
+    over a deterministic md5-jittered point cloud derived from customer
+    (tight unit boxes on a 10-spaced center lattice + a uniform-scatter
+    customer slice that mostly lands as noise):
+    eps=1.5, min_pts=4 — core points from ε-cell 3×3 candidate pruning
+    (never O(N²)), clusters = min-id connected components of the
+    core-core ε-graph, border points adopt the min-labeled core
+    neighbor, scatter stays noise (−1).  The oracle is the fixture-scale
+    all-pairs + recursive-CTE formulation of the same labels."""
+    from .operators.similarity import dbscan
+    from .operators.text import base_hash32
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 6 == 1)
+    key = F.col("c_custkey").cast("string")
+    scatter = F.col("c_custkey") % 5 == 0
+    x = F.when(
+        scatter,
+        (base_hash32(F.concat(key, F.lit("sx"))) % 50000).cast("double")
+        / 1000.0).otherwise(
+        (F.col("c_custkey") % 5).cast("double") * 10.0
+        + (base_hash32(F.concat(key, F.lit("x"))) % 1000).cast("double")
+        / 1000.0)
+    y = F.when(
+        scatter,
+        (base_hash32(F.concat(key, F.lit("sy"))) % 50000).cast("double")
+        / 1000.0).otherwise(
+        (F.col("c_nationkey") % 5).cast("double") * 10.0
+        + (base_hash32(F.concat(key, F.lit("y"))) % 1000).cast("double")
+        / 1000.0)
+    pts = c.select(F.col("c_custkey").cast("bigint").alias("vec_id"),
+                   F.array(x, y).alias("embedding"))
+    return dbscan(pts, eps=1.5, min_pts=4)
+
+
+def _shap_grid_values():
+    """The (channel, subset, subset+channel, weight) Shapley grid for the
+    events channel vocabulary, emitted as a SQL VALUES list.  Weights are
+    Python-float reprs cast from strings so BOTH engines parse the
+    identical double (correctly-rounded decimal->binary)."""
+    import math
+    from itertools import combinations
+
+    channels = ["click", "view", "signup", "error"]
+    k = len(channels)
+    vals = []
+    for ch in channels:
+        others = [c for c in channels if c != ch]
+        for r in range(k):
+            for s in combinations(others, r):
+                w = (math.factorial(r) * math.factorial(k - r - 1)
+                     / math.factorial(k))
+                vals.append(
+                    f"('{ch}', '{','.join(sorted(s))}', "
+                    f"'{','.join(sorted(s + (ch,)))}', "
+                    f"CAST('{w!r}' AS DOUBLE))")
+    return ", ".join(vals)
+
+
+@query(
+    "events_attribution_shapley",
+    f"""
+    WITH grid(channel, s0, s1, w) AS (VALUES {_shap_grid_values()}),
+    pu AS (
+      SELECT user_id,
+             array_to_string(list_sort(
+               list(DISTINCT event_type)
+                 FILTER (WHERE event_type IN
+                         ('click','view','signup','error'))), ',') AS key,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ), subs AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(conv) AS BIGINT) AS nc
+      FROM pu WHERE key <> '' GROUP BY key
+    ), v AS (
+      SELECT key, CAST(nc AS DOUBLE) / nu AS v FROM subs
+    ), j AS (
+      SELECT g.channel,
+             g.w * (COALESCE(v1.v, 0.0) - COALESCE(v0.v, 0.0)) AS contrib
+      FROM grid g
+      LEFT JOIN v v0 ON v0.key = g.s0
+      LEFT JOIN v v1 ON v1.key = g.s1
+    ), shap AS (
+      SELECT channel,
+             CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS s
+      FROM j GROUP BY channel
+    ), touch AS (
+      SELECT u.ch AS channel, CAST(SUM(nu) AS BIGINT) AS n_users,
+             CAST(SUM(nc) AS BIGINT) AS n_conversions
+      FROM subs, UNNEST(string_split(subs.key, ',')) AS u(ch)
+      GROUP BY 1
+    )
+    SELECT s.channel,
+           COALESCE(t.n_users, 0) AS n_users,
+           COALESCE(t.n_conversions, 0) AS n_conversions,
+           ROUND(s.s, 6) AS shapley
+    FROM shap s LEFT JOIN touch t ON t.channel = s.channel
+    """,
+)
+def events_attribution_shapley_q(spark, sf_dir):
+    """Shapley-value channel attribution (`events.attribution.shapley`,
+    Zhao et al. 2018) on the events fixture: coalition value = observed
+    conversion (purchase) rate per EXACT touched-channel subset of
+    {{click, view, signup, error}}; each channel's credit is its
+    factorial-weighted average marginal contribution.  ONE user-keyed
+    aggregate + ONE ≤2^k-group subset aggregate; the 32-row Shapley grid
+    and all downstream joins are broadcast literals."""
+    from .operators.events import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, ["click", "view", "signup", "error"])
+
+
+@query(
+    "ml_uplift_qini_events",
+    """
+    WITH pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS tr,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), b AS (
+      SELECT [QUANTILE_CONT(score, 0.1), QUANTILE_CONT(score, 0.2),
+              QUANTILE_CONT(score, 0.3), QUANTILE_CONT(score, 0.4),
+              QUANTILE_CONT(score, 0.5), QUANTILE_CONT(score, 0.6),
+              QUANTILE_CONT(score, 0.7), QUANTILE_CONT(score, 0.8),
+              QUANTILE_CONT(score, 0.9)] AS bnds
+      FROM pu
+    ), r AS (
+      SELECT tr, y,
+             CAST(list_sum(list_transform(bnds,
+                  x -> CASE WHEN score > x THEN 1 ELSE 0 END)) AS INT)
+               AS bin
+      FROM pu CROSS JOIN b
+    ), p AS (
+      SELECT bin,
+             CAST(SUM(tr) AS BIGINT) AS nt,
+             CAST(SUM(1 - tr) AS BIGINT) AS nc,
+             CAST(SUM(tr * y) AS BIGINT) AS ct,
+             CAST(SUM((1 - tr) * y) AS BIGINT) AS cc
+      FROM r GROUP BY bin
+    ), c AS (
+      SELECT bin, nt, nc, ct, cc,
+             CAST(SUM(nt) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_treat,
+             CAST(SUM(nc) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS cum_control,
+             CAST(SUM(ct) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS cum_conv_treat,
+             CAST(SUM(cc) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS cum_conv_control
+      FROM p
+    ), t AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS tnt, CAST(SUM(nc) AS BIGINT) AS tnc,
+             CAST(SUM(ct) AS BIGINT) AS tct, CAST(SUM(cc) AS BIGINT) AS tcc
+      FROM p
+    )
+    SELECT CAST(10 - bin AS BIGINT) AS bucket,
+           nt AS n_treat, nc AS n_control,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+             ROUND(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 6)
+           END AS uplift,
+           cum_treat, cum_control, cum_conv_treat, cum_conv_control,
+           CASE WHEN cum_control > 0 THEN
+             ROUND(cum_conv_treat - cum_conv_control
+                   * (CAST(cum_treat AS DOUBLE) / cum_control), 6)
+           END AS cum_qini,
+           CASE WHEN cum_control > 0 AND tnc > 0 THEN
+             ROUND((cum_conv_treat - cum_conv_control
+                    * (CAST(cum_treat AS DOUBLE) / cum_control))
+                   - (tct - tcc * (CAST(tnt AS DOUBLE) / tnc))
+                     * CAST(cum_treat + cum_control AS DOUBLE)
+                     / (tnt + tnc), 6)
+           END AS qini_gain
+    FROM c CROSS JOIN t ORDER BY bucket
+    """,
+)
+def ml_uplift_qini_q(spark, sf_dir):
+    """Qini / uplift curve (`table.ml.uplift_qini`, Radcliffe 2007) on
+    the events fixture: units = users, treatment by user_id parity,
+    uplift score = per-user view count, conversion = purchase.  ONE
+    user-keyed aggregate, equal-frequency score deciles from broadcast
+    percentile bounds (no global sort), one 10-row conditional cell
+    aggregate, cumulative windows over the decile grid."""
+    from .operators.quality import uplift_qini
+
+    ev = _t(spark, sf_dir, "events")
+    obs = (ev.groupBy("user_id")
+           .agg(F.sum((F.col("event_type") == "view").cast("int"))
+                .cast("bigint").alias("score"),
+                F.max((F.col("event_type") == "purchase").cast("int"))
+                .alias("y"))
+           .withColumn("tr", (F.col("user_id") % 2).cast("int")))
+    return uplift_qini(obs, "score", "tr", "y", n_bins=10)
+
+
 @query(
     "streaming_msprt_demo",
     f"""

@@ -465,3 +465,72 @@ def test_rfm_thresholds_scale_with_bins(spark):
     # with 2 bins not everyone can be champion (the hardcoded-threshold bug)
     segs = {r.segment for r in out}
     assert segs != {"champion"}
+
+
+# ---------------------------------------------------------------------------
+# Shapley channel attribution
+# ---------------------------------------------------------------------------
+
+
+def _shap_frame(spark, user_events):
+    """user_events: list of (user, [channel_touches...], converted)."""
+    rows = []
+    for u, touches, conv in user_events:
+        for t in touches:
+            rows.append((u, t))
+        if conv:
+            rows.append((u, "purchase"))
+    return spark.createDataFrame(rows, "user_id bigint, event_type string")
+
+
+def test_shapley_hand_computed_two_channels(spark):
+    """v(A)=1, v(B)=0, v(AB)=0.5 -> phi(A)=0.75, phi(B)=-0.25; the
+    credits sum to v(AB) (efficiency)."""
+    out = {r.channel: r for r in E.shapley_attribution(
+        _shap_frame(spark, [
+            (1, ["click"], True),
+            (2, ["view"], False),
+            (3, ["click", "view"], True),
+            (4, ["click", "view"], False),
+        ]), ["click", "view"]).collect()}
+    assert out["click"].shapley == pytest.approx(0.75, abs=1e-9)
+    assert out["view"].shapley == pytest.approx(-0.25, abs=1e-9)
+    assert out["click"].n_users == 3 and out["view"].n_users == 3
+    assert out["click"].n_conversions == 2
+
+
+def test_shapley_efficiency_with_unobserved_subsets(spark):
+    """Every user touches all 3 channels: only v(K) is observed, so each
+    channel gets v(K)/3 and the credits sum exactly to v(K)."""
+    evs = [(u, ["click", "view", "signup"], u % 2 == 0)
+           for u in range(1, 9)]
+    out = E.shapley_attribution(
+        _shap_frame(spark, evs),
+        ["click", "view", "signup"]).collect()
+    for r in out:
+        assert r.shapley == pytest.approx(0.5 / 3, abs=1e-6)
+    assert sum(r.shapley for r in out) == pytest.approx(0.5, abs=1e-5)
+
+
+def test_shapley_untouched_users_excluded(spark):
+    """A purchase-only user contributes to no coalition (v(empty)=0
+    baseline) and channels the user never touched stay untouched."""
+    base = [(1, ["click"], True), (2, ["click"], False)]
+    with_ghost = base + [(99, [], True)]
+    a = sorted(map(tuple, E.shapley_attribution(
+        _shap_frame(spark, base), ["click", "view"]).collect()))
+    b = sorted(map(tuple, E.shapley_attribution(
+        _shap_frame(spark, with_ghost), ["click", "view"]).collect()))
+    assert a == b
+
+
+def test_shapley_operation_minted(ctx, spark):
+    df = _shap_frame(spark, [(1, ["click"], True), (2, ["view"], False)])
+    out = ctx.run_job(
+        "events.attribution.shapley", {"table": df},
+        operation_config={"channels": ["click", "view"]})
+    rows = {r.channel: r.shapley for r in out["table"].data.collect()}
+    # v(click)=1, v(view)=0, v(click,view) unobserved -> 0:
+    # phi(click) = .5*1 + .5*(0-0) = 0.5; phi(view) = .5*0 + .5*(0-1) = -0.5
+    assert rows["click"] == pytest.approx(0.5, abs=1e-9)
+    assert rows["view"] == pytest.approx(-0.5, abs=1e-9)

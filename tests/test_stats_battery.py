@@ -2185,3 +2185,233 @@ def test_msprt_null_bucket_rows_dropped(spark):
     b = msprt_always_valid(df_n, "variant", "t", "y", "a", "b",
                            tau=1.0).collect()
     assert a == b and len(a) == 1
+
+
+def _conf_frame(spark, n=400, noise=None):
+    """id/x/y frame; optional per-row deterministic 'noise' callable."""
+    rows = []
+    for i in range(n):
+        x = float(i % 50)
+        y = 3.0 * x + 5.0 + (noise(i) if noise else 0.0)
+        rows.append((i, x, y))
+    return spark.createDataFrame(rows, "k bigint, x double, y double")
+
+
+def test_conformal_perfect_fit_zero_width(spark):
+    """Noise-free linear data: OLS recovers the line exactly, every
+    residual is 0, so q-hat = 0 and test coverage is exactly 1.0."""
+    from kiara_spark.operators.quality import conformal_interval
+
+    r = conformal_interval(_conf_frame(spark), "x", "y", ["k"],
+                           alpha=0.1).collect()[0]
+    assert r.slope == pytest.approx(3.0, abs=1e-6)
+    assert r.intercept == pytest.approx(5.0, abs=1e-6)
+    assert r.qhat == 0.0
+    assert r.n_covered == r.n_test and r.coverage == 1.0
+    assert r.n_train + r.n_cal + r.n_test == 400
+
+
+def test_conformal_coverage_near_level_and_alpha_monotone(spark):
+    """Bounded deterministic noise: the 90% band covers ~>=85% of test
+    rows (finite-sample marginal guarantee is >=1-alpha in expectation),
+    q-hat never exceeds the noise bound, and a larger alpha gives a
+    narrower (<=) band — interval width is monotone in confidence."""
+    from kiara_spark.operators.quality import conformal_interval
+
+    noise = lambda i: ((i * 2654435761) % 2001 - 1000) / 500.0  # [-2, 2]
+    df = _conf_frame(spark, n=600, noise=noise)
+    r90 = conformal_interval(df, "x", "y", ["k"], alpha=0.1).collect()[0]
+    r50 = conformal_interval(df, "x", "y", ["k"], alpha=0.5).collect()[0]
+    assert 0.0 < r90.qhat <= 2.5
+    assert r90.coverage >= 0.85
+    assert r50.qhat <= r90.qhat
+    assert r90.n_cal > 0 and r90.n_test > 0
+
+
+def test_conformal_split_is_key_deterministic(spark):
+    """The 3-way split hangs off md5(key), not row order: a repartitioned
+    / reordered frame produces the identical single-row readout."""
+    from kiara_spark.operators.quality import conformal_interval
+
+    noise = lambda i: ((i * 40503) % 101 - 50) / 100.0
+    df = _conf_frame(spark, n=300, noise=noise)
+    a = conformal_interval(df, "x", "y", ["k"]).collect()
+    b = conformal_interval(df.repartition(7).sortWithinPartitions("y"),
+                           "x", "y", ["k"]).collect()
+    assert a == b
+
+
+def test_conformal_operation_minted(ctx, spark):
+    from kiara_spark.operators.quality import conformal_interval  # noqa: F401
+
+    df = _conf_frame(spark, n=200)
+    out = ctx.run_job(
+        "table.stats.conformal_interval", {"table": df},
+        operation_config={"x_column": "x", "y_column": "y",
+                          "key_columns": ["k"]})
+    row = out["table"].data.collect()[0]
+    assert row.qhat == 0.0 and row.coverage == 1.0
+
+
+def _ate_frame(spark, rows):
+    return spark.createDataFrame(rows, "t int, y double, c double")
+
+
+def test_stratified_ate_hand_computed_weights(spark):
+    """Two strata with known cell means: ATE is the size-weighted and ATT
+    the treated-weighted average of the within-stratum differences."""
+    from kiara_spark.operators.quality import stratified_ate
+
+    rows = ([(1, 10.0, 0.0)] * 2 + [(0, 8.0, 0.0)] * 2       # s0: diff 2
+            + [(1, 20.0, 10.0)] * 3 + [(0, 15.0, 10.0)] * 3)  # s1: diff 5
+    r = stratified_ate(_ate_frame(spark, rows), "t", "y", "c",
+                       n_strata=2).collect()[0]
+    assert r.n == 10 and r.n_treat == 5 and r.n_control == 5
+    assert r.n_strata_used == 2 and r.n_strata_dropped == 0
+    assert r.ate == pytest.approx((4 * 2.0 + 6 * 5.0) / 10, abs=1e-9)
+    assert r.att == pytest.approx((2 * 2.0 + 3 * 5.0) / 5, abs=1e-9)
+
+
+def test_stratified_ate_removes_simpsons_confounding(spark):
+    """Simpson's-paradox layout: treatment concentrates in the
+    high-baseline stratum, so the NAIVE treated-control difference is
+    large while the within-stratum effect is exactly zero — the
+    stratified estimate recovers 0."""
+    from kiara_spark.operators.quality import stratified_ate
+
+    rows = ([(1, 100.0, 9.0)] * 9 + [(0, 100.0, 9.0)] * 1
+            + [(1, 1.0, 0.0)] * 1 + [(0, 1.0, 0.0)] * 9)
+    df = _ate_frame(spark, rows)
+    tr = [y for t, y, _ in rows if t == 1]
+    co = [y for t, y, _ in rows if t == 0]
+    naive = sum(tr) / len(tr) - sum(co) / len(co)
+    assert abs(naive) > 50          # hopelessly confounded
+    r = stratified_ate(df, "t", "y", "c", n_strata=2).collect()[0]
+    assert r.ate == pytest.approx(0.0, abs=1e-9)
+    assert r.att == pytest.approx(0.0, abs=1e-9)
+
+
+def test_stratified_ate_common_support_drop(spark):
+    """A stratum with only one arm is excluded and the weights
+    renormalize over the remaining strata."""
+    from kiara_spark.operators.quality import stratified_ate
+
+    rows = ([(1, 5.0, 0.0), (0, 3.0, 0.0)]        # s0: diff 2, n=2
+            + [(1, 99.0, 10.0)] * 4)              # s1: treated only
+    r = stratified_ate(_ate_frame(spark, rows), "t", "y", "c",
+                       n_strata=2).collect()[0]
+    assert r.n == 6 and r.n_strata_used == 1 and r.n_strata_dropped == 1
+    assert r.ate == pytest.approx(2.0, abs=1e-9)
+    assert r.att == pytest.approx(2.0, abs=1e-9)
+
+
+def test_stratified_ate_operation_minted(ctx, spark):
+    rows = [(1, 4.0, 0.0), (0, 1.0, 0.0), (1, 4.0, 5.0), (0, 1.0, 5.0)]
+    df = _ate_frame(spark, rows)
+    out = ctx.run_job(
+        "table.stats.stratified_ate", {"table": df},
+        operation_config={"treat_column": "t", "y_column": "y",
+                          "covariate_column": "c", "n_strata": 2})
+    row = out["table"].data.collect()[0]
+    assert row.ate == pytest.approx(3.0, abs=1e-9)
+
+
+def _iso_frame(spark, bin_specs):
+    """bin_specs: list of (score, n, n_pos) — n rows at that score with
+    n_pos positives."""
+    rows = []
+    for score, n, n_pos in bin_specs:
+        for i in range(n):
+            rows.append((float(score), 1 if i < n_pos else 0))
+    return spark.createDataFrame(rows, "s double, y int")
+
+
+def test_isotonic_pav_pools_violating_pair(spark):
+    """Textbook PAV: rates .2/.6/.4/.8 — the middle violation pools to
+    .5 and the ends are untouched."""
+    from kiara_spark.operators.quality import isotonic_calibration
+
+    df = _iso_frame(spark, [(0, 5, 1), (1, 5, 3), (2, 5, 2), (3, 5, 4)])
+    out = isotonic_calibration(df, "s", "y", n_bins=4).collect()
+    assert [r.fitted for r in out] == [0.2, 0.5, 0.5, 0.8]
+    assert [r.pos_rate for r in out] == [0.2, 0.6, 0.4, 0.8]
+
+
+def test_isotonic_pooling_is_weighted(spark):
+    """Unequal bin sizes: pooling averages with bin weights — rate 1.0
+    (n=1) then 0.0 (n=3) pools to 1/4, not 1/2."""
+    from kiara_spark.operators.quality import isotonic_calibration
+
+    df = _iso_frame(spark, [(0, 1, 1), (1, 3, 0)])
+    out = isotonic_calibration(df, "s", "y", n_bins=2).collect()
+    assert [r.fitted for r in out] == [0.25, 0.25]
+
+
+def test_isotonic_identity_on_monotone_input(spark):
+    """Already-isotonic rates come back unchanged and non-decreasing."""
+    from kiara_spark.operators.quality import isotonic_calibration
+
+    df = _iso_frame(spark, [(0, 4, 0), (1, 4, 1), (2, 4, 2), (3, 4, 4)])
+    out = isotonic_calibration(df, "s", "y", n_bins=4).collect()
+    fitted = [r.fitted for r in out]
+    assert fitted == [0.0, 0.25, 0.5, 1.0]
+    assert fitted == sorted(fitted)
+
+
+def test_isotonic_operation_minted(ctx, spark):
+    df = _iso_frame(spark, [(0, 2, 2), (1, 2, 0)])
+    out = ctx.run_job(
+        "table.ml.isotonic_calibration", {"table": df},
+        operation_config={"score_column": "s", "outcome_column": "y",
+                          "n_bins": 2})
+    fitted = [r.fitted for r in out["table"].data.collect()]
+    assert fitted == [0.5, 0.5]
+
+
+def _qini_frame(spark, rows):
+    return spark.createDataFrame(rows, "score double, tr int, y int")
+
+
+def test_uplift_qini_hand_computed(spark):
+    """2 bins: high bin has all the treatment effect, full-depth Qini is
+    0 (effect cancels), so bucket 1 carries qini=1 and gain=1."""
+    from kiara_spark.operators.quality import uplift_qini
+
+    rows = ([(10.0, 1, 1), (10.0, 1, 0), (10.0, 0, 0), (10.0, 0, 0),
+             (1.0, 1, 0), (1.0, 1, 0), (1.0, 0, 1), (1.0, 0, 0)])
+    out = {r.bucket: r for r in uplift_qini(
+        _qini_frame(spark, rows), "score", "tr", "y",
+        n_bins=2).collect()}
+    b1, b2 = out[1], out[2]
+    assert b1.n_treat == 2 and b1.n_control == 2
+    assert b1.uplift == pytest.approx(0.5, abs=1e-9)
+    assert b1.cum_qini == pytest.approx(1.0, abs=1e-9)
+    assert b2.cum_qini == pytest.approx(0.0, abs=1e-9)
+    assert b1.qini_gain == pytest.approx(1.0, abs=1e-9)
+    assert b2.qini_gain == pytest.approx(0.0, abs=1e-9)
+
+
+def test_uplift_qini_null_treatment_flat_curve(spark):
+    """Identical arms: every cumulative Qini value is 0 and every bin
+    uplift is 0 — no incremental conversions to claim."""
+    from kiara_spark.operators.quality import uplift_qini
+
+    rows = []
+    for i in range(40):
+        rows.append((float(i % 4), 1, 1 if i % 5 == 0 else 0))
+        rows.append((float(i % 4), 0, 1 if i % 5 == 0 else 0))
+    out = uplift_qini(_qini_frame(spark, rows), "score", "tr", "y",
+                      n_bins=4).collect()
+    for r in out:
+        assert r.cum_qini == pytest.approx(0.0, abs=1e-9)
+        assert r.uplift == pytest.approx(0.0, abs=1e-9)
+
+
+def test_uplift_qini_operation_minted(ctx, spark):
+    rows = [(10.0, 1, 1), (10.0, 0, 0), (1.0, 1, 0), (1.0, 0, 0)]
+    out = ctx.run_job(
+        "table.ml.uplift_qini", {"table": _qini_frame(spark, rows)},
+        operation_config={"score_column": "score", "treat_column": "tr",
+                          "outcome_column": "y", "n_bins": 2})
+    rows_out = {r.bucket: r for r in out["table"].data.collect()}
+    assert rows_out[1].cum_qini == pytest.approx(1.0, abs=1e-9)

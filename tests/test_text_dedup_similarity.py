@@ -880,3 +880,79 @@ def test_ngram_novelty_operation_minted(ctx, spark):
     out = ctx.run_job("table.dedup.ngram_novelty", {"table": df})
     rows = out["table"].data.collect()
     assert all(r.novelty == 0.0 for r in rows) and len(rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (grid-blocked exact density clustering)
+# ---------------------------------------------------------------------------
+
+
+def _pts(spark, coords):
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(coords)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    """Two tight blobs well past eps apart + one isolated point: two
+    clusters labeled by min member id, the isolated point is noise."""
+    from kiara_spark.operators.similarity import dbscan
+
+    blob_a = [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (0.1, 0.1)]     # ids 0-3
+    blob_b = [(10.0, 10.0), (10.1, 10.0), (10.0, 10.1), (10.1, 10.1)]
+    lone = [(50.0, 50.0)]                                          # id 8
+    out = {r.vec_id: r for r in
+           dbscan(_pts(spark, blob_a + blob_b + lone), eps=0.5,
+                  min_pts=3).collect()}
+    assert all(out[i].cluster == 0 and out[i].is_core == 1 for i in range(4))
+    assert all(out[i].cluster == 4 and out[i].is_core == 1
+               for i in range(4, 8))
+    assert out[8].cluster == -1 and out[8].is_core == 0
+    assert out[8].n_neighbors == 0
+
+
+def test_dbscan_border_vs_noise(spark):
+    """A chain a-b-c-d with min_pts=3: middles are core, the ends are
+    border (core neighbor within eps) and a far point is noise — the
+    three-way point taxonomy of the original paper."""
+    from kiara_spark.operators.similarity import dbscan
+
+    chain = [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)]
+    far = [(100.0, 0.0)]
+    out = {r.vec_id: r for r in
+           dbscan(_pts(spark, chain + far), eps=1.1, min_pts=3).collect()}
+    assert out[1].is_core == 1 and out[2].is_core == 1
+    assert out[0].is_core == 0 and out[0].cluster == 1   # border joins b
+    assert out[3].is_core == 0 and out[3].cluster == 1
+    assert out[4].cluster == -1
+
+
+def test_dbscan_cross_cell_neighbors_found(spark):
+    """Points straddling a grid-cell boundary (coords just under/over a
+    multiple of eps) must still pair up — the 3x3 neighborhood probe."""
+    from kiara_spark.operators.similarity import dbscan
+
+    pts = [(0.99, 0.99), (1.01, 1.01), (1.01, 0.99)]   # eps=1.0 cells differ
+    out = {r.vec_id: r for r in
+           dbscan(_pts(spark, pts), eps=1.0, min_pts=3).collect()}
+    assert all(r.cluster == 0 for r in out.values())
+    assert all(r.n_neighbors == 2 for r in out.values())
+
+
+def test_dbscan_partition_invariance(spark):
+    """Labels are a pure function of the point set, not of partitioning."""
+    from kiara_spark.operators.similarity import dbscan
+
+    coords = [(i % 7 * 5.0 + (i % 3) * 0.1, i % 5 * 5.0) for i in range(40)]
+    df = _pts(spark, coords)
+    a = sorted(map(tuple, dbscan(df, eps=0.8, min_pts=3).collect()))
+    b = sorted(map(tuple, dbscan(df.repartition(11), eps=0.8,
+                                 min_pts=3).collect()))
+    assert a == b
+
+
+def test_dbscan_operation_minted(ctx, spark):
+    df = _pts(spark, [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (9.0, 9.0)])
+    out = ctx.run_job("embedding.dbscan", {"table": df},
+                      operation_config={"eps": 0.5, "min_pts": 3})
+    rows = {r.vec_id: r for r in out["assignments"].data.collect()}
+    assert rows[0].cluster == 0 and rows[3].cluster == -1
