@@ -382,6 +382,8 @@ BENCH_QUERIES = [
     "ml_dbscan_customers",
     "events_attribution_shapley",
     "ml_uplift_qini_events",
+    "weights_rake_orders",
+    "linkage_fs_patterns_parts",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",

@@ -1425,3 +1425,109 @@ OPERATIONS = [
     Operation("table.dedup.paragraphs", "table.dedup.paragraphs"),
     Operation("table.dedup.minhash_index.build", "table.dedup.minhash_index.build"),
 ]
+
+
+def fellegi_sunter_patterns(
+    df: DataFrame,
+    id_col: str,
+    block_col,
+    field_cols: list[str],
+    m_probs: list[float] | None = None,
+    prior: float = 0.05,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    1969; Winkler 1988) — the statistical scorer the rule-based
+    entity-resolution composition lacks: blocked candidate pairs are
+    reduced to per-field AGREEMENT PATTERNS γ ∈ {0,1}^k, and each
+    pattern gets the classic log-likelihood match weight
+
+        W(γ) = Σ_i  γᵢ·log₂(mᵢ/uᵢ) + (1−γᵢ)·log₂((1−mᵢ)/(1−uᵢ))
+
+    plus the posterior match probability under a ``prior`` match rate.
+    mᵢ (P(agree|match)) come from ``m_probs`` (reviewed/literature
+    values — default 0.9 each); uᵢ (P(agree|non-match)) are estimated
+    EMPIRICALLY as each field's agreement rate over ALL candidate pairs
+    (the standard u-from-random-pairs practice — candidate pairs are
+    overwhelmingly non-matches), clamped to [1e-6, 1−1e-6].
+
+    Scale design: ONE blocked equality self-join (shuffle on the block
+    key — the N² space is never formed), ONE 2^k-row pattern aggregate;
+    u and the weight algebra run on the broadcast pattern grid.
+    Determinism: agreement bits are null-safe equality, u is
+    bigint/bigint division, the weight is a fixed-order sum of log₂
+    ratio terms (round-6 absorbs libm ulp differences), the posterior
+    is an explicit fixed-order product ratio — no pow().  Returns one
+    row per observed pattern: (g_<field>... , n_pairs, weight,
+    p_match)."""
+    k = len(field_cols)
+    m_probs = m_probs or [0.9] * k
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
+    keyed = df.select(
+        F.col(id_col).alias("_id"), blk.alias("_blk"),
+        *[F.col(f).alias(f"_f{i}") for i, f in enumerate(field_cols)])
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(b, (F.col("a._blk") == F.col("b._blk"))
+                   & (F.col("a._id") < F.col("b._id")))
+    gcols = [f"g_{f}" for f in field_cols]
+    pat = (pairs.select(*[
+        F.col(f"a._f{i}").eqNullSafe(F.col(f"b._f{i}")).cast("int")
+        .alias(g) for i, g in enumerate(gcols)])
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    urow = pat.agg(
+        *[(F.sum(F.col("n_pairs") * F.col(g)).cast("double")
+           / F.sum("n_pairs")).alias(f"_u{i}")
+          for i, g in enumerate(gcols)])
+    urow = urow.select(*[
+        F.least(F.greatest(F.col(f"_u{i}"), F.lit(1e-6)),
+                F.lit(1.0 - 1e-6)).alias(f"_u{i}")
+        for i in range(k)])
+    g = pat.crossJoin(F.broadcast(urow))
+    weight = None
+    mt, ut = None, None
+    for i, gc in enumerate(gcols):
+        mi = float(m_probs[i])
+        ui = F.col(f"_u{i}")
+        term = F.when(F.col(gc) == 1, F.log2(F.lit(mi) / ui)) \
+            .otherwise(F.log2(F.lit(1.0 - mi) / (F.lit(1.0) - ui)))
+        mterm = F.when(F.col(gc) == 1, F.lit(mi)) \
+            .otherwise(F.lit(1.0 - mi))
+        uterm = F.when(F.col(gc) == 1, ui).otherwise(F.lit(1.0) - ui)
+        weight = term if weight is None else weight + term
+        mt = mterm if mt is None else mt * mterm
+        ut = uterm if ut is None else ut * uterm
+    pi = float(prior)
+    post = (F.lit(pi) * mt) / (F.lit(pi) * mt + F.lit(1.0 - pi) * ut)
+    return g.select(*gcols, "n_pairs",
+                    F.round(weight, 6).alias("weight"),
+                    F.round(post, 6).alias("p_match"))
+
+
+class DedupFellegiSunter(KiaraModule):
+    """Fellegi-Sunter agreement-pattern match weights (see
+    fellegi_sunter_patterns)."""
+
+    _module_type_name = "table.linkage.fellegi_sunter"
+
+    def create_inputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def create_outputs_schema(self):
+        return {"table": {"type": "table"}}
+
+    def process(self, inputs: ValueMap, context):
+        return {"table": fellegi_sunter_patterns(
+            inputs["table"].data,
+            self.config["id_column"],
+            self.config["block_column"],
+            self.config["field_columns"],
+            m_probs=self.config.get("m_probs"),
+            prior=self.config.get("prior", 0.05))}
+
+
+MODULES.append(DedupFellegiSunter)
+OPERATIONS.append(
+    Operation("table.linkage.fellegi_sunter",
+              "table.linkage.fellegi_sunter",
+              doc="Fellegi-Sunter probabilistic record-linkage pattern "
+                  "weights (empirical-u, blocked pairs)"))

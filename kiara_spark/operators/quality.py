@@ -934,6 +934,73 @@ def uplift_qini(
             .orderBy("bucket"))
 
 
+def rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    n_iter: int = 3,
+    row_targets: dict | None = None,
+    col_targets: dict | None = None,
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan 1940) —
+    the survey-calibration standard: scale cell weights so the weighted
+    row and column margins of a two-way contingency grid hit TARGET
+    margins, by alternating proportional adjustments.  ``row_targets`` /
+    ``col_targets`` map category → target mass; omitted targets default
+    to UNIFORM margins (total/R, total/C) — the "equalize
+    representation" configuration a training-data curator uses to
+    rebalance a (source × language) grid.
+
+    Per iteration (row step then column step):
+        w ← w · t_r / Σ_c n·w      then      w ← w · t_c / Σ_r n·w
+
+    ``n_iter`` is FIXED (default 3), not convergence-tested — a bounded,
+    engine-reproducible plan; IPF converges geometrically so 3 rounds
+    land within ~1e-6 on well-conditioned grids, and the caller reads
+    the residual from the fitted margins.
+
+    Scale design: the raw table is touched ONCE (the cell-count hash
+    aggregate — the only distributed work at any scale); the scaling
+    loop runs on the COLLECTED O(R·C) grid (bounded by the contingency
+    contract — two categorical dims, like the kth_smallest final stage),
+    with margin sums as DETERMINISTIC key-ordered left folds — byte-
+    identical to the SQL twin's list_sort + list_reduce, because a
+    distributed SUM of doubles would be accumulation-order ambiguous.
+    Zero-margin cells keep their weight.  Returns one row per cell:
+    (row value, col value, n, weight, fitted = n·weight), round-6."""
+    r, c = F.col(row_col).cast("string"), F.col(col_col).cast("string")
+    cells = {(x["_r"], x["_c"]): [int(x["_n"]), 1.0]
+             for x in (df.groupBy(r.alias("_r"), c.alias("_c"))
+                       .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+                       .collect())}
+    rows_ = sorted({k[0] for k in cells})
+    cols_ = sorted({k[1] for k in cells})
+    total = float(sum(n for n, _ in cells.values()))
+    t_r = row_targets or {x: total / float(len(rows_)) for x in rows_}
+    t_c = col_targets or {x: total / float(len(cols_)) for x in cols_}
+    for _ in range(n_iter):
+        for dim, cats, targets in ((0, rows_, t_r), (1, cols_, t_c)):
+            for cat in cats:
+                m = 0.0
+                for k in sorted(cells, key=lambda k: k[1 - dim]):
+                    if k[dim] == cat:
+                        m = m + cells[k][0] * cells[k][1]
+                if m > 0 and cat in targets:
+                    scale = float(targets[cat]) / m
+                    for k in cells:
+                        if k[dim] == cat:
+                            cells[k][1] = cells[k][1] * scale
+    out = [(k[0], k[1], cells[k][0], cells[k][1],
+            cells[k][0] * cells[k][1]) for k in sorted(cells)]
+    res = df.sparkSession.createDataFrame(
+        out, f"{row_col} string, {col_col} string, n bigint, "
+             "_w double, _f double")
+    return res.select(
+        row_col, col_col, "n",
+        F.round(F.col("_w"), 6).alias("weight"),
+        F.round(F.col("_f"), 6).alias("fitted"))
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -5635,6 +5702,22 @@ TableLiftTable = _simple_module(
         "sort; broadcast percentile bounds + one n_bins-row aggregate).",
 )
 
+TableRakeWeights = _simple_module(
+    "table.weights.rake",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": rake_weights(
+        im["table"].data, self.config["row_column"],
+        self.config["col_column"],
+        n_iter=self.config.get("n_iter", 3),
+        row_targets=self.config.get("row_targets"),
+        col_targets=self.config.get("col_targets"))},
+    doc="Raking / iterative proportional fitting (Deming & Stephan "
+        "1940): alternating proportional cell-weight adjustment to "
+        "target (default uniform) row/column margins; fixed iterations, "
+        "all steps on the O(R*C) grid.",
+)
+
 TableUpliftQini = _simple_module(
     "table.ml.uplift_qini",
     {"table": TABLE},
@@ -5735,6 +5818,7 @@ TableScaleFeatures = _simple_module(
 MODULES = [TableScaleFeatures, TableKAnonymity, TableQualityExpectations,
            TableLDiversity, TableTargetEncode, TableBenford, TableLiftTable,
            TableCalibrationBins, TableIsotonicCalibration, TableUpliftQini,
+           TableRakeWeights,
            TableAucRoc, TableWeightedPercentile, TableOneHot,
            TablePriceVolumeMix, TableClassificationReport,
            TableGini, TableHhi, TableEntropy,
@@ -6413,6 +6497,9 @@ OPERATIONS = [
               doc="full-batch gradient-descent logistic regression"),
     Operation("table.ml.scale_features", "table.ml.scale_features",
               doc="min-max / z-score feature scaling"),
+    Operation("table.weights.rake", "table.weights.rake",
+              doc="raking/IPF survey-weight calibration to target "
+                  "row/column margins (fixed-iteration, grid-bounded)"),
     Operation("table.ml.uplift_qini", "table.ml.uplift_qini",
               doc="Qini/uplift curve: incremental treated conversions "
                   "by score depth + gain over random targeting"),

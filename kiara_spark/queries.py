@@ -17504,6 +17504,144 @@ def ml_uplift_qini_q(spark, sf_dir):
     return uplift_qini(obs, "score", "tr", "y", n_bins=10)
 
 
+def _rake_oracle() -> str:
+    """Unrolled 3-iteration IPF twin: alternating row/column margin
+    scalings, margins as deterministic key-ordered list folds (the
+    _ordered_fold mirror)."""
+    steps = []
+    prev = "w0"
+    for i in range(1, 7):
+        dim, other = ("r", "c") if i % 2 == 1 else ("c", "r")
+        tgt = "t.T / t.R" if dim == "r" else "t.T / t.C"
+        steps.append(f"""m{i} AS (
+      SELECT {dim}, list_reduce(list_transform(list_sort(LIST(
+               {{'g': {other}, 'v': CAST(n AS DOUBLE) * w}})),
+               x -> x.v), (a, b) -> a + b) AS m
+      FROM {prev} GROUP BY {dim}
+    ), w{i} AS (
+      SELECT {prev}.r, {prev}.c, {prev}.n,
+             CASE WHEN m{i}.m > 0
+                  THEN {prev}.w * (({tgt}) / m{i}.m)
+                  ELSE {prev}.w END AS w
+      FROM {prev} JOIN m{i} ON {prev}.{dim} = m{i}.{dim} CROSS JOIN t
+    )""")
+        prev = f"w{i}"
+    return f"""
+    WITH g AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS r,
+             CAST(o_orderstatus AS VARCHAR) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), t AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS T,
+             CAST(COUNT(DISTINCT r) AS DOUBLE) AS R,
+             CAST(COUNT(DISTINCT c) AS DOUBLE) AS C
+      FROM g
+    ), w0 AS (
+      SELECT r, c, n, 1.0 AS w FROM g
+    ), {', '.join(steps)}
+    SELECT r AS o_orderpriority, c AS o_orderstatus, n,
+           ROUND(w, 6) AS weight,
+           ROUND(CAST(n AS DOUBLE) * w, 6) AS fitted
+    FROM {prev}
+    """
+
+
+@query("weights_rake_orders", _rake_oracle())
+def weights_rake_orders_q(spark, sf_dir):
+    """Raking / iterative proportional fitting (`table.weights.rake`,
+    Deming & Stephan 1940) of the (o_orderpriority × o_orderstatus)
+    contingency grid to UNIFORM margins — the rebalance-representation
+    configuration: 3 fixed alternating row/column proportional
+    adjustments, one cell-count aggregate over the raw table, every
+    scaling on the O(R·C) grid with deterministic key-ordered margin
+    folds."""
+    from .operators.quality import rake_weights
+
+    o = _t(spark, sf_dir, "orders")
+    return rake_weights(o, "o_orderpriority", "o_orderstatus", n_iter=3)
+
+
+@query(
+    "linkage_fs_patterns_parts",
+    """
+    WITH k AS (
+      SELECT p_partkey AS id, p_size AS blk,
+             string_split(p_name, ' ')[1] AS f0,
+             p_brand AS f1, p_type AS f2
+      FROM part
+    ), pr AS (
+      SELECT CASE WHEN a.f0 = b.f0 THEN 1 ELSE 0 END AS g_name_head,
+             CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g_p_brand,
+             CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS g_p_type
+      FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+    ), pat AS (
+      SELECT g_name_head, g_p_brand, g_p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pr GROUP BY 1, 2, 3
+    ), u0 AS (
+      SELECT CAST(SUM(n_pairs * g_name_head) AS DOUBLE) / SUM(n_pairs)
+               AS u0,
+             CAST(SUM(n_pairs * g_p_brand) AS DOUBLE) / SUM(n_pairs)
+               AS u1,
+             CAST(SUM(n_pairs * g_p_type) AS DOUBLE) / SUM(n_pairs) AS u2
+      FROM pat
+    ), u AS (
+      SELECT LEAST(GREATEST(u0, 1e-06), 0.999999) AS u0,
+             LEAST(GREATEST(u1, 1e-06), 0.999999) AS u1,
+             LEAST(GREATEST(u2, 1e-06), 0.999999) AS u2
+      FROM u0
+    )
+    SELECT g_name_head, g_p_brand, g_p_type, n_pairs,
+           ROUND(
+             (CASE WHEN g_name_head = 1 THEN LOG2(0.9e0 / u0)
+                   ELSE LOG2(0.09999999999999998e0 / (1.0e0 - u0)) END)
+             + (CASE WHEN g_p_brand = 1 THEN LOG2(0.9e0 / u1)
+                     ELSE LOG2(0.09999999999999998e0 / (1.0e0 - u1)) END)
+             + (CASE WHEN g_p_type = 1 THEN LOG2(0.9e0 / u2)
+                     ELSE LOG2(0.09999999999999998e0 / (1.0e0 - u2)) END),
+             6) AS weight,
+           ROUND(
+             (0.05e0 * ((CASE WHEN g_name_head = 1 THEN 0.9e0
+                            ELSE 0.09999999999999998e0 END)
+                      * (CASE WHEN g_p_brand = 1 THEN 0.9e0
+                              ELSE 0.09999999999999998e0 END)
+                      * (CASE WHEN g_p_type = 1 THEN 0.9e0
+                              ELSE 0.09999999999999998e0 END)))
+             / (0.05e0 * ((CASE WHEN g_name_head = 1 THEN 0.9e0
+                              ELSE 0.09999999999999998e0 END)
+                        * (CASE WHEN g_p_brand = 1 THEN 0.9e0
+                                ELSE 0.09999999999999998e0 END)
+                        * (CASE WHEN g_p_type = 1 THEN 0.9e0
+                                ELSE 0.09999999999999998e0 END))
+                + 0.95e0 * ((CASE WHEN g_name_head = 1 THEN u0
+                                ELSE 1.0e0 - u0 END)
+                          * (CASE WHEN g_p_brand = 1 THEN u1
+                                  ELSE 1.0e0 - u1 END)
+                          * (CASE WHEN g_p_type = 1 THEN u2
+                                  ELSE 1.0e0 - u2 END))),
+             6) AS p_match
+    FROM pat CROSS JOIN u
+    """,
+)
+def linkage_fs_patterns_q(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage
+    (`table.linkage.fellegi_sunter`, Fellegi & Sunter 1969) over the
+    part catalog blocked by p_size: agreement patterns on (name head
+    token, brand, type), log₂ m/u match weights with m=0.9 literals and
+    EMPIRICAL u from the candidate-pair agreement rates, posterior
+    match probability at a 5% prior.  ONE blocked self-join (the N²
+    space never forms) + ONE 2³-row pattern aggregate; the weight
+    algebra runs on the broadcast grid."""
+    from .operators.dedup import fellegi_sunter_patterns
+
+    part = (_t(spark, sf_dir, "part")
+            .withColumn("name_head", F.split(F.col("p_name"), " ")[0]))
+    return fellegi_sunter_patterns(
+        part, "p_partkey", "p_size",
+        ["name_head", "p_brand", "p_type"])
+
+
 @query(
     "streaming_msprt_demo",
     f"""

@@ -2415,3 +2415,66 @@ def test_uplift_qini_operation_minted(ctx, spark):
                           "outcome_column": "y", "n_bins": 2})
     rows_out = {r.bucket: r for r in out["table"].data.collect()}
     assert rows_out[1].cum_qini == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rake_weights_hits_uniform_margins(spark):
+    """After 8 IPF iterations on a skewed 2x2 grid, fitted row/column
+    margins land within 1e-2 of the uniform targets and weights are
+    positive."""
+    from kiara_spark.operators.quality import rake_weights
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 50)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = rake_weights(df, "r", "c", n_iter=8).collect()
+    # total 100, 2 rows, 2 cols -> every margin targets 50
+    from collections import defaultdict
+    rm, cm = defaultdict(float), defaultdict(float)
+    for o in out:
+        rm[o.r] += o.fitted
+        cm[o.c] += o.fitted
+        assert o.weight > 0
+    for v in list(rm.values()) + list(cm.values()):
+        assert v == pytest.approx(50.0, abs=1e-2)
+
+
+def test_rake_weights_explicit_targets(spark):
+    """Explicit row targets (75/25 split) are honored; column margins
+    still rake to their uniform default."""
+    from kiara_spark.operators.quality import rake_weights
+
+    rows = ([("a", "x")] * 25 + [("a", "y")] * 25
+            + [("b", "x")] * 25 + [("b", "y")] * 25)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = rake_weights(df, "r", "c", n_iter=3,
+                       row_targets={"a": 75.0, "b": 25.0}).collect()
+    ra = sum(o.fitted for o in out if o.r == "a")
+    rb = sum(o.fitted for o in out if o.r == "b")
+    assert ra == pytest.approx(75.0, abs=1e-2)
+    assert rb == pytest.approx(25.0, abs=1e-2)
+
+
+def test_rake_weights_uniform_grid_is_identity(spark):
+    """A perfectly balanced grid already meets uniform targets: every
+    weight stays exactly 1."""
+    from kiara_spark.operators.quality import rake_weights
+
+    rows = [(r, c) for r in "ab" for c in "xy" for _ in range(10)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = rake_weights(df, "r", "c", n_iter=3).collect()
+    assert all(o.weight == 1.0 for o in out)
+    assert all(o.fitted == 10.0 for o in out)
+
+
+def test_rake_weights_operation_minted(ctx, spark):
+    rows = [("a", "x"), ("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = ctx.run_job(
+        "table.weights.rake", {"table": df},
+        operation_config={"row_column": "r", "col_column": "c"})
+    got = {(o.r, o.c): o for o in out["table"].data.collect()}
+    assert got[("a", "x")].n == 2 and got[("b", "y")].n == 1
+    # disconnected diagonal grid: each row/col pair rakes independently
+    # to total/2 = 1.5
+    assert got[("a", "x")].fitted == pytest.approx(1.5, abs=1e-6)
+    assert got[("b", "y")].fitted == pytest.approx(1.5, abs=1e-6)

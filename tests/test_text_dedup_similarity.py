@@ -1,5 +1,6 @@
 """Text / dedup / similarity operator units."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kiara_spark.operators import dedup as D
@@ -956,3 +957,81 @@ def test_dbscan_operation_minted(ctx, spark):
                       operation_config={"eps": 0.5, "min_pts": 3})
     rows = {r.vec_id: r for r in out["assignments"].data.collect()}
     assert rows[0].cluster == 0 and rows[3].cluster == -1
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter pattern weights
+# ---------------------------------------------------------------------------
+
+
+def _fs_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, blk int, fa string, fb string")
+
+
+def test_fellegi_sunter_hand_computed_weights(spark):
+    """One block of 4 records -> 6 pairs; asymmetric empirical u
+    (u_fa=1/2, u_fb=1/3), m=0.9 literals, hand-checked log2 weights:
+    agreeing on the RARER field earns the larger weight."""
+    import math
+
+    from kiara_spark.operators.dedup import fellegi_sunter_patterns
+
+    rows = [(1, 0, "x", "p"), (2, 0, "x", "p"),
+            (3, 0, "x", "q"), (4, 0, "y", "q")]
+    out = {(r.g_fa, r.g_fb): r for r in fellegi_sunter_patterns(
+        _fs_frame(spark, rows), "id", "blk", ["fa", "fb"]).collect()}
+    assert set(out) == {(1, 1), (1, 0), (0, 0), (0, 1)}
+    assert out[(1, 0)].n_pairs == 2 and out[(0, 0)].n_pairs == 2
+    u_fa, u_fb = 0.5, 1.0 / 3.0
+    w10 = (math.log2(0.9 / u_fa)
+           + math.log2((1.0 - 0.9) / (1.0 - u_fb)))
+    assert out[(1, 0)].weight == pytest.approx(w10, abs=1e-6)
+    assert (out[(0, 0)].weight < out[(1, 0)].weight
+            < out[(0, 1)].weight < out[(1, 1)].weight)
+
+
+def test_fellegi_sunter_posterior_bounds_and_extremes(spark):
+    """Posteriors live in (0,1); the all-agree pattern dominates the
+    all-disagree pattern."""
+    from kiara_spark.operators.dedup import fellegi_sunter_patterns
+
+    rows = []
+    rid = 0
+    for i in range(12):         # diverse block: all 4 patterns occur
+        rid += 1
+        rows.append((rid, 0, f"x{i % 3}", f"p{i % 2}"))
+    out = fellegi_sunter_patterns(
+        _fs_frame(spark, rows), "id", "blk", ["fa", "fb"]).collect()
+    by_bits = {(r.g_fa, r.g_fb): r.p_match for r in out}
+    assert set(by_bits) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(0.0 < p < 1.0 for p in by_bits.values())
+    assert by_bits[(1, 1)] > by_bits[(0, 0)]
+    assert by_bits[(1, 1)] > max(by_bits[(1, 0)], by_bits[(0, 1)])
+
+
+def test_fellegi_sunter_blocking_limits_pairs(spark):
+    """Records in different blocks never pair: two singleton blocks
+    produce an empty pattern table."""
+    from kiara_spark.operators.dedup import fellegi_sunter_patterns
+
+    rows = [(1, 0, "x", "p"), (2, 1, "x", "p")]
+    out = fellegi_sunter_patterns(
+        _fs_frame(spark, rows), "id", "blk", ["fa", "fb"]).collect()
+    assert out == []
+
+
+def test_fellegi_sunter_operation_minted(ctx, spark):
+    rows = [(1, 0, "x", "p"), (2, 0, "x", "p")]
+    out = ctx.run_job(
+        "table.linkage.fellegi_sunter", {"table": _fs_frame(spark, rows)},
+        operation_config={"id_column": "id", "block_column": "blk",
+                          "field_columns": ["fa", "fb"]})
+    import math
+
+    r = out["table"].data.collect()[0]
+    assert r.g_fa == 1 and r.g_fb == 1 and r.n_pairs == 1
+    # every pair agrees -> u clamps to 1-1e-6, agreement carries (almost)
+    # no evidence: weight = 2*log2(0.9/0.999999), slightly negative
+    assert r.weight == pytest.approx(
+        2 * math.log2(0.9 / 0.999999), abs=1e-5)

@@ -198,6 +198,12 @@ PROBE_QUERIES = [
     "events_attribution_shapley",
     # qini: one user-keyed aggregate + bounded decile grid — flat-linear
     "ml_uplift_qini_events",
+    # raking: one cell-count aggregate + bounded-grid driver fold
+    "weights_rake_orders",
+    # Fellegi-Sunter: blocked self-join + 2^k pattern aggregate; pair
+    # count grows with block density under replication (10x per-block
+    # population -> ~100x pairs, the geo_radius class)
+    "linkage_fs_patterns_parts",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
@@ -237,6 +243,12 @@ EXPECTED_GROWTH = {
         "intrinsic to DBSCAN, not a plan defect; the grid join is linear "
         "in candidate pairs (judge time_ratio against rows-of-pairs, "
         "and note a naturally-grown corpus spreads over more volume).",
+    "linkage_fs_patterns_parts":
+        "block density: p_size has a fixed 50-value domain, so 10x parts "
+        "is 10x per-block population and ~100x candidate pairs by "
+        "construction; the blocked self-join is linear in pairs (a real "
+        "catalog would block on a key whose cardinality grows with the "
+        "data).",
 }
 
 EXCLUDED = {
