@@ -384,6 +384,8 @@ BENCH_QUERIES = [
     "ml_uplift_qini_events",
     "weights_rake_orders",
     "linkage_fs_patterns_parts",
+    "stats_tost_equivalence_orders",
+    "stats_iv_wald_events",
     # round 8b: classical-stats battery
     "stats_mann_whitney_orders",
     "stats_cvm_orders",

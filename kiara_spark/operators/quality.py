@@ -5194,6 +5194,201 @@ def conformal_interval(
         .alias("coverage"))
 
 
+def _p_upper_normal(t: Column) -> Column:
+    """One-sided upper-tail normal p, P(Z > t), valid for BOTH signs of t
+    via A&S erfc (which holds only for x ≥ 0): t≥0 → ½·erfc(t/√2),
+    t<0 → 1 − ½·erfc(−t/√2).  NULL t propagates."""
+    rt2 = F.sqrt(F.lit(2.0))
+    return F.when(t.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(t >= 0, F.lit(0.5) * _erfc_as(t / rt2))
+        .otherwise(F.lit(1.0) - F.lit(0.5) * _erfc_as(-t / rt2)))
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    margin: float,
+    value_scale: int = 2,
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987; Lakens 2017) — the A/B
+    question the significance battery can't answer: "are the arms the
+    SAME to within ±margin?"  A non-significant t-test is not evidence
+    of equivalence; TOST is: two one-sided large-sample z tests against
+    H0₁: diff ≤ −margin and H0₂: diff ≥ +margin, and equivalence is
+    declared only when BOTH reject — p_tost = max(p₁, p₂).
+
+    Scale design: the Welch recipe verbatim — ONE conditional
+    exact-decimal aggregate of per-arm (n, Σx, Σx²) at the values'
+    natural scale, split-cast to bit-identical doubles, terminal
+    fixed-order algebra; tails via A&S erfc with explicit sign handling
+    (the approximation holds only for x ≥ 0).  Degenerate contract:
+    n≤1 arms or zero pooled SE → NULL statistics (no ±Inf).  Returns
+    one row: (n_a, n_b, mean_a, mean_b, diff, se, margin, t_lower,
+    t_upper, p_tost, equivalent_at_05)."""
+    s = value_scale
+    x = F.col(value_col).cast("double")
+    xd = F.round(x, s).cast(f"decimal(18,{s})")
+    xsq = (xd * xd).cast(f"decimal(38,{2 * s})")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    base = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+    agg = base.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_nb"),
+        F.sum(F.when(in_a, xd).otherwise(F.lit(0).cast(f"decimal(18,{s})")))
+        .cast(f"decimal(38,{s})").alias("_sa"),
+        F.sum(F.when(in_b, xd).otherwise(F.lit(0).cast(f"decimal(18,{s})")))
+        .cast(f"decimal(38,{s})").alias("_sb"),
+        F.sum(F.when(in_a, xsq)
+              .otherwise(F.lit(0).cast(f"decimal(38,{2 * s})"))).alias("_qa"),
+        F.sum(F.when(in_b, xsq)
+              .otherwise(F.lit(0).cast(f"decimal(38,{2 * s})"))).alias("_qb"))
+    nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = _split_cast(F.col("_sa")), _split_cast(F.col("_sb"))
+    qa, qb = _split_cast(F.col("_qa")), _split_cast(F.col("_qb"))
+    ma = F.when(F.col("_na") > 0, sa / nad)
+    mb = F.when(F.col("_nb") > 0, sb / nbd)
+    va = F.when(F.col("_na") > 1,
+                (qa - sa * sa / nad) / (nad - F.lit(1.0)))
+    vb = F.when(F.col("_nb") > 1,
+                (qb - sb * sb / nbd) / (nbd - F.lit(1.0)))
+    s1 = agg.select("_na", "_nb", ma.alias("_ma"), mb.alias("_mb"),
+                    (va / nad).alias("_sea"), (vb / nbd).alias("_seb"))
+    diff = F.col("_ma") - F.col("_mb")
+    se = F.when(F.col("_sea") + F.col("_seb") > 0,
+                F.sqrt(F.col("_sea") + F.col("_seb")))
+    s2 = s1.select("_na", "_nb", "_ma", "_mb", diff.alias("_d"),
+                   se.alias("_se"))
+    d = float(margin)
+    tl = (F.col("_d") + F.lit(d)) / F.col("_se")
+    tu = (F.col("_d") - F.lit(d)) / F.col("_se")
+    s3 = s2.select("_na", "_nb", "_ma", "_mb", "_d", "_se",
+                   tl.alias("_tl"), tu.alias("_tu"))
+    p1 = _p_upper_normal(F.col("_tl"))          # reject diff <= -margin
+    p2 = _p_upper_normal(-F.col("_tu"))         # reject diff >= +margin
+    # GREATEST skips NULLs in both engines — guard so a NULL stat yields
+    # a NULL p, not the other side's p
+    p_tost = F.when(F.col("_tl").isNull() | F.col("_tu").isNull(),
+                    F.lit(None).cast("double")).otherwise(
+        F.greatest(p1, p2))
+    s4 = s3.select("_na", "_nb", "_ma", "_mb", "_d", "_se", "_tl", "_tu",
+                   p_tost.alias("_p"))
+    return s4.select(
+        F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        F.round(F.col("_ma"), 6).alias("mean_a"),
+        F.round(F.col("_mb"), 6).alias("mean_b"),
+        F.round(F.col("_d"), 6).alias("diff"),
+        F.round(F.col("_se"), 6).alias("se"),
+        F.lit(d).alias("margin"),
+        F.round(F.col("_tl"), 6).alias("t_lower"),
+        F.round(F.col("_tu"), 6).alias("t_upper"),
+        F.round(F.col("_p"), 6).alias("p_tost"),
+        F.when(F.col("_p").isNotNull(), F.col("_p") < 0.05)
+        .alias("equivalent_at_05"))
+
+
+def iv_wald(
+    df: DataFrame,
+    instrument_col: str,
+    treat_col: str,
+    y_col: str,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Instrumental-variable (Wald) estimator for a BINARY instrument
+    (Angrist & Imbens & Rubin 1996 LATE; the causal battery's answer to
+    NON-COMPLIANCE, next to :func:`diff_in_diff` and
+    :func:`stratified_ate`): when assignment Z is random but take-up T
+    is not, β = reduced-form / first-stage:
+
+        β = (ȳ₁ − ȳ₀) / (t̄₁ − t̄₀)
+
+    with the delta-method SE from the per-arm (co)variances:
+    Var(β) = [Var(ry) + β²·Var(rt) − 2β·Cov(ry, rt)] / rt².
+
+    Scale design: ONE conditional exact-decimal aggregate per arm of
+    (n, Σy, Σy², Σt, Σty) at natural scale (T is 0/1, so Σt² = Σt and
+    Σty is just Σy over takers — exact decimals throughout), split-cast
+    to bit-identical doubles, staged Janino-safe selects.  Weak or zero
+    first stage (|t̄₁ − t̄₀| = 0) and n≤1 arms → NULL statistics.
+    Returns one row: (n_z0, n_z1, first_stage, reduced_form, beta_iv,
+    se, z, p_value)."""
+    s = value_scale
+    z1 = F.col(instrument_col).cast("int") == 1
+    t = F.col(treat_col).cast("int")
+    y = F.col(y_col).cast("double")
+    yd = F.round(y, s).cast(f"decimal(18,{s})")
+    ysq = (yd * yd).cast(f"decimal(38,{2 * s})")
+    zero_s = F.lit(0).cast(f"decimal(18,{s})")
+    zero_q = F.lit(0).cast(f"decimal(38,{2 * s})")
+    base = df.filter(F.col(y_col).isNotNull() & t.isNotNull()
+                     & F.col(instrument_col).isNotNull())
+
+    def _arm(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(cond, yd).otherwise(zero_s))
+            .cast(f"decimal(38,{s})").alias(f"_sy{tag}"),
+            F.sum(F.when(cond, ysq).otherwise(zero_q)).alias(f"_qy{tag}"),
+            F.sum(F.when(cond, t).otherwise(0)).cast("bigint")
+            .alias(f"_st{tag}"),
+            F.sum(F.when(cond & (t == 1), yd).otherwise(zero_s))
+            .cast(f"decimal(38,{s})").alias(f"_sty{tag}"),
+        ]
+
+    agg = base.agg(*(_arm(z1, "1") + _arm(~z1, "0")))
+    cols = {}
+    for tag in ("0", "1"):
+        n = F.col(f"_n{tag}").cast("double")
+        sy = _split_cast(F.col(f"_sy{tag}"))
+        qy = _split_cast(F.col(f"_qy{tag}"))
+        st = F.col(f"_st{tag}").cast("double")
+        sty = _split_cast(F.col(f"_sty{tag}"))
+        cols[f"_my{tag}"] = F.when(F.col(f"_n{tag}") > 0, sy / n)
+        cols[f"_mt{tag}"] = F.when(F.col(f"_n{tag}") > 0, st / n)
+        cols[f"_vy{tag}"] = F.when(
+            F.col(f"_n{tag}") > 1, (qy - sy * sy / n) / (n - F.lit(1.0)))
+        # T binary: sum(t^2) = sum(t)
+        cols[f"_vt{tag}"] = F.when(
+            F.col(f"_n{tag}") > 1, (st - st * st / n) / (n - F.lit(1.0)))
+        cols[f"_cv{tag}"] = F.when(
+            F.col(f"_n{tag}") > 1, (sty - st * sy / n) / (n - F.lit(1.0)))
+    s1 = agg.select("_n0", "_n1",
+                    *[v.alias(k) for k, v in cols.items()])
+    n0d, n1d = F.col("_n0").cast("double"), F.col("_n1").cast("double")
+    ry = F.col("_my1") - F.col("_my0")
+    rt = F.col("_mt1") - F.col("_mt0")
+    vry = F.col("_vy1") / n1d + F.col("_vy0") / n0d
+    vrt = F.col("_vt1") / n1d + F.col("_vt0") / n0d
+    cvr = F.col("_cv1") / n1d + F.col("_cv0") / n0d
+    s2 = s1.select("_n0", "_n1", ry.alias("_ry"), rt.alias("_rt"),
+                   vry.alias("_vry"), vrt.alias("_vrt"),
+                   cvr.alias("_cvr"))
+    beta = F.when(F.abs(F.col("_rt")) > 0, F.col("_ry") / F.col("_rt"))
+    s3 = s2.select("_n0", "_n1", "_ry", "_rt", "_vry", "_vrt", "_cvr",
+                   beta.alias("_b"))
+    varb = ((F.col("_vry") + F.col("_b") * F.col("_b") * F.col("_vrt")
+             - F.lit(2.0) * F.col("_b") * F.col("_cvr"))
+            / (F.col("_rt") * F.col("_rt")))
+    se = F.when(varb > 0, F.sqrt(varb))
+    s4 = s3.select("_n0", "_n1", "_ry", "_rt", "_b", se.alias("_se"))
+    zst = F.col("_b") / F.col("_se")
+    p = F.when(zst.isNotNull(),
+               F.round(F.least(_erfc_as(F.abs(zst) / F.sqrt(F.lit(2.0))),
+                               F.lit(1.0)), 9))
+    return s4.select(
+        F.col("_n0").alias("n_z0"), F.col("_n1").alias("n_z1"),
+        F.round(F.col("_rt"), 6).alias("first_stage"),
+        F.round(F.col("_ry"), 6).alias("reduced_form"),
+        F.round(F.col("_b"), 6).alias("beta_iv"),
+        F.round(F.col("_se"), 6).alias("se"),
+        F.round(zst, 6).alias("z"),
+        F.round(p, 6).alias("p_value"))
+
+
 def stratified_ate(
     df: DataFrame,
     treat_col,
@@ -6332,6 +6527,34 @@ TableConformalInterval = _simple_module(
         ">=1-alpha coverage; OLS base fit, order-statistic calibration.",
 )
 
+TableTostEquivalence = _simple_module(
+    "table.stats.tost_equivalence",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": tost_equivalence(
+        im["table"].data, self.config["group_column"],
+        self.config["value_column"],
+        self.config["group_a"], self.config["group_b"],
+        self.config["margin"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="TOST equivalence test (Schuirmann 1987): two one-sided "
+        "large-sample z tests against +-margin; equivalence only when "
+        "both reject (p_tost = max of the one-sided p values).",
+)
+
+TableIvWald = _simple_module(
+    "table.stats.iv_wald",
+    {"table": TABLE},
+    {"table": TABLE},
+    lambda self, im, ctx: {"table": iv_wald(
+        im["table"].data, self.config["instrument_column"],
+        self.config["treat_column"], self.config["y_column"],
+        value_scale=self.config.get("value_scale", 2))},
+    doc="Instrumental-variable Wald/LATE estimator for a binary "
+        "instrument: reduced-form / first-stage with delta-method SE "
+        "(non-compliance-robust causal effect).",
+)
+
 TableStratifiedAte = _simple_module(
     "table.stats.stratified_ate",
     {"table": TABLE},
@@ -6385,7 +6608,7 @@ MODULES += [TableAveragePrecision, TableRegressionStump, TableTCloseness,
             TableWilcoxonSignedRank, TableFriedman, TableJarqueBera,
             TableCochransQ, TableBartlett, TablePowerMde, TableMsprt,
             TableRatioMetricDelta, TableConformalInterval,
-            TableStratifiedAte]
+            TableStratifiedAte, TableTostEquivalence, TableIvWald]
 
 OPERATIONS = [
     Operation("table.stats.srm_check", "table.stats.srm_check",
@@ -6408,6 +6631,13 @@ OPERATIONS = [
               doc="subclassification ATE/ATT on a covariate (Cochran "
                   "1968; Rosenbaum & Rubin 1984) with common-support "
                   "stratum drop"),
+    Operation("table.stats.tost_equivalence",
+              "table.stats.tost_equivalence",
+              doc="TOST equivalence / non-inferiority test "
+                  "(Schuirmann 1987 two one-sided tests)"),
+    Operation("table.stats.iv_wald", "table.stats.iv_wald",
+              doc="binary-instrument Wald/LATE estimator with "
+                  "delta-method SE (Angrist-Imbens-Rubin 1996)"),
     Operation("table.stats.mood_median", "table.stats.mood_median",
               doc="Mood's median test (pooled-median 2xk chi2)"),
     Operation("table.stats.mcnemar", "table.stats.mcnemar",

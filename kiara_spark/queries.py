@@ -17642,6 +17642,201 @@ def linkage_fs_patterns_q(spark, sf_dir):
         ["name_head", "p_brand", "p_type"])
 
 
+_TOST_P1 = (
+    "CASE WHEN tl IS NULL THEN NULL "
+    f"WHEN tl >= 0 THEN 0.5 * {_erfc_sql('(tl) / SQRT(2.0)')} "
+    f"ELSE 1.0 - 0.5 * {_erfc_sql('(-(tl)) / SQRT(2.0)')} END")
+_TOST_P2 = (
+    "CASE WHEN tu IS NULL THEN NULL "
+    f"WHEN (-(tu)) >= 0 THEN 0.5 * {_erfc_sql('(-(tu)) / SQRT(2.0)')} "
+    f"ELSE 1.0 - 0.5 * {_erfc_sql('(tu) / SQRT(2.0)')} END")
+
+@query(
+    "stats_tost_equivalence_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('O', 'F')
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        CAST(SUM(CASE WHEN g = 'O'
+                 THEN CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2)) AS sa,
+        CAST(SUM(CASE WHEN g = 'F'
+                 THEN CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2)) AS sb,
+        SUM(CASE WHEN g = 'O'
+                 THEN CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           * CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS qa,
+        SUM(CASE WHEN g = 'F'
+                 THEN CAST(CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           * CAST(ROUND(x, 2) AS DECIMAL(19,2))
+                           AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS qb
+      FROM base
+    ), d AS (
+      SELECT na, nb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             {_sc('sa')} AS sad, {_sc('sb')} AS sbd,
+             {_sc('qa')} AS qad, {_sc('qb')} AS qbd
+      FROM agg
+    ), v AS (
+      SELECT na, nb, nad, nbd,
+             sad / nad AS ma, sbd / nbd AS mb,
+             (qad - sad * sad / nad) / (nad - 1.0) AS va,
+             (qbd - sbd * sbd / nbd) / (nbd - 1.0) AS vb
+      FROM d
+    ), e AS (
+      SELECT na, nb, ma, mb, ma - mb AS dd,
+             CASE WHEN va / nad + vb / nbd > 0
+                  THEN SQRT(va / nad + vb / nbd) END AS se
+      FROM v
+    ), tt AS (
+      SELECT na, nb, ma, mb, dd, se,
+             (dd + 2000.0) / se AS tl,
+             (dd - 2000.0) / se AS tu
+      FROM e
+    ), pp AS (
+      SELECT na, nb, ma, mb, dd, se, tl, tu,
+             {_TOST_P1} AS p1, {_TOST_P2} AS p2
+      FROM tt
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(dd, 6) AS diff, ROUND(se, 6) AS se,
+           CAST(2000.0 AS DOUBLE) AS margin,
+           ROUND(tl, 6) AS t_lower, ROUND(tu, 6) AS t_upper,
+           ROUND(CASE WHEN tl IS NULL OR tu IS NULL THEN NULL
+                      ELSE GREATEST(p1, p2) END, 6) AS p_tost,
+           CASE WHEN tl IS NULL OR tu IS NULL THEN NULL
+                ELSE GREATEST(p1, p2) < 0.05 END AS equivalent_at_05
+    FROM pp
+    """,
+)
+def stats_tost_equivalence_q(spark, sf_dir):
+    """TOST equivalence readout (`table.stats.tost_equivalence`,
+    Schuirmann 1987) for open vs finished order values at a ±2000
+    margin: two one-sided large-sample z tests, equivalence only when
+    both reject.  The Welch exact-decimal recipe — one conditional
+    aggregate, split-cast doubles, A&S erfc tails with explicit sign
+    handling."""
+    from .operators.quality import tost_equivalence
+
+    o = _t(spark, sf_dir, "orders")
+    return tost_equivalence(o, "o_orderstatus", "o_totalprice",
+                            "O", "F", margin=2000.0)
+
+
+_IV_ARM = """
+        CAST(SUM(CASE WHEN z = {z} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n{z},
+        CAST(SUM(CASE WHEN z = {z}
+                 THEN CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2))
+          AS sy{z},
+        SUM(CASE WHEN z = {z}
+                 THEN CAST(CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                           * CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                           AS DECIMAL(38,4))
+                 ELSE CAST(0 AS DECIMAL(38,4)) END) AS qy{z},
+        CAST(SUM(CASE WHEN z = {z} THEN t ELSE 0 END) AS BIGINT)
+          AS st{z},
+        CAST(SUM(CASE WHEN z = {z} AND t = 1
+                 THEN CAST(ROUND(y, 2) AS DECIMAL(19,2))
+                 ELSE CAST(0 AS DECIMAL(19,2)) END) AS DECIMAL(38,2))
+          AS sty{z}"""
+
+@query(
+    "stats_iv_wald_events",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS z,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ), agg AS (
+      SELECT {_IV_ARM.format(z=1)}, {_IV_ARM.format(z=0)}
+      FROM pu
+    ), d AS (
+      SELECT n0, n1,
+             CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+             {_sc('sy0')} AS sy0, {_sc('sy1')} AS sy1,
+             {_sc('qy0')} AS qy0, {_sc('qy1')} AS qy1,
+             CAST(st0 AS DOUBLE) AS st0, CAST(st1 AS DOUBLE) AS st1,
+             {_sc('sty0')} AS sty0, {_sc('sty1')} AS sty1
+      FROM agg
+    ), m AS (
+      SELECT n0, n1, n0d, n1d,
+             sy0 / n0d AS my0, sy1 / n1d AS my1,
+             st0 / n0d AS mt0, st1 / n1d AS mt1,
+             (qy0 - sy0 * sy0 / n0d) / (n0d - 1.0) AS vy0,
+             (qy1 - sy1 * sy1 / n1d) / (n1d - 1.0) AS vy1,
+             (st0 - st0 * st0 / n0d) / (n0d - 1.0) AS vt0,
+             (st1 - st1 * st1 / n1d) / (n1d - 1.0) AS vt1,
+             (sty0 - st0 * sy0 / n0d) / (n0d - 1.0) AS cv0,
+             (sty1 - st1 * sy1 / n1d) / (n1d - 1.0) AS cv1
+      FROM d
+    ), r AS (
+      SELECT n0, n1,
+             my1 - my0 AS ry, mt1 - mt0 AS rt,
+             vy1 / n1d + vy0 / n0d AS vry,
+             vt1 / n1d + vt0 / n0d AS vrt,
+             cv1 / n1d + cv0 / n0d AS cvr
+      FROM m
+    ), b AS (
+      SELECT n0, n1, ry, rt, vry, vrt, cvr,
+             CASE WHEN ABS(rt) > 0 THEN ry / rt END AS beta
+      FROM r
+    ), sdf AS (
+      SELECT n0, n1, ry, rt, beta,
+             CASE WHEN (vry + beta * beta * vrt - 2.0 * beta * cvr)
+                       / (rt * rt) > 0
+                  THEN SQRT((vry + beta * beta * vrt - 2.0 * beta * cvr)
+                            / (rt * rt)) END AS se
+      FROM b
+    )
+    SELECT n0 AS n_z0, n1 AS n_z1,
+           ROUND(rt, 6) AS first_stage,
+           ROUND(ry, 6) AS reduced_form,
+           ROUND(beta, 6) AS beta_iv,
+           ROUND(se, 6) AS se,
+           ROUND(beta / se, 6) AS z,
+           ROUND(CASE WHEN beta / se IS NOT NULL
+                 THEN ROUND(LEAST(
+                   {_erfc_sql('ABS(beta / se) / SQRT(2.0)')}, 1.0), 9)
+                 END, 6) AS p_value
+    FROM sdf
+    """,
+)
+def stats_iv_wald_q(spark, sf_dir):
+    """Binary-instrument Wald/LATE estimator (`table.stats.iv_wald`,
+    Angrist-Imbens-Rubin 1996) on the events fixture: instrument =
+    user_id parity (the encouragement), treatment = whether the user
+    ever signed up, outcome = per-user exact-decimal value total —
+    reduced-form over first-stage with the delta-method SE.  ONE
+    user-keyed aggregate + ONE conditional exact-decimal arm aggregate,
+    split-cast doubles, staged selects."""
+    from .operators.quality import iv_wald
+
+    ev = _t(spark, sf_dir, "events")
+    pu = (ev.filter(F.col("value").isNotNull())
+          .groupBy("user_id")
+          .agg(F.max((F.col("event_type") == "signup").cast("int"))
+               .alias("t"),
+               F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+               .cast("double").alias("y"))
+          .withColumn("z", (F.col("user_id") % 2).cast("int")))
+    return iv_wald(pu, "z", "t", "y")
+
+
 @query(
     "streaming_msprt_demo",
     f"""

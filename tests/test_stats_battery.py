@@ -2478,3 +2478,104 @@ def test_rake_weights_operation_minted(ctx, spark):
     # to total/2 = 1.5
     assert got[("a", "x")].fitted == pytest.approx(1.5, abs=1e-6)
     assert got[("b", "y")].fitted == pytest.approx(1.5, abs=1e-6)
+
+
+def _grp_frame(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_tost_identical_arms_equivalent(spark):
+    """Same distribution in both arms with a margin well above the SE:
+    both one-sided tests reject, equivalence declared."""
+    from kiara_spark.operators.quality import tost_equivalence
+
+    rows = [("a", float(v)) for v in (10, 11, 12) * 10] \
+        + [("b", float(v)) for v in (10, 11, 12) * 10]
+    r = tost_equivalence(_grp_frame(spark, rows), "g", "x", "a", "b",
+                         margin=5.0).collect()[0]
+    assert r.diff == pytest.approx(0.0, abs=1e-9)
+    assert r.p_tost < 0.001 and r.equivalent_at_05 is True
+
+
+def test_tost_distinct_arms_not_equivalent(spark):
+    """Arms 10 apart with a ±1 margin: the upper one-sided test cannot
+    reject, p_tost ~ 1, no equivalence claim."""
+    from kiara_spark.operators.quality import tost_equivalence
+
+    rows = [("a", 10.0 + (i % 3)) for i in range(12)] \
+        + [("b", 20.0 + (i % 3)) for i in range(12)]
+    r = tost_equivalence(_grp_frame(spark, rows), "g", "x", "a", "b",
+                         margin=1.0).collect()[0]
+    assert r.diff == pytest.approx(-10.0, abs=1e-9)
+    assert r.p_tost > 0.99 and r.equivalent_at_05 is False
+
+
+def test_tost_degenerate_null_contract(spark):
+    """Single-row arm: no variance evidence -> NULL p and verdict."""
+    from kiara_spark.operators.quality import tost_equivalence
+
+    rows = [("a", 1.0), ("b", 1.0), ("b", 2.0)]
+    r = tost_equivalence(_grp_frame(spark, rows), "g", "x", "a", "b",
+                         margin=1.0).collect()[0]
+    assert r.p_tost is None and r.equivalent_at_05 is None
+
+
+def test_tost_operation_minted(ctx, spark):
+    rows = [("a", float(v)) for v in (1, 2, 3) * 5] \
+        + [("b", float(v)) for v in (1, 2, 3) * 5]
+    out = ctx.run_job(
+        "table.stats.tost_equivalence",
+        {"table": _grp_frame(spark, rows)},
+        operation_config={"group_column": "g", "value_column": "x",
+                          "group_a": "a", "group_b": "b", "margin": 2.0})
+    r = out["table"].data.collect()[0]
+    assert r.equivalent_at_05 is True
+
+
+def _iv_frame(spark, rows):
+    return spark.createDataFrame(rows, "z int, t int, y double")
+
+
+def test_iv_wald_perfect_compliance_is_difference(spark):
+    """t == z: first stage is exactly 1 and beta reduces to the plain
+    difference in means."""
+    from kiara_spark.operators.quality import iv_wald
+
+    rows = [(1, 1, 3.0 + (i % 2)) for i in range(10)] \
+        + [(0, 0, 1.0 + (i % 2)) for i in range(10)]
+    r = iv_wald(_iv_frame(spark, rows), "z", "t", "y").collect()[0]
+    assert r.first_stage == pytest.approx(1.0, abs=1e-9)
+    assert r.beta_iv == pytest.approx(2.0, abs=1e-9)
+    assert r.se is not None and r.p_value is not None
+
+
+def test_iv_wald_half_compliance_scales_up(spark):
+    """First stage 0.5 doubles the reduced form: the LATE rescaling."""
+    from kiara_spark.operators.quality import iv_wald
+
+    rows = ([(1, 1, 2.0), (1, 0, 0.0)] * 6
+            + [(0, 0, 0.0), (0, 0, 0.0)] * 6)
+    r = iv_wald(_iv_frame(spark, rows), "z", "t", "y").collect()[0]
+    assert r.first_stage == pytest.approx(0.5, abs=1e-9)
+    assert r.reduced_form == pytest.approx(1.0, abs=1e-9)
+    assert r.beta_iv == pytest.approx(2.0, abs=1e-9)
+
+
+def test_iv_wald_zero_first_stage_null(spark):
+    """No instrument effect on take-up: beta undefined -> NULL chain."""
+    from kiara_spark.operators.quality import iv_wald
+
+    rows = [(1, 0, 2.0), (1, 0, 3.0), (0, 0, 1.0), (0, 0, 2.0)]
+    r = iv_wald(_iv_frame(spark, rows), "z", "t", "y").collect()[0]
+    assert r.first_stage == pytest.approx(0.0, abs=1e-12)
+    assert r.beta_iv is None and r.se is None and r.p_value is None
+
+
+def test_iv_wald_operation_minted(ctx, spark):
+    rows = [(1, 1, 3.0), (1, 1, 4.0), (0, 0, 1.0), (0, 0, 2.0)]
+    out = ctx.run_job(
+        "table.stats.iv_wald", {"table": _iv_frame(spark, rows)},
+        operation_config={"instrument_column": "z", "treat_column": "t",
+                          "y_column": "y"})
+    r = out["table"].data.collect()[0]
+    assert r.beta_iv == pytest.approx(2.0, abs=1e-9)

@@ -204,6 +204,10 @@ PROBE_QUERIES = [
     # count grows with block density under replication (10x per-block
     # population -> ~100x pairs, the geo_radius class)
     "linkage_fs_patterns_parts",
+    # TOST + IV-Wald: single conditional exact-decimal aggregates (the
+    # welch/CCC shape) — flat-linear
+    "stats_tost_equivalence_orders",
+    "stats_iv_wald_events",
 ]
 
 # r10 verdict item 5: distinguish "the fixture got denser" from "the plan
