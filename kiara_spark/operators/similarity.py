@@ -1302,6 +1302,18 @@ def dbscan(
           .select("_ida", "_idb", dist2.alias("_d2"))
           .filter(F.col("_d2") <= F.lit(e2))
           .select("_ida", "_idb"))
+    # Materialize the ε-pair set ONCE: nb feeds three independent
+    # consumers (neighbor counts, the core-core edge list -> connected
+    # components, border adoption) plus the final assembly — without the
+    # cut, each consumer re-runs the 9-cell explode + grid join + per-dim
+    # distance fold, the single expensive step of the whole job (the
+    # un-cut plan held 24 parquet scans / 20 joins for ONE logical pair
+    # join).  Together with the star-contraction pre-round in
+    # connected_components this took the query 13.0s -> 4.7s isolated at
+    # sf0.1 (r12); at 100 TB the candidate join runs once, not five times.
+    from ..io import cut_lineage
+
+    nb = cut_lineage(nb)
     counts = nb.groupBy("_ida").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
     cores = (counts.filter(F.col("n_neighbors") >= min_pts - 1)
