@@ -623,6 +623,7 @@ def kth_smallest_scalable(
     n_bins: int = 512,
     final_limit: int = 100_000,
     max_rounds: int = 12,
+    pre_stats: tuple | None = None,
 ):
     """Exact k-th smallest value (1-based) by distributed selection —
     the scale path for exact order statistics.  Spark's ``percentile``
@@ -637,16 +638,25 @@ def kth_smallest_scalable(
     so later rounds read a shrinking slice).  When the surviving slice is
     ≤ ``final_limit`` rows it is sorted exactly.  Returns the exact value
     as a Python float (driver scalar — selection is an action, not a
-    transform)."""
+    transform).
+
+    ``pre_stats``: optional (n, lo, hi) when the caller already holds the
+    column's count/min/max (e.g. it needed n to derive k) — skips the one
+    stats aggregate this function would otherwise run (r12: conformal ran
+    count() and then this stats pass back to back over the same frame)."""
     import math
 
     c = F.col(col).cast("double")
-    stats = df.agg(F.count(c).alias("n"), F.min(c).alias("lo"),
-                   F.max(c).alias("hi")).collect()[0]
-    if not (1 <= k <= stats.n):
-        raise ValueError(f"k={k} outside 1..{stats.n}")
-    lo, hi, want = float(stats.lo), float(stats.hi), k
-    cnt = int(stats.n)
+    if pre_stats is not None:
+        n_rows, s_lo, s_hi = pre_stats
+    else:
+        stats = df.agg(F.count(c).alias("n"), F.min(c).alias("lo"),
+                       F.max(c).alias("hi")).collect()[0]
+        n_rows, s_lo, s_hi = stats.n, stats.lo, stats.hi
+    if not (1 <= k <= n_rows):
+        raise ValueError(f"k={k} outside 1..{n_rows}")
+    lo, hi, want = float(s_lo), float(s_hi), k
+    cnt = int(n_rows)
     cur = df.select(c.alias("_v"))
     for _ in range(max_rounds):
         if lo == hi or cnt <= final_limit:
@@ -5121,12 +5131,15 @@ def conformal_interval(
     both engines, and the coverage compare ``r <= q̂`` runs on
     identically-derived doubles.
 
-    Scale design: one map-only split tag; ONE train Gram aggregate (1-row
-    broadcast coefficient frame — no collect of data); q̂ by
+    Scale design: one map-only split tag; ONE train Gram aggregate whose
+    three fitted scalars (n_train, intercept, slope) are collected and
+    inlined as literals — as a broadcast 1-row frame the Gram aggregate
+    re-executed per consumer, i.e. two full train-split scans (r12); q̂ by
     :func:`kth_smallest_scalable` histogram refinement (O(log) aggregate
-    rounds, constant executor state — never a global residual sort); one
-    test-split coverage aggregate.  Driver-side state is two bounded
-    scalars (n_cal and q̂), the same contract as `table.kth_smallest`.
+    rounds, constant executor state — never a global residual sort) whose
+    stats pass is shared with the n_cal count; one test-split coverage
+    aggregate.  Driver-side state is a handful of bounded scalars
+    (coefficients, n_cal, q̂), the same contract as `table.kth_smallest`.
     Returns ONE row: (n_train, n_cal, n_test, intercept, slope, qhat,
     n_covered, coverage).  Requires a non-empty calibration split."""
     import math
@@ -5138,7 +5151,13 @@ def conformal_interval(
     b = (base_hash32(F.concat_ws(
         "#", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)))
         % 100)
-    tagged = df.select(x.alias("_x"), y.alias("_y"), b.alias("_b"))
+    # Persist the narrow (x, y, bucket) projection ONCE: the train fit,
+    # the calibration-residual materialization and the test coverage
+    # aggregate are three separate actions, and each otherwise re-runs
+    # scan + (caller's repartition) + the md5 split tag over the full
+    # table (r12, guide §5: reused + expensive to recompute; this is
+    # 2 doubles + 1 int per row, a small fraction of the source table).
+    tagged = df.select(x.alias("_x"), y.alias("_y"), b.alias("_b")).persist()
 
     def _dsum9(col):
         return (F.sum(F.round(col, 9).cast("decimal(38,12)"))
@@ -5159,38 +5178,61 @@ def conformal_interval(
                          / F.col("_n"), 8).alias("_b0"),
                  F.col("_b1")))
 
+    # The fit is THREE bounded scalars (n_train, intercept, slope) — collect
+    # them once and inline as literals.  As a broadcast 1-row frame the
+    # train Gram aggregate executed once per consumer (calibration AND
+    # test/coverage passes = two full train-split scans); a 3-scalar
+    # collect is the same driver load as the broadcast build and halves
+    # the train scans (r12, guide §2.4/§5).
+    crow = c.collect()[0]
+    n_train, b0_v, b1_v = int(crow.n_train), crow._b0, crow._b1
     resid = F.round(F.abs(F.col("_y")
-                          - (F.col("_b0") + F.col("_b1") * F.col("_x"))), 6)
+                          - (F.lit(b0_v) + F.lit(b1_v) * F.col("_x"))), 6)
     # Materialize the calibration residual column once: the histogram
     # refinement re-reads its input every round, and the residual is a
     # computed column (no scan pushdown to win back) — at any scale this
     # is ONE double per calibration row, the cheapest thing in the job.
     cal = (tagged.filter((F.col("_b") >= train_pct)
                          & (F.col("_b") < train_pct + cal_pct))
-           .crossJoin(F.broadcast(c))
            .select(resid.alias("_r"))
            .persist())
     try:
-        n_cal = cal.count()
+        # one stats pass feeds BOTH the rank k (needs n_cal) and the
+        # histogram refinement's count/min/max (pre_stats) — previously a
+        # count() and a stats aggregate ran back to back over cal (r12)
+        st = cal.agg(F.count("_r").alias("n"), F.min("_r").alias("lo"),
+                     F.max("_r").alias("hi")).collect()[0]
+        n_cal = int(st.n)
         k = int(math.ceil(round((n_cal + 1) * (1.0 - alpha), 9)))
         qhat = kth_smallest_scalable(cal, "_r", min(k, n_cal),
-                                     final_limit=20_000)
+                                     final_limit=20_000,
+                                     pre_stats=(st.n, st.lo, st.hi))
     finally:
         cal.unpersist()
 
-    t = (tagged.filter(F.col("_b") >= train_pct + cal_pct)
-         .crossJoin(F.broadcast(c))
-         .agg(F.first("n_train").alias("n_train"),
-              F.first("_b0").alias("_b0"), F.first("_b1").alias("_b1"),
-              F.count(F.lit(1)).cast("bigint").alias("n_test"),
-              F.sum((resid <= F.lit(float(qhat))).cast("int"))
-              .cast("bigint").alias("n_covered")))
-    return t.select(
-        "n_train", F.lit(n_cal).cast("bigint").alias("n_cal"), "n_test",
-        F.round(F.col("_b0"), 6).alias("intercept"),
-        F.round(F.col("_b1"), 6).alias("slope"),
-        F.lit(float(qhat)).alias("qhat"), "n_covered",
-        F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+    # Run the coverage aggregate eagerly (2 more bounded scalars) while
+    # tagged is still cached, then release the cache deterministically —
+    # returning a lazy plan would either leak the persisted blocks or
+    # recompute the split tag at the caller's action.
+    try:
+        trow = (tagged.filter(F.col("_b") >= train_pct + cal_pct)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                     F.sum((resid <= F.lit(float(qhat))).cast("int"))
+                     .cast("bigint").alias("n_covered")).collect()[0])
+    finally:
+        tagged.unpersist()
+    n_test, n_covered = int(trow.n_test), int(trow.n_covered)
+    one = df.sparkSession.range(1)
+    return one.select(
+        F.lit(n_train).cast("bigint").alias("n_train"),
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+        F.lit(n_test).cast("bigint").alias("n_test"),
+        F.round(F.lit(b0_v), 6).alias("intercept"),
+        F.round(F.lit(b1_v), 6).alias("slope"),
+        F.lit(float(qhat)).alias("qhat"),
+        F.lit(n_covered).cast("bigint").alias("n_covered"),
+        F.round(F.lit(float(n_covered)) / F.lit(float(n_test))
+                if n_test else F.lit(None).cast("double"), 6)
         .alias("coverage"))
 
 
