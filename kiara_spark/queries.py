@@ -5505,11 +5505,23 @@ def events_sliding_distinct_users_approx_q(spark, sf_dir):
     are built in ONE aggregate here so the oracle can hash-check the sketch
     against its error band (<= max(3, 10% of exact) — 5 sigma at rsd 2%,
     sized for the dense-window regime where HLL++ leaves sparse/exact mode;
-    empirical max abs err at sf0.01 is 1)."""
+    empirical max abs err at sf0.01 is 1).
+
+    r12 perf: dedupe (window, type, user) FIRST, then count(*) +
+    approx_count_distinct over the distinct rows.  The single-aggregate
+    form planned partial_approx_count_distinct keyed by (window, type,
+    user) — 52 longs of HLL register state attached to EVERY
+    window-exploded event row crossing the exchange (guide §2.3: shuffle
+    fewer bytes).  HLL++ is duplicate-insensitive (registers are maxes),
+    so the sketch over distinct rows is bit-identical, and count over the
+    deduped rows IS count_distinct; the dedup exchange carries 3 narrow
+    columns and map-side partial aggregation collapses duplicates early."""
     ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "1 hour", "15 minutes")
-    return ev.groupBy(win, "event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"),
+    distinct_rows = ev.select(
+        win.alias("window"), "event_type", "user_id").distinct()
+    return distinct_rows.groupBy("window", "event_type").agg(
+        F.count("user_id").cast("bigint").alias("n_users_exact"),
         F.approx_count_distinct("user_id", 0.02).alias("_ap"),
     ).select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
@@ -5552,8 +5564,15 @@ def graph_2hop_approx_q(spark, sf_dir):
         .select(F.col("a.id").alias("id"), F.col("e.dst").alias("nb"))
     )
     both = one.unionByName(two).filter(F.col("id") != F.col("nb"))
-    agg = both.groupBy("id").agg(
-        F.count_distinct("nb").cast("bigint").alias("n_neighbors_2hop"),
+    # r12 perf: dedupe the pair multiset first (2-column exchange with
+    # map-side partial dedup), THEN build both states per id.  The
+    # single-aggregate form shuffled 52 longs of partial HLL state PER
+    # (id, nb) PAIR (guide §2.3); HLL++ is duplicate-insensitive, so
+    # approx_count_distinct over the deduped pairs is bit-identical and
+    # count over them IS count_distinct.
+    pairs = both.distinct()
+    agg = pairs.groupBy("id").agg(
+        F.count("nb").cast("bigint").alias("n_neighbors_2hop"),
         F.approx_count_distinct("nb", 0.05).alias("_ap"))
     return agg.select(
         "id", "n_neighbors_2hop",
