@@ -461,6 +461,7 @@ def bfs_hops(
     sources: DataFrame,
     max_hops: int = 4,
     checkpoint: bool = True,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """(id, hops): shortest undirected hop distance from any source node,
     capped at ``max_hops`` (multi-source BFS / k-hop reachability).
@@ -477,9 +478,13 @@ def bfs_hops(
     """
     from ..io import cut_lineage
 
-    und = undirected_edges(edges)
-    if checkpoint:
-        und = cut_lineage(und)
+    # r12: callers running several sweeps over the same graph pass the
+    # already-undirected, already-checkpointed edge set via ``und`` so it
+    # is materialized once, not once per sweep (guide §1.2).
+    if und is None:
+        und = undirected_edges(edges)
+        if checkpoint:
+            und = cut_lineage(und)
     visited = sources.select(F.col(sources.columns[0]).alias("id")).distinct() \
         .withColumn("hops", F.lit(0).cast("bigint"))
     if checkpoint:
@@ -496,9 +501,11 @@ def bfs_hops(
             nxt = cut_lineage(nxt)
         if nxt.isEmpty():
             break
+        # r12: visited is a FLAT union of already-checkpointed frontiers —
+        # its lineage never deepens, so re-checkpointing it each round was
+        # a full O(|visited|) block rewrite per round for nothing (the
+        # anti-join reads the same checkpointed blocks either way).
         visited = visited.unionByName(nxt)
-        if checkpoint:
-            visited = cut_lineage(visited)
         frontier = nxt
     return visited
 
@@ -550,9 +557,9 @@ def landmark_centrality(
             nxt = cut_lineage(nxt)
         if nxt.isEmpty():
             break
+        # r12: flat union of checkpointed frontiers — no per-round
+        # re-checkpoint of the whole visited set (see bfs_hops)
         visited = visited.unionByName(nxt)
-        if checkpoint:
-            visited = cut_lineage(visited)
         frontier = nxt
     f = visited.filter(F.col("hops") > 0)
     return f.groupBy("id").agg(
@@ -582,15 +589,21 @@ def diameter_double_sweep(
     the driver).  Distances cap at ``max_hops`` — if the bound equals the
     cap the true diameter may exceed it (flagged in the output).  Returns
     1 row: (start_node, far_node, diameter_lb, capped)."""
-    und = undirected_edges(edges)
+    from ..io import cut_lineage
+
+    # r12: ONE checkpointed undirected edge set shared by the start-node
+    # probe and both sweeps — this ran undirected_edges 3x (once per bfs
+    # call + once raw for the start argmin, the latter re-executing the
+    # full union+distinct every time `start` was evaluated).
+    und = cut_lineage(undirected_edges(edges))
     start = und.agg(F.min("src").alias("id"))
-    d1 = bfs_hops(edges, start, max_hops=max_hops)
+    d1 = bfs_hops(edges, start, max_hops=max_hops, und=und)
     far = d1.groupBy().agg(
         F.min(F.struct((-F.col("hops")).alias("nh"),
                        F.col("id").alias("i"),
                        F.col("hops").alias("h"))).alias("_f")) \
         .select(F.col("_f.i").alias("id"))
-    d2 = bfs_hops(edges, far, max_hops=max_hops)
+    d2 = bfs_hops(edges, far, max_hops=max_hops, und=und)
     ecc = d2.groupBy().agg(
         F.min(F.struct((-F.col("hops")).alias("nh"),
                        F.col("id").alias("i"),
