@@ -1038,21 +1038,32 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85) -> Da
     row per node — broadcastable for modest graphs; at web scale both sides
     hash-partition on the join key), one hash aggregate on dst.  The
     iteration count is fixed, so the whole computation is ``iterations``
-    shuffle rounds — no convergence collect in the loop."""
-    e = edges.select("src", "dst").distinct()
+    shuffle rounds — no convergence collect in the loop.
+
+    r12: the edge list is materialized ONCE with its out-degree already
+    attached (cut_lineage) — previously every iteration re-derived
+    ``distinct()`` + re-joined the out-degree aggregate, so the unfolded
+    plan embedded the edge subtree twice per round (20 scans / 33
+    exchanges at 3 iterations; callers passing a derived edge set, e.g.
+    textrank's tokenize->explode pipeline, re-executed THAT per
+    reference).  Contributions are unchanged doubles divided then summed
+    as exact decimal, so results are bit-identical."""
+    e = cut_lineage(edges.select("src", "dst").distinct())
     nodes = cut_lineage(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     outdeg = e.groupBy(F.col("src").alias("_od_src")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_outdeg"))
+    e_od = cut_lineage(
+        e.join(outdeg, e.src == F.col("_od_src"))
+        .select("src", "dst", "_outdeg"))
     base = nodes.crossJoin(F.broadcast(nn))
     ranks = base.select("id", "_n", (F.lit(1.0) / F.col("_n")).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
-                   e.src == F.col("_r_id"))
-            .join(outdeg, e.src == F.col("_od_src"))
+            e_od.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
+                      e_od.src == F.col("_r_id"))
             .select(F.col("dst").alias("id"),
                     (F.col("rank") / F.col("_outdeg"))
                     .cast("decimal(38,18)").alias("_c"))
@@ -1085,8 +1096,12 @@ def pagerank_personalized(
     collect); the teleport vector is one extra left-join against the seed
     set, computed once and reused every round.  Mass leaks through
     dangling/non-seed paths exactly as in the simple variant — the standard
-    unnormalized formulation a SQL twin can reproduce."""
-    e = edges.select("src", "dst").distinct()
+    unnormalized formulation a SQL twin can reproduce.
+
+    r12: same edge-materialization change as :func:`pagerank` — one
+    checkpointed (src, dst, outdeg) set shared by all iterations instead
+    of a re-derived distinct + out-degree join per round."""
+    e = cut_lineage(edges.select("src", "dst").distinct())
     s = cut_lineage(seeds.select(F.col(seeds.columns[0]).alias("id")).distinct())
     # the seed count both guards the 1/|S| teleport AND re-enters the plan
     # as a literal — one action, no count-aggregate crossJoin per build
@@ -1110,12 +1125,14 @@ def pagerank_personalized(
     base = cut_lineage(base)
     outdeg = e.groupBy(F.col("src").alias("_od_src")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_outdeg"))
+    e_od = cut_lineage(
+        e.join(outdeg, e.src == F.col("_od_src"))
+        .select("src", "dst", "_outdeg"))
     ranks = base.select("id", F.col("tele").alias("rank"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
-                   e.src == F.col("_r_id"))
-            .join(outdeg, e.src == F.col("_od_src"))
+            e_od.join(ranks.select(F.col("id").alias("_r_id"), "rank"),
+                      e_od.src == F.col("_r_id"))
             .select(F.col("dst").alias("id"),
                     (F.col("rank") / F.col("_outdeg"))
                     .cast("decimal(38,18)").alias("_c"))
@@ -1149,7 +1166,18 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     the other) rounds plus two broadcast 1-row totals — ``2*iterations``
     shuffle rounds total, no driver collection, no convergence check; at
     web scale both join sides hash-partition on the key exactly like the
-    pagerank plan."""
+    pagerank plan.
+
+    r12: each half-step's contribution-sum frame (one row per node) is
+    materialized with cut_lineage before it fans out.  ``auth_sums`` is
+    consumed by BOTH its normalizing total and the auth join, and the
+    normalized ``auth`` feeds both the hub half-step and the final
+    scores join — without the cut, every reference re-embedded the whole
+    upstream subtree and the unfolded 2-iteration plan reached 1146
+    nodes / 268 exchanges / 138 scans (planning cost alone is
+    super-linear in that, and on a cluster nothing guarantees exchange
+    reuse across the duplicated subtrees).  The decimal sums are
+    partition-order exact, so materialization cannot change a bit."""
     e = cut_lineage(edges.select("src", "dst").distinct())
     nodes = cut_lineage(
         e.select(F.col("src").alias("id"))
@@ -1160,7 +1188,7 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
         "id", (F.lit(1.0) / F.col("_n")).alias("hub"),
         (F.lit(1.0) / F.col("_n")).alias("authority"))
     for _ in range(iterations):
-        auth_sums = (
+        auth_sums = cut_lineage(
             e.join(scores.select(F.col("id").alias("_h_id"), "hub"),
                    e.src == F.col("_h_id"))
             .select(F.col("dst").alias("id"),
@@ -1175,7 +1203,7 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
                                F.coalesce(F.col("_a").cast("double"),
                                           F.lit(0.0)) / F.col("_at"))
                         .otherwise(F.lit(0.0)).alias("authority")))
-        hub_sums = (
+        hub_sums = cut_lineage(
             e.join(auth.select(F.col("id").alias("_a_id"), "authority"),
                    e.dst == F.col("_a_id"))
             .select(F.col("src").alias("id"),
