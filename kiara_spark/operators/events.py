@@ -1561,12 +1561,16 @@ def nelson_aalen(
                   .alias("n_events"),
                   F.sum(1 - F.col(event_col).cast("int")).cast("bigint")
                   .alias("n_censored")))
-    total = per_t.agg((F.sum("n_events") + F.sum("n_censored"))
-                      .cast("decimal(38,0)").alias("_tot"))
     staged = per_t.withColumn(
         "_at", (F.col("n_events") + F.col("n_censored"))
         .cast("decimal(38,0)"))
     pre = _prefix_sums(staged, "t", [("_at", "_seen")])
+    # r12: the subject total is the last grid row's exclusive prefix +
+    # its own count (exact decimal addition of the same counts), read
+    # off the checkpointed prefix grid instead of re-aggregating per_t,
+    # which re-ran the full table scan.
+    total = pre.agg(F.max_by(F.col("_seen") + F.col("_at"), F.col("t"))
+                    .cast("decimal(38,0)").alias("_tot"))
     g = (pre.crossJoin(F.broadcast(total))
          .select("t", "n_events", "n_censored",
                  (F.col("_tot") - F.col("_seen")).cast("bigint")
@@ -1628,9 +1632,14 @@ def logrank_test(
                   .cast("decimal(38,0)").alias("_ta"),
                   F.sum(F.when(in_b, 1).otherwise(0))
                   .cast("decimal(38,0)").alias("_tb")))
-    tot = per_t.agg(F.sum("_ta").cast("decimal(38,0)").alias("_na"),
-                    F.sum("_tb").cast("decimal(38,0)").alias("_nb"))
     pre = _prefix_sums(per_t, "t", [("_ta", "_sa"), ("_tb", "_sb")])
+    # r12: per-group totals read off the checkpointed prefix grid (last
+    # row's exclusive prefix + own count — exact decimal addition)
+    # instead of re-aggregating per_t, which re-ran the full table scan.
+    tot = pre.agg(F.max_by(F.col("_sa") + F.col("_ta"), F.col("t"))
+                  .cast("decimal(38,0)").alias("_na"),
+                  F.max_by(F.col("_sb") + F.col("_tb"), F.col("t"))
+                  .cast("decimal(38,0)").alias("_nb"))
     g = (pre.crossJoin(F.broadcast(tot))
          .select("t", "_da", "_db",
                  (F.col("_na") - F.col("_sa")).cast("bigint").alias("_ra"),

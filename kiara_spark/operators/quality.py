@@ -394,9 +394,15 @@ def association_pairs(
     AFTER pair counting — at 100 TB, huge baskets are the hazard, so cap or
     pre-filter basket size upstream.  Pairs are emitted once (item_a <
     item_b); confidence is directional P(b|a); lift is symmetric.
-    Doubles round to 6 dp for engine portability."""
-    bi = df.select(F.col(basket_col).alias("_b"),
-                   F.col(item_col).alias("_i")).distinct()
+    Doubles round to 6 dp for engine portability.
+
+    r12: the distinct (basket, item) set is materialized once — it is
+    consumed four times (basket count, item counts, both self-join
+    sides), and each reference re-ran the scan + distinct."""
+    from ..io import cut_lineage
+
+    bi = cut_lineage(df.select(F.col(basket_col).alias("_b"),
+                               F.col(item_col).alias("_i")).distinct())
     n_baskets = bi.select("_b").distinct().count()
     item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n"))
@@ -441,20 +447,29 @@ def association_triples(
     size³.  (The prune provably drops nothing: support is anti-monotone,
     every frequent triple's sub-pairs are frequent.)  All joins are keyed
     on the basket or on the (small) frequent-pair set; one final triple
-    aggregate.  Doubles round to 6 dp."""
-    bi = df.select(F.col(basket_col).alias("_b"),
-                   F.col(item_col).alias("_i")).distinct()
+    aggregate.  Doubles round to 6 dp.
+
+    r12: the distinct (basket, item) set (5 consumers) and the frequent
+    pair set (4 consumers: fp, both Apriori prune projections, the final
+    confidence join) are each materialized once — previously every
+    reference re-ran its whole subtree, up to the scan + distinct +
+    pair self-join + aggregate."""
+    from ..io import cut_lineage
+
+    bi = cut_lineage(df.select(F.col(basket_col).alias("_b"),
+                               F.col(item_col).alias("_i")).distinct())
     n_baskets = bi.select("_b").distinct().count()
     item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n"))
     a = bi.select("_b", F.col("_i").alias("item_a"))
     b = bi.select("_b", F.col("_i").alias("item_b"))
     c = bi.select("_b", F.col("_i").alias("item_c"))
-    pairs = (a.join(b, "_b")
-             .filter(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
-             .filter(F.col("pair_support") >= min_support))
+    pairs = cut_lineage(
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support))
     fp = pairs.select("item_a", "item_b")
     basket_pairs = (a.join(b, "_b")
                     .filter(F.col("item_a") < F.col("item_b"))
@@ -1092,7 +1107,12 @@ def weighted_percentile(
     cum = (_prefix_sums(per_v, "_v",
                         [("_w", "_cw", "decimal(38,6)")], inclusive=True)
            .select("_v", "_cw"))
-    tot = per_v.agg(F.sum("_w").cast("decimal(38,6)").alias("_tw"))
+    # r12: total weight = the last grid value's inclusive cumulative
+    # (max_by, not max — weights need not be positive), read off the
+    # checkpointed grid instead of re-aggregating per_v, which re-ran
+    # the full table scan (the weighted_percentile fix, same family).
+    tot = cum.agg(F.max_by("_cw", F.col("_v")).cast("decimal(38,6)")
+                  .alias("_tw"))
     grid = df.sparkSession.createDataFrame(
         [(float(p), int(round(p * 1_000_000))) for p in percentiles],
         "p double, p_ppm long")
@@ -2228,8 +2248,12 @@ def ks_statistic(
     cum = (_prefix_sums(per_v, "_v",
                         [("_c1", "_f1"), ("_c2", "_f2")], inclusive=True)
            .select("_v", "_f1", "_f2"))
-    tot = per_v.agg(F.sum("_c1").cast("decimal(38,0)").alias("_n1"),
-                    F.sum("_c2").cast("decimal(38,0)").alias("_n2"))
+    # r12: sample sizes are the inclusive CDF grid's maxima (cumulative
+    # counts are monotone; the last value's cum IS Σ_c — identical
+    # decimal sums), read off the checkpointed grid instead of
+    # re-aggregating per_v, which re-ran the two-table union scan.
+    tot = cum.agg(F.max("_f1").cast("decimal(38,0)").alias("_n1"),
+                  F.max("_f2").cast("decimal(38,0)").alias("_n2"))
     num = cum.crossJoin(F.broadcast(tot)).select(
         "_v", "_n1", "_n2",
         F.abs(F.col("_f1") * F.col("_n2")
@@ -2286,8 +2310,14 @@ def regression_stump(
                         [("_c", "_nl0"), ("_s", "_sl", "decimal(38,10)")],
                         inclusive=True)
            .select("_v", F.col("_nl0").cast("bigint").alias("_nl"), "_sl"))
-    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_n"),
-                    F.sum("_s").cast("decimal(38,10)").alias("_st"))
+    # r12: totals read off the checkpointed inclusive prefix grid — the
+    # count cum is monotone (max = Σ_c) and the Σy total is the last
+    # value's cumulative (max_by value order; Σy can be negative, so
+    # max_by not max) — instead of re-aggregating per_v, which re-ran
+    # the full table scan.  Identical exact-decimal values.
+    tot = cum.agg(F.max("_nl").cast("bigint").alias("_n"),
+                  F.max_by("_sl", F.col("_v")).cast("decimal(38,10)")
+                  .alias("_st"))
     cand = (cum.crossJoin(F.broadcast(tot))
             .filter(F.col("_nl") < F.col("_n")))
     nl = F.col("_nl").cast("double")
@@ -3138,11 +3168,16 @@ def cramer_von_mises(
     per_v = tagged.groupBy("_v").agg(
         F.sum("_r").cast("decimal(38,0)").alias("_c1"),
         F.sum(1 - F.col("_r")).cast("decimal(38,0)").alias("_c2"))
-    totals = per_v.agg(
-        F.sum("_c1").cast("decimal(18,0)").alias("_m"),
-        F.sum("_c2").cast("decimal(18,0)").alias("_n"))
-    grid = _prefix_sums(per_v, "_v", [("_c1", "_cum1"), ("_c2", "_cum2")],
-                        inclusive=True)         .crossJoin(F.broadcast(totals))
+    # r12: sample totals are the inclusive prefix grid's maxima (exactly
+    # Σ_c1/Σ_c2 — same decimal sums of the same counts), read off the
+    # checkpointed grid instead of re-aggregating per_v, which re-ran
+    # the two-table union scan.
+    cums = _prefix_sums(per_v, "_v", [("_c1", "_cum1"), ("_c2", "_cum2")],
+                        inclusive=True)
+    totals = cums.agg(
+        F.max("_cum1").cast("decimal(18,0)").alias("_m"),
+        F.max("_cum2").cast("decimal(18,0)").alias("_n"))
+    grid = cums.crossJoin(F.broadcast(totals))
     # staged casts keep every decimal product inside BOTH engines'
     # 38-digit exact-arithmetic window (DuckDB silently promotes past
     # 38 combined digits to double — the exact-products gotcha)
@@ -3281,10 +3316,19 @@ def spearman_correlation(
     DECIMAL(38,0) sums; the doubling cancels in ρ.  Only the terminal
     ratio/√ is floating point.  Each midrank prefix runs as the range-
     partitioned :func:`_prefix_sums` (near-unique grids never serialize
-    through one window task).  Returns (n, rho)."""
-    base = (df.select(F.col(x_col).cast("decimal(38,6)").alias("_x"),
-                      F.col(y_col).cast("decimal(38,6)").alias("_y"))
-            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    through one window task).  Returns (n, rho).
+
+    r12: the narrow (x, y) projection is materialized once — it feeds
+    BOTH rank grids and the rank join, so the un-cut plan re-ran the
+    full table scan three times; the checkpoint trades one write of two
+    decimal columns for two of those scans (the conformal/persist-narrow
+    pattern)."""
+    from ..io import cut_lineage
+
+    base = cut_lineage(
+        df.select(F.col(x_col).cast("decimal(38,6)").alias("_x"),
+                  F.col(y_col).cast("decimal(38,6)").alias("_y"))
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
 
     def rank2_grid(col: str, out: str):
         per_v = base.groupBy(col).agg(
@@ -3619,16 +3663,24 @@ def levene_bf(
     base = (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), v.alias("_v")))
-    per_v = base.groupBy("_g", "_v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_c"))
+    # r12: grid materialized once; the per-group total is the same
+    # window pass's unbounded max (exactly Σ_c — no re-aggregation of
+    # the corpus subtree, which re-ran the full scan), so the median
+    # needs no second scan or join.
+    from ..io import cut_lineage
+
+    per_v = cut_lineage(base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")))
     w = (Window.partitionBy("_g").orderBy("_v")
          .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy("_g")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
     cum = per_v.select(
         "_g", "_v",
-        F.sum("_c").over(w).cast("bigint").alias("_cum"))
-    tot = per_v.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_ng"))
-    med = (cum.join(tot, "_g")
-           .filter(F.col("_cum") * 2 >= F.col("_ng"))
+        F.sum("_c").over(w).cast("bigint").alias("_cum"),
+        F.sum("_c").over(w_all).cast("bigint").alias("_ng"))
+    med = (cum.filter(F.col("_cum") * 2 >= F.col("_ng"))
            .groupBy("_g").agg(F.min("_v").alias("_med")))
     z = (base.join(F.broadcast(med), "_g")
          .select("_g", F.abs(F.col("_v") - F.col("_med"))
@@ -3782,24 +3834,36 @@ def mood_median_test(
     (the `chi2_gof_bh` contract).  The median prefix runs as the range-
     partitioned :func:`_prefix_sums`.  Returns one row:
     (k, n, pooled_median, chi2, dof, p_value)."""
+    from ..io import cut_lineage
+
     v = F.col(value_col).cast("decimal(38,6)")
     base = (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), v.alias("_v")))
-    per_v = base.groupBy("_v").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    # r12: ONE corpus scan — the (group, value) grid is the only pass
+    # over the table; the global value grid, its total, and the per-group
+    # above/below counts are all exact integer rollups of it (previously:
+    # three full scans — per_v, tot re-running per_v's subtree, and the
+    # row-level conditional count).  Sums of per-cell counts equal direct
+    # row counts exactly, so every downstream statistic is bit-identical.
+    per_gv = cut_lineage(base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cgv")))
+    per_v = per_gv.groupBy("_v").agg(
+        F.sum("_cgv").cast("decimal(38,0)").alias("_c"))
     cum = (_prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
            .select("_v", F.col("_cm").cast("bigint").alias("_cm")))
-    tot = per_v.agg(F.sum("_c").cast("bigint").alias("_nn"))
+    tot = cum.agg(F.max("_cm").cast("bigint").alias("_nn"))
     med = (cum.crossJoin(F.broadcast(tot))
            .filter(F.col("_cm") * 2 >= F.col("_nn"))
            .agg(F.min("_v").alias("_med")))
-    per_g = (base.crossJoin(F.broadcast(med))
+    per_g = (per_gv.crossJoin(F.broadcast(med))
              .groupBy("_g")
-             .agg(F.sum(F.when(F.col("_v") > F.col("_med"), 1)
-                        .otherwise(0)).cast("bigint").alias("_a"),
-                  F.sum(F.when(F.col("_v") <= F.col("_med"), 1)
-                        .otherwise(0)).cast("bigint").alias("_b"),
+             .agg(F.sum(F.when(F.col("_v") > F.col("_med"), F.col("_cgv"))
+                        .otherwise(F.lit(0).cast("decimal(38,0)")))
+                  .cast("bigint").alias("_a"),
+                  F.sum(F.when(F.col("_v") <= F.col("_med"), F.col("_cgv"))
+                        .otherwise(F.lit(0).cast("decimal(38,0)")))
+                  .cast("bigint").alias("_b"),
                   F.min("_med").alias("_med")))
     d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
     tots = per_g.agg(F.sum("_a").cast("bigint").alias("_ta"),
@@ -3859,8 +3923,16 @@ def kruskal_wallis(
     base = (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), v.alias("_v")))
-    per_gv = base.groupBy("_g", "_v").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cgv"))
+    # r12: the (group, value) grid is materialized once — it feeds the
+    # global value grid AND the midrank join, and the tie term reads the
+    # prefix grid (already checkpointed inside _prefix_sums) instead of
+    # re-aggregating the corpus subtree.  One table scan total
+    # (previously three: per_gv re-ran for the join, and ties re-ran
+    # per_gv -> per_v from the scan up).
+    from ..io import cut_lineage
+
+    per_gv = cut_lineage(base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cgv")))
     per_v = per_gv.groupBy("_v").agg(
         F.sum("_cgv").cast("decimal(38,0)").alias("_cv"))
     grid = _prefix_sums(per_v, "_v", [("_cv", "_prev")])
@@ -3870,7 +3942,7 @@ def kruskal_wallis(
         F.sum("_cgv").cast("decimal(38,0)").alias("_ng"),
         F.sum(F.col("_cgv") * F.col("_r2")).cast("decimal(38,0)")
         .alias("_r2g"))
-    ties = per_v.agg(
+    ties = grid.agg(
         F.sum(F.col("_cv") * F.col("_cv") * F.col("_cv") - F.col("_cv"))
         .cast("decimal(38,0)").alias("_tcorr"))
     # R_g^2/n_g with R_g = R2_g/2: (R2_g)^2/(4 n_g) — terms too large for
@@ -5638,17 +5710,21 @@ def bh_fdr(
         .alias("reject"))
 
 
-def _winsor_stats(df_vals: DataFrame, trim: float):
+def _winsor_stats(per_v: DataFrame, trim: float):
     """(n, h, Σw@2dp, Σw²@4dp) of the winsorized sample for ONE group
-    whose values sit in ``_v`` (decimal(38,2)) — the shared kernel under
-    :func:`yuen_trimmed_ttest`.  k = floor(trim·n) values at each end
-    are replaced by the boundary order statistics v_(k+1) / v_(n−k);
-    everything is exact: grid counts, rank-overlap arithmetic, decimal
-    value sums.  Returns a 1-row frame."""
-    per_v = df_vals.groupBy("_v").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    given its distinct-value grid ``(_v decimal(38,2), _c decimal(38,0))``
+    — the shared kernel under :func:`yuen_trimmed_ttest`.  k = floor(trim·n)
+    values at each end are replaced by the boundary order statistics
+    v_(k+1) / v_(n−k); everything is exact: grid counts, rank-overlap
+    arithmetic, decimal value sums.  Returns a 1-row frame.
+
+    r12: takes the grid (callers build it — yuen shares ONE corpus scan
+    across both groups), and the group total is read off the inclusive
+    prefix grid as max(_cm) (= Σ_c exactly, both decimal(38,0) sums of
+    the same counts) instead of re-aggregating the pre-checkpoint grid
+    subtree — that re-ran the full table scan per group."""
     cum = _prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
-    tot = per_v.agg(F.sum("_c").cast("decimal(38,0)").alias("_n"))
+    tot = cum.agg(F.max("_cm").cast("decimal(38,0)").alias("_n"))
     g = cum.crossJoin(F.broadcast(tot))
     k = F.floor(F.col("_n").cast("double") * F.lit(trim)).cast("bigint")
     n = F.col("_n").cast("bigint")
@@ -5711,10 +5787,21 @@ def yuen_trimmed_ttest(
     trimmed_mean_b, t_stat, df)."""
     v = F.col(value_col).cast("decimal(38,2)")
     base = df.filter(F.col(value_col).isNotNull())
+    # r12: ONE corpus scan builds both groups' distinct-value grids (the
+    # per-side filters previously each re-scanned the table; with the
+    # grid-total fix in _winsor_stats that was 4 full scans per call).
+    # Per-group counts are identical to the per-side grids, so every
+    # downstream exact-decimal statistic is bit-identical.
+    from ..io import cut_lineage
+
+    per_gv = cut_lineage(
+        base.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(group_col).alias("_yg"), v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
 
     def side(gval):
-        vals = base.filter(F.col(group_col) == gval).select(v.alias("_v"))
-        return _winsor_stats(vals, trim)
+        return _winsor_stats(
+            per_gv.filter(F.col("_yg") == gval).select("_v", "_c"), trim)
 
     a = side(group_a).select(*[F.col(c).alias(c + "a") for c in
                                ("_n", "_h", "_sw", "_sq", "_trim_sum")])
@@ -5779,11 +5866,20 @@ def quantile_normalize_map(
     join it back by value to normalize the raw table map-side."""
     v = F.col(value_col).cast("decimal(38,6)")
     base = df.filter(F.col(value_col).isNotNull())
+    # r12: ONE corpus scan builds both groups' grids (the per-group
+    # filters each re-scanned the table); per-group cell counts are
+    # identical, so every exact-integer comparison downstream is
+    # unchanged.
+    from ..io import cut_lineage
+
+    per_gv = cut_lineage(
+        base.filter(F.col(group_col).isin([ref_group, target_group]))
+        .groupBy(F.col(group_col).alias("_qg"), v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
 
     def grid(gval):
-        per_v = (base.filter(F.col(group_col) == gval)
-                 .groupBy(v.alias("_v"))
-                 .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+        per_v = (per_gv.filter(F.col("_qg") == gval)
+                 .select("_v", "_c"))
         return _prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
 
     tgt = grid(target_group).select(
