@@ -4056,10 +4056,19 @@ def scalar_map_battery_q(spark, sf_dir):
     `dict`-typed values the reference carries (SURVEY §1.2)."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    m = F.map_from_arrays(
-        F.array(F.lit("k"), F.lit("uid"), F.lit("eid")),
-        F.array(k, F.col("user_id"), F.col("event_id")))
-    return ev.select(
+    # r12: STAGE the map as a column before the battery references it —
+    # the lambda-bearing Project runs outside whole-stage codegen where
+    # no subexpression elimination applies, so the inlined form parsed
+    # the JSON and rebuilt the map 7x per row (the span-corruption /
+    # textrank staging lesson; CollapseProject keeps the stage because
+    # the alias is non-cheap and multiply referenced).
+    staged = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("uid"), F.lit("eid")),
+            F.array(k, F.col("user_id"), F.col("event_id"))).alias("_m"))
+    m = F.col("_m")
+    return staged.select(
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").alias("val_k"),
@@ -4781,8 +4790,12 @@ def scalar_variant_battery_q(spark, sf_dir):
         F.array(F.col("event_id"), F.col("user_id")).alias("arr"),
         F.from_json("props", "k int").alias("p"),
     ))
-    v = F.parse_json(j)
-    return ev.select(
+    # r12: STAGE the parsed variant as a column — six extraction columns
+    # reference it, and inlined each re-ran the whole build+to_json+
+    # parse_json chain per row (the scalar_map_battery staging lesson)
+    staged = ev.select("event_id", F.parse_json(j).alias("_var"))
+    v = F.col("_var")
+    return staged.select(
         "event_id",
         F.variant_get(v, "$.t", "string").alias("t"),
         F.variant_get(v, "$.m.v", "double").alias("v"),
@@ -6107,7 +6120,7 @@ def streaming_update_mode_demo(spark, sf_dir):
     import tempfile
     import uuid
 
-    from .streaming.windows import read_parquet_stream
+    from .streaming.windows import read_parquet_stream, run_stream_to_memory
 
     ev = _t(spark, sf_dir, "events")
     m = ev.agg(F.max("ts")).collect()[0][0]
@@ -6130,9 +6143,12 @@ def streaming_update_mode_demo(spark, sf_dir):
                    F.unix_timestamp("window.end").alias("window_end"),
                    "event_type", "n"))
     qname = f"upd_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(qname)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    # r12: sized like the left-outer demo (8 state stores, not 32) — the
+    # windowed-agg state is a few thousand rows and per-batch store
+    # snapshot/commit dominates; update-mode emission per changed group
+    # is partition-count independent, so the memory-sink history is
+    # identical (see run_stream_to_memory's state_partitions note)
+    run_stream_to_memory(agg, qname, mode="update", state_partitions=8)
     return spark.table(qname)
 
 
