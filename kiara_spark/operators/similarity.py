@@ -973,7 +973,10 @@ def pca_top_component(
     # matvec rounds (and the final norm + output passes) reuse the d² cell
     # table instead of re-running the self-join once per downstream branch
     cov = cut_lineage(cov)
-    v = x.select("pos").distinct().select(
+    # r12: seed the iteration off the checkpointed centered grid — the
+    # previous x.select("pos") re-ran the posexplode over the full scan
+    # just to enumerate d dimension ids
+    v = cgrid.select("pos").distinct().select(
         "pos", F.lit(1.0).alias("val"))
     # matvec rounds compose LAZILY on the checkpointed d² cell table: each
     # round is one broadcast-size join + aggregate over ≤ d² rows, so three
