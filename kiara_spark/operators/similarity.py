@@ -685,14 +685,27 @@ def pq_encode(
     The codebook embeds as ONE literal array-of-arrays per subspace and
     the k codewords are scanned by a runtime ``transform`` — m aggregate
     expressions in the plan, not m*k (the expanded form cost ~15s of
-    Catalyst analysis for m=4, k=16)."""
+    Catalyst analysis for m=4, k=16).
+
+    The m argmin structs are STAGED once as a ``_best`` column (r12,
+    guide §1.2): ``codes`` and ``recon_err_e9`` both read them, and this
+    Project runs OUTSIDE whole-stage codegen (lambda higher-order
+    functions), where each output column would otherwise re-evaluate the
+    full k-codeword argmin — 2x the dominant per-row work.  CollapseProject
+    keeps the alias staged (non-cheap, multiply referenced); the fold
+    order of the error sum is the same left-to-right chain, so results
+    are bit-identical."""
     m = len(codebook)
-    best = [_pq_best(F.col(vec_col), codebook, s, exact) for s in range(m)]
+    staged = df.select(
+        F.col(id_col),
+        F.array(*[_pq_best(F.col(vec_col), codebook, s, exact)
+                  for s in range(m)]).alias("_best"))
+    best = [F.col("_best").getItem(s) for s in range(m)]
     codes = F.array(*[b.getField("j").cast("bigint") for b in best])
     err = best[0].getField("d")
     for b in best[1:]:
         err = err + b.getField("d")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         codes.alias("codes"),
         (err.cast("bigint") if exact
@@ -805,20 +818,39 @@ def pq_topk_adc(
 
     ``bucket_col`` adds IVF coarse pruning (nprobe=1): candidates are
     scored only inside the query's bucket — the full FAISS IVF-PQ layout,
-    where the candidate list shrinks ~B x before any distance work."""
+    where the candidate list shrinks ~B x before any distance work.
+
+    Long-form corpus codes are built by exploding a LITERAL subspace
+    sequence first and assigning the code per exploded row via a
+    single-branch CASE (r12): the earlier ``posexplode(codes)`` form made
+    InferFiltersFromGenerate copy the entire m-subspace encode expression
+    into a Filter below the Generate — the full argmin ran TWICE per
+    vector, before the spread exchange.  The sequence literal's inferred
+    filter constant-folds away, each exploded row evaluates exactly its
+    own subspace's argmin (same total work as one encode), and
+    ``coalesce(code, -1)`` (never fires — argmin of a non-empty literal
+    codebook) makes the join key non-nullable so no ``isnotnull`` filter
+    is inferred that would re-evaluate it.  ``bucket_col`` rides the same
+    select instead of a second corpus scan + join."""
     m = len(codebook)
     dsub = len(codebook[0][0])
 
-    codes_long = (
-        pq_encode(df, codebook, vec_col, id_col, exact)
-        .select(F.col(id_col).alias("neighbor_id"),
-                F.posexplode("codes").alias("_s", "_code")))
+    bkt = ([F.col(bucket_col).alias("_bkt")] if bucket_col is not None
+           else [])
+    long = df.select(
+        F.col(id_col).alias("neighbor_id"), *bkt,
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_s"))
+    code = None
+    for s in range(m):
+        j = _pq_best(F.col("_v"), codebook, s, exact).getField("j")
+        code = (F.when(F.col("_s") == s, j) if code is None
+                else code.when(F.col("_s") == s, j))
+    codes_long = long.select(
+        "neighbor_id", *(["_bkt"] if bucket_col is not None else []),
+        "_s", F.coalesce(code.cast("bigint"), F.lit(-1)).alias("_code"))
     join_keys = ["_s", "_code"]
     if bucket_col is not None:
-        codes_long = codes_long.join(
-            df.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(bucket_col).alias("_bkt")),
-            "neighbor_id")
         join_keys.append("_bkt")
 
     def dtab_entries(v: Column, s: int) -> Column:
