@@ -1913,6 +1913,34 @@ POISSON1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
                 0.9810118431238462, 0.9963401531726563)
 
 
+def _poisson_weighted(base: DataFrame, id_col: str, b_resamples: int,
+                      salt: str) -> DataFrame:
+    """Explode ``base`` to (row × resample) rows and attach the Poisson(1)
+    weight ``_w`` (plus ``_b``), keeping every other ``base`` column.
+
+    The md5-derived uniform is STAGED as its own column (r12, guide §1.2):
+    written inline, each of the nested CASE's five threshold comparisons
+    embeds its own copy of the md5 chain, and codegen subexpression
+    elimination does not reach into conditional branches — ~2 md5
+    evaluations per (row, resample) on average; staged it is exactly one.
+    The staged division and comparisons are bit-identical, so weights (and
+    thus results) are unchanged."""
+    keep = [c for c in base.columns if c != id_col]
+    exploded = base.select(
+        F.col(id_col), *keep,
+        F.explode(F.sequence(F.lit(1), F.lit(b_resamples))).alias("_b"))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("_b").cast("string"),
+        F.lit(salt))), 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(1152921504606846976.0))
+    staged = exploded.select(*keep, "_b", u.alias("_u"))
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(F.col("_u") < F.lit(POISSON1_CDF[k]), F.lit(k)) \
+            .otherwise(w)
+    return staged.select(*keep, "_b", w.cast("bigint").alias("_w"))
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     value_col: str,
@@ -1943,14 +1971,6 @@ def bootstrap_ci_mean(
     d9 = lambda c: F.round(c, 9).cast("decimal(38,12)")  # noqa: E731
     x = F.col(value_col).cast("double")
 
-    u = (F.conv(F.substring(F.md5(F.concat_ws(
-        "#", F.col(id_col).cast("string"), F.col("_b").cast("string"),
-        F.lit(salt))), 1, 15), 16, 10).cast("bigint").cast("double")
-        / F.lit(1152921504606846976.0))
-    w = F.lit(5)
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-
     # NULL values are EXCLUDED rows (round-7 ADVICE): without the filter
     # the decimal sums skip NULLs while the count/Σw denominators include
     # them, biasing both the point estimate and every resample mean
@@ -1963,15 +1983,17 @@ def bootstrap_ci_mean(
     # pre-explode shuffle moves only the raw rows, never the B× volume.
     base = nn.select(F.col(id_col), x.alias("_x")).repartition(
         df.sparkSession.sparkContext.defaultParallelism)
-    exploded = (base.select(F.col(id_col), "_x",
-                            F.explode(F.sequence(F.lit(1),
-                                                 F.lit(b_resamples)))
-                            .alias("_b"))
-                .select("_b", "_x", w.cast("bigint").alias("_w")))
+    exploded = _poisson_weighted(base, id_col, b_resamples, salt)
+    # The point estimate comes out of the SAME exploded aggregate (r12,
+    # guide §1.2): every _b group contains every row exactly once, so the
+    # _b = 1 group's plain decimal sum + count ARE the full-table sums —
+    # no second scan of the input.
     per_b = (exploded.groupBy("_b")
              .agg(F.sum(d9(F.col("_w").cast("double") * F.col("_x")))
                   .alias("_s"),
-                  F.sum("_w").cast("bigint").alias("_n")))
+                  F.sum("_w").cast("bigint").alias("_n"),
+                  F.sum(d9(F.col("_x"))).alias("_sx"),
+                  F.count(F.lit(1)).cast("bigint").alias("_c")))
     from ..io import cut_lineage
 
     # Materialize the B-row means frame: every branch below would otherwise
@@ -1980,7 +2002,7 @@ def bootstrap_ci_mean(
     means = cut_lineage(per_b.select(
         "_b",
         F.round(F.col("_s").cast("double") / F.col("_n").cast("double"), 9)
-        .alias("_m")))
+        .alias("_m"), "_sx", "_c"))
     from pyspark.sql.window import Window as _W
 
     ranked = means.select(
@@ -1989,10 +2011,13 @@ def bootstrap_ci_mean(
     ci = ranked.agg(
         F.min(F.when(F.col("_r") == lo_rank, F.col("_m"))).alias("ci_lo"),
         F.min(F.when(F.col("_r") == hi_rank, F.col("_m"))).alias("ci_hi"))
-    point = nn.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum(d9(x)).cast("double")
-                / F.count(F.lit(1)).cast("double"), 9).alias("point_mean"))
+    # agg (not a bare filter) so an EMPTY input still yields one row with
+    # n_rows = 0 / NULL mean — the same shape the old full-table aggregate
+    # produced
+    point = means.filter(F.col("_b") == 1).agg(
+        F.coalesce(F.max("_c"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.round(F.max("_sx").cast("double")
+                / F.max("_c").cast("double"), 9).alias("point_mean"))
     return (point.crossJoin(F.broadcast(ci))
             .select(F.lit(b_resamples).cast("bigint").alias("b_resamples"),
                     "n_rows", "point_mean", "ci_lo", "ci_hi"))
@@ -2031,26 +2056,20 @@ def bootstrap_ab_diff(
     g = F.col(group_col)
 
     nn = df.filter(x.isNotNull() & g.isin([group_a, group_b]))
-    u = (F.conv(F.substring(F.md5(F.concat_ws(
-        "#", F.col(id_col).cast("string"), F.col("_b").cast("string"),
-        F.lit(salt))), 1, 15), 16, 10).cast("bigint").cast("double")
-        / F.lit(1152921504606846976.0))
-    w = F.lit(5)
-    for k in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-
     base = nn.select(F.col(id_col), x.alias("_x"),
                      (g == F.lit(group_a)).alias("_is_a")).repartition(
         df.sparkSession.sparkContext.defaultParallelism)
-    exploded = (base.select(F.col(id_col), "_x", "_is_a",
-                            F.explode(F.sequence(F.lit(1),
-                                                 F.lit(b_resamples)))
-                            .alias("_b"))
-                .select("_b", "_x", "_is_a", w.cast("bigint").alias("_w")))
+    exploded = _poisson_weighted(base, id_col, b_resamples, salt)
+    # Point stats come out of the SAME exploded aggregate (r12, guide
+    # §1.2): each (_b = 1, group) cell contains that group's every row
+    # exactly once, so its plain decimal sum + count ARE the per-group
+    # full-table sums — no second scan of the input.
     per_bg = (exploded.groupBy("_b", "_is_a")
               .agg(F.sum(d9(F.col("_w").cast("double") * F.col("_x")))
                    .alias("_s"),
-                   F.sum("_w").cast("bigint").alias("_n")))
+                   F.sum("_w").cast("bigint").alias("_n"),
+                   F.sum(d9(F.col("_x"))).alias("_sx"),
+                   F.count(F.lit(1)).cast("bigint").alias("_c")))
     from ..io import cut_lineage
 
     # 2B-row frame; materialize so the a/b split + rank don't re-run the
@@ -2062,7 +2081,7 @@ def bootstrap_ab_diff(
     per_bg = cut_lineage(per_bg.select(
         "_b", "_is_a",
         (F.col("_s").cast("double") / F.col("_n").cast("double"))
-        .alias("_m")))
+        .alias("_m"), "_sx", "_c"))
     a_side = per_bg.filter(F.col("_is_a")).select("_b",
                                                   F.col("_m").alias("_ma"))
     b_side = per_bg.filter(~F.col("_is_a")).select("_b",
@@ -2080,15 +2099,19 @@ def bootstrap_ab_diff(
     # assemble via conditional aggregation, NOT per-group filters joined
     # together: an empty group (typo'd label, empty arm) then yields ONE
     # row with NULL n/mean/diff on the missing side instead of a silent
-    # empty frame (r8 review) — matching the SQL twin's scalar subqueries
-    pt = nn.groupBy((g == F.lit(group_a)).alias("_ga")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_pn"),
-        (F.sum(d9(x)).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("_pm")).agg(
-        F.max(F.when(F.col("_ga"), F.col("_pn"))).alias("n_a"),
-        F.max(F.when(~F.col("_ga"), F.col("_pn"))).alias("n_b"),
-        F.max(F.when(F.col("_ga"), F.col("_pm"))).alias("mean_a"),
-        F.max(F.when(~F.col("_ga"), F.col("_pm"))).alias("mean_b"))
+    # empty frame (r8 review) — matching the SQL twin's scalar subqueries.
+    # Reads the checkpointed per-(b, group) frame's _b = 1 rows, so an
+    # entirely missing group is simply an absent row (NULL via the
+    # conditional max), exactly as the old full-table groupBy produced.
+    pt = per_bg.filter(F.col("_b") == 1).agg(
+        F.max(F.when(F.col("_is_a"), F.col("_c"))).alias("n_a"),
+        F.max(F.when(~F.col("_is_a"), F.col("_c"))).alias("n_b"),
+        F.max(F.when(F.col("_is_a"),
+                     F.col("_sx").cast("double")
+                     / F.col("_c").cast("double"))).alias("mean_a"),
+        F.max(F.when(~F.col("_is_a"),
+                     F.col("_sx").cast("double")
+                     / F.col("_c").cast("double"))).alias("mean_b"))
     return (pt.crossJoin(F.broadcast(ci))
             .select(F.lit(b_resamples).cast("bigint").alias("b_resamples"),
                     "n_a", "n_b", "mean_a", "mean_b",
