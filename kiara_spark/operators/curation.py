@@ -75,18 +75,31 @@ def _bigram_bucket_rows(df: DataFrame, id_col: str, text_col: str,
                         buckets: int) -> DataFrame:
     """(_id, _bkt, _c): per-doc hashed word-bigram bucket counts — DSIR's
     feature extraction.  One map + explode + (id, bucket) aggregate; only
-    (id, small-int bucket) pairs ever shuffle, never text."""
+    (id, small-int bucket) pairs ever shuffle, never text.
+
+    The token array is LET-BOUND through a 1-element transform (r12, the
+    ``minhash_signature`` trick): written inline it appears three times in
+    the generator expression (two sizes + the slice), and the lambda-bearing
+    expression tree has no subexpression elimination, so every row paid the
+    regex tokenization 3x.  ``coalesce(_bkt, -1)`` (never fires — md5 of a
+    non-null gram) makes the bucket key non-nullable so the downstream
+    ratio join infers no ``isnotnull`` filter that would re-evaluate the
+    md5 below the aggregate."""
     from .text import base_hash32
 
-    toks = tokens_col(F.col(text_col))
-    idx = F.when(F.size(toks) >= 2,
-                 F.sequence(F.lit(1), F.size(toks) - 1)
-                 ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    def _grams_of(tk):
+        idx = F.when(F.size(tk) >= 2,
+                     F.sequence(F.lit(1), F.size(tk) - 1)
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 2)))
+
+    grams = F.element_at(
+        F.transform(F.array(tokens_col(F.col(text_col))), _grams_of), 1)
     return (df.select(F.col(id_col).alias("_id"),
                       F.explode(grams).alias("_g"))
-            .select("_id", F.pmod(base_hash32(F.col("_g")),
-                                  F.lit(buckets)).alias("_bkt"))
+            .select("_id", F.coalesce(
+                F.pmod(base_hash32(F.col("_g")), F.lit(buckets)),
+                F.lit(-1)).alias("_bkt"))
             .groupBy("_id", "_bkt")
             .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
 
