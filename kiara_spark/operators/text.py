@@ -45,12 +45,21 @@ def tokens_col(text: Column) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token count, distinct tokens, avg token length, type-token ratio."""
-    toks = tokens_col(F.col(text_col))
-    return df.withColumns(
+    """Token count, distinct tokens, avg token length, type-token ratio.
+
+    The token and distinct-token arrays are STAGED as columns (r12,
+    guide §1.2): written inline the four outputs reference the regex
+    tokenization eight times (and the distinct-pass twice), and this
+    lambda-bearing Project has no subexpression elimination — staged,
+    each runs once per row.  Same expressions → identical values."""
+    toks = F.col("_ts_tk")
+    return (df
+            .withColumn("_ts_tk", tokens_col(F.col(text_col)))
+            .withColumn("_ts_dtk", F.array_distinct(toks))
+            .withColumns(
         {
             "num_tokens": F.size(toks),
-            "num_distinct_tokens": F.size(F.array_distinct(toks)),
+            "num_distinct_tokens": F.size(F.col("_ts_dtk")),
             "avg_token_len": F.when(
                 F.size(toks) > 0,
                 F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -58,10 +67,10 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)).cast("double"),
             "type_token_ratio": F.when(
                 F.size(toks) > 0,
-                F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+                F.size(F.col("_ts_dtk")).cast("double") / F.size(toks),
             ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop("_ts_tk", "_ts_dtk"))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -69,7 +78,11 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean-word-length sanity — the standard pretraining-filter features
     (C4/Gopher-style rules, public literature)."""
     text = F.col(text_col)
-    toks = tokens_col(text)
+    # Stage the token array (r12): inline, the three token-derived outputs
+    # reference the regex tokenization ~7x in a lambda-bearing Project
+    # with no subexpression elimination; staged it runs once per row.
+    toks = F.col("_qs_tk")
+    df = df.withColumn("_qs_tk", tokens_col(text))
     n_tok = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
@@ -94,7 +107,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
     )
-    return out.withColumn("quality_score", quality.cast("double"))
+    return out.withColumn("quality_score", quality.cast("double")) \
+        .drop("_qs_tk")
 
 
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have",
@@ -132,10 +146,20 @@ def with_gopher_rules(
     counts (deterministic IEEE — no rounding needed for an exact oracle
     twin)."""
     text = F.col(text_col)
-    words = F.filter(F.split(text, "\\s+"), lambda w: w != F.lit(""))
+    # Stage the word and line arrays (r12): inline, the six rule outputs
+    # reference each whitespace split up to 6x in a lambda-bearing Project
+    # with no subexpression elimination; staged, each split+filter runs
+    # once per row (this is also the projection a STREAMING run executes
+    # per micro-batch — the path where minhash_signature measured 8x).
+    words = F.col("_gr_words")
+    lines = F.col("_gr_lines")
+    df = df.withColumns({
+        "_gr_words": F.filter(F.split(text, "\\s+"),
+                              lambda w: w != F.lit("")),
+        "_gr_lines": F.filter(F.split(text, "\n"),
+                              lambda ln: F.trim(ln) != F.lit("")),
+    })
     n_words = F.size(words)
-    lines = F.filter(F.split(text, "\n"),
-                     lambda ln: F.trim(ln) != F.lit(""))
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(
         lines, lambda ln: F.ltrim(ln).rlike("^([-*•‣▪])")))
@@ -187,7 +211,8 @@ def with_gopher_rules(
     passed = F.lit(True)
     for c in checks:
         passed = passed & F.col(c)
-    return out.withColumn("pass_gopher", passed)
+    return out.withColumn("pass_gopher", passed).drop("_gr_words",
+                                                      "_gr_lines")
 
 
 def bpe_merge_candidates(
