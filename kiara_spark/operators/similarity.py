@@ -1257,15 +1257,19 @@ def kmeans_silhouette(
     decimal-exact.  Returns per cluster: (cluster, n, mean_sil, min_sil,
     max_sil)."""
     _, assign = _kmeans_fit(df, k, n_iter, id_col, vec_col)
-    ranked = F.array_sort(assign.cands())
-    a2 = F.element_at(ranked, 1)
-    b2 = F.element_at(ranked, 2)
+    # Stage the sorted candidate array once (r12, guide §1.2): the cluster
+    # id and the three av/bv references would otherwise each re-run the
+    # full k-centroid decimal fold + sort — this lambda-bearing Project
+    # has no subexpression elimination.  Same expressions → same values.
+    staged = df.withColumn("_rk", F.array_sort(assign.cands()))
+    a2 = F.element_at(F.col("_rk"), 1)
+    b2 = F.element_at(F.col("_rk"), 2)
     av = F.sqrt(a2["dist"].cast("double"))
     bv = F.sqrt(b2["dist"].cast("double"))
     s = F.when(F.greatest(av, bv) > 0,
                F.round((bv - av) / F.greatest(av, bv), 9)) \
         .otherwise(F.lit(0.0))
-    pts = df.select(a2["cid"].alias("cluster"), s.alias("_s"))
+    pts = staged.select(a2["cid"].alias("cluster"), s.alias("_s"))
     return pts.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum(F.col("_s").cast("decimal(38,12)")).cast("double")
@@ -1455,22 +1459,27 @@ def semantic_dedup(
     Plan shape: kmeans (n_iter scans + tiny driver centroid transfers) ->
     one join to attach clusters -> within-cluster pair join with
     precomputed norms -> anti-join drops.  Returns (id, cluster, kept)."""
-    # the input count gates the broadcast paths below; the attach join is
-    # inner on an assignment covering every row, so |clustered| == |df|
-    # and this stays a cheap metadata-level count of the input
+    # the input count gates the broadcast paths below; the assignment is
+    # map-only over every row, so |clustered| == |df| and this stays a
+    # cheap metadata-level count of the input
     n = df.count()
-    assigned = kmeans_lloyd(df, k, n_iter, id_col, vec_col).select(
-        id_col, "cluster")
+    # r12: attach clusters with the MAP-ONLY assignment expression instead
+    # of joining kmeans_lloyd's (id, cluster) output back by id — the
+    # assignment is a literal-centroid argmin over the row's own vector,
+    # so the id-keyed shuffle join moved the whole vector table for
+    # nothing.  Same centroids (same deterministic fit), same clusters.
+    _, _assign = _kmeans_fit(df, k, n_iter, id_col, vec_col)
     # lineage-cut the clustered set: it feeds BOTH sides of the pair
     # self-join and the final keep join — otherwise the kmeans assignment
-    # scan + attach join re-execute three times.  cut_lineage (lazy local
+    # scan re-executes three times.  cut_lineage (lazy local
     # checkpoint) instead of .cache(): checkpoint blocks release when the
     # Python refs drop (the bench loop's gc discipline), while CacheManager
     # entries would pin storage until an explicit unpersist.
     from ..io import cut_lineage
 
     clustered = cut_lineage(
-        df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col))
+        _assign(df.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster")))
     pairs = embedding_neardup_pairs(
         clustered, threshold, id_col, vec_col, bucket_col="cluster",
         broadcast_rows=n)
