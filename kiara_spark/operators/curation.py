@@ -60,15 +60,27 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngram_hashes(text_col, n: int) -> F.Column:
     """md5 hex of each word n-gram (space-joined) — the unit of overlap for
-    decontamination.  Hashing means only 32-char digests ever shuffle."""
-    toks = tokens_col(text_col if not isinstance(text_col, str) else F.col(text_col))
-    # positions 0 .. size-n (inclusive); empty array when the doc is shorter
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    decontamination.  Hashing means only 32-char digests ever shuffle.
+
+    The token array is LET-BOUND through a 1-element transform (r12, the
+    ``minhash_signature`` trick): inlined it appears three times (two
+    sizes + the slice) and lambda-bearing expression trees have no
+    subexpression elimination, so every row paid the regex tokenization
+    3x.  Identical values."""
+    base = tokens_col(text_col if not isinstance(text_col, str)
+                      else F.col(text_col))
+
+    def _grams_of(toks):
+        # positions 0 .. size-n (inclusive); empty when the doc is shorter
+        idx = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+
+    return F.element_at(F.transform(F.array(base), _grams_of), 1)
 
 
 def _bigram_bucket_rows(df: DataFrame, id_col: str, text_col: str,

@@ -56,6 +56,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _cosine_with_norms(q_vec: Column, c_vec: Column,
+                       qn: Column, cn: Column) -> Column:
+    """``cosine_similarity`` with the per-side norms precomputed as
+    columns (r12, guide §1.2): written inline, the two norm folds run
+    FOUR times per candidate pair (the when-condition and the denominator
+    each embed both, and the lambda-bearing expression tree has no
+    subexpression elimination) — precomputed per side they run once per
+    ROW, O(N+Q) instead of O(N·Q).  Identical IEEE expression order →
+    bit-identical cosine."""
+    denom = qn * cn
+    return F.when(denom > 0, dot_product(q_vec, c_vec) / denom) \
+        .otherwise(F.lit(0.0))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,16 +83,17 @@ def cosine_topk_bruteforce(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("_cn", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+            F.round(_cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                                       F.col("_qn"), F.col("_cn")), 8),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -226,18 +241,19 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(bucket_col).alias("_bucket"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(bucket_col).alias("_bucket"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), on="_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+            F.round(_cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                                       F.col("_qn"), F.col("_cn")), 8),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -320,17 +336,18 @@ def cosine_topk_rplsh(
     c = with_rp_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec")),
-        "c_vec", n_planes, dim)
+        "c_vec", n_planes, dim).withColumn("_cn", l2_norm(F.col("c_vec")))
     q = with_rp_bucket(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec")),
-        "q_vec", n_planes, dim)
+        "q_vec", n_planes, dim).withColumn("_qn", l2_norm(F.col("q_vec")))
     scored = (
         c.join(F.broadcast(q), on="rp_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+            F.round(_cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                                       F.col("_qn"), F.col("_cn")), 8),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -419,15 +436,18 @@ def _cosine_topk_distributed(
     the same codegen cosine expression as the bruteforce op.  Output contract
     identical to ``cosine_topk_bruteforce``."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("_qn", l2_norm(F.col("q_vec")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_cn", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(q)  # no broadcast hint: planner picks CartesianProduct
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 8),
+            F.round(_cosine_with_norms(F.col("q_vec"), F.col("c_vec"),
+                                       F.col("_qn"), F.col("_cn")), 8),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -2425,19 +2425,32 @@ def with_script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All counts are exact integers; ratios are terminal fixed-order
     doubles.  Scan throughput at 100 TB: nine regexp passes per row,
-    zero shuffles."""
+    zero shuffles.
+
+    The nine per-script counts (plus their total and max) are STAGED as
+    dropped temp columns (r12, guide §1.2): inlined, the dominant-script
+    CASE chain and the per-script >5%% flags re-embedded the regex
+    subtrees ~526 times in the executed plan, and conditional CASE
+    branches are outside codegen subexpression elimination — staged, each
+    of the nine regexes runs exactly once per row.  Same integer
+    expressions → identical values."""
     text = F.col(text_col)
-    counts = {
-        name: (F.length(text)
-               - F.length(F.regexp_replace(text, f"[{rng}]", "")))
+    orig_cols = df.columns
+    df = df.withColumns({
+        f"_sc_{name}": (F.length(text)
+                        - F.length(F.regexp_replace(text, f"[{rng}]", "")))
         .cast("bigint")
         for name, rng in SCRIPT_RANGES.items()
-    }
-    total = None
+    })
+    counts = {name: F.col(f"_sc_{name}") for name in SCRIPT_RANGES}
+    total_e = None
     for c in counts.values():
-        total = c if total is None else total + c
+        total_e = c if total_e is None else total_e + c
+    df = df.withColumns({"_sc_total": total_e,
+                         "_sc_max": F.greatest(*counts.values())})
+    total = F.col("_sc_total")
     totd = total.cast("double")
-    max_c = F.greatest(*counts.values())
+    max_c = F.col("_sc_max")
     dominant = F.when(max_c == 0, F.lit("none"))
     for name in SCRIPT_RANGES:  # fixed priority order = dict order
         dominant = dominant.when(counts[name] == max_c, F.lit(name))
@@ -2450,7 +2463,7 @@ def with_script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             & (c.cast("double") / totd > F.lit(0.05)), 1).otherwise(0)
         n_scripts = flag if n_scripts is None else n_scripts + flag
     return df.select(
-        "*",
+        *orig_cols,
         total.alias("n_script_chars"),
         F.round(ratio["latin"], 6).alias("latin_ratio"),
         F.round(ratio["cyrillic"], 6).alias("cyrillic_ratio"),

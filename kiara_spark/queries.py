@@ -8940,20 +8940,24 @@ def hard_negatives_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id % 50 = 0").select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qv"))
+        F.col("embedding").alias("qv")) \
+        .withColumn("_qn", S.l2_norm(F.col("qv")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("cv"))
+        F.col("embedding").alias("cv")) \
+        .withColumn("_cn", S.l2_norm(F.col("cv")))
     # Hard broadcast is intentional although q scales at 1/50 of the data:
     # this is the documented BRUTE-FORCE baseline (O(N·Q) by contract); at
     # cluster scale the query side must be bounded (LIMIT / explicit query
     # set) or routed through the IVF/LSH variants (sim_topk_ivfpq).
+    # Norms are precomputed per side (r12): inline they folded 4x per pair.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_label") != F.col("qlabel"))
         .select("query_id", "neighbor_id", "neighbor_label",
-                F.round(S.cosine_similarity(F.col("qv"), F.col("cv")), 8)
+                F.round(S._cosine_with_norms(F.col("qv"), F.col("cv"),
+                                             F.col("_qn"), F.col("_cn")), 8)
                 .alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -9522,18 +9526,23 @@ def crossmodal_q(spark, sf_dir):
     media = docs.filter("doc_id % 50 = 0").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
     qvecs = M.embed_media_stub(media, "media", "id", dim=_XM_DIM).select(
-        F.col("id").alias("query_id"), F.col("embedding").alias("qv"))
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv")) \
+        .withColumn("_qn", S.l2_norm(F.col("qv")))
     cdims = F.array(*[
         (base_hash32(F.concat(F.col("text"), F.lit(f":{i}")))
          / F.lit(4294967296.0) * F.lit(2.0) - F.lit(1.0)).cast("double")
         for i in range(_XM_DIM)])
     corpus = docs.select(F.col("doc_id").alias("neighbor_id"),
-                         cdims.alias("cv"))
+                         cdims.alias("cv")) \
+        .withColumn("_cn", S.l2_norm(F.col("cv")))
+    # Norms precomputed per side (r12): inline they folded 4x per pair,
+    # and the corpus norm would re-run the 8 md5 dim hashes per PAIR.
     scored = (
         corpus.crossJoin(F.broadcast(qvecs))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.round(S.cosine_similarity(F.col("qv"), F.col("cv")), 8)
+                F.round(S._cosine_with_norms(F.col("qv"), F.col("cv"),
+                                             F.col("_qn"), F.col("_cn")), 8)
                 .alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
