@@ -1022,16 +1022,23 @@ def with_wordlist_score(
     tie-free — a tie needs the reduced denominator divisible by
     2^7*5^6 = 2e6 > any realistic per-doc token count — so the rounded
     value and the >= threshold verdict are engine-portable."""
-    toks = tokens_col(F.col(text_col))
-    flagged = F.filter(toks, lambda t: t.isin(*wordlist))
-    n_t = F.size(toks)
-    n_f = F.size(flagged)
+    # Stage the token + flagged arrays (r12, guide §1.2): inlined, the
+    # four outputs referenced the regex tokenization 8x per row (no
+    # subexpression elimination in lambda-bearing Projects); staged, the
+    # split and the filter each run once.  Identical values.
+    orig_cols = df.columns
+    df = df.withColumn("_wl_tk", tokens_col(F.col(text_col)))
+    df = df.withColumn("_wl_fl",
+                       F.filter(F.col("_wl_tk"),
+                                lambda t: t.isin(*wordlist)))
+    n_t = F.size(F.col("_wl_tk"))
+    n_f = F.size(F.col("_wl_fl"))
     frac = F.when(
         n_t > 0,
         F.round(n_f.cast("double") / n_t.cast("double"), 6),
     ).otherwise(F.lit(0.0))
     return df.select(
-        "*",
+        *orig_cols,
         n_t.cast("bigint").alias("wl_n_tokens"),
         n_f.cast("bigint").alias("wl_n_flagged"),
         frac.alias("wl_flag_fraction"),
@@ -1042,12 +1049,17 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-membership language ID: score = count of tokens in each
     language's marker set; argmax wins (ties broken by language code order —
     deterministic)."""
-    toks = tokens_col(F.col(text_col))
+    # Stage the token array (r12): inlined, each language's score column
+    # re-ran the regex tokenization (len(LANG_MARKERS) splits per row in a
+    # lambda-bearing Project with no subexpression elimination).
+    orig_cols = df.columns
+    staged = df.withColumn("_li_tk", tokens_col(F.col(text_col)))
     scores = [
-        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        F.size(F.filter(F.col("_li_tk"), lambda t: t.isin(*words)))
+        .alias(f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
-    out = df.select("*", *scores)
+    out = staged.select(*orig_cols, *scores)
     langs = list(LANG_MARKERS)
     # argmax via greatest + chained when, first-match-wins in sorted lang order
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
