@@ -1788,10 +1788,20 @@ def token_distribution_divergence(
     O(groups × top_k) rows.  Scale: groups² × top_k pair cells — at 100 TB
     that is still thousands of rows.  Returns
     (group_a, group_b, n_a, n_b, jsd)."""
-    counts = (df.select(F.col(group_col).alias("_g"),
-                        F.explode(tokens_col(F.col(text_col))).alias("_w"))
-              .groupBy("_g", "_w")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
+    from ..io import cut_lineage
+
+    # r12: materialize the (group, token) grid — the ONLY pass over text.
+    # It feeds totals, the top-k vocabulary, the in-top mass, and the cell
+    # join; AQE's runtime exchange reuse only deduplicated some of those
+    # branches (the final adaptive plan still held 14 parquet scans /
+    # 15 tokenize+explode subtrees), so the corpus was re-tokenized per
+    # branch.  The checkpoint runs the text pass exactly once; every
+    # branch reads the tiny aggregated grid.
+    counts = cut_lineage(
+        df.select(F.col(group_col).alias("_g"),
+                  F.explode(tokens_col(F.col(text_col))).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
     totals = counts.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_n"))
     top = (counts.groupBy("_w")
            .agg(F.sum("_c").cast("bigint").alias("_tc"))
