@@ -337,6 +337,10 @@ def tfidf_top_terms(
     the exploded stream is the big intermediate, touched twice, never
     collected."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    # r12 note: a cut_lineage of the (doc, term, tf) grid was measured
+    # SLOWER (1.49 -> 1.63s median) — with only two consumers (docfreq +
+    # scoring join) runtime exchange reuse already dedupes the text pass,
+    # and the checkpoint replaces it with an extra job.
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"))
     docfreq = tf.groupBy("term").agg(

@@ -343,6 +343,10 @@ def cooccurrence_pmi(
     ln() is applied to an exact integer ratio and rounded to 6 dp, so any
     libm reproduces the doubles.
     """
+    # r12 note: cut_lineage of the exploded rows and/or the pruned rows
+    # was measured SLOWER (1.29 -> 1.57s median) — runtime exchange reuse
+    # already dedupes the duplicated branches, and checkpointing the
+    # exploded token stream materializes something larger than the input.
     toks = df.select(
         F.col(id_col).alias("_d"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col))))
@@ -399,6 +403,9 @@ def chi2_feature_select(
         F.col(label_col).alias("label"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col))))
         .alias("token"))
+    # r12 note: a cut_lineage of the (token, label) grid was measured
+    # SLOWER (1.05 -> 1.21s median) — two consumers, runtime exchange
+    # reuse already covers them.
     tl = toks.groupBy("token", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("a"))
     tok_tot = (tl.groupBy("token")
@@ -584,6 +591,10 @@ def bigram_logprob(
     partition-order-invariant and engine-exact at 6 dp.  Docs with fewer
     than 2 tokens have no bigrams and are absent."""
     ws = tokens_col(F.col(text_col))
+    # r12 note: a cut_lineage of the bigram rows was measured SLOWER
+    # (1.66 -> 2.16s median) — two consumers (model aggregate + scoring
+    # join) are covered by runtime exchange reuse, and the checkpoint
+    # materializes the exploded bigram stream (larger than the input).
     big = _bigram_rows(df, text_col, id_col)
     c2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2"))
@@ -624,9 +635,14 @@ def collocations_llr(
     no positional self-join), ONE (w1,w2) aggregate, two tiny margin
     rollups broadcast back onto it, distributed top-k.  Returns
     (w1, w2, k11, g2)."""
+    from ..io import cut_lineage
+
     big = _bigram_rows(df, text_col)
-    pair = (big.groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("k11")))
+    # r12: materialize the tiny (w1,w2) grid — its four consumers (both
+    # margin rollups, the total, the scored join) each re-embedded the
+    # tokenize+bigram text pass (4 explodes in the executed plan -> 1).
+    pair = cut_lineage(big.groupBy("w1", "w2")
+                       .agg(F.count(F.lit(1)).cast("bigint").alias("k11")))
     r1 = pair.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("_r1"))
     c1 = pair.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("_c1"))
     n = pair.agg(F.sum("k11").cast("bigint").alias("_n"))
@@ -676,9 +692,17 @@ def kneser_ney_bigram_logprob(
     P evaluates in fixed-order IEEE doubles, −ln P rounds to 9 dp and
     sums as DECIMAL(38,12).  Returns (id, n_bigrams, avg_neg_logprob_kn);
     docs with < 2 tokens are absent."""
+    from ..io import cut_lineage
+
+    # r12: materialize the tiny (w1,w2) model grid — its FOUR consumers
+    # (c1, cont, tt, the scoring join) each re-embedded the tokenize +
+    # bigram text pass, which runtime exchange reuse only partially
+    # deduped (measured 2.27 -> 1.39s median with the cut; checkpointing
+    # the raw bigram rows as well was tried and is covered by exchange
+    # reuse — two consumers — so only the grid is cut).
     big = _bigram_rows(df, text_col, id_col)
-    c2 = big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c2 = cut_lineage(big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")))
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1p"))
