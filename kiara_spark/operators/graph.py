@@ -1383,8 +1383,12 @@ def bipartite_butterflies(
     skew guard for degree-heavy catalogs; dropped hubs are reported by
     the caller via degree inspection, not silently resampled).  Returns
     (id, n_butterflies), nodes with zero butterflies absent."""
-    e = edges.select(F.col(left_col).alias("_l"),
-                     F.col(right_col).alias("_r")).distinct()
+    # r12: materialize the distinct bipartite edge set ONCE — both sides
+    # of the wedge self-join (and the optional hub-degree filter)
+    # re-embedded the full edge derivation otherwise (8 parquet scans in
+    # the executed plan).
+    e = cut_lineage(edges.select(F.col(left_col).alias("_l"),
+                                 F.col(right_col).alias("_r")).distinct())
     if max_right_degree is not None:
         rdeg = (e.groupBy("_r")
                 .agg(F.count(F.lit(1)).alias("_rd"))
@@ -1427,8 +1431,10 @@ def bipartite_project(
     nodes whose deg² wedge blowup would dominate (the standard guard —
     a right node shared by everyone carries no community signal anyway).
     Returns (src, dst, weight) with src < dst."""
-    e = edges.select(F.col(left_col).alias("_l"),
-                     F.col(right_col).alias("_r")).distinct()
+    # r12: materialize the distinct edge set once (both wedge sides
+    # re-embedded the edge derivation — see bipartite_butterflies).
+    e = cut_lineage(edges.select(F.col(left_col).alias("_l"),
+                                 F.col(right_col).alias("_r")).distinct())
     if max_right_degree is not None:
         rdeg = (e.groupBy("_r")
                 .agg(F.count(F.lit(1)).alias("_rd"))
@@ -1455,7 +1461,11 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     component sums in ONE aggregate with decimal-exact accumulation
     (per-term products are exact integers); the final ratio is
     fixed-order IEEE.  Returns one row (n_edge_ends, assortativity)."""
-    und = undirected_edges(edges)
+    # r12: materialize the symmetrized edge set ONCE — it feeds the degree
+    # aggregate and the edge-pair probe, and the degree frame itself is
+    # joined twice, so the full edge derivation was re-embedded three
+    # times (12 parquet scans in the executed plan).
+    und = cut_lineage(undirected_edges(edges))
     deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
                                  .alias("_d"))
     pairs = (und
@@ -1505,10 +1515,16 @@ def modularity(
     comm = communities.select(F.col(id_col).alias("_id"),
                               F.col(comm_col).alias("_c"))
     und = undirected_edges(edges)
-    j = (und.join(comm.select(F.col("_id").alias("src"),
-                              F.col("_c").alias("_ca")), "src")
-         .join(comm.select(F.col("_id").alias("dst"),
-                           F.col("_c").alias("_cb")), "dst"))
+    # r12: materialize the community-stamped edge ends ONCE — the total,
+    # the degree rollup, and the intra-edge count each re-embedded the
+    # full edge derivation + symmetrize + both stamping joins (the
+    # executed plan held 26 parquet scans; with the cut, the upstream
+    # tables are scanned once).
+    j = cut_lineage(
+        und.join(comm.select(F.col("_id").alias("src"),
+                             F.col("_c").alias("_ca")), "src")
+        .join(comm.select(F.col("_id").alias("dst"),
+                          F.col("_c").alias("_cb")), "dst"))
     # T = directed-both-ways edge-end count = 2m on the covered subgraph
     tot = j.agg(F.count(F.lit(1)).cast("double").alias("_t2"))
     deg = j.groupBy(F.col("src").alias("_id")).agg(
