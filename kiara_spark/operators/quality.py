@@ -4087,12 +4087,19 @@ def friedman_test(
     Returns one row: (n_blocks, k, chi2_f, dof, p_value)."""
     from pyspark.sql.window import Window as _W
 
+    from ..io import cut_lineage
+
     v = F.col(value_col).cast("decimal(38,6)")
-    base = (df.filter(F.col(block_col).isNotNull()
-                      & F.col(treatment_col).isNotNull()
-                      & F.col(value_col).isNotNull())
-            .select(F.col(block_col).alias("_b"),
-                    F.col(treatment_col).alias("_t"), v.alias("_v")))
+    # r12: materialize the narrow (block, treatment, value) projection —
+    # the treatment count, the per-block completeness check, and the
+    # ranked-row join each re-ran the full table scan (8 scans in the
+    # executed plan; the spearman narrow-projection pattern).
+    base = cut_lineage(
+        df.filter(F.col(block_col).isNotNull()
+                  & F.col(treatment_col).isNotNull()
+                  & F.col(value_col).isNotNull())
+        .select(F.col(block_col).alias("_b"),
+                F.col(treatment_col).alias("_t"), v.alias("_v")))
     # complete blocks only: every treatment present exactly once
     kk = base.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
     cnt = base.groupBy("_b").agg(
@@ -4230,12 +4237,17 @@ def cochrans_q(
     terminal division of split-cast integers; df = k−1, even df →
     closed-form p.  Returns one row: (n_blocks, k, q_stat, dof,
     p_value)."""
+    from ..io import cut_lineage
+
     flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
-    base = (df.filter(F.col(block_col).isNotNull()
-                      & F.col(treatment_col).isNotNull())
-            .select(F.col(block_col).alias("_b"),
-                    F.col(treatment_col).alias("_t"),
-                    F.when(flag, 1).otherwise(0).alias("_f")))
+    # r12: materialize the narrow (block, treatment, flag) projection —
+    # same multi-consumer scan shape as friedman_test (6 scans -> 1).
+    base = cut_lineage(
+        df.filter(F.col(block_col).isNotNull()
+                  & F.col(treatment_col).isNotNull())
+        .select(F.col(block_col).alias("_b"),
+                F.col(treatment_col).alias("_t"),
+                F.when(flag, 1).otherwise(0).alias("_f")))
     kk = base.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
     cnt = base.groupBy("_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_cb"),
