@@ -750,10 +750,16 @@ def naive_bayes_classify(
     the demo closed; split train/apply frames for real use.
 
     Returns (id, actual, predicted, correct, score)."""
+    from ..io import cut_lineage
+
     toks = df.select(F.col(id_col), F.col(label_col).alias("_c"),
                      F.explode(tokens_col(F.col(text_col))).alias("_w"))
-    wc = toks.groupBy("_w", "_c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_cwc"))
+    # r12: materialize the (word, class) model grid — THREE consumers
+    # (class totals, vocabulary, scoring join) each re-embedded the
+    # tokenize+explode pass (the kneser-ney grid lesson; 6 scans -> 2,
+    # the remaining two being the grid build and the scoring fan-out).
+    wc = cut_lineage(toks.groupBy("_w", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cwc")))
     ctot = wc.groupBy("_c").agg(F.sum("_cwc").cast("bigint").alias("_cc"))
     vocab = wc.select("_w").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("_v"))
