@@ -1002,10 +1002,16 @@ def markov_stationary(
              .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
     totals = pairs.groupBy("_prev").agg(F.sum("_n").cast("bigint")
                                         .alias("_ni"))
-    p = (pairs.join(totals, "_prev")
-         .select("_prev", "_next",
-                 (F.col("_n") / F.col("_ni").cast("double")).alias("_p")))
     from ..io import cut_lineage
+
+    # r12: materialize the tiny transition matrix — every power-iteration
+    # round re-embedded its subtree (the per-user window over the full
+    # event stream ran once PER ROUND; the pagerank/hits iterative-state
+    # pattern).
+    p = cut_lineage(
+        pairs.join(totals, "_prev")
+        .select("_prev", "_next",
+                (F.col("_n") / F.col("_ni").cast("double")).alias("_p")))
 
     states = cut_lineage(
         df.select(F.col(type_col).alias("state")).distinct())
