@@ -137,7 +137,12 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(id, degree, n_triangles, clustering): 2T / (d(d-1)), 0 where d < 2.
     One degree aggregate + the per-node triangle plan — both shuffle on the
-    node id, so AQE can coalesce them into aligned exchanges."""
+    node id, so AQE can coalesce them into aligned exchanges.
+
+    r12: the raw edge list is materialized once — the degree aggregate and
+    the triangle plan otherwise each re-ran the caller's full edge
+    derivation (8 parquet scans in the executed plan)."""
+    edges = cut_lineage(edges.select("src", "dst"))
     tri = triangles_per_node(edges)
     deg = degrees(edges)
     joined = tri.join(deg, "id")
