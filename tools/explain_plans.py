@@ -48,6 +48,14 @@ INTENTIONAL_CROSS = {
     "ml_chi2_feature_select",      # 1-row N broadcast joins the margins
     "ml_target_encode_orders",     # 1-row prior (global mean) broadcast
     "ml_lift_table_orders",        # 1-row totals broadcast onto 10 bins
+    # round-12 mid-build additions (flagged by the audit once PLANS.md was
+    # regenerated on the optimization-round HEAD): both are 1-row totals /
+    # bounds broadcasts (IdentityBroadcastMode build side), verified by
+    # inspecting the executed plans
+    "ml_uplift_qini_events",       # 1-row arm-totals + bin-bounds broadcasts
+    "linkage_fs_patterns_parts",   # 1-row match-total broadcast onto patterns
+    "stats_stratified_ate_events",  # 1-row grand-total broadcast onto strata
+    "ml_isotonic_calibration_orders",  # 1-row totals broadcasts per PAVA stage
     "ml_robust_scale_orders",      # 1-row percentile-bounds broadcast
     "quality_benford_totalprice",  # 1-row digit-total broadcast onto grid
     "weighted_percentile_lineitem",  # 1-row total-weight broadcast
