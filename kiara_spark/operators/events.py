@@ -1196,16 +1196,14 @@ def funnel(
           .select(F.col(user_col).alias("_u"),
                   F.col(ts_col).alias("_ts"),
                   F.col(type_col).alias("_ty")))
-    per_user = (ev.groupBy("_u")
-                .agg(F.sort_array(F.collect_list(F.struct(
-                    F.col("_ts").alias("t"),
-                    F.col("_ty").alias("y")))).alias("_seq")))
     # Fold state: (stage reached so far, ts of the event that reached it).
     init = F.struct(
         F.lit(0).cast("int").alias("stage"),
         F.to_timestamp(F.lit("1000-01-01 00:00:00")).alias("t"))
     fold = F.aggregate(
-        F.col("_seq"), init,
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_ts").alias("t"),
+            F.col("_ty").alias("y")))), init,
         lambda acc, e: F.when(
             (acc["stage"] < F.lit(len(steps)))
             & (e["y"] == F.element_at(steps_lit, acc["stage"] + 1))
@@ -1213,7 +1211,12 @@ def funnel(
             F.struct(
                 (acc["stage"] + 1).alias("stage"), e["t"].alias("t")),
         ).otherwise(acc))
-    stages = per_user.select(fold["stage"].alias("_stage"))
+    # r12: the fold lives INSIDE the aggregate's result expression — as a
+    # Project above the groupBy, the `_stage > 0` filter below pushed
+    # through with alias substitution and the whole per-user fold ran
+    # TWICE per user (once in the Filter, once in the Project); a filter
+    # cannot substitute below an Aggregate, so this evaluates once.
+    stages = ev.groupBy("_u").agg(fold["stage"].alias("_stage"))
     by_stage = (stages.filter(F.col("_stage") > 0)
                 .groupBy("_stage")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))

@@ -4471,14 +4471,22 @@ def concordance_ccc(
     # exact decimal products — never ROUND(x*y, 2s) of a double
     xd = F.round(x, s).cast(f"decimal(18,{s})")
     yd = F.round(y, s).cast(f"decimal(18,{s})")
-    base = df.filter(x.isNotNull() & y.isNotNull())
-    agg = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum(xd).cast(f"decimal(38,{s})").alias("_sx"),
-        F.sum(yd).cast(f"decimal(38,{s})").alias("_sy"),
-        F.sum((xd * xd).cast(f"decimal(38,{s2})")).alias("_sxx"),
-        F.sum((yd * yd).cast(f"decimal(38,{s2})")).alias("_syy"),
-        F.sum((xd * yd).cast(f"decimal(38,{s2})")).alias("_sxy"))
+    # r12: the null exclusion is a CONDITION inside the one aggregate,
+    # not a Filter — with a derived y (e.g. 6·token-count) the Filter
+    # evaluated the expensive expression once per row on top of the
+    # aggregate's own evaluation, and Filter/Aggregate are separate
+    # codegen contexts (no cross-operator subexpression elimination),
+    # while aggregate inputs share one CSE'd evaluation.  Conditional
+    # sums/count skip exactly the same rows.
+    cond = x.isNotNull() & y.isNotNull()
+    w_ = lambda e: F.when(cond, e)  # noqa: E731
+    agg = df.agg(
+        F.count(w_(F.lit(1))).cast("bigint").alias("_n"),
+        F.sum(w_(xd)).cast(f"decimal(38,{s})").alias("_sx"),
+        F.sum(w_(yd)).cast(f"decimal(38,{s})").alias("_sy"),
+        F.sum(w_((xd * xd).cast(f"decimal(38,{s2})"))).alias("_sxx"),
+        F.sum(w_((yd * yd).cast(f"decimal(38,{s2})"))).alias("_syy"),
+        F.sum(w_((xd * yd).cast(f"decimal(38,{s2})"))).alias("_sxy"))
     nd = F.col("_n").cast("double")
     sx, sy = _split_cast(F.col("_sx")), _split_cast(F.col("_sy"))
     sxx, syy = _split_cast(F.col("_sxx")), _split_cast(F.col("_syy"))

@@ -2026,16 +2026,29 @@ def heaps_law_fit(
     nv = staged.select(
         *(["_g"] if group_col else []),
         F.size("_ws").cast("double").alias("_n"),
-        F.size(F.array_distinct("_ws")).cast("double").alias("_v")) \
-        .filter((F.col("_n") >= 2) & (F.col("_v") >= 1))
+        F.size(F.array_distinct("_ws")).cast("double").alias("_v"))
     d9 = lambda e: F.round(e, 9).cast("decimal(38,12)")  # noqa: E731
+    # r12: the (_n >= 2, _v >= 1) exclusion is folded into the aggregate
+    # as a condition instead of a Filter — the Filter pushed below the
+    # staging Project with alias substitution and re-tokenized every row
+    # twice in its condition.  Conditional sums skip exactly the same
+    # rows (NULL when-branches don't accumulate), and the condition reads
+    # the cheap _n/_v attributes.
+    ok = (F.col("_n") >= 2) & (F.col("_v") >= 1)
+    w_ = lambda e: F.when(ok, e)  # noqa: E731
     lx, ly = F.log(F.col("_n")), F.log(F.col("_v"))
     gb = nv.groupBy("_g") if group_col else nv.groupBy()
     agg = gb.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(d9(lx)).alias("_sx"), F.sum(d9(ly)).alias("_sy"),
-        F.sum(d9(lx * lx)).alias("_sxx"), F.sum(d9(lx * ly)).alias("_sxy"),
-        F.sum(d9(ly * ly)).alias("_syy"))
+        F.count(w_(F.lit(1))).cast("bigint").alias("n_docs"),
+        F.sum(w_(d9(lx))).alias("_sx"), F.sum(w_(d9(ly))).alias("_sy"),
+        F.sum(w_(d9(lx * lx))).alias("_sxx"),
+        F.sum(w_(d9(lx * ly))).alias("_sxy"),
+        F.sum(w_(d9(ly * ly))).alias("_syy"))
+    if group_col:
+        # a group whose every doc fails the exclusion was absent under the
+        # old row filter; keep that contract (global case: the old filter
+        # also yielded one n_docs=0 row, so no filter there)
+        agg = agg.filter(F.col("n_docs") > 0)
     nd = F.col("n_docs").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
     sxx = F.col("_sxx").cast("double")
@@ -2071,9 +2084,15 @@ def term_burstiness(
     dense doc×term grid); the 1-row corpus doc-count broadcasts; top-k
     by total count is a distributed TakeOrdered.  Returns top-k rows:
     (word, total_count, docs_present, mean_per_doc, vmr)."""
+    # r12: tokenize INLINE in the explode — staging the array as a column
+    # made InferFiltersFromGenerate add a size/isnotnull filter on the
+    # attribute, which predicate pushdown then substituted below the
+    # staging Project: 4 tokenizations per row in the executed plan.
+    # With a higher-order-function generator input the rule skips, and
+    # the plan tokenizes exactly once (probe in OPTIMIZATION_r12.md).
     per_doc = (df.select(F.col(id_col).alias("_id"),
-                         tokens_col(F.col(text_col)).alias("_ws"))
-               .select("_id", F.explode("_ws").alias("_w"))
+                         F.explode(tokens_col(F.col(text_col)))
+                         .alias("_w"))
                .groupBy("_id", "_w")
                .agg(F.count(F.lit(1)).cast("bigint").alias("_c")))
     d_tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("_dd"))
