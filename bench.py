@@ -4,8 +4,11 @@ on local[$SPARK_GRAFT_CPUS].
 Prints ONE compact JSON line (kept short so the driver's tail capture can
 parse it):
   {"metric": "...", "value": total_sec, "unit": "sec", "sf": ..., "n_queries": N}
-and writes the full per-query timing map to BENCH_DETAIL.json next to this
-file.
+and writes the full per-query timing map to BENCH_DETAIL_c{cpus}.json next
+to this file (one detail file PER core-count config, so a scaling run at a
+different $SPARK_GRAFT_CPUS can never clobber the primary run's per-query
+ledger — r12 verdict item 2).  BENCH_DETAIL.json additionally mirrors the
+highest-core run's detail (the driver's per-query comparator reads it).
 
 Each query is materialized via a count-ish action (``write.format('noop')``)
 so the full plan executes without driver-side row transfer dominating.
